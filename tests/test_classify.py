@@ -1,0 +1,56 @@
+"""Codepoint-class histogram tests (SURVEY.md §2.1 codepoint_classify)."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ultraviolet_spark.kernels.classify import (
+    CLASS_NAMES,
+    K,
+    codepoint_class_histogram,
+)
+
+_CAT_IDX = {"L": 0, "M": 1, "N": 2, "P": 3, "S": 4, "Z": 5, "C": 6}
+
+
+def _rows_to_cp(rows: list[str]):
+    cps = [[ord(c) for c in r] for r in rows]
+    flat = np.array([c for row in cps for c in row], dtype=np.uint32)
+    offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in cps], out=offsets[1:])
+    return flat, offsets
+
+
+def _slow_hist(s: str) -> list[int]:
+    h = [0] * K
+    for c in s:
+        h[_CAT_IDX.get(unicodedata.category(c)[0], 6)] += 1
+        cp = ord(c)
+        h[7 if cp < 0x80 else 8 if cp < 0x100 else 9 if cp < 0x10000 else 10] += 1
+    return h
+
+
+def test_basic():
+    rows = ["Ab1. ", "héllo", "💩", ""]
+    flat, offsets = _rows_to_cp(rows)
+    hist = codepoint_class_histogram(flat, offsets)
+    assert hist.shape == (4, K)
+    for i, r in enumerate(rows):
+        assert hist[i].tolist() == _slow_hist(r), r
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=6))
+def test_matches_unicodedata(rows):
+    flat, offsets = _rows_to_cp(rows)
+    hist = codepoint_class_histogram(flat, offsets)
+    for i, r in enumerate(rows):
+        assert hist[i].tolist() == _slow_hist(r), r
+
+
+def test_names_length():
+    assert len(CLASS_NAMES) == K == 11

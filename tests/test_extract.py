@@ -1,0 +1,90 @@
+"""HTML extraction: spec cases + hypothesis fuzz of the vectorized
+kernel against the independent sequential oracle (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fixtures.make_golden import golden_extract
+from ultraviolet_spark.kernels.buffers import list_from_rows, rows_from_list
+from ultraviolet_spark.kernels.extract import extract_text
+
+CASES = [
+    ("plain", "hello world", "hello world"),
+    ("simple_tag", "<b>bold</b> text", "bold text"),
+    ("script_block", "a<script>x()</script>b", "ab"),
+    ("style_block", "a<style>p{}</style>b", "ab"),
+    ("script_with_attrs", 'a<script type="x">y</script>b', "ab"),
+    ("script_case", "a<SCRIPT>x</SCRIPT>b", "ab"),
+    ("unclosed_script", "a<script>rest is gone", "a"),
+    ("unclosed_tag", "a<b c", "a"),
+    ("bare_gt", "a > b", "a > b"),
+    ("entity_amp", "a &amp; b", "a & b"),
+    ("entity_all_named", "&lt;&gt;&quot;&apos;&amp;", "<>\"'&"),
+    ("entity_decimal", "&#65;&#8364;", "A€"),
+    ("entity_hex", "&#x41;&#x20AC;", "A€"),
+    ("entity_bad", "&foo; &unknown; &;", "&foo; &unknown; &;"),
+    ("entity_too_long", "&#x10FFFF0;", "&#x10FFFF0;"),
+    ("entity_max", "&#x10FFFF;", "\U0010ffff"),
+    ("entity_surrogate", "&#xD800;", "&#xD800;"),
+    ("entity_across_tag", "&am<b>p;", "&amp;".replace("amp", "amp")),  # "&amp;" → "&"
+    ("ws_collapse", "a  \t\n  b", "a b"),
+    ("ws_strip", "  a b  ", "a b"),
+    ("ws_entity", "a&#32;&#32;b", "a b"),
+    ("all_ws", " \t\r\n ", ""),
+    ("empty", "", ""),
+    ("full_page",
+     "<html><head><title>T</title><style>s{}</style></head>"
+     "<body><p>Hello &amp; welcome</p><script>x()</script></body></html>",
+     "THello & welcome"),
+    ("nested_tags", "<div><p>a</p> <p>b</p></div>", "a b"),
+    ("unicode", "<p>héllo 💩</p>", "héllo 💩"),
+    ("tag_inside_script", "a<script><b>not text</b></script>z", "az"),
+]
+
+
+@pytest.mark.parametrize("case_id,html,want", CASES, ids=[c[0] for c in CASES])
+def test_spec_cases(case_id, html, want):
+    if case_id == "entity_across_tag":
+        want = "&"
+    data, offsets = rows_from_list([html.encode("utf-8")])
+    out, oo = extract_text(data, offsets)
+    got = list_from_rows(out, oo)[0].decode("utf-8")
+    assert got == want, f"{case_id}: {got!r} != {want!r}"
+    # the sequential oracle must agree with the spec table too
+    assert golden_extract(html) == want, f"golden {case_id}"
+
+
+# fuzz alphabet dense in the interesting markers
+_alpha = st.sampled_from(list("<>&;#/ab \t\n\rxX0129scriptSTYLE=\"'é💩lgtqupoamp"))
+_html = st.text(alphabet=_alpha, max_size=80)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(_html, min_size=1, max_size=8))
+def test_fuzz_vectorized_equals_sequential(rows):
+    data, offsets = rows_from_list([r.encode("utf-8") for r in rows])
+    out, oo = extract_text(data, offsets)
+    got = [r.decode("utf-8") for r in list_from_rows(out, oo)]
+    want = [golden_extract(r) for r in rows]
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_fuzz_arbitrary_text(s):
+    data, offsets = rows_from_list([s.encode("utf-8")])
+    out, oo = extract_text(data, offsets)
+    got = list_from_rows(out, oo)[0].decode("utf-8")
+    assert got == golden_extract(s)
+
+
+def test_batch_isolation():
+    rows = ["<script>a", "plain", "<b>c</b>", ""]
+    data, offsets = rows_from_list([r.encode() for r in rows])
+    out, oo = extract_text(data, offsets)
+    got = [r.decode() for r in list_from_rows(out, oo)]
+    assert got == ["", "plain", "c", ""]

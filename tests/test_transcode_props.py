@@ -1,0 +1,135 @@
+"""Property-based conformance vs CPython codecs (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ultraviolet_spark.kernels.buffers import list_from_rows, rows_from_list
+from ultraviolet_spark.kernels.encode import (
+    codepoints_to_utf8,
+    codepoints_to_utf16,
+    codepoints_to_utf32,
+)
+from ultraviolet_spark.kernels.transcode import (
+    BOM_NAMES,
+    decode_auto,
+    detect_bom,
+    transcode,
+)
+from ultraviolet_spark.kernels.utf8 import utf8_decode_replace, utf8_to_codepoints
+from ultraviolet_spark.kernels.utf16 import utf16_to_codepoints
+from ultraviolet_spark.kernels.utf32 import utf32_to_codepoints
+
+byte_rows = st.lists(st.binary(max_size=64), min_size=0, max_size=24)
+text_rows = st.lists(st.text(max_size=48), min_size=0, max_size=16)
+
+
+def _cp_rows(rows_cp, cpo):
+    return [rows_cp[cpo[i]: cpo[i + 1]].tolist() for i in range(len(cpo) - 1)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(byte_rows)
+def test_utf8_decode_replace_matches_cpython(rows):
+    data, offsets = rows_from_list(rows)
+    out, oo, _ = utf8_decode_replace(data, offsets)
+    got = [r.decode("utf-8") for r in list_from_rows(out, oo)]
+    want = [r.decode("utf-8", errors="replace") for r in rows]
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(byte_rows)
+def test_utf16_decode_matches_cpython(rows):
+    data, offsets = rows_from_list(rows)
+    for be, codec in ((False, "utf-16-le"), (True, "utf-16-be")):
+        cp, cpo, n_repl = utf16_to_codepoints(data, offsets, big_endian=be)
+        want = [[ord(c) for c in r.decode(codec, errors="replace")] for r in rows]
+        assert _cp_rows(cp, cpo) == want, (codec, rows)
+
+
+@settings(max_examples=300, deadline=None)
+@given(byte_rows)
+def test_utf32_decode_matches_cpython(rows):
+    data, offsets = rows_from_list(rows)
+    for be, codec in ((False, "utf-32-le"), (True, "utf-32-be")):
+        cp, cpo, n_repl = utf32_to_codepoints(data, offsets, big_endian=be)
+        want = [[ord(c) for c in r.decode(codec, errors="replace")] for r in rows]
+        assert _cp_rows(cp, cpo) == want, (codec, rows)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_rows)
+def test_encoders_match_cpython(rows):
+    cps = [[ord(c) for c in r] for r in rows]
+    flat = np.array([c for row in cps for c in row], dtype=np.uint32)
+    offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in cps], out=offsets[1:])
+    for fn, kwargs, codec in (
+        (codepoints_to_utf8, {}, "utf-8"),
+        (codepoints_to_utf16, {"big_endian": False}, "utf-16-le"),
+        (codepoints_to_utf16, {"big_endian": True}, "utf-16-be"),
+        (codepoints_to_utf32, {"big_endian": False}, "utf-32-le"),
+        (codepoints_to_utf32, {"big_endian": True}, "utf-32-be"),
+    ):
+        out, oo = fn(flat, offsets, **kwargs)
+        got = list_from_rows(out, oo)
+        want = [r.encode(codec) for r in rows]
+        assert got == want, codec
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_rows)
+def test_transcode_roundtrip_identity(rows):
+    """encode(a) → transcode a→b → transcode b→a == encode(a) for
+    well-formed input, for every ordered pair of encodings."""
+    encs = ["utf-8", "utf-16le", "utf-16be", "utf-32le", "utf-32be"]
+    codecs = {"utf-8": "utf-8", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+              "utf-32le": "utf-32-le", "utf-32be": "utf-32-be"}
+    for a in encs:
+        raw = [r.encode(codecs[a]) for r in rows]
+        data, offsets = rows_from_list(raw)
+        for b in encs:
+            mid, mo, n_repl = transcode(data, offsets, a, b)
+            assert not n_repl.any()
+            back, bo, n2 = transcode(mid, mo, b, a)
+            assert not n2.any()
+            assert list_from_rows(back, bo) == raw, (a, b)
+
+
+def test_detect_bom_and_auto():
+    rows = [
+        b"\xef\xbb\xbfplain utf8",
+        b"\xff\xfeh\x00i\x00",                      # utf-16le BOM
+        b"\xfe\xff\x00h\x00i",                      # utf-16be BOM
+        b"\xff\xfe\x00\x00h\x00\x00\x00",           # utf-32le BOM
+        b"\x00\x00\xfe\xff\x00\x00\x00h",           # utf-32be BOM
+        b"no bom",
+        b"",
+    ]
+    data, offsets = rows_from_list(rows)
+    bom = detect_bom(data, offsets)
+    assert BOM_NAMES[bom].tolist() == [
+        "utf-8", "utf-16le", "utf-16be", "utf-32le", "utf-32be", "none", "none",
+    ]
+    cp, cpo, n_repl, _ = decode_auto(data, offsets)
+    got = _cp_rows(cp, cpo)
+    assert got[0] == [ord(c) for c in "plain utf8"]
+    assert got[1] == [ord("h"), ord("i")]
+    assert got[2] == [ord("h"), ord("i")]
+    assert got[3] == [ord("h")]
+    assert got[4] == [ord("h")]
+    assert got[5] == [ord(c) for c in "no bom"]
+    assert got[6] == []
+    assert not n_repl.any()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.binary(max_size=32), min_size=1, max_size=8))
+def test_utf8_to_codepoints_matches_decode(rows):
+    data, offsets = rows_from_list(rows)
+    cp, cpo = utf8_to_codepoints(data, offsets)
+    want = [[ord(c) for c in r.decode("utf-8", errors="replace")] for r in rows]
+    assert _cp_rows(cp, cpo) == want

@@ -1,0 +1,280 @@
+"""Vectorized HTML → text extraction (FIXTURES.md §3 spec, frozen v1).
+
+Spec (deterministic so "byte-identical extracted text per url",
+BASELINE.json:15, is testable; re-align to the reference when the
+mount is populated — SURVEY.md §0.1 item 5). The stages apply in
+order, each to the output of the previous one:
+
+1. drop ``<script…>…</script…>`` and ``<style…>…</style…>`` blocks
+   inclusive (case-insensitive tag names; unclosed block runs to end
+   of document; overlapping blocks union);
+2. strip every other ``<…>`` tag (unclosed ``<`` consumes to end of
+   document; a bare ``>`` is literal text);
+3. decode exactly ``&amp; &lt; &gt; &quot; &apos; &#NNN; &#xHH;`` on
+   the tag-stripped text (≤ 8 chars between ``&`` and ``;``; numeric
+   value ≤ U+10FFFF and not a surrogate; anything else stays literal);
+4. collapse every run of ``[ \\t\\r\\n]`` — including whitespace
+   produced by step 3 — to one space;
+5. strip leading/trailing space.
+
+Implementation is staged vectorized passes over the whole Arrow batch
+(no per-row Python): tag spans by pairing ``<`` with the next ``>``
+(searchsorted), block union via a ±1 delta array + cumsum, entity
+parse via an (n_entities × 8) gather matrix on the tag-stripped
+stream, whitespace collapse via shifted masks over emitted units.
+The independent sequential oracle is fixtures/make_golden.py; the two
+are hypothesis-fuzzed against each other (tests/test_extract.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_I64 = np.int64
+_U8 = np.uint8
+
+_WS = (0x20, 0x09, 0x0D, 0x0A)
+_NAMED = {b"amp": 0x26, b"lt": 0x3C, b"gt": 0x3E, b"quot": 0x22, b"apos": 0x27}
+
+
+def _lower(a: np.ndarray) -> np.ndarray:
+    return np.where((a >= 0x41) & (a <= 0x5A), a | 0x20, a)
+
+
+def _utf8_len(cp: np.ndarray) -> np.ndarray:
+    n = np.ones(len(cp), dtype=_I64)
+    n += cp >= 0x80
+    n += cp >= 0x800
+    n += cp >= 0x10000
+    return n
+
+
+def _strip_tags(b: np.ndarray, row_of: np.ndarray, row_end: np.ndarray):
+    """Stages 1+2: boolean `removed` mask over the flat buffer."""
+    total = len(b)
+    lt = np.flatnonzero(b == 0x3C)                      # '<'
+    delta = np.zeros(total + 1, dtype=np.int64)
+    if not len(lt):
+        return np.zeros(total, dtype=bool)
+    gt = np.flatnonzero(b == 0x3E)                      # '>'
+    if len(gt):
+        gi = np.searchsorted(gt, lt)
+        close = np.where(gi < len(gt), gt[np.minimum(gi, len(gt) - 1)], total)
+    else:
+        close = np.full(len(lt), total, dtype=_I64)
+    tag_end = np.minimum(close + 1, row_end[lt])        # clamp unclosed to row end
+
+    def name_match(name: bytes, closing: bool):
+        off = 2 if closing else 1
+        m = np.ones(len(lt), dtype=bool)
+        if closing:
+            nxt = lt + 1
+            ok = nxt < row_end[lt]
+            m &= ok
+            m[ok] &= b[nxt[ok]] == 0x2F
+        else:
+            nxt = lt + 1
+            ok = nxt < row_end[lt]
+            m &= ok
+            m[ok] &= b[nxt[ok]] != 0x2F
+        for k, ch in enumerate(name):
+            idx = lt + off + k
+            ok = idx < row_end[lt]
+            m &= ok
+            good = m.copy()
+            m[good] &= _lower(b[idx[good]].astype(np.int16)) == ch
+        idx = lt + off + len(name)
+        ok = idx < row_end[lt]
+        m &= ok
+        good = m.copy()
+        term = b[idx[good]]
+        m[good] &= (term == 0x3E) | (term == 0x2F) | np.isin(term, _WS)
+        return m
+
+    np.add.at(delta, lt, 1)
+    np.add.at(delta, tag_end, -1)
+    for name in (b"script", b"style"):
+        opens = name_match(name, closing=False)
+        closes = name_match(name, closing=True)
+        o = lt[opens]
+        if not len(o):
+            continue
+        c_starts = lt[closes]
+        c_ends = tag_end[closes]
+        if len(c_starts):
+            ci = np.searchsorted(c_starts, o)
+            blk_end = np.where(
+                ci < len(c_starts), c_ends[np.minimum(ci, len(c_ends) - 1)], total
+            )
+        else:
+            blk_end = np.full(len(o), total, dtype=_I64)
+        blk_end = np.minimum(blk_end, row_end[o])
+        np.add.at(delta, o, 1)
+        np.add.at(delta, blk_end, -1)
+    return np.cumsum(delta[:total]) > 0
+
+
+def _parse_entities(s: np.ndarray, row_end: np.ndarray):
+    """Stage 3 on the tag-stripped stream.  Returns
+    (ent_pos '&' indices, ent_cp, ent_stop index-after-';')."""
+    total = len(s)
+    amp = np.flatnonzero(s == 0x26)
+    if not len(amp):
+        z = np.zeros(0, dtype=_I64)
+        return z, z, z
+    semi = np.flatnonzero(s == 0x3B)
+    if not len(semi):
+        z = np.zeros(0, dtype=_I64)
+        return z, z, z
+    si = np.searchsorted(semi, amp)
+    q = np.where(si < len(semi), semi[np.minimum(si, len(semi) - 1)], total)
+    blen = q - amp - 1
+    cand = (si < len(semi)) & (q < row_end[amp]) & (blen >= 1) & (blen <= 8)
+
+    body = np.full((len(amp), 8), -1, dtype=np.int16)
+    for k in range(8):
+        ok = cand & (k < blen)
+        body[ok, k] = s[amp[ok] + 1 + k]
+
+    ent_cp = np.zeros(len(amp), dtype=np.int64)
+    ent_ok = np.zeros(len(amp), dtype=bool)
+    for name, cpv in _NAMED.items():
+        m = cand & (blen == len(name))
+        for k, ch in enumerate(name):
+            m &= body[:, k] == ch
+        ent_cp[m] = cpv
+        ent_ok |= m
+    isnum = cand & (body[:, 0] == 0x23) & (blen >= 2)
+    hexm = isnum & ((body[:, 1] == 0x78) | (body[:, 1] == 0x58)) & (blen >= 3)
+    decm = isnum & ~hexm
+    for m, base, dstart in ((decm, 10, 1), (hexm, 16, 2)):
+        if not m.any():
+            continue
+        val = np.zeros(len(amp), dtype=np.int64)
+        good = m.copy()
+        for k in range(dstart, 8):
+            active = good & (k < blen)
+            d = body[:, k]
+            dv = np.full(len(amp), -1, dtype=np.int64)
+            dig = (d >= 0x30) & (d <= 0x39)
+            dv[dig] = d[dig] - 0x30
+            if base == 16:
+                dl = _lower(d)
+                hx = (dl >= 0x61) & (dl <= 0x66)
+                dv[hx] = dl[hx] - 0x61 + 10
+            good &= ~(active & (dv < 0))
+            upd = good & active
+            val[upd] = np.minimum(val[upd] * base + dv[upd], 0x7FFFFFFF)
+        good &= (val <= 0x10FFFF) & ~((val >= 0xD800) & (val < 0xE000))
+        ent_cp[good] = val[good]
+        ent_ok |= good
+    return amp[ent_ok], ent_cp[ent_ok], (q + 1)[ent_ok]
+
+
+def extract_text(data: np.ndarray, offsets: np.ndarray):
+    """(utf-8 text data, offsets) → (extracted data, offsets)."""
+    n = len(offsets) - 1
+    total = int(offsets[-1])
+    empty_off = np.zeros(n + 1, dtype=_I64)
+    if total == 0:
+        return np.empty(0, dtype=_U8), empty_off
+
+    b = np.ascontiguousarray(data[:total])
+    row_of = np.repeat(np.arange(n, dtype=_I64), np.diff(offsets))
+    row_end = offsets[1:][row_of]
+
+    # ---- stages 1+2 → compact stream s ---------------------------------
+    removed = _strip_tags(b, row_of, row_end)
+    keep = ~removed
+    s = b[keep]
+    s_row = row_of[keep]
+    s_counts = np.bincount(s_row, minlength=n)
+    s_off = np.zeros(n + 1, dtype=_I64)
+    np.cumsum(s_counts, out=s_off[1:])
+    s_row_end = s_off[1:][s_row] if len(s) else np.zeros(0, dtype=_I64)
+
+    if not len(s):
+        return np.empty(0, dtype=_U8), empty_off
+
+    # ---- stage 3: entities on s ----------------------------------------
+    ent_pos, ent_cpv, ent_stop = _parse_entities(s.astype(np.int16), s_row_end)
+
+    consumed = np.zeros(len(s), dtype=bool)
+    if len(ent_pos):
+        d2 = np.zeros(len(s) + 1, dtype=np.int64)
+        np.add.at(d2, ent_pos + 1, 1)                   # body after '&'
+        np.add.at(d2, ent_stop, -1)
+        consumed = np.cumsum(d2[:len(s)]) > 0
+        consumed[ent_pos] = False                        # '&' itself emits
+
+    unit_idx = np.flatnonzero(~consumed)
+    U = len(unit_idx)
+    if U == 0:
+        return np.empty(0, dtype=_U8), empty_off
+
+    is_ent = np.zeros(U, dtype=bool)
+    unit_cp = np.full(U, -1, dtype=np.int64)
+    if len(ent_pos):
+        loc = np.searchsorted(unit_idx, ent_pos)
+        is_ent[loc] = True
+        unit_cp[loc] = ent_cpv
+
+    ubyte = s[unit_idx].astype(np.int64)
+    u_is_ws = (np.isin(ubyte, _WS) & ~is_ent) | (is_ent & np.isin(unit_cp, _WS))
+
+    # ---- stages 4+5: collapse + strip over the unit sequence -----------
+    urow = s_row[unit_idx]
+    new_row = np.zeros(U, dtype=bool)
+    new_row[0] = True
+    new_row[1:] = urow[1:] != urow[:-1]
+    prev_ws = np.zeros(U, dtype=bool)
+    prev_ws[1:] = u_is_ws[:-1]
+    prev_ws[new_row] = False
+    ws_keep = u_is_ws & ~prev_ws
+
+    uidx = np.arange(U, dtype=_I64)
+    row_unit_starts = np.flatnonzero(new_row)
+    nonws = np.where(~u_is_ws, uidx, -1)
+    last_nonws = np.maximum.reduceat(nonws, row_unit_starts)
+    firstws = np.where(~u_is_ws, uidx, U + 1)
+    first_nonws = np.minimum.reduceat(firstws, row_unit_starts)
+    row_seq = np.cumsum(new_row) - 1
+    ws_keep &= (uidx > first_nonws[row_seq]) & (uidx < last_nonws[row_seq])
+
+    # ---- splice output --------------------------------------------------
+    out_len = np.zeros(U, dtype=_I64)
+    plain = ~u_is_ws & ~is_ent
+    out_len[plain] = 1
+    out_len[ws_keep] = 1
+    ent_emit = is_ent & ~u_is_ws
+    out_len[ent_emit] = _utf8_len(unit_cp[ent_emit])
+
+    opos = np.zeros(U + 1, dtype=_I64)
+    np.cumsum(out_len, out=opos[1:])
+    out = np.empty(int(opos[-1]), dtype=_U8)
+    out[opos[:-1][plain]] = ubyte[plain]
+    out[opos[:-1][ws_keep]] = 0x20
+    if ent_emit.any():
+        ecp = unit_cp[ent_emit]
+        ep = opos[:-1][ent_emit]
+        el = out_len[ent_emit]
+        m1 = el == 1
+        out[ep[m1]] = ecp[m1]
+        m2 = el == 2
+        out[ep[m2]] = 0xC0 | (ecp[m2] >> 6)
+        out[ep[m2] + 1] = 0x80 | (ecp[m2] & 0x3F)
+        m3 = el == 3
+        out[ep[m3]] = 0xE0 | (ecp[m3] >> 12)
+        out[ep[m3] + 1] = 0x80 | ((ecp[m3] >> 6) & 0x3F)
+        out[ep[m3] + 2] = 0x80 | (ecp[m3] & 0x3F)
+        m4 = el == 4
+        out[ep[m4]] = 0xF0 | (ecp[m4] >> 18)
+        out[ep[m4] + 1] = 0x80 | ((ecp[m4] >> 12) & 0x3F)
+        out[ep[m4] + 2] = 0x80 | ((ecp[m4] >> 6) & 0x3F)
+        out[ep[m4] + 3] = 0x80 | (ecp[m4] & 0x3F)
+
+    unit_row_counts = np.bincount(urow, minlength=n)
+    row_unit_end = np.cumsum(unit_row_counts)
+    out_offsets = np.zeros(n + 1, dtype=_I64)
+    out_offsets[1:] = opos[row_unit_end]
+    return out, out_offsets

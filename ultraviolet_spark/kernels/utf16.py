@@ -1,0 +1,85 @@
+"""Vectorized UTF-16 → codepoints with U+FFFD replacement.
+
+Mirrors CPython ``bytes.decode('utf-16-le'|'utf-16-be', 'replace')``:
+well-formed surrogate pairs combine; lone surrogates and an odd
+trailing byte each become one U+FFFD.  A BOM is NOT stripped here
+(U+FEFF decodes as content, exactly like the endian-explicit CPython
+codecs); BOM handling lives in transcode.decode_auto.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_I64 = np.int64
+
+
+def utf16_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bool = False):
+    """Returns (cp_u32, cp_offsets_i64, n_repl_i64_per_row)."""
+    n = len(offsets) - 1
+    lengths = np.diff(offsets)
+    nunits = lengths // 2
+    trailing = (lengths & 1).astype(bool)
+
+    # Build a unit buffer with one 0x0000 sentinel unit between rows so
+    # pairs can't span rows.  Gather bytes row-by-row via index math.
+    unit_starts = np.zeros(n + 1, dtype=_I64)
+    np.cumsum(nunits + 1, out=unit_starts[1:])           # +1 sentinel unit/row
+    total_units = int(unit_starts[-1])
+    buf = np.zeros(total_units * 2, dtype=np.uint8)
+    if int(offsets[-1]):
+        # src index of every even-length byte; drop odd trailing bytes
+        row_of_unit = np.repeat(np.arange(n, dtype=_I64), nunits)
+        unit_idx = np.arange(int(nunits.sum()), dtype=_I64)
+        local_unit = unit_idx - np.repeat(np.cumsum(nunits) - nunits, nunits)
+        src = offsets[:-1][row_of_unit] + local_unit * 2
+        dst = (unit_starts[:-1][row_of_unit] + local_unit) * 2
+        buf[dst] = data[src]
+        buf[dst + 1] = data[src + 1]
+    u = buf.view(">u2" if big_endian else "<u2").astype(np.uint32)
+
+    hi = (u >= 0xD800) & (u < 0xDC00)
+    lo = (u >= 0xDC00) & (u < 0xE000)
+    lo1 = np.zeros(len(u), dtype=bool)
+    if len(u) > 1:
+        lo1[:-1] = lo[1:]
+    pair = hi & lo1
+    covered = np.zeros(len(u), dtype=bool)
+    if len(u) > 1:
+        covered[1:] = pair[:-1]
+    lone = (hi & ~pair) | (lo & ~covered)
+
+    sentinel = np.zeros(len(u), dtype=bool)
+    sentinel[unit_starts[1:] - 1] = True
+    # Rows with an odd trailing byte emit one U+FFFD at the row end —
+    # reuse the sentinel slot as the emitter.  CPython nuance (verified):
+    # a lone HIGH surrogate as the row's last unit absorbs the trailing
+    # byte into its own single U+FFFD ("unexpected end of data"), so no
+    # extra tail replacement there; a lone low surrogate does not.
+    tail_emit = trailing.copy()
+    has_units = nunits > 0
+    last_unit = unit_starts[1:] - 2                       # slot before sentinel
+    hi_last = np.zeros(n, dtype=bool)
+    hi_last[has_units] = hi[last_unit[has_units]] & ~pair[last_unit[has_units]]
+    tail_emit &= ~hi_last
+    fffd_tail = sentinel.copy()
+    fffd_tail[unit_starts[1:] - 1] = tail_emit
+
+    cp = u.copy()
+    u1 = np.zeros(len(u), dtype=np.uint32)
+    if len(u) > 1:
+        u1[:-1] = u[1:]
+    cp[pair] = 0x10000 + ((u[pair] - 0xD800) << 10) + (u1[pair] - 0xDC00)
+    cp[lone] = 0xFFFD
+    cp[fffd_tail] = 0xFFFD
+
+    emit = (~sentinel & ~covered) | fffd_tail
+    cp_off = np.zeros(len(u) + 1, dtype=_I64)
+    np.cumsum(emit, out=cp_off[1:])
+    out_offsets = cp_off[unit_starts]
+
+    repl = (lone & ~sentinel) | fffd_tail
+    c = np.zeros(len(u) + 1, dtype=_I64)
+    np.cumsum(repl, out=c[1:])
+    n_repl = np.diff(c[unit_starts])
+    return cp[emit], out_offsets, n_repl

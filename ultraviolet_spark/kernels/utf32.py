@@ -1,0 +1,57 @@
+"""Vectorized UTF-32 → codepoints with U+FFFD replacement.
+
+Mirrors CPython ``bytes.decode('utf-32-le'|'utf-32-be', 'replace')``:
+units > U+10FFFF or in the surrogate range become one U+FFFD; a
+trailing partial unit (1–3 bytes) becomes one U+FFFD.  BOM is content
+(U+FEFF) here; auto-detection lives in transcode.decode_auto.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_I64 = np.int64
+
+
+def utf32_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bool = False):
+    """Returns (cp_u32, cp_offsets_i64, n_repl_i64_per_row)."""
+    n = len(offsets) - 1
+    lengths = np.diff(offsets)
+    nunits = lengths // 4
+    trailing = (lengths & 3) > 0
+
+    unit_starts = np.zeros(n + 1, dtype=_I64)
+    np.cumsum(nunits + 1, out=unit_starts[1:])          # +1 sentinel unit/row
+    total_units = int(unit_starts[-1])
+    buf = np.zeros(total_units * 4, dtype=np.uint8)
+    if int(nunits.sum()):
+        row_of_unit = np.repeat(np.arange(n, dtype=_I64), nunits)
+        unit_idx = np.arange(int(nunits.sum()), dtype=_I64)
+        local_unit = unit_idx - np.repeat(np.cumsum(nunits) - nunits, nunits)
+        src = offsets[:-1][row_of_unit] + local_unit * 4
+        dst = (unit_starts[:-1][row_of_unit] + local_unit) * 4
+        for k in range(4):
+            buf[dst + k] = data[src + k]
+    u = buf.view(">u4" if big_endian else "<u4").astype(np.uint32)
+
+    sentinel = np.zeros(len(u), dtype=bool)
+    sentinel[unit_starts[1:] - 1] = True
+    invalid = ((u > 0x10FFFF) | ((u >= 0xD800) & (u < 0xE000))) & ~sentinel
+
+    fffd_tail = np.zeros(len(u), dtype=bool)
+    fffd_tail[unit_starts[1:] - 1] = trailing
+
+    cp = u.copy()
+    cp[invalid] = 0xFFFD
+    cp[fffd_tail] = 0xFFFD
+
+    emit = ~sentinel | fffd_tail
+    cp_off = np.zeros(len(u) + 1, dtype=_I64)
+    np.cumsum(emit, out=cp_off[1:])
+    out_offsets = cp_off[unit_starts]
+
+    repl = invalid | fffd_tail
+    c = np.zeros(len(u) + 1, dtype=_I64)
+    np.cumsum(repl, out=c[1:])
+    n_repl = np.diff(c[unit_starts])
+    return cp[emit], out_offsets, n_repl

@@ -1,0 +1,204 @@
+"""Vectorized UTF-8 validate / decode-with-replace / to-codepoints.
+
+Semantics: Unicode Standard §3.9 Table 3-7 well-formedness + U+FFFD
+substitution of *maximal subparts* (the W3C/WHATWG policy implemented
+by CPython ``bytes.decode('utf-8', errors='replace')``), byte-verified
+against CPython in SURVEY.md §2.1.  The reference's own policy is
+[REF-UNAVAILABLE] (empty mount, SURVEY.md §0); the policy lives
+entirely in `_analyze` / `_bad_spans` so a divergence found later is a
+localized swap (SURVEY.md §2.1 risk note).
+
+Algorithm: instead of a sequential Höhrmann DFA (state-carrying, not
+vectorizable), we exploit UTF-8's self-synchronization: continuation
+bytes (0x80..0xBF) can never be sequence *leads*, so "is position i the
+start of a well-formed sequence" is decidable from a fixed 4-byte
+window, and coverage masks are plain shifted ORs — the whole batch is
+analyzed in ~30 numpy array ops regardless of row count.  Rows are
+separated by a single 0x00 sentinel so no sequence or error span can
+leak across row boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ultraviolet_spark.kernels.buffers import pad_rows
+
+_U8 = np.uint8
+_I64 = np.int64
+
+_FFFD_UTF8 = (0xEF, 0xBF, 0xBD)
+
+
+def _shift_fwd(a: np.ndarray, k: int, fill=False) -> np.ndarray:
+    """out[i] = a[i+k] (look ahead k bytes)."""
+    out = np.full(a.shape, fill, dtype=a.dtype)
+    if k < len(a):
+        out[: len(a) - k] = a[k:]
+    return out
+
+
+def _shift_back(a: np.ndarray, k: int, fill=False) -> np.ndarray:
+    """out[i] = a[i-k]."""
+    out = np.full(a.shape, fill, dtype=a.dtype)
+    if k < len(a):
+        out[k:] = a[: len(a) - k]
+    return out
+
+
+def _analyze(b: np.ndarray):
+    """Classify every byte of a (sentinel-padded) buffer.
+
+    Returns dict of masks:
+      ascii_   — single-byte sequence (0x00..0x7F)
+      v2/v3/v4 — position starts a well-formed 2/3/4-byte sequence
+      covered  — position is a continuation consumed by a well-formed seq
+      bad      — position is neither a well-formed start nor covered
+      span     — for bad positions: length of the maximal subpart
+                 (1..3) replaced by ONE U+FFFD
+      fffd     — bad positions that emit a U+FFFD (start of a bad span)
+    """
+    cont = (b & 0xC0) == 0x80
+    c1 = _shift_fwd(cont, 1)
+    c2 = _shift_fwd(cont, 2)
+    c3 = _shift_fwd(cont, 3)
+    b1 = _shift_fwd(b, 1, fill=0)
+
+    ascii_ = b < 0x80
+    v2 = (b >= 0xC2) & (b <= 0xDF) & c1
+    # Second-byte range constraints, Table 3-7:
+    ok3_1 = (
+        ((b == 0xE0) & (b1 >= 0xA0) & (b1 <= 0xBF))
+        | ((b >= 0xE1) & (b <= 0xEC) & c1)
+        | ((b == 0xED) & (b1 >= 0x80) & (b1 <= 0x9F))
+        | ((b >= 0xEE) & (b <= 0xEF) & c1)
+    )
+    v3 = ok3_1 & c2
+    ok4_1 = (
+        ((b == 0xF0) & (b1 >= 0x90) & (b1 <= 0xBF))
+        | ((b >= 0xF1) & (b <= 0xF3) & c1)
+        | ((b == 0xF4) & (b1 >= 0x80) & (b1 <= 0x8F))
+    )
+    v4 = ok4_1 & c2 & c3
+
+    covered = (
+        _shift_back(v2, 1)
+        | _shift_back(v3, 1)
+        | _shift_back(v3, 2)
+        | _shift_back(v4, 1)
+        | _shift_back(v4, 2)
+        | _shift_back(v4, 3)
+    )
+    start = ascii_ | v2 | v3 | v4
+    bad = ~start & ~covered
+
+    # Maximal-subpart span length at bad positions: a truncated-but-so-
+    # far-valid lead consumes its valid continuation prefix.
+    span = np.ones(len(b), dtype=np.int8)
+    if bad.any():
+        span[bad & ok3_1] = 2            # E_ + one in-range cont, then broken
+        span[bad & ok4_1 & ~c2] = 2      # F_ + one in-range cont
+        span[bad & ok4_1 & c2] = 3       # F_ + two conts, broken/truncated at 4th
+    # Positions consumed by a bad span do not emit their own U+FFFD.
+    bad_cover = _shift_back(bad & (span >= 2), 1) | _shift_back(bad & (span == 3), 2)
+    fffd = bad & ~bad_cover
+    return {
+        "ascii": ascii_, "v2": v2, "v3": v3, "v4": v4,
+        "covered": covered, "bad": bad, "span": span, "fffd": fffd,
+    }
+
+
+def _per_row_counts(mask: np.ndarray, row_starts: np.ndarray) -> np.ndarray:
+    """Count True per row given padded row-start offsets (n+1 entries)."""
+    c = np.zeros(len(mask) + 1, dtype=_I64)
+    np.cumsum(mask, out=c[1:])
+    return np.diff(c[row_starts])
+
+
+def utf8_validate(data: np.ndarray, offsets: np.ndarray):
+    """Strict validation. Returns (valid: bool[n], error_offset: i64[n],
+    n_errors: i64[n]); error_offset = -1 when valid (byte offset of the
+    first ill-formed byte otherwise)."""
+    b, row_starts = pad_rows(data, offsets, pad=1, value=0)
+    m = _analyze(b)
+    n_err = _per_row_counts(m["fffd"], row_starts)
+    valid = n_err == 0
+    # First bad byte per row: min over row ranges (sentinel is never bad).
+    idx = np.where(m["bad"], np.arange(len(b), dtype=_I64), len(b))
+    if len(row_starts) > 1:
+        first = np.minimum.reduceat(idx, row_starts[:-1])
+    else:
+        first = np.empty(0, dtype=_I64)
+    err_off = np.where(valid, -1, first - row_starts[:-1])
+    return valid, err_off, n_err
+
+
+def utf8_decode_replace(data: np.ndarray, offsets: np.ndarray):
+    """UTF-8 → UTF-8 with ill-formed maximal subparts replaced by U+FFFD.
+
+    Well-formed spans are splice-copied (no codepoint round-trip);
+    the all-ASCII fast path is a plain copy.  Returns
+    (out_data, out_offsets, n_repl: i64[n]).
+    """
+    n = len(offsets) - 1
+    total = int(offsets[-1])
+    if total == 0 or bool(np.all(data[:total] < 0x80)):
+        return data[:total].copy(), offsets.copy(), np.zeros(n, dtype=_I64)
+
+    b, row_starts = pad_rows(data, offsets, pad=1, value=0)
+    m = _analyze(b)
+    sentinel = np.zeros(len(b), dtype=bool)
+    sentinel[row_starts[1:] - 1] = True
+
+    keep = (m["ascii"] | m["v2"] | m["v3"] | m["v4"] | m["covered"]) & ~sentinel
+    fffd = m["fffd"]
+
+    out_len = np.zeros(len(b) + 1, dtype=_I64)
+    out_len[1:][keep] = 1
+    out_len[1:][fffd] = 3
+    pos = np.cumsum(out_len)          # pos[i] = output offset before byte i
+    out = np.empty(int(pos[-1]), dtype=_U8)
+    out[pos[:-1][keep]] = b[keep]
+    f = pos[:-1][fffd]
+    out[f] = _FFFD_UTF8[0]
+    out[f + 1] = _FFFD_UTF8[1]
+    out[f + 2] = _FFFD_UTF8[2]
+
+    out_offsets = pos[row_starts]
+    n_repl = _per_row_counts(fffd, row_starts)
+    return out, out_offsets, n_repl
+
+
+def utf8_to_codepoints(data: np.ndarray, offsets: np.ndarray):
+    """UTF-8 → codepoint arrays (ill-formed → U+FFFD per maximal subpart).
+
+    Returns (cp: u32 flat array, cp_offsets: i64[n+1]).
+    """
+    b8, row_starts = pad_rows(data, offsets, pad=1, value=0)
+    m = _analyze(b8)
+    b = b8.astype(np.int32)
+    b1 = _shift_fwd(b, 1, fill=0)
+    b2 = _shift_fwd(b, 2, fill=0)
+    b3 = _shift_fwd(b, 3, fill=0)
+
+    sentinel = np.zeros(len(b), dtype=bool)
+    sentinel[row_starts[1:] - 1] = True
+
+    cp = np.zeros(len(b), dtype=np.int32)
+    a = m["ascii"] & ~sentinel
+    cp[a] = b[a]
+    cp[m["v2"]] = ((b[m["v2"]] & 0x1F) << 6) | (b1[m["v2"]] & 0x3F)
+    cp[m["v3"]] = ((b[m["v3"]] & 0x0F) << 12) | ((b1[m["v3"]] & 0x3F) << 6) | (b2[m["v3"]] & 0x3F)
+    cp[m["v4"]] = (
+        ((b[m["v4"]] & 0x07) << 18)
+        | ((b1[m["v4"]] & 0x3F) << 12)
+        | ((b2[m["v4"]] & 0x3F) << 6)
+        | (b3[m["v4"]] & 0x3F)
+    )
+    cp[m["fffd"]] = 0xFFFD
+
+    emit = a | m["v2"] | m["v3"] | m["v4"] | m["fffd"]
+    cp_offsets = np.zeros(len(b) + 1, dtype=_I64)
+    np.cumsum(emit, out=cp_offsets[1:])
+    out = cp[emit].astype(np.uint32)
+    return out, cp_offsets[row_starts]
