@@ -1,0 +1,101 @@
+"""End-to-end Spark pipeline tests (SURVEY.md §5.3): extract stage
+byte-identical vs golden column; features numpy-allclose vs the
+independent pandas oracle; as-of join vs pandas merge_asof."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def test_extract_stage_byte_identical(spark, pages_path):
+    from ultraviolet_spark.functions.udfs import extract_stage
+
+    pages = spark.read.parquet(pages_path)
+    golden = pages.select("url", "warc_ts", "text").toPandas()
+    got = (
+        extract_stage(pages)
+        .select("url", "warc_ts", "text", "valid_utf8", "n_replacements", "bom")
+        .toPandas()
+    )
+    m = golden.merge(got, on=["url", "warc_ts"], suffixes=("_want", "_got"))
+    assert len(m) == len(golden)
+    bad = m[m["text_want"] != m["text_got"]]
+    assert len(bad) == 0, bad.head()
+    # some rows must exercise each decode path for this test to mean much
+    assert (got["n_replacements"] > 0).any()
+    assert (got["bom"] != "none").any()
+
+
+def test_features_allclose_golden(spark, pages_path):
+    from fixtures.make_features_golden import golden_features
+    from ultraviolet_spark.pipeline import compute_features
+
+    pages = spark.read.parquet(pages_path)
+    got = compute_features(pages).toPandas()
+    want = golden_features(pd.read_parquet(pages_path))
+
+    key = ["url", "warc_ts"]
+    m = want.merge(got, on=key, suffixes=("_w", "_g"))
+    assert len(m) == len(want) == len(got)
+    assert m["text_len_w"].equals(m["text_len_g"].astype("int64"))
+    assert m["lang_w"].equals(m["lang_g"])
+    for c in ["lang_stable_lag1", "lang_stable_lag2"]:
+        assert m[f"{c}_w"].equals(m[f"{c}_g"])
+    np.testing.assert_allclose(
+        m["gap_secs_w"].astype(float), m["gap_secs_g"].astype(float), rtol=1e-9
+    )
+    assert m["session_id_w"].astype("int64").equals(m["session_id_g"].astype("int64"))
+    for c in ["text_len_lag1", "text_len_ffill"]:
+        w = m[f"{c}_w"].astype("Float64")
+        g = m[f"{c}_g"].astype("Float64")
+        assert w.equals(g), c
+    hw = np.stack(m["cp_hist_w"].to_numpy())
+    hg = np.stack(m["cp_hist_g"].to_numpy())
+    np.testing.assert_array_equal(hw, hg)
+
+
+def test_asof_join_vs_pandas(spark, sf_dir):
+    """events: for each row, latest prior 'purchase' value per user —
+    engine asof_join vs plain pandas merge_asof on collected data."""
+    from ultraviolet_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = events.select("event_id", "ts", "user_id", "value")
+    right = events.filter("event_type = 'purchase'").select(
+        "ts", "user_id", "value"
+    )
+    got = asof_join(
+        left, right, on="ts", by="user_id", value_cols=["value"], num_buckets=8
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+
+    lp = left.toPandas().sort_values("ts", kind="mergesort")
+    rp = right.toPandas().sort_values("ts", kind="mergesort")
+    want = pd.merge_asof(
+        lp, rp.rename(columns={"value": "value_r"}), on="ts", by="user_id",
+        direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["value_r"].astype(float), want["value_r"].astype(float), rtol=1e-12
+    )
+
+
+def test_asof_join_strict_excludes_exact(spark, sf_dir):
+    from ultraviolet_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    left = events.select("event_id", "ts", "user_id")
+    right = events.select("ts", "user_id", "value")
+    loose = asof_join(left, right, on="ts", by="user_id", value_cols=["value"],
+                      num_buckets=4).toPandas()
+    strict = asof_join(left, right, on="ts", by="user_id", value_cols=["value"],
+                       strict=True, num_buckets=4).toPandas()
+    # strict must never see the exact-match row: every event matches
+    # itself loosely, so loose has no nulls while strict has some.
+    assert loose["value"].notna().all()
+    assert strict["value"].isna().any()

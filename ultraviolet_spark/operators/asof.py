@@ -1,0 +1,118 @@
+"""Point-in-time (as-of) join — THE core operator (BASELINE.json:14).
+
+For each left row (by, t) take the single right row with the largest
+``t_r <= t`` (backward; ``t_r < t`` when ``strict``) matching the same
+``by`` key.  Zero temporal leakage by construction: right rows later
+than ``t`` can never influence the output.
+
+Spark has no native as-of join (verified absent in 4.1.2, SURVEY.md
+§2.4), so the engine plans one as:
+
+    left.groupBy(bucket) cogroup right.groupBy(bucket)
+        .applyInPandas(merge_asof per bucket)
+
+where ``bucket = pmod(xxhash64(by), num_buckets)``.  Spark inserts ONE
+hash exchange per side for the cogroup (verified via explain — see
+tests/test_plans.py); the per-(by,time) sort happens inside the merge
+function with a stable mergesort, so no extra range/sort exchange is
+needed (SURVEY.md §3.2 watch-out resolved: pre-repartitionByRange would
+ADD a second shuffle, not remove one).
+
+Scale notes (100 TB / 1000 executors):
+* num_buckets should be ≥ 4× total cores so AQE-sized shuffle
+  partitions stay ≤ ~200 MB; buckets are hash-uniform over entity keys
+  so only entity-level skew (one hot url) matters — handle that with
+  operators.skew.salt_hot_entities before calling (crawl-frequency
+  skew, BASELINE.json:6).
+* the merge is O(n log n) per bucket in numpy (sort) + O(n) merge —
+  working set is one bucket, bounded by bucket count, not data size.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BUCKET = "__uv_bucket"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "warc_ts",
+    right_on: str | None = None,
+    by: str = "url",
+    right_by: str | None = None,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance: pd.Timedelta | str | None = None,
+    num_buckets: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join; returns all left columns + right ``value_cols``
+    (suffixed on collision).  ``direction`` ∈ {backward, forward,
+    nearest} (backward is the point-in-time default)."""
+    right_on = right_on or on
+    right_by = right_by or by
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (right_on, right_by)]
+    num_buckets = num_buckets or max(
+        left.sparkSession.sparkContext.defaultParallelism * 4, 8
+    )
+
+    out_names = set(left.columns)
+    renames = {c: (c + suffix if c in out_names else c) for c in value_cols}
+
+    lschema = left.schema
+    rschema = right.schema
+    out_fields = list(lschema.fields) + [
+        T.StructField(renames[c], rschema[c].dataType, True) for c in value_cols
+    ]
+    schema = T.StructType(out_fields)
+
+    lcols = list(left.columns)
+    tol = pd.Timedelta(tolerance) if isinstance(tolerance, str) else tolerance
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.drop(columns=[_BUCKET])
+        rpdf = rpdf.drop(columns=[_BUCKET])
+        if not len(lpdf):
+            return pd.DataFrame(columns=lcols + [renames[c] for c in value_cols])
+        # stable sort on time only — merge_asof's `by` handles the key;
+        # mergesort keeps equal-timestamp right rows in input order so
+        # "latest" on ties is deterministic.
+        lpdf = lpdf.sort_values(on, kind="mergesort").reset_index(drop=True)
+        rpdf = (
+            rpdf[[right_by, right_on] + value_cols]
+            .rename(columns={right_by: by, right_on: on, **renames})
+            .sort_values(on, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf,
+            on=on,
+            by=by,
+            direction=direction,
+            allow_exact_matches=not strict,
+            tolerance=tol,
+        )
+        # int columns that picked up NaN on misses → pandas nullable Int64
+        for c in value_cols:
+            f = rschema[c].dataType
+            if isinstance(f, (T.LongType, T.IntegerType)) and merged[renames[c]].dtype.kind == "f":
+                merged[renames[c]] = merged[renames[c]].astype("Int64")
+        return merged
+
+    lb = left.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(by)), F.lit(num_buckets)))
+    rb = right.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(right_by)), F.lit(num_buckets)))
+    return (
+        lb.groupBy(_BUCKET)
+        .cogroup(rb.groupBy(_BUCKET))
+        .applyInPandas(merge, schema=schema)
+    )

@@ -1,0 +1,92 @@
+"""Windowed feature operators (SURVEY.md §2.6) — lag/lead, backfill
+(forward-fill), sessionization, lang-stability — all over
+``Window.partitionBy(by).orderBy(order)`` frames ending at currentRow
+(zero temporal leakage, BASELINE.json:14; enforced by
+tests/test_leakage.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_SECS_DEFAULT = 24 * 3600.0  # G = 24h (FIXTURES.md §1)
+
+
+def _w(by: str, order: str):
+    return Window.partitionBy(by).orderBy(order)
+
+
+def with_lags(df: DataFrame, cols: list[str], *, by: str = "url",
+              order: str = "warc_ts", ks: tuple[int, ...] = (1,)) -> DataFrame:
+    w = _w(by, order)
+    for c in cols:
+        for k in ks:
+            df = df.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+    return df
+
+
+def with_ffill(df: DataFrame, col: str, *, by: str = "url",
+               order: str = "warc_ts", out: str | None = None) -> DataFrame:
+    """last-observed forward-fill: frame = unboundedPreceding..currentRow."""
+    w = _w(by, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out or f"{col}_ffill", F.last(col, ignorenulls=True).over(w))
+
+
+def with_lang_stability(df: DataFrame, *, lang: str = "lang", by: str = "url",
+                        order: str = "warc_ts", ks: tuple[int, ...] = (1, 2)) -> DataFrame:
+    """lang_stable_lagK: current lang equals lang K crawls ago (null →
+    false on the first crawls, matching the golden pandas oracle)."""
+    w = _w(by, order)
+    for k in ks:
+        df = df.withColumn(
+            f"lang_stable_lag{k}",
+            F.coalesce(F.lag(lang, k).over(w) == F.col(lang), F.lit(False)),
+        )
+    return df
+
+
+def sessionize(df: DataFrame, *, by: str = "url", order: str = "warc_ts",
+               gap_secs: float = SESSION_GAP_SECS_DEFAULT) -> DataFrame:
+    """Inter-event-gap sessions: a new session starts when the gap to
+    the previous event exceeds ``gap_secs`` (or on the first event).
+    Adds ``gap_secs`` (double, null on first) and ``session_id`` (long,
+    0-based per key).  Batch idiom — running sum of new-session flags
+    over an unbounded-preceding..currentRow frame.
+    """
+    w = _w(by, order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NTZ-safe epoch seconds: session TZ is UTC so NTZ→TZ is identity
+    ts = F.col(order).cast("timestamp").cast("double")
+    prev = F.lag(F.col(order)).over(w).cast("timestamp").cast("double")
+    df = df.withColumn("gap_secs", ts - prev)
+    new_sess = F.when(F.col("gap_secs").isNull() | (F.col("gap_secs") > gap_secs), 1).otherwise(0)
+    df = df.withColumn("session_id", F.sum(new_sess).over(wsum) - F.lit(1))
+    return df
+
+
+def dedup_latest(df: DataFrame, *, by: list[str], order: str,
+                 keep: str = "last") -> DataFrame:
+    """Keep one row per key: latest (or earliest) by ``order``."""
+    w = (
+        Window.partitionBy(*by).orderBy(
+            F.col(order).desc() if keep == "last" else F.col(order).asc()
+        )
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k_per_key(df: DataFrame, *, by: str, order_col: str, k: int,
+                  ascending: bool = False) -> DataFrame:
+    w = Window.partitionBy(by).orderBy(
+        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,64 @@
+"""End-to-end feature pipeline (SURVEY.md §3.1–3.2, the flagship).
+
+    pages ──extract_stage(mapInArrow: decode+validate+extract)──▶ text_extracted
+          ──feature_vector(window ops, one shuffle on url)──────▶ features
+          ──asof_join(features ⟕ feature_src)───────────────────▶ enriched
+
+Shuffle census at scale: extract_stage is shuffle-free; feature_vector
+costs ONE hash exchange on `url` (all window functions share the same
+partitioning); asof_join costs one exchange per side on the url-hash
+bucket.  Nothing else moves data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ultraviolet_spark.functions.udfs import cp_class_hist_udf, extract_stage
+from ultraviolet_spark.operators.asof import asof_join
+from ultraviolet_spark.operators.windows import (
+    SESSION_GAP_SECS_DEFAULT,
+    sessionize,
+    with_ffill,
+    with_lags,
+    with_lang_stability,
+)
+
+FEATURE_COLS = [
+    "url", "warc_ts", "text_len", "cp_hist", "lang",
+    "lang_stable_lag1", "lang_stable_lag2", "gap_secs", "session_id",
+    "text_len_lag1", "text_len_ffill",
+]
+
+
+def feature_vector(
+    text_extracted: DataFrame,
+    *,
+    by: str = "url",
+    order: str = "warc_ts",
+    gap_secs: float = SESSION_GAP_SECS_DEFAULT,
+) -> DataFrame:
+    """text_extracted → features (SURVEY.md §1.2 schema).  All window
+    frames end at currentRow — no temporal leakage."""
+    f = text_extracted.withColumn("text_len", F.length("text").cast("long"))
+    f = f.withColumn("cp_hist", cp_class_hist_udf("text"))
+    f = with_lang_stability(f, by=by, order=order)
+    f = sessionize(f, by=by, order=order, gap_secs=gap_secs)
+    f = with_lags(f, ["text_len"], by=by, order=order)
+    # forward-fill of the last *cleanly decoded* length: rows whose html
+    # needed replacements observe null and inherit the last clean value.
+    f = f.withColumn(
+        "obs_len", F.when(F.col("valid_utf8"), F.col("text_len"))
+    )
+    f = with_ffill(f, "obs_len", by=by, order=order, out="text_len_ffill")
+    return f.select(*FEATURE_COLS)
+
+
+def compute_features(pages: DataFrame, **kwargs) -> DataFrame:
+    return feature_vector(extract_stage(pages), **kwargs)
+
+
+def enrich_asof(features: DataFrame, feature_src: DataFrame, **kwargs) -> DataFrame:
+    """features ⟕ (backward as-of) feature_src on (url, warc_ts)."""
+    return asof_join(features, feature_src, **kwargs)
