@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship point-in-time feature pipeline (BASELINE
+north_rule): documents.parquet → deterministic Common-Crawl-style pages
+(url, warc_ts, html binary in mixed encodings, lang) → numpy
+transcode/validate/extract (mapInArrow) → windowed features (lags,
+lang-stability, forward-fill, sessionization) → backward as-of join
+against a per-url first-crawl feature source.
+
+``queries`` / ``oracle_sql`` expose the operator registry in
+ultraviolet_spark.queries — one named Spark query per SURVEY.md §2
+operator with a matching DuckDB oracle where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -12,27 +17,31 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from ultraviolet_spark.operators.windows import dedup_latest
+    from ultraviolet_spark.pipeline import compute_features, enrich_asof
+    from ultraviolet_spark.sources.pages_from_docs import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    features = compute_features(pages)
+    feature_src = dedup_latest(
+        features, by=["url"], order="warc_ts", keep="first"
+    ).select("url", "warc_ts", F.col("text_len").alias("first_text_len"))
+    return enrich_asof(features, feature_src, on="warc_ts", by="url",
+                       value_cols=["first_text_len"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ultraviolet_spark import queries as Q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ultraviolet_spark import queries as Q
+
+    return Q.oracle_sql()

@@ -1,0 +1,108 @@
+"""Headline benchmark.  Runs the flagship point-in-time feature
+pipeline plus representative operator queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...}
+
+Every query is fully materialized through the `noop` sink (no IO cost,
+no column-pruning shortcuts).  The flagship runs on pages synthesized
+deterministically from documents.parquet at REPLICATE× volume so the
+pages/sec number reflects sustained throughput, not startup overhead.
+
+Scaling-efficiency evidence (north_rule: ≥0.8 from N to 4N cores) is
+produced by tools/scaling_bench.py, recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPLICATE = int(os.environ.get("UV_BENCH_REPLICATE", "24"))
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def build_flagship(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.windows import dedup_latest
+    from ultraviolet_spark.pipeline import compute_features, enrich_asof
+    from ultraviolet_spark.sources.pages_from_docs import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, replicate=REPLICATE)
+    features = compute_features(pages)
+    src = dedup_latest(features, by=["url"], order="warc_ts", keep="first").select(
+        "url", "warc_ts", F.col("text_len").alias("first_text_len"))
+    return enrich_asof(features, src, on="warc_ts", by="url",
+                       value_cols=["first_text_len"])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from ultraviolet_spark import queries as Q
+    from ultraviolet_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_pages = (spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+               * REPLICATE)
+
+    headline = [
+        "q01_pricing_summary",
+        "q02_top_revenue_orders",
+        "q07_cumulative_spend",
+        "q12_sessionize_events",
+        "q15_asof_click_purchase",
+        "q20_token_stats",
+        "q24_ngram_jaccard_pairs",
+        "q25_minhash_lsh_pairs",
+        "q27_cosine_top10",
+    ]
+
+    # warm the JVM + Python workers once (excluded from timings)
+    _materialize(Q.REGISTRY["q01_pricing_summary"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    _materialize(build_flagship(spark, sf_dir))
+    t_flagship = time.perf_counter() - t0
+    timings["flagship_pit_features"] = round(t_flagship, 3)
+
+    for name in headline:
+        t0 = time.perf_counter()
+        _materialize(Q.REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_sec (flagship transcode+extract+window+asof "
+                  f"over {n_pages} pages + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / t_flagship, 1),
+        "cores": cores,
+    }))
+
+
+if __name__ == "__main__":
+    main()

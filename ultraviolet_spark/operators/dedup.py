@@ -1,0 +1,288 @@
+"""Deduplication operators for web-scale training-data pipelines:
+
+* exact_dedup         — hash-groupBy exact duplicate removal
+* shingles            — word n-gram shingle explode (Catalyst exprs only)
+* ngram_jaccard_pairs — EXACT n-gram Jaccard similar-pair finder
+                        (SQL-expressible → DuckDB-oracle-checkable)
+* minhash_lsh_pairs   — MinHash + banded LSH near-dup candidates with
+                        exact-Jaccard verification (the 100 TB scale path)
+* simhash / simhash_pairs — 64-bit SimHash + banded Hamming near-dups
+
+Scale design (100 TB):
+* ngram_jaccard_pairs is quadratic in docs sharing a shingle — it is the
+  small-scale ORACLE, not the scale path.
+* minhash_lsh_pairs shuffles only (band_id, band_hash) keys — candidate
+  generation is linear in docs × bands; the exact-verify join touches
+  only candidate pairs.  Hot shingle buckets are impossible by
+  construction (bucket key is the minhash signature band, uniform).
+* All per-row hashing is vectorized numpy inside Arrow batches
+  (mapInPandas); signatures travel as fixed-width arrays, never Python
+  objects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact text duplicate
+    class.  One hash-partial-agg shuffle on md5(text) — map-side combine
+    makes this safe on 10^12 rows."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("__h")
+    keep = df.select(h, F.col(id_col)).groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def duplicate_classes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """md5-class summary: one row per duplicate class with count + keeper."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_md5"))
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles (pure Catalyst; mirrors the SQL oracle exactly)
+# ---------------------------------------------------------------------------
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) with DISTINCT word-``n``-gram shingles per doc.
+    Docs with < n tokens produce zero rows."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]))
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, *, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """EXACT n-gram Jaccard pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Plan: shingle-explode → self-equi-join on shingle (hash shuffle on
+    the shingle key) → per-pair intersection counts → jaccard.  Exact
+    and SQL-expressible; use minhash_lsh_pairs at scale.
+    """
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash_shingles_np(texts: np.ndarray, n: int) -> list[np.ndarray]:
+    """Per-doc array of distinct uint64 word-n-gram shingle hashes.
+
+    Vectorized at batch granularity: one flat token array for the whole
+    Arrow batch, shifted-concat to build shingles (C string concat), and
+    one ``pandas.util.hash_array`` call (deterministic 64-bit SipHash-
+    style, cython) for all shingles at once.  No per-byte Python.
+    """
+    split = pd.Series(texts, dtype=object).str.lower().str.split()
+    counts = split.str.len().fillna(0).to_numpy(dtype=np.int64)
+    if counts.sum() == 0:
+        return [np.empty(0, dtype=np.uint64)] * len(texts)
+    flat = pd.Series(np.concatenate([np.array(t, dtype=object) for t in split]),
+                     dtype=object)
+    # shingle at flat position i spans tokens i..i+n-1 (invalid across
+    # doc boundaries — masked below)
+    sh = flat.iloc[: len(flat) - n + 1].reset_index(drop=True)
+    for k in range(1, n):
+        sh = sh + " " + flat.iloc[k: len(flat) - n + 1 + k].reset_index(drop=True)
+    hashes = pd.util.hash_array(sh.to_numpy(dtype=object))  # uint64, deterministic
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    out = []
+    for s, c in zip(starts, counts):
+        if c < n:
+            out.append(np.empty(0, dtype=np.uint64))
+        else:
+            out.append(np.unique(hashes[s: s + c - n + 1]))
+    return out
+
+
+def minhash_signatures(df: DataFrame, *, n: int = 3, num_perm: int = 128,
+                       seed: int = 42, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, sig array<long>[num_perm]) MinHash signatures.
+
+    Permutations h_i(x) = (a_i·x + b_i) mod p (p = 2^61-1), min over the
+    doc's shingle-hash set — the classic Broder construction, fully
+    vectorized: per doc one (num_perm × n_shingles) broadcast min.
+    """
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    B = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hsets = _hash_shingles_np(pdf[text_col].to_numpy(), n)
+            sigs = []
+            for hs in hsets:
+                if not len(hs):
+                    sigs.append(np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64))
+                    continue
+                # (P, S) modular affine map then min over shingles
+                v = (A[:, None] * (hs[None, :] % _MERSENNE) + B[:, None]) % _MERSENNE
+                sigs.append(v.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def minhash_lsh_pairs(df: DataFrame, *, n: int = 3, num_perm: int = 128,
+                      bands: int = 32, threshold: float = 0.5, seed: int = 42,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      verify_exact: bool = True) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    rows-per-band r = num_perm // bands; a pair collides in ≥1 band with
+    prob 1-(1-j^r)^bands (≈0.99 at j=0.5 with 128/32).  Candidates are
+    then verified: ``verify_exact`` recomputes true n-gram Jaccard on
+    just the candidate pairs (cheap — candidates ≪ all pairs).
+    """
+    r = num_perm // bands
+    sigs = minhash_signatures(df, n=n, num_perm=num_perm, seed=seed,
+                              text_col=text_col, id_col=id_col)
+    band_cols = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)),
+        )
+    )
+    buckets = sigs.select(F.col(id_col), band_cols.alias("band", "bh"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    if not verify_exact:
+        return cand
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(sha, "id_a").join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.col("n_common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+            ngram: int = 2) -> DataFrame:
+    """(id, simhash long): 64-bit Charikar SimHash over word-``ngram``
+    hashes — sum of ±1 per bit weighted by feature, sign → bit.  All
+    bit math is a vectorized numpy unpack per Arrow batch."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hsets = _hash_shingles_np(pdf[text_col].to_numpy(), ngram)
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, hs in enumerate(hsets):
+                if not len(hs):
+                    continue
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                        & np.uint64(1)).astype(np.int64)          # (S, 64)
+                votes = (2 * bits - 1).sum(axis=0)                 # ±1 votes
+                word = np.where(votes > 0, np.uint64(1), np.uint64(0))
+                out[i] = (word << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def simhash_pairs(df: DataFrame, *, max_hamming: int = 3, ngram: int = 2,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into max_hamming+1 chunks — any
+    pair within distance k agrees exactly on ≥1 chunk, so candidates
+    come from equi-joins on chunk values (shuffle on uniform chunk keys,
+    no quadratic blowup), then exact popcount-verify."""
+    k = max_hamming + 1
+    width = 64 // k
+    mask = (1 << width) - 1
+    sh = simhash(df, text_col=text_col, id_col=id_col, ngram=ngram)
+    chunks = F.posexplode(F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+        for i in range(k)
+    ]))
+    bk = sh.select(F.col(id_col), F.col("simhash"), chunks.alias("chunk", "cv"))
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(b, on=["chunk", "cv"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+* cosine_sim / cosine_topk — exact brute-force baseline, pure Catalyst
+  expressions (zip_with + aggregate fold → JVM codegen, no Python).
+  Oracle-checkable against DuckDB list functions.
+* knn_join — exact k-NN of many queries via crossJoin + window top-k
+  (broadcast the query side).
+* lsh_ann_topk — the scale path: random-hyperplane (sign) LSH buckets +
+  multiprobe re-rank.  Candidate generation shuffles only (bucket)
+  keys; exact distances computed on candidates only.
+
+Scale notes (100 TB): brute force is O(N) per query with a broadcast of
+the query vectors — right up to ~10^4 queries; beyond that, LSH buckets
+cut the scanned fraction to bands/2^bits.  All vector math on the LSH
+path is one numpy matmul per Arrow batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    """Sequential left-fold dot product in double — same operation order
+    as the SQL oracle's list_dot_product, so results match bitwise."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_id: int | None = None) -> DataFrame:
+    """Exact top-k by cosine to one query vector.  Catalyst plans this
+    as scan → project (codegen) → TakeOrderedAndProject: no shuffle of
+    the data, only a k-row reduction to the driver."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = df.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
+             q_id: str = "q_id", c_id: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Exact k-NN for every query row: broadcast(queries) × corpus →
+    per-query window top-k.  Shuffle = one hash exchange on q_id."""
+    from pyspark.sql import Window
+
+    qd = queries.select(F.col(q_id), F.col(vec_col).alias("__qv"))
+    pairs = corpus.crossJoin(F.broadcast(qd)).select(
+        F.col(q_id), F.col(c_id),
+        F.round(cosine_sim(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k).drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+def hyperplane_signatures(df: DataFrame, *, dim: int, bits: int = 16,
+                          tables: int = 8, seed: int = 7,
+                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, table, bucket): random-hyperplane sign LSH.  One numpy
+    matmul (batch × dim @ dim × tables·bits) per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, tables * bits))
+    weights = (1 << np.arange(bits, dtype=np.uint64))
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("table", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (B, dim)
+            signs = (V @ planes) > 0                                   # (B, T*bits)
+            signs = signs.reshape(len(pdf), tables, bits)
+            buckets = (signs * weights).sum(axis=2).astype(np.int64)   # (B, T)
+            ids = np.repeat(pdf[id_col].to_numpy(), tables)
+            yield pd.DataFrame({
+                id_col: ids,
+                "table": np.tile(np.arange(tables, dtype=np.int32), len(pdf)),
+                "bucket": buckets.ravel(),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def lsh_ann_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
+                 bits: int = 16, tables: int = 8, seed: int = 7,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 exclude_id: int | None = None) -> DataFrame:
+    """Approximate top-k: scan only vectors sharing ≥1 LSH bucket with
+    the query, exact-rerank those.  Recall vs cosine_topk asserted in
+    tests/test_similarity.py."""
+    dim = len(query_vec)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, tables * bits))
+    weights = (1 << np.arange(bits, dtype=np.uint64))
+    qsigns = (np.asarray(query_vec, dtype=np.float64) @ planes) > 0
+    qbuckets = (qsigns.reshape(tables, bits) * weights).sum(axis=1).astype(np.int64)
+
+    sig = hyperplane_signatures(df, dim=dim, bits=bits, tables=tables, seed=seed,
+                                id_col=id_col, vec_col=vec_col)
+    probe = F.array(*[
+        F.struct(F.lit(int(t)).alias("table"), F.lit(int(b)).alias("bucket"))
+        for t, b in enumerate(qbuckets)
+    ])
+    cand = (
+        sig.filter(F.arrays_overlap(
+            F.array(F.struct(F.col("table"), F.col("bucket"))), probe))
+        .select(id_col).distinct()
+    )
+    hits = df.join(cand, on=id_col, how="left_semi")
+    return cosine_topk(hits, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+                       exclude_id=exclude_id)

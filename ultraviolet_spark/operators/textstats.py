@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2,
+task brief "text analysis" block): language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All operators are pure Catalyst expressions (JVM-side, whole-stage
+codegen) — no Python in the hot path — so they push down, prune, and
+pipeline like any built-in.  Each has an exact ANSI-SQL equivalent in
+``ultraviolet_spark.queries`` so the DuckDB oracle can verify it.
+
+Scale notes: every operator here is a narrow per-row map — shuffle-free,
+embarrassingly parallel, safe at 100 TB.  The only aggregations are the
+callers' own groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed stopword lists (distinct words). Order of _LANGS is the
+# deterministic tie-break for argmax language prediction.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "für", "ein"],
+    "es": ["el", "la", "de", "y", "es", "con", "para", "un"],
+    "fr": ["le", "la", "de", "et", "est", "avec", "pour", "un"],
+    "zh": ["的", "了", "是", "在", "和", "有", "我", "他"],
+}
+LANGS = list(STOPWORDS)  # fixed order = tie-break order
+
+PUNCT_RE = r"[.,!?;:]"
+DIGIT_RE = r"[0-9]"
+# BPE-ish tokenizer: words, numbers, or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of trimmed text (empty text → 1 empty token —
+    callers filter empty docs first, mirroring the SQL oracle)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_token_count(col) -> Column:
+    """Count of BPE-ish tokens (letters runs / digit runs / symbols)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def punct_ratio(col) -> Column:
+    return F.regexp_count(col, F.lit(PUNCT_RE)).cast("double") / F.length(col)
+
+
+def digit_ratio(col) -> Column:
+    return F.regexp_count(col, F.lit(DIGIT_RE)).cast("double") / F.length(col)
+
+
+def stopword_hits(col, lang: str) -> Column:
+    """Number of DISTINCT stopwords of ``lang`` present in the text
+    (array_intersect is set-semantics on both Spark and DuckDB)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+
+
+def predict_lang(col) -> Column:
+    """Argmax language over stopword-hit scores; ties broken by LANGS
+    order.  Zero hits everywhere → 'und' (undetermined)."""
+    scores = {l: stopword_hits(col, l) for l in LANGS}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier langs win ties
+    for l in reversed(LANGS):
+        expr = F.when(scores[l] == best, F.lit(l)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds per-document quality-scoring columns (all JVM expressions)."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_bpe_tokens", bpe_token_count(c))
+        .withColumn("punct_ratio", punct_ratio(c))
+        .withColumn("digit_ratio", digit_ratio(c))
+        .withColumn(
+            "mean_token_len",
+            F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("double")
+            / token_count(c),
+        )
+        .withColumn("pred_lang", predict_lang(c))
+    )
+
+
+def fingerprint(col, n_hex: int = 16) -> Column:
+    """Deterministic document fingerprint: first ``n_hex`` hex chars of
+    md5 over whitespace-normalized lowercase text.  md5 is identical in
+    Spark and DuckDB, so this is oracle-checkable exactly."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.substring(F.md5(norm.cast("binary")), 1, n_hex)

@@ -13,23 +13,38 @@ from pyspark.sql import functions as F
 SESSION_GAP_SECS_DEFAULT = 24 * 3600.0  # G = 24h (FIXTURES.md §1)
 
 
-def _w(by: str, order: str):
-    return Window.partitionBy(by).orderBy(order)
+def _w(by: str, order: str, tiebreak: str | None = None):
+    cols = [order] if tiebreak is None else [order, tiebreak]
+    return Window.partitionBy(by).orderBy(*cols)
 
 
 def with_lags(df: DataFrame, cols: list[str], *, by: str = "url",
-              order: str = "warc_ts", ks: tuple[int, ...] = (1,)) -> DataFrame:
-    w = _w(by, order)
+              order: str = "warc_ts", ks: tuple[int, ...] = (1,),
+              tiebreak: str | None = None) -> DataFrame:
+    w = _w(by, order, tiebreak)
     for c in cols:
         for k in ks:
             df = df.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
     return df
 
 
+def with_leads(df: DataFrame, cols: list[str], *, by: str = "url",
+               order: str = "warc_ts", ks: tuple[int, ...] = (1,),
+               tiebreak: str | None = None) -> DataFrame:
+    """lead(k) — generic operator; NOT for point-in-time feature paths
+    (temporal-leakage rule, SURVEY.md §2.6)."""
+    w = _w(by, order, tiebreak)
+    for c in cols:
+        for k in ks:
+            df = df.withColumn(f"{c}_lead{k}", F.lead(c, k).over(w))
+    return df
+
+
 def with_ffill(df: DataFrame, col: str, *, by: str = "url",
-               order: str = "warc_ts", out: str | None = None) -> DataFrame:
+               order: str = "warc_ts", out: str | None = None,
+               tiebreak: str | None = None) -> DataFrame:
     """last-observed forward-fill: frame = unboundedPreceding..currentRow."""
-    w = _w(by, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = _w(by, order, tiebreak).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out or f"{col}_ffill", F.last(col, ignorenulls=True).over(w))
 
 
@@ -47,32 +62,33 @@ def with_lang_stability(df: DataFrame, *, lang: str = "lang", by: str = "url",
 
 
 def sessionize(df: DataFrame, *, by: str = "url", order: str = "warc_ts",
-               gap_secs: float = SESSION_GAP_SECS_DEFAULT) -> DataFrame:
+               gap_secs: float = SESSION_GAP_SECS_DEFAULT,
+               tiebreak: str | None = None) -> DataFrame:
     """Inter-event-gap sessions: a new session starts when the gap to
     the previous event exceeds ``gap_secs`` (or on the first event).
     Adds ``gap_secs`` (double, null on first) and ``session_id`` (long,
     0-based per key).  Batch idiom — running sum of new-session flags
     over an unbounded-preceding..currentRow frame.
     """
-    w = _w(by, order)
+    w = _w(by, order, tiebreak)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # NTZ-safe epoch seconds: session TZ is UTC so NTZ→TZ is identity
-    ts = F.col(order).cast("timestamp").cast("double")
-    prev = F.lag(F.col(order)).over(w).cast("timestamp").cast("double")
-    df = df.withColumn("gap_secs", ts - prev)
+    # exact µs arithmetic (matches the DuckDB oracle bit-for-bit):
+    # gap = (unix_micros(t) - unix_micros(prev)) / 1e6
+    ts = F.unix_micros(F.col(order).cast("timestamp"))
+    prev = F.unix_micros(F.lag(F.col(order)).over(w).cast("timestamp"))
+    df = df.withColumn("gap_secs", (ts - prev).cast("double") / F.lit(1e6))
     new_sess = F.when(F.col("gap_secs").isNull() | (F.col("gap_secs") > gap_secs), 1).otherwise(0)
     df = df.withColumn("session_id", F.sum(new_sess).over(wsum) - F.lit(1))
     return df
 
 
 def dedup_latest(df: DataFrame, *, by: list[str], order: str,
-                 keep: str = "last") -> DataFrame:
-    """Keep one row per key: latest (or earliest) by ``order``."""
-    w = (
-        Window.partitionBy(*by).orderBy(
-            F.col(order).desc() if keep == "last" else F.col(order).asc()
-        )
-    )
+                 keep: str = "last", tiebreak: str | None = None) -> DataFrame:
+    """Keep one row per key: latest (or earliest) by ``order`` (then
+    ``tiebreak``, same direction, for determinism on order ties)."""
+    cols = [order] if tiebreak is None else [order, tiebreak]
+    ordering = [F.col(c).desc() if keep == "last" else F.col(c).asc() for c in cols]
+    w = Window.partitionBy(*by).orderBy(*ordering)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

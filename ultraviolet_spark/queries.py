@@ -1,0 +1,583 @@
+"""Named query registry: every SURVEY.md §2 operator gets a Spark query
+and (where SQL-expressible) a matching DuckDB oracle SQL string.
+
+Parity rules (so the driver's row-count + schema + value-hash gate
+passes deterministically):
+
+* every computed column is aliased identically on both sides;
+* money/quantity aggregates go through DECIMAL(18,2) (exact, associative)
+  and are cast to DOUBLE only at the end — double SUMs would differ in
+  the last ulp between engines because addition order differs;
+* averages are CAST(SUM(decimal) AS DOUBLE)/COUNT so both engines do
+  one identical double division;
+* per-row double ratios that get averaged are round()ed after the agg;
+* every window/top-k ordering carries an explicit unique tie-break key;
+* timestamp gaps use integer microseconds divided by 1e6 — identical
+  operands, identical result.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ultraviolet_spark.operators import dedup as D
+from ultraviolet_spark.operators import similarity as S
+from ultraviolet_spark.operators import textstats as X
+from ultraviolet_spark.operators.asof import asof_join
+from ultraviolet_spark.operators.windows import (
+    dedup_latest,
+    sessionize,
+    top_k_per_key,
+    with_ffill,
+    with_lags,
+    with_leads,
+)
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, sql)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str | F.Column):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational core (§2.3 scans/filters, §2.5 aggregations)
+# ---------------------------------------------------------------------------
+
+@q("q01_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp"))
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q("q02_top_revenue_orders", """
+SELECT o.o_orderkey, o.o_orderdate,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""")
+def q02(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey").limit(10)
+    )
+
+
+@q("q03_region_rollup", """
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""")
+def q03(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"))
+    )
+
+
+@q("q04_customers_with_orders", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q04(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@q("q05_customers_without_orders", """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q05(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_nationkey")
+
+
+@q("q06_top3_orders_per_customer", """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""")
+def q06(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@q("q07_cumulative_spend", """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+FROM orders
+""")
+def q07(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+@q("q08_rollup_status_priority", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def q08(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@q("q09_distinct_counts", """
+SELECT COUNT(DISTINCT o_custkey) AS n_custkeys,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(*) AS n_orders
+FROM orders
+""")
+def q09(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@q("q10_setops_rich_no_urgent", """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""")
+def q10(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    return rich.subtract(urgent)  # EXCEPT (distinct) semantics
+
+
+# ---------------------------------------------------------------------------
+# events: windows, sessionization, as-of, range join, JSON (§2.4, §2.6)
+# ---------------------------------------------------------------------------
+
+@q("q11_error_within_hour_of_purchase", """
+SELECT p.event_id AS purchase_id, e.event_id AS error_id
+FROM events p JOIN events e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+""")
+def q11(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id"), F.col("ts").alias("pts"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id"), F.col("ts").alias("ets"))
+    return (
+        p.join(e, ["user_id"])
+        .filter((F.col("ets") > F.col("pts"))
+                & (F.col("ets") <= F.col("pts") + F.expr("INTERVAL 1 HOUR")))
+        .select("purchase_id", "error_id")
+    )
+
+
+_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      AS gap_us
+  FROM events)
+SELECT user_id, event_id,
+  CAST(gap_us AS DOUBLE) / 1e6 AS gap_secs,
+  SUM(CASE WHEN gap_us IS NULL OR CAST(gap_us AS DOUBLE)/1e6 > 3600.0
+           THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+FROM g
+"""
+
+
+@q("q12_sessionize_events", _SESSION_SQL)
+def q12(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, by="user_id", order="ts", gap_secs=3600.0, tiebreak="event_id")
+    return out.select("user_id", "event_id", "gap_secs", "session_id")
+
+
+@q("q13_ffill_last_purchase", """
+SELECT user_id, event_id,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+FROM events
+""")
+def q13(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__obs", F.when(F.col("event_type") == "purchase", F.col("value")))
+    out = with_ffill(ev, "__obs", by="user_id", order="ts",
+                     out="last_purchase_value", tiebreak="event_id")
+    return out.select("user_id", "event_id", "last_purchase_value")
+
+
+@q("q14_lag_lead_value", """
+SELECT user_id, event_id,
+  lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag1,
+  lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lead1
+FROM events
+""")
+def q14(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = with_lags(ev, ["value"], by="user_id", order="ts", tiebreak="event_id")
+    out = with_leads(out, ["value"], by="user_id", order="ts", tiebreak="event_id")
+    return out.select("user_id", "event_id", "value_lag1", "value_lead1")
+
+
+@q("q15_asof_click_purchase", """
+SELECT e.event_id, e.user_id, e.ts, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""")
+def q15(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"))
+    return asof_join(clicks, purch, on="ts", by="user_id",
+                     value_cols=["purchase_value"])
+
+
+@q("q16_json_props", """
+SELECT event_type,
+  CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)) AS DOUBLE)
+    / COUNT(*) AS avg_k,
+  MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)) AS max_k,
+  COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def q16(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int"))
+    return ev.groupBy("event_type").agg(
+        (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@q("q17_latest_event_per_user", """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""")
+def q17(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = dedup_latest(ev, by=["user_id"], order="ts", keep="last", tiebreak="event_id")
+    return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@q("q18_event_type_share", """
+SELECT event_type, COUNT(*) AS n,
+  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+FROM events GROUP BY event_type
+""")
+def q18(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return counts.withColumn("share", F.col("n").cast("double") / F.sum("n").over(w))
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+@q("q19_exact_dup_classes", """
+SELECT md5(text) AS text_md5, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY md5(text)
+""")
+def q19(spark, sf_dir):
+    return D.duplicate_classes(_t(spark, sf_dir, "documents"))
+
+
+@q("q20_token_stats", """
+SELECT lang, COUNT(*) AS n_docs,
+  SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*)
+    AS avg_tokens,
+  SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+    AS total_bpe_tokens
+FROM documents GROUP BY lang
+""")
+def q20(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).alias("total_tokens"),
+        (F.sum(X.token_count(F.col("text"))).cast("double") / F.count("*")).alias("avg_tokens"),
+        F.sum(X.bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
+    )
+
+
+@q("q21_quality_by_source", """
+SELECT source,
+  round(AVG(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)), 6)
+    AS avg_punct_ratio,
+  round(AVG(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)), 6)
+    AS avg_digit_ratio,
+  round(AVG(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\\s+'))), 6) AS avg_token_len,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY source
+""")
+def q21(spark, sf_dir):
+    d = X.quality_features(_t(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("digit_ratio"), 6).alias("avg_digit_ratio"),
+        F.round(F.avg("mean_token_len"), 6).alias("avg_token_len"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def _langid_sql() -> str:
+    score = {
+        l: f"len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'), "
+           f"{X.STOPWORDS[l]!r}))"
+        for l in X.LANGS
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    case = " ".join(f"WHEN {score[l]} = __best THEN '{l}'" for l in X.LANGS)
+    return f"""
+WITH scored AS (
+  SELECT lang, text, {best} AS __best FROM documents)
+SELECT lang, CASE WHEN __best > 0 THEN (CASE {case} ELSE 'und' END)
+             ELSE 'und' END AS pred_lang, COUNT(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+@q("q22_langid_confusion", _langid_sql())
+def q22(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.withColumn("pred_lang", X.predict_lang(F.col("text")))
+            .groupBy("lang", "pred_lang").agg(F.count("*").alias("n")))
+
+
+@q("q23_fingerprints", """
+SELECT doc_id,
+  substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+    AS fingerprint
+FROM documents
+""")
+def q23(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@q("q24_ngram_jaccard_pairs", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+sh0 AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM toks WHERE len(w) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM sh0),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+com AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM com
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+""")
+def q24(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@q("q25_minhash_lsh_pairs", None)  # probabilistic recall → rows-only
+def q25(spark, sf_dir):
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                               n=3, num_perm=128, bands=32, threshold=0.5)
+
+
+@q("q26_simhash_pairs", None)  # rows-only (hash-dependent)
+def q26(spark, sf_dir):
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+_COS = """list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+ / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+    * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))))"""
+
+
+@q("q27_cosine_top10", f"""
+SELECT e.vec_id, round({_COS}, 6) AS cos_sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY round({_COS}, 6) DESC, e.vec_id LIMIT 10
+""")
+def q27(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.cosine_topk(emb, list(qv), k=10, exclude_id=0)
+
+
+@q("q28_knn_join", f"""
+SELECT q_id, vec_id, cos_sim FROM (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, round({_COS}, 6) AS cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({_COS}, 6) DESC, e.vec_id) AS rn
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+) WHERE rn <= 5
+""")
+def q28(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    return S.knn_join(queries, emb, k=5)
+
+
+@q("q29_lsh_ann_top10", None)  # approximate → rows-only; recall tested in pytest
+def q29(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    # 6-bit × 12-table buckets: ~1.5% of the corpus scanned per table at
+    # this SF while keeping non-trivial recall (asserted in pytest)
+    return S.lsh_ann_topk(emb, list(qv), k=10, exclude_id=0, bits=6, tables=12)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (rows-only: fake UVMEDIA container)
+# ---------------------------------------------------------------------------
+
+@q("q30_media_features", None)
+def q30(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ultraviolet_spark.operators.multimodal import media_features, pack_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                pack_media(int(i) % 3, 8, 8, 1, 16000, 4,
+                           t.encode("utf-8")[:256].ljust(256, b"\0"))
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(gen, schema=schema)
+    return media_features(media)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql}

@@ -1,0 +1,79 @@
+"""Build the BASELINE input_hint `pages` table (url, warc_ts, html,
+lang) deterministically from the driver's documents.parquet.
+
+Every 3 consecutive doc_ids become 3 crawls of one url; html is the doc
+text wrapped in a small template and encoded per-row in a rotating
+encoding (utf-8 / utf-16le+BOM / utf-16be+BOM) so the flagship pipeline
+exercises BOM sniffing + transcoding on driver-provided data.  All
+encoding work is pandas ``.str.encode`` (C codec loop at array
+granularity) inside ``mapInPandas`` — distributed, shuffle-free, and
+scale-proportional to the input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("lang", T.StringType()),
+])
+
+_BOM = {"utf-16-le": b"\xff\xfe", "utf-16-be": b"\xfe\xff"}
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str,
+                         crawls_per_url: int = 3,
+                         replicate: int = 1) -> DataFrame:
+    """``replicate`` > 1 fans every doc out into that many distinct
+    doc_ids (and hence distinct urls/crawls) — deterministic volume
+    scaling for benchmarks; key cardinality scales with it, so no
+    artificial hot keys."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        docs = docs.withColumn(
+            "__rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        ).withColumn(
+            "doc_id", F.col("doc_id") * replicate + F.col("__rep")
+        ).drop("__rep")
+    docs = docs.select(
+        "doc_id", "text", "lang",
+        (F.col("doc_id") / crawls_per_url).cast("long").alias("url_key"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("enc_sel"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            html_str = ("<html><head><title>doc</title></head><body><p>"
+                        + pdf["text"] + "</p></body></html>")
+            blobs = pd.Series([b""] * len(pdf), dtype=object)
+            for sel, codec in ((0, "utf-8"), (1, "utf-16-le"), (2, "utf-16-be")):
+                m = pdf["enc_sel"].to_numpy() == sel
+                if not m.any():
+                    continue
+                enc = html_str[m].str.encode(codec)
+                if codec in _BOM:
+                    enc = _BOM[codec] + enc
+                blobs[m] = enc.to_numpy()
+            # deterministic crawl times: url start offset + per-crawl gap
+            crawl_no = (pdf["doc_id"] % crawls_per_url).to_numpy()
+            start_h = (pdf["url_key"] % 24).to_numpy()
+            ts = (pd.Timestamp("2024-01-01")
+                  + pd.to_timedelta(start_h, unit="h")
+                  + pd.to_timedelta(crawl_no * 26, unit="h"))
+            yield pd.DataFrame({
+                "url": "https://docs.example/" + pdf["url_key"].astype(str),
+                "warc_ts": ts,
+                "html": blobs,
+                "lang": pdf["lang"],
+            })
+
+    return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
