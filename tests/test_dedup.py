@@ -1,0 +1,100 @@
+"""Deduplication operators: exact classes, n-gram Jaccard, MinHash+LSH
+recall/precision, SimHash near-dups — cross-checked against independent
+brute-force pandas/numpy oracles on the driver testdata."""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+
+from ultraviolet_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.select("doc_id", "text").toPandas()
+
+
+def _shingle_sets(pdf: pd.DataFrame, n: int) -> dict[int, frozenset]:
+    out = {}
+    for _, row in pdf.iterrows():
+        toks = row["text"].lower().split()
+        out[row["doc_id"]] = frozenset(
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    return out
+
+
+def _brute_pairs(sets: dict, threshold: float):
+    pairs = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            pairs[(a, b)] = j
+    return pairs
+
+
+def test_exact_dedup_removes_duplicates(spark, docs):
+    # inject 5 exact-text duplicates under fresh doc_ids
+    clones = docs.limit(5).withColumn("doc_id", docs.doc_id + 1_000_000)
+    dup = docs.union(clones)
+    kept = D.exact_dedup(dup)
+    assert kept.count() == docs.count()
+    # keeps exactly one row per distinct text
+    assert kept.select("text").distinct().count() == kept.count()
+
+
+def test_duplicate_classes_counts(spark, docs):
+    dup = docs.union(docs.limit(5).withColumn("doc_id", docs.doc_id + 1_000_000))
+    classes = D.duplicate_classes(dup).toPandas()
+    assert (classes["n_copies"] > 1).sum() == 5
+    assert classes["n_copies"].sum() == dup.count()
+
+
+def test_ngram_jaccard_matches_bruteforce(docs, docs_pd):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for _, r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+           .toPandas().iterrows()}
+    want = _brute_pairs(_shingle_sets(docs_pd, 3), 0.4)
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert got[k] == pytest.approx(j, abs=1e-6)
+
+
+def test_minhash_lsh_recall_and_precision(docs, docs_pd):
+    got = D.minhash_lsh_pairs(docs, n=3, num_perm=128, bands=32,
+                              threshold=0.5).toPandas()
+    want = _brute_pairs(_shingle_sets(docs_pd, 3), 0.5)
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    # exact-verify step ⇒ precision is 1.0 by construction
+    assert got_pairs <= set(want)
+    # banded LSH at (128, 32) catches ≥ 95% of true pairs ≥ 0.5
+    if want:
+        assert len(got_pairs) / len(want) >= 0.95
+
+
+def test_simhash_identical_docs_collide(spark, docs):
+    two = docs.limit(1)
+    clone = two.withColumn("doc_id", two.doc_id + 1_000_000)
+    pairs = D.simhash_pairs(two.union(clone), max_hamming=3).toPandas()
+    assert len(pairs) == 1
+    assert pairs["hamming"].iloc[0] == 0
+
+
+def test_simhash_pairs_verified_hamming(docs):
+    import numpy as np
+
+    pairs = D.simhash_pairs(docs, max_hamming=3).toPandas()
+    sh = D.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    for _, r in pairs.iterrows():
+        x = np.uint64(sh[r["id_a"]]) ^ np.uint64(sh[r["id_b"]])
+        assert bin(int(x)).count("1") == r["hamming"] <= 3

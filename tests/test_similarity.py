@@ -1,0 +1,78 @@
+"""Similarity search: exact cosine top-k vs a numpy oracle, k-NN join,
+LSH-ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ultraviolet_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return pdf["vec_id"].to_numpy(), V
+
+
+def _np_topk(ids, V, q, k, exclude=None):
+    sims = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -np.round(sims, 6)))
+    out = [(ids[i], round(sims[i], 6)) for i in order if ids[i] != exclude]
+    return out[:k]
+
+
+def test_cosine_topk_matches_numpy(emb, emb_np):
+    ids, V = emb_np
+    q = V[ids == 0][0]
+    got = S.cosine_topk(emb, list(q), k=10, exclude_id=0).toPandas()
+    want = _np_topk(ids, V, q, 10, exclude=0)
+    assert list(got["vec_id"]) == [w[0] for w in want]
+    np.testing.assert_allclose(got["cos_sim"], [w[1] for w in want], atol=1e-6)
+
+
+def test_knn_join_per_query(emb, emb_np):
+    ids, V = emb_np
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    got = S.knn_join(queries, emb, k=4).toPandas()
+    assert len(got) == 12
+    for qid in range(3):
+        sub = got[got["q_id"] == qid]
+        q = V[ids == qid][0]
+        want = _np_topk(ids, V, q, 4)
+        assert list(sub["vec_id"]) == [w[0] for w in want]
+        # self always ranks first with sim 1.0
+        assert sub["vec_id"].iloc[0] == qid
+        assert sub["cos_sim"].iloc[0] == pytest.approx(1.0)
+
+
+def test_lsh_ann_subset_of_corpus_and_sane(emb, emb_np):
+    ids, V = emb_np
+    q = V[ids == 0][0]
+    got = S.lsh_ann_topk(emb, list(q), k=10, bits=4, tables=16,
+                         exclude_id=0).toPandas()
+    assert 0 < len(got) <= 10
+    assert 0 not in set(got["vec_id"])
+    # every returned sim must be the true cosine for that id
+    for _, r in got.iterrows():
+        v = V[ids == r["vec_id"]][0]
+        true = (v @ q) / (np.linalg.norm(v) * np.linalg.norm(q))
+        assert r["cos_sim"] == pytest.approx(round(true, 6), abs=1e-6)
+
+
+def test_lsh_ann_recall_at_generous_params(emb, emb_np):
+    ids, V = emb_np
+    q = V[ids == 1][0]
+    want = {w[0] for w in _np_topk(ids, V, q, 10, exclude=1)}
+    got = S.lsh_ann_topk(emb, list(q), k=10, bits=2, tables=32,
+                         exclude_id=1).toPandas()
+    # 2-bit buckets × 32 tables ≈ near-exhaustive scan ⇒ high recall
+    assert len(set(got["vec_id"]) & want) >= 8

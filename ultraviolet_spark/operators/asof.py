@@ -53,10 +53,23 @@ def asof_join(
     tolerance: pd.Timedelta | str | None = None,
     num_buckets: int | None = None,
     suffix: str = "_r",
+    hot_keys: list | None = None,
+    salt: int = 8,
 ) -> DataFrame:
     """As-of join; returns all left columns + right ``value_cols``
     (suffixed on collision).  ``direction`` ∈ {backward, forward,
-    nearest} (backward is the point-in-time default)."""
+    nearest} (backward is the point-in-time default).
+
+    Skew handling (crawl-frequency hot keys, BASELINE.json north_rule):
+    pass ``hot_keys`` (entity values whose row counts dwarf the rest —
+    find them with ``find_hot_keys``) and the left side of each hot key
+    is split across ``salt`` slices by a hash of its *timestamp* while
+    the right side is replicated to every slice.  Backward as-of only
+    needs right rows ≤ t, and each slice carries the key's FULL right
+    history, so the merge per (key, slice) is exact — verified by
+    tests/test_skew.py equality against the unsalted plan.  AQE cannot
+    split a cogroup group, so this explicit mechanism is required.
+    """
     right_on = right_on or on
     right_by = right_by or by
     if value_cols is None:
@@ -109,10 +122,45 @@ def asof_join(
                 merged[renames[c]] = merged[renames[c]].astype("Int64")
         return merged
 
-    lb = left.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(by)), F.lit(num_buckets)))
-    rb = right.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(right_by)), F.lit(num_buckets)))
+    if hot_keys:
+        hot = F.array(*[F.lit(k) for k in hot_keys])
+        # left: hot rows fan out over `salt` slices by timestamp hash
+        lsalt = F.when(
+            F.array_contains(hot, F.col(by)),
+            F.pmod(F.xxhash64(F.col(on)), F.lit(salt)),
+        ).otherwise(F.lit(0))
+        lb = left.withColumn(
+            _BUCKET,
+            F.pmod(F.xxhash64(F.col(by), lsalt), F.lit(num_buckets)),
+        )
+        # right: hot rows replicated into every slice (backward as-of
+        # may need any earlier right row in any slice)
+        rsalts = F.when(
+            F.array_contains(hot, F.col(right_by)),
+            F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"),
+        ).otherwise(F.array(F.lit(0)).cast("array<long>"))
+        rb = right.withColumn("__uv_salt", F.explode(rsalts)).withColumn(
+            _BUCKET,
+            F.pmod(F.xxhash64(F.col(right_by), F.col("__uv_salt")), F.lit(num_buckets)),
+        ).drop("__uv_salt")
+    else:
+        lb = left.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(by)), F.lit(num_buckets)))
+        rb = right.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(right_by)), F.lit(num_buckets)))
     return (
         lb.groupBy(_BUCKET)
         .cogroup(rb.groupBy(_BUCKET))
         .applyInPandas(merge, schema=schema)
     )
+
+
+def find_hot_keys(df: DataFrame, by: str, *, min_rows: int = 1_000_000,
+                  top: int = 64) -> list:
+    """Entity values whose row counts exceed ``min_rows`` (the scale at
+    which one cogroup pandas group stops fitting an executor).  One
+    partial-agg count — cheap relative to the join itself."""
+    rows = (
+        df.groupBy(by).agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_rows)
+        .orderBy(F.col("__n").desc()).limit(top).collect()
+    )
+    return [r[by] for r in rows]

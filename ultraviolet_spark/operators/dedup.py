@@ -37,8 +37,8 @@ from pyspark.sql import types as T
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative of each exact text duplicate
-    class.  One hash-partial-agg shuffle on md5(text) — map-side combine
-    makes this safe on 10^12 rows."""
+    class (``id_col`` must be row-unique).  One hash-partial-agg shuffle
+    on md5(text) — map-side combine makes this safe on 10^12 rows."""
     h = F.md5(F.col(text_col).cast("binary")).alias("__h")
     keep = df.select(h, F.col(id_col)).groupBy("__h").agg(F.min(id_col).alias(id_col))
     return df.join(keep, on=id_col, how="left_semi")
