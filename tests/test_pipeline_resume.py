@@ -1,0 +1,36 @@
+"""Kill-and-rerun resumability of the full flagship pipeline
+(SURVEY.md §5.7): second run must skip every stage and produce
+identical output; a parameter change must cascade recomputation."""
+
+from __future__ import annotations
+
+from ultraviolet_spark.pipeline import run_checkpointed_pipeline
+
+
+def test_pipeline_resumes_all_stages(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+    wh = str(tmp_path / "wh")
+
+    out1, r1 = run_checkpointed_pipeline(spark, pages, wh, inputs_key=pages_path)
+    assert r1 == {"text_extracted": False, "features": False,
+                  "features_enriched": False}
+
+    out2, r2 = run_checkpointed_pipeline(spark, pages, wh, inputs_key=pages_path)
+    assert r2 == {"text_extracted": True, "features": True,
+                  "features_enriched": True}
+
+    cols = ["url", "warc_ts", "text_len", "session_id", "first_text_len"]
+    a = sorted(map(tuple, out1.select(cols).collect()))
+    b = sorted(map(tuple, out2.select(cols).collect()))
+    assert a == b
+
+
+def test_param_change_cascades_downstream_only(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+    wh = str(tmp_path / "wh")
+    run_checkpointed_pipeline(spark, pages, wh, inputs_key=pages_path)
+    # gap change: extract stage unchanged, feature stages recompute
+    _, r = run_checkpointed_pipeline(spark, pages, wh, inputs_key=pages_path,
+                                     gap_secs=3600.0)
+    assert r == {"text_extracted": True, "features": False,
+                 "features_enriched": False}

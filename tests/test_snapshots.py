@@ -1,0 +1,78 @@
+"""Checkpoint/resume + lineage (SURVEY.md §5.7, north_rule
+resumability): a killed-and-rerun pipeline must skip completed stages
+and produce identical outputs; lineage must account for every row."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ultraviolet_spark.plans.snapshots import (
+    IcebergFormat,
+    ParquetSnapshotFormat,
+    fingerprint,
+    run_stage,
+)
+
+
+@pytest.fixture()
+def fmt(tmp_path):
+    return ParquetSnapshotFormat(str(tmp_path / "warehouse"))
+
+
+def test_stage_resume_skips_recompute(spark, fmt, sf_dir):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return (spark.read.parquet(f"{sf_dir}/events.parquet")
+                .groupBy("event_type").agg(F.count("*").alias("n")))
+
+    fp = fingerprint(sf_dir, "events_by_type", {"v": 1})
+    df1, resumed1 = run_stage(spark, fmt, "events_by_type", fp, build)
+    assert not resumed1 and len(calls) == 1
+    df2, resumed2 = run_stage(spark, fmt, "events_by_type", fp, build)
+    assert resumed2 and len(calls) == 1  # build skipped on resume
+    a = sorted(map(tuple, df1.collect()))
+    b = sorted(map(tuple, df2.collect()))
+    assert a == b
+
+
+def test_changed_fingerprint_recomputes(spark, fmt, sf_dir):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.read.parquet(f"{sf_dir}/events.parquet").limit(10)
+
+    run_stage(spark, fmt, "t", fingerprint("a"), build)
+    run_stage(spark, fmt, "t", fingerprint("b"), build)
+    assert len(calls) == 2
+    # both snapshots retained; latest wins on plain read
+    assert [s.snapshot_id for s in fmt.snapshots("t")] == [0, 1]
+
+
+def test_read_pinned_snapshot(spark, fmt, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fmt.write(ev.limit(5), "pin", stage="s", inputs_fp="v0")
+    fmt.write(ev.limit(9), "pin", stage="s", inputs_fp="v1")
+    assert fmt.read(spark, "pin", snapshot_id=0).count() == 5
+    assert fmt.read(spark, "pin").count() == 9
+
+
+def test_lineage_accounts_for_every_row(spark, fmt, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4)
+    snap = fmt.write(ev, "lin", stage="ingest", inputs_fp="x")
+    lin = fmt.lineage(spark, "lin").toPandas()
+    assert lin["rows"].sum() == snap.n_rows == ev.count()
+    assert len(lin) == snap.n_files == 4
+    assert snap.bytes > 0
+    assert (lin["stage"] == "ingest").all()
+    assert (lin["finished_utc"] >= lin["started_utc"]).all()
+
+
+def test_iceberg_seam_detects_missing_runtime(spark):
+    assert IcebergFormat.available(spark) is False
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        IcebergFormat().write(
+            spark.range(1), "t", stage="s", inputs_fp="f")

@@ -62,3 +62,45 @@ def compute_features(pages: DataFrame, **kwargs) -> DataFrame:
 def enrich_asof(features: DataFrame, feature_src: DataFrame, **kwargs) -> DataFrame:
     """features ⟕ (backward as-of) feature_src on (url, warc_ts)."""
     return asof_join(features, feature_src, **kwargs)
+
+
+def run_checkpointed_pipeline(spark, pages: DataFrame, warehouse: str,
+                              *, inputs_key: str,
+                              gap_secs: float = SESSION_GAP_SECS_DEFAULT):
+    """The flagship pipeline with snapshot checkpoints between stages
+    (north_rule resumability).  Re-running after a kill skips every
+    stage whose inputs are unchanged — each stage's fingerprint chains
+    the upstream snapshot, so a changed input cascades recomputation
+    exactly as far as needed.
+
+    Returns (enriched_features_df, {stage: resumed_bool}).
+    """
+    from ultraviolet_spark.operators.windows import dedup_latest
+    from ultraviolet_spark.plans.snapshots import (
+        ParquetSnapshotFormat,
+        fingerprint,
+        run_stage,
+    )
+
+    fmt = ParquetSnapshotFormat(warehouse)
+    resumed: dict[str, bool] = {}
+
+    fp1 = fingerprint("text_extracted", inputs_key)
+    te, resumed["text_extracted"] = run_stage(
+        spark, fmt, "text_extracted", fp1, lambda: extract_stage(pages))
+
+    fp2 = fingerprint("features", fp1, gap_secs)
+    feats, resumed["features"] = run_stage(
+        spark, fmt, "features", fp2,
+        lambda: feature_vector(te, gap_secs=gap_secs))
+
+    def build_enriched() -> DataFrame:
+        src = dedup_latest(feats, by=["url"], order="warc_ts", keep="first").select(
+            "url", "warc_ts", F.col("text_len").alias("first_text_len"))
+        return enrich_asof(feats, src, on="warc_ts", by="url",
+                           value_cols=["first_text_len"])
+
+    fp3 = fingerprint("features_enriched", fp2)
+    enriched, resumed["features_enriched"] = run_stage(
+        spark, fmt, "features_enriched", fp3, build_enriched)
+    return enriched, resumed
