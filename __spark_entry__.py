@@ -17,22 +17,15 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from ultraviolet_spark.operators.windows import dedup_latest
-    from ultraviolet_spark.pipeline import compute_features, enrich_asof
+    from ultraviolet_spark.pipeline import flagship_enriched
     from ultraviolet_spark.sources.pages_from_docs import pages_from_documents
 
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
-    features = compute_features(pages)
-    feature_src = dedup_latest(
-        features, by=["url"], order="warc_ts", keep="first"
-    ).select("url", "warc_ts", F.col("text_len").alias("first_text_len"))
-    return enrich_asof(features, feature_src, on="warc_ts", by="url",
-                       value_cols=["first_text_len"])
+    return flagship_enriched(pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -31,19 +31,13 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def build_flagship(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from ultraviolet_spark.operators.windows import dedup_latest
-    from ultraviolet_spark.pipeline import compute_features, enrich_asof
+def build_flagship(spark, sf_dir, replicate: int | None = None):
+    from ultraviolet_spark.pipeline import flagship_enriched
     from ultraviolet_spark.sources.pages_from_docs import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir, replicate=REPLICATE)
-    features = compute_features(pages)
-    src = dedup_latest(features, by=["url"], order="warc_ts", keep="first").select(
-        "url", "warc_ts", F.col("text_len").alias("first_text_len"))
-    return enrich_asof(features, src, on="warc_ts", by="url",
-                       value_cols=["first_text_len"])
+    pages = pages_from_documents(spark, sf_dir,
+                                 replicate=replicate or REPLICATE)
+    return flagship_enriched(pages)
 
 
 def main() -> None:

@@ -48,6 +48,14 @@ TEXT_EXTRACTED_FIELDS = [
     T.StructField("bom", T.StringType()),
 ]
 
+# appended when with_features=True (fused kernel pass — the codepoints
+# are already materialized in the worker, so the histogram costs no
+# extra JVM→Python crossing)
+TEXT_FEATURE_FIELDS = [
+    T.StructField("text_len", T.LongType()),
+    T.StructField("cp_hist", T.ArrayType(T.LongType())),
+]
+
 
 def _pd_binary_to_buffers(s: pd.Series):
     arr = pa.array(s, type=pa.large_binary())
@@ -124,11 +132,15 @@ def make_transcode_udf(src: str, dst: str):
 # ---------------------------------------------------------------------------
 
 def transcode_extract_batches(
-    batches: Iterator[pa.RecordBatch], html_col: str = "html"
+    batches: Iterator[pa.RecordBatch], html_col: str = "html",
+    with_features: bool = False,
 ) -> Iterator[pa.RecordBatch]:
     """Arrow-native pipeline stage: decode (BOM-sniffing, U+FFFD
     replace) → extract text → per-row metrics.  Passes every non-html
-    column through untouched; appends TEXT_EXTRACTED_FIELDS."""
+    column through untouched; appends TEXT_EXTRACTED_FIELDS (+
+    TEXT_FEATURE_FIELDS when ``with_features``: codepoint count and
+    class histogram of the extracted text, fused into the same pass so
+    the text crosses the JVM↔Python boundary exactly once)."""
     for batch in batches:
         html = batch.column(html_col)
         data, offsets, nulls = binary_to_offsets(html)
@@ -152,19 +164,32 @@ def transcode_extract_batches(
         names.append("n_replacements")
         cols.append(pa.array(BOM_NAMES[bom]))
         names.append("bom")
+        if with_features:
+            ecp, ecpo = utf8_to_codepoints(ext, exto)
+            cols.append(pa.array(np.diff(ecpo), type=pa.int64()))
+            names.append("text_len")
+            hist = codepoint_class_histogram(ecp, ecpo)
+            cols.append(pa.FixedSizeListArray.from_arrays(
+                pa.array(hist.ravel(), type=pa.int64()), K).cast(pa.list_(pa.int64())))
+            names.append("cp_hist")
         yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
-def extract_stage(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def extract_stage(pages: DataFrame, html_col: str = "html",
+                  with_features: bool = False) -> DataFrame:
     """pages → text_extracted (SURVEY.md §3.1).
 
     Shuffle-free, embarrassingly parallel; column pruning applies
     because the mapInArrow input schema drops unused columns first.
+    ``with_features`` fuses text_len + cp_hist into the same kernel
+    pass (one Python crossing for the whole per-row feature set).
     """
     keep = [c for c in pages.columns if c not in ("text",)]  # drop golden col
     src = pages.select(*keep)
     out_fields = [f for f in src.schema.fields if f.name != html_col]
-    schema = T.StructType(out_fields + TEXT_EXTRACTED_FIELDS)
+    schema = T.StructType(out_fields + TEXT_EXTRACTED_FIELDS
+                          + (TEXT_FEATURE_FIELDS if with_features else []))
     return src.mapInArrow(
-        lambda it: transcode_extract_batches(it, html_col), schema=schema
+        lambda it: transcode_extract_batches(it, html_col, with_features),
+        schema=schema,
     )

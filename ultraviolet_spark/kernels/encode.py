@@ -17,6 +17,8 @@ _I64 = np.int64
 def codepoints_to_utf8(cp: np.ndarray, offsets: np.ndarray):
     """Returns (data_u8, byte_offsets_i64)."""
     cp = cp.astype(np.uint32, copy=False)
+    if not len(cp) or bool(np.all(cp < 0x80)):  # ASCII fast path
+        return cp.astype(_U8), offsets.astype(_I64, copy=False).copy()
     nbytes = np.ones(len(cp), dtype=_I64)
     nbytes += cp >= 0x80
     nbytes += cp >= 0x800

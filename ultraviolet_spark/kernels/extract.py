@@ -88,7 +88,8 @@ def _strip_tags(b: np.ndarray, row_of: np.ndarray, row_end: np.ndarray):
         m &= ok
         good = m.copy()
         term = b[idx[good]]
-        m[good] &= (term == 0x3E) | (term == 0x2F) | np.isin(term, _WS)
+        m[good] &= ((term == 0x3E) | (term == 0x2F) | (term == 0x20)
+                    | (term == 0x09) | (term == 0x0D) | (term == 0x0A))
         return m
 
     np.add.at(delta, lt, 1)
@@ -207,20 +208,31 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
         consumed = np.cumsum(d2[:len(s)]) > 0
         consumed[ent_pos] = False                        # '&' itself emits
 
-    unit_idx = np.flatnonzero(~consumed)
+    # int32 indices throughout (a batch is < 2 GiB by construction) —
+    # the unit stage is pure memory traffic, so index width is the cost
+    unit_idx = np.flatnonzero(~consumed).astype(np.int32)
     U = len(unit_idx)
     if U == 0:
         return np.empty(0, dtype=_U8), empty_off
 
     is_ent = np.zeros(U, dtype=bool)
-    unit_cp = np.full(U, -1, dtype=np.int64)
-    if len(ent_pos):
+    have_ents = bool(len(ent_pos))
+    if have_ents:
         loc = np.searchsorted(unit_idx, ent_pos)
         is_ent[loc] = True
+        unit_cp = np.full(U, -1, dtype=np.int64)
         unit_cp[loc] = ent_cpv
 
-    ubyte = s[unit_idx].astype(np.int64)
-    u_is_ws = (np.isin(ubyte, _WS) & ~is_ent) | (is_ent & np.isin(unit_cp, _WS))
+    ubyte = s[unit_idx]  # stays uint8
+
+    def _ws_mask(a: np.ndarray) -> np.ndarray:
+        # explicit ORs — np.isin is sort-based and dominates the whole
+        # kernel on MB-scale arrays
+        return (a == 0x20) | (a == 0x09) | (a == 0x0D) | (a == 0x0A)
+
+    u_is_ws = _ws_mask(ubyte)
+    if have_ents:
+        u_is_ws = (u_is_ws & ~is_ent) | (is_ent & _ws_mask(unit_cp))
 
     # ---- stages 4+5: collapse + strip over the unit sequence -----------
     urow = s_row[unit_idx]
@@ -232,17 +244,32 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
     prev_ws[new_row] = False
     ws_keep = u_is_ws & ~prev_ws
 
-    uidx = np.arange(U, dtype=_I64)
+    uidx = np.arange(U, dtype=np.int32)
     row_unit_starts = np.flatnonzero(new_row)
     nonws = np.where(~u_is_ws, uidx, -1)
     last_nonws = np.maximum.reduceat(nonws, row_unit_starts)
     firstws = np.where(~u_is_ws, uidx, U + 1)
     first_nonws = np.minimum.reduceat(firstws, row_unit_starts)
-    row_seq = np.cumsum(new_row) - 1
+    row_seq = (np.cumsum(new_row, dtype=np.int32) - 1)
     ws_keep &= (uidx > first_nonws[row_seq]) & (uidx < last_nonws[row_seq])
 
-    # ---- splice output --------------------------------------------------
-    out_len = np.zeros(U, dtype=_I64)
+    unit_row_counts = np.bincount(urow, minlength=n)
+    row_unit_end = np.cumsum(unit_row_counts)
+
+    if not have_ents:
+        # fast splice: every emitted unit is exactly one byte — a single
+        # compress of (ws→space) values, offsets via per-row emit counts
+        emit = ~u_is_ws | ws_keep
+        out = np.where(ws_keep, _U8(0x20), ubyte)[emit]
+        emitted = np.cumsum(emit, dtype=_I64)
+        out_offsets = np.zeros(n + 1, dtype=_I64)
+        nz = row_unit_end > 0
+        out_offsets[1:][nz] = emitted[row_unit_end[nz] - 1]
+        np.maximum.accumulate(out_offsets, out=out_offsets)
+        return out, out_offsets
+
+    # ---- general splice (entities present) ------------------------------
+    out_len = np.zeros(U, dtype=np.int32)
     plain = ~u_is_ws & ~is_ent
     out_len[plain] = 1
     out_len[ws_keep] = 1
@@ -273,8 +300,6 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
         out[ep[m4] + 2] = 0x80 | ((ecp[m4] >> 6) & 0x3F)
         out[ep[m4] + 3] = 0x80 | (ecp[m4] & 0x3F)
 
-    unit_row_counts = np.bincount(urow, minlength=n)
-    row_unit_end = np.cumsum(unit_row_counts)
     out_offsets = np.zeros(n + 1, dtype=_I64)
     out_offsets[1:] = opos[row_unit_end]
     return out, out_offsets

@@ -6,7 +6,10 @@ from __future__ import annotations
 import numpy as np
 
 from ultraviolet_spark.kernels import encode as _enc
-from ultraviolet_spark.kernels.utf8 import utf8_to_codepoints, utf8_validate
+from ultraviolet_spark.kernels.utf8 import (
+    utf8_to_codepoints_with_repl,
+    utf8_validate,
+)
 from ultraviolet_spark.kernels.utf16 import utf16_to_codepoints
 from ultraviolet_spark.kernels.utf32 import utf32_to_codepoints
 
@@ -46,9 +49,7 @@ def detect_bom(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 def _decode_fixed(data, offsets, encoding: str):
     """(cp, cp_offsets, n_repl) for one known encoding; BOM is content."""
     if encoding == "utf-8":
-        cp, cpo = utf8_to_codepoints(data, offsets)
-        _, _, n_repl = utf8_validate(data, offsets)
-        return cp, cpo, n_repl
+        return utf8_to_codepoints_with_repl(data, offsets)
     if encoding == "utf-16le":
         return utf16_to_codepoints(data, offsets, big_endian=False)
     if encoding == "utf-16be":
@@ -79,6 +80,12 @@ def decode_auto(data: np.ndarray, offsets: np.ndarray):
     (cp, cp_offsets, n_repl, bom_id_per_row)."""
     n = len(offsets) - 1
     bom = detect_bom(data, offsets)
+    # Whole-batch fast path: no BOM anywhere (the dominant web case) →
+    # decode in place with zero gather/reassembly copies.
+    if n and not bom.any():
+        cp, cpo, n_repl = _decode_fixed(data, offsets, "utf-8")
+        return cp, cpo, n_repl, bom
+
     # Strip BOM: advance row starts by the BOM length.
     strip = _BOM_LEN[bom]
     enc_of_bom = {
@@ -92,15 +99,18 @@ def decode_auto(data: np.ndarray, offsets: np.ndarray):
         if not len(rows):
             continue
         sub_off = np.zeros(len(rows) + 1, dtype=_I64)
-        # stripped row views
+        # stripped row views; gather index = arange + per-byte delta of
+        # (src start − dst start) — ONE repeat, not three
         starts = offsets[:-1][rows] + strip[rows]
         lens = offsets[1:][rows] - starts
         np.cumsum(lens, out=sub_off[1:])
-        sub = np.empty(int(sub_off[-1]), dtype=np.uint8)
-        if len(sub):
-            row_of = np.repeat(np.arange(len(rows), dtype=_I64), lens)
-            local = np.arange(int(lens.sum()), dtype=_I64) - np.repeat(sub_off[:-1], lens)
-            sub[:] = data[starts[row_of] + local]
+        total_sub = int(sub_off[-1])
+        if total_sub:
+            idx = (np.arange(total_sub, dtype=_I64)
+                   + np.repeat(starts - sub_off[:-1], lens))
+            sub = data[idx]
+        else:
+            sub = np.empty(0, dtype=np.uint8)
         cp, cpo, nr = _decode_fixed(sub, sub_off, enc)
         cp_parts.append((rows, cp, cpo, nr))
 
@@ -115,11 +125,12 @@ def decode_auto(data: np.ndarray, offsets: np.ndarray):
     out_cp = np.empty(int(out_off[-1]), dtype=np.uint32)
     for rows, cp, cpo, nr in cp_parts:
         counts = np.diff(cpo)
-        if not int(counts.sum()):
+        tot = int(counts.sum())
+        if not tot:
             continue
-        row_of = np.repeat(np.arange(len(rows), dtype=_I64), counts)
-        local = np.arange(int(counts.sum()), dtype=_I64) - np.repeat(cpo[:-1], counts)
-        out_cp[out_off[:-1][rows][row_of] + local] = cp
+        idx = (np.arange(tot, dtype=_I64)
+               + np.repeat(out_off[:-1][rows] - cpo[:-1], counts))
+        out_cp[idx] = cp
     return out_cp, out_off, n_repl, bom
 
 

@@ -169,36 +169,60 @@ def utf8_decode_replace(data: np.ndarray, offsets: np.ndarray):
     return out, out_offsets, n_repl
 
 
+def _codepoints_core(b8: np.ndarray, row_starts: np.ndarray, m: dict):
+    """Shared emission: (padded bytes, masks) → (cp u32, cp_offsets).
+    Continuation bytes are fetched with sparse gathers at the (usually
+    rare) multi-byte lead positions instead of full shifted copies."""
+    sentinel = np.zeros(len(b8), dtype=bool)
+    sentinel[row_starts[1:] - 1] = True
+
+    cp = np.zeros(len(b8), dtype=np.int32)
+    a = m["ascii"] & ~sentinel
+    cp[a] = b8[a]
+    i2 = np.flatnonzero(m["v2"])
+    if len(i2):
+        cp[i2] = ((b8[i2].astype(np.int32) & 0x1F) << 6) | (b8[i2 + 1] & 0x3F)
+    i3 = np.flatnonzero(m["v3"])
+    if len(i3):
+        cp[i3] = (((b8[i3].astype(np.int32) & 0x0F) << 12)
+                  | ((b8[i3 + 1].astype(np.int32) & 0x3F) << 6)
+                  | (b8[i3 + 2] & 0x3F))
+    i4 = np.flatnonzero(m["v4"])
+    if len(i4):
+        cp[i4] = (((b8[i4].astype(np.int32) & 0x07) << 18)
+                  | ((b8[i4 + 1].astype(np.int32) & 0x3F) << 12)
+                  | ((b8[i4 + 2].astype(np.int32) & 0x3F) << 6)
+                  | (b8[i4 + 3] & 0x3F))
+    cp[m["fffd"]] = 0xFFFD
+
+    emit = a | m["v2"] | m["v3"] | m["v4"] | m["fffd"]
+    cp_offsets = np.zeros(len(b8) + 1, dtype=_I64)
+    np.cumsum(emit, out=cp_offsets[1:])
+    out = cp[emit].astype(np.uint32)
+    return out, cp_offsets[row_starts]
+
+
 def utf8_to_codepoints(data: np.ndarray, offsets: np.ndarray):
     """UTF-8 → codepoint arrays (ill-formed → U+FFFD per maximal subpart).
 
     Returns (cp: u32 flat array, cp_offsets: i64[n+1]).
     """
+    cp, cpo, _ = utf8_to_codepoints_with_repl(data, offsets)
+    return cp, cpo
+
+
+def utf8_to_codepoints_with_repl(data: np.ndarray, offsets: np.ndarray):
+    """Fused decode + replacement count: ONE pad + ONE analysis pass
+    (decode_auto previously paid both twice).  Returns
+    (cp u32, cp_offsets i64[n+1], n_repl i64[n])."""
+    n = len(offsets) - 1
+    total = int(offsets[-1])
+    zeros = np.zeros(n, dtype=_I64)
+    if total == 0:
+        return np.empty(0, dtype=np.uint32), offsets.copy(), zeros
+    if bool(np.all(data[:total] < 0x80)):  # ASCII fast path
+        return data[:total].astype(np.uint32), offsets.copy(), zeros
     b8, row_starts = pad_rows(data, offsets, pad=1, value=0)
     m = _analyze(b8)
-    b = b8.astype(np.int32)
-    b1 = _shift_fwd(b, 1, fill=0)
-    b2 = _shift_fwd(b, 2, fill=0)
-    b3 = _shift_fwd(b, 3, fill=0)
-
-    sentinel = np.zeros(len(b), dtype=bool)
-    sentinel[row_starts[1:] - 1] = True
-
-    cp = np.zeros(len(b), dtype=np.int32)
-    a = m["ascii"] & ~sentinel
-    cp[a] = b[a]
-    cp[m["v2"]] = ((b[m["v2"]] & 0x1F) << 6) | (b1[m["v2"]] & 0x3F)
-    cp[m["v3"]] = ((b[m["v3"]] & 0x0F) << 12) | ((b1[m["v3"]] & 0x3F) << 6) | (b2[m["v3"]] & 0x3F)
-    cp[m["v4"]] = (
-        ((b[m["v4"]] & 0x07) << 18)
-        | ((b1[m["v4"]] & 0x3F) << 12)
-        | ((b2[m["v4"]] & 0x3F) << 6)
-        | (b3[m["v4"]] & 0x3F)
-    )
-    cp[m["fffd"]] = 0xFFFD
-
-    emit = a | m["v2"] | m["v3"] | m["v4"] | m["fffd"]
-    cp_offsets = np.zeros(len(b) + 1, dtype=_I64)
-    np.cumsum(emit, out=cp_offsets[1:])
-    out = cp[emit].astype(np.uint32)
-    return out, cp_offsets[row_starts]
+    cp, cpo = _codepoints_core(b8, row_starts, m)
+    return cp, cpo, _per_row_counts(m["fffd"], row_starts)

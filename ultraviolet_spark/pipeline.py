@@ -41,8 +41,13 @@ def feature_vector(
 ) -> DataFrame:
     """text_extracted → features (SURVEY.md §1.2 schema).  All window
     frames end at currentRow — no temporal leakage."""
-    f = text_extracted.withColumn("text_len", F.length("text").cast("long"))
-    f = f.withColumn("cp_hist", cp_class_hist_udf("text"))
+    f = text_extracted
+    # skip per-row feature UDFs when the extract stage already fused
+    # them into its kernel pass (with_features=True)
+    if "text_len" not in f.columns:
+        f = f.withColumn("text_len", F.length("text").cast("long"))
+    if "cp_hist" not in f.columns:
+        f = f.withColumn("cp_hist", cp_class_hist_udf("text"))
     f = with_lang_stability(f, by=by, order=order)
     f = sessionize(f, by=by, order=order, gap_secs=gap_secs)
     f = with_lags(f, ["text_len"], by=by, order=order)
@@ -56,12 +61,31 @@ def feature_vector(
 
 
 def compute_features(pages: DataFrame, **kwargs) -> DataFrame:
-    return feature_vector(extract_stage(pages), **kwargs)
+    return feature_vector(extract_stage(pages, with_features=True), **kwargs)
 
 
 def enrich_asof(features: DataFrame, feature_src: DataFrame, **kwargs) -> DataFrame:
     """features ⟕ (backward as-of) feature_src on (url, warc_ts)."""
     return asof_join(features, feature_src, **kwargs)
+
+
+def flagship_enriched(pages: DataFrame, **kwargs) -> DataFrame:
+    """pages → features → backward-as-of enrichment against the per-url
+    first-crawl snapshot.  The feature DataFrame feeds BOTH join sides,
+    so it is persisted before branching — without this the whole
+    transcode+window pipeline would execute twice (on a cluster the
+    snapshot layer materializes it instead; see
+    run_checkpointed_pipeline)."""
+    from pyspark import StorageLevel
+
+    from ultraviolet_spark.operators.windows import dedup_latest
+
+    features = compute_features(pages, **kwargs).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    src = dedup_latest(features, by=["url"], order="warc_ts", keep="first").select(
+        "url", "warc_ts", F.col("text_len").alias("first_text_len"))
+    return enrich_asof(features, src, on="warc_ts", by="url",
+                       value_cols=["first_text_len"])
 
 
 def run_checkpointed_pipeline(spark, pages: DataFrame, warehouse: str,

@@ -49,6 +49,13 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
         (F.col("doc_id") / crawls_per_url).cast("long").alias("url_key"),
         F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("enc_sel"),
     )
+    # a single small parquet file scans as ONE partition and would
+    # serialize the synth + downstream transcode stages; spread to the
+    # session's parallelism (on a real crawl the input is already
+    # thousands of files and this no-ops)
+    target = spark.sparkContext.defaultParallelism * 2
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
