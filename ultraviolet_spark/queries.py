@@ -543,6 +543,76 @@ def q29(spark, sf_dir):
     return S.lsh_ann_topk(emb, list(qv), k=10, exclude_id=0, bits=6, tables=12)
 
 
+@q("q31_percentiles", """
+SELECT event_type,
+  quantile_cont(value, 0.25) AS p25,
+  quantile_cont(value, 0.50) AS p50,
+  quantile_cont(value, 0.90) AS p90,
+  MIN(value) AS vmin, MAX(value) AS vmax
+FROM events GROUP BY event_type
+""")
+def q31(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # exact interpolated percentile — matches quantile_cont bit-for-bit
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.50).alias("p50"),
+        F.percentile("value", 0.90).alias("p90"),
+        F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+    )
+
+
+@q("q32_cube_status_priority", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q32(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"))
+
+
+@q("q33_string_funcs", """
+SELECT c_custkey,
+  length(c_name) AS name_len,
+  upper(substring(c_name, 1, 8)) AS name_prefix,
+  levenshtein(lower(c_mktsegment), 'building') AS seg_dist,
+  regexp_extract(c_name, '([0-9]+)', 1) AS name_num
+FROM customer
+""")
+def q33(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.length("c_name").alias("name_len"),
+        F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+        F.levenshtein(F.lower("c_mktsegment"), F.lit("building")).alias("seg_dist"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num"),
+    )
+
+
+@q("q34_array_funcs", """
+SELECT vec_id,
+  len(embedding) AS dim,
+  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+  list_sort(embedding, 'DESC')[1:3] AS top3
+FROM embeddings
+""")
+def q34(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    self_dot = F.aggregate(
+        F.zip_with("embedding", "embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(self_dot), 6).alias("l2_norm"),
+        F.slice(F.sort_array("embedding", asc=False), 1, 3).alias("top3"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (rows-only: fake UVMEDIA container)
 # ---------------------------------------------------------------------------
