@@ -31,12 +31,14 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def build_flagship(spark, sf_dir, replicate: int | None = None):
+def build_flagship(spark, sf_dir, replicate: int | None = None,
+                   text_repeat: int = 1):
     from ultraviolet_spark.pipeline import flagship_enriched
     from ultraviolet_spark.sources.pages_from_docs import pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir,
-                                 replicate=replicate or REPLICATE)
+                                 replicate=replicate or REPLICATE,
+                                 text_repeat=text_repeat)
     return flagship_enriched(pages)
 
 

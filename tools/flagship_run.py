@@ -21,9 +21,12 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=48)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--batch", type=int, default=16000,
+    ap.add_argument("--batch", type=int, default=2000,
                     help="arrow maxRecordsPerBatch — raise for small "
                          "rows, lower for multi-KB html blobs")
+    ap.add_argument("--text-repeat", type=int, default=20,
+                    help="tile doc text to web-realistic page size "
+                         "(~10 KB at 20)")
     args = ap.parse_args()
 
     from bench import build_flagship
@@ -41,12 +44,14 @@ def main() -> None:
                * args.replicate)
 
     def materialize():
-        (build_flagship(spark, args.sf_dir, replicate=args.replicate)
+        (build_flagship(spark, args.sf_dir, replicate=args.replicate,
+                        text_repeat=args.text_repeat)
          .write.mode("overwrite").format("noop").save())
         spark.catalog.clearCache()  # drop the per-run persisted features
 
     # warm-up: full pipeline once (codegen + python workers)
-    (build_flagship(spark, args.sf_dir, replicate=max(args.replicate // 8, 1))
+    (build_flagship(spark, args.sf_dir, replicate=max(args.replicate // 8, 1),
+                    text_repeat=args.text_repeat)
      .write.mode("overwrite").format("noop").save())
 
     times = []

@@ -22,11 +22,13 @@ MARK_A = "<!-- scaling-results:begin -->"
 MARK_B = "<!-- scaling-results:end -->"
 
 
-def run_at(cores: int, replicate: int, sf_dir: str, runs: int) -> dict:
+def run_at(cores: int, replicate: int, sf_dir: str, runs: int,
+           text_repeat: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools", "flagship_run.py"),
          "--cores", str(cores), "--replicate", str(replicate),
-         "--sf-dir", sf_dir, "--runs", str(runs)],
+         "--sf-dir", sf_dir, "--runs", str(runs),
+         "--text-repeat", str(text_repeat)],
         capture_output=True, text=True, check=True, cwd=ROOT, timeout=3600,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -39,10 +41,12 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--n4", type=int, default=32)
+    ap.add_argument("--text-repeat", type=int, default=20,
+                    help="page size multiplier (20 ≈ 10 KB web-average pages)")
     args = ap.parse_args()
 
-    r8 = run_at(args.n, args.replicate, args.sf_dir, args.runs)
-    r32 = run_at(args.n4, args.replicate, args.sf_dir, args.runs)
+    r8 = run_at(args.n, args.replicate, args.sf_dir, args.runs, args.text_repeat)
+    r32 = run_at(args.n4, args.replicate, args.sf_dir, args.runs, args.text_repeat)
     eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / (args.n4 / args.n)
 
     summary = {
@@ -61,7 +65,8 @@ def main() -> None:
 
 Same flagship job (documents → pages synth → transcode+extract via
 mapInArrow → window features → backward as-of join), identical input
-({r8['pages']:,} pages from {args.sf_dir}), two parallelism levels,
+({r8['pages']:,} pages × ~{args.text_repeat // 2} KB html from
+{args.sf_dir}, web-realistic page size), two parallelism levels,
 separate JVMs, warm-up excluded, best of {args.runs} timed runs:
 
 | Config | Wall (s) | Throughput (pages/s) |

@@ -91,9 +91,22 @@ def asof_join(
     lcols = list(left.columns)
     tol = pd.Timedelta(tolerance) if isinstance(tolerance, str) else tolerance
 
+    # Re-alias every right column to a fresh name BEFORE the cogroup:
+    # when `right` is derived from `left` (self-as-of, e.g. joining a
+    # table to a snapshot of itself) both children share attribute ids,
+    # and Catalyst's column pruning can mis-resolve across the cogroup
+    # (observed: count() pruned url/warc_ts out of the right child).
+    # A different-name Alias mints new expression ids, breaking the
+    # shared lineage; merge() renames them back first thing.
+    rsel = [right_by, right_on] + value_cols
+    unalias = {f"__uvr_{i}": c for i, c in enumerate(rsel)}
+    right = right.select(
+        *[F.col(c).alias(f"__uvr_{i}") for i, c in enumerate(rsel)])
+    r_by, r_on = "__uvr_0", "__uvr_1"
+
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.drop(columns=[_BUCKET])
-        rpdf = rpdf.drop(columns=[_BUCKET])
+        rpdf = rpdf.drop(columns=[_BUCKET]).rename(columns=unalias)
         if not len(lpdf):
             return pd.DataFrame(columns=lcols + [renames[c] for c in value_cols])
         # stable sort on time only — merge_asof's `by` handles the key;
@@ -136,16 +149,16 @@ def asof_join(
         # right: hot rows replicated into every slice (backward as-of
         # may need any earlier right row in any slice)
         rsalts = F.when(
-            F.array_contains(hot, F.col(right_by)),
+            F.array_contains(hot, F.col(r_by)),
             F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"),
         ).otherwise(F.array(F.lit(0)).cast("array<long>"))
         rb = right.withColumn("__uv_salt", F.explode(rsalts)).withColumn(
             _BUCKET,
-            F.pmod(F.xxhash64(F.col(right_by), F.col("__uv_salt")), F.lit(num_buckets)),
+            F.pmod(F.xxhash64(F.col(r_by), F.col("__uv_salt")), F.lit(num_buckets)),
         ).drop("__uv_salt")
     else:
         lb = left.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(by)), F.lit(num_buckets)))
-        rb = right.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(right_by)), F.lit(num_buckets)))
+        rb = right.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(r_by)), F.lit(num_buckets)))
     return (
         lb.groupBy(_BUCKET)
         .cogroup(rb.groupBy(_BUCKET))

@@ -41,7 +41,20 @@ def get_spark(
     partition lands ≤ ~200 MB (SURVEY.md §4).
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # glibc arena reuse for the numpy kernels: without this every
+    # MB-scale temporary is a fresh mmap → kernel page-zeroing storms
+    # that serialize across Python workers (measured 2× single-core
+    # and large multi-core penalty).  Set before the JVM forks so
+    # pyspark workers inherit it; executorEnv covers real clusters.
+    _MALLOC_ENV = {
+        "MALLOC_MMAP_THRESHOLD_": "1073741824",
+        "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    }
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     builder = SparkSession.builder.appName(app_name)
+    for k, v in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     if not os.environ.get("SPARK_MASTER"):          # cluster sets its own
         builder = builder.master(f"local[{cores}]")
     for k, v in ENGINE_CONFS.items():

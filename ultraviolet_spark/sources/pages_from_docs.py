@@ -32,12 +32,28 @@ _BOM = {"utf-16-le": b"\xff\xfe", "utf-16-be": b"\xfe\xff"}
 
 def pages_from_documents(spark: SparkSession, sf_dir: str,
                          crawls_per_url: int = 3,
-                         replicate: int = 1) -> DataFrame:
+                         replicate: int = 1,
+                         text_repeat: int = 1,
+                         shard: tuple[int, int] | None = None) -> DataFrame:
     """``replicate`` > 1 fans every doc out into that many distinct
     doc_ids (and hence distinct urls/crawls) — deterministic volume
     scaling for benchmarks; key cardinality scales with it, so no
-    artificial hot keys."""
+    artificial hot keys.  ``text_repeat`` > 1 tiles the doc text to
+    web-realistic page sizes (a ~500-char doc × 20 ≈ 10 KB html,
+    matching the Common-Crawl average page) so per-page kernel work
+    dominates per-row framework overhead, as it does in production."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # A single small parquet file scans as ONE partition and would
+    # serialize the synth + downstream transcode stages; spread the RAW
+    # docs to the session's parallelism BEFORE the volume-amplifying
+    # tile/explode below, so amplification runs distributed (on a real
+    # crawl the input is already thousands of files and this no-ops).
+    target = spark.sparkContext.defaultParallelism * 2
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
+    if text_repeat > 1:
+        docs = docs.withColumn(
+            "text", F.concat_ws(" ", F.array_repeat(F.col("text"), text_repeat)))
     if replicate > 1:
         docs = docs.withColumn(
             "__rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
@@ -49,13 +65,13 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
         (F.col("doc_id") / crawls_per_url).cast("long").alias("url_key"),
         F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("enc_sel"),
     )
-    # a single small parquet file scans as ONE partition and would
-    # serialize the synth + downstream transcode stages; spread to the
-    # session's parallelism (on a real crawl the input is already
-    # thousands of files and this no-ops)
-    target = spark.sparkContext.defaultParallelism * 2
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, "doc_id")
+    if shard is not None:
+        # url-bucket shard (i of k): disjoint url_key spaces per shard —
+        # the engine's prescribed bucketed physical layout, where each
+        # executor owns whole url buckets and the as-of/window shuffles
+        # never cross executors
+        i, k = shard
+        docs = docs.filter(F.pmod(F.col("url_key"), F.lit(k)) == i)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
