@@ -53,7 +53,12 @@ def main() -> None:
     from ultraviolet_spark import queries as Q
     from ultraviolet_spark.session import get_spark
 
-    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+    # shuffle partitions: this single-box host saturates its memory bus
+    # at ~8 concurrent post-shuffle lanes (BASELINE.md envelope section);
+    # measured 2× flagship speedup at sp=8 vs sp=32 on local[32].  On a
+    # real cluster size shuffle partitions to ≤200 MB each instead.
+    sp = cores if cores <= 8 else max(8, cores // 4)
+    spark = get_spark("bench", cores=cores, shuffle_partitions=sp)
     spark.sparkContext.setLogLevel("ERROR")
 
     n_pages = (spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -66,8 +71,9 @@ def main() -> None:
         "q12_sessionize_events",
         "q15_asof_click_purchase",
         "q20_token_stats",
-        "q24_ngram_jaccard_pairs",
-        "q25_minhash_lsh_pairs",
+        "q19_exact_dup_classes",
+        "q25_minhash_lsh_pairs",   # the near-dup SCALE path (q24 is its
+                                   # O(n²) oracle, driver-checked at sf0.01)
         "q27_cosine_top10",
     ]
 
@@ -80,6 +86,15 @@ def main() -> None:
     _materialize(build_flagship(spark, sf_dir))
     t_flagship = time.perf_counter() - t0
     timings["flagship_pit_features"] = round(t_flagship, 3)
+    spark.catalog.clearCache()
+
+    # same pipeline at web-realistic ~10 KB pages (1/8 the page count)
+    t0 = time.perf_counter()
+    _materialize(build_flagship(spark, sf_dir,
+                                replicate=max(REPLICATE // 8, 1),
+                                text_repeat=20))
+    timings["flagship_10kb_pages"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
 
     for name in headline:
         t0 = time.perf_counter()

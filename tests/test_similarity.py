@@ -68,6 +68,32 @@ def test_lsh_ann_subset_of_corpus_and_sane(emb, emb_np):
         assert r["cos_sim"] == pytest.approx(round(true, 6), abs=1e-6)
 
 
+def test_cosine_dup_pairs_exact_vs_numpy(emb, emb_np):
+    ids, V = emb_np
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    want = {(int(ids[i]), int(ids[j]))
+            for i in range(len(ids)) for j in range(len(ids))
+            if ids[i] < ids[j] and S[i, j] >= 0.4}
+    from ultraviolet_spark.operators.similarity import cosine_dup_pairs
+
+    got = cosine_dup_pairs(emb, threshold=0.4).toPandas()
+    assert {(a, b) for a, b in zip(got["id_a"], got["id_b"])} == want
+
+
+def test_cosine_dup_pairs_lsh_subset_and_recall(emb):
+    from ultraviolet_spark.operators.similarity import cosine_dup_pairs
+
+    exact = cosine_dup_pairs(emb, threshold=0.35).toPandas()
+    lsh = cosine_dup_pairs(emb, threshold=0.35, use_lsh=True,
+                           bits=4, tables=24).toPandas()
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    l = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert l <= e                      # verify step ⇒ precision 1.0
+    if e:
+        assert len(l) / len(e) >= 0.5  # generous-params recall floor
+
+
 def test_lsh_ann_recall_at_generous_params(emb, emb_np):
     ids, V = emb_np
     q = V[ids == 1][0]

@@ -76,6 +76,39 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
     )
 
 
+def cosine_dup_pairs(df: DataFrame, *, threshold: float = 0.9,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     use_lsh: bool = False, bits: int = 8, tables: int = 16,
+                     seed: int = 7) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ τ).
+
+    ``use_lsh=False``: exact all-pairs — the small-scale oracle path
+    (O(n²), broadcast one side).  ``use_lsh=True``: the 100 TB path —
+    candidates share ≥1 random-hyperplane bucket (shuffle on uniform
+    bucket keys only), then exact-cosine verify on candidates; recall
+    is governed by (bits, tables) like lsh_ann_topk."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if use_lsh:
+        sig = hyperplane_signatures(df, dim=len(df.select(vec_col).head()[0]),
+                                    bits=bits, tables=tables, seed=seed,
+                                    id_col=id_col, vec_col=vec_col)
+        sa = sig.select(F.col(id_col).alias("id_a"), "table", "bucket")
+        sb = sig.select(F.col(id_col).alias("id_b"), "table", "bucket")
+        cand = (sa.join(sb, on=["table", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_sim(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.withColumn("__sim", sim)
+        .filter(F.col("__sim") >= threshold)
+        .select("id_a", "id_b", F.round("__sim", 6).alias("cos_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------

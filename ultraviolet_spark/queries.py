@@ -613,6 +613,43 @@ def q34(spark, sf_dir):
     )
 
 
+_COS_AB = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+ / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""
+
+
+@q("q35_embed_near_dup_pairs", f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_AB}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_AB} >= 0.4
+""")
+def q35(spark, sf_dir):
+    from ultraviolet_spark.operators.similarity import cosine_dup_pairs
+
+    # τ=0.4 targets the top tail of this synthetic corpus (random
+    # embeddings top out ≈0.51); real dedup runs use τ≈0.9 + use_lsh
+    return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@q("q36_pivot_status_by_priority", """
+SELECT o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+""")
+def q36(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    piv = (o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.count(F.lit(1))))
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (rows-only: fake UVMEDIA container)
 # ---------------------------------------------------------------------------
