@@ -42,6 +42,9 @@ def test_column_pruning_reaches_scan(tables):
 
 
 def test_pruning_through_extract_stage(spark, pages_path):
+    # other modules cache this parquet; a cache hit would swap the scan
+    # for InMemoryTableScan and hide the ReadSchema under inspection
+    spark.catalog.clearCache()
     pages = spark.read.parquet(pages_path)
     # the golden `text` column is always dropped from the UDF input
     plan = _plan(extract_stage(pages).select("url", "text"))
