@@ -650,6 +650,44 @@ def q36(spark, sf_dir):
     )
 
 
+@q("q37_map_funcs", """
+SELECT user_id,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+FROM events GROUP BY user_id
+""")
+def q37(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))).alias("m"))
+    return maps.select(
+        "user_id",
+        F.coalesce(F.try_element_at("m", F.lit("click")), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.try_element_at("m", F.lit("purchase")), F.lit(0)).alias("n_purchases"),
+    )
+
+
+@q("q38_transcode_roundtrip", """
+SELECT doc_id, text FROM documents
+""")
+def q38(spark, sf_dir):
+    """utf-8 → utf-16le → utf-32be → utf-8 roundtrip through the numpy
+    transcoding kernels must be the identity on well-formed text — the
+    oracle is simply the untouched source column."""
+    from ultraviolet_spark.functions.udfs import make_transcode_udf
+
+    to16 = make_transcode_udf("utf-8", "utf-16le")
+    to32 = make_transcode_udf("utf-16le", "utf-32be")
+    back = make_transcode_udf("utf-32be", "utf-8")
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        back(to32(to16(F.col("text").cast("binary")))).cast("string").alias("text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (rows-only: fake UVMEDIA container)
 # ---------------------------------------------------------------------------
