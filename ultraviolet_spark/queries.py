@@ -650,6 +650,18 @@ def q36(spark, sf_dir):
     )
 
 
+@q("q39_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""")
+def q39(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 @q("q37_map_funcs", """
 SELECT user_id,
   COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
