@@ -28,12 +28,13 @@ def utf16_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bo
     total_units = int(unit_starts[-1])
     buf = np.zeros(total_units * 2, dtype=np.uint8)
     if int(offsets[-1]):
-        # src index of every even-length byte; drop odd trailing bytes
-        row_of_unit = np.repeat(np.arange(n, dtype=_I64), nunits)
-        unit_idx = np.arange(int(nunits.sum()), dtype=_I64)
-        local_unit = unit_idx - np.repeat(np.cumsum(nunits) - nunits, nunits)
-        src = offsets[:-1][row_of_unit] + local_unit * 2
-        dst = (unit_starts[:-1][row_of_unit] + local_unit) * 2
+        # src/dst for every unit's first byte via ONE repeat each:
+        # src = 2·unit_idx + (row byte start − 2·units before row),
+        # dst = 2·unit_idx + 2·row_number (each row adds one sentinel)
+        cum_prev = np.cumsum(nunits) - nunits
+        unit_idx2 = np.arange(int(nunits.sum()), dtype=_I64) * 2
+        src = unit_idx2 + np.repeat(offsets[:-1] - 2 * cum_prev, nunits)
+        dst = unit_idx2 + 2 * np.repeat(np.arange(n, dtype=_I64), nunits)
         buf[dst] = data[src]
         buf[dst + 1] = data[src + 1]
     u = buf.view(">u2" if big_endian else "<u2").astype(np.uint32)

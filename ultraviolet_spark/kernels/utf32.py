@@ -25,11 +25,11 @@ def utf32_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bo
     total_units = int(unit_starts[-1])
     buf = np.zeros(total_units * 4, dtype=np.uint8)
     if int(nunits.sum()):
-        row_of_unit = np.repeat(np.arange(n, dtype=_I64), nunits)
-        unit_idx = np.arange(int(nunits.sum()), dtype=_I64)
-        local_unit = unit_idx - np.repeat(np.cumsum(nunits) - nunits, nunits)
-        src = offsets[:-1][row_of_unit] + local_unit * 4
-        dst = (unit_starts[:-1][row_of_unit] + local_unit) * 4
+        # one-repeat gather indices (see utf16.py for the derivation)
+        cum_prev = np.cumsum(nunits) - nunits
+        unit_idx4 = np.arange(int(nunits.sum()), dtype=_I64) * 4
+        src = unit_idx4 + np.repeat(offsets[:-1] - 4 * cum_prev, nunits)
+        dst = unit_idx4 + 4 * np.repeat(np.arange(n, dtype=_I64), nunits)
         for k in range(4):
             buf[dst + k] = data[src + k]
     u = buf.view(">u4" if big_endian else "<u4").astype(np.uint32)
