@@ -177,7 +177,8 @@ def q06(spark, sf_dir):
     return (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+                F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -275,10 +276,10 @@ WITH g AS (
   FROM events)
 SELECT user_id, event_id,
   CAST(gap_us AS DOUBLE) / 1e6 AS gap_secs,
-  SUM(CASE WHEN gap_us IS NULL OR CAST(gap_us AS DOUBLE)/1e6 > 3600.0
+  CAST(SUM(CASE WHEN gap_us IS NULL OR CAST(gap_us AS DOUBLE)/1e6 > 3600.0
            THEN 1 ELSE 0 END)
     OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
 FROM g
 """
 
@@ -584,9 +585,9 @@ def q33(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
-        F.levenshtein(F.lower("c_mktsegment"), F.lit("building")).alias("seg_dist"),
+        F.levenshtein(F.lower("c_mktsegment"), F.lit("building")).cast("long").alias("seg_dist"),
         F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num"),
     )
 
@@ -607,7 +608,7 @@ def q34(spark, sf_dir):
         F.lit(0.0), lambda acc, x: acc + x)
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(F.sqrt(self_dot), 6).alias("l2_norm"),
         F.slice(F.sort_array("embedding", asc=False), 1, 3).alias("top3"),
     )
