@@ -98,3 +98,27 @@ def test_simhash_pairs_verified_hamming(docs):
     for _, r in pairs.iterrows():
         x = np.uint64(sh[r["id_a"]]) ^ np.uint64(sh[r["id_b"]])
         assert bin(int(x)).count("1") == r["hamming"] <= 3
+
+
+def test_null_and_short_docs_no_crash_no_spurious_pairs(spark):
+    """Round-2 regression (ADVICE r1): NULL texts crashed the shingle
+    kernel, and zero-shingle docs shared a sentinel signature that made
+    them all LSH-collide.  Null/empty/short docs must produce no
+    signatures-driven pairs and no executor crash."""
+    rows = [
+        (1, None), (2, None), (3, ""), (4, "one"), (5, "two words only"),
+        (6, "a genuine document with plenty of words to shingle properly"),
+        (7, "a genuine document with plenty of words to shingle properly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = D.minhash_lsh_pairs(df, n=3, threshold=0.5).toPandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(6, 7)}
+
+    cand = D.minhash_lsh_pairs(df, n=3, verify_exact=False).toPandas()
+    # no sentinel-collision candidates among the 5 degenerate docs
+    assert set(zip(cand["id_a"], cand["id_b"])) == {(6, 7)}
+
+    sh = D.simhash(df).toPandas().set_index("doc_id")["simhash"]
+    assert sh[1] == 0 and sh[3] == 0  # degenerate docs hash to 0
+    assert sh[6] == sh[7] != 0

@@ -106,69 +106,119 @@ def ngram_jaccard_pairs(df: DataFrame, *, n: int = 3, threshold: float = 0.5,
 # ---------------------------------------------------------------------------
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_SENTINEL = np.iinfo(np.int64).max  # signature of a zero-shingle doc
 
 
-def _hash_shingles_np(texts: np.ndarray, n: int) -> list[np.ndarray]:
-    """Per-doc array of distinct uint64 word-n-gram shingle hashes.
+def _shingle_hash_segments(texts: np.ndarray, n: int):
+    """Distinct uint64 word-n-gram shingle hashes for a whole batch as one
+    flat segmented array: returns ``(flat, starts, counts)`` where doc i's
+    hashes are ``flat[starts[i]:starts[i]+counts[i]]``.
 
-    Vectorized at batch granularity: one flat token array for the whole
-    Arrow batch, shifted-concat to build shingles (C string concat), and
-    one ``pandas.util.hash_array`` call (deterministic 64-bit SipHash-
-    style, cython) for all shingles at once.  No per-byte Python.
+    Fully vectorized — no per-doc loop anywhere: one chained-iterator token
+    flatten, shifted pandas str concat for shingles, one
+    ``pandas.util.hash_array`` call (deterministic 64-bit, cython), and the
+    per-doc distinct is a single lexsort + adjacent-unique mask.  NULL texts
+    become empty token lists (round-1 crashed on them: Series.str.split
+    yields NaN scalars that break np.concatenate).
     """
-    split = pd.Series(texts, dtype=object).str.lower().str.split()
-    counts = split.str.len().fillna(0).to_numpy(dtype=np.int64)
-    if counts.sum() == 0:
-        return [np.empty(0, dtype=np.uint64)] * len(texts)
-    flat = pd.Series(np.concatenate([np.array(t, dtype=object) for t in split]),
-                     dtype=object)
-    # shingle at flat position i spans tokens i..i+n-1 (invalid across
-    # doc boundaries — masked below)
-    sh = flat.iloc[: len(flat) - n + 1].reset_index(drop=True)
+    from itertools import chain
+
+    m = len(texts)
+    empty = np.empty(0, dtype=np.uint64)
+    zeros = np.zeros(m, dtype=np.int64)
+    if m == 0:
+        return empty, zeros, zeros
+    split = pd.Series(texts, dtype=object).fillna("").str.lower().str.split()
+    tok_counts = split.str.len().to_numpy(dtype=np.int64)
+    total = int(tok_counts.sum())
+    if total < n:
+        return empty, zeros, zeros
+    flat_tok = pd.Series(
+        np.fromiter(chain.from_iterable(split), dtype=object, count=total),
+        dtype=object)
+    # shingle at flat position i spans tokens i..i+n-1 (cross-doc spans
+    # masked below via the doc-id-per-token array)
+    n_pos = total - n + 1
+    sh = flat_tok.iloc[:n_pos].reset_index(drop=True)
     for k in range(1, n):
-        sh = sh + " " + flat.iloc[k: len(flat) - n + 1 + k].reset_index(drop=True)
-    hashes = pd.util.hash_array(sh.to_numpy(dtype=object))  # uint64, deterministic
-    ends = np.cumsum(counts)
-    starts = ends - counts
-    out = []
-    for s, c in zip(starts, counts):
-        if c < n:
-            out.append(np.empty(0, dtype=np.uint64))
-        else:
-            out.append(np.unique(hashes[s: s + c - n + 1]))
-    return out
+        sh = sh + " " + flat_tok.iloc[k: n_pos + k].reset_index(drop=True)
+    hashes = pd.util.hash_array(sh.to_numpy(dtype=object))  # uint64
+    doc_of_tok = np.repeat(np.arange(m, dtype=np.int64), tok_counts)
+    valid = doc_of_tok[:n_pos] == doc_of_tok[n - 1: n - 1 + n_pos]
+    doc_v = doc_of_tok[:n_pos][valid]
+    hash_v = hashes[valid]
+    if not len(hash_v):
+        return empty, zeros, zeros
+    order = np.lexsort((hash_v, doc_v))
+    doc_s, hash_s = doc_v[order], hash_v[order]
+    keep = np.empty(len(doc_s), dtype=bool)
+    keep[0] = True
+    keep[1:] = (doc_s[1:] != doc_s[:-1]) | (hash_s[1:] != hash_s[:-1])
+    flat = hash_s[keep]
+    counts = np.bincount(doc_s[keep], minlength=m)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return flat, starts, counts
 
 
 def minhash_signatures(df: DataFrame, *, n: int = 3, num_perm: int = 128,
                        seed: int = 42, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       with_hashes: bool = False) -> DataFrame:
     """(id, sig array<long>[num_perm]) MinHash signatures.
 
     Permutations h_i(x) = (a_i·x + b_i) mod p (p = 2^61-1), min over the
-    doc's shingle-hash set — the classic Broder construction, fully
-    vectorized: per doc one (num_perm × n_shingles) broadcast min.
+    doc's shingle-hash set — the classic Broder construction.  The whole
+    Arrow batch is one flat segmented hash array; each perm-block computes
+    its affine map over the full array once and segment-mins it with
+    ``np.minimum.reduceat`` — zero per-document Python (round-1's per-doc
+    loop was 37% of the driver bench).  Perms are processed in blocks of 16
+    to bound the (block × total_shingles) temporary.
+
+    ``with_hashes=True`` additionally emits the doc's distinct shingle-hash
+    set (array<long>) so a downstream exact-Jaccard verify can reuse this
+    pass instead of re-shingling the corpus.
+
+    Docs with zero shingles (< n tokens, empty, NULL) get the _SENTINEL
+    signature; LSH banding must exclude them (they'd all collide).
     """
     rng = np.random.default_rng(seed)
     A = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
     B = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
 
-    schema = T.StructType([
+    fields = [
         T.StructField(id_col, T.LongType()),
         T.StructField("sig", T.ArrayType(T.LongType())),
-    ])
+    ]
+    if with_hashes:
+        fields.append(T.StructField("hashes", T.ArrayType(T.LongType())))
+    schema = T.StructType(fields)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hsets = _hash_shingles_np(pdf[text_col].to_numpy(), n)
-            sigs = []
-            for hs in hsets:
-                if not len(hs):
-                    sigs.append(np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64))
-                    continue
-                # (P, S) modular affine map then min over shingles
-                v = (A[:, None] * (hs[None, :] % _MERSENNE) + B[:, None]) % _MERSENNE
-                sigs.append(v.min(axis=1).astype(np.int64))
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": sigs})
+            m = len(pdf)
+            flat, starts, counts = _shingle_hash_segments(
+                pdf[text_col].to_numpy(), n)
+            sig = np.full((m, num_perm), _SENTINEL, dtype=np.int64)
+            nonempty = counts > 0
+            if flat.size:
+                x = flat % _MERSENNE
+                starts_ne = starts[nonempty]
+                for lo in range(0, num_perm, 16):
+                    ab = A[lo:lo + 16, None]
+                    bb = B[lo:lo + 16, None]
+                    v = (ab * x[None, :] + bb) % _MERSENNE
+                    sig[nonempty, lo:lo + v.shape[0]] = np.minimum.reduceat(
+                        v, starts_ne, axis=1).T.astype(np.int64)
+            out = {id_col: pdf[id_col].to_numpy(), "sig": list(sig)}
+            if with_hashes:
+                signed = flat.astype(np.int64)
+                hs: list = [None] * m
+                for j in np.flatnonzero(nonempty):
+                    hs[j] = signed[starts[j]: starts[j] + counts[j]]
+                for j in np.flatnonzero(~nonempty):
+                    hs[j] = signed[:0]
+                out["hashes"] = hs
+            yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
@@ -186,14 +236,24 @@ def minhash_lsh_pairs(df: DataFrame, *, n: int = 3, num_perm: int = 128,
     """
     r = num_perm // bands
     sigs = minhash_signatures(df, n=n, num_perm=num_perm, seed=seed,
-                              text_col=text_col, id_col=id_col)
+                              text_col=text_col, id_col=id_col,
+                              with_hashes=verify_exact)
+    if verify_exact:
+        # One shingling pass feeds BOTH candidate generation and the exact
+        # verify (round 1 re-shingled the whole corpus for verify — 2× the
+        # Python-kernel work and a string-keyed shuffle; hash keys are 8B).
+        sigs = sigs.persist()
+    # Zero-shingle docs share the sentinel signature → every one of them
+    # collides in every band; drop them up front (no near-dup semantics
+    # for empty docs anyway).
+    live = sigs.filter(F.element_at("sig", 1) != F.lit(_SENTINEL))
     band_cols = F.posexplode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)),
         )
     )
-    buckets = sigs.select(F.col(id_col), band_cols.alias("band", "bh"))
+    buckets = live.select(F.col(id_col), band_cols.alias("band", "bh"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, on=["band", "bh"])
@@ -203,12 +263,15 @@ def minhash_lsh_pairs(df: DataFrame, *, n: int = 3, num_perm: int = 128,
     )
     if not verify_exact:
         return cand
-    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # Exact Jaccard over the distinct shingle-HASH sets (identical to
+    # string-shingle Jaccard modulo 64-bit collisions): explode the reused
+    # hash arrays, count per-pair intersections over candidates only.
+    sh = live.select(F.col(id_col), F.explode("hashes").alias("h"))
+    sizes = live.select(F.col(id_col), F.size("hashes").alias("n_sh"))
+    sha = sh.select(F.col(id_col).alias("id_a"), "h")
+    shb = sh.select(F.col(id_col).alias("id_b"), "h")
     common = (
-        cand.join(sha, "id_a").join(shb, ["id_b", "shingle"])
+        cand.join(sha, "id_a").join(shb, ["id_b", "h"])
         .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
     )
     return (
@@ -237,17 +300,24 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
     ])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            hsets = _hash_shingles_np(pdf[text_col].to_numpy(), ngram)
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, hs in enumerate(hsets):
-                if not len(hs):
-                    continue
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                        & np.uint64(1)).astype(np.int64)          # (S, 64)
-                votes = (2 * bits - 1).sum(axis=0)                 # ±1 votes
-                word = np.where(votes > 0, np.uint64(1), np.uint64(0))
-                out[i] = (word << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
+            m = len(pdf)
+            flat, starts, counts = _shingle_hash_segments(
+                pdf[text_col].to_numpy(), ngram)
+            out = np.zeros(m, dtype=np.int64)
+            nonempty = counts > 0
+            if flat.size:
+                # (F, 64) bit matrix for the whole batch, then one
+                # segment-sum per doc — votes = 2·ones − count, no per-doc
+                # loop (round-1 looped per document here).
+                bits = ((flat[:, None] >> shifts[None, :])
+                        & np.uint64(1)).astype(np.int64)
+                ones = np.add.reduceat(bits, starts[nonempty], axis=0)
+                votes = 2 * ones - counts[nonempty, None]
+                words = (np.where(votes > 0, np.uint64(1), np.uint64(0))
+                         << shifts[None, :]).sum(axis=1)
+                out[nonempty] = words.astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": out})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)

@@ -35,6 +35,13 @@ _MAGIC = b"UVMEDIA"
 _FMT = "<7sBIIBII"
 _HEADER_SIZE = struct.calcsize(_FMT)
 KINDS = {0: "image", 1: "audio", 2: "video"}
+# numpy mirror of _FMT ("<" struct packing has no padding; neither does an
+# unaligned structured dtype) — lets a whole batch of headers parse in one
+# frombuffer instead of a per-row struct.unpack.
+_HDR_DTYPE = np.dtype([("magic", "S7"), ("kind", "u1"), ("width", "<u4"),
+                       ("height", "<u4"), ("channels", "u1"),
+                       ("rate", "<u4"), ("nframes", "<u4")])
+assert _HDR_DTYPE.itemsize == _HEADER_SIZE
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("kind", T.StringType()),
@@ -70,15 +77,30 @@ def _codec_decode(kind: str, payload: bytes) -> np.ndarray:
 
 
 def _parse_headers(blobs: pd.Series) -> pd.DataFrame:
-    rows = []
-    for b in blobs:
-        if b is None or len(b) < _HEADER_SIZE or not bytes(b).startswith(_MAGIC):
-            rows.append(("unknown", 0, 0, 0, 0, 0, 0 if b is None else len(b)))
-            continue
-        _, kind, w, h, c, rate, nf = struct.unpack_from(_FMT, bytes(b))
-        rows.append((KINDS.get(kind, "unknown"), w, h, c, rate, nf,
-                     len(b) - _HEADER_SIZE))
-    return pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
+    """Batch header parse: stack every blob's first 25 bytes and decode them
+    with one structured-dtype frombuffer (no per-row struct.unpack)."""
+    raw = [b"" if b is None else bytes(b) for b in blobs]
+    n = len(raw)
+    sizes = np.fromiter((len(r) for r in raw), dtype=np.int64, count=n)
+    long_enough = sizes >= _HEADER_SIZE
+    pad = b"\0" * _HEADER_SIZE
+    stacked = b"".join(r[:_HEADER_SIZE] if len(r) >= _HEADER_SIZE else pad
+                       for r in raw)
+    hdr = np.frombuffer(stacked, dtype=_HDR_DTYPE) if n else np.empty(0, _HDR_DTYPE)
+    valid = long_enough & (hdr["magic"] == _MAGIC)
+    kind_codes = np.where(valid & (hdr["kind"] < len(KINDS)),
+                          hdr["kind"], len(KINDS)).astype(np.int64)
+    kind_names = np.array([KINDS[k] for k in sorted(KINDS)] + ["unknown"])
+    out = pd.DataFrame({
+        "kind": kind_names[kind_codes],
+        "width": np.where(valid, hdr["width"], 0).astype(np.int32),
+        "height": np.where(valid, hdr["height"], 0).astype(np.int32),
+        "channels": np.where(valid, hdr["channels"], 0).astype(np.int32),
+        "sample_rate": np.where(valid, hdr["rate"], 0).astype(np.int32),
+        "n_frames": np.where(valid, hdr["nframes"], 0).astype(np.int32),
+        "payload_bytes": np.where(valid, sizes - _HEADER_SIZE, sizes),
+    })
+    return out
 
 
 def media_features(df: DataFrame, *, id_col: str = "media_id",
@@ -91,19 +113,46 @@ def media_features(df: DataFrame, *, id_col: str = "media_id",
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            n = len(pdf)
             meta = _parse_headers(pdf[blob_col])
-            means = np.zeros(len(pdf))
-            feats = []
-            for i, b in enumerate(pdf[blob_col]):
-                if meta["kind"].iloc[i] == "unknown" or b is None:
-                    feats.append(None)
-                    means[i] = np.nan
-                    continue
-                payload = np.frombuffer(bytes(b), dtype=np.uint8,
-                                        offset=_HEADER_SIZE)
-                means[i] = payload.mean() if len(payload) else np.nan
-                hist = np.bincount(payload >> 5, minlength=feat_dim)[:feat_dim]
-                feats.append((hist / max(len(payload), 1)).astype(np.float32))
+            known = (meta["kind"] != "unknown").to_numpy()
+            means = np.full(n, np.nan)
+            feats: list = [None] * n
+            if known.any():
+                # One flat byte array for the whole batch, then segment
+                # reductions — no per-document numpy calls.
+                payloads = [np.frombuffer(bytes(pdf[blob_col].iloc[i]),
+                                          dtype=np.uint8, offset=_HEADER_SIZE)
+                            for i in np.flatnonzero(known)]
+                lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                                   count=len(payloads))
+                flat = (np.concatenate(payloads) if lens.sum()
+                        else np.empty(0, np.uint8))
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                nonempty = lens > 0
+                sums = np.zeros(len(payloads))
+                if flat.size:
+                    seg_sums = np.add.reduceat(flat.astype(np.int64),
+                                               starts[nonempty])
+                    sums[nonempty] = seg_sums
+                seg_means = np.where(nonempty, sums / np.maximum(lens, 1), np.nan)
+                means[known] = seg_means
+                # Per-doc byte-bucket histogram in one bincount: offset each
+                # byte's bucket by its segment id.
+                if flat.size:
+                    seg_ids = np.repeat(np.arange(len(payloads)), lens)
+                    bucket = flat >> 5
+                    if feat_dim < 8:  # match bincount(...)[:feat_dim] truncation
+                        keep = bucket < feat_dim
+                        seg_ids, bucket = seg_ids[keep], bucket[keep]
+                    hist = np.bincount(seg_ids * feat_dim + bucket,
+                                       minlength=len(payloads) * feat_dim)
+                    hist = hist.reshape(len(payloads), feat_dim)
+                else:
+                    hist = np.zeros((len(payloads), feat_dim), dtype=np.int64)
+                fmat = (hist / np.maximum(lens, 1)[:, None]).astype(np.float32)
+                for j, i in enumerate(np.flatnonzero(known)):
+                    feats[i] = fmat[j]
             out = meta.copy()
             out.insert(0, id_col, pdf[id_col].to_numpy())
             out["mean_intensity"] = means

