@@ -82,6 +82,29 @@ def utf8_decode_udf(s: pd.Series) -> pd.Series:
     return _string_out(out, oo, nulls)
 
 
+UTF8_INFO_SCHEMA = T.StructType([
+    T.StructField("valid", T.BooleanType()),
+    T.StructField("error_offset", T.LongType()),
+    T.StructField("n_repl", T.LongType()),
+    T.StructField("decoded", T.StringType()),
+])
+
+
+@pandas_udf(UTF8_INFO_SCHEMA)
+def utf8_info_udf(s: pd.Series) -> pd.DataFrame:
+    """binary → (valid, first error byte offset, U+FFFD count, decoded
+    text) in one kernel pass — the driver-visible conformance surface."""
+    data, offsets, nulls = _pd_binary_to_buffers(s)
+    valid, err_off, _ = utf8_validate(data, offsets)
+    out, oo, n_repl = utf8_decode_replace(data, offsets)
+    return pd.DataFrame({
+        "valid": pd.Series(np.where(nulls, None, valid), dtype=object),
+        "error_offset": err_off.astype(np.int64),
+        "n_repl": n_repl.astype(np.int64),
+        "decoded": _string_out(out, oo, nulls),
+    })
+
+
 @pandas_udf(T.StringType())
 def detect_bom_udf(s: pd.Series) -> pd.Series:
     from ultraviolet_spark.kernels.transcode import detect_bom
