@@ -34,3 +34,38 @@ def test_param_change_cascades_downstream_only(spark, pages_path, tmp_path):
                                      gap_secs=3600.0)
     assert r == {"text_extracted": True, "features": False,
                  "features_enriched": False}
+
+
+def test_code_change_invalidates_resume(spark, tmp_path):
+    """ADVICE r1: a changed stage implementation must not silently
+    resume a stale checkpoint — the default code_version is derived
+    from the build function's bytecode."""
+    from ultraviolet_spark.plans.snapshots import (
+        ParquetSnapshotFormat,
+        run_stage,
+    )
+
+    fmt = ParquetSnapshotFormat(str(tmp_path / "wh"))
+
+    def build_v1():
+        return spark.range(5).withColumn("y", F.col("id") * 2)
+
+    def build_v2():
+        return spark.range(5).withColumn("y", F.col("id") * 3)
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    _, resumed = run_stage(spark, fmt, "t", "same-inputs", build_v1)
+    assert resumed is False
+    _, resumed = run_stage(spark, fmt, "t", "same-inputs", build_v1)
+    assert resumed is True
+    df, resumed = run_stage(spark, fmt, "t", "same-inputs", build_v2)
+    assert resumed is False  # new bytecode -> recompute
+    assert df.agg(F.sum("y")).first()[0] == 30
+    # explicit code_version overrides the bytecode default
+    _, resumed = run_stage(spark, fmt, "t", "same-inputs", build_v2,
+                           code_version="pinned")
+    assert resumed is False
+    _, resumed = run_stage(spark, fmt, "t", "same-inputs", build_v1,
+                           code_version="pinned")
+    assert resumed is True  # pinned version: body ignored

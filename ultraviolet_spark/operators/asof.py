@@ -55,6 +55,7 @@ def asof_join(
     suffix: str = "_r",
     hot_keys: list | None = None,
     salt: int = 8,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """As-of join; returns all left columns + right ``value_cols``
     (suffixed on collision).  ``direction`` ∈ {backward, forward,
@@ -69,11 +70,22 @@ def asof_join(
     history, so the merge per (key, slice) is exact — verified by
     tests/test_skew.py equality against the unsalted plan.  AQE cannot
     split a cogroup group, so this explicit mechanism is required.
+
+    ``bucket_col``: name of a PRE-MATERIALIZED bucket column present on
+    BOTH sides (written by plans.layout.write_bucketed).  When both
+    inputs scan bucketed tables on that column, the cogroup's required
+    clustering is already satisfied and the as-of plans with ZERO
+    exchanges (asserted in tests/test_layout.py).  Mutually exclusive
+    with ``hot_keys`` (a bucketed layout fixes bucket ids at write
+    time; re-bucket hot keys at ingest instead).
     """
     right_on = right_on or on
     right_by = right_by or by
+    if bucket_col is not None and hot_keys:
+        raise ValueError("bucket_col and hot_keys are mutually exclusive")
     if value_cols is None:
-        value_cols = [c for c in right.columns if c not in (right_on, right_by)]
+        value_cols = [c for c in right.columns
+                      if c not in (right_on, right_by, bucket_col)]
     num_buckets = num_buckets or max(
         left.sparkSession.sparkContext.defaultParallelism * 4, 8
     )
@@ -100,8 +112,13 @@ def asof_join(
     # shared lineage; merge() renames them back first thing.
     rsel = [right_by, right_on] + value_cols
     unalias = {f"__uvr_{i}": c for i, c in enumerate(rsel)}
-    right = right.select(
-        *[F.col(c).alias(f"__uvr_{i}") for i, c in enumerate(rsel)])
+    ralias = [F.col(c).alias(f"__uvr_{i}") for i, c in enumerate(rsel)]
+    if bucket_col is not None:
+        # carry the pre-materialized bucket through the re-alias; naming
+        # it _BUCKET here means no further withColumn (which would break
+        # the alias-preserved hashpartitioning) is needed below
+        ralias.append(F.col(bucket_col).alias(_BUCKET))
+    right = right.select(*ralias)
     r_by, r_on = "__uvr_0", "__uvr_1"
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -156,6 +173,9 @@ def asof_join(
             _BUCKET,
             F.pmod(F.xxhash64(F.col(r_by), F.col("__uv_salt")), F.lit(num_buckets)),
         ).drop("__uv_salt")
+    elif bucket_col is not None:
+        lb = left.withColumn(_BUCKET, F.col(bucket_col))
+        rb = right  # _BUCKET already aliased in the re-alias select
     else:
         lb = left.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(by)), F.lit(num_buckets)))
         rb = right.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(r_by)), F.lit(num_buckets)))

@@ -1,0 +1,88 @@
+"""Physical-layout writers (SURVEY.md §2.7; VERDICT r1 missing #7/#9).
+
+Two materialized layouts:
+
+* ``write_bucketed`` — Spark-native bucketing (``bucketBy`` +
+  ``sortBy`` + ``saveAsTable``): N hash buckets on a key column, rows
+  sorted within each bucket file.  A scan of the table reports
+  ``hashpartitioning(key, N)``, so every downstream ``groupBy(key)``,
+  equi-join on key, window ``partitionBy(key)`` and — via
+  ``asof_join(bucket_col=...)`` — the flagship as-of cogroup plans with
+  ZERO exchanges (asserted in tests/test_layout.py).  This is the
+  Iceberg ``bucket(N, url)`` partition transform's local equivalent; on
+  a cluster the same DataFrame goes through ``writeTo(...).partitionedBy
+  (bucket(N, col))``.
+
+* ``write_range_sorted`` — ``repartitionByRange`` +
+  ``sortWithinPartitions`` + parquet: totally-ordered files with
+  non-overlapping key ranges.  Re-reads don't advertise partitioning
+  (plain parquet has no metastore entry) but parquet min/max row-group
+  stats make key-range predicates skip whole files — the layout for
+  time-range-scanned archives.
+
+At 100 TB: bucket count should be sized so one bucket ≈ ≤1 GB
+(N ≈ table_bytes / 1e9 rounded to a power of two); both writers are one
+full shuffle — the point is to pay it ONCE at ingest so the as-of /
+window / join pipeline that runs daily pays none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Name of the materialized bucket column written by write_bucketed and
+# consumed by asof_join(bucket_col=...).
+BUCKET_COL = "uv_bucket"
+
+
+def add_bucket_column(df: DataFrame, by: str, num_buckets: int,
+                      bucket_col: str = BUCKET_COL) -> DataFrame:
+    """Materialize the engine's as-of bucket id (pmod(xxhash64(by), N))
+    as a real column — the SAME expression asof_join computes on the
+    fly, so a table bucketed on this column feeds the cogroup with no
+    exchange and identical group boundaries."""
+    return df.withColumn(
+        bucket_col, F.pmod(F.xxhash64(F.col(by)), F.lit(num_buckets)))
+
+
+def write_bucketed(df: DataFrame, table: str, *, by: str = "url",
+                   ts: str = "warc_ts", num_buckets: int = 32,
+                   bucket_col: str = BUCKET_COL,
+                   path: str | None = None) -> None:
+    """Materialize the url-bucket / (bucket, key, ts)-sorted layout the
+    as-of path assumes.  Buckets on the precomputed ``bucket_col`` so
+    the scan's hashpartitioning matches the cogroup's grouping key
+    exactly; sorts within buckets by (key, ts) so per-key history is
+    contiguous and in time order on disk.  ``path`` makes it an
+    external table (warehouse.dir is a static conf)."""
+    w = (add_bucket_column(df, by, num_buckets, bucket_col)
+         .write.mode("overwrite")
+         .bucketBy(num_buckets, bucket_col)
+         .sortBy(bucket_col, by, ts)
+         .format("parquet"))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Scan a write_bucketed table; the plan carries
+    hashpartitioning(bucket_col, N) — downstream key-clustered operators
+    plan exchange-free (requires spark.sql.sources.bucketing.enabled,
+    default true)."""
+    return spark.table(table)
+
+
+def write_range_sorted(df: DataFrame, path: str, *, range_by: list[str],
+                       sort_by: list[str] | None = None,
+                       num_partitions: int | None = None) -> None:
+    """§2.7 range-partitioned sort: global order across files (file k's
+    max key ≤ file k+1's min key), rows sorted within each file.  One
+    range exchange (sampled boundaries) + local sort."""
+    sort_by = sort_by or range_by
+    parts = [F.col(c) for c in range_by]
+    rp = (df.repartitionByRange(num_partitions, *parts) if num_partitions
+          else df.repartitionByRange(*parts))
+    (rp.sortWithinPartitions(*[F.col(c) for c in sort_by])
+     .write.mode("overwrite").parquet(path))

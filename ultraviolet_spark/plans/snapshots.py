@@ -195,13 +195,30 @@ class IcebergFormat:
 
 def run_stage(spark: SparkSession, fmt: ParquetSnapshotFormat, table: str,
               inputs_fp: str, build: Callable[[], DataFrame], *,
-              stage: str | None = None) -> tuple[DataFrame, bool]:
+              stage: str | None = None,
+              code_version: str | None = None) -> tuple[DataFrame, bool]:
     """Checkpointed stage: returns (df, resumed).  ``resumed`` is True
     when a snapshot with the same input fingerprint already existed and
-    the build function was skipped entirely."""
+    the build function was skipped entirely.
+
+    The resume key mixes ``code_version`` into the fingerprint so a
+    changed stage implementation does NOT silently resume a stale
+    checkpoint (ADVICE r1).  By default it is derived from ``build``'s
+    bytecode + consts — edits to the stage function invalidate its
+    snapshots automatically; pass an explicit version string when the
+    stage delegates to code the closure can't see.
+    """
     stage = stage or table
-    snap = fmt.find(table, inputs_fp)
+    if code_version is None:
+        code = getattr(build, "__code__", None)
+        code_version = fingerprint(
+            code.co_code if code else repr(build),
+            repr(code.co_consts) if code else "")
+    key = fingerprint(inputs_fp, code_version)
+    snap = fmt.find(table, key)
     if snap is not None:
         return fmt.read(spark, table, snap.snapshot_id), True
-    fmt.write(build(), table, stage=stage, inputs_fp=inputs_fp)
-    return fmt.read(spark, table), False
+    written = fmt.write(build(), table, stage=stage, inputs_fp=key)
+    # read back by the id we just wrote — never "latest", which could be
+    # a concurrent writer's snapshot in a shared warehouse (ADVICE r1)
+    return fmt.read(spark, table, written.snapshot_id), False
