@@ -64,3 +64,85 @@ def test_streaming_sessions_on_memory_sink(spark, sf_dir, tmp_path):
     assert got["n"] > 0
     assert got["rows"] <= src.count()
     assert got["n"] <= batch.count()
+
+
+def _file_stream(spark, tmp_path, src_path, name):
+    srcdir = tmp_path / f"in_{name}"
+    srcdir.mkdir()
+    (srcdir / "part.parquet").symlink_to(src_path)
+    schema = spark.read.parquet(src_path).schema
+    return spark.readStream.schema(schema).format("parquet").load(str(srcdir))
+
+
+def _run_to_memory(out, name, tmp_path, mode="append"):
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    from ultraviolet_spark.streaming.stateful import streaming_dedup
+
+    src = f"{sf_dir}/events.parquet"
+    stream = _file_stream(spark, tmp_path, src, "dedup")
+    # duplicate every event by unioning the stream with itself
+    out = streaming_dedup(stream.union(stream), key_cols=["event_id"],
+                          ts_col="ts", watermark="1 hour")
+    _run_to_memory(out, "uv_dedup", tmp_path)
+    got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d "
+                    "FROM uv_dedup").head()
+    n_src = spark.read.parquet(src).count()
+    assert got["n"] == got["d"] == n_src
+
+
+def test_streaming_tumbling_counts_match_batch(spark, sf_dir, tmp_path):
+    from ultraviolet_spark.streaming.stateful import streaming_windowed_counts
+
+    src = f"{sf_dir}/events.parquet"
+    stream = _file_stream(spark, tmp_path, src, "tumble")
+    out = streaming_windowed_counts(stream, size="6 hours",
+                                    watermark="1 minute")
+    _run_to_memory(out, "uv_tumble", tmp_path)
+    batch = spark.read.parquet(src)
+    want = (batch.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n"))
+    got = spark.sql("SELECT window_start, event_type, n FROM uv_tumble")
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    # availableNow's final watermark closes every window except possibly
+    # the last horizon; windows emitted must match batch exactly
+    assert a == [r for r in b if r in set(a)]
+    assert len(a) >= len(b) - len(set(t for _, t, _ in b))
+
+
+def test_streaming_crawl_progress_matches_batch_lag(spark, pages_path, tmp_path):
+    from ultraviolet_spark.streaming.stateful import streaming_crawl_progress
+
+    pages = spark.read.parquet(pages_path)
+    feats = pages.select("url", "warc_ts",
+                         F.length("text").cast("long").alias("text_len"))
+    outdir = tmp_path / "feats_out"
+    feats.coalesce(1).write.parquet(str(outdir))
+    # symlink the PART FILE: the file-stream source won't traverse a
+    # symlinked directory
+    part = next(outdir.glob("part-*.parquet"))
+    stream = _file_stream(spark, tmp_path, str(part), "crawl")
+    out = streaming_crawl_progress(stream)
+    _run_to_memory(out, "uv_crawl", tmp_path, mode="append")
+    got = spark.sql(
+        "SELECT url, warc_ts, text_len, crawl_no, len_delta FROM uv_crawl")
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    want = (feats
+            .withColumn("crawl_no", F.row_number().over(w).cast("long"))
+            .withColumn("len_delta",
+                        (F.col("text_len")
+                         - F.coalesce(F.lag("text_len").over(w),
+                                      F.col("text_len"))).cast("long")))
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.select(got.columns).collect()))
+    assert a == b

@@ -1,0 +1,115 @@
+"""Stateful Structured-Streaming operators (SURVEY.md §2.8 rows that
+were absent in round 1: watermarked dedup, tumbling/sliding windowed
+aggregation on streams, and a custom applyInPandasWithState operator).
+
+All functions accept batch OR streaming DataFrames where Spark allows
+it; the stateful ones require a streaming input.  Scale notes: state
+lives in the executor state store keyed by the grouping key — uniform
+keys (event ids, urls) shard evenly across state-store partitions; the
+watermark bounds state size (expired keys are evicted), which is what
+makes these safe on an unbounded 10^12-row stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def streaming_dedup(stream: DataFrame, *, key_cols: list[str],
+                    ts_col: str = "ts",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    within the watermark horizon, so duplicates arriving later than the
+    watermark are the caller's late-data policy, and state never grows
+    past one horizon's worth of keys."""
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (stream.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))
+
+
+def streaming_windowed_counts(stream: DataFrame, *, ts_col: str = "ts",
+                              key: str = "event_type",
+                              size: str = "6 hours",
+                              slide: str | None = None,
+                              watermark: str = "6 hours") -> DataFrame:
+    """Watermarked tumbling (or sliding, when ``slide`` is given)
+    window counts — the streaming twin of batch q48/q49."""
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    w = (F.window(ts_col, size, slide) if slide else F.window(ts_col, size))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), key, "n")
+    )
+
+
+CRAWL_STATE_SCHEMA = T.StructType([
+    T.StructField("n_crawls", T.LongType()),
+    T.StructField("last_len", T.LongType()),
+])
+
+CRAWL_OUT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("text_len", T.LongType()),
+    T.StructField("crawl_no", T.LongType()),
+    T.StructField("len_delta", T.LongType()),
+])
+
+
+def streaming_crawl_progress(stream: DataFrame, *, by: str = "url",
+                             ts_col: str = "warc_ts",
+                             len_col: str = "text_len",
+                             watermark: str = "1 day") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per url,
+    a running crawl counter and the length delta vs the previous crawl
+    (the streaming incarnation of the batch lag/backfill features).
+
+    State per key is two longs — O(#live urls) in the state store; the
+    per-batch work is vectorized pandas over each key's micro-batch
+    rows.  Rows inside one micro-batch are processed in event-time
+    order; ordering ACROSS micro-batches is the source's arrival order,
+    as for every Spark stateful operator."""
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        n, last = state.get() if state.exists else (0, -1)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            lens = pdf[len_col].astype("int64")
+            prev = lens.shift(1)
+            prev.iloc[0] = last if n else lens.iloc[0]
+            out = pd.DataFrame({
+                "url": pdf[by],
+                "warc_ts": pdf[ts_col],
+                "text_len": lens,
+                "crawl_no": n + pd.RangeIndex(1, len(pdf) + 1),
+                "len_delta": (lens - prev.astype("int64")),
+            })
+            n += len(pdf)
+            last = int(lens.iloc[-1])
+            yield out
+        state.update((n, last))
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(by)
+        .applyInPandasWithState(
+            update,
+            outputStructType=CRAWL_OUT_SCHEMA,
+            stateStructType=CRAWL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
