@@ -38,6 +38,7 @@ def feature_vector(
     by: str = "url",
     order: str = "warc_ts",
     gap_secs: float = SESSION_GAP_SECS_DEFAULT,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """text_extracted → features (SURVEY.md §1.2 schema).  All window
     frames end at currentRow — no temporal leakage."""
@@ -57,7 +58,7 @@ def feature_vector(
         "obs_len", F.when(F.col("valid_utf8"), F.col("text_len"))
     )
     f = with_ffill(f, "obs_len", by=by, order=order, out="text_len_ffill")
-    return f.select(*FEATURE_COLS)
+    return f.select(*FEATURE_COLS, *extra_cols)
 
 
 def compute_features(pages: DataFrame, **kwargs) -> DataFrame:

@@ -1002,6 +1002,48 @@ def q49(spark, sf_dir):
     )
 
 
+import os as _os  # noqa: E402
+
+_FIXTURES_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "fixtures")
+
+_Q51_HIST = ", ".join(
+    f"list_extract(cp_hist, {i + 1}) AS h{i}" for i in range(11))
+
+
+@q("q51_flagship_vs_golden", f"""
+SELECT url, warc_ts, text_len, lang, lang_stable_lag1, lang_stable_lag2,
+  round(gap_secs, 6) AS gap_secs, session_id,
+  CAST(text_len_lag1 AS DOUBLE) AS text_len_lag1,
+  CAST(text_len_ffill AS DOUBLE) AS text_len_ffill,
+  text, {_Q51_HIST}
+FROM read_parquet('{_FIXTURES_DIR}/features_golden.parquet')
+""")
+def q51(spark, sf_dir):
+    """The flagship end-to-end (BOM-sniff decode → extract → window
+    features) vs the committed golden fixture computed by the
+    INDEPENDENT sequential pandas oracle over the same committed pages
+    (fixtures/materialize_features_golden.py).  Driver-visible evidence
+    for the north_rule's 'feature vectors allclose + byte-identical
+    text' — `text` is compared verbatim."""
+    from ultraviolet_spark.functions.udfs import extract_stage
+    from ultraviolet_spark.pipeline import feature_vector
+
+    pages = spark.read.parquet(f"{_FIXTURES_DIR}/pages_golden.parquet")
+    f = feature_vector(extract_stage(pages, with_features=True),
+                       extra_cols=("text",))
+    return f.select(
+        "url", "warc_ts", "text_len", "lang",
+        "lang_stable_lag1", "lang_stable_lag2",
+        F.round("gap_secs", 6).alias("gap_secs"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("text_len_lag1").cast("double").alias("text_len_lag1"),
+        F.col("text_len_ffill").cast("double").alias("text_len_ffill"),
+        "text",
+        *[F.element_at("cp_hist", i + 1).alias(f"h{i}") for i in range(11)],
+    )
+
+
 @q("q50_embed_near_dup_lsh", None)  # probabilistic recall → rows-only
 def q50(spark, sf_dir):
     """The 100 TB embedding-dedup path (VERDICT r1 weak #5): LSH-bucketed
