@@ -198,32 +198,39 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
         return np.empty(0, dtype=_U8), empty_off
 
     # ---- stage 3: entities on s ----------------------------------------
-    ent_pos, ent_cpv, ent_stop = _parse_entities(s.astype(np.int16), s_row_end)
+    # gate on a single compare pass: batches with no '&' at all (most
+    # real crawl batches) skip the int16 copy + entity scan entirely
+    if (s == 0x26).any():
+        ent_pos, ent_cpv, ent_stop = _parse_entities(s.astype(np.int16), s_row_end)
+    else:
+        ent_pos = ent_cpv = ent_stop = np.empty(0, dtype=np.int64)
 
-    consumed = np.zeros(len(s), dtype=bool)
-    if len(ent_pos):
+    have_ents = bool(len(ent_pos))
+    if have_ents:
         d2 = np.zeros(len(s) + 1, dtype=np.int64)
         np.add.at(d2, ent_pos + 1, 1)                   # body after '&'
         np.add.at(d2, ent_stop, -1)
         consumed = np.cumsum(d2[:len(s)]) > 0
         consumed[ent_pos] = False                        # '&' itself emits
-
-    # int32 indices throughout (a batch is < 2 GiB by construction) —
-    # the unit stage is pure memory traffic, so index width is the cost
-    unit_idx = np.flatnonzero(~consumed).astype(np.int32)
-    U = len(unit_idx)
+        # int32 indices throughout (a batch is < 2 GiB by construction) —
+        # the unit stage is pure memory traffic, so index width is the cost
+        unit_idx = np.flatnonzero(~consumed).astype(np.int32)
+        U = len(unit_idx)
+        ubyte = s[unit_idx]  # stays uint8
+    else:
+        # every byte is a unit: skip the flatnonzero + gathers (three
+        # full-array passes of pure memory traffic)
+        U = len(s)
+        ubyte = s
     if U == 0:
         return np.empty(0, dtype=_U8), empty_off
 
-    is_ent = np.zeros(U, dtype=bool)
-    have_ents = bool(len(ent_pos))
     if have_ents:
+        is_ent = np.zeros(U, dtype=bool)
         loc = np.searchsorted(unit_idx, ent_pos)
         is_ent[loc] = True
         unit_cp = np.full(U, -1, dtype=np.int64)
         unit_cp[loc] = ent_cpv
-
-    ubyte = s[unit_idx]  # stays uint8
 
     def _ws_mask(a: np.ndarray) -> np.ndarray:
         # explicit ORs — np.isin is sort-based and dominates the whole
@@ -235,7 +242,7 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
         u_is_ws = (u_is_ws & ~is_ent) | (is_ent & _ws_mask(unit_cp))
 
     # ---- stages 4+5: collapse + strip over the unit sequence -----------
-    urow = s_row[unit_idx]
+    urow = s_row[unit_idx] if have_ents else s_row
     new_row = np.zeros(U, dtype=bool)
     new_row[0] = True
     new_row[1:] = urow[1:] != urow[:-1]
@@ -244,29 +251,44 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
     prev_ws[new_row] = False
     ws_keep = u_is_ws & ~prev_ws
 
+    # Per-row first/last non-ws WITHOUT a per-unit row_seq cumsum +
+    # gather (the two slowest passes of round 1's formulation): the
+    # sorted non-ws position list + a searchsorted against the 500-ish
+    # row starts gives the bounds, and np.repeat broadcasts them back.
     uidx = np.arange(U, dtype=np.int32)
     row_unit_starts = np.flatnonzero(new_row)
-    nonws = np.where(~u_is_ws, uidx, -1)
-    last_nonws = np.maximum.reduceat(nonws, row_unit_starts)
-    firstws = np.where(~u_is_ws, uidx, U + 1)
-    first_nonws = np.minimum.reduceat(firstws, row_unit_starts)
-    row_seq = (np.cumsum(new_row, dtype=np.int32) - 1)
-    ws_keep &= (uidx > first_nonws[row_seq]) & (uidx < last_nonws[row_seq])
+    nw = np.flatnonzero(~u_is_ws)                       # sorted non-ws positions
+    seg_bounds = np.append(row_unit_starts, U)
+    seg_len = np.diff(seg_bounds)
+    if len(nw):
+        lo = np.searchsorted(nw, seg_bounds[:-1])       # per row: first nw idx
+        hi = np.searchsorted(nw, seg_bounds[1:]) - 1    # per row: last nw idx
+        has_nw = lo <= hi
+        first_nonws = np.where(has_nw, nw[np.minimum(lo, len(nw) - 1)],
+                               U + 1).astype(np.int32)
+        last_nonws = np.where(has_nw, nw[np.maximum(hi, 0)], -1).astype(np.int32)
+        ws_keep &= (uidx > np.repeat(first_nonws, seg_len)) \
+            & (uidx < np.repeat(last_nonws, seg_len))
+    else:
+        ws_keep[:] = False                              # all-whitespace batch
+
+    if not have_ents:
+        # fast splice: every emitted unit is exactly one byte — scatter
+        # spaces in place, one compress, offsets via per-ROW emit sums
+        # (reduceat over ~500 segments, not a 5M-element cumsum)
+        emit = ~u_is_ws | ws_keep
+        w = ubyte.copy()
+        w[ws_keep] = 0x20
+        out = w[emit]
+        counts = np.zeros(n, dtype=_I64)
+        counts[urow[row_unit_starts]] = np.add.reduceat(
+            emit, row_unit_starts, dtype=_I64)
+        out_offsets = np.zeros(n + 1, dtype=_I64)
+        np.cumsum(counts, out=out_offsets[1:])
+        return out, out_offsets
 
     unit_row_counts = np.bincount(urow, minlength=n)
     row_unit_end = np.cumsum(unit_row_counts)
-
-    if not have_ents:
-        # fast splice: every emitted unit is exactly one byte — a single
-        # compress of (ws→space) values, offsets via per-row emit counts
-        emit = ~u_is_ws | ws_keep
-        out = np.where(ws_keep, _U8(0x20), ubyte)[emit]
-        emitted = np.cumsum(emit, dtype=_I64)
-        out_offsets = np.zeros(n + 1, dtype=_I64)
-        nz = row_unit_end > 0
-        out_offsets[1:][nz] = emitted[row_unit_end[nz] - 1]
-        np.maximum.accumulate(out_offsets, out=out_offsets)
-        return out, out_offsets
 
     # ---- general splice (entities present) ------------------------------
     out_len = np.zeros(U, dtype=np.int32)
