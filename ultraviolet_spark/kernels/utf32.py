@@ -16,6 +16,9 @@ _I64 = np.int64
 def utf32_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bool = False):
     """Returns (cp_u32, cp_offsets_i64, n_repl_i64_per_row)."""
     n = len(offsets) - 1
+    if n == 0:
+        z = np.zeros(0, dtype=_I64)
+        return np.empty(0, dtype=np.uint32), np.zeros(1, dtype=_I64), z
     lengths = np.diff(offsets)
     nunits = lengths // 4
     trailing = (lengths & 3) > 0
@@ -46,12 +49,11 @@ def utf32_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bo
     cp[fffd_tail] = 0xFFFD
 
     emit = ~sentinel | fffd_tail
-    cp_off = np.zeros(len(u) + 1, dtype=_I64)
-    np.cumsum(emit, out=cp_off[1:])
-    out_offsets = cp_off[unit_starts]
+    # boundary-only offsets via per-row reduceat sums (see utf16.py note)
+    out_offsets = np.zeros(len(unit_starts), dtype=_I64)
+    np.cumsum(np.add.reduceat(emit, unit_starts[:-1], dtype=_I64),
+              out=out_offsets[1:])
 
     repl = invalid | fffd_tail
-    c = np.zeros(len(u) + 1, dtype=_I64)
-    np.cumsum(repl, out=c[1:])
-    n_repl = np.diff(c[unit_starts])
+    n_repl = np.add.reduceat(repl, unit_starts[:-1], dtype=_I64)
     return cp[emit], out_offsets, n_repl

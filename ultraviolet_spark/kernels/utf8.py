@@ -109,10 +109,12 @@ def _analyze(b: np.ndarray):
 
 
 def _per_row_counts(mask: np.ndarray, row_starts: np.ndarray) -> np.ndarray:
-    """Count True per row given padded row-start offsets (n+1 entries)."""
-    c = np.zeros(len(mask) + 1, dtype=_I64)
-    np.cumsum(mask, out=c[1:])
-    return np.diff(c[row_starts])
+    """Count True per row given padded row-start offsets (n+1 entries).
+    Segment sums via reduceat — a full-array bool→int64 cumsum is the
+    single slowest numpy op in the decode chain (measured r2)."""
+    if len(row_starts) <= 1:
+        return np.zeros(0, dtype=_I64)
+    return np.add.reduceat(mask, row_starts[:-1], dtype=_I64)
 
 
 def utf8_validate(data: np.ndarray, offsets: np.ndarray):
@@ -176,9 +178,12 @@ def _codepoints_core(b8: np.ndarray, row_starts: np.ndarray, m: dict):
     sentinel = np.zeros(len(b8), dtype=bool)
     sentinel[row_starts[1:] - 1] = True
 
-    cp = np.zeros(len(b8), dtype=np.int32)
+    # bulk byte→u32 conversion: ASCII positions (the vast majority) are
+    # already correct, multi-byte leads and U+FFFD get sparse overwrites;
+    # covered/sentinel positions hold garbage but are never emitted.
+    # (round 1's cp[a] = b8[a] paid two dense masked passes instead.)
+    cp = b8.astype(np.uint32)
     a = m["ascii"] & ~sentinel
-    cp[a] = b8[a]
     i2 = np.flatnonzero(m["v2"])
     if len(i2):
         cp[i2] = ((b8[i2].astype(np.int32) & 0x1F) << 6) | (b8[i2 + 1] & 0x3F)
@@ -196,10 +201,12 @@ def _codepoints_core(b8: np.ndarray, row_starts: np.ndarray, m: dict):
     cp[m["fffd"]] = 0xFFFD
 
     emit = a | m["v2"] | m["v3"] | m["v4"] | m["fffd"]
-    cp_offsets = np.zeros(len(b8) + 1, dtype=_I64)
-    np.cumsum(emit, out=cp_offsets[1:])
-    out = cp[emit].astype(np.uint32)
-    return out, cp_offsets[row_starts]
+    # offsets only matter at the n+1 row boundaries: per-row reduceat
+    # sums + a tiny cumsum instead of a full-array bool→int64 cumsum
+    out_off = np.zeros(len(row_starts), dtype=_I64)
+    np.cumsum(np.add.reduceat(emit, row_starts[:-1], dtype=_I64),
+              out=out_off[1:])
+    return cp[emit], out_off
 
 
 def utf8_to_codepoints(data: np.ndarray, offsets: np.ndarray):
