@@ -178,21 +178,37 @@ def frame_sample(df: DataFrame, *, every_n: int = 10, id_col: str = "media_id",
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, nos, frames = [], [], []
             meta = _parse_headers(pdf[blob_col])
-            for i, b in enumerate(pdf[blob_col]):
-                if meta["kind"].iloc[i] != "video":
-                    continue
-                w, h, c = (int(meta[k].iloc[i]) for k in ("width", "height", "channels"))
-                fsz = w * h * c
-                nf = int(meta["n_frames"].iloc[i])
-                raw = bytes(b)[_HEADER_SIZE:]
-                for f in range(0, nf, every_n):
-                    ids.append(pdf[id_col].iloc[i])
-                    nos.append(f)
-                    frames.append(raw[f * fsz:(f + 1) * fsz])
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
-                                "frame_no": pd.Series(nos, dtype="int32"),
-                                "frame": frames})
+            vid = (meta["kind"] == "video").to_numpy()
+            if not vid.any():
+                yield pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                    "frame_no": pd.Series([], dtype="int32"),
+                                    "frame": []})
+                continue
+            vi = np.flatnonzero(vid)
+            payloads = [bytes(pdf[blob_col].iloc[i])[_HEADER_SIZE:] for i in vi]
+            plen = np.fromiter(map(len, payloads), dtype=np.int64,
+                               count=len(payloads))
+            pstart = np.concatenate(([0], np.cumsum(plen)[:-1]))
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            fsz = (meta["width"].to_numpy(np.int64)[vi]
+                   * meta["height"].to_numpy(np.int64)[vi]
+                   * meta["channels"].to_numpy(np.int64)[vi])
+            # sampled frame numbers per video, all index math vectorized
+            n_samp = (meta["n_frames"].to_numpy(np.int64)[vi]
+                      + every_n - 1) // every_n
+            vrep = np.repeat(np.arange(len(vi)), n_samp)
+            fno = (np.arange(n_samp.sum(), dtype=np.int64)
+                   - np.repeat(np.concatenate(([0], np.cumsum(n_samp)[:-1])),
+                               n_samp)) * every_n
+            starts = pstart[vrep] + fno * fsz[vrep]
+            ends = np.minimum(starts + fsz[vrep], pstart[vrep] + plen[vrep])
+            frames = [flat[s:e].tobytes() for s, e in zip(starts, ends)]
+            yield pd.DataFrame({
+                id_col: pd.Series(
+                    pdf[id_col].to_numpy()[vi][vrep], dtype="int64"),
+                "frame_no": pd.Series(fno, dtype="int32"),
+                "frame": frames,
+            })
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema=schema)

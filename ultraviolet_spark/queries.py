@@ -934,20 +934,24 @@ def q46(spark, sf_dir):
 WITH a AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
      b AS (SELECT o_orderpriority, o_custkey FROM orders WHERE o_totalprice > 200000),
      c AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_custkey % 3 = 0),
+     d AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'P'),
      u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b),
-     i AS (SELECT * FROM u INTERSECT ALL SELECT * FROM c)
-SELECT o_orderpriority, COUNT(*) AS n FROM i GROUP BY o_orderpriority
+     i AS (SELECT * FROM u INTERSECT ALL SELECT * FROM c),
+     e AS (SELECT * FROM i EXCEPT ALL SELECT * FROM d)
+SELECT o_orderpriority, COUNT(*) AS n FROM e GROUP BY o_orderpriority
 """)
 def q47(spark, sf_dir):
-    """unionByName (schema-aligned union) + intersectAll (multiset
-    intersection, duplicate multiplicity preserved) — §2.7 set ops."""
+    """unionByName (schema-aligned union) + intersectAll + exceptAll
+    (multiset semantics, duplicate multiplicity preserved) — §2.7 set
+    ops."""
     o = _t(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey", "o_orderpriority")
     b = (o.filter(F.col("o_totalprice") > 200000)
          .select("o_orderpriority", "o_custkey"))  # reversed order on purpose
     c = o.filter(F.col("o_custkey") % 3 == 0).select("o_custkey", "o_orderpriority")
+    d = o.filter(F.col("o_orderstatus") == "P").select("o_custkey", "o_orderpriority")
     u = a.unionByName(b)
-    return (u.intersectAll(c)
+    return (u.intersectAll(c).exceptAll(d)
             .groupBy("o_orderpriority").agg(F.count("*").alias("n")))
 
 
