@@ -106,3 +106,29 @@ def test_range_sorted_write_skips_files(spark, pages_path, tmp_path):
              .orderBy("lo").collect())
     for prev, cur in zip(stats, stats[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_flagship_over_bucketed_zero_exchanges(spark, pages_path, tmp_path_factory):
+    """The 100 TB shape: extract once at ingest, write text_extracted
+    bucketed, then the ENTIRE feature + as-of pipeline plans with zero
+    exchanges — and matches the unbucketed flagship's results."""
+    from ultraviolet_spark.functions.udfs import extract_stage
+    from ultraviolet_spark.pipeline import flagship_enriched, flagship_over_bucketed
+
+    pages = spark.read.parquet(pages_path)
+    te = extract_stage(pages, with_features=True)
+    wh = tmp_path_factory.mktemp("flagship_bucketed")
+    write_bucketed(te, "te_bucketed", by="url", ts="warc_ts",
+                   num_buckets=8, path=str(wh / "te_bucketed"))
+    try:
+        out = flagship_over_bucketed(spark, "te_bucketed")
+        plan = _plan(out)
+        assert ") Exchange" not in plan, plan
+
+        cols = ["url", "warc_ts", "text_len", "session_id",
+                "text_len_ffill", "first_text_len"]
+        got = sorted(map(tuple, out.select(cols).collect()))
+        want = sorted(map(tuple, flagship_enriched(pages).select(cols).collect()))
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS te_bucketed")

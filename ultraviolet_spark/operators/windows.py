@@ -13,9 +13,15 @@ from pyspark.sql import functions as F
 SESSION_GAP_SECS_DEFAULT = 24 * 3600.0  # G = 24h (FIXTURES.md §1)
 
 
-def _w(by: str, order: str, tiebreak: str | None = None):
+def _w(by, order: str, tiebreak: str | None = None):
+    """``by`` may be a column name or a list of names.  Prepending a
+    materialized bucket column (plans.layout.BUCKET_COL) to the entity
+    key keeps the window semantically identical (bucket = f(key)) while
+    letting a bucketed-table scan satisfy the clustering requirement —
+    zero exchanges (tests/test_layout.py)."""
+    keys = [by] if isinstance(by, str) else list(by)
     cols = [order] if tiebreak is None else [order, tiebreak]
-    return Window.partitionBy(by).orderBy(*cols)
+    return Window.partitionBy(*keys).orderBy(*cols)
 
 
 def with_lags(df: DataFrame, cols: list[str], *, by: str = "url",

@@ -39,26 +39,36 @@ def feature_vector(
     order: str = "warc_ts",
     gap_secs: float = SESSION_GAP_SECS_DEFAULT,
     extra_cols: tuple[str, ...] = (),
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """text_extracted → features (SURVEY.md §1.2 schema).  All window
-    frames end at currentRow — no temporal leakage."""
+    frames end at currentRow — no temporal leakage.
+
+    ``bucket_col``: name of a materialized bucket column (written by
+    plans.layout.write_bucketed).  Windows then partition by
+    (bucket, key) — semantically identical since bucket = f(key) — so a
+    bucketed-table scan satisfies the clustering requirement and the
+    whole feature stage plans with ZERO exchanges (tests/test_layout.py).
+    """
     f = text_extracted
+    keys = by if bucket_col is None else [bucket_col, by]
     # skip per-row feature UDFs when the extract stage already fused
     # them into its kernel pass (with_features=True)
     if "text_len" not in f.columns:
         f = f.withColumn("text_len", F.length("text").cast("long"))
     if "cp_hist" not in f.columns:
         f = f.withColumn("cp_hist", cp_class_hist_udf("text"))
-    f = with_lang_stability(f, by=by, order=order)
-    f = sessionize(f, by=by, order=order, gap_secs=gap_secs)
-    f = with_lags(f, ["text_len"], by=by, order=order)
+    f = with_lang_stability(f, by=keys, order=order)
+    f = sessionize(f, by=keys, order=order, gap_secs=gap_secs)
+    f = with_lags(f, ["text_len"], by=keys, order=order)
     # forward-fill of the last *cleanly decoded* length: rows whose html
     # needed replacements observe null and inherit the last clean value.
     f = f.withColumn(
         "obs_len", F.when(F.col("valid_utf8"), F.col("text_len"))
     )
-    f = with_ffill(f, "obs_len", by=by, order=order, out="text_len_ffill")
-    return f.select(*FEATURE_COLS, *extra_cols)
+    f = with_ffill(f, "obs_len", by=keys, order=order, out="text_len_ffill")
+    bucket_extra = () if bucket_col is None else (bucket_col,)
+    return f.select(*FEATURE_COLS, *bucket_extra, *extra_cols)
 
 
 def compute_features(pages: DataFrame, **kwargs) -> DataFrame:
@@ -87,6 +97,30 @@ def flagship_enriched(pages: DataFrame, **kwargs) -> DataFrame:
         "url", "warc_ts", F.col("text_len").alias("first_text_len"))
     return enrich_asof(features, src, on="warc_ts", by="url",
                        value_cols=["first_text_len"])
+
+
+def flagship_over_bucketed(spark, table: str, **kwargs) -> DataFrame:
+    """The flagship feature + as-of pipeline over a ``write_bucketed``
+    text_extracted table — ZERO exchanges end-to-end (plan-asserted in
+    tests/test_layout.py).
+
+    This is the 100 TB production shape: transcode+extract is
+    shuffle-free row-parallel work paid once at ingest, the bucketed
+    (uv_bucket / url, warc_ts-sorted) layout is written once, and every
+    subsequent feature/as-of run over it shuffles NOTHING — windows
+    partition by (bucket, key) and the as-of cogroup consumes the
+    materialized bucket directly."""
+    from ultraviolet_spark.operators.windows import dedup_latest
+    from ultraviolet_spark.plans.layout import BUCKET_COL, read_bucketed
+
+    te = read_bucketed(spark, table)
+    features = feature_vector(te, bucket_col=BUCKET_COL, **kwargs)
+    src = dedup_latest(
+        features, by=[BUCKET_COL, "url"], order="warc_ts", keep="first"
+    ).select(BUCKET_COL, "url", "warc_ts",
+             F.col("text_len").alias("first_text_len"))
+    return enrich_asof(features, src, on="warc_ts", by="url",
+                       value_cols=["first_text_len"], bucket_col=BUCKET_COL)
 
 
 def run_checkpointed_pipeline(spark, pages: DataFrame, warehouse: str,
