@@ -76,3 +76,36 @@ def test_iceberg_seam_detects_missing_runtime(spark):
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         IcebergFormat().write(
             spark.range(1), "t", stage="s", inputs_fp="f")
+
+
+def test_unified_metrics_and_lineage(spark, pages_path, tmp_path):
+    """north_rule 'per-partition lineage + metrics': one queryable
+    metrics table + one per-file lineage table across ALL stages of a
+    checkpointed pipeline run."""
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.pipeline import run_checkpointed_pipeline
+    from ultraviolet_spark.plans.snapshots import ParquetSnapshotFormat
+
+    pages = spark.read.parquet(pages_path)
+    wh = str(tmp_path / "wh")
+    out, _ = run_checkpointed_pipeline(spark, pages, wh, inputs_key=pages_path)
+    fmt = ParquetSnapshotFormat(wh)
+
+    m = fmt.metrics(spark).toPandas()
+    assert set(m["table"]) == {"text_extracted", "features",
+                               "features_enriched"}
+    assert (m["n_rows"] == pages.count()).all()
+    assert (m["bytes"] > 0).all() and (m["n_files"] > 0).all()
+
+    lin = fmt.all_lineage(spark)
+    per_table = (lin.groupBy("table")
+                 .agg(F.sum("rows").alias("rows"),
+                      F.count("*").alias("files")).toPandas()
+                 .set_index("table"))
+    for t in ("text_extracted", "features", "features_enriched"):
+        assert per_table.loc[t, "rows"] == pages.count()
+    # every file in metrics is accounted for in lineage
+    files = m.set_index("table")["n_files"]
+    for t, nf in files.items():
+        assert per_table.loc[t, "files"] == nf

@@ -155,6 +155,45 @@ class ParquetSnapshotFormat:
         return spark.read.parquet(
             os.path.join(self._tdir(table), "_lineage", f"v{sid}"))
 
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            t for t in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, t, "_snapshots")))
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        """ONE queryable metrics table over every stage run in this
+        warehouse: (table, snapshot_id, stage, inputs_fp, n_rows,
+        n_files, bytes, created_utc) — the per-run roll-up the snapshot
+        log already records, surfaced as a DataFrame."""
+        rows = [s.__dict__ for t in self.tables() for s in self.snapshots(t)]
+        schema = ("snapshot_id long, table string, stage string, "
+                  "inputs_fp string, n_rows long, n_files long, "
+                  "bytes long, created_utc double, path string")
+        return spark.createDataFrame(rows, schema=schema)
+
+    def all_lineage(self, spark: SparkSession) -> DataFrame:
+        """Per-FILE lineage unified across every table and snapshot:
+        (table, snapshot_id, stage, file_path, rows, started/finished).
+        The cross-stage audit surface: every output file of every stage
+        accounted for in one DataFrame (north_rule 'per-partition
+        lineage + metrics')."""
+        dfs = []
+        for t in self.tables():
+            ldir = os.path.join(self._tdir(t), "_lineage")
+            if not os.path.isdir(ldir):
+                continue
+            df = spark.read.option("basePath", ldir).parquet(
+                *[os.path.join(ldir, v) for v in sorted(os.listdir(ldir))])
+            dfs.append(df.withColumn("table", F.lit(t)))
+        if not dfs:
+            raise FileNotFoundError(f"no lineage under {self.root}")
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
+
 
 class IcebergFormat:
     """Thin Iceberg binding (cluster path).  Requires the
