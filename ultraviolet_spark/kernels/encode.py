@@ -19,11 +19,14 @@ def codepoints_to_utf8(cp: np.ndarray, offsets: np.ndarray):
     cp = cp.astype(np.uint32, copy=False)
     if not len(cp) or bool(np.all(cp < 0x80)):  # ASCII fast path
         return cp.astype(_U8), offsets.astype(_I64, copy=False).copy()
-    nbytes = np.ones(len(cp), dtype=_I64)
+    # int32 positions while the output can't exceed 2 GiB (Arrow batches
+    # are far smaller): halves the cumsum + index-gather memory traffic
+    idx_t = np.int32 if len(cp) * 4 < 2**31 else _I64
+    nbytes = np.ones(len(cp), dtype=idx_t)
     nbytes += cp >= 0x80
     nbytes += cp >= 0x800
     nbytes += cp >= 0x10000
-    pos = np.zeros(len(cp) + 1, dtype=_I64)
+    pos = np.zeros(len(cp) + 1, dtype=idx_t)
     np.cumsum(nbytes, out=pos[1:])
     out = np.empty(int(pos[-1]), dtype=_U8)
 
@@ -46,15 +49,16 @@ def codepoints_to_utf8(cp: np.ndarray, offsets: np.ndarray):
     out[p4 + 2] = 0x80 | ((c4 >> 6) & 0x3F)
     out[p4 + 3] = 0x80 | (c4 & 0x3F)
 
-    return out, pos[offsets]
+    return out, pos[offsets].astype(_I64)
 
 
 def codepoints_to_utf16(cp: np.ndarray, offsets: np.ndarray, *, big_endian: bool = False):
     """Returns (data_u8, byte_offsets_i64) — UTF-16 LE or BE, no BOM."""
     cp = cp.astype(np.uint32, copy=False)
     astral = cp >= 0x10000
-    nunits = np.ones(len(cp), dtype=_I64) + astral
-    upos = np.zeros(len(cp) + 1, dtype=_I64)
+    idx_t = np.int32 if len(cp) * 2 < 2**31 else _I64
+    nunits = np.ones(len(cp), dtype=idx_t) + astral
+    upos = np.zeros(len(cp) + 1, dtype=idx_t)
     np.cumsum(nunits, out=upos[1:])
     units = np.empty(int(upos[-1]), dtype=np.uint16)
     p = upos[:-1]
@@ -65,7 +69,7 @@ def codepoints_to_utf16(cp: np.ndarray, offsets: np.ndarray, *, big_endian: bool
     units[pa_ + 1] = 0xDC00 + (ca & 0x3FF)
     units = units.astype(">u2" if big_endian else "<u2", copy=False)
     data = units.view(_U8).copy()
-    return data, upos[offsets] * 2
+    return data, upos[offsets].astype(_I64) * 2
 
 
 def codepoints_to_utf32(cp: np.ndarray, offsets: np.ndarray, *, big_endian: bool = False):

@@ -155,10 +155,11 @@ def utf8_decode_replace(data: np.ndarray, offsets: np.ndarray):
     keep = (m["ascii"] | m["v2"] | m["v3"] | m["v4"] | m["covered"]) & ~sentinel
     fffd = m["fffd"]
 
-    out_len = np.zeros(len(b) + 1, dtype=_I64)
+    idx_t = np.int32 if len(b) * 3 < 2**31 else _I64
+    out_len = np.zeros(len(b) + 1, dtype=idx_t)
     out_len[1:][keep] = 1
     out_len[1:][fffd] = 3
-    pos = np.cumsum(out_len)          # pos[i] = output offset before byte i
+    pos = np.cumsum(out_len, dtype=idx_t)  # output offset before byte i
     out = np.empty(int(pos[-1]), dtype=_U8)
     out[pos[:-1][keep]] = b[keep]
     f = pos[:-1][fffd]
@@ -166,7 +167,7 @@ def utf8_decode_replace(data: np.ndarray, offsets: np.ndarray):
     out[f + 1] = _FFFD_UTF8[1]
     out[f + 2] = _FFFD_UTF8[2]
 
-    out_offsets = pos[row_starts]
+    out_offsets = pos[row_starts].astype(_I64)
     n_repl = _per_row_counts(fffd, row_starts)
     return out, out_offsets, n_repl
 
