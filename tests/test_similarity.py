@@ -102,3 +102,33 @@ def test_lsh_ann_recall_at_generous_params(emb, emb_np):
                          exclude_id=1).toPandas()
     # 2-bit buckets × 32 tables ≈ near-exhaustive scan ⇒ high recall
     assert len(set(got["vec_id"]) & want) >= 8
+
+
+def test_ivf_ann_subset_and_recall(emb, emb_np):
+    ids, V = emb_np
+    q = V[5]
+    exact = [i for i, _ in _np_topk(ids, V, q, 10, exclude=int(ids[5]))]
+    got = S.ivf_ann_topk(emb, list(q), k=10, n_centroids=8, nprobe=4,
+                         exclude_id=int(ids[5])).toPandas()
+    assert len(got) <= 10
+    # results are true corpus members with correctly-rounded exact sims
+    sims = dict(_np_topk(ids, V, q, len(ids)))
+    for _, r in got.iterrows():
+        assert abs(sims[r["vec_id"]] - r["cos_sim"]) < 1e-6
+    # probing half the lists must recover most of the exact top-10
+    recall = len(set(got["vec_id"]) & set(exact)) / 10
+    assert recall >= 0.5
+
+
+def test_ivf_assign_partitions_corpus(emb):
+    cents = S.ivf_train_centroids(emb, n_centroids=8)
+    assign = S.ivf_assign(emb, cents).toPandas()
+    assert len(assign) == emb.count()
+    assert assign["list_id"].between(0, 7).all()
+    assert assign["list_id"].nunique() >= 2  # corpus actually splits
+
+
+def test_ivf_deterministic(emb):
+    a = S.ivf_train_centroids(emb, n_centroids=8)
+    b = S.ivf_train_centroids(emb, n_centroids=8)
+    np.testing.assert_array_equal(a, b)

@@ -172,3 +172,82 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
     hits = df.join(cand, on=id_col, how="left_semi")
     return cosine_topk(hits, query_vec, k=k, id_col=id_col, vec_col=vec_col,
                        exclude_id=exclude_id)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(df: DataFrame, *, n_centroids: int = 16,
+                        iters: int = 8, sample: int = 2048, seed: int = 11,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic spherical k-means on a BOUNDED sample — the IVF
+    "train" step (same split as FAISS: train on a sample, assign the
+    full corpus distributed).  The only driver-side collect is the
+    sample itself (≤ ``sample`` rows, chosen by hash order so it is
+    stable across partitionings); at 100 TB this is the standard recipe
+    — centroid count and sample size are independent of corpus size."""
+    rows = (df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col))).limit(sample).collect())
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)              # cosine == dot (unit)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, *,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, list_id): nearest-centroid assignment — one (batch × dim) @
+    (dim × C) matmul per Arrow batch, shuffle-free and row-parallel."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("list_id", T.IntegerType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "list_id": (V @ C.T).argmax(axis=1).astype(np.int32),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def ivf_ann_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4, iters: int = 8,
+                 sample: int = 2048, seed: int = 11, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 exclude_id: int | None = None,
+                 centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` inverted lists nearest the
+    query, exact-rerank only their members — scans ~nprobe/n_centroids
+    of the corpus.  Pass precomputed ``centroids`` (ivf_train_centroids)
+    to amortize training across queries, as a real serving path would."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            df, n_centroids=n_centroids, iters=iters, sample=sample,
+            seed=seed, id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ q))[:nprobe].tolist()
+
+    assign = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    cand = assign.filter(F.col("list_id").isin(probe)).select(id_col)
+    hits = df.join(cand, on=id_col, how="left_semi")
+    return cosine_topk(hits, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+                       exclude_id=exclude_id)

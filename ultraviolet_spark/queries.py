@@ -1059,6 +1059,20 @@ def q50(spark, sf_dir):
     return cosine_dup_pairs(e, threshold=0.4, use_lsh=True, bits=8, tables=16)
 
 
+@q("q52_ivf_ann_top10", None)  # probe subset → rows-only (recall in pytest)
+def q52(spark, sf_dir):
+    """IVF coarse-quantizer ANN (the brief's 'IVF or LSH-bucketed
+    variant'): deterministic sample-trained centroids, distributed
+    assignment, probe-and-rerank.  q27 is the exact brute-force
+    baseline on the same query vector."""
+    from ultraviolet_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.orderBy("vec_id").select("embedding").head()[0]
+    return ivf_ann_topk(e, [float(x) for x in qvec], k=10,
+                        n_centroids=16, nprobe=6, exclude_id=None)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
