@@ -112,7 +112,7 @@ def main() -> None:
             lambda name=name: Q.REGISTRY[name].fn(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_total_sec (flagship transcode+extract+window+asof "
                   f"over {n_pages} pages + operator suite)",
         "value": total,
@@ -122,7 +122,16 @@ def main() -> None:
         "pages": n_pages,
         "pages_per_sec": round(n_pages / t_flagship, 1),
         "cores": cores,
-    }))
+    }
+    # attach the latest N→4N scaling-efficiency measurement (north_rule
+    # criterion ≥ 0.8; produced by tools/scaling_bench.py on the same
+    # flagship job) so the evidence travels with the bench record
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tools", "scaling_latest.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            out["scaling"] = json.load(fh)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

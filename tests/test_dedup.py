@@ -122,3 +122,43 @@ def test_null_and_short_docs_no_crash_no_spurious_pairs(spark):
     sh = D.simhash(df).toPandas().set_index("doc_id")["simhash"]
     assert sh[1] == 0 and sh[3] == 0  # degenerate docs hash to 0
     assert sh[6] == sh[7] != 0
+
+
+def test_shingle_segments_property_vs_naive():
+    """Hypothesis: the flat segmented shingle-hash kernel equals a naive
+    per-doc implementation on arbitrary unicode text (incl. None, empty,
+    whitespace-only, repeated-token docs)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ultraviolet_spark.operators.dedup import _shingle_hash_segments
+
+    def naive(texts, n):
+        out = []
+        for t in texts:
+            toks = ("" if t is None else t).lower().split()
+            sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            hs = pd.util.hash_array(np.array(sorted(sh), dtype=object))
+            out.append(np.sort(hs))
+        return out
+
+    text = st.one_of(
+        st.none(),
+        st.text(alphabet=st.characters(codec="utf-8"), max_size=80),
+        st.sampled_from(["", "   ", "a a a a a", "wörd wörd wörd",
+                         "one two", "\t\n x \n y \n z \n"]),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(text, max_size=12), st.integers(1, 4))
+    def check(texts, n):
+        flat, starts, counts = _shingle_hash_segments(
+            np.array(texts, dtype=object), n)
+        want = naive(texts, n)
+        assert len(counts) == len(texts) or not texts
+        for i, w in enumerate(want):
+            got = np.sort(flat[starts[i]:starts[i] + counts[i]])
+            assert np.array_equal(got, w), (i, texts[i])
+
+    check()

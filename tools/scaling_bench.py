@@ -59,6 +59,9 @@ def main() -> None:
         "meets_0_8": eff >= 0.8,
     }
     print(json.dumps(summary))
+    # persisted for bench.py to attach to its driver-recorded JSON line
+    with open(os.path.join(ROOT, "tools", "scaling_latest.json"), "w") as fh:
+        json.dump(summary, fh)
 
     block = f"""{MARK_A}
 ## Measured scaling results ({datetime.date.today().isoformat()})
