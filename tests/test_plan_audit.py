@@ -1,0 +1,79 @@
+"""Plan-hygiene sweep over the ENTIRE query registry: no scale-killer
+may appear in any query's physical plan — this is the 100 TB contract,
+enforced as a regression test rather than a one-off review.
+
+Checks per query:
+* no row-at-a-time Python UDF (`BatchEvalPython`) — Arrow-batched
+  surfaces only (`ArrowEvalPython` / `MapInPandas` / `FlatMapCoGroups`);
+* no cartesian product, except the explicitly whitelisted exact-oracle /
+  broadcast-kNN queries whose docstrings justify it;
+* every parquet scan prunes columns (no scan reads the full documents /
+  lineitem schema unless the query genuinely projects it).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ultraviolet_spark import queries as Q
+
+# Queries whose plans legitimately contain a cartesian/broadcast-nested-
+# loop join: q35 is the O(n²) small-scale EXACT oracle for the LSH path
+# (q50 is the scale path); q28 is an intentional broadcast-cross kNN
+# (documented right up to ~10^4 queries).
+CROSS_OK = {
+    "q28_knn_join",
+    "q35_embed_near_dup_pairs",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, spec in Q.REGISTRY.items():
+        df = spec.fn(spark, sf_dir)
+        out[name] = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+    return out
+
+
+def test_no_row_at_a_time_python_udf(plans):
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF in: {bad}"
+
+
+def test_no_unexpected_cartesian(plans):
+    bad = [
+        n for n, p in plans.items()
+        if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p)
+        and n not in CROSS_OK
+    ]
+    assert not bad, f"unexpected cartesian/nested-loop join in: {bad}"
+
+
+def test_whitelisted_crosses_still_exist(plans):
+    # if a whitelisted query stops planning a cross join, shrink the list
+    gone = [n for n in CROSS_OK
+            if "CartesianProduct" not in plans[n]
+            and "BroadcastNestedLoopJoin" not in plans[n]]
+    assert not gone, f"stale CROSS_OK entries: {gone}"
+
+
+def test_scans_prune_columns(plans):
+    # documents has 5 columns; a query touching only text+lang must not
+    # read doc_id/source/n_chars. Spot-check the heaviest readers.
+    p = plans["q20_token_stats"]
+    for scan_line in [ln for ln in p.splitlines() if "ReadSchema" in ln]:
+        assert "n_chars" not in scan_line, scan_line
+    p = plans["q01_pricing_summary"]
+    for scan_line in [ln for ln in p.splitlines() if "ReadSchema" in ln]:
+        assert "l_comment" not in scan_line and "l_partkey" not in scan_line, scan_line
+
+
+def test_filters_push_to_scan(plans):
+    # q02 filters orders on o_orderdate — the predicate must reach the scan
+    p = plans["q02_top_revenue_orders"]
+    assert "PushedFilters: [" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("IsNotNull" in ln or "GreaterThan" in ln or "LessThan" in ln
+               for ln in pushed), pushed

@@ -22,8 +22,8 @@ Scale notes (100 TB / 1000 executors):
 * num_buckets should be ≥ 4× total cores so AQE-sized shuffle
   partitions stay ≤ ~200 MB; buckets are hash-uniform over entity keys
   so only entity-level skew (one hot url) matters — handle that with
-  operators.skew.salt_hot_entities before calling (crawl-frequency
-  skew, BASELINE.json:6).
+  ``hot_keys=find_hot_keys(df, "url")`` (crawl-frequency skew,
+  BASELINE.json:6).
 * the merge is O(n log n) per bucket in numpy (sort) + O(n) merge —
   working set is one bucket, bounded by bucket count, not data size.
 """
