@@ -1,0 +1,62 @@
+"""Composed corpus-cleaning pipeline: gate funnel, dedup-keeper choice,
+near-dup chain handling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ultraviolet_spark.operators.corpus import clean_corpus, corpus_report
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_funnel_monotone(docs):
+    rep = corpus_report(docs, min_tokens=20, near_dup=True).toPandas()
+    rep = rep.set_index("stage")["n_docs"]
+    assert rep["00_input"] >= rep["10_nonempty"] >= rep["20_quality_dedup"]
+    assert rep["20_quality_dedup"] >= rep["30_near_dup"] > 0
+
+
+def test_exact_dup_keeps_lowest_id(spark):
+    body = "solid document with twenty plus tokens " * 5
+    rows = [(7, body, "en", "web", len(body)),
+            (3, body, "en", "web", len(body)),
+            (9, "other " + body, "en", "web", len(body) + 6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    kept = clean_corpus(df, min_tokens=10).select("doc_id").toPandas()
+    assert sorted(kept["doc_id"]) == [3, 9]
+
+
+def test_near_dup_chain_keeps_lowest(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+    rows = [
+        (1, base, "en", "web", 0),
+        (2, base + "phi", "en", "web", 0),          # near-dup of 1
+        (3, base + "phi chi", "en", "web", 0),      # near-dup of 1 and 2
+        (4, "a completely different text " * 10, "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    kept = clean_corpus(df, min_tokens=10, near_dup=True,
+                        near_dup_threshold=0.7).select("doc_id").toPandas()
+    assert sorted(kept["doc_id"]) == [1, 4]
+
+
+def test_quality_gates(spark):
+    rows = [
+        (1, "too short", "en", "web", 9),
+        (2, "....... " * 30, "en", "web", 0),                    # punct-heavy
+        (3, "123 456 789 " * 20, "en", "web", 0),                # digit-heavy
+        (4, "perfectly reasonable prose with many normal words "
+            "that passes every single gate easily " * 3, "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    kept = clean_corpus(df, min_tokens=10).select("doc_id").toPandas()
+    assert sorted(kept["doc_id"]) == [4]

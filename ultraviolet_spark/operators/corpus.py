@@ -1,0 +1,70 @@
+"""Composed corpus-cleaning pipeline — the end-to-end training-data op
+that ties the individual operators together (quality gates → language
+gate → exact dedup → optional MinHash near-dup removal).
+
+Scale notes (100 TB): the quality/language gates are pure Catalyst
+expressions evaluated in the scan stage (no shuffle, full pushdown
+below them); exact dedup is one map-side-combined shuffle on md5(text);
+near-dup removal adds the MinHash-LSH candidate/verify plan
+(operators.dedup) plus one anti-join on doc id.  Nothing touches the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ultraviolet_spark.operators import textstats as X
+from ultraviolet_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+
+def clean_corpus(docs: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id", min_tokens: int = 20,
+                 max_punct_ratio: float = 0.2, max_digit_ratio: float = 0.2,
+                 langs: list[str] | None = None, near_dup: bool = False,
+                 near_dup_threshold: float = 0.8, n: int = 3) -> DataFrame:
+    """Cleaned corpus, original columns preserved.
+
+    Stages: non-empty → token-count floor → punct/digit-ratio ceilings →
+    optional language allowlist → exact dedup (keep lowest ``id_col``) →
+    optional near-dup removal: for every verified MinHash pair
+    (id_a < id_b, jaccard ≥ threshold) the HIGHER id is dropped, so each
+    duplicate chain keeps exactly its lowest id (deterministic without a
+    distributed union-find — id_b of any pair is by construction not the
+    minimum of its class).
+    """
+    c = F.col(text_col)
+    kept = docs.filter(F.length(c) > 0)
+    kept = kept.filter(X.token_count(c) >= min_tokens)
+    kept = kept.filter(X.punct_ratio(c) <= max_punct_ratio)
+    kept = kept.filter(X.digit_ratio(c) <= max_digit_ratio)
+    if langs:
+        kept = kept.filter(F.col("lang").isin(list(langs)))
+    kept = exact_dedup(kept, text_col=text_col, id_col=id_col)
+    if near_dup:
+        pairs = minhash_lsh_pairs(kept, n=n, threshold=near_dup_threshold,
+                                  text_col=text_col, id_col=id_col)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        kept = kept.join(losers, on=id_col, how="left_anti")
+    return kept.select(*docs.columns)
+
+
+def corpus_report(docs: DataFrame, **kwargs) -> DataFrame:
+    """(stage, n_docs) funnel: how many documents survive each gate —
+    the audit table a cleaning run publishes next to its output."""
+    stages = {
+        "00_input": docs,
+        "10_nonempty": docs.filter(F.length(F.col("text")) > 0),
+        "20_quality_dedup": clean_corpus(docs, near_dup=False, **{
+            k: v for k, v in kwargs.items() if k != "near_dup"}),
+    }
+    if kwargs.get("near_dup"):
+        stages["30_near_dup"] = clean_corpus(docs, **kwargs)
+    dfs = [df.select(F.lit(name).alias("stage"),
+                     F.lit(1).cast("long").alias("one"))
+           for name, df in stages.items()]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out.groupBy("stage").agg(F.count("*").alias("n_docs"))

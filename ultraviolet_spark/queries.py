@@ -1059,6 +1059,46 @@ def q50(spark, sf_dir):
     return cosine_dup_pairs(e, threshold=0.4, use_lsh=True, bits=8, tables=16)
 
 
+@q("q53_clean_corpus", """
+WITH nonempty AS (SELECT * FROM documents WHERE length(text) > 0),
+quality AS (
+  SELECT * FROM nonempty
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 20
+    AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        / length(text) <= 0.2
+    AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        / length(text) <= 0.2
+),
+keepers AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM quality GROUP BY md5(text)
+)
+SELECT q.doc_id, q.lang, q.source,
+  CAST(len(string_split_regex(trim(q.text), '\\s+')) AS BIGINT) AS n_tokens
+FROM quality q JOIN keepers k ON md5(q.text) = k.h AND q.doc_id = k.keeper
+""")
+def q53(spark, sf_dir):
+    """Composed corpus cleaning (quality gates → exact dedup keep-lowest-
+    id), the end-to-end training-data pipeline op — exact-SQL-mirrored.
+    q54 adds the probabilistic near-dup stage (rows-only)."""
+    from ultraviolet_spark.operators.corpus import clean_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    kept = clean_corpus(d, min_tokens=20, max_punct_ratio=0.2,
+                        max_digit_ratio=0.2)
+    return kept.select("doc_id", "lang", "source",
+                       X.token_count(F.col("text")).alias("n_tokens"))
+
+
+@q("q54_clean_corpus_near_dup", None)  # MinHash stage → rows-only
+def q54(spark, sf_dir):
+    from ultraviolet_spark.operators.corpus import clean_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    kept = clean_corpus(d, min_tokens=20, near_dup=True,
+                        near_dup_threshold=0.8)
+    return kept.select("doc_id", "lang", "source")
+
+
 @q("q52_ivf_ann_top10", None)  # probe subset → rows-only (recall in pytest)
 def q52(spark, sf_dir):
     """IVF coarse-quantizer ANN (the brief's 'IVF or LSH-bucketed
