@@ -29,6 +29,9 @@ CROSS_OK = {
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
+    # other test modules cache base tables (InMemoryRelation scans carry
+    # the full schema) — drop caches so plans show the real parquet scans
+    spark.catalog.clearCache()
     out = {}
     for name, spec in Q.REGISTRY.items():
         df = spec.fn(spark, sf_dir)
