@@ -162,3 +162,35 @@ def extract_cases_oracle_sql() -> str:
             for cid, html in EXTRACT_CASES]
     return ("SELECT * FROM (VALUES " + ", ".join(rows)
             + ") AS t(case_id, extracted)")
+
+
+# UTF-16 / UTF-32 ill-formed classes (SURVEY.md §2.1 last two rows +
+# boundary cases).  (case_id, encoding, raw bytes); expected text is
+# CPython's errors='replace' decode of the same bytes.
+WIDE_CASES: list[tuple[str, str, bytes]] = [
+    ("u16le_lone_high_then_A", "utf-16-le", b"\x00\xd8A\x00"),
+    ("u16le_lone_low", "utf-16-le", b"\x00\xdc"),
+    ("u16le_valid_astral_pair", "utf-16-le", "💩".encode("utf-16-le")),
+    ("u16le_odd_trailing_byte", "utf-16-le", b"A\x00B"),
+    ("u16be_lone_high", "utf-16-be", b"\xd8\x00\x00A"),
+    ("u16be_plain", "utf-16-be", "hé".encode("utf-16-be")),
+    ("u16le_swapped_pair", "utf-16-le", b"\x00\xdc\x00\xd8"),  # low before high
+    ("u32le_out_of_range", "utf-32-le", b"\x00\x00\x11\x00"),
+    ("u32le_surrogate_value", "utf-32-le", b"\x00\xd8\x00\x00"),
+    ("u32le_valid_astral", "utf-32-le", "💩".encode("utf-32-le")),
+    ("u32be_max_scalar", "utf-32-be", b"\x00\x10\xff\xff"),
+    ("u32le_trailing_bytes", "utf-32-le", b"A\x00\x00\x00BC"),
+    ("u16le_empty", "utf-16-le", b""),
+]
+
+
+def wide_cases_oracle_sql() -> str:
+    rows = []
+    for cid, codec, raw in WIDE_CASES:
+        want = raw.decode(codec, errors="replace")
+        n_repl = (want.count("�")
+                  - raw.decode(codec, "ignore").count("�"))
+        rows.append(f"({sql_str(cid)}, {sql_str(want)}, "
+                    f"CAST({n_repl} AS BIGINT))")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(case_id, decoded, n_repl)")

@@ -1059,6 +1059,49 @@ def q50(spark, sf_dir):
     return cosine_dup_pairs(e, threshold=0.4, use_lsh=True, bits=8, tables=16)
 
 
+@q("q55_utf16_32_conformance", C.wide_cases_oracle_sql())
+def q55(spark, sf_dir):
+    """UTF-16/32 ill-formed classes (lone/swapped surrogates, odd
+    trailing bytes, out-of-range and surrogate scalar values) through
+    the real decode kernels; oracle = CPython errors='replace' literals
+    computed at import."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ultraviolet_spark.functions.udfs import (
+        _pd_binary_to_buffers,
+        _string_out,
+    )
+    from ultraviolet_spark.kernels.encode import codepoints_to_utf8
+    from ultraviolet_spark.kernels.utf16 import utf16_to_codepoints
+    from ultraviolet_spark.kernels.utf32 import utf32_to_codepoints
+
+    rows = [(cid, enc, bytearray(raw)) for cid, enc, raw in C.WIDE_CASES]
+    df = spark.createDataFrame(rows, "case_id string, enc string, raw binary")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for enc, grp in pdf.groupby("enc"):  # ≤4 codec groups, not per-row
+                data, offsets, nulls = _pd_binary_to_buffers(grp["raw"])
+                be = enc.endswith("be")
+                if enc.startswith("utf-16"):
+                    cp, cpo, nr = utf16_to_codepoints(data, offsets, big_endian=be)
+                else:
+                    cp, cpo, nr = utf32_to_codepoints(data, offsets, big_endian=be)
+                u8, u8o = codepoints_to_utf8(cp, cpo)
+                outs.append(pd.DataFrame({
+                    "case_id": grp["case_id"].to_numpy(),
+                    "decoded": _string_out(u8, u8o, nulls).to_numpy(),
+                    "n_repl": nr,
+                }))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["case_id", "decoded", "n_repl"])
+
+    return df.mapInPandas(gen, "case_id string, decoded string, n_repl long")
+
+
 @q("q53_clean_corpus", """
 WITH nonempty AS (SELECT * FROM documents WHERE length(text) > 0),
 quality AS (
