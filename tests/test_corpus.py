@@ -60,3 +60,24 @@ def test_quality_gates(spark):
         rows, "doc_id long, text string, lang string, source string, n_chars long")
     kept = clean_corpus(df, min_tokens=10).select("doc_id").toPandas()
     assert sorted(kept["doc_id"]) == [4]
+
+
+def test_chunking_covers_all_tokens_with_overlap(spark):
+    from ultraviolet_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(250))
+    df = spark.createDataFrame(
+        [(1, text, "en", "web", 0), (2, "short doc", "en", "web", 0),
+         (3, "", "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = chunk_documents(df, max_tokens=100, overlap=20).toPandas()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_no")
+    # stride 80 over 250 tokens -> starts 0,80,160,240 -> 4 chunks
+    assert list(d1["chunk_no"]) == [0, 1, 2, 3]
+    assert list(d1["n_chunk_tokens"]) == [100, 100, 90, 10]
+    # overlap: chunk k starts 80k -> first token t{80k}
+    for k, row in enumerate(d1.itertuples()):
+        assert row.chunk_text.split()[0] == f"t{80 * k}"
+        assert row.chunk_text.split()[-1] == f"t{min(80 * k + 99, 249)}"
+    assert (out[out["doc_id"] == 2]["n_chunk_tokens"] == [2]).all()
+    assert 3 not in set(out["doc_id"])  # empty doc yields no chunks

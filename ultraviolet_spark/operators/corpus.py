@@ -50,6 +50,42 @@ def clean_corpus(docs: DataFrame, *, text_col: str = "text",
     return kept.select(*docs.columns)
 
 
+def chunk_documents(docs: DataFrame, *, max_tokens: int = 128,
+                    overlap: int = 32, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window token chunks — the training-prep op that turns
+    long documents into model-sized pieces.
+
+    Chunk k covers tokens [k·stride, k·stride + max_tokens) with
+    stride = max_tokens − overlap; the last chunk may be short; empty
+    docs yield no chunks.  Pure Catalyst (split → sequence → transform →
+    posexplode): chunking happens in the scan stage, shuffle-free, and
+    amplifies rows before any downstream shuffle — exactly where a
+    100 TB pipeline wants the fan-out.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, max_tokens)))
+    pos = F.posexplode(chunks)
+    return (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), n.alias("__n"), pos.alias("chunk_no", "chunk_text"))
+        .filter(F.col("chunk_no") * stride < F.col("__n"))
+        .select(
+            id_col,
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")
+            .alias("n_chunk_tokens"),
+            "chunk_text",
+        )
+    )
+
+
 def corpus_report(docs: DataFrame, **kwargs) -> DataFrame:
     """(stage, n_docs) funnel: how many documents survive each gate —
     the audit table a cleaning run publishes next to its output."""

@@ -1142,6 +1142,33 @@ def q54(spark, sf_dir):
     return kept.select("doc_id", "lang", "source")
 
 
+@q("q56_chunk_documents", """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, (len(toks) - 1) // 96)) AS chunk_no
+  FROM d
+)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+  CAST(len(string_split_regex(
+      array_to_string(toks[chunk_no * 96 + 1 : chunk_no * 96 + 128], ' '),
+      '\\s+')) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(toks[chunk_no * 96 + 1 : chunk_no * 96 + 128], ' ')
+    AS chunk_text
+FROM e
+""")
+def q56(spark, sf_dir):
+    """Sliding-window token chunking (128-token windows, 32 overlap →
+    stride 96) — the long-doc → model-sized-pieces training-prep op."""
+    from ultraviolet_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           max_tokens=128, overlap=32)
+
+
 @q("q52_ivf_ann_top10", None)  # probe subset → rows-only (recall in pytest)
 def q52(spark, sf_dir):
     """IVF coarse-quantizer ANN (the brief's 'IVF or LSH-bucketed
