@@ -132,3 +132,18 @@ def test_ivf_deterministic(emb):
     a = S.ivf_train_centroids(emb, n_centroids=8)
     b = S.ivf_train_centroids(emb, n_centroids=8)
     np.testing.assert_array_equal(a, b)
+
+
+def test_quantize_embeddings_roundtrip(emb, emb_np):
+    ids, V = emb_np
+    out = S.quantize_embeddings(emb).toPandas().set_index("vec_id")
+    for i in np.random.default_rng(0).choice(len(ids), 20, replace=False):
+        vid = ids[i]
+        x = V[i]
+        scale = out.loc[vid, "scale"]
+        codes = np.array(out.loc[vid, "codes"])
+        assert np.abs(codes).max() <= 127
+        if scale > 0:
+            # dequantization error bounded by half a step per component
+            err = np.abs(codes * scale - x).max()
+            assert err <= scale / 2 + 1e-9

@@ -251,3 +251,38 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
     hits = df.join(cand, on=id_col, how="left_semi")
     return cosine_topk(hits, query_vec, k=k, id_col=id_col, vec_col=vec_col,
                        exclude_id=exclude_id)
+
+
+# ---------------------------------------------------------------------------
+# embedding storage ops: normalize + symmetric int8 quantization
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(df: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        bits: int = 8) -> DataFrame:
+    """Per-vector symmetric integer quantization — the storage op that
+    shrinks an embedding table 4× before a 100 TB ANN index build.
+
+    scale = max|x| / (2^(bits-1) − 1); q_i = floor(x_i/scale + 0.5)
+    (explicit half-up — engines disagree on round()'s tie policy, so the
+    oracle mirrors the same floor form).  Pure Catalyst: transform /
+    array_max / aggregate, no Python.  Zero vectors get scale 0 and
+    all-zero codes."""
+    qmax = float((1 << (bits - 1)) - 1)
+    x = F.col(vec_col)
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = (absmax / F.lit(qmax))
+    q = F.when(
+        scale > 0,
+        F.transform(x, lambda v: F.floor(v.cast("double") / scale + F.lit(0.5))
+                    .cast("long")),
+    ).otherwise(F.transform(x, lambda v: F.lit(0).cast("long")))
+    l2 = F.sqrt(F.aggregate(
+        F.zip_with(x, x, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.round(l2, 6).alias("l2_norm"),
+        q.alias("codes"),
+    )

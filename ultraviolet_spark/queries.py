@@ -1169,6 +1169,40 @@ def q56(spark, sf_dir):
                            max_tokens=128, overlap=32)
 
 
+@q("q57_quantize_embeddings", """
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+    list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v))) / 127.0
+      AS scale
+  FROM embeddings
+)
+SELECT vec_id, round(scale, 9) AS scale,
+  round(sqrt(list_dot_product(x, x)), 6) AS l2_norm,
+  CAST(CASE WHEN scale > 0 THEN floor(x[1] / scale + 0.5) ELSE 0 END AS BIGINT) AS q1,
+  CAST(CASE WHEN scale > 0 THEN floor(x[2] / scale + 0.5) ELSE 0 END AS BIGINT) AS q2,
+  CAST(CASE WHEN scale > 0 THEN floor(x[3] / scale + 0.5) ELSE 0 END AS BIGINT) AS q3,
+  CAST(CASE WHEN scale > 0
+       THEN list_max(list_transform(x, v -> floor(v / scale + 0.5)))
+       ELSE 0 END AS BIGINT) AS qmax
+FROM b
+""")
+def q57(spark, sf_dir):
+    """Symmetric int8 embedding quantization (storage path for ANN
+    index builds).  Array codes are projected to scalar columns for the
+    driver's hasher; the codes array itself is exercised in pytest."""
+    from ultraviolet_spark.operators.similarity import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings(e)
+    return qd.select(
+        "vec_id", "scale", "l2_norm",
+        F.element_at("codes", 1).alias("q1"),
+        F.element_at("codes", 2).alias("q2"),
+        F.element_at("codes", 3).alias("q3"),
+        F.array_max("codes").alias("qmax"),
+    )
+
+
 @q("q52_ivf_ann_top10", None)  # probe subset → rows-only (recall in pytest)
 def q52(spark, sf_dir):
     """IVF coarse-quantizer ANN (the brief's 'IVF or LSH-bucketed
