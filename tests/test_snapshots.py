@@ -109,3 +109,17 @@ def test_unified_metrics_and_lineage(spark, pages_path, tmp_path):
     files = m.set_index("table")["n_files"]
     for t, nf in files.items():
         assert per_table.loc[t, "files"] == nf
+
+
+def test_iceberg_seam_degrades_gracefully(spark):
+    """No Iceberg runtime jar ships in this sandbox: available() must
+    report False and write() must fail with the actionable message
+    (cluster instructions), never a raw ClassNotFoundException."""
+    import pytest as _pytest
+
+    from ultraviolet_spark.plans.snapshots import IcebergFormat
+
+    fmt = IcebergFormat()
+    assert fmt.available(spark) is False
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        fmt.write(spark.range(1), "t", stage="s", inputs_fp="fp")
