@@ -120,7 +120,21 @@ def pad_rows(
     total = int(offsets[-1])
     padded = np.full(total + pad * n, value, dtype=_U8)
     if total:
-        row_of_byte = np.repeat(np.arange(n, dtype=_I64), np.diff(offsets))
-        padded[np.arange(total, dtype=_I64) + pad * row_of_byte] = data[:total]
+        if n and total // n >= 256:
+            # KB-sized rows: n bounded slice-memcpys (≈µs each) beat the
+            # three full-length index arrays of the scatter form — this
+            # loop is per-ROW (bounded by Arrow batch size), not per-byte
+            off = offsets
+            for i in range(n):
+                s, e = off[i], off[i + 1]
+                ps = s + pad * i
+                padded[ps:ps + (e - s)] = data[s:e]
+        else:
+            # many tiny rows: vectorized scatter, int32 indices (batch
+            # < 2 GiB by construction)
+            idx = np.arange(total, dtype=np.int32)
+            idx += pad * np.repeat(np.arange(n, dtype=np.int32),
+                                   np.diff(offsets).astype(np.int32))
+            padded[idx] = data[:total]
     padded_row_starts = offsets + pad * np.arange(n + 1, dtype=_I64)
     return padded, padded_row_starts
