@@ -30,16 +30,26 @@ def utf16_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bo
     np.cumsum(nunits + 1, out=unit_starts[1:])           # +1 sentinel unit/row
     total_units = int(unit_starts[-1])
     buf = np.zeros(total_units * 2, dtype=np.uint8)
-    if int(offsets[-1]):
-        # src/dst for every unit's first byte via ONE repeat each:
-        # src = 2·unit_idx + (row byte start − 2·units before row),
-        # dst = 2·unit_idx + 2·row_number (each row adds one sentinel)
-        cum_prev = np.cumsum(nunits) - nunits
-        unit_idx2 = np.arange(int(nunits.sum()), dtype=_I64) * 2
-        src = unit_idx2 + np.repeat(offsets[:-1] - 2 * cum_prev, nunits)
-        dst = unit_idx2 + 2 * np.repeat(np.arange(n, dtype=_I64), nunits)
-        buf[dst] = data[src]
-        buf[dst + 1] = data[src + 1]
+    total_bytes = int(offsets[-1])
+    if total_bytes:
+        if total_bytes // n >= 256:
+            # KB-sized rows: n bounded slice-memcpys beat four full
+            # index arrays (same trick as buffers.pad_rows)
+            for i in range(n):
+                nb = int(nunits[i]) * 2
+                d0 = int(unit_starts[i]) * 2
+                s0 = int(offsets[i])
+                buf[d0:d0 + nb] = data[s0:s0 + nb]
+        else:
+            # src/dst for every unit's first byte via ONE repeat each:
+            # src = 2·unit_idx + (row byte start − 2·units before row),
+            # dst = 2·unit_idx + 2·row_number (each row adds a sentinel)
+            cum_prev = np.cumsum(nunits) - nunits
+            unit_idx2 = np.arange(int(nunits.sum()), dtype=_I64) * 2
+            src = unit_idx2 + np.repeat(offsets[:-1] - 2 * cum_prev, nunits)
+            dst = unit_idx2 + 2 * np.repeat(np.arange(n, dtype=_I64), nunits)
+            buf[dst] = data[src]
+            buf[dst + 1] = data[src + 1]
     u = buf.view(">u2" if big_endian else "<u2").astype(np.uint32)
 
     hi = (u >= 0xD800) & (u < 0xDC00)

@@ -27,14 +27,23 @@ def utf32_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bo
     np.cumsum(nunits + 1, out=unit_starts[1:])          # +1 sentinel unit/row
     total_units = int(unit_starts[-1])
     buf = np.zeros(total_units * 4, dtype=np.uint8)
+    total_bytes = int(offsets[-1])
     if int(nunits.sum()):
-        # one-repeat gather indices (see utf16.py for the derivation)
-        cum_prev = np.cumsum(nunits) - nunits
-        unit_idx4 = np.arange(int(nunits.sum()), dtype=_I64) * 4
-        src = unit_idx4 + np.repeat(offsets[:-1] - 4 * cum_prev, nunits)
-        dst = unit_idx4 + 4 * np.repeat(np.arange(n, dtype=_I64), nunits)
-        for k in range(4):
-            buf[dst + k] = data[src + k]
+        if total_bytes // n >= 256:
+            # KB-sized rows: bounded per-row memcpy (see utf16.py note)
+            for i in range(n):
+                nb = int(nunits[i]) * 4
+                d0 = int(unit_starts[i]) * 4
+                s0 = int(offsets[i])
+                buf[d0:d0 + nb] = data[s0:s0 + nb]
+        else:
+            # one-repeat gather indices (see utf16.py for the derivation)
+            cum_prev = np.cumsum(nunits) - nunits
+            unit_idx4 = np.arange(int(nunits.sum()), dtype=_I64) * 4
+            src = unit_idx4 + np.repeat(offsets[:-1] - 4 * cum_prev, nunits)
+            dst = unit_idx4 + 4 * np.repeat(np.arange(n, dtype=_I64), nunits)
+            for k in range(4):
+                buf[dst + k] = data[src + k]
     u = buf.view(">u4" if big_endian else "<u4").astype(np.uint32)
 
     sentinel = np.zeros(len(u), dtype=bool)
