@@ -134,3 +134,44 @@ def test_empty_batch():
     assert len(oo) == 1 and len(n_repl) == 0
     valid, err_off, n_err = utf8_validate(data, offsets)
     assert len(valid) == 0
+
+
+def test_sparse_analysis_equals_dense():
+    """The sparse (non-ASCII-subsequence) classifier must equal the
+    dense one bit-for-bit on adversarial byte soup."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ultraviolet_spark.kernels.utf8 import _analyze_dense, _analyze_sparse
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200), st.integers(0, 50))
+    def check(raw, ascii_pad):
+        # pad with ASCII to push the batch under the sparse threshold
+        b = np.frombuffer(b"a" * ascii_pad + raw + b"\x00", dtype=np.uint8)
+        hi = b >= 0x80
+        if not hi.any():
+            return
+        dense = _analyze_dense(b, ascii_=~hi)
+        sparse = _analyze_sparse(b, hi)
+        for k in dense:
+            assert np.array_equal(dense[k], sparse[k]), (k, raw.hex())
+
+    check()
+
+
+def test_sparse_path_conformance_cases():
+    """Every golden case through the dispatching _analyze, embedded in
+    enough ASCII to force the sparse path."""
+    from ultraviolet_spark.kernels.utf8 import utf8_decode_replace
+
+    pad = b"x" * 64
+    rows = [pad + raw + pad for _, raw in CASES]
+    data, offsets = rows_from_list(rows)
+    out, oo, n_repl = utf8_decode_replace(data, offsets)
+    outs = list_from_rows(out, oo)
+    for (cid, raw), got, nr in zip(CASES, outs, n_repl):
+        want = (pad + raw + pad).decode("utf-8", errors="replace")
+        want_repl = want.count("�") - (pad + raw + pad).decode("utf-8", "ignore").count("�")
+        assert got.decode("utf-8") == want, cid
+        assert nr == want_repl, cid

@@ -47,6 +47,86 @@ def _shift_back(a: np.ndarray, k: int, fill=False) -> np.ndarray:
 
 
 def _analyze(b: np.ndarray):
+    """Dispatch: web text is overwhelmingly ASCII, and every byte the
+    multi-byte/error machinery can touch is ≥ 0x80 — so when the
+    non-ASCII fraction is small, run the full classifier on just the
+    gathered ≥0x80 subsequence (physical adjacency tracked explicitly)
+    and scatter the sparse results into full-size masks.  Identical
+    output to the dense path (property-tested); ~an order of magnitude
+    less memory traffic on 95%-ASCII batches."""
+    hi = b >= 0x80
+    n_hi = int(np.count_nonzero(hi))
+    if n_hi and n_hi < len(b) // 4:
+        return _analyze_sparse(b, hi)
+    return _analyze_dense(b, ascii_=~hi)
+
+
+def _analyze_sparse(b: np.ndarray, hi: np.ndarray):
+    idx = np.flatnonzero(hi)
+    s = b[idx]
+    m = len(s)
+    # adjacency: subarray positions j, j+1 are physically consecutive
+    adj = np.zeros(m, dtype=bool)
+    if m > 1:
+        adj[:-1] = idx[1:] == idx[:-1] + 1
+
+    cont = (s & 0xC0) == 0x80
+    c1 = adj & _shift_fwd(cont, 1)
+    c2 = c1 & _shift_fwd(adj, 1) & _shift_fwd(cont, 2)
+    c3 = c2 & _shift_fwd(adj, 2) & _shift_fwd(cont, 3)
+    b1 = np.where(adj, _shift_fwd(s, 1, fill=0), 0)
+
+    v2 = (s >= 0xC2) & (s <= 0xDF) & c1
+    ok3_1 = (
+        ((s == 0xE0) & (b1 >= 0xA0) & (b1 <= 0xBF))
+        | ((s >= 0xE1) & (s <= 0xEC) & c1)
+        | ((s == 0xED) & (b1 >= 0x80) & (b1 <= 0x9F))
+        | ((s >= 0xEE) & (s <= 0xEF) & c1)
+    )
+    v3 = ok3_1 & c2
+    ok4_1 = (
+        ((s == 0xF0) & (b1 >= 0x90) & (b1 <= 0xBF))
+        | ((s >= 0xF1) & (s <= 0xF3) & c1)
+        | ((s == 0xF4) & (b1 >= 0x80) & (b1 <= 0x8F))
+    )
+    v4 = ok4_1 & c2 & c3
+
+    # a well-formed start's continuations are ≥0x80 AND physically
+    # adjacent (implied by c1/c2/c3), so subarray shift_back is exact
+    covered = (
+        _shift_back(v2, 1)
+        | _shift_back(v3, 1) | _shift_back(v3, 2)
+        | _shift_back(v4, 1) | _shift_back(v4, 2) | _shift_back(v4, 3)
+    )
+    start = v2 | v3 | v4  # ascii impossible on the ≥0x80 subarray
+    bad = ~start & ~covered
+
+    span_s = np.ones(m, dtype=np.int8)
+    if bad.any():
+        span_s[bad & ok3_1] = 2
+        span_s[bad & ok4_1 & ~c2] = 2
+        span_s[bad & ok4_1 & c2] = 3
+    # ok3_1/ok4_1 require in-range (hence adjacent, ≥0x80) continuations,
+    # so bad-span cover positions are also contiguous in the subarray
+    bad_cover = (_shift_back(bad & (span_s >= 2), 1)
+                 | _shift_back(bad & (span_s == 3), 2))
+    fffd = bad & ~bad_cover
+
+    def scatter(mask_s: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(b), dtype=bool)
+        out[idx[mask_s]] = True
+        return out
+
+    span = np.ones(len(b), dtype=np.int8)
+    span[idx] = span_s
+    return {
+        "ascii": ~hi, "v2": scatter(v2), "v3": scatter(v3),
+        "v4": scatter(v4), "covered": scatter(covered),
+        "bad": scatter(bad), "span": span, "fffd": scatter(fffd),
+    }
+
+
+def _analyze_dense(b: np.ndarray, ascii_: np.ndarray | None = None):
     """Classify every byte of a (sentinel-padded) buffer.
 
     Returns dict of masks:
@@ -64,7 +144,8 @@ def _analyze(b: np.ndarray):
     c3 = _shift_fwd(cont, 3)
     b1 = _shift_fwd(b, 1, fill=0)
 
-    ascii_ = b < 0x80
+    if ascii_ is None:
+        ascii_ = b < 0x80
     v2 = (b >= 0xC2) & (b <= 0xDF) & c1
     # Second-byte range constraints, Table 3-7:
     ok3_1 = (
