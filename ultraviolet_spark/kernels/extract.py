@@ -49,42 +49,47 @@ def _utf8_len(cp: np.ndarray) -> np.ndarray:
     return n
 
 
-def _strip_tags(b: np.ndarray, row_of: np.ndarray, row_end: np.ndarray):
-    """Stages 1+2: boolean `removed` mask over the flat buffer."""
+def _strip_tags(b: np.ndarray, offsets: np.ndarray):
+    """Stages 1+2: boolean `removed` mask over the flat buffer.  All
+    work happens at the sparse '<'/'>' positions; row ends are resolved
+    for those positions only (searchsorted on the n+1 offsets) instead
+    of materializing a per-byte row_end array."""
     total = len(b)
     lt = np.flatnonzero(b == 0x3C)                      # '<'
-    delta = np.zeros(total + 1, dtype=np.int64)
+    delta = np.zeros(total + 1, dtype=np.int32)
     if not len(lt):
         return np.zeros(total, dtype=bool)
+    # row end of each '<' position (sparse — replaces the dense gather)
+    re_lt = offsets[np.searchsorted(offsets, lt, side="right")]
     gt = np.flatnonzero(b == 0x3E)                      # '>'
     if len(gt):
         gi = np.searchsorted(gt, lt)
         close = np.where(gi < len(gt), gt[np.minimum(gi, len(gt) - 1)], total)
     else:
         close = np.full(len(lt), total, dtype=_I64)
-    tag_end = np.minimum(close + 1, row_end[lt])        # clamp unclosed to row end
+    tag_end = np.minimum(close + 1, re_lt)              # clamp unclosed to row end
 
     def name_match(name: bytes, closing: bool):
         off = 2 if closing else 1
         m = np.ones(len(lt), dtype=bool)
         if closing:
             nxt = lt + 1
-            ok = nxt < row_end[lt]
+            ok = nxt < re_lt
             m &= ok
             m[ok] &= b[nxt[ok]] == 0x2F
         else:
             nxt = lt + 1
-            ok = nxt < row_end[lt]
+            ok = nxt < re_lt
             m &= ok
             m[ok] &= b[nxt[ok]] != 0x2F
         for k, ch in enumerate(name):
             idx = lt + off + k
-            ok = idx < row_end[lt]
+            ok = idx < re_lt
             m &= ok
             good = m.copy()
             m[good] &= _lower(b[idx[good]].astype(np.int16)) == ch
         idx = lt + off + len(name)
-        ok = idx < row_end[lt]
+        ok = idx < re_lt
         m &= ok
         good = m.copy()
         term = b[idx[good]]
@@ -109,10 +114,10 @@ def _strip_tags(b: np.ndarray, row_of: np.ndarray, row_end: np.ndarray):
             )
         else:
             blk_end = np.full(len(o), total, dtype=_I64)
-        blk_end = np.minimum(blk_end, row_end[o])
+        blk_end = np.minimum(blk_end, re_lt[opens])
         np.add.at(delta, o, 1)
         np.add.at(delta, blk_end, -1)
-    return np.cumsum(delta[:total]) > 0
+    return np.cumsum(delta[:total], dtype=np.int32) > 0
 
 
 def _parse_entities(s: np.ndarray, row_end: np.ndarray):
@@ -181,27 +186,32 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
         return np.empty(0, dtype=_U8), empty_off
 
     b = np.ascontiguousarray(data[:total])
-    row_of = np.repeat(np.arange(n, dtype=_I64), np.diff(offsets))
-    row_end = offsets[1:][row_of]
 
     # ---- stages 1+2 → compact stream s ---------------------------------
-    removed = _strip_tags(b, row_of, row_end)
+    removed = _strip_tags(b, offsets)
     keep = ~removed
     s = b[keep]
-    s_row = row_of[keep]
-    s_counts = np.bincount(s_row, minlength=n)
+    # per-row kept counts via reduceat over non-empty row starts (no
+    # dense per-byte row_of/row_end arrays — round 1 materialized both)
+    row_lens = np.diff(offsets)
+    nonempty = np.flatnonzero(row_lens > 0)
+    kept_counts = np.zeros(n, dtype=_I64)
+    if len(nonempty):
+        kept_counts[nonempty] = np.add.reduceat(
+            keep, offsets[:-1][nonempty], dtype=_I64)
     s_off = np.zeros(n + 1, dtype=_I64)
-    np.cumsum(s_counts, out=s_off[1:])
-    s_row_end = s_off[1:][s_row] if len(s) else np.zeros(0, dtype=_I64)
+    np.cumsum(kept_counts, out=s_off[1:])
+    s_row = np.repeat(np.arange(n, dtype=_I64), kept_counts)
 
     if not len(s):
         return np.empty(0, dtype=_U8), empty_off
 
     # ---- stage 3: entities on s ----------------------------------------
     # gate on a single compare pass: batches with no '&' at all (most
-    # real crawl batches) skip the int16 copy + entity scan entirely
+    # real crawl batches) skip the entity scan entirely
     if (s == 0x26).any():
-        ent_pos, ent_cpv, ent_stop = _parse_entities(s.astype(np.int16), s_row_end)
+        s_row_end = s_off[1:][s_row]
+        ent_pos, ent_cpv, ent_stop = _parse_entities(s, s_row_end)
     else:
         ent_pos = ent_cpv = ent_stop = np.empty(0, dtype=np.int64)
 
