@@ -34,6 +34,12 @@ def work(args):
 
 
 def main() -> None:
+    # The engine's executors run with glibc arena reuse (session.py);
+    # the probe's workers must too, or mmap page-zeroing serializes
+    # across processes and understates the envelope (measured: 0.585 vs
+    # the true 0.92 at 1→4 lanes).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     ap = argparse.ArgumentParser()
     ap.add_argument("--page-kb", type=int, default=10)
     ap.add_argument("--rows", type=int, default=500)

@@ -17,6 +17,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--replicate", type=int, default=192)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--text-repeat", type=int, default=1)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -42,7 +43,7 @@ def main() -> None:
         out[name] = round(time.perf_counter() - t0, 2)
 
     res: dict[str, float] = {}
-    pages = lambda: pages_from_documents(spark, args.sf_dir, replicate=args.replicate)  # noqa: E731
+    pages = lambda: pages_from_documents(spark, args.sf_dir, replicate=args.replicate, text_repeat=args.text_repeat)  # noqa: E731
     timed("1_synth", pages, res)
     timed("2_synth_extract", lambda: extract_stage(pages()), res)
     timed("3_features", lambda: feature_vector(extract_stage(pages())), res)
