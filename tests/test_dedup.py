@@ -162,3 +162,21 @@ def test_shingle_segments_property_vs_naive():
             assert np.array_equal(got, w), (i, texts[i])
 
     check()
+
+
+def test_minhash_recall_improves_with_bands(docs, docs_pd):
+    """LSH parameter sweep: at fixed num_perm, more bands (shorter
+    rows-per-band) must not lose candidate pairs at a given threshold —
+    collision probability 1-(1-j^r)^b rises as r shrinks."""
+    want = set(_brute_pairs(_shingle_sets(docs_pd, 3), 0.5))
+    if not want:
+        return
+    recalls = []
+    for bands in (8, 16, 32):
+        got = D.minhash_lsh_pairs(docs, n=3, num_perm=128, bands=bands,
+                                  threshold=0.5).toPandas()
+        pairs = set(zip(got["id_a"], got["id_b"]))
+        assert pairs <= want  # exact verify keeps precision at 1.0
+        recalls.append(len(pairs) / len(want))
+    assert recalls == sorted(recalls), recalls  # monotone non-decreasing
+    assert recalls[-1] >= 0.95

@@ -217,10 +217,10 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
 
     have_ents = bool(len(ent_pos))
     if have_ents:
-        d2 = np.zeros(len(s) + 1, dtype=np.int64)
+        d2 = np.zeros(len(s) + 1, dtype=np.int32)
         np.add.at(d2, ent_pos + 1, 1)                   # body after '&'
         np.add.at(d2, ent_stop, -1)
-        consumed = np.cumsum(d2[:len(s)]) > 0
+        consumed = np.cumsum(d2[:len(s)], dtype=np.int32) > 0
         consumed[ent_pos] = False                        # '&' itself emits
         # int32 indices throughout (a batch is < 2 GiB by construction) —
         # the unit stage is pure memory traffic, so index width is the cost
@@ -308,7 +308,7 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
     ent_emit = is_ent & ~u_is_ws
     out_len[ent_emit] = _utf8_len(unit_cp[ent_emit])
 
-    opos = np.zeros(U + 1, dtype=_I64)
+    opos = np.zeros(U + 1, dtype=np.int32 if U * 4 < 2**31 else _I64)
     np.cumsum(out_len, out=opos[1:])
     out = np.empty(int(opos[-1]), dtype=_U8)
     out[opos[:-1][plain]] = ubyte[plain]
