@@ -88,3 +88,37 @@ def test_batch_isolation():
     out, oo = extract_text(data, offsets)
     got = [r.decode() for r in list_from_rows(out, oo)]
     assert got == ["", "plain", "c", ""]
+
+
+def test_row_split_mixed_entity_batch_equals_sequential():
+    """The entity-presence row split must be invisible: a batch mixing
+    entity-free and entity rows produces exactly the per-row sequential
+    golden output (fuzzes the stitch order and the bounded memcpys)."""
+    import numpy as np
+
+    from fixtures.make_golden import golden_extract
+    from ultraviolet_spark.kernels.buffers import (
+        binary_to_offsets,
+        list_from_rows,
+    )
+    import pyarrow as pa
+
+    from ultraviolet_spark.kernels.extract import extract_text
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(64):
+        body = f"row {i} " + "plain words here " * int(rng.integers(1, 9))
+        if i % 3 == 0:
+            body += " &amp; entity &#65; tail"
+        if i % 7 == 0:
+            body = f"<p>{body}</p><script>drop()</script>"
+        if i % 11 == 0:
+            body = ""  # empty rows interleaved
+        rows.append(body.encode())
+    arr = pa.array(rows, type=pa.large_binary())
+    data, offsets, _ = binary_to_offsets(arr)
+    out, oo = extract_text(data, offsets)
+    got = [r.decode() for r in list_from_rows(out, oo)]
+    want = [golden_extract(r.decode()) for r in rows]
+    assert got == want

@@ -177,6 +177,17 @@ def _parse_entities(s: np.ndarray, row_end: np.ndarray):
     return amp[ent_ok], ent_cp[ent_ok], (q + 1)[ent_ok]
 
 
+def _gather_rows(s: np.ndarray, s_off: np.ndarray, rows: np.ndarray):
+    """Sub-stream of selected rows (bounded per-row memcpy)."""
+    lens = s_off[rows + 1] - s_off[rows]
+    sub_off = np.zeros(len(rows) + 1, dtype=_I64)
+    np.cumsum(lens, out=sub_off[1:])
+    sub = np.empty(int(sub_off[-1]), dtype=_U8)
+    for j, r in enumerate(rows):
+        sub[sub_off[j]:sub_off[j + 1]] = s[s_off[r]:s_off[r + 1]]
+    return sub, sub_off
+
+
 def extract_text(data: np.ndarray, offsets: np.ndarray):
     """(utf-8 text data, offsets) → (extracted data, offsets)."""
     n = len(offsets) - 1
@@ -201,10 +212,50 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
             keep, offsets[:-1][nonempty], dtype=_I64)
     s_off = np.zeros(n + 1, dtype=_I64)
     np.cumsum(kept_counts, out=s_off[1:])
-    s_row = np.repeat(np.arange(n, dtype=_I64), kept_counts)
 
     if not len(s):
         return np.empty(0, dtype=_U8), empty_off
+
+    # ---- row split on entity presence ----------------------------------
+    # One '&' anywhere used to drag the WHOLE batch through the general
+    # (entity) splice, ~4× slower than the fast path.  Rows are
+    # independent, so split: entity-free rows take the fast path,
+    # entity rows the general one, outputs stitched back by row id.
+    if (s == 0x26).any():
+        amp_counts = np.zeros(n, dtype=_I64)
+        has_kept = np.flatnonzero(kept_counts > 0)
+        if len(has_kept):
+            amp_counts[has_kept] = np.add.reduceat(
+                s == 0x26, s_off[:-1][has_kept], dtype=_I64)
+        rows_b = np.flatnonzero(amp_counts > 0)
+        if 0 < len(rows_b) <= (3 * n) // 4 and n >= 8:
+            rows_a = np.flatnonzero(amp_counts == 0)
+            sA, offA_in = _gather_rows(s, s_off, rows_a)
+            sB, offB_in = _gather_rows(s, s_off, rows_b)
+            outA, offA = _process_units(sA, offA_in, len(rows_a))
+            outB, offB = _process_units(sB, offB_in, len(rows_b))
+            out_lens = np.zeros(n, dtype=_I64)
+            out_lens[rows_a] = np.diff(offA)
+            out_lens[rows_b] = np.diff(offB)
+            out_offsets = np.zeros(n + 1, dtype=_I64)
+            np.cumsum(out_lens, out=out_offsets[1:])
+            out = np.empty(int(out_offsets[-1]), dtype=_U8)
+            for j, r in enumerate(rows_a):
+                out[out_offsets[r]:out_offsets[r + 1]] = outA[offA[j]:offA[j + 1]]
+            for j, r in enumerate(rows_b):
+                out[out_offsets[r]:out_offsets[r + 1]] = outB[offB[j]:offB[j + 1]]
+            return out, out_offsets
+    return _process_units(s, s_off, n)
+
+
+def _process_units(s: np.ndarray, s_off: np.ndarray, n: int):
+    """Stages 3–5 over a compacted (tag-stripped) stream: entity parse,
+    whitespace collapse, edge strip, splice.  Row-aligned: returns
+    (out bytes, out_offsets[n+1])."""
+    empty_off = np.zeros(n + 1, dtype=_I64)
+    if not len(s):
+        return np.empty(0, dtype=_U8), empty_off
+    s_row = np.repeat(np.arange(n, dtype=_I64), np.diff(s_off))
 
     # ---- stage 3: entities on s ----------------------------------------
     # gate on a single compare pass: batches with no '&' at all (most
