@@ -1203,6 +1203,90 @@ def q57(spark, sf_dir):
     )
 
 
+@q("q58_top_bigrams_per_lang", """
+WITH toks AS (
+  SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT lang, t[k] || ' ' || t[k + 1] AS bigram
+  FROM (SELECT lang, t, unnest(generate_series(1, len(t) - 1)) AS k FROM toks)
+),
+counts AS (
+  SELECT lang, bigram, COUNT(*) AS n FROM grams GROUP BY lang, bigram
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+  FROM counts
+)
+SELECT lang, bigram, n, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+""")
+def q58(spark, sf_dir):
+    """Corpus vocabulary stats: top-5 bigrams per language (the n-gram
+    frequency table a tokenizer-training pipeline starts from).  One
+    explode + one count shuffle + one per-lang top-k window."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda k: F.concat_ws(" ", F.element_at(toks, k), F.element_at(toks, k + 1)))
+    counts = (d.select("lang", F.explode(grams).alias("bigram"))
+              .groupBy("lang", "bigram").agg(F.count("*").alias("n")))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 5)
+            .select("lang", "bigram", "n", "rnk"))
+
+
+@q("q59_tfidf_top_terms", """
+WITH docs_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents
+                WHERE length(trim(text)) > 0),
+terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * ln((SELECT nd FROM docs_n) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""")
+def q59(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the classic salience scoring a
+    data-curation pipeline uses for topic sampling.  Two count shuffles
+    (tf on (doc,term), df on term) + one broadcast-joined idf + a
+    per-doc top-k window; idf = ln(N/df), deterministic tie-break."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+    nd = d.count()
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.lit(float(nd)) / F.col("df")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "term", "tfidf", "rnk"))
+
+
 @q("q52_ivf_ann_top10", None)  # probe subset → rows-only (recall in pytest)
 def q52(spark, sf_dir):
     """IVF coarse-quantizer ANN (the brief's 'IVF or LSH-bucketed
