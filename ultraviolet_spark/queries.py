@@ -1287,6 +1287,41 @@ def q59(spark, sf_dir):
             .select("doc_id", "term", "tfidf", "rnk"))
 
 
+@q("q60_percentile_approx_bounds", """
+WITH q AS (
+  SELECT o_orderstatus,
+    quantile_cont(o_totalprice, 0.5) AS p50_exact,
+    quantile_cont(o_totalprice, 0.95) AS p95_exact
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, round(p50_exact, 2) AS p50_exact,
+       round(p95_exact, 2) AS p95_exact,
+       true AS approx_within_2pct
+FROM q
+""")
+def q60(spark, sf_dir):
+    """percentile_approx (the T-Digest scale path for quantiles over
+    10^12 rows): sketches differ across engines, so the driver-checked
+    contract is the accuracy bound — approx p50/p95 within 2% of exact
+    (oracle: true).  q31 is the exact-percentile companion."""
+    o = _t(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, array(0.5, 0.95))")
+    approx = F.percentile_approx("o_totalprice", [0.5, 0.95], 10000)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(exact.alias("ex"), approx.alias("ap"))
+        .select(
+            "o_orderstatus",
+            F.round(F.element_at("ex", 1), 2).alias("p50_exact"),
+            F.round(F.element_at("ex", 2), 2).alias("p95_exact"),
+            ((F.abs(F.element_at("ap", 1) - F.element_at("ex", 1))
+              <= 0.02 * F.element_at("ex", 1))
+             & (F.abs(F.element_at("ap", 2) - F.element_at("ex", 2))
+                <= 0.02 * F.element_at("ex", 2))).alias("approx_within_2pct"),
+        )
+    )
+
+
 @q("q52_ivf_ann_top10", None)  # probe subset → rows-only (recall in pytest)
 def q52(spark, sf_dir):
     """IVF coarse-quantizer ANN (the brief's 'IVF or LSH-bucketed
