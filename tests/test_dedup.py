@@ -120,8 +120,13 @@ def test_null_and_short_docs_no_crash_no_spurious_pairs(spark):
     assert set(zip(cand["id_a"], cand["id_b"])) == {(6, 7)}
 
     sh = D.simhash(df).toPandas().set_index("doc_id")["simhash"]
-    assert sh[1] == 0 and sh[3] == 0  # degenerate docs hash to 0
-    assert sh[6] == sh[7] != 0
+    assert pd.isna(sh[1]) and pd.isna(sh[3])  # degenerate docs -> NULL
+    assert sh[6] == sh[7]
+    assert not pd.isna(sh[6])
+    pairs = D.simhash_pairs(df, max_hamming=3).toPandas()
+    # NULL-simhash docs must produce no pairs (scale: empty docs would
+    # otherwise all collide at simhash 0)
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(6, 7)}
 
 
 def test_shingle_segments_property_vs_naive():

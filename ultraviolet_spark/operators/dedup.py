@@ -305,6 +305,9 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
             m = len(pdf)
             flat, starts, counts = _shingle_hash_segments(
                 pdf[text_col].to_numpy(), ngram)
+            # zero-shingle docs get NULL, not 0: at corpus scale millions
+            # of empty docs sharing simhash 0 would pair O(m²) in the
+            # banded join (same failure class as the MinHash sentinel)
             out = np.zeros(m, dtype=np.int64)
             nonempty = counts > 0
             if flat.size:
@@ -318,7 +321,9 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
                 words = (np.where(votes > 0, np.uint64(1), np.uint64(0))
                          << shifts[None, :]).sum(axis=1)
                 out[nonempty] = words.astype(np.int64)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": out})
+            col = pd.Series(out, dtype="Int64")
+            col[~nonempty] = None
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": col})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
@@ -334,7 +339,10 @@ def simhash_pairs(df: DataFrame, *, max_hamming: int = 3, ngram: int = 2,
     k = max_hamming + 1
     width = 64 // k
     mask = (1 << width) - 1
-    sh = simhash(df, text_col=text_col, id_col=id_col, ngram=ngram)
+    # zero-shingle docs carry NULL simhash — exclude them (no near-dup
+    # semantics for empty docs; see the simhash() NULL note)
+    sh = (simhash(df, text_col=text_col, id_col=id_col, ngram=ngram)
+          .filter(F.col("simhash").isNotNull()))
     chunks = F.posexplode(F.array(*[
         F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
         for i in range(k)
