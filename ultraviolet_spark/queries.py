@@ -965,6 +965,9 @@ FROM events GROUP BY 1, 2, 3
 def q48(spark, sf_dir):
     """§2.8 tumbling windows via F.window (epoch-aligned, session tz =
     UTC so DuckDB time_bucket is the exact mirror)."""
+    # F.window aligns to epoch in SESSION tz — pin UTC in case the
+    # driver's session differs (runtime-settable conf)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
     w = F.window("ts", "6 hours")
     return (
@@ -993,6 +996,7 @@ def q49(spark, sf_dir):
     """§2.8 sliding windows (6h window, 2h slide → each event in exactly
     3 windows).  The DuckDB mirror expands each event into its 3 covering
     epoch-aligned windows — the same explode Spark's plan performs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see q48
     ev = _t(spark, sf_dir, "events")
     w = F.window("ts", "6 hours", "2 hours")
     return (
