@@ -1326,6 +1326,109 @@ def q60(spark, sf_dir):
     )
 
 
+@q("q61_asof_salted_hot_keys", """
+SELECT e.event_id, e.user_id, e.ts, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""")
+def q61(spark, sf_dir):
+    """The SKEW path of the core as-of operator: the most frequent user
+    keys are treated as hot (left side timestamp-salted across slices,
+    right side replicated per slice).  Salting is semantics-preserving,
+    so the oracle is the same DuckDB ASOF JOIN as the unsalted q15 —
+    driver-visible value parity for the crawl-frequency-skew mechanism
+    (round 1 had it pytest-only)."""
+    from ultraviolet_spark.operators.asof import find_hot_keys
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"))
+    # low threshold so the driver corpus genuinely exercises the salted
+    # branch (every user with ≥ a handful of clicks becomes "hot")
+    hot = find_hot_keys(clicks, "user_id", min_rows=20, top=16)
+    return asof_join(clicks, purch, on="ts", by="user_id",
+                     value_cols=["purchase_value"], hot_keys=hot, salt=4)
+
+
+def _q62_oracle() -> str:
+    # expected funnel for the committed golden pages (319 rows/stage)
+    rows = ", ".join(
+        f"({C.sql_str(s)}, CAST(319 AS BIGINT), {r})"
+        for s, r in [("features", "false"), ("features_enriched", "false"),
+                     ("text_extracted", "false")])
+    return ("SELECT * FROM (VALUES " + rows
+            + ") AS t(table_name, n_rows, resumed_first_run)")
+
+
+@q("q62_checkpoint_metrics", _q62_oracle())
+def q62(spark, sf_dir):
+    """Checkpoint/resume + metrics, driver-visible: run the checkpointed
+    flagship over the committed golden pages into a fresh warehouse and
+    return the per-stage metrics funnel (north_rule 'resumable from
+    checkpoint with per-partition lineage + metrics'; round 1 had this
+    pytest-only)."""
+    import tempfile
+
+    from ultraviolet_spark.pipeline import run_checkpointed_pipeline
+    from ultraviolet_spark.plans.snapshots import ParquetSnapshotFormat
+
+    pages = spark.read.parquet(f"{_FIXTURES_DIR}/pages_golden.parquet")
+    wh = tempfile.mkdtemp(prefix="uv_q62_")
+    _, resumed = run_checkpointed_pipeline(spark, pages, wh,
+                                           inputs_key="q62-golden-pages")
+    fmt = ParquetSnapshotFormat(wh)
+    m = fmt.metrics(spark)
+    res_rows = [(k, bool(v)) for k, v in resumed.items()]
+    res = spark.createDataFrame(res_rows, "table string, resumed_first_run boolean")
+    return (m.join(res, "table")
+            .select(F.col("table").alias("table_name"), "n_rows",
+                    "resumed_first_run"))
+
+
+@q("q63_streaming_dedup", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       true AS dedup_exact
+FROM events
+""")
+def q63(spark, sf_dir):
+    """Stateful STREAMING dedup, driver-visible: feed the events file
+    through an actual readStream with the input duplicated (stream ∪
+    stream), dropDuplicatesWithinWatermark on event_id, availableNow
+    micro-batches into a memory sink — the result must contain every
+    event exactly once (oracle: plain COUNT/COUNT DISTINCT)."""
+    import tempfile
+    import uuid
+
+    from ultraviolet_spark.streaming.stateful import streaming_dedup
+
+    src = f"{sf_dir}/events.parquet"
+    tmp = tempfile.mkdtemp(prefix="uv_q63_")
+    import os as _o
+    import shutil
+
+    srcdir = _o.path.join(tmp, "in")
+    _o.makedirs(srcdir)
+    shutil.copy(src, _o.path.join(srcdir, "events.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(srcdir)
+    out = streaming_dedup(stream.union(stream), key_cols=["event_id"],
+                          ts_col="ts", watermark="1 hour")
+    name = f"uv_q63_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", _o.path.join(tmp, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               COUNT(*) = COUNT(DISTINCT event_id) AS dedup_exact
+        FROM {name}""")
+
+
 @q("q52_ivf_ann_top10", None)  # probe subset → rows-only (recall in pytest)
 def q52(spark, sf_dir):
     """IVF coarse-quantizer ANN (the brief's 'IVF or LSH-bucketed
