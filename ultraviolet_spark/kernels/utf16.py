@@ -50,10 +50,12 @@ def utf16_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bo
             dst = unit_idx2 + 2 * np.repeat(np.arange(n, dtype=_I64), nunits)
             buf[dst] = data[src]
             buf[dst + 1] = data[src + 1]
-    u = buf.view(">u2" if big_endian else "<u2").astype(np.uint32)
-
-    hi = (u >= 0xD800) & (u < 0xDC00)
-    lo = (u >= 0xDC00) & (u < 0xE000)
+    # surrogate masks on the native u16 view (half the compare traffic);
+    # ONE widening conversion afterwards for the codepoint math
+    v16 = buf.view(">u2" if big_endian else "<u2")
+    hi = (v16 >= 0xD800) & (v16 < 0xDC00)
+    lo = (v16 >= 0xDC00) & (v16 < 0xE000)
+    u = v16.astype(np.uint32)
     lo1 = np.zeros(len(u), dtype=bool)
     if len(u) > 1:
         lo1[:-1] = lo[1:]
@@ -79,7 +81,9 @@ def utf16_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bo
     fffd_tail = sentinel.copy()
     fffd_tail[unit_starts[1:] - 1] = tail_emit
 
-    cp = u.copy()
+    cp = u  # u is an owned astype result; all reads of u's
+    # original values (masks, u1/pair math) happen before any
+    # cp mutation, so aliasing saves a full-width copy
     u1 = np.zeros(len(u), dtype=np.uint32)
     if len(u) > 1:
         u1[:-1] = u[1:]

@@ -53,7 +53,9 @@ def utf32_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bo
     fffd_tail = np.zeros(len(u), dtype=bool)
     fffd_tail[unit_starts[1:] - 1] = trailing
 
-    cp = u.copy()
+    cp = u  # u is an owned astype result; all reads of u's
+    # original values (masks, u1/pair math) happen before any
+    # cp mutation, so aliasing saves a full-width copy
     cp[invalid] = 0xFFFD
     cp[fffd_tail] = 0xFFFD
 
