@@ -56,7 +56,9 @@ def _analyze(b: np.ndarray):
     less memory traffic on 95%-ASCII batches."""
     hi = b >= 0x80
     n_hi = int(np.count_nonzero(hi))
-    if n_hi and n_hi < len(b) // 4:
+    # measured crossover ≈40% non-ASCII (r2: 33% hi → sparse 67 vs dense
+    # 53 MB/s; 50% → dense wins; CJK 97% → dense 2× sparse)
+    if n_hi and n_hi * 5 < len(b) * 2:
         return _analyze_sparse(b, hi)
     return _analyze_dense(b, ascii_=~hi)
 
