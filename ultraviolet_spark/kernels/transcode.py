@@ -8,7 +8,6 @@ import numpy as np
 from ultraviolet_spark.kernels import encode as _enc
 from ultraviolet_spark.kernels.utf8 import (
     utf8_to_codepoints_with_repl,
-    utf8_validate,
 )
 from ultraviolet_spark.kernels.utf16 import utf16_to_codepoints
 from ultraviolet_spark.kernels.utf32 import utf32_to_codepoints

@@ -31,7 +31,6 @@ from ultraviolet_spark.operators.asof import asof_join
 from ultraviolet_spark.operators.windows import (
     dedup_latest,
     sessionize,
-    top_k_per_key,
     with_ffill,
     with_lags,
     with_leads,
