@@ -99,3 +99,46 @@ def test_asof_join_strict_excludes_exact(spark, sf_dir):
     # itself loosely, so loose has no nulls while strict has some.
     assert loose["value"].notna().all()
     assert strict["value"].isna().any()
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_directions_vs_pandas(spark, sf_dir, direction):
+    from ultraviolet_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = events.select("event_id", "ts", "user_id", "value").limit(2000)
+    right = events.filter("event_type = 'view'").select("ts", "user_id", "value")
+    got = asof_join(left, right, on="ts", by="user_id",
+                    value_cols=["value"], direction=direction,
+                    num_buckets=8).toPandas().sort_values("event_id")
+    lp = left.toPandas().sort_values("ts", kind="mergesort")
+    rp = right.toPandas().sort_values("ts", kind="mergesort")
+    want = pd.merge_asof(lp, rp.rename(columns={"value": "value_r"}),
+                         on="ts", by="user_id",
+                         direction=direction).sort_values("event_id")
+    a = got["value_r"].astype("Float64").reset_index(drop=True)
+    b = want["value_r"].astype("Float64").reset_index(drop=True)
+    assert a.equals(b), direction
+
+
+def test_asof_tolerance_vs_pandas(spark, sf_dir):
+    from ultraviolet_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = events.select("event_id", "ts", "user_id", "value").limit(2000)
+    right = events.filter("event_type = 'purchase'").select("ts", "user_id", "value")
+    tol = "30 minutes"
+    got = asof_join(left, right, on="ts", by="user_id", value_cols=["value"],
+                    tolerance=tol, num_buckets=8).toPandas().sort_values("event_id")
+    lp = left.toPandas().sort_values("ts", kind="mergesort")
+    rp = right.toPandas().sort_values("ts", kind="mergesort")
+    want = pd.merge_asof(lp, rp.rename(columns={"value": "value_r"}),
+                         on="ts", by="user_id", direction="backward",
+                         tolerance=pd.Timedelta(tol)).sort_values("event_id")
+    a = got["value_r"].astype("Float64").reset_index(drop=True)
+    b = want["value_r"].astype("Float64").reset_index(drop=True)
+    assert a.equals(b)
+    # tolerance must actually drop some matches vs untolerated backward
+    loose = asof_join(left, right, on="ts", by="user_id",
+                      value_cols=["value"], num_buckets=8).toPandas()
+    assert got["value_r"].notna().sum() < loose["value_r"].notna().sum()
