@@ -45,9 +45,26 @@ def main() -> None:
                     help="page size multiplier (20 ≈ 10 KB web-average pages)")
     args = ap.parse_args()
 
-    r8 = run_at(args.n, args.replicate, args.sf_dir, args.runs, args.text_repeat)
-    r32 = run_at(args.n4, args.replicate, args.sf_dir, args.runs, args.text_repeat)
-    eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / (args.n4 / args.n)
+    # INTERLEAVED pairs: this host's absolute speed drifts up to ~1.5×
+    # over hours (measured r2; zero steal — THP/cache state).  Running
+    # all N legs then all 4N legs lets drift bias the ratio; alternating
+    # (N, 4N) per round and taking the per-PAIR efficiency median makes
+    # the measurement drift-robust (both legs of a pair see the same
+    # host state).
+    pairs = []
+    r8 = r32 = None
+    for _ in range(args.runs):
+        a = run_at(args.n, args.replicate, args.sf_dir, 1, args.text_repeat)
+        b = run_at(args.n4, args.replicate, args.sf_dir, 1, args.text_repeat)
+        pairs.append((a, b))
+        if r8 is None or a["sec"] < r8["sec"]:
+            r8 = a
+        if r32 is None or b["sec"] < r32["sec"]:
+            r32 = b
+    per_pair = sorted(
+        (b["pages_per_sec"] / a["pages_per_sec"]) / (args.n4 / args.n)
+        for a, b in pairs)
+    eff = per_pair[len(per_pair) // 2]  # median pair
 
     summary = {
         "n_cores": args.n, "n4_cores": args.n4,
@@ -55,6 +72,7 @@ def main() -> None:
         "sec_n": r8["sec"], "sec_n4": r32["sec"],
         "pages_per_sec_n": r8["pages_per_sec"],
         "pages_per_sec_n4": r32["pages_per_sec"],
+        "per_pair_efficiency": [round(e, 3) for e in per_pair],
         "scaling_efficiency": round(eff, 3),
         "meets_0_8": eff >= 0.8,
     }
@@ -70,16 +88,18 @@ Same flagship job (documents → pages synth → transcode+extract via
 mapInArrow → window features → backward as-of join), identical input
 ({r8['pages']:,} pages × ~{args.text_repeat // 2} KB html from
 {args.sf_dir}, web-realistic page size), two parallelism levels,
-separate JVMs, warm-up excluded, best of {args.runs} timed runs:
+separate JVMs, warm-up excluded, {args.runs} INTERLEAVED (N, 4N) pairs —
+the efficiency is the median per-pair ratio, robust to this host's
+slow multi-hour performance drift (best wall/throughput shown):
 
 | Config | Wall (s) | Throughput (pages/s) |
 | --- | --- | --- |
 | `local[{args.n}]` (N) | {r8['sec']} | {r8['pages_per_sec']:,} |
 | `local[{args.n4}]` (4N) | {r32['sec']} | {r32['pages_per_sec']:,} |
 
-**Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.3f}** — criterion ≥ 0.8: {"**MET**" if eff >= 0.8 else "**NOT MET**"}.
+**Scaling efficiency (median interleaved pair) = {eff:.3f}** — criterion ≥ 0.8: {"**MET**" if eff >= 0.8 else "**NOT MET**"}.
 
-All runs N: {r8['all_runs_sec']} · 4N: {r32['all_runs_sec']}
+Per-pair efficiencies: {summary['per_pair_efficiency']}
 {MARK_B}"""
 
     path = os.path.join(ROOT, "BASELINE.md")
