@@ -69,3 +69,30 @@ def test_code_change_invalidates_resume(spark, tmp_path):
     _, resumed = run_stage(spark, fmt, "t", "same-inputs", build_v1,
                            code_version="pinned")
     assert resumed is True  # pinned version: body ignored
+
+
+def test_code_fingerprint_stable_with_nested_lambdas():
+    """A build containing nested lambdas/comprehensions must fingerprint
+    identically across independent compilations (repr of a nested code
+    object embeds a memory address — ADVICE r2: the old repr-based
+    default changed every process, so checkpointing silently degraded to
+    always-recompute)."""
+    from ultraviolet_spark.plans.snapshots import _code_fingerprint
+
+    src = (
+        "def build():\n"
+        "    xs = [i * 2 for i in range(3)]\n"
+        "    f = lambda v: v + sum(xs)\n"
+        "    return f(1)\n"
+    )
+    fps = []
+    for _ in range(2):
+        ns: dict = {}
+        exec(compile(src, "<stage>", "exec"), ns)  # fresh code objects
+        fps.append(_code_fingerprint(ns["build"].__code__))
+    assert fps[0] == fps[1]
+
+    # and a genuinely different nested body must change the fingerprint
+    ns2: dict = {}
+    exec(compile(src.replace("v + sum(xs)", "v - sum(xs)"), "<stage>", "exec"), ns2)
+    assert _code_fingerprint(ns2["build"].__code__) != fps[0]

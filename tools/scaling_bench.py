@@ -67,6 +67,10 @@ def main() -> None:
     eff = per_pair[len(per_pair) // 2]  # median pair
 
     summary = {
+        "when": datetime.datetime.now().isoformat(timespec="minutes"),
+        "method": ("same flagship job, local[N] vs local[4N], fresh JVM per "
+                   "run, interleaved (N,4N) pairs, median per-pair efficiency "
+                   "(drift-robust); warm-up excluded"),
         "n_cores": args.n, "n4_cores": args.n4,
         "pages": r8["pages"],
         "sec_n": r8["sec"], "sec_n4": r32["sec"],
@@ -77,9 +81,42 @@ def main() -> None:
         "meets_0_8": eff >= 0.8,
     }
     print(json.dumps(summary))
-    # persisted for bench.py to attach to its driver-recorded JSON line
-    with open(os.path.join(ROOT, "tools", "scaling_latest.json"), "w") as fh:
-        json.dump(summary, fh)
+    # Persist for bench.py to attach to its driver-recorded JSON line.
+    # This script is the SINGLE writer of scaling_latest.json and the
+    # top level always reflects the MOST RECENT measurement (meets_0_8
+    # included).  Prior measurements are appended to "history" and the
+    # best one is surfaced as "best_recorded" for context — the host's
+    # documented fast/slow drift (BASELINE.md) is visible there instead
+    # of silently headlining a cherry-picked window.
+    latest_path = os.path.join(ROOT, "tools", "scaling_latest.json")
+    history: list[dict] = []
+    if os.path.exists(latest_path):
+        try:
+            prior = json.load(open(latest_path))
+            history = list(prior.get("history", []))
+            # migrate any pre-unification record (best_window/latest_window
+            # split, or a flat record without history) into history rows
+            for key in ("best_window", "latest_window"):
+                if key in prior:
+                    history.append({k: prior[key].get(k) for k in
+                                    ("when", "scaling_efficiency", "meets_0_8",
+                                     "sec_n", "sec_n4")})
+            if "history" not in prior and "best_window" not in prior \
+                    and "scaling_efficiency" in prior:
+                history.append({k: prior.get(k) for k in
+                                ("when", "scaling_efficiency", "meets_0_8",
+                                 "sec_n", "sec_n4")})
+        except (json.JSONDecodeError, OSError):
+            pass
+    history.append({k: summary[k] for k in
+                    ("when", "scaling_efficiency", "meets_0_8",
+                     "sec_n", "sec_n4")})
+    record = dict(summary)
+    record["history"] = history[-20:]
+    record["best_recorded"] = max(
+        record["history"], key=lambda h: h.get("scaling_efficiency") or 0.0)
+    with open(latest_path, "w") as fh:
+        json.dump(record, fh, indent=1)
 
     block = f"""{MARK_A}
 ## Measured scaling results ({datetime.date.today().isoformat()})

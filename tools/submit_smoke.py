@@ -29,7 +29,12 @@ def main() -> None:
     pages = pages_from_documents(spark, sf_dir)
     n = flagship_enriched(pages).count()
     q1 = REGISTRY["q01_pricing_summary"].fn(spark, sf_dir).count()
-    print(json.dumps({"flagship_rows": n, "q01_rows": q1, "ok": n > 0 and q1 > 0}))
+    # q51 reads a committed parquet fixture — exercises the zip-extract
+    # fallback in queries._read_fixture (VERDICT r2: this query used to
+    # be un-runnable from inside a --py-files zip)
+    q51 = REGISTRY["q51_flagship_vs_golden"].fn(spark, sf_dir).count()
+    print(json.dumps({"flagship_rows": n, "q01_rows": q1, "q51_rows": q51,
+                      "ok": n > 0 and q1 > 0 and q51 > 0}))
 
 
 if __name__ == "__main__":

@@ -255,6 +255,11 @@ def _process_units(s: np.ndarray, s_off: np.ndarray, n: int):
     empty_off = np.zeros(n + 1, dtype=_I64)
     if not len(s):
         return np.empty(0, dtype=_U8), empty_off
+    # int32 position indices are ~2× faster on the pure-memory-traffic
+    # unit stages, but wrap silently past 2 GiB — guard once here (like
+    # encode.py/buffers.py) instead of trusting the Arrow-batch-size
+    # convention (ADVICE r2).
+    idx_t = np.int32 if len(s) + 2 < 2**31 else _I64
     s_row = np.repeat(np.arange(n, dtype=_I64), np.diff(s_off))
 
     # ---- stage 3: entities on s ----------------------------------------
@@ -273,9 +278,9 @@ def _process_units(s: np.ndarray, s_off: np.ndarray, n: int):
         np.add.at(d2, ent_stop, -1)
         consumed = np.cumsum(d2[:len(s)], dtype=np.int32) > 0
         consumed[ent_pos] = False                        # '&' itself emits
-        # int32 indices throughout (a batch is < 2 GiB by construction) —
+        # idx_t indices throughout (int32 below 2 GiB, guarded above) —
         # the unit stage is pure memory traffic, so index width is the cost
-        unit_idx = np.flatnonzero(~consumed).astype(np.int32)
+        unit_idx = np.flatnonzero(~consumed).astype(idx_t)
         U = len(unit_idx)
         ubyte = s[unit_idx]  # stays uint8
     else:
@@ -316,7 +321,7 @@ def _process_units(s: np.ndarray, s_off: np.ndarray, n: int):
     # gather (the two slowest passes of round 1's formulation): the
     # sorted non-ws position list + a searchsorted against the 500-ish
     # row starts gives the bounds, and np.repeat broadcasts them back.
-    uidx = np.arange(U, dtype=np.int32)
+    uidx = np.arange(U, dtype=idx_t)
     row_unit_starts = np.flatnonzero(new_row)
     nw = np.flatnonzero(~u_is_ws)                       # sorted non-ws positions
     seg_bounds = np.append(row_unit_starts, U)
@@ -326,8 +331,8 @@ def _process_units(s: np.ndarray, s_off: np.ndarray, n: int):
         hi = np.searchsorted(nw, seg_bounds[1:]) - 1    # per row: last nw idx
         has_nw = lo <= hi
         first_nonws = np.where(has_nw, nw[np.minimum(lo, len(nw) - 1)],
-                               U + 1).astype(np.int32)
-        last_nonws = np.where(has_nw, nw[np.maximum(hi, 0)], -1).astype(np.int32)
+                               U + 1).astype(idx_t)
+        last_nonws = np.where(has_nw, nw[np.maximum(hi, 0)], -1).astype(idx_t)
         ws_keep &= (uidx > np.repeat(first_nonws, seg_len)) \
             & (uidx < np.repeat(last_nonws, seg_len))
     else:

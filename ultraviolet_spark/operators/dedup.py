@@ -27,6 +27,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -223,6 +224,26 @@ def minhash_signatures(df: DataFrame, *, n: int = 3, num_perm: int = 128,
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
+# Signatures persisted by prior minhash_lsh_pairs calls.  The returned
+# DataFrame is lazy, so the caller has no natural point to unpersist;
+# instead each new call releases the previous call's cache (ADVICE r2:
+# without this, every clean_corpus(near_dup=True) pinned executor
+# storage for the session lifetime).  release_cached() frees explicitly.
+_PERSISTED_SIGS: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Unpersist signature frames cached by earlier minhash_lsh_pairs
+    calls.  Safe to call any time after the returned DataFrame has been
+    fully materialized (collected/written)."""
+    while _PERSISTED_SIGS:
+        cached = _PERSISTED_SIGS.pop()
+        try:
+            cached.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped
+
+
 def minhash_lsh_pairs(df: DataFrame, *, n: int = 3, num_perm: int = 128,
                       bands: int = 32, threshold: float = 0.5, seed: int = 42,
                       text_col: str = "text", id_col: str = "doc_id",
@@ -242,7 +263,9 @@ def minhash_lsh_pairs(df: DataFrame, *, n: int = 3, num_perm: int = 128,
         # One shingling pass feeds BOTH candidate generation and the exact
         # verify (round 1 re-shingled the whole corpus for verify — 2× the
         # Python-kernel work and a string-keyed shuffle; hash keys are 8B).
-        sigs = sigs.persist()
+        release_cached()  # free the previous invocation's signatures
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_SIGS.append(sigs)
     # Zero-shingle docs share the sentinel signature → every one of them
     # collides in every band; drop them up front (no near-dup semantics
     # for empty docs anyway).

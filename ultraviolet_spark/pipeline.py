@@ -144,14 +144,24 @@ def run_checkpointed_pipeline(spark, pages: DataFrame, warehouse: str,
     fmt = ParquetSnapshotFormat(warehouse)
     resumed: dict[str, bool] = {}
 
+    # Per-stage accumulator metrics ride the write pass via df.observe
+    # (zero extra jobs) and land in fmt.observed_metrics() — the
+    # cross-stage audit table (north_rule 'metrics tables').
     fp1 = fingerprint("text_extracted", inputs_key)
     te, resumed["text_extracted"] = run_stage(
-        spark, fmt, "text_extracted", fp1, lambda: extract_stage(pages))
+        spark, fmt, "text_extracted", fp1, lambda: extract_stage(pages),
+        observe={"text_bytes": F.sum(F.length("text")),
+                 "min_warc_ts": F.min(F.unix_micros(
+                     F.col("warc_ts").cast("timestamp"))),
+                 "max_warc_ts": F.max(F.unix_micros(
+                     F.col("warc_ts").cast("timestamp")))})
 
     fp2 = fingerprint("features", fp1, gap_secs)
     feats, resumed["features"] = run_stage(
         spark, fmt, "features", fp2,
-        lambda: feature_vector(te, gap_secs=gap_secs))
+        lambda: feature_vector(te, gap_secs=gap_secs),
+        observe={"total_text_len": F.sum("text_len"),
+                 "max_session_id": F.max("session_id")})
 
     def build_enriched() -> DataFrame:
         src = dedup_latest(feats, by=["url"], order="warc_ts", keep="first").select(

@@ -59,6 +59,9 @@ class Snapshot:
     bytes: int
     created_utc: float
     path: str
+    # extra df.observe aggregates captured in-flight during the write
+    # (same single pass as the row count) — {metric_name: float}
+    observed: dict | None = None
 
 
 class ParquetSnapshotFormat:
@@ -97,16 +100,30 @@ class ParquetSnapshotFormat:
 
     # -- IO -------------------------------------------------------------
     def write(self, df: DataFrame, table: str, *, stage: str,
-              inputs_fp: str) -> Snapshot:
+              inputs_fp: str,
+              observe: dict[str, F.Column] | None = None) -> Snapshot:
+        """Write one snapshot.  ``observe`` maps metric name → aggregate
+        Column (count/sum/min/max/approx — anything ``df.observe``
+        accepts); the metrics ride the SAME single write pass as the row
+        count (no extra job) and land in the snapshot log →
+        ``observed_metrics()``."""
         snaps = self.snapshots(table)
         sid = (snaps[-1].snapshot_id + 1) if snaps else 0
         path = self._data_path(table, sid)
         t0 = time.time()
 
         obs = Observation(f"lineage_{table}_{sid}")
-        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for mname, col in (observe or {}).items():
+            if mname == "rows":
+                raise ValueError("'rows' is reserved (always observed)")
+            aggs.append(col.alias(mname))
+        df = df.observe(obs, *aggs)
         df.write.mode("overwrite").parquet(path)
-        n_rows = int(obs.get["rows"])
+        got = obs.get
+        n_rows = int(got["rows"])
+        observed = {k: (None if got[k] is None else float(got[k]))
+                    for k in got if k != "rows"}
 
         # per-file lineage from the written files (columnar count read —
         # cheap) + on-disk byte sizes
@@ -130,7 +147,7 @@ class ParquetSnapshotFormat:
         snap = Snapshot(
             snapshot_id=sid, table=table, stage=stage, inputs_fp=inputs_fp,
             n_rows=n_rows, n_files=len(files), bytes=sum(files.values()),
-            created_utc=t0, path=path,
+            created_utc=t0, path=path, observed=observed or None,
         )
         os.makedirs(self._snapdir(table), exist_ok=True)
         tmp = os.path.join(self._snapdir(table), f"{sid:06d}.json.tmp")
@@ -167,10 +184,33 @@ class ParquetSnapshotFormat:
         warehouse: (table, snapshot_id, stage, inputs_fp, n_rows,
         n_files, bytes, created_utc) — the per-run roll-up the snapshot
         log already records, surfaced as a DataFrame."""
-        rows = [s.__dict__ for t in self.tables() for s in self.snapshots(t)]
+        rows = [{k: v for k, v in s.__dict__.items() if k != "observed"}
+                for t in self.tables() for s in self.snapshots(t)]
         schema = ("snapshot_id long, table string, stage string, "
                   "inputs_fp string, n_rows long, n_files long, "
                   "bytes long, created_utc double, path string")
+        return spark.createDataFrame(rows, schema=schema)
+
+    def observed_metrics(self, spark: SparkSession) -> DataFrame:
+        """Accumulator metrics captured via ``df.observe`` during each
+        stage write, as ONE long-format queryable table:
+        (table, snapshot_id, stage, metric, value).  ``rows`` appears
+        for every stage run; extra metrics are whatever the stage's
+        ``observe=`` mapping requested.  This is the cross-stage audit
+        row the north_rule's 'metrics tables' asks for — computed
+        in-flight on the write pass, zero extra jobs."""
+        rows = []
+        for t in self.tables():
+            for s in self.snapshots(t):
+                rows.append({"table": t, "snapshot_id": s.snapshot_id,
+                             "stage": s.stage, "metric": "rows",
+                             "value": float(s.n_rows)})
+                for mname, val in (s.observed or {}).items():
+                    rows.append({"table": t, "snapshot_id": s.snapshot_id,
+                                 "stage": s.stage, "metric": mname,
+                                 "value": None if val is None else float(val)})
+        schema = ("table string, snapshot_id long, stage string, "
+                  "metric string, value double")
         return spark.createDataFrame(rows, schema=schema)
 
     def all_lineage(self, spark: SparkSession) -> DataFrame:
@@ -232,10 +272,37 @@ class IcebergFormat:
         return r.load(self._ident(table))
 
 
+def _code_fingerprint(code) -> str:
+    """Recursive, process-stable fingerprint of a code object.
+
+    ``repr(co_consts)`` is NOT stable when a build callable contains a
+    nested lambda/comprehension: the nested code object's repr embeds a
+    memory address and absolute file path, so the default code_version
+    changed every process and run_stage silently never resumed (ADVICE
+    r2).  Walk co_consts instead, replacing nested code objects with
+    their own recursive fingerprint and keeping only value-reprs for
+    plain consts.
+
+    Closure-captured values are deliberately NOT hashed (they are not in
+    co_code/co_consts): a build whose behavior changes only via a
+    closed-over parameter must mix that parameter into ``inputs_fp`` —
+    see run_stage's docstring.
+    """
+    parts: list[str] = [code.co_code.hex(), repr(code.co_names)]
+    for const in code.co_consts:
+        if hasattr(const, "co_code"):          # nested code object
+            parts.append(_code_fingerprint(const))
+        else:
+            parts.append(repr(const))
+    return fingerprint(*parts)
+
+
 def run_stage(spark: SparkSession, fmt: ParquetSnapshotFormat, table: str,
               inputs_fp: str, build: Callable[[], DataFrame], *,
               stage: str | None = None,
-              code_version: str | None = None) -> tuple[DataFrame, bool]:
+              code_version: str | None = None,
+              observe: dict[str, F.Column] | None = None,
+              ) -> tuple[DataFrame, bool]:
     """Checkpointed stage: returns (df, resumed).  ``resumed`` is True
     when a snapshot with the same input fingerprint already existed and
     the build function was skipped entirely.
@@ -243,21 +310,26 @@ def run_stage(spark: SparkSession, fmt: ParquetSnapshotFormat, table: str,
     The resume key mixes ``code_version`` into the fingerprint so a
     changed stage implementation does NOT silently resume a stale
     checkpoint (ADVICE r1).  By default it is derived from ``build``'s
-    bytecode + consts — edits to the stage function invalidate its
-    snapshots automatically; pass an explicit version string when the
-    stage delegates to code the closure can't see.
+    bytecode + consts, recursively through nested lambdas/comprehensions
+    (process-stable — see _code_fingerprint) — edits to the stage
+    function invalidate its snapshots automatically.  Pass an explicit
+    version string when the stage delegates to code the bytecode can't
+    see, and ALWAYS mix closure-captured parameter values into
+    ``inputs_fp``: closure cell contents are not part of the bytecode,
+    so a build varying only via a closed-over variable would otherwise
+    resume a stale snapshot.
     """
     stage = stage or table
     if code_version is None:
         code = getattr(build, "__code__", None)
-        code_version = fingerprint(
-            code.co_code if code else repr(build),
-            repr(code.co_consts) if code else "")
+        code_version = (_code_fingerprint(code) if code is not None
+                        else fingerprint(repr(build)))
     key = fingerprint(inputs_fp, code_version)
     snap = fmt.find(table, key)
     if snap is not None:
         return fmt.read(spark, table, snap.snapshot_id), True
-    written = fmt.write(build(), table, stage=stage, inputs_fp=key)
+    written = fmt.write(build(), table, stage=stage, inputs_fp=key,
+                        observe=observe)
     # read back by the id we just wrote — never "latest", which could be
     # a concurrent writer's snapshot in a shared warehouse (ADVICE r1)
     return fmt.read(spark, table, written.snapshot_id), False
