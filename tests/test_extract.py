@@ -122,3 +122,49 @@ def test_row_split_mixed_entity_batch_equals_sequential():
     got = [r.decode() for r in list_from_rows(out, oo)]
     want = [golden_extract(r.decode()) for r in rows]
     assert got == want
+
+
+def test_entity_dense_throughput_regression():
+    """Perf regression floor for the pathological entity-dense case
+    (VERDICT r2 item 3: target ≥25 MB/s on a 100%-entity batch; round-3
+    measured ~25 MB/s ascii-dense, ~21 MB/s mixed wide+ascii, vs ~9 MB/s
+    at round-2 end).  The host drifts between a fast and a slow mode
+    (~1.4×), so the hard assert is the drift-robust RATIO to the plain
+    path measured in the same process, plus a loose absolute floor."""
+    import os
+    import time
+
+    import numpy as np
+
+    # the kernels assume the engine's malloc env (session.py sets it for
+    # Spark workers); a bare pytest process needs it too or page faults
+    # dominate and the measurement is meaningless
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    from ultraviolet_spark.kernels.extract import extract_text
+
+    def mkbatch(unit: bytes):
+        row = (unit * (10240 // len(unit) + 1))[:10240]
+        data = np.frombuffer(row * 200, dtype=np.uint8)
+        off = np.zeros(201, dtype=np.int64)
+        off[1:] = np.cumsum([len(row)] * 200)
+        return data, off
+
+    def mbps(unit: bytes, reps: int = 5) -> float:
+        data, off = mkbatch(unit)
+        extract_text(data, off)  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            extract_text(data, off)
+            best = min(best, time.perf_counter() - t0)
+        return len(data) / 1e6 / best
+
+    plain = mbps(b"plain words here with some spaces and text ")
+    mixed = mbps(b"&amp; &#65;&#x20AC; text &lt;tag&gt; ")  # ascii+wide
+    ascii_dense = mbps(b"&amp;&lt;&gt;&quot;&apos;&#65;")   # 100% ascii ents
+
+    assert mixed >= 0.25 * plain, (mixed, plain)
+    assert ascii_dense >= 0.30 * plain, (ascii_dense, plain)
+    assert mixed >= 10.0, mixed          # loose absolute floor (slow mode)
+    assert ascii_dense >= 12.0, ascii_dense

@@ -120,60 +120,116 @@ def _strip_tags(b: np.ndarray, offsets: np.ndarray):
     return np.cumsum(delta[:total], dtype=np.int32) > 0
 
 
-def _parse_entities(s: np.ndarray, row_end: np.ndarray):
+def _parse_entities(s: np.ndarray, s_off: np.ndarray):
     """Stage 3 on the tag-stripped stream.  Returns
-    (ent_pos '&' indices, ent_cp, ent_stop index-after-';')."""
+    (ent_pos '&' indices, ent_cp, ent_stop index-after-';').  Row ends
+    are resolved per-'&' by a searchsorted against the ~batch-size row
+    offsets — never a dense per-byte row_end array (round-3: that
+    materialization alone was ~8% of the entity-dense budget)."""
     total = len(s)
-    amp = np.flatnonzero(s == 0x26)
+    # positions in int32 when the batch allows (guarded) — halves the
+    # memory traffic of every gather/compare below
+    pos_t = np.int32 if total + 16 < 2**31 else _I64  # +16: amp+1+k adds ≤ 9
+    amp = np.flatnonzero(s == 0x26).astype(pos_t)
     if not len(amp):
         z = np.zeros(0, dtype=_I64)
         return z, z, z
-    semi = np.flatnonzero(s == 0x3B)
+    semi = np.flatnonzero(s == 0x3B).astype(pos_t)
     if not len(semi):
         z = np.zeros(0, dtype=_I64)
         return z, z, z
     si = np.searchsorted(semi, amp)
-    q = np.where(si < len(semi), semi[np.minimum(si, len(semi) - 1)], total)
+    # appended `total` sentinel stands in for "no semi after": it always
+    # fails `q < row_end[amp]`, so no separate si-bounds check needed
+    semi_pad = np.append(semi, pos_t(total))
+    q = semi_pad[si]
     blen = q - amp - 1
-    cand = (si < len(semi)) & (q < row_end[amp]) & (blen >= 1) & (blen <= 8)
+    # row end per '&' by the REVERSE search: n+1 binary searches of the
+    # row offsets into the amp list (not n_amp searches into the
+    # offsets) + one repeat — ~3× cheaper at high '&' density
+    amps_before = np.searchsorted(amp, s_off[1:])
+    amps_per_row = np.diff(amps_before, prepend=0)
+    row_end_amp = np.repeat(s_off[1:], amps_per_row)
+    cand = (q < row_end_amp) & (blen >= 1) & (blen <= 8)
 
-    body = np.full((len(amp), 8), -1, dtype=np.int16)
-    for k in range(8):
-        ok = cand & (k < blen)
-        body[ok, k] = s[amp[ok] + 1 + k]
+    # ≤8 body bytes per '&' via 8 clipped column gathers into a
+    # C-contiguous (n,8) u8 matrix — the old per-column masked
+    # fancy-index build was 8 mask+nonzero+scatter passes and dominated
+    # entity-dense batches.  Positions ≥ blen hold garbage; every
+    # consumer below masks by blen, so no fill needed.  int32 gather
+    # indices (guarded) halve the index traffic.
+    na = len(amp)
+    # First 4 body bytes full-width (that covers every named entity and
+    # the '#'/'x' numeric markers); bytes 4-7 are gathered later for the
+    # numeric candidates only — half the gather traffic of a full
+    # (na, 8) matrix.
+    body = np.empty((na, 4), dtype=_U8)
+    gidx = np.empty(na, dtype=pos_t)
+    for k in range(4):
+        np.add(amp, 1 + k, out=gidx)
+        np.minimum(gidx, total - 1, out=gidx)
+        body[:, k] = s[gidx]
 
-    ent_cp = np.zeros(len(amp), dtype=np.int64)
-    ent_ok = np.zeros(len(amp), dtype=bool)
+    # Named entities: the contiguous u8 rows ARE little-endian u32s —
+    # one zero-copy view packs them; compare against 5 constants.
+    # Names are grouped by length so the blen-mask is a SCALAR and per
+    # name one u32 compare suffices (no per-element mask array).
+    packed = body.view("<u4").ravel()
+    ent_cp = np.zeros(na, dtype=np.int64)
+    ent_ok = np.zeros(na, dtype=bool)
+    by_len: dict[int, list] = {}
     for name, cpv in _NAMED.items():
-        m = cand & (blen == len(name))
-        for k, ch in enumerate(name):
-            m &= body[:, k] == ch
-        ent_cp[m] = cpv
-        ent_ok |= m
-    isnum = cand & (body[:, 0] == 0x23) & (blen >= 2)
-    hexm = isnum & ((body[:, 1] == 0x78) | (body[:, 1] == 0x58)) & (blen >= 3)
-    decm = isnum & ~hexm
-    for m, base, dstart in ((decm, 10, 1), (hexm, 16, 2)):
-        if not m.any():
-            continue
-        val = np.zeros(len(amp), dtype=np.int64)
-        good = m.copy()
-        for k in range(dstart, 8):
-            active = good & (k < blen)
-            d = body[:, k]
-            dv = np.full(len(amp), -1, dtype=np.int64)
-            dig = (d >= 0x30) & (d <= 0x39)
-            dv[dig] = d[dig] - 0x30
-            if base == 16:
-                dl = _lower(d)
-                hx = (dl >= 0x61) & (dl <= 0x66)
-                dv[hx] = dl[hx] - 0x61 + 10
-            good &= ~(active & (dv < 0))
-            upd = good & active
-            val[upd] = np.minimum(val[upd] * base + dv[upd], 0x7FFFFFFF)
-        good &= (val <= 0x10FFFF) & ~((val >= 0xD800) & (val < 0xE000))
-        ent_cp[good] = val[good]
-        ent_ok |= good
+        by_len.setdefault(len(name), []).append((name, cpv))
+    for nlen, entries in by_len.items():
+        pk = packed & np.uint32((1 << (8 * nlen)) - 1)
+        m_len = cand & (blen == nlen)
+        for name, cpv in entries:
+            m = m_len & (pk == np.uint32(int.from_bytes(name, "little")))
+            ent_cp[m] = cpv
+            ent_ok |= m
+    # Numeric entities: COMPACT to the '#' candidates before the digit
+    # loops — every pass below then costs O(n_numeric) instead of
+    # O(n_amp) (on entity-dense batches the digit loops dominated).
+    inn = np.flatnonzero(cand & (body[:, 0] == 0x23) & (blen >= 2))
+    if len(inn):
+        nn_ = len(inn)
+        bn = np.empty((nn_, 8), dtype=_U8)
+        bn[:, :4] = body[inn]
+        ai = amp[inn]
+        for k in range(4, 8):
+            bn[:, k] = s[np.minimum(ai + (1 + k), total - 1)]
+        bln = blen[inn]
+        nn = len(inn)
+        hexm = ((bn[:, 1] == 0x78) | (bn[:, 1] == 0x58)) & (bln >= 3)
+        cp_n = np.zeros(nn, dtype=np.int64)
+        ok_n = np.zeros(nn, dtype=bool)
+        for m, base, dstart in ((~hexm, 10, 1), (hexm, 16, 2)):
+            if not m.any():
+                continue
+            val = np.zeros(nn, dtype=np.int64)
+            good = m.copy()
+            # only iterate to the longest body actually present (typical
+            # entities are 2-5 chars; a fixed 8-iteration loop pays ~2×
+            # the digit passes), branch-free np.where throughout
+            kmax = int(bln[m].max())
+            for k in range(dstart, min(kmax, 8)):
+                active = good & (k < bln)
+                d = bn[:, k].astype(np.int16)
+                dv = np.where((d >= 0x30) & (d <= 0x39), d - 0x30,
+                              np.int16(-1))
+                if base == 16:
+                    dl = _lower(d)
+                    dv = np.where((dl >= 0x61) & (dl <= 0x66),
+                                  dl - (0x61 - 10), dv)
+                good &= ~(active & (dv < 0))
+                val = np.where(good & active,
+                               np.minimum(val * base + dv, 0x7FFFFFFF), val)
+            good &= (val <= 0x10FFFF) & ~((val >= 0xD800) & (val < 0xE000))
+            cp_n[good] = val[good]
+            ok_n |= good
+        hit = inn[ok_n]
+        ent_cp[hit] = cp_n[ok_n]
+        ent_ok[hit] = True
     return amp[ent_ok], ent_cp[ent_ok], (q + 1)[ent_ok]
 
 
@@ -222,11 +278,11 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
     # independent, so split: entity-free rows take the fast path,
     # entity rows the general one, outputs stitched back by row id.
     if (s == 0x26).any():
-        amp_counts = np.zeros(n, dtype=_I64)
-        has_kept = np.flatnonzero(kept_counts > 0)
-        if len(has_kept):
-            amp_counts[has_kept] = np.add.reduceat(
-                s == 0x26, s_off[:-1][has_kept], dtype=_I64)
+        # rows containing '&' via the amp position list + n+1 binary
+        # searches — a bool reduceat over the whole stream costs ~4×
+        # (numpy reduceat is not SIMD)
+        amp_all = np.flatnonzero(s == 0x26)
+        amp_counts = np.diff(np.searchsorted(amp_all, s_off))
         rows_b = np.flatnonzero(amp_counts > 0)
         if 0 < len(rows_b) <= (3 * n) // 4 and n >= 8:
             rows_a = np.flatnonzero(amp_counts == 0)
@@ -260,23 +316,42 @@ def _process_units(s: np.ndarray, s_off: np.ndarray, n: int):
     # encode.py/buffers.py) instead of trusting the Arrow-batch-size
     # convention (ADVICE r2).
     idx_t = np.int32 if len(s) + 2 < 2**31 else _I64
-    s_row = np.repeat(np.arange(n, dtype=_I64), np.diff(s_off))
 
     # ---- stage 3: entities on s ----------------------------------------
     # gate on a single compare pass: batches with no '&' at all (most
     # real crawl batches) skip the entity scan entirely
     if (s == 0x26).any():
-        s_row_end = s_off[1:][s_row]
-        ent_pos, ent_cpv, ent_stop = _parse_entities(s, s_row_end)
+        ent_pos, ent_cpv, ent_stop = _parse_entities(s, s_off)
     else:
         ent_pos = ent_cpv = ent_stop = np.empty(0, dtype=np.int64)
 
     have_ents = bool(len(ent_pos))
     if have_ents:
-        d2 = np.zeros(len(s) + 1, dtype=np.int32)
-        np.add.at(d2, ent_pos + 1, 1)                   # body after '&'
-        np.add.at(d2, ent_stop, -1)
-        consumed = np.cumsum(d2[:len(s)], dtype=np.int32) > 0
+        # ASCII-decoding entities (&amp; &lt; &#65; … — the vast
+        # majority in real HTML) collapse to ONE byte: scatter the
+        # decoded byte over the '&' marker IN PLACE (s is always a
+        # fresh boolean-index/gather product, never a caller buffer)
+        # and they stop being entities at all — their ws-ness and
+        # emission are then intrinsic to the byte.  Only "wide"
+        # (≥ U+0080, multi-byte UTF-8) entities need the general
+        # variable-length splice; an ASCII-entity-dense batch rides
+        # the 1-byte fast path end-to-end.
+        ascii_m = ent_cpv < 0x80
+        if ascii_m.any():
+            s[ent_pos[ascii_m]] = ent_cpv[ascii_m].astype(_U8)
+        wide_pos = ent_pos[~ascii_m]
+        wide_cp = ent_cpv[~ascii_m]
+        # int8 delta is enough: entities never nest, so the running sum
+        # is only ever 0 or 1 — quarter the memset+cumsum traffic
+        # (measured: segment-arange scatter construction is 2× WORSE)
+        d2 = np.zeros(len(s) + 1, dtype=np.int8)
+        # direct scatter, not np.add.at (which is ~20× slower): valid
+        # entities never overlap ('&'/';' can't appear inside a valid
+        # body), so all ent_pos+1 and ent_stop indices are distinct —
+        # ent_stop_i = q_i+1 ≤ amp_j < amp_j+1 for any later entity j.
+        d2[ent_pos + 1] = 1                             # body after '&'
+        d2[ent_stop] = -1
+        consumed = np.cumsum(d2[:len(s)], dtype=np.int8) > 0
         consumed[ent_pos] = False                        # '&' itself emits
         # idx_t indices throughout (int32 below 2 GiB, guarded above) —
         # the unit stage is pure memory traffic, so index width is the cost
@@ -291,12 +366,7 @@ def _process_units(s: np.ndarray, s_off: np.ndarray, n: int):
     if U == 0:
         return np.empty(0, dtype=_U8), empty_off
 
-    if have_ents:
-        is_ent = np.zeros(U, dtype=bool)
-        loc = np.searchsorted(unit_idx, ent_pos)
-        is_ent[loc] = True
-        unit_cp = np.full(U, -1, dtype=np.int64)
-        unit_cp[loc] = ent_cpv
+    have_wide = have_ents and bool(len(wide_pos))
 
     def _ws_mask(a: np.ndarray) -> np.ndarray:
         # explicit ORs — np.isin is sort-based and dominates the whole
@@ -304,14 +374,28 @@ def _process_units(s: np.ndarray, s_off: np.ndarray, n: int):
         return (a == 0x20) | (a == 0x09) | (a == 0x0D) | (a == 0x0A)
 
     u_is_ws = _ws_mask(ubyte)
-    if have_ents:
-        u_is_ws = (u_is_ws & ~is_ent) | (is_ent & _ws_mask(unit_cp))
+    if have_wide:
+        # Wide entities in unit space via an s-space mask gathered
+        # through unit_idx — cheaper than ranking ent_pos against
+        # unit_idx with a searchsorted.  No ws handling needed: every
+        # wide cp is ≥ U+0080, never whitespace, and the '&' marker
+        # byte is not ws either.
+        is_ent_s = np.zeros(len(s), dtype=bool)
+        is_ent_s[wide_pos] = True
+        is_ent = is_ent_s[unit_idx]
 
     # ---- stages 4+5: collapse + strip over the unit sequence -----------
-    urow = s_row[unit_idx] if have_ents else s_row
+    # Row boundaries in unit space via ONE searchsorted of the n+1 row
+    # offsets against unit_idx (empty rows collapse to duplicate
+    # boundaries) — no per-unit row-id array, no bincount.
+    if have_ents:
+        us = np.searchsorted(unit_idx, s_off).astype(_I64)
+    else:
+        us = s_off
+    rows_with_units = np.flatnonzero(np.diff(us) > 0)
+    row_unit_starts = us[rows_with_units]
     new_row = np.zeros(U, dtype=bool)
-    new_row[0] = True
-    new_row[1:] = urow[1:] != urow[:-1]
+    new_row[row_unit_starts] = True
     prev_ws = np.zeros(U, dtype=bool)
     prev_ws[1:] = u_is_ws[:-1]
     prev_ws[new_row] = False
@@ -338,56 +422,63 @@ def _process_units(s: np.ndarray, s_off: np.ndarray, n: int):
     else:
         ws_keep[:] = False                              # all-whitespace batch
 
-    if not have_ents:
-        # fast splice: every emitted unit is exactly one byte — scatter
-        # spaces in place, one compress, offsets via per-ROW emit sums
+    if not have_wide:
+        # fast splice: every emitted unit is exactly one byte (ASCII
+        # entities were folded into the stream above) — scatter spaces
+        # in place, one compress, offsets via per-ROW emit sums
         # (reduceat over ~500 segments, not a 5M-element cumsum)
         emit = ~u_is_ws | ws_keep
         w = ubyte.copy()
         w[ws_keep] = 0x20
         out = w[emit]
         counts = np.zeros(n, dtype=_I64)
-        counts[urow[row_unit_starts]] = np.add.reduceat(
+        counts[rows_with_units] = np.add.reduceat(
             emit, row_unit_starts, dtype=_I64)
         out_offsets = np.zeros(n + 1, dtype=_I64)
         np.cumsum(counts, out=out_offsets[1:])
         return out, out_offsets
 
-    unit_row_counts = np.bincount(urow, minlength=n)
-    row_unit_end = np.cumsum(unit_row_counts)
-
-    # ---- general splice (entities present) ------------------------------
-    out_len = np.zeros(U, dtype=np.int32)
+    # ---- general splice (wide entities present) -------------------------
+    # every wide entity emits 2-4 UTF-8 bytes (cp ≥ 0x80 is never ws);
+    # positions in unit space + aligned cps are both in document order,
+    # so the flatnonzero below lines up with wide_cp
+    emit_loc = np.flatnonzero(is_ent).astype(idx_t)
+    ecp = wide_cp
     plain = ~u_is_ws & ~is_ent
-    out_len[plain] = 1
-    out_len[ws_keep] = 1
-    ent_emit = is_ent & ~u_is_ws
-    out_len[ent_emit] = _utf8_len(unit_cp[ent_emit])
+    one_byte = plain | ws_keep
+    # bool→int32 cast builds the 1-byte lanes in one pass (a masked
+    # scatter costs a nonzero scan per target set); entity lengths then
+    # override their (disjoint) positions
+    out_len = one_byte.astype(np.int32)
+    el = _utf8_len(ecp).astype(np.int32)
+    out_len[emit_loc] = el
 
     opos = np.zeros(U + 1, dtype=np.int32 if U * 4 < 2**31 else _I64)
     np.cumsum(out_len, out=opos[1:])
     out = np.empty(int(opos[-1]), dtype=_U8)
-    out[opos[:-1][plain]] = ubyte[plain]
-    out[opos[:-1][ws_keep]] = 0x20
-    if ent_emit.any():
-        ecp = unit_cp[ent_emit]
-        ep = opos[:-1][ent_emit]
-        el = out_len[ent_emit]
-        m1 = el == 1
-        out[ep[m1]] = ecp[m1]
-        m2 = el == 2
-        out[ep[m2]] = 0xC0 | (ecp[m2] >> 6)
-        out[ep[m2] + 1] = 0x80 | (ecp[m2] & 0x3F)
-        m3 = el == 3
-        out[ep[m3]] = 0xE0 | (ecp[m3] >> 12)
-        out[ep[m3] + 1] = 0x80 | ((ecp[m3] >> 6) & 0x3F)
-        out[ep[m3] + 2] = 0x80 | (ecp[m3] & 0x3F)
-        m4 = el == 4
-        out[ep[m4]] = 0xF0 | (ecp[m4] >> 18)
-        out[ep[m4] + 1] = 0x80 | ((ecp[m4] >> 12) & 0x3F)
-        out[ep[m4] + 2] = 0x80 | ((ecp[m4] >> 6) & 0x3F)
-        out[ep[m4] + 3] = 0x80 | (ecp[m4] & 0x3F)
+    # single 1-byte lane (spaces blended in-register) — one nonzero scan
+    # instead of separate plain/ws_keep scatters
+    w = np.where(ws_keep, _U8(0x20), ubyte)
+    out[opos[:-1][one_byte]] = w[one_byte]
+    if len(emit_loc):
+        ep = opos[emit_loc]
+        # compact per length group once (el/ep/ecp gathers) instead of
+        # boolean-masked indexing per output byte
+        for L, enc in (
+            (1, lambda c: (c,)),
+            (2, lambda c: (0xC0 | (c >> 6), 0x80 | (c & 0x3F))),
+            (3, lambda c: (0xE0 | (c >> 12), 0x80 | ((c >> 6) & 0x3F),
+                           0x80 | (c & 0x3F))),
+            (4, lambda c: (0xF0 | (c >> 18), 0x80 | ((c >> 12) & 0x3F),
+                           0x80 | ((c >> 6) & 0x3F), 0x80 | (c & 0x3F))),
+        ):
+            gi = np.flatnonzero(el == L)
+            if not len(gi):
+                continue
+            epL, ecpL = ep[gi], ecp[gi]
+            for j, byte_expr in enumerate(enc(ecpL)):
+                out[epL + j] = byte_expr
 
     out_offsets = np.zeros(n + 1, dtype=_I64)
-    out_offsets[1:] = opos[row_unit_end]
+    out_offsets[1:] = opos[us[1:]]
     return out, out_offsets
