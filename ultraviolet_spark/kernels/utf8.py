@@ -128,6 +128,39 @@ def _analyze_sparse(b: np.ndarray, hi: np.ndarray):
     }
 
 
+# LUT classification for the dense path (round-3: the per-byte range
+# compares were ~45 boolean passes; two 256-entry gathers replace all of
+# the Table 3-7 second-byte range logic).
+#   _CCLS[byte] — continuation-CLASS bits of the byte itself:
+#     bit0: 0x80-0xBF (generic continuation)   bit1: 0xA0-0xBF (after E0)
+#     bit2: 0x80-0x9F (after ED)               bit3: 0x90-0xBF (after F0)
+#     bit4: 0x80-0x8F (after F4)
+#   _NEED[byte] — for a lead: the _CCLS bit its FIRST continuation must
+#     have (0 for non-leads); _LEN[byte] — sequence length (0 non-lead).
+_CCLS = np.zeros(256, dtype=np.uint8)
+_NEED = np.zeros(256, dtype=np.uint8)
+_LEN = np.zeros(256, dtype=np.uint8)
+for _x in range(0x80, 0xC0):
+    _CCLS[_x] = (1
+                 | (2 if 0xA0 <= _x <= 0xBF else 0)
+                 | (4 if _x <= 0x9F else 0)
+                 | (8 if _x >= 0x90 else 0)
+                 | (16 if _x <= 0x8F else 0))
+for _x in range(0xC2, 0xE0):
+    _NEED[_x], _LEN[_x] = 1, 2
+_NEED[0xE0], _LEN[0xE0] = 2, 3
+for _x in range(0xE1, 0xED):
+    _NEED[_x], _LEN[_x] = 1, 3
+_NEED[0xED], _LEN[0xED] = 4, 3
+for _x in range(0xEE, 0xF0):
+    _NEED[_x], _LEN[_x] = 1, 3
+_NEED[0xF0], _LEN[0xF0] = 8, 4
+for _x in range(0xF1, 0xF4):
+    _NEED[_x], _LEN[_x] = 1, 4
+_NEED[0xF4], _LEN[0xF4] = 16, 4
+del _x
+
+
 def _analyze_dense(b: np.ndarray, ascii_: np.ndarray | None = None):
     """Classify every byte of a (sentinel-padded) buffer.
 
@@ -140,39 +173,32 @@ def _analyze_dense(b: np.ndarray, ascii_: np.ndarray | None = None):
                  (1..3) replaced by ONE U+FFFD
       fffd     — bad positions that emit a U+FFFD (start of a bad span)
     """
-    cont = (b & 0xC0) == 0x80
-    c1 = _shift_fwd(cont, 1)
+    # one intp cast shared by all three LUT gathers: numpy converts a
+    # non-intp fancy index per call (~3× the gather cost, measured)
+    bi = b.astype(np.intp)
+    ccls = _CCLS[bi]
+    need = _NEED[bi]
+    ln = _LEN[bi]
+    cont = ccls != 0
     c2 = _shift_fwd(cont, 2)
     c3 = _shift_fwd(cont, 3)
-    b1 = _shift_fwd(b, 1, fill=0)
 
     if ascii_ is None:
         ascii_ = b < 0x80
-    v2 = (b >= 0xC2) & (b <= 0xDF) & c1
-    # Second-byte range constraints, Table 3-7:
-    ok3_1 = (
-        ((b == 0xE0) & (b1 >= 0xA0) & (b1 <= 0xBF))
-        | ((b >= 0xE1) & (b <= 0xEC) & c1)
-        | ((b == 0xED) & (b1 >= 0x80) & (b1 <= 0x9F))
-        | ((b >= 0xEE) & (b <= 0xEF) & c1)
-    )
+    # the first continuation's class bits, range-checked against the
+    # lead's requirement in ONE and+compare (Table 3-7 collapsed)
+    firstok = (_shift_fwd(ccls, 1) & need) != 0
+    v2 = firstok & (ln == 2)
+    ok3_1 = firstok & (ln == 3)
     v3 = ok3_1 & c2
-    ok4_1 = (
-        ((b == 0xF0) & (b1 >= 0x90) & (b1 <= 0xBF))
-        | ((b >= 0xF1) & (b <= 0xF3) & c1)
-        | ((b == 0xF4) & (b1 >= 0x80) & (b1 <= 0x8F))
-    )
+    ok4_1 = firstok & (ln == 4)
     v4 = ok4_1 & c2 & c3
 
-    covered = (
-        _shift_back(v2, 1)
-        | _shift_back(v3, 1)
-        | _shift_back(v3, 2)
-        | _shift_back(v4, 1)
-        | _shift_back(v4, 2)
-        | _shift_back(v4, 3)
-    )
-    start = ascii_ | v2 | v3 | v4
+    v34 = v3 | v4
+    vall = v2 | v34
+    covered = (_shift_back(vall, 1) | _shift_back(v34, 2)
+               | _shift_back(v4, 3))
+    start = ascii_ | vall
     bad = ~start & ~covered
 
     # Maximal-subpart span length at bad positions: a truncated-but-so-
@@ -182,9 +208,12 @@ def _analyze_dense(b: np.ndarray, ascii_: np.ndarray | None = None):
         span[bad & ok3_1] = 2            # E_ + one in-range cont, then broken
         span[bad & ok4_1 & ~c2] = 2      # F_ + one in-range cont
         span[bad & ok4_1 & c2] = 3       # F_ + two conts, broken/truncated at 4th
-    # Positions consumed by a bad span do not emit their own U+FFFD.
-    bad_cover = _shift_back(bad & (span >= 2), 1) | _shift_back(bad & (span == 3), 2)
-    fffd = bad & ~bad_cover
+        # Positions consumed by a bad span do not emit their own U+FFFD.
+        bad_cover = (_shift_back(bad & (span >= 2), 1)
+                     | _shift_back(bad & (span == 3), 2))
+        fffd = bad & ~bad_cover
+    else:
+        fffd = bad                       # all-False, skip 5 shift/or passes
     return {
         "ascii": ascii_, "v2": v2, "v3": v3, "v4": v4,
         "covered": covered, "bad": bad, "span": span, "fffd": fffd,
@@ -197,6 +226,8 @@ def _per_row_counts(mask: np.ndarray, row_starts: np.ndarray) -> np.ndarray:
     single slowest numpy op in the decode chain (measured r2)."""
     if len(row_starts) <= 1:
         return np.zeros(0, dtype=_I64)
+    if not mask.any():  # clean batch (the common case for fffd counts)
+        return np.zeros(len(row_starts) - 1, dtype=_I64)
     return np.add.reduceat(mask, row_starts[:-1], dtype=_I64)
 
 
@@ -268,21 +299,24 @@ def _codepoints_core(b8: np.ndarray, row_starts: np.ndarray, m: dict):
     # (round 1's cp[a] = b8[a] paid two dense masked passes instead.)
     cp = b8.astype(np.uint32)
     a = m["ascii"] & ~sentinel
+    # gather the continuation bytes from the u32 copy (no per-gather
+    # astype temporaries; u8 gathers + int32 casts measured ~25% slower)
     i2 = np.flatnonzero(m["v2"])
     if len(i2):
-        cp[i2] = ((b8[i2].astype(np.int32) & 0x1F) << 6) | (b8[i2 + 1] & 0x3F)
+        cp[i2] = ((cp[i2] & 0x1F) << 6) | (cp[i2 + 1] & 0x3F)
     i3 = np.flatnonzero(m["v3"])
     if len(i3):
-        cp[i3] = (((b8[i3].astype(np.int32) & 0x0F) << 12)
-                  | ((b8[i3 + 1].astype(np.int32) & 0x3F) << 6)
-                  | (b8[i3 + 2] & 0x3F))
+        cp[i3] = (((cp[i3] & 0x0F) << 12)
+                  | ((cp[i3 + 1] & 0x3F) << 6)
+                  | (cp[i3 + 2] & 0x3F))
     i4 = np.flatnonzero(m["v4"])
     if len(i4):
-        cp[i4] = (((b8[i4].astype(np.int32) & 0x07) << 18)
-                  | ((b8[i4 + 1].astype(np.int32) & 0x3F) << 12)
-                  | ((b8[i4 + 2].astype(np.int32) & 0x3F) << 6)
-                  | (b8[i4 + 3] & 0x3F))
-    cp[m["fffd"]] = 0xFFFD
+        cp[i4] = (((cp[i4] & 0x07) << 18)
+                  | ((cp[i4 + 1] & 0x3F) << 12)
+                  | ((cp[i4 + 2] & 0x3F) << 6)
+                  | (cp[i4 + 3] & 0x3F))
+    if m["fffd"].any():
+        cp[m["fffd"]] = 0xFFFD
 
     emit = a | m["v2"] | m["v3"] | m["v4"] | m["fffd"]
     # offsets only matter at the n+1 row boundaries: per-row reduceat
@@ -290,7 +324,9 @@ def _codepoints_core(b8: np.ndarray, row_starts: np.ndarray, m: dict):
     out_off = np.zeros(len(row_starts), dtype=_I64)
     np.cumsum(np.add.reduceat(emit, row_starts[:-1], dtype=_I64),
               out=out_off[1:])
-    return cp[emit], out_off
+    # index-gather extraction: ~2× faster than boolean-mask extraction
+    # at this density (numpy bool fancy-indexing is not vectorized)
+    return cp[np.flatnonzero(emit)], out_off
 
 
 def utf8_to_codepoints(data: np.ndarray, offsets: np.ndarray):
