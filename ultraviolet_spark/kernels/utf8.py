@@ -121,10 +121,13 @@ def _analyze_sparse(b: np.ndarray, hi: np.ndarray):
 
     span = np.ones(len(b), dtype=np.int8)
     span[idx] = span_s
+    start_full = ~hi                    # ascii positions all start
+    start_full[idx[start]] = True       # + well-formed multi-byte leads
     return {
         "ascii": ~hi, "v2": scatter(v2), "v3": scatter(v3),
         "v4": scatter(v4), "covered": scatter(covered),
         "bad": scatter(bad), "span": span, "fffd": scatter(fffd),
+        "start": start_full,
     }
 
 
@@ -217,6 +220,7 @@ def _analyze_dense(b: np.ndarray, ascii_: np.ndarray | None = None):
     return {
         "ascii": ascii_, "v2": v2, "v3": v3, "v4": v4,
         "covered": covered, "bad": bad, "span": span, "fffd": fffd,
+        "start": start,
     }
 
 
@@ -266,7 +270,7 @@ def utf8_decode_replace(data: np.ndarray, offsets: np.ndarray):
     sentinel = np.zeros(len(b), dtype=bool)
     sentinel[row_starts[1:] - 1] = True
 
-    keep = (m["ascii"] | m["v2"] | m["v3"] | m["v4"] | m["covered"]) & ~sentinel
+    keep = (m["start"] | m["covered"]) & ~sentinel
     fffd = m["fffd"]
 
     idx_t = np.int32 if len(b) * 3 < 2**31 else _I64
@@ -298,7 +302,6 @@ def _codepoints_core(b8: np.ndarray, row_starts: np.ndarray, m: dict):
     # covered/sentinel positions hold garbage but are never emitted.
     # (round 1's cp[a] = b8[a] paid two dense masked passes instead.)
     cp = b8.astype(np.uint32)
-    a = m["ascii"] & ~sentinel
     # gather the continuation bytes from the u32 copy (no per-gather
     # astype temporaries; u8 gathers + int32 casts measured ~25% slower)
     i2 = np.flatnonzero(m["v2"])
@@ -317,8 +320,9 @@ def _codepoints_core(b8: np.ndarray, row_starts: np.ndarray, m: dict):
                   | (cp[i4 + 3] & 0x3F))
     if m["fffd"].any():
         cp[m["fffd"]] = 0xFFFD
-
-    emit = a | m["v2"] | m["v3"] | m["v4"] | m["fffd"]
+        emit = (m["start"] | m["fffd"]) & ~sentinel
+    else:
+        emit = m["start"] & ~sentinel
     # offsets only matter at the n+1 row boundaries: per-row reduceat
     # sums + a tiny cumsum instead of a full-array bool→int64 cumsum
     out_off = np.zeros(len(row_starts), dtype=_I64)
