@@ -292,8 +292,8 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
             rows_a = np.flatnonzero(amp_counts == 0)
             sA, offA_in = _gather_rows(s, s_off, rows_a)
             sB, offB_in = _gather_rows(s, s_off, rows_b)
-            outA, offA = _process_units(sA, offA_in, len(rows_a))
-            outB, offB = _process_units(sB, offB_in, len(rows_b))
+            outA, offA = _process_units_chunked(sA, offA_in, len(rows_a))
+            outB, offB = _process_units_chunked(sB, offB_in, len(rows_b))
             out_lens = np.zeros(n, dtype=_I64)
             out_lens[rows_a] = np.diff(offA)
             out_lens[rows_b] = np.diff(offB)
@@ -305,7 +305,31 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
             for j, r in enumerate(rows_b):
                 out[out_offsets[r]:out_offsets[r + 1]] = outB[offB[j]:offB[j + 1]]
             return out, out_offsets
-    return _process_units(s, s_off, n)
+    return _process_units_chunked(s, s_off, n)
+
+
+# ~256 KB row-aligned segments keep the ~25 unit-stage passes
+# L2-resident (same measured ~2× as the utf8 dense analyzer's chunking);
+# _process_units is purely row-local, so stitching is offset arithmetic.
+_UNIT_CHUNK = 1 << 18
+
+
+def _process_units_chunked(s: np.ndarray, s_off: np.ndarray, n: int):
+    if len(s) <= _UNIT_CHUNK + (_UNIT_CHUNK >> 1):
+        return _process_units(s, s_off, n)
+    outs = []
+    out_off = np.zeros(n + 1, dtype=_I64)
+    r0, base = 0, 0
+    while r0 < n:
+        r1 = int(np.searchsorted(s_off, s_off[r0] + _UNIT_CHUNK, "left"))
+        r1 = min(max(r1, r0 + 1), n)   # a single >chunk row stands alone
+        seg_off = (s_off[r0:r1 + 1] - s_off[r0]).astype(_I64)
+        o, oo = _process_units(s[s_off[r0]:s_off[r1]], seg_off, r1 - r0)
+        outs.append(o)
+        out_off[r0 + 1:r1 + 1] = base + oo[1:]
+        base += int(oo[-1])
+        r0 = r1
+    return np.concatenate(outs), out_off
 
 
 def _process_units(s: np.ndarray, s_off: np.ndarray, n: int):
