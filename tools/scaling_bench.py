@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=48)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--leg-runs", type=int, default=2,
+                    help="timed runs per leg within a pair (min taken): "
+                         "filters multi-second transient host stalls that "
+                         "would otherwise sink one leg of a pair — the "
+                         "0.375 outlier pair of 2026-08-17T11:26 was one "
+                         "such stall")
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--n4", type=int, default=32)
     ap.add_argument("--text-repeat", type=int, default=20,
@@ -54,8 +60,10 @@ def main() -> None:
     pairs = []
     r8 = r32 = None
     for _ in range(args.runs):
-        a = run_at(args.n, args.replicate, args.sf_dir, 1, args.text_repeat)
-        b = run_at(args.n4, args.replicate, args.sf_dir, 1, args.text_repeat)
+        a = run_at(args.n, args.replicate, args.sf_dir, args.leg_runs,
+                   args.text_repeat)
+        b = run_at(args.n4, args.replicate, args.sf_dir, args.leg_runs,
+                   args.text_repeat)
         pairs.append((a, b))
         if r8 is None or a["sec"] < r8["sec"]:
             r8 = a
