@@ -23,6 +23,17 @@ def utf32_to_codepoints(data: np.ndarray, offsets: np.ndarray, *, big_endian: bo
     nunits = lengths // 4
     trailing = (lengths & 3) > 0
 
+    # All-valid fast path (mirrors utf16.py): every row a whole number
+    # of units and every unit a scalar value → units map 1:1 to
+    # codepoints with no sentinel buffer and no replacement machinery.
+    if (not trailing.any() and int(offsets[0]) == 0
+            and data.flags.c_contiguous and data.size >= int(offsets[-1])):
+        v32 = data[:int(offsets[-1])].view(">u4" if big_endian else "<u4")
+        if not ((v32 > 0x10FFFF) | ((v32 & 0xFFFFF800) == 0xD800)).any():
+            cp = v32.astype(np.uint32)
+            out_offsets = (offsets >> 2).astype(_I64, copy=False)
+            return cp, out_offsets, np.zeros(n, dtype=_I64)
+
     unit_starts = np.zeros(n + 1, dtype=_I64)
     np.cumsum(nunits + 1, out=unit_starts[1:])          # +1 sentinel unit/row
     total_units = int(unit_starts[-1])
