@@ -164,14 +164,16 @@ def test_entity_dense_throughput_regression():
     mixed = mbps(b"&amp; &#65;&#x20AC; text &lt;tag&gt; ")  # ascii+wide
     ascii_dense = mbps(b"&amp;&lt;&gt;&quot;&apos;&#65;")   # 100% ascii ents
 
-    # measured ratios ~0.31 / 0.40 after the r3 rewrite (chunking sped
-    # the plain path more than the entity paths) — floors set with
-    # headroom for load/cache contention
-    assert mixed >= 0.20 * plain, (mixed, plain)
-    assert ascii_dense >= 0.25 * plain, (ascii_dense, plain)
+    # after the span-compaction rewrite the plain path is ~2.1× faster
+    # (~220 MB/s quiet-host) while entity paths gained ~1.1× (~33/~42
+    # MB/s), so the drift-robust ratios dropped to ~0.15 / 0.19 —
+    # floors set with headroom for load/cache contention
+    assert mixed >= 0.10 * plain, (mixed, plain)
+    assert ascii_dense >= 0.13 * plain, (ascii_dense, plain)
     # absolute floors only on a quiet host — under a loaded full-suite
     # run (other tests' Spark sessions) wall-clock throughput halves
     # while the ratios above stay meaningful
     if os.getloadavg()[0] < 4.0:
-        assert mixed >= 10.0, mixed      # loose absolute floor (slow mode)
-        assert ascii_dense >= 12.0, ascii_dense
+        assert mixed >= 14.0, mixed      # loose absolute floor (slow mode)
+        assert ascii_dense >= 18.0, ascii_dense
+        assert plain >= 60.0, plain

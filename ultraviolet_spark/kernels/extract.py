@@ -50,15 +50,17 @@ def _utf8_len(cp: np.ndarray) -> np.ndarray:
 
 
 def _strip_tags(b: np.ndarray, offsets: np.ndarray):
-    """Stages 1+2: boolean `removed` mask over the flat buffer.  All
+    """Stages 1+2 as MERGED removed-spans ``(starts, ends)`` over the
+    flat buffer (sorted, disjoint, within-row by construction).  All
     work happens at the sparse '<'/'>' positions; row ends are resolved
     for those positions only (searchsorted on the n+1 offsets) instead
-    of materializing a per-byte row_end array."""
+    of materializing a per-byte row_end array.  Returning spans instead
+    of a dense mask lets the caller compact by slice-memcpy and skip
+    the full-width delta/cumsum/compress passes entirely."""
     total = len(b)
     lt = np.flatnonzero(b == 0x3C)                      # '<'
-    delta = np.zeros(total + 1, dtype=np.int32)
     if not len(lt):
-        return np.zeros(total, dtype=bool)
+        return np.empty(0, dtype=_I64), np.empty(0, dtype=_I64)
     # row end of each '<' position (sparse — replaces the dense gather)
     re_lt = offsets[np.searchsorted(offsets, lt, side="right")]
     gt = np.flatnonzero(b == 0x3E)                      # '>'
@@ -97,8 +99,8 @@ def _strip_tags(b: np.ndarray, offsets: np.ndarray):
                     | (term == 0x09) | (term == 0x0D) | (term == 0x0A))
         return m
 
-    np.add.at(delta, lt, 1)
-    np.add.at(delta, tag_end, -1)
+    span_s = [lt]
+    span_e = [tag_end]
     for name in (b"script", b"style"):
         opens = name_match(name, closing=False)
         closes = name_match(name, closing=True)
@@ -115,9 +117,28 @@ def _strip_tags(b: np.ndarray, offsets: np.ndarray):
         else:
             blk_end = np.full(len(o), total, dtype=_I64)
         blk_end = np.minimum(blk_end, re_lt[opens])
-        np.add.at(delta, o, 1)
-        np.add.at(delta, blk_end, -1)
-    return np.cumsum(delta[:total], dtype=np.int32) > 0
+        span_s.append(o)
+        span_e.append(blk_end)
+    if len(span_s) > 1:
+        st = np.concatenate(span_s)
+        en = np.concatenate(span_e)
+        order = np.argsort(st, kind="stable")
+        st = st[order]
+        en = en[order]
+    else:
+        st, en = lt, tag_end
+    # union of (possibly overlapping / nested) spans via running max of
+    # ends — all sparse ops on the ~tags-per-batch position lists.
+    # STRICT overlap only: touching spans may sit in different rows
+    # ('x<' | '<'), and merging across a row boundary would break the
+    # within-row invariant the caller's per-row counts rely on.
+    cme = np.maximum.accumulate(en)
+    newg = np.ones(len(st), dtype=bool)
+    newg[1:] = st[1:] >= cme[:-1]
+    gidx = np.flatnonzero(newg)
+    m_start = st[gidx]
+    m_end = cme[np.append(gidx[1:], len(st)) - 1]
+    return m_start.astype(_I64, copy=False), m_end.astype(_I64, copy=False)
 
 
 def _parse_entities(s: np.ndarray, s_off: np.ndarray):
@@ -259,19 +280,42 @@ def extract_text(data: np.ndarray, offsets: np.ndarray):
     b = np.ascontiguousarray(data[:total])
 
     # ---- stages 1+2 → compact stream s ---------------------------------
-    removed = _strip_tags(b, offsets)
-    keep = ~removed
-    s = b[keep]
-    # per-row kept counts via reduceat over non-empty row starts (no
-    # dense per-byte row_of/row_end arrays — round 1 materialized both)
-    row_lens = np.diff(offsets)
-    nonempty = np.flatnonzero(row_lens > 0)
-    kept_counts = np.zeros(n, dtype=_I64)
-    if len(nonempty):
-        kept_counts[nonempty] = np.add.reduceat(
-            keep, offsets[:-1][nonempty], dtype=_I64)
-    s_off = np.zeros(n + 1, dtype=_I64)
-    np.cumsum(kept_counts, out=s_off[1:])
+    # removed spans are sorted, disjoint, within-row; real HTML has
+    # ~10-100 byte text runs between tags, so compaction is a bounded
+    # slice-memcpy stitch over the keep segments and the per-row counts
+    # come from one searchsorted of the span starts against row offsets
+    # (the round-2 dense delta/cumsum/bool-compress formulation cost 3
+    # full-width passes + a reduceat here).
+    rem_s, rem_e = _strip_tags(b, offsets)
+    if not len(rem_s):
+        s = b.copy()                                    # callee may mutate s
+        s_off = offsets.astype(_I64, copy=False)
+    else:
+        cum_rem = np.zeros(len(rem_s) + 1, dtype=_I64)
+        np.cumsum(rem_e - rem_s, out=cum_rem[1:])
+        si = np.searchsorted(rem_s, offsets)            # spans are within-row
+        s_off = offsets - cum_rem[si]
+        S = int(s_off[-1])
+        n_seg = len(rem_s) + 1
+        if n_seg <= max(4096, total >> 9):
+            s = np.empty(S, dtype=_U8)
+            seg_s = np.concatenate(([0], rem_e))
+            seg_e = np.concatenate((rem_s, [total]))
+            d0 = 0
+            for k in range(n_seg):
+                a = int(seg_s[k])
+                b2 = int(seg_e[k])
+                if b2 > a:
+                    s[d0:d0 + b2 - a] = b[a:b2]
+                    d0 += b2 - a
+        else:
+            # pathological tag density: dense keep mask.  Spans are
+            # disjoint but may TOUCH (rem_e[k] == rem_s[k+1]), so the
+            # deltas must accumulate, not overwrite.
+            delta = np.zeros(total + 1, dtype=np.int32)
+            np.add.at(delta, rem_s, 1)
+            np.add.at(delta, rem_e, -1)
+            s = b[np.cumsum(delta[:total], dtype=np.int32) == 0]
 
     if not len(s):
         return np.empty(0, dtype=_U8), empty_off
@@ -429,42 +473,60 @@ def _process_units(s: np.ndarray, s_off: np.ndarray, n: int):
     prev_ws[new_row] = False
     ws_keep = u_is_ws & ~prev_ws
 
-    # Per-row first/last non-ws WITHOUT a per-unit row_seq cumsum +
-    # gather (the two slowest passes of round 1's formulation): the
-    # sorted non-ws position list + a searchsorted against the 500-ish
-    # row starts gives the bounds, and np.repeat broadcasts them back.
-    uidx = np.arange(U, dtype=idx_t)
-    row_unit_starts = np.flatnonzero(new_row)
-    nw = np.flatnonzero(~u_is_ws)                       # sorted non-ws positions
-    seg_bounds = np.append(row_unit_starts, U)
-    seg_len = np.diff(seg_bounds)
-    if len(nw):
-        lo = np.searchsorted(nw, seg_bounds[:-1])       # per row: first nw idx
-        hi = np.searchsorted(nw, seg_bounds[1:]) - 1    # per row: last nw idx
-        has_nw = lo <= hi
-        first_nonws = np.where(has_nw, nw[np.minimum(lo, len(nw) - 1)],
-                               U + 1).astype(idx_t)
-        last_nonws = np.where(has_nw, nw[np.maximum(hi, 0)], -1).astype(idx_t)
-        ws_keep &= (uidx > np.repeat(first_nonws, seg_len)) \
-            & (uidx < np.repeat(last_nonws, seg_len))
-    else:
-        ws_keep[:] = False                              # all-whitespace batch
+    # Edge strip via SPARSE run-start kills (replaces round 2's
+    # arange + repeat + two-compare formulation — three full-width
+    # arrays just to turn off at most 2 run starts per row):
+    # * a leading ws run necessarily starts AT the row start (prev_ws
+    #   resets there), so killing ws_keep at every row start removes
+    #   the whole leading run — and the all-ws-row case with it;
+    # * a trailing ws run is the run containing the row's last unit;
+    #   its start is the last run start ≤ that position.
+    # Any other run start has non-ws on both sides within the row, i.e.
+    # is strictly interior — exactly the old keep condition.
+    run_starts = np.flatnonzero(ws_keep)                # pre-kill run starts
+    ws_keep[row_unit_starts] = False
+    row_last = np.append(row_unit_starts[1:], U) - 1    # last unit per non-empty row
+    trail = row_last[u_is_ws[row_last]]
+    if len(trail) and len(run_starts):
+        ri = np.searchsorted(run_starts, trail, side="right") - 1
+        ws_keep[run_starts[np.maximum(ri, 0)]] = False
 
     if not have_wide:
         # fast splice: every emitted unit is exactly one byte (ASCII
-        # entities were folded into the stream above) — scatter spaces
-        # in place, one compress, offsets via per-ROW emit sums
-        # (reduceat over ~500 segments, not a 5M-element cumsum)
-        emit = ~u_is_ws | ws_keep
+        # entities were folded into the stream above).  Dropped units
+        # (collapsed/stripped ws) are SPARSE in real text — single
+        # spaces collapse to themselves — so splice by copying the
+        # keep-segments between dropped-run intervals instead of a
+        # full boolean compress; per-row counts via one searchsorted
+        # of the dropped positions against the row starts.
         w = ubyte.copy()
         w[ws_keep] = 0x20
-        out = w[emit]
-        counts = np.zeros(n, dtype=_I64)
-        counts[rows_with_units] = np.add.reduceat(
-            emit, row_unit_starts, dtype=_I64)
+        rem = np.flatnonzero(u_is_ws & ~ws_keep)        # dropped unit positions
+        n_rem = len(rem)
         out_offsets = np.zeros(n + 1, dtype=_I64)
-        np.cumsum(counts, out=out_offsets[1:])
-        return out, out_offsets
+        if n_rem == 0:
+            np.cumsum(np.diff(us), out=out_offsets[1:])
+            return w, out_offsets
+        removed_per_row = np.diff(np.searchsorted(rem, us))
+        np.cumsum(np.diff(us) - removed_per_row, out=out_offsets[1:])
+        # collapse adjacent dropped positions into intervals
+        brk = np.flatnonzero(np.diff(rem) > 1) + 1
+        ivl_start = rem[np.concatenate(([0], brk))]
+        ivl_end = rem[np.concatenate((brk - 1, [n_rem - 1]))] + 1
+        if len(ivl_start) <= max(4096, U >> 7):
+            out = np.empty(U - n_rem, dtype=_U8)
+            seg_s = np.concatenate(([0], ivl_end))      # keep-segment starts
+            seg_e = np.concatenate((ivl_start, [U]))    # keep-segment ends
+            d0 = 0
+            for k in range(len(seg_s)):
+                a = int(seg_s[k])
+                b2 = int(seg_e[k])
+                if b2 > a:
+                    out[d0:d0 + b2 - a] = w[a:b2]
+                    d0 += b2 - a
+            return out, out_offsets
+        emit = ~u_is_ws | ws_keep                       # dense-drop fallback
+        return w[emit], out_offsets
 
     # ---- general splice (wide entities present) -------------------------
     # every wide entity emits 2-4 UTF-8 bytes (cp ≥ 0x80 is never ws);
