@@ -24,14 +24,39 @@ MARK_B = "<!-- scaling-results:end -->"
 
 def run_at(cores: int, replicate: int, sf_dir: str, runs: int,
            text_repeat: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "tools", "flagship_run.py"),
-         "--cores", str(cores), "--replicate", str(replicate),
-         "--sf-dir", sf_dir, "--runs", str(runs),
-         "--text-repeat", str(text_repeat)],
-        capture_output=True, text=True, check=True, cwd=ROOT, timeout=3600,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # Pre-sized, pre-touched heap: without it the first full-size run
+    # in a fresh JVM pays heap growth + page zeroing DURING the timed
+    # region (measured 96 s vs 46 s steady on the 4-core leg) —
+    # AlwaysPreTouch moves that cost into JVM startup, which the
+    # harness excludes from timing on both legs alike.
+    env = dict(os.environ)
+    mem = env.get("SPARK_DRIVER_MEM", "8g")
+    # APPEND (the sandbox already exports SPARK_SUBMIT_OPTS with ivy
+    # settings — setdefault would silently drop the pre-touch).
+    pre = f"-Xms{mem} -XX:+AlwaysPreTouch"
+    prior = env.get("SPARK_SUBMIT_OPTS", "")
+    if pre not in prior:
+        env["SPARK_SUBMIT_OPTS"] = f"{prior} {pre}".strip()
+    # A leg occasionally wedges in a chained-PythonRunner stall (workers
+    # blocked on write, JVM reader polling — observed ~1/15 legs, jstack
+    # + /proc evidence in BASELINE.md); bound each leg and retry once
+    # rather than hanging the whole measurement.
+    leg_timeout = max(1500, runs * 600)
+    cmd = [sys.executable, os.path.join(ROOT, "tools", "flagship_run.py"),
+           "--cores", str(cores), "--replicate", str(replicate),
+           "--sf-dir", sf_dir, "--runs", str(runs),
+           "--text-repeat", str(text_repeat)]
+    for attempt in (1, 2):
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True, cwd=ROOT, timeout=leg_timeout,
+                                 env=env)
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except subprocess.TimeoutExpired:
+            if attempt == 2:
+                raise
+            print(f"# leg local[{cores}] wedged after {leg_timeout}s — "
+                  "retrying once", file=sys.stderr)
 
 
 def main() -> None:
@@ -39,12 +64,12 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=48)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--leg-runs", type=int, default=2,
+    ap.add_argument("--leg-runs", type=int, default=3,
                     help="timed runs per leg within a pair (min taken): "
-                         "filters multi-second transient host stalls that "
-                         "would otherwise sink one leg of a pair — the "
-                         "0.375 outlier pair of 2026-08-17T11:26 was one "
-                         "such stall")
+                         "filters hypervisor steal bursts (vmstat during "
+                         "legs shows 1-8%% st — short 4N legs are bimodal "
+                         "under them, 43.8 vs 76.3 s back-to-back in ONE "
+                         "warm JVM) and the fresh-JVM first-run penalty")
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--n4", type=int, default=32)
     ap.add_argument("--text-repeat", type=int, default=20,
@@ -52,7 +77,9 @@ def main() -> None:
     args = ap.parse_args()
 
     # INTERLEAVED pairs: this host's absolute speed drifts up to ~1.5×
-    # over hours (measured r2; zero steal — THP/cache state).  Running
+    # over hours (r2 attributed it to THP/cache state; r3 vmstat during
+    # legs shows 1-8% hypervisor steal, so noisy neighbors are at least
+    # a co-cause — short legs are hit bimodally, hence min-of-k).  Running
     # all N legs then all 4N legs lets drift bias the ratio; alternating
     # (N, 4N) per round and taking the per-PAIR efficiency median makes
     # the measurement drift-robust (both legs of a pair see the same
@@ -76,9 +103,11 @@ def main() -> None:
 
     summary = {
         "when": datetime.datetime.now().isoformat(timespec="minutes"),
-        "method": ("same flagship job, local[N] vs local[4N], fresh JVM per "
-                   "run, interleaved (N,4N) pairs, median per-pair efficiency "
-                   "(drift-robust); warm-up excluded"),
+        "method": ("same flagship job, local[N] vs local[4N], fresh "
+                   "pre-touched JVM per leg, interleaved (N,4N) pairs, "
+                   "min-of-k runs per leg (k=leg_runs; filters 1-8% "
+                   "hypervisor steal bursts measured via vmstat), median "
+                   "per-pair efficiency (drift-robust); warm-up excluded"),
         "n_cores": args.n, "n4_cores": args.n4,
         "pages": r8["pages"],
         "sec_n": r8["sec"], "sec_n4": r32["sec"],
