@@ -93,13 +93,32 @@ def main() -> None:
     best_of = max(1, int(os.environ.get("UV_BENCH_BEST_OF", "2")))
 
     def timed(build, attempts: int | None = None) -> float:
-        best = float("inf")
-        for _ in range(attempts or best_of):
+        times: list[float] = []
+
+        def one() -> None:
             t0 = time.perf_counter()
             _materialize(build())
-            best = min(best, time.perf_counter() - t0)
+            times.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        return round(best, 3)
+
+        for _ in range(attempts or best_of):
+            one()
+        # Adaptive tail (bounded): this host swings ±50% on MINUTE
+        # timescales (same commit, back-to-back full runs measured 14.9
+        # vs 22.2 s).  If the last attempt was still the fastest (cold
+        # window receding) or the spread shows a contention burst hit an
+        # attempt, take up to 2 more — but stop as soon as an extra
+        # attempt stops improving on the best.
+        extra = 0
+        while extra < 2 and (
+                (len(times) > 1 and times[-1] <= min(times[:-1]))
+                or max(times) > 1.5 * min(times)):
+            prior_best = min(times)
+            one()
+            extra += 1
+            if times[-1] > prior_best * 1.05:
+                break
+        return round(min(times), 3)
 
     timings: dict[str, float] = {}
     # flagship lines get one extra attempt: they are the headline metric
