@@ -54,3 +54,40 @@ def test_matches_unicodedata(rows):
 
 def test_names_length():
     assert len(CLASS_NAMES) == K == 11
+
+
+def test_classify_throughput_regression():
+    """Perf floor for the fused 28-bucket LUT histogram (round 3: one
+    gather + one flat bincount; 3.2-5.2x over the two-gather/two-
+    bincount formulation).  Drift-robust RATIO vs a raw full-width
+    astype pass timed in the same process (the fused path sustains
+    ~0.06-0.2x of pure memcpy speed across host modes; the old
+    formulation measured ~0.012x), plus a loose absolute floor on a
+    quiet host."""
+    import os
+    import time
+
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+    rng = np.random.default_rng(7)
+    vals = np.array([65, 97, 32, 46, 0xE9, 0x4E2D, 0x1F600], dtype=np.uint32)
+    cp = rng.choice(vals, p=[.3, .3, .15, .05, .1, .08, .02],
+                    size=2000 * 2500).astype(np.uint32)
+    off = np.arange(0, cp.size + 1, 2500, dtype=np.int64)
+    codepoint_class_histogram(cp, off)  # warm (builds the LUT)
+
+    def best_of(f, reps=5):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            f()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    full = best_of(lambda: codepoint_class_histogram(cp, off))
+    base = best_of(lambda: cp.astype(np.intp))
+    mcps = cp.size / full / 1e6
+    assert base / full >= 0.025, (base / full, mcps)
+    if os.getloadavg()[0] < 4.0:
+        assert mcps >= 40.0, mcps
