@@ -49,21 +49,43 @@ def _combined_table() -> np.ndarray:
     return tab
 
 
+_CHUNK = 1 << 17  # codepoints per segment: temporaries stay cache-resident
+
+
 def codepoint_class_histogram(cp: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """(flat codepoints u32, row offsets) → int64[n_rows, K] histogram."""
+    """(flat codepoints u32, row offsets) → int64[n_rows, K] histogram.
+
+    Processed in ~128 K-codepoint segments so the per-element
+    temporaries (intp gather index, int64 flat-bincount base) never
+    leave cache — an Arrow batch of 2000 × 10 KB pages would otherwise
+    stream ~320 MB of index temporaries through DRAM per batch per
+    worker (measured 1.1-1.7× single-core, and it is the multi-worker
+    bandwidth contention that the 4-core scaling leg pays for).
+    Segment counts are additive, so rows cut by a boundary just
+    accumulate via `+=`."""
     n = len(offsets) - 1
     if n == 0:
         return np.zeros((0, K), dtype=np.int64)
-    idx = cp.astype(np.intp)                              # gather index
-    if idx.size and int(idx.max()) > 0x10FFFF:            # rare guard
-        np.minimum(idx, 0x10FFFF, out=idx)
-    ids = np.take(_combined_table(), idx)                 # u8 fused ids
-    # flat (row*28 + id) bincount: int64 base so bincount's intp view is
-    # zero-copy (an int32 base would pay a hidden full-width conversion)
-    base = np.repeat(np.arange(0, n * 28, 28, dtype=np.int64),
-                     np.diff(offsets))
-    base += ids
-    h3 = np.bincount(base, minlength=n * 28).reshape(n, 7, 4)
+    tab = _combined_table()
+    total = int(offsets[-1])
+    h28 = np.zeros((n, 28), dtype=np.int64)
+    for lo in range(0, total, _CHUNK):
+        hi = min(lo + _CHUNK, total)
+        r0 = int(np.searchsorted(offsets, lo, "right")) - 1
+        r1 = int(np.searchsorted(offsets, hi, "left"))    # rows [r0, r1)
+        idx = cp[lo:hi].astype(np.intp)                   # gather index
+        if idx.size and int(idx.max()) > 0x10FFFF:        # rare guard
+            np.minimum(idx, 0x10FFFF, out=idx)
+        ids = np.take(tab, idx)                           # u8 fused ids
+        # flat (row*28 + id) bincount: int64 base so bincount's intp
+        # view is zero-copy (int32 would pay a hidden full conversion)
+        loc = np.clip(offsets[r0:r1 + 1] - lo, 0, hi - lo)
+        base = np.repeat(np.arange(0, (r1 - r0) * 28, 28, dtype=np.int64),
+                         np.diff(loc))
+        base += ids
+        h28[r0:r1] += np.bincount(
+            base, minlength=(r1 - r0) * 28).reshape(r1 - r0, 28)
+    h3 = h28.reshape(n, 7, 4)
     hist = np.empty((n, K), dtype=np.int64)
     hist[:, :7] = h3.sum(axis=2)                          # categories
     hist[:, 7:] = h3.sum(axis=1)                          # planes
