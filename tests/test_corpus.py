@@ -81,3 +81,23 @@ def test_chunking_covers_all_tokens_with_overlap(spark):
         assert row.chunk_text.split()[-1] == f"t{min(80 * k + 99, 249)}"
     assert (out[out["doc_id"] == 2]["n_chunk_tokens"] == [2]).all()
     assert 3 not in set(out["doc_id"])  # empty doc yields no chunks
+
+
+def test_near_dup_cluster_policy_keeps_one_per_component(spark):
+    # a chain where the PAIRWISE policy over-keeps: 2-3 similar, 3-9
+    # similar, but 2-9 not emitted — cluster policy must keep only the
+    # component minimum
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+    rows = [
+        (2, base, "en", "web", 0),
+        (3, base + "phi", "en", "web", 0),
+        (9, base + "phi chi psi", "en", "web", 0),
+        (4, "a completely different text " * 10, "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    kept = clean_corpus(df, min_tokens=10, near_dup=True,
+                        near_dup_threshold=0.7,
+                        near_dup_policy="cluster").select("doc_id").toPandas()
+    assert sorted(kept["doc_id"]) == [2, 4]

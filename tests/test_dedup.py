@@ -185,3 +185,59 @@ def test_minhash_recall_improves_with_bands(docs, docs_pd):
         recalls.append(len(pairs) / len(want))
     assert recalls == sorted(recalls), recalls  # monotone non-decreasing
     assert recalls[-1] >= 0.95
+
+
+# ---------------------------------------------------------------------------
+# connected components / duplicate clustering
+# ---------------------------------------------------------------------------
+
+def _brute_components(edges):
+    """Union-find oracle over an explicit edge list."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_long_chain_and_merges(spark):
+    # a 12-node chain (stresses pointer jumping), a triangle that merges
+    # two pair-clusters, and an isolated pair
+    edges = ([(i, i + 1) for i in range(100, 112)]
+             + [(7, 20), (20, 21), (21, 7), (3, 21)]
+             + [(500, 400)])
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in D.connected_components(pairs).collect()}
+    want = _brute_components(edges)
+    assert got == want
+
+
+def test_connected_components_randomized_vs_union_find(spark):
+    import random
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = [(min(a, b), max(a, b))
+             for a, b in (rng.sample(nodes, 2) for _ in range(150))]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in D.connected_components(pairs).collect()}
+    assert got == _brute_components(edges)
+
+
+def test_dup_clusters_summary(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    rows = {r["cluster_id"]: (r["n_docs"], r["max_doc_id"])
+            for r in D.dup_clusters(pairs).collect()}
+    assert rows == {1: (3, 3), 10: (2, 11)}

@@ -98,3 +98,49 @@ def test_frame_sample(spark):
 def test_codec_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         M._codec_decode("image", b"\x89PNG")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / diversity signals
+# ---------------------------------------------------------------------------
+
+def test_repetition_signals_vs_python(spark):
+    from ultraviolet_spark.operators.textstats import repetition_signals
+
+    texts = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "a a a a"),
+        (3, "unique words only here"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    for doc_id, text in texts:
+        w = text.lower().split()
+        from collections import Counter
+        c = Counter(w)
+        r = got[doc_id]
+        assert r["n_words"] == len(w)
+        assert r["n_distinct"] == len(c)
+        assert r["type_token_ratio"] == round(len(c) / len(w), 6)
+        assert r["top_word_frac"] == round(max(c.values()) / len(w), 6)
+        assert r["mean_word_len"] == round(sum(map(len, w)) / len(w), 6)
+
+
+def test_top_bigram_frac_vs_python(spark):
+    from ultraviolet_spark.operators.textstats import top_bigram_frac
+
+    texts = [
+        (1, "x y x y x y"),         # "x y" dominates
+        (2, "one two three four"),  # all bigrams unique
+        (3, "solo"),                # <2 words -> no row
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in top_bigram_frac(df).collect()}
+    assert 3 not in got
+    from collections import Counter
+    for doc_id, text in texts[:2]:
+        w = text.lower().split()
+        bgs = Counter(" ".join(w[i:i + 2]) for i in range(len(w) - 1))
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(w) - 1
+        assert r["top_bigram_frac"] == round(max(bgs.values()) / (len(w) - 1), 6)

@@ -16,23 +16,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ultraviolet_spark.operators import textstats as X
-from ultraviolet_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from ultraviolet_spark.operators.dedup import (
+    connected_components, exact_dedup, minhash_lsh_pairs)
 
 
 def clean_corpus(docs: DataFrame, *, text_col: str = "text",
                  id_col: str = "doc_id", min_tokens: int = 20,
                  max_punct_ratio: float = 0.2, max_digit_ratio: float = 0.2,
                  langs: list[str] | None = None, near_dup: bool = False,
-                 near_dup_threshold: float = 0.8, n: int = 3) -> DataFrame:
+                 near_dup_threshold: float = 0.8, n: int = 3,
+                 near_dup_policy: str = "pairwise") -> DataFrame:
     """Cleaned corpus, original columns preserved.
 
     Stages: non-empty → token-count floor → punct/digit-ratio ceilings →
     optional language allowlist → exact dedup (keep lowest ``id_col``) →
-    optional near-dup removal: for every verified MinHash pair
-    (id_a < id_b, jaccard ≥ threshold) the HIGHER id is dropped, so each
-    duplicate chain keeps exactly its lowest id (deterministic without a
-    distributed union-find — id_b of any pair is by construction not the
-    minimum of its class).
+    optional near-dup removal, two policies:
+
+    * ``"pairwise"`` (default): for every verified MinHash pair
+      (id_a < id_b, jaccard ≥ threshold) the HIGHER id is dropped —
+      one anti-join, no iteration; a doc survives iff it is never the
+      larger side of any pair.
+    * ``"cluster"``: connected components over the pair graph, keep
+      exactly ONE doc (the minimum id) per transitive duplicate class —
+      the production semantics (a-b, b-c collapses to {a} even though
+      (a, c) was never emitted as a pair).  Costs the O(log n)-round
+      label propagation of dedup.connected_components.
     """
     c = F.col(text_col)
     kept = docs.filter(F.length(c) > 0)
@@ -43,9 +51,16 @@ def clean_corpus(docs: DataFrame, *, text_col: str = "text",
         kept = kept.filter(F.col("lang").isin(list(langs)))
     kept = exact_dedup(kept, text_col=text_col, id_col=id_col)
     if near_dup:
+        if near_dup_policy not in ("pairwise", "cluster"):
+            raise ValueError(f"unknown near_dup_policy: {near_dup_policy!r}")
         pairs = minhash_lsh_pairs(kept, n=n, threshold=near_dup_threshold,
                                   text_col=text_col, id_col=id_col)
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        if near_dup_policy == "cluster":
+            cc = connected_components(pairs)
+            losers = (cc.filter(F.col("node") != F.col("component"))
+                      .select(F.col("node").alias(id_col)))
+        else:
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         kept = kept.join(losers, on=id_col, how="left_anti")
     return kept.select(*docs.columns)
 

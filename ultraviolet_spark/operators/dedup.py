@@ -387,3 +387,79 @@ def simhash_pairs(df: DataFrame, *, max_hamming: int = 3, ngram: int = 2,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: pairs -> connected components -> one keeper/cluster
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b", *, max_iters: int = 50) -> DataFrame:
+    """Label every node of the near-dup pair graph with its connected
+    component (``(node, component)``; component = min node id reachable).
+
+    Pair finders (exact/Jaccard/MinHash/SimHash) emit EDGES; production
+    dedup needs CLUSTERS — "keep one document per duplicate class" is
+    only well-defined on the transitive closure (a-b, b-c must collapse
+    to ONE keeper even though (a, c) was never emitted as a pair).
+
+    Algorithm: min-label propagation with pointer jumping.  Per round,
+    every node takes the minimum label in its closed neighborhood (one
+    edge-label join + groupBy), then labels are compressed one hop
+    through the label table itself (``label = label(label)``, a
+    self-join) — chains of length d collapse in O(log d) rounds instead
+    of O(d).  Labels decrease monotonically and are bounded below, so
+    the fixpoint (0 changes) is guaranteed; ``max_iters`` is a backstop.
+
+    Scale notes (100 TB): every step is a key-partitioned join/groupBy
+    on (node) or (label) — no collect, no driver-side graph.  Duplicate
+    components in web corpora are shallow (near-clique mirror sets), so
+    the loop converges in 2-4 rounds; each round's result is
+    ``localCheckpoint``-ed to truncate the iterative lineage (the
+    standard GraphFrames/GraphX practice — on a cluster, lost-executor
+    recovery restarts the loop from the last checkpoint).
+    """
+    u, v = F.col("__u"), F.col("__v")
+    e1 = pairs.select(F.col(a_col).alias("__u"), F.col(b_col).alias("__v"))
+    e2 = pairs.select(F.col(b_col).alias("__u"), F.col(a_col).alias("__v"))
+    edges = e1.union(e2).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    # init: label(n) = min(n, min neighbor)  (symmetric edges cover all nodes)
+    labels = (edges.groupBy("__u").agg(F.least(F.min("__v"), u).alias("__l"))
+              .withColumnRenamed("__u", "__n"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        # 1) neighborhood min: smallest label among my neighbors
+        nbr = (edges.join(labels, edges["__v"] == labels["__n"])
+               .groupBy("__u").agg(F.min("__l").alias("__nl")))
+        stepped = (labels.join(nbr, labels["__n"] == nbr["__u"], "left")
+                   .select(F.col("__n"),
+                           F.col("__l").alias("__old"),
+                           F.least(F.col("__l"),
+                                   F.coalesce(F.col("__nl"), F.col("__l"))).alias("__l1")))
+        # 2) pointer jump: follow my label's own label one hop
+        ptr = stepped.select(F.col("__n").alias("__p"), F.col("__l1").alias("__pl"))
+        jumped = (stepped.join(ptr, stepped["__l1"] == ptr["__p"], "left")
+                  .select(F.col("__n"), F.col("__old"),
+                          F.least(F.col("__l1"),
+                                  F.coalesce(F.col("__pl"), F.col("__l1"))).alias("__l")))
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = jumped.filter(F.col("__l") != F.col("__old")).limit(1).count()
+        labels = jumped.select("__n", "__l")
+        if changed == 0:
+            break
+    edges.unpersist(blocking=False)
+    return labels.select(F.col("__n").alias("node"), F.col("__l").alias("component"))
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "id_a",
+                 b_col: str = "id_b") -> DataFrame:
+    """Cluster summary over the transitive closure of ``pairs``:
+    one row per duplicate class — ``(cluster_id, n_docs, max_doc_id)``
+    with ``cluster_id`` = the class keeper (minimum doc id, the same
+    keep-lowest policy as exact_dedup)."""
+    cc = connected_components(pairs, a_col, b_col)
+    return (cc.groupBy(F.col("component").alias("cluster_id"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("node").alias("max_doc_id")))

@@ -99,3 +99,79 @@ def fingerprint(col, n_hex: int = 16) -> Column:
     Spark and DuckDB, so this is oracle-checkable exactly."""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.substring(F.md5(norm.cast("binary")), 1, n_hex)
+
+
+def repetition_signals(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition / diversity signals:
+
+    ``(id, n_words, n_distinct, type_token_ratio, top_word_frac,
+    mean_word_len)`` — the classic webtext quality gates ("fraction of
+    the doc that is its most common word", type-token ratio) used to
+    drop boilerplate and degenerate pages before training.
+
+    Scale notes (100 TB): one explode + two partial-agg groupBys keyed
+    on (doc, word) then (doc) — map-side combine keeps the shuffle
+    proportional to DISTINCT words per doc, not doc length; the
+    mean-word-length pass is a pure Catalyst array aggregate in the
+    scan stage (no Python anywhere).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+         .select(F.col(id_col), toks.alias("__w")))
+    counts = (t.select(F.col(id_col), F.explode("__w").alias("__word"))
+              .groupBy(id_col, "__word").agg(F.count("*").alias("__cnt")))
+    s = counts.groupBy(id_col).agg(
+        F.sum("__cnt").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("__cnt").cast("long").alias("__top_cnt"),
+    )
+    m = t.select(
+        F.col(id_col),
+        F.round(
+            F.aggregate("__w", F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x)).cast("double")
+            / F.size("__w"), 6).alias("mean_word_len"),
+    )
+    return (
+        s.join(m, on=id_col)
+        .select(
+            F.col(id_col), F.col("n_words"), F.col("n_distinct"),
+            F.round(F.col("n_distinct").cast("double") / F.col("n_words"), 6)
+             .alias("type_token_ratio"),
+            F.round(F.col("__top_cnt").cast("double") / F.col("n_words"), 6)
+             .alias("top_word_frac"),
+            F.col("mean_word_len"),
+        )
+    )
+
+
+def top_bigram_frac(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-2-gram repetition fraction per document (Gopher repetition
+    rule: drop docs whose most frequent bigram covers too much of the
+    text).  ``(id, n_bigrams, top_bigram_frac)``; docs with < 2 words
+    produce no row.
+
+    Same shuffle shape as :func:`repetition_signals` — explode +
+    partial-agg on (doc, bigram); bigram construction is a Catalyst
+    ``transform(sequence(...))`` in the scan stage.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t = df.select(F.col(id_col), toks.alias("w")).filter(F.size("w") >= 2)
+    bg = t.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        )).alias("__bigram"),
+    )
+    c = bg.groupBy(id_col, "__bigram").agg(F.count("*").alias("__cnt"))
+    return (
+        c.groupBy(id_col)
+        .agg(F.sum("__cnt").cast("long").alias("n_bigrams"),
+             F.max("__cnt").cast("long").alias("__top"))
+        .select(F.col(id_col), F.col("n_bigrams"),
+                F.round(F.col("__top").cast("double") / F.col("n_bigrams"), 6)
+                 .alias("top_bigram_frac"))
+    )

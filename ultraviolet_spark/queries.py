@@ -1518,6 +1518,100 @@ def q52(spark, sf_dir):
                         n_centroids=16, nprobe=6, exclude_id=None)
 
 
+# ---------------------------------------------------------------------------
+# duplicate clustering + webtext repetition/quality gates (round 3)
+# ---------------------------------------------------------------------------
+
+@q("q64_dup_clusters", """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+sh0 AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM toks WHERE len(w) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM sh0),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+com AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM com
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+SELECT component AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(node) AS max_doc_id
+FROM comp GROUP BY component
+""")
+def q64(spark, sf_dir):
+    """Pairs → transitive-closure duplicate CLUSTERS (one keeper per
+    class).  The oracle computes the same closure with a recursive CTE;
+    the engine uses distributed min-label propagation + pointer jumping
+    (operators/dedup.py connected_components) — no driver-side graph."""
+    pairs = D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                  n=3, threshold=0.5)
+    return D.dup_clusters(pairs)
+
+
+@q("q65_repetition_signals", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+e AS (SELECT doc_id, unnest(w) AS word FROM t),
+c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(cnt) AS BIGINT) AS top_cnt
+  FROM c GROUP BY doc_id),
+m AS (
+  SELECT doc_id,
+    round(CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
+          / len(w), 6) AS mean_word_len
+  FROM t)
+SELECT s.doc_id, n_words, n_distinct,
+       round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS type_token_ratio,
+       round(CAST(top_cnt AS DOUBLE) / n_words, 6) AS top_word_frac,
+       mean_word_len
+FROM s JOIN m ON s.doc_id = m.doc_id
+""")
+def q65(spark, sf_dir):
+    """Gopher-style diversity/repetition quality signals per document
+    (type-token ratio, top-word fraction, mean word length)."""
+    return X.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@q("q66_top_bigram_frac", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 2),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM t),
+c AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_bigram_frac
+FROM c GROUP BY doc_id
+""")
+def q66(spark, sf_dir):
+    """Top-bigram repetition fraction (Gopher repetition rule)."""
+    return X.top_bigram_frac(_t(spark, sf_dir, "documents"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 63 queries, 56 of them with exact DuckDB
