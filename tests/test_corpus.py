@@ -101,3 +101,50 @@ def test_near_dup_cluster_policy_keeps_one_per_component(spark):
                         near_dup_threshold=0.7,
                         near_dup_policy="cluster").select("doc_id").toPandas()
     assert sorted(kept["doc_id"]) == [2, 4]
+
+
+def test_hash_split_deterministic_and_proportions(spark):
+    from ultraviolet_spark.operators.corpus import hash_split
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(docs).orderBy("doc_id").toPandas()
+    b = hash_split(docs).orderBy("doc_id").toPandas()
+    assert (a["split"] == b["split"]).all()       # stable across runs
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 204 / 256) < 0.03  # ~md5-uniform buckets
+    assert abs(frac["val"] - 26 / 256) < 0.02
+    # salt changes the assignment but not the proportions
+    c = hash_split(docs, salt="v2").orderBy("doc_id").toPandas()
+    assert (c["split"] != a["split"]).any()
+
+
+def test_dsir_importance_vs_python(spark):
+    import math
+    from collections import Counter
+    from ultraviolet_spark.operators.corpus import dsir_importance
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "the lazy dog sleeps", "en"),
+        (3, "der schnelle braune fuchs", "de"),
+        (4, "le chien paresseux dort", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in
+           dsir_importance(df, target_filter=F.col("lang") == "en").collect()}
+
+    ct, cr = Counter(), Counter()
+    for _, text, lang in rows:
+        (ct if lang == "en" else cr).update(text.lower().split())
+    vocab = set(ct) | set(cr)
+    tt, tr, v = sum(ct.values()), sum(cr.values()), len(vocab)
+    for doc_id, text, _ in rows:
+        w = text.lower().split()
+        want = round(sum(
+            round(math.log((ct[x] + 1) * (tr + v) / ((cr[x] + 1) * (tt + v))), 6)
+            for x in w), 6)
+        assert got[doc_id]["n_words"] == len(w)
+        assert abs(got[doc_id]["dsir_score"] - want) < 1e-9
+        # target-domain docs score higher than off-domain ones
+    assert got[1]["dsir_score"] > 0 > got[3]["dsir_score"]

@@ -119,3 +119,76 @@ def corpus_report(docs: DataFrame, **kwargs) -> DataFrame:
     for df in dfs[1:]:
         out = out.unionByName(df)
     return out.groupBy("stage").agg(F.count("*").alias("n_docs"))
+
+
+def hash_split(docs: DataFrame, *, id_col: str = "doc_id",
+               train: float = 0.8, val: float = 0.1,
+               salt: str = "") -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment.
+
+    Splits must be STABLE across runs, engines and cluster sizes (a doc
+    must never migrate from test into train when the pipeline is re-run
+    on more executors), so the bucket is derived from md5(id || salt) —
+    identical in Spark and DuckDB — never from RNG or partition ids:
+    bucket = first two hex nibbles → 0..255, train < ⌊256·train⌋ ≤ val
+    < ⌊256·(train+val)⌋ ≤ test.  Pure Catalyst; evaluated in the scan
+    stage (no shuffle).
+    """
+    t_hi = int(256 * train)
+    v_hi = int(256 * (train + val))
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary"))
+    alpha = "0123456789abcdef"
+    b = ((F.instr(F.lit(alpha), F.substring(h, 1, 1)) - 1) * 16
+         + (F.instr(F.lit(alpha), F.substring(h, 2, 1)) - 1))
+    split = (F.when(b < t_hi, "train")
+             .when(b < v_hi, "val").otherwise("test"))
+    return docs.withColumn("bucket", b.cast("int")).withColumn("split", split)
+
+
+def dsir_importance(docs: DataFrame, *, target_filter,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    public paper): per-document log-likelihood ratio between a TARGET
+    domain's unigram LM and the REST of the corpus, add-1 smoothed over
+    the shared vocabulary.  High scores = "looks like the target
+    domain"; used to up-/down-weight web text before training.
+
+    ``target_filter`` is a boolean Column selecting the target docs
+    (e.g. ``F.col('lang') == 'en'``).
+
+    Returns ``(id, n_words, dsir_score)``.  Each per-word log-ratio is
+    rounded to 6 decimals BEFORE the per-doc sum and the sum rounded
+    again: ln() may differ in the last ulp across engines and the sum
+    order across partitions is nondeterministic — snapping the terms to
+    a 1e-6 grid keeps the per-doc sum ~1e-12 from a grid point, so the
+    final round is stable under any summation order.
+
+    Scale notes (100 TB): one explode feeds BOTH the vocabulary counts
+    (groupBy word, map-side combined, conditional sums for target/rest)
+    and the per-doc scoring join (shuffle keyed on word, then on doc) —
+    the word-stats side is vocabulary-sized, not corpus-sized, and the
+    three scalar totals travel via a 1-row cross join (broadcast), not
+    ``collect``.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = (docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+             .select(F.col(id_col),
+                     target_filter.cast("int").alias("__is_t"),
+                     F.explode(toks).alias("__word")))
+    stats = words.groupBy("__word").agg(
+        F.sum("__is_t").alias("__ct"),
+        F.sum(F.lit(1) - F.col("__is_t")).alias("__cr"))
+    totals = stats.agg(
+        F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr"),
+        F.count("*").alias("__v"))
+    lr = stats.crossJoin(F.broadcast(totals)).select(
+        "__word",
+        F.round(
+            F.log(((F.col("__ct") + 1) * (F.col("__tr") + F.col("__v"))).cast("double")
+                  / ((F.col("__cr") + 1) * (F.col("__tt") + F.col("__v"))).cast("double")),
+            6).alias("__lr"))
+    return (words.join(lr, on="__word")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.round(F.sum("__lr"), 6).alias("dsir_score")))

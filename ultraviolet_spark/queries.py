@@ -1612,6 +1612,49 @@ def q66(spark, sf_dir):
     return X.top_bigram_frac(_t(spark, sf_dir, "documents"))
 
 
+@q("q67_hash_split", """
+WITH h AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+  FROM documents)
+SELECT doc_id, CAST(b AS INTEGER) AS bucket,
+       CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+FROM h
+""")
+def q67(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test split — stable across
+    runs, engines and cluster sizes (never RNG or partition ids)."""
+    from ultraviolet_spark.operators.corpus import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "bucket", "split")
+
+
+@q("q68_dsir_importance", """
+WITH w AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0),
+stats AS (SELECT word, SUM(is_t) AS ct, SUM(1 - is_t) AS cr FROM w GROUP BY word),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr, COUNT(*) AS v FROM stats),
+lr AS (
+  SELECT word,
+         round(ln(CAST((ct + 1) * (tr + v) AS DOUBLE) / ((cr + 1) * (tt + v))), 6) AS lr
+  FROM stats, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, round(SUM(lr), 6) AS dsir_score
+FROM w JOIN lr USING (word) GROUP BY doc_id
+""")
+def q68(spark, sf_dir):
+    """DSIR-style importance weights: per-doc unigram log-likelihood
+    ratio, target domain = lang='en', add-1 smoothing (data-selection
+    reweighting for training mixes)."""
+    from ultraviolet_spark.operators.corpus import dsir_importance
+
+    return dsir_importance(_t(spark, sf_dir, "documents"),
+                           target_filter=F.col("lang") == "en")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 63 queries, 56 of them with exact DuckDB
