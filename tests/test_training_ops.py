@@ -1,0 +1,185 @@
+"""Training-mix operators (round 3): decontamination, PII scrub,
+line-level dedup, language-mix temperature weights, sequence packing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ultraviolet_spark.operators.corpus import (
+    decontaminate,
+    doc_ngrams,
+    lang_mix_weights,
+    line_dedup,
+    pack_sequences,
+)
+from ultraviolet_spark.operators.textstats import pii_scrub
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------- ngrams
+
+def test_doc_ngrams_basic(spark):
+    df = _docs(spark, [(1, "A b c d"), (2, "x y"), (3, "")])
+    out = doc_ngrams(df, n=3).toPandas()
+    got = set(map(tuple, out.itertuples(index=False)))
+    # lowercased; docs with < n tokens yield nothing
+    assert got == {(1, "a b c"), (1, "b c d")}
+
+
+def test_doc_ngrams_distinct(spark):
+    df = _docs(spark, [(1, "a b a b a b")])  # 'a b a' x2, 'b a b' x2
+    assert doc_ngrams(df, n=3).count() == 2
+    assert doc_ngrams(df, n=3, distinct=False).count() == 4
+
+
+# --------------------------------------------------------- decontaminate
+
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string")
+    docs = _docs(spark, [
+        (1, "padding quick brown fox jumps over the lazy dog tail"),  # 8-gram hit
+        (2, "quick brown fox jumps over the lazy cat entirely"),      # no 8-gram
+        (3, "completely unrelated words all the way through here"),
+    ])
+    out = (decontaminate(docs, bench, n=8).toPandas()
+           .set_index("doc_id").sort_index())
+    assert bool(out.loc[1, "contaminated"])
+    assert not bool(out.loc[2, "contaminated"])
+    assert not bool(out.loc[3, "contaminated"])
+    # doc 1 contains exactly 1 of the benchmark's two 8-grams
+    assert out.loc[1, "n_hits"] == 1
+    # every input doc gets a row, hit or not
+    assert len(out) == 3
+
+
+def test_decontaminate_benchmark_self_hit(spark):
+    text = "one two three four five six seven eight nine"
+    docs = _docs(spark, [(1, text)])
+    out = decontaminate(docs, docs.select("text"), n=8).toPandas()
+    assert bool(out.loc[0, "contaminated"])
+
+
+# -------------------------------------------------------------- PII scrub
+
+def test_pii_scrub_literals(spark):
+    df = _docs(spark, [
+        (1, "mail me at jane.doe+x@sub.example.org please"),
+        (2, "server 192.168.1.254 and phone 555-123-4567 ok"),
+        (3, "no pii here at all"),
+        (4, "not-an-ip 1234.5.6.7890 and not-a-phone 12-34-56"),
+    ])
+    out = pii_scrub(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "n_emails"] == 1 and bool(out.loc[1, "has_pii"])
+    assert out.loc[1, "text_redacted"] == "mail me at <EMAIL> please"
+    assert out.loc[2, "n_ipv4"] == 1 and out.loc[2, "n_phones"] == 1
+    assert out.loc[2, "text_redacted"] == "server <IP> and phone <PHONE> ok"
+    assert not bool(out.loc[3, "has_pii"])
+    assert out.loc[3, "text_redacted"] == "no pii here at all"
+    # \b guards: digit runs that are not IPs/phones survive
+    assert not bool(out.loc[4, "has_pii"])
+
+
+# ------------------------------------------------------------- line dedup
+
+def test_line_dedup_first_occurrence_wins(spark):
+    df = _docs(spark, [
+        (1, "header\nunique one\nfooter"),
+        (2, "header\nunique two\nfooter"),   # header+footer dropped
+        (3, "header\nfooter"),               # fully boilerplate -> no row
+    ])
+    out = line_dedup(df).toPandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "text_dedup"] == "header\nunique one\nfooter"
+    assert out.loc[1, "n_lines"] == 3 and out.loc[1, "n_kept"] == 3
+    assert out.loc[2, "text_dedup"] == "unique two"
+    assert out.loc[2, "n_lines"] == 3 and out.loc[2, "n_kept"] == 1
+
+
+def test_line_dedup_within_doc_and_blank_lines(spark):
+    df = _docs(spark, [(5, "a b\n\na b\nc d\n  \nc d")])
+    out = line_dedup(df).toPandas()
+    # blank/whitespace lines are not counted; repeats within one doc collapse
+    assert out.loc[0, "n_lines"] == 4
+    assert out.loc[0, "n_kept"] == 2
+    assert out.loc[0, "text_dedup"] == "a b\nc d"
+
+
+# ------------------------------------------------------------ mix weights
+
+def test_lang_mix_weights_rebalances(spark):
+    rows = ([(i, "x", "en") for i in range(90)]
+            + [(i + 100, "x", "is") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = (lang_mix_weights(df, alpha=0.3).toPandas()
+           .set_index("lang").sort_index())
+    assert out["n_docs"].sum() == 100
+    assert abs(out["w_temp"].sum() - 1.0) < 1e-5
+    # alpha<1 up-weights the low-resource language, down-weights the big one
+    assert out.loc["is", "boost"] > 1.0 > out.loc["en", "boost"]
+    assert out.loc["is", "w_temp"] > out.loc["is", "p"]
+
+
+def test_lang_mix_weights_alpha_one_is_identity(spark):
+    rows = [(i, "x", "en" if i % 4 else "fr") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = lang_mix_weights(df, alpha=1.0).toPandas()
+    assert np.allclose(out["w_temp"], out["p"], atol=2e-6)
+    assert np.allclose(out["boost"], 1.0, atol=2e-5)
+
+
+# --------------------------------------------------------------- packing
+
+def _expected_packing(rows, seq_len):
+    """Independent reference: sort by (md5(id), id), running cumsum."""
+    order = sorted(rows, key=lambda r: (
+        hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    pos, out = 0, {}
+    for doc_id, text in order:
+        n = len(text.strip().split())
+        out[doc_id] = (n, pos, pos // seq_len, pos % seq_len)
+        pos += n
+    return out
+
+
+def test_pack_sequences_matches_reference(spark):
+    rows = [(i, ("tok " * (5 + 3 * (i % 7))).strip()) for i in range(64)]
+    df = _docs(spark, rows)
+    out = pack_sequences(df, seq_len=32).toPandas().set_index("doc_id")
+    exp = _expected_packing(rows, 32)
+    for doc_id, (n, pos, pack, off) in exp.items():
+        got = out.loc[doc_id]
+        assert (got["n_tokens"], got["stream_pos"],
+                got["pack_id"], got["pack_offset"]) == (n, pos, pack, off)
+
+
+def test_pack_sequences_bucket_count_invariant(spark):
+    """The two-phase prefix sum is exact: any bucket count gives the
+    same stream as the single-window semantics."""
+    rows = [(i, ("w " * (1 + i % 11)).strip()) for i in range(80)]
+    df = _docs(spark, rows)
+    a = (pack_sequences(df, seq_len=64, n_buckets=256)
+         .orderBy("doc_id").toPandas())
+    b = (pack_sequences(df, seq_len=64, n_buckets=7)
+         .orderBy("doc_id").toPandas())
+    assert a.equals(b)
+
+
+def test_pack_sequences_stream_is_gapless(spark):
+    rows = [(i, ("w " * (1 + i % 5)).strip()) for i in range(50)]
+    df = _docs(spark, rows)
+    out = (pack_sequences(df, seq_len=16).toPandas()
+           .sort_values("stream_pos").reset_index(drop=True))
+    nxt = out["stream_pos"] + out["n_tokens"]
+    assert (out["stream_pos"].iloc[1:].to_numpy()
+            == nxt.iloc[:-1].to_numpy()).all()
+    assert out["stream_pos"].iloc[0] == 0

@@ -145,6 +145,183 @@ def hash_split(docs: DataFrame, *, id_col: str = "doc_id",
     return docs.withColumn("bucket", b.cast("int")).withColumn("split", split)
 
 
+def lang_mix_weights(docs: DataFrame, *, lang_col: str = "lang",
+                     alpha: float = 0.3) -> DataFrame:
+    """Temperature-based language-sampling weights for a multilingual
+    training mix (the standard p_l^α re-balancing used by multilingual
+    LM pipelines, e.g. the mBERT/XLM-R exponent-smoothing scheme,
+    public): ``w_l = p_l^α / Σ_m p_m^α`` where ``p_l`` is the corpus
+    share of language *l* and α < 1 up-weights low-resource languages.
+
+    Returns ``(lang, n_docs, p, w_temp, boost)`` with ``boost =
+    w_temp / p`` (the sampling multiplier each language receives).
+
+    Determinism across engines: each p^α term is snapped to a 1e-6 grid
+    before the normalizing sum (ln/pow may differ in the last ulp and
+    partial-sum order differs), so the final 6-decimal round is stable.
+
+    Scale notes (100 TB): one map-side-combined groupBy on lang (dozens
+    of groups); the normalizer travels via a broadcast 1-row cross
+    join, never ``collect``.
+    """
+    counts = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").cast("long").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("__n"))
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs",
+        (F.col("n_docs").cast("double") / F.col("__n")).alias("__p"),
+        F.round(F.pow(F.col("n_docs").cast("double") / F.col("__n"),
+                      F.lit(float(alpha))), 6).alias("__s"))
+    norm = scored.agg(F.sum("__s").alias("__z"))
+    return scored.crossJoin(F.broadcast(norm)).select(
+        "lang", "n_docs",
+        F.round("__p", 6).alias("p"),
+        F.round(F.col("__s") / F.col("__z"), 6).alias("w_temp"),
+        F.round(F.col("__s") / F.col("__z") / F.col("__p"), 6).alias("boost"))
+
+
+def doc_ngrams(docs: DataFrame, *, n: int, text_col: str = "text",
+               id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """``(id, ngram)`` — whitespace-token *n*-grams per document, built
+    with a Catalyst ``transform(sequence(...))`` in the scan stage
+    (shuffle-free fan-out).  Docs with < n tokens yield no rows."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t = docs.select(F.col(id_col), toks.alias("__w")).filter(F.size("__w") >= n)
+    parts = " , ' ', ".join(f"element_at(__w, i + {j})" for j in range(n))
+    out = t.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(1, size(__w) - {n - 1}),"
+            f" i -> concat({parts}))")).alias("ngram"))
+    return out.distinct() if distinct else out
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, *, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination — the training-data op that removes
+    documents overlapping an evaluation set (the GPT-3 paper's n-gram
+    collision rule, public): a doc is contaminated iff it shares at
+    least one token *n*-gram with any benchmark text.
+
+    Returns ``(id, n_hits, contaminated)`` where ``n_hits`` counts the
+    doc's DISTINCT n-grams that appear anywhere in the benchmark.
+
+    Scale notes (100 TB corpus × small benchmark): both sides explode
+    to distinct n-grams in their scan stages; the join is keyed on the
+    n-gram string — Spark/AQE broadcasts the benchmark side when small
+    (the usual case: an eval set is MBs), so the corpus side never
+    shuffles; the per-doc count is one map-side-combined groupBy.
+    """
+    d = doc_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    b = (doc_ngrams(benchmark.select(F.col(bench_text_col).alias("__bt")),
+                    n=n, text_col="__bt", id_col="__bt", distinct=False)
+         .select("ngram").distinct())
+    hits = (d.join(b, on="ngram", how="left_semi")
+            .groupBy(id_col).agg(F.count("*").cast("long").alias("n_hits")))
+    ids = docs.select(id_col)
+    return (ids.join(hits, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated")))
+
+
+def pack_sequences(docs: DataFrame, *, seq_len: int = 512,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_buckets: int = 256) -> DataFrame:
+    """Deterministic sequence packing for pretraining: documents are
+    concatenated in a stable global order (md5 of id — never partition
+    order) into a single token stream that is cut into fixed
+    ``seq_len`` windows; each doc learns which pack its first token
+    lands in and at what offset.
+
+    Returns ``(id, n_tokens, stream_pos, pack_id, pack_offset)`` where
+    ``stream_pos`` is the number of tokens before the doc in the
+    stream, ``pack_id = stream_pos // seq_len`` and ``pack_offset =
+    stream_pos % seq_len``.
+
+    Scale notes (100 TB): a global running sum is NOT computed with one
+    global window (that would serialize on a single partition).  It is
+    the classic two-phase distributed prefix sum: (1) cumsum WITHIN
+    each of ``n_buckets`` md5 buckets (hash-partitioned window), (2) a
+    tiny 256-row exclusive cumsum of bucket totals, broadcast-joined
+    back.  Bucket order is the prefix of the md5 order, so the result
+    equals the single-stream semantics exactly.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    alpha = "0123456789abcdef"
+    bucket = ((F.instr(F.lit(alpha), F.substring(h, 1, 1)) - 1) * 16
+              + (F.instr(F.lit(alpha), F.substring(h, 2, 1)) - 1))
+    if n_buckets != 256:
+        # order-preserving contiguous ranges, NOT modulo: the two-phase
+        # prefix sum needs bucket order to be a prefix of the md5 order
+        bucket = F.floor(bucket * n_buckets / 256).cast("int")
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    base = docs.select(F.col(id_col), toks.alias("n_tokens"),
+                       h.alias("__h"), bucket.alias("__b"))
+    w_in = (Window.partitionBy("__b").orderBy("__h", id_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    base = base.withColumn(
+        "__pos_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+    btot = base.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
+    w_b = (Window.orderBy("__b")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff = btot.select(
+        "__b", F.coalesce(F.sum("__bt").over(w_b), F.lit(0)).alias("__boff"))
+    return (base.join(F.broadcast(boff), on="__b")
+            .select(
+                F.col(id_col), F.col("n_tokens"),
+                (F.col("__boff") + F.col("__pos_in")).alias("stream_pos"),
+                F.floor((F.col("__boff") + F.col("__pos_in")) / seq_len)
+                 .cast("long").alias("pack_id"),
+                ((F.col("__boff") + F.col("__pos_in")) % seq_len)
+                 .cast("long").alias("pack_offset")))
+
+
+def line_dedup(docs: DataFrame, *, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Corpus-wide line-level exact deduplication (the CCNet paragraph
+    dedup, public — Wenzek et al. 2020: drop every repetition of a line
+    across the WHOLE corpus, keeping its first occurrence in
+    ``(id, position)`` order; boilerplate navigation/footer lines
+    vanish from all but one page).
+
+    Returns ``(id, n_lines, n_kept, text_dedup)`` — docs whose every
+    line was seen earlier produce NO row (fully-boilerplate pages are
+    dropped), mirrored by the SQL oracle's HAVING clause.
+
+    Scale notes (100 TB): explode is scan-stage; first-occurrence
+    selection is one shuffle keyed on the line text (hash-uniform
+    unless one line dominates the corpus — that single hot line is
+    bounded by its own frequency and carries ~bytes, not docs);
+    reassembly is one groupBy on the doc id with an in-group
+    array_sort (no second global order).
+    """
+    from pyspark.sql import Window
+
+    lines = (docs.select(F.col(id_col),
+                         F.posexplode(F.split(F.col(text_col), sep))
+                          .alias("pos", "line"))
+             .filter(F.length(F.trim(F.col("line"))) > 0))
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    flagged = lines.withColumn(
+        "__keep", F.row_number().over(w) == 1)
+    return (flagged.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum(F.col("__keep").cast("long")).cast("long")
+                  .alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("__keep"),
+                                    F.struct(F.col("pos"), F.col("line"))))),
+                         lambda x: x["line"]),
+                     sep).alias("text_dedup"))
+            .filter(F.col("n_kept") > 0))
+
+
 def dsir_importance(docs: DataFrame, *, target_filter,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """DSIR-style data-selection importance weights (Xie et al. 2023,

@@ -101,6 +101,48 @@ def fingerprint(col, n_hex: int = 16) -> Column:
     return F.substring(F.md5(norm.cast("binary")), 1, n_hex)
 
 
+# PII patterns restricted to the syntax subset shared by Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+# non-capturing groups, \b — no backreferences or lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Per-type PII match counts for one text column."""
+    return {
+        "n_emails": F.regexp_count(col, F.lit(PII_EMAIL_RE)).cast("long"),
+        "n_ipv4": F.regexp_count(col, F.lit(PII_IPV4_RE)).cast("long"),
+        "n_phones": F.regexp_count(col, F.lit(PII_PHONE_RE)).cast("long"),
+    }
+
+
+def redact_pii(col) -> Column:
+    """Text with PII spans replaced by typed placeholder tokens (the
+    standard pre-training scrub).  Email first: its local part could
+    otherwise leave digit runs that the phone pattern would re-match.
+    """
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_scrub(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Adds per-doc PII counts, a ``has_pii`` flag and a redacted text
+    column.  Pure Catalyst regex ops — scan-stage, shuffle-free,
+    100 TB-safe; patterns live in the Java∩RE2 subset so the DuckDB
+    oracle runs the literal same regexes."""
+    c = F.col(text_col)
+    counts = pii_counts(c)
+    out = df
+    for name, expr in counts.items():
+        out = out.withColumn(name, expr)
+    total = sum((F.col(n) for n in counts), F.lit(0).cast("long"))
+    return (out.withColumn("has_pii", total > 0)
+            .withColumn("text_redacted", redact_pii(c)))
+
+
 def repetition_signals(df: DataFrame, *, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Gopher-style within-document repetition / diversity signals:

@@ -1655,6 +1655,192 @@ def q68(spark, sf_dir):
                            target_filter=F.col("lang") == "en")
 
 
+@q("q69_decontaminate", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+d0 AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+  FROM t WHERE len(w) >= 8),
+d AS (
+  SELECT DISTINCT doc_id,
+         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+         w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS ngram
+  FROM d0),
+b AS (SELECT DISTINCT ngram FROM d WHERE doc_id % 41 = 0),
+h AS (
+  SELECT doc_id, COUNT(*) AS hits FROM d
+  WHERE ngram IN (SELECT ngram FROM b) GROUP BY doc_id)
+SELECT doc_id,
+       CAST(COALESCE(hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(hits, 0) > 0 AS contaminated
+FROM documents LEFT JOIN h USING (doc_id)
+""")
+def q69(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style 8-gram collision rule):
+    the 'evaluation set' is every 41st document; a training doc is
+    contaminated iff it shares an 8-gram with any of them."""
+    from ultraviolet_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select("text")
+    return decontaminate(docs, bench, n=8)
+
+
+_PII_AUG_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
+@q("q70_pii_scrub", f"""
+WITH aug AS ({_PII_AUG_SQL}),
+c AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(text, '{X.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+    CAST(len(regexp_extract_all(text, '{X.PII_IPV4_RE}'))  AS BIGINT) AS n_ipv4,
+    CAST(len(regexp_extract_all(text, '{X.PII_PHONE_RE}')) AS BIGINT) AS n_phones
+  FROM aug)
+SELECT doc_id, n_emails, n_ipv4, n_phones,
+       (n_emails + n_ipv4 + n_phones) > 0 AS has_pii,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{X.PII_IPV4_RE}', '<IP>', 'g'),
+           '{X.PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+FROM c
+""")
+def q70(spark, sf_dir):
+    """PII detect + redact (emails / IPv4 / phone numbers) over
+    documents deterministically augmented with synthetic PII — the
+    patterns live in the Java∩RE2 regex subset so the oracle runs the
+    LITERAL same expressions; redacted text compared verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" call 555-010-"),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                   4, "0"))).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" from 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit("."),
+                            ((F.col("doc_id") * 7) % 256).cast("string")))
+             .otherwise(""),
+        ).alias("text"))
+    return X.pii_scrub(aug).select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones", "has_pii",
+        "text_redacted")
+
+
+@q("q71_line_dedup", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+l AS (
+  SELECT doc_id, CAST(s / 3 AS INT) AS pos,
+         array_to_string(w[s+1:s+3], ' ') AS line
+  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 3)) AS s
+        FROM t)),
+r AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM l)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos)
+         AS text_dedup
+FROM r GROUP BY doc_id
+HAVING SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+""")
+def q71(spark, sf_dir):
+    """CCNet-style corpus-wide line dedup.  The documents table has no
+    newlines, so both engines first cut each doc into 3-word 'lines'
+    (short vocabulary → heavy cross-doc line collisions), then every
+    repetition of a line after its first (doc_id, pos) occurrence is
+    dropped and surviving lines are re-joined."""
+    from ultraviolet_spark.operators.corpus import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(3)),
+        lambda s: F.concat_ws(" ", F.slice(toks, s + 1, 3)))
+    nl = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return line_dedup(nl)
+
+
+@q("q72_lang_mix_weights", """
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n_docs) AS n FROM c),
+s AS (
+  SELECT lang, n_docs,
+         CAST(n_docs AS DOUBLE) / n AS p,
+         round(pow(CAST(n_docs AS DOUBLE) / n, 0.3), 6) AS sc
+  FROM c, tot),
+z AS (SELECT SUM(sc) AS z FROM s)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       round(p, 6) AS p,
+       round(sc / z, 6) AS w_temp,
+       round(sc / z / p, 6) AS boost
+FROM s, z
+""")
+def q72(spark, sf_dir):
+    """Temperature-based (α = 0.3) language-sampling weights for the
+    multilingual training mix — the exponent-smoothing re-balancing of
+    mBERT/XLM-R."""
+    from ultraviolet_spark.operators.corpus import lang_mix_weights
+
+    return lang_mix_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
+@q("q73_pack_sequences", """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS stream_pos
+  FROM t)
+SELECT doc_id, n_tokens, stream_pos,
+       CAST(stream_pos // 512 AS BIGINT) AS pack_id,
+       CAST(stream_pos % 512 AS BIGINT) AS pack_offset
+FROM p
+""")
+def q73(spark, sf_dir):
+    """Deterministic sequence packing: concatenate documents in stable
+    md5-of-id order into one token stream cut into 512-token packs;
+    each doc reports its stream position, pack id and offset.  The
+    engine computes the global prefix sum via the two-phase bucketed
+    cumsum (no single global window); the oracle uses one window —
+    identical semantics because bucket order is a prefix of md5 order."""
+    from ultraviolet_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 63 queries, 56 of them with exact DuckDB
