@@ -144,3 +144,110 @@ def test_top_bigram_frac_vs_python(spark):
         r = got[doc_id]
         assert r["n_bigrams"] == len(w) - 1
         assert r["top_bigram_frac"] == round(max(bgs.values()) / (len(w) - 1), 6)
+
+
+# ---------------------------------------------------------------- real codecs
+
+def _px(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_roundtrip_odd_width():
+    # w=5 -> 15-byte rows padded to 16: padding must not leak into pixels
+    for w in (1, 2, 3, 5, 7, 8):
+        px = _px(4, w)
+        out = M.decode_bmp(M.make_bmp(px))
+        assert out["width"] == w and out["height"] == 4 and out["channels"] == 3
+        assert np.array_equal(out["pixels"], px)
+
+
+def test_bmp_top_down_negative_height():
+    px = _px(3, 4)
+    # make_bmp writes file rows bottom-up (= px[::-1][::-1] reversed),
+    # so flagging the SAME file as top-down must yield the row-flip
+    blob = bytearray(M.make_bmp(px))
+    import struct as _s
+    blob[22:26] = _s.pack("<i", -3)
+    out = M.decode_bmp(bytes(blob))
+    assert np.array_equal(out["pixels"], px[::-1])
+
+
+def test_bmp_rejects_truncated_and_compressed():
+    px = _px(4, 4)
+    blob = M.make_bmp(px)
+    with pytest.raises(ValueError):
+        M.decode_bmp(blob[:40])
+    with pytest.raises(ValueError):
+        M.decode_bmp(blob[:60])  # header ok, pixel data missing
+    bad = bytearray(blob)
+    bad[30] = 1  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        M.decode_bmp(bytes(bad))
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    s = ((np.arange(33) * 997) % 4001 - 2000).astype(np.int16)
+    blob = M.make_wav(s, 16000)
+    out = M.decode_wav(blob)
+    assert out["sample_rate"] == 16000 and out["channels"] == 1
+    assert np.array_equal(out["samples"][:, 0], s)
+    # inject a junk chunk with ODD size before fmt: walker must word-align
+    junk = b"JUNK" + (5).to_bytes(4, "little") + b"abcde" + b"\0"
+    patched = blob[:12] + junk + blob[12:]
+    patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    out2 = M.decode_wav(patched)
+    assert np.array_equal(out2["samples"], out["samples"])
+
+
+def test_wav_stereo_and_8bit():
+    s = np.arange(20, dtype=np.int16).reshape(10, 2)
+    out = M.decode_wav(M.make_wav(s.ravel(), 8000, channels=2))
+    assert out["channels"] == 2 and out["samples"].shape == (10, 2)
+    assert np.array_equal(out["samples"], s)
+    # 8-bit unsigned: 128 -> 0
+    body = bytes([128, 255, 0])
+    fmt = b"fmt " + (16).to_bytes(4, "little") + \
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little") + \
+        (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little") + \
+        (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    data = b"data" + len(body).to_bytes(4, "little") + body + b"\0"
+    blob = b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little") + b"WAVE" + fmt + data
+    out8 = M.decode_wav(blob)
+    assert list(out8["samples"][:, 0]) == [0, 127, -128]
+
+
+def test_wav_rejects_non_pcm():
+    s = np.zeros(4, dtype=np.int16)
+    bad = bytearray(M.make_wav(s, 8000))
+    bad[20] = 3  # IEEE float format tag
+    with pytest.raises(NotImplementedError):
+        M.decode_wav(bytes(bad))
+
+
+def test_decode_features_spark_end_to_end(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = (M.decode_features(M.synthesize_media(df))
+           .toPandas().set_index("media_id").sort_index())
+    assert set(out.loc[out.index % 2 == 0, "kind"]) == {"bmp"}
+    assert set(out.loc[out.index % 2 == 1, "kind"]) == {"wav"}
+    # spot-check one image analytically: id=2 -> w=6, h=5
+    i, w, h = 2, 6, 5
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    assert out.loc[2, "width"] == w and out.loc[2, "height"] == h
+    assert abs(out.loc[2, "mean_b"]
+               - round(((i + 7 * xs + 13 * ys) % 256).mean(), 6)) < 1e-9
+    # and one wav: id=3 -> n=35
+    n = 32 + 3 % 17
+    s = (3 * 31 + np.arange(n) * 97) % 4001 - 2000
+    assert out.loc[3, "n_samples"] == n
+    assert abs(out.loc[3, "rms"] - round(float(np.sqrt((s.astype(float) ** 2).mean())), 6)) < 1e-9
+
+
+def test_decode_features_poison_blobs_survive(spark):
+    rows = [(1, bytearray(b"BMgarbage")), (2, bytearray(b"RIFFxxxxWAVE")),
+            (3, bytearray(b"")), (4, None), (5, bytearray(b"\x89PNG\r\n"))]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = M.decode_features(df).toPandas()
+    assert len(out) == 5
+    assert set(out["kind"]) == {"unknown"}

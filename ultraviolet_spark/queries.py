@@ -1841,6 +1841,68 @@ def q73(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
 
 
+@q("q74_media_codec_roundtrip", """
+WITH img AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id % 2 = 0),
+pxx AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img),
+pxy AS (
+  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM pxx),
+imf AS (
+  SELECT doc_id, w, h,
+    round(CAST(SUM((doc_id + 7*x + 13*y) % 256) AS DOUBLE) / (w * h), 6) AS mean_b,
+    round(CAST(SUM((3*doc_id + 11*x + 5*y) % 256) AS DOUBLE) / (w * h), 6) AS mean_g,
+    round(CAST(SUM((5*doc_id + 3*x + y) % 256) AS DOUBLE) / (w * h), 6) AS mean_r
+  FROM pxy GROUP BY doc_id, w, h),
+wav AS (
+  SELECT doc_id, 32 + doc_id % 17 AS n
+  FROM documents WHERE doc_id % 2 = 1),
+ws AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM wav),
+wvf AS (
+  SELECT doc_id, n,
+    SUM(((doc_id*31 + i*97) % 4001 - 2000) * ((doc_id*31 + i*97) % 4001 - 2000))
+      AS ss
+  FROM ws GROUP BY doc_id, n)
+SELECT doc_id AS media_id, 'bmp' AS kind,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels, CAST(0 AS INTEGER) AS sample_rate,
+       CAST(0 AS BIGINT) AS n_samples,
+       mean_b, mean_g, mean_r,
+       CAST(NULL AS DOUBLE) AS duration_s, CAST(NULL AS DOUBLE) AS rms
+FROM imf
+UNION ALL
+SELECT doc_id, 'wav',
+       CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+       CAST(1 AS INTEGER), CAST(8000 AS INTEGER),
+       CAST(n AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       round(CAST(n AS DOUBLE) / 8000, 6),
+       round(sqrt(CAST(ss AS DOUBLE) / n), 6)
+FROM wvf
+""")
+def q74(spark, sf_dir):
+    """REAL media codec round-trip: synthesize actual BMP/PCM-WAV bytes
+    from doc_id (operators/multimodal.py make_bmp/make_wav), decode them
+    with the pure-numpy codecs (decode_bmp/decode_wav), and emit typed
+    features.  The oracle never parses bytes — it computes the expected
+    per-channel means / RMS / duration analytically from doc_id, so a
+    hash match proves the encoder AND decoder are both correct."""
+    from ultraviolet_spark.operators.multimodal import (
+        decode_features, synthesize_media)
+
+    media = synthesize_media(_t(spark, sf_dir, "documents").select("doc_id"))
+    out = decode_features(media)
+    return out.select(
+        "media_id", "kind",
+        F.coalesce("width", F.lit(0)).alias("width"),
+        F.coalesce("height", F.lit(0)).alias("height"),
+        F.coalesce("channels", F.lit(0)).alias("channels"),
+        F.coalesce("sample_rate", F.lit(0)).alias("sample_rate"),
+        F.coalesce("n_samples", F.lit(0)).alias("n_samples"),
+        "mean_b", "mean_g", "mean_r", "duration_s", "rms")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 63 queries, 56 of them with exact DuckDB
