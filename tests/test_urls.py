@@ -1,0 +1,59 @@
+"""URL operators: host extraction, normalization, registrable domain,
+domain rollups."""
+
+from __future__ import annotations
+
+from ultraviolet_spark.operators.urls import domain_stats, with_url_parts
+
+
+def _parts(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "doc_id long, url string")
+    return {r["url"]: r for r in with_url_parts(df).collect()}
+
+
+def test_url_parts_cases(spark):
+    got = _parts(spark, [
+        "https://WWW.Example.COM/a/b?utm_source=x&q=1&fbclid=y#sec",
+        "http://sub.shop.co.uk/p",
+        "https://example.com/only?utm_campaign=z",
+        "https://example.com",
+        "http://localhost/x",
+    ])
+    r = got["https://WWW.Example.COM/a/b?utm_source=x&q=1&fbclid=y#sec"]
+    assert r["host"] == "www.example.com"
+    assert r["url_norm"] == "https://www.example.com/a/b?q=1"
+    assert r["domain"] == "example.com"
+
+    r = got["http://sub.shop.co.uk/p"]
+    assert r["domain"] == "shop.co.uk"
+    assert r["url_norm"] == "http://sub.shop.co.uk/p"
+
+    # query vanishes entirely when only tracking params remain
+    r = got["https://example.com/only?utm_campaign=z"]
+    assert r["url_norm"] == "https://example.com/only"
+
+    # no path at all
+    r = got["https://example.com"]
+    assert r["url_norm"] == "https://example.com"
+
+    # single-label host is its own domain
+    assert got["http://localhost/x"]["domain"] == "localhost"
+
+
+def test_domain_stats_counts_and_blocklist(spark):
+    urls = [
+        "https://a.com/1", "https://a.com/1?utm_source=x",  # same after norm
+        "https://a.com/2",
+        "https://www.b.co.uk/x", "https://b.co.uk/x",       # same domain
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "doc_id long, url string")
+    out = {r["domain"]: r for r in
+           domain_stats(df, blocklist=["b.co.uk"]).collect()}
+    assert out["a.com"]["n_pages"] == 3
+    assert out["a.com"]["n_urls"] == 2          # tracking dup collapsed
+    assert not out["a.com"]["blocked"]
+    assert out["b.co.uk"]["n_pages"] == 2
+    assert out["b.co.uk"]["n_urls"] == 2        # www. kept in url_norm
+    assert out["b.co.uk"]["blocked"]

@@ -1,0 +1,95 @@
+"""URL operators for web-crawl pipelines: host extraction, URL
+normalization (tracking-param and fragment stripping), registrable-
+domain derivation, domain-level rollups and blocklist filtering.
+
+All pure Catalyst expressions (JVM, whole-stage codegen) — scan-stage,
+shuffle-free except the callers' own rollups — with exact DuckDB
+mirrors in ``ultraviolet_spark.queries`` (q75/q76).
+
+Scale notes (100 TB crawl): per-URL ops are narrow row maps; domain
+rollups shuffle on the registrable domain, which is zipf-skewed on a
+real crawl — pair with AQE skew handling or the salting helpers in
+``operators/asof.py`` when a single domain dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Query parameters that identify tracking, not content (public
+# convention: Google/Facebook click identifiers + utm_* campaign tags).
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid)="
+
+# Effective second-level labels under which a 2-letter ccTLD hosts
+# registrations one level deeper (tiny public-suffix heuristic — the
+# full Mozilla PSL is data, not code; swap in when available).
+_SECOND_LEVEL = ["co", "com", "org", "net", "ac", "gov", "edu"]
+
+
+def host(url: Column) -> Column:
+    """Hostname (JVM built-in ``parse_url``), lowercased."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def _clean_query(url: Column) -> Column:
+    """Query string with tracking parameters removed (NULL if none left)."""
+    q = F.parse_url(url, F.lit("QUERY"))
+    kept = F.filter(F.split(q, "&"),
+                    lambda kv: ~kv.rlike(TRACKING_PARAM_RE))
+    return F.when(q.isNotNull() & (F.size(kept) > 0),
+                  F.array_join(kept, "&"))
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL: lowercase scheme+host, fragment dropped, tracking
+    params dropped (whole query dropped if nothing else remains)."""
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    path = F.parse_url(url, F.lit("PATH"))
+    q = _clean_query(url)
+    return F.concat(
+        scheme, F.lit("://"), host(url),
+        F.coalesce(path, F.lit("")),
+        F.coalesce(F.concat(F.lit("?"), q), F.lit("")))
+
+
+def registrable_domain(host_col: Column) -> Column:
+    """Registrable domain: last two host labels, or last three when the
+    second-to-last label is an effective second-level (co/com/org/…)
+    under a 2-letter ccTLD (site.co.uk → site.co.uk, www.site.com →
+    site.com)."""
+    labels = F.split(host_col, r"\.")
+    n = F.size(labels)
+    tld = F.element_at(labels, -1)
+    second = F.element_at(labels, -2)
+    deep = ((n >= 3) & (F.length(tld) == 2)
+            & second.isin(_SECOND_LEVEL))
+    last2 = F.concat_ws(".", second, tld)
+    last3 = F.concat_ws(".", F.element_at(labels, -3), second, tld)
+    return F.when(n <= 2, host_col).when(deep, last3).otherwise(last2)
+
+
+def with_url_parts(df: DataFrame, *, url_col: str = "url") -> DataFrame:
+    """Adds ``host``, ``url_norm``, ``domain`` columns."""
+    u = F.col(url_col)
+    h = host(u)
+    return (df.withColumn("host", h)
+            .withColumn("url_norm", normalize_url(u))
+            .withColumn("domain", registrable_domain(h)))
+
+
+def domain_stats(df: DataFrame, *, url_col: str = "url",
+                 blocklist: list[str] | None = None) -> DataFrame:
+    """Per-registrable-domain rollup: page count, distinct normalized
+    URLs (crawl-dup signal) and a blocklist flag.
+
+    ``blocklist`` is a small in-query list here; at scale pass it as a
+    broadcast-joined table instead.
+    """
+    parts = with_url_parts(df, url_col=url_col)
+    blocked = (F.col("domain").isin(list(blocklist)) if blocklist
+               else F.lit(False))
+    return (parts.groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.countDistinct("url_norm").cast("long").alias("n_urls"))
+            .withColumn("blocked", blocked))

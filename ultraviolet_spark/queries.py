@@ -1903,6 +1903,76 @@ def q74(spark, sf_dir):
         "mean_b", "mean_g", "mean_r", "duration_s", "rms")
 
 
+# Deterministic URL synthesis for q75/q76 (testdata has no url column):
+# mixed-case host, .co.uk vs .com TLDs, tracking params that must strip
+# (sometimes leaving the query empty) and fragments that must drop.
+def _synth_urls(spark, sf_dir):
+    d = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(d % 4 == 0, F.lit("WWW.")).otherwise(""),
+            F.lit("site"), (d % 23).cast("string"),
+            F.when(d % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.lit("/p/"), (d % 50).cast("string"),
+            F.when(d % 5 == 0,
+                   F.concat(F.lit("?utm_source=feed&id="),
+                            (d % 50).cast("string"))).otherwise(""),
+            F.when(d % 5 == 1, F.lit("?gclid=ZxY123")).otherwise(""),
+            F.when(d % 7 == 0, F.lit("#frag")).otherwise(""),
+        ).alias("url"))
+
+
+_URL_EXPECT_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+         || 'site' || (doc_id % 23)
+         || CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END AS host,
+         'site' || (doc_id % 23)
+         || CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END AS domain,
+         '/p/' || (doc_id % 50)
+         || CASE WHEN doc_id % 5 = 0 THEN '?id=' || (doc_id % 50) ELSE '' END
+           AS tail
+  FROM documents
+"""
+
+
+@q("q75_url_normalize", f"""
+WITH e AS ({_URL_EXPECT_SQL})
+SELECT doc_id, host, 'https://' || host || tail AS url_norm, domain
+FROM e
+""")
+def q75(spark, sf_dir):
+    """URL parsing + normalization + registrable domain: mixed-case
+    hosts lowercase, utm_*/gclid tracking params strip (the query
+    disappears when nothing remains), fragments drop, and .co.uk
+    hosts keep three labels while www. strips to two.  The oracle
+    builds the EXPECTED strings analytically from doc_id — it never
+    parses a URL."""
+    from ultraviolet_spark.operators.urls import with_url_parts
+
+    return (with_url_parts(_synth_urls(spark, sf_dir))
+            .select("doc_id", "host", "url_norm", "domain"))
+
+
+@q("q76_domain_stats", f"""
+WITH e AS ({_URL_EXPECT_SQL})
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT 'https://' || host || tail) AS BIGINT) AS n_urls,
+       domain IN ('site7.com', 'site3.co.uk') AS blocked
+FROM e GROUP BY domain
+""")
+def q76(spark, sf_dir):
+    """Per-registrable-domain crawl rollup (page count, distinct
+    normalized URLs = crawl-dup signal, blocklist flag)."""
+    from ultraviolet_spark.operators.urls import domain_stats
+
+    return domain_stats(_synth_urls(spark, sf_dir),
+                        blocklist=["site7.com", "site3.co.uk"])
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 63 queries, 56 of them with exact DuckDB
