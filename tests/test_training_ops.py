@@ -183,3 +183,89 @@ def test_pack_sequences_stream_is_gapless(spark):
     assert (out["stream_pos"].iloc[1:].to_numpy()
             == nxt.iloc[:-1].to_numpy()).all()
     assert out["stream_pos"].iloc[0] == 0
+
+
+# ------------------------------------------------------------ shards
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from ultraviolet_spark.operators.corpus import (
+        shard_stats, with_shard, write_training_shards)
+    import glob
+    import json
+
+    rows = [(i, ("tok " * (1 + i % 9)).strip()) for i in range(200)]
+    df = _docs(spark, rows)
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, n_shards=8)
+
+    assert manifest["n_shards"] == 8
+    assert sum(s["n_docs"] for s in manifest["shards"]) == 200
+    # every shard dir exists and holds exactly ONE data file
+    for s in manifest["shards"]:
+        files = glob.glob(f"{path}/shard_id={s['shard_id']}/*.parquet")
+        assert len(files) == 1, files
+    # manifest on disk matches the returned one
+    assert json.load(open(f"{path}/_manifest.json")) == manifest
+
+    # round-trip: written data == input + deterministic shard column
+    back = spark.read.parquet(path)
+    exp = with_shard(df, n_shards=8)
+    assert back.count() == 200
+    assert (back.join(exp.withColumnRenamed("shard_id", "exp_shard"), "doc_id")
+            .filter("shard_id <> exp_shard").count()) == 0
+    # stats recomputed from disk equal the manifest
+    disk_stats = {r["shard_id"]: (r["n_docs"], r["n_tokens"])
+                  for r in shard_stats(back, n_shards=8).collect()}
+    for s in manifest["shards"]:
+        assert disk_stats[s["shard_id"]] == (s["n_docs"], s["n_tokens"])
+
+
+def test_with_shard_salt_resplits(spark):
+    from ultraviolet_spark.operators.corpus import with_shard
+
+    df = _docs(spark, [(i, "x") for i in range(300)])
+    a = with_shard(df, n_shards=8).toPandas().set_index("doc_id")["shard_id"]
+    b = with_shard(df, n_shards=8, salt="v2").toPandas().set_index("doc_id")["shard_id"]
+    assert not a.equals(b)          # salting moves docs...
+    c = with_shard(df, n_shards=8).toPandas().set_index("doc_id")["shard_id"]
+    assert a.equals(c)              # ...but no salt change never does
+
+
+# ------------------------------------------------------- dup-line stats
+
+def test_dup_line_stats_literal(spark):
+    from ultraviolet_spark.operators.textstats import dup_line_stats
+
+    df = _docs(spark, [
+        (1, "menu\nbody one\nmenu\nbody two\nmenu"),
+        (2, "all\nunique\nlines"),
+    ])
+    out = dup_line_stats(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "n_lines"] == 5 and out.loc[1, "n_dup_lines"] == 2
+    assert out.loc[1, "dup_line_frac"] == 0.4
+    # chars: menu(4)*3 + body one(8) + body two(8) = 28; dups 2*4=8
+    assert abs(out.loc[1, "dup_char_frac"] - round(8 / 28, 6)) < 1e-9
+    assert out.loc[2, "n_dup_lines"] == 0 and out.loc[2, "dup_char_frac"] == 0.0
+
+
+# ------------------------------------------------- hashed quality score
+
+def test_quality_score_hashed_vs_python(spark):
+    from ultraviolet_spark.operators.corpus import quality_score_hashed
+    import math
+
+    rows = [(1, "Alpha beta gamma alpha"), (2, "zz yy xx")]
+    out = (quality_score_hashed(_docs(spark, rows)).toPandas()
+           .set_index("doc_id").sort_index())
+
+    def wt(word):
+        b = int(hashlib.md5(word.encode()).hexdigest()[:2], 16)
+        return round((b * 2654435761) % 1009 / 1008 - 0.5, 6)
+
+    for doc_id, text in rows:
+        ws = text.lower().strip().split()
+        s = round(round(sum(wt(w) for w in ws), 6) / len(ws), 6)
+        assert out.loc[doc_id, "n_words"] == len(ws)
+        assert abs(out.loc[doc_id, "score"] - s) < 1e-9
+        assert abs(out.loc[doc_id, "prob"]
+                   - round(1 / (1 + math.exp(-s)), 6)) < 1e-9

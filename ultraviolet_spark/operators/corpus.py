@@ -121,6 +121,16 @@ def corpus_report(docs: DataFrame, **kwargs) -> DataFrame:
     return out.groupBy("stage").agg(F.count("*").alias("n_docs"))
 
 
+def md5_bucket256(col, salt: str = ""):
+    """Engine-portable deterministic bucket 0..255 from md5(col || salt)
+    (first two hex nibbles) — identical in Spark and DuckDB, never RNG
+    or partition-dependent.  Shared by hash_split / write_training_shards."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)).cast("binary"))
+    alpha = "0123456789abcdef"
+    return ((F.instr(F.lit(alpha), F.substring(h, 1, 1)) - 1) * 16
+            + (F.instr(F.lit(alpha), F.substring(h, 2, 1)) - 1))
+
+
 def hash_split(docs: DataFrame, *, id_col: str = "doc_id",
                train: float = 0.8, val: float = 0.1,
                salt: str = "") -> DataFrame:
@@ -136,10 +146,7 @@ def hash_split(docs: DataFrame, *, id_col: str = "doc_id",
     """
     t_hi = int(256 * train)
     v_hi = int(256 * (train + val))
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary"))
-    alpha = "0123456789abcdef"
-    b = ((F.instr(F.lit(alpha), F.substring(h, 1, 1)) - 1) * 16
-         + (F.instr(F.lit(alpha), F.substring(h, 2, 1)) - 1))
+    b = md5_bucket256(F.col(id_col), salt)
     split = (F.when(b < t_hi, "train")
              .when(b < v_hi, "val").otherwise("test"))
     return docs.withColumn("bucket", b.cast("int")).withColumn("split", split)
@@ -320,6 +327,100 @@ def line_dedup(docs: DataFrame, *, text_col: str = "text",
                          lambda x: x["line"]),
                      sep).alias("text_dedup"))
             .filter(F.col("n_kept") > 0))
+
+
+def with_shard(docs: DataFrame, *, n_shards: int = 8,
+               id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Adds a deterministic ``shard_id`` (md5 bucket mod n_shards;
+    n_shards ≤ 256, perfectly uniform when it divides 256).  Stable
+    across runs/engines/cluster sizes — re-running a 100 TB export
+    never moves a doc between shards."""
+    if not 1 <= n_shards <= 256:
+        raise ValueError("n_shards must be in 1..256")
+    return docs.withColumn(
+        "shard_id",
+        (md5_bucket256(F.col(id_col), salt) % n_shards).cast("int"))
+
+
+def shard_stats(docs: DataFrame, *, n_shards: int = 8,
+                id_col: str = "doc_id", text_col: str = "text",
+                salt: str = "") -> DataFrame:
+    """Per-shard manifest rows ``(shard_id, n_docs, n_tokens)`` — the
+    audit table a sharded export publishes (and the oracle-checkable
+    half of write_training_shards)."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    return (with_shard(docs, n_shards=n_shards, id_col=id_col, salt=salt)
+            .groupBy("shard_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(toks).cast("long").alias("n_tokens")))
+
+
+def write_training_shards(docs: DataFrame, path: str, *, n_shards: int = 8,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          salt: str = "") -> dict:
+    """Sharded training-data export: one parquet directory per
+    deterministic shard (``shard_id=K/``) plus a ``_manifest.json``
+    with per-shard doc/token counts.
+
+    Layout notes (100 TB): ``repartition(shard_id)`` puts each shard's
+    rows in exactly one task so every ``shard_id=K/`` directory holds
+    one file per shard (trainer-friendly); the manifest aggregation is
+    n_shards rows — bounded driver traffic.  For multi-TB shards, raise
+    n_shards (≤256) rather than splitting files within a shard, so the
+    shard↔file mapping stays 1:1.
+    """
+    import json
+    import os
+
+    sharded = with_shard(docs, n_shards=n_shards, id_col=id_col, salt=salt)
+    (sharded.repartition(n_shards, F.col("shard_id"))
+     .write.mode("overwrite").partitionBy("shard_id").parquet(path))
+    stats = (shard_stats(docs, n_shards=n_shards, id_col=id_col,
+                         text_col=text_col, salt=salt)
+             .orderBy("shard_id").collect())
+    manifest = {
+        "n_shards": n_shards,
+        "salt": salt,
+        "shards": [{"shard_id": r["shard_id"], "n_docs": r["n_docs"],
+                    "n_tokens": r["n_tokens"]} for r in stats],
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def quality_score_hashed(docs: DataFrame, *, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality scoring PLUMBING via the hashing trick
+    (fastText-style linear classifier over hashed unigram features):
+    every word hashes to one of 256 buckets; the model weight of a
+    bucket is a fixed deterministic function of the bucket id (a real
+    deployment broadcast-joins a trained weight table instead — the
+    dataflow is identical); a doc's score is the mean weight of its
+    word occurrences and ``prob`` its sigmoid.
+
+    Returns ``(id, n_words, score, prob)``.
+
+    Cross-engine determinism: per-word weights are exact rationals
+    snapped to a 1e-6 grid before the per-doc sum (same scheme as
+    :func:`dsir_importance`), so the rounded outputs are stable under
+    any partial-sum order.
+
+    Scale notes (100 TB): one explode + one map-side-combined groupBy
+    on the doc id; weights are computed inline (no join at all).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = (docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+             .select(F.col(id_col), F.explode(toks).alias("__word")))
+    bucket = md5_bucket256(F.col("__word"))
+    wt = F.round((bucket * F.lit(2654435761)) % 1009 / F.lit(1008.0) - 0.5, 6)
+    agg = words.select(F.col(id_col), wt.alias("__wt")).groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(F.sum("__wt"), 6).alias("__s"))
+    score = F.round(F.col("__s") / F.col("n_words"), 6)
+    return agg.select(
+        F.col(id_col), F.col("n_words"), score.alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"))
 
 
 def dsir_importance(docs: DataFrame, *, target_filter,

@@ -188,6 +188,31 @@ def repetition_signals(df: DataFrame, *, text_col: str = "text",
     )
 
 
+def dup_line_stats(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Gopher duplicate-line signals WITHIN each document: fraction of
+    lines (and of line characters) that are repeats of an earlier line
+    in the same doc — the boilerplate gate that drops pages made of a
+    repeated menu/footer.
+
+    Returns ``(id, n_lines, n_dup_lines, dup_line_frac, dup_char_frac)``.
+    Blank lines are ignored.  Two map-side-combined groupBys keyed on
+    (doc, line) then (doc) — shuffle ∝ distinct lines per doc.
+    """
+    lines = (df.select(F.col(id_col),
+                       F.explode(F.split(F.col(text_col), sep)).alias("line"))
+             .filter(F.length(F.trim(F.col("line"))) > 0))
+    g = lines.groupBy(id_col, "line").agg(F.count("*").alias("__cnt"))
+    chars = F.length(F.col("line"))
+    return g.groupBy(id_col).agg(
+        F.sum("__cnt").cast("long").alias("n_lines"),
+        F.sum(F.col("__cnt") - 1).cast("long").alias("n_dup_lines"),
+        F.round(F.sum(F.col("__cnt") - 1).cast("double") / F.sum("__cnt"), 6)
+         .alias("dup_line_frac"),
+        F.round(F.sum((F.col("__cnt") - 1) * chars).cast("double")
+                / F.sum(F.col("__cnt") * chars), 6).alias("dup_char_frac"))
+
+
 def top_bigram_frac(df: DataFrame, *, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Top-2-gram repetition fraction per document (Gopher repetition

@@ -1973,6 +1973,95 @@ def q76(spark, sf_dir):
                         blocklist=["site7.com", "site3.co.uk"])
 
 
+@q("q77_shard_stats", """
+WITH h AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8
+           AS shard_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents)
+SELECT CAST(shard_id AS INTEGER) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM h GROUP BY shard_id
+""")
+def q77(spark, sf_dir):
+    """Deterministic training-shard assignment manifest: per-shard doc
+    and token counts for the md5-bucket sharding used by
+    write_training_shards (re-running an export never moves a doc)."""
+    from ultraviolet_spark.operators.corpus import shard_stats
+
+    return shard_stats(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+@q("q78_dup_line_stats", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+ww AS (SELECT doc_id, list_concat(w, w[1:6]) AS w FROM t),
+l AS (
+  SELECT doc_id, array_to_string(w[s+1:s+2], ' ') AS line
+  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 2)) AS s
+        FROM ww)),
+g AS (SELECT doc_id, line, COUNT(*) AS cnt FROM l GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_lines,
+       CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_lines,
+       round(CAST(SUM(cnt - 1) AS DOUBLE) / SUM(cnt), 6) AS dup_line_frac,
+       round(CAST(SUM((cnt - 1) * length(line)) AS DOUBLE)
+             / SUM(cnt * length(line)), 6) AS dup_char_frac
+FROM g GROUP BY doc_id
+""")
+def q78(spark, sf_dir):
+    """Gopher duplicate-line gate: both engines append the doc's first
+    six tokens to its tail (guaranteeing within-doc boilerplate), cut
+    2-word lines, and measure the duplicated-line and duplicated-
+    character fractions."""
+    from ultraviolet_spark.operators.textstats import dup_line_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ww = F.concat(toks, F.slice(toks, 1, 6))
+    lines = F.transform(
+        F.sequence(F.lit(0), F.size(ww) - 1, F.lit(2)),
+        lambda s: F.concat_ws(" ", F.slice(ww, s + 1, 2)))
+    nl = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return dup_line_stats(nl)
+
+
+@q("q79_quality_score_hashed", """
+WITH wds AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0),
+b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substring(md5(word), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substring(md5(word), 2, 1)) - 1) AS bucket
+  FROM wds),
+w AS (
+  SELECT doc_id,
+         round(CAST((bucket * 2654435761) % 1009 AS DOUBLE) / 1008 - 0.5, 6)
+           AS wt
+  FROM b),
+a AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         round(round(SUM(wt), 6) / COUNT(*), 6) AS score
+  FROM w GROUP BY doc_id)
+SELECT doc_id, n_words, score,
+       round(1 / (1 + exp(-score)), 6) AS prob
+FROM a
+""")
+def q79(spark, sf_dir):
+    """fastText-style hashed linear quality scorer (hashing-trick
+    features, inline deterministic weights standing in for a trained
+    table): per-doc mean bucket weight + sigmoid probability."""
+    from ultraviolet_spark.operators.corpus import quality_score_hashed
+
+    return quality_score_hashed(_t(spark, sf_dir, "documents"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 63 queries, 56 of them with exact DuckDB
