@@ -269,3 +269,62 @@ def test_quality_score_hashed_vs_python(spark):
         assert abs(out.loc[doc_id, "score"] - s) < 1e-9
         assert abs(out.loc[doc_id, "prob"]
                    - round(1 / (1 + math.exp(-s)), 6)) < 1e-9
+
+
+# ------------------------------------------------------------------ BM25
+
+def test_bm25_vs_python(spark):
+    from ultraviolet_spark.operators.textstats import bm25_scores
+    import math
+
+    rows = [(1, "spark table spark value x y"),
+            (2, "table only here"),
+            (3, "nothing relevant at all"),
+            (4, "value value value value")]
+    terms = ["spark", "table", "value"]
+    out = (bm25_scores(_docs(spark, rows), terms).toPandas()
+           .set_index("doc_id").sort_index())
+
+    docs = {i: t.lower().split() for i, t in rows}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    dfreq = {t: sum(t in w for w in docs.values()) for t in terms}
+    for i, w in docs.items():
+        score, hit = 0.0, 0
+        for t in terms:
+            tf = w.count(t)
+            if not tf:
+                continue
+            hit += 1
+            idf = round(math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0), 6)
+            score += round(idf * (tf * 2.2)
+                           / (tf + 1.2 * (0.25 + 0.75 * len(w) / avgdl)), 6)
+        assert out.loc[i, "n_terms_hit"] == hit
+        assert abs(out.loc[i, "bm25"] - round(score, 6)) < 1e-9
+    # no-hit doc present with zero score
+    assert out.loc[3, "bm25"] == 0.0 and out.loc[3, "n_terms_hit"] == 0
+
+
+# ------------------------------------------------------- stratified sample
+
+def test_sample_stratified_monotone_and_proportional(spark):
+    from ultraviolet_spark.operators.corpus import sample_stratified
+
+    rows = [(i, "x", "en" if i % 2 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    half = set(r["doc_id"] for r in
+               sample_stratified(df, {"en": 0.5, "fr": 0.25}).collect())
+    more = set(r["doc_id"] for r in
+               sample_stratified(df, {"en": 0.75, "fr": 0.25}).collect())
+    assert half <= more                      # raising a fraction only adds
+    again = set(r["doc_id"] for r in
+                sample_stratified(df, {"en": 0.5, "fr": 0.25}).collect())
+    assert half == again                     # deterministic
+    n_en = sum(1 for i in half if i % 2)
+    n_fr = sum(1 for i in half if not i % 2)
+    assert abs(n_en / 1000 - 0.5) < 0.08     # md5 buckets ~uniform
+    assert abs(n_fr / 1000 - 0.25) < 0.08
+    # strata not in the dict default to dropped
+    df2 = spark.createDataFrame([(1, "x", "zz")],
+                                "doc_id long, text string, lang string")
+    assert sample_stratified(df2, {"en": 1.0}).count() == 0

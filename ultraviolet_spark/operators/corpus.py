@@ -389,6 +389,26 @@ def write_training_shards(docs: DataFrame, path: str, *, n_shards: int = 8,
     return manifest
 
 
+def sample_stratified(docs: DataFrame, fractions: dict[str, float], *,
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      salt: str = "", default: float = 0.0) -> DataFrame:
+    """Deterministic stratified subsampling: keep a document iff its
+    md5 bucket (0..255) falls below ⌊256·fraction⌋ for its stratum —
+    the downsampling step that APPLIES lang_mix_weights' boosts.
+    Fraction granularity is 1/256; strata missing from ``fractions``
+    get ``default``.  Stable across runs/engines/cluster sizes, and
+    monotone in the fraction: raising a stratum's fraction only ADDS
+    documents (the kept set at f₁ ⊆ kept set at f₂ for f₁ ≤ f₂) —
+    re-balancing a mix never churns previously-selected data.
+    Pure Catalyst, scan-stage, shuffle-free."""
+    b = md5_bucket256(F.col(id_col), salt)
+    expr = F.lit(int(256 * default))
+    for stratum, frac in sorted(fractions.items()):
+        expr = F.when(F.col(strata_col) == stratum,
+                      F.lit(int(256 * frac))).otherwise(expr)
+    return docs.filter(b < expr)
+
+
 def quality_score_hashed(docs: DataFrame, *, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """Model-based quality scoring PLUMBING via the hashing trick

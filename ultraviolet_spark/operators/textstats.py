@@ -188,6 +188,57 @@ def repetition_signals(df: DataFrame, *, text_col: str = "text",
     )
 
 
+def bm25_scores(df: DataFrame, terms: list[str], *, k1: float = 1.2,
+                b: float = 0.75, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set (Robertson/Spärck Jones, public) — the retrieval scorer a
+    training pipeline uses for targeted data selection ("find docs
+    about X").  ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)`` (the
+    Lucene non-negative variant).
+
+    Returns ``(id, n_terms_hit, bm25)``; docs hitting no term score 0.
+
+    Cross-engine determinism: idf and each per-term score are snapped
+    to a 1e-6 grid before the per-doc sum (same scheme as
+    dsir_importance).
+
+    Scale notes (100 TB): the explode is filtered to the |Q| query
+    terms scan-side, so the (doc, term) shuffle carries only matching
+    occurrences; df/N/avgdl are term- or scalar-sized and travel by
+    broadcast join, never collect.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col), toks.alias("__w")))
+    lens = base.select(F.col(id_col), F.size("__w").cast("long").alias("__len"))
+    scalars = lens.agg(
+        F.count("*").cast("long").alias("__n"),
+        (F.sum("__len").cast("double") / F.count("*")).alias("__avgdl"))
+    hits = (base.select(F.col(id_col), F.explode("__w").alias("__t"))
+            .filter(F.col("__t").isin(list(terms))))
+    tf = hits.groupBy(id_col, "__t").agg(F.count("*").cast("long").alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.count("*").cast("long").alias("__df"))
+    scored = (tf.join(F.broadcast(dfreq), on="__t")
+              .join(lens, on=id_col)
+              .crossJoin(F.broadcast(scalars)))
+    idf = F.round(F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0), 6)
+    denom = (F.col("__tf")
+             + k1 * (1.0 - b + b * F.col("__len") / F.col("__avgdl")))
+    term_score = F.round(idf * (F.col("__tf") * (k1 + 1.0)) / denom, 6)
+    per_doc = (scored.select(F.col(id_col), term_score.alias("__s"))
+               .groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_terms_hit"),
+                    F.round(F.sum("__s"), 6).alias("bm25")))
+    ids = df.select(id_col)
+    return (ids.join(per_doc, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce("n_terms_hit", F.lit(0).cast("long"))
+                     .alias("n_terms_hit"),
+                    F.coalesce("bm25", F.lit(0.0)).alias("bm25")))
+
+
 def dup_line_stats(df: DataFrame, *, text_col: str = "text",
                    id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
     """Gopher duplicate-line signals WITHIN each document: fraction of

@@ -2062,6 +2062,62 @@ def q79(spark, sf_dir):
     return quality_score_hashed(_t(spark, sf_dir, "documents"))
 
 
+@q("q80_bm25_scores", """
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM base),
+sc AS (SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+       FROM lens),
+hits AS (SELECT doc_id, unnest(w) AS t FROM base),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM hits
+  WHERE t IN ('table', 'spark', 'value') GROUP BY 1, 2),
+dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+s AS (
+  SELECT doc_id,
+         round(round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6)
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avgdl)), 6)
+           AS sc1
+  FROM tf JOIN dfreq USING (t) JOIN lens USING (doc_id), sc),
+p AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         round(SUM(sc1), 6) AS bm25
+  FROM s GROUP BY doc_id)
+SELECT doc_id,
+       COALESCE(n_terms_hit, 0) AS n_terms_hit,
+       COALESCE(bm25, 0.0) AS bm25
+FROM documents LEFT JOIN p USING (doc_id)
+""")
+def q80(spark, sf_dir):
+    """Okapi BM25 (Lucene idf variant, k1=1.2 b=0.75) of every document
+    against the query {table, spark, value} — retrieval-scored data
+    selection."""
+    return X.bm25_scores(_t(spark, sf_dir, "documents"),
+                         ["table", "spark", "value"])
+
+
+@q("q81_sample_stratified", """
+WITH h AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+  FROM documents)
+SELECT doc_id, lang FROM h
+WHERE b < CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 256 WHEN 'fr' THEN 64
+                    WHEN 'es' THEN 32 WHEN 'zh' THEN 256 ELSE 0 END
+""")
+def q81(spark, sf_dir):
+    """Deterministic stratified subsampling (the step that APPLIES a
+    language-mix re-balancing): keep en at 1/2, fr at 1/4, es at 1/8,
+    de+zh in full — md5-bucket thresholds, monotone in the fraction."""
+    from ultraviolet_spark.operators.corpus import sample_stratified
+
+    fr = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.125, "zh": 1.0}
+    return (sample_stratified(_t(spark, sf_dir, "documents"), fr)
+            .select("doc_id", "lang"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 63 queries, 56 of them with exact DuckDB
