@@ -328,3 +328,32 @@ def test_sample_stratified_monotone_and_proportional(spark):
     df2 = spark.createDataFrame([(1, "x", "zz")],
                                 "doc_id long, text string, lang string")
     assert sample_stratified(df2, {"en": 1.0}).count() == 0
+
+
+# ------------------------------------------------------- token budgets
+
+def test_token_budget_select_semantics(spark):
+    from ultraviolet_spark.operators.corpus import token_budget_select
+
+    rows = [(i, ("w " * (10 + i % 5)).strip(), "en" if i % 2 else "fr")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = (token_budget_select(df, {"en": 200, "fr": 150})
+           .toPandas().sort_values(["lang", "stream_pos"]))
+    for lang, cap in (("en", 200), ("fr", 150)):
+        g = out[out["lang"] == lang]
+        # kept iff tokens BEFORE the doc fit: overrun by at most one doc
+        assert (g["stream_pos"] < cap).all()
+        assert g["stream_pos"].iloc[0] == 0
+        total = g["n_tokens"].sum()
+        assert total >= cap                       # never undershoots
+        assert total - g["n_tokens"].iloc[-1] < cap
+    # strata without a budget are excluded entirely
+    out2 = token_budget_select(df, {"en": 200}).toPandas()
+    assert set(out2["lang"]) == {"en"}
+    # deterministic order: same result via different bucket counts
+    a = (token_budget_select(df, {"en": 200, "fr": 150}, n_buckets=256)
+         .orderBy("doc_id").toPandas())
+    b = (token_budget_select(df, {"en": 200, "fr": 150}, n_buckets=5)
+         .orderBy("doc_id").toPandas())
+    assert a.equals(b)

@@ -409,6 +409,55 @@ def sample_stratified(docs: DataFrame, fractions: dict[str, float], *,
     return docs.filter(b < expr)
 
 
+def token_budget_select(docs: DataFrame, budgets: dict[str, int], *,
+                        strata_col: str = "lang", text_col: str = "text",
+                        id_col: str = "doc_id", salt: str = "",
+                        n_buckets: int = 256) -> DataFrame:
+    """Token-budget corpus construction: within each stratum, take
+    documents in deterministic md5-of-id order until the stratum's
+    token budget is exhausted (a doc is kept iff the tokens BEFORE it
+    in its stratum's stream fit the budget — so the budget may overrun
+    by at most one document, never undershoot by skipping).
+
+    Returns the kept docs plus ``(n_tokens, stream_pos)``.
+
+    Scale notes (100 TB): the per-stratum running sum is the same
+    two-phase prefix sum as :func:`pack_sequences` — cumsum within
+    (stratum, md5-bucket) hash partitions, then a strata×256-row
+    exclusive bucket-offset cumsum broadcast back.  No window ever
+    spans a whole stratum, so one giant language cannot serialize the
+    stage.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))
+              .cast("binary"))
+    bucket = md5_bucket256(F.col(id_col), salt)
+    if n_buckets != 256:
+        bucket = F.floor(bucket * n_buckets / 256).cast("int")
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    base = docs.withColumn("__h", h).withColumn("__b", bucket) \
+               .withColumn("n_tokens", toks)
+    w_in = (Window.partitionBy(strata_col, "__b").orderBy("__h", id_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    base = base.withColumn(
+        "__pos_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+    btot = base.groupBy(strata_col, "__b").agg(F.sum("n_tokens").alias("__bt"))
+    w_b = (Window.partitionBy(strata_col).orderBy("__b")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff = btot.select(
+        strata_col, "__b",
+        F.coalesce(F.sum("__bt").over(w_b), F.lit(0)).alias("__boff"))
+    budget = F.lit(-1).cast("long")
+    for stratum, cap in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == stratum,
+                        F.lit(int(cap)).cast("long")).otherwise(budget)
+    out = (base.join(F.broadcast(boff), on=[strata_col, "__b"])
+           .withColumn("stream_pos", F.col("__boff") + F.col("__pos_in"))
+           .filter((budget >= 0) & (F.col("stream_pos") < budget)))
+    return out.select(*docs.columns, "n_tokens", "stream_pos")
+
+
 def quality_score_hashed(docs: DataFrame, *, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """Model-based quality scoring PLUMBING via the hashing trick

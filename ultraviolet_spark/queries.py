@@ -2118,6 +2118,39 @@ def q81(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+@q("q82_token_budget_select", """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+p AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS stream_pos
+  FROM t)
+SELECT doc_id, lang, n_tokens, stream_pos
+FROM p
+WHERE stream_pos < CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 2500
+                             WHEN 'zh' THEN 1000 ELSE -1 END
+""")
+def q82(spark, sf_dir):
+    """Token-budget corpus construction: 4000 en / 2500 de / 1000 zh
+    tokens taken in deterministic md5 order (fr/es excluded).  The
+    engine's per-stratum prefix sum is two-phase bucketed (no window
+    spans a whole language); the oracle uses one window per lang —
+    identical semantics."""
+    from ultraviolet_spark.operators.corpus import token_budget_select
+
+    return (token_budget_select(
+                _t(spark, sf_dir, "documents"),
+                {"en": 4000, "de": 2500, "zh": 1000})
+            .select("doc_id", "lang", "n_tokens", "stream_pos"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 63 queries, 56 of them with exact DuckDB
