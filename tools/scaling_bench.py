@@ -22,8 +22,20 @@ MARK_A = "<!-- scaling-results:begin -->"
 MARK_B = "<!-- scaling-results:end -->"
 
 
+def prep_pages(replicate: int, sf_dir: str, text_repeat: int) -> str:
+    """Materialize the pages table once (untimed — the north-rule job
+    reads the table, it doesn't synthesize it); returns its path."""
+    cmd = [sys.executable, os.path.join(ROOT, "tools", "flagship_run.py"),
+           "--cores", "8", "--replicate", str(replicate),
+           "--sf-dir", sf_dir, "--text-repeat", str(text_repeat),
+           "--prep-only"]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                         cwd=ROOT, timeout=1800)
+    return json.loads(out.stdout.strip().splitlines()[-1])["pages_path"]
+
+
 def run_at(cores: int, replicate: int, sf_dir: str, runs: int,
-           text_repeat: int) -> dict:
+           text_repeat: int, pages_path: str | None = None) -> dict:
     # Pre-sized, pre-touched heap: without it the first full-size run
     # in a fresh JVM pays heap growth + page zeroing DURING the timed
     # region (measured 96 s vs 46 s steady on the 4-core leg) —
@@ -46,6 +58,8 @@ def run_at(cores: int, replicate: int, sf_dir: str, runs: int,
            "--cores", str(cores), "--replicate", str(replicate),
            "--sf-dir", sf_dir, "--runs", str(runs),
            "--text-repeat", str(text_repeat)]
+    if pages_path is not None:
+        cmd += ["--pages-path", pages_path]
     for attempt in (1, 2):
         try:
             out = subprocess.run(cmd, capture_output=True, text=True,
@@ -84,13 +98,14 @@ def main() -> None:
     # (N, 4N) per round and taking the per-PAIR efficiency median makes
     # the measurement drift-robust (both legs of a pair see the same
     # host state).
+    pages_path = prep_pages(args.replicate, args.sf_dir, args.text_repeat)
     pairs = []
     r8 = r32 = None
     for _ in range(args.runs):
         a = run_at(args.n, args.replicate, args.sf_dir, args.leg_runs,
-                   args.text_repeat)
+                   args.text_repeat, pages_path)
         b = run_at(args.n4, args.replicate, args.sf_dir, args.leg_runs,
-                   args.text_repeat)
+                   args.text_repeat, pages_path)
         pairs.append((a, b))
         if r8 is None or a["sec"] < r8["sec"]:
             r8 = a
@@ -103,11 +118,14 @@ def main() -> None:
 
     summary = {
         "when": datetime.datetime.now().isoformat(timespec="minutes"),
-        "method": ("same flagship job, local[N] vs local[4N], fresh "
-                   "pre-touched JVM per leg, interleaved (N,4N) pairs, "
-                   "min-of-k runs per leg (k=leg_runs; filters 1-8% "
-                   "hypervisor steal bursts measured via vmstat), median "
-                   "per-pair efficiency (drift-robust); warm-up excluded"),
+        "method": ("same flagship job (read materialized pages table → "
+                   "transcode+extract → window features → as-of join → "
+                   "write; input synthesis untimed per north-rule job "
+                   "shape), local[N] vs local[4N], fresh pre-touched JVM "
+                   "per leg, interleaved (N,4N) pairs, min-of-k runs per "
+                   "leg (k=leg_runs; filters 1-8% hypervisor steal bursts "
+                   "measured via vmstat), median per-pair efficiency "
+                   "(drift-robust); warm-up excluded"),
         "n_cores": args.n, "n4_cores": args.n4,
         "pages": r8["pages"],
         "sec_n": r8["sec"], "sec_n4": r32["sec"],
@@ -158,11 +176,13 @@ def main() -> None:
     block = f"""{MARK_A}
 ## Measured scaling results ({datetime.date.today().isoformat()})
 
-Same flagship job (documents → pages synth → transcode+extract via
-mapInArrow → window features → backward as-of join), identical input
-({r8['pages']:,} pages × ~{args.text_repeat // 2} KB html from
-{args.sf_dir}, web-realistic page size), two parallelism levels,
-separate JVMs, warm-up excluded, {args.runs} INTERLEAVED (N, 4N) pairs —
+Same flagship job (read materialized pages table → transcode+extract
+via mapInArrow → window features → backward as-of join → write;
+input synthesis is untimed — the north-rule job READS a pages table),
+identical input ({r8['pages']:,} pages × ~{args.text_repeat // 2} KB
+html synthesized from {args.sf_dir}, web-realistic page size), two
+parallelism levels, separate JVMs, warm-up excluded, {args.runs}
+INTERLEAVED (N, 4N) pairs —
 the efficiency is the median per-pair ratio, robust to this host's
 slow multi-hour performance drift (best wall/throughput shown):
 
