@@ -148,3 +148,80 @@ def test_dsir_importance_vs_python(spark):
         assert abs(got[doc_id]["dsir_score"] - want) < 1e-9
         # target-domain docs score higher than off-domain ones
     assert got[1]["dsir_score"] > 0 > got[3]["dsir_score"]
+
+
+def test_substring_dup_stats_literal(spark):
+    from ultraviolet_spark.operators.corpus import substring_dup_stats
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tail"),
+        (2, "something the quick brown fox jumps over the lazy cat here"),
+        (3, "totally unique content with no repeats anywhere at all"),
+        (4, ""),
+        (5, "aa bb aa bb aa bb aa bb"),  # within-doc repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           substring_dup_stats(df, k=3, min_count=2).collect()}
+    # doc 1: 6 shared 3-grams at pos 1..6 -> union [1,8] = 8 of 10 tokens
+    assert (got[1]["n_tokens"], got[1]["n_grams"],
+            got[1]["n_dup_grams"], got[1]["dup_tokens"]) == (10, 8, 6, 8)
+    assert got[1]["dup_frac"] == 0.8
+    # doc 2: same 6 grams at pos 2..7 -> union [2,9] = 8 of 11
+    assert (got[2]["n_dup_grams"], got[2]["dup_tokens"]) == (6, 8)
+    # unique doc untouched; empty doc all-zero; periodic doc fully covered
+    assert (got[3]["n_dup_grams"], got[3]["dup_tokens"]) == (0, 0)
+    assert (got[4]["n_tokens"], got[4]["dup_tokens"]) == (0, 0)
+    assert (got[5]["dup_tokens"], got[5]["dup_frac"]) == (8, 1.0)
+
+
+def test_remove_dup_substrings_literal(spark):
+    from ultraviolet_spark.operators.corpus import remove_dup_substrings
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tail"),
+        (2, "something the quick brown fox jumps over the lazy cat here"),
+        (3, "totally unique content with no repeats anywhere at all"),
+        (4, ""),
+        (5, "aa bb aa bb aa bb aa bb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_dup_substrings(df, k=3, min_count=2).collect()}
+    assert got[1]["text_clean"] == "dog tail"
+    assert got[2]["text_clean"] == "something cat here"
+    assert got[3]["text_clean"] == rows[2][1]  # untouched
+    assert (got[4]["n_kept"], got[4]["text_clean"]) == (0, "")
+    assert (got[5]["n_kept"], got[5]["text_clean"]) == (0, "")
+    # every doc yields a row, dropped + kept == total
+    for doc_id, text in rows:
+        nt = len(text.split()) if text.strip() else 0
+        assert got[doc_id]["n_tokens"] == nt
+
+
+def test_substring_dup_hashed_equals_exact(spark, sf_dir):
+    """xxhash64-keyed counting (the 100 TB shuffle shape) must agree
+    with exact gram-string counting on the test corpus."""
+    from ultraviolet_spark.operators.corpus import substring_dup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = substring_dup_stats(docs, k=8).orderBy("doc_id").collect()
+    b = substring_dup_stats(docs, k=8, hashed=True).orderBy("doc_id").collect()
+    assert a == b
+    assert any(r["n_dup_grams"] > 0 for r in a)  # the corpus has dups
+
+
+def test_substring_stats_consistent_with_removal(spark, sf_dir):
+    """dup_tokens (interval-union size) == n_tokens - n_kept for every
+    doc: the two ops implement the same coverage semantics."""
+    from ultraviolet_spark.operators.corpus import (
+        remove_dup_substrings,
+        substring_dup_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = {r["doc_id"]: r for r in substring_dup_stats(docs, k=8).collect()}
+    r = {r["doc_id"]: r for r in remove_dup_substrings(docs, k=8).collect()}
+    assert set(s) == set(r)
+    for did in s:
+        assert s[did]["dup_tokens"] == s[did]["n_tokens"] - r[did]["n_kept"], did

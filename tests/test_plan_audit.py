@@ -20,14 +20,16 @@ from ultraviolet_spark import queries as Q
 # Queries whose plans legitimately contain a cartesian/broadcast-nested-
 # loop join: q35 is the O(n²) small-scale EXACT oracle for the LSH path
 # (q50 is the scale path); q28 is an intentional broadcast-cross kNN
-# (documented right up to ~10^4 queries); q68 and q72 cross-join 1-ROW
-# broadcast totals frames (corpus totals for DSIR smoothing / the mix
-# normalizer — the scale-safe alternative to collect()ing the scalars).
+# (documented right up to ~10^4 queries); q68, q72 and q80 cross-join
+# 1-ROW broadcast totals frames (corpus totals for DSIR smoothing / the
+# mix normalizer / BM25's N+avgdl scalars — the scale-safe alternative
+# to collect()ing the scalars).
 CROSS_OK = {
     "q28_knn_join",
     "q35_embed_near_dup_pairs",
     "q68_dsir_importance",
     "q72_lang_mix_weights",
+    "q80_bm25_scores",
 }
 
 

@@ -329,6 +329,166 @@ def line_dedup(docs: DataFrame, *, text_col: str = "text",
             .filter(F.col("n_kept") > 0))
 
 
+def _positional_grams(docs: DataFrame, *, k: int, text_col: str,
+                      id_col: str):
+    """(id, n_tokens, pos, gram) — case-SENSITIVE whitespace-token
+    k-grams with their 1-based start position, generated in the scan
+    stage (transform/sequence fan-out, shuffle-free).  Unlike
+    doc_ngrams this keeps case and positions: substring dedup operates
+    on the verbatim token stream (Lee et al. work on raw bytes)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    nt = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+          .otherwise(F.size(toks)).cast("long")
+    t = docs.select(F.col(id_col), toks.alias("__w"), nt.alias("n_tokens"))
+    parts = " , ' ', ".join(f"element_at(__w, i + {j})" for j in range(k))
+    grams = (t.filter(F.col("n_tokens") >= k)
+             .select(F.col(id_col), "n_tokens",
+                     F.posexplode(F.expr(
+                         f"transform(sequence(1, size(__w) - {k - 1}),"
+                         f" i -> concat({parts}))")).alias("__p", "gram"))
+             .select(F.col(id_col), "n_tokens",
+                     (F.col("__p") + 1).cast("long").alias("pos"), "gram"))
+    return t.select(F.col(id_col), "n_tokens"), grams
+
+
+def _dup_positions(grams: DataFrame, *, min_count: int, id_col: str,
+                   hashed: bool) -> DataFrame:
+    """Positions whose gram occurs >= min_count times corpus-wide.
+    ``hashed`` keys the count on xxhash64(gram) instead of the gram
+    string — the 100 TB shape (8-byte shuffle keys; collision odds
+    ~n²/2⁶⁵ merge two grams and can only over-mark, tested equal to
+    the exact path on the test corpus)."""
+    key = F.xxhash64("gram") if hashed else F.col("gram")
+    g = grams.withColumn("__k", key)
+    counts = (g.groupBy("__k").agg(F.count("*").alias("__c"))
+              .filter(F.col("__c") >= min_count))
+    return g.join(counts, on="__k", how="left_semi") \
+            .select(F.col(id_col), "pos")
+
+
+def substring_dup_stats(docs: DataFrame, *, k: int = 50, min_count: int = 2,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        hashed: bool = False) -> DataFrame:
+    """Exact substring-level duplication stats at token k-gram
+    granularity — the distributed counterpart of suffix-array
+    ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": any ≥k-token span that occurs
+    verbatim more than once in the corpus is duplicated text).  A
+    positional k-gram is DUPLICATED iff its exact token sequence
+    occurs ≥ ``min_count`` times corpus-wide (across or within docs);
+    a token is COVERED iff it lies inside at least one duplicated
+    k-gram window.
+
+    Returns ``(id, n_tokens, n_grams, n_dup_grams, dup_tokens,
+    dup_frac)`` — ``dup_tokens`` is the exact size of the interval
+    UNION of duplicated windows (computed without island ids: each
+    window's marginal coverage past the running max end, one per-doc
+    window pass), ``dup_frac`` its share of the doc's tokens.
+
+    Scale notes (100 TB): positional grams are scan-stage fan-out (no
+    shuffle); the corpus count is one map-side-combined groupBy —
+    keyed on the gram string for exact parity here, or on
+    ``xxhash64`` 8-byte keys with ``hashed=True`` (the production
+    shape; property-tested equal on the test corpus); the dup-position
+    filter is a semi join on the same key; the interval union is one
+    window shuffle on the doc id.  Nothing collects to the driver; no
+    all-pairs stage exists."""
+    from pyspark.sql import Window
+
+    base, grams = _positional_grams(docs, k=k, text_col=text_col,
+                                    id_col=id_col)
+    dup = _dup_positions(grams, min_count=min_count, id_col=id_col,
+                         hashed=hashed)
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    covered = (dup
+               .withColumn("__end", F.col("pos") + F.lit(k - 1))
+               .withColumn("__prev", F.max("__end").over(w))
+               .withColumn("__marg", F.greatest(
+                   F.lit(0).cast("long"),
+                   F.col("__end") - F.greatest(
+                       F.coalesce(F.col("__prev"), F.lit(0)),
+                       F.col("pos") - 1)))
+               .groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_dup_grams"),
+                    F.sum("__marg").cast("long").alias("dup_tokens")))
+    return (base
+            .withColumn("n_grams", F.greatest(
+                F.lit(0).cast("long"), F.col("n_tokens") - F.lit(k - 1)))
+            .join(covered, on=id_col, how="left")
+            .select(F.col(id_col), "n_tokens", "n_grams",
+                    F.coalesce("n_dup_grams", F.lit(0).cast("long"))
+                     .alias("n_dup_grams"),
+                    F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                     .alias("dup_tokens"),
+                    F.round(F.coalesce("dup_tokens", F.lit(0)) /
+                            F.greatest("n_tokens", F.lit(1)), 6)
+                     .alias("dup_frac")))
+
+
+def remove_dup_substrings(docs: DataFrame, *, k: int = 50,
+                          min_count: int = 2, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          hashed: bool = False) -> DataFrame:
+    """Cut every duplicated substring from the corpus (the ExactSubstr
+    REMOVAL pass): every token covered by a duplicated k-gram window is
+    dropped; the surviving tokens are re-joined with single spaces (the
+    output is a token stream, as in tokenizer-bound training exports —
+    original inter-token whitespace is not preserved).
+
+    Returns ``(id, n_tokens, n_kept, text_clean)``; docs whose every
+    token is duplicated text yield ``n_kept = 0`` and an empty string.
+
+    Scale notes: same shuffle census as substring_dup_stats plus one
+    per-doc reassembly groupBy; per-token coverage is computed by
+    exploding the doc's tokens once and range-joining them against the
+    doc's MERGED dup intervals (intervals per doc ≤ n_grams, merged
+    down to disjoint islands first so the within-doc range probe is
+    against the smallest possible set)."""
+    from pyspark.sql import Window
+
+    base, grams = _positional_grams(docs, k=k, text_col=text_col,
+                                    id_col=id_col)
+    dup = _dup_positions(grams, min_count=min_count, id_col=id_col,
+                         hashed=hashed)
+    # merge overlapping/adjacent windows into disjoint islands
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    isl = (dup
+           .withColumn("__end", F.col("pos") + F.lit(k - 1))
+           .withColumn("__prev", F.coalesce(F.max("__end").over(w),
+                                            F.lit(0)))
+           .withColumn("__new", (F.col("pos") > F.col("__prev") + 1)
+                       .cast("long"))
+           .withColumn("__isl", F.sum("__new").over(
+               Window.partitionBy(id_col).orderBy("pos")
+               .rowsBetween(Window.unboundedPreceding, 0)))
+           .groupBy(id_col, "__isl")
+           .agg(F.min("pos").alias("lo"), F.max("__end").alias("hi")))
+    intervals = isl.groupBy(id_col).agg(
+        F.collect_list(F.struct("lo", "hi")).alias("__iv"))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    nt = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+          .otherwise(F.size(toks)).cast("long")
+    t = (docs.select(F.col(id_col), toks.alias("__w"), nt.alias("n_tokens"))
+         .join(intervals, on=id_col, how="left"))
+    kept = F.expr(
+        "filter(transform(sequence(1, size(__w)),"
+        "                 p -> struct(element_at(__w, p) AS w, p AS p)),"
+        "       z -> __iv IS NULL OR NOT exists("
+        "              __iv, iv -> z.p >= iv.lo AND z.p <= iv.hi))")
+    return (t.withColumn("__kept",
+                         F.when(F.col("n_tokens") == 0,
+                                F.expr("CAST(array() AS "
+                                       "array<struct<w:string,p:int>>)"))
+                          .otherwise(kept))
+            .select(F.col(id_col), "n_tokens",
+                    F.size("__kept").cast("long").alias("n_kept"),
+                    F.array_join(F.transform(F.col("__kept"),
+                                             lambda z: z["w"]), " ")
+                     .alias("text_clean")))
+
+
 def with_shard(docs: DataFrame, *, n_shards: int = 8,
                id_col: str = "doc_id", salt: str = "") -> DataFrame:
     """Adds a deterministic ``shard_id`` (md5 bucket mod n_shards;

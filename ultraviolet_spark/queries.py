@@ -2151,6 +2151,85 @@ def q82(spark, sf_dir):
             .select("doc_id", "lang", "n_tokens", "stream_pos"))
 
 
+_SUBDUP_GRAMS_SQL = """
+t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, pos,
+         w[pos]||' '||w[pos+1]||' '||w[pos+2]||' '||w[pos+3]||' '||
+         w[pos+4]||' '||w[pos+5]||' '||w[pos+6]||' '||w[pos+7] AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos
+        FROM t WHERE len(w) >= 8)),
+c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+d AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM c))"""
+
+
+@q("q83_substring_dup_stats", """
+WITH """ + _SUBDUP_GRAMS_SQL + """,
+m AS (
+  SELECT doc_id, pos, pos + 7 AS e,
+         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev
+  FROM d),
+cov AS (
+  SELECT doc_id, COUNT(*) AS n_dup_grams,
+         SUM(GREATEST(0, e - GREATEST(COALESCE(prev, 0), pos - 1)))
+           AS dup_tokens
+  FROM m GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(GREATEST(0, len(w) - 7) AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(COALESCE(dup_tokens, 0) / GREATEST(len(w), 1), 6) AS dup_frac
+FROM t LEFT JOIN cov USING (doc_id)
+""")
+def q83(spark, sf_dir):
+    """Exact substring-duplication stats at 8-gram granularity (the
+    distributed ExactSubstr detector, Lee et al. 2022): a positional
+    token 8-gram is duplicated iff its exact sequence occurs >= 2
+    times corpus-wide; dup_tokens is the exact interval-union coverage
+    of duplicated windows per doc."""
+    from ultraviolet_spark.operators.corpus import substring_dup_stats
+
+    return substring_dup_stats(_t(spark, sf_dir, "documents"), k=8)
+
+
+@q("q84_remove_dup_substrings", """
+WITH """ + _SUBDUP_GRAMS_SQL + """,
+cover AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+  FROM d),
+tok AS (
+  SELECT doc_id, p, w[p] AS tokv
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM t)),
+kept AS (
+  SELECT tok.doc_id, p, tokv FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM cover
+                    WHERE cover.doc_id = tok.doc_id AND cover.p = tok.p)),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tokv, ' ' ORDER BY p) AS text_clean
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(text_clean, '') AS text_clean
+FROM t LEFT JOIN agg USING (doc_id)
+""")
+def q84(spark, sf_dir):
+    """ExactSubstr REMOVAL pass: every token covered by a duplicated
+    8-gram window is cut; survivors re-join with single spaces.  The
+    oracle rebuilds text_clean verbatim, so the value-hash check
+    covers the reconstructed strings byte-for-byte."""
+    from ultraviolet_spark.operators.corpus import remove_dup_substrings
+
+    return remove_dup_substrings(_t(spark, sf_dir, "documents"), k=8)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
