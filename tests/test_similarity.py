@@ -185,3 +185,57 @@ def test_ivf_recall_curve_and_exhaustive_probe_is_exact(emb, emb_np):
     full = S.ivf_ann_topk(emb, list(q), k=10, n_centroids=8, nprobe=8,
                           exclude_id=exclude).toPandas()
     assert list(full["vec_id"]) == exact
+
+
+def test_semdedup_single_cluster_equals_exact(emb):
+    """n_centroids=1 degrades SemDeDup to exact near-dup clustering:
+    components must equal connected_components over the exact all-pairs
+    cosine graph, keepers must be the component minima."""
+    from ultraviolet_spark.operators.dedup import connected_components
+    from ultraviolet_spark.operators.similarity import (
+        cosine_dup_pairs,
+        semdedup,
+    )
+
+    tau = 0.4
+    got = semdedup(emb, threshold=tau, n_centroids=1).toPandas()
+    pairs = cosine_dup_pairs(emb, threshold=tau)
+    cc = {r["node"]: r["component"]
+          for r in connected_components(pairs).collect()}
+    assert (got["list_id"] == 0).all()
+    want_comp = got["vec_id"].map(lambda i: cc.get(i, i))
+    assert (got["component"] == want_comp).all()
+    assert (got["keep"] == (got["component"] == got["vec_id"])).all()
+    # the corpus must actually contain near-dups for this to mean much
+    assert (~got["keep"]).sum() > 0
+
+
+def test_semdedup_clustered_is_subset_of_exact(emb):
+    """With real clusters, every merged pair is a true near-dup pair
+    (precision 1 by construction: cosine is verified exactly within
+    clusters) — so each clustered component is contained in an exact
+    component; keepers can only increase."""
+    from ultraviolet_spark.operators.similarity import semdedup
+
+    tau = 0.4
+    exact = semdedup(emb, threshold=tau, n_centroids=1).toPandas()
+    clus = semdedup(emb, threshold=tau, n_centroids=8).toPandas()
+    e = dict(zip(exact["vec_id"], exact["component"]))
+    c = dict(zip(clus["vec_id"], clus["component"]))
+    # two ids merged by the clustered path must be merged by the exact path
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for vid, comp in c.items():
+        groups[comp].append(vid)
+    for comp, members in groups.items():
+        assert len({e[m] for m in members}) == 1, (comp, members)
+    assert clus["keep"].sum() >= exact["keep"].sum()
+
+
+def test_semdedup_deterministic_across_partitionings(emb):
+    from ultraviolet_spark.operators.similarity import semdedup
+
+    a = semdedup(emb, threshold=0.4, n_centroids=4).orderBy("vec_id").collect()
+    b = (semdedup(emb.repartition(13), threshold=0.4, n_centroids=4)
+         .orderBy("vec_id").collect())
+    assert a == b

@@ -286,3 +286,55 @@ def quantize_embeddings(df: DataFrame, *, id_col: str = "vec_id",
         F.round(l2, 6).alias("l2_norm"),
         q.alias("codes"),
     )
+
+
+def semdedup(df: DataFrame, *, threshold: float = 0.95,
+             n_centroids: int = 16, iters: int = 8, sample: int = 2048,
+             seed: int = 11, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication of
+    an embedding corpus — k-means cluster the embeddings, then mark
+    ε-similar pairs WITHIN each cluster only and keep one document per
+    similar group (transitive closure, min-id keeper — the same keeper
+    policy as exact_dedup / dup_clusters).
+
+    Returns ``(id, list_id, component, keep)``: ``component`` is the
+    semantic-duplicate class (its min member id), ``keep`` marks the
+    class representative.  Docs similar across cluster boundaries are
+    missed by construction — that is the paper's accepted recall trade
+    for making pairwise work O(Σ cluster²) instead of O(corpus²); the
+    ``n_centroids=1`` configuration degrades to EXACT embedding
+    near-dup clustering (property-tested ≡ cosine_dup_pairs +
+    connected_components).
+
+    Scale notes (100 TB): train is the bounded-sample collect of
+    ivf_train_centroids; assignment is shuffle-free matmul; the only
+    data shuffle is the within-cluster self-join keyed on list_id —
+    size n_centroids to keep clusters ~10^4-10^5 rows (the paper uses
+    50k clusters for LAION) so per-cluster pairwise stays tractable;
+    the component pass runs on the (far smaller) pair graph.
+    """
+    from ultraviolet_spark.operators.dedup import connected_components
+
+    cents = ivf_train_centroids(df, n_centroids=n_centroids, iters=iters,
+                                sample=sample, seed=seed,
+                                id_col=id_col, vec_col=vec_col)
+    assign = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
+    withc = df.select(F.col(id_col), F.col(vec_col)).join(assign, on=id_col)
+    a = withc.select("list_id", F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("__va"))
+    b = withc.select("list_id", F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("__vb"))
+    pairs = (a.join(b, on="list_id")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.round(cosine_sim(F.col("__va"), F.col("__vb")), 6)
+                     >= threshold)
+             .select("id_a", "id_b"))
+    cc = connected_components(pairs)
+    comp = F.coalesce(F.col("component"), F.col(id_col))
+    return (withc.select(F.col(id_col), "list_id")
+            .join(cc.withColumnRenamed("node", id_col), on=id_col,
+                  how="left")
+            .select(F.col(id_col), "list_id",
+                    comp.alias("component"),
+                    (comp == F.col(id_col)).alias("keep")))

@@ -2230,6 +2230,20 @@ def q84(spark, sf_dir):
     return remove_dup_substrings(_t(spark, sf_dir, "documents"), k=8)
 
 
+@q("q85_semdedup", None)  # k-means clusters → rows-only (exact twin: q35/q64)
+def q85(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means
+    clustering + within-cluster cosine components.  Rows-only by
+    design (k-means centroids aren't SQL-expressible); its semantics
+    are pinned by pytest: with n_centroids=1 it must equal the exact
+    all-pairs path (q35's pairs → q64's transitive closure)."""
+    from ultraviolet_spark.operators.similarity import semdedup
+
+    return (semdedup(_t(spark, sf_dir, "embeddings"),
+                     threshold=0.92, n_centroids=8)
+            .orderBy("vec_id"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
