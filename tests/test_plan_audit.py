@@ -30,6 +30,7 @@ CROSS_OK = {
     "q68_dsir_importance",
     "q72_lang_mix_weights",
     "q80_bm25_scores",
+    "q86_lm_cross_entropy",  # 1-row broadcast vocab-size frame
 }
 
 

@@ -357,3 +357,58 @@ def test_token_budget_select_semantics(spark):
     b = (token_budget_select(df, {"en": 200, "fr": 150}, n_buckets=5)
          .orderBy("doc_id").toPandas())
     assert a.equals(b)
+
+
+def test_lm_cross_entropy_vs_python(spark):
+    import math
+    from collections import Counter
+
+    from ultraviolet_spark.operators.textstats import lm_cross_entropy
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "zebra quark flux zebra quark"),
+        (4, "single"),       # < 2 tokens -> 0
+        (5, ""),             # empty -> 0
+    ]
+    got = {r["doc_id"]: r for r in
+           lm_cross_entropy(_docs(spark, rows)).collect()}
+
+    c12, c1, vocab = Counter(), Counter(), set()
+    for _, text in rows:
+        w = text.lower().split()
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    for doc_id, text in rows:
+        w = text.lower().split()
+        bgs = list(zip(w, w[1:]))
+        if not bgs:
+            assert (got[doc_id]["n_bigrams"],
+                    got[doc_id]["cross_entropy"]) == (0, 0.0)
+            continue
+        s = sum(round(math.log((c12[bg] + 1) / (c1[bg[0]] + V)) * 1e6)
+                for bg in bgs)
+        want = round(-s / (len(bgs) * 1e6), 6)
+        assert got[doc_id]["n_bigrams"] == len(bgs)
+        assert abs(got[doc_id]["cross_entropy"] - want) < 1e-9, doc_id
+
+
+def test_lm_cross_entropy_separate_model(spark):
+    """CCNet configuration: model trained on a clean corpus, scores a
+    different one — text matching the model scores lower (more fluent)
+    than out-of-vocabulary noise."""
+    from ultraviolet_spark.operators.textstats import lm_cross_entropy
+
+    model = _docs(spark, [(i, "the quick brown fox jumps over the lazy dog")
+                          for i in range(5)])
+    score_me = _docs(spark, [
+        (1, "the quick brown fox"),          # in-model
+        (2, "xylo phone warble quux gnast"), # OOV noise
+    ])
+    got = {r["doc_id"]: r["cross_entropy"] for r in
+           lm_cross_entropy(score_me, model_docs=model).collect()}
+    assert got[1] < got[2]

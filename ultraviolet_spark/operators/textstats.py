@@ -293,3 +293,82 @@ def top_bigram_frac(df: DataFrame, *, text_col: str = "text",
                 F.round(F.col("__top").cast("double") / F.col("n_bigrams"), 6)
                  .alias("top_bigram_frac"))
     )
+
+
+def lm_cross_entropy(df: DataFrame, *, model_docs: DataFrame | None = None,
+                     add_k: float = 1.0, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Bigram-LM cross-entropy per document — the CCNet quality signal
+    (Wenzek et al. 2020, public: score crawl text with an LM trained on
+    a clean corpus; low perplexity ⇒ fluent text).  The model is an
+    add-k–smoothed bigram LM estimated from ``model_docs`` (default:
+    ``df`` itself, the self-scoring demonstration):
+
+        P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k · V)
+
+    with V the model's unigram vocabulary size.  Unseen w1 backs off to
+    the uniform k/(kV) = 1/V floor via the same formula (c = 0).
+
+    Returns ``(id, n_bigrams, cross_entropy)`` where ``cross_entropy``
+    = −mean ln P over the doc's bigrams (nats; perplexity = e^H —
+    monotone in it, so filters threshold H directly).  Docs with < 2
+    tokens score 0 with n_bigrams 0.  Each per-bigram log term is
+    snapped to INTEGER micro-nats before summing, so the aggregate is
+    exact integer arithmetic — order-independent across engines and
+    partitionings (a float sum of rounded doubles still differs in the
+    last ULP between Spark's partial-agg order and DuckDB's, measured
+    flipping the 6th decimal on 3/500 docs).
+
+    Scale notes (100 TB): bigram fan-out is scan-stage; model counts
+    are two map-side-combined groupBys (shuffle ∝ distinct bigrams);
+    scoring joins the doc bigrams against the model keyed on the bigram
+    string; V travels as a 1-row broadcast (the scale-safe alternative
+    to collect()).  In the CCNet configuration model_docs is a small
+    clean corpus, so both model sides broadcast outright.
+    """
+    model_docs = df if model_docs is None else model_docs
+
+    def bigrams(frame, with_id):
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        t = (frame.filter(F.length(F.trim(F.col(text_col))) > 0)
+             .select(*( [F.col(id_col)] if with_id else [] ),
+                     toks.alias("__w"))
+             .filter(F.size("__w") >= 2))
+        ex = F.explode(F.expr(
+            "transform(sequence(1, size(__w) - 1),"
+            " i -> struct(element_at(__w, i) AS w1,"
+            "             element_at(__w, i + 1) AS w2))")).alias("__bg")
+        cols = ([F.col(id_col)] if with_id else []) + [ex]
+        return t.select(*cols).select(
+            *( [id_col] if with_id else [] ),
+            F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+    mb = bigrams(model_docs, with_id=False)
+    c12 = mb.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("__c12"))
+    c1 = mb.groupBy("w1").agg(F.count("*").cast("long").alias("__c1"))
+    vocab = (model_docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+             .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                       r"\s+")).alias("__u"))
+             .agg(F.countDistinct("__u").cast("long").alias("__v")))
+
+    db = bigrams(df, with_id=True)
+    scored = (db.join(c12, on=["w1", "w2"], how="left")
+              .join(c1, on="w1", how="left")
+              .crossJoin(F.broadcast(vocab)))
+    k = float(add_k)
+    logp_u = F.round(F.log(
+        (F.coalesce("__c12", F.lit(0)) + F.lit(k))
+        / (F.coalesce("__c1", F.lit(0)) + F.lit(k) * F.col("__v")))
+        * 1e6).cast("long")
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_bigrams"),
+                    F.round(-F.sum(logp_u)
+                            / (F.count("*") * F.lit(1e6)), 6)
+                     .alias("cross_entropy")))
+    ids = df.select(id_col)
+    return (ids.join(per_doc, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce("n_bigrams", F.lit(0).cast("long"))
+                     .alias("n_bigrams"),
+                    F.coalesce("cross_entropy", F.lit(0.0))
+                     .alias("cross_entropy")))

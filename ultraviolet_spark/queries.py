@@ -2244,6 +2244,41 @@ def q85(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+@q("q86_lm_cross_entropy", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM t WHERE len(w) >= 2)),
+m12 AS (SELECT w1, w2, COUNT(*) AS cnt12 FROM bg GROUP BY 1, 2),
+m1 AS (SELECT w1, COUNT(*) AS cnt1 FROM bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT u) AS vsz
+      FROM (SELECT unnest(w) AS u FROM t)),
+s AS (
+  SELECT doc_id,
+         CAST(round(ln((COALESCE(cnt12, 0) + 1.0)
+                       / (COALESCE(cnt1, 0) + 1.0 * vsz)) * 1e6)
+              AS BIGINT) AS lp_u
+  FROM bg LEFT JOIN m12 USING (w1, w2) LEFT JOIN m1 USING (w1), v),
+a AS (SELECT doc_id, COUNT(*) AS nb,
+             round(-SUM(lp_u) / (COUNT(*) * 1e6), 6) AS ce
+      FROM s GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(ce, 0.0) AS cross_entropy
+FROM documents d LEFT JOIN a USING (doc_id)
+""")
+def q86(spark, sf_dir):
+    """Bigram-LM cross-entropy (the CCNet perplexity quality signal,
+    Wenzek et al. 2020): add-1-smoothed bigram model estimated from the
+    corpus itself, each doc scored by −mean ln P over its bigrams.
+    Low cross-entropy ⇒ fluent/formulaic text, high ⇒ noise."""
+    from ultraviolet_spark.operators.textstats import lm_cross_entropy
+
+    return lm_cross_entropy(_t(spark, sf_dir, "documents"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
