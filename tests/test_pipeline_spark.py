@@ -142,3 +142,35 @@ def test_asof_tolerance_vs_pandas(spark, sf_dir):
     loose = asof_join(left, right, on="ts", by="user_id",
                       value_cols=["value"], num_buckets=8).toPandas()
     assert got["value_r"].notna().sum() < loose["value_r"].notna().sum()
+
+
+def test_with_change_features_literal(spark):
+    from ultraviolet_spark.operators.windows import with_change_features
+
+    rows = [
+        ("u1", 1, "hello world"),
+        ("u1", 2, "hello world"),        # unchanged
+        ("u1", 3, "hello brave world"),  # changed, jaccard 2/3
+        ("u2", 1, "solo page"),
+        ("u2", 2, ""),                   # emptied page
+    ]
+    df = spark.createDataFrame(rows, "url string, ts int, text string")
+    got = {(r["url"], r["ts"]): r for r in
+           with_change_features(df, by="url", order="ts").collect()}
+
+    first = got[("u1", 1)]
+    assert (first["changed"], first["token_jaccard"],
+            first["len_delta"]) == (None, None, None)
+    same = got[("u1", 2)]
+    assert (same["changed"], same["token_jaccard"],
+            same["len_delta"]) == (False, 1.0, 0)
+    ch = got[("u1", 3)]
+    assert ch["changed"] is True
+    assert ch["token_jaccard"] == round(2 / 3, 6)
+    assert ch["len_delta"] == len("hello brave world") - len("hello world")
+    gone = got[("u2", 2)]
+    assert gone["changed"] is True
+    assert gone["token_jaccard"] == 0.0  # empty ∪ nonempty -> 0/2
+    assert gone["len_delta"] == -len("solo page")
+    # leakage: the FIRST crawl never observes anything
+    assert got[("u2", 1)]["changed"] is None

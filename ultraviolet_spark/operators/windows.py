@@ -112,3 +112,55 @@ def top_k_per_key(df: DataFrame, *, by: str, order_col: str, k: int,
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def with_change_features(df: DataFrame, *, by: str = "url",
+                         order: str = "warc_ts", text_col: str = "text",
+                         tiebreak: str | None = None) -> DataFrame:
+    """Inter-crawl content-change features per entity: compare each
+    crawl's text against the PREVIOUS crawl of the same key (lag frame
+    — zero temporal leakage, like every window op here):
+
+    * ``changed``       — text differs from the previous crawl
+    * ``token_jaccard`` — Jaccard similarity of the two crawls'
+      distinct lowercase token sets (1.0 = same vocabulary, 0.0 =
+      disjoint; NULL when both are empty)
+    * ``len_delta``     — character-length change
+
+    First crawl of a key ⇒ all three NULL (no previous observation).
+
+    The drift signals a crawl pipeline schedules on: re-crawl cadence
+    tuning, boilerplate-change suppression, freshness features for
+    point-in-time training sets.
+
+    Scale notes: one hash exchange on ``by`` — the SAME partitioning
+    as with_lags/sessionize/with_ffill, so composing it into
+    feature_vector adds zero additional shuffles; token sets are
+    per-row scan-stage work.
+    """
+    w = _w(by, order, tiebreak)
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.expr("CAST(array() AS array<string>)"),
+    ).otherwise(F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+    out = (df.withColumn("__tk", toks)
+           .withColumn("__ptext", F.lag(text_col).over(w))
+           .withColumn("__ptk", F.lag("__tk").over(w)))
+    union_sz = F.size(F.array_union(F.col("__tk"), F.col("__ptk")))
+    jac = F.when(
+        F.col("__ptk").isNull() | (union_sz == 0), F.lit(None)
+    ).otherwise(F.round(
+        F.size(F.array_intersect(F.col("__tk"), F.col("__ptk")))
+        / union_sz, 6))
+    return (out.withColumn(
+                "changed",
+                F.when(F.col("__ptext").isNull(), F.lit(None))
+                 .otherwise(F.col(text_col) != F.col("__ptext")))
+            .withColumn("token_jaccard", jac)
+            .withColumn(
+                "len_delta",
+                F.when(F.col("__ptext").isNull(), F.lit(None))
+                 .otherwise((F.length(text_col) - F.length("__ptext"))
+                            .cast("long")))
+            .drop("__tk", "__ptext", "__ptk"))

@@ -2279,6 +2279,48 @@ def q86(spark, sf_dir):
     return lm_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+@q("q87_crawl_change_features", """
+WITH c AS (
+  SELECT doc_id, CAST(doc_id // 3 AS BIGINT) AS url_key,
+         CAST(doc_id % 3 AS INT) AS crawl_no, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(string_split_regex(lower(trim(text)),
+                                                    '\\s+')) END AS tk
+  FROM documents),
+l AS (
+  SELECT doc_id, url_key, crawl_no, text, tk,
+         lag(text) OVER w AS ptext, lag(tk) OVER w AS ptk
+  FROM c WINDOW w AS (PARTITION BY url_key ORDER BY crawl_no, doc_id))
+SELECT doc_id, url_key, crawl_no,
+       CASE WHEN ptext IS NULL THEN NULL ELSE text != ptext END AS changed,
+       CASE WHEN ptk IS NULL OR len(list_distinct(tk || ptk)) = 0 THEN NULL
+            ELSE round(CAST(len(list_intersect(tk, ptk)) AS DOUBLE)
+                       / len(list_distinct(tk || ptk)), 6)
+       END AS token_jaccard,
+       CASE WHEN ptext IS NULL THEN NULL
+            ELSE CAST(length(text) - length(ptext) AS BIGINT)
+       END AS len_delta
+FROM l
+""")
+def q87(spark, sf_dir):
+    """Inter-crawl change-detection features (re-crawl cadence / drift
+    signals): the documents table is read as 3 crawls per url (the
+    same url_key = doc_id//3 layout pages_from_docs synthesizes) and
+    each crawl is compared against the previous one — changed flag,
+    token-set Jaccard, length delta, all lag-framed (leakage-free)."""
+    from ultraviolet_spark.operators.windows import with_change_features
+
+    crawls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 3).cast("long").alias("url_key"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("crawl_no"),
+        "text")
+    return (with_change_features(crawls, by="url_key", order="crawl_no",
+                                 tiebreak="doc_id")
+            .select("doc_id", "url_key", "crawl_no",
+                    "changed", "token_jaccard", "len_delta"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
