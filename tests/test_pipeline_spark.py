@@ -174,3 +174,38 @@ def test_with_change_features_literal(spark):
     assert gone["len_delta"] == -len("solo page")
     # leakage: the FIRST crawl never observes anything
     assert got[("u2", 1)]["changed"] is None
+
+
+def test_with_rolling_stats_vs_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from ultraviolet_spark.operators.windows import with_rolling_stats
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "url": np.repeat(["a", "b", "c"], 20),
+        "ts": np.tile(np.arange(20), 3),
+        "v": np.round(rng.normal(10, 3, 60), 3),
+    })
+    df = spark.createDataFrame(pdf)
+    got = (with_rolling_stats(df, "v", by="url", order="ts", n=4)
+           .toPandas().sort_values(["url", "ts"]).reset_index(drop=True))
+
+    g = pdf.sort_values(["url", "ts"]).groupby("url")["v"]
+    # shift(1) excludes the current row -> strictly past-only stats
+    want_mean = g.apply(lambda s: s.shift(1).rolling(4, min_periods=1)
+                        .mean()).reset_index(drop=True)
+    want_cnt = g.apply(lambda s: s.shift(1).rolling(4, min_periods=1)
+                       .count()).reset_index(drop=True).fillna(0)
+    want_std = g.apply(lambda s: s.shift(1).rolling(4, min_periods=2)
+                       .std()).reset_index(drop=True)
+    assert np.allclose(got["v_rmean"].astype(float),
+                       np.round(want_mean.astype(float), 6), equal_nan=True)
+    assert (got["v_rcnt"] == want_cnt.astype(int)).all()
+    assert np.allclose(got["v_rstd"].astype(float),
+                       np.round(want_std.astype(float), 6), equal_nan=True)
+    # leakage guard: first observation of every key sees nothing
+    firsts = got[got["ts"] == 0]
+    assert (firsts["v_rcnt"] == 0).all()
+    assert firsts["v_rmean"].isna().all()

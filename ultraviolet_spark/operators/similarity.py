@@ -338,3 +338,114 @@ def semdedup(df: DataFrame, *, threshold: float = 0.95,
             .select(F.col(id_col), "list_id",
                     comp.alias("component"),
                     (comp == F.col(id_col)).alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou et al. 2011) — the third leg of the
+# FAISS-style stack next to int8 quantization and IVF
+# ---------------------------------------------------------------------------
+
+def pq_train(df: DataFrame, *, m: int = 4, ksub: int = 16, iters: int = 10,
+             sample: int = 2048, seed: int = 11, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> np.ndarray:
+    """Train PQ codebooks: the vector is split into ``m`` contiguous
+    subvectors and an independent L2 k-means with ``ksub`` centroids is
+    fit per subspace (Jégou, Douze, Schmid 2011, public).  Returns
+    ``(m, ksub, dsub)`` codebooks.  Like ivf_train_centroids, the only
+    collect is the bounded hash-ordered sample — train cost is
+    independent of corpus size, the FAISS recipe."""
+    rows = (df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col))).limit(sample).collect())
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        C = Xs[rng.choice(len(Xs), size=min(ksub, len(Xs)), replace=False)]
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(C)):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books[s, :len(C)] = C
+        if len(C) < ksub:           # degenerate tiny-sample case
+            books[s, len(C):] = C[-1]
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray, *,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes): nearest-centroid code per subspace — ``m`` small
+    matmuls per Arrow batch, shuffle-free and row-parallel.  Storage is
+    m bytes/vector at ksub ≤ 256 (vs 4·dim for float32)."""
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                Vs = V[:, s * dsub:(s + 1) * dsub]
+                # ||v - c||² = ||v||² - 2 v·c + ||c||²; ||v||² constant
+                # over the argmin -> argmin(||c||² - 2 v·c)
+                d = (B[s] ** 2).sum(axis=1)[None, :] - 2.0 * (Vs @ B[s].T)
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "codes": list(codes),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def pq_adc_topk(df: DataFrame, codebooks: np.ndarray,
+                query_vec: list[float], *, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_id: int | None = None,
+                codes: DataFrame | None = None) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays full-precision; each
+    database vector is its PQ reconstruction, so the distance is a sum
+    of ``m`` per-subspace table lookups (the LUT is m×ksub, built once
+    driver-side).  Pass a precomputed ``codes`` frame (pq_encode) to
+    amortize encoding, as a serving path would.  Returns
+    ``(id, adc_dist)`` ascending — approximate L2 ranking over the
+    compressed corpus; scan cost is m lookups/vector, no shuffle."""
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.stack([((B[s] - q[s * dsub:(s + 1) * dsub]) ** 2).sum(axis=1)
+                    for s in range(m)])           # (m, ksub)
+    if codes is None:
+        codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            d = lut[np.arange(m)[None, :], C].sum(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "adc_dist": np.round(d, 6),
+            })
+
+    out = codes.mapInPandas(gen, schema=schema)
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)

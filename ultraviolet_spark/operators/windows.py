@@ -164,3 +164,32 @@ def with_change_features(df: DataFrame, *, by: str = "url",
                  .otherwise((F.length(text_col) - F.length("__ptext"))
                             .cast("long")))
             .drop("__tk", "__ptext", "__ptk"))
+
+
+def with_rolling_stats(df: DataFrame, col: str, *, by: str = "url",
+                       order: str = "warc_ts", n: int = 3,
+                       tiebreak: str | None = None,
+                       out_prefix: str | None = None) -> DataFrame:
+    """Rolling point-in-time stats of ``col`` over the PRECEDING ``n``
+    observations per key — frame ``rowsBetween(-n, -1)`` strictly
+    excludes the current row, so the features are what a model could
+    have known at event time (zero temporal leakage, the same contract
+    as with_lags/with_ffill).
+
+    Adds ``{p}_rmean / {p}_rmin / {p}_rmax / {p}_rstd / {p}_rcnt``
+    (p = out_prefix or col).  Rows with no history get NULL stats and
+    rcnt 0; rstd is the SAMPLE std (NULL until 2 observations).
+    Mean/std are rounded to 1e-6 for cross-engine value parity.
+
+    Scale notes: one hash exchange on ``by``, shared with every other
+    window feature on the same key; the frame is row-bounded so state
+    per key is O(n)."""
+    w = (_w(by, order, tiebreak).rowsBetween(-n, -1))
+    p = out_prefix or col
+    c = F.col(col).cast("double")
+    return (df
+            .withColumn(f"{p}_rcnt", F.count(c).over(w).cast("long"))
+            .withColumn(f"{p}_rmean", F.round(F.avg(c).over(w), 6))
+            .withColumn(f"{p}_rmin", F.min(c).over(w))
+            .withColumn(f"{p}_rmax", F.max(c).over(w))
+            .withColumn(f"{p}_rstd", F.round(F.stddev_samp(c).over(w), 6)))

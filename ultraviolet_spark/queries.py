@@ -2321,6 +2321,46 @@ def q87(spark, sf_dir):
                     "changed", "token_jaccard", "len_delta"))
 
 
+@q("q88_rolling_stats", """
+SELECT user_id, event_id,
+  CAST(count(value) OVER w AS BIGINT) AS value_rcnt,
+  round(avg(value) OVER w, 6) AS value_rmean,
+  min(value) OVER w AS value_rmin,
+  max(value) OVER w AS value_rmax,
+  round(stddev_samp(value) OVER w, 6) AS value_rstd
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+""")
+def q88(spark, sf_dir):
+    """Rolling point-in-time stats over the PRECEDING 5 events per
+    user (frame excludes the current row — leakage-free features a
+    model could have known at event time)."""
+    from ultraviolet_spark.operators.windows import with_rolling_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return with_rolling_stats(ev, "value", by="user_id", order="ts",
+                              n=5, tiebreak="event_id").select(
+        "user_id", "event_id", "value_rcnt", "value_rmean",
+        "value_rmin", "value_rmax", "value_rstd")
+
+
+@q("q89_pq_adc_top10", None)  # k-means codebooks → rows-only (recall pytest)
+def q89(spark, sf_dir):
+    """Product-quantization ADC top-10 (Jégou et al. 2011): 64-dim
+    embeddings compressed to m=8 one-byte codes, ranked by asymmetric
+    distance (full-precision query vs reconstructed corpus).  Rows-only
+    by design (k-means codebooks aren't SQL-expressible); recall vs the
+    exact ranking and encode determinism are pinned in pytest."""
+    from ultraviolet_spark.operators.similarity import pq_adc_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_vec = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    books = pq_train(emb, m=8, ksub=32)
+    return pq_adc_topk(emb, books, q_vec, k=10, exclude_id=0)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
