@@ -88,6 +88,11 @@ def main() -> None:
     ap.add_argument("--n4", type=int, default=32)
     ap.add_argument("--text-repeat", type=int, default=20,
                     help="page size multiplier (20 ≈ 10 KB web-average pages)")
+    ap.add_argument("--no-record", action="store_true",
+                    help="print the measurement only — do NOT update "
+                         "tools/scaling_latest.json or BASELINE.md (for "
+                         "auxiliary steps like 2→8 run as supporting "
+                         "evidence next to the headline 1→4)")
     args = ap.parse_args()
 
     # INTERLEAVED pairs: this host's absolute speed drifts up to ~1.5×
@@ -136,6 +141,8 @@ def main() -> None:
         "meets_0_8": eff >= 0.8,
     }
     print(json.dumps(summary))
+    if args.no_record:
+        return
     # Persist for bench.py to attach to its driver-recorded JSON line.
     # This script is the SINGLE writer of scaling_latest.json and the
     # top level always reflects the MOST RECENT measurement (meets_0_8
