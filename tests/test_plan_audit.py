@@ -31,6 +31,7 @@ CROSS_OK = {
     "q72_lang_mix_weights",
     "q80_bm25_scores",
     "q86_lm_cross_entropy",  # 1-row broadcast vocab-size frame
+    "q90_heavy_hitter_tokens",  # 1-row broadcast total-count frame
 }
 
 

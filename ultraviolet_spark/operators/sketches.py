@@ -1,0 +1,93 @@
+"""Streaming-sketch operators (the deterministic complement to the
+built-in approx aggregates the engine already exercises: HLL++
+approx_count_distinct in q46, t-digest percentile_approx in q60).
+
+Misra–Gries heavy hitters is the classic two-pass frequent-items
+recipe (Misra & Gries 1982; the "MG summary" of Cormode 2008, public):
+pass 1 keeps a capacity-k counter summary per partition — every item
+with global frequency > n/k is GUARANTEED to survive (pigeonhole: it
+must exceed n_p/k in at least one partition, and per-partition MG
+never drops such an item); pass 2 exactly recounts the (small)
+candidate union and filters to the guarantee threshold, so the final
+output is EXACT — identical to a full GROUP BY + HAVING — while only
+ever shuffling candidate keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _mg_merge(summary, batch, capacity: int):
+    """Merge a batch's exact counts into a capacity-bounded MG summary
+    (Agarwal et al. 2012 "Mergeable Summaries": add, then subtract the
+    (capacity+1)-th largest count from everything and drop ≤ 0).  Any
+    item whose true count in the stream so far exceeds stream/capacity
+    keeps a positive residual, so it can never be evicted."""
+    from collections import Counter
+
+    summary.update(batch)
+    if len(summary) > capacity:
+        vals = sorted(summary.values(), reverse=True)
+        thresh = vals[capacity]          # (capacity+1)-th largest
+        summary = Counter({t: c - thresh for t, c in summary.items()
+                           if c > thresh})
+    return summary
+
+
+def heavy_hitter_tokens(docs: DataFrame, *, k: int = 100,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """EXACT global token frequencies for every token with frequency
+    > n/k (n = total token count), found without ever shuffling the
+    full token multiset.
+
+    Returns ``(token, cnt)`` for tokens with ``cnt * k > n`` — exactly
+    the rows ``GROUP BY token HAVING cnt * k > n`` would produce, which
+    is what the DuckDB oracle runs.
+
+    Scale notes (100 TB): pass 1 is mapInPandas — one capacity-k MG
+    summary per partition, emitting ≤ k candidate tokens per partition
+    (bytes ∝ partitions × k, independent of corpus size); pass 2
+    semi-joins the scan against the candidate set (broadcast — it is
+    tiny) and aggregates ONLY candidate tokens, so the groupBy shuffle
+    carries ≤ partitions × k keys instead of every distinct token.
+    The full-vocabulary groupBy this replaces is the known killer on
+    web-scale corpora (vocab grows with corpus; candidates don't).
+    """
+    toks_col = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(toks_col.alias("__w")))
+
+    cand_schema = T.StructType([T.StructField("token", T.StringType())])
+
+    def pass1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+        from itertools import chain
+
+        summary: Counter = Counter()
+        for pdf in batches:
+            # exact per-batch counts at C speed, then one bounded merge
+            batch = Counter(chain.from_iterable(pdf["__w"]))
+            summary = _mg_merge(summary, batch, k)
+        # explicit object dtype: an EMPTY partition otherwise yields a
+        # float64 column that Arrow cannot cast to the string schema
+        yield pd.DataFrame(
+            {"token": pd.Series(list(summary.keys()), dtype=object)})
+
+    cands = base.mapInPandas(pass1, schema=cand_schema).distinct()
+
+    exploded = base.select(F.explode("__w").alias("token"))
+    total = exploded.agg(F.count("*").cast("long").alias("__n"))
+    counts = (exploded.join(F.broadcast(cands), on="token", how="left_semi")
+              .groupBy("token")
+              .agg(F.count("*").cast("long").alias("cnt")))
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * k > F.col("__n"))
+            .select("token", "cnt"))

@@ -2361,6 +2361,26 @@ def q89(spark, sf_dir):
     return pq_adc_topk(emb, books, q_vec, k=10, exclude_id=0)
 
 
+@q("q90_heavy_hitter_tokens", """
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0),
+n AS (SELECT COUNT(*) AS n FROM w),
+c AS (SELECT token, COUNT(*) AS cnt FROM w GROUP BY token)
+SELECT token, CAST(cnt AS BIGINT) AS cnt
+FROM c, n WHERE cnt * 100 > n
+""")
+def q90(spark, sf_dir):
+    """Exact heavy hitters (tokens with frequency > n/100) via the
+    two-pass Misra-Gries recipe: capacity-bounded candidate summaries
+    per partition (pass 1, bytes ∝ partitions×k), exact recount of the
+    candidate union only (pass 2) — the full-vocabulary groupBy the
+    oracle runs is exactly what this avoids shuffling at 100 TB."""
+    from ultraviolet_spark.operators.sketches import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(_t(spark, sf_dir, "documents"), k=100)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
