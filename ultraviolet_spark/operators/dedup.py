@@ -102,6 +102,61 @@ def ngram_jaccard_pairs(df: DataFrame, *, n: int = 3, threshold: float = 0.5,
     )
 
 
+def jaccard_pairs_prefix(df: DataFrame, *, n: int = 5,
+                         threshold: float = 0.5, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """EXACT shingle-set Jaccard pairs via PREFIX FILTERING (the
+    PPJoin/AllPairs family — Chaudhuri et al. 2006, Xiao et al. 2008,
+    public): same output as the all-pairs join, but candidates come
+    only from pairs that share a shingle in their rare-first prefix.
+
+    For sets under a COMMON total order, two sets with Jaccard ≥ τ must
+    overlap within the first ``|d| − ⌈τ·|d|⌉ + 1`` elements of each
+    (pigeonhole), so equi-joining on prefix shingles loses nothing;
+    exact verification then computes the true Jaccard on the candidate
+    pairs.  Ordering rare-shingles-first (global frequency asc) makes
+    prefixes join on the LEAST common keys — the candidate count
+    collapses while remaining exact, unlike MinHash-LSH whose recall
+    is probabilistic.
+
+    Returns ``(id_a, id_b, jaccard)`` — identical to the O(n²) oracle.
+
+    Scale notes (100 TB): shingle frequencies are one map-side-combined
+    groupBy; the rare-first sort is per-doc (``sort_array``, no global
+    window); the candidate join is keyed on prefix shingles (rare by
+    construction — hot boilerplate shingles never enter prefixes of
+    large docs); verification touches candidates only, carrying the two
+    shingle arrays per candidate pair.
+    """
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
+    ranked = (sh.join(freq, on="shingle")
+              .groupBy(id_col)
+              .agg(F.sort_array(F.collect_list(
+                  F.struct(F.col("__f"), F.col("shingle")))).alias("__s")))
+    ranked = ranked.select(
+        F.col(id_col),
+        F.transform("__s", lambda x: x["shingle"]).alias("__sh"),
+        (F.size("__s") - F.ceil(F.lit(float(threshold)) * F.size("__s"))
+         + 1).cast("int").alias("__plen"))
+    prefix = ranked.select(
+        F.col(id_col),
+        F.explode(F.expr("slice(__sh, 1, __plen)")).alias("shingle"))
+    cand = (prefix.alias("a").join(prefix.alias("b"), on="shingle")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    va = ranked.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
+    vb = ranked.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    return (cand.join(va, on="id_a").join(vb, on="id_b")
+            .withColumn("jaccard", inter.cast("double") / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------

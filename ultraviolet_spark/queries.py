@@ -2381,6 +2381,34 @@ def q90(spark, sf_dir):
     return heavy_hitter_tokens(_t(spark, sf_dir, "documents"), k=100)
 
 
+@q("q91_jaccard_prefix_pairs", """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 4),
+           i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+           AS tk
+  FROM w WHERE len(w) >= 5)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+             / len(list_distinct(a.tk || b.tk)), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+      / len(list_distinct(a.tk || b.tk)) >= 0.5
+""")
+def q91(spark, sf_dir):
+    """EXACT 5-gram-shingle Jaccard pairs at scale via prefix filtering
+    (PPJoin family): candidates only from rare-first prefixes, exact
+    verify after — deterministic recall 1.0, unlike MinHash-LSH.  The
+    oracle is the O(n²) all-pairs join this op provably equals."""
+    from ultraviolet_spark.operators.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(_t(spark, sf_dir, "documents"),
+                                n=5, threshold=0.5)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
