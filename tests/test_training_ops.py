@@ -258,13 +258,15 @@ def test_quality_score_hashed_vs_python(spark):
     out = (quality_score_hashed(_docs(spark, rows)).toPandas()
            .set_index("doc_id").sort_index())
 
-    def wt(word):
+    def wt_u(word):
+        # integer micro-units, the op's exact-arithmetic weight form
         b = int(hashlib.md5(word.encode()).hexdigest()[:2], 16)
-        return round((b * 2654435761) % 1009 / 1008 - 0.5, 6)
+        return round((b * 2654435761) % 1009 * 1e6 / 1008.0) - 500000
 
     for doc_id, text in rows:
         ws = text.lower().strip().split()
-        s = round(round(sum(wt(w) for w in ws), 6) / len(ws), 6)
+        su = sum(wt_u(w) for w in ws)
+        s = round(math.floor(su / len(ws) + 0.5) / 1e6, 6)
         assert out.loc[doc_id, "n_words"] == len(ws)
         assert abs(out.loc[doc_id, "score"] - s) < 1e-9
         assert abs(out.loc[doc_id, "prob"]

@@ -630,10 +630,15 @@ def quality_score_hashed(docs: DataFrame, *, text_col: str = "text",
 
     Returns ``(id, n_words, score, prob)``.
 
-    Cross-engine determinism: per-word weights are exact rationals
-    snapped to a 1e-6 grid before the per-doc sum (same scheme as
-    :func:`dsir_importance`), so the rounded outputs are stable under
-    any partial-sum order.
+    Cross-engine determinism: per-word weights are INTEGER micro-units
+    (round(k·10⁶/1008) − 500000), so the per-doc sum is exact integer
+    arithmetic — order-independent across engines and partitionings;
+    the mean is then snapped with an EXPLICIT half-up
+    ``floor(su/n + 0.5)`` because genuine .5-micro-unit ties occur and
+    engines disagree on round()'s tie policy (same floor form as
+    quantize_embeddings).  The previous 1e-6-double snapping drifted in
+    the last ULP under different summation orders: measured flipping
+    the 6th decimal on 3/5000 docs at sf0.1.
 
     Scale notes (100 TB): one explode + one map-side-combined groupBy
     on the doc id; weights are computed inline (no join at all).
@@ -642,11 +647,15 @@ def quality_score_hashed(docs: DataFrame, *, text_col: str = "text",
     words = (docs.filter(F.length(F.trim(F.col(text_col))) > 0)
              .select(F.col(id_col), F.explode(toks).alias("__word")))
     bucket = md5_bucket256(F.col("__word"))
-    wt = F.round((bucket * F.lit(2654435761)) % 1009 / F.lit(1008.0) - 0.5, 6)
-    agg = words.select(F.col(id_col), wt.alias("__wt")).groupBy(id_col).agg(
+    wt_u = (F.round((bucket * F.lit(2654435761)) % 1009
+                    * F.lit(1e6) / F.lit(1008.0)).cast("long")
+            - F.lit(500000))
+    agg = words.select(F.col(id_col), wt_u.alias("__wu")).groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_words"),
-        F.round(F.sum("__wt"), 6).alias("__s"))
-    score = F.round(F.col("__s") / F.col("n_words"), 6)
+        F.sum("__wu").alias("__su"))
+    score_u = F.floor(F.col("__su") / F.col("n_words") + F.lit(0.5)) \
+               .cast("long")
+    score = F.round(score_u / F.lit(1e6), 6)
     return agg.select(
         F.col(id_col), F.col("n_words"), score.alias("score"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"))

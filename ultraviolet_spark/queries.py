@@ -2042,12 +2042,13 @@ b AS (
   FROM wds),
 w AS (
   SELECT doc_id,
-         round(CAST((bucket * 2654435761) % 1009 AS DOUBLE) / 1008 - 0.5, 6)
-           AS wt
+         CAST(round(CAST((bucket * 2654435761) % 1009 AS DOUBLE)
+                    * 1e6 / 1008) AS BIGINT) - 500000 AS wu
   FROM b),
 a AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         round(round(SUM(wt), 6) / COUNT(*), 6) AS score
+         round(CAST(floor(SUM(wu) * 1.0 / COUNT(*) + 0.5) AS BIGINT)
+               / 1e6, 6) AS score
   FROM w GROUP BY doc_id)
 SELECT doc_id, n_words, score,
        round(1 / (1 + exp(-score)), 6) AS prob
