@@ -316,3 +316,44 @@ def test_jaccard_prefix_boundary_pair_not_lost(spark):
         got = {(r["id_a"], r["id_b"]) for r in
                jaccard_pairs_prefix(df, n=2, threshold=t).collect()}
         assert got == want, t
+
+
+def test_exact_dup_against_literal(spark):
+    from ultraviolet_spark.operators.dedup import exact_dup_against
+
+    ref = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "beta"), (13, "ALPHA")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["dup_of_ref"] for r in
+           exact_dup_against(new, ref).collect()}
+    # byte-exact matching: case differs -> not a dup
+    assert got == {10: True, 11: False, 12: True, 13: False}
+
+
+def test_minhash_against_equals_self_join_cross_pairs(spark, sf_dir):
+    """Same seed => identical signatures => the cross-corpus banded
+    join must find EXACTLY the self-join's pairs that straddle the
+    split (normalized for id order)."""
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_against,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    ref = docs.filter(F.col("doc_id") % 2 == 1)
+
+    full = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in full
+            if (r["id_a"] % 2 == 0) != (r["id_b"] % 2 == 0)}
+    want = {(a if a % 2 == 0 else b, b if a % 2 == 0 else a, j)
+            for a, b, j in want}
+
+    got = {(r["new_id"], r["ref_id"], r["jaccard"]) for r in
+           minhash_lsh_pairs_against(new, ref, threshold=0.5).collect()}
+    assert got == want
+    assert got  # the corpus has cross near-dups at this tau

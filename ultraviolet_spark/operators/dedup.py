@@ -363,6 +363,88 @@ def minhash_lsh_pairs(df: DataFrame, *, n: int = 3, num_perm: int = 128,
     )
 
 
+def exact_dup_against(new: DataFrame, ref: DataFrame, *,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup: flag every NEW doc whose text already
+    exists verbatim in the REFERENCE corpus (the per-crawl-increment
+    setting — dedup tonight's crawl against the corpus you already
+    have, without re-deduping the corpus).
+
+    Returns ``(id, dup_of_ref)`` for every new doc.
+
+    Scale notes (100 TB reference × small increment): one semi join
+    keyed on md5(text) — 16-byte keys, map-side distinct on the
+    reference side; when the increment is the small side Spark/AQE
+    broadcasts it, so the reference never shuffles."""
+    nh = new.select(F.col(id_col),
+                    F.md5(F.col(text_col).cast("binary")).alias("__h"))
+    rh = ref.select(
+        F.md5(F.col(text_col).cast("binary")).alias("__h")).distinct()
+    hit = (nh.join(rh, on="__h", how="left_semi")
+           .select(id_col).withColumn("dup_of_ref", F.lit(True)))
+    return (new.select(id_col).join(hit, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce("dup_of_ref", F.lit(False))
+                     .alias("dup_of_ref")))
+
+
+def minhash_lsh_pairs_against(new: DataFrame, ref: DataFrame, *,
+                              n: int = 3, num_perm: int = 128,
+                              bands: int = 32, threshold: float = 0.5,
+                              seed: int = 42, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              verify_exact: bool = True) -> DataFrame:
+    """Cross-corpus near-dup pairs: MinHash + banded LSH of the NEW
+    increment against the REFERENCE corpus (same permutations — the
+    shared ``seed`` — so band hashes collide across the two frames
+    exactly as they would inside one).  Returns ``(new_id, ref_id[,
+    jaccard])``; both id spaces are kept distinct, no ordering filter.
+
+    Scale notes: identical shuffle census to minhash_lsh_pairs (band,
+    band_hash 8-byte keys), but the join is new×ref instead of self —
+    at 10^12 reference docs the banded index of the reference is the
+    thing you PERSIST between increments; candidates stay ∝ colliding
+    pairs, verify touches candidates only."""
+    r = num_perm // bands
+    band_expr = F.posexplode(F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(F.col("sig"), b * r + 1, r))))
+
+    def prep(frame, out_id):
+        sigs = minhash_signatures(frame, n=n, num_perm=num_perm, seed=seed,
+                                  text_col=text_col, id_col=id_col,
+                                  with_hashes=verify_exact)
+        live = sigs.filter(F.element_at("sig", 1) != F.lit(_SENTINEL))
+        buckets = live.select(F.col(id_col).alias(out_id),
+                              band_expr.alias("band", "bh"))
+        return live, buckets
+
+    live_n, bk_n = prep(new, "new_id")
+    live_r, bk_r = prep(ref, "ref_id")
+    cand = (bk_n.join(bk_r, on=["band", "bh"])
+            .select("new_id", "ref_id").distinct())
+    if not verify_exact:
+        return cand
+    sh_n = live_n.select(F.col(id_col).alias("new_id"),
+                         F.explode("hashes").alias("h"))
+    sh_r = live_r.select(F.col(id_col).alias("ref_id"),
+                         F.explode("hashes").alias("h"))
+    sz_n = live_n.select(F.col(id_col).alias("new_id"),
+                         F.size("hashes").alias("n_a"))
+    sz_r = live_r.select(F.col(id_col).alias("ref_id"),
+                         F.size("hashes").alias("n_b"))
+    common = (cand.join(sh_n, "new_id").join(sh_r, ["ref_id", "h"])
+              .groupBy("new_id", "ref_id")
+              .agg(F.count("*").alias("n_common")))
+    return (common.join(sz_n, "new_id").join(sz_r, "ref_id")
+            .withColumn("jaccard", F.col("n_common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "ref_id",
+                    F.round("jaccard", 6).alias("jaccard")))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -2410,6 +2410,36 @@ def q91(spark, sf_dir):
                                 n=5, threshold=0.5)
 
 
+@q("q92_exact_dup_against", """
+WITH nw AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' uniq' || doc_id ELSE '' END AS text
+  FROM documents)
+SELECT n.doc_id,
+       EXISTS (SELECT 1 FROM documents r WHERE r.text = n.text)
+         AS dup_of_ref
+FROM nw n
+""")
+def q92(spark, sf_dir):
+    """Incremental exact dedup (new crawl vs existing corpus): the
+    'new' side is documents with every 3rd text made unique by a
+    deterministic suffix — those must flag dup_of_ref=false, the
+    untouched rest true (their text exists verbatim in the
+    reference)."""
+    from ultraviolet_spark.operators.dedup import exact_dup_against
+
+    ref = _t(spark, sf_dir, "documents")
+    new = ref.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.concat(F.lit(" uniq"),
+                                 F.col("doc_id").cast("string")))
+                  .otherwise(F.lit(""))))
+    return exact_dup_against(new, ref)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
