@@ -414,3 +414,39 @@ def test_lm_cross_entropy_separate_model(spark):
     got = {r["doc_id"]: r["cross_entropy"] for r in
            lm_cross_entropy(score_me, model_docs=model).collect()}
     assert got[1] < got[2]
+
+
+def test_pmi_pairs_vs_python(spark):
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from ultraviolet_spark.operators.textstats import pmi_pairs
+
+    rows = [
+        (1, "coffee milk sugar"),
+        (2, "coffee milk"),
+        (3, "coffee tea"),
+        (4, "tea sugar milk"),
+        (5, "bread butter"),
+        (6, "bread butter coffee"),
+    ]
+    got = {(r["w1"], r["w2"]): r for r in
+           pmi_pairs(_docs(spark, rows), min_pair_docs=2).collect()}
+
+    docs_sets = [set(t.split()) for _, t in rows]
+    N = len(docs_sets)
+    marg = Counter(w for s in docs_sets for w in s)
+    both = Counter()
+    for s in docs_sets:
+        for a, b in combinations(sorted(s), 2):
+            both[(a, b)] += 1
+    want = {k: v for k, v in both.items() if v >= 2}
+    assert set(got) == set(want)
+    for (a, b), nb in want.items():
+        r = got[(a, b)]
+        assert (r["n_both"], r["n_w1"], r["n_w2"]) == (nb, marg[a], marg[b])
+        assert abs(r["pmi"]
+                   - round(math.log(nb * N / (marg[a] * marg[b])), 6)) < 1e-9
+    # collocates score positive, repellers at independence score ~0/neg
+    assert got[("bread", "butter")]["pmi"] > got[("coffee", "milk")]["pmi"]

@@ -372,3 +372,52 @@ def lm_cross_entropy(df: DataFrame, *, model_docs: DataFrame | None = None,
                      .alias("n_bigrams"),
                     F.coalesce("cross_entropy", F.lit(0.0))
                      .alias("cross_entropy")))
+
+
+def pmi_pairs(docs: DataFrame, *, min_pair_docs: int = 5,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Doc-level co-occurrence PMI (pointwise mutual information,
+    Church & Hanks 1990, public) — the collocation statistic a corpus
+    audit uses to find word pairs that travel together:
+
+        pmi(w1, w2) = ln( n_both · N / (n_w1 · n_w2) )
+
+    over BINARY per-document occurrence (N = docs with ≥1 word,
+    n_w = docs containing w, n_both = docs containing both).  Only
+    pairs appearing together in ≥ ``min_pair_docs`` docs are returned
+    (w1 < w2, with counts) — the support floor is also what bounds the
+    join output at scale.
+
+    Scale notes (100 TB): distinct words per doc is scan-stage; the
+    pair generation is a within-doc self-join keyed on the doc id —
+    output ∝ Σ (distinct words per doc)², bounded by document length,
+    never corpus²; marginals are one map-side-combined groupBy; N is a
+    1-row broadcast.  All counts are exact integers; the single ln per
+    pair is rounded once (no float summation anywhere).
+    """
+    words = (docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+             .select(F.col(id_col),
+                     F.explode(F.array_distinct(F.split(
+                         F.lower(F.trim(F.col(text_col))), r"\s+")))
+                      .alias("w")))
+    # N as a 1-row broadcast, not a driver-side count() — keeps the
+    # query lazy/composable (same pattern as dsir/bm25/lm ops)
+    n_docs = (words.select(id_col).distinct()
+              .agg(F.count("*").cast("long").alias("__n")))
+    marg = words.groupBy("w").agg(F.count("*").cast("long").alias("n_w"))
+    a = words.select(F.col(id_col), F.col("w").alias("w1"))
+    b = words.select(F.col(id_col), F.col("w").alias("w2"))
+    pairs = (a.join(b, on=id_col)
+             .filter(F.col("w1") < F.col("w2"))
+             .groupBy("w1", "w2")
+             .agg(F.count("*").cast("long").alias("n_both"))
+             .filter(F.col("n_both") >= min_pair_docs))
+    m1 = marg.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    m2 = marg.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (pairs.join(m1, on="w1").join(m2, on="w2")
+            .crossJoin(F.broadcast(n_docs))
+            .select("w1", "w2", "n_both", "n_w1", "n_w2",
+                    F.round(F.log(F.col("n_both").cast("double")
+                                  * F.col("__n")
+                                  / (F.col("n_w1") * F.col("n_w2"))), 6)
+                     .alias("pmi")))

@@ -2440,6 +2440,31 @@ def q92(spark, sf_dir):
     return exact_dup_against(new, ref)
 
 
+@q("q93_pmi_pairs", """
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(
+           string_split_regex(lower(trim(text)), '\\s+'))) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM w),
+m AS (SELECT w, COUNT(*) AS n_w FROM w GROUP BY w),
+p AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_both
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2 HAVING COUNT(*) >= 300)
+SELECT w1, w2, CAST(n_both AS BIGINT) AS n_both,
+       CAST(m1.n_w AS BIGINT) AS n_w1, CAST(m2.n_w AS BIGINT) AS n_w2,
+       round(ln(CAST(n_both AS DOUBLE) * nd / (m1.n_w * m2.n_w)), 6) AS pmi
+FROM p JOIN m m1 ON p.w1 = m1.w JOIN m m2 ON p.w2 = m2.w, n
+""")
+def q93(spark, sf_dir):
+    """Doc-level co-occurrence PMI (Church & Hanks collocations):
+    word pairs sharing >= 300 documents with their pointwise mutual
+    information — positive = travel together, negative = repel."""
+    from ultraviolet_spark.operators.textstats import pmi_pairs
+
+    return pmi_pairs(_t(spark, sf_dir, "documents"), min_pair_docs=300)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
