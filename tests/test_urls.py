@@ -57,3 +57,22 @@ def test_domain_stats_counts_and_blocklist(spark):
     assert out["b.co.uk"]["n_pages"] == 2
     assert out["b.co.uk"]["n_urls"] == 2        # www. kept in url_norm
     assert out["b.co.uk"]["blocked"]
+
+
+def test_extract_outlinks_literals(spark):
+    from ultraviolet_spark.operators.urls import extract_outlinks
+
+    rows = [
+        (1, '<a href="https://a.com/x">one</a> <a href="/rel">two</a>'
+            ' <a href="http://b.co.uk/y?z=1">three</a>'),
+        (2, 'no links here'),
+        (3, '<a href="ftp://files.example.com/f">ftp skipped</a>'
+            ' <A HREF="https://case.com/">attr case not matched</A>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {(r["doc_id"], r["link"]) for r in extract_outlinks(df).collect()}
+    # absolute http(s) only; lowercase href attribute form only
+    assert got == {(1, "https://a.com/x"), (1, "http://b.co.uk/y?z=1")}
+    every = {(r["doc_id"], r["link"]) for r in
+             extract_outlinks(df, absolute_only=False).collect()}
+    assert (1, "/rel") in every and (3, "ftp://files.example.com/f") in every

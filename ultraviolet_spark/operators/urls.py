@@ -93,3 +93,36 @@ def domain_stats(df: DataFrame, *, url_col: str = "url",
             .agg(F.count("*").cast("long").alias("n_pages"),
                  F.countDistinct("url_norm").cast("long").alias("n_urls"))
             .withColumn("blocked", blocked))
+
+
+def extract_outlinks(df: DataFrame, *, html_col: str = "html",
+                     id_col: str = "doc_id",
+                     absolute_only: bool = True) -> DataFrame:
+    """``(id, link)`` — href targets of every anchor in the page, in
+    document order (crawl-frontier / outlink-graph construction).
+    Pure Catalyst ``regexp_extract_all`` in the scan stage.
+
+    ``absolute_only`` keeps http(s) links only: relative links need the
+    page's base URL to resolve — join them back to the page row when an
+    outlink graph wants them.
+    """
+    links = F.expr(
+        f"regexp_extract_all({html_col}, 'href=\"([^\"]*)\"', 1)")
+    out = df.select(F.col(id_col), F.explode(links).alias("link"))
+    if absolute_only:
+        out = out.filter(F.col("link").rlike("^https?://"))
+    return out
+
+
+def outlink_domain_stats(df: DataFrame, *, html_col: str = "html",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-registrable-domain outlink rollup ``(domain, n_links,
+    n_docs)`` — the link-graph aggregate crawl scheduling reads.
+    Composition: extract_outlinks → host → registrable_domain →
+    one map-side-combined groupBy on the domain."""
+    links = extract_outlinks(df, html_col=html_col, id_col=id_col)
+    dom = registrable_domain(host(F.col("link")))
+    return (links.select(F.col(id_col), dom.alias("domain"))
+            .groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n_links"),
+                 F.countDistinct(id_col).cast("long").alias("n_docs")))

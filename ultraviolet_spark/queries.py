@@ -2465,6 +2465,40 @@ def q93(spark, sf_dir):
     return pmi_pairs(_t(spark, sf_dir, "documents"), min_pair_docs=300)
 
 
+@q("q94_outlink_domains", """
+WITH d AS (SELECT doc_id FROM documents),
+l AS (
+  SELECT doc_id, 'site' || (doc_id % 17) || '.co.uk' AS domain FROM d
+  UNION ALL
+  SELECT doc_id, 'example.com' AS domain FROM d)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM l GROUP BY domain
+""")
+def q94(spark, sf_dir):
+    """Outlink extraction + per-domain link-graph rollup: pages carry
+    two absolute anchors (a mixed-case .co.uk host with a tracking
+    param, a cdn subdomain of example.com) and a relative /about link
+    that must be excluded.  The Spark side does the REAL extraction /
+    host / registrable-domain work; the oracle builds the expected
+    domains analytically from doc_id and never parses html."""
+    from ultraviolet_spark.operators.urls import outlink_domain_stats
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<p><a href="https://WWW.Site'),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit('.co.uk/p/'), F.col("doc_id").cast("string"),
+            F.lit('?utm_source=x">t</a> <a href="http://cdn'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('.example.com/a.js">u</a>'),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(' <a href="/about">rel</a>')).otherwise(F.lit("")),
+            F.lit("</p>")).alias("html"))
+    return outlink_domain_stats(pages)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
