@@ -1,0 +1,86 @@
+"""WARC source: writer↔reader round-trip, multi-member gzip, HTTP head
+peeling, byte-identity of payloads, truncation tolerance, Spark scan."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from ultraviolet_spark.sources.warc import (
+    build_record, build_warc, parse_warc, read_warc)
+
+TS = datetime(2026, 3, 1, 12, 30, 0)
+
+# payloads chosen to break naive parsers: record separator bytes inside
+# the body, a fake WARC header inside the body, non-ASCII utf-8 bytes
+TRICKY = [
+    {"url": "https://a.example/x", "ts": TS,
+     "payload": "café 中文".encode("utf-8")},
+    {"url": "https://b.example/y", "ts": datetime(2026, 3, 2, 0, 0, 1),
+     "payload": b"pre\r\n\r\nWARC/1.0\r\npost", "status": 404},
+    {"url": "https://c.example/z", "ts": TS, "rec_type": "resource",
+     "payload": bytes(range(256)), "mime": "application/octet-stream"},
+]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_roundtrip_byte_identical(compress):
+    data = build_warc(TRICKY, compress=compress)
+    df = parse_warc(data)
+    assert len(df) == 3
+    assert list(df["url"]) == [r["url"] for r in TRICKY]
+    for got, want in zip(df["html"], TRICKY):
+        assert got == want["payload"]          # byte-identical
+    assert list(df["rec_type"]) == ["response", "response", "resource"]
+    assert list(df["http_status"].astype(object))[:2] == [200, 404]
+    assert df["http_status"].isna().iloc[2]    # resource: no HTTP head
+    assert df["warc_ts"].iloc[0] == TS
+    assert df["content_type"].iloc[0] == "text/html"
+    assert df["content_type"].iloc[2] == "application/octet-stream"
+
+
+def test_compressed_equals_uncompressed():
+    a = parse_warc(build_warc(TRICKY, compress=True))
+    b = parse_warc(build_warc(TRICKY, compress=False))
+    assert a.drop(columns=["html"]).equals(b.drop(columns=["html"]))
+    assert list(a["html"]) == list(b["html"])
+
+
+def test_truncated_tail_member_dropped():
+    data = build_warc(TRICKY, compress=True)
+    cut = data[:len(data) - 40]                # wreck the final member
+    df = parse_warc(cut)
+    assert len(df) == 2                        # good prefix survives
+    assert list(df["url"]) == [r["url"] for r in TRICKY[:2]]
+
+
+def test_garbage_and_empty():
+    assert len(parse_warc(b"")) == 0
+    assert len(parse_warc(b"not a warc at all")) == 0
+
+
+def test_uncompressed_stream_content_length_walk():
+    # single stream, payload contains a fake record marker: only a
+    # Content-Length walk parses this correctly
+    data = build_record("https://b.example/y", TS,
+                        b"x\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n")
+    df = parse_warc(data + data)
+    assert len(df) == 2
+    assert (df["url"] == "https://b.example/y").all()
+
+
+def test_read_warc_spark(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "part0.warc.gz").write_bytes(build_warc(TRICKY[:2]))
+    (d / "part1.warc.gz").write_bytes(build_warc(TRICKY[2:]))
+    df = read_warc(spark, str(d), rec_types=("response", "resource"))
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 3
+    for want in TRICKY:
+        got = rows[want["url"]]
+        assert bytes(got["html"]) == want["payload"]
+        assert got["warc_ts"] == want["ts"]
+    # default filter keeps responses only
+    assert read_warc(spark, str(d)).count() == 2

@@ -2499,6 +2499,53 @@ def q94(spark, sf_dir):
     return outlink_domain_stats(pages)
 
 
+@q("q95_warc_scan", """
+SELECT 'site' || (doc_id % 17) || '.co.uk' AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes_total,
+       MAX(TIMESTAMP '2026-01-01' + to_seconds(doc_id)) AS last_crawl
+FROM documents GROUP BY 1
+""")
+def q95(spark, sf_dir):
+    """WARC ingestion — the raw Common-Crawl container: documents are
+    serialized into 4 member-per-record .warc.gz shards (HTTP response
+    records, deterministic url/ts from doc_id), read back through the
+    distributed binaryFile→mapInPandas scan, and rolled up per
+    registrable domain.  The oracle computes the expected rollup
+    analytically from documents and never sees a WARC byte — so url
+    parsing, gzip member splitting, HTTP head peeling, WARC-Date
+    parsing and payload byte-identity (octet_length of the utf-8 text)
+    are all on the hook."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from ultraviolet_spark.operators.urls import host, registrable_domain
+    from ultraviolet_spark.sources.warc import build_warc, read_warc
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .orderBy("doc_id").toPandas())
+    base = datetime(2026, 1, 1)
+    d = tempfile.mkdtemp(prefix="uv_q95_")
+    shards: list[list[dict]] = [[] for _ in range(4)]
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        shards[int(did) % 4].append({
+            "url": f"https://WWW.Site{int(did) % 17}.co.uk/p/{int(did)}",
+            "ts": base + timedelta(seconds=int(did)),
+            "payload": text.encode("utf-8")})
+    for i, recs in enumerate(shards):
+        with open(f"{d}/part{i}.warc.gz", "wb") as f:
+            f.write(build_warc(recs))
+    pages = read_warc(spark, d)
+    return (pages
+            .select(registrable_domain(host(F.col("url"))).alias("domain"),
+                    "html", "warc_ts")
+            .groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum(F.octet_length("html")).cast("long")
+                  .alias("bytes_total"),
+                 F.max("warc_ts").alias("last_crawl")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
