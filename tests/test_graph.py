@@ -1,0 +1,53 @@
+"""PageRank: hand-computed tiny graph, exact equality with an
+independent Python integer reference, partitioning invariance."""
+
+from __future__ import annotations
+
+from ultraviolet_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, iters=3, damping=85, scale=1_000_000):
+    """Slow-but-obvious dict mirror of the integer recurrence."""
+    nodes = {n for e in edges for n in e}
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (100 - damping) * scale // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        nxt = {n: base for n in nodes}
+        for s, d in edges:
+            nxt[d] += (r[s] * damping) // (100 * outdeg[s])
+        r = nxt
+    return r
+
+
+def test_two_node_chain(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank(e).collect()}
+    # hand-computed: B saturates at base + 85% of A's base rank
+    assert got == {1: 150_000, 2: 277_500}
+
+
+def test_matches_python_reference(spark):
+    edges = [(i % 13, (i * 7 + 3) % 13) for i in range(40)] + [(5, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(e, iters=4).collect()}
+    assert got == _py_pagerank(edges, iters=4)
+
+
+def test_partitioning_invariance(spark):
+    edges = [(i % 11, (i * 5 + 1) % 11) for i in range(30)]
+    e1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    e7 = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    r1 = sorted(map(tuple, pagerank(e1).collect()))
+    r7 = sorted(map(tuple, pagerank(e7).collect()))
+    assert r1 == r7
+
+
+def test_damping_zero_is_flat(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(e, damping_pct=0).collect()}
+    assert got == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}

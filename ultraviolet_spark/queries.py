@@ -2546,6 +2546,49 @@ def q95(spark, sf_dir):
                  F.max("warc_ts").alias("last_crawl")))
 
 
+@q("q96_pagerank_domains", """
+WITH e AS (
+  SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+  FROM documents
+  UNION
+  SELECT doc_id % 101, (doc_id * 13 + 5) % 101 FROM documents),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+c1 AS (SELECT e.dst AS node, SUM((r0.r * 85) // (100 * od.d)) AS c
+       FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node, CAST(150000 + COALESCE(c1.c, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+c2 AS (SELECT e.dst AS node, SUM((r1.r * 85) // (100 * od.d)) AS c
+       FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node, CAST(150000 + COALESCE(c2.c, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+c3 AS (SELECT e.dst AS node, SUM((r2.r * 85) // (100 * od.d)) AS c
+       FROM e JOIN r2 ON r2.node = e.src JOIN od ON od.src = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT n.node, CAST(150000 + COALESCE(c3.c, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+SELECT node, r AS rank_micro FROM r3
+""")
+def q96(spark, sf_dir):
+    """PageRank over a deterministic 101-domain link graph (crawl
+    prioritization): exact integer micro-unit power iteration — the
+    result is bit-identical to the oracle's unrolled 3-iteration SQL
+    regardless of partitioning or aggregation order, something a float
+    PageRank can never promise across engines."""
+    from ultraviolet_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+         .union(d.select((F.col("doc_id") % 101).alias("src"),
+                         ((F.col("doc_id") * 13 + 5) % 101).alias("dst")))
+         .distinct())
+    return pagerank(e, iters=3)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
