@@ -3,13 +3,13 @@
 Media travel as opaque ``binary`` columns plus a typed metadata struct —
 the same pattern as the pages table's ``html`` column.  The Spark-side
 plumbing (schemas, mapInPandas batch shape, partitioning) is real and
-tested; the actual codec calls are STUBBED because this container ships
-no image/audio libraries:
-
-* ``decode_media`` parses the deterministic UVMEDIA header (a fake,
-  self-describing container our tests generate) and would dispatch to
-  PIL/libav behind ``_codec_decode`` — which raises NotImplementedError
-  for real formats, exactly as the task brief requires.
+tested.  Codecs decodable with stdlib+numpy are REAL: uncompressed BMP
+(:func:`decode_bmp`), PCM WAV (:func:`decode_wav`), and compressed PNG
+(:func:`decode_png` — zlib IDAT, CRC-checked chunks, all five filter
+reconstructions).  Formats that require external libraries
+(JPEG/MP3/H.264…) remain STUBBED behind ``_codec_decode`` because this
+container ships no image/audio libraries; poison blobs always survive
+as ``kind='unknown'`` rather than failing the stage.
 
 Scale notes: media blobs dominate row size — keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` low (the session
@@ -20,6 +20,7 @@ blobs may exceed 2 GiB.  The stage is shuffle-free row-parallel.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -69,13 +70,14 @@ def pack_media(kind: int, width: int, height: int, channels: int,
 
 
 def _codec_decode(kind: str, payload: bytes) -> np.ndarray:
-    """Real-codec seam for COMPRESSED formats (PNG/JPEG/MP3/H.264…):
-    PIL/soundfile/PyAV are not in this container, so these still raise.
-    Uncompressed containers decode for real: BMP via :func:`decode_bmp`,
-    PCM WAV via :func:`decode_wav` (pure numpy — no external libs)."""
+    """Real-codec seam for formats needing EXTERNAL libraries
+    (JPEG/MP3/H.264…): PIL/soundfile/PyAV are not in this container, so
+    those still raise.  Formats decodable with stdlib+numpy decode for
+    REAL: BMP (:func:`decode_bmp`), PCM WAV (:func:`decode_wav`) and —
+    compressed — PNG (:func:`decode_png`, zlib IDAT + all 5 filters)."""
     raise NotImplementedError(
-        f"compressed {kind} decoding requires an image/audio library not "
-        "present in this environment; BMP/PCM-WAV/UVMEDIA decode inline"
+        f"{kind} decoding requires an image/audio library not present in "
+        "this environment; BMP/PCM-WAV/PNG/UVMEDIA decode inline"
     )
 
 
@@ -175,11 +177,145 @@ def decode_wav(data: bytes) -> dict:
             "samples": flat[: n * channels].reshape(n, channels)}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type ↔ channel count (8-bit depth only): gray, gray+alpha,
+# truecolor, truecolor+alpha
+_PNG_COLOR = {1: 0, 2: 4, 3: 2, 4: 6}
+_PNG_CHANNELS = {v: k for k, v in _PNG_COLOR.items()}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), elementwise over int arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def make_png(pixels: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """Encode (H, W) or (H, W, C) uint8 (C ∈ 1,2,3,4) as a REAL 8-bit
+    PNG — zlib-compressed IDAT, CRC-correct chunks.  ``filter_type``
+    (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) is applied to every
+    scanline, so round-trip tests can exercise each reconstruction
+    path in :func:`decode_png` deliberately.  Filtering itself is fully
+    vectorized (neighbor shifts are array ops on the original bytes)."""
+    px = pixels if pixels.ndim == 3 else pixels[:, :, None]
+    h, w, c = px.shape
+    assert px.dtype == np.uint8 and c in _PNG_COLOR
+    data = px.reshape(h, w * c).astype(np.int32)
+    left = np.zeros_like(data)
+    left[:, c:] = data[:, :-c]
+    up = np.zeros_like(data)
+    up[1:] = data[:-1]
+    ul = np.zeros_like(data)
+    ul[1:, c:] = data[:-1, :-c]
+    if filter_type == 0:
+        f = data
+    elif filter_type == 1:
+        f = data - left
+    elif filter_type == 2:
+        f = data - up
+    elif filter_type == 3:
+        f = data - (left + up) // 2
+    elif filter_type == 4:
+        f = data - _paeth(left, up, ul)
+    else:
+        raise ValueError(f"filter_type {filter_type} not in 0..4")
+    lines = np.concatenate(
+        [np.full((h, 1), filter_type, np.uint8), (f % 256).astype(np.uint8)],
+        axis=1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR[c], 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(lines.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> dict:
+    """REAL PNG decode (pure numpy + stdlib zlib): 8-bit gray / gray+A /
+    RGB / RGBA, all five filter types, CRC-validated chunks, multi-IDAT.
+    Palette, 16-bit and interlaced PNGs raise NotImplementedError.
+
+    Filters None/Sub/Up reconstruct vectorized (Sub is a per-channel
+    cumsum); Average/Paeth have a true left-recurrence so those
+    scanlines fall back to an in-row loop — correctness seam, not the
+    100 TB hot path (a production cluster ships a compiled codec; this
+    proves the format plumbing end-to-end without one)."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(data):
+        ln, = struct.unpack_from(">I", data, pos)
+        if pos + 12 + ln > len(data):
+            raise ValueError("truncated PNG chunk")
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        crc, = struct.unpack_from(">I", data, pos + 8 + ln)
+        if crc != zlib.crc32(ctype + chunk):
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace}")
+    c = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * c
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    raw = raw.reshape(h, stride + 1)
+    ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f, r = int(ftypes[y]), rows[y]
+        if f == 0:
+            cur = r
+        elif f == 1:  # Sub: per-channel prefix sum along the row
+            cur = np.cumsum(r.reshape(w, c).astype(np.int64),
+                            axis=0).reshape(stride) % 256
+        elif f == 2:
+            cur = (r + prev) % 256
+        elif f in (3, 4):  # left-recurrent: in-row loop
+            cur = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0
+                b = int(prev[i])
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    cc = int(prev[i - c]) if i >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                            else cc)
+                cur[i] = (r[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        recon[y] = cur
+        prev = recon[y]
+    px = recon.astype(np.uint8).reshape(h, w, c)
+    return {"width": w, "height": h, "channels": c, "pixels": px}
+
+
 def sniff_kind(data: bytes) -> str:
     if len(data) >= 2 and data[:2] == b"BM":
         return "bmp"
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if len(data) >= 8 and data[:8] == _PNG_SIG:
+        return "png"
     if len(data) >= len(_MAGIC) and data[: len(_MAGIC)] == _MAGIC:
         return "uvmedia"
     return "unknown"
@@ -224,15 +360,23 @@ def decode_features(df: DataFrame, *, id_col: str = "media_id",
                        "n_samples": None, "mean_b": None, "mean_g": None,
                        "mean_r": None, "duration_s": None, "rms": None}
                 try:
-                    if kind == "bmp":
-                        img = decode_bmp(b)
+                    if kind in ("bmp", "png"):
+                        img = (decode_bmp if kind == "bmp"
+                               else decode_png)(b)
                         px = img["pixels"].astype(np.float64)
                         m = px.mean(axis=(0, 1))
+                        # BMP stores BGR, PNG stores RGB; gray(+alpha)
+                        # maps its single luma channel to all three
+                        if len(m) >= 3:
+                            cb, cg, cr = ((0, 1, 2) if kind == "bmp"
+                                          else (2, 1, 0))
+                        else:
+                            cb = cg = cr = 0
                         rec.update(width=img["width"], height=img["height"],
                                    channels=img["channels"],
-                                   mean_b=round(float(m[0]), 6),
-                                   mean_g=round(float(m[min(1, len(m) - 1)]), 6),
-                                   mean_r=round(float(m[min(2, len(m) - 1)]), 6))
+                                   mean_b=round(float(m[cb]), 6),
+                                   mean_g=round(float(m[cg]), 6),
+                                   mean_r=round(float(m[cr]), 6))
                     elif kind == "wav":
                         au = decode_wav(b)
                         s = au["samples"].astype(np.float64)
@@ -341,6 +485,37 @@ def media_features(df: DataFrame, *, id_col: str = "media_id",
         T.StructField(id_col, T.LongType()), *MEDIA_FEATURES_SCHEMA.fields[1:],
     ])
     return src.mapInPandas(gen, schema=schema)
+
+
+def synthesize_png(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic RGB PNG synthesis from an integer id column: pixel
+    (x, y) channel values are closed-form in (id, x, y) and the scanline
+    filter type is ``id % 5`` — so a corpus of these exercises every
+    PNG filter reconstruction path, and a SQL oracle that never sees
+    bytes can verify the decoded per-channel means (q97)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            blobs = []
+            for raw in ids:
+                i = int(raw)
+                w, h = 3 + i % 5, 2 + i % 4
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack([
+                    (i + 11 * x + 3 * y) % 256,      # R
+                    (2 * i + 5 * x + 7 * y) % 256,   # G
+                    (7 * i + x + 9 * y) % 256,       # B
+                ], axis=-1).astype(np.uint8)
+                blobs.append(make_png(px, filter_type=i % 5))
+            yield pd.DataFrame({"media_id": ids.astype(np.int64),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, schema)
 
 
 def synthesize_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:

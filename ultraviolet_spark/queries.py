@@ -2589,6 +2589,44 @@ def q96(spark, sf_dir):
     return pagerank(e, iters=3)
 
 
+@q("q97_png_codec_roundtrip", """
+WITH img AS (
+  SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h FROM documents),
+pxx AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img),
+pxy AS (
+  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM pxx),
+f AS (
+  SELECT doc_id, w, h,
+    round(CAST(SUM((doc_id + 11*x + 3*y) % 256) AS DOUBLE) / (w*h), 6)
+      AS mean_r,
+    round(CAST(SUM((2*doc_id + 5*x + 7*y) % 256) AS DOUBLE) / (w*h), 6)
+      AS mean_g,
+    round(CAST(SUM((7*doc_id + x + 9*y) % 256) AS DOUBLE) / (w*h), 6)
+      AS mean_b
+  FROM pxy GROUP BY doc_id, w, h)
+SELECT doc_id AS media_id, 'png' AS kind,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels, mean_r, mean_g, mean_b
+FROM f
+""")
+def q97(spark, sf_dir):
+    """REAL compressed-codec round-trip: synthesize actual PNGs from
+    doc_id (zlib IDAT; scanline filter = doc_id % 5, so all five PNG
+    filter types are in the corpus), decode with the pure-numpy PNG
+    decoder, emit per-channel means.  The oracle computes the expected
+    means analytically and never sees a byte — a hash match proves
+    encoder, zlib framing, CRC handling and every filter
+    reconstruction are correct."""
+    from ultraviolet_spark.operators.multimodal import (
+        decode_features, synthesize_png)
+
+    media = synthesize_png(_t(spark, sf_dir, "documents").select("doc_id"))
+    return (decode_features(media)
+            .select("media_id", "kind", "width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
