@@ -2627,6 +2627,38 @@ def q97(spark, sf_dir):
                     "mean_r", "mean_g", "mean_b"))
 
 
+@q("q98_bpe_tokenize", """
+SELECT doc_id,
+  CAST(length(
+    replace(
+      replace(
+        replace(
+          replace(
+            replace(text, 'e ', chr(57344)),
+            'th', chr(57345)),
+          chr(57345) || 'e', chr(57346)),
+        '  ', chr(57347)),
+      'on', chr(57348))
+  ) AS BIGINT) AS n_tokens
+FROM documents
+""")
+def q98(spark, sf_dir):
+    """REAL BPE tokenization (greedy merge application, priority
+    order) with a fixed 5-merge table that includes a chained merge
+    ('th'+'e') and a self-pair ('  ') to exercise overlap runs.  The
+    oracle exploits the exact equivalence between greedy BPE apply and
+    a chain of non-rescanning string replace() calls with private-use
+    sentinel chars — per-doc token counts must match to the row."""
+    from ultraviolet_spark.operators.tokenize import BASE_ID, bpe_apply
+
+    merges = [(ord("e"), ord(" ")), (ord("t"), ord("h")),
+              (BASE_ID + 1, ord("e")), (ord(" "), ord(" ")),
+              (ord("o"), ord("n"))]
+    return (bpe_apply(_t(spark, sf_dir, "documents"), merges,
+                      with_tokens=False)
+            .select("doc_id", "n_tokens"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
