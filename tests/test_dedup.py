@@ -357,3 +357,47 @@ def test_minhash_against_equals_self_join_cross_pairs(spark, sf_dir):
            minhash_lsh_pairs_against(new, ref, threshold=0.5).collect()}
     assert got == want
     assert got  # the corpus has cross near-dups at this tau
+
+
+def test_containment_prefix_equals_allpairs(spark, sf_dir):
+    """Prefix-filtered containment is EXACT: must equal the O(n²)
+    directed all-pairs computation at the same (n, τ)."""
+    from ultraviolet_spark.operators.dedup import containment_pairs_prefix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pdf = docs.select("doc_id", "text").toPandas()
+    sets = _shingle_sets(pdf[pdf["text"].str.strip().str.len() > 0], 5)
+    sets = {k: v for k, v in sets.items() if v}
+    tau = 0.9
+    want = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= tau:
+                want.add((a, b, round(c, 6)))
+    got = {(r["id_a"], r["id_b"], r["containment"]) for r in
+           containment_pairs_prefix(docs, n=5, threshold=tau).collect()}
+    assert got == want
+    assert got  # the corpus has containment pairs at this tau
+
+
+def test_containment_catches_quotation_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc quoted verbatim
+    inside a long one has containment 1.0 but tiny Jaccard."""
+    from ultraviolet_spark.operators.dedup import (
+        containment_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(200))
+    rows = [(1, quote), (2, filler + " " + quote + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in
+           containment_pairs_prefix(df, n=3, threshold=0.9).collect()}
+    # directed: the quote is contained in the article, not vice versa
+    assert got == {(1, 2): 1.0}
+    assert not ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()

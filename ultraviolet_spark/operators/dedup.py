@@ -102,6 +102,73 @@ def ngram_jaccard_pairs(df: DataFrame, *, n: int = 3, threshold: float = 0.5,
     )
 
 
+def _rare_first_sets(df: DataFrame, *, n: int, threshold: float,
+                     text_col: str, id_col: str) -> DataFrame:
+    """Per doc: distinct shingles sorted rarest-first under the global
+    corpus frequency order (ties by shingle), plus the prefix length
+    ``|d| − ⌈τ·|d|⌉ + 1`` the pigeonhole bound needs.  Shared by the
+    prefix-filtered Jaccard and containment joins."""
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
+    ranked = (sh.join(freq, on="shingle")
+              .groupBy(id_col)
+              .agg(F.sort_array(F.collect_list(
+                  F.struct(F.col("__f"), F.col("shingle")))).alias("__s")))
+    return ranked.select(
+        F.col(id_col),
+        F.transform("__s", lambda x: x["shingle"]).alias("__sh"),
+        (F.size("__s") - F.ceil(F.lit(float(threshold)) * F.size("__s"))
+         + 1).cast("int").alias("__plen"))
+
+
+def containment_pairs_prefix(df: DataFrame, *, n: int = 5,
+                             threshold: float = 0.9,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """EXACT directed CONTAINMENT pairs: ``(id_a, id_b, containment)``
+    with ``|A∩B| / |A| ≥ τ`` and ``id_a ≠ id_b`` — the asymmetric
+    near-dup relation (quotation, excerpting, subset-boilerplate) that
+    symmetric Jaccard misses: a tweet quoted inside a long article has
+    containment 1.0 but Jaccard ≈ 0.
+
+    Prefix filtering applies on the CONTAINED side only: if
+    ``|A∩B| ≥ τ·|A|`` then B must hit one of the first
+    ``|A| − ⌈τ·|A|⌉ + 1`` rare-first shingles of A (pigeonhole); the
+    container side B is indexed in full.  A size filter
+    ``|B| ≥ ⌈τ·|A|⌉`` prunes candidates before the exact verify.
+
+    Scale notes (100 TB): the B-side posting list is the full inverted
+    index, so hot boilerplate shingles create heavy join keys — the
+    A-side prefix (rare shingles by construction) is what keeps the
+    candidate count near the true-pair count.  For corpora where even
+    that is too hot, cap posting-list length and fall back to
+    MinHash-containment; this operator is the exact path.
+    """
+    ranked = _rare_first_sets(df, n=n, threshold=threshold,
+                              text_col=text_col, id_col=id_col)
+    prefix_a = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(F.expr("slice(__sh, 1, __plen)")).alias("shingle"))
+    full_b = ranked.select(
+        F.col(id_col).alias("id_b"), F.explode("__sh").alias("shingle"))
+    cand = (prefix_a.join(full_b, on="shingle")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = ranked.select(F.col(id_col).alias("id_a"),
+                       F.col("__sh").alias("__sa"))
+    vb = ranked.select(F.col(id_col).alias("id_b"),
+                       F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    return (cand.join(va, on="id_a").join(vb, on="id_b")
+            .filter(F.size("__sb") >= F.ceil(
+                F.lit(float(threshold)) * F.size("__sa")))
+            .withColumn("containment",
+                        inter.cast("double") / F.size("__sa"))
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b",
+                    F.round("containment", 6).alias("containment")))
+
+
 def jaccard_pairs_prefix(df: DataFrame, *, n: int = 5,
                          threshold: float = 0.5, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
@@ -128,17 +195,8 @@ def jaccard_pairs_prefix(df: DataFrame, *, n: int = 5,
     large docs); verification touches candidates only, carrying the two
     shingle arrays per candidate pair.
     """
-    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
-    ranked = (sh.join(freq, on="shingle")
-              .groupBy(id_col)
-              .agg(F.sort_array(F.collect_list(
-                  F.struct(F.col("__f"), F.col("shingle")))).alias("__s")))
-    ranked = ranked.select(
-        F.col(id_col),
-        F.transform("__s", lambda x: x["shingle"]).alias("__sh"),
-        (F.size("__s") - F.ceil(F.lit(float(threshold)) * F.size("__s"))
-         + 1).cast("int").alias("__plen"))
+    ranked = _rare_first_sets(df, n=n, threshold=threshold,
+                              text_col=text_col, id_col=id_col)
     prefix = ranked.select(
         F.col(id_col),
         F.explode(F.expr("slice(__sh, 1, __plen)")).alias("shingle"))

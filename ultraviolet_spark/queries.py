@@ -2659,9 +2659,38 @@ def q98(spark, sf_dir):
             .select("doc_id", "n_tokens"))
 
 
+@q("q99_containment_pairs", """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 4),
+           i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+           AS tk
+  FROM w WHERE len(w) >= 5)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+             / len(a.tk), 6) AS containment
+FROM s a JOIN s b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / len(a.tk) >= 0.9
+""")
+def q99(spark, sf_dir):
+    """EXACT directed CONTAINMENT pairs (|A∩B|/|A| ≥ 0.9 over 5-gram
+    shingles) via prefix filtering on the contained side — the
+    asymmetric near-dup relation (quotation / excerpting / subset
+    boilerplate) symmetric Jaccard misses.  The oracle is the O(n²)
+    all-pairs directed join this op provably equals (pigeonhole on the
+    rare-first prefix guarantees recall 1.0)."""
+    from ultraviolet_spark.operators.dedup import containment_pairs_prefix
+
+    return containment_pairs_prefix(_t(spark, sf_dir, "documents"),
+                                    n=5, threshold=0.9)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 82 queries, 76 of them with exact DuckDB
+# [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.
