@@ -2688,6 +2688,42 @@ def q99(spark, sf_dir):
                                     n=5, threshold=0.9)
 
 
+@q("q100_nfc_normalize", """
+WITH raw AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0
+                      THEN ' e' || chr(769) || 'A' || chr(778)
+                           || chr(4352) || chr(4449)
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       nfc_normalize(text) AS text_nfc,
+       (text = nfc_normalize(text)) AS was_normalized,
+       CAST(length(nfc_normalize(text)) AS INT) AS nfc_len
+FROM raw
+""")
+def q100(spark, sf_dir):
+    """Unicode NFC normalization (UAX #15): every even doc gets a
+    decomposed suffix (e+U+0301, A+U+030A, Hangul jamo U+1100 U+1161)
+    that NFC must compose to é Å 가; odd docs stay byte-identical and
+    must quick-check as already-normalized.  Oracle is DuckDB's
+    utf8proc-backed nfc_normalize — an independent UAX #15
+    implementation, so a match is real conformance evidence."""
+    from ultraviolet_spark.operators.normalize import normalize_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 2 == 0,
+                        F.lit(" e\u0301A\u030A\u1100\u1161"))
+                  .otherwise(F.lit(""))))
+    out = normalize_corpus(raw, form="NFC")
+    return out.select(
+        "doc_id", F.col("text").alias("text_nfc"), "was_normalized",
+        F.length("text").cast("int").alias("nfc_len"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
