@@ -1,0 +1,89 @@
+"""Feature hashing (the "hashing trick", Weinberger et al. 2009):
+token/n-gram → fixed-dimension sparse feature vectors with NO
+vocabulary — the only vectorizer shape that works at 100 TB, because a
+vocabulary build is a full extra pass plus a giant broadcast, while
+hashing is stateless and embarrassingly parallel.
+
+Output is the exploded sparse form ``(id, feature_idx, tf,
+signed_tf)`` — the layout downstream distributed ML wants (and the
+only layout an exact SQL oracle can hash): ``tf`` is the plain bucket
+count, ``signed_tf`` the sign-hashed sum whose inner products are
+unbiased estimates of the true ones (the ±1 sign kills the collision
+bias; see the paper's Lemma 2).
+
+Everything is pure Catalyst — md5 is evaluated JVM-side, the single
+shuffle is the partial-aggregated groupBy on (id, feature_idx) — and
+every hash decision is reproducible cross-engine: ``feature_idx`` is
+the first 8 md5 hex chars as an integer mod ``dim``; the sign bit is
+the top bit of the 9th hex nibble.  DuckDB computes the identical
+values via ``CAST('0x' || substr(md5(t), …) AS UBIGINT)``, which is
+what makes the driver oracle exact rather than rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]))
+    # sequence(0, size-n) DESCENDS when size < n — short docs must
+    # yield an empty gram array, not an out-of-bounds element_at
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def hashed_features(df: DataFrame, *, dim: int = 2 ** 18, n: int = 1,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """``(id, feature_idx, tf, signed_tf)`` sparse rows per doc.
+
+    One explode + one partial-aggregated shuffle on (id, feature_idx);
+    docs with no tokens produce zero rows (a doc of pure whitespace has
+    an empty feature vector, same as the sklearn HashingVectorizer
+    convention).
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    toks = _ngrams(_tokens(text_col), n)
+    tok = F.col("__tok")
+    md5 = F.md5(F.encode(tok, "UTF-8"))
+    idx = (F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+           % F.lit(dim)).alias("feature_idx")
+    sgn = (F.when(F.conv(F.substring(md5, 9, 1), 16, 10)
+                  .cast("int") < 8, F.lit(1))
+           .otherwise(F.lit(-1)))
+    return (df
+            .filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col), F.explode(toks).alias("__tok"))
+            .filter(tok != "")
+            .select(F.col(id_col), idx, sgn.alias("__sgn"))
+            .groupBy(id_col, "feature_idx")
+            .agg(F.count("*").alias("tf"),
+                 F.sum("__sgn").cast("long").alias("signed_tf")))
+
+
+def hashed_vector(df: DataFrame, *, dim: int = 2 ** 18, n: int = 1,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Dense-map form ``(id, features: map<bigint,bigint>)`` of the
+    signed vector — for callers that want one row per doc (e.g. to zip
+    with an embedding).  Same plan as :func:`hashed_features` plus one
+    more partial-agg on id."""
+    sparse = hashed_features(df, dim=dim, n=n, text_col=text_col,
+                             id_col=id_col)
+    return (sparse.groupBy(id_col)
+            .agg(F.map_from_entries(
+                F.sort_array(F.collect_list(
+                    F.struct("feature_idx", "signed_tf"))))
+                .alias("features")))

@@ -2724,6 +2724,34 @@ def q100(spark, sf_dir):
         F.length("text").cast("int").alias("nfc_len"))
 
 
+@q("q101_hashed_features", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0),
+h AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 1024
+              AS BIGINT) AS feature_idx,
+         CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS INTEGER) < 8
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks WHERE tok <> '')
+SELECT doc_id, feature_idx,
+       CAST(count(*) AS BIGINT) AS tf,
+       CAST(sum(sgn) AS BIGINT) AS signed_tf
+FROM h GROUP BY doc_id, feature_idx
+""")
+def q101(spark, sf_dir):
+    """Feature hashing (hashing trick) to dim=1024 — small enough to
+    force real bucket collisions, so tf vs signed_tf divergence in the
+    result is the sign-hash doing its bias-kill job.  Exact
+    cross-engine oracle: md5-derived bucket + sign are bit-identical
+    in DuckDB."""
+    from ultraviolet_spark.operators.vectorize import hashed_features
+
+    return hashed_features(_t(spark, sf_dir, "documents"), dim=1024)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
