@@ -2752,6 +2752,43 @@ def q101(spark, sf_dir):
     return hashed_features(_t(spark, sf_dir, "documents"), dim=1024)
 
 
+@q("q102_skew_report", """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+r AS (SELECT cnt,
+             row_number() OVER (ORDER BY cnt, CAST(user_id AS VARCHAR)) AS rn,
+             count(*) OVER () AS nk
+      FROM c)
+SELECT CAST(max(nk) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+         AS max_share,
+       round(CAST(sum(cnt) AS DOUBLE) / CAST(max(nk) AS DOUBLE), 6)
+         AS mean_cnt,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.5 * nk) AS BIGINT)
+                     THEN cnt END) AS BIGINT) AS p50_cnt,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.9 * nk) AS BIGINT)
+                     THEN cnt END) AS BIGINT) AS p90_cnt,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.99 * nk) AS BIGINT)
+                     THEN cnt END) AS BIGINT) AS p99_cnt,
+       round(CAST(max(cnt) AS DOUBLE) * CAST(max(nk) AS DOUBLE)
+             / CAST(sum(cnt) AS DOUBLE), 6) AS imbalance,
+       round(CAST(2 * sum(rn * cnt) - (max(nk) + 1) * sum(cnt) AS DOUBLE)
+             / (CAST(max(nk) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)), 6)
+         AS gini
+FROM r
+""")
+def q102(spark, sf_dir):
+    """Key-skew report over events.user_id: discrete percentiles of
+    per-key counts, straggler imbalance (max/mean) and exact Gini with
+    a deterministic (cnt, key) rank tiebreak — the diagnostic that
+    decides whether a shuffle key needs salting BEFORE the join runs.
+    Everything integer-ranked so the oracle compares exact values."""
+    from ultraviolet_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "user_id")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
