@@ -76,3 +76,37 @@ def test_extract_outlinks_literals(spark):
     every = {(r["doc_id"], r["link"]) for r in
              extract_outlinks(df, absolute_only=False).collect()}
     assert (1, "/rel") in every and (3, "ftp://files.example.com/f") in every
+
+
+def test_extract_anchors_pairs_and_filtering(spark):
+    from ultraviolet_spark.operators.urls import extract_anchors
+
+    html = ('<p><a href="https://a.com/x">First &amp; best</a>'
+            '<a href="/rel">rel</a>'
+            '<a class="z" href="http://b.org/y" id="k">  two\n words </a>'
+            '<a href="https://c.net/z"></a></p>')
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = [(r["link"], r["anchor"]) for r in
+            extract_anchors(df).orderBy("link").collect()]
+    # positional zip keeps (href, text) aligned; entity decoded,
+    # whitespace collapsed, empty anchor stays empty, /rel excluded
+    assert rows == [("http://b.org/y", "two words"),
+                    ("https://a.com/x", "First & best"),
+                    ("https://c.net/z", "")]
+    raw = [(r["link"], r["anchor"]) for r in
+           extract_anchors(df, absolute_only=False,
+                           decode_entities=False).collect()]
+    assert ("/rel", "rel") in raw
+    assert ("https://a.com/x", "First &amp; best") in raw
+
+
+def test_extract_title_null_vs_empty(spark):
+    from ultraviolet_spark.operators.urls import extract_title
+
+    df = spark.createDataFrame(
+        [(1, "<html><TITLE> A &amp; B </TITLE></html>"),
+         (2, "<html><title></title></html>"),
+         (3, "<html><body>no title</body></html>")],
+        "doc_id long, html string")
+    rows = {r["doc_id"]: r["title"] for r in extract_title(df).collect()}
+    assert rows == {1: "A & B", 2: "", 3: None}

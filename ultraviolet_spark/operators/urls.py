@@ -114,6 +114,54 @@ def extract_outlinks(df: DataFrame, *, html_col: str = "html",
     return out
 
 
+def extract_anchors(df: DataFrame, *, html_col: str = "html",
+                    id_col: str = "doc_id",
+                    absolute_only: bool = True,
+                    decode_entities: bool = True) -> DataFrame:
+    """``(id, link, anchor)`` — href target plus the anchor TEXT of
+    every ``<a>`` in document order.  Anchor text is how the web
+    describes the target page (the classic ranking / labeled-pair
+    signal: it yields (anchor, target-url) training pairs that the
+    target page's own text can't provide).
+
+    The href/anchor scan is two ``regexp_extract_all`` passes zipped
+    positionally (same pattern, groups 1 and 2 — Catalyst, scan-stage);
+    ``decode_entities`` then runs the anchor through the REAL extract
+    kernel (entity decode + whitespace collapse, same U+FFFD/entity
+    semantics as page text extraction), so '&amp;' in an anchor matches
+    the page-text form of the same string.
+    """
+    pat = '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    hrefs = F.expr(f"regexp_extract_all({html_col}, '{pat}', 1)")
+    texts = F.expr(f"regexp_extract_all({html_col}, '{pat}', 2)")
+    pairs = F.zip_with(hrefs, texts,
+                       lambda l, a: F.struct(l.alias("link"),
+                                             a.alias("anchor")))
+    out = (df.select(F.col(id_col), F.explode(pairs).alias("__p"))
+           .select(F.col(id_col), F.col("__p.link").alias("link"),
+                   F.col("__p.anchor").alias("anchor")))
+    if absolute_only:
+        out = out.filter(F.col("link").rlike("^https?://"))
+    if decode_entities:
+        from ultraviolet_spark.functions.udfs import extract_text_udf
+        out = out.withColumn("anchor", extract_text_udf("anchor"))
+    return out
+
+
+def extract_title(df: DataFrame, *, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """``(id, title)`` — the ``<title>`` element's text, entity-decoded
+    and whitespace-collapsed through the extract kernel; NULL when the
+    page has no title element (distinct from an empty title)."""
+    raw = F.regexp_extract(
+        F.col(html_col), "(?i)<title[^>]*>([^<]*)</title>", 1)
+    has = F.col(html_col).rlike("(?i)<title[^>]*>[^<]*</title>")
+    from ultraviolet_spark.functions.udfs import extract_text_udf
+    return df.select(
+        F.col(id_col),
+        F.when(has, extract_text_udf(raw)).alias("title"))
+
+
 def outlink_domain_stats(df: DataFrame, *, html_col: str = "html",
                          id_col: str = "doc_id") -> DataFrame:
     """Per-registrable-domain outlink rollup ``(domain, n_links,

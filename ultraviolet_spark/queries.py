@@ -2789,6 +2789,41 @@ def q102(spark, sf_dir):
     return skew_report(_t(spark, sf_dir, "events"), "user_id")
 
 
+@q("q103_title_anchor_pairs", """
+SELECT doc_id,
+       'Doc & Page ' || doc_id AS title,
+       'https://ex' || (doc_id % 7) || '.org/p/' || doc_id AS link,
+       'Terms & C ' || doc_id AS anchor
+FROM documents
+""")
+def q103(spark, sf_dir):
+    """Title + anchor-text extraction: pages carry an entity-laden,
+    padded <title>, one absolute anchor with an entity in its text and
+    one relative anchor that must be excluded.  The Spark side does
+    the REAL regex scan + kernel entity-decode/whitespace-collapse;
+    the oracle builds the expected decoded strings analytically."""
+    from ultraviolet_spark.operators.urls import (
+        extract_anchors,
+        extract_title,
+    )
+
+    d = F.col("doc_id").cast("string")
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title> Doc &amp; Page "), d,
+            F.lit(' </title></head><body><a href="https://ex'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org/p/"), d,
+            F.lit('">Terms &amp; C '), d,
+            F.lit('</a> <a href="/rel">skip</a></body></html>'))
+        .alias("html"))
+    titles = extract_title(pages)
+    anchors = extract_anchors(pages)
+    return titles.join(anchors, on="doc_id").select(
+        "doc_id", "title", "link", "anchor")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
