@@ -2824,6 +2824,39 @@ def q103(spark, sf_dir):
         "doc_id", "title", "link", "anchor")
 
 
+@q("q104_cdx_roundtrip", """
+SELECT 'uk,co,site' || (doc_id % 17) || ')/p/' || doc_id AS urlkey,
+       TIMESTAMP '2026-01-01' + to_seconds(doc_id) AS warc_ts,
+       'https://WWW.Site' || (doc_id % 17) || '.co.uk/p/' || doc_id AS url,
+       'text/html' AS mime,
+       200 AS status,
+       md5('https://WWW.Site' || (doc_id % 17) || '.co.uk/p/' || doc_id)
+         AS digest,
+       CAST(n_chars AS BIGINT) AS length,
+       CAST(doc_id * 100 AS BIGINT) AS offset,
+       'shard-' || (doc_id % 3) || '.warc.gz' AS filename
+FROM documents
+""")
+def q104(spark, sf_dir):
+    """CDX(J) index write→parse roundtrip: SURT urlkey derivation
+    (scheme/www dropped, host labels reversed, lowercased), 14-digit
+    timestamp format/parse, JSON blob encode/decode — all Catalyst.
+    The oracle builds every parsed field analytically from doc_id."""
+    from ultraviolet_spark.sources.cdx import cdx_lines, parse_cdx
+
+    d = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://WWW.Site"), (d % 17).cast("string"),
+                 F.lit(".co.uk/p/"), d.cast("string")).alias("url"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_dt_interval(secs=d.cast("double"))).alias("warc_ts"),
+        F.col("n_chars").alias("length"),
+        (d * 100).alias("offset"),
+        F.concat(F.lit("shard-"), (d % 3).cast("string"),
+                 F.lit(".warc.gz")).alias("filename"))
+    return parse_cdx(cdx_lines(pages))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
