@@ -110,3 +110,36 @@ def test_extract_title_null_vs_empty(spark):
         "doc_id long, html string")
     rows = {r["doc_id"]: r["title"] for r in extract_title(df).collect()}
     assert rows == {1: "A & B", 2: "", 3: None}
+
+
+def test_blocklist_filter_semantics(spark):
+    from ultraviolet_spark.operators.urls import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [(1, "https://WWW.Bad.co.uk/x"),      # domain-blocked (case)
+         (2, "https://sub.bad.co.uk/y"),      # subdomain -> same reg dom
+         (3, "https://good.org/ads/banner"),  # pattern-blocked
+         (4, "https://good.org/article"),     # clean
+         (5, "https://badco.uk.evil.com/z")], # suffix spoof -> clean
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("bad.co.uk",)], "domain string")
+    rows = {r["doc_id"]: (r["blocked_domain"], r["blocked_pattern"],
+                          r["keep"]) for r in
+            blocklist_filter(pages, bl, url_patterns=["/ads/"]).collect()}
+    assert rows == {1: (True, False, False), 2: (True, False, False),
+                    3: (False, True, False), 4: (False, False, True),
+                    5: (False, False, True)}
+
+
+def test_blocklist_filter_plan_broadcasts(spark):
+    """The domain check must be a broadcast join (never a shuffle of
+    the pages side) — the 100 TB shape."""
+    from ultraviolet_spark.operators.urls import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.org/x")], "doc_id long, url string")
+    bl = spark.createDataFrame([("b.org",)], "domain string")
+    plan = (blocklist_filter(pages, bl)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -114,6 +114,44 @@ def extract_outlinks(df: DataFrame, *, html_col: str = "html",
     return out
 
 
+def blocklist_filter(df: DataFrame, blocked_domains: DataFrame,
+                     *, url_patterns: list[str] | None = None,
+                     url_col: str = "url") -> DataFrame:
+    """URL blocklist filtering (the RefinedWeb/UT1 pipeline step):
+    flags every row with ``blocked_domain`` (registrable domain appears
+    in ``blocked_domains``, a 1-column ``domain`` frame),
+    ``blocked_pattern`` (lowercased url matches any of
+    ``url_patterns``), and ``keep`` (neither).
+
+    Scale shape: real blocklists (UT1 ≈ 4M domains) are tiny next to
+    the corpus — the domain check is a BROADCAST left join on the
+    registrable domain, never a shuffle of the pages; the pattern check
+    is one compiled regex alternation in the scan stage.  Callers
+    filter on ``keep`` but should persist the flags: blocked-rate per
+    crawl batch is a standard corpus-health metric.
+    """
+    from pyspark.sql.functions import broadcast
+
+    dom = registrable_domain(host(F.col(url_col)))
+    bl = (blocked_domains
+          .select(F.lower(F.col("domain")).alias("__bl_domain"))
+          .distinct())
+    out = (df.withColumn("domain", dom)
+           .join(broadcast(bl),
+                 F.col("domain") == F.col("__bl_domain"), "left")
+           .withColumn("blocked_domain",
+                       F.col("__bl_domain").isNotNull())
+           .drop("__bl_domain"))
+    if url_patterns:
+        alt = "|".join(f"(?:{p})" for p in url_patterns)
+        out = out.withColumn(
+            "blocked_pattern", F.lower(F.col(url_col)).rlike(alt))
+    else:
+        out = out.withColumn("blocked_pattern", F.lit(False))
+    return out.withColumn(
+        "keep", ~F.col("blocked_domain") & ~F.col("blocked_pattern"))
+
+
 def extract_anchors(df: DataFrame, *, html_col: str = "html",
                     id_col: str = "doc_id",
                     absolute_only: bool = True,
