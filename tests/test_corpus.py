@@ -225,3 +225,47 @@ def test_substring_stats_consistent_with_removal(spark, sf_dir):
     assert set(s) == set(r)
     for did in s:
         assert s[did]["dup_tokens"] == s[did]["n_tokens"] - r[did]["n_kept"], did
+
+
+def test_c4_clean_hand_cases(spark):
+    from ultraviolet_spark.operators.corpus import c4_clean
+
+    text = "\n".join([
+        "This line has enough words and ends well.",   # keep
+        "Short line.",                                   # <5 words
+        "A line that never terminates properly",         # no punct
+        "Please enable JavaScript to continue reading.", # javascript
+        'He said "stop" and walked away quickly."',      # keep (quote end)
+        "One more closing sentence appears right here!", # keep
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = c4_clean(df).first()
+    assert r["n_lines_total"] == 6
+    assert r["n_lines_kept"] == 3
+    assert r["clean_text"].split("\n") == [
+        "This line has enough words and ends well.",
+        'He said "stop" and walked away quickly."',
+        "One more closing sentence appears right here!",
+    ]
+    # sentences: 1 ('.') + 2 ('.' after stop" counts? no: [.!?] chars
+    # in kept text: line1 '.', line2 '.' , line3 '!' -> 3
+    assert r["n_sentences"] == 3
+    assert r["keep_page"] is True
+
+
+def test_c4_clean_page_level_flags(spark):
+    from ultraviolet_spark.operators.corpus import c4_clean
+
+    good = "\n".join(["A full sentence with enough words here."] * 3)
+    df = spark.createDataFrame(
+        [(1, good),
+         (2, good + "\nSome Lorem ipsum boilerplate follows now."),
+         (3, good + "\nfunction f() { return 1; }"),
+         (4, "Only one good sentence lives right here.")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["has_lorem"], r["has_brace"], r["keep_page"])
+            for r in c4_clean(df, min_sentences=3).collect()}
+    assert rows[1] == (False, False, True)
+    assert rows[2] == (True, False, False)
+    assert rows[3] == (False, True, False)
+    assert rows[4] == (False, False, False)   # < 3 sentences

@@ -65,6 +65,50 @@ def clean_corpus(docs: DataFrame, *, text_col: str = "text",
     return kept.select(*docs.columns)
 
 
+def c4_clean(docs: DataFrame, *, text_col: str = "text",
+             id_col: str = "doc_id", min_words_per_line: int = 5,
+             min_sentences: int = 3) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2) as one
+    scan-stage Catalyst expression — no UDF, no shuffle:
+
+    line level (a line survives iff ALL hold):
+      * ends in a terminal punctuation mark (``. ! ? "``),
+      * has at least ``min_words_per_line`` words,
+      * does not contain the word "javascript" (any case);
+    page level (flags returned, ``keep_page`` combines them):
+      * pages whose lowercased text contains "lorem ipsum" or a ``{``
+        are dropped,
+      * pages with fewer than ``min_sentences`` terminal marks in the
+        SURVIVING lines are dropped.
+
+    Returns ``(id, clean_text, n_lines_total, n_lines_kept,
+    n_sentences, has_lorem, has_brace, keep_page)``; ``clean_text`` is
+    the kept lines re-joined with ``\\n``.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    good = F.filter(lines, lambda ln: (
+        ln.rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line)
+        & ~F.lower(ln).contains("javascript")))
+    clean = F.array_join(good, "\n")
+    n_sent = F.size(F.regexp_extract_all(
+        F.array_join(F.col("__good"), "\n"), F.lit("[.!?]"), F.lit(0)))
+    return (docs
+            .withColumn("__good", good)
+            .select(
+                F.col(id_col),
+                clean.alias("clean_text"),
+                F.size(lines).cast("long").alias("n_lines_total"),
+                F.size("__good").cast("long").alias("n_lines_kept"),
+                n_sent.cast("long").alias("n_sentences"),
+                F.lower(c).contains("lorem ipsum").alias("has_lorem"),
+                c.contains("{").alias("has_brace"),
+                (~F.lower(c).contains("lorem ipsum")
+                 & ~c.contains("{")
+                 & (n_sent >= min_sentences)).alias("keep_page")))
+
+
 def chunk_documents(docs: DataFrame, *, max_tokens: int = 128,
                     overlap: int = 32, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

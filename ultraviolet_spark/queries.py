@@ -2885,6 +2885,66 @@ def q105(spark, sf_dir):
         "doc_id", "domain", "blocked_domain", "blocked_pattern", "keep")
 
 
+@q("q106_c4_line_clean", """
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 <> 0
+         THEN 'This is a good first line for doc ' || doc_id || '.'
+         END AS l1,
+    CASE WHEN doc_id % 3 <> 0
+         THEN 'Another perfectly fine middle line number two.' END AS l3,
+    CASE WHEN doc_id % 7 = 0
+         THEN 'Contains Lorem Ipsum filler text markers here.' END AS l4,
+    'Document ' || doc_id || ' ends with an emphatic final sentence!'
+      AS l5
+  FROM documents),
+k AS (
+  SELECT doc_id, concat_ws(chr(10), l1, l3, l4, l5) AS clean_text,
+         1 + (l1 IS NOT NULL)::INT + (l3 IS NOT NULL)::INT
+           + (l4 IS NOT NULL)::INT AS nk
+  FROM f)
+SELECT k.doc_id, clean_text,
+       CAST(5 + (k.doc_id % 11 = 0)::INT AS BIGINT) AS n_lines_total,
+       CAST(nk AS BIGINT) AS n_lines_kept,
+       CAST(nk AS BIGINT) AS n_sentences,
+       (k.doc_id % 7 = 0) AS has_lorem,
+       (k.doc_id % 11 = 0) AS has_brace,
+       (k.doc_id % 7 <> 0 AND k.doc_id % 11 <> 0 AND nk >= 3)
+         AS keep_page
+FROM k
+""")
+def q106(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. §2.2): constructed pages
+    mix keepable lines with no-terminal-punct, too-short, javascript,
+    Lorem-Ipsum and '{' lines per doc_id arithmetic; the Spark side
+    runs the REAL filter expressions, the oracle derives every output
+    (incl. the rejoined clean_text) analytically."""
+    from ultraviolet_spark.operators.corpus import c4_clean
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    l1 = F.when(d % 5 != 0,
+                F.concat(F.lit("This is a good first line for doc "),
+                         ds, F.lit("."))).otherwise(
+                             F.lit("Too short here."))
+    l2 = F.lit("No terminal punctuation in this line")
+    l3 = F.when(d % 3 == 0,
+                F.lit("Enable javascript to view this important"
+                      " content please.")).otherwise(
+        F.lit("Another perfectly fine middle line number two."))
+    l4 = F.when(d % 7 == 0,
+                F.lit("Contains Lorem Ipsum filler text markers here.")
+                ).otherwise(F.lit("Closing thoughts go here"))
+    l5 = F.concat(F.lit("Document "), ds,
+                  F.lit(" ends with an emphatic final sentence!"))
+    text = F.concat(
+        F.concat_ws("\n", l1, l2, l3, l4, l5),
+        F.when(d % 11 == 0, F.lit("\nvar x = {")).otherwise(F.lit("")))
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text"))
+    return c4_clean(pages, min_sentences=3)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
