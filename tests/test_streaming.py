@@ -118,18 +118,35 @@ def test_streaming_tumbling_counts_match_batch(spark, sf_dir, tmp_path):
     assert len(a) >= len(b) - len(set(t for _, t, _ in b))
 
 
+def _two_batch_stream(spark, feats, tmp_path, name, ts_col="warc_ts"):
+    """Split feats time-wise into two files fed ONE PER TRIGGER so
+    stateful operators must carry state across micro-batches."""
+    ts_d = F.col(ts_col).cast("timestamp").cast("double")
+    cut = feats.selectExpr(
+        f"percentile(cast(cast({ts_col} as timestamp) as double), 0.5) p"
+    ).head()["p"]
+    srcdir = tmp_path / f"in_{name}"
+    srcdir.mkdir()
+    for fname, part in (("a_early", feats.filter(ts_d < cut)),
+                        ("b_late", feats.filter(ts_d >= cut))):
+        d = tmp_path / f"{name}_{fname}"
+        part.coalesce(1).write.parquet(str(d))
+        (srcdir / f"{fname}.parquet").symlink_to(
+            next(d.glob("part-*.parquet")))
+    return (spark.readStream.schema(feats.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet").load(str(srcdir)))
+
+
 def test_streaming_crawl_progress_matches_batch_lag(spark, pages_path, tmp_path):
     from ultraviolet_spark.streaming.stateful import streaming_crawl_progress
 
     pages = spark.read.parquet(pages_path)
     feats = pages.select("url", "warc_ts",
                          F.length("text").cast("long").alias("text_len"))
-    outdir = tmp_path / "feats_out"
-    feats.coalesce(1).write.parquet(str(outdir))
-    # symlink the PART FILE: the file-stream source won't traverse a
-    # symlinked directory
-    part = next(outdir.glob("part-*.parquet"))
-    stream = _file_stream(spark, tmp_path, str(part), "crawl")
+    # two micro-batches: the cross-batch state path (where the
+    # state.get-is-a-property bug hid) must be exercised
+    stream = _two_batch_stream(spark, feats, tmp_path, "crawl")
     out = streaming_crawl_progress(stream)
     _run_to_memory(out, "uv_crawl", tmp_path, mode="append")
     got = spark.sql(
@@ -146,3 +163,29 @@ def test_streaming_crawl_progress_matches_batch_lag(spark, pages_path, tmp_path)
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.select(got.columns).collect()))
     assert a == b
+
+
+def test_streaming_ffill_matches_batch(spark, pages_path, tmp_path):
+    """Cross-micro-batch state: the stream is split time-wise into two
+    files fed one per trigger, so fills in batch 2 depend on state
+    carried from batch 1; result must equal the batch window ffill."""
+    from ultraviolet_spark.operators.windows import with_ffill
+    from ultraviolet_spark.streaming.stateful import streaming_ffill
+
+    pages = spark.read.parquet(pages_path)
+    feats = pages.select(
+        "url", "warc_ts",
+        F.when(F.abs(F.hash("url", "warc_ts")) % 3 == 0, None)
+         .otherwise(F.col("lang")).alias("lang"))
+    stream = _two_batch_stream(spark, feats, tmp_path, "ffill")
+    out = streaming_ffill(stream)
+    _run_to_memory(out, "uv_ffill", tmp_path)
+
+    got = sorted(map(tuple, spark.sql(
+        "SELECT url, warc_ts, lang, lang_ffill FROM uv_ffill").collect()))
+    want = sorted(map(tuple, with_ffill(feats, "lang")
+                      .select("url", "warc_ts", "lang", "lang_ffill")
+                      .collect()))
+    assert got == want
+    # the nulling actually exercised the fill
+    assert any(g[2] is None and g[3] is not None for g in got)

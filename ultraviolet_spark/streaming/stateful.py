@@ -53,6 +53,71 @@ def streaming_windowed_counts(stream: DataFrame, *, ts_col: str = "ts",
     )
 
 
+FFILL_STATE_SCHEMA = T.StructType([
+    T.StructField("last_val", T.StringType()),
+])
+
+FFILL_OUT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("lang_ffill", T.StringType()),
+    T.StructField("was_null", T.BooleanType()),
+])
+
+
+def streaming_ffill(stream: DataFrame, *, by: str = "url",
+                    ts_col: str = "warc_ts", col: str = "lang",
+                    watermark: str = "1 day") -> DataFrame:
+    """Streaming last-observed forward-fill — the north-star backfill
+    feature as a stateful operator: per key, NULLs in ``col`` are
+    replaced by the most recent non-NULL observation, ACROSS
+    micro-batch boundaries (state = one string per live key).
+
+    The batch twin is ``operators.windows.with_ffill`` (same output
+    column name ``{col}_ffill``); equality on identical input is
+    pinned in tests/test_streaming.py.  Rows inside a micro-batch are
+    processed in event-time order; a NULL with no prior observation
+    anywhere stays NULL (same as the batch window semantics).
+    """
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        # GroupState.get is a PROPERTY in PySpark (calling it raises
+        # "'tuple' object is not callable" on the 2nd micro-batch)
+        (last,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            vals = pdf[col]
+            filled = vals.ffill()
+            if last is not None:
+                filled = filled.fillna(last)
+            yield pd.DataFrame({
+                "url": pdf[by],
+                "warc_ts": pdf[ts_col],
+                "lang": vals,
+                "lang_ffill": filled,
+                "was_null": vals.isna(),
+            })
+            nn = vals.dropna()
+            if len(nn):
+                last = nn.iloc[-1]
+        state.update((last,))
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(by)
+        .applyInPandasWithState(
+            update,
+            outputStructType=FFILL_OUT_SCHEMA,
+            stateStructType=FFILL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 CRAWL_STATE_SCHEMA = T.StructType([
     T.StructField("n_crawls", T.LongType()),
     T.StructField("last_len", T.LongType()),
@@ -83,7 +148,7 @@ def streaming_crawl_progress(stream: DataFrame, *, by: str = "url",
 
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: Any) -> Iterator[pd.DataFrame]:
-        n, last = state.get() if state.exists else (0, -1)
+        n, last = state.get if state.exists else (0, -1)  # .get: property
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             lens = pdf[len_col].astype("int64")
