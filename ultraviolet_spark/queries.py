@@ -2945,6 +2945,52 @@ def q106(spark, sf_dir):
     return c4_clean(pages, min_sentences=3)
 
 
+@q("q107_robots_allowed", """
+SELECT doc_id,
+       'https://site' || (doc_id % 5) || '.com' ||
+       CASE WHEN doc_id % 4 = 0 THEN '/public/page' || doc_id
+            WHEN doc_id % 4 = 1 THEN '/private/page' || doc_id
+            WHEN doc_id % 4 = 2 THEN '/private/open/page' || doc_id
+            ELSE '/' END AS url,
+       CASE WHEN doc_id % 5 = 4 THEN true          -- no robots.txt
+            WHEN doc_id % 4 = 1 THEN false         -- Disallow: /private/
+            ELSE true END AS allowed
+FROM documents
+""")
+def q107(spark, sf_dir):
+    """robots.txt admission (RFC 9309): hosts 0-3 publish a policy
+    with a comment, a badbot group, an empty Disallow (allow-all
+    no-op) and an Allow that overrides a Disallow by longest-match;
+    host 4 has no robots.txt (everything allowed).  The Spark side
+    REALLY parses the file and applies longest-match; the oracle
+    derives the verdict analytically."""
+    from ultraviolet_spark.operators.robots import is_allowed, parse_robots
+
+    txt = ("# crawler policy\n"
+           "User-agent: badbot\n"
+           "Disallow: /\n"
+           "\n"
+           "User-agent: *\n"
+           "Disallow: /private/\n"
+           "Allow: /private/open/\n"
+           "Disallow:\n")
+    robots = spark.createDataFrame(
+        [(f"site{i}.com", txt) for i in range(4)],
+        "host string, robots_txt string")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    path = (F.when(d % 4 == 0, F.concat(F.lit("/public/page"), ds))
+            .when(d % 4 == 1, F.concat(F.lit("/private/page"), ds))
+            .when(d % 4 == 2, F.concat(F.lit("/private/open/page"), ds))
+            .otherwise(F.lit("/")))
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://site"), (d % 5).cast("string"),
+                 F.lit(".com"), path).alias("url"))
+    return is_allowed(urls, parse_robots(robots)).select(
+        "doc_id", "url", "allowed")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
