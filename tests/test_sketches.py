@@ -58,3 +58,52 @@ def test_heavy_hitters_partitioning_invariant(spark, sf_dir):
     b = {(r["token"], r["cnt"]) for r in
          heavy_hitter_tokens(docs.repartition(17), k=50).collect()}
     assert a == b == _exact(spark, docs, 50)
+
+
+def test_bloom_no_false_negatives_and_reference_equality(spark, sf_dir):
+    """Every inserted value MUST probe true; probe results must equal
+    a pure-Python md5 reference bit-for-bit."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (docs.select(F.explode(F.split(F.lower(F.trim("text")),
+                                          r"\s+")).alias("tok"))
+            .filter(F.col("tok") != "").distinct())
+    n_bits, k = 512, 3
+    bloom = bloom_build(toks, col="tok", n_bits=n_bits, k=k)
+
+    # self-probe: zero false negatives, regardless of FP pressure
+    self_probe = bloom_might_contain(toks, bloom, col="tok",
+                                     n_bits=n_bits, k=k)
+    assert self_probe.filter(~F.col("might_contain")).count() == 0
+
+    # foreign probes match the reference implementation exactly
+    vocab = {r["tok"] for r in toks.collect()}
+    bits = set()
+    for t in vocab:
+        for i in range(k):
+            bits.add(int(hashlib.md5(f"{t}:{i}".encode())
+                         .hexdigest()[:12], 16) % n_bits)
+
+    def ref(t):
+        return all(int(hashlib.md5(f"{t}:{i}".encode())
+                       .hexdigest()[:12], 16) % n_bits in bits
+                   for i in range(k))
+
+    foreign = [f"zz{i}" for i in range(200)]
+    fdf = spark.createDataFrame([(t,) for t in foreign], "tok string")
+    got = {r["tok"]: r["might_contain"] for r in
+           bloom_might_contain(fdf, bloom, col="tok",
+                               n_bits=n_bits, k=k).collect()}
+    want = {t: ref(t) for t in foreign}
+    assert got == want
+    # at 512 bits the filter is saturated enough to show real FPs,
+    # proving the probe isn't an exact join in disguise
+    assert any(want.values()) and not all(want.values())

@@ -91,3 +91,72 @@ def heavy_hitter_tokens(docs: DataFrame, *, k: int = 100,
     return (counts.crossJoin(F.broadcast(total))
             .filter(F.col("cnt") * k > F.col("__n"))
             .select("token", "cnt"))
+
+
+# ------------------------------------------------------------------ bloom
+
+def _bloom_positions(v, *, n_bits: int, k: int):
+    """k bit positions for string column ``v``: the first 12 md5 hex
+    chars of ``value:i`` as an integer mod n_bits — deterministic and
+    reproducible in ANY engine with md5 (that's what makes the Bloom
+    membership exactly oracle-able, unlike library filters whose hash
+    seeds are private)."""
+    return [
+        (F.conv(F.substring(
+            F.md5(F.encode(F.concat(v, F.lit(f":{i}")), "UTF-8")),
+            1, 12), 16, 10).cast("long") % n_bits)
+        for i in range(k)
+    ]
+
+
+def bloom_build(df: DataFrame, *, col: str, n_bits: int = 2 ** 23,
+                k: int = 3) -> DataFrame:
+    """DISTRIBUTED Bloom filter as a ``(word_idx, word)`` table of
+    32-bit words — never collected to the driver (a 2^30-bit filter is
+    just a 33M-row/260MB table), built with ONE partial-aggregated
+    shuffle on word_idx, and consumed by broadcast in
+    :func:`bloom_might_contain`.
+
+    The classic use is web-scale decontamination: build over the
+    benchmark set's n-grams once, probe 10^12 document n-grams with no
+    false negatives by construction (a bit every hash set is never
+    unset) and FP rate ~(1-e^{-kn/m})^k.
+    """
+    v = F.col(col).cast("string")
+    pos = F.explode(F.array(*_bloom_positions(
+        v, n_bits=n_bits, k=k))).alias("__pos")
+    return (df.filter(v.isNotNull()).select(pos)
+            .select(F.floor(F.col("__pos") / 32).alias("word_idx"),
+                    F.expr("shiftleft(1L, cast(__pos % 32 as int))")
+                    .alias("__bit"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("__bit").alias("word")))
+
+
+def bloom_might_contain(df: DataFrame, bloom: DataFrame, *, col: str,
+                        n_bits: int = 2 ** 23, k: int = 3,
+                        out: str = "might_contain") -> DataFrame:
+    """``df`` + boolean ``out``: true iff ALL k bits for ``col`` are
+    set in ``bloom`` (a ``bloom_build`` result with the same n_bits/k —
+    the caller owns that contract).  No false negatives; false
+    positives at the filter's design rate.
+
+    Plan: explode k probe positions, broadcast-join the bloom words,
+    bool_and per input row — the probe side never shuffles.
+    """
+    from pyspark.sql.functions import broadcast
+
+    v = F.col(col).cast("string")
+    probes = (df.withColumn("__pos", F.explode(F.array(
+        *_bloom_positions(v, n_bits=n_bits, k=k))))
+        .withColumn("__w", F.floor(F.col("__pos") / 32))
+        .withColumn("__bit",
+                    F.expr("shiftleft(1L, cast(__pos % 32 as int))")))
+    joined = (probes.join(broadcast(bloom),
+                          probes["__w"] == bloom["word_idx"], "left")
+              .withColumn("__hit",
+                          F.col("word").isNotNull()
+                          & (F.col("word").bitwiseAND(F.col("__bit"))
+                             != 0)))
+    return (joined.groupBy(*df.columns)
+            .agg(F.bool_and("__hit").alias(out)))

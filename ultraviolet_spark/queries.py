@@ -2991,6 +2991,62 @@ def q107(spark, sf_dir):
         "doc_id", "url", "allowed")
 
 
+@q("q108_bloom_membership", """
+WITH ev AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+    AS tok FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0),
+od AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+    AS tok FROM documents WHERE doc_id % 2 = 1 AND length(trim(text)) > 0),
+bloom AS (
+  SELECT p // 32 AS w,
+         bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+  FROM (SELECT CAST(CAST(('0x' || substr(md5(tok || ':' || i), 1, 12))
+                    AS UBIGINT) % 2048 AS BIGINT) AS p
+        FROM ev, (SELECT unnest(range(3)) AS i))
+  GROUP BY 1),
+probe AS (
+  SELECT tok, i,
+         CAST(CAST(('0x' || substr(md5(tok || ':' || i), 1, 12))
+              AS UBIGINT) % 2048 AS BIGINT) AS p
+  FROM od, (SELECT unnest(range(3)) AS i))
+SELECT probe.tok AS tok,
+       bool_and(word IS NOT NULL
+                AND (word & (1::BIGINT << CAST(p % 32 AS INT))) != 0)
+         AS might_contain,
+       bool_and(EXISTS (SELECT 1 FROM ev WHERE ev.tok = probe.tok))
+         AS actually_in
+FROM probe LEFT JOIN bloom ON probe.p // 32 = bloom.w
+GROUP BY probe.tok
+""")
+def q108(spark, sf_dir):
+    """Distributed Bloom-filter membership (decontamination scale
+    path): filter built over even-doc vocabulary as a (word_idx, word)
+    TABLE (no driver collect), probed with odd-doc vocabulary.  2048
+    bits forces real false positives; actually_in (exact) is computed
+    alongside so the no-false-negative invariant is visible in the
+    result itself.  md5-derived positions make the whole filter
+    bit-identical cross-engine — the oracle rebuilds it in SQL."""
+    from ultraviolet_spark.operators.dedup import shingles
+    from ultraviolet_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = (shingles(docs.filter(F.col("doc_id") % 2 == 0), n=1)
+          .select(F.col("shingle").alias("tok")).distinct())
+    od = (shingles(docs.filter(F.col("doc_id") % 2 == 1), n=1)
+          .select(F.col("shingle").alias("tok")).distinct())
+    bloom = bloom_build(ev, col="tok", n_bits=2048, k=3)
+    out = bloom_might_contain(od, bloom, col="tok", n_bits=2048, k=3)
+    exact = ev.withColumn("actually_in", F.lit(True))
+    return (out.join(exact, on="tok", how="left")
+            .select("tok", "might_contain",
+                    F.coalesce("actually_in", F.lit(False))
+                    .alias("actually_in")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
