@@ -3047,6 +3047,33 @@ def q108(spark, sf_dir):
                     .alias("actually_in")))
 
 
+@q("q109_sitemap_roundtrip", """
+SELECT 'site' || (doc_id % 17) || '.co.uk' AS host,
+       'https://site' || (doc_id % 17) || '.co.uk/p/' || doc_id AS loc,
+       TIMESTAMP '2026-01-01' + to_days(CAST(doc_id % 28 AS INT))
+         AS lastmod,
+       CAST(NULL AS VARCHAR) AS changefreq,
+       CAST(NULL AS DOUBLE) AS priority
+FROM documents
+""")
+def q109(spark, sf_dir):
+    """Sitemap XML write→parse roundtrip: per-host <urlset> documents
+    built from doc_id, parsed back with Spark 4's native from_xml
+    (JVM-side Catalyst XML) + W3C-date handling; the oracle constructs
+    every parsed field analytically and never sees XML."""
+    from ultraviolet_spark.sources.sitemap import build_sitemap, parse_sitemap
+
+    d = F.col("doc_id")
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("site"), (d % 17).cast("string"),
+                 F.lit(".co.uk")).alias("host"),
+        F.concat(F.lit("https://site"), (d % 17).cast("string"),
+                 F.lit(".co.uk/p/"), d.cast("string")).alias("loc"),
+        F.date_add(F.lit("2026-01-01").cast("date"),
+                   (d % 28).cast("int")).alias("lm"))
+    return parse_sitemap(build_sitemap(urls, lastmod_col="lm"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
