@@ -251,3 +251,34 @@ def test_decode_features_poison_blobs_survive(spark):
     out = M.decode_features(df).toPandas()
     assert len(out) == 5
     assert set(out["kind"]) == {"unknown"}
+
+
+def test_split_sentences_cases(spark):
+    from ultraviolet_spark.operators.textstats import split_sentences
+
+    cases = [
+        # abbreviations, any case
+        (1, "Mr. Jones met Mrs. Lee. They left.",
+         ["Mr. Jones met Mrs. Lee.", "They left."]),
+        # decimals never split; quotes open a sentence
+        (2, 'Pi is 3.14 roughly. "Correct," she said.',
+         ["Pi is 3.14 roughly.", '"Correct," she said.']),
+        # closing quote belongs to the left sentence
+        (3, 'He said "go." Then silence!',
+         ['He said "go."', "Then silence!"]),
+        # e.g./i.e. internal dots protected
+        (4, "Use tools, e.g. Spark. I.e. distributed ones.",
+         ["Use tools, e.g. Spark.", "I.e. distributed ones."]),
+        # lowercase after the dot -> NOT a boundary
+        (5, "see section 2. then continue",
+         ["see section 2. then continue"]),
+        (6, "No punctuation at all", ["No punctuation at all"]),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases],
+                               "doc_id long, text string")
+    got = {}
+    for r in split_sentences(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    for i, _, want in cases:
+        sents = [s for _, s in sorted(got[i])]
+        assert sents == want, (i, sents)

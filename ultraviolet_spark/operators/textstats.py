@@ -374,6 +374,45 @@ def lm_cross_entropy(df: DataFrame, *, model_docs: DataFrame | None = None,
                      .alias("cross_entropy")))
 
 
+_SENT_ABBREV = ("mr", "mrs", "ms", "dr", "prof", "st", "vs", "etc",
+                "jr", "sr", "approx", "dept", "fig")
+_SENT_SENTINEL = "\uE000"   # private-use: protects abbreviation dots
+
+
+def split_sentences(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """``(id, sent_idx, sentence)`` — rule-based sentence splitting,
+    the preprocessing step under sentence-level dedup / filtering /
+    pair-mining.  Deterministic rules (documented, not ML):
+
+    * boundary = terminal punctuation ``[.!?]`` (optionally followed by
+      a closing quote) + whitespace + an uppercase/digit/quote opener;
+    * decimal numbers never split (no whitespace after the dot);
+    * a fixed abbreviation list (Mr./Dr./etc./e.g./i.e., any case)
+      never splits — their dots are sentinel-swapped before the split
+      and restored after.
+
+    Pure Catalyst: three regexp_replace + one split + posexplode, all
+    scan-stage, embarrassingly parallel.
+    """
+    s = F.col(text_col)
+    # e.g. / i.e. carry an internal dot — protect both dots first
+    s = F.regexp_replace(
+        s, r"(?i)\b([ei])\.(g|e)\.",
+        f"$1{_SENT_SENTINEL}$2{_SENT_SENTINEL}")
+    s = F.regexp_replace(
+        s, r"(?i)\b(" + "|".join(_SENT_ABBREV) + r")\.",
+        f"$1{_SENT_SENTINEL}")
+    parts = F.split(s, r"(?<=[.!?][\"']?)\s+(?=[\"'A-Z0-9])")
+    return (df
+            .select(F.col(id_col),
+                    F.posexplode(parts).alias("sent_idx", "__s"))
+            .select(F.col(id_col), "sent_idx",
+                    F.regexp_replace("__s", _SENT_SENTINEL, ".")
+                    .alias("sentence"))
+            .filter(F.length(F.trim("sentence")) > 0))
+
+
 def pmi_pairs(docs: DataFrame, *, min_pair_docs: int = 5,
               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Doc-level co-occurrence PMI (pointwise mutual information,
