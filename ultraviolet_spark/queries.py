@@ -3099,6 +3099,60 @@ def q110(spark, sf_dir):
     return split_sentences(docs)
 
 
+@q("q111_crawl_frontier", """
+SELECT doc_id,
+       'https://site' || (doc_id % 5) || '.com' ||
+       CASE WHEN doc_id % 4 = 0 THEN '/public/page' || doc_id
+            WHEN doc_id % 4 = 1 THEN '/private/page' || doc_id
+            WHEN doc_id % 4 = 2 THEN '/private/open/page' || doc_id
+            ELSE '/' END AS url,
+       (doc_id % 5 = 4 OR doc_id % 4 <> 1) AS allowed,
+       (doc_id % 5 = 2) AS blocked_domain,
+       -- '/' URLs (doc_id%4=3) collide across docs: the same
+       -- https://siteN.com/ is crawled whenever ANY doc ≡0 (mod 3)
+       -- shares the host, which by CRT always happens at 500 docs
+       (doc_id % 3 = 0 OR doc_id % 4 = 3) AS already_crawled,
+       ((doc_id % 5 = 4 OR doc_id % 4 <> 1)
+        AND doc_id % 5 <> 2
+        AND NOT (doc_id % 3 = 0 OR doc_id % 4 = 3)) AS frontier
+FROM documents
+""")
+def q111(spark, sf_dir):
+    """End-to-end crawl-frontier composition: robots admission (q107's
+    policy) + blocklist (site2.com) + already-crawled anti-membership
+    via SURT keys against a CDX index built over every third URL.  The
+    oracle derives all four verdicts analytically."""
+    from ultraviolet_spark.operators.frontier import build_frontier
+    from ultraviolet_spark.operators.robots import parse_robots
+    from ultraviolet_spark.sources.cdx import cdx_lines, parse_cdx
+
+    txt = ("User-agent: *\n"
+           "Disallow: /private/\n"
+           "Allow: /private/open/\n")
+    robots = spark.createDataFrame(
+        [(f"site{i}.com", txt) for i in range(4)],
+        "host string, robots_txt string")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    path = (F.when(d % 4 == 0, F.concat(F.lit("/public/page"), ds))
+            .when(d % 4 == 1, F.concat(F.lit("/private/page"), ds))
+            .when(d % 4 == 2, F.concat(F.lit("/private/open/page"), ds))
+            .otherwise(F.lit("/")))
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://site"), (d % 5).cast("string"),
+                 F.lit(".com"), path).alias("url"))
+    cdx = parse_cdx(cdx_lines(
+        urls.filter(d % 3 == 0).select(
+            "url",
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            .alias("warc_ts"))))
+    bl = spark.createDataFrame([("site2.com",)], "domain string")
+    return build_frontier(urls, parse_robots(robots), bl, cdx).select(
+        "doc_id", "url", "allowed", "blocked_domain",
+        "already_crawled", "frontier")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
