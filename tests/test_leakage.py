@@ -80,3 +80,33 @@ def test_leaky_feature_fails_this_harness(spark, pages):
     a = _sorted_pdf(full, cols)
     b = _sorted_pdf(truncated, cols)
     assert not a.equals(b)  # the future-peeking column must differ
+
+
+def test_recrawl_estimates_closed_form(spark):
+    """Hand-computable history: 4 crawls, 2 changes, uniform 100 s
+    gaps -> r = 2/4, rate = -ln(0.5)/100."""
+    import datetime as dt
+    import math
+
+    from ultraviolet_spark.operators.windows import recrawl_estimates
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [("u", t0 + dt.timedelta(seconds=100 * i), c)
+            for i, c in enumerate(["a", "a", "b", "c"])]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp,"
+                                     " text string")
+    r = recrawl_estimates(df).first()
+    assert (r["n_crawls"], r["n_changed"]) == (4, 2)
+    assert r["mean_gap_secs"] == 100.0
+    assert r["change_rate"] == round(-math.log(1 - 2 / 4) / 100, 9)
+    # single-crawl keys have no intervals -> excluded
+    one = spark.createDataFrame([("v", t0, "x")],
+                                "url string, warc_ts timestamp, text string")
+    assert recrawl_estimates(one).count() == 0
+    # all-changed history stays finite (the +1 regularizer)
+    allc = spark.createDataFrame(
+        [("w", t0 + dt.timedelta(seconds=60 * i), f"v{i}")
+         for i in range(3)],
+        "url string, warc_ts timestamp, text string")
+    rate = recrawl_estimates(allc).first()["change_rate"]
+    assert rate == round(-math.log(1 - 2 / 3) / 60, 9)

@@ -166,6 +166,48 @@ def with_change_features(df: DataFrame, *, by: str = "url",
             .drop("__tk", "__ptext", "__ptk"))
 
 
+def recrawl_estimates(df: DataFrame, *, by: str = "url",
+                      order: str = "warc_ts",
+                      content_col: str = "text",
+                      tiebreak: str | None = None) -> DataFrame:
+    """Per-key page-change-rate estimation (Cho & Garcia-Molina 2003):
+    from the observed crawl history, estimate the Poisson change rate
+    that drives re-crawl scheduling.
+
+    Per key with ≥ 2 observations:
+    ``(key, n_crawls, n_changed, mean_gap_secs, change_rate)`` where
+    n_changed counts observations whose content differs from the
+    previous crawl, and
+    ``change_rate = -ln(1 - n_changed/(n_intervals+1)) / mean_gap``
+    — the +1 regularizer keeps the estimator finite when every crawl
+    changed (the paper's bias-corrected variant; r → 1 would diverge).
+
+    One window over (key, ts) — the SAME single url-hash exchange every
+    other PIT feature shares — then a partial-agg groupBy.  Rounded to
+    6 so the oracle compares stable doubles (one ln per key).
+    """
+    w = _w(by, order, tiebreak)
+    ts = F.col(order).cast("timestamp").cast("double")
+    d = (df.select(
+            F.col(by),
+            (F.col(content_col) != F.lag(content_col).over(w))
+            .alias("__chg"),
+            (ts - F.lag(ts).over(w)).alias("__gap")))
+    agg = (d.groupBy(by)
+           .agg(F.count("*").cast("long").alias("n_crawls"),
+                F.sum(F.col("__chg").cast("long")).alias("n_changed"),
+                F.avg("__gap").alias("__mean_gap"),
+                F.count("__gap").cast("long").alias("__n_int"))
+           .filter(F.col("__n_int") >= 1))
+    r = F.col("n_changed") / (F.col("__n_int") + 1)
+    return agg.select(
+        F.col(by), "n_crawls",
+        F.col("n_changed").cast("long").alias("n_changed"),
+        F.round("__mean_gap", 6).alias("mean_gap_secs"),
+        F.round(-F.log(F.lit(1.0) - r) / F.col("__mean_gap"), 9)
+         .alias("change_rate"))
+
+
 def with_rolling_stats(df: DataFrame, col: str, *, by: str = "url",
                        order: str = "warc_ts", n: int = 3,
                        tiebreak: str | None = None,

@@ -3153,6 +3153,40 @@ def q111(spark, sf_dir):
         "already_crawled", "frontier")
 
 
+@q("q112_recrawl_rates", """
+WITH d AS (
+  SELECT user_id,
+         (event_type <> lag(event_type) OVER w) AS chg,
+         (epoch(ts) - lag(epoch(ts)) OVER w) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_crawls,
+         CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed,
+         avg(gap) AS mean_gap,
+         CAST(count(gap) AS BIGINT) AS n_int
+  FROM d GROUP BY user_id)
+SELECT user_id, n_crawls, n_changed,
+       round(mean_gap, 6) AS mean_gap_secs,
+       round(-ln(1 - CAST(n_changed AS DOUBLE) / (n_int + 1))
+             / mean_gap, 9) AS change_rate
+FROM a WHERE n_int >= 1
+""")
+def q112(spark, sf_dir):
+    """Cho & Garcia-Molina page-change-rate estimation over the event
+    stream (user_id plays the url, event_type the content hash):
+    regularized Poisson estimator -ln(1-r)/mean_gap, one ln per key,
+    mirrored exactly in SQL."""
+    from ultraviolet_spark.operators.windows import recrawl_estimates
+
+    return recrawl_estimates(
+        _t(spark, sf_dir, "events"),
+        by="user_id", order="ts", content_col="event_type",
+        tiebreak="event_id")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
