@@ -1,0 +1,67 @@
+"""Feature-store history semantics: SCD2 validity intervals over crawl
+observations, and point-in-time lookup against them.
+
+The as-of join (``operators/asof.py``) answers "latest observation ≤ t"
+by sorting + merging; the SCD2 form answers the same question as data:
+each observation becomes a ``[valid_from, valid_to)`` interval
+(``valid_to`` = next observation's timestamp, NULL while current), so a
+PIT lookup is a plain interval predicate — the representation feature
+stores persist, because it makes *every* historical training-set build
+a self-join-free scan.  Training-set reproducibility note: a lookup at
+time t returns exactly the feature version a model trained at time t
+would have seen — the zero-leakage invariant, by construction (an
+interval's data never includes anything after its own valid_from).
+
+Scale: ``scd2_intervals`` is ONE window over (key, ts) — the same
+url-hash exchange every other PIT feature shares.  ``pit_lookup`` is an
+equi-join on the key plus the interval predicate; over a
+key-bucketed layout both sides co-locate (zero extra exchange, see
+plans/layout.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_intervals(df: DataFrame, *, by: str = "url",
+                   order: str = "warc_ts",
+                   tiebreak: str | None = None) -> DataFrame:
+    """All input columns + ``valid_from`` (= ``order``), ``valid_to``
+    (next observation's ``order``, NULL for the current row) and
+    ``is_current``."""
+    cols = [F.col(order)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(by).orderBy(*cols)
+    return (df
+            .withColumn("valid_from", F.col(order))
+            .withColumn("valid_to", F.lead(order).over(w))
+            .withColumn("is_current", F.col("valid_to").isNull()))
+
+
+def pit_lookup(intervals: DataFrame, probes: DataFrame, *,
+               by: str = "url", ts_col: str = "ts",
+               how: str = "left") -> DataFrame:
+    """For each probe row, the interval row covering its timestamp
+    (``valid_from ≤ ts < valid_to``, open current interval matches
+    everything ≥ its valid_from).  Probes earlier than the key's first
+    observation get NULL feature columns (``how='left'``) or are
+    dropped (``how='inner'``).
+
+    Equal to ``asof_join(probes, observations, direction='backward')``
+    when intervals are gapless — pinned by a test — but expressed as a
+    join against the STORED interval table, which is what a feature
+    store executes.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    p = probes.alias("__p")
+    i = intervals.alias("__i")
+    cond = ((F.col(f"__p.{by}") == F.col(f"__i.{by}"))
+            & (F.col(f"__i.valid_from") <= F.col(f"__p.{ts_col}"))
+            & (F.col("__i.valid_to").isNull()
+               | (F.col(f"__p.{ts_col}") < F.col("__i.valid_to"))))
+    feat_cols = [c for c in intervals.columns if c not in probes.columns]
+    return p.join(i, cond, how).select(
+        *[F.col(f"__p.{c}") for c in probes.columns],
+        *[F.col(f"__i.{c}") for c in feat_cols])

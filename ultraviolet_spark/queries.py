@@ -3187,6 +3187,38 @@ def q112(spark, sf_dir):
         tiebreak="event_id")
 
 
+@q("q113_scd2_pit_lookup", """
+WITH probes AS (
+  SELECT event_id, user_id, ts + INTERVAL 30 MINUTE AS pts FROM events)
+SELECT p.event_id, p.user_id, p.pts,
+       e.event_type AS feat_event_type,
+       e.value AS feat_value
+FROM probes p
+ASOF LEFT JOIN events e
+  ON p.user_id = e.user_id AND e.ts <= p.pts
+""")
+def q113(spark, sf_dir):
+    """SCD2 validity intervals + point-in-time lookup: observations
+    become [valid_from, valid_to) rows, probes (every event shifted
+    +30 min) join by interval predicate.  The oracle is DuckDB's
+    native ASOF JOIN — an INDEPENDENT implementation of the same
+    latest-≤ semantics, so a hash match is real PIT-correctness
+    evidence (same cross-check family as q15)."""
+    from ultraviolet_spark.operators.history import pit_lookup, scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = scd2_intervals(
+        ev.select("user_id", "ts",
+                  F.col("event_type").alias("feat_event_type"),
+                  F.col("value").alias("feat_value")),
+        by="user_id", order="ts").drop("ts")
+    probes = ev.select(
+        "event_id", "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("pts"))
+    return pit_lookup(intervals, probes, by="user_id", ts_col="pts").select(
+        "event_id", "user_id", "pts", "feat_event_type", "feat_value")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
