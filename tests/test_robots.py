@@ -90,3 +90,28 @@ def test_allow_beats_disallow_on_tie(spark):
         [("t.com", txt)], "host string, robots_txt string"))
     u = spark.createDataFrame([("https://t.com/a/x",)], "url string")
     assert is_allowed(u, rules).first()["allowed"] is True
+
+
+def test_is_allowed_never_shuffles_url_side(spark):
+    """The 10^12-URL shape: every Exchange in the plan partitions on
+    RULES-side columns (host/agent bookkeeping); the URL side must flow
+    scan -> broadcast-join -> project with no hashpartitioning on any
+    of its columns."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.robots import is_allowed
+
+    urls = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://h.com/p/"), F.col("id")).alias("url"))
+    rules = spark.createDataFrame(
+        [("h.com", "*", "disallow", "/private/", 1)],
+        "host string, agent string, directive string, path string,"
+        " line_no int")
+    plan = (is_allowed(urls, rules)
+            ._jdf.queryExecution().executedPlan().toString())
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" not in part and "url" not in part \
+            and "__path" not in part, part

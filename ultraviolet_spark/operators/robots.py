@@ -77,6 +77,12 @@ def is_allowed(urls: DataFrame, rules: DataFrame, *,
     specific agent, ONLY that group applies; otherwise the ``*`` group;
     otherwise everything is allowed.  Longest matching path prefix
     wins; Allow beats Disallow at equal length.
+
+    Scale shape: the URL side NEVER shuffles — rules are collapsed to
+    one array row per host (all shuffles happen on the tiny rules
+    frame), broadcast, and the longest-match is a per-row
+    ``F.aggregate`` fold over that array.  A 10^12-URL frontier scan
+    stays a scan.
     """
     from pyspark.sql.functions import broadcast
 
@@ -89,27 +95,28 @@ def is_allowed(urls: DataFrame, rules: DataFrame, *,
                  F.col(url_col), r"^(?:https?://)?[^/]*(/.*)$", 1),
                  F.lit("")),
              F.lit("/"))))
-    r = rules.filter(F.col("agent").isin(a, "*"))
-    has_specific = (r.filter(F.col("agent") == a)
-                    .select("host").distinct()
-                    .withColumnRenamed("host", "__sh"))
-    r = (r.join(broadcast(has_specific),
-                r["host"] == has_specific["__sh"], "left")
-         .filter((F.col("agent") == a)
-                 | F.col("__sh").isNull())
-         .select("host", "directive", "path"))
-    j = (u.join(broadcast(r), u["__host"] == r["host"], "left")
-         .withColumn("__m",
-                     F.col("path").isNotNull()
-                     & F.col("__path").startswith(F.col("path"))))
-    # longest matching rule; Allow ('allow' < 'disallow') wins ties via
-    # max on (len, directive=='allow')
-    best = (j.groupBy(*urls.columns)
-            .agg(F.max(F.when(F.col("__m"), F.struct(
-                F.length("path").alias("l"),
-                (F.col("directive") == "allow").alias("is_allow"))))
-             .alias("__best")))
-    return best.select(
-        *urls.columns,
-        F.coalesce(F.col("__best.is_allow"), F.lit(True))
-         .alias("allowed"))
+    # per host: the specific agent's group when present, else '*'
+    r = (rules.filter(F.col("agent").isin(a, "*"))
+         .withColumn("__pref", (F.col("agent") == a).cast("int")))
+    mx = r.groupBy("host").agg(F.max("__pref").alias("__mx"))
+    arr = (r.join(mx, on="host")
+           .filter(F.col("__pref") == F.col("__mx"))
+           .groupBy("host")
+           .agg(F.collect_list(F.struct(
+               F.length("path").cast("int").alias("l"),
+               (F.col("directive") == "allow").alias("is_allow"),
+               F.col("path").alias("p"))).alias("__rules")))
+    j = u.join(broadcast(arr), u["__host"] == arr["host"], "left")
+    init = F.struct(F.lit(-1).cast("int").alias("l"),
+                    F.lit(True).alias("is_allow"))
+    empty = F.array().cast(
+        "array<struct<l:int,is_allow:boolean,p:string>>")
+    best = F.aggregate(
+        F.coalesce(F.col("__rules"), empty), init,
+        lambda acc, rr: F.when(
+            F.col("__path").startswith(rr["p"])
+            & ((rr["l"] > acc["l"])
+               | ((rr["l"] == acc["l"]) & rr["is_allow"])),
+            F.struct(rr["l"].alias("l"),
+                     rr["is_allow"].alias("is_allow"))).otherwise(acc))
+    return j.select(*urls.columns, best["is_allow"].alias("allowed"))
