@@ -3219,6 +3219,127 @@ def q113(spark, sf_dir):
         "event_id", "user_id", "pts", "feat_event_type", "feat_value")
 
 
+# Deterministic mixed-charset page synthesis for q114 (testdata html is
+# all-UTF-8): six byte-level shapes keyed by doc_id % 6 covering every
+# branch of the HTML5 sniff — BOM (utf-16le, utf-8), meta charset
+# (utf-8, http-equiv windows-1251, unquoted uppercase LATIN1 label) and
+# the no-declaration windows-1252 default.  Non-ASCII payload bytes are
+# spliced in with unhex() so each page is byte-exactly what a legacy
+# server would emit (0xC4E0 = 'Да' in cp1251; 0x93/0x94 = curly quotes
+# and 0x80 = '€' in cp1252 — NOT in iso-8859-1, proving the WHATWG
+# latin1→windows-1252 alias rule is applied).
+def _synth_charset_pages(spark, sf_dir):
+    d = F.col("doc_id")
+    nn = (d % 100).cast("string")
+
+    def _iso(col):
+        return F.encode(col, "ISO-8859-1")
+
+    html = (
+        F.when(d % 6 == 0, F.concat(
+            F.unhex(F.lit("FFFE")),
+            F.encode(F.concat(F.lit("<p>uv #"), nn, F.lit("</p>")),
+                     "UTF-16LE")))
+        .when(d % 6 == 1, F.concat(
+            F.unhex(F.lit("EFBBBF")),
+            F.encode(F.concat(F.lit("<p>café #"), nn, F.lit("</p>")),
+                     "UTF-8")))
+        .when(d % 6 == 2, F.encode(
+            F.concat(F.lit('<meta charset="utf-8"><p>café #'), nn,
+                     F.lit("</p>")), "UTF-8"))
+        .when(d % 6 == 3, F.concat(
+            _iso(F.lit('<meta http-equiv="Content-Type" '
+                       'content="text/html; charset=windows-1251"><p>')),
+            F.unhex(F.lit("C4E0")),
+            _iso(F.concat(F.lit(" #"), nn, F.lit("</p>")))))
+        .when(d % 6 == 4, F.concat(
+            _iso(F.lit("<p>no meta ")), F.unhex(F.lit("93")),
+            _iso(F.concat(F.lit("quoted #"), nn)), F.unhex(F.lit("94")),
+            _iso(F.lit("</p>"))))
+        .otherwise(F.concat(
+            _iso(F.lit("<META CHARSET=LATIN1><p>euro ")),
+            F.unhex(F.lit("80")),
+            _iso(F.concat(F.lit(" #"), nn, F.lit("</p>")))))
+    )
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", html.alias("html")))
+
+
+@q("q114_charset_sniff_decode", """
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'utf-16le' WHEN 1 THEN 'utf-8' WHEN 2 THEN 'utf-8'
+    WHEN 3 THEN 'windows-1251' WHEN 4 THEN 'windows-1252'
+    ELSE 'windows-1252' END AS charset,
+  CASE doc_id % 6
+    WHEN 0 THEN 'bom' WHEN 1 THEN 'bom' WHEN 2 THEN 'meta'
+    WHEN 3 THEN 'meta' WHEN 4 THEN 'default' ELSE 'meta' END
+    AS charset_source,
+  CASE doc_id % 6
+    WHEN 0 THEN '<p>uv #' || (doc_id % 100) || '</p>'
+    WHEN 1 THEN '<p>café #' || (doc_id % 100) || '</p>'
+    WHEN 2 THEN '<meta charset="utf-8"><p>café #' || (doc_id % 100)
+                || '</p>'
+    WHEN 3 THEN '<meta http-equiv="Content-Type" content="text/html; '
+                || 'charset=windows-1251"><p>Да #' || (doc_id % 100)
+                || '</p>'
+    WHEN 4 THEN '<p>no meta “quoted #' || (doc_id % 100) || '”</p>'
+    ELSE '<META CHARSET=LATIN1><p>euro € #' || (doc_id % 100) || '</p>'
+  END AS text_raw
+FROM documents
+""")
+def q114(spark, sf_dir):
+    """HTML5 encoding sniff + legacy-charset decode: BOM → meta-charset
+    prescan → windows-1252 default, then a per-row-charset vectorized
+    decode (utf8/utf16 state machines + kernels/sbcs LUT gather).  The
+    pages are synthesized byte-exactly from doc_id (incl. raw cp1251 /
+    cp1252 bytes via unhex) and the oracle reconstructs the expected
+    charset, source and DECODED TEXT analytically — it never parses a
+    byte, so a hash match proves sniff precedence, the WHATWG label
+    aliasing (LATIN1→windows-1252, case-insensitive unquoted attr),
+    BOM stripping and every LUT/kernel decode path at once."""
+    from ultraviolet_spark.operators.charset import decode_html
+
+    pages = _synth_charset_pages(spark, sf_dir)
+    return (decode_html(pages)
+            .select("doc_id", "charset", "charset_source", "text_raw"))
+
+
+@q("q115_mojibake_repair", """
+SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN 'plain ascii #' || (doc_id % 100)
+    WHEN 1 THEN 'café #' || (doc_id % 100)
+    WHEN 2 THEN 'café #' || (doc_id % 100)
+    WHEN 3 THEN '“quote #' || (doc_id % 100)
+    ELSE 'да #' || (doc_id % 100)
+  END AS text_fixed,
+  doc_id % 5 >= 2 AS was_mojibake
+FROM documents
+""")
+def q115(spark, sf_dir):
+    """ftfy-style mojibake repair: texts synthesized from doc_id cover
+    clean ASCII, GENUINE accented text (must survive untouched — its
+    cp1252 reverse bytes are not valid UTF-8), and three real-world
+    double-encodings (cafÃ© / â€œ / Ð´Ð°).  The oracle states the
+    expected repaired strings analytically; a hash match proves both
+    the repair (reverse LUT + utf8 state machine) and the
+    no-false-positive guarantee on the negative classes."""
+    from ultraviolet_spark.operators.charset import repair_mojibake
+
+    d = F.col("doc_id")
+    nn = (d % 100).cast("string")
+    text = (
+        F.when(d % 5 == 0, F.concat(F.lit("plain ascii #"), nn))
+        .when(d % 5 == 1, F.concat(F.lit("café #"), nn))
+        .when(d % 5 == 2, F.concat(F.lit("cafÃ© #"), nn))
+        .when(d % 5 == 3, F.concat(F.lit("â€œquote #"), nn))
+        .otherwise(F.concat(F.lit("Ð´Ð° #"), nn)))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+    return (repair_mojibake(docs)
+            .select("doc_id", "text_fixed", "was_mojibake"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
