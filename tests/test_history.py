@@ -86,3 +86,38 @@ def test_pit_lookup_never_leaks_future(spark):
           - dt.timedelta(microseconds=1))],
         "id long, url string, ts timestamp")
     assert pit_lookup(iv, probes).first()["feat"] == "v1"
+
+
+# ------------------------------------------------------- snapshot diff
+
+def test_snapshot_diff_statuses(spark):
+    from ultraviolet_spark.operators.history import diff_summary, snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "same"), ("b", "old-text"), ("c", "gone")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("a", "same"), ("b", "new-text"), ("d", "fresh")],
+        "url string, text string")
+    got = {r["url"]: r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {"a": "unchanged", "b": "changed",
+                   "c": "removed", "d": "added"}
+    s = {r["status"]: r["n"]
+         for r in diff_summary(snapshot_diff(old, new)).collect()}
+    assert s == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_multi_fp_cols_and_null(spark):
+    from ultraviolet_spark.operators.history import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "t", "en"), ("b", "t", None)],
+        "url string, text string, lang string")
+    new = spark.createDataFrame(
+        [("a", "t", "de"), ("b", "t", None)],
+        "url string, text string, lang string")
+    got = {r["url"]: r["status"] for r in snapshot_diff(
+        old, new, fp_cols=("text", "lang")).collect()}
+    # lang flips a->changed; NULL lang hashes stably -> unchanged
+    assert got == {"a": "changed", "b": "unchanged"}

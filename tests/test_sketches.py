@@ -107,3 +107,61 @@ def test_bloom_no_false_negatives_and_reference_equality(spark, sf_dir):
     # at 512 bits the filter is saturated enough to show real FPs,
     # proving the probe isn't an exact join in disguise
     assert any(want.values()) and not all(want.values())
+
+
+# ------------------------------------------------------------- hyperloglog
+
+def test_hll_registers_match_python_reference(spark):
+    import hashlib
+
+    from ultraviolet_spark.operators.sketches import hll_registers
+
+    vals = [f"url{i % 700}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    p = 7
+    got = {r["bucket"]: r["max_rho"]
+           for r in hll_registers(df, col="u", p=p).collect()}
+    ref: dict[int, int] = {}
+    for v in set(vals):
+        h = int(hashlib.md5(v.encode()).hexdigest()[:12], 16)
+        bucket = h % (1 << p)
+        w = h >> p
+        rho = (48 - p) - w.bit_length() + 1
+        ref[bucket] = max(ref.get(bucket, 0), rho)
+    assert got == ref
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from ultraviolet_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "u string")
+    p = 9
+    est = hll_estimate(hll_registers(df, col="u", p=p), p=p).first()[0]
+    # standard error ~1.04/sqrt(512) ≈ 4.6%; allow 3 sigma
+    assert abs(est - n) / n < 0.14
+
+    # mergeability: sketch(A)+sketch(B) == sketch(A∪B) register-exact
+    a = df.filter("substring(u, 2, 10) % 2 = 0")
+    b = df.filter("substring(u, 2, 10) % 2 = 1")
+    merged = hll_merge(hll_registers(a, col="u", p=p),
+                       hll_registers(b, col="u", p=p))
+    whole = hll_registers(df, col="u", p=p)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, whole.collect())))
+
+
+def test_hll_linear_counting_small_range(spark):
+    from ultraviolet_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(40)], "u string")
+    est = hll_estimate(hll_registers(df, col="u", p=9), p=9).first()[0]
+    # linear counting is near-exact this far below m=512
+    assert abs(est - 40) <= 3

@@ -65,3 +65,37 @@ def pit_lookup(intervals: DataFrame, probes: DataFrame, *,
     return p.join(i, cond, how).select(
         *[F.col(f"__p.{c}") for c in probes.columns],
         *[F.col(f"__i.{c}") for c in feat_cols])
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, *, key: str = "url",
+                  fp_cols: tuple[str, ...] = ("text",)) -> DataFrame:
+    """Incremental-crawl delta between two snapshots of the pages
+    table: one row per key with status ``added`` / ``removed`` /
+    ``changed`` / ``unchanged``.
+
+    Content identity is md5 over the fingerprint columns (0x1F-joined,
+    engine-portable), so the comparison shuffles ONE 16-byte hash per
+    side, never the page bodies.  Plan shape: project→partial-free
+    full-outer sort-merge join on ``key`` — a single exchange per side,
+    and ZERO exchanges when both snapshots are written with
+    ``plans.layout.write_bucketed(key)`` (same mechanics as the
+    flagship's bucketed as-of path).  AQE handles key skew; there is
+    no driver-side state, so the same plan runs at 10^12 rows.
+    """
+    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                     for c in fp_cols]))
+    o = old.select(F.col(key), fp.alias("__fp_old"))
+    n = new.select(F.col(key), fp.alias("__fp_new"))
+    j = o.join(n, on=key, how="full_outer")
+    status = (F.when(F.col("__fp_old").isNull(), F.lit("added"))
+              .when(F.col("__fp_new").isNull(), F.lit("removed"))
+              .when(F.col("__fp_old") != F.col("__fp_new"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return j.select(F.col(key), status.alias("status"))
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """(status, n) rollup of a :func:`snapshot_diff` — the four-line
+    crawl-delta report (how much re-fetch work did this crawl create)."""
+    return diff.groupBy("status").agg(F.count("*").alias("n"))

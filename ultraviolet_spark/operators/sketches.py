@@ -160,3 +160,74 @@ def bloom_might_contain(df: DataFrame, bloom: DataFrame, *, col: str,
                              != 0)))
     return (joined.groupBy(*df.columns)
             .agg(F.bool_and("__hit").alias(out)))
+
+
+# ------------------------------------------------------------- hyperloglog
+
+def hll_registers(df: DataFrame, *, col: str, p: int = 9) -> DataFrame:
+    """Mergeable HyperLogLog sketch as a ``(bucket, max_rho)`` TABLE
+    (Flajolet et al. 2007) — the distinct-URL counter that actually
+    composes at 100 TB: per-partition partial ``max`` makes the single
+    shuffle carry at most ``2^p`` rows per partition, sketches for two
+    corpora/days union+re-max into one, and nothing ever collects.
+
+    Hash is the same engine-portable idiom as the Bloom filter: the
+    first 48 bits of md5 — ``bucket`` = low ``p`` bits, ``rho`` =
+    leading-zero count of the remaining ``48-p`` bits + 1 (computed
+    exactly with integer/string ops: ``(48-p) - length(ltrim('0',
+    bin(w))) + 1``, no float log2).  Bit-identical in any engine with
+    md5, which is what makes the register table exactly oracle-able —
+    unlike approx_count_distinct's private HLL++ seeds (q46 can only
+    assert an accuracy band; this table hash-matches).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    width = 48 - p
+    v = F.col(col).cast("string")
+    h = F.conv(F.substring(F.md5(F.encode(v, "UTF-8")), 1, 12),
+               16, 10).cast("long")
+    bucket = (h % m).cast("int")
+    w = F.expr(f"shiftright(__h, {p})")
+    rho = (F.lit(width + 1)
+           - F.length(F.expr("ltrim('0', bin(__w))"))).cast("int")
+    return (df.filter(v.isNotNull())
+            .select(h.alias("__h"))
+            .withColumn("__w", w)
+            .select((F.col("__h") % m).cast("int").alias("bucket"),
+                    rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("max_rho")))
+
+
+def hll_estimate(registers: DataFrame, *, p: int = 9) -> DataFrame:
+    """One-row ``(estimate,)`` from a :func:`hll_registers` table —
+    the standard bias-corrected harmonic mean with the small-range
+    linear-counting correction.  Float result: contract-tested for
+    accuracy in pytest (like q46), not value-hashed."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else (
+        0.673 if m == 16 else 0.697 if m == 32 else 0.709)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__s"),
+        F.count("*").alias("__nz"))
+    # absent buckets contribute 2^0 each; zeros = m - nz
+    est = (F.lit(alpha * m * m)
+           / (F.col("__s") + (F.lit(m) - F.col("__nz"))))
+    zeros = (F.lit(m) - F.col("__nz")).cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    return agg.select(
+        F.when((est <= 2.5 * m) & (zeros > 0), linear)
+        .otherwise(est).alias("estimate"))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables from several corpora into one sketch —
+    the mergeability that makes HLL the right shape for incremental
+    crawls (yesterday's sketch + today's delta, never a rescan)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))

@@ -3340,6 +3340,58 @@ def q115(spark, sf_dir):
             .select("doc_id", "text_fixed", "was_mojibake"))
 
 
+@q("q116_snapshot_diff", """
+SELECT doc_id,
+  CASE WHEN doc_id % 10 = 0 THEN 'removed'
+       WHEN doc_id % 10 = 9 THEN 'added'
+       WHEN doc_id % 3 = 0 THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM documents
+""")
+def q116(spark, sf_dir):
+    """Incremental-crawl snapshot diff: two crawls of the documents
+    table (old drops doc_id%10==9, new drops %10==0 and rewrites the
+    text of every %3==0 page) → per-key added/removed/changed/
+    unchanged.  The operator compares md5 fingerprints across a
+    full-outer join; the oracle restates the expected status purely
+    from doc_id arithmetic — it never hashes — so a match proves the
+    fingerprint comparison, the outer-join null handling and the
+    precedence order."""
+    from ultraviolet_spark.operators.history import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 9).select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") % 10 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 3 == 0,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text")))
+    return snapshot_diff(old, new, key="doc_id", fp_cols=("text",))
+
+
+@q("q117_hll_registers", """
+WITH h AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS UBIGINT) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL)
+SELECT CAST(h % 512 AS INTEGER) AS bucket,
+       CAST(MAX(39 - length(ltrim(bin(h >> 9), '0')) + 1) AS INTEGER)
+         AS max_rho
+FROM h GROUP BY 1
+""")
+def q117(spark, sf_dir):
+    """HyperLogLog register TABLE over events.user_id (p=9): bucket =
+    low 9 bits of the 48-bit md5 prefix, rho = leading-zero count of
+    the remaining 39 bits + 1 via exact integer/string ops (no float
+    log2).  The oracle rebuilds every register bit-for-bit in DuckDB —
+    the mergeable-sketch analogue of the q108 Bloom table, and the
+    exact-hash counterpart to q46's accuracy-band-only HLL++ check."""
+    from ultraviolet_spark.operators.sketches import hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_registers(ev.select("user_id"), col="user_id", p=9)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
