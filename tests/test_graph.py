@@ -51,3 +51,41 @@ def test_damping_zero_is_flat(spark):
     got = {r["node"]: r["rank_micro"]
            for r in pagerank(e, damping_pct=0).collect()}
     assert got == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+
+
+# ---------------------------------------------------- redirect chains
+
+def _rr(spark, pairs, **kw):
+    from ultraviolet_spark.operators.graph import resolve_redirects
+
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    return {r["node"]: (r["final"], r["hops"], r["resolved"])
+            for r in resolve_redirects(df, **kw).collect()}
+
+
+def test_redirect_long_chain_and_hops(spark):
+    # 20-hop chain: doubling must cross it in ceil(log2(64)) rounds
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(20)]
+    got = _rr(spark, pairs)
+    for i in range(20):
+        assert got[f"n{i}"] == ("n20", 20 - i, True)
+
+
+def test_redirect_cycle_flagged_not_followed(spark):
+    got = _rr(spark, [("a", "b"), ("b", "a"), ("x", "a")])
+    # pure cycle members and anything draining INTO the cycle unresolve
+    assert got["a"] == (None, None, False)
+    assert got["b"] == (None, None, False)
+    assert got["x"] == (None, None, False)
+
+
+def test_redirect_max_hops_cutoff(spark):
+    pairs = [(f"m{i}", f"m{i+1}") for i in range(10)]
+    got = _rr(spark, pairs, max_hops=4)
+    assert got["m8"] == ("m10", 2, True)
+    assert got["m0"] == (None, None, False)  # 10 hops > 4
+
+
+def test_redirect_multi_dst_min_tiebreak(spark):
+    got = _rr(spark, [("s", "zz"), ("s", "aa")])
+    assert got["s"] == ("aa", 1, True)

@@ -68,3 +68,56 @@ def pagerank(edges: DataFrame, *, iters: int = 3, damping_pct: int = 85,
                          .cast("long").alias("rank"))
                  .localCheckpoint(eager=False))
     return ranks.select("node", F.col("rank").alias("rank_micro"))
+
+
+def resolve_redirects(edges: DataFrame, *, src: str = "src",
+                      dst: str = "dst",
+                      max_hops: int = 64) -> DataFrame:
+    """Resolve HTTP-redirect chains to their final landing URL with
+    POINTER DOUBLING: ``(node, final, hops, resolved)`` for every URL
+    that redirects (appears as ``src``).
+
+    A crawl's redirect table is a functional graph (one outgoing edge
+    per src — enforced here by keeping the min dst per src, the
+    deterministic tie-break).  Chasing chains one hop per pass would
+    take O(chain length) shuffles; composing the map with itself
+    (``ptr ← ptr's ptr``) needs only ⌈log₂ max_hops⌉ self-joins, each
+    one equi-join shuffle, with ``localCheckpoint`` truncating lineage
+    per round (same pattern as ``dedup.connected_components``).  Hop
+    counts compose additively (hops(x) ← hops(x) + hops(ptr(x))), so
+    the output also reports the true chain length.
+
+    Redirect LOOPS (a→b→a — common crawl pathology) never reach a
+    terminal node: after the rounds their pointer still has an
+    outgoing edge, so they come back ``resolved=false`` with NULL
+    final/hops instead of looping forever.  Chains longer than
+    ``max_hops`` are reported the same way (crawlers cap redirects at
+    5-30 hops anyway; RFC 9110 recommends such a limit).
+    """
+    import math
+
+    e = (edges.groupBy(F.col(src).alias("node"))
+         .agg(F.min(F.col(dst)).alias("ptr"))
+         .withColumn("hops", F.lit(1).cast("long")))
+    state = e.localCheckpoint(eager=True)
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    for _ in range(rounds):
+        b = state.select(F.col("node").alias("__bn"),
+                         F.col("ptr").alias("__bp"),
+                         F.col("hops").alias("__bh"))
+        state = (state.join(b, state["ptr"] == b["__bn"], "left")
+                 .select("node",
+                         F.coalesce("__bp", "ptr").alias("ptr"),
+                         (F.col("hops")
+                          + F.coalesce("__bh", F.lit(0))).alias("hops"))
+                 .localCheckpoint(eager=True))
+    # terminal iff the pointer itself has no outgoing edge
+    srcs = e.select(F.col("node").alias("__s"))
+    out = (state.join(srcs, state["ptr"] == srcs["__s"], "left")
+           .withColumn("resolved",
+                       F.col("__s").isNull() & (F.col("hops") <= max_hops))
+           .select("node",
+                   F.when(F.col("resolved"), F.col("ptr")).alias("final"),
+                   F.when(F.col("resolved"), F.col("hops")).alias("hops"),
+                   "resolved"))
+    return out

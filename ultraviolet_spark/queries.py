@@ -3392,6 +3392,49 @@ def q117(spark, sf_dir):
     return hll_registers(ev.select("user_id"), col="user_id", p=9)
 
 
+@q("q118_resolve_redirects", """
+WITH RECURSIVE e AS (
+  SELECT 'u' || doc_id AS src, 'u' || (doc_id - 1) AS dst
+  FROM documents WHERE doc_id % 8 <> 0
+  UNION ALL
+  SELECT * FROM (VALUES ('c0','c1'), ('c1','c2'), ('c2','c0')) v(src, dst)
+),
+walk AS (
+  SELECT src AS node, dst AS ptr, 1::BIGINT AS hops FROM e
+  UNION ALL
+  SELECT w.node, e.dst, w.hops + 1 FROM walk w JOIN e ON w.ptr = e.src
+  WHERE w.hops < 64
+),
+term AS (
+  SELECT node, ptr, hops FROM walk
+  WHERE ptr NOT IN (SELECT src FROM e)
+)
+SELECT s.src AS node, t.ptr AS final, t.hops AS hops,
+       t.ptr IS NOT NULL AS resolved
+FROM (SELECT DISTINCT src FROM e) s
+LEFT JOIN term t ON s.src = t.node
+""")
+def q118(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling: redirect chains
+    u_d → u_{d-1} → … → u_{8k} (length doc_id%8) plus a deliberate
+    3-cycle c0→c1→c2→c0.  The Spark side composes the pointer map with
+    itself log₂ times; the oracle follows chains ONE hop at a time with
+    a recursive CTE — an independent implementation of the same
+    semantics, incl. the loop rule (cycle rows come back
+    resolved=false with NULL final/hops)."""
+    from ultraviolet_spark.operators.graph import resolve_redirects
+
+    d = F.col("doc_id")
+    chain = (_t(spark, sf_dir, "documents")
+             .filter(d % 8 != 0)
+             .select(F.concat(F.lit("u"), d.cast("string")).alias("src"),
+                     F.concat(F.lit("u"), (d - 1).cast("string"))
+                     .alias("dst")))
+    cyc = spark.createDataFrame(
+        [("c0", "c1"), ("c1", "c2"), ("c2", "c0")], "src string, dst string")
+    return resolve_redirects(chain.unionByName(cyc))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
