@@ -3435,6 +3435,56 @@ def q118(spark, sf_dir):
     return resolve_redirects(chain.unionByName(cyc))
 
 
+@q("q119_inverted_index", """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents WHERE length(trim(text)) > 0),
+ex AS (
+  SELECT doc_id, unnest(a) AS token,
+         generate_subscripts(a, 1) AS pos
+  FROM tok)
+SELECT token, doc_id, COUNT(*) AS tf,
+       array_to_string(list_sort(list(CAST(pos AS INTEGER))), ',')
+         AS positions
+FROM ex GROUP BY token, doc_id
+""")
+def q119(spark, sf_dir):
+    """Inverted-index posting rows over the documents corpus: (token,
+    doc_id, tf, 1-based positions).  The relational row-per-posting
+    shape is the one that survives 10^12 docs (stop-word lists stay
+    splittable and partial-aggregate); positions sort_array-ed for
+    partitioning invariance.  Oracle rebuilds the index with DuckDB's
+    own unnest/generate_subscripts — independent tokenization
+    plumbing, same definition of a term."""
+    from ultraviolet_spark.operators.index import build_postings
+
+    p = build_postings(_t(spark, sf_dir, "documents"))
+    # positions serialized: the driver's canonicalizer cannot hash
+    # array columns (same constraint as r1 q30/q34)
+    return p.select("token", "doc_id", "tf",
+                    F.array_join("positions", ",").alias("positions"))
+
+
+@q("q120_index_dictionary", """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents WHERE length(trim(text)) > 0),
+ex AS (SELECT doc_id, unnest(a) AS token FROM tok)
+SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM ex GROUP BY token
+""")
+def q120(spark, sf_dir):
+    """Index dictionary (token → document frequency, collection
+    frequency) rolled up from the posting rows — the second shuffle of
+    classic index construction.  Oracle recomputes df as COUNT
+    (DISTINCT doc_id) directly, NOT via the postings rollup, so a
+    match also re-proves the (token, doc) grouping upstream."""
+    from ultraviolet_spark.operators.index import build_postings, token_stats
+
+    return token_stats(build_postings(_t(spark, sf_dir, "documents")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
