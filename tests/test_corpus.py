@@ -269,3 +269,41 @@ def test_c4_clean_page_level_flags(spark):
     assert rows[2] == (True, False, False)
     assert rows[3] == (False, True, False)
     assert rows[4] == (False, False, False)   # < 3 sentences
+
+
+# ------------------------------------------------------------- cap_per_domain
+
+def test_cap_per_domain_literal(spark):
+    from ultraviolet_spark.operators.corpus import cap_per_domain
+
+    rows = ([(i, "big.com") for i in range(10)]
+            + [(100, "small.org"), (101, "small.org")])
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = cap_per_domain(df, cap=3).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], set()).add(r["doc_id"])
+    # over-cap domain trimmed to exactly cap; under-cap untouched
+    assert len(by_dom["big.com"]) == 3
+    assert by_dom["small.org"] == {100, 101}
+
+
+def test_cap_per_domain_deterministic_and_salted(spark):
+    from ultraviolet_spark.operators.corpus import cap_per_domain
+
+    df = spark.createDataFrame([(i, "d") for i in range(50)],
+                               "doc_id long, domain string")
+    a = {r["doc_id"] for r in cap_per_domain(df, cap=10).collect()}
+    b = {r["doc_id"] for r in
+         cap_per_domain(df.repartition(7), cap=10).collect()}
+    assert a == b                      # partitioning-independent
+    c = {r["doc_id"] for r in cap_per_domain(df, cap=10, salt="x").collect()}
+    assert len(c) == 10 and c != a     # salt re-draws the kept set
+
+
+def test_cap_per_domain_rejects_bad_cap(spark):
+    from ultraviolet_spark.operators.corpus import cap_per_domain
+
+    df = spark.createDataFrame([(1, "d")], "doc_id long, domain string")
+    with pytest.raises(ValueError):
+        cap_per_domain(df, cap=0)

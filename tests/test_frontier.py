@@ -36,3 +36,42 @@ def test_build_frontier_literal(spark):
         4: (True, False, True, False),
         5: (True, False, False, True),
     }
+
+
+# ------------------------------------------------------- politeness schedule
+
+def test_politeness_schedule_invariants(spark):
+    from ultraviolet_spark.operators.frontier import politeness_schedule
+
+    rows = [("https://h%d.com/p/%d" % (i % 3, i), "h%d.com" % (i % 3))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "url string, host string")
+    out = politeness_schedule(df, crawl_delay_s=7, workers=4).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        workers = {r["worker"] for r in rs}
+        assert len(workers) == 1            # one host -> one worker
+        assert 0 <= workers.pop() < 4
+        seqs = sorted(r["fetch_seq"] for r in rs)
+        assert seqs == list(range(len(rs)))  # contiguous 0-based queue
+        for r in rs:
+            assert r["fetch_offset_s"] == r["fetch_seq"] * 7
+
+
+def test_politeness_schedule_per_host_delay_and_determinism(spark):
+    from ultraviolet_spark.operators.frontier import politeness_schedule
+
+    rows = [("https://a.com/%d" % i, "a.com", 2) for i in range(5)] + \
+           [("https://b.com/%d" % i, "b.com", 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "url string, host string, cd long")
+    out = politeness_schedule(df, delay_col="cd", workers=8)
+    got = {(r["url"]): (r["fetch_seq"], r["fetch_offset_s"])
+           for r in out.collect()}
+    again = {(r["url"]): (r["fetch_seq"], r["fetch_offset_s"])
+             for r in politeness_schedule(df.repartition(5), delay_col="cd",
+                                          workers=8).collect()}
+    assert got == again                     # deterministic, partition-free
+    for url, (seq, off) in got.items():
+        assert off == seq * (2 if "a.com" in url else 10)

@@ -165,3 +165,52 @@ def test_hll_linear_counting_small_range(spark):
     est = hll_estimate(hll_registers(df, col="u", p=9), p=9).first()[0]
     # linear counting is near-exact this far below m=512
     assert abs(est - 40) <= 3
+
+
+# ---------------------------------------------------------------- Count-Min
+
+def test_cms_one_sided_and_bounded(spark):
+    """est >= true for EVERY key (CMS guarantee), and overshoot is
+    bounded by eN with e = e_const/width — checked with the exact
+    counts from a plain GROUP BY on the same stream."""
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.sketches import cms_estimate, cms_table
+
+    docs = spark.createDataFrame(
+        [(i, "w%d" % (i % 37)) for i in range(500)]
+        + [(1000 + i, "hot") for i in range(200)],
+        "row_id long, tok string")
+    width, depth = 256, 3
+    cms = cms_table(docs, col="tok", width=width, depth=depth)
+    exact = docs.groupBy("tok").agg(F.count("*").cast("long").alias("true_cnt"))
+    est = cms_estimate(cms, exact, col="tok", width=width, depth=depth)
+    n = docs.count()
+    import math
+    bound = math.e / width * n * 3     # 3x slack on the w.h.p. bound
+    for r in est.collect():
+        assert r["est"] >= r["true_cnt"]
+        assert r["est"] - r["true_cnt"] <= bound
+
+
+def test_cms_partitioning_invariant_and_mergeable(spark):
+    """The sketch table is identical under any input partitioning, and
+    sketching two halves then summing cells == sketching the whole."""
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.sketches import cms_table
+
+    docs = spark.createDataFrame([(i, "t%d" % (i % 11)) for i in range(300)],
+                                 "row_id long, tok string")
+    whole = {(r["d"], r["w"]): r["cnt"] for r in
+             cms_table(docs, col="tok", width=64, depth=2).collect()}
+    repart = {(r["d"], r["w"]): r["cnt"] for r in
+              cms_table(docs.repartition(13), col="tok",
+                        width=64, depth=2).collect()}
+    assert whole == repart
+    lo = cms_table(docs.filter("row_id < 150"), col="tok", width=64, depth=2)
+    hi = cms_table(docs.filter("row_id >= 150"), col="tok", width=64, depth=2)
+    merged = {(r["d"], r["w"]): r["cnt"] for r in
+              lo.unionByName(hi).groupBy("d", "w")
+                .agg(F.sum("cnt").cast("long").alias("cnt")).collect()}
+    assert merged == whole

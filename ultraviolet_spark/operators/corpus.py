@@ -752,3 +752,37 @@ def dsir_importance(docs: DataFrame, *, target_filter,
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_words"),
                  F.round(F.sum("__lr"), 6).alias("dsir_score")))
+
+
+def cap_per_domain(docs: DataFrame, *, cap: int,
+                   domain_col: str = "domain", id_col: str = "doc_id",
+                   salt: str = "") -> DataFrame:
+    """Per-domain document quota (the RefinedWeb/C4 anti-SEO-farm
+    rule): keep at most ``cap`` documents per domain, chosen in
+    deterministic md5-of-id order (stable across runs, engines and
+    cluster sizes; ``salt`` re-draws).
+
+    Scale shape: domains are counted first (one partial-aggregated
+    shuffle) and only OVER-CAP domains go through the row_number
+    window — the long tail (the overwhelming majority of hosts) passes
+    straight through without ever being sorted, so a single mega-host
+    can't make the whole corpus pay for its window, and the window
+    shuffle carries only the offending domains' rows.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    counts = (docs.groupBy(F.col(domain_col).alias("__dom"))
+              .agg(F.count("*").alias("__n")))
+    tagged = docs.join(counts, docs[domain_col] == F.col("__dom"), "left")
+    under = tagged.filter(F.col("__n") <= cap).drop("__dom", "__n")
+    order_key = F.md5(F.concat_ws(":", F.lit(salt),
+                                  F.col(id_col).cast("string")))
+    w = (Window.partitionBy(domain_col)
+         .orderBy(order_key, F.col(id_col)))
+    over = (tagged.filter(F.col("__n") > cap)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= cap)
+            .drop("__dom", "__n", "__rk"))
+    return under.unionByName(over)

@@ -50,3 +50,40 @@ def build_frontier(urls: DataFrame, rules: DataFrame,
                         & ~F.col("already_crawled"))
             .select(*urls.columns, "allowed", "blocked_domain",
                     "blocked_pattern", "already_crawled", "frontier"))
+
+
+def politeness_schedule(frontier: DataFrame, *, host_col: str = "host",
+                        url_col: str = "url", crawl_delay_s: int = 5,
+                        workers: int = 64,
+                        delay_col: str | None = None) -> DataFrame:
+    """Turn an admitted frontier into a POLITE fetch plan: every host
+    is pinned to one worker (md5(host) % workers — per-host requests
+    are serialized by construction, no cross-executor coordination),
+    and within a host fetches are sequenced in deterministic
+    md5-of-url order with ``fetch_offset_s = seq * delay`` spacing
+    (per-host ``delay_col`` — e.g. robots.txt Crawl-delay — overrides
+    the global default).
+
+    Output: url, host, worker, fetch_seq (0-based), fetch_offset_s.
+
+    Scale: one row_number window partitioned by host — the natural
+    key (a host's queue must be ordered *somewhere*); hosts are
+    hash-uniform across workers so no worker is hot unless one host
+    dominates the frontier, which the per-host serialization makes
+    irreducible anyway (politeness IS the bottleneck, by design).
+    """
+    from pyspark.sql import Window
+
+    host = F.col(host_col)
+    worker = (F.conv(F.substring(F.md5(F.encode(host.cast("string"),
+                                                "UTF-8")), 1, 12), 16, 10)
+              .cast("long") % workers).cast("int")
+    w = (Window.partitionBy(host_col)
+         .orderBy(F.md5(F.col(url_col).cast("string")), F.col(url_col)))
+    seq = (F.row_number().over(w) - 1).cast("long")
+    delay = (F.col(delay_col).cast("long") if delay_col
+             else F.lit(int(crawl_delay_s)).cast("long"))
+    return (frontier
+            .withColumn("worker", worker)
+            .withColumn("fetch_seq", seq)
+            .withColumn("fetch_offset_s", seq * delay))

@@ -231,3 +231,50 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+# ---------------------------------------------------------- count-min
+
+def cms_table(df: DataFrame, *, col: str, width: int = 1 << 12,
+              depth: int = 4) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a
+    ``(d, w, cnt)`` TABLE — approximate frequencies for EVERY key in a
+    stream too large to GROUP BY exactly, with one-sided error
+    (estimate ≥ true, overshoot ≤ εN w.h.p., ε = e/width).
+
+    Same fleet-shape arguments as the Bloom/HLL tables: one
+    partial-aggregated shuffle on (d, w) bounded by depth·width rows,
+    mergeable by adding cells, never collected.  Row hashes reuse the
+    engine-portable md5 idiom, so the whole sketch is bit-identical in
+    any engine — exactly oracle-able, unlike library CMS seeds.
+    Complements Misra–Gries (heavy_hitter_tokens): MG answers "which
+    keys are heavy" exactly; CMS answers point queries for ALL keys.
+    """
+    v = F.col(col).cast("string")
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _bloom_positions(v, n_bits=width, k=d + 1)[d].alias("w"))
+        for d in range(depth)])).alias("__rw")
+    return (df.filter(v.isNotNull()).select(rows)
+            .select(F.col("__rw.d").alias("d"), F.col("__rw.w").alias("w"))
+            .groupBy("d", "w")
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, *, col: str,
+                 width: int = 1 << 12, depth: int = 4,
+                 out: str = "est") -> DataFrame:
+    """``probes`` + the CMS point estimate (min over the depth rows).
+    The sketch side broadcasts; the probe side never shuffles."""
+    from pyspark.sql.functions import broadcast
+
+    v = F.col(col).cast("string")
+    p = probes.withColumn("__pr", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _bloom_positions(v, n_bits=width, k=d + 1)[d].alias("w"))
+        for d in range(depth)])))
+    j = p.join(broadcast(cms),
+               (p["__pr.d"] == cms["d"]) & (p["__pr.w"] == cms["w"]),
+               "left")
+    return (j.groupBy(*probes.columns)
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(out)))

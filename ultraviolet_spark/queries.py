@@ -3485,9 +3485,104 @@ def q120(spark, sf_dir):
     return token_stats(build_postings(_t(spark, sf_dir, "documents")))
 
 
+@q("q121_cap_per_domain", """
+WITH d AS (
+  SELECT doc_id, 'dom' || (doc_id % 7) AS domain FROM documents),
+rk AS (
+  SELECT doc_id, domain,
+         ROW_NUMBER() OVER (PARTITION BY domain
+                            ORDER BY md5(':' || doc_id), doc_id) AS rk
+  FROM d)
+SELECT doc_id, domain FROM rk WHERE rk <= 40
+""")
+def q121(spark, sf_dir):
+    """Per-domain document quota (RefinedWeb anti-SEO-farm rule): 7
+    synthetic domains, cap 40 — every domain is over-cap at sf≥0.01 so
+    the window path is exercised; the kept set is the deterministic
+    md5-of-id order prefix, which the oracle states with its own
+    ROW_NUMBER.  (The operator's under-cap fast path is
+    pytest-covered.)"""
+    from ultraviolet_spark.operators.corpus import cap_per_domain
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("dom"), (F.col("doc_id") % 7).cast("string"))
+        .alias("domain"))
+    return cap_per_domain(d, cap=40)
+
+
+@q("q122_count_min_sketch", """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0),
+cells AS (
+  SELECT i.d AS d,
+         CAST(CAST(('0x' || substr(md5(tok || ':' || i.d), 1, 12))
+              AS UBIGINT) % 1024 AS BIGINT) AS w
+  FROM toks, (SELECT unnest(range(3)) AS d) i)
+SELECT CAST(d AS INTEGER) AS d, w, COUNT(*) AS cnt
+FROM cells GROUP BY d, w
+""")
+def q122(spark, sf_dir):
+    """Count-Min sketch TABLE over the corpus token stream (depth 3 ×
+    width 1024; ~0.27% one-sided error at this N): every cell count is
+    an exact integer and the md5 row hashes are engine-portable, so
+    the oracle rebuilds the ENTIRE sketch bit-for-bit — the same
+    exact-oracle-able-sketch family as the Bloom (q108) and HLL
+    (q117) tables.  Point-query accuracy (est ≥ true, bounded
+    overshoot) is pytest-covered."""
+    from ultraviolet_spark.operators.sketches import cms_table
+
+    # Every occurrence counts (CMS is a FREQUENCY sketch) — so a plain
+    # token explode, NOT dedup.shingles (which is per-doc DISTINCT).
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.filter(F.length(F.trim("text")) > 0)
+            .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                    .alias("tok")))
+    return cms_table(toks, col="tok", width=1024, depth=3)
+
+
+@q("q123_politeness_schedule", """
+WITH f AS (
+  SELECT 'https://h' || (doc_id % 11) || '.com/p/' || doc_id AS url,
+         'h' || (doc_id % 11) || '.com' AS host,
+         1 + doc_id % 11 AS crawl_delay
+  FROM documents),
+s AS (
+  SELECT url, host, crawl_delay,
+         CAST(CAST(('0x' || substr(md5(host), 1, 12)) AS UBIGINT) % 16
+              AS INTEGER) AS worker,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY md5(url), url) - 1
+           AS fetch_seq
+  FROM f)
+SELECT url, host, worker, CAST(fetch_seq AS BIGINT) AS fetch_seq,
+       CAST(fetch_seq * crawl_delay AS BIGINT) AS fetch_offset_s
+FROM s
+""")
+def q123(spark, sf_dir):
+    """Polite fetch plan: 11 synthetic hosts with per-host Crawl-delay
+    (1..11 s), pinned to 16 workers by host hash, sequenced in
+    deterministic md5-of-url order with offset = seq × delay.  The
+    oracle restates worker pinning, sequencing and spacing with its
+    own window — per-host serialization is then true by construction
+    (one host → one worker, increasing offsets)."""
+    from ultraviolet_spark.operators.frontier import politeness_schedule
+
+    d = F.col("doc_id")
+    f = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://h"), (d % 11).cast("string"),
+                 F.lit(".com/p/"), d.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (d % 11).cast("string"), F.lit(".com"))
+        .alias("host"),
+        (1 + d % 11).cast("long").alias("crawl_delay"))
+    return (politeness_schedule(f, workers=16, delay_col="crawl_delay")
+            .select("url", "host", "worker", "fetch_seq",
+                    "fetch_offset_s"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 99 queries, 91 of them with exact DuckDB
+# [0:50]).  The registry holds 123 queries, 115 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.
