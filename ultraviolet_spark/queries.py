@@ -3580,9 +3580,112 @@ def q123(spark, sf_dir):
                     "fetch_offset_s"))
 
 
+# Shared literals for q124's synthesized page blocks (Spark + oracle must
+# agree byte-for-byte).  _JT_G/_JT_H are stopword-dense content sentences;
+# _JT_COPY is a stopword-free footer.
+_JT_G = "the data and the index is in the archive with care for all "
+_JT_H = "all of the data is in the index and the archive is with us for good "
+_JT_COPY = ("copyright 2026 example corporation rights reserved worldwide "
+            "privacy terms cookies settings preferences page")
+
+
+@q("q124_justext_boilerplate", f"""
+WITH b AS (
+  SELECT doc_id, CAST(i.idx AS INTEGER) AS block_idx,
+     CASE i.idx
+       WHEN 0 THEN 'home | products | about | contact | login ' || doc_id
+       WHEN 1 THEN 'intro note ' || doc_id
+       WHEN 2 THEN repeat('{_JT_G}', 5)
+       WHEN 3 THEN 'aside ' || doc_id
+       WHEN 4 THEN repeat('{_JT_H}', 4)
+       WHEN 5 THEN '{_JT_G}now please ok'
+       WHEN 6 THEN '{_JT_COPY}'
+       ELSE '{_JT_G}thanks a lot'
+     END AS block,
+     CASE WHEN i.idx = 0 THEN 0.8 ELSE 0.0 END AS link_density
+  FROM documents, (SELECT unnest(range(8)) AS idx) i),
+f AS (
+  SELECT doc_id, block_idx, link_density,
+         length(block) AS n_chars,
+         len(string_split_regex(lower(trim(block)), '\\s+')) AS n_words,
+         len(list_filter(string_split_regex(lower(trim(block)), '\\s+'),
+             t -> list_contains(['the','and','of','to','in','is','with','for'],
+                                t))) AS n_stop
+  FROM b),
+cf AS (
+  SELECT doc_id, block_idx, n_chars, n_words,
+         round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_frac,
+         CASE
+           WHEN link_density > 0.2 THEN 'bad'
+           WHEN n_chars < 70 AND link_density > 0 THEN 'bad'
+           WHEN n_chars < 70 THEN 'short'
+           WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.32 THEN
+                CASE WHEN n_chars > 200 THEN 'good' ELSE 'near_good' END
+           WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.30 THEN 'near_good'
+           ELSE 'bad' END AS cf_class
+  FROM f),
+sm AS (
+  SELECT *,
+    coalesce(last_value(CASE WHEN cf_class IN ('good','bad') THEN cf_class END
+                        IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY block_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      'bad') AS prev_edge,
+    coalesce(first_value(CASE WHEN cf_class IN ('good','bad') THEN cf_class END
+                         IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY block_idx
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+      'bad') AS next_edge
+  FROM cf)
+SELECT doc_id, block_idx,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words,
+       stop_frac, cf_class,
+       CASE WHEN cf_class IN ('good','bad') THEN cf_class
+            WHEN cf_class = 'near_good' THEN
+              CASE WHEN prev_edge = 'good' OR next_edge = 'good'
+                   THEN 'good' ELSE 'bad' END
+            ELSE CASE WHEN prev_edge = 'good' AND next_edge = 'good'
+                      THEN 'good' ELSE 'bad' END
+       END AS class
+FROM sm
+""")
+def q124(spark, sf_dir):
+    """JusText-style boilerplate classification over synthesized pages
+    whose 8 blocks hit every rule: link-density bad, boundary short→bad,
+    long good, short-between-goods→good, medium near_good→good (good
+    neighbour), stopword-free footer bad, trailing near_good→bad (both
+    edges bad).  The oracle recomputes features, context-free classes
+    AND the two-sided smoothing with its own windows."""
+    from ultraviolet_spark.operators.boilerplate import justext_blocks
+
+    d = F.col("doc_id").cast("string")
+
+    def mk(idx, txt, ld=0.0):
+        return F.struct(F.lit(idx).alias("block_idx"), txt.alias("block"),
+                        F.lit(ld).alias("link_density"))
+
+    blocks = [
+        mk(0, F.concat(F.lit("home | products | about | contact | login "),
+                       d), 0.8),
+        mk(1, F.concat(F.lit("intro note "), d)),
+        mk(2, F.repeat(F.lit(_JT_G), 5)),
+        mk(3, F.concat(F.lit("aside "), d)),
+        mk(4, F.repeat(F.lit(_JT_H), 4)),
+        mk(5, F.lit(_JT_G + "now please ok")),
+        mk(6, F.lit(_JT_COPY)),
+        mk(7, F.lit(_JT_G + "thanks a lot")),
+    ]
+    bdf = (_t(spark, sf_dir, "documents")
+           .select("doc_id", F.explode(F.array(*blocks)).alias("b"))
+           .select("doc_id", "b.*"))
+    return (justext_blocks(bdf)
+            .select("doc_id", "block_idx", "n_chars", "n_words",
+                    "stop_frac", "cf_class", "class"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 123 queries, 115 of them with exact DuckDB
+# [0:50]).  The registry holds 124 queries, 116 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.
