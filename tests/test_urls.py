@@ -143,3 +143,50 @@ def test_blocklist_filter_plan_broadcasts(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------- RFC 3986 canonical form
+
+def test_canonical_url_rfc_cases(spark):
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.urls import canonical_url
+
+    cases = {
+        # scheme/host case + default port + tracking + dot segments
+        "HTTP://WWW.Ex.COM:80/a/b/../c/./d?utm_source=x&id=1":
+            "http://www.ex.com/a/c/d?id=1",
+        # unreserved escapes decode; reserved keep uppercased hex
+        "https://ex.com:443/%7euser/%41/%2fq%3f": "https://ex.com/~user/A/%2Fq%3F",
+        # non-default port kept; empty segments kept
+        "https://ex.com:8080/a//b/": "https://ex.com:8080/a//b/",
+        # leading .. clamps at root; trailing . keeps the slash
+        "https://ex.com/../top/.": "https://ex.com/top/",
+        "https://ex.com/a/..": "https://ex.com/",
+        # empty path -> '/'
+        "http://ex.com": "http://ex.com/",
+        # userinfo stripped from the key
+        "http://u:pw@Ex.com:81/x": "http://ex.com:81/x",
+        # junk -> NULL, never a crash
+        "http://ex.com/%zz": None,
+        "not a url at all": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["c"] for r in
+           df.select("url", canonical_url(F.col("url")).alias("c")).collect()}
+    for u, want in cases.items():
+        assert got[u] == want, f"{u!r}: {got[u]!r} != {want!r}"
+
+
+def test_canonical_url_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.urls import canonical_url
+
+    urls = ["HTTP://A.COM:80/x/../y/%41?utm_campaign=z&q=1#f",
+            "https://b.co.uk/%2f/./p//", "http://c.com"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c"))
+    assert [r["c"] for r in once.collect()] == \
+           [r["c"] for r in twice.collect()]

@@ -29,12 +29,12 @@ _SECOND_LEVEL = ["co", "com", "org", "net", "ac", "gov", "edu"]
 
 def host(url: Column) -> Column:
     """Hostname (JVM built-in ``parse_url``), lowercased."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def _clean_query(url: Column) -> Column:
     """Query string with tracking parameters removed (NULL if none left)."""
-    q = F.parse_url(url, F.lit("QUERY"))
+    q = F.try_parse_url(url, F.lit("QUERY"))
     kept = F.filter(F.split(q, "&"),
                     lambda kv: ~kv.rlike(TRACKING_PARAM_RE))
     return F.when(q.isNotNull() & (F.size(kept) > 0),
@@ -44,8 +44,8 @@ def _clean_query(url: Column) -> Column:
 def normalize_url(url: Column) -> Column:
     """Canonical URL: lowercase scheme+host, fragment dropped, tracking
     params dropped (whole query dropped if nothing else remains)."""
-    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
-    path = F.parse_url(url, F.lit("PATH"))
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    path = F.try_parse_url(url, F.lit("PATH"))
     q = _clean_query(url)
     return F.concat(
         scheme, F.lit("://"), host(url),
@@ -212,3 +212,100 @@ def outlink_domain_stats(df: DataFrame, *, html_col: str = "html",
             .groupBy("domain")
             .agg(F.count("*").cast("long").alias("n_links"),
                  F.countDistinct(id_col).cast("long").alias("n_docs")))
+
+
+# ----------------------------------------------- RFC 3986 canonicalization
+
+def _pct_normalize(s: Column) -> Column:
+    """RFC 3986 §6.2.2.2 percent-encoding normalization: decode the
+    escapes of UNRESERVED characters (ALPHA / DIGIT / ``-._~`` — their
+    encoded and plain forms are equivalent by spec, and crawlers that
+    don't fold them count the same page twice), uppercase the hex of
+    everything else.  A ``%`` not followed by two hex digits passes
+    through verbatim.  Pure Catalyst: split on ``%``, fix each piece,
+    rejoin — no Python, no regex backtracking."""
+    parts = F.split(s, "%", -1)
+    head = F.element_at(parts, 1)
+    rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def fix(p):
+        hexok = p.rlike("^[0-9A-Fa-f]{2}")
+        hx = F.upper(F.substring(p, 1, 2))
+        code = F.conv(hx, 16, 10).cast("int")
+        unreserved = (((code >= 65) & (code <= 90))
+                      | ((code >= 97) & (code <= 122))
+                      | ((code >= 48) & (code <= 57))
+                      | code.isin(45, 46, 95, 126))
+        tail = p.substr(F.lit(3), F.length(p))
+        return (F.when(~hexok, F.concat(F.lit("%"), p))
+                .when(unreserved, F.concat(F.char(code), tail))
+                .otherwise(F.concat(F.lit("%"), hx, tail)))
+
+    return F.when(s.isNotNull(),
+                  F.concat(head, F.array_join(F.transform(rest, fix), "")))
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over an absolute path (empty → ``/``): ``.``
+    segments vanish, ``..`` pops (never past the root), a trailing
+    ``.``/``..`` leaves a trailing slash — one ``F.aggregate`` stack,
+    no Python."""
+    p = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    segs = F.split(p.substr(F.lit(2), F.length(p)), "/", -1)
+    stack = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(s == "..", F.slice(acc, 1, F.greatest(
+                F.size(acc) - 1, F.lit(0))))
+            .otherwise(F.concat(acc, F.array(s)))))
+    # trailing '.'/'..' leaves a slash — unless everything popped away
+    # ('/a/..' is '/', not '//': the root slash is already there)
+    trailing = F.when(F.element_at(segs, -1).isin(".", "..")
+                      & (F.size(stack) > 0),
+                      F.lit("/")).otherwise(F.lit(""))
+    return F.concat(F.lit("/"), F.array_join(stack, "/"), trailing)
+
+
+def canonical_url(url: Column) -> Column:
+    """Full canonical form for crawl-dedup keys — the RFC 3986 §6
+    normalizations stacked on :func:`normalize_url`'s policy ones:
+
+    * scheme + host lowercased; userinfo kept out of the key
+    * default ports dropped (``http:80``, ``https:443``)
+    * percent-encoding normalized in path AND query (unreserved
+      decoded, other escapes' hex uppercased)
+    * ``.``/``..`` path segments resolved; empty path → ``/``
+    * fragment dropped; tracking params dropped (whole query dropped
+      when nothing else remains)
+
+    IPv6 literal hosts (``[::1]``) are out of scope (the port split is
+    colon-based); pass them through :func:`normalize_url` instead.
+    Unparseable URLs (malformed escapes etc.) canonicalize to NULL via
+    ``try_parse_url`` — one junk URL must never kill a 100 TB job; the
+    caller keeps the raw string as the fallback key.
+    """
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    hostport = F.element_at(F.split(
+        F.try_parse_url(url, F.lit("AUTHORITY")), "@", -1), -1)
+    hp = F.split(hostport, ":", -1)
+    hostname = F.lower(F.element_at(hp, 1))
+    port = F.when(F.size(hp) > 1, F.element_at(hp, -1))
+    default = (((scheme == "http") & (port == "80"))
+               | ((scheme == "https") & (port == "443")))
+    portpart = F.when(port.isNotNull() & ~F.coalesce(default, F.lit(False)),
+                      F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    path = _remove_dot_segments(
+        _pct_normalize(F.try_parse_url(url, F.lit("PATH"))))
+    query = _pct_normalize(_clean_query(url))
+    return F.concat(
+        scheme, F.lit("://"), hostname, portpart, path,
+        F.coalesce(F.concat(F.lit("?"), query), F.lit("")))
+
+
+def canonicalize(df: DataFrame, *, url_col: str = "url",
+                 out: str = "canonical_url") -> DataFrame:
+    """``df`` + the canonical URL column — the dedup key for crawl
+    frontiers and incremental re-crawl diffs."""
+    return df.withColumn(out, canonical_url(F.col(url_col)))

@@ -3683,9 +3683,56 @@ def q124(spark, sf_dir):
                     "stop_frac", "cf_class", "class"))
 
 
+@q("q125_canonical_url", """
+SELECT doc_id, CAST(i.c AS INTEGER) AS case_id,
+  CASE i.c
+    WHEN 0 THEN 'http://www.example.com/a/c/d.html?id=' || doc_id
+    WHEN 1 THEN 'https://example.com/~user/Alpha/' || doc_id
+    WHEN 2 THEN 'https://example.com:8080/p/%2Fq%3F/' || doc_id
+    WHEN 3 THEN 'http://example.com/a/x?id=' || doc_id
+    WHEN 4 THEN 'https://example.com/top/main'
+    WHEN 5 THEN 'http://example.com/'
+    WHEN 6 THEN NULL
+    ELSE 'http://example.com/a//b/'
+  END AS canon
+FROM documents, (SELECT unnest(range(8)) AS c) i
+""")
+def q125(spark, sf_dir):
+    """RFC 3986 canonical URLs over 8 synthesized cases per doc:
+    tracking-param + fragment strip, default-port drop (non-default
+    kept), unreserved percent-escapes decoded (%7E/%41) while reserved
+    ones keep uppercased hex (%2F/%3F), dot-segment resolution (incl.
+    leading ..), empty path → '/', malformed escape → NULL (junk must
+    not kill the job), and empty segments preserved.  The oracle states
+    each expected canonical string analytically — an independent
+    restatement of the RFC rules, not a reimplementation."""
+    from ultraviolet_spark.operators.urls import canonical_url
+
+    d = F.col("doc_id").cast("string")
+    tmpl = [
+        F.concat(F.lit("HTTP://WWW.Example.COM:80/a/b/../c/./d.html"
+                       "?utm_source=x&id="), d),
+        F.concat(F.lit("https://example.com:443/%7euser/%41lpha/"), d),
+        F.concat(F.lit("https://example.com:8080/p/%2fq%3f/"), d),
+        F.concat(F.lit("http://example.com/a/b/c/../../x?id="), d,
+                 F.lit("#frag")),
+        F.lit("https://example.com/../top/%6Dain"),
+        F.lit("http://example.com"),
+        F.concat(F.lit("http://h.example.com/%zz/"), d),
+        F.lit("http://example.com/a//b/"),
+    ]
+    cases = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("case_id"), t.alias("url"))
+        for i, t in enumerate(tmpl)]))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", cases.alias("c"))
+            .select("doc_id", "c.case_id",
+                    canonical_url(F.col("c.url")).alias("canon")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 124 queries, 116 of them with exact DuckDB
+# [0:50]).  The registry holds 125 queries, 117 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.
