@@ -3730,9 +3730,82 @@ def q125(spark, sf_dir):
                     canonical_url(F.col("c.url")).alias("canon")))
 
 
+@q("q126_mime_sniff", """
+SELECT doc_id, CAST(i.c AS INTEGER) AS case_id,
+  CASE i.c
+    WHEN 0 THEN 'image/png'  WHEN 1 THEN 'image/png'
+    WHEN 2 THEN 'image/gif'  WHEN 3 THEN 'image/jpeg'
+    WHEN 4 THEN 'application/gzip'
+    WHEN 5 THEN 'text/html'  WHEN 6 THEN 'text/html'
+    WHEN 7 THEN 'text/plain'
+    WHEN 8 THEN 'application/octet-stream'
+    WHEN 9 THEN 'audio/wav'  WHEN 10 THEN 'image/webp'
+    WHEN 11 THEN 'application/pdf'
+    ELSE 'text/plain'
+  END AS sniffed_mime,
+  CASE i.c
+    WHEN 0 THEN 'image/png'  WHEN 1 THEN 'text/html'
+    WHEN 2 THEN 'image/gif'  WHEN 3 THEN 'image/png'
+    WHEN 4 THEN 'application/gzip'
+    WHEN 5 THEN 'text/html'  WHEN 6 THEN 'application/octet-stream'
+    WHEN 7 THEN 'text/css'   WHEN 8 THEN 'text/plain'
+    WHEN 9 THEN 'audio/wav'  WHEN 10 THEN 'image/webp'
+    WHEN 11 THEN 'application/pdf'
+    ELSE 'text/plain'
+  END AS declared_mime,
+  i.c NOT IN (1, 3, 6, 8) AS mime_ok
+FROM documents, (SELECT unnest(range(13)) AS c) i
+""")
+def q126(spark, sf_dir):
+    """WHATWG MIME sniffing over 13 synthesized payloads per doc —
+    magic table (PNG/GIF/JPEG/gzip/RIFF-WAVE/RIFF-WEBP/PDF), the HTML
+    tag test (incl. leading whitespace), BOM→text, NUL→binary — with
+    deliberately lying Content-Type headers on cases 1/3/6/8 and the
+    text-family tolerance on case 7.  The payload BYTES are built and
+    sniffed on the Spark side; the oracle states the expected verdicts
+    analytically (the declared essence re-derivation is shared)."""
+    from ultraviolet_spark.operators.mime import with_mime_check
+
+    d = F.col("doc_id").cast("string")
+    txt = F.encode(F.concat(F.lit("payload "), d), "UTF-8")
+
+    def mk(cid, payload, declared):
+        return F.struct(F.lit(cid).alias("case_id"),
+                        payload.alias("html"),
+                        F.lit(declared).alias("content_type"))
+
+    B = lambda hexs: F.unhex(F.lit(hexs))
+    cases = [
+        mk(0, F.concat(B("89504E470D0A1A0A"), txt), "image/png"),
+        mk(1, F.concat(B("89504E470D0A1A0A"), txt),
+           "Text/HTML; charset=utf-8"),
+        mk(2, F.concat(B("474946383961"), txt), "image/gif; q=1"),
+        mk(3, F.concat(B("FFD8FFE0"), txt), "image/png"),
+        mk(4, F.concat(B("1F8B08"), txt), "application/gzip"),
+        mk(5, F.encode(F.concat(F.lit("<!DOCTYPE html><p>hi "), d),
+                       "UTF-8"), "text/html"),
+        mk(6, F.encode(F.concat(F.lit("\n\t <html><body>x"), d),
+                       "UTF-8"), "application/octet-stream"),
+        mk(7, F.encode(F.concat(F.lit("hello plain text "), d),
+                       "UTF-8"), "text/css"),
+        mk(8, F.concat(B("000102"), txt), "text/plain"),
+        mk(9, F.concat(B("524946461000000057415645"), txt), "audio/wav"),
+        mk(10, F.concat(B("524946461000000057454250"), txt),
+           "image/webp"),
+        mk(11, F.concat(B("255044462D312E34"), txt), "application/pdf"),
+        mk(12, F.concat(B("EFBBBF"), txt), "text/plain"),
+    ]
+    df = (_t(spark, sf_dir, "documents")
+          .select("doc_id", F.explode(F.array(*cases)).alias("c"))
+          .select("doc_id", "c.*"))
+    return (with_mime_check(df)
+            .select("doc_id", "case_id", "sniffed_mime", "declared_mime",
+                    "mime_ok"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 125 queries, 117 of them with exact DuckDB
+# [0:50]).  The registry holds 126 queries, 118 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.
