@@ -84,3 +84,52 @@ def test_read_warc_spark(spark, tmp_path):
         assert got["warc_ts"] == want["ts"]
     # default filter keeps responses only
     assert read_warc(spark, str(d)).count() == 2
+
+
+# ----------------------------------------------------------------- WET
+
+def test_wet_roundtrip_and_manifest(spark, tmp_path):
+    import datetime as dt
+
+    from ultraviolet_spark.sources.warc import read_wet, write_wet
+
+    rows = [(f"https://ex.com/{i}",
+             dt.datetime(2026, 2, 1) + dt.timedelta(seconds=i),
+             f"text {i} — naïve 中文")        # non-ascii on purpose
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "text string")
+    out = str(tmp_path / "wet")
+    manifest = write_wet(df, out, n_shards=3)
+    assert sum(m["n_records"] for m in manifest) == 20
+    assert sorted(m["shard"] for m in manifest) == sorted(
+        {m["shard"] for m in manifest})        # one row per shard
+
+    back = read_wet(spark, out)
+    got = {(r["url"], r["warc_ts"], r["text"]) for r in back.collect()}
+    assert got == set(rows)                    # text byte-exact incl zh
+
+
+def test_wet_deterministic_bytes(spark, tmp_path):
+    import datetime as dt
+    import hashlib
+    import os
+
+    from ultraviolet_spark.sources.warc import write_wet
+
+    rows = [(f"https://d.com/{i}", dt.datetime(2026, 1, 1), f"t{i}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "text string")
+
+    def digest(p):
+        h = hashlib.md5()
+        for fn in sorted(os.listdir(p)):
+            h.update(fn.encode())
+            h.update(open(os.path.join(p, fn), "rb").read())
+        return h.hexdigest()
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_wet(df, a, n_shards=2)
+    write_wet(df.repartition(5), b, n_shards=2)   # any input partitioning
+    assert digest(a) == digest(b)

@@ -3803,9 +3803,51 @@ def q126(spark, sf_dir):
                     "mime_ok"))
 
 
+@q("q127_wet_roundtrip", """
+SELECT 'wet' || (doc_id % 13) || '.org' AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes_total,
+       MAX(TIMESTAMP '2026-02-01' + to_seconds(doc_id)) AS last_ts
+FROM documents GROUP BY 1
+""")
+def q127(spark, sf_dir):
+    """WET derived-format roundtrip — Common Crawl's extracted-text
+    sidecar: documents become conversion records in md5(url)-sharded
+    member-per-record .warc.wet.gz files (written DISTRIBUTED, one task
+    per shard), read back through the binaryFile scan with the
+    engine's own UTF-8 kernel decoding the payloads (zh docs make that
+    non-trivial), rolled up per domain.  The oracle computes the rollup
+    analytically from documents and never sees a WET byte — record
+    framing, gzip members, kernel decode and byte-identity are all on
+    the hook."""
+    import tempfile
+
+    from ultraviolet_spark.sources.warc import read_wet, write_wet
+
+    d = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://wet"), (d % 13).cast("string"),
+                 F.lit(".org/p/"), d.cast("string")).alias("url"),
+        (F.lit("2026-02-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=d.cast("double"))).alias("warc_ts"),
+        "text")
+    out = tempfile.mkdtemp(prefix="uv_q127_")
+    write_wet(pages, out, n_shards=4)
+    wet = read_wet(spark, out)
+    return (wet.select(
+                F.regexp_extract("url", r"https://([^/]+)/", 1)
+                 .alias("domain"),
+                "text", "warc_ts")
+            .groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum(F.octet_length("text")).cast("long")
+                  .alias("bytes_total"),
+                 F.max("warc_ts").alias("last_ts")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 126 queries, 118 of them with exact DuckDB
+# [0:50]).  The registry holds 127 queries, 119 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.

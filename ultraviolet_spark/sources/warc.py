@@ -230,3 +230,64 @@ def read_warc(spark: SparkSession, path: str, *,
 
     out = files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
     return out
+
+
+# ------------------------------------------------------------- WET export
+
+def write_wet(df: DataFrame, path: str, *, n_shards: int = 4,
+              url_col: str = "url", ts_col: str = "warc_ts",
+              text_col: str = "text", compress: bool = True) -> list[dict]:
+    """WET derived-format export — Common Crawl's extracted-text
+    sidecar (``*.warc.wet.gz``): one WARC ``conversion`` record per
+    page, payload = the extracted text as UTF-8 ``text/plain``.
+
+    Distributed shape: pages are md5(url)-sharded (deterministic across
+    runs/engines/cluster sizes, like every split in this engine), each
+    shard serialized by its own task into ONE member-per-record gzip
+    file, records in (url, ts) order within the shard so output bytes
+    are reproducible.  Returns the per-shard manifest
+    ``[{shard, n_records, n_bytes}, ...]`` (n_shards rows — bounded
+    driver traffic; no page data ever reaches the driver).
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    shard = (F.conv(F.substring(F.md5(F.encode(F.col(url_col), "UTF-8")),
+                                1, 12), 16, 10)
+             .cast("long") % n_shards).cast("int")
+    suffix = ".warc.wet" + (".gz" if compress else "")
+
+    def write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        pdf = pdf.sort_values([url_col, ts_col])
+        recs = [{"url": u, "ts": t.to_pydatetime(),
+                 "payload": x.encode("utf-8"),
+                 "rec_type": "conversion", "mime": "text/plain"}
+                for u, t, x in zip(pdf[url_col], pdf[ts_col],
+                                   pdf[text_col])]
+        data = build_warc(recs, compress=compress)
+        with open(os.path.join(path, f"part-{sid:05d}{suffix}"),
+                  "wb") as f:
+            f.write(data)
+        return pd.DataFrame({"shard": [sid], "n_records": [len(recs)],
+                             "n_bytes": [len(data)]})
+
+    stats = (df.select(url_col, ts_col, text_col)
+             .withColumn("__shard", shard)
+             .groupBy("__shard")
+             .applyInPandas(write_shard,
+                            "shard int, n_records long, n_bytes long"))
+    return [r.asDict() for r in stats.collect()]
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WET scan: the WARC reader filtered to ``conversion``
+    records, with the payload decoded back to ``text`` through the
+    engine's own UTF-8 kernel (never the JVM decoder — same U+FFFD
+    policy as everything else)."""
+    from ultraviolet_spark.functions.udfs import utf8_decode_udf
+
+    recs = read_warc(spark, path, rec_types=("conversion",))
+    return recs.select(
+        "warc_file", "url", "warc_ts",
+        utf8_decode_udf(F.col("html")).alias("text"))
