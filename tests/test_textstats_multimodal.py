@@ -282,3 +282,54 @@ def test_split_sentences_cases(spark):
     for i, _, want in cases:
         sents = [s for _, s in sorted(got[i])]
         assert sents == want, (i, sents)
+
+
+# ---------------------------------------------------- entropy / compression
+
+def test_char_entropy_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from ultraviolet_spark.operators.textstats import char_entropy
+
+    rows = [(1, "aaaaaaaa"), (2, "abcdefgh"), (3, "the quick brown fox"),
+            (4, ""), (5, "中文中文中文xy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["distinct_chars"], r["entropy"])
+           for r in char_entropy(df).collect()}
+
+    for did, text in rows:
+        if not text:
+            assert got[did] == (0, 0, 0.0)
+            continue
+        c = Counter(text)
+        n = sum(c.values())
+        s = sum(v * round(math.log(v) * 1e6) for v in c.values())
+        want = round((n * round(math.log(n) * 1e6) - s) / (n * 1e6), 6)
+        assert got[did] == (n, len(c), want), did
+    assert got[1][2] == 0.0                    # single-char doc: H = 0
+    # more symbols -> more entropy: prose(15 sym) > uniform-8 > constant
+    assert got[3][2] > got[2][2] > got[1][2]
+
+
+def test_compression_signals_reference_and_ordering(spark):
+    import zlib
+
+    from ultraviolet_spark.operators.textstats import compression_signals
+
+    prose = ("The four seasons turn and markets open while rivers "
+             "carve new valleys under a changing sky.")
+    spammy = "buy cheap now " * 32
+    rows = [(1, prose), (2, spammy), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["deflate_len"], r["compression_ratio"])
+           for r in compression_signals(df).collect()}
+
+    for did, text in rows:
+        if text is None:
+            assert got[did] == (None, None)
+            continue
+        want = len(zlib.compress(text.encode("utf-8"), 6))
+        assert got[did][0] == want
+        assert got[did][1] == round(want / len(text.encode("utf-8")), 6)
+    assert got[2][1] < got[1][1] / 2           # templated spam compresses 2x+

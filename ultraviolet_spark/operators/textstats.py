@@ -14,6 +14,8 @@ callers' own groupBys.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -460,3 +462,86 @@ def pmi_pairs(docs: DataFrame, *, min_pair_docs: int = 5,
                                   * F.col("__n")
                                   / (F.col("n_w1") * F.col("n_w2"))), 6)
                      .alias("pmi")))
+
+
+def char_entropy(df: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the
+    classic repetition/quality signal: natural prose sits ~3–4.5 nats,
+    keyboard mash and repeated boilerplate collapse toward 0, base64 /
+    hex blobs push past prose.  Complements the word-level Gopher gates
+    (``repetition_signals``) at the sub-token level.
+
+    Exactness: H = ln N − (Σ c·ln c)/N is computed with each ln snapped
+    to INTEGER micro-nats before the sum (same order-independence trick
+    as ``lm_cross_entropy`` — float partial-agg order differs between
+    engines), then one identical double division.  Characters are
+    UTF-16 code units on the Spark side (the ``(?!^)`` split) vs
+    codepoints in DuckDB — identical for BMP text, which all testdata
+    is; astral-heavy corpora should count via the classify kernel.
+
+    Scale: one scan-stage char explode (output ∝ corpus chars) into a
+    map-side-combined (id, char) count, then an (id) rollup — the same
+    two-shuffle shape as every token stat here.
+    """
+    chars = (df.filter(F.length(text_col) > 0)
+             .select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), r"(?!^)"))
+                     .alias("__ch"))
+             # Java split with limit -1 keeps one trailing "" (the
+             # lookahead also matches at end-of-string) — drop it
+             .filter(F.col("__ch") != ""))
+    counts = (chars.groupBy(id_col, "__ch")
+              .agg(F.count("*").cast("long").alias("__c")))
+    unats = F.round(F.log("__c") * 1e6).cast("long")
+    per = (counts.groupBy(id_col)
+           .agg(F.sum("__c").cast("long").alias("n_chars"),
+                F.count("*").cast("long").alias("distinct_chars"),
+                F.sum(F.col("__c") * unats).cast("long").alias("__s")))
+    n = F.col("n_chars")
+    h = F.round((n * F.round(F.log(n) * 1e6).cast("long") - F.col("__s"))
+                / (n * F.lit(1e6)), 6)
+    out = per.select(id_col, "n_chars", "distinct_chars",
+                     h.alias("entropy"))
+    ids = df.select(id_col)
+    return (ids.join(out, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce("n_chars", F.lit(0).cast("long"))
+                     .alias("n_chars"),
+                    F.coalesce("distinct_chars", F.lit(0).cast("long"))
+                     .alias("distinct_chars"),
+                    F.coalesce("entropy", F.lit(0.0)).alias("entropy")))
+
+
+def compression_signals(df: DataFrame, *, text_col: str = "text",
+                        level: int = 6) -> DataFrame:
+    """zlib compressibility per document: ``deflate_len`` and
+    ``compression_ratio`` = deflate_len / raw utf-8 bytes.  Highly
+    repetitive pages (templated spam, keyword stuffing) compress far
+    below prose (~0.3 vs ~0.6); near-random blobs exceed 1.  A standard
+    web-pipeline quality gate alongside the Gopher fractions.
+
+    The per-batch loop calls only C zlib (the normalize.py precedent) —
+    no Python bytecode per row beyond the call.  No SQL oracle exists
+    (DuckDB has no deflate), so the registry entry is rows-only and the
+    quantitative contract lives in pytest against an independent
+    reference implementation.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("long")
+    def _zlen(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None
+             else len(zlib.compress(v.encode("utf-8"), lvl))
+             for v in s], dtype="Int64", index=s.index)
+
+    raw = F.octet_length(F.col(text_col)).cast("long")
+    zl = _zlen(F.col(text_col))
+    return (df.withColumn("deflate_len", zl)
+            .withColumn("compression_ratio",
+                        F.when(raw > 0, F.round(zl / raw, 6))))

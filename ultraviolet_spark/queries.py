@@ -3845,9 +3845,51 @@ def q127(spark, sf_dir):
                  F.max("warc_ts").alias("last_ts")))
 
 
+@q("q128_char_entropy", """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) > 0),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+per AS (
+  SELECT doc_id,
+         SUM(c) AS n,
+         COUNT(*) AS d,
+         SUM(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS s
+  FROM counts GROUP BY doc_id)
+SELECT d0.doc_id,
+       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(per.d, 0) AS BIGINT) AS distinct_chars,
+       COALESCE(round((per.n * CAST(round(ln(per.n) * 1e6) AS BIGINT)
+                       - per.s) / (per.n * 1e6), 6), 0.0) AS entropy
+FROM documents d0 LEFT JOIN per ON per.doc_id = d0.doc_id
+""")
+def q128(spark, sf_dir):
+    """Character-level Shannon entropy quality signal over the real
+    corpus text (zh docs exercise multibyte chars).  Integer micro-nat
+    summing makes the per-doc aggregate exact, so the oracle rebuilds
+    every entropy value bit-for-bit from its own char counts."""
+    from ultraviolet_spark.operators.textstats import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@q("q129_compression_ratio", None)
+def q129(spark, sf_dir):
+    """zlib compressibility signal (templated-spam gate).  No DuckDB
+    deflate exists, so this is rows-only at the driver; the
+    quantitative contract (exact equality to an independent
+    python-zlib reference; repetitive ≪ prose ordering) lives in
+    tests/test_textstats_multimodal.py."""
+    from ultraviolet_spark.operators.textstats import compression_signals
+
+    return (compression_signals(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "deflate_len", "compression_ratio"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 127 queries, 119 of them with exact DuckDB
+# [0:50]).  The registry holds 129 queries, 120 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.
