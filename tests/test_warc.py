@@ -133,3 +133,33 @@ def test_wet_deterministic_bytes(spark, tmp_path):
     write_wet(df, a, n_shards=2)
     write_wet(df.repartition(5), b, n_shards=2)   # any input partitioning
     assert digest(a) == digest(b)
+
+
+# ----------------------------------------------------------------- WAT
+
+def test_wat_roundtrip(spark, tmp_path):
+    import datetime as dt
+
+    from ultraviolet_spark.sources.warc import read_wat, write_wat
+
+    rows = [
+        (f"https://ex.com/{i}", dt.datetime(2026, 3, 1),
+         f'<html><head><title>T{i} &amp; more</title></head>'
+         f'<a href="https://a.com/{i}">x</a>'
+         f'<a href="/rel">y</a><a href="http://b.net/">z</a></html>')
+        for i in range(8)
+    ] + [("https://ex.com/notitle", dt.datetime(2026, 3, 1),
+          "<html><p>no links, no title</p></html>")]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "html string")
+    out = str(tmp_path / "wat")
+    manifest = write_wat(df, out, n_shards=2)
+    assert sum(m["n_records"] for m in manifest) == 9
+
+    got = {r["url"]: r for r in read_wat(spark, out).collect()}
+    r0 = got["https://ex.com/3"]
+    assert r0["outlinks"] == ["https://a.com/3", "http://b.net/"]
+    assert r0["title"] == "T3 &amp; more"       # raw title, not decoded
+    assert r0["html_bytes"] == len(rows[3][2].encode("utf-8"))
+    nt = got["https://ex.com/notitle"]
+    assert nt["outlinks"] == [] and nt["title"] is None

@@ -3887,9 +3887,60 @@ def q129(spark, sf_dir):
             .select("doc_id", "deflate_len", "compression_ratio"))
 
 
+@q("q130_wat_roundtrip", """
+SELECT doc_id,
+       CAST(2 AS INTEGER) AS n_outlinks,
+       'https://hub.org/a' || doc_id AS first_link,
+       'Doc ' || doc_id AS title,
+       CAST(octet_length(encode(
+         '<html><head><title>Doc ' || doc_id || '</title></head><body>'
+         || '<a href="https://hub.org/a' || doc_id || '">x</a>'
+         || '<a href="/relative/' || doc_id || '">y</a>'
+         || '<a href="https://spoke.net/b' || doc_id || '">z</a>'
+         || text || '</body></html>')) AS BIGINT) AS html_bytes
+FROM documents
+""")
+def q130(spark, sf_dir):
+    """WAT metadata-sidecar roundtrip: synthesized pages (2 absolute +
+    1 relative link, a title, the real document text as body) become
+    metadata records with a pure-Catalyst JSON payload, sharded to
+    .warc.wat.gz, read back through binaryFile + kernel decode +
+    from_json.  The oracle restates outlink count/first link/title/byte
+    size analytically from the same synthesis arithmetic — WARC
+    framing, JSON roundtrip and the absolute-only link filter are all
+    on the hook."""
+    import tempfile
+
+    from ultraviolet_spark.sources.warc import read_wat, write_wat
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), ds,
+        F.lit("</title></head><body>"),
+        F.lit('<a href="https://hub.org/a'), ds, F.lit('">x</a>'),
+        F.lit('<a href="/relative/'), ds, F.lit('">y</a>'),
+        F.lit('<a href="https://spoke.net/b'), ds, F.lit('">z</a>'),
+        F.col("text"), F.lit("</body></html>"))
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://wat.org/p/"), ds).alias("url"),
+        (F.lit("2026-03-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=d.cast("double"))).alias("warc_ts"),
+        html.alias("html"))
+    out = tempfile.mkdtemp(prefix="uv_q130_")
+    write_wat(pages, out, n_shards=4)
+    wat = read_wat(spark, out)
+    return wat.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.size("outlinks").alias("n_outlinks"),
+        F.element_at("outlinks", 1).alias("first_link"),
+        "title", "html_bytes")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 129 queries, 120 of them with exact DuckDB
+# [0:50]).  The registry holds 130 queries, 121 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.

@@ -291,3 +291,75 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     return recs.select(
         "warc_file", "url", "warc_ts",
         utf8_decode_udf(F.col("html")).alias("text"))
+
+
+# ------------------------------------------------------------- WAT export
+
+WAT_PAYLOAD_SCHEMA = ("struct<outlinks: array<string>, title: string, "
+                      "html_bytes: bigint>")
+
+
+def write_wat(df: DataFrame, path: str, *, n_shards: int = 4,
+              url_col: str = "url", ts_col: str = "warc_ts",
+              html_col: str = "html", compress: bool = True) -> list[dict]:
+    """WAT derived-format export — Common Crawl's metadata sidecar:
+    one WARC ``metadata`` record per page whose payload is a JSON
+    object ``{outlinks, title, html_bytes}`` (absolute hrefs in
+    document order, raw ``<title>`` text, page byte size).  The JSON is
+    built PURE CATALYST (``regexp_extract_all`` + ``to_json``) before
+    the same md5(url)-sharded one-task-per-shard writer as
+    :func:`write_wet`; returns the per-shard manifest."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    h = F.col(html_col)
+    links = F.filter(
+        F.expr(f"regexp_extract_all({html_col}, 'href=\"([^\"]*)\"', 1)"),
+        lambda x: x.rlike("^https?://"))
+    meta = F.to_json(F.struct(
+        links.alias("outlinks"),
+        F.when(h.rlike("(?i)<title[^>]*>[^<]*</title>"),
+               F.regexp_extract(h, "(?i)<title[^>]*>([^<]*)</title>", 1))
+         .alias("title"),
+        F.octet_length(F.encode(h, "UTF-8")).cast("long")
+         .alias("html_bytes")))
+    shard = (F.conv(F.substring(F.md5(F.encode(F.col(url_col), "UTF-8")),
+                                1, 12), 16, 10)
+             .cast("long") % n_shards).cast("int")
+    suffix = ".warc.wat" + (".gz" if compress else "")
+
+    def write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        pdf = pdf.sort_values([url_col, ts_col])
+        recs = [{"url": u, "ts": t.to_pydatetime(),
+                 "payload": m.encode("utf-8"),
+                 "rec_type": "metadata", "mime": "application/json"}
+                for u, t, m in zip(pdf[url_col], pdf[ts_col],
+                                   pdf["__meta"])]
+        data = build_warc(recs, compress=compress)
+        with open(os.path.join(path, f"part-{sid:05d}{suffix}"),
+                  "wb") as f:
+            f.write(data)
+        return pd.DataFrame({"shard": [sid], "n_records": [len(recs)],
+                             "n_bytes": [len(data)]})
+
+    stats = (df.select(url_col, ts_col, meta.alias("__meta"))
+             .withColumn("__shard", shard)
+             .groupBy("__shard")
+             .applyInPandas(write_shard,
+                            "shard int, n_records long, n_bytes long"))
+    return [r.asDict() for r in stats.collect()]
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WAT scan: metadata records parsed back to
+    ``(warc_file, url, warc_ts, outlinks, title, html_bytes)`` — the
+    payload decodes through the UTF-8 kernel then one ``from_json``."""
+    from ultraviolet_spark.functions.udfs import utf8_decode_udf
+
+    recs = read_warc(spark, path, rec_types=("metadata",))
+    j = F.from_json(utf8_decode_udf(F.col("html")), WAT_PAYLOAD_SCHEMA)
+    return recs.select("warc_file", "url", "warc_ts",
+                       j["outlinks"].alias("outlinks"),
+                       j["title"].alias("title"),
+                       j["html_bytes"].alias("html_bytes"))
