@@ -450,3 +450,48 @@ def test_pmi_pairs_vs_python(spark):
                    - round(math.log(nb * N / (marg[a] * marg[b])), 6)) < 1e-9
     # collocates score positive, repellers at independence score ~0/neg
     assert got[("bread", "butter")]["pmi"] > got[("coffee", "milk")]["pmi"]
+
+
+# ------------------------------------------------------- weighted sampling
+
+def test_sample_weighted_deterministic_and_weighty(spark):
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.corpus import sample_weighted
+
+    # 200 light docs (w=1) + 20 heavy docs (w=50): heavies should
+    # dominate a k=20 sample overwhelmingly
+    rows = [(i, 1.0) for i in range(200)] + \
+           [(1000 + i, 50.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in
+           sample_weighted(df, 20, weight_col="w").collect()}
+    assert len(got) == 20
+    assert sum(1 for d in got if d >= 1000) >= 12   # heavies dominate
+    # reproducible under any partitioning
+    again = {r["doc_id"] for r in
+             sample_weighted(df.repartition(7), 20,
+                             weight_col="w").collect()}
+    assert got == again
+    # salt re-draws
+    other = {r["doc_id"] for r in
+             sample_weighted(df, 20, weight_col="w", salt="x").collect()}
+    assert got != other
+
+
+def test_sample_weighted_grouped_and_guards(spark):
+    import pytest as _pytest
+
+    from ultraviolet_spark.operators.corpus import sample_weighted
+
+    rows = [(i, "a" if i % 2 else "b", float(1 + i % 5))
+            for i in range(40)] + [(99, "a", 0.0), (98, "b", None)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = sample_weighted(df, 5, weight_col="w", by="g").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], set()).add(r["doc_id"])
+    assert len(by_g["a"]) == 5 and len(by_g["b"]) == 5
+    assert 99 not in by_g["a"] and 98 not in by_g["b"]  # w<=0/null excluded
+    with _pytest.raises(ValueError):
+        sample_weighted(df, 0, weight_col="w")

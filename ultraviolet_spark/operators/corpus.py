@@ -786,3 +786,51 @@ def cap_per_domain(docs: DataFrame, *, cap: int,
             .filter(F.col("__rk") <= cap)
             .drop("__dom", "__n", "__rk"))
     return under.unionByName(over)
+
+
+def sample_weighted(docs: DataFrame, k: int, *, weight_col: str,
+                    id_col: str = "doc_id", salt: str = "",
+                    by: str | None = None) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, A-ES): each row draws a uniform u from
+    md5(id || salt) and gets the key u^(1/w); the global top-``k`` keys
+    are the sample — provably the same distribution as sequential
+    weighted draws without replacement, but embarrassingly parallel
+    (one TakeOrdered, no sequential state) and reproducible across
+    runs, engines and cluster sizes.  The corpus use: quality- or
+    importance-weighted subsampling (weights from quality_score_hashed
+    / dsir_importance) instead of the uniform md5-threshold of
+    ``sample_stratified``.
+
+    ``by`` picks top-k PER GROUP instead of globally (one window on
+    the group key).  Keys are snapped to integer nano-units (the
+    micro-nat trick) so rank order is engine-exact; ties break by id.
+    Rows with weight <= 0 or NULL are never sampled.
+
+    Scale: the global path is TakeOrderedAndProject (per-partition
+    top-k, k rows to the driver-side merge — no full sort, no shuffle
+    of the corpus); the grouped path shuffles once on the group key.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))
+              .cast("binary"))
+    # 48 md5 bits -> u in (0, 1]: (i + 1) / 2^48 — never 0, so
+    # pow(u, 1/w) is well-defined for every weight
+    u = ((F.conv(F.substring(h, 1, 12), 16, 10).cast("double") + 1.0)
+         / F.lit(float(1 << 48)))
+    key = F.round(F.pow(u, F.lit(1.0) / w) * 1e9).cast("long")
+    tagged = (docs.filter(w.isNotNull() & (w > 0))
+              .withColumn("__skey", key))
+    if by is None:
+        out = (tagged.orderBy(F.col("__skey").desc(), F.col(id_col))
+               .limit(k))
+    else:
+        win = Window.partitionBy(by).orderBy(F.col("__skey").desc(),
+                                             F.col(id_col))
+        out = (tagged.withColumn("__rk", F.row_number().over(win))
+               .filter(F.col("__rk") <= k).drop("__rk"))
+    return out.drop("__skey")

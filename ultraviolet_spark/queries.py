@@ -3938,9 +3938,40 @@ def q130(spark, sf_dir):
         "title", "html_bytes")
 
 
+@q("q131_weighted_sample", """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(round(pow(
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                 AS UBIGINT) + 1) / 281474976710656.0,
+           1.0 / n_chars) * 1e9) AS BIGINT) AS skey
+  FROM documents WHERE n_chars > 0),
+rk AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY skey DESC, doc_id) AS r
+  FROM keyed)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM rk WHERE r <= 20
+""")
+def q131(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES keys u^(1/w) from md5-derived uniforms), top-20 per language
+    weighted by document length.  Keys snap to integer nano-units so
+    the oracle — which recomputes every key from the same md5
+    arithmetic — ranks identically; ties break by doc_id."""
+    from ultraviolet_spark.operators.corpus import sample_weighted
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    return (sample_weighted(docs, 20, weight_col="n_chars", by="lang")
+            .select("doc_id", "lang", F.col("n_chars").cast("long")
+                    .alias("n_chars")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 130 queries, 121 of them with exact DuckDB
+# [0:50]).  The registry holds 131 queries, 122 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.
