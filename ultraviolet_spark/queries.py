@@ -3969,9 +3969,30 @@ def q131(spark, sf_dir):
                     .alias("n_chars")))
 
 
+@q("q132_cdc_chunks", None)
+def q132(spark, sf_dir):
+    """Content-defined chunking over synthesized binary payloads (each
+    doc's utf-8 text repeated to ≥4 KB, so cross-doc byte reuse
+    exists): per-doc chunk/byte rollup.  The gear-hash boundary walk is
+    not SQL-expressible — rows-only here; the exact contracts
+    (reference-equality, bounds, shift resilience, dedup accounting)
+    live in tests/test_cdc.py."""
+    from ultraviolet_spark.operators.cdc import cdc_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode(F.repeat(
+        F.concat(F.col("text"), F.lit("\n")), 8), "UTF-8").alias("html"))
+    ch = cdc_chunks(blobs, min_size=256, avg_size=1024, max_size=4096)
+    return (ch.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum("length").cast("long").alias("n_bytes"),
+                 F.countDistinct("chunk_md5").cast("long")
+                  .alias("n_distinct")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 131 queries, 122 of them with exact DuckDB
+# [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.
