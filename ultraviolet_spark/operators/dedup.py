@@ -256,7 +256,13 @@ def _shingle_hash_segments(texts: np.ndarray, n: int):
     sh = flat_tok.iloc[:n_pos].reset_index(drop=True)
     for k in range(1, n):
         sh = sh + " " + flat_tok.iloc[k: n_pos + k].reset_index(drop=True)
-    hashes = pd.util.hash_array(sh.to_numpy(dtype=object))  # uint64
+    # categorize=False: the default categorize=True factorizes through a
+    # NUL-terminated C-string hash table, so shingles differing only past
+    # an embedded '\x00' (real web text contains them) collide into one
+    # category and steal each other's hash — found by the hypothesis
+    # property suite.  Per-element siphash values are identical either way.
+    hashes = pd.util.hash_array(sh.to_numpy(dtype=object),
+                                categorize=False)  # uint64
     doc_of_tok = np.repeat(np.arange(m, dtype=np.int64), tok_counts)
     valid = doc_of_tok[:n_pos] == doc_of_tok[n - 1: n - 1 + n_pos]
     doc_v = doc_of_tok[:n_pos][valid]
