@@ -89,3 +89,60 @@ def test_redirect_max_hops_cutoff(spark):
 def test_redirect_multi_dst_min_tiebreak(spark):
     got = _rr(spark, [("s", "zz"), ("s", "aa")])
     assert got["s"] == ("aa", 1, True)
+
+
+# ---------------------------------------------------- HITS
+
+def _py_hits(edges, iters=2, scale=1_000_000):
+    """Slow-but-obvious dict mirror of the integer HITS recurrence."""
+    nodes = {n for e in edges for n in e}
+    n_nodes = len(nodes)
+
+    def renorm(r):
+        s = sum(r.values())
+        if s == 0:
+            return dict(r)
+        return {k: (v * n_nodes * scale) // s for k, v in r.items()}
+
+    auth = {n: scale for n in nodes}
+    hub = dict(auth)
+    for _ in range(iters):
+        hub = renorm({n: sum(auth[d] for s_, d in edges if s_ == n)
+                      for n in nodes})
+        auth = renorm({n: sum(hub[s_] for s_, d in edges if d == n)
+                       for n in nodes})
+    return hub, auth
+
+
+def test_hits_matches_python_reference(spark):
+    from ultraviolet_spark.operators.graph import hits
+    edges = sorted({(i % 13, (i * 7 + 3) % 13) for i in range(40)}
+                   | {(5, 5), (1, 12)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub_micro"], r["auth_micro"])
+           for r in hits(e, iters=3).collect()}
+    hub, auth = _py_hits(edges, iters=3)
+    assert got == {n: (hub[n], auth[n]) for n in hub}
+
+
+def test_hits_star_graph(spark):
+    # hub h points at k sinks: h is the only hub, sinks share authority
+    from ultraviolet_spark.operators.graph import hits
+    edges = [("h", f"s{i}") for i in range(4)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["hub_micro"], r["auth_micro"])
+           for r in hits(e, iters=2).collect()}
+    assert got["h"][0] == 5 * 1_000_000      # all hub mass on h
+    assert got["h"][1] == 0                  # nothing links to h
+    sink_auths = {got[f"s{i}"][1] for i in range(4)}
+    assert sink_auths == {1_250_000}         # N*scale/4 each
+    assert all(got[f"s{i}"][0] == 0 for i in range(4))
+
+
+def test_hits_partitioning_invariance(spark):
+    from ultraviolet_spark.operators.graph import hits
+    edges = sorted({(i % 11, (i * 5 + 1) % 11) for i in range(30)})
+    e1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    e7 = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    assert (sorted(map(tuple, hits(e1).collect()))
+            == sorted(map(tuple, hits(e7).collect())))

@@ -333,3 +333,43 @@ def test_compression_signals_reference_and_ordering(spark):
         assert got[did][0] == want
         assert got[did][1] == round(want / len(text.encode("utf-8")), 6)
     assert got[2][1] < got[1][1] / 2           # templated spam compresses 2x+
+
+
+# ---------------------------------------------------- readability
+
+def test_readability_hand_cases(spark):
+    from ultraviolet_spark.operators.textstats import readability_signals
+    rows = [
+        (1, "The cat sat."),                       # 3 words, 3 syllables
+        (2, "Beautiful examples everywhere! Yes."),
+        (3, ""),                                   # empty: 1 sent, 0 words
+        (4, "tv"),                                 # no vowels -> 1 syllable
+        (5, "table"),                              # silent-e kept: 'le' end
+        (6, "make"),                               # silent e dropped: 1 syl
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in readability_signals(df).collect()}
+    assert (got[1]["n_sents"], got[1]["n_words"],
+            got[1]["n_syllables"]) == (1, 3, 3)
+    assert got[3]["n_words"] == 0 and got[3]["flesch"] is None
+    assert got[4]["n_syllables"] == 1
+    # table -> ta-ble: groups a,e = 2, ends 'le' so no silent-e drop
+    assert got[5]["n_syllables"] == 2
+    # make -> groups a,e = 2, silent final e -> 1
+    assert got[6]["n_syllables"] == 1
+    # flesch for "The cat sat.": 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert abs(got[1]["flesch"] - 119.19) < 1e-9
+
+
+def test_readability_orders_simple_vs_complex(spark):
+    from ultraviolet_spark.operators.textstats import readability_signals
+    simple = "The dog ran. The cat sat. We go now."
+    complex_ = ("Incomprehensibility characterizes institutional "
+                "bureaucratization notwithstanding organizational "
+                "rationalization imperatives.")
+    df = spark.createDataFrame([(1, simple), (2, complex_)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability_signals(df).collect()}
+    assert got[1]["flesch"] > got[2]["flesch"]
+    assert got[1]["fk_grade"] < got[2]["fk_grade"]

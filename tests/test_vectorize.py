@@ -97,3 +97,69 @@ def test_bad_dim_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         hashed_features(df, dim=0)
+
+
+# ---------------------------------------------------- random projection
+
+def _py_rp(emb, out_dim=16, micro=1_000_000):
+    import hashlib
+    import math
+    in_dim = len(emb)
+    out = []
+    for k in range(out_dim):
+        acc = 0
+        for j, x in enumerate(emb):
+            s = 1 if int(hashlib.md5(f"{j}_{k}".encode())
+                         .hexdigest()[0], 16) < 8 else -1
+            acc += s * math.floor(float(x) * micro)
+        out.append(acc)
+    return out
+
+
+def test_rp_matches_python_reference(spark):
+    from ultraviolet_spark.operators.vectorize import random_projection
+    vecs = [(1, [0.5, -0.25, 0.125, 1.0]), (2, [0.0, 0.1, -0.9, 3.3])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: list(r["proj_micro"])
+           for r in random_projection(df, in_dim=4, out_dim=6).collect()}
+    import numpy as np
+    for vid, emb in vecs:
+        want = _py_rp(np.array(emb, dtype=np.float32), out_dim=6)
+        assert got[vid] == want
+
+
+def test_rp_preserves_distances_approximately(spark):
+    # JL property: squared distance in projected space / out_dim is an
+    # unbiased estimate of the original.  iid-gaussian points make ALL
+    # pairwise distances nearly equal (correlation would be noise), so
+    # scale each point differently to spread the distance distribution,
+    # then bound every pair's ratio and the mean ratio.
+    import numpy as np
+    from ultraviolet_spark.operators.vectorize import random_projection
+    rng = np.random.RandomState(7)
+    X = (rng.randn(10, 64) * np.arange(1, 11)[:, None]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    P = {r["vec_id"]: np.array(r["proj_micro"], dtype=np.float64) / 1e6
+         for r in random_projection(df, in_dim=64, out_dim=32).collect()}
+    ratios = []
+    for i in range(10):
+        for j in range(i + 1, 10):
+            d_orig = np.sum((X[i] - X[j]) ** 2)
+            d_proj = np.sum((P[i] - P[j]) ** 2) / 32
+            ratios.append(d_proj / d_orig)
+    ratios = np.array(ratios)
+    # k=32 → sd of the ratio ≈ sqrt(2/32) = 0.25; generous bounds
+    assert 0.8 < ratios.mean() < 1.2, ratios.mean()
+    assert ratios.min() > 0.25 and ratios.max() < 2.5, (
+        ratios.min(), ratios.max())
+
+
+def test_rp_short_vector_contributes_present_entries(spark):
+    from ultraviolet_spark.operators.vectorize import random_projection
+    df = spark.createDataFrame([(1, [1.0, 2.0])],
+                               "vec_id long, embedding array<float>")
+    got = random_projection(df, in_dim=4, out_dim=3).collect()[0]
+    want = _py_rp([1.0, 2.0, 0.0, 0.0], out_dim=3)
+    assert list(got["proj_micro"]) == want

@@ -545,3 +545,51 @@ def compression_signals(df: DataFrame, *, text_col: str = "text",
     return (df.withColumn("deflate_len", zl)
             .withColumn("compression_ratio",
                         F.when(raw > 0, F.round(zl / raw, 6))))
+
+
+def readability_signals(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document — the
+    classic curriculum/quality band signal (training-data mixes often
+    bucket by readability).  Syllables use the standard vowel-group
+    heuristic: count of [aeiouy]+ runs in the lowercased letters-only
+    token, minus one silent final 'e' (kept when the word ends in
+    'le'), floored at 1.
+
+    Pure Catalyst (split + higher-order functions), zero shuffles, and
+    every count is an exact integer the DuckDB oracle reproduces; the
+    two float ratios are single identical-operand double divisions
+    rounded after the fact (registry parity rule).  Sentence count is
+    ``max(1, runs of [.!?])``.
+    """
+    letters = F.transform(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.regexp_replace(t, "[^a-z]", ""))
+    words = F.filter(letters, lambda w: w != "")
+
+    def syl(w):
+        g = F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))
+        silent = F.when((g > 1) & w.endswith("e") & ~w.endswith("le"),
+                        F.lit(1)).otherwise(F.lit(0))
+        return F.greatest(F.lit(1), g - silent)
+
+    n_words = F.size(words).cast("long")
+    n_syll = F.aggregate(words, F.lit(0).cast("long"),
+                         lambda acc, w: acc + syl(w))
+    n_sents = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit("[.!?]+"), 0))).cast("long")
+    wps = n_words.cast("double") / n_sents
+    spw = n_syll.cast("double") / n_words
+    return df.select(
+        F.col(id_col),
+        n_sents.alias("n_sents"),
+        n_words.alias("n_words"),
+        F.coalesce(n_syll, F.lit(0)).cast("long").alias("n_syllables"),
+        F.when(n_words > 0,
+               F.round(F.lit(206.835) - F.lit(1.015) * wps
+                       - F.lit(84.6) * spw, 6)).alias("flesch"),
+        F.when(n_words > 0,
+               F.round(F.lit(0.39) * wps + F.lit(11.8) * spw
+                       - F.lit(15.59), 6)).alias("fk_grade"))

@@ -73,6 +73,53 @@ def hashed_features(df: DataFrame, *, dim: int = 2 ** 18, n: int = 1,
                  F.sum("__sgn").cast("long").alias("signed_tf")))
 
 
+def _rp_signs(in_dim: int, out_dim: int) -> list[list[int]]:
+    """±1 projection matrix derived from md5 — the same nibble rule as
+    :func:`hashed_features`'s sign bit, so Spark, DuckDB and the Python
+    driver all rebuild the identical matrix with no shipped state."""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(f"{j}_{k}".encode()).hexdigest()[0],
+                      16) < 8 else -1
+             for j in range(in_dim)]
+            for k in range(out_dim)]
+
+
+def random_projection(df: DataFrame, *, in_dim: int, out_dim: int = 16,
+                      emb_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      micro: int = 1_000_000) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction ``(id,
+    proj_micro: array<long>[out_dim])`` with a DETERMINISTIC dense ±1
+    sign matrix (Achlioptas 2003, density-1 variant): inner products are
+    unbiased estimates of the originals scaled by ``out_dim``, distances
+    are preserved within the JL bound — the cheap pre-step before ANN /
+    clustering when 100 TB of float64 embeddings won't fit the shuffle.
+
+    Exactness across engines: inputs snap to integer micro-units
+    (``floor(x·1e6)`` — floor, not round, to dodge tie-policy skew), the
+    dot products are integer sums, and the matrix is md5-derived, so the
+    DuckDB oracle recomputes every output bit-for-bit.
+
+    Scale: the matrix is a plan literal (in_dim×out_dim ≤ a few K ints —
+    broadcast-free), each row's projection is pure Catalyst arithmetic
+    (zip_with + aggregate), zero shuffles, zero Python.  Embeddings
+    shorter than ``in_dim`` contribute only their present entries.
+    """
+    if in_dim <= 0 or out_dim <= 0:
+        raise ValueError("in_dim and out_dim must be positive")
+    signs = F.array(*[F.array(*[F.lit(s) for s in row])
+                      for row in _rp_signs(in_dim, out_dim)])
+    emb_micro = F.transform(
+        F.col(emb_col),
+        lambda x: F.floor(x.cast("double") * micro).cast("long"))
+    proj = F.transform(signs, lambda srow: F.aggregate(
+        F.zip_with(emb_micro, srow, lambda x, s: x * s),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.coalesce(v, F.lit(0))))
+    return df.select(F.col(id_col), proj.alias("proj_micro"))
+
+
 def hashed_vector(df: DataFrame, *, dim: int = 2 ** 18, n: int = 1,
                   text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:

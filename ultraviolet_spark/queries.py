@@ -3990,6 +3990,142 @@ def q132(spark, sf_dir):
                   .alias("n_distinct")))
 
 
+@q("q133_hits_hubs_authorities", """
+WITH e AS (
+  SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+  FROM documents
+  UNION
+  SELECT doc_id % 101, (doc_id * 13 + 5) % 101 FROM documents),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+h1s AS (SELECT e.src AS node, SUM(a0.r) AS r
+        FROM e JOIN a0 ON a0.node = e.dst GROUP BY e.src),
+h1f AS (SELECT n.node, COALESCE(h1s.r, 0) AS r
+        FROM nodes n LEFT JOIN h1s ON h1s.node = n.node),
+h1 AS (SELECT f.node, CASE WHEN t.s = 0 THEN f.r ELSE
+         CAST((CAST(f.r AS HUGEINT) * t.n * 1000000) // t.s AS BIGINT)
+       END AS r
+       FROM h1f f, (SELECT SUM(r) AS s, COUNT(*) AS n FROM h1f) t),
+a1s AS (SELECT e.dst AS node, SUM(h1.r) AS r
+        FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+a1f AS (SELECT n.node, COALESCE(a1s.r, 0) AS r
+        FROM nodes n LEFT JOIN a1s ON a1s.node = n.node),
+a1 AS (SELECT f.node, CASE WHEN t.s = 0 THEN f.r ELSE
+         CAST((CAST(f.r AS HUGEINT) * t.n * 1000000) // t.s AS BIGINT)
+       END AS r
+       FROM a1f f, (SELECT SUM(r) AS s, COUNT(*) AS n FROM a1f) t),
+h2s AS (SELECT e.src AS node, SUM(a1.r) AS r
+        FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+h2f AS (SELECT n.node, COALESCE(h2s.r, 0) AS r
+        FROM nodes n LEFT JOIN h2s ON h2s.node = n.node),
+h2 AS (SELECT f.node, CASE WHEN t.s = 0 THEN f.r ELSE
+         CAST((CAST(f.r AS HUGEINT) * t.n * 1000000) // t.s AS BIGINT)
+       END AS r
+       FROM h2f f, (SELECT SUM(r) AS s, COUNT(*) AS n FROM h2f) t),
+a2s AS (SELECT e.dst AS node, SUM(h2.r) AS r
+        FROM e JOIN h2 ON h2.node = e.src GROUP BY e.dst),
+a2f AS (SELECT n.node, COALESCE(a2s.r, 0) AS r
+        FROM nodes n LEFT JOIN a2s ON a2s.node = n.node),
+a2 AS (SELECT f.node, CASE WHEN t.s = 0 THEN f.r ELSE
+         CAST((CAST(f.r AS HUGEINT) * t.n * 1000000) // t.s AS BIGINT)
+       END AS r
+       FROM a2f f, (SELECT SUM(r) AS s, COUNT(*) AS n FROM a2f) t)
+SELECT h2.node, CAST(h2.r AS BIGINT) AS hub_micro,
+       CAST(a2.r AS BIGINT) AS auth_micro
+FROM h2 JOIN a2 ON a2.node = h2.node
+""")
+def q133(spark, sf_dir):
+    """HITS hubs & authorities over the same deterministic 101-domain
+    link graph as q96's PageRank: 2 full iterations, each half-step an
+    integer renormalization to N·scale total (DECIMAL(38,0) / HUGEINT
+    arithmetic) — bit-identical to the oracle's unrolled SQL regardless
+    of partitioning or aggregation order.  Hub scores rank directory
+    pages (seed lists), authority scores rank content pages."""
+    from ultraviolet_spark.operators.graph import hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+         .union(d.select((F.col("doc_id") % 101).alias("src"),
+                         ((F.col("doc_id") * 13 + 5) % 101).alias("dst")))
+         .distinct())
+    return hits(e, iters=2)
+
+
+@q("q134_random_projection", """
+WITH ks AS (SELECT unnest(generate_series(0, 15)) AS k),
+js AS (SELECT unnest(generate_series(0, 63)) AS j),
+s AS (SELECT k, j,
+        CASE WHEN CAST(('0x' || substr(md5(j || '_' || k), 1, 1))
+                  AS UBIGINT) < 8 THEN 1 ELSE -1 END AS sgn
+      FROM ks, js),
+e AS (SELECT vec_id, js.j,
+        CAST(floor(CAST(embedding[js.j + 1] AS DOUBLE) * 1000000)
+             AS BIGINT) AS v
+      FROM embeddings, js)
+SELECT e.vec_id, s.k, CAST(SUM(s.sgn * e.v) AS BIGINT) AS proj_micro
+FROM e JOIN s ON s.j = e.j GROUP BY e.vec_id, s.k
+""")
+def q134(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64→16 dims over the
+    embeddings table: md5-derived ±1 matrix, integer micro-unit dot
+    products — the oracle rebuilds the matrix and every projection
+    bit-for-bit.  Zero shuffles, zero Python: the scale-right pre-step
+    before ANN/clustering on wide embeddings.  Exploded to flat
+    (vec_id, k, proj_micro) rows — the driver canonicalizer cannot
+    hash array columns (r1 q30/q34 lesson)."""
+    from ultraviolet_spark.operators.vectorize import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, in_dim=64, out_dim=16)
+    return proj.select("vec_id", F.posexplode("proj_micro")
+                       .alias("k", "proj_micro"))
+
+
+@q("q135_readability", """
+WITH s AS (
+  SELECT doc_id,
+         GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sents
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         regexp_replace(lower(unnest(string_split_regex(trim(text),
+                                                        '\\s+'))),
+                        '[^a-z]', '', 'g') AS w
+  FROM documents),
+ww AS (
+  SELECT doc_id, w, len(regexp_extract_all(w, '[aeiouy]+')) AS g
+  FROM w WHERE w <> ''),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_words,
+         SUM(GREATEST(1, g - CASE WHEN g > 1 AND w LIKE '%e'
+                                       AND w NOT LIKE '%le'
+                                  THEN 1 ELSE 0 END)) AS n_syll
+  FROM ww GROUP BY doc_id)
+SELECT s.doc_id, CAST(s.n_sents AS BIGINT) AS n_sents,
+  CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+  CAST(COALESCE(agg.n_syll, 0) AS BIGINT) AS n_syllables,
+  CASE WHEN agg.n_words > 0 THEN
+    round(206.835 - 1.015 * (CAST(agg.n_words AS DOUBLE) / s.n_sents)
+                  - 84.6 * (CAST(agg.n_syll AS DOUBLE) / agg.n_words), 6)
+  END AS flesch,
+  CASE WHEN agg.n_words > 0 THEN
+    round(0.39 * (CAST(agg.n_words AS DOUBLE) / s.n_sents)
+          + 11.8 * (CAST(agg.n_syll AS DOUBLE) / agg.n_words) - 15.59, 6)
+  END AS fk_grade
+FROM s LEFT JOIN agg ON agg.doc_id = s.doc_id
+""")
+def q135(spark, sf_dir):
+    """Flesch reading-ease + Flesch–Kincaid grade per document
+    (vowel-group syllable heuristic with the silent-e rule): exact
+    integer sentence/word/syllable counts, ratios as single
+    identical-operand double divisions — the oracle recomputes every
+    word's syllables from the same regex arithmetic."""
+    from ultraviolet_spark.operators.textstats import readability_signals
+
+    return readability_signals(_t(spark, sf_dir, "documents"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
