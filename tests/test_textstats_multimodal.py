@@ -373,3 +373,108 @@ def test_readability_orders_simple_vs_complex(spark):
     got = {r["doc_id"]: r for r in readability_signals(df).collect()}
     assert got[1]["flesch"] > got[2]["flesch"]
     assert got[1]["fk_grade"] < got[2]["fk_grade"]
+
+
+# ---------------------------------------------------- dHash + audio frames
+
+def test_dhash_bands_identical_and_perturbed(spark):
+    import numpy as np
+    from ultraviolet_spark.operators.multimodal import (
+        _dhash_bands, decode_bmp, dhash_hamming_pairs, image_dhash,
+        make_bmp)
+    y, x = np.mgrid[0:16, 0:18]
+    base = ((11 * x + 3 * y) % 200).astype(np.uint8)
+    a = np.stack([base] * 3, -1)
+    b = a.copy()                      # exact duplicate -> distance 0
+    c = a.copy()
+    c[:, :2] = np.minimum(c[:, :2].astype(int) + 55, 255).astype("uint8")
+    rows = [(1, make_bmp(a)), (2, make_bmp(b)), (3, make_bmp(c))]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    bands = image_dhash(df)
+    got = {(r["media_id"], r["band"]): r["value"] for r in bands.collect()}
+    assert len(got) == 12  # 3 images x 4 bands
+    assert all(got[(1, k)] == got[(2, k)] for k in range(4))
+    # numpy kernel agrees with the Spark path
+    want = _dhash_bands(decode_bmp(make_bmp(a))["pixels"], "bmp")
+    assert [got[(1, k)] for k in range(4)] == list(want)
+    pairs = {(r["id_a"], r["id_b"]): r["dist"]
+             for r in dhash_hamming_pairs(bands, max_dist=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_dhash_banded_equals_brute_force(spark):
+    import numpy as np
+    from ultraviolet_spark.operators.multimodal import (
+        _dhash_bands, dhash_hamming_pairs, image_dhash, make_bmp,
+        decode_bmp)
+    rng = np.random.RandomState(3)
+    blobs = []
+    base = rng.randint(0, 256, (16, 18)).astype(np.uint8)
+    for i in range(12):
+        g = base.copy()
+        # flip a few pixels per image so some pairs are close, some far
+        for _ in range(i):
+            yy, xx = rng.randint(0, 16), rng.randint(0, 18)
+            g[yy, xx] = rng.randint(0, 256)
+        blobs.append((i, make_bmp(np.stack([g] * 3, -1))))
+    df = spark.createDataFrame(blobs, "media_id long, blob binary")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in dhash_hamming_pairs(image_dhash(df),
+                                        max_dist=3).collect()}
+    H = {i: _dhash_bands(decode_bmp(b)["pixels"], "bmp")
+         for i, b in blobs}
+    want = {}
+    for i in range(12):
+        for j in range(i + 1, 12):
+            d = sum(bin(a ^ b).count("1") for a, b in zip(H[i], H[j]))
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want
+
+
+def test_dhash_poison_blob_skipped(spark):
+    from ultraviolet_spark.operators.multimodal import image_dhash
+    df = spark.createDataFrame([(1, b"not an image"), (2, None)],
+                               "media_id long, blob binary")
+    assert image_dhash(df).count() == 0
+
+
+def test_dhash_max_dist_vs_bands_guard(spark):
+    import numpy as np
+    import pytest
+    from ultraviolet_spark.operators.multimodal import (
+        dhash_hamming_pairs, image_dhash, make_bmp)
+    a = np.zeros((16, 18, 3), dtype=np.uint8)
+    df = spark.createDataFrame([(1, make_bmp(a))],
+                               "media_id long, blob binary")
+    with pytest.raises(ValueError, match="max_dist"):
+        dhash_hamming_pairs(image_dhash(df), max_dist=4).collect()
+
+
+def test_audio_frame_features_reference(spark):
+    import numpy as np
+    from ultraviolet_spark.operators.multimodal import (
+        audio_frame_features, make_wav)
+    s = np.array([5, -3, -2, 7, 0, -1, 4, -4, 2, 2], dtype=np.int16)
+    df = spark.createDataFrame([(1, make_wav(s, 8000))],
+                               "media_id long, blob binary")
+    got = {r["frame"]: (r["n"], r["energy"], r["zcr"])
+           for r in audio_frame_features(df, frame=4).collect()}
+    # frame 0: [5,-3,-2,7]  e=25+9+4+49=87   zcr: +- , --, -+  -> 2
+    # frame 1: [0,-1,4,-4]  e=0+1+16+16=33   zcr: 0>=0,-1<0 ->1; -+ ->1; +- ->1  = 3
+    # frame 2: [2,2]        e=8              zcr 0
+    assert got == {0: (4, 87, 2), 1: (4, 33, 3), 2: (2, 8, 0)}
+
+
+def test_audio_stereo_uses_channel0_and_poison_skipped(spark):
+    import numpy as np
+    from ultraviolet_spark.operators.multimodal import (
+        audio_frame_features, make_wav)
+    inter = np.array([1, 100, -1, 100, 2, 100, -2, 100],
+                     dtype=np.int16)  # ch0 = [1,-1,2,-2]
+    rows = [(1, make_wav(inter, 8000, channels=2)), (2, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = audio_frame_features(df, frame=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n"], r["energy"], r["zcr"]) == (4, 1 + 1 + 4 + 4, 3)

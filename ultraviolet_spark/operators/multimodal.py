@@ -603,3 +603,235 @@ def frame_sample(df: DataFrame, *, every_n: int = 10, id_col: str = "media_id",
             })
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + banded hamming near-dup
+# --------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("value", T.LongType()),
+])
+
+
+def _dhash_bands(px: np.ndarray, kind: str, *, gw: int = 9,
+                 gh: int = 8) -> np.ndarray:
+    """64-bit difference hash of one decoded image as 4×16-bit band
+    values (rows 2b..2b+1 of the bit grid → band b) — the band split is
+    the pigeonhole LSH key for hamming near-dup at corpus scale.
+
+    Grid cell (gy, gx) is the floor-mean of integer luma over the pixel
+    box [gx·W//gw, (gx+1)·W//gw) × [gy·H//gh, (gy+1)·H//gh) (box widened
+    to ≥1 px when the image is narrower than the grid — nearest-pixel
+    semantics); bit (gy, gx) = cell > its right neighbour.  All integer
+    arithmetic, so a SQL oracle reproduces every bit.
+    """
+    h, w = px.shape[:2]
+    if px.ndim == 2:
+        px = px[:, :, None]
+    c = px.shape[2]
+    p = px.astype(np.int64)
+    if c >= 3:
+        b_, g_, r_ = ((0, 1, 2) if kind == "bmp" else (2, 1, 0))
+        gray = (299 * p[:, :, r_] + 587 * p[:, :, g_]
+                + 114 * p[:, :, b_]) // 1000
+    else:
+        gray = p[:, :, 0]
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    integ[1:, 1:] = gray.cumsum(0).cumsum(1)
+    gxs = np.arange(gw + 1, dtype=np.int64) * w // gw
+    gys = np.arange(gh + 1, dtype=np.int64) * h // gh
+    x0, x1 = gxs[:-1], np.maximum(gxs[1:], gxs[:-1] + 1)
+    y0, y1 = gys[:-1], np.maximum(gys[1:], gys[:-1] + 1)
+    x1, y1 = np.minimum(x1, w), np.minimum(y1, h)
+    sums = (integ[y1][:, x1] - integ[y1][:, x0]
+            - integ[y0][:, x1] + integ[y0][:, x0])
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    m = sums // areas                                   # (gh, gw)
+    bits = (m[:, :-1] > m[:, 1:]).astype(np.int64)      # (gh, gw-1)
+    pos = (np.arange(gh)[:, None] % 2) * (gw - 1) + np.arange(gw - 1)
+    vals = np.zeros(gh // 2, dtype=np.int64)
+    for b in range(gh // 2):
+        block = bits[2 * b: 2 * b + 2]
+        vals[b] = int((block << pos[:2]).sum())
+    return vals
+
+
+def image_dhash(df: DataFrame, *, id_col: str = "media_id",
+                blob_col: str = "blob", gw: int = 9,
+                gh: int = 8) -> DataFrame:
+    """Per-image perceptual hash rows ``(media_id, kind, band, value)``
+    via the REAL BMP/PNG decoders — undecodable blobs yield zero rows
+    (poison-safe).  Shuffle-free mapInPandas; downstream near-dup joins
+    equi-join on (band, value), never on raw pixels."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_kind, out_band, out_val = [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = b"" if blob is None else bytes(blob)
+                kind = sniff_kind(b)
+                if kind not in ("bmp", "png"):
+                    continue
+                try:
+                    img = (decode_bmp if kind == "bmp" else decode_png)(b)
+                except (ValueError, NotImplementedError):
+                    continue
+                vals = _dhash_bands(img["pixels"], kind, gw=gw, gh=gh)
+                for band, v in enumerate(vals):
+                    out_id.append(int(mid))
+                    out_kind.append(kind)
+                    out_band.append(band)
+                    out_val.append(int(v))
+            yield pd.DataFrame({
+                "media_id": pd.Series(out_id, dtype="int64"),
+                "kind": pd.Series(out_kind, dtype="object"),
+                "band": pd.Series(out_band, dtype="int32"),
+                "value": pd.Series(out_val, dtype="int64")})
+
+    return (df.select(F.col(id_col).alias("media_id"), blob_col)
+            .mapInPandas(gen, schema=DHASH_SCHEMA))
+
+
+def dhash_hamming_pairs(bands: DataFrame, *, max_dist: int = 3,
+                        id_col: str = "media_id") -> DataFrame:
+    """Image near-dup pairs ``(id_a, id_b, dist)`` with hamming
+    distance ≤ ``max_dist`` over the 64-bit dHash, from the banded
+    rows of :func:`image_dhash`.
+
+    Pigeonhole exactness: with 4 bands, any pair at distance ≤ 3 has
+    at least one band where the two hashes agree EXACTLY, so the
+    (band, value) equi-join generates every qualifying pair —
+    ``max_dist`` must stay < number of bands for the recall-1.0
+    guarantee (enforced).  Candidates are then verified with
+    bit_count(xor) over the 4 reassembled band values.  Scale shape:
+    the only shuffles are the band-bucket join (16-bit keys,
+    hash-uniform) and one groupBy to reassemble hashes; no all-pairs
+    anything.
+    """
+    n_bands = bands.select(F.max("band")).first()[0]
+    n_bands = 0 if n_bands is None else int(n_bands) + 1
+    if n_bands and max_dist >= n_bands:
+        raise ValueError(
+            f"max_dist={max_dist} needs >= {max_dist + 1} bands for "
+            f"exact recall; hash has {n_bands}")
+    hashes = (bands.groupBy(F.col(id_col).alias("mid"))
+              .agg(F.map_from_entries(
+                  F.sort_array(F.collect_list(F.struct("band", "value"))))
+                  .alias("h")))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.value") == F.col("b.value"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    ha = hashes.select(F.col("mid").alias("id_a"), F.col("h").alias("ha"))
+    hb = hashes.select(F.col("mid").alias("id_b"), F.col("h").alias("hb"))
+    dist = sum(F.bit_count(F.element_at("ha", F.lit(b)).bitwiseXOR(
+        F.element_at("hb", F.lit(b)))) for b in range(max(n_bands, 1)))
+    return (cand.join(ha, "id_a").join(hb, "id_b")
+            .withColumn("dist", dist.cast("int"))
+            .filter(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", "dist"))
+
+
+def synthesize_dhash_bmp(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Grid-aligned grayscale-pattern BMPs for the dHash oracle: width
+    a multiple of 9, height a multiple of 8, so every dHash grid cell
+    is a uniform pixel box whose floor-mean a SQL oracle recomputes
+    exactly.  Ids 2j/2j+1 share a base pattern; the odd twin brightens
+    its left two pixel columns by 55 (no mod wraparound: base < 200),
+    so the corpus contains true near-dup pairs at small hamming
+    distances."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            blobs = []
+            for raw in ids:
+                i = int(raw)
+                w = 18 + ((i // 2) % 3) * 9     # twins share dimensions,
+                h = 16 + ((i // 2) % 2) * 8     # else dHash grids diverge
+                y, x = np.mgrid[0:h, 0:w]
+                g = ((i // 2) * 37 + 11 * x + 3 * y) % 200
+                g = g + np.where((i % 2 == 1) & (x < 2), 55, 0)
+                px = np.stack([g, g, g], axis=-1).astype(np.uint8)
+                blobs.append(make_bmp(px))
+            yield pd.DataFrame({"media_id": ids.astype(np.int64),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame", T.IntegerType()),
+    T.StructField("n", T.IntegerType()),
+    T.StructField("energy", T.LongType()),
+    T.StructField("zcr", T.IntegerType()),
+])
+
+
+def audio_frame_features(df: DataFrame, *, frame: int = 256,
+                         id_col: str = "media_id",
+                         blob_col: str = "blob") -> DataFrame:
+    """Framewise audio features over the REAL WAV decoder: per
+    ``frame``-sample window (last window may be short) emit integer
+    ``energy`` = Σ s² and ``zcr`` = count of sign flips (s ≥ 0 vs < 0)
+    between in-frame neighbours — the standard speech/music/silence
+    segmentation signals, all exact integers so a SQL oracle reproduces
+    them bit-for-bit.  Stereo uses channel 0.  Non-WAV blobs yield zero
+    rows (poison-safe); shuffle-free mapInPandas."""
+    if frame <= 0:
+        raise ValueError("frame must be positive")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mid_o, fr_o, n_o, en_o, z_o = [], [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = b"" if blob is None else bytes(blob)
+                if sniff_kind(b) != "wav":
+                    continue
+                try:
+                    au = decode_wav(b)
+                except (ValueError, NotImplementedError):
+                    continue
+                s = au["samples"]
+                if s.ndim > 1:
+                    s = s[:, 0]
+                s = s.astype(np.int64)
+                n = len(s)
+                if n == 0:
+                    continue
+                fidx = np.arange(n) // frame
+                nf = int(fidx[-1]) + 1
+                energy = np.bincount(fidx, weights=(s * s).astype(
+                    np.float64), minlength=nf).astype(np.int64)
+                # float64 bincount is exact for |s*s| sums < 2^53
+                flip = ((s[1:] >= 0) != (s[:-1] >= 0)) \
+                    & (fidx[1:] == fidx[:-1])
+                zcr = np.bincount(fidx[1:][flip], minlength=nf)
+                cnt = np.bincount(fidx, minlength=nf)
+                mid_o.extend([int(mid)] * nf)
+                fr_o.extend(range(nf))
+                n_o.extend(cnt.tolist())
+                en_o.extend(energy.tolist())
+                z_o.extend(zcr.tolist())
+            yield pd.DataFrame({
+                "media_id": pd.Series(mid_o, dtype="int64"),
+                "frame": pd.Series(fr_o, dtype="int32"),
+                "n": pd.Series(n_o, dtype="int32"),
+                "energy": pd.Series(en_o, dtype="int64"),
+                "zcr": pd.Series(z_o, dtype="int32")})
+
+    return (df.select(F.col(id_col).alias("media_id"), blob_col)
+            .mapInPandas(gen, schema=AUDIO_FRAMES_SCHEMA))

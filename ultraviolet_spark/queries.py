@@ -4126,6 +4126,121 @@ def q135(spark, sf_dir):
     return readability_signals(_t(spark, sf_dir, "documents"))
 
 
+_DHASH_BANDS_CTE = """
+img AS (
+  SELECT doc_id AS media_id,
+         18 + ((doc_id // 2) % 3) * 9 AS w,
+         16 + ((doc_id // 2) % 2) * 8 AS h
+  FROM documents),
+cell AS (
+  SELECT media_id, w, h, gx.g AS gx, gy.g AS gy, w // 9 AS bw, h // 8 AS bh
+  FROM img, (SELECT unnest(generate_series(0, 8)) AS g) gx,
+            (SELECT unnest(generate_series(0, 7)) AS g) gy),
+pxg AS (
+  SELECT media_id, gx, gy, bw, bh,
+         gx * bw + dx.d AS x, gy * bh + dy.d AS y
+  FROM cell, (SELECT unnest(generate_series(0, 3)) AS d) dx,
+             (SELECT unnest(generate_series(0, 2)) AS d) dy
+  WHERE dx.d < bw AND dy.d < bh),
+gr AS (
+  SELECT media_id, gx, gy, bw, bh,
+         ((media_id // 2) * 37 + 11 * x + 3 * y) % 200
+         + CASE WHEN media_id % 2 = 1 AND x < 2 THEN 55 ELSE 0 END AS g
+  FROM pxg),
+m AS (
+  SELECT media_id, gy, gx, SUM(g) // (bw * bh) AS m
+  FROM gr GROUP BY media_id, gy, gx, bw, bh),
+bits AS (
+  SELECT a.media_id, a.gy, a.gx,
+         CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+  FROM m a JOIN m b ON b.media_id = a.media_id AND b.gy = a.gy
+                   AND b.gx = a.gx + 1
+  WHERE a.gx < 8),
+bands AS (
+  SELECT media_id, CAST(gy // 2 AS INTEGER) AS band,
+         CAST(SUM(bit << ((gy % 2) * 8 + gx)) AS BIGINT) AS value
+  FROM bits GROUP BY media_id, gy // 2)
+"""
+
+
+@q("q136_image_dhash", f"""
+WITH {_DHASH_BANDS_CTE}
+SELECT media_id, 'bmp' AS kind, band, value FROM bands
+""")
+def q136(spark, sf_dir):
+    """Perceptual image hashing (dHash, 9×8 grid → 64 bits as 4×16-bit
+    bands) over REAL synthesized BMPs decoded by the pure-numpy codec:
+    integer luma, integral-image box floor-means, right-neighbour
+    comparison bits.  The oracle recomputes every band value from the
+    synthesis formula and never sees a byte — a hash match proves the
+    encoder, decoder, box geometry and bit packing all at once."""
+    from ultraviolet_spark.operators.multimodal import (
+        image_dhash, synthesize_dhash_bmp)
+
+    media = synthesize_dhash_bmp(
+        _t(spark, sf_dir, "documents").select("doc_id"))
+    return image_dhash(media)
+
+
+@q("q137_image_near_dup", f"""
+WITH {_DHASH_BANDS_CTE}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(SUM(bit_count(xor(a.value, b.value))) AS INTEGER) AS dist
+FROM bands a JOIN bands b ON b.band = a.band AND a.media_id < b.media_id
+GROUP BY a.media_id, b.media_id
+HAVING SUM(bit_count(xor(a.value, b.value))) <= 3
+""")
+def q137(spark, sf_dir):
+    """Image near-duplicate pairs at hamming distance ≤ 3 over the
+    dHash: banded pigeonhole candidates (any pair at distance ≤ 3
+    shares one of the 4 bands exactly) + bit_count(xor) verify — the
+    corpus's brightness-perturbed twins land at distances 0–8, so the
+    threshold genuinely splits them.  The oracle brute-forces all
+    pairs; equality proves the banded path loses nothing."""
+    from ultraviolet_spark.operators.multimodal import (
+        dhash_hamming_pairs, image_dhash, synthesize_dhash_bmp)
+
+    media = synthesize_dhash_bmp(
+        _t(spark, sf_dir, "documents").select("doc_id"))
+    return dhash_hamming_pairs(image_dhash(media), max_dist=3)
+
+
+@q("q138_audio_frame_features", """
+WITH au AS (
+  SELECT doc_id AS media_id, 32 + doc_id % 17 AS n
+  FROM documents WHERE doc_id % 2 = 1),
+smp AS (
+  SELECT media_id, k.k AS k,
+         (media_id * 31 + k.k * 97) % 4001 - 2000 AS s,
+         CAST(k.k // 16 AS INTEGER) AS frame
+  FROM au, (SELECT unnest(generate_series(0, 48)) AS k) k
+  WHERE k.k < n),
+lagged AS (
+  SELECT media_id, frame, s,
+         LAG(s) OVER (PARTITION BY media_id, frame ORDER BY k) AS prev
+  FROM smp)
+SELECT media_id, frame, CAST(COUNT(*) AS INTEGER) AS n,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN prev IS NOT NULL
+                      AND (s >= 0) <> (prev >= 0) THEN 1 ELSE 0 END)
+            AS INTEGER) AS zcr
+FROM lagged GROUP BY media_id, frame
+""")
+def q138(spark, sf_dir):
+    """Framewise audio features (16-sample frames: integer energy
+    Σs², zero-crossing count) over REAL synthesized PCM WAVs decoded
+    by the pure-numpy codec — speech/music/silence segmentation
+    signals.  The oracle regenerates the sample stream analytically
+    and windows it in SQL; exact integer equality proves the WAV
+    round-trip and the frame arithmetic."""
+    from ultraviolet_spark.operators.multimodal import (
+        audio_frame_features, synthesize_media)
+
+    ids = (_t(spark, sf_dir, "documents").select("doc_id")
+           .filter(F.col("doc_id") % 2 == 1))
+    return audio_frame_features(synthesize_media(ids), frame=16)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
