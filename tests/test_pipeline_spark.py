@@ -209,3 +209,44 @@ def test_with_rolling_stats_vs_pandas(spark):
     firsts = got[got["ts"] == 0]
     assert (firsts["v_rcnt"] == 0).all()
     assert firsts["v_rmean"].isna().all()
+
+
+# ---------------------------------------------------- ewma_by_key
+
+def test_ewma_matches_python_fold(spark):
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.windows import ewma_by_key
+    rows = [("u1", 1, 10.0), ("u1", 2, 20.0), ("u1", 3, 2.5),
+            ("u2", 1, 7.0)]
+    df = spark.createDataFrame(rows, "user string, seq long, v double")
+    got = {r["user"]: (r["n"], r["ewma_micro"])
+           for r in ewma_by_key(df, value_col="v", order_cols=["seq"],
+                                by="user").collect()}
+
+    def fold(vs):
+        e = int(vs[0] * 1e6)
+        for v in vs[1:]:
+            e = int((e + int(v * 1e6)) / 2)  # trunc toward zero
+        return e
+
+    assert got == {"u1": (3, fold([10.0, 20.0, 2.5])),
+                   "u2": (1, fold([7.0]))}
+
+
+def test_ewma_partitioning_invariant_and_order_driven(spark):
+    from ultraviolet_spark.operators.windows import ewma_by_key
+    rows = [("k", i, float((i * 37) % 100)) for i in range(50)]
+    a = spark.createDataFrame(rows, "user string, seq long, v double")
+    b = a.repartition(7)
+    ra = ewma_by_key(a, value_col="v", order_cols=["seq"],
+                     by="user").collect()[0]
+    rb = ewma_by_key(b, value_col="v", order_cols=["seq"],
+                     by="user").collect()[0]
+    assert (ra["n"], ra["ewma_micro"]) == (rb["n"], rb["ewma_micro"])
+    # reversing the order changes the fold (EWMA is order-sensitive):
+    rev = [("k", 100 - i, v) for _, i, v in rows]
+    c = spark.createDataFrame(rev, "user string, seq long, v double")
+    rc = ewma_by_key(c, value_col="v", order_cols=["seq"],
+                     by="user").collect()[0]
+    assert rc["ewma_micro"] != ra["ewma_micro"]

@@ -214,3 +214,43 @@ def test_cms_partitioning_invariant_and_mergeable(spark):
               lo.unionByName(hi).groupBy("d", "w")
                 .agg(F.sum("cnt").cast("long").alias("cnt")).collect()}
     assert merged == whole
+
+
+# ---------------------------------------------------- bloom_semi_join
+
+def test_bloom_semi_join_equals_plain_semi(spark):
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.sketches import bloom_semi_join
+    big = spark.createDataFrame([(i, f"v{i}") for i in range(500)],
+                                "k long, payload string")
+    small = spark.createDataFrame([(i * 7,) for i in range(40)],
+                                  "sk long")
+    got = bloom_semi_join(big, small, big_col="k", small_col="sk",
+                          n_bits=1 << 10)
+    want = big.join(small.select(F.col("sk").alias("k")), "k",
+                    "left_semi")
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_semi_join_inner_mode(spark):
+    from ultraviolet_spark.operators.sketches import bloom_semi_join
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                "k long, payload string")
+    small = spark.createDataFrame([(2, "X"), (3, "Y")], "sk long, extra string")
+    got = bloom_semi_join(big, small, big_col="k", small_col="sk",
+                          how="inner", n_bits=256)
+    rows = sorted((r["k"], r["payload"], r["extra"]) for r in got.collect())
+    assert rows == [(2, "b", "X"), (3, "c", "Y")]
+
+
+def test_bloom_semi_join_probe_side_has_no_pre_join_exchange(spark):
+    from ultraviolet_spark.operators.sketches import bloom_semi_join
+    big = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    small = spark.createDataFrame([(5,), (7,)], "sk long")
+    pruned = bloom_semi_join(big, small, big_col="k", small_col="sk",
+                             n_bits=256)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the k probe word-joins must all be broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 3, plan

@@ -278,3 +278,47 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, *, col: str,
                "left")
     return (j.groupBy(*probes.columns)
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(out)))
+
+
+def bloom_semi_join(big: DataFrame, small: DataFrame, *, big_col: str,
+                    small_col: str | None = None, n_bits: int = 2 ** 23,
+                    k: int = 3, how: str = "left_semi") -> DataFrame:
+    """Runtime-filtered join: prune ``big`` against a Bloom filter of
+    ``small``'s keys BEFORE the real join — the 100 TB shape for
+    "join a petabyte fact table to a selective dimension subset".
+    Result is EXACTLY ``big.join(small, cond, how)`` (the Bloom has no
+    false negatives and the final join removes false positives); what
+    changes is the plan: the big side reaches the join shuffle already
+    reduced to ~|matches| + FP·|big| rows.
+
+    Probe shape matters at scale: :func:`bloom_might_contain`'s
+    explode + groupBy(*columns) re-shuffles the probe side, so here the
+    k probe bits are checked with k BROADCAST hash joins (the filter is
+    n_bits/32 rows ≈ 1 MiB at the default) — the big side stays
+    pipelined in its scan stage, zero exchanges until the final join.
+    ``how='left_semi'`` (default) gives the pure existence filter;
+    'inner' returns the enriched join.
+    """
+    small_col = big_col if small_col is None else small_col
+    bloom = bloom_build(small, col=small_col, n_bits=n_bits, k=k)
+    v = F.col(big_col).cast("string")
+    probed = big
+    keep = F.lit(True)
+    for i, pos in enumerate(_bloom_positions(v, n_bits=n_bits, k=k)):
+        b = bloom.select(F.col("word_idx").alias(f"__w{i}"),
+                         F.col("word").alias(f"__word{i}"))
+        probed = (probed
+                  .withColumn(f"__p{i}", pos)
+                  .join(F.broadcast(b),
+                        F.floor(F.col(f"__p{i}") / 32) == F.col(f"__w{i}"),
+                        "left"))
+        keep = keep & F.col(f"__word{i}").isNotNull() & (
+            F.col(f"__word{i}").bitwiseAND(
+                F.expr(f"shiftleft(1L, cast(__p{i} % 32 as int))")) != 0)
+    pruned = probed.filter(keep).select(*big.columns)
+    if how == "left_semi":
+        return pruned.join(
+            small.select(F.col(small_col).alias(big_col)).distinct()
+            if small_col != big_col else small.select(big_col).distinct(),
+            big_col, "left_semi")
+    return pruned.join(small, big[big_col] == small[small_col], how)

@@ -235,3 +235,39 @@ def with_rolling_stats(df: DataFrame, col: str, *, by: str = "url",
             .withColumn(f"{p}_rmin", F.min(c).over(w))
             .withColumn(f"{p}_rmax", F.max(c).over(w))
             .withColumn(f"{p}_rstd", F.round(F.stddev_samp(c).over(w), 6)))
+
+
+def ewma_by_key(df: DataFrame, *, value_col: str, order_cols: list[str],
+                by: str, micro: int = 1_000_000,
+                out: str = "ewma_micro") -> DataFrame:
+    """Per-key exponentially-decayed value (EWMA, α = 1/2) as ONE
+    deterministic integer per key: ``e₁ = v₁·micro``, ``e_t =
+    (e_{t-1} + v_t·micro) div 2`` folded in ``order_cols`` order — the
+    feature-store "decayed engagement" signal.
+
+    Why integers + an explicit fold: float EWMA is a recursive product
+    of doubles whose rounding differs across engines, but an integer
+    trunc-div recurrence over an explicitly ordered list is bit-exact
+    anywhere (DuckDB mirrors it with list(… ORDER BY) + list_reduce;
+    both engines trunc-divide negatives toward zero).  The division by
+    2 each step means values from more than ~40 observations back
+    contribute nothing (2⁻⁴⁰ · micro < 1), matching EWMA's memory.
+
+    Scale: one partial-aggregated shuffle on ``by``; the per-key
+    collect_list holds that key's history — for web-scale hot keys cap
+    upstream (e.g. ``with_rolling_stats``-style windows or per-key
+    ``row_number() ≤ K``, K≈64 — beyond the decay horizon anyway).
+    ``order_cols`` must be a per-key unique ordering (include a
+    tie-break id) or the fold order — and the result — is undefined.
+    """
+    m = F.floor(F.col(value_col).cast("double") * micro).cast("long")
+    lst = F.sort_array(F.collect_list(F.struct(
+        *[F.col(c) for c in order_cols], m.alias("__m"))))
+    grouped = df.groupBy(by).agg(F.count("*").cast("long").alias("n"),
+                                 lst.alias("__l"))
+    vals = F.transform(F.col("__l"), lambda s: s["__m"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, v: ((acc + v) / 2.0).cast("long"))
+    return grouped.select(by, "n", fold.alias(out))

@@ -4241,6 +4241,107 @@ def q138(spark, sf_dir):
     return audio_frame_features(synthesize_media(ids), frame=16)
 
 
+@q("q139_bloom_semi_join", """
+SELECT l.l_returnflag, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      AS sum_price
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_totalprice > 400000)
+GROUP BY l.l_returnflag
+""")
+def q139(spark, sf_dir):
+    """Runtime-filtered semi-join: lineitem pruned against a Bloom
+    filter of the expensive-order keys via k broadcast word-joins (big
+    side never shuffles before the join), then the exact semi-join —
+    result identical to a plain EXISTS, plan shaped for a petabyte
+    probe side.  The oracle is the plain semi-join; equality proves
+    the filter admits every match and the verify drops every false
+    positive."""
+    from ultraviolet_spark.operators.sketches import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    hot = (_t(spark, sf_dir, "orders")
+           .filter(F.col("o_totalprice") > 400000))
+    pruned = bloom_semi_join(li, hot, big_col="l_orderkey",
+                             small_col="o_orderkey", n_bits=2 ** 16)
+    return (pruned.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(_dec("l_extendedprice")).cast("double")
+                  .alias("sum_price")))
+
+
+@q("q140_multi_source_pit", """
+SELECT e.event_id, e.user_id, e.ts,
+       c.value AS last_click_value,
+       v.value AS last_view_value,
+       s.ts AS signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON e.user_id = v.user_id AND e.ts >= v.ts
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+""")
+def q140(spark, sf_dir):
+    """Multi-source point-in-time enrichment — the feature-store
+    pattern: one spine (purchases) as-of-joined against THREE feature
+    sources (last click value, last view value, signup time), each ≤
+    the spine timestamp, composed left-to-right so the spine keeps its
+    grain.  Each hop is the engine's cogroup as-of merge; DuckDB's
+    native chained ASOF JOIN is the independent oracle."""
+    ev = _t(spark, sf_dir, "events")
+
+    def src(kind, col, alias):
+        return (ev.filter(F.col("event_type") == kind)
+                .select("user_id", "ts", F.col(col).alias(alias)))
+
+    spine = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+    out = asof_join(spine, src("click", "value", "last_click_value"),
+                    on="ts", by="user_id",
+                    value_cols=["last_click_value"])
+    out = asof_join(out, src("view", "value", "last_view_value"),
+                    on="ts", by="user_id",
+                    value_cols=["last_view_value"])
+    sg = (ev.filter(F.col("event_type") == "signup")
+          .select("user_id", F.col("ts").alias("__sg_ts"),
+                  F.col("ts").alias("signup_ts")))
+    out = asof_join(out, sg.withColumnRenamed("__sg_ts", "ts")
+                    .select("user_id", "ts", "signup_ts"),
+                    on="ts", by="user_id", value_cols=["signup_ts"])
+    return out.select("event_id", "user_id", "ts", "last_click_value",
+                      "last_view_value", "signup_ts")
+
+
+@q("q141_ewma_decayed_value", """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS m
+  FROM events WHERE event_type = 'purchase'),
+l AS (
+  SELECT user_id, COUNT(*) AS n, list(m ORDER BY ts, event_id) AS ms
+  FROM p GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(list_reduce(ms, (acc, v) -> (acc + v) // 2) AS BIGINT)
+           AS ewma_micro
+FROM l
+""")
+def q141(spark, sf_dir):
+    """Per-user exponentially-decayed purchase value (integer EWMA,
+    α=1/2, trunc-div recurrence over an explicitly ordered history) —
+    bit-exact across engines where a float EWMA never is; the oracle
+    folds the identical list with list_reduce."""
+    from ultraviolet_spark.operators.windows import ewma_by_key
+
+    p = (_t(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "purchase"))
+    return ewma_by_key(p, value_col="value",
+                       order_cols=["ts", "event_id"], by="user_id")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
