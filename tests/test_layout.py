@@ -132,3 +132,63 @@ def test_flagship_over_bucketed_zero_exchanges(spark, pages_path, tmp_path_facto
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS te_bucketed")
+
+
+# ---------------------------------------------------- z-order layout
+
+def test_zorder_key_reference(spark):
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.plans.layout import zorder_key
+
+    def py_z(x, y, bits=16):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(i, (i * 7) % 100, (i * 13) % 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["id"]: r["z"] for r in df.select(
+        "id", zorder_key(["x", "y"]).alias("z")).collect()}
+    assert got == {i: py_z(x, y) for i, x, y in rows}
+
+
+def test_zorder_files_skip_on_both_dimensions(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.plans.layout import write_zordered
+
+    # 64x64 grid; z-ordered files must cover small (x,y) boxes while an
+    # x-sorted layout gives every file the full y range
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"))
+    zdir = str(tmp_path / "z")
+    write_zordered(grid, zdir, cols=["x", "y"], bits=6, num_files=8)
+
+    import glob
+    boxes = []
+    for f in glob.glob(f"{zdir}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        mins = {"x": 1 << 30, "y": 1 << 30}
+        maxs = {"x": -1, "y": -1}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    mins[name] = min(mins[name], col.statistics.min)
+                    maxs[name] = max(maxs[name], col.statistics.max)
+        boxes.append((maxs["x"] - mins["x"] + 1, maxs["y"] - mins["y"] + 1))
+    assert len(boxes) >= 4
+    # every file's box is a sub-quadrant, never the full 64x64 plane;
+    # total covered area stays near the ideal n_cells (allow 4x slack)
+    assert all(bx * by <= 64 * 64 / 2 for bx, by in boxes), boxes
+    assert sum(bx * by for bx, by in boxes) <= 4 * 64 * 64, boxes
+
+    # roundtrip: no rows lost or duplicated
+    back = spark.read.parquet(zdir)
+    assert back.count() == 64 * 64
+    assert back.select("x", "y").distinct().count() == 64 * 64

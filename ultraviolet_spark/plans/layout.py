@@ -86,3 +86,46 @@ def write_range_sorted(df: DataFrame, path: str, *, range_by: list[str],
           else df.repartitionByRange(*parts))
     (rp.sortWithinPartitions(*[F.col(c) for c in sort_by])
      .write.mode("overwrite").parquet(path))
+
+
+def zorder_key(cols: list, *, bits: int = 16) -> F.Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    input column — the multi-dimensional data-skipping layout
+    (Iceberg's/Delta's Z-ORDER).  Sorting by this key clusters rows
+    that are close in EVERY dimension into the same files, so parquet
+    min/max stats prune scans filtered on ANY subset of the dimensions
+    — the one layout trick ``write_range_sorted``'s single-key order
+    can't give a second predicate column.
+
+    Pure integer Catalyst arithmetic (shift/and/or unrolled ``bits``
+    times per column), bit-identical in any engine.  Inputs must be
+    non-negative integers; values ≥ 2^bits wrap (callers bucket or
+    truncate first — locality only needs relative order of the low
+    bits).  Output fits a long for ``len(cols)·bits ≤ 63``.
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a long")
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        masked = col.bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(bits):
+            bit = F.shiftright(masked, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + ci))
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, *, cols: list,
+                   bits: int = 16, num_files: int = 8,
+                   zcol: str = "uv_zkey") -> None:
+    """Materialize a Z-ordered parquet layout: compute the Morton key,
+    range-partition on it (non-overlapping z-ranges per file) and sort
+    within files — one ingest-time shuffle buys multi-column file
+    skipping for every later scan."""
+    (df.withColumn(zcol, zorder_key(cols, bits=bits))
+       .repartitionByRange(num_files, zcol)
+       .sortWithinPartitions(zcol)
+       .write.mode("overwrite").parquet(path))

@@ -4342,6 +4342,36 @@ def q141(spark, sf_dir):
                        order_cols=["ts", "event_id"], by="user_id")
 
 
+@q("q142_zorder_key", """
+WITH base AS (
+  SELECT o_orderkey, o_custkey & 65535 AS x,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') & 65535 AS y
+  FROM orders)
+SELECT o_orderkey,
+       CAST(SUM((((x >> b.b) & 1) << (2 * b.b))
+                + (((y >> b.b) & 1) << (2 * b.b + 1))) AS BIGINT) AS zkey
+FROM base, (SELECT unnest(generate_series(0, 15)) AS b) b
+GROUP BY o_orderkey
+""")
+def q142(spark, sf_dir):
+    """Z-order (Morton) clustering key over (customer, order-day) —
+    the multi-dimensional data-skipping layout: pure integer bit
+    interleaving, bit-identical in any engine (the oracle rebuilds
+    every key as a bit sum).  ``write_zordered`` sorts files by this
+    key so parquet min/max stats prune on either dimension
+    (tests/test_layout.py quantifies the skipping)."""
+    from ultraviolet_spark.plans.layout import zorder_key
+
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("x", F.col("o_custkey").bitwiseAND(F.lit(65535)))
+         .withColumn("y", F.datediff(
+             F.col("o_orderdate").cast("date"),
+             F.lit("1970-01-01").cast("date"))
+             .cast("long").bitwiseAND(F.lit(65535))))
+    return o.select("o_orderkey",
+                    zorder_key(["x", "y"], bits=16).alias("zkey"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
