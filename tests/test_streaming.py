@@ -189,3 +189,36 @@ def test_streaming_ffill_matches_batch(spark, pages_path, tmp_path):
     assert got == want
     # the nulling actually exercised the fill
     assert any(g[2] is None and g[3] is not None for g in got)
+
+
+def test_streaming_asof_enrich_matches_batch_asof(spark, sf_dir, tmp_path):
+    """The flagship as-of join as a stateful streaming op: tagged
+    spine+feature stream split time-wise into two micro-batches; the
+    enriched spine must equal the batch asof_join."""
+    from ultraviolet_spark.operators.asof import asof_join
+    from ultraviolet_spark.streaming.stateful import (
+        streaming_asof_enrich, tag_spine_and_features)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spine = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts"))
+    feats = (ev.filter(F.col("event_type") == "click")
+             .select("user_id", "ts", "value"))
+    tagged = tag_spine_and_features(spine, feats, by="user_id",
+                                    ts_col="ts", val_col="value")
+    stream = _two_batch_stream(spark, tagged, tmp_path, "asof", ts_col="ts")
+    out = streaming_asof_enrich(stream, by="key", ts_col="ts",
+                                val_col="value")
+    _run_to_memory(out, "uv_asof_enrich", tmp_path)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT key, ts, value FROM uv_asof_enrich").collect()))
+
+    want_df = asof_join(spine, feats.withColumnRenamed("value", "v"),
+                        on="ts", by="user_id", value_cols=["v"])
+    want = sorted(map(tuple, want_df.select(
+        F.col("user_id").cast("string"), "ts", "v").collect()))
+    assert len(got) == spine.count()
+    assert got == want
+    # non-vacuous: some spines have a prior click, some don't
+    assert any(g[2] is None for g in got)
+    assert any(g[2] is not None for g in got)

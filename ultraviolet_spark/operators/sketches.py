@@ -164,8 +164,10 @@ def bloom_might_contain(df: DataFrame, bloom: DataFrame, *, col: str,
 
 # ------------------------------------------------------------- hyperloglog
 
-def hll_registers(df: DataFrame, *, col: str, p: int = 9) -> DataFrame:
+def hll_registers(df: DataFrame, *, col: str, p: int = 9,
+                  by: str | list | None = None) -> DataFrame:
     """Mergeable HyperLogLog sketch as a ``(bucket, max_rho)`` TABLE
+    (optionally one sketch per ``by`` group — e.g. per crawl day)
     (Flajolet et al. 2007) — the distinct-URL counter that actually
     composes at 100 TB: per-partition partial ``max`` makes the single
     shuffle carry at most ``2^p`` rows per partition, sketches for two
@@ -184,19 +186,19 @@ def hll_registers(df: DataFrame, *, col: str, p: int = 9) -> DataFrame:
         raise ValueError("p must be in [4, 16]")
     m = 1 << p
     width = 48 - p
+    by = [by] if isinstance(by, str) else list(by or [])
     v = F.col(col).cast("string")
     h = F.conv(F.substring(F.md5(F.encode(v, "UTF-8")), 1, 12),
                16, 10).cast("long")
-    bucket = (h % m).cast("int")
     w = F.expr(f"shiftright(__h, {p})")
     rho = (F.lit(width + 1)
            - F.length(F.expr("ltrim('0', bin(__w))"))).cast("int")
     return (df.filter(v.isNotNull())
-            .select(h.alias("__h"))
+            .select(*by, h.alias("__h"))
             .withColumn("__w", w)
-            .select((F.col("__h") % m).cast("int").alias("bucket"),
+            .select(*by, (F.col("__h") % m).cast("int").alias("bucket"),
                     rho.alias("rho"))
-            .groupBy("bucket")
+            .groupBy(*by, "bucket")
             .agg(F.max("rho").alias("max_rho")))
 
 

@@ -4372,6 +4372,78 @@ def q142(spark, sf_dir):
                     zorder_key(["x", "y"], bits=16).alias("zkey"))
 
 
+@q("q143_hll_daily_to_weekly", """
+WITH h AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS UBIGINT) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL)
+SELECT week, CAST(h % 512 AS INTEGER) AS bucket,
+       CAST(MAX(39 - length(ltrim(bin(h >> 9), '0')) + 1) AS INTEGER)
+         AS max_rho
+FROM h GROUP BY 1, 2
+""")
+def q143(spark, sf_dir):
+    """Incremental-crawl sketch rollup: build one HLL register table
+    PER DAY (the nightly delta), then MERGE the daily sketches into
+    weekly ones with bucket-max — never rescanning the raw corpus.
+    The oracle recomputes each week's registers from scratch; equality
+    is the mergeability theorem (max is associative) verified
+    cross-engine on real data."""
+    from ultraviolet_spark.operators.sketches import hll_registers
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("day", F.date_trunc("day", "ts"))
+          .withColumn("week", F.date_format(F.date_trunc("week", "ts"),
+                                  "yyyy-MM-dd")))
+    daily = hll_registers(ev, col="user_id", p=9, by=["week", "day"])
+    return (daily.groupBy("week", "bucket")
+            .agg(F.max("max_rho").alias("max_rho")))
+
+
+@q("q144_streaming_asof_enrich", """
+SELECT CAST(e.user_id AS VARCHAR) AS key, e.ts, c.value AS value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+""")
+def q144(spark, sf_dir):
+    """STREAMING as-of join, driver-visible: the tagged spine+feature
+    event log goes through an actual readStream →
+    applyInPandasWithState point-in-time enrich → memory sink, and the
+    result must equal DuckDB's native batch ASOF JOIN — the streaming
+    twin of q15, state = two scalars per key."""
+    import os
+    import tempfile
+    import uuid
+
+    from ultraviolet_spark.streaming.stateful import (
+        streaming_asof_enrich, tag_spine_and_features)
+
+    ev = _t(spark, sf_dir, "events")
+    spine = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts"))
+    feats = (ev.filter(F.col("event_type") == "click")
+             .select("user_id", "ts", "value"))
+    tagged = tag_spine_and_features(spine, feats, by="user_id",
+                                    ts_col="ts", val_col="value")
+    tmp = tempfile.mkdtemp(prefix="uv_q144_")
+    srcdir = os.path.join(tmp, "in")
+    tagged.coalesce(1).write.parquet(srcdir)
+    schema = spark.read.parquet(srcdir).schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .load(srcdir))
+    out = streaming_asof_enrich(stream, by="key", ts_col="ts",
+                                val_col="value")
+    name = f"uv_q144_{uuid.uuid4().hex[:8]}"
+    q_ = (out.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+          .trigger(availableNow=True).start())
+    q_.awaitTermination(300)
+    return spark.sql(f"SELECT key, ts, value FROM {name}")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB

@@ -178,3 +178,87 @@ def streaming_crawl_progress(stream: DataFrame, *, by: str = "url",
             timeoutConf="NoTimeout",
         )
     )
+
+
+ASOF_ENRICH_STATE_SCHEMA = T.StructType([
+    T.StructField("last_ts_us", T.LongType()),
+    T.StructField("last_val", T.DoubleType()),
+])
+
+ASOF_ENRICH_OUT_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def streaming_asof_enrich(tagged: DataFrame, *, by: str = "key",
+                          ts_col: str = "ts", val_col: str = "value",
+                          flag_col: str = "is_feature",
+                          watermark: str = "1 day") -> DataFrame:
+    """STREAMING as-of join — the flagship point-in-time enrich as a
+    stateful operator.  Input is one tagged stream (the CDC shape: a
+    log carrying both feature updates and query/spine events):
+    ``flag_col=1`` rows update the per-key feature state, ``flag_col=0``
+    rows EMIT ``(key, ts, value)`` where value is the latest feature
+    with feature_ts ≤ spine_ts — exactly the batch ``asof_join``
+    backward semantics, including the tie rule (a feature AT the spine
+    timestamp counts: within a batch rows sort by (ts, flag DESC)).
+
+    State per key is (last feature ts µs, last value) — two scalars,
+    O(#live keys) in the state store, watermark-evictable.  Within a
+    micro-batch ordering is exact (event-time sort + ffill); ACROSS
+    micro-batches it relies on per-key event-time-ordered arrival, the
+    standard contract of every Spark stateful operator (the
+    out-of-order window is the micro-batch).  Batch equivalence is
+    pinned in tests/test_streaming.py over a 2-micro-batch split.
+    """
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        last_us, last_val = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, flag_col],
+                                  ascending=[True, False],
+                                  kind="mergesort")
+            isf = (pdf[flag_col] == 1).to_numpy()
+            vals = pdf[val_col].where(isf)
+            filled = vals.ffill()
+            if last_val is not None:
+                filled = filled.fillna(last_val)
+            yield pd.DataFrame({
+                "key": pdf[by][~isf],
+                "ts": pdf[ts_col][~isf],
+                "value": filled[~isf],
+            })
+            if isf.any():
+                feats = pdf[isf]
+                last_us = int(feats[ts_col].iloc[-1].value // 1_000)
+                last_val = float(feats[val_col].iloc[-1])
+        state.update((last_us, last_val))
+
+    tagged = tagged.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (tagged.withWatermark(ts_col, watermark)
+            .groupBy(by)
+            .applyInPandasWithState(
+                update,
+                outputStructType=ASOF_ENRICH_OUT_SCHEMA,
+                stateStructType=ASOF_ENRICH_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="NoTimeout"))
+
+
+def tag_spine_and_features(spine: DataFrame, features: DataFrame, *,
+                           by: str, ts_col: str,
+                           val_col: str) -> DataFrame:
+    """Union a spine stream/frame and a feature stream/frame into the
+    tagged shape :func:`streaming_asof_enrich` consumes."""
+    s = spine.select(F.col(by).cast("string").alias("key"),
+                     F.col(ts_col).cast("timestamp").alias("ts"),
+                     F.lit(None).cast("double").alias("value"),
+                     F.lit(0).alias("is_feature"))
+    f = features.select(F.col(by).cast("string").alias("key"),
+                        F.col(ts_col).cast("timestamp").alias("ts"),
+                        F.col(val_col).cast("double").alias("value"),
+                        F.lit(1).alias("is_feature"))
+    return s.unionByName(f)
