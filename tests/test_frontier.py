@@ -75,3 +75,57 @@ def test_politeness_schedule_per_host_delay_and_determinism(spark):
     assert got == again                     # deterministic, partition-free
     for url, (seq, off) in got.items():
         assert off == seq * (2 if "a.com" in url else 10)
+
+
+# ---------------------------------------------------- crawl budget
+
+def test_crawl_budget_sums_exactly_and_is_proportional(spark):
+    from ultraviolet_spark.operators.frontier import crawl_budget
+    rows = [("a", 70), ("b", 20), ("c", 7), ("d", 3)]
+    df = spark.createDataFrame(rows, "domain string, n_pages long")
+    got = {r["domain"]: r["slots"]
+           for r in crawl_budget(df, budget=10).collect()}
+    assert sum(got.values()) == 10
+    assert got == {"a": 7, "b": 2, "c": 1, "d": 0}
+
+
+def test_crawl_budget_largest_remainder_tiebreak(spark):
+    from ultraviolet_spark.operators.frontier import crawl_budget
+    # 3 equal domains, 2 slots: equal remainders -> smaller key wins
+    df = spark.createDataFrame([("x", 1), ("y", 1), ("z", 1)],
+                               "domain string, n_pages long")
+    got = {r["domain"]: r["slots"]
+           for r in crawl_budget(df, budget=2).collect()}
+    assert sum(got.values()) == 2
+    assert got == {"x": 1, "y": 1, "z": 0}
+
+
+def test_crawl_budget_total_always_exact(spark):
+    from ultraviolet_spark.operators.frontier import crawl_budget
+    rows = [(f"d{i}", (i * 37) % 100 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "domain string, n_pages long")
+    for b in (0, 1, 99, 1000):
+        assert (crawl_budget(df, budget=b)
+                .agg({"slots": "sum"}).first()[0]) == b
+
+
+# ---------------------------------------------------- rendezvous
+
+def test_rendezvous_minimal_disruption(spark):
+    from ultraviolet_spark.operators.frontier import rendezvous_assign
+    hosts = spark.createDataFrame([(f"host{i}.example",) for i in range(300)],
+                                  "host string")
+    a5 = {r["host"]: r["worker"]
+          for r in rendezvous_assign(hosts, n_workers=5).collect()}
+    a6 = {r["host"]: r["worker"]
+          for r in rendezvous_assign(hosts, n_workers=6).collect()}
+    moved = {h for h in a5 if a5[h] != a6[h]}
+    # every move must target the NEW worker (5), never reshuffle old ones
+    assert all(a6[h] == 5 for h in moved)
+    # expected fraction 1/6 = 0.167 of 300 = 50; generous band
+    assert 20 <= len(moved) <= 90, len(moved)
+    # balance: each of 6 workers gets a reasonable share
+    from collections import Counter
+    c = Counter(a6.values())
+    assert set(c) == set(range(6))
+    assert min(c.values()) > 20

@@ -87,3 +87,65 @@ def politeness_schedule(frontier: DataFrame, *, host_col: str = "host",
             .withColumn("worker", worker)
             .withColumn("fetch_seq", seq)
             .withColumn("fetch_offset_s", seq * delay))
+
+
+def crawl_budget(df: DataFrame, *, budget: int, by: str = "domain",
+                 weight_col: str = "n_pages") -> DataFrame:
+    """Proportional crawl-budget allocation by Hamilton's
+    largest-remainder method: split an integer ``budget`` of fetch
+    slots across domains proportionally to ``weight_col``, exactly —
+    Σ seats = budget always, no float drift (the naive round() both
+    over- and under-shoots).
+
+    All integer arithmetic: base = ⌊B·w/N⌋, the B − Σbase leftover
+    slots go to the largest remainders ``(B·w) mod N`` (tie → smaller
+    domain key, deterministic).  The ranking window runs over DOMAINS
+    (thousands), not pages, so the one window here is cheap; the page→
+    domain rollup upstream is the usual partial-agg shuffle."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    w = F.col(weight_col).cast("long")
+    tot = df.agg(F.sum(w).alias("__N"))
+    base = (df.select(F.col(by), w.alias("__w"))
+            .crossJoin(F.broadcast(tot))
+            .withColumn("__base", F.expr(f"(__w * {budget}) div __N"))
+            .withColumn("__rem", F.expr(f"(__w * {budget}) % __N")))
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.orderBy(F.col("__rem").desc(), F.col(by)))
+    leftover = F.lit(budget) - F.sum("__base").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    return (base
+            .withColumn("__rk", rk)
+            .withColumn("__left", leftover)
+            .select(F.col(by),
+                    F.col("__w").alias(weight_col),
+                    (F.col("__base")
+                     + F.when(F.col("__rk") <= F.col("__left"), 1)
+                        .otherwise(0)).cast("long").alias("slots")))
+
+
+def rendezvous_assign(df: DataFrame, *, n_workers: int,
+                      key_col: str = "host",
+                      out: str = "worker") -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: assign each key the
+    worker with the max md5(key:worker) score — crawler sharding whose
+    defining property (unlike mod-N) is MINIMAL DISRUPTION: growing
+    the fleet from k to k+1 workers reassigns only ~1/(k+1) of keys,
+    and never between surviving workers (pytest-pinned).
+
+    Pure Catalyst: the score array is built per row (n_workers md5
+    calls — fine for n_workers ≤ hundreds), argmax via array_position;
+    md5 scores make the assignment bit-identical cross-engine."""
+    if n_workers <= 0:
+        raise ValueError("n_workers must be positive")
+    k = F.col(key_col).cast("string")
+    scores = F.array(*[
+        F.conv(F.substring(F.md5(F.encode(
+            F.concat(k, F.lit(f":{w}")), "UTF-8")), 1, 12), 16, 10)
+        .cast("long")
+        for w in range(n_workers)])
+    return df.withColumn(
+        out, (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int"))

@@ -4444,6 +4444,65 @@ def q144(spark, sf_dir):
     return spark.sql(f"SELECT key, ts, value FROM {name}")
 
 
+@q("q145_crawl_budget", """
+WITH d AS (
+  SELECT source AS domain, COUNT(*) AS n_pages
+  FROM documents GROUP BY source),
+t AS (SELECT SUM(n_pages) AS N FROM d),
+b AS (SELECT domain, n_pages,
+             (n_pages * 1000) // t.N AS base,
+             (n_pages * 1000) % t.N AS rem
+      FROM d, t),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, domain) AS rk,
+             (SELECT 1000 - SUM(base) FROM b) AS leftover
+      FROM b)
+SELECT domain, CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS slots
+FROM r
+""")
+def q145(spark, sf_dir):
+    """Proportional crawl-budget allocation (Hamilton largest-remainder
+    apportionment): 1000 fetch slots split across domains by page
+    count, Σslots = 1000 exactly — all integer arithmetic, the oracle
+    recomputes every quota, remainder and rank."""
+    from ultraviolet_spark.operators.frontier import crawl_budget
+
+    d = (_t(spark, sf_dir, "documents")
+         .groupBy(F.col("source").alias("domain"))
+         .agg(F.count("*").alias("n_pages")))
+    return crawl_budget(d, budget=1000)
+
+
+@q("q146_rendezvous_sharding", """
+WITH hosts AS (
+  SELECT DISTINCT 'h' || (doc_id % 997) AS host FROM documents),
+s AS (
+  SELECT host, w.w AS w,
+         CAST(('0x' || substr(md5(host || ':' || w.w), 1, 12))
+              AS UBIGINT) AS score
+  FROM hosts, (SELECT unnest(generate_series(0, 6)) AS w) w),
+r AS (
+  SELECT host, w,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY score DESC, w) AS rk
+  FROM s)
+SELECT host, CAST(w AS INTEGER) AS worker FROM r WHERE rk = 1
+""")
+def q146(spark, sf_dir):
+    """Rendezvous (highest-random-weight) crawler sharding: each host
+    goes to the worker with the max md5(host:worker) score —
+    bit-identical cross-engine, and unlike mod-N sharding a fleet
+    resize moves only ~1/(k+1) of hosts (pytest-pinned minimal
+    disruption)."""
+    from ultraviolet_spark.operators.frontier import rendezvous_assign
+
+    hosts = (_t(spark, sf_dir, "documents")
+             .select(F.concat(F.lit("h"), (F.col("doc_id") % 997))
+                     .alias("host")).distinct())
+    return rendezvous_assign(hosts, n_workers=7)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
