@@ -122,12 +122,21 @@ def materialize_pages_table(spark: SparkSession, sf_dir: str, *,
     trip, pandas .str.encode), all of it competing with the engine for
     the same memory bus during scaling measurements.
     """
+    # The table's FILE LAYOUT must not depend on who wrote it: a cache
+    # materialized inside a local[1] leg used to come out as ONE part
+    # file, capping every later reader's scan parallelism at
+    # ~file_size/maxPartitionBytes splits (observed: the 4-core scaling
+    # leg ran 2x slow because its input was a single 134 MB file written
+    # by the 1-core leg).  Fix the file count explicitly — ~16 MB files
+    # at the bench shape — and version the cache key so stale
+    # single-file caches regenerate.
+    n_files = 16
     key = (f"{os.path.basename(sf_dir.rstrip('/'))}"
-           f"_c{crawls_per_url}_r{replicate}_t{text_repeat}")
+           f"_c{crawls_per_url}_r{replicate}_t{text_repeat}_p{n_files}")
     path = os.path.join(base_dir, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         pages_from_documents(
             spark, sf_dir, crawls_per_url=crawls_per_url,
             replicate=replicate, text_repeat=text_repeat,
-        ).write.mode("overwrite").parquet(path)
+        ).repartition(n_files).write.mode("overwrite").parquet(path)
     return path
