@@ -478,3 +478,25 @@ def test_audio_stereo_uses_channel0_and_poison_skipped(spark):
     assert len(got) == 1
     r = got[0]
     assert (r["n"], r["energy"], r["zcr"]) == (4, 1 + 1 + 4 + 4, 3)
+
+
+# ---------------------------------------------------- video frame stats
+
+def test_video_frame_sample_byte_stats(spark):
+    from ultraviolet_spark.operators.multimodal import (
+        frame_byte_stats, frame_sample, synthesize_video)
+    vids = synthesize_video(
+        spark.createDataFrame([(3,), (10,)], "doc_id long"))
+    got = {(r["media_id"], r["frame_no"]): (r["n_bytes"], r["byte_sum"])
+           for r in frame_byte_stats(frame_sample(vids, every_n=3))
+           .collect()}
+
+    def want(i):
+        nf = 10 + i % 7
+        out = {}
+        for fno in range(0, nf, 3):
+            s = sum((i * 13 + (fno * 12 + k) * 7) % 256 for k in range(12))
+            out[(i, fno)] = (12, s)
+        return out
+
+    assert got == {**want(3), **want(10)}

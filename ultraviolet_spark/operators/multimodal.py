@@ -835,3 +835,62 @@ def audio_frame_features(df: DataFrame, *, frame: int = 256,
 
     return (df.select(F.col(id_col).alias("media_id"), blob_col)
             .mapInPandas(gen, schema=AUDIO_FRAMES_SCHEMA))
+
+
+def synthesize_video(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic UVMEDIA video blobs from an integer id: 4×3×1
+    frames, ``10 + id % 7`` of them, payload byte k = (id·13 + k·7)
+    mod 256 — every sampled frame's byte sum is analytic in
+    (id, frame_no), so a SQL oracle can verify the frame SLICING math
+    byte-exactly without seeing a blob."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            blobs = []
+            for raw in ids:
+                i = int(raw)
+                nf = 10 + i % 7
+                k = np.arange(nf * 12, dtype=np.int64)
+                payload = ((i * 13 + k * 7) % 256).astype(np.uint8)
+                blobs.append(pack_media(2, 4, 3, 1, 30, nf,
+                                        payload.tobytes()))
+            yield pd.DataFrame({"media_id": ids.astype(np.int64),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_no", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("byte_sum", T.LongType()),
+])
+
+
+def frame_byte_stats(frames: DataFrame, *, id_col: str = "media_id",
+                     frame_col: str = "frame") -> DataFrame:
+    """Per-sampled-frame byte stats (length + integer byte sum) — the
+    cheap downstream check/feature after :func:`frame_sample`; numpy
+    frombuffer per frame, shuffle-free."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = [int(np.frombuffer(
+                        b"" if b is None else bytes(b),
+                        dtype=np.uint8).astype(np.int64).sum())
+                    for b in pdf[frame_col]]
+            lens = [0 if b is None else len(bytes(b))
+                    for b in pdf[frame_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "frame_no": pdf["frame_no"].astype("int32"),
+                "n_bytes": pd.Series(lens, dtype="int64"),
+                "byte_sum": pd.Series(sums, dtype="int64")})
+
+    return frames.mapInPandas(gen, schema=FRAME_STATS_SCHEMA)

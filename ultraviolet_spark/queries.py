@@ -4503,6 +4503,96 @@ def q146(spark, sf_dir):
     return rendezvous_assign(hosts, n_workers=7)
 
 
+@q("q147_video_frame_sample", """
+WITH v AS (
+  SELECT doc_id AS media_id, 10 + doc_id % 7 AS nf FROM documents),
+fr AS (
+  SELECT media_id, nf, f.f AS frame_no
+  FROM v, (SELECT unnest(generate_series(0, 16)) AS f) f
+  WHERE f.f % 3 = 0 AND f.f < nf),
+b AS (
+  SELECT media_id, frame_no, k.k AS k,
+         (media_id * 13 + (frame_no * 12 + k.k) * 7) % 256 AS byte
+  FROM fr, (SELECT unnest(generate_series(0, 11)) AS k) k)
+SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(COUNT(*) AS BIGINT) AS n_bytes,
+       CAST(SUM(byte) AS BIGINT) AS byte_sum
+FROM b GROUP BY media_id, frame_no
+""")
+def q147(spark, sf_dir):
+    """Video frame sampling through the UVMEDIA container: synthesize
+    deterministic 4×3 grayscale videos, sample every 3rd frame with
+    ``frame_sample``, emit per-frame byte stats — the oracle recomputes
+    each sampled frame's byte sum from the synthesis formula, proving
+    the header parse, frame-size math and payload slicing
+    byte-exactly."""
+    from ultraviolet_spark.operators.multimodal import (
+        frame_byte_stats, frame_sample, synthesize_video)
+
+    vids = synthesize_video(_t(spark, sf_dir, "documents")
+                            .select("doc_id"))
+    frames = frame_sample(vids, every_n=3)
+    return frame_byte_stats(frames)
+
+
+@q("q148_http_response_parse", """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+                         ELSE 404 END AS st,
+         CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+                         WHEN 2 THEN 'windows-1252' ELSE NULL
+         END AS cs,
+         10 + doc_id % 5 AS blen,
+         doc_id % 11 = 0 AS truncated
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN truncated THEN NULL ELSE st END AS status,
+  CASE WHEN truncated THEN NULL ELSE '1.1' END AS http_version,
+  CASE WHEN truncated THEN NULL ELSE 'text/html' END AS content_type,
+  CASE WHEN truncated THEN NULL ELSE cs END AS charset_label,
+  CASE WHEN truncated THEN NULL
+       ELSE CAST(blen AS BIGINT) END AS content_length,
+  CASE WHEN truncated THEN NULL
+       ELSE CAST(blen AS BIGINT) END AS body_len,
+  CASE WHEN truncated THEN NULL ELSE repeat('x', blen) END AS body_text
+FROM d
+""")
+def q148(spark, sf_dir):
+    """HTTP response-record parsing (the WARC response → pages-table
+    seam): status line, version, media type, charset parameter,
+    Content-Length claim and the byte-exact body split, all pure
+    Catalyst over a latin-1 byte bijection.  Payloads are synthesized
+    analytically from doc_id (every 11th one truncated before the
+    CRLFCRLF boundary — must yield NULLs, not failures); the oracle
+    never parses anything."""
+    from ultraviolet_spark.operators.http import split_http_response
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    st = (F.when(F.col("doc_id") % 3 == 0, 200)
+          .when(F.col("doc_id") % 3 == 1, 301).otherwise(404))
+    cs = (F.when(F.col("doc_id") % 4 == 0, "utf-8")
+          .when(F.col("doc_id") % 4 == 1, "iso-8859-1")
+          .when(F.col("doc_id") % 4 == 2, "windows-1252"))
+    blen = (F.lit(10) + F.col("doc_id") % 5).cast("int")
+    head = F.concat(
+        F.lit("HTTP/1.1 "), st.cast("string"), F.lit(" OK\r\n"),
+        F.lit("Content-Type: text/html"),
+        F.coalesce(F.concat(F.lit("; charset="), cs), F.lit("")),
+        F.lit("\r\ncontent-length: "), blen.cast("string"),
+        F.lit("\r\nX-Crawl: "), F.col("doc_id").cast("string"))
+    full = F.concat(head, F.lit("\r\n\r\n"), F.repeat(F.lit("x"), blen))
+    payload_str = F.when(F.col("doc_id") % 11 == 0, head).otherwise(full)
+    parsed = split_http_response(
+        d.withColumn("payload", F.encode(payload_str, "ISO-8859-1")),
+        payload_col="payload", keep_headers=False)
+    return parsed.select(
+        "doc_id", "status", "http_version", "content_type",
+        "charset_label", "content_length",
+        F.octet_length("body").cast("long").alias("body_len"),
+        F.decode("body", "ISO-8859-1").alias("body_text"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
