@@ -33,6 +33,7 @@ CROSS_OK = {
     "q86_lm_cross_entropy",  # 1-row broadcast vocab-size frame
     "q90_heavy_hitter_tokens",  # 1-row broadcast total-count frame
     "q93_pmi_pairs",  # 1-row broadcast corpus-size frame
+    "q145_crawl_budget",  # 1-row broadcast Σweights frame (Hamilton N)
 }
 
 
