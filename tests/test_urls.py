@@ -190,3 +190,31 @@ def test_canonical_url_idempotent(spark):
     twice = once.select(canonical_url(F.col("c")).alias("c"))
     assert [r["c"] for r in once.collect()] == \
            [r["c"] for r in twice.collect()]
+
+
+# ---------------------------------------------------- bitext mining
+
+def test_bitext_candidates_pairs_and_ratio_gate(spark):
+    from ultraviolet_spark.operators.urls import bitext_candidates
+    rows = [
+        (1, "https://a.com/en/about", "en", "x" * 100),
+        (2, "https://a.com/de/about", "de", "y" * 80),   # ratio 0.8 -> in
+        (3, "https://a.com/en/news",  "en", "x" * 100),
+        (4, "https://a.com/de/news",  "de", "y" * 20),   # ratio 0.2 -> out
+        (5, "https://a.com/fr/about", "fr", "z" * 90),   # wrong tgt lang
+        (6, "https://b.com/de/about", "de", "y" * 100),  # different stem
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, "
+                                     "lang string, text string")
+    got = [(r["src_id"], r["tgt_id"], r["len_ratio"])
+           for r in bitext_candidates(df).collect()]
+    assert got == [(1, 2, 0.8)]
+
+
+def test_bitext_boundary_ratio_exactly_half_included(spark):
+    from ultraviolet_spark.operators.urls import bitext_candidates
+    rows = [(1, "https://a.com/en/p", "en", "x" * 50),
+            (2, "https://a.com/de/p", "de", "y" * 100)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, "
+                                     "lang string, text string")
+    assert bitext_candidates(df).count() == 1

