@@ -500,3 +500,31 @@ def test_video_frame_sample_byte_stats(spark):
         return out
 
     assert got == {**want(3), **want(10)}
+
+
+# ---------------------------------------------------- Luhn card PII
+
+def test_luhn_known_vectors(spark):
+    from ultraviolet_spark.operators.textstats import luhn_valid
+    rows = [("4539578763621486",), ("4539578763621487",),
+            ("4111111111111111",), ("1234567890123456",),
+            ("378282246310005",)]   # amex 15-digit, valid
+    df = spark.createDataFrame(rows, "pan string")
+    got = [r[0] for r in df.select(luhn_valid("pan")).collect()]
+    assert got == [True, False, True, False, True]
+
+
+def test_card_numbers_extraction_and_boundaries(spark):
+    from ultraviolet_spark.operators.textstats import card_numbers
+    rows = [
+        (1, "pay 4539-5787-6362-1486 now"),          # valid, dashed
+        (2, "pay 4539 5787 6362 1487 now"),          # luhn-invalid
+        (3, "id 99994539578763621486 long"),         # 20 digits, no valid sub
+        (4, "amex 3782 822463 10005 ok"),            # valid 15-digit
+        (5, "short 1234-5678 and 99.95 nothing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r["doc_id"], r["pan"]) for r in card_numbers(df).collect())
+    assert (1, "4539578763621486") in got
+    assert (4, "378282246310005") in got
+    assert all(d not in (2, 5) for d, _ in got)

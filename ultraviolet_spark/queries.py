@@ -4626,6 +4626,46 @@ def q149(spark, sf_dir):
     return bitext_candidates(d, src_lang="en", tgt_lang="de")
 
 
+@q("q150_luhn_card_detection", """
+WITH d AS (
+  SELECT doc_id,
+         lpad(CAST((doc_id * 98765 + 4321) % 10000000000000000
+                   AS VARCHAR), 16, '0') AS pan
+  FROM documents),
+v AS (
+  SELECT doc_id, pan,
+         list_sum(list_transform(generate_series(1, length(pan)),
+           i -> CASE WHEN i % 2 = 0 THEN
+                  CASE WHEN 2*CAST(substr(reverse(pan), i, 1) AS INT) > 9
+                       THEN 2*CAST(substr(reverse(pan), i, 1) AS INT) - 9
+                       ELSE 2*CAST(substr(reverse(pan), i, 1) AS INT) END
+                ELSE CAST(substr(reverse(pan), i, 1) AS INT) END))
+           % 10 AS ck
+  FROM d)
+SELECT doc_id, pan FROM v WHERE ck = 0
+""")
+def q150(spark, sf_dir):
+    """Checksum-verified payment-card PII: texts synthesized with one
+    dash-formatted 16-digit number each (digits analytic in doc_id),
+    the detector explodes digit runs, strips separators and keeps only
+    Luhn-valid PANs — the oracle recomputes the checksum in SQL, so a
+    hash match proves the extraction, normalization AND the mod-10
+    arithmetic.  ~10% of docs pass, exactly the ones the oracle
+    predicts."""
+    from ultraviolet_spark.operators.textstats import card_numbers
+
+    pan = F.lpad(((F.col("doc_id") * 98765 + 4321)
+                  % F.lit(10 ** 16)).cast("string"), 16, "0")
+    fmt = F.concat_ws("-", F.substring(pan, 1, 4), F.substring(pan, 5, 4),
+                      F.substring(pan, 9, 4), F.substring(pan, 13, 4))
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.concat(
+             F.lit("order "), F.col("doc_id").cast("string"),
+             F.lit(" pay with "), fmt,
+             F.lit(" ref 123456789012 total 99.95")).alias("text")))
+    return card_numbers(d)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
