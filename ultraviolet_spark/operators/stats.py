@@ -1,0 +1,50 @@
+"""Table/column statistics collection — the ANALYZE step that feeds
+cost-based decisions (broadcast-vs-shuffle thresholds, skew salt
+factors, partition sizing).  One pass over the table produces a tall
+``(column, n, n_null, n_distinct, min_str, max_str)`` stats table; the
+exact NDV uses count(DISTINCT) per column in a single multi-aggregate
+(Spark plans one Expand + partial aggs — one shuffle total), which is
+the right call up to ~10^9 distinct values per column; beyond that,
+swap in the mergeable HLL register table (operators.sketches) that the
+engine already ships.
+
+min/max are reported as strings so one stats table covers every column
+type losslessly for pruning decisions (numeric callers cast back).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_stats(df: DataFrame, *, cols: list[str] | None = None) -> DataFrame:
+    """Tall exact stats table for ``cols`` (default: all columns)."""
+    cols = list(df.columns) if cols is None else list(cols)
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__cnt_{c}"),
+            F.count(F.when(col.isNull(), 1)).alias(f"__null_{c}"),
+            F.countDistinct(col).alias(f"__ndv_{c}"),
+            F.min(col).cast("string").alias(f"__min_{c}"),
+            F.max(col).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            (F.col(f"__cnt_{c}") + F.col(f"__null_{c}")).alias("n"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.col(f"__ndv_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_str"),
+            F.col(f"__max_{c}").alias("max_str"),
+        ) for c in cols])
+    return (one.select(F.explode(rows).alias("s"))
+            .select("s.column", F.col("s.n").cast("long").alias("n"),
+                    F.col("s.n_null").cast("long").alias("n_null"),
+                    F.col("s.n_distinct").cast("long").alias("n_distinct"),
+                    "s.min_str", "s.max_str"))

@@ -4666,6 +4666,38 @@ def q150(spark, sf_dir):
     return card_numbers(d)
 
 
+@q("q151_table_stats", """
+SELECT 'o_orderkey' AS "column", COUNT(*) AS n,
+       COUNT(*) - COUNT(o_orderkey) AS n_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR),
+       CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR),
+       CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+""")
+def q151(spark, sf_dir):
+    """ANALYZE-style exact column statistics (count / nulls / NDV /
+    min / max as strings) in ONE multi-aggregate pass — the stats
+    table that drives broadcast thresholds, salt factors and partition
+    sizing; the oracle recomputes every statistic per column."""
+    from ultraviolet_spark.operators.stats import table_stats
+
+    o = _t(spark, sf_dir, "orders")
+    return table_stats(o, cols=["o_orderkey", "o_orderstatus",
+                                "o_totalprice"])
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
