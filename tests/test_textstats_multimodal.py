@@ -528,3 +528,63 @@ def test_card_numbers_extraction_and_boundaries(spark):
     assert (1, "4539578763621486") in got
     assert (4, "378282246310005") in got
     assert all(d not in (2, 5) for d, _ in got)
+
+
+# ---------------------------------------------------- stupid backoff LM
+
+def test_sb_trigram_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from ultraviolet_spark.operators.textstats import sb_trigram_scores
+    texts = {1: "the cat sat on the mat",
+             2: "the cat sat on the hat",
+             3: "dogs bark loudly",          # unseen trigram paths
+             4: "zz"}                        # <3 tokens -> 0
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_trigrams"], r["sb_cross_entropy"])
+           for r in sb_trigram_scores(df).collect()}
+
+    def grams(ws, n):
+        return [tuple(ws[i:i+n]) for i in range(len(ws)-n+1)]
+    toks = {i: t.split() for i, t in texts.items()}
+    c123 = Counter(g for ws in toks.values() for g in grams(ws, 3)
+                   if len(ws) >= 3)
+    c12 = Counter(g[:2] for ws in toks.values() for g in grams(ws, 3)
+                  if len(ws) >= 3)
+    c23 = Counter(g[1:] for ws in toks.values() for g in grams(ws, 3)
+                  if len(ws) >= 3)
+    c2 = Counter((g[1],) for ws in toks.values() for g in grams(ws, 3)
+                 if len(ws) >= 3)
+    c3 = Counter((w,) for ws in toks.values() for w in ws)
+    N = sum(len(ws) for ws in toks.values())
+    for i, ws in toks.items():
+        tgs = grams(ws, 3) if len(ws) >= 3 else []
+        if not tgs:
+            assert got[i] == (0, 0.0)
+            continue
+        tot = 0
+        for g in tgs:
+            if c123[g]:
+                ln = math.log(c123[g] / c12[g[:2]])
+            elif c23[g[1:]]:
+                ln = math.log(0.4 * (c23[g[1:]] / c2[(g[1],)]))
+            else:
+                ln = math.log(0.4 * 0.4 * (max(c3[(g[2],)], 1) / N))
+            tot += round(ln * 1e6)
+        want = round(-tot / (len(tgs) * 1e6), 6)
+        assert got[i] == (len(tgs), want), (i, got[i], want)
+    # self-scoring gives a once-seen trigram S=1 -> CE=0 (doc 3)
+    assert got[3] == (1, 0.0)
+    # separate model: eval text hits every backoff tier and scores
+    # worse than in-model text
+    model = spark.createDataFrame([(9, "the cat sat on the mat")],
+                                  "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "purple cat flies")],
+        "doc_id long, text string")
+    s = {r["doc_id"]: r["sb_cross_entropy"]
+         for r in sb_trigram_scores(ev, model_docs=model).collect()}
+    assert s[1] == 0.0               # trigram seen in model
+    assert s[2] > s[1]               # backoff tiers cost

@@ -634,3 +634,91 @@ def card_numbers(df: DataFrame, *, text_col: str = "text",
            .filter(luhn_valid("pan"))
            .select(id_col, "pan"))
     return out.distinct()
+
+
+def sb_trigram_scores(df: DataFrame, *, model_docs: DataFrame | None = None,
+                      alpha: float = 0.4, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Trigram Stupid-Backoff LM scoring (Brants et al. 2007 — "Large
+    Language Models in Machine Translation", the web-scale LM that
+    skips normalization entirely because at corpus size backoff weight
+    precision stops mattering):
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)             if the trigram is seen
+                   = α · c(w2w3)/c(w2)             else if the bigram is
+                   = α² · max(c(w3),1)/N           else (unigram floor;
+                                                    OOV clamps to 1/N)
+
+    Returns ``(id, n_trigrams, sb_cross_entropy)``: −mean ln S in nats,
+    each term snapped to integer micro-nats pre-sum (the same
+    order-independence idiom as ``lm_cross_entropy``; the ln argument
+    is assembled identically in the oracle so the double is
+    bit-identical before rounding).  Docs with < 3 tokens score 0.
+
+    Scale: count tables are map-side-combined groupBys (shuffle ∝
+    distinct n-grams); scoring is three left joins on n-gram keys plus
+    a 1-row broadcast N.  In the production configuration the model
+    corpus is small and clean — every model side broadcasts.
+    """
+    model_docs = df if model_docs is None else model_docs
+
+    def toks(frame):
+        return (frame.filter(F.length(F.trim(F.col(text_col))) > 0)
+                .select(F.col(id_col),
+                        F.split(F.lower(F.trim(F.col(text_col))),
+                                r"\s+").alias("__w")))
+
+    def trigrams(frame):
+        t = toks(frame).filter(F.size("__w") >= 3)
+        ex = F.explode(F.expr(
+            "transform(sequence(1, size(__w) - 2),"
+            " i -> struct(element_at(__w, i) AS w1,"
+            "             element_at(__w, i + 1) AS w2,"
+            "             element_at(__w, i + 2) AS w3))")).alias("__tg")
+        return (t.select(F.col(id_col), ex)
+                .select(id_col, "__tg.w1", "__tg.w2", "__tg.w3"))
+
+    mt = trigrams(model_docs).drop(id_col)
+    c123 = mt.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("__c123"))
+    c12 = mt.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("__c12"))
+    mu = (toks(model_docs)
+          .select(F.explode("__w").alias("__u")))
+    c23 = mt.groupBy("w2", "w3").agg(
+        F.count("*").cast("long").alias("__c23"))
+    c2 = mt.groupBy("w2").agg(F.count("*").cast("long").alias("__c2"))
+    c3 = mu.groupBy(F.col("__u").alias("w3")).agg(
+        F.count("*").cast("long").alias("__c3"))
+    ntot = mu.agg(F.count("*").cast("long").alias("__n"))
+
+    dt = trigrams(df)
+    scored = (dt.join(c123, ["w1", "w2", "w3"], "left")
+              .join(c12, ["w1", "w2"], "left")
+              .join(c23, ["w2", "w3"], "left")
+              .join(c2, ["w2"], "left")
+              .join(c3, ["w3"], "left")
+              .crossJoin(F.broadcast(ntot)))
+    a = float(alpha)
+    ln_s = F.when(
+        F.coalesce("__c123", F.lit(0)) > 0,
+        F.log(F.col("__c123").cast("double") / F.col("__c12"))
+    ).when(
+        F.coalesce("__c23", F.lit(0)) > 0,
+        F.log(F.lit(a) * (F.col("__c23").cast("double") / F.col("__c2")))
+    ).otherwise(
+        F.log(F.lit(a * a)
+              * (F.greatest(F.coalesce("__c3", F.lit(0)), F.lit(1))
+                 .cast("double") / F.col("__n"))))
+    lp_u = F.round(ln_s * 1e6).cast("long")
+    per = (scored.groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_trigrams"),
+                F.round(-F.sum(lp_u) / (F.count("*") * F.lit(1e6)), 6)
+                 .alias("sb_cross_entropy")))
+    ids = df.select(id_col)
+    return (ids.join(per, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_trigrams", F.lit(0).cast("long"))
+                     .alias("n_trigrams"),
+                    F.coalesce("sb_cross_entropy", F.lit(0.0))
+                     .alias("sb_cross_entropy")))

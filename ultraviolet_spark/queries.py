@@ -4698,6 +4698,55 @@ def q151(spark, sf_dir):
                                 "o_totalprice"])
 
 
+@q("q152_stupid_backoff_lm", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+tg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM t WHERE len(w) >= 3)),
+m123 AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+m12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tg GROUP BY 1, 2),
+m23 AS (SELECT w2, w3, COUNT(*) AS c23 FROM tg GROUP BY 1, 2),
+m2 AS (SELECT w2, COUNT(*) AS c2 FROM tg GROUP BY 1),
+uni AS (SELECT unnest(w) AS u FROM t),
+m3 AS (SELECT u AS w3, COUNT(*) AS c3 FROM uni GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM uni),
+s AS (
+  SELECT doc_id,
+    CAST(round(CASE
+      WHEN COALESCE(c123, 0) > 0
+        THEN ln(CAST(c123 AS DOUBLE) / c12)
+      WHEN COALESCE(c23, 0) > 0
+        THEN ln(0.4 * (CAST(c23 AS DOUBLE) / c2))
+      ELSE ln(0.16000000000000003
+              * (CAST(GREATEST(COALESCE(c3, 0), 1) AS DOUBLE) / n))
+    END * 1e6) AS BIGINT) AS lp_u
+  FROM tg LEFT JOIN m123 USING (w1, w2, w3)
+          LEFT JOIN m12 USING (w1, w2)
+          LEFT JOIN m23 USING (w2, w3)
+          LEFT JOIN m2 USING (w2)
+          LEFT JOIN m3 USING (w3), nn),
+a AS (SELECT doc_id, COUNT(*) AS nt,
+             round(-SUM(lp_u) / (COUNT(*) * 1e6), 6) AS ce
+      FROM s GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(nt, 0) AS BIGINT) AS n_trigrams,
+       COALESCE(ce, 0.0) AS sb_cross_entropy
+FROM documents d LEFT JOIN a USING (doc_id)
+""")
+def q152(spark, sf_dir):
+    """Trigram Stupid-Backoff LM scoring (Brants et al. 2007): seen
+    trigram → relative frequency; else α·bigram; else α²·unigram floor
+    (OOV clamps to 1/N) — the web-scale quality LM that skips
+    normalization.  Self-scored on the corpus; micro-nat integer sums
+    make the oracle exact.  (0.16000000000000003 is the double-exact
+    value of 0.4*0.4 — the literal must match Spark's computed α².)"""
+    from ultraviolet_spark.operators.textstats import sb_trigram_scores
+
+    return sb_trigram_scores(_t(spark, sf_dir, "documents"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
