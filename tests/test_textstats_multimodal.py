@@ -588,3 +588,21 @@ def test_sb_trigram_matches_python_reference(spark):
          for r in sb_trigram_scores(ev, model_docs=model).collect()}
     assert s[1] == 0.0               # trigram seen in model
     assert s[2] > s[1]               # backoff tiers cost
+
+
+def test_resize_images_box_means_and_roundtrip(spark):
+    import numpy as np
+    from ultraviolet_spark.operators.multimodal import (
+        _box_means, decode_bmp, make_bmp, resize_images)
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+    df = spark.createDataFrame([(1, make_bmp(px)), (2, b"junk")],
+                               "media_id long, blob binary")
+    out = resize_images(df, out_w=9, out_h=8).collect()
+    assert len(out) == 1                      # poison blob skipped
+    r = out[0]
+    assert (r["width"], r["height"]) == (9, 8)
+    got = decode_bmp(bytes(r["blob"]))["pixels"]
+    want = np.stack([_box_means(px[:, :, k], 9, 8) for k in range(3)],
+                    axis=-1)
+    assert np.array_equal(got, want.astype(np.uint8))

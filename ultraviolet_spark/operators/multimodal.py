@@ -617,6 +617,26 @@ DHASH_SCHEMA = T.StructType([
 ])
 
 
+def _box_means(chan: np.ndarray, gw: int, gh: int) -> np.ndarray:
+    """(gh, gw) integer floor-means of one channel over the uniform
+    box grid (boxes widened to ≥1 px when the image is narrower than
+    the grid — nearest-pixel semantics).  One integral image, no
+    per-box loop; exact integer arithmetic so SQL oracles reproduce
+    every cell."""
+    h, w = chan.shape
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    integ[1:, 1:] = chan.astype(np.int64).cumsum(0).cumsum(1)
+    gxs = np.arange(gw + 1, dtype=np.int64) * w // gw
+    gys = np.arange(gh + 1, dtype=np.int64) * h // gh
+    x0, x1 = gxs[:-1], np.maximum(gxs[1:], gxs[:-1] + 1)
+    y0, y1 = gys[:-1], np.maximum(gys[1:], gys[:-1] + 1)
+    x1, y1 = np.minimum(x1, w), np.minimum(y1, h)
+    sums = (integ[y1][:, x1] - integ[y1][:, x0]
+            - integ[y0][:, x1] + integ[y0][:, x0])
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return sums // areas
+
+
 def _dhash_bands(px: np.ndarray, kind: str, *, gw: int = 9,
                  gh: int = 8) -> np.ndarray:
     """64-bit difference hash of one decoded image as 4×16-bit band
@@ -640,17 +660,7 @@ def _dhash_bands(px: np.ndarray, kind: str, *, gw: int = 9,
                 + 114 * p[:, :, b_]) // 1000
     else:
         gray = p[:, :, 0]
-    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
-    integ[1:, 1:] = gray.cumsum(0).cumsum(1)
-    gxs = np.arange(gw + 1, dtype=np.int64) * w // gw
-    gys = np.arange(gh + 1, dtype=np.int64) * h // gh
-    x0, x1 = gxs[:-1], np.maximum(gxs[1:], gxs[:-1] + 1)
-    y0, y1 = gys[:-1], np.maximum(gys[1:], gys[:-1] + 1)
-    x1, y1 = np.minimum(x1, w), np.minimum(y1, h)
-    sums = (integ[y1][:, x1] - integ[y1][:, x0]
-            - integ[y0][:, x1] + integ[y0][:, x0])
-    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
-    m = sums // areas                                   # (gh, gw)
+    m = _box_means(gray, gw, gh)                        # (gh, gw)
     bits = (m[:, :-1] > m[:, 1:]).astype(np.int64)      # (gh, gw-1)
     pos = (np.arange(gh)[:, None] % 2) * (gw - 1) + np.arange(gw - 1)
     vals = np.zeros(gh // 2, dtype=np.int64)
@@ -894,3 +904,60 @@ def frame_byte_stats(frames: DataFrame, *, id_col: str = "media_id",
                 "byte_sum": pd.Series(sums, dtype="int64")})
 
     return frames.mapInPandas(gen, schema=FRAME_STATS_SCHEMA)
+
+
+def resize_images(df: DataFrame, *, out_w: int, out_h: int,
+                  id_col: str = "media_id",
+                  blob_col: str = "blob") -> DataFrame:
+    """Box-mean (area-average) image downscale through the REAL
+    codecs: decode BMP/PNG → per-channel integer floor-mean over the
+    uniform ``out_w × out_h`` box grid → re-encode as 24-bit BMP —
+    the brief's "resize" multimodal op, fully deterministic (no float
+    interpolation) so downstream hashes and oracles are exact.
+    Undecodable blobs yield zero rows (poison-safe); shuffle-free
+    mapInPandas row-parallelism like every codec stage here."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("target dimensions must be positive")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = b"" if blob is None else bytes(blob)
+                kind = sniff_kind(b)
+                if kind not in ("bmp", "png"):
+                    continue
+                try:
+                    img = (decode_bmp if kind == "bmp" else decode_png)(b)
+                except (ValueError, NotImplementedError):
+                    continue
+                px = img["pixels"]
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                if px.shape[2] >= 3:
+                    chans = [px[:, :, k] for k in range(3)]
+                    if kind != "bmp":          # PNG is RGB; BMP wants BGR
+                        chans = chans[::-1]
+                else:
+                    chans = [px[:, :, 0]] * 3
+                small = np.stack(
+                    [_box_means(c, out_w, out_h) for c in chans],
+                    axis=-1).astype(np.uint8)
+                ids.append(int(mid))
+                blobs.append(make_bmp(small))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series([out_w] * len(ids), dtype="int32"),
+                "height": pd.Series([out_h] * len(ids), dtype="int32"),
+                # explicit object dtype: an all-skipped batch would
+                # otherwise infer float64 and break Arrow binary conv
+                "blob": pd.Series(blobs, dtype="object")})
+
+    return (df.select(F.col(id_col).alias("media_id"), blob_col)
+            .mapInPandas(gen, schema))

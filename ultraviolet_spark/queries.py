@@ -4747,6 +4747,35 @@ def q152(spark, sf_dir):
     return sb_trigram_scores(_t(spark, sf_dir, "documents"))
 
 
+@q("q153_image_resize", f"""
+WITH {_DHASH_BANDS_CTE}
+SELECT media_id, 'bmp' AS kind,
+       CAST(9 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       round(CAST(SUM(m) AS DOUBLE) / 72, 6) AS mean_b,
+       round(CAST(SUM(m) AS DOUBLE) / 72, 6) AS mean_g,
+       round(CAST(SUM(m) AS DOUBLE) / 72, 6) AS mean_r
+FROM m GROUP BY media_id
+""")
+def q153(spark, sf_dir):
+    """Image RESIZE (box-mean area downscale to 9×8) through the real
+    codecs: synthesize gray BMPs, resize (integer floor-means,
+    re-encoded as BMP), decode the RESIZED bytes again and emit
+    per-channel means — the oracle recomputes every target pixel from
+    the synthesis formula (same box grid as the dHash CTE), so a hash
+    match proves the resize arithmetic AND the encode→decode roundtrip
+    of the resized image."""
+    from ultraviolet_spark.operators.multimodal import (
+        decode_features, resize_images, synthesize_dhash_bmp)
+
+    media = synthesize_dhash_bmp(
+        _t(spark, sf_dir, "documents").select("doc_id"))
+    small = resize_images(media, out_w=9, out_h=8)
+    return (decode_features(small)
+            .select("media_id", "kind", "width", "height", "channels",
+                    "mean_b", "mean_g", "mean_r"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
