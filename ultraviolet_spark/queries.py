@@ -4776,6 +4776,46 @@ def q153(spark, sf_dir):
                     "mean_b", "mean_g", "mean_r"))
 
 
+@q("q154_ip_range_lookup", """
+WITH ips AS (
+  SELECT doc_id,
+         ((10 * 256 + doc_id % 256) * 256 + (doc_id * 7) % 256) * 256
+           + (doc_id * 13) % 256 AS ip
+  FROM documents),
+r(lo, hi, net) AS (VALUES
+  (CAST(167772160 AS BIGINT), CAST(167837695 AS BIGINT), 'net-a'),
+  (CAST(167837696 AS BIGINT), CAST(167903231 AS BIGINT), 'net-b'),
+  (CAST(167968768 AS BIGINT), CAST(184549375 AS BIGINT), 'net-wide'),
+  (CAST(3232235520 AS BIGINT), CAST(3232301055 AS BIGINT), 'rfc1918'))
+SELECT i.doc_id, i.ip, r.net
+FROM ips i JOIN r ON i.ip BETWEEN r.lo AND r.hi
+""")
+def q154(spark, sf_dir):
+    """GeoIP-style IP-range lookup as an EQUI-join: ranges exploded
+    into their /16 buckets, probe joins on ip>>16 then exact between —
+    the interval join that stays a hash join at 10^12 probe rows
+    (the oracle is the plain BETWEEN theta-join).  IPs derive from
+    doc_id via ipv4_to_long over synthesized dotted quads, so the
+    string parser is covered too."""
+    from ultraviolet_spark.operators.iplookup import (
+        ip_range_lookup, ipv4_to_long)
+
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.concat(
+             F.lit("10."), (F.col("doc_id") % 256).cast("string"),
+             F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+             F.lit("."), ((F.col("doc_id") * 13) % 256).cast("string"))
+             .alias("ip_str"))
+         .withColumn("ip", ipv4_to_long("ip_str")).drop("ip_str"))
+    ranges = spark.createDataFrame(
+        [(167772160, 167837695, "net-a"),
+         (167837696, 167903231, "net-b"),
+         (167968768, 184549375, "net-wide"),
+         (3232235520, 3232301055, "rfc1918")],
+        "lo long, hi long, net string")
+    return ip_range_lookup(d, ranges).select("doc_id", "ip", "net")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
