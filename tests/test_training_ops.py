@@ -495,3 +495,32 @@ def test_sample_weighted_grouped_and_guards(spark):
     assert 99 not in by_g["a"] and 98 not in by_g["b"]  # w<=0/null excluded
     with _pytest.raises(ValueError):
         sample_weighted(df, 0, weight_col="w")
+
+
+# ---------------------------------------------------- universe sampling
+
+def test_universe_sample_join_consistency(spark):
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.corpus import universe_sample
+    a = spark.range(1000).select(F.col("id").alias("k"),
+                                 (F.col("id") * 3).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"),
+                                 (F.col("id") * 5).alias("vb"))
+    sa = universe_sample(a, 0.3, key_col="k")
+    sb = universe_sample(b, 0.3, key_col="k")
+    # same key universe on both sides
+    ka = {r["k"] for r in sa.select("k").collect()}
+    kb = {r["k"] for r in sb.select("k").collect()}
+    assert ka == kb and 0.2 < len(ka) / 1000 < 0.4
+    # join of samples == sample of join
+    joined = sa.join(sb, "k")
+    assert joined.count() == len(ka)
+    # monotone: the 30% universe contains the 10% universe
+    k10 = {r["k"] for r in universe_sample(a, 0.1, key_col="k")
+           .select("k").collect()}
+    assert k10 <= ka
+    # salt changes the universe
+    ks = {r["k"] for r in universe_sample(a, 0.3, key_col="k", salt="x")
+          .select("k").collect()}
+    assert ks != ka

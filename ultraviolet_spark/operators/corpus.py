@@ -834,3 +834,24 @@ def sample_weighted(docs: DataFrame, k: int, *, weight_col: str,
         out = (tagged.withColumn("__rk", F.row_number().over(win))
                .filter(F.col("__rk") <= k).drop("__rk"))
     return out.drop("__skey")
+
+
+def universe_sample(df: DataFrame, fraction: float, *, key_col: str,
+                    salt: str = "") -> DataFrame:
+    """JOIN-CONSISTENT (universe) sampling: keep a row iff the md5 of
+    its KEY falls under ``fraction`` — every table sampled with the
+    same (key domain, fraction, salt) keeps exactly the same key
+    universe, so a join of two universe samples IS the universe sample
+    of the join (BlinkDB/Quickr's trick; a row-Bernoulli sample of two
+    tables would keep only fraction² of joined pairs and bias every
+    join-side aggregate).
+
+    Deterministic, engine-exact (md5 threshold — same idiom as
+    ``hash_split``/``sample_stratified``), monotone in ``fraction``
+    (growing the sample only ADDS keys), scan-stage."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    u = F.conv(F.substring(F.md5(F.encode(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt)), "UTF-8")),
+        1, 12), 16, 10).cast("long")
+    return df.filter(u < F.lit(int(fraction * (16 ** 12))))

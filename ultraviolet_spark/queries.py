@@ -4816,6 +4816,39 @@ def q154(spark, sf_dir):
     return ip_range_lookup(d, ranges).select("doc_id", "ip", "net")
 
 
+@q("q155_universe_sample_join", """
+WITH keep AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+             AS UBIGINT) < CAST(0.2 * 281474976710656 AS UBIGINT))
+SELECT o.o_orderstatus, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      AS sum_price
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN keep ON keep.k = o.o_orderkey
+GROUP BY o.o_orderstatus
+""")
+def q155(spark, sf_dir):
+    """Universe (join-consistent) sampling: orders AND lineitem each
+    keep the same md5-thresholded 20% key universe, so their join is
+    the full join restricted to sampled keys — a row-Bernoulli sample
+    would keep only 4% of pairs and bias every join aggregate.  The
+    oracle applies one key filter to the exact join; equality proves
+    both tables sampled the identical universe."""
+    from ultraviolet_spark.operators.corpus import universe_sample
+
+    o = universe_sample(_t(spark, sf_dir, "orders"), 0.2,
+                        key_col="o_orderkey")
+    li = universe_sample(_t(spark, sf_dir, "lineitem"), 0.2,
+                         key_col="l_orderkey")
+    return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(_dec("l_extendedprice")).cast("double")
+                  .alias("sum_price")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
