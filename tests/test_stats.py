@@ -28,3 +28,24 @@ def test_table_stats_single_shuffle_plan(spark):
     # multi-count-distinct plans as Expand + aggregates; no join stages
     assert "Join" not in plan
     assert {r["column"] for r in stats.collect()} == {"id", "m"}
+
+
+def test_join_cardinality_exact_vs_real_join(spark):
+    from ultraviolet_spark.operators.stats import join_cardinality
+    a = spark.createDataFrame([(i % 5,) for i in range(40)], "k long")
+    b = spark.createDataFrame([(i % 7,) for i in range(21)], "k long")
+    got = join_cardinality(a, b, a_key="k").first()
+    real = a.join(b, "k").count()
+    assert got["join_rows"] == real
+    assert got["matching_keys"] == 5        # keys 0..4 exist in both
+    # key 0: a has 8, b has 3 -> 24 = max contribution
+    assert got["max_key_rows"] == 24
+
+
+def test_join_cardinality_empty_intersection(spark):
+    from ultraviolet_spark.operators.stats import join_cardinality
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    got = join_cardinality(a, b, a_key="k").first()
+    assert (got["join_rows"], got["matching_keys"],
+            got["max_key_rows"]) == (0, 0, 0)

@@ -48,3 +48,28 @@ def table_stats(df: DataFrame, *, cols: list[str] | None = None) -> DataFrame:
                     F.col("s.n_null").cast("long").alias("n_null"),
                     F.col("s.n_distinct").cast("long").alias("n_distinct"),
                     "s.min_str", "s.max_str"))
+
+
+def join_cardinality(a: DataFrame, b: DataFrame, *, a_key: str,
+                     b_key: str | None = None) -> DataFrame:
+    """Exact inner-equi-join output size WITHOUT running the join:
+    Σ over matching keys of count_a(k)·count_b(k), plus the per-side
+    distinct/match breakdowns a planner wants before choosing
+    broadcast vs shuffle vs salting (a huge ``sum_products`` with few
+    ``matching_keys`` = a skewed join that needs salting).
+
+    Cost: two partial-aggregated count shuffles (∝ distinct keys, not
+    rows) and a join of the two count tables — orders cheaper than the
+    join it predicts."""
+    b_key = a_key if b_key is None else b_key
+    ca = a.groupBy(F.col(a_key).alias("__k")).agg(
+        F.count("*").alias("__ca"))
+    cb = b.groupBy(F.col(b_key).alias("__k")).agg(
+        F.count("*").alias("__cb"))
+    j = ca.join(cb, "__k")
+    return j.agg(
+        F.coalesce(F.sum(F.col("__ca") * F.col("__cb")), F.lit(0))
+         .cast("long").alias("join_rows"),
+        F.count("*").cast("long").alias("matching_keys"),
+        F.coalesce(F.max(F.col("__ca") * F.col("__cb")), F.lit(0))
+         .cast("long").alias("max_key_rows"))

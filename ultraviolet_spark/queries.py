@@ -4849,6 +4849,29 @@ def q155(spark, sf_dir):
                   .alias("sum_price")))
 
 
+@q("q156_join_cardinality", """
+WITH ca AS (SELECT o_custkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+cb AS (SELECT c_custkey AS k, COUNT(*) AS cb FROM customer GROUP BY 1),
+j AS (SELECT ca.ca, cb.cb FROM ca JOIN cb USING (k))
+SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS join_rows,
+       CAST(COUNT(*) AS BIGINT) AS matching_keys,
+       CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT) AS max_key_rows
+FROM j
+""")
+def q156(spark, sf_dir):
+    """Join-cardinality estimation without running the join: Σ
+    count_a(k)·count_b(k) over matching keys plus the max single-key
+    contribution (the skew signal that decides salting) — the planner
+    pre-pass, costing only two distinct-key count shuffles.  Oracle
+    recomputes the same arithmetic; the result also EQUALS the true
+    orders⋈customer row count."""
+    from ultraviolet_spark.operators.stats import join_cardinality
+
+    return join_cardinality(_t(spark, sf_dir, "orders"),
+                            _t(spark, sf_dir, "customer"),
+                            a_key="o_custkey", b_key="c_custkey")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
