@@ -86,7 +86,13 @@ def streaming_ffill(stream: DataFrame, *, by: str = "url",
         # GroupState.get is a PROPERTY in PySpark (calling it raises
         # "'tuple' object is not callable" on the 2nd micro-batch)
         (last,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
+        # ONE group can arrive as SEVERAL Arrow chunks (record batches
+        # are capped at maxRecordsPerBatch, 2000 in this engine) in
+        # shuffle-arrival order — NOT event-time order.  Processing
+        # chunks independently mis-fills any chunk whose rows precede a
+        # later chunk's timestamps (caught by the sf0.1 soak on q144's
+        # sibling).  Concatenate the whole group, sort once.
+        for pdf in [pd.concat(list(pdfs))] :
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             vals = pdf[col]
             filled = vals.ffill()
@@ -149,7 +155,7 @@ def streaming_crawl_progress(stream: DataFrame, *, by: str = "url",
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: Any) -> Iterator[pd.DataFrame]:
         n, last = state.get if state.exists else (0, -1)  # .get: property
-        for pdf in pdfs:
+        for pdf in [pd.concat(list(pdfs))]:  # whole group, sorted once
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             lens = pdf[len_col].astype("int64")
             prev = lens.shift(1)
@@ -217,7 +223,7 @@ def streaming_asof_enrich(tagged: DataFrame, *, by: str = "key",
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: Any) -> Iterator[pd.DataFrame]:
         last_us, last_val = state.get if state.exists else (None, None)
-        for pdf in pdfs:
+        for pdf in [pd.concat(list(pdfs))]:  # whole group, sorted once
             pdf = pdf.sort_values([ts_col, flag_col],
                                   ascending=[True, False],
                                   kind="mergesort")
