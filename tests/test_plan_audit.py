@@ -34,6 +34,7 @@ CROSS_OK = {
     "q90_heavy_hitter_tokens",  # 1-row broadcast total-count frame
     "q93_pmi_pairs",  # 1-row broadcast corpus-size frame
     "q145_crawl_budget",  # 1-row broadcast Σweights frame (Hamilton N)
+    "q152_stupid_backoff_lm",  # 1-row broadcast unigram-total N frame
 }
 
 
