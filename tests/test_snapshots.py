@@ -139,3 +139,46 @@ def test_iceberg_seam_degrades_gracefully(spark):
     assert fmt.available(spark) is False
     with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         fmt.write(spark.range(1), "t", stage="s", inputs_fp="fp")
+
+
+# ---------------------------------------------------- maintenance
+
+def test_compact_preserves_rows_reduces_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.plans.snapshots import ParquetSnapshotFormat
+    fmt = ParquetSnapshotFormat(str(tmp_path / "wh"))
+    df = spark.range(1000).select("id", (F.col("id") % 7).alias("m")) \
+        .repartition(24)
+    s0 = fmt.write(df, "t", stage="ingest", inputs_fp="a")
+    assert s0.n_files >= 16
+    s1 = fmt.compact(spark, "t", target_files=4)
+    assert s1.n_files <= 4 and s1.n_rows == 1000
+    a = sorted(map(tuple, fmt.read(spark, "t").collect()))
+    b = sorted(map(tuple, fmt.read(spark, "t", snapshot_id=0).collect()))
+    assert a == b
+    # the compaction is itself a logged snapshot with lineage
+    stages = {s.stage for s in fmt.snapshots("t")}
+    assert "compact_v0" in stages
+    assert fmt.lineage(spark, "t", snapshot_id=s1.snapshot_id).count() \
+        == s1.n_files
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    import pytest as _pt
+
+    from ultraviolet_spark.plans.snapshots import ParquetSnapshotFormat
+    fmt = ParquetSnapshotFormat(str(tmp_path / "wh2"))
+    for i in range(3):
+        fmt.write(spark.range(10 + i), "t", stage=f"s{i}", inputs_fp=str(i))
+    gone = fmt.expire_snapshots("t", keep_last=1)
+    assert gone == [0, 1]
+    assert [s.snapshot_id for s in fmt.snapshots("t")] == [2]
+    assert fmt.read(spark, "t").count() == 12
+    with _pt.raises(StopIteration):
+        fmt.read(spark, "t", snapshot_id=0)
+    with _pt.raises(ValueError):
+        fmt.expire_snapshots("t", keep_last=0)
+    # next write continues the id sequence
+    s = fmt.write(spark.range(5), "t", stage="s3", inputs_fp="3")
+    assert s.snapshot_id == 3

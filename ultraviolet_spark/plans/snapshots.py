@@ -213,6 +213,56 @@ class ParquetSnapshotFormat:
                   "metric string, value double")
         return spark.createDataFrame(rows, schema=schema)
 
+    # -- maintenance ------------------------------------------------------
+    def compact(self, spark: SparkSession, table: str, *,
+                target_files: int = 8, stage: str | None = None) -> Snapshot:
+        """Small-file compaction (Iceberg ``rewrite_data_files``'s local
+        equivalent): rewrite the LATEST snapshot's data as a NEW
+        snapshot with ``target_files`` files — incremental pipelines
+        accrete one small file per run, and at 100 TB the resulting
+        file-count explosion dominates scan planning time.  Data is
+        byte-identical (row-equality pinned in tests); the rewrite is a
+        first-class snapshot, so lineage/metrics record it and time
+        travel to the pre-compaction snapshot still works until
+        :meth:`expire_snapshots` removes it."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        latest = snaps[-1]
+        df = spark.read.parquet(latest.path).repartition(target_files)
+        return self.write(
+            df, table,
+            stage=stage or f"compact_v{latest.snapshot_id}",
+            inputs_fp=fingerprint("compact", latest.inputs_fp,
+                                  latest.snapshot_id, target_files))
+
+    def expire_snapshots(self, table: str, *, keep_last: int = 1,
+                         older_than_utc: float | None = None) -> list[int]:
+        """Retention (Iceberg ``expire_snapshots``'s local equivalent):
+        delete the data files, lineage and log entries of all but the
+        newest ``keep_last`` snapshots (optionally only those created
+        before ``older_than_utc``).  Returns the expired ids.  The
+        newest snapshot is never expired — resume and readers always
+        have a current version."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.snapshots(table)
+        victims = [s for s in snaps[:-keep_last]
+                   if older_than_utc is None or s.created_utc < older_than_utc]
+        for s in victims:
+            shutil.rmtree(s.path, ignore_errors=True)
+            shutil.rmtree(os.path.join(self._tdir(table), "_lineage",
+                                       f"v{s.snapshot_id}"),
+                          ignore_errors=True)
+            try:
+                os.remove(os.path.join(self._snapdir(table),
+                                       f"{s.snapshot_id:06d}.json"))
+            except FileNotFoundError:
+                pass
+        return [s.snapshot_id for s in victims]
+
     def all_lineage(self, spark: SparkSession) -> DataFrame:
         """Per-FILE lineage unified across every table and snapshot:
         (table, snapshot_id, stage, file_path, rows, started/finished).
