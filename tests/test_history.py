@@ -121,3 +121,33 @@ def test_snapshot_diff_multi_fp_cols_and_null(spark):
         old, new, fp_cols=("text", "lang")).collect()}
     # lang flips a->changed; NULL lang hashes stably -> unchanged
     assert got == {"a": "changed", "b": "unchanged"}
+
+
+# ---------------------------------------------------- incremental agg
+
+def test_incremental_agg_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.history import incremental_agg
+    rows = [(i % 9, f"t{i % 3}", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, t string, v double")
+    agg = None
+    for p in range(4):
+        agg = incremental_agg(agg, df.filter(F.col("k") % 4 == p),
+                              keys=["t"], sums={"sv": "v"})
+    got = sorted(map(tuple, agg.collect()))
+    want = sorted(map(tuple, df.groupBy("t").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").alias("sv")).collect()))
+    assert got == want
+
+
+def test_incremental_agg_bootstrap_and_new_keys(spark):
+    from ultraviolet_spark.operators.history import incremental_agg
+    d1 = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    d2 = spark.createDataFrame([("a", 2.0), ("b", 5.0)],
+                               "k string, v double")
+    a1 = incremental_agg(None, d1, keys=["k"], sums={"sv": "v"})
+    a2 = incremental_agg(a1, d2, keys=["k"], sums={"sv": "v"})
+    got = {r["k"]: (r["n"], r["sv"]) for r in a2.collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 5.0)}

@@ -99,3 +99,32 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     """(status, n) rollup of a :func:`snapshot_diff` — the four-line
     crawl-delta report (how much re-fetch work did this crawl create)."""
     return diff.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def incremental_agg(prev: DataFrame | None, delta: DataFrame, *,
+                    keys: list[str], count_col: str = "n",
+                    sums: dict[str, str] | None = None) -> DataFrame:
+    """Incremental materialized-aggregate maintenance for append-only
+    data: fold a new crawl's DELTA into the stored per-key aggregate
+    WITHOUT rescanning history — counts and sums are commutative
+    monoids, so ``agg(old ∪ delta) = merge(agg(old), agg(delta))``.
+
+    ``prev`` is the previously materialized aggregate (schema: keys +
+    count_col + sum columns; None bootstraps), ``delta`` is raw new
+    rows; ``sums`` maps output column → source column.  Shuffle ∝
+    distinct keys in prev+delta, never history size — the 100 TB
+    nightly-update shape (store the result via plans.snapshots and the
+    whole thing is resumable + lineage-tracked).  min/max merge the
+    same way; avg must be stored as (count, sum); non-monoid aggregates
+    (exact distinct) need the sketch tables (operators.sketches)."""
+    sums = sums or {}
+    d = delta.groupBy(*keys).agg(
+        F.count("*").cast("long").alias(count_col),
+        *[F.sum(src).alias(out) for out, src in sums.items()])
+    if prev is None:
+        return d
+    u = prev.select(*keys, count_col, *sums).unionByName(
+        d.select(*keys, count_col, *sums))
+    return u.groupBy(*keys).agg(
+        F.sum(count_col).cast("long").alias(count_col),
+        *[F.sum(out).alias(out) for out in sums])

@@ -4872,6 +4872,31 @@ def q156(spark, sf_dir):
                             a_key="o_custkey", b_key="c_custkey")
 
 
+@q("q157_incremental_agg", """
+SELECT user_id, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id, event_type
+""")
+def q157(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: the events
+    stream split into three crawl deltas, each folded into the stored
+    per-key aggregate without rescanning history (counts/sums merge as
+    monoids) — the result must equal the full GROUP BY over everything
+    (the oracle).  The never-rescan exact-count sibling of q143's HLL
+    rollup."""
+    from ultraviolet_spark.operators.history import incremental_agg
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("__v", _dec("value")))
+    agg = None
+    for part in range(3):
+        delta = ev.filter(F.col("event_id") % 3 == part)
+        agg = incremental_agg(agg, delta, keys=["user_id", "event_type"],
+                              sums={"sum_value": "__v"})
+    return agg.select("user_id", "event_type", "n",
+                      F.col("sum_value").cast("double").alias("sum_value"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
