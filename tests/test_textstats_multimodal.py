@@ -606,3 +606,33 @@ def test_resize_images_box_means_and_roundtrip(spark):
     want = np.stack([_box_means(px[:, :, k], 9, 8) for k in range(3)],
                     axis=-1)
     assert np.array_equal(got, want.astype(np.uint8))
+
+
+def test_luhn_property_vs_python(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ultraviolet_spark.operators.textstats import luhn_valid
+
+    def py_luhn(s):
+        if not 13 <= len(s) <= 19:
+            return False
+        tot = 0
+        for i, ch in enumerate(reversed(s), start=1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.text(alphabet="0123456789", min_size=10,
+                            max_size=22), min_size=1, max_size=8))
+    def check(pans):
+        df = spark.createDataFrame([(p,) for p in pans], "pan string")
+        got = [bool(r[0]) for r in df.select(luhn_valid("pan")).collect()]
+        assert got == [py_luhn(p) for p in pans]
+
+    check()
