@@ -4820,7 +4820,7 @@ def q154(spark, sf_dir):
 WITH keep AS (
   SELECT DISTINCT o_orderkey AS k FROM orders
   WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
-             AS UBIGINT) < CAST(0.2 * 281474976710656 AS UBIGINT))
+             AS UBIGINT) < CAST(FLOOR(0.2 * 281474976710656) AS UBIGINT))
 SELECT o.o_orderstatus, COUNT(*) AS n_items,
   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       AS sum_price
