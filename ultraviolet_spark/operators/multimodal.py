@@ -4,9 +4,11 @@ Media travel as opaque ``binary`` columns plus a typed metadata struct —
 the same pattern as the pages table's ``html`` column.  The Spark-side
 plumbing (schemas, mapInPandas batch shape, partitioning) is real and
 tested.  Codecs decodable with stdlib+numpy are REAL: uncompressed BMP
-(:func:`decode_bmp`), PCM WAV (:func:`decode_wav`), and compressed PNG
+(:func:`decode_bmp`), PCM WAV (:func:`decode_wav`), compressed PNG
 (:func:`decode_png` — zlib IDAT, CRC-checked chunks, all five filter
-reconstructions).  Formats that require external libraries
+reconstructions) and compressed GIF (:func:`decode_gif` — own LZW
+decoder, interlace, local color tables, multi-frame counting).
+Formats that require external libraries
 (JPEG/MP3/H.264…) remain STUBBED behind ``_codec_decode`` because this
 container ships no image/audio libraries; poison blobs always survive
 as ``kind='unknown'`` rather than failing the stage.
@@ -309,6 +311,225 @@ def decode_png(data: bytes) -> dict:
     return {"width": w, "height": h, "channels": c, "pixels": px}
 
 
+_GIF_MAX_CODE = 4096  # 12-bit LZW code space (GIF89a appendix F)
+# Interlaced GIFs store rows in four passes: every 8th row from 0, every
+# 8th from 4, every 4th from 2, every 2nd from 1 (GIF89a §20).
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Row indices in on-wire (interlaced) order for an h-row image."""
+    return np.concatenate([np.arange(start, h, step)
+                           for start, step in _GIF_PASSES]).astype(np.int64)
+
+
+def _lzw_compress(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW (variable 3..12-bit codes, LSB-first packing,
+    CLEAR emitted up-front and on dictionary overflow).  Serial by
+    nature — per-IMAGE Python, same regime as PNG's Paeth scanlines."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code, width = eoi + 1, mcs + 1
+    out_codes: list[tuple[int, int]] = [(clear, width)]  # (code, bit width)
+    cur = b""
+    for v in indices.ravel().tolist():
+        nxt = cur + bytes([v])
+        if nxt in table:
+            cur = nxt
+            continue
+        out_codes.append((table[cur], width))
+        table[nxt] = next_code
+        # width grows AFTER assigning code 2**width (encoder and decoder
+        # must agree; decoder mirrors this in _lzw_decompress)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > _GIF_MAX_CODE:
+            out_codes.append((clear, width))
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code, width = eoi + 1, mcs + 1
+        cur = nxt[-1:]
+    if cur:
+        out_codes.append((table[cur], width))
+        # the decoder adds one more table entry after reading this final
+        # data code (unless it was the first since a clear, impossible to
+        # collide here since 2**mcs + 2 != 2**width for mcs >= 2) and may
+        # grow the code width before reading EOI — mirror that
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+    out_codes.append((eoi, width))
+    # pack LSB-first
+    buf = bytearray()
+    acc = nbits = 0
+    for code, w in out_codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decompress(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_compress`; also accepts streams that use
+    'deferred clear' (keep emitting 12-bit codes without resetting)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    bits = np.unpackbits(np.frombuffer(data, np.uint8),
+                         bitorder="little")
+    pos, total = 0, bits.size
+    out: list[bytes] = []
+    prev: bytes | None = None
+    got = 0
+    pw2 = 2 ** np.arange(12, dtype=np.int64)
+    while got < n_pixels:
+        if pos + width > total:
+            raise ValueError("truncated LZW stream")
+        code = int(bits[pos:pos + width] @ pw2[:width])
+        pos += width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.append(entry)
+        got += len(entry)
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    flat = np.frombuffer(b"".join(out), np.uint8)
+    if flat.size < n_pixels:
+        raise ValueError("LZW stream ended early")
+    return flat[:n_pixels]
+
+
+def make_gif(indices: np.ndarray, palette: np.ndarray, *,
+             interlace: bool = False) -> bytes:
+    """Encode an (H, W) uint8 index array + (P, 3) RGB palette (P a
+    power of two ≥ 2) as a single-frame GIF89a with real LZW
+    compression — fixture generator AND the encoder half of the
+    round-trip tests (q158)."""
+    h, w = indices.shape
+    p = len(palette)
+    assert p >= 2 and (p & (p - 1)) == 0 and indices.max(initial=0) < p
+    depth = max(1, int(p).bit_length() - 1)  # palette size = 2**depth
+    mcs = max(2, depth)
+    rows = indices[_gif_interlace_order(h)] if interlace else indices
+    lzw = _lzw_compress(rows.astype(np.uint8), mcs)
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    gct = palette.astype(np.uint8).tobytes()
+    desc = b"," + struct.pack("<HHHHB", 0, 0, w, h,
+                              0x40 if interlace else 0)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (head + gct + desc + bytes([mcs]) + bytes(blocks)
+            + b"\x00" + b";")
+
+
+def decode_gif(data: bytes) -> dict:
+    """REAL GIF decode (pure numpy + Python LZW): GIF87a/89a, global and
+    local color tables, interlaced images (all four passes), extension
+    blocks skipped, multi-frame files decode the FIRST frame and count
+    the rest.  Returns ``{width, height, channels=3, pixels (H, W, 3)
+    uint8 RGB, n_frames}``.  Raises ValueError on truncation/corruption.
+
+    LZW is inherently serial per stream, so decompression is a per-image
+    Python loop over codes — the same documented correctness-seam regime
+    as PNG's Paeth scanlines (a production cluster ships a compiled
+    codec; this proves the format plumbing end-to-end without one)."""
+    if len(data) < 13 or data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+
+    def _skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(data):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = data[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    first: dict | None = None
+    n_frames = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = _skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if pos + 10 > len(data):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        lct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(data):
+                raise ValueError("truncated GIF local color table")
+            lct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
+        mcs = data[pos]
+        pos += 1
+        start = pos
+        pos = _skip_subblocks(pos)
+        n_frames += 1
+        if first is None:
+            if lct is None:
+                raise ValueError("GIF image with no color table")
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"bad LZW min code size {mcs}")
+            # reassemble the sub-block payload
+            chunks, p = [], start
+            while data[p]:
+                chunks.append(data[p + 1:p + 1 + data[p]])
+                p += 1 + data[p]
+            idx = _lzw_decompress(b"".join(chunks), mcs, w * h).reshape(h, w)
+            if iflags & 0x40:
+                rows = np.empty(h, np.int64)
+                rows[_gif_interlace_order(h)] = np.arange(h)
+                idx = idx[rows]
+            if int(idx.max(initial=0)) >= len(lct):
+                raise ValueError("GIF pixel index outside color table")
+            first = {"width": int(w), "height": int(h), "channels": 3,
+                     "pixels": lct[idx]}
+    if first is None:
+        raise ValueError("GIF contains no image")
+    first["n_frames"] = n_frames
+    return first
+
+
 def sniff_kind(data: bytes) -> str:
     if len(data) >= 2 and data[:2] == b"BM":
         return "bmp"
@@ -316,6 +537,8 @@ def sniff_kind(data: bytes) -> str:
         return "wav"
     if len(data) >= 8 and data[:8] == _PNG_SIG:
         return "png"
+    if len(data) >= 6 and data[:4] == b"GIF8" and data[4:6] in (b"7a", b"9a"):
+        return "gif"
     if len(data) >= len(_MAGIC) and data[: len(_MAGIC)] == _MAGIC:
         return "uvmedia"
     return "unknown"
@@ -360,12 +583,12 @@ def decode_features(df: DataFrame, *, id_col: str = "media_id",
                        "n_samples": None, "mean_b": None, "mean_g": None,
                        "mean_r": None, "duration_s": None, "rms": None}
                 try:
-                    if kind in ("bmp", "png"):
-                        img = (decode_bmp if kind == "bmp"
-                               else decode_png)(b)
+                    if kind in ("bmp", "png", "gif"):
+                        img = {"bmp": decode_bmp, "png": decode_png,
+                               "gif": decode_gif}[kind](b)
                         px = img["pixels"].astype(np.float64)
                         m = px.mean(axis=(0, 1))
-                        # BMP stores BGR, PNG stores RGB; gray(+alpha)
+                        # BMP stores BGR, PNG/GIF store RGB; gray(+alpha)
                         # maps its single luma channel to all three
                         if len(m) >= 3:
                             cb, cg, cr = ((0, 1, 2) if kind == "bmp"
@@ -512,6 +735,38 @@ def synthesize_png(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     (7 * i + x + 9 * y) % 256,       # B
                 ], axis=-1).astype(np.uint8)
                 blobs.append(make_png(px, filter_type=i % 5))
+            yield pd.DataFrame({"media_id": ids.astype(np.int64),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+def synthesize_gif(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GIF synthesis from an integer id column: the
+    16-entry palette and every pixel INDEX are closed-form in (id, x,
+    y), and every 3rd image is interlaced — so a corpus of these
+    exercises LZW coding, sub-block framing, and all four interlace
+    passes, while a SQL oracle that never sees bytes can verify the
+    decoded per-channel means (q158)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            blobs = []
+            for raw in ids:
+                i = int(raw)
+                w, h = 3 + i % 6, 2 + i % 5
+                y, x = np.mgrid[0:h, 0:w]
+                idx = ((i + 5 * x + 11 * y) % 16).astype(np.uint8)
+                j = np.arange(16)
+                pal = np.stack([(i + 17 * j) % 256, (29 * j) % 256,
+                                (3 * i + 43 * j) % 256], axis=-1)
+                blobs.append(make_gif(idx, pal.astype(np.uint8),
+                                      interlace=(i % 3 == 0)))
             yield pd.DataFrame({"media_id": ids.astype(np.int64),
                                 "blob": blobs})
 

@@ -4897,6 +4897,45 @@ def q157(spark, sf_dir):
                       F.col("sum_value").cast("double").alias("sum_value"))
 
 
+@q("q158_gif_codec_roundtrip", """
+WITH img AS (
+  SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h FROM documents),
+pxx AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img),
+pxy AS (
+  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM pxx),
+pix AS (
+  SELECT doc_id, w, h, (doc_id + 5*x + 11*y) % 16 AS idx FROM pxy),
+f AS (
+  SELECT doc_id, w, h,
+    round(CAST(SUM((doc_id + 17*idx) % 256) AS DOUBLE) / (w*h), 6) AS mean_r,
+    round(CAST(SUM((29*idx) % 256) AS DOUBLE) / (w*h), 6) AS mean_g,
+    round(CAST(SUM((3*doc_id + 43*idx) % 256) AS DOUBLE) / (w*h), 6) AS mean_b
+  FROM pix GROUP BY doc_id, w, h)
+SELECT doc_id AS media_id, 'gif' AS kind,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels, mean_r, mean_g, mean_b
+FROM f
+""")
+def q158(spark, sf_dir):
+    """REAL GIF codec round-trip: synthesize actual GIF89a files from
+    doc_id (real LZW compression, sub-block framing, every 3rd image
+    interlaced), decode with the pure-numpy GIF decoder, emit
+    per-channel means.  The oracle computes the expected means
+    analytically from the synthesis formula and never sees a byte — a
+    hash match proves the LZW coder (variable 3..12-bit codes, width
+    growth, dictionary reset), palette mapping and all four interlace
+    passes are correct.  Completes the BMP/WAV/PNG/GIF real-codec set
+    (q74/q97)."""
+    from ultraviolet_spark.operators.multimodal import (
+        decode_features, synthesize_gif)
+
+    media = synthesize_gif(_t(spark, sf_dir, "documents").select("doc_id"))
+    return (decode_features(media)
+            .select("media_id", "kind", "width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
