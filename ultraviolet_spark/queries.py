@@ -4936,6 +4936,46 @@ def q158(spark, sf_dir):
                     "mean_r", "mean_g", "mean_b"))
 
 
+@q("q159_winnow_fingerprints", """
+WITH d AS (
+  SELECT doc_id,
+         lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS norm
+  FROM documents),
+sized AS (
+  SELECT doc_id, norm, length(norm) - 6 AS m FROM d
+  WHERE length(norm) - 6 >= 8),
+g AS (
+  SELECT doc_id, m, norm, unnest(generate_series(1, m)) AS pos FROM sized),
+h AS (
+  SELECT doc_id, m, pos,
+         CAST(('0x' || substr(md5(substr(norm, pos, 7)), 1, 8)) AS BIGINT) AS h
+  FROM g),
+wm AS (
+  SELECT doc_id, m, pos AS s,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+  FROM h),
+starts AS (SELECT doc_id, s, mh FROM wm WHERE s <= m - 7),
+sel AS (
+  SELECT h.doc_id, starts.s, MAX(h.pos) AS fp_pos, starts.mh AS fp_hash
+  FROM starts JOIN h ON h.doc_id = starts.doc_id
+       AND h.pos BETWEEN starts.s AND starts.s + 7 AND h.h = starts.mh
+  GROUP BY h.doc_id, starts.s, starts.mh)
+SELECT DISTINCT doc_id, CAST(fp_pos AS INTEGER) AS fp_pos, fp_hash FROM sel
+""")
+def q159(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): per-window rightmost-min of md5 k-gram hashes (k=7,
+    w=8) selected entirely inside the scan stage (array expressions,
+    zero shuffle/Python).  The oracle rebuilds every k-gram hash and
+    replays the window selection with SQL window functions — an
+    independent implementation of the same paper."""
+    from ultraviolet_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"),
+                               k=7, w=8)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
