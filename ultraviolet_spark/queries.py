@@ -4976,6 +4976,81 @@ def q159(spark, sf_dir):
                                k=7, w=8)
 
 
+@q("q160_token_suffix_array", """
+WITH d AS (
+  SELECT doc_id,
+         list_slice(string_split_regex(lower(trim(text)), '\\s+'), 1, 32) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+t AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM d),
+tok AS (SELECT doc_id, pos, w[pos] AS token FROM t),
+r0 AS (SELECT doc_id, pos, dense_rank() OVER (ORDER BY token) AS r FROM tok),
+r1 AS (SELECT a.doc_id, a.pos,
+              dense_rank() OVER (ORDER BY a.r, coalesce(b.r, -1)) AS r
+       FROM r0 a LEFT JOIN r0 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+r2 AS (SELECT a.doc_id, a.pos,
+              dense_rank() OVER (ORDER BY a.r, coalesce(b.r, -1)) AS r
+       FROM r1 a LEFT JOIN r1 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2),
+r4 AS (SELECT a.doc_id, a.pos,
+              dense_rank() OVER (ORDER BY a.r, coalesce(b.r, -1)) AS r
+       FROM r2 a LEFT JOIN r2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 4),
+r8 AS (SELECT a.doc_id, a.pos,
+              dense_rank() OVER (ORDER BY a.r, coalesce(b.r, -1)) AS r
+       FROM r4 a LEFT JOIN r4 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 8),
+r16 AS (SELECT a.doc_id, a.pos,
+               dense_rank() OVER (ORDER BY a.r, coalesce(b.r, -1)) AS r
+        FROM r8 a LEFT JOIN r8 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 16)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, CAST(r AS BIGINT) AS sa_rank
+FROM r16
+""")
+def q160(spark, sf_dir):
+    """Distributed token-level suffix array (Manber–Myers prefix
+    doubling, the Lee et al. 2022 substring-dedup index): global dense
+    lexicographic rank of every (truncated-to-32-token) document suffix,
+    computed with NO single-partition window — range-partitioned sorted
+    scans + a P-row boundary prefix sum per doubling round.  The oracle
+    replays the same mathematics as 5 chained global dense_rank CTEs
+    (fine at oracle scale; the Spark side exists so that is never
+    needed)."""
+    from ultraviolet_spark.operators.suffix import token_suffix_array
+
+    return token_suffix_array(_t(spark, sf_dir, "documents"),
+                              max_tokens=32)
+
+
+@q("q161_repeated_token_spans", """
+WITH d AS (
+  SELECT doc_id,
+         list_slice(string_split_regex(lower(trim(text)), '\\s+'), 1, 32) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+t AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM d),
+sp AS (
+  SELECT doc_id, pos, list_slice(w, pos, least(pos + 7, len(w))) AS sl FROM t),
+cls AS (
+  SELECT doc_id, pos,
+         dense_rank() OVER (ORDER BY sl) AS span_class,
+         count(*) OVER (PARTITION BY sl) AS n_occurrences
+  FROM sp)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+       CAST(span_class AS BIGINT) AS span_class,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM cls WHERE n_occurrences > 1
+""")
+def q161(spark, sf_dir):
+    """Repeated 8-token spans (Lee et al. "repeated substring of length
+    ≥ L"): every position whose 8-token prefix (whole suffix if shorter)
+    occurs ≥ 2× corpus-wide, derived from the resolution-8 prefix-
+    doubling rank table.  The oracle is fully independent — it groups by
+    the LITERAL token slice and never runs prefix doubling, so a hash
+    match proves the doubling recursion groups spans exactly like direct
+    slice equality."""
+    from ultraviolet_spark.operators.suffix import repeated_spans
+
+    return repeated_spans(_t(spark, sf_dir, "documents"),
+                          span=8, max_tokens=32)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
