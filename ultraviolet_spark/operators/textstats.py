@@ -722,3 +722,46 @@ def sb_trigram_scores(df: DataFrame, *, model_docs: DataFrame | None = None,
                      .alias("n_trigrams"),
                     F.coalesce("sb_cross_entropy", F.lit(0.0))
                      .alias("sb_cross_entropy")))
+
+
+def lang_segments(df: DataFrame, *, chunk_tokens: int = 10,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Language-run segmentation of mixed-language documents (the
+    CCNet/mC4 per-paragraph langID step, over fixed token windows since
+    the corpus carries no paragraph marks): chunk the token stream into
+    ``chunk_tokens``-sized windows, predict each chunk's language with
+    the stopword-argmax model, then collapse consecutive same-language
+    chunks into segments with the gaps-and-islands trick
+    (``chunk_idx − row_number() over (doc, lang)`` is constant exactly
+    on a run).
+
+    Returns ``(doc_id, lang, seg_start, seg_end, n_chunks)`` — one row
+    per maximal same-language run of chunks.
+
+    Scale notes: chunking and scoring are per-row scan-stage array
+    expressions; the islands window and the run groupBy both hash on
+    ``doc_id`` — one exchange, reused across both steps.
+    """
+    c = F.col(text_col)
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n_chunks = F.ceil(F.size("__w") / F.lit(float(chunk_tokens))).cast("int")
+    d = (df.filter(F.length(F.trim(c)) > 0)
+         .select(F.col(id_col).alias("doc_id"), toks.alias("__w"))
+         .select("doc_id",
+                 F.posexplode(F.transform(
+                     F.sequence(F.lit(0), n_chunks - 1),
+                     lambda ci: F.concat_ws(" ", F.slice(
+                         F.col("__w"), ci * chunk_tokens + 1, chunk_tokens))))
+                 .alias("chunk_idx", "__chunk")))
+    from pyspark.sql import Window
+
+    scored = d.withColumn("lang", predict_lang(F.col("__chunk")))
+    wl = Window.partitionBy("doc_id", "lang").orderBy("chunk_idx")
+    seg = scored.withColumn(
+        "__grp", F.col("chunk_idx") - F.row_number().over(wl))
+    return (seg.groupBy("doc_id", "lang", "__grp")
+            .agg(F.min("chunk_idx").alias("seg_start"),
+                 F.max("chunk_idx").alias("seg_end"),
+                 F.count("*").cast("long").alias("n_chunks"))
+            .select("doc_id", "lang", "seg_start", "seg_end", "n_chunks"))

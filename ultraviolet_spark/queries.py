@@ -5051,6 +5051,82 @@ def q161(spark, sf_dir):
                           span=8, max_tokens=32)
 
 
+def _langseg_sql() -> str:
+    """q162 oracle: the stopword-argmax langID of q22, applied per
+    10-token chunk, then gaps-and-islands run collapse."""
+    score = {l: f"len(list_intersect(cw, {X.STOPWORDS[l]!r}))"
+             for l in X.LANGS}
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    case = " ".join(f"WHEN {score[l]} = __best THEN '{l}'" for l in X.LANGS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+ch AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1))
+           AS chunk_idx
+  FROM d),
+tk AS (
+  SELECT doc_id, chunk_idx,
+         list_slice(w, chunk_idx * 10 + 1,
+                    least(chunk_idx * 10 + 10, len(w))) AS cw
+  FROM ch),
+sc AS (SELECT doc_id, chunk_idx, cw, {best} AS __best FROM tk),
+lab AS (
+  SELECT doc_id, chunk_idx,
+         CASE WHEN __best > 0 THEN (CASE {case} ELSE 'und' END)
+              ELSE 'und' END AS lang
+  FROM sc),
+g AS (
+  SELECT doc_id, chunk_idx, lang,
+         chunk_idx - row_number()
+           OVER (PARTITION BY doc_id, lang ORDER BY chunk_idx) AS grp
+  FROM lab)
+SELECT doc_id, lang,
+       CAST(MIN(chunk_idx) AS INTEGER) AS seg_start,
+       CAST(MAX(chunk_idx) AS INTEGER) AS seg_end,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks
+FROM g GROUP BY doc_id, lang, grp
+"""
+
+
+@q("q162_lang_segments", _langseg_sql())
+def q162(spark, sf_dir):
+    """Language-run segmentation (CCNet/mC4 per-paragraph langID over
+    fixed 10-token windows): chunk → stopword-argmax langID → collapse
+    consecutive same-language chunks with gaps-and-islands.  One doc_id
+    exchange shared by the islands window and the run groupBy."""
+    from ultraviolet_spark.operators.textstats import lang_segments
+
+    return lang_segments(_t(spark, sf_dir, "documents"), chunk_tokens=10)
+
+
+@q("q163_edit_distance_pairs", """
+WITH v AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT a.word AS word_a, b.word AS word_b,
+       CAST(levenshtein(a.word, b.word) AS INTEGER) AS dist
+FROM v a JOIN v b ON a.word < b.word
+WHERE levenshtein(a.word, b.word) <= 2 AND a.word <> '' AND b.word <> ''
+""")
+def q163(spark, sf_dir):
+    """EXACT Levenshtein-distance-≤2 pairs over the corpus vocabulary
+    via FastSS deletion neighborhoods (explode ≤2-deletion variants →
+    variant-key equi-join → exact verify on candidates only — recall
+    1.0 by the neighborhood theorem, zero cartesian).  The oracle is
+    the brute-force cross join the Spark side exists to avoid."""
+    from ultraviolet_spark.operators.fuzzy import deletion_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (d.filter(F.length(F.trim("text")) > 0)
+             .select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                       r"\s+")).alias("word"))
+             .filter(F.col("word") != ""))
+    return deletion_neighborhood_pairs(vocab, col="word", max_dist=2)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
