@@ -5127,6 +5127,61 @@ def q163(spark, sf_dir):
     return deletion_neighborhood_pairs(vocab, col="word", max_dist=2)
 
 
+@q("q164_csv_roundtrip", """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority,
+       'a,"b"' || chr(10) || o_orderpriority || chr(9) || chr(13)
+         || 'u\\u' AS payload
+FROM orders
+""")
+def q164(spark, sf_dir):
+    """CSV source/sink conformance: write orders plus a hostile payload
+    column (embedded comma, RFC-4180 doubled quote, LF, TAB, CR,
+    backslash, non-ASCII) as quoted CSV, read it back with the same
+    explicit schema/options (multiLine, escape='\"', microsecond
+    timestamp format, UTC), and return the re-read rows.  The oracle
+    recomputes the expected rows straight from parquet and never sees
+    the CSV — a hash match proves the writer/parser pair is lossless,
+    incl. shortest-decimal double round-trip."""
+    import tempfile
+
+    from ultraviolet_spark.sources.textio import csv_roundtrip
+
+    o = _t(spark, sf_dir, "orders")
+    gnarly = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+        F.concat(F.lit('a,"b"\n'), F.col("o_orderpriority"),
+                 F.lit('\t\ru\\u')).alias("payload"))
+    return csv_roundtrip(gnarly, tempfile.mkdtemp(prefix="uv_q164_"))
+
+
+@q("q165_jsonl_roundtrip", """
+SELECT event_id, ts, user_id, event_type, value, props,
+       '{"k":"' || event_type || '"}' || chr(10) || chr(9)
+         || '\\"u' || chr(8) AS payload
+FROM events
+""")
+def q165(spark, sf_dir):
+    """JSON-lines source/sink conformance: write events plus a hostile
+    payload (JSON-looking text, quote, LF, TAB, backslash, backspace
+    control char, non-ASCII) as JSONL, read back with the same explicit
+    schema, return the re-read rows.  Stresses JSON string escaping,
+    microsecond timestamp format, and full-precision double round-trip
+    (events.value is a raw random double).  Oracle recomputes from
+    parquet, never sees the JSON."""
+    import tempfile
+
+    from ultraviolet_spark.sources.textio import jsonl_roundtrip
+
+    e = _t(spark, sf_dir, "events")
+    gnarly = e.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+        F.concat(F.lit('{"k":"'), F.col("event_type"),
+                 F.lit('"}\n\t\\"u\b')).alias("payload"))
+    return jsonl_roundtrip(gnarly, tempfile.mkdtemp(prefix="uv_q165_"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
