@@ -73,3 +73,54 @@ def join_cardinality(a: DataFrame, b: DataFrame, *, a_key: str,
         F.count("*").cast("long").alias("matching_keys"),
         F.coalesce(F.max(F.col("__ca") * F.col("__cb")), F.lit(0))
          .cast("long").alias("max_key_rows"))
+
+
+def zipf_fit(docs: DataFrame, *, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Zipf power-law fit of the corpus token-frequency distribution:
+    least-squares slope of ``ln(freq)`` on ``ln(rank)`` (frequency-desc
+    rank, token as deterministic tie-break).  A healthy natural-language
+    corpus sits near slope −1 (Zipf 1949); strong deviation is a
+    corpus-quality signal (boilerplate floods flatten the head,
+    dedup failures fatten individual ranks).
+
+    Returns one row: ``(n_vocab, n_tokens, zipf_slope, zipf_r2)``.
+
+    The slope is computed from the five explicit sums
+    (n, Σx, Σy, Σxy, Σx²) so the oracle can replay the identical
+    formula; both sides round to 6.
+
+    Scale notes: the only corpus-sized work is the token-count groupBy
+    (one partial-agg shuffle).  Ranking and regression run on the
+    AGGREGATED vocabulary table, which is bounded by distinct-token
+    count — the same post-agg global-sort regime as top-k; the final
+    reduction is a single-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    freq = (docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.explode(toks).alias("__t"))
+            .filter(F.col("__t") != "")
+            .groupBy("__t").agg(F.count("*").alias("__f")))
+    w = Window.orderBy(F.col("__f").desc(), F.col("__t"))
+    xy = (freq.withColumn("__r", F.row_number().over(w))
+          .select(F.log(F.col("__r").cast("double")).alias("__x"),
+                  F.log(F.col("__f").cast("double")).alias("__y"),
+                  "__f"))
+    agg = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("__x").alias("sx"), F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum("__f").cast("long").alias("n_tokens"))
+    num = agg["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = agg["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = agg["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        F.col("n_tokens"),
+        F.round(num / dx, 6).alias("zipf_slope"),
+        F.round(F.when(dy > 0, num * num / (dx * dy))
+                 .otherwise(F.lit(1.0)), 6).alias("zipf_r2"))

@@ -5182,6 +5182,34 @@ def q165(spark, sf_dir):
     return jsonl_roundtrip(gnarly, tempfile.mkdtemp(prefix="uv_q165_"))
 
 
+@q("q166_zipf_fit", """
+WITH tk AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0),
+f AS (SELECT t, COUNT(*) AS f FROM tk WHERE t <> '' GROUP BY t),
+r AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rnk FROM f),
+xy AS (SELECT ln(rnk) AS x, ln(f) AS y, f FROM r),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy,
+             SUM(f) AS nt
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS n_vocab, CAST(nt AS BIGINT) AS n_tokens,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+       round(CASE WHEN (n*syy - sy*sy) > 0
+                  THEN (n*sxy - sx*sy) * (n*sxy - sx*sy)
+                       / ((n*sxx - sx*sx) * (n*syy - sy*sy))
+                  ELSE 1.0 END, 6) AS zipf_r2
+FROM s
+""")
+def q166(spark, sf_dir):
+    """Zipf power-law fit of the token-frequency distribution
+    (least-squares ln(freq) on ln(rank)) — a corpus-quality signal;
+    identical five-sum formula on both sides, rounded to 6."""
+    from ultraviolet_spark.operators.stats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
