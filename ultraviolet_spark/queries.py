@@ -5210,6 +5210,35 @@ def q166(spark, sf_dir):
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+@q("q167_embedding_covariance", """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS x
+  FROM embeddings),
+i AS (SELECT vec_id, x, unnest(generate_series(1, len(x))) AS i FROM qv),
+pr AS (SELECT vec_id, x, i, unnest(generate_series(i, len(x))) AS j FROM i),
+v AS (SELECT i, j, x[i] * x[j] AS xy, x[i] AS xi, x[j] AS xj FROM pr),
+s AS (SELECT i, j, COUNT(*) AS n, SUM(xy) AS sxy, SUM(xi) AS sxi,
+             SUM(xj) AS sxj
+      FROM v GROUP BY i, j)
+SELECT CAST(i AS INTEGER) AS dim_i, CAST(j AS INTEGER) AS dim_j,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sxi * sxj AS BIGINT) AS cov_num
+FROM s
+""")
+def q167(spark, sf_dir):
+    """Exact distributed embedding covariance (the PCA/whitening input):
+    per-partition d×d Gram partials via one numpy matmul per Arrow
+    batch, merged by a (dim_i, dim_j) groupBy — the shuffle moves P·d²
+    tiny rows, never n·d².  Fixed-point milli-units with explicit
+    half-up (q57 policy) make the numerator n·Σxy − Σx·Σy bit-exact;
+    the oracle is the explode-join formulation this operator avoids."""
+    from ultraviolet_spark.operators.pca import embedding_covariance_exact
+
+    return embedding_covariance_exact(_t(spark, sf_dir, "embeddings"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
