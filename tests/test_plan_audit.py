@@ -35,6 +35,7 @@ CROSS_OK = {
     "q93_pmi_pairs",  # 1-row broadcast corpus-size frame
     "q145_crawl_budget",  # 1-row broadcast Σweights frame (Hamilton N)
     "q152_stupid_backoff_lm",  # 1-row broadcast unigram-total N frame
+    "q169_target_encode_loo",  # 1-row broadcast global-prior frame
 }
 
 

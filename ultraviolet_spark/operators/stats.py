@@ -124,3 +124,38 @@ def zipf_fit(docs: DataFrame, *, text_col: str = "text",
         F.round(num / dx, 6).alias("zipf_slope"),
         F.round(F.when(dy > 0, num * num / (dx * dy))
                  .otherwise(F.lit(1.0)), 6).alias("zipf_r2"))
+
+
+def mad_outliers(df: DataFrame, *, value_col: str, by: str,
+                 k: float = 3.0) -> DataFrame:
+    """Robust per-group outlier accounting via median absolute
+    deviation: ``(group, n, med, mad, n_outliers)`` where an outlier is
+    ``|x − med| > k·mad`` (no normal-consistency constant — k is the
+    caller's knob).  Median/MAD use EXACT linear-interpolated
+    percentiles, which both engines define identically.
+
+    The threshold compares against the ROUNDED med/mad (6 places) on
+    both sides, so the oracle's count can never flip on a last-ULP
+    difference in the interpolation — the q79 lesson.
+
+    Scale notes: exact percentiles need the group's values on one
+    reducer (Spark's percentile is a typed-imperative aggregate) — the
+    right call while groups fit a task (10^7 rows/group is fine); beyond
+    that swap in approx_percentile with documented error, same shape.
+    Two aggregations over the same ``by`` hash exchange (med first, MAD
+    of residuals second) + a broadcast join back.
+    """
+    v = F.col(value_col).cast("double")
+    med = (df.groupBy(by)
+           .agg(F.round(F.percentile(v, F.lit(0.5)), 6).alias("med")))
+    j = df.join(F.broadcast(med), by)
+    res = F.abs(F.col(value_col).cast("double") - F.col("med"))
+    out = (j.groupBy(by, "med")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.round(F.percentile(res, F.lit(0.5)), 6).alias("mad")))
+    j2 = df.join(F.broadcast(out), by)
+    flag = (F.abs(F.col(value_col).cast("double") - F.col("med"))
+            > F.lit(float(k)) * F.col("mad")).cast("long")
+    return (j2.groupBy(by, "n", "med", "mad")
+            .agg(F.sum(flag).alias("n_outliers"))
+            .select(F.col(by), "n", "med", "mad", "n_outliers"))

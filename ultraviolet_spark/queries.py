@@ -5239,6 +5239,57 @@ def q167(spark, sf_dir):
     return embedding_covariance_exact(_t(spark, sf_dir, "embeddings"))
 
 
+@q("q168_mad_outliers", """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type),
+m2 AS (
+  SELECT e.event_type, med, COUNT(*) AS n,
+         round(quantile_cont(abs(e.value - med), 0.5), 6) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med)
+SELECT e.event_type, CAST(m2.n AS BIGINT) AS n, m2.med, m2.mad,
+       CAST(SUM(CASE WHEN abs(e.value - m2.med) > 3.0 * m2.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN m2 USING (event_type)
+GROUP BY e.event_type, m2.n, m2.med, m2.mad
+""")
+def q168(spark, sf_dir):
+    """Robust per-group outlier accounting (median + MAD, exact
+    interpolated percentiles; threshold compares against ROUNDED
+    med/mad on both sides so a last-ULP interpolation difference can
+    never flip the count — the q79 lesson)."""
+    from ultraviolet_spark.operators.stats import mad_outliers
+
+    return mad_outliers(_t(spark, sf_dir, "events"),
+                        value_col="value", by="event_type", k=3.0)
+
+
+@q("q169_target_encode_loo", """
+WITH qv AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+  FROM events),
+c AS (SELECT event_type, SUM(q) AS s, COUNT(*) AS n
+      FROM qv GROUP BY event_type),
+g AS (SELECT SUM(q) AS sg, COUNT(*) AS nn FROM qv)
+SELECT qv.event_id, qv.event_type,
+       round(CAST((c.s - qv.q) * g.nn + 10 * g.sg AS DOUBLE)
+             / CAST(g.nn * (c.n - 1 + 10) AS DOUBLE), 6) AS te
+FROM qv JOIN c USING (event_type), g
+""")
+def q169(spark, sf_dir):
+    """Leakage-safe leave-one-out target encoding with additive
+    smoothing: micro-unit int64 sums and a multiplied-through rational
+    prior make both engines divide the SAME two exact integers —
+    round(6) is cosmetic, not load-bearing."""
+    from ultraviolet_spark.operators.encoding import target_encode_loo
+
+    return target_encode_loo(_t(spark, sf_dir, "events"),
+                             cat_col="event_type", label_col="value",
+                             id_col="event_id", m=10)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
