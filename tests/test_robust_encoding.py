@@ -47,12 +47,11 @@ def test_target_encode_loo_reference(spark):
     for i, c, _ in data:
         s = sum(q[j] for j, cc, _ in data if cc == c)
         n = sum(1 for _, cc, _ in data if cc == c)
-        te = round(((s - q[i]) * nn + m * sg) / (nn * (n - 1 + m)), 6)
-        assert math.isclose(got[i], te, abs_tol=1e-9), i
-    # singleton category: pure smoothed prior
-    prior = sg / nn / unit
-    assert math.isclose(got[4], round(m * sg / (nn * m), 6) / 1, abs_tol=2)
-    assert abs(got[4] / unit - prior) < 1  # sanity: near the prior
+        te = ((s - q[i]) * nn + m * sg) / (nn * (n - 1 + m) * unit)
+        assert got[i] == te, i  # bit-exact: same ints, same IEEE divide
+    # singleton category: exactly the global prior (own label excluded,
+    # smoothing denominator m cancels)
+    assert got[4] == (m * sg) / (nn * m * unit)
 
 
 def test_target_encode_no_self_leak(spark):

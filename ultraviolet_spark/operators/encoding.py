@@ -14,7 +14,10 @@ kept RATIONAL by multiplying through —
     te_i = ((S_cat − x_i)·N + m·S_g) / (N·(n_cat − 1 + m))
 
 — so both engines divide the SAME two exact integers and the resulting
-double is bit-identical; round(6) is cosmetic, not load-bearing.
+double is bit-identical.  No round() is applied: decimal rounding of
+doubles is itself engine-divergent at large magnitudes (found at
+sf0.01: Spark's BigDecimal half-up vs DuckDB's multiply-trick differ in
+the last printed digit), while the raw IEEE quotient cannot diverge.
 
 Scale notes: one partial-agg groupBy on the category (tiny result,
 broadcast back), one 1-row global-totals frame (broadcast cross join —
@@ -44,7 +47,12 @@ def target_encode_loo(df: DataFrame, *, cat_col: str, label_col: str,
          .crossJoin(F.broadcast(totals)))
     num = ((F.col("__s") - F.col("__q")) * F.col("__nn")
            + F.lit(int(m)) * F.col("__sg"))
-    den = F.col("__nn") * (F.col("__n") - 1 + F.lit(int(m)))
+    den = (F.col("__nn") * (F.col("__n") - 1 + F.lit(int(m)))
+           * F.lit(int(unit)))
+    # NO round(): engines disagree on decimal rounding of doubles at
+    # 8-integer-digit magnitudes (BigDecimal half-up vs multiply-trick),
+    # but both convert the SAME two int64s and perform the SAME IEEE
+    # division — the raw double is bit-identical cross-engine.
     return j.select(
         F.col(id_col), F.col(cat_col),
-        F.round(num.cast("double") / den.cast("double"), 6).alias("te"))
+        (num.cast("double") / den.cast("double")).alias("te"))

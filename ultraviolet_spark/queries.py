@@ -5274,8 +5274,8 @@ c AS (SELECT event_type, SUM(q) AS s, COUNT(*) AS n
       FROM qv GROUP BY event_type),
 g AS (SELECT SUM(q) AS sg, COUNT(*) AS nn FROM qv)
 SELECT qv.event_id, qv.event_type,
-       round(CAST((c.s - qv.q) * g.nn + 10 * g.sg AS DOUBLE)
-             / CAST(g.nn * (c.n - 1 + 10) AS DOUBLE), 6) AS te
+       CAST((c.s - qv.q) * g.nn + 10 * g.sg AS DOUBLE)
+         / CAST(g.nn * (c.n - 1 + 10) * 1000000 AS DOUBLE) AS te
 FROM qv JOIN c USING (event_type), g
 """)
 def q169(spark, sf_dir):
