@@ -128,3 +128,50 @@ def incremental_agg(prev: DataFrame | None, delta: DataFrame, *,
     return u.groupBy(*keys).agg(
         F.sum(count_col).cast("long").alias(count_col),
         *[F.sum(out).alias(out) for out in sums])
+
+
+def resample_grid(df: DataFrame, *, by: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  every_hours: int = 6) -> DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward:
+    per entity, generate a fixed ``every_hours`` timestamp grid spanning
+    [date_trunc('hour', min ts), max ts] and as-of backfill the latest
+    observation ≤ each grid point — the step that turns an irregular
+    event log into the fixed-frequency matrix a sequence model trains
+    on, with zero temporal leakage (backward as-of only).
+
+    Returns ``(by, grid_ts, last_value, gap_us)`` where ``gap_us`` is
+    the staleness of the carried observation in exact integer
+    microseconds (NULL before the first observation, as is
+    ``last_value`` — grids start at the hour-truncated minimum).
+
+    Ties on (entity, ts) are pre-collapsed to max(value) so the as-of
+    pick is deterministic on both engines.
+
+    Scale notes: the span agg, the grid explode and the as-of all hash
+    on ``by`` — the single-exchange-per-side regime of every PIT op
+    here (operators/asof.py).  Grid cardinality is entities × span/step,
+    independent of event count.
+    """
+    from ultraviolet_spark.operators.asof import asof_join
+
+    obs = (df.groupBy(by, ts_col)
+           .agg(F.max(F.col(value_col).cast("double")).alias("__v"))
+           .withColumn("__obs_ts", F.col(ts_col)))  # value_cols must
+    # not contain right_on itself — carry the obs ts under its own name
+    spans = df.groupBy(by).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("__t0"),
+        F.max(ts_col).alias("__t1"))
+    grid = spans.select(
+        F.col(by),
+        F.explode(F.sequence(
+            "__t0", "__t1",
+            F.expr(f"interval {int(every_hours)} hours"))).alias("grid_ts"))
+    j = asof_join(grid, obs, on="grid_ts", right_on=ts_col, by=by,
+                  value_cols=["__v", "__obs_ts"], direction="backward")
+    return j.select(
+        F.col(by), "grid_ts", F.col("__v").alias("last_value"),
+        (F.unix_micros(F.col("grid_ts").cast("timestamp"))
+         - F.unix_micros(F.col("__obs_ts").cast("timestamp")))
+        .cast("long").alias("gap_us"))  # NTZ→TS is identity under the
+        # session's pinned UTC (session.py), so the epoch diff is exact

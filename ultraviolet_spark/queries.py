@@ -5290,6 +5290,34 @@ def q169(spark, sf_dir):
                              id_col="event_id", m=10)
 
 
+@q("q170_resample_grid_locf", """
+WITH obs AS (
+  SELECT user_id, ts, MAX(value) AS v FROM events GROUP BY user_id, ts),
+spans AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+  FROM events GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR))
+    AS grid_ts
+  FROM spans)
+SELECT g.user_id, g.grid_ts, o.v AS last_value,
+       CAST(epoch_us(g.grid_ts) - epoch_us(o.ts) AS BIGINT) AS gap_us
+FROM grid g
+ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.grid_ts >= o.ts
+""")
+def q170(spark, sf_dir):
+    """Regular-grid resampling with LOCF backfill: per-user 6-hour
+    timestamp grid as-of-joined to the event log (backward only — zero
+    temporal leakage), staleness in exact integer microseconds.  The
+    oracle is DuckDB's native ASOF JOIN against a generate_series grid
+    — an independent implementation of the same semantics."""
+    from ultraviolet_spark.operators.history import resample_grid
+
+    return resample_grid(_t(spark, sf_dir, "events"), by="user_id",
+                         ts_col="ts", value_col="value", every_hours=6)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
