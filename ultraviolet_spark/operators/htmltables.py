@@ -1,0 +1,52 @@
+"""Structured-data extraction from HTML tables — the web-table mining
+step (WebTables / WDC corpus style): every ``<table>`` becomes
+``(doc_id, table_idx, row_idx, col_idx, cell)`` rows with tags stripped
+and the five core entities decoded.
+
+Pure Catalyst: three chained ``regexp_extract_all`` + ``posexplode``
+stages (table → tr → td/th), then tag-strip + entity decode as nested
+``replace``.  DOTALL patterns, non-greedy bodies; NESTED tables are out
+of scope (the inner table's markup appears inside the outer cell's raw
+text — documented, and the q171 fixture synthesizes flat tables, which
+is what machine-generated web tables overwhelmingly are).  Entity order
+matters: ``&lt;/&gt;/&quot;/&#39;`` decode BEFORE ``&amp;`` so
+double-escaped text (``&amp;lt;``) decodes one level exactly, matching
+the kernel's sequential decoder semantics.
+
+Scale notes: per-row scan-stage work, zero shuffles; the explode chain
+multiplies rows by actual cell count only (no quadratic blowup — each
+stage's regex consumes its slice of the document once).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_TABLE = r"(?s)<table[^>]*>(.*?)</table>"
+_TR = r"(?s)<tr[^>]*>(.*?)</tr>"
+_CELL = r"(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+
+
+def _decode_cell(c: Column) -> Column:
+    c = F.regexp_replace(c, r"<[^>]*>", "")  # strip residual tags
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):  # &amp; LAST
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def html_tables(df: DataFrame, *, html_col: str = "html",
+                id_col: str = "doc_id") -> DataFrame:
+    """Explode every table cell of every document (see module
+    docstring).  Indices are 0-based in document order."""
+    t = (df.select(F.col(id_col).alias("doc_id"),
+                   F.posexplode(F.regexp_extract_all(
+                       F.col(html_col).cast("string"), F.lit(_TABLE),
+                       F.lit(1))).alias("table_idx", "__t")))
+    r = t.select("doc_id", "table_idx",
+                 F.posexplode(F.regexp_extract_all(
+                     "__t", F.lit(_TR), F.lit(1))).alias("row_idx", "__r"))
+    c = r.select("doc_id", "table_idx", "row_idx",
+                 F.posexplode(F.regexp_extract_all(
+                     "__r", F.lit(_CELL), F.lit(1))).alias("col_idx", "__c"))
+    return c.select("doc_id", "table_idx", "row_idx", "col_idx",
+                    _decode_cell(F.col("__c")).alias("cell"))

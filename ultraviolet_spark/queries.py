@@ -5318,6 +5318,48 @@ def q170(spark, sf_dir):
                          ts_col="ts", value_col="value", every_hours=6)
 
 
+@q("q171_html_table_extract", """
+SELECT o_orderkey AS doc_id, CAST(0 AS INTEGER) AS table_idx,
+       CAST(0 AS INTEGER) AS row_idx, CAST(0 AS INTEGER) AS col_idx,
+       'key' AS cell FROM orders
+UNION ALL
+SELECT o_orderkey, 0, 0, 1, 'status & "priority"' FROM orders
+UNION ALL
+SELECT o_orderkey, 0, 1, 0, CAST(o_orderkey AS VARCHAR) FROM orders
+UNION ALL
+SELECT o_orderkey, 0, 1, 1,
+       o_orderstatus || ' <' || o_orderpriority || '>' FROM orders
+UNION ALL
+SELECT o_orderkey, 1, 0, 0,
+       CAST(o_custkey AS VARCHAR) || ' &amp; done' FROM orders
+""")
+def q171(spark, sf_dir):
+    """Web-table mining: synthesize two flat HTML tables per order
+    (attribute-rich tags, a stray <tr>/<td> OUTSIDE any table that must
+    NOT match, bold markup inside cells, entities incl. a double-escape
+    that must decode exactly one level), extract every cell with the
+    pure-Catalyst table→tr→cell explode chain, decode entities.  The
+    oracle lists the expected cells analytically from the source
+    columns and never parses markup."""
+    from ultraviolet_spark.operators.htmltables import html_tables
+
+    o = _t(spark, sf_dir, "orders")
+    html = F.concat(
+        F.lit('<html><body><p>stray <tr><td>ignore</td></tr></p>'
+              '<table class="a"><tr class="h"><th>key</th>'
+              '<th>status &amp; &quot;priority&quot;</th></tr>'
+              "<tr><td id='k'>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</td><td><b>"), F.col("o_orderstatus"),
+        F.lit("</b> &lt;"), F.col("o_orderpriority"),
+        F.lit("&gt;</td></tr></table><table><tr><td>"),
+        F.col("o_custkey").cast("string"),
+        F.lit(" &amp;amp; done</td></tr></table></body></html>"))
+    pages = o.select(F.col("o_orderkey").alias("doc_id"),
+                     html.alias("html"))
+    return html_tables(pages)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
