@@ -177,3 +177,61 @@ def resolve_redirects(edges: DataFrame, *, src: str = "src",
                    F.when(F.col("resolved"), F.col("hops")).alias("hops"),
                    "resolved"))
     return out
+
+
+def triangle_counts(edges: DataFrame, *, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts via degree-ordered orientation
+    (the classic distributed formulation — Suri & Vassilvitskii 2011
+    "Counting Triangles and the Curse of the Last Reducer").
+
+    The input edge list is canonicalized to an undirected simple graph
+    (self-loops dropped, both directions collapsed).  Each edge is then
+    oriented from the lower to the higher endpoint under the total
+    order ``(degree, node)``; every triangle has exactly one node with
+    two out-edges in this orientation, and the closing edge always
+    points low→high — so
+
+        wedges  = E(u,v) ⋈ E(u,w)  with o(v) < o(w)
+        closed  = wedges ⋉ E(v,w)
+
+    counts each triangle exactly ONCE, with plain equi-joins.  The
+    orientation is what kills the curse-of-the-last-reducer: a hub of
+    degree D contributes O(D²) wedges un-oriented, but oriented only
+    pairs of its *higher-ordered* neighbors — total wedge count is
+    bounded by m^{3/2} regardless of skew.
+
+    Returns ``(node, n_triangles)`` for every node of the graph
+    (0 for triangle-free nodes).
+    """
+    und = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    j = und.join(da, "a").join(db, "b")
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ori = j.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
+    e1 = ori.select(F.col("u"), F.col("v"), F.col("dv").alias("d1"))
+    e2 = ori.select(F.col("u"), F.col("v").alias("w"),
+                    F.col("dv").alias("d2"))
+    wedges = (e1.join(e2, "u")
+              .filter((F.col("d1") < F.col("d2")) |
+                      ((F.col("d1") == F.col("d2")) &
+                       (F.col("v") < F.col("w")))))
+    closing = ori.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+                .groupBy("node").agg(F.count("*").alias("n_triangles")))
+    return (deg.select("node").join(per_node, "node", "left")
+            .select("node",
+                    F.coalesce("n_triangles", F.lit(0)).cast("long")
+                    .alias("n_triangles")))

@@ -5360,6 +5360,56 @@ def q171(spark, sf_dir):
     return html_tables(pages)
 
 
+@q("q172_triangle_counts", """
+WITH e0 AS (
+  SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+  FROM documents
+  UNION
+  SELECT doc_id % 101, (doc_id * 13 + 5) % 101 FROM documents),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node),
+j AS (SELECT a, b, da.d AS da, db.d AS db
+      FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+ori AS (
+  SELECT CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS v,
+         CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END AS dv
+  FROM j),
+wg AS (
+  SELECT e1.u, e1.v, e2.v AS vw FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+  WHERE (e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v)),
+tri AS (SELECT wg.u, wg.v, wg.vw FROM wg
+        JOIN ori c ON c.u = wg.v AND c.v = wg.vw),
+pn AS (
+  SELECT node, COUNT(*) AS n FROM (
+    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+    UNION ALL SELECT vw FROM tri)
+  GROUP BY node)
+SELECT deg.node, CAST(COALESCE(pn.n, 0) AS BIGINT) AS n_triangles
+FROM deg LEFT JOIN pn ON pn.node = deg.node
+""")
+def q172(spark, sf_dir):
+    """Exact per-node triangle counting over the synthetic domain link
+    graph (same edge synthesis as q133) via degree-ordered orientation
+    — each triangle counted exactly once with plain equi-joins, wedge
+    count bounded m^1.5 regardless of hub skew (Suri–Vassilvitskii)."""
+    from ultraviolet_spark.operators.graph import triangle_counts
+
+    d = _t(spark, sf_dir, "documents")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+         .unionAll(d.select((F.col("doc_id") % 101).alias("src"),
+                            ((F.col("doc_id") * 13 + 5) % 101)
+                            .alias("dst")))
+         .distinct())
+    return triangle_counts(e)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
