@@ -5410,6 +5410,50 @@ def q172(spark, sf_dir):
     return triangle_counts(e)
 
 
+@q("q173_sitemap_parse", """
+SELECT o_custkey AS doc_id,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+            - 1 AS INTEGER) AS entry_idx,
+       'https://ex.com/o/' || o_orderkey AS loc,
+       CASE WHEN o_orderstatus = 'P' THEN NULL
+            ELSE strftime(o_orderdate, '%Y-%m-%d') END AS lastmod,
+       CAST(NULL AS VARCHAR) AS changefreq,
+       CASE WHEN o_orderstatus = 'F' THEN '0.9' ELSE '0.5' END AS priority
+FROM orders
+""")
+def q173(spark, sf_dir):
+    """Sitemap XML parsing: synthesize one sitemaps.org <urlset> per
+    customer (entries sorted by order key; 'P' orders omit <lastmod>
+    to exercise the optional-tag NULL path, whitespace padding around
+    values exercises trimming), parse every <url> block back out.  The
+    oracle lists the expected entries analytically from orders and
+    never sees XML."""
+    from ultraviolet_spark.operators.sitemap import parse_sitemap
+
+    o = _t(spark, sf_dir, "orders")
+    entry = F.concat(
+        F.lit("<url>\n  <loc> https://ex.com/o/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(" </loc>"),
+        F.when(F.col("o_orderstatus") == "P", F.lit(""))
+         .otherwise(F.concat(F.lit("<lastmod>"),
+                             F.date_format("o_orderdate", "yyyy-MM-dd"),
+                             F.lit("</lastmod>"))),
+        F.lit("<priority>"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("0.9"))
+         .otherwise(F.lit("0.5")),
+        F.lit("</priority></url>"))
+    xml = (o.select("o_custkey", F.struct("o_orderkey", entry.alias("e"))
+                    .alias("s"))
+           .groupBy("o_custkey")
+           .agg(F.concat(
+               F.lit('<?xml version="1.0"?><urlset>'),
+               F.concat_ws("\n", F.transform(
+                   F.sort_array(F.collect_list("s")), lambda s: s["e"])),
+               F.lit("</urlset>")).alias("xml")))
+    return parse_sitemap(xml, xml_col="xml", id_col="o_custkey")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
