@@ -68,3 +68,45 @@ def phrase_hits(postings: DataFrame, phrase: list[str]) -> DataFrame:
                                          F.col("p0") + i))
                 .drop("__d", f"__ps{i}"))
     return hits.select("doc_id").distinct()
+
+
+def postings_compression_stats(postings: DataFrame) -> DataFrame:
+    """Storage accounting for delta+varint posting-list compression —
+    the sizing pre-pass an index builder runs before choosing codecs:
+    per token, the doc-id list is delta-encoded against its sorted
+    predecessor (gap 1 for runs of adjacent ids) and each gap costs
+    ``ceil(bits(gap)/7)`` LEB128 bytes.
+
+    Returns ``(token, n_docs, raw_bytes, varint_bytes)`` with
+    ``raw_bytes = 8·n_docs`` (uncompressed int64 ids).  All integer —
+    exact cross-engine.
+
+    Plan: one lag window per token partition (token-hash exchange, the
+    same key the dictionary rollup shuffles on) + a partial-agg
+    groupBy.  Gaps are positive because (token, doc) rows are unique by
+    construction in :func:`build_postings`.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("token").orderBy("doc_id")
+    d = postings.select(
+        "token",
+        (F.col("doc_id") - F.lag("doc_id").over(w)).alias("__gap"),
+        F.col("doc_id").alias("__id"))
+    # first posting stores the absolute id; gap NULL → encode the id
+    gap = F.coalesce(F.col("__gap"), F.col("__id") + 1)  # +1: ids are
+    # 0-based and LEB128 of 0 still costs one byte — treat the absolute
+    # value like a gap from the sentinel -1
+    nbytes = (F.when(gap < F.lit(1 << 7), 1)
+              .when(gap < F.lit(1 << 14), 2)
+              .when(gap < F.lit(1 << 21), 3)
+              .when(gap < F.lit(1 << 28), 4)
+              .when(gap < F.lit(1 << 35), 5)
+              .when(gap < F.lit(1 << 42), 6)
+              .when(gap < F.lit(1 << 49), 7)
+              .when(gap < F.lit(1 << 56), 8)
+              .otherwise(9)).cast("long")
+    return (d.groupBy("token")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 (F.count("*") * 8).cast("long").alias("raw_bytes"),
+                 F.sum(nbytes).alias("varint_bytes")))

@@ -5454,6 +5454,42 @@ def q173(spark, sf_dir):
     return parse_sitemap(xml, xml_col="xml", id_col="o_custkey")
 
 
+@q("q174_postings_varint_stats", """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0),
+p AS (SELECT DISTINCT token, doc_id FROM tk),
+d AS (SELECT token, doc_id,
+             doc_id - lag(doc_id) OVER (PARTITION BY token
+                                        ORDER BY doc_id) AS gap
+      FROM p),
+g AS (SELECT token, COALESCE(gap, doc_id + 1) AS gap FROM d),
+b AS (SELECT token,
+             CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                  WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+                  WHEN gap < 34359738368 THEN 5
+                  WHEN gap < 4398046511104 THEN 6
+                  WHEN gap < 562949953421312 THEN 7
+                  WHEN gap < 72057594037927936 THEN 8
+                  ELSE 9 END AS nb
+      FROM g)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes,
+       CAST(SUM(nb) AS BIGINT) AS varint_bytes
+FROM b GROUP BY token
+""")
+def q174(spark, sf_dir):
+    """Delta+LEB128 posting-list storage accounting (codec sizing
+    pre-pass): per-token doc-id gaps, varint byte cost per gap, all
+    integer — exact cross-engine."""
+    from ultraviolet_spark.operators.index import (
+        build_postings, postings_compression_stats)
+
+    return postings_compression_stats(
+        build_postings(_t(spark, sf_dir, "documents")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
