@@ -36,6 +36,7 @@ CROSS_OK = {
     "q145_crawl_budget",  # 1-row broadcast Σweights frame (Hamilton N)
     "q152_stupid_backoff_lm",  # 1-row broadcast unigram-total N frame
     "q169_target_encode_loo",  # 1-row broadcast global-prior frame
+    "q175_psi_drift",  # 1-row broadcast decile-boundary + totals frames
 }
 
 

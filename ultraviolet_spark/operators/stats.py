@@ -159,3 +159,56 @@ def mad_outliers(df: DataFrame, *, value_col: str, by: str,
     return (j2.groupBy(by, "n", "med", "mad")
             .agg(F.sum(flag).alias("n_outliers"))
             .select(F.col(by), "n", "med", "mad", "n_outliers"))
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, *, value_col: str,
+              bins: int = 10) -> DataFrame:
+    """Population Stability Index per decile bin — the standard
+    feature-drift monitor between a reference window (training-time
+    distribution) and a current window.  Bins are the reference's exact
+    interpolated quantiles (boundaries rounded to 6, the q168 policy);
+    counts are +1-smoothed so empty current-side bins stay finite.
+
+    Returns one row per bin: ``(bin_idx, ref_n, cur_n, psi_term)``
+    where ``psi_term = (p−q)·ln(p/q)`` with the smoothed proportions.
+    Per-bin terms round to 12 places: the integer-derived arithmetic is
+    bit-identical cross-engine, but ln() is a transcendental whose last
+    ULP differs between the JVM and libm (found at sf0.01) — and with
+    |term| ≤ 1e-1 a 1e-12 grid sits ~6 orders above double ULP, so the
+    rounding itself cannot tie-flip (unlike round(6) at 1e8 magnitude,
+    the q169 lesson).  No cross-row float sum — callers sum the terms
+    client-side for the headline PSI.
+
+    Scale notes: the boundary frame is one 1-row aggregate broadcast-
+    cross-joined to both sides (whitelisted scalar-propagation shape);
+    binning is a scan-stage array fold; each side contributes one
+    partial-agg groupBy.
+    """
+    fracs = [i / bins for i in range(1, bins)]
+    b = ref.agg(F.transform(
+        F.percentile(F.col(value_col).cast("double"),
+                     F.array(*[F.lit(f) for f in fracs])),
+        lambda x: F.round(x, 6)).alias("__b"))
+
+    def binned(df: DataFrame) -> DataFrame:
+        x = F.col(value_col).cast("double")
+        idx = F.aggregate(
+            F.col("__b"), F.lit(1),
+            lambda acc, bd: acc + (x > bd).cast("int"))
+        return (df.crossJoin(F.broadcast(b))
+                .select(idx.alias("bin_idx"))
+                .groupBy("bin_idx").agg(F.count("*").alias("n")))
+
+    r = binned(ref).withColumnRenamed("n", "ref_n")
+    c = binned(cur).withColumnRenamed("n", "cur_n")
+    tot = (r.agg(F.sum("ref_n").alias("rt"))
+           .crossJoin(c.agg(F.sum("cur_n").alias("ct"))))
+    j = (r.join(c, "bin_idx", "left")
+         .withColumn("cur_n", F.coalesce("cur_n", F.lit(0)))
+         .crossJoin(F.broadcast(tot)))
+    p = (F.col("ref_n") + 1).cast("double") / (F.col("rt") + bins)
+    qq = (F.col("cur_n") + 1).cast("double") / (F.col("ct") + bins)
+    return j.select(
+        "bin_idx", F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        F.round((p - qq) * F.log(p / qq), 12).alias("psi_term"))
