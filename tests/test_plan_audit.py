@@ -37,6 +37,7 @@ CROSS_OK = {
     "q152_stupid_backoff_lm",  # 1-row broadcast unigram-total N frame
     "q169_target_encode_loo",  # 1-row broadcast global-prior frame
     "q175_psi_drift",  # 1-row broadcast decile-boundary + totals frames
+    "q176_cohens_kappa",  # 1-row broadcast pe-numerator frame
 }
 
 

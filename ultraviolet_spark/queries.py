@@ -5535,6 +5535,86 @@ def q175(spark, sf_dir):
                      value_col="value", bins=10)
 
 
+def _kappa_sql() -> str:
+    """q176 oracle: Cohen's kappa between gold lang and the q22
+    stopword-argmax prediction, all-integer sufficient statistics."""
+    score = {l: f"len(list_intersect(string_split_regex(lower(trim(text)), "
+                f"'\\s+'), {X.STOPWORDS[l]!r}))"
+             for l in X.LANGS}
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    case = " ".join(f"WHEN {score[l]} = __best THEN '{l}'" for l in X.LANGS)
+    return f"""
+WITH scored AS (
+  SELECT lang AS a,
+         CASE WHEN __best > 0 THEN (CASE {case} ELSE 'und' END)
+              ELSE 'und' END AS b
+  FROM (SELECT lang, text, {best} AS __best FROM documents)),
+cells AS (SELECT a, b, COUNT(*) AS c FROM scored GROUP BY a, b),
+ra AS (SELECT a, SUM(c) AS ra FROM cells GROUP BY a),
+cbt AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY b),
+pe AS (SELECT COALESCE(SUM(ra.ra * cbt.cb), 0) AS pe
+       FROM ra JOIN cbt ON cbt.b = ra.a),
+agg AS (SELECT SUM(c) AS n,
+               COALESCE(SUM(CASE WHEN a = b THEN c END), 0) AS na
+        FROM cells)
+SELECT CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS n_agree,
+       CAST(n * na - pe AS BIGINT) AS kappa_num,
+       CAST(n * n - pe AS BIGINT) AS kappa_den,
+       CASE WHEN n * n - pe <> 0
+            THEN CAST(n * na - pe AS DOUBLE) / CAST(n * n - pe AS DOUBLE)
+       END AS kappa
+FROM agg, pe
+"""
+
+
+@q("q176_cohens_kappa", _kappa_sql())
+def q176(spark, sf_dir):
+    """Chance-corrected agreement (Cohen's kappa) between the gold lang
+    column and the stopword-argmax prediction — exact integer
+    sufficient statistics, one IEEE division (q169 discipline)."""
+    from ultraviolet_spark.operators.evalmetrics import cohens_kappa
+
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("pred_lang", X.predict_lang(F.col("text"))))
+    return cohens_kappa(d, col_a="lang", col_b="pred_lang")
+
+
+@q("q177_roc_auc", """
+WITH s AS (
+  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS sc,
+         CASE WHEN label = 1 THEN 1 ELSE 0 END AS p
+  FROM embeddings),
+g AS (SELECT sc, COUNT(*) AS n, SUM(p) AS np FROM s GROUP BY sc),
+wq AS (SELECT np * (2 * COALESCE(SUM(n) OVER (ORDER BY sc
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1)
+         AS t, n, np
+       FROM g),
+a AS (SELECT SUM(t) AS r2, SUM(np) AS n_pos, SUM(n) - SUM(np) AS n_neg
+      FROM wq)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+       CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+       CASE WHEN n_pos * n_neg > 0
+            THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE)
+       END AS auc
+FROM a
+""")
+def q177(spark, sf_dir):
+    """Exact midrank Mann–Whitney ROC-AUC of the quantized first
+    embedding component against label==1 — tie groups aggregate first
+    (partial-agg shuffle), one cumulative window over the distinct-
+    score table, doubled rank sums keep everything integral."""
+    from ultraviolet_spark.operators.evalmetrics import roc_auc
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.floor(F.col("embedding").getItem(0).cast("double") * 1000000
+                + F.lit(0.5)).cast("long").alias("score"),
+        (F.col("label") == 1).cast("int").alias("is_pos"))
+    return roc_auc(e, score_col="score", label_col="is_pos")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
