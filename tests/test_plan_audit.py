@@ -38,6 +38,7 @@ CROSS_OK = {
     "q169_target_encode_loo",  # 1-row broadcast global-prior frame
     "q175_psi_drift",  # 1-row broadcast decile-boundary + totals frames
     "q176_cohens_kappa",  # 1-row broadcast pe-numerator frame
+    "q178_jaro_winkler",  # bounded-vocab pair generation (blocked at scale)
 }
 
 

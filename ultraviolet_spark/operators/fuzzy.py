@@ -69,3 +69,68 @@ def deletion_neighborhood_pairs(df: DataFrame, *, col: str,
     dist = F.levenshtein(f"{col}_a", f"{col}_b")
     return (cand.filter(dist <= max_dist)
             .withColumn("dist", dist.cast("int")))
+
+
+def _jaro_winkler_py(a: str, b: str) -> float:
+    """Reference Jaro–Winkler (standard definition: match window
+    max(|a|,|b|)//2 − 1, FLOORED half-transpositions, prefix boost up
+    to 4 chars, 0.1 scale, applied only when jaro > 0.7 — the exact
+    variant DuckDB's C++ implementation uses, pinned by 300-case
+    fuzzing in tests/test_jaro_winkler.py)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    win = max(max(la, lb) // 2 - 1, 0)
+    bm = [False] * lb
+    am = [False] * la
+    m = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - win), min(lb, i + win + 1)
+        for j in range(lo, hi):
+            if not bm[j] and b[j] == ca:
+                am[i] = bm[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    sa = [c for c, f in zip(a, am) if f]
+    sb = [c for c, f in zip(b, bm) if f]
+    # DuckDB/RapidFuzz FLOOR the half-transposition count (t = k//2,
+    # not k/2.0 — found by fuzzing: odd mismatch counts are possible
+    # because matched multisets permute, and the classic half-count
+    # then disagrees in the 2nd decimal)
+    t = sum(x != y for x, y in zip(sa, sb)) // 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro > 0.7:
+        l = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            l += 1
+        jaro += 0.1 * l * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler_pairs(df: DataFrame, *, col_a: str,
+                       col_b: str) -> DataFrame:
+    """Add a ``jw`` column (rounded 6) scoring each (a, b) pair —
+    record-linkage scoring over an already-BLOCKED candidate set (the
+    FastSS/LSH output), never all-pairs: JW is inherently a per-pair
+    character walk, so it runs as an Arrow-batched pandas UDF over
+    candidates only.  Validated against DuckDB's independent C++
+    implementation (q178) and round(6) absorbs last-ULP float-order
+    differences (magnitude ≤ 1, so the grid sits far above double ULP).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fn(a, b):
+        return pd.Series([_jaro_winkler_py(x or "", y or "")
+                          for x, y in zip(a, b)])
+
+    # module uses `from __future__ import annotations`, which turns
+    # hints into strings pandas_udf cannot infer — set real ones
+    _fn.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                           "return": pd.Series}
+    jw = pandas_udf(_fn, "double")
+    return df.withColumn("jw", F.round(jw(F.col(col_a), F.col(col_b)), 6))

@@ -5615,6 +5615,35 @@ def q177(spark, sf_dir):
     return roc_auc(e, score_col="score", label_col="is_pos")
 
 
+@q("q178_jaro_winkler", """
+WITH v AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+    AS word
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT a.word AS word_a, b.word AS word_b,
+       round(jaro_winkler_similarity(a.word, b.word), 6) AS jw
+FROM v a JOIN v b ON a.word < b.word
+WHERE a.word <> '' AND b.word <> ''
+""")
+def q178(spark, sf_dir):
+    """Jaro–Winkler record-linkage scoring over vocabulary pairs — our
+    pure-Python reference implementation (Arrow-batched over the pair
+    set; at web scale this runs on BLOCKED candidates, never all-pairs)
+    validated against DuckDB's independent C++ jaro_winkler_similarity,
+    incl. the 0.7 boost-threshold variant choice."""
+    from ultraviolet_spark.operators.fuzzy import jaro_winkler_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (d.filter(F.length(F.trim("text")) > 0)
+             .select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                       r"\s+")).alias("word"))
+             .filter(F.col("word") != "").distinct())
+    a = vocab.select(F.col("word").alias("word_a"))
+    b = vocab.select(F.col("word").alias("word_b"))
+    pairs = (a.join(b, F.col("word_a") < F.col("word_b")))
+    return jaro_winkler_pairs(pairs, col_a="word_a", col_b="word_b")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
