@@ -39,6 +39,7 @@ CROSS_OK = {
     "q175_psi_drift",  # 1-row broadcast decile-boundary + totals frames
     "q176_cohens_kappa",  # 1-row broadcast pe-numerator frame
     "q178_jaro_winkler",  # bounded-vocab pair generation (blocked at scale)
+    "q179_benford_audit",  # 1-row broadcast total-count frame
 }
 
 

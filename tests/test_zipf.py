@@ -40,3 +40,24 @@ def test_zipf_ignores_blank_docs(spark):
         [(0, "a a b"), (1, "   "), (2, "")], "doc_id long, text string")
     row = zipf_fit(df).collect()[0]
     assert row["n_vocab"] == 2 and row["n_tokens"] == 3
+
+
+def test_benford_reference(spark):
+    import math
+
+    from ultraviolet_spark.operators.stats import benford_digits
+
+    vals = [1.5, 19.0, 2.0, 0.0031, 923.0, 12.0, 0.0, -5.0, 88.8]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r["digit"]: r for r in
+            benford_digits(df, value_col="v").collect()}
+    assert len(rows) == 9
+    # leading digits of positives: 1,1,2,3,9,1,8 → n=7
+    expect_obs = {1: 3, 2: 1, 3: 1, 8: 1, 9: 1}
+    for d in range(1, 10):
+        assert rows[d]["n_obs"] == expect_obs.get(d, 0)
+        e = 7 * math.log10(1 + 1 / d)
+        assert math.isclose(rows[d]["expected"], round(e, 6), abs_tol=1e-9)
+        assert math.isclose(rows[d]["chi2_term"],
+                            round((rows[d]["n_obs"] - e) ** 2 / e, 6),
+                            abs_tol=1e-5)

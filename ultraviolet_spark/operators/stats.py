@@ -212,3 +212,40 @@ def psi_drift(ref: DataFrame, cur: DataFrame, *, value_col: str,
         "bin_idx", F.col("ref_n").cast("long").alias("ref_n"),
         F.col("cur_n").cast("long").alias("cur_n"),
         F.round((p - qq) * F.log(p / qq), 12).alias("psi_term"))
+
+
+def benford_digits(df: DataFrame, *, value_col: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit — the classic
+    fabricated-numbers / data-quality screen for positive measures
+    (prices, populations, counts): observed count per leading digit vs
+    the Benford expectation ``n·log10(1 + 1/d)``, with the per-digit
+    chi-square contribution.
+
+    Returns ``(digit, n_obs, expected, chi2_term)`` for d = 1..9
+    (digits with zero observations included).  Rounded to 6 — the
+    expectation is transcendental (log10), whose last ULP differs
+    across engines, and magnitudes here are modest so a 1e-6 grid is
+    safe (q175 reasoning).  Non-positive values are excluded.
+
+    One partial-agg groupBy on a 9-value key; the digit extraction is
+    scan-stage arithmetic (floor(x / 10^floor(log10 x))).
+    """
+    x = F.col(value_col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))) \
+        .cast("int")
+    obs = (df.filter(x > 0)
+           .select(digit.alias("digit"))
+           .groupBy("digit").agg(F.count("*").cast("long").alias("n_obs")))
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("int")
+                                       .alias("digit"))
+    tot = obs.agg(F.sum("n_obs").alias("__n"))
+    j = (digits.join(obs, "digit", "left")
+         .withColumn("n_obs", F.coalesce("n_obs", F.lit(0)))
+         .crossJoin(F.broadcast(tot)))
+    exp = F.col("__n") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return j.select(
+        "digit", F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(exp, 6).alias("expected"),
+        F.round(F.pow(F.col("n_obs") - exp, F.lit(2.0)) / exp, 6)
+        .alias("chi2_term"))

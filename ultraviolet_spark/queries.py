@@ -5644,6 +5644,32 @@ def q178(spark, sf_dir):
     return jaro_winkler_pairs(pairs, col_a="word_a", col_b="word_b")
 
 
+@q("q179_benford_audit", """
+WITH pos AS (SELECT o_totalprice AS x FROM orders WHERE o_totalprice > 0),
+d AS (SELECT CAST(floor(x / power(10, floor(log10(x)))) AS INT) AS digit
+      FROM pos),
+obs AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+digits AS (SELECT unnest(generate_series(1, 9)) AS digit),
+tot AS (SELECT SUM(n_obs) AS n FROM obs),
+j AS (SELECT digits.digit,
+             CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+             tot.n * log10(1.0 + 1.0 / digits.digit) AS exp
+      FROM digits LEFT JOIN obs USING (digit), tot)
+SELECT CAST(digit AS INTEGER) AS digit, n_obs, round(exp, 6) AS expected,
+       round((n_obs - exp) * (n_obs - exp) / exp, 6) AS chi2_term
+FROM j
+""")
+def q179(spark, sf_dir):
+    """Benford first-significant-digit audit of order prices (the
+    fabricated-numbers screen): per-digit observed vs n*log10(1+1/d)
+    expectation + chi-square contribution, rounded per the q175
+    transcendental policy."""
+    from ultraviolet_spark.operators.stats import benford_digits
+
+    return benford_digits(_t(spark, sf_dir, "orders"),
+                          value_col="o_totalprice")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
