@@ -5670,6 +5670,49 @@ def q179(spark, sf_dir):
                           value_col="o_totalprice")
 
 
+@q("q180_link_reciprocity", """
+WITH e AS (
+  SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+  FROM documents
+  UNION
+  SELECT doc_id % 101, (doc_id * 13 + 5) % 101 FROM documents),
+e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+r AS (SELECT a.src, COUNT(*) AS n_out,
+             SUM(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_reciprocal
+      FROM e2 a LEFT JOIN e2 b ON b.src = a.dst AND b.dst = a.src
+      GROUP BY a.src)
+SELECT src AS node, CAST(n_out AS BIGINT) AS n_out,
+       CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+       CAST(n_reciprocal AS DOUBLE) / n_out AS reciprocity
+FROM r
+""")
+def q180(spark, sf_dir):
+    """Per-node link reciprocity (link-farm / spam-ring signal: mutual
+    edges over out-degree — organic webs are heavily asymmetric, link
+    farms are not).  One self-equi-join on the reversed edge key; the
+    ratio is one IEEE division of exact counts (q169 discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+         .unionAll(d.select((F.col("doc_id") % 101).alias("src"),
+                            ((F.col("doc_id") * 13 + 5) % 101)
+                            .alias("dst")))
+         .distinct()
+         .filter(F.col("src") != F.col("dst")))
+    rev = e.select(F.col("src").alias("__rs"), F.col("dst").alias("__rd"))
+    j = e.join(rev, (F.col("__rs") == F.col("dst"))
+               & (F.col("__rd") == F.col("src")), "left")
+    agg = (j.groupBy("src")
+           .agg(F.count("*").cast("long").alias("n_out"),
+                F.sum(F.col("__rs").isNotNull().cast("int"))
+                .cast("long").alias("n_reciprocal")))
+    return agg.select(
+        F.col("src").alias("node"), "n_out", "n_reciprocal",
+        (F.col("n_reciprocal").cast("double")
+         / F.col("n_out").cast("double")).alias("reciprocity"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
