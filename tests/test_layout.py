@@ -192,3 +192,41 @@ def test_zorder_files_skip_on_both_dimensions(spark, tmp_path):
     back = spark.read.parquet(zdir)
     assert back.count() == 64 * 64
     assert back.select("x", "y").distinct().count() == 64 * 64
+
+
+def test_date_partitioned_pruning_and_dynamic_overwrite(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.plans.layout import (read_date_partitioned,
+                                                write_date_partitioned)
+
+    p = str(tmp_path / "dated")
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 3, 12, 0), float(i))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, warc_ts timestamp, v double")
+    write_date_partitioned(df, p)
+
+    back = read_date_partitioned(spark, p)
+    assert back.count() == 30
+    one_day = back.filter(F.col("crawl_date") == "2024-01-02")
+    plan = one_day._sc._jvm.PythonSQLUtils.explainString(
+        one_day._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "crawl_date" in plan.split(
+        "PartitionFilters")[1][:200]
+    # pruning is real: only day-2 files are touched
+    files = {r[0] for r in one_day.select(
+        F.input_file_name()).distinct().collect()}
+    assert files and all("crawl_date=2024-01-02" in f for f in files)
+
+    # dynamic overwrite replaces ONLY the day present in the frame
+    patch = spark.createDataFrame(
+        [(99, dt.datetime(2024, 1, 2, 1, 0), 999.0)],
+        "id long, warc_ts timestamp, v double")
+    write_date_partitioned(patch, p, mode="dynamic")
+    after = read_date_partitioned(spark, p)
+    assert after.filter(F.col("crawl_date") == "2024-01-02").count() == 1
+    assert after.filter(F.col("crawl_date") != "2024-01-02").count() == 20
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static") == "static"

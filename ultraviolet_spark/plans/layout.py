@@ -129,3 +129,42 @@ def write_zordered(df: DataFrame, path: str, *, cols: list,
        .repartitionByRange(num_files, zcol)
        .sortWithinPartitions(zcol)
        .write.mode("overwrite").parquet(path))
+
+
+def write_date_partitioned(df: DataFrame, path: str, *,
+                           ts_col: str = "warc_ts",
+                           part_col: str = "crawl_date",
+                           mode: str = "overwrite") -> None:
+    """Hive-style date-partitioned layout — the warehouse default for
+    time-series corpora: one directory per calendar day of ``ts_col``,
+    so every date-bounded scan prunes at PLANNING time (directory
+    listing, zero file reads for excluded days) and ingest appends land
+    in their own partitions.
+
+    ``mode='dynamic'`` enables idempotent backfill: only the partitions
+    PRESENT in ``df`` are replaced (``partitionOverwriteMode=dynamic``),
+    untouched days keep their files — re-running a day's pipeline never
+    clobbers the rest of the table.  The conf is restored afterwards so
+    session behavior doesn't leak (the q48 timezone lesson).
+    """
+    spark = df.sparkSession
+    out = df.withColumn(part_col, F.to_date(F.col(ts_col)))
+    if mode == "dynamic":
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            (out.write.mode("overwrite").partitionBy(part_col)
+             .parquet(path))
+        finally:
+            spark.conf.set(key, prev)
+    else:
+        out.write.mode(mode).partitionBy(part_col).parquet(path)
+
+
+def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a :func:`write_date_partitioned` layout; date filters
+    on the partition column prune directories at planning time
+    (assert via ``PartitionFilters`` in the formatted plan —
+    tests/test_layout.py)."""
+    return spark.read.parquet(path)
