@@ -5713,6 +5713,73 @@ def q180(spark, sf_dir):
          / F.col("n_out").cast("double")).alias("reciprocity"))
 
 
+@q("q181_orc_roundtrip", """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+""")
+def q181(spark, sf_dir):
+    """ORC source/sink conformance: write the events table as ORC, read
+    back with explicit schema — µs TIMESTAMP_NTZ, doubles, strings all
+    byte-exact.  Oracle recomputes from parquet, never reads ORC."""
+    import tempfile
+
+    from ultraviolet_spark.sources.textio import orc_roundtrip
+
+    return orc_roundtrip(
+        _t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"),
+        tempfile.mkdtemp(prefix="uv_q181_"))
+
+
+@q("q182_parquet_zstd_roundtrip", """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
+""")
+def q182(spark, sf_dir):
+    """Parquet zstd-codec conformance: rewrite orders under explicit
+    zstd compression and read back — lossless for every logical type.
+    Oracle reads the original parquet."""
+    import tempfile
+
+    from ultraviolet_spark.sources.textio import parquet_roundtrip
+
+    return parquet_roundtrip(_t(spark, sf_dir, "orders"),
+                             tempfile.mkdtemp(prefix="uv_q182_"),
+                             codec="zstd")
+
+
+@q("q183_window_breadth", """
+SELECT o_orderkey, o_custkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+         ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_cheapest,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""")
+def q183(spark, sf_dir):
+    """Window-function breadth conformance: percent_rank, cume_dist,
+    nth_value over an unbounded frame, and ntile — definitions agree
+    exactly across engines (deterministic order via the price+key
+    tiebreak)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice",
+                                                "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest"),
+        F.ntile(4).over(w).cast("int").alias("quartile"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB

@@ -71,3 +71,22 @@ def jsonl_roundtrip(df: DataFrame, path: str) -> DataFrame:
     for k, v in _JSON_OPTS.items():
         r = r.option(k, v)
     return r.json(path)
+
+
+def orc_roundtrip(df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as ORC (overwrite), read back with the same explicit
+    schema — the columnar-format sibling of the CSV/JSONL conformance
+    paths (ORC is Spark-native; the q181 oracle recomputes from parquet
+    and never touches the ORC files)."""
+    df.write.mode("overwrite").orc(path)
+    return df.sparkSession.read.schema(df.schema).orc(path)
+
+
+def parquet_roundtrip(df: DataFrame, path: str, *,
+                      codec: str = "zstd") -> DataFrame:
+    """Write ``df`` as parquet under an explicit compression codec and
+    read it back — proves the codec path (zstd/gzip/snappy) is lossless
+    for every logical type in the frame."""
+    (df.write.mode("overwrite").option("compression", codec)
+     .parquet(path))
+    return df.sparkSession.read.schema(df.schema).parquet(path)
