@@ -5780,6 +5780,60 @@ def q183(spark, sf_dir):
         F.ntile(4).over(w).cast("int").alias("quartile"))
 
 
+@q("q184_stream_stream_join", """
+SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+""")
+def q184(spark, sf_dir):
+    """Watermarked stream–stream interval join (attribution shape:
+    purchases within 1h after a click, same user) through an actual
+    two-source readStream → inner join → memory sink; watermarks bound
+    the state store on both sides.  Must equal the plain batch theta
+    join the oracle runs."""
+    import os
+    import tempfile
+    import uuid
+
+    from ultraviolet_spark.streaming.sessions import (
+        stream_stream_interval_join)
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="uv_q184_")
+    cdir, pdir = os.path.join(tmp, "c"), os.path.join(tmp, "p")
+    # withWatermark demands TIMESTAMP (not NTZ); the session is pinned
+    # UTC so the cast is an identity relabel
+    (ev.filter(F.col("event_type") == "click")
+     .select("user_id", F.col("ts").cast("timestamp").alias("click_ts"))
+     .coalesce(1).write.parquet(cdir))
+    (ev.filter(F.col("event_type") == "purchase")
+     .select(F.col("user_id").alias("p_user_id"),
+             F.col("ts").cast("timestamp").alias("purchase_ts"),
+             F.col("value").alias("purchase_value"))
+     .coalesce(1).write.parquet(pdir))
+    cs = (spark.readStream.schema(spark.read.parquet(cdir).schema)
+          .format("parquet").load(cdir))
+    ps = (spark.readStream.schema(spark.read.parquet(pdir).schema)
+          .format("parquet").load(pdir))
+    out = stream_stream_interval_join(
+        cs, ps, by="user_id", right_by="p_user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        max_delay="1 hour", watermark="2 hours")
+    name = f"uv_q184_{uuid.uuid4().hex[:8]}"
+    q_ = (out.select("user_id", "click_ts", "purchase_ts",
+                     "purchase_value")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+          .trigger(availableNow=True).start())
+    q_.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB

@@ -52,3 +52,31 @@ def streaming_session_counts(stream: DataFrame, *, by: str = "user_id",
         stream.withWatermark(order, watermark),
         by=by, order=order, gap_secs=gap_secs,
     )
+
+
+def stream_stream_interval_join(left, right, *, by: str = "user_id",
+                                right_by: str | None = None,
+                                left_ts: str = "l_ts",
+                                right_ts: str = "r_ts",
+                                max_delay: str = "1 hour",
+                                watermark: str = "2 hours"):
+    """Watermarked stream–stream INNER join with a time-interval
+    condition (the attribution-join shape: every right event within
+    ``max_delay`` AFTER its left event, same key).  Both sides carry a
+    watermark so Spark can bound the join state: left rows are held at
+    most ``watermark``, right rows at most ``watermark + max_delay`` —
+    without the interval bound the state store grows forever, which is
+    the classic stream-join production failure.
+
+    Works identically on batch frames (the join condition is plain
+    Catalyst), which is how the q184 oracle equivalence is phrased.
+    """
+    from pyspark.sql import functions as F
+
+    right_by = right_by or by
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = ((lw[by] == rw[right_by])
+            & (rw[right_ts] >= lw[left_ts])
+            & (rw[right_ts] <= lw[left_ts] + F.expr(f"interval {max_delay}")))
+    return lw.join(rw, cond, "inner")
