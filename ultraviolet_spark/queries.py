@@ -5834,6 +5834,46 @@ def q184(spark, sf_dir):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+@q("q185_soundex_blocking", """
+WITH w AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+    AS word
+  FROM documents WHERE length(trim(text)) > 0),
+s AS (SELECT word, upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS u
+      FROM w WHERE word <> '' AND regexp_matches(word, '^[A-Za-z]+$')),
+c0 AS (SELECT word, u,
+              translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                        '01230129022455012623019202') AS c
+       FROM s),
+c1 AS (SELECT word, u,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    c, '0(9*0)+','0','g'), '1(9*1)+','1','g'), '2(9*2)+','2','g'),
+       '3(9*3)+','3','g'), '4(9*4)+','4','g'), '5(9*5)+','5','g'),
+       '6(9*6)+','6','g'), '9(9*9)+','9','g') AS c
+  FROM c0)
+SELECT word,
+       substr(u, 1, 1) ||
+       substr(replace(replace(substr(c, 2), '9', ''), '0', '') || '000',
+              1, 3) AS sdx
+FROM c1
+""")
+def q185(spark, sf_dir):
+    """Phonetic blocking keys: Spark's built-in soundex vs a from-
+    scratch SQL implementation of the same US-Census variant (H/W
+    transparency, vowel separators, first-code suppression) built
+    WITHOUT backreferences (DuckDB is RE2) via per-digit collapse
+    chains — two independent implementations must agree on every
+    vocabulary word."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (d.filter(F.length(F.trim("text")) > 0)
+             .select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                       r"\s+")).alias("word"))
+             .filter(F.col("word").rlike("^[A-Za-z]+$"))
+             .distinct())
+    return vocab.select("word", F.soundex("word").alias("sdx"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
