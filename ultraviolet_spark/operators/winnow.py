@@ -9,11 +9,21 @@ shared substring of at least ``w + k - 1`` characters produces at least
 one shared fingerprint in both documents — the detection floor MinHash
 (a global sketch) cannot offer.  Density is ~2/(w+1) of all k-grams.
 
-Scale shape: fingerprint selection is PURE per-row Catalyst (array
-expressions inside the scan stage — zero shuffle, zero Python); only
-the pair-finding step shuffles, and it shuffles 8-byte (hash, doc)
-rows, never text.  The hash is the first 8 hex digits of md5 so a SQL
-oracle can rebuild every fingerprint bit-for-bit cross-engine (q159).
+Scale shape: k-gram hashing is per-row Catalyst inside the scan stage;
+selection is ONE window (min of ``struct(hash, −pos)`` over the next
+``w`` positions — lexicographic struct order gives min-hash with
+rightmost-position tie-break in a single pass) on the doc-hash
+exchange, then a distinct.  Everything downstream shuffles 8-byte
+(hash, doc) rows, never text.  The hash is the first 8 hex digits of
+md5 so a SQL oracle can rebuild every fingerprint bit-for-bit
+cross-engine (q159).
+
+(The first version selected fingerprints with nested array expressions
+referencing the k-gram hash array column — Catalyst inlined the whole
+290-md5 array expression into EVERY one of the ~283 window references,
+and optimization/codegen effectively never terminated on real ~300-char
+documents.  Column references are not CSE barriers; an explode + window
+is the robust shape.)
 """
 
 from __future__ import annotations
@@ -39,39 +49,41 @@ def winnow_fingerprints(df: DataFrame, *, k: int = 7, w: int = 8,
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
+    from pyspark.sql import Window
+
     norm = F.lower(F.regexp_replace(F.col(text_col).cast("string"),
                                     _NORM_RE, ""))
-    out = (df.select(F.col(id_col), norm.alias("__norm"))
-             .withColumn("__m", F.length("__norm") - F.lit(k - 1))
-             .filter(F.col("__m") >= w)
-             # all k-gram hashes, one array expression inside the scan.
-             # NOTE the expressions must be TOTAL even for rows the
-             # __m >= w filter drops: InferFiltersFromGenerate copies
-             # the explode argument into a pre-filter predicate that is
-             # evaluated on EVERY row (no short-circuit after subexpr
-             # elimination), and sequence(1, negative) is DESCENDING in
-             # Spark — hence the IF guards and try_element_at.
-             .withColumn("__hs", F.expr(
-                 f"IF(__m >= 1, transform(sequence(1, __m), i -> "
-                 f"cast(conv(substring(md5(encode(substring(__norm, i, {k}),"
-                 f" 'utf-8')), 1, 8), 16, 10) as bigint)), "
-                 f"array())"))
-             # per window start s: rightmost argmin of hs[s .. s+w-1]
-             # (<= makes later indices win ties, per the winnowing paper)
-             .withColumn("__sel", F.expr(
-                 f"IF(__m >= {w}, "
-                 f"array_distinct(transform(sequence(1, __m - {w - 1}), s -> "
-                 f"aggregate(sequence(s, s + {w - 1}), "
-                 f"named_struct('h', 9223372036854775807L, 'p', -1), "
-                 f"(acc, i) -> IF(try_element_at(__hs, i) <= acc.h, "
-                 f"named_struct('h', try_element_at(__hs, i), "
-                 f"'p', cast(i as int)), acc)))), "
-                 f"slice(array(named_struct('h', 9223372036854775807L, "
-                 f"'p', -1)), 1, 0))"))
-             .select(id_col, F.explode("__sel").alias("__fp"))
-             .select(id_col, F.col("__fp.p").alias("fp_pos"),
-                     F.col("__fp.h").alias("fp_hash")))
-    return out
+    base = (df.select(F.col(id_col), norm.alias("__norm"))
+              .withColumn("__m", F.length("__norm") - F.lit(k - 1))
+              .filter(F.col("__m") >= w))
+    # one row per k-gram: (id, pos, hash) — the explode argument is a
+    # TOTAL expression (the __m >= w filter guarantees __m >= 1, and
+    # InferFiltersFromGenerate evaluates the copied predicate on every
+    # row regardless, so sequence(1, __m) is always ascending here)
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, __m), i -> "
+            f"cast(conv(substring(md5(encode(substring(__norm, i, {k}),"
+            f" 'utf-8')), 1, 8), 16, 10) as bigint))"))
+        .alias("__i", "__h"),
+        F.col("__m"))
+    grams = grams.select(
+        id_col, (F.col("__i") + 1).alias("__pos"), "__h", "__m")
+    # per window start s: min of struct(h, -pos) over positions
+    # [s, s+w-1] — lexicographic struct order = smallest hash, ties
+    # broken toward the LARGEST position (rightmost, per the paper)
+    sel_w = (Window.partitionBy(id_col).orderBy("__pos")
+             .rowsBetween(0, w - 1))
+    sel = (grams.withColumn(
+        "__min", F.min(F.struct(F.col("__h"),
+                                (-F.col("__pos")).alias("__np")))
+        .over(sel_w))
+        .filter(F.col("__pos") <= F.col("__m") - F.lit(w - 1)))
+    return (sel.select(F.col(id_col),
+                       (-F.col("__min.__np")).cast("int").alias("fp_pos"),
+                       F.col("__min.__h").alias("fp_hash"))
+            .distinct())
 
 
 def winnow_pairs(fps: DataFrame, *, min_shared: int = 2,
