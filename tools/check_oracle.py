@@ -73,6 +73,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if pat and not any(pat in name for name in qs):
+        # a typo'd / non-matching pattern must FAIL, not print
+        # "0 failures" after silently running nothing (this bit us:
+        # a never-executed query hid a real hang for a whole session)
+        print(f"FAIL: pattern {pat!r} matches no registry query")
+        return 2
     failures = 0
     for name, fn in qs.items():
         if pat and pat not in name:
@@ -135,7 +141,8 @@ def main() -> int:
             failures += 1
         else:
             print(f"PASS {name} ({len(sdf)} rows)")
-    print(f"\n{failures} failures / {len(qs)} queries")
+    n_run = sum(1 for name in qs if not pat or pat in name)
+    print(f"\n{failures} failures / {n_run} run / {len(qs)} queries")
     return 1 if failures else 0
 
 
