@@ -60,3 +60,59 @@ def test_http_crlf_in_body_not_resplit(spark):
     body = b"a\r\n\r\nb"
     got = _parse(spark, [b"HTTP/1.1 200 OK\r\n\r\n" + body])[0]
     assert bytes(got["body"]) == body
+
+
+# ---------------------------------------------------------------------------
+# chunked transfer-coding decode
+# ---------------------------------------------------------------------------
+
+def _dechunk(spark, bodies, **kw):
+    from ultraviolet_spark.operators.http import dechunk
+    df = spark.createDataFrame([(i, b) for i, b in enumerate(bodies)],
+                               "id long, body binary")
+    return {r["id"]: r.asDict() for r in dechunk(df, **kw).collect()}
+
+
+def test_dechunk_basic_and_crlf_in_data(spark):
+    got = _dechunk(spark, [
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n",
+        # chunk data contains CRLF; extension + trailer present
+        b"4;ext=1\r\na\r\nb\r\n3\r\nxyz\r\n0\r\nX-Trailer: v\r\n\r\n",
+        b"0\r\n\r\n",
+    ])
+    assert got[0]["body_text"] == "hello world"
+    assert got[0]["n_chunks"] == 2 and got[0]["chunked_ok"]
+    assert got[1]["body_text"] == "a\r\nbxyz"      # NOT split on CRLF
+    assert got[1]["n_chunks"] == 2 and got[1]["chunked_ok"]
+    assert got[2]["body_text"] == "" and got[2]["n_chunks"] == 0
+
+
+def test_dechunk_malformed_flags_not_failures(spark):
+    got = _dechunk(spark, [
+        b"5\r\nhello\r\n",            # truncated: no last-chunk
+        b"zz\r\nhello\r\n0\r\n\r\n",  # non-hex size line
+        b"ff\r\nshort\r\n0\r\n\r\n",  # size claim larger than data
+        b"5\r\nhelloXX6\r\n world\r\n0\r\n\r\n",  # missing data CRLF
+        b"fffffffff\r\nx\r\n0\r\n\r\n",  # >7 hex digits: hostile claim
+    ])
+    for i in range(5):
+        assert got[i]["body_text"] is None, i
+        assert got[i]["chunked_ok"] is False, i
+
+
+def test_dechunk_max_chunks_bound(spark):
+    payload = b"".join(b"1\r\nx\r\n" for _ in range(10)) + b"0\r\n\r\n"
+    ok = _dechunk(spark, [payload], max_chunks=16)[0]
+    assert ok["body_text"] == "x" * 10 and ok["n_chunks"] == 10
+    # more chunks than the bound: flagged, never mis-decoded
+    bad = _dechunk(spark, [payload], max_chunks=5)[0]
+    assert bad["body_text"] is None and bad["chunked_ok"] is False
+
+
+def test_dechunk_latin1_binary_roundtrip(spark):
+    body = bytes(range(256)).replace(b"\r", b".")  # keep sizes honest
+    payload = (hex(len(body))[2:].encode() + b"\r\n" + body
+               + b"\r\n0\r\n\r\n")
+    got = _dechunk(spark, [payload])[0]
+    assert got["chunked_ok"]
+    assert got["body_text"].encode("ISO-8859-1") == body

@@ -28,6 +28,63 @@ def _header_field(headers: Column, name: str) -> Column:
     return F.when(v != "", F.trim(v))
 
 
+def dechunk(df: DataFrame, *, body_col: str = "body",
+            max_chunks: int = 64) -> DataFrame:
+    """Decode HTTP/1.1 chunked transfer coding (RFC 9112 §7.1) —
+    ``size-hex[;ext]CRLF data CRLF`` repeated until a ``0`` last-chunk —
+    into ``body_text:string`` (latin-1 space), ``n_chunks:int`` and
+    ``chunked_ok:boolean``.
+
+    Pure Catalyst: one ``aggregate()`` fold over ``sequence(1,
+    max_chunks)`` carrying ``(pos, acc, n, done, ok)``; each step reads
+    the size line with ``locate`` (NOT a CRLF split — chunk *data* may
+    itself contain CRLF, which a split-based parse silently corrupts),
+    parses the hex size with ``conv``, slices exactly ``size`` bytes and
+    verifies the trailing CRLF.  Chunk extensions are skipped, trailers
+    ignored (the fold stops at the last-chunk).  Malformed or truncated
+    payloads and payloads with more than ``max_chunks`` chunks yield
+    ``chunked_ok = false`` and a NULL body instead of a task failure —
+    the bound keeps the expression finite for codegen; real crawl
+    responses beyond it are flagged, not mis-decoded.  Zero shuffles,
+    zero Python: the decode pipelines inside the scan stage.
+    """
+    s = f"decode({body_col}, 'ISO-8859-1')"
+    # One chunk step.  x: struct(pos INT, acc STRING, n INT, done
+    # BOOLEAN, ok BOOLEAN).  The size-line hex is capped at 7 digits
+    # (≤ 0xFFFFFFF) so a hostile size claim can never overflow the
+    # ANSI int cast — a longer run simply fails the regex and flags
+    # the payload malformed.  ``c`` below = CRLF position of the size
+    # line; ``sz`` = parsed chunk size (repeated subexpressions are
+    # spelled out — SQL lambdas have no let-binding).
+    c = f"locate('\\r\\n', {s}, x.pos)"
+    hexs = (f"regexp_extract(substring({s}, x.pos, {c} - x.pos), "
+            f"'^([0-9a-fA-F]{{1,7}})(;.*)?$', 1)")
+    sz = f"cast(conv({hexs}, 16, 10) as int)"
+    fail = ("named_struct('pos', x.pos, 'acc', x.acc, 'n', x.n, "
+            "'done', true, 'ok', false)")
+    step = f"""(x, i) -> CASE WHEN x.done THEN x
+      WHEN {c} = 0 OR {hexs} = '' THEN {fail}
+      WHEN {sz} = 0 THEN named_struct('pos', x.pos, 'acc', x.acc,
+           'n', x.n, 'done', true, 'ok', true)
+      WHEN substring({s}, {c} + 2 + {sz}, 2) != '\\r\\n' THEN {fail}
+      ELSE named_struct(
+        'pos', {c} + 4 + {sz},
+        'acc', concat(x.acc, substring({s}, {c} + 2, {sz})),
+        'n', x.n + 1, 'done', false, 'ok', false)
+      END"""
+    fold = (f"aggregate(sequence(1, {int(max_chunks)}), "
+            f"named_struct('pos', 1, 'acc', '', "
+            f"'n', 0, 'done', false, 'ok', false), {step}, "
+            f"x -> named_struct('body', CASE WHEN x.ok THEN x.acc END, "
+            f"'n', CASE WHEN x.ok THEN x.n END, 'ok', x.ok))")
+    out = df.withColumn("_dechunk", F.expr(fold))
+    return (out
+            .withColumn("body_text", F.col("_dechunk.body"))
+            .withColumn("n_chunks", F.col("_dechunk.n"))
+            .withColumn("chunked_ok", F.col("_dechunk.ok"))
+            .drop("_dechunk"))
+
+
 def split_http_response(df: DataFrame, *, payload_col: str = "payload",
                         keep_headers: bool = True) -> DataFrame:
     """Parse raw HTTP response bytes into

@@ -5874,6 +5874,81 @@ def q185(spark, sf_dir):
     return vocab.select("word", F.soundex("word").alias("sdx"))
 
 
+@q("q186_chunked_transfer_decode", """
+WITH d AS (
+  SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS k,
+         doc_id % 13 = 0 AS trunc
+  FROM documents),
+e AS (
+  SELECT doc_id, k, trunc,
+    'd' || (doc_id % 10) || ':'
+      || repeat('ab', CAST(1 + (doc_id + 1) % 3 AS INT))
+      || CASE WHEN doc_id % 7 = 0
+              THEN chr(13) || chr(10) || 'in' ELSE '' END || ';'
+    || CASE WHEN k >= 2 THEN
+         'd' || (doc_id % 10) || ':'
+           || repeat('ab', CAST(1 + (doc_id + 2) % 3 AS INT))
+           || CASE WHEN doc_id % 7 = 0
+                   THEN chr(13) || chr(10) || 'in' ELSE '' END || ';'
+       ELSE '' END
+    || CASE WHEN k >= 3 THEN
+         'd' || (doc_id % 10) || ':'
+           || repeat('ab', CAST(1 + (doc_id + 3) % 3 AS INT))
+           || CASE WHEN doc_id % 7 = 0
+                   THEN chr(13) || chr(10) || 'in' ELSE '' END || ';'
+       ELSE '' END
+    || CASE WHEN k >= 4 THEN
+         'd' || (doc_id % 10) || ':'
+           || repeat('ab', CAST(1 + (doc_id + 4) % 3 AS INT))
+           || CASE WHEN doc_id % 7 = 0
+                   THEN chr(13) || chr(10) || 'in' ELSE '' END || ';'
+       ELSE '' END AS body
+  FROM d)
+SELECT doc_id,
+       CASE WHEN trunc THEN NULL ELSE body END AS body_text,
+       CASE WHEN trunc THEN NULL ELSE k END AS n_chunks,
+       NOT trunc AS chunked_ok
+FROM e
+""")
+def q186(spark, sf_dir):
+    """HTTP/1.1 chunked transfer-coding decode (RFC 9112 §7.1) as a
+    pure-Catalyst bounded ``aggregate()`` fold — size-hex lines parsed
+    with ``locate``+``conv``, NEVER a CRLF split (chunk data containing
+    CRLF is in the synthesis on purpose).  Payloads are synthesized
+    from doc_id with varying chunk counts, a chunk extension on every
+    3rd doc, a trailer section on every 5th, and a missing last-chunk
+    on every 13th (→ NULL body + chunked_ok=false, not a failure); the
+    oracle recomputes the expected decoded body analytically and never
+    sees a chunked byte."""
+    from ultraviolet_spark.operators.http import dechunk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.lit(1) + F.col("doc_id") % 4).cast("int")
+
+    def dat(j):
+        return F.concat(
+            F.lit("d"), (F.col("doc_id") % 10).cast("string"), F.lit(":"),
+            F.repeat(F.lit("ab"), (F.lit(1) + (F.col("doc_id") + j) % 3)
+                     .cast("int")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\r\nin"))
+            .otherwise(F.lit("")), F.lit(";"))
+
+    def chunk(j):
+        ext = (F.when((F.lit(j) == 1) & (F.col("doc_id") % 3 == 0),
+                      F.lit(";x=y")).otherwise(F.lit("")))
+        body = dat(j)
+        piece = F.concat(F.lower(F.hex(F.length(body))), ext,
+                         F.lit("\r\n"), body, F.lit("\r\n"))
+        return F.when(F.lit(j) <= k, piece).otherwise(F.lit(""))
+
+    term = (F.when(F.col("doc_id") % 13 == 0, F.lit(""))
+            .when(F.col("doc_id") % 5 == 0, F.lit("0\r\nX-T: 1\r\n\r\n"))
+            .otherwise(F.lit("0\r\n\r\n")))
+    payload = F.concat(chunk(1), chunk(2), chunk(3), chunk(4), term)
+    out = dechunk(d.withColumn("body", F.encode(payload, "ISO-8859-1")))
+    return out.select("doc_id", "body_text", "n_chunks", "chunked_ok")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
