@@ -116,3 +116,66 @@ def test_dechunk_latin1_binary_roundtrip(spark):
     got = _dechunk(spark, [payload])[0]
     assert got["chunked_ok"]
     assert got["body_text"].encode("ISO-8859-1") == body
+
+
+# ---------------------------------------------------------------------------
+# HTTP-date parsing + heuristic freshness
+# ---------------------------------------------------------------------------
+
+def _dates(spark, vals):
+    from ultraviolet_spark.operators.http import parse_http_date
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, v string")
+    return {r["id"]: r["ts"]
+            for r in df.select("id",
+                               parse_http_date("v").alias("ts")).collect()}
+
+
+def test_http_date_three_formats_agree(spark):
+    import datetime as dt
+    got = _dates(spark, [
+        "Sun, 06 Nov 1994 08:49:37 GMT",
+        "Sunday, 06-Nov-94 08:49:37 GMT",
+        "Sun Nov  6 08:49:37 1994",
+        "Wed Nov 16 08:49:37 1994",          # two-digit asctime day
+    ])
+    want = dt.datetime(1994, 11, 6, 8, 49, 37)
+    assert got[0] == got[1] == got[2] == want
+    assert got[3] == dt.datetime(1994, 11, 16, 8, 49, 37)
+
+
+def test_http_date_two_digit_year_pivot(spark):
+    got = _dates(spark, [
+        "Friday, 31-Dec-69 23:59:59 GMT",    # 69 -> 2069
+        "Thursday, 01-Jan-70 00:00:00 GMT",  # 70 -> 1970
+    ])
+    assert got[0].year == 2069
+    assert got[1].year == 1970
+
+
+def test_http_date_rejects_junk(spark):
+    got = _dates(spark, [
+        "garbage", "", "Sun, 06 Nov 1994 08:49:37 PST",
+        "Sun, 6 Nov 1994 08:49:37 GMT",      # IMF day must be 2-digit
+        "Sun, 32 Nov 1994 08:49:37 GMT",     # try_to_timestamp: no throw
+    ])
+    assert all(v is None for v in got.values())
+
+
+def test_heuristic_freshness_exact_and_skew_null(spark):
+    import datetime as dt
+    from ultraviolet_spark.operators.http import heuristic_freshness
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (0, base, base - dt.timedelta(days=10)),   # 10% of 10d = 86400s
+        (1, base, base + dt.timedelta(seconds=5)), # clock skew -> NULL
+        (2, base, None),
+        (3, base, base),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, date timestamp, last_modified timestamp")
+    got = {r["id"]: r["freshness_secs"]
+           for r in heuristic_freshness(df).collect()}
+    assert got[0] == 86400
+    assert got[1] is None and got[2] is None
+    assert got[3] == 0

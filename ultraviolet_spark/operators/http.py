@@ -28,6 +28,78 @@ def _header_field(headers: Column, name: str) -> Column:
     return F.when(v != "", F.trim(v))
 
 
+def parse_http_date(col: Column | str) -> Column:
+    """Parse an HTTP-date header value (RFC 9110 §5.6.7) — any of the
+    three wire formats — into a UTC timestamp, NULL for junk:
+
+    * IMF-fixdate  ``Sun, 06 Nov 1994 08:49:37 GMT``  (the only format
+      senders may produce)
+    * RFC 850      ``Sunday, 06-Nov-94 08:49:37 GMT`` (obsolete, still
+      crawled)
+    * asctime()    ``Sun Nov  6 08:49:37 1994``        (obsolete; day
+      is space-padded)
+
+    All three are regexp-rewritten to one canonical ``dd MMM yyyy
+    HH:mm:ss`` string first and parsed once: Spark's Proleptic parser
+    rejects the day-of-week letter ``E`` in *parse* patterns, and the
+    day name is redundant anyway, so it is stripped rather than
+    verified.  RFC 850's two-digit year uses the fixed pivot
+    ``yy < 70 → 20yy else 19yy`` (the practical reading of RFC 9110's
+    "more than 50 years in the future MUST be interpreted as past");
+    the pivot lives HERE, not in the format pattern, so it cannot
+    drift with a JVM default.  Pure Catalyst, scan-stage only.
+    """
+    s = F.trim(F.col(col) if isinstance(col, str) else col)
+    # IMF-fixdate → canonical
+    imf = F.regexp_extract(
+        s, r"^[A-Za-z]{3}, ([0-9]{2} [A-Za-z]{3} [0-9]{4} "
+           r"[0-9]{2}:[0-9]{2}:[0-9]{2}) GMT$", 1)
+    # RFC 850 → pieces (century fix applied below)
+    r850 = r"^[A-Za-z]{3,9}, ([0-9]{2})-([A-Za-z]{3})-([0-9]{2}) " \
+           r"([0-9]{2}:[0-9]{2}:[0-9]{2}) GMT$"
+    yy = F.regexp_extract(s, r850, 3)
+    r850_canon = F.when(
+        F.regexp_extract(s, r850, 1) != "",
+        F.concat(F.regexp_extract(s, r850, 1), F.lit(" "),
+                 F.regexp_extract(s, r850, 2), F.lit(" "),
+                 F.when(yy.cast("int") < 70, F.lit("20"))
+                 .otherwise(F.lit("19")), yy, F.lit(" "),
+                 F.regexp_extract(s, r850, 4)))
+    # asctime → pieces (day may be space- or zero-padded; normalize)
+    asc = r"^[A-Za-z]{3} ([A-Za-z]{3}) +([0-9]{1,2}) " \
+          r"([0-9]{2}:[0-9]{2}:[0-9]{2}) ([0-9]{4})$"
+    asc_canon = F.when(
+        F.regexp_extract(s, asc, 1) != "",
+        F.concat(F.lpad(F.regexp_extract(s, asc, 2), 2, "0"), F.lit(" "),
+                 F.regexp_extract(s, asc, 1), F.lit(" "),
+                 F.regexp_extract(s, asc, 4), F.lit(" "),
+                 F.regexp_extract(s, asc, 3)))
+    canon = F.coalesce(F.when(imf != "", imf), r850_canon, asc_canon)
+    return F.try_to_timestamp(canon, F.lit("dd MMM yyyy HH:mm:ss"))
+
+
+def heuristic_freshness(df: DataFrame, *, date_col: str = "date",
+                        lm_col: str = "last_modified",
+                        fraction_pct: int = 10) -> DataFrame:
+    """RFC 9111 §4.2.2 heuristic freshness: with no explicit expiry, a
+    cache may treat a response as fresh for ``fraction_pct`` % of the
+    time since Last-Modified.  ``freshness_secs`` is computed in exact
+    integer arithmetic — microsecond delta, integer-divided — so the
+    number is bit-identical cross-engine (a double multiply by 0.1
+    would not be); NULL when either timestamp is missing or the delta
+    is negative (clock skew → no heuristic, per the SHOULD in the RFC).
+    """
+    delta_us = (F.unix_micros(F.col(date_col))
+                - F.unix_micros(F.col(lm_col)))
+    # integer `div`, never a double multiply: exact cross-engine
+    secs = F.expr(
+        f"(unix_micros({date_col}) - unix_micros({lm_col})) "
+        f"* {int(fraction_pct)} div 100000000")
+    return df.withColumn(
+        "freshness_secs",
+        F.when(delta_us >= 0, secs).cast("long"))
+
+
 def dechunk(df: DataFrame, *, body_col: str = "body",
             max_chunks: int = 64) -> DataFrame:
     """Decode HTTP/1.1 chunked transfer coding (RFC 9112 §7.1) —

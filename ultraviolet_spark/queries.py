@@ -5949,6 +5949,78 @@ def q186(spark, sf_dir):
     return out.select("doc_id", "body_text", "n_chunks", "chunked_ok")
 
 
+@q("q187_http_date_freshness", """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 AS INT) AS fmt,
+         1971 + CAST(doc_id % 55 AS INT) AS y,
+         1 + CAST(doc_id % 12 AS INT) AS m,
+         1 + CAST(doc_id % 28 AS INT) AS dd,
+         CAST(doc_id % 24 AS INT) AS hh,
+         CAST(doc_id % 60 AS INT) AS mi,
+         CAST((doc_id * 7) % 60 AS INT) AS ss,
+         1 + CAST(doc_id % 90 AS INT) AS lm_days
+  FROM documents)
+SELECT doc_id, fmt,
+       CASE WHEN fmt <> 3
+            THEN make_timestamp(y, m, dd, hh, mi, ss) END AS parsed,
+       CASE WHEN fmt <> 3
+            THEN CAST(lm_days * 8640 AS BIGINT) END AS freshness_secs
+FROM d
+""")
+def q187(spark, sf_dir):
+    """HTTP-date parsing (RFC 9110 §5.6.7: IMF-fixdate, obsolete
+    RFC 850 with the two-digit-year pivot, obsolete asctime with
+    space-padded day) + RFC 9111 heuristic freshness (10% of the
+    Last-Modified age, exact integer µs arithmetic).  Header strings
+    are synthesized from doc_id components — the day-of-week token is
+    deliberately wrong sometimes ('Mon,' for every row), which a
+    correct parser must ignore, not verify; every 4th row is junk →
+    NULL.  The oracle recomputes the expected timestamp analytically
+    with make_timestamp and never parses a date string."""
+    from ultraviolet_spark.operators.http import (heuristic_freshness,
+                                                  parse_http_date)
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("fmt"),
+        (F.lit(1971) + (F.col("doc_id") % 55).cast("int")).alias("y"),
+        (F.lit(1) + (F.col("doc_id") % 12).cast("int")).alias("m"),
+        (F.lit(1) + (F.col("doc_id") % 28).cast("int")).alias("dd"),
+        (F.col("doc_id") % 24).cast("int").alias("hh"),
+        (F.col("doc_id") % 60).cast("int").alias("mi"),
+        ((F.col("doc_id") * 7) % 60).cast("int").alias("ss"),
+        (F.lit(1) + (F.col("doc_id") % 90).cast("int")).alias("lm_days"))
+    mon = F.element_at(F.array(*[F.lit(x) for x in
+        ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+         "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]), F.col("m"))
+    tod = F.concat(F.lpad(F.col("hh").cast("string"), 2, "0"), F.lit(":"),
+                   F.lpad(F.col("mi").cast("string"), 2, "0"), F.lit(":"),
+                   F.lpad(F.col("ss").cast("string"), 2, "0"))
+    d2 = F.lpad(F.col("dd").cast("string"), 2, "0")
+    hdr = (F.when(F.col("fmt") == 0, F.concat(
+                F.lit("Mon, "), d2, F.lit(" "), mon, F.lit(" "),
+                F.col("y").cast("string"), F.lit(" "), tod, F.lit(" GMT")))
+           .when(F.col("fmt") == 1, F.concat(
+                F.lit("Monday, "), d2, F.lit("-"), mon, F.lit("-"),
+                F.lpad((F.col("y") % 100).cast("string"), 2, "0"),
+                F.lit(" "), tod, F.lit(" GMT")))
+           .when(F.col("fmt") == 2, F.concat(
+                F.lit("Mon "), mon, F.lit(" "),
+                F.when(F.col("dd") < 10,
+                       F.concat(F.lit(" "), F.col("dd").cast("string")))
+                .otherwise(F.col("dd").cast("string")),
+                F.lit(" "), tod, F.lit(" "), F.col("y").cast("string")))
+           .otherwise(F.lit("last tuesday")))
+    parsed = d.withColumn("parsed", parse_http_date(hdr))
+    withlm = parsed.withColumn(
+        "last_modified",
+        F.expr("timestampadd(DAY, -lm_days, parsed)"))
+    out = heuristic_freshness(withlm, date_col="parsed",
+                              lm_col="last_modified")
+    return out.select("doc_id", "fmt", "parsed", "freshness_secs")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
