@@ -218,3 +218,76 @@ def test_bitext_boundary_ratio_exactly_half_included(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string, "
                                      "lang string, text string")
     assert bitext_candidates(df).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical + hreflang
+# ---------------------------------------------------------------------------
+
+def test_rel_canonical_resolution_rules(spark):
+    from ultraviolet_spark.operators.urls import extract_rel_canonical
+    rows = [
+        # absolute, rel-first
+        (0, "https://a.com/p0",
+         '<link rel="canonical" href="https://a.com/base">'),
+        # absolute, href-first + mixed case
+        (1, "https://a.com/p1",
+         '<link href="https://a.com/base" REL="Canonical">'),
+        # root-relative resolves against own origin
+        (2, "https://b.com/deep/p2", '<link rel="canonical" href="/base">'),
+        # protocol-relative is ignored -> self
+        (3, "https://c.com/p3", '<link rel="canonical" href="//x.com/y">'),
+        # dotted-relative ignored -> self
+        (4, "https://c.com/p4", '<link rel="canonical" href="../y">'),
+        # stylesheet decoy only -> self
+        (5, "https://c.com/p5", '<link rel="stylesheet" href="/css.css">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = {r["doc_id"]: r.asDict()
+           for r in extract_rel_canonical(df).collect()}
+    assert got[0]["canonical_target"] == "https://a.com/base"
+    assert got[1]["canonical_target"] == "https://a.com/base"
+    assert got[2]["canonical_target"] == "https://b.com/base"
+    for i in (3, 4, 5):
+        assert got[i]["canonical_target"] == f"https://c.com/p{i}", i
+        assert got[i]["has_canonical"] is False, i
+
+
+def test_canonical_groups_keeper_election(spark):
+    from ultraviolet_spark.operators.urls import canonical_groups
+    tag = '<link rel="canonical" href="https://a.com/base">'
+    rows = [
+        # group where the canonical page itself was crawled
+        (0, "https://a.com/base", tag),
+        (1, "https://a.com/dup1", tag),
+        (2, "https://a.com/dup2", tag),
+        # group whose target was never crawled: min-url keeper
+        (3, "https://a.com/m2",
+         '<link rel="canonical" href="https://a.com/missing">'),
+        (4, "https://a.com/m1",
+         '<link rel="canonical" href="https://a.com/missing">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = {r["doc_id"]: r.asDict() for r in canonical_groups(df).collect()}
+    assert [got[i]["is_keeper"] for i in range(5)] == [
+        True, False, False, False, True]
+    assert got[0]["group_size"] == 3 and got[3]["group_size"] == 2
+
+
+def test_hreflang_positional_zip_and_cluster_key(spark):
+    from ultraviolet_spark.operators.urls import extract_hreflang
+    html = ('<html><head>'
+            '<link rel="alternate" hreflang="en" href="https://e.com/en">'
+            '<link rel="alternate" hreflang="de" href="https://e.com/de">'
+            '<link rel="stylesheet" href="/css.css">'
+            '</head></html>')
+    df = spark.createDataFrame([(7, html), (8, "<html></html>")],
+                               "doc_id long, html string")
+    rows = extract_hreflang(df).collect()
+    got = {(r["doc_id"], r["hreflang"]): r.asDict() for r in rows}
+    assert got[(7, "en")]["href"] == "https://e.com/en"
+    assert got[(7, "de")]["href"] == "https://e.com/de"
+    # cluster key = array_min over the page's alternates, shared by both
+    assert {r["cluster_key"] for r in rows} == {"https://e.com/de"}
+    # page with no alternates emits no rows
+    assert all(r["doc_id"] == 7 for r in rows)

@@ -200,6 +200,91 @@ def extract_title(df: DataFrame, *, html_col: str = "html",
         F.when(has, extract_text_udf(raw)).alias("title"))
 
 
+def extract_rel_canonical(df: DataFrame, *, html_col: str = "html",
+                          url_col: str = "url") -> DataFrame:
+    """Extract the page's ``<link rel="canonical" href=...>`` target —
+    the publisher's own dedup signal (faceted/tracking/mirror URLs all
+    declare one canonical page; honoring it collapses crawl duplicates
+    *before* any content hashing).
+
+    Attribute ORDER is free in real markup (``rel`` before or after
+    ``href``) and the tag name/attrs are case-insensitive — two
+    coalesced case-insensitive extracts cover both orders in the scan
+    stage.  Targets resolve as: absolute http(s) → as-is; root-relative
+    (``/path``) → against the page URL's scheme+host; anything else
+    (protocol-relative, dotted-relative, javascript:) → ignored.  Adds
+    ``canonical_target`` (the page's own URL when no usable canonical —
+    every page then belongs to exactly one canonical group) and
+    ``has_canonical``.
+    """
+    h, u = F.col(html_col), F.col(url_col)
+    a = F.regexp_extract(
+        h, '(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+    b = F.regexp_extract(
+        h, '(?i)<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1)
+    raw = F.coalesce(F.when(a != "", a), F.when(b != "", b))
+    origin = F.regexp_extract(u, r"^(https?://[^/]+)", 1)
+    resolved = (F.when(raw.rlike("^https?://"), raw)
+                .when(raw.rlike("^/") & ~raw.rlike("^//"),
+                      F.concat(origin, raw)))
+    return (df.withColumn("canonical_target", F.coalesce(resolved, u))
+              .withColumn("has_canonical", resolved.isNotNull()))
+
+
+def canonical_groups(df: DataFrame, *, html_col: str = "html",
+                     url_col: str = "url") -> DataFrame:
+    """Group pages by their rel=canonical target and elect one keeper
+    per group: the member whose URL *is* the target when it was
+    crawled, else the lexicographic-min member (deterministic when the
+    canonical page itself is missing from the crawl).  One shuffle on
+    the target key; group stats are a map-side-combined count, so the
+    operator scales with the number of GROUPS, not pages².  Adds
+    ``group_size`` and ``is_keeper``.
+    """
+    t = extract_rel_canonical(df, html_col=html_col, url_col=url_col)
+    g = (t.groupBy("canonical_target")
+         .agg(F.count("*").cast("long").alias("group_size"),
+              F.min(url_col).alias("_min_url"),
+              F.max(F.when(F.col(url_col) == F.col("canonical_target"),
+                           F.col(url_col))).alias("_self")))
+    joined = t.join(g, "canonical_target")
+    keeper = F.when(F.col("_self").isNotNull(),
+                    F.col(url_col) == F.col("_self")) \
+              .otherwise(F.col(url_col) == F.col("_min_url"))
+    return (joined.withColumn("is_keeper", keeper)
+            .drop("_min_url", "_self"))
+
+
+def extract_hreflang(df: DataFrame, *, html_col: str = "html",
+                     id_col: str = "doc_id") -> DataFrame:
+    """``(id, hreflang, href, cluster_key)`` — one row per
+    ``<link rel="alternate" hreflang=... href=...>`` declaration, the
+    publisher-declared parallel-page graph (the highest-precision
+    bitext-mining signal there is: the site SAYS these pages translate
+    each other, no length-ratio heuristics needed).
+
+    hreflang/href pairs are two positionally-zipped
+    ``regexp_extract_all`` passes (same idiom as extract_anchors);
+    ``cluster_key`` is the lexicographic-min href of the page's
+    alternate set computed with ``array_min`` BEFORE the explode — in
+    the scan stage, no window — so all declared members of one
+    translation cluster share a key by construction.
+    """
+    pat = ('<link rel="alternate" hreflang="([^"]*)" '
+           'href="([^"]*)"[^>]*>')
+    langs = F.expr(f"regexp_extract_all({html_col}, '{pat}', 1)")
+    hrefs = F.expr(f"regexp_extract_all({html_col}, '{pat}', 2)")
+    pairs = F.zip_with(langs, hrefs,
+                       lambda l, h: F.struct(l.alias("hreflang"),
+                                             h.alias("href")))
+    return (df.select(F.col(id_col),
+                      F.array_min(hrefs).alias("cluster_key"),
+                      F.explode(pairs).alias("__p"))
+            .select(F.col(id_col),
+                    F.col("__p.hreflang").alias("hreflang"),
+                    F.col("__p.href").alias("href"), "cluster_key"))
+
+
 def outlink_domain_stats(df: DataFrame, *, html_col: str = "html",
                          id_col: str = "doc_id") -> DataFrame:
     """Per-registrable-domain outlink rollup ``(domain, n_links,

@@ -6021,6 +6021,121 @@ def q187(spark, sf_dir):
     return out.select("doc_id", "fmt", "parsed", "freshness_secs")
 
 
+@q("q188_rel_canonical_groups", """
+WITH d AS (
+  SELECT doc_id,
+         'https://s' || (doc_id % 40) || '.example.com/p' || doc_id AS url,
+         doc_id - doc_id % 3 AS base,
+         doc_id % 11 = 0 AS nocanon,
+         doc_id % 7 = 0 AS rootrel
+  FROM documents),
+t AS (
+  SELECT doc_id, url,
+         CASE WHEN nocanon THEN url
+              WHEN rootrel THEN 'https://s' || (doc_id % 40)
+                   || '.example.com/p' || base
+              ELSE 'https://s' || (base % 40) || '.example.com/p' || base
+         END AS canonical_target,
+         NOT nocanon AS has_canonical
+  FROM d),
+g AS (
+  SELECT canonical_target, CAST(COUNT(*) AS BIGINT) AS group_size,
+         min(url) AS mu,
+         max(CASE WHEN url = canonical_target THEN url END) AS slf
+  FROM t GROUP BY canonical_target)
+SELECT t.doc_id, t.url, t.canonical_target, t.has_canonical,
+       g.group_size,
+       CASE WHEN g.slf IS NOT NULL THEN t.url = g.slf
+            ELSE t.url = g.mu END AS is_keeper
+FROM t JOIN g USING (canonical_target)
+""")
+def q188(spark, sf_dir):
+    """rel=canonical extraction + canonical-group dedup: the
+    publisher's own duplicate signal, honored BEFORE any content
+    hashing.  Synthesis varies attribute order (rel-first vs
+    href-first), attribute-value case, root-relative vs absolute
+    targets, a stylesheet <link> decoy in every page (must not match —
+    [^>]* cannot cross a tag boundary), and pages with no canonical
+    (self-group).  Keeper election: the target page itself when
+    crawled, else lexicographic-min member.  The oracle recomputes
+    targets and groups analytically and never reads markup."""
+    from ultraviolet_spark.operators.urls import canonical_groups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://s"), (did % 40).cast("string"),
+                   F.lit(".example.com/p"), did.cast("string"))
+    base = (did - did % 3).cast("string")
+    abs_href = F.concat(F.lit("https://s"),
+                        ((did - did % 3) % 40).cast("string"),
+                        F.lit(".example.com/p"), base)
+    rel_href = F.concat(F.lit("/p"), base)
+    relv = F.when(did % 5 == 0, F.lit("Canonical")) \
+            .otherwise(F.lit("canonical"))
+    tag = (F.when(did % 11 == 0, F.lit(""))
+           .when(did % 7 == 0, F.concat(
+               F.lit('<link rel="'), relv, F.lit('" href="'), rel_href,
+               F.lit('">')))
+           .when(did % 2 == 0, F.concat(
+               F.lit('<link rel="'), relv, F.lit('" href="'), abs_href,
+               F.lit('">')))
+           .otherwise(F.concat(
+               F.lit('<link href="'), abs_href, F.lit('" rel="'), relv,
+               F.lit('">'))))
+    html = F.concat(F.lit('<html><head><link rel="stylesheet" '
+                          'href="/css.css">'), tag,
+                    F.lit("</head><body>x</body></html>"))
+    pages = d.select("doc_id", url.alias("url"), html.alias("html"))
+    out = canonical_groups(pages)
+    return out.select("doc_id", "url", "canonical_target",
+                      "has_canonical", "group_size", "is_keeper")
+
+
+@q("q189_hreflang_clusters", """
+WITH d AS (
+  SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS n,
+         'https://ex.com/c' || (doc_id % 100) || '/' AS stem
+  FROM documents),
+e AS (
+  SELECT doc_id, n, stem, s.j,
+         CASE s.j WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                  WHEN 2 THEN 'fr' ELSE 'es' END AS hreflang
+  FROM d JOIN (SELECT unnest([0, 1, 2, 3]) AS j) s ON s.j < d.n)
+SELECT doc_id, hreflang, stem || hreflang AS href,
+       CASE WHEN n >= 2 THEN stem || 'de' ELSE stem || 'en' END
+         AS cluster_key
+FROM e
+""")
+def q189(spark, sf_dir):
+    """hreflang alternate-cluster extraction: the publisher-declared
+    parallel-page graph (highest-precision bitext signal — the site
+    SAYS these pages translate each other).  One row per declared
+    alternate; cluster_key is the array_min of the page's alternate
+    hrefs computed BEFORE the explode, in the scan stage, no window.
+    The oracle regenerates the declarations from doc_id analytically."""
+    from ultraviolet_spark.operators.urls import extract_hreflang
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    n = (F.lit(1) + did % 4).cast("int")
+    stem = F.concat(F.lit("https://ex.com/c"), (did % 100).cast("string"),
+                    F.lit("/"))
+    langs = ["en", "de", "fr", "es"]
+
+    def link(j):
+        href = F.concat(stem, F.lit(langs[j]))
+        piece = F.concat(F.lit('<link rel="alternate" hreflang="'),
+                         F.lit(langs[j]), F.lit('" href="'), href,
+                         F.lit('">'))
+        return F.when(F.lit(j) < n, piece).otherwise(F.lit(""))
+
+    html = F.concat(F.lit("<html><head>"), link(0), link(1), link(2),
+                    link(3), F.lit("</head><body>x</body></html>"))
+    pages = d.select("doc_id", html.alias("html"))
+    return extract_hreflang(pages).select(
+        "doc_id", "hreflang", "href", "cluster_key")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
