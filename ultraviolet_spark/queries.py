@@ -6136,6 +6136,72 @@ def q189(spark, sf_dir):
         "doc_id", "hreflang", "href", "cluster_key")
 
 
+_Q190_PAIRS = [
+    ("xn--mnchen-3ya", "münchen"), ("xn--bcher-kva", "bücher"),
+    ("xn--caf-dma", "café"), ("xn--80akhbyknj4f", "испытание"),
+    ("xn--fiqs8s", "中国"), ("xn--wgbh1c", "مصر"),
+    ("xn--eckwd4c7cu47r2wf", "ドメイン名例"), ("xn--plda-bpa", "példa"),
+    ("xn--kln-sna", "köln"), ("xn--grnland-r1a", "grønland"),
+]
+
+_Q190_ACE_CASE = "\n".join(
+    f"           WHEN {i} THEN 'www.{a}.example'"
+    for i, (a, _) in enumerate(_Q190_PAIRS))
+_Q190_UNI_CASE = "\n".join(
+    f"           WHEN {i} THEN 'www.{u}.example'"
+    for i, (_, u) in enumerate(_Q190_PAIRS))
+
+
+@q("q190_idn_punycode_decode", f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 13 AS INT) AS m FROM documents),
+h AS (
+  SELECT doc_id, m,
+         CASE m
+{_Q190_ACE_CASE}
+           WHEN 10 THEN 'plain.example.com'
+           WHEN 11 THEN 'xn--a-zzzzzz.example'
+           ELSE 'MiXeD.Case.COM'
+         END AS host0
+  FROM d)
+SELECT doc_id,
+       CASE WHEN m < 10 AND doc_id % 2 = 0 THEN upper(host0)
+            ELSE host0 END AS host,
+       m <= 11 AND m <> 10 AS is_idn,
+       CASE WHEN m < 10 THEN (CASE m
+{_Q190_UNI_CASE}
+            END)
+            WHEN m = 10 THEN 'plain.example.com'
+            WHEN m = 11 THEN NULL
+            ELSE 'mixed.case.com' END AS unicode_host
+FROM h
+""")
+def q190(spark, sf_dir):
+    """RFC 3492 Punycode / IDN decode of xn-- ACE hostnames — a
+    from-scratch insertion-unsort decoder (pinned against CPython's
+    independent punycode codec by a hypothesis round-trip property in
+    the tests), Arrow-batched, with a Catalyst prefilter so pure-ASCII
+    hosts never cross into Python.  Synthesis cycles 10 real ACE/
+    Unicode label pairs (upper-cased ACE on even doc_ids — matching is
+    case-insensitive), a plain-ASCII host, an invalid ACE label (→
+    NULL, not a half-decoded lie), and a mixed-case ASCII host; the
+    oracle maps doc_id → expected Unicode literal and never decodes
+    anything."""
+    from ultraviolet_spark.operators.idn import with_unicode_host
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 13).cast("int")
+    ace = F.array(*[F.lit(f"www.{a}.example") for a, _ in _Q190_PAIRS])
+    host0 = (F.when(m < 10, F.element_at(ace, m + 1))
+             .when(m == 10, F.lit("plain.example.com"))
+             .when(m == 11, F.lit("xn--a-zzzzzz.example"))
+             .otherwise(F.lit("MiXeD.Case.COM")))
+    host = F.when((m < 10) & (F.col("doc_id") % 2 == 0),
+                  F.upper(host0)).otherwise(host0)
+    out = with_unicode_host(d.withColumn("host", host))
+    return out.select("doc_id", "host", "is_idn", "unicode_host")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
