@@ -6202,6 +6202,66 @@ def q190(spark, sf_dir):
     return out.select("doc_id", "host", "is_idn", "unicode_host")
 
 
+@q("q191_interval_overlap_join", """
+WITH l AS (
+  SELECT o_orderkey AS visit_id, o_custkey % 200 AS seg,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_hours(CAST(o_orderkey % 3000 AS BIGINT)) AS vs,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_hours(CAST(o_orderkey % 3000
+                           + 1 + o_orderkey % 48 AS BIGINT)) AS ve
+  FROM orders),
+r AS (
+  SELECT c_custkey AS campaign_id, c_custkey % 200 AS seg,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_hours(CAST((c_custkey % 500) * 6 AS BIGINT)) AS cs,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_hours(CAST((c_custkey % 500) * 6
+                           + (1 + c_custkey % 7) * 6 AS BIGINT)) AS ce
+  FROM customer)
+SELECT l.seg, l.visit_id, r.campaign_id,
+       greatest(l.vs, r.cs) AS overlap_start,
+       least(l.ve, r.ce) AS overlap_end,
+       CAST((epoch_us(least(l.ve, r.ce))
+             - epoch_us(greatest(l.vs, r.cs))) // 1000000
+            AS BIGINT) AS overlap_secs
+FROM l JOIN r ON l.seg = r.seg AND l.vs <= r.ce AND r.cs <= l.ve
+""")
+def q191(spark, sf_dir):
+    """Interval-overlap join (visits × campaign windows) via temporal
+    bucketing: each interval explodes into the 6h buckets it touches,
+    the sides equi-join on (segment, bucket), and a canonical-bucket
+    predicate — keep the pair only in the bucket of greatest(start) —
+    surfaces every overlapping pair exactly once with no post-join
+    dedup.  Shuffle is interval-length/bucket-width linear, never
+    pairs²; the oracle is the O(n·m) theta join the operator avoids."""
+    from ultraviolet_spark.operators.intervals import overlap_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = "timestamp'2024-01-01 00:00:00'"
+    left = o.select(
+        F.col("o_orderkey").alias("visit_id"),
+        (F.col("o_custkey") % 200).alias("seg"),
+        F.expr(f"timestampadd(HOUR, o_orderkey % 3000, {base})")
+        .alias("vs"),
+        F.expr(f"timestampadd(HOUR, o_orderkey % 3000 "
+               f"+ 1 + o_orderkey % 48, {base})").alias("ve"))
+    right = c.select(
+        F.col("c_custkey").alias("campaign_id"),
+        (F.col("c_custkey") % 200).alias("seg"),
+        F.expr(f"timestampadd(HOUR, (c_custkey % 500) * 6, {base})")
+        .alias("cs"),
+        F.expr(f"timestampadd(HOUR, (c_custkey % 500) * 6 "
+               f"+ (1 + c_custkey % 7) * 6, {base})").alias("ce"))
+    out = overlap_join(left, right, key_cols=["seg"],
+                       left_start="vs", left_end="ve",
+                       right_start="cs", right_end="ce",
+                       bucket_secs=6 * 3600)
+    return out.select("seg", "visit_id", "campaign_id",
+                      "overlap_start", "overlap_end", "overlap_secs")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
