@@ -1,0 +1,152 @@
+"""Ordered multi-step conversion funnels over an event log — the
+product-analytics shape (view → click → purchase within a horizon),
+and the crawl-ops shape (scheduled → fetched → parsed within SLA).
+
+Semantics: for every occurrence of ``steps[0]`` (the anchor), the
+GREEDY chain — the earliest ``steps[1]`` strictly after the anchor,
+then the earliest ``steps[2]`` strictly after THAT, … — decides
+conversion.  Greedy is exact for existence: by induction, the greedy
+occurrence of step *i* is ≤ any valid chain's step *i*, so the greedy
+chain's last timestamp is pointwise minimal and the horizon test on
+it is equivalent to "∃ a chain within the horizon".  It is also the
+canonical "first-touch" funnel attribution.
+
+Implementation: k−1 window passes over ONE partitionBy(by) exchange
+and one descending (order, tiebreak) sort — pass *i* computes, for
+every row, ``min(struct(order, tiebreak, chainᵢ₊₁))`` over the rows
+strictly after it (row frame, descending order), i.e. the earliest
+step-*i* occurrence carrying its own already-computed continuation.
+Catalyst collapses the passes onto the same Window exchange, so cost
+is one shuffle regardless of k.  The unique ``tiebreak`` sits SECOND
+in the struct so lexicographic comparison never reaches the nullable
+chain tail — struct-null ordering is engine-specific and must not
+decide a winner.
+
+"Strictly after" means strictly later in (order, tiebreak) order, so
+same-timestamp events resolve deterministically.  Scale: shuffle is
+one row per event; per-key state is the sort buffer — key skew is
+ordinary window skew (same salting levers as the as-of join).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_conversions(df: DataFrame, *, steps: Sequence[str],
+                       by: str = "user_id", order: str = "ts",
+                       tiebreak: str = "event_id",
+                       type_col: str = "event_type",
+                       horizon_secs: int) -> DataFrame:
+    """One row per ``steps[0]`` occurrence: the greedy chain's
+    timestamps (``step1_ts`` … — NULL from the first missing step on),
+    ``converted`` (complete chain AND last step within
+    ``horizon_secs`` of the anchor, closed bound), and
+    ``secs_to_convert`` (floor of the exact integer-microsecond gap;
+    NULL unless converted).  Rows with a NULL ``order``/``tiebreak``
+    are dropped — they have no place in the total order.
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least two funnel steps")
+    df = df.filter(F.col(order).isNotNull() & F.col(tiebreak).isNotNull())
+    w = (Window.partitionBy(by)
+         .orderBy(F.desc(order), F.desc(tiebreak))
+         .rowsBetween(Window.unboundedPreceding, -1))
+
+    chain: Column | None = None
+    for i in range(len(steps) - 1, 0, -1):
+        fields = [F.col(order).alias("t"), F.col(tiebreak).alias("k")]
+        if chain is not None:
+            fields.append(chain.alias("nxt"))
+        occ = F.when(F.col(type_col) == steps[i], F.struct(*fields))
+        df = df.withColumn(f"__c{i}", F.min(occ).over(w))
+        chain = F.col(f"__c{i}")
+
+    out = df.filter(F.col(type_col) == steps[0])
+    path = "__c1"
+    ts_cols = []
+    for i in range(1, len(steps)):
+        ts_cols.append(F.col(f"{path}.t").alias(f"step{i}_ts"))
+        path += ".nxt"
+    out = out.select(F.col(by), F.col(tiebreak).alias("anchor_id"),
+                     F.col(order).alias("anchor_ts"), *ts_cols)
+    last = F.col(f"step{len(steps) - 1}_ts")
+    # NTZ→TS cast is identity under the engine's pinned UTC session
+    gap_us = (F.unix_micros(last.cast("timestamp"))
+              - F.unix_micros(F.col("anchor_ts").cast("timestamp")))
+    converted = (last.isNotNull()
+                 & (gap_us <= F.lit(int(horizon_secs) * 1_000_000)))
+    # exact: the numerator is forced to a multiple of 1e6 before the
+    # double division, so the quotient is integral and cross-engine
+    # bit-stable (a raw int/int double division could land an ULP
+    # under the true quotient and truncate one low)
+    whole_us = gap_us - (gap_us % F.lit(1_000_000))
+    return (out.withColumn("converted", converted)
+               .withColumn("secs_to_convert",
+                           F.when(converted, whole_us / F.lit(1_000_000))
+                           .cast("long")))
+
+
+def cohort_retention(df: DataFrame, *, by: str = "user_id",
+                     order: str = "ts") -> DataFrame:
+    """Classic cohort-retention matrix: cohort = the truncated week of
+    each entity's FIRST event; one row per (cohort_week, week_offset)
+    with the distinct entities active that week, the cohort size, and
+    ``retention`` — one IEEE division of the two exact counts (stable
+    cross-engine; no intermediate rounding).
+
+    Shuffles: one groupBy(by) min for the cohort (map-side combine),
+    one join back on ``by``, one distinct-count agg — all linear.
+    ``week_offset`` is exact integer epoch-day arithmetic, never a
+    float week division.
+    """
+    first = df.groupBy(by).agg(F.min(order).alias("__first_ts"))
+    ev = df.select(by, order).join(first, by)
+    cohort = F.date_trunc("week", F.col("__first_ts"))
+    week = F.date_trunc("week", F.col(order))
+    ev = ev.select(
+        F.col(by),
+        cohort.cast("date").alias("cohort_week"),
+        ((F.unix_date(week.cast("date"))
+          - F.unix_date(cohort.cast("date"))) / 7).cast("long")
+        .alias("week_offset"))
+    active = (ev.groupBy("cohort_week", "week_offset")
+                .agg(F.countDistinct(by).alias("active_users")))
+    sizes = (ev.filter(F.col("week_offset") == 0)
+               .groupBy("cohort_week")
+               .agg(F.countDistinct(by).alias("cohort_size")))
+    return (active.join(sizes, "cohort_week")
+            .withColumn("retention",
+                        F.col("active_users").cast("double")
+                        / F.col("cohort_size").cast("double")))
+
+
+def session_path_ngrams(df: DataFrame, *, n: int = 3, top_k: int = 20,
+                        by: str = "user_id", order: str = "ts",
+                        tiebreak: str = "event_id",
+                        type_col: str = "event_type",
+                        session_col: str = "session_id") -> DataFrame:
+    """Top-k most common length-``n`` event-type sequences within
+    sessions (the "common paths" report).  Expects ``session_col``
+    already assigned (``operators.windows.sessionize``).
+
+    Implementation: n−1 ``lead()`` columns over ONE (by, session)
+    window — no per-session array materialization, no explode — then
+    a count groupBy on the concatenated path and a global top-k
+    (TakeOrdered, no full sort).  Ties rank deterministically by path
+    string.  Shuffle: one window exchange + one 8-byte-key agg.
+    """
+    w = (Window.partitionBy(by, session_col)
+         .orderBy(F.col(order), F.col(tiebreak)))
+    cols = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)]
+    grams = (df.withColumn("__path", F.concat_ws(">", *cols))
+               .withColumn("__last", F.lead(type_col, n - 1).over(w))
+               .filter(F.col("__last").isNotNull()))
+    return (grams.groupBy(F.col("__path").alias("path"))
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("path"))
+            .limit(top_k))

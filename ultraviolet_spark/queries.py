@@ -6262,6 +6262,128 @@ def q191(spark, sf_dir):
                       "overlap_start", "overlap_end", "overlap_secs")
 
 
+@q("q192_funnel_conversions", """
+WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+ck AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p  AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+vc AS (
+  SELECT v.user_id, v.event_id, v.ts,
+    (SELECT min(row(ck.ts, ck.event_id)) FROM ck
+      WHERE ck.user_id = v.user_id
+        AND (ck.ts, ck.event_id) > (v.ts, v.event_id)) AS c1
+  FROM v),
+vcp AS (
+  SELECT vc.*,
+    (SELECT min(row(p.ts, p.event_id)) FROM p
+      WHERE p.user_id = vc.user_id
+        AND (p.ts, p.event_id) > ((vc.c1)[1], (vc.c1)[2])) AS c2
+  FROM vc)
+SELECT user_id, event_id AS anchor_id, ts AS anchor_ts,
+  (c1)[1] AS step1_ts, (c2)[1] AS step2_ts,
+  coalesce(epoch_us((c2)[1]) - epoch_us(ts)
+             <= CAST(86400 AS BIGINT) * 1000000, false) AS converted,
+  CASE WHEN coalesce(epoch_us((c2)[1]) - epoch_us(ts)
+                       <= CAST(86400 AS BIGINT) * 1000000, false)
+       THEN (epoch_us((c2)[1]) - epoch_us(ts)) // 1000000 END
+    AS secs_to_convert
+FROM vcp
+""")
+def q192(spark, sf_dir):
+    """Ordered 3-step conversion funnel (view → click → purchase
+    within 24h, first-touch greedy chain) via backward struct-min
+    window chaining on ONE user exchange; the oracle replays the
+    greedy choice with tuple-min correlated subqueries — a wholly
+    different formulation of the same canonical chain."""
+    from ultraviolet_spark.operators.funnel import funnel_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel_conversions(ev, steps=["view", "click", "purchase"],
+                             horizon_secs=86400)
+    return out.select("user_id", "anchor_id", "anchor_ts",
+                      "step1_ts", "step2_ts", "converted",
+                      "secs_to_convert")
+
+
+@q("q193_cohort_retention", """
+WITH f AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id),
+e AS (
+  SELECT ev.user_id,
+    CAST(date_trunc('week', f.fts) AS DATE) AS cohort_week,
+    (CAST(date_trunc('week', ev.ts) AS DATE)
+       - CAST(date_trunc('week', f.fts) AS DATE)) // 7 AS week_offset
+  FROM events ev JOIN f USING (user_id)),
+a AS (SELECT cohort_week, week_offset,
+        count(DISTINCT user_id) AS active_users
+      FROM e GROUP BY 1, 2),
+s AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+      FROM e WHERE week_offset = 0 GROUP BY 1)
+SELECT CAST(a.cohort_week AS VARCHAR) AS cohort_week,
+  a.week_offset, a.active_users, s.cohort_size,
+  CAST(a.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+    AS retention
+FROM a JOIN s USING (cohort_week)
+""")
+def q193(spark, sf_dir):
+    """Cohort-retention matrix (cohort = Monday-truncated week of each
+    user's first event): week_offset is exact integer epoch-day
+    arithmetic (both ends week-truncated ⇒ the day gap is a multiple
+    of 7, the /7 is exact), retention one IEEE division of two exact
+    distinct counts — no intermediate rounding to diverge engines."""
+    from ultraviolet_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    # date → 'yyyy-MM-dd' string: pandas-side date dtypes differ
+    # between the two engines (object vs datetime64) even when the
+    # values agree, so the compare sees a canonical string
+    return cohort_retention(ev).select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset", "active_users", "cohort_size", "retention")
+
+
+@q("q194_session_path_trigrams", """
+WITH gp AS (
+  SELECT user_id, event_id, ts, event_type,
+    epoch_us(ts) - epoch_us(lag(ts) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts, event_type,
+    SUM(CASE WHEN gap_us IS NULL
+               OR CAST(gap_us AS DOUBLE) / 1e6 > 43200.0
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM gp),
+g AS (
+  SELECT event_type
+      || '>' || lead(event_type, 1) OVER w
+      || '>' || lead(event_type, 2) OVER w AS path,
+    lead(event_type, 2) OVER w AS e3
+  FROM s
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+SELECT path, count(*) AS n_occurrences
+FROM g WHERE e3 IS NOT NULL
+GROUP BY path
+ORDER BY n_occurrences DESC, path ASC
+LIMIT 20
+""")
+def q194(spark, sf_dir):
+    """Top-20 within-session event-type trigram paths (12h session
+    gap — ~3 events/session on this log; a 1h gap leaves ~1.1 and the
+    report near-vacuous): n−1 lead() columns over one (user, session)
+    window — no per-session array, no explode — then an 8-byte-key
+    count agg and a TakeOrdered top-k; the oracle re-derives session
+    ids from the gap rule and windows independently."""
+    from ultraviolet_spark.operators.funnel import session_path_ngrams
+    from ultraviolet_spark.operators.windows import sessionize
+
+    ev = sessionize(_t(spark, sf_dir, "events"), by="user_id",
+                    order="ts", gap_secs=43200.0, tiebreak="event_id")
+    return session_path_ngrams(ev, n=3, top_k=20).select(
+        "path", "n_occurrences")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
