@@ -307,3 +307,37 @@ def test_cap_per_domain_rejects_bad_cap(spark):
     df = spark.createDataFrame([(1, "d")], "doc_id long, domain string")
     with pytest.raises(ValueError):
         cap_per_domain(df, cap=0)
+
+
+def test_domain_boilerplate_strip_hand_case(spark):
+    from ultraviolet_spark.operators.corpus import domain_boilerplate_strip
+
+    rows = [
+        # domain a (4 docs): "NAV" on all 4 (stripped), "AD" on 2 of 4
+        # (0.5 ≥ 0.5 → stripped at the exact boundary), unique bodies
+        (1, "a", "NAV\nbody one\nAD"),
+        (2, "a", "NAV\nbody two\nAD"),
+        (3, "a", "NAV\nbody three"),
+        (4, "a", "NAV"),                      # all-chrome page survives
+        # domain b (2 docs < min_docs 3): untouched even though NAV
+        # repeats in both
+        (5, "b", "NAV\nbody five"),
+        (6, "b", "NAV"),
+        # domain c: within-doc duplicate of a boilerplate line — both
+        # copies stripped; duplicate of a kept line — both kept
+        (7, "c", "FOOT\nkeep\nkeep\nFOOT"),
+        (8, "c", "FOOT\nother"),
+        (9, "c", "FOOT\nthird"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.text_clean)
+           for r in domain_boilerplate_strip(
+               df, min_frac=0.5, min_docs=3).collect()}
+    assert got[1] == (3, 1, "body one")
+    assert got[3] == (2, 1, "body three")
+    assert got[4] == (1, 0, "")
+    assert got[5] == (2, 2, "NAV\nbody five")
+    assert got[6] == (1, 1, "NAV")
+    assert got[7] == (4, 2, "keep\nkeep")
+    assert got[8] == (2, 1, "other")
+    assert len(got) == 9

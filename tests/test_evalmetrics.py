@@ -70,3 +70,50 @@ def test_auc_separable_and_degenerate(spark):
     df1 = spark.createDataFrame([(1, 1), (2, 1)], "score long, is_pos int")
     assert roc_auc(df1, score_col="score",
                    label_col="is_pos").collect()[0]["auc"] is None
+
+
+def test_calibration_report_hand_case(spark):
+    from ultraviolet_spark.operators.evalmetrics import calibration_report
+
+    # bin 0: p=50000 twice, one positive → mean_p 0.05, frac_pos 0.5
+    # (p=100000 would land in bin 1 — the boundary belongs to the
+    # upper bin, floor semantics)
+    # bin 9: p=950000 twice, both positive → mean_p 0.95, frac_pos 1.0
+    rows = [(50_000, 0), (50_000, 1), (950_000, 1), (950_000, 1)]
+    df = spark.createDataFrame(rows, "p_micro long, label long")
+    out = {r.bin: r for r in calibration_report(
+        df, p_micro_col="p_micro", label_col="label").collect()}
+    assert set(out) == {0, 9}
+    assert out[0].mean_p == 0.05 and out[0].frac_pos == 0.5
+    assert out[9].mean_p == 0.95 and out[9].frac_pos == 1.0
+    want_brier = 50_000**2 + 950_000**2 + 2 * 50_000**2
+    assert out[0].brier_num == want_brier
+    assert abs(out[0].brier - want_brier / (4 * 1e12)) < 1e-15
+    # ece_num (cross-bin total): bin0 |1e5−1e6|=9e5; bin9 |1.9e6−2e6|=1e5
+    assert out[0].ece_num == 1_000_000
+    assert abs(out[0].ece - 1_000_000 / (4 * 1e6)) < 1e-15
+
+
+def test_calibration_report_python_reference(spark):
+    import random
+
+    from ultraviolet_spark.operators.evalmetrics import calibration_report
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(1_000_000), rng.randrange(2))
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "p_micro long, label long")
+    got = {r.bin: r for r in calibration_report(
+        df, p_micro_col="p_micro", label_col="label").collect()}
+    bins = {}
+    for p, y in rows:
+        b = min(p // 100_000, 9)
+        n, np_, sp = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, np_ + y, sp + p)
+    assert set(got) == set(bins)
+    brier_num = sum((p - 1_000_000 * y) ** 2 for p, y in rows)
+    ece_num = sum(abs(sp - 1_000_000 * np_) for _, np_, sp in bins.values())
+    for b, (n, np_, sp) in bins.items():
+        r = got[b]
+        assert (r.n, r.n_pos, r.sum_p_micro) == (n, np_, sp)
+        assert r.brier_num == brier_num and r.ece_num == ece_num

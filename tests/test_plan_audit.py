@@ -40,6 +40,7 @@ CROSS_OK = {
     "q176_cohens_kappa",  # 1-row broadcast pe-numerator frame
     "q178_jaro_winkler",  # bounded-vocab pair generation (blocked at scale)
     "q179_benford_audit",  # 1-row broadcast total-count frame
+    "q195_calibration_report",  # 1-row broadcast brier/ece totals frame
 }
 
 

@@ -49,3 +49,46 @@ def test_join_cardinality_empty_intersection(spark):
     got = join_cardinality(a, b, a_key="k").first()
     assert (got["join_rows"], got["matching_keys"],
             got["max_key_rows"]) == (0, 0, 0)
+
+
+def test_weighted_median_hand_case(spark):
+    from ultraviolet_spark.operators.stats import weighted_median
+
+    rows = [
+        # group a: values 1(w3), 2(w1), 10(w1): W=5, crossing at cum 3
+        ("a", 1.0, 3), ("a", 2.0, 1), ("a", 10.0, 1),
+        # group b: even W ties exactly at the boundary: 2*cum == W
+        # picks the LOWER value (1.0, cum 2 of W 4)
+        ("b", 1.0, 2), ("b", 5.0, 2),
+        # group c: repeated values merge before the window
+        ("c", 7.0, 1), ("c", 7.0, 1), ("c", 3.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {r.g: (r.w_total, r.weighted_median) for r in weighted_median(
+        df, value_col="v", weight_col="w", by="g").collect()}
+    assert got == {"a": (5, 1.0), "b": (4, 1.0), "c": (3, 7.0)}
+
+
+def test_weighted_median_python_reference(spark):
+    import random
+
+    from ultraviolet_spark.operators.stats import weighted_median
+
+    rng = random.Random(5)
+    rows = [(str(rng.randrange(4)), float(rng.randrange(100)),
+             rng.randrange(1, 9)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {r.g: (r.w_total, r.weighted_median) for r in weighted_median(
+        df, value_col="v", weight_col="w", by="g").collect()}
+    from collections import defaultdict
+    acc = defaultdict(lambda: defaultdict(int))
+    for g, v, w in rows:
+        acc[g][v] += w
+    for g, vw in acc.items():
+        W = sum(vw.values())
+        cum = 0
+        for v in sorted(vw):
+            cum += vw[v]
+            if 2 * cum >= W:
+                assert got[g] == (W, v), g
+                break

@@ -855,3 +855,61 @@ def universe_sample(df: DataFrame, fraction: float, *, key_col: str,
         F.concat(F.col(key_col).cast("string"), F.lit(salt)), "UTF-8")),
         1, 12), 16, 10).cast("long")
     return df.filter(u < F.lit(int(fraction * (16 ** 12))))
+
+
+def domain_boilerplate_strip(docs: DataFrame, *,
+                             domain_col: str = "source",
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_frac: float = 0.5, min_docs: int = 3,
+                             sep: str = "\n") -> DataFrame:
+    """PER-DOMAIN frequent-line boilerplate removal — the domain-
+    bucketed complement of :func:`line_dedup`'s corpus-wide rule (the
+    CCNet per-shard variant): a line is boilerplate for a domain when
+    it appears in ≥ ``min_frac`` of that domain's documents (domains
+    with < ``min_docs`` docs are left untouched — a 2-doc domain
+    can't vote).  Site chrome (nav, footers, cookie banners) repeats
+    within its site, not across the corpus, so the corpus-wide rule
+    both misses it (threshold diluted) and keeps one stray copy.
+
+    Returns ``(id, domain, n_lines, n_kept, text_clean)`` — one row
+    per input doc (never dropped, unlike line_dedup: an all-chrome
+    page surfaces with n_kept = 0 and empty text so the caller can
+    see WHAT was stripped).  Within-doc duplicate lines count once
+    for the vote but are each kept/stripped in place.
+
+    The frac test is exact integer arithmetic: ``df·1e6 ≥
+    round(min_frac·1e6)·n_docs`` — no float division at the decision
+    boundary.  Shuffles: one distinct + agg keyed (domain, line) —
+    hash-uniform in the line text — one broadcast-able join of the
+    boilerplate set (small: lines crossing a frequency floor), one
+    groupBy(id) reassembly.  Scale: per-domain chrome vocabulary is
+    bounded; no step is quadratic in docs or domains.
+    """
+    frac_micro = int(round(min_frac * 1_000_000))
+    lines = docs.select(
+        F.col(id_col).alias("__id"), F.col(domain_col).alias("__dom"),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("__pos", "__line"))
+    n_docs = docs.groupBy(F.col(domain_col).alias("__dom")).agg(
+        F.count("*").cast("long").alias("__nd"))
+    df_line = (lines.select("__dom", "__line", "__id").distinct()
+               .groupBy("__dom", "__line")
+               .agg(F.count("*").cast("long").alias("__df")))
+    boiler = (df_line.join(n_docs, "__dom")
+              .filter((F.col("__nd") >= min_docs)
+                      & (F.col("__df") * 1_000_000
+                         >= F.lit(frac_micro) * F.col("__nd")))
+              .select("__dom", "__line", F.lit(True).alias("__boiler")))
+    tagged = lines.join(boiler, ["__dom", "__line"], "left")
+    kept_struct = F.when(F.col("__boiler").isNull(),
+                         F.struct(F.col("__pos"), F.col("__line")))
+    out = (tagged.groupBy("__id", "__dom")
+           .agg(F.count("*").cast("long").alias("n_lines"),
+                F.count(kept_struct).cast("long").alias("n_kept"),
+                F.concat_ws(sep, F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["__line"])).alias("text_clean")))
+    return out.select(F.col("__id").alias(id_col),
+                      F.col("__dom").alias(domain_col),
+                      "n_lines", "n_kept", "text_clean")

@@ -80,3 +80,58 @@ def roc_auc(df: DataFrame, *, score_col: str, label_col: str) -> DataFrame:
         den.cast("long").alias("auc_den"),
         F.when(den != 0, num.cast("double") / den.cast("double"))
         .alias("auc"))
+
+
+def calibration_report(df: DataFrame, *, p_micro_col: str,
+                       label_col: str, bins: int = 10) -> DataFrame:
+    """Reliability diagram + Brier score + ECE (expected calibration
+    error) for a probabilistic classifier, all from EXACT integer
+    sufficient statistics.
+
+    ``p_micro_col`` is the predicted probability in integer
+    micro-units (0..1e6); ``label_col`` is 0/1.  Per fixed-width bin:
+    ``n``, ``n_pos``, ``sum_p_micro``, and the two IEEE ratios
+    ``mean_p`` / ``frac_pos``.  The overall scalars ride on every row:
+
+    * Brier numerator Σ(p_micro − 1e6·y)² is an exact int64 (≤ 1e12
+      per row), so ``brier = brier_num / (1e12·N)`` is one division.
+    * The ECE numerator exploits n_b·|mean_p − frac_pos| ==
+      |sum_p_micro_b − 1e6·n_pos_b| / 1e6 — per-bin ABSOLUTE GAPS ARE
+      EXACT INTEGERS, so the cross-bin sum is order-independent
+      (a float Σ over bins would be engine-order-dependent in its
+      last ULP) and ``ece = ece_num / (1e6·N)`` is one division.
+
+    One partial-agg shuffle on ≤``bins`` keys, one broadcast of the
+    1-row total — no window, no second pass over the data.
+    """
+    width = 1_000_000 // bins
+    p = F.col(p_micro_col).cast("long")
+    y = F.col(label_col).cast("long")
+    binned = df.select(
+        F.least(F.floor(p / F.lit(width)), F.lit(bins - 1))
+        .cast("long").alias("bin"),
+        p.alias("__p"), y.alias("__y"),
+        ((p - 1_000_000 * y) * (p - 1_000_000 * y)).alias("__sq"))
+    per = (binned.groupBy("bin")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("__y").cast("long").alias("n_pos"),
+                F.sum("__p").cast("long").alias("sum_p_micro"),
+                F.sum("__sq").cast("long").alias("__sq_sum")))
+    tot = per.agg(
+        F.sum("n").cast("long").alias("__N"),
+        F.sum(F.abs(F.col("sum_p_micro") - 1_000_000 * F.col("n_pos")))
+        .cast("long").alias("ece_num"),
+        F.sum("__sq_sum").cast("long").alias("brier_num"))
+    out = per.crossJoin(F.broadcast(tot))
+    return out.select(
+        "bin", "n", "n_pos", "sum_p_micro",
+        (F.col("sum_p_micro").cast("double")
+         / (F.col("n") * 1_000_000).cast("double")).alias("mean_p"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+        .alias("frac_pos"),
+        "brier_num", "ece_num",
+        (F.col("brier_num").cast("double")
+         / (F.col("__N") * F.lit(1_000_000_000_000)).cast("double"))
+        .alias("brier"),
+        (F.col("ece_num").cast("double")
+         / (F.col("__N") * 1_000_000).cast("double")).alias("ece"))

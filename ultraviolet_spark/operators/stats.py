@@ -249,3 +249,35 @@ def benford_digits(df: DataFrame, *, value_col: str) -> DataFrame:
         F.round(exp, 6).alias("expected"),
         F.round(F.pow(F.col("n_obs") - exp, F.lit(2.0)) / exp, 6)
         .alias("chi2_term"))
+
+
+def weighted_median(df: DataFrame, *, value_col: str, weight_col: str,
+                    by: str) -> DataFrame:
+    """Exact per-group LOWER weighted median: the smallest value v
+    with cumulative weight(≤v) ≥ ⌈W/2⌉, i.e. ``2·cum ≥ W`` in pure
+    integer arithmetic — no interpolation, no float weight sums, so
+    the pick is bit-identical cross-engine for integer weights.
+
+    Equal values are merged FIRST (one partial-agg shuffle on
+    (group, value) — map-side combine takes the sting out of repeated
+    values), then one cumulative window runs over the per-group
+    DISTINCT-value table only, and one min-of-struct aggregate picks
+    the crossing value — the full rows never sort globally.  Returns
+    ``(by, w_total, weighted_median)``.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("long")
+    per_v = (df.groupBy(F.col(by).alias(by), F.col(value_col).alias("__v"))
+             .agg(F.sum(w).alias("__w")))
+    win = (Window.partitionBy(by).orderBy("__v")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy(by)
+    cum = per_v.select(
+        by, "__v",
+        F.sum("__w").over(win).alias("__cum"),
+        F.sum("__w").over(tot).alias("__W"))
+    hit = cum.filter(2 * F.col("__cum") >= F.col("__W"))
+    return (hit.groupBy(by)
+            .agg(F.max("__W").cast("long").alias("w_total"),
+                 F.min("__v").alias("weighted_median")))

@@ -6384,6 +6384,144 @@ def q194(spark, sf_dir):
         "path", "n_occurrences")
 
 
+@q("q195_calibration_report", """
+WITH s AS (
+  SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           % 1000000 AS p,
+         CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 7, 6))::BIGINT
+                 % 1000000)
+              < (200000 + (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                             % 1000000) * 6 // 10) AS BIGINT) AS y
+  FROM documents),
+b AS (
+  SELECT least(p // 100000, 9) AS bin, count(*) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(p) AS BIGINT) AS sum_p_micro,
+         CAST(SUM((p - 1000000 * y) * (p - 1000000 * y)) AS BIGINT) AS sq
+  FROM s GROUP BY 1),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(abs(sum_p_micro - 1000000 * n_pos)) AS BIGINT) AS ece_num,
+         CAST(SUM(sq) AS BIGINT) AS brier_num
+  FROM b)
+SELECT bin, n, n_pos, sum_p_micro,
+  CAST(sum_p_micro AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean_p,
+  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+  brier_num, ece_num,
+  CAST(brier_num AS DOUBLE)
+    / CAST(n_total * CAST(1000000000000 AS BIGINT) AS DOUBLE) AS brier,
+  CAST(ece_num AS DOUBLE) / CAST(n_total * 1000000 AS DOUBLE) AS ece
+FROM b, t
+""")
+def q195(spark, sf_dir):
+    """Classifier calibration audit (reliability diagram + Brier +
+    ECE) over an md5-synthesized (probability, label) pair per doc —
+    label odds rise with p so the curve is non-trivial.  All sums are
+    exact int64: the per-bin |mean_p − frac_pos| gap times n_b equals
+    |Σp_micro − 1e6·n_pos| exactly, so the ECE numerator never sums
+    doubles across bins (engine-order-dependent in the last ULP)."""
+    from ultraviolet_spark.operators.evalmetrics import calibration_report
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    p = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 1_000_000
+    y2 = F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 1_000_000
+    base = d.select(
+        p.alias("p_micro"),
+        (y2 < (F.lit(200_000) + (p * 6 - (p * 6) % 10) / 10))
+        .cast("long").alias("label"))
+    return calibration_report(base, p_micro_col="p_micro",
+                              label_col="label", bins=10).select(
+        "bin", "n", "n_pos", "sum_p_micro", "mean_p", "frac_pos",
+        "brier_num", "ece_num", "brier", "ece")
+
+
+@q("q196_weighted_median", """
+WITH per_v AS (
+  SELECT l_returnflag AS rf, l_extendedprice AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT rf, v,
+    CAST(SUM(w) OVER (PARTITION BY rf ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum,
+    CAST(SUM(w) OVER (PARTITION BY rf) AS BIGINT) AS wt
+  FROM per_v)
+SELECT rf AS l_returnflag, CAST(max(wt) AS BIGINT) AS w_total,
+       min(v) AS weighted_median
+FROM c WHERE 2 * cum >= wt
+GROUP BY rf
+""")
+def q196(spark, sf_dir):
+    """Exact quantity-weighted LOWER median of extended price per
+    return flag: integer 2·cum ≥ W crossing rule over the per-group
+    distinct-value table (values merge before the window, full rows
+    never globally sort), no interpolation or float weight sums to
+    diverge engines."""
+    from ultraviolet_spark.operators.stats import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"))
+    return weighted_median(li, value_col="l_extendedprice",
+                           weight_col="qty", by="l_returnflag").select(
+        "l_returnflag", "w_total", "weighted_median")
+
+
+@q("q197_domain_boilerplate_strip", """
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+    CAST(SUM(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ad_n,
+    CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS promo_n
+  FROM documents GROUP BY source),
+f AS (
+  SELECT d.doc_id, d.source,
+    (s.n_docs >= 3) AS hdr_rm,
+    (s.n_docs >= 3 AND s.ad_n * 1000000 >= 600000 * s.n_docs) AS ad_rm,
+    (s.n_docs >= 3 AND s.promo_n * 1000000 >= 600000 * s.n_docs) AS promo_rm,
+    (d.doc_id % 4 <> 0) AS has_ad, (d.doc_id % 5 = 0) AS has_promo
+  FROM documents d JOIN s USING (source))
+SELECT doc_id, source,
+  2 + CAST(has_ad AS BIGINT) + CAST(has_promo AS BIGINT) AS n_lines,
+  CAST(NOT hdr_rm AS BIGINT) + 1
+    + CAST(has_ad AND NOT ad_rm AS BIGINT)
+    + CAST(has_promo AND NOT promo_rm AS BIGINT) AS n_kept,
+  concat_ws(chr(10),
+    CASE WHEN NOT hdr_rm THEN 'HDR ' || source END,
+    'BODY ' || CAST(doc_id AS VARCHAR),
+    CASE WHEN has_ad AND NOT ad_rm THEN 'AD ' || source END,
+    CASE WHEN has_promo AND NOT promo_rm THEN 'PROMO ' || source END)
+    AS text_clean
+FROM f
+""")
+def q197(spark, sf_dir):
+    """Per-domain frequent-line boilerplate removal (the CCNet
+    per-shard rule the corpus-wide line_dedup can't express: site
+    chrome repeats within its site, diluted corpus-wide): synthesized
+    pages carry a universal header (frac 1.0 → stripped), an 'AD'
+    footer on 3/4 of a domain's docs (≥0.6 → stripped), and a rare
+    'PROMO' line on 1/5 (kept); the oracle recomputes the per-domain
+    vote analytically and never splits a text."""
+    from ultraviolet_spark.operators.corpus import domain_boilerplate_strip
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("HDR "), F.col("source")),
+        F.concat(F.lit("BODY "), did),
+        F.when(F.col("doc_id") % 4 != 0,
+               F.concat(F.lit("AD "), F.col("source"))),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("PROMO "), F.col("source"))))
+    pages = d.select("doc_id", "source", text.alias("text"))
+    return domain_boilerplate_strip(
+        pages, domain_col="source", text_col="text", id_col="doc_id",
+        min_frac=0.6, min_docs=3).select(
+        "doc_id", "source", "n_lines", "n_kept", "text_clean")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
