@@ -296,3 +296,74 @@ def test_pq_adc_recall_vs_exact_l2(emb, emb_np):
                        exclude_id=0).collect()]
     assert len(set(got) & set(exact10)) / 10 >= 0.3
     assert len(set(got) & set(exact50)) / 10 >= 0.9
+
+
+def test_sparse_cosine_pairs_hand_case(spark):
+    from ultraviolet_spark.operators.similarity import sparse_cosine_pairs
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),      # identical → cosine 1.0
+        (3, "delta epsilon zeta"),    # disjoint → NO pair at all
+        (4, "alpha alpha beta"),      # partial overlap with 1/2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r for r in sparse_cosine_pairs(
+        df, threshold=0.0).collect()}
+    assert abs(got[(1, 2)].cosine - 1.0) < 1e-12 and got[(1, 2)].dot == 3
+    assert (1, 3) not in got and (2, 3) not in got and (3, 4) not in got
+    # doc4 tf = {alpha:2, beta:1}: dot with doc1 = 2+1 = 3,
+    # norms 3 and 5 → cosine 3/sqrt(15)
+    import math
+    assert got[(1, 4)].dot == 3
+    assert abs(got[(1, 4)].cosine - 3 / math.sqrt(15)) < 1e-12
+
+
+def test_sparse_cosine_max_df_lower_bound(spark):
+    from ultraviolet_spark.operators.similarity import sparse_cosine_pairs
+
+    # 'the' appears in all 3 docs; with max_df=2 it can't pair, but
+    # still counts in the norms → capped cosine ≤ uncapped cosine
+    rows = [(1, "the cat"), (2, "the cat"), (3, "the dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.id_a, r.id_b): r.cosine for r in sparse_cosine_pairs(
+        df, threshold=0.0).collect()}
+    capped = {(r.id_a, r.id_b): r.cosine for r in sparse_cosine_pairs(
+        df, threshold=0.0, max_df=2).collect()}
+    assert abs(full[(1, 2)] - 1.0) < 1e-12
+    assert abs(full[(1, 3)] - 0.5) < 1e-12
+    assert abs(capped[(1, 2)] - 0.5) < 1e-12  # only 'cat' pairs; norms full
+    assert (1, 3) not in capped           # 'the' was their only link
+    for k, v in capped.items():
+        assert v <= full[k] + 1e-15
+
+
+def test_sparse_cosine_python_reference(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from ultraviolet_spark.operators.similarity import sparse_cosine_pairs
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(5, 25))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.dot, r.cosine)
+           for r in sparse_cosine_pairs(df, threshold=0.3).collect()}
+    tfs = {i: Counter(t.split()) for i, t in rows}
+    want = {}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            dot = sum(c * tfs[j][w] for w, c in tfs[i].items())
+            if dot == 0:
+                continue
+            cos = dot / (math.sqrt(sum(c * c for c in tfs[i].values()))
+                         * math.sqrt(sum(c * c for c in tfs[j].values())))
+            if cos >= 0.3:
+                want[(i, j)] = (dot, cos)
+    assert set(got) == set(want) and len(want) > 5
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-12

@@ -291,3 +291,41 @@ def test_hreflang_positional_zip_and_cluster_key(spark):
     assert {r["cluster_key"] for r in rows} == {"https://e.com/de"}
     # page with no alternates emits no rows
     assert all(r["doc_id"] == 7 for r in rows)
+
+
+def test_discover_tracking_params(spark):
+    from ultraviolet_spark.operators.urls import discover_tracking_params
+
+    rows = [
+        # 'clid' unique per occurrence across 3 hosts → flagged
+        ("https://a.com/x?clid=111&page=1",),
+        ("https://b.com/x?clid=222&page=1",),
+        ("https://c.com/x?clid=333&page=2",),
+        # 'sess' unique values but single host → NOT flagged
+        ("https://a.com/y?sess=s1",),
+        ("https://a.com/z?sess=s2",),
+        ("https://a.com/w?sess=s3",),
+        # no query at all → contributes nothing
+        ("https://d.com/plain",),
+        # value-less param and empty segment tolerated
+        ("https://b.com/q?flash&&clid=444",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r.param: (r.occurrences, r.value_ndv, r.n_domains, r.flagged)
+           for r in discover_tracking_params(df).collect()}
+    assert got["clid"] == (4, 4, 3, True)
+    assert got["page"] == (3, 2, 3, False)   # 2 ndv < 0.8·3 occurrences
+    assert got["sess"] == (3, 3, 1, False)   # unique values, one host
+    assert got["flash"] == (1, 1, 1, False)
+    assert set(got) == {"clid", "page", "sess", "flash"}
+
+
+def test_discover_tracking_params_boundary(spark):
+    from ultraviolet_spark.operators.urls import discover_tracking_params
+
+    # exactly ndv·1e6 == frac·occ at 4/5 = 0.8 → flagged (closed bound)
+    rows = [(f"https://h{i % 3}.com/?k=v{i if i < 4 else 0}",)
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "url string")
+    r, = discover_tracking_params(df, ndv_frac=0.8).collect()
+    assert (r.occurrences, r.value_ndv) == (5, 4) and r.flagged

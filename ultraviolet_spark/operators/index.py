@@ -110,3 +110,53 @@ def postings_compression_stats(postings: DataFrame) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_docs"),
                  (F.count("*") * 8).cast("long").alias("raw_bytes"),
                  F.sum(nbytes).alias("varint_bytes")))
+
+
+def rrf_fuse(rankings, *, id_col: str = "doc_id",
+             score_col: str = "score", by: str | None = None,
+             k: int = 60, top_k: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of several
+    retrieval rankings — the standard way to merge BM25 with an
+    embedding ranker without score calibration: each list contributes
+    ``1/(k + rank)`` per doc and the fused order is the sum.
+
+    Determinism discipline: each contribution is the EXACT integer
+    ``1e9 div (k + rank)`` (nano-units) and the cross-list sum is
+    integer — a float Σ over ≥3 lists is engine-order-dependent in
+    its last ULP.  Ranks are row_number over (score desc, id asc), so
+    score ties are deterministic too.  Returns ``([by,] id, n_lists,
+    rrf_nano, rrf)`` where ``rrf`` is the nano count paid back out as
+    one double division.
+
+    Scale: rank windows partition by ``by`` (the query key) — fusing
+    per-query candidate lists, each bounded by the upstream top-N.
+    With ``by=None`` the window is global: fine for single-query /
+    corpus-ranking use, not for a 10^9-query batch (pass the query
+    column).  The fuse itself is one union + one 8-byte-key agg.
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for r in rankings:
+        w = (Window.partitionBy(by) if by is not None
+             else Window.partitionBy())
+        w = w.orderBy(F.desc(score_col), F.asc(id_col))
+        keep = ([by] if by is not None else []) + [id_col]
+        parts.append(r.select(*keep, F.row_number().over(w)
+                              .alias("__rank")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    contrib = (F.lit(1_000_000_000) - F.lit(1_000_000_000)
+               % (F.lit(k) + F.col("__rank"))) / (F.lit(k)
+                                                  + F.col("__rank"))
+    grouped = ([by] if by is not None else []) + [id_col]
+    out = (u.groupBy(*grouped)
+           .agg(F.count("*").cast("long").alias("n_lists"),
+                F.sum(contrib.cast("long")).cast("long")
+                .alias("rrf_nano")))
+    out = out.withColumn(
+        "rrf", F.col("rrf_nano").cast("double") / F.lit(1e9))
+    out = out.orderBy(F.desc("rrf_nano"),
+                      *[F.asc(c) for c in grouped])
+    return out.limit(top_k) if top_k else out

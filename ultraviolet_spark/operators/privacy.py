@@ -1,0 +1,66 @@
+"""Privacy audits for release candidates — k-anonymity and
+l-diversity over quasi-identifier combinations (Sweeney 2002;
+Machanavajjhala et al. 2007, both public).  The PII regex scrubbers
+(`operators/textstats.py`) remove direct identifiers; this measures
+the RE-IDENTIFICATION surface that survives them: a row is exposed
+when its quasi-identifier combination is shared by fewer than k rows
+(linkage attack), or when everyone in its class shares the same
+sensitive value (homogeneity attack — k-anonymous yet fully
+disclosing).
+
+Pure aggregation: one partial-agg shuffle keyed by the quasi combo
+(map-side combine collapses the common classes at the scan), one
+exact COUNT DISTINCT for l.  Quasi-combo cardinality is the product
+of the generalized attribute domains — the caller generalizes
+(bucket ages, truncate timestamps to the hour) BEFORE auditing, so
+the key space is bounded by design, not by the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity(df: DataFrame, *, quasi_cols: Sequence[str],
+                sensitive_col: str, k: int = 5,
+                l_min: int = 2) -> DataFrame:
+    """Per-equivalence-class audit: one row per distinct quasi-
+    identifier combination with ``class_size``, ``l_diversity``
+    (exact distinct sensitive values), ``at_risk_k`` (class smaller
+    than k) and ``at_risk_l`` (fewer than ``l_min`` distinct
+    sensitive values — the homogeneity attack k-anonymity alone
+    misses).  NULL quasi values form their own class (NULL is a
+    disclosure-relevant value, not an excuse)."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count("*").cast("long").alias("class_size"),
+                 F.countDistinct(sensitive_col).cast("long")
+                 .alias("l_diversity"))
+            .withColumn("at_risk_k", F.col("class_size") < k)
+            .withColumn("at_risk_l", F.col("l_diversity") < l_min))
+
+
+def k_anonymity_summary(df: DataFrame, *, quasi_cols: Sequence[str],
+                        sensitive_col: str, k: int = 5,
+                        l_min: int = 2) -> DataFrame:
+    """One-row release gate: ``k_min`` (the dataset's actual
+    k-anonymity level = smallest class), ``n_classes``, the at-risk
+    class/row counts for both attacks, and ``frac_rows_at_risk`` —
+    one IEEE division of two exact counts."""
+    per = k_anonymity(df, quasi_cols=quasi_cols,
+                      sensitive_col=sensitive_col, k=k, l_min=l_min)
+    risk = F.col("at_risk_k") | F.col("at_risk_l")
+    return per.agg(
+        F.min("class_size").cast("long").alias("k_min"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("at_risk_k"), 1).otherwise(0))
+        .cast("long").alias("n_classes_at_risk_k"),
+        F.sum(F.when(F.col("at_risk_l"), 1).otherwise(0))
+        .cast("long").alias("n_classes_at_risk_l"),
+        F.sum(F.when(risk, F.col("class_size")).otherwise(0))
+        .cast("long").alias("n_rows_at_risk"),
+        (F.sum(F.when(risk, F.col("class_size")).otherwise(0))
+         .cast("double") / F.sum("class_size").cast("double"))
+        .alias("frac_rows_at_risk"))

@@ -449,3 +449,65 @@ def pq_adc_topk(df: DataFrame, codebooks: np.ndarray,
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
     return out.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
+
+
+def sparse_cosine_pairs(docs: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
+    """EXACT tf-weighted cosine similarity pairs through the inverted
+    index (the Bayardo/AllPairs sparse-vector family) — the sparse
+    complement of the dense-embedding :func:`cosine_dup_pairs`: docs
+    are bag-of-words tf vectors, and pairs meet only on the tokens
+    they share, so disjoint docs cost NOTHING (a dense all-pairs scan
+    prices every pair).
+
+    Candidate volume is Σ_t df_t² — dominated by stop-words, so
+    ``max_df`` drops tokens appearing in more than that many docs
+    from PAIRING (ubiquitous, no signal).  Their tf still counts in
+    the norms, so the capped cosine is a strict LOWER BOUND of the
+    full-vector cosine: the cap can only remove stop-word-inflated
+    pairs, never invent one.  With the cap the shape is
+    corpus-linear per token-bucket and hash-uniform — the 100 TB
+    shuffle is the token equi-join, never docs².
+
+    Determinism: dot products and squared norms are exact int64
+    (integer tf), and ``cosine = dot / (sqrt(na²)·sqrt(nb²))`` is the
+    same correctly-rounded IEEE op sequence on any engine — no float
+    accumulation order anywhere.  Returns ``(id_a, id_b, dot,
+    norm_sq_a, norm_sq_b, cosine)`` with ``id_a < id_b``.
+    """
+    toks = (docs.select(F.col(id_col).alias("__id"),
+                        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                          r"\s+")).alias("__t"))
+            .filter(F.col("__t") != ""))
+    tf = toks.groupBy("__id", "__t").agg(
+        F.count("*").cast("long").alias("__tf"))
+    norms = tf.groupBy("__id").agg(
+        F.sum(F.col("__tf") * F.col("__tf")).cast("long").alias("__n2"))
+    pairing = tf
+    if max_df is not None:
+        dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+        pairing = (tf.join(dfreq.filter(F.col("__df") <= max_df)
+                           .select("__t"), "__t"))
+    a = pairing.select(F.col("__id").alias("__ia"), "__t",
+                       F.col("__tf").alias("__tfa"))
+    b = pairing.select(F.col("__id").alias("__ib"), "__t",
+                       F.col("__tf").alias("__tfb"))
+    dots = (a.join(b, "__t")
+            .filter(F.col("__ia") < F.col("__ib"))
+            .groupBy("__ia", "__ib")
+            .agg(F.sum(F.col("__tfa") * F.col("__tfb"))
+                 .cast("long").alias("dot")))
+    na = norms.select(F.col("__id").alias("__ia"),
+                      F.col("__n2").alias("norm_sq_a"))
+    nb = norms.select(F.col("__id").alias("__ib"),
+                      F.col("__n2").alias("norm_sq_b"))
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("norm_sq_a").cast("double"))
+              * F.sqrt(F.col("norm_sq_b").cast("double"))))
+    return (dots.join(na, "__ia").join(nb, "__ib")
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("__ia").alias("id_a"),
+                    F.col("__ib").alias("id_b"),
+                    "dot", "norm_sq_a", "norm_sq_b", "cosine"))

@@ -436,3 +436,51 @@ def bitext_candidates(df: DataFrame, *, url_col: str = "url",
             .withColumn("len_ratio", F.round(ratio, 6))
             .select("stem", "src_id", "tgt_id", "src_chars",
                     "tgt_chars", "len_ratio"))
+
+
+def discover_tracking_params(df: DataFrame, *, url_col: str = "url",
+                             min_domains: int = 3,
+                             ndv_frac: float = 0.8) -> DataFrame:
+    """DATA-DRIVEN tracking-parameter discovery — the complement of
+    :func:`normalize_url`'s fixed utm/fbclid strip list: a query
+    parameter is a tracking/session candidate when its values are
+    (nearly) unique per occurrence (session ids, click ids, cache
+    busters) AND it spans several domains — a content parameter
+    (page=3, lang=en) re-uses a small value set, and a single-site
+    id param is that site's routing, not ecosystem-wide tracking.
+
+    Flag rule, exact integer arithmetic at the boundary:
+    ``value_ndv · 1e6 ≥ round(ndv_frac·1e6) · occurrences`` and
+    ``n_domains ≥ min_domains``.  Returns one row per parameter key:
+    ``(param, occurrences, value_ndv, n_domains, flagged)``.
+
+    Scale: explode is scan-stage (parse_url + split); the only
+    shuffle is the per-param agg — parameter-key cardinality is tiny
+    next to the corpus, and the two COUNT DISTINCTs are per-key
+    exact (swap for approx_count_distinct at 10^12 URLs if ±2 % is
+    acceptable; the flag boundary rarely sits that close).
+    """
+    frac_micro = int(round(ndv_frac * 1_000_000))
+    q = F.parse_url(F.col(url_col), F.lit("QUERY"))
+    h = F.parse_url(F.col(url_col), F.lit("HOST"))
+    kv = (df.filter(q.isNotNull() & (q != ""))
+          .select(h.alias("__host"),
+                  F.explode(F.split(q, "&")).alias("__kv"))
+          .filter(F.col("__kv") != "")
+          .select("__host",
+                  F.split(F.col("__kv"), "=", 2).getItem(0)
+                  .alias("param"),
+                  # F.get, not getItem: a value-less param ("?flash")
+                  # splits to a 1-element array and getItem(1) THROWS
+                  # under ANSI mode instead of returning NULL
+                  F.coalesce(F.get(F.split(F.col("__kv"), "=", 2), 1),
+                             F.lit("")).alias("__val")))
+    agg = (kv.groupBy("param")
+           .agg(F.count("*").cast("long").alias("occurrences"),
+                F.countDistinct("__val").cast("long").alias("value_ndv"),
+                F.countDistinct("__host").cast("long")
+                .alias("n_domains")))
+    flagged = ((F.col("value_ndv") * 1_000_000
+                >= F.lit(frac_micro) * F.col("occurrences"))
+               & (F.col("n_domains") >= min_domains))
+    return agg.withColumn("flagged", flagged)

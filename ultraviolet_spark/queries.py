@@ -6522,6 +6522,162 @@ def q197(spark, sf_dir):
         "doc_id", "source", "n_lines", "n_kept", "text_clean")
 
 
+@q("q198_sparse_cosine_pairs", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),
+norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+keep AS (
+  SELECT t FROM tf GROUP BY t HAVING count(*) <= 400),
+p AS (SELECT tf.* FROM tf JOIN keep USING (t)),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM p a JOIN p b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d.id_a, d.id_b, d.dot,
+  na.n2 AS norm_sq_a, nb.n2 AS norm_sq_b,
+  CAST(d.dot AS DOUBLE)
+    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+    AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE CAST(d.dot AS DOUBLE)
+    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.8
+""")
+def q198(spark, sf_dir):
+    """Exact tf-weighted sparse cosine pairs through the inverted
+    index (AllPairs family; the sparse complement of the dense
+    embedding near-dup): pairs meet only on shared tokens, df>400
+    stop-tokens (80% of this 500-doc corpus) drop out of pairing
+    (lower-bound cosine — the cap can only remove stop-word-inflated
+    pairs, never invent one), dot/norms exact int64 and one
+    deterministic IEEE op sequence for the ratio."""
+    from ultraviolet_spark.operators.similarity import sparse_cosine_pairs
+
+    return sparse_cosine_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8,
+        max_df=400).select(
+        "id_a", "id_b", "dot", "norm_sq_a", "norm_sq_b", "cosine")
+
+
+@q("q199_discover_tracking_params", """
+WITH base AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sid
+  FROM documents),
+stats AS (
+  SELECT 'sid' AS param, count(*) AS occurrences,
+         count(DISTINCT sid) AS value_ndv,
+         count(DISTINCT source) AS n_domains
+  FROM base
+  UNION ALL
+  SELECT 'page', count(*), count(DISTINCT doc_id % 5),
+         count(DISTINCT source)
+  FROM base
+  UNION ALL
+  SELECT 'ref', count(*), count(DISTINCT source), count(DISTINCT source)
+  FROM base WHERE doc_id % 3 = 0)
+SELECT param, occurrences, value_ndv, n_domains,
+  (value_ndv * 1000000 >= 800000 * occurrences AND n_domains >= 3)
+    AS flagged
+FROM stats
+""")
+def q199(spark, sf_dir):
+    """Data-driven tracking-param discovery over synthesized URLs
+    (per-doc unique 'sid' → flagged; 5-value 'page' and site-echo
+    'ref' → kept): values unique per occurrence AND spanning ≥3
+    domains, integer-exact at the flag boundary; the oracle
+    recomputes every count from the synthesis formula and never
+    parses a URL."""
+    from ultraviolet_spark.operators.urls import discover_tracking_params
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+        did, F.lit("?sid="), F.md5(did),
+        F.lit("&page="), (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("&ref="), F.col("source")))
+        .otherwise(F.lit("")))
+    pages = d.select(url.alias("url"))
+    return discover_tracking_params(pages).select(
+        "param", "occurrences", "value_ndv", "n_domains", "flagged")
+
+
+@q("q200_k_anonymity_audit", """
+WITH cls AS (
+  SELECT user_id % 50 AS age_bucket, event_type,
+         count(*) AS class_size,
+         count(DISTINCT json_extract_string(props, '$.k'))
+           AS l_diversity
+  FROM events GROUP BY 1, 2)
+SELECT age_bucket, event_type,
+  CAST(class_size AS BIGINT) AS class_size,
+  CAST(l_diversity AS BIGINT) AS l_diversity,
+  class_size < 5 AS at_risk_k,
+  l_diversity < 2 AS at_risk_l
+FROM cls
+""")
+def q200(spark, sf_dir):
+    """k-anonymity / l-diversity audit of the event log under the
+    quasi-identifier pair (bucketed user id, event type) with the
+    JSON props key as the sensitive attribute: per-equivalence-class
+    sizes, exact distinct-sensitive counts, and both at-risk flags
+    (the homogeneity attack k alone misses)."""
+    from ultraviolet_spark.operators.privacy import k_anonymity
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("age_bucket"),
+        "event_type",
+        F.get_json_object("props", "$.k").alias("sens"))
+    return k_anonymity(ev, quasi_cols=["age_bucket", "event_type"],
+                       sensitive_col="sens").select(
+        "age_bucket", "event_type", "class_size", "l_diversity",
+        "at_risk_k", "at_risk_l")
+
+
+@q("q201_rrf_fusion", """
+WITH a AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+    AS r FROM documents),
+b AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      DESC, doc_id ASC) AS r
+  FROM documents),
+u AS (SELECT doc_id, r FROM a UNION ALL SELECT doc_id, r FROM b),
+f AS (
+  SELECT doc_id, count(*) AS n_lists,
+         CAST(SUM(1000000000 // (60 + r)) AS BIGINT) AS rrf_nano
+  FROM u GROUP BY doc_id)
+SELECT doc_id, n_lists, rrf_nano,
+       CAST(rrf_nano AS DOUBLE) / 1e9 AS rrf
+FROM f ORDER BY rrf_nano DESC, doc_id ASC LIMIT 20
+""")
+def q201(spark, sf_dir):
+    """Reciprocal-rank fusion of a length ranking with an md5-derived
+    pseudo-relevance ranking (the calibration-free way to merge BM25
+    with an embedding ranker): every 1/(60+rank) contribution is the
+    exact integer 1e9 div (60+rank) so the cross-list sum never adds
+    doubles in engine-dependent order; ties rank by doc_id."""
+    from ultraviolet_spark.operators.index import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    rank_a = d.select("doc_id", F.col("n_chars").alias("score"))
+    rank_b = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long").alias("score"))
+    return rrf_fuse([rank_a, rank_b], top_k=20).select(
+        "doc_id", "n_lists", "rrf_nano", "rrf")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
