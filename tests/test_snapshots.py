@@ -182,3 +182,33 @@ def test_expire_snapshots_retention(spark, tmp_path):
     # next write continues the id sequence
     s = fmt.write(spark.range(5), "t", stage="s3", inputs_fp="3")
     assert s.snapshot_id == 3
+
+
+def test_read_evolved_merges_generations(spark, tmp_path):
+    from ultraviolet_spark.plans.snapshots import read_evolved
+
+    root = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, source string"
+    ).write.parquet(f"{root}/gen=1")
+    spark.createDataFrame(
+        [(3, "c", 7)], "id long, source string, quality long"
+    ).write.parquet(f"{root}/gen=2")
+
+    df = read_evolved(spark, root, required=["quality", "gen"])
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(df.columns) == {"id", "source", "quality", "gen"}
+    # pre-evolution rows surface exact NULLs, not defaults
+    assert rows[1]["quality"] is None and rows[2]["quality"] is None
+    assert rows[3]["quality"] == 7
+    # partition discovery surfaces the generation
+    assert rows[1]["gen"] == 1 and rows[3]["gen"] == 2
+
+
+def test_read_evolved_required_missing_raises(spark, tmp_path):
+    from ultraviolet_spark.plans.snapshots import read_evolved
+
+    root = str(tmp_path / "pre_evolution")
+    spark.createDataFrame([(1,)], "id long").write.parquet(f"{root}/gen=1")
+    with pytest.raises(ValueError, match="quality"):
+        read_evolved(spark, root, required=["quality"])

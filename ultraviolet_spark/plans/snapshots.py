@@ -383,3 +383,41 @@ def run_stage(spark: SparkSession, fmt: ParquetSnapshotFormat, table: str,
     # read back by the id we just wrote — never "latest", which could be
     # a concurrent writer's snapshot in a shared warehouse (ADVICE r1)
     return fmt.read(spark, table, written.snapshot_id), False
+
+
+def read_evolved(spark: SparkSession, path: str, *,
+                 required: list[str] | None = None) -> DataFrame:
+    """Schema-evolution-aware parquet scan over a directory written in
+    multiple schema GENERATIONS (a long-lived crawl table accretes
+    columns: lang-ID added in month 3, quality score in month 7, ...).
+
+    Plain ``spark.read.parquet`` samples ONE footer for the schema, so
+    whether a later-generation column exists in the result depends on
+    which file the sampler happened to pick — a silent, nondeterministic
+    column loss.  This scan turns on footer merging (``mergeSchema``),
+    which unions all file schemas (later-generation columns come back
+    NULL for files written before the column existed) and fails loudly
+    on true type conflicts instead of picking a winner.
+
+    ``required`` adds an explicit post-merge presence check: a pipeline
+    that NEEDS ``quality_bucket`` should die with a clear message when
+    pointed at a pre-evolution directory, not propagate a missing-column
+    AnalysisException from deep inside a 40-stage plan.
+
+    Directory layout ``<path>/gen=<k>/...`` additionally surfaces the
+    generation as a partition column via Spark's partition discovery —
+    free partition pruning on generation, zero data rewrite.
+
+    Scale: footer merging is metadata-only (driver reads footers, a
+    distributed job over file listings for large tables via
+    ``spark.sql.parquet.mergeSchema`` machinery); no data pass, no
+    shuffle.  At 10^12 docs the cost is one footer per file, identical
+    to the schema sampling a plain read already does per partition.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    missing = [c for c in (required or []) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"evolved table at {path} is missing required column(s) "
+            f"{missing}; merged schema has {df.columns}")
+    return df

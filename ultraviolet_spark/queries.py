@@ -6678,6 +6678,51 @@ def q201(spark, sf_dir):
         "doc_id", "n_lists", "rrf_nano", "rrf")
 
 
+@q("q202_schema_evolution_scan", """
+SELECT source,
+  count(*) AS n_rows,
+  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_evolved,
+  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN doc_id % 10 END) AS BIGINT)
+    AS quality_total,
+  CAST(MIN(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT)
+    AS min_gen
+FROM documents GROUP BY 1
+""")
+def q202(spark, sf_dir):
+    """Schema-evolution conformance: documents are re-written as two
+    parquet GENERATIONS under one table root (gen=1 lacks the
+    ``quality_bucket`` column that gen=2 adds), read back through the
+    footer-merging evolved scan, and aggregated per source.  On the
+    hook: the merged schema must contain the late column, pre-evolution
+    rows must surface exact NULLs for it (n_evolved counts non-nulls),
+    the ``gen`` partition column must be discovered from the directory
+    layout (min_gen), and no row or value may be lost across the file
+    boundary.  A plain single-footer read would nondeterministically
+    drop ``quality_bucket`` entirely.  The oracle recomputes everything
+    from documents and never sees the evolved directory."""
+    import tempfile
+
+    from ultraviolet_spark.plans.snapshots import read_evolved
+
+    root = tempfile.mkdtemp(prefix="uv_q202_")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    g1 = docs.filter(F.col("doc_id") % 2 == 0)
+    g2 = (docs.filter(F.col("doc_id") % 2 == 1)
+          .withColumn("quality_bucket", (F.col("doc_id") % 10)))
+    g1.write.mode("overwrite").parquet(f"{root}/gen=1")
+    g2.write.mode("overwrite").parquet(f"{root}/gen=2")
+    merged = read_evolved(spark, root, required=["quality_bucket", "gen"])
+    return (merged.groupBy("source")
+            .agg(F.count("*").alias("n_rows"),
+                 F.count("quality_bucket").cast("long").alias("n_evolved"),
+                 F.sum("n_chars").cast("long").alias("chars_total"),
+                 F.sum("quality_bucket").cast("long").alias("quality_total"),
+                 F.min("gen").cast("long").alias("min_gen")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
