@@ -72,3 +72,50 @@ def test_with_unicode_host_prefilter_and_results(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_confusable_skeleton_mapping(spark):
+    from ultraviolet_spark.operators.idn import (_CONF_DST, _CONF_SRC,
+                                                 confusable_skeleton)
+    from pyspark.sql import functions as F
+
+    assert len(_CONF_SRC) == len(_CONF_DST)  # translate is positional 1:1
+    rows = [("pаypal.com",), ("gооgle.com",), ("app1e.com",),
+            ("amazοn.com",), ("PayPal.com",), ("xn--plain.example",)]
+    df = spark.createDataFrame(rows, "host string").select(
+        "host", confusable_skeleton(F.col("host")).alias("sk"))
+    got = {r["host"]: r["sk"] for r in df.collect()}
+    assert got["pаypal.com"] == "paypal.com"      # Cyrillic а
+    assert got["gооgle.com"] == "google.com"      # Cyrillic о×2
+    assert got["app1e.com"] == "apple.com"        # digit 1
+    assert got["amazοn.com"] == "amazon.com"      # Greek ο
+    assert got["PayPal.com"] == "paypal.com"      # case-folded first
+    assert got["xn--plain.example"] == "xn--plain.example"
+
+
+def test_spoof_report_flags_and_broadcast_plan(spark):
+    from ultraviolet_spark.operators.idn import spoof_report
+
+    rows = [(1, "pаypal.com"), (2, "paypal.com"), (3, "other.example"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "id long, host string")
+    rep = spoof_report(df, ["paypal.com", "google.com"])
+    got = {r["id"]: r for r in rep.collect()}
+    assert got[1]["matched_brand"] == "paypal.com" and got[1]["is_spoof"]
+    # exact brand hit: matched but NOT a spoof (the false-positive trap)
+    assert got[2]["matched_brand"] == "paypal.com" and not got[2]["is_spoof"]
+    assert got[3]["matched_brand"] is None and not got[3]["is_spoof"]
+    assert got[4]["skeleton"] is None and not got[4]["is_spoof"]
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # brand side never shuffles pages
+
+
+def test_spoof_report_brand_skeleton_collision_raises(spark):
+    import pytest
+
+    from ultraviolet_spark.operators.idn import spoof_report
+
+    df = spark.createDataFrame([(1, "x.com")], "id long, host string")
+    # 'app1e.com' and 'apple.com' fold to the same skeleton
+    with pytest.raises(ValueError, match="colliding"):
+        spoof_report(df, ["apple.com", "app1e.com"])

@@ -139,3 +139,66 @@ def with_unicode_host(df: DataFrame, *, host_col: str = "host",
               .withColumn(out_col,
                           F.when(is_idn, idn_decode_udf(F.lower(h)))
                            .otherwise(F.lower(h))))
+
+
+# --- homograph / confusable-skeleton spoof detection (UTS #39 style) ---
+#
+# A curated single-code-point confusable map (the high-traffic subset of
+# Unicode UTS #39 confusables.txt: Cyrillic and Greek letters that render
+# identically to Basic Latin in common UI fonts, plus the two classic
+# ASCII typosquat digits).  Single code points only — Spark's
+# ``translate`` is a 1:1 code-point substitution evaluated entirely in
+# the JVM (whole-stage codegen, no Python) — so multi-char confusables
+# like ``rn``→``m`` are out of scope here (documented limitation; they
+# need a regexp pass and are far rarer in registered homograph attacks).
+_CONF_SRC = (
+    "аеорсухіјѕ"   # Cyrillic lookalikes of a e o p c y x i j s
+    "ԛԝһԁѵ"        # Cyrillic lookalikes of q w h d v
+    "ονρικχυ"      # Greek lookalikes of o v p i k x u
+    "ıℓ"           # dotless i, script ell
+    "01")          # classic typosquat digits
+_CONF_DST = "aeopcyxijs" + "qwhdv" + "ovpikxu" + "il" + "ol"
+
+
+def confusable_skeleton(col: Column) -> Column:
+    """Lower-cased confusable skeleton of a hostname: every code point
+    in the curated confusable set collapses to its Basic Latin target,
+    so two strings that LOOK identical compare equal.  Pure Catalyst
+    (``translate`` + ``lower``) — runs in whole-stage codegen, never
+    leaves the JVM."""
+    return F.translate(F.lower(col), _CONF_SRC, _CONF_DST)
+
+
+def spoof_report(df: DataFrame, brands: list[str], *,
+                 host_col: str = "host") -> DataFrame:
+    """Flag hosts whose confusable skeleton collides with a protected
+    brand domain while the host itself is NOT that brand — the IDN
+    homograph attack (``xn--pypal-4ve.com`` renders as ``pаypal.com``).
+
+    Adds ``skeleton``, ``matched_brand`` (NULL when no brand collides)
+    and ``is_spoof``.  An exact (case-folded) brand hit is matched but
+    NOT a spoof.  The brand list is a broadcast side — thousands of
+    brands against 10^12 pages is the textbook broadcast-hash-join
+    shape, zero shuffle on the page side.
+
+    Raises if two brands share a skeleton: the report would be
+    ambiguous (which brand is being spoofed?) and the caller should
+    de-conflict the list instead of us picking silently.
+    """
+    spark = df.sparkSession
+    brands_lc = [b.lower() for b in brands]
+    bdf = (spark.createDataFrame([(b,) for b in brands_lc],
+                                 "matched_brand string")
+           .withColumn("__bskel", confusable_skeleton(F.col("matched_brand"))))
+    skels = [r["__bskel"] for r in bdf.collect()]  # tiny: |brands| rows
+    if len(set(skels)) != len(skels):
+        raise ValueError("brand list has colliding confusable skeletons; "
+                         "de-conflict it before building the report")
+    out = (df.withColumn("skeleton", confusable_skeleton(F.col(host_col)))
+           .join(F.broadcast(bdf),
+                 F.col("skeleton") == F.col("__bskel"), "left")
+           .drop("__bskel"))
+    return out.withColumn(
+        "is_spoof",
+        F.col("matched_brand").isNotNull()
+        & (F.lower(F.col(host_col)) != F.col("matched_brand")))

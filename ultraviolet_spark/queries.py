@@ -6723,6 +6723,56 @@ def q202(spark, sf_dir):
                  F.min("gen").cast("long").alias("min_gen")))
 
 
+@q("q203_homograph_spoofs", """
+WITH hosts AS (
+  SELECT doc_id,
+    CASE doc_id % 11
+      WHEN 0 THEN 'pаypal.com'
+      WHEN 1 THEN 'gооgle.com'
+      WHEN 2 THEN 'app1e.com'
+      WHEN 3 THEN 'paypal.com'
+      WHEN 4 THEN 'amazοn.com'
+      ELSE 'site' || CAST(doc_id AS VARCHAR) || '.example' END AS host
+  FROM documents)
+SELECT doc_id, host,
+  CASE doc_id % 11
+    WHEN 0 THEN 'paypal.com' WHEN 1 THEN 'google.com'
+    WHEN 2 THEN 'apple.com' WHEN 3 THEN 'paypal.com'
+    WHEN 4 THEN 'amazon.com'
+    ELSE translate(host, '01', 'ol') END AS skeleton,
+  CASE doc_id % 11
+    WHEN 0 THEN 'paypal.com' WHEN 1 THEN 'google.com'
+    WHEN 2 THEN 'apple.com' WHEN 3 THEN 'paypal.com'
+    WHEN 4 THEN 'amazon.com' END AS matched_brand,
+  (doc_id % 11) IN (0, 1, 2, 4) AS is_spoof
+FROM hosts
+""")
+def q203(spark, sf_dir):
+    """IDN-homograph spoof detection via confusable skeletons (UTS #39
+    style): hosts are synthesized with Cyrillic-а paypal, double
+    Cyrillic-о google, digit-1 apple and Greek-ο amazon lookalikes plus
+    an EXACT brand hit (matched but not a spoof — the false-positive
+    trap) and generic hosts; the skeleton collapses the curated
+    confusable set in pure Catalyst (translate, whole-stage codegen)
+    and brands join broadcast.  The oracle hardcodes every spoofed
+    skeleton as a literal and flags analytically from doc_id — only
+    the trivial generic-branch 0/1→o/l digit fold uses the engine."""
+    from ultraviolet_spark.operators.idn import spoof_report
+
+    host = (F.when(F.col("doc_id") % 11 == 0, F.lit("pаypal.com"))
+            .when(F.col("doc_id") % 11 == 1, F.lit("gооgle.com"))
+            .when(F.col("doc_id") % 11 == 2, F.lit("app1e.com"))
+            .when(F.col("doc_id") % 11 == 3, F.lit("paypal.com"))
+            .when(F.col("doc_id") % 11 == 4, F.lit("amazοn.com"))
+            .otherwise(F.concat(F.lit("site"),
+                                F.col("doc_id").cast("string"),
+                                F.lit(".example"))))
+    pages = _t(spark, sf_dir, "documents").select("doc_id", host.alias("host"))
+    return spoof_report(
+        pages, ["paypal.com", "google.com", "apple.com", "amazon.com"],
+    ).select("doc_id", "host", "skeleton", "matched_brand", "is_spoof")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
