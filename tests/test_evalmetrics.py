@@ -117,3 +117,51 @@ def test_calibration_report_python_reference(spark):
         r = got[b]
         assert (r.n, r.n_pos, r.sum_p_micro) == (n, np_, sp)
         assert r.brier_num == brier_num and r.ece_num == ece_num
+
+
+def test_ndcg_matches_brute_force(spark):
+    import hashlib
+
+    from ultraviolet_spark.operators.evalmetrics import (
+        NDCG_DISCOUNT_MICRO, ndcg_at_k)
+
+    # deterministic pseudo-random data: 5 queries x 14 candidates with
+    # score ties and zero gains
+    rows = []
+    for i in range(70):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        rows.append((i % 5, i, h % 7, (i * 3) % 4))  # (q, id, score, gain)
+    df = spark.createDataFrame(rows, "q long, id long, score long, gain long")
+    got = {r["q"]: r for r in
+           ndcg_at_k(df, query_col="q", score_col="score", gain_col="gain",
+                     id_col="id", k=10).collect()}
+
+    for qid in range(5):
+        cand = [r for r in rows if r[0] == qid]
+        by_score = sorted(cand, key=lambda r: (-r[2], r[1]))[:10]
+        by_gain = sorted(cand, key=lambda r: (-r[3], r[1]))[:10]
+        dcg = sum(r[3] * NDCG_DISCOUNT_MICRO[i + 1]
+                  for i, r in enumerate(by_score))
+        idcg = sum(r[3] * NDCG_DISCOUNT_MICRO[i + 1]
+                   for i, r in enumerate(by_gain))
+        assert got[qid]["dcg_micro"] == dcg
+        assert got[qid]["idcg_micro"] == idcg
+        assert got[qid]["ndcg"] == (dcg / idcg if idcg else None)
+    # perfect ranking == 1.0 exactly; scored <= ideal always
+    assert all(r["ndcg"] is None or 0.0 <= r["ndcg"] <= 1.0
+               for r in got.values())
+
+
+def test_ndcg_all_zero_gain_is_null_and_k_guard(spark):
+    import pytest
+
+    from ultraviolet_spark.operators.evalmetrics import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [(0, 1, 9, 0), (0, 2, 5, 0)], "q long, id long, score long, gain long")
+    [r] = ndcg_at_k(df, query_col="q", score_col="score", gain_col="gain",
+                    id_col="id", k=10).collect()
+    assert r["idcg_micro"] == 0 and r["ndcg"] is None
+    with pytest.raises(ValueError, match="discount table"):
+        ndcg_at_k(df, query_col="q", score_col="score", gain_col="gain",
+                  id_col="id", k=11)

@@ -135,3 +135,64 @@ def calibration_report(df: DataFrame, *, p_micro_col: str,
         .alias("brier"),
         (F.col("ece_num").cast("double")
          / (F.col("__N") * 1_000_000).cast("double")).alias("ece"))
+
+
+# Exact integer DCG discounts: round(1e6 / log2(rank+1)) for ranks 1..10,
+# PRECOMPUTED ONCE and embedded as literals in both engines.  Summing
+# gain/log2(r+1) doubles directly would make nDCG depend on both the
+# platform's libm log2 ULPs and the aggregation order; gain ×
+# discount_micro is int64, so the cross-rank sum is order-independent
+# and bit-identical everywhere.
+NDCG_DISCOUNT_MICRO = {
+    1: 1_000_000, 2: 630_930, 3: 500_000, 4: 430_677, 5: 386_853,
+    6: 356_207, 7: 333_333, 8: 315_465, 9: 301_030, 10: 289_065,
+}
+
+
+def ndcg_at_k(df: DataFrame, *, query_col: str, score_col: str,
+              gain_col: str, id_col: str, k: int = 10) -> DataFrame:
+    """Per-query nDCG@k over a (query, candidate, score, graded-gain)
+    table — the ranking-quality gate for a retrieval / reranking
+    pipeline.
+
+    ``dcg_micro``  = Σ over the top-k BY SCORE of gain·discount(rank)
+    ``idcg_micro`` = Σ over the top-k BY GAIN  of gain·discount(rank)
+    ``ndcg``       = dcg_micro / idcg_micro   (one IEEE division;
+                     NULL when the query has no positive gain at all —
+                     0/0 is "nothing to rank", not 0.0 quality)
+
+    Ties break on ``id_col`` ascending in BOTH orderings so the result
+    is a pure function of the data, not of partitioning.
+
+    Scale: two rank windows partitioned by query (one exchange on
+    query_col, reused by both — same partitioning), then one groupBy
+    with int64 partial aggregation.  No collect, no floats until the
+    final division.
+    """
+    if k > max(NDCG_DISCOUNT_MICRO):
+        raise ValueError(
+            f"k={k} exceeds the precomputed discount table "
+            f"(1..{max(NDCG_DISCOUNT_MICRO)}); extend NDCG_DISCOUNT_MICRO")
+    disc = F.create_map(
+        *[F.lit(x) for kv in NDCG_DISCOUNT_MICRO.items() for x in kv])
+    by_score = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    by_gain = Window.partitionBy(query_col).orderBy(
+        F.col(gain_col).desc(), F.col(id_col).asc())
+    ranked = df.select(
+        query_col, gain_col,
+        F.row_number().over(by_score).alias("__rs"),
+        F.row_number().over(by_gain).alias("__rg"))
+    g = F.col(gain_col).cast("long")
+    dcg_term = F.when(F.col("__rs") <= k, g * disc[F.col("__rs")]) \
+                .otherwise(F.lit(0))
+    idcg_term = F.when(F.col("__rg") <= k, g * disc[F.col("__rg")]) \
+                 .otherwise(F.lit(0))
+    out = (ranked.groupBy(query_col)
+           .agg(F.sum(dcg_term).cast("long").alias("dcg_micro"),
+                F.sum(idcg_term).cast("long").alias("idcg_micro")))
+    return out.withColumn(
+        "ndcg",
+        F.when(F.col("idcg_micro") > 0,
+               F.col("dcg_micro").cast("double")
+               / F.col("idcg_micro").cast("double")))

@@ -6773,6 +6773,62 @@ def q203(spark, sf_dir):
     ).select("doc_id", "host", "skeleton", "matched_brand", "is_spoof")
 
 
+@q("q204_ndcg_at_10", """
+WITH base AS (
+  SELECT doc_id, doc_id % 50 AS query_id,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS score,
+         CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
+           ELSE 7 END AS gain
+  FROM documents),
+r AS (
+  SELECT query_id, gain,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rs,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY gain DESC, doc_id ASC) AS rg
+  FROM base),
+d AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+  (4, 430677), (5, 386853), (6, 356207), (7, 333333), (8, 315465),
+  (9, 301030), (10, 289065)) AS t(rk, disc)),
+agg AS (
+  SELECT query_id,
+    CAST(COALESCE(SUM(CASE WHEN rs <= 10 THEN gain * ds.disc END), 0)
+      AS BIGINT) AS dcg_micro,
+    CAST(COALESCE(SUM(CASE WHEN rg <= 10 THEN gain * dg.disc END), 0)
+      AS BIGINT) AS idcg_micro
+  FROM r
+  LEFT JOIN d ds ON ds.rk = r.rs
+  LEFT JOIN d dg ON dg.rk = r.rg
+  GROUP BY query_id)
+SELECT query_id, dcg_micro, idcg_micro,
+  CASE WHEN idcg_micro > 0
+       THEN CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) END
+    AS ndcg
+FROM agg
+""")
+def q204(spark, sf_dir):
+    """Per-query nDCG@10 of an md5-scored ranking against graded
+    relevance (gains 0/1/3/7 from doc_id): DCG discounts are
+    precomputed integer micro-units so the cross-rank sum never adds
+    platform-libm log2 doubles in engine-dependent order; ties break on
+    doc_id in both the scored and the ideal ordering; all-zero-gain
+    queries yield NULL (0/0 is "nothing to rank", not zero quality)."""
+    from ultraviolet_spark.operators.evalmetrics import ndcg_at_k
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 50).alias("query_id"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long").alias("score"),
+        F.element_at(F.array(F.lit(0), F.lit(1), F.lit(3), F.lit(7)),
+                     (F.col("doc_id") % 4 + 1).cast("int")).alias("gain"))
+    return ndcg_at_k(base, query_col="query_id", score_col="score",
+                     gain_col="gain", id_col="doc_id", k=10).select(
+        "query_id", "dcg_micro", "idcg_micro", "ndcg")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
