@@ -92,3 +92,54 @@ def test_weighted_median_python_reference(spark):
             if 2 * cum >= W:
                 assert got[g] == (W, v), g
                 break
+
+
+def test_chi2_feature_selection_brute_force(spark):
+    from ultraviolet_spark.operators.stats import chi2_feature_selection
+
+    rows = [
+        (1, "spam spam buy now"),     # label 1 docs
+        (1, "buy cheap now"),
+        (1, "spam offer"),
+        (0, "meeting notes agenda"),  # label 0 docs
+        (0, "notes from the meeting"),
+        (0, "agenda buy"),
+    ]
+    df = spark.createDataFrame(rows, "y long, text string")
+    got = {r["token"]: r for r in
+           chi2_feature_selection(df, label_col="y", text_col="text",
+                                  top_k=100, min_df=1).collect()}
+
+    def brute(tok):
+        a = sum(1 for y, t in rows if y == 1 and tok in t.split())
+        b = sum(1 for y, t in rows if y == 0 and tok in t.split())
+        c, d = 3 - a, 3 - b
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        n = 6
+        return (a, b, c, d,
+                None if den == 0 else float(n) * (float(a * d - b * c)
+                                                  * float(a * d - b * c))
+                / float(den))
+
+    for tok in ["spam", "buy", "meeting", "notes", "agenda", "now"]:
+        a, b, c, d, chi2 = brute(tok)
+        r = got[tok]
+        assert (r["a"], r["b"], r["c"], r["d"]) == (a, b, c, d)
+        assert r["chi2"] == chi2
+    # 'spam' is a perfect positive signal within its margin; 'buy'
+    # appears both sides and must score lower
+    assert got["spam"]["chi2"] > got["buy"]["chi2"]
+    # within-doc duplicate ('spam spam') votes once: presence, not tf
+    assert got["spam"]["a"] == 2
+
+
+def test_chi2_all_doc_token_null_margin(spark):
+    from ultraviolet_spark.operators.stats import chi2_feature_selection
+
+    df = spark.createDataFrame(
+        [(1, "the cat"), (0, "the dog")], "y long, text string")
+    got = {r["token"]: r for r in
+           chi2_feature_selection(df, label_col="y", text_col="text",
+                                  top_k=10, min_df=1).collect()}
+    assert got["the"]["chi2"] is None  # present in every doc: zero margin
+    assert got["cat"]["chi2"] == 2.0   # perfect separator of n=2

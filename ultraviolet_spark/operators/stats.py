@@ -281,3 +281,59 @@ def weighted_median(df: DataFrame, *, value_col: str, weight_col: str,
     return (hit.groupBy(by)
             .agg(F.max("__W").cast("long").alias("w_total"),
                  F.min("__v").alias("weighted_median")))
+
+
+def chi2_feature_selection(docs: DataFrame, *, label_col: str,
+                           text_col: str = "text", top_k: int = 50,
+                           min_df: int = 2) -> DataFrame:
+    """Top-k tokens by chi-squared association with a binary label —
+    the classic supervised feature-selection pass before training a
+    text classifier (and, inverted, a leakage detector: a token whose
+    chi² is near N perfectly encodes the label).
+
+    Per token t the 2×2 presence contingency (A = positive docs
+    containing t, B = negative containing, C = positive lacking,
+    D = negative lacking) is built from EXACT int64 sufficient
+    statistics; χ² = N·(AD−BC)² / ((A+B)(C+D)(A+C)(B+D)) is emitted in
+    a fixed IEEE op sequence over those integers, so both engines land
+    the identical double.  Degenerate tokens (present in every doc —
+    a zero margin) get NULL, not a division crash.  ``min_df`` prunes
+    the hapax tail before ranking; ties rank by token ascending.
+
+    Scale: doc-distinct tokenization → one (token) partial-agg shuffle;
+    the corpus totals are a 1-row broadcast; ranking is a global top-k
+    (TakeOrdered, no full sort).  Int64 is exact for N·(AD−BC)² up to
+    N ≈ 6·10⁹ docs; past that the counts still fit and only the final
+    double expression loses ulps, which is the right failure mode.
+    """
+    y = F.col(label_col).cast("long")
+    base = docs.select(y.alias("__y"),
+                       F.explode(F.array_distinct(F.split(
+                           F.lower(F.trim(F.col(text_col))),
+                           r"\s+"))).alias("token"))
+    base = base.filter(F.col("token") != "")
+    per_tok = (base.groupBy("token")
+               .agg(F.sum("__y").cast("long").alias("a"),
+                    (F.count("*") - F.sum("__y")).cast("long").alias("b")))
+    totals = docs.agg(F.count("*").cast("long").alias("__n"),
+                      F.sum(y).cast("long").alias("__p"))
+    j = per_tok.crossJoin(F.broadcast(totals))
+    a, b = F.col("a"), F.col("b")
+    c = (F.col("__p") - a).alias("c")
+    d = (F.col("__n") - F.col("__p") - b).alias("d")
+    j = j.select("token", a, b, c, d, F.col("__n"))
+    # (AD−BC) is exact int64 (|AD| ≤ N²/4, safe to N ≈ 6·10⁹); square it
+    # as double·double — a single correctly-rounded IEEE multiply — NOT
+    # pow(x, 2), which is not guaranteed correctly rounded and differs
+    # across libm implementations in the last ulp.
+    diff = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    num = F.col("__n").cast("double") * (diff * diff)
+    den = ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))
+           * (F.col("a") + F.col("c"))
+           * (F.col("b") + F.col("d"))).cast("double")
+    out = (j.filter(F.col("a") + F.col("b") >= min_df)
+           .withColumn("chi2", F.when(den > 0, num / den))
+           .select("token", "a", "b", "c", "d", "chi2"))
+    return (out.orderBy(F.col("chi2").desc_nulls_last(),
+                        F.col("token").asc())
+            .limit(top_k))

@@ -6829,6 +6829,50 @@ def q204(spark, sf_dir):
         "query_id", "dcg_micro", "idcg_micro", "ndcg")
 
 
+@q("q205_chi2_feature_selection", """
+WITH toks AS (
+  SELECT DISTINCT doc_id, doc_id % 2 AS y,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents),
+per_tok AS (
+  SELECT token,
+         CAST(SUM(y) AS BIGINT) AS a,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS b
+  FROM toks WHERE token <> '' GROUP BY token),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id % 2) AS BIGINT) AS p
+  FROM documents),
+cont AS (
+  SELECT token, a, b, (p - a) AS c, (n - p - b) AS d, n
+  FROM per_tok, tot WHERE a + b >= 2),
+scored AS (
+  SELECT token, a, b, c, d,
+    CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) > 0 THEN
+      CAST(n AS DOUBLE)
+        * (CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE))
+        / CAST((a+b)*(c+d)*(a+c)*(b+d) AS DOUBLE)
+    END AS chi2
+  FROM cont)
+SELECT token, a, b, c, d, chi2 FROM scored
+ORDER BY chi2 DESC NULLS LAST, token ASC LIMIT 50
+""")
+def q205(spark, sf_dir):
+    """Chi-squared feature selection of tokens against the even/odd
+    doc_id label: exact int64 2×2 contingency per token (doc-distinct
+    presence, min_df prunes the hapax tail), χ² emitted as one fixed
+    IEEE op sequence — the square is double·double, never pow(x,2),
+    which is not correctly rounded and diverges libms in the last ulp;
+    all-doc tokens NULL out on the zero margin instead of dividing by
+    zero; top-50 ranks with a token-ascending tiebreak."""
+    from ultraviolet_spark.operators.stats import chi2_feature_selection
+
+    d = _t(spark, sf_dir, "documents").select(
+        "text", (F.col("doc_id") % 2).alias("y"))
+    return chi2_feature_selection(
+        d, label_col="y", text_col="text", top_k=50, min_df=2).select(
+        "token", "a", "b", "c", "d", "chi2")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
