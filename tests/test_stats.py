@@ -143,3 +143,31 @@ def test_chi2_all_doc_token_null_margin(spark):
                                   top_k=10, min_df=1).collect()}
     assert got["the"]["chi2"] is None  # present in every doc: zero margin
     assert got["cat"]["chi2"] == 2.0   # perfect separator of n=2
+
+
+def test_acf_matches_numpy_definition(spark):
+    import numpy as np
+
+    from ultraviolet_spark.operators.stats import acf_by_key
+
+    rng_vals = [5, 9, 2, 8, 1, 7, 3, 9, 2, 8, 1, 7]  # deterministic
+    rows = [(1, i, i, v) for i, v in enumerate(rng_vals)]
+    rows += [(2, i, i, 4) for i in range(5)]          # constant series
+    rows += [(3, 0, 0, 6), (3, 1, 1, 2)]              # n=2: only lag 1
+    df = spark.createDataFrame(rows, "k long, t long, id long, x long")
+    got = {(r["k"], r["lag"]): r for r in
+           acf_by_key(df, key_col="k", order_col="t", value_col="x",
+                      tiebreak_col="id", max_lag=3).collect()}
+
+    x = np.array(rng_vals, dtype=np.float64)
+    n, m = len(x), x.mean()
+    c0 = ((x - m) ** 2).sum()
+    for lag in (1, 2, 3):
+        expect = ((x[:-lag] - m) * (x[lag:] - m)).sum() / c0
+        assert abs(got[(1, lag)]["acf"] - expect) < 1e-12
+    # constant series: zero variance -> NULL, never a crash
+    assert all(got[(2, lag)]["acf"] is None for lag in (1, 2, 3))
+    # n=2 emits only lag 1 (lag >= n suppressed)
+    assert (3, 1) in got and (3, 2) not in got and (3, 3) not in got
+    # biased estimator: 1 cross pair over 2 squared deviations = -0.5
+    assert got[(3, 1)]["acf"] == -0.5

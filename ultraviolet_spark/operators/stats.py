@@ -337,3 +337,82 @@ def chi2_feature_selection(docs: DataFrame, *, label_col: str,
     return (out.orderBy(F.col("chi2").desc_nulls_last(),
                         F.col("token").asc())
             .limit(top_k))
+
+
+def acf_by_key(df: DataFrame, *, key_col: str, order_col: str,
+               value_col: str, tiebreak_col: str,
+               max_lag: int = 3) -> DataFrame:
+    """Sample autocorrelation r(l), l = 1..max_lag, per key over an
+    ordered integer series — the periodicity / burstiness probe for
+    per-entity time series (recrawl scheduling: is a site's update
+    signal self-correlated at lag 1?).
+
+    Works entirely on exact int64 sufficient statistics: per key one
+    window pass computes the lagged products P_l = Σ xₜ·xₜ₊ₗ and the
+    pair-boundary sums Saₗ = Σ xₜ (pairs' left ends) / Sbₗ = Σ xₜ₊ₗ
+    (right ends); the biased-estimator ACF then clears its mean terms
+    by multiplying through by n²:
+
+        r(l) = (n²Pₗ − nS(Saₗ+Sbₗ) + (n−l)S²)  /  (n(nS2 − S²))
+
+    — integer numerator and denominator, one final IEEE division, so
+    the result is independent of partitioning and aggregation order and
+    bit-identical cross-engine.  ``value_col`` must already be an exact
+    integer (convert currency/doubles to cents/micros upstream);
+    constant series (den = 0) yield NULL, lags ≥ series length are not
+    emitted.  Ordering ties break on ``tiebreak_col`` — REQUIRED, an
+    ambiguous order would make P_l partitioning-dependent.
+
+    Scale: ONE key-partitioned sort-window exchange computes all lags
+    (lead(x, l) shares the frame), and the groupBy that follows reuses
+    the same hash partitioning — no second shuffle.  int64 is exact up
+    to n·S·(Sa+Sb) ≈ 8·10¹² at n = 10⁴ events of 2·10³ units each;
+    overflow scale is documented, not silently wrapped, by Spark's
+    ANSI-off long semantics — callers at extreme n should pre-scale.
+    """
+    from pyspark.sql import Window
+
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(tiebreak_col).asc())
+    x = F.col(value_col).cast("long")
+    cols = [F.col(key_col).alias("__k"), x.alias("__x")]
+    for lag in range(1, max_lag + 1):
+        cols.append(F.lead(x, lag).over(w).alias(f"__x{lag}"))
+    base = df.select(*cols)
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum("__x").cast("long").alias("s"),
+            F.sum(F.col("__x") * F.col("__x")).cast("long").alias("s2")]
+    for lag in range(1, max_lag + 1):
+        xl = F.col(f"__x{lag}")
+        aggs += [
+            F.sum(F.col("__x") * xl).cast("long").alias(f"p{lag}"),
+            F.sum(F.when(xl.isNotNull(), F.col("__x")))
+             .cast("long").alias(f"sa{lag}"),
+            F.sum(xl).cast("long").alias(f"sb{lag}")]
+    g = base.groupBy("__k").agg(*aggs)
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    per_lag = []
+    for lag in range(1, max_lag + 1):
+        p = F.coalesce(F.col(f"p{lag}"), F.lit(0))
+        sa = F.coalesce(F.col(f"sa{lag}"), F.lit(0))
+        sb = F.coalesce(F.col(f"sb{lag}"), F.lit(0))
+        num = n * n * p - n * s * (sa + sb) + (n - lag) * s * s
+        den = n * (n * s2 - s * s)
+        per_lag.append(F.struct(
+            F.lit(lag).cast("long").alias("lag"),
+            num.cast("long").alias("acf_num"),
+            den.cast("long").alias("acf_den")))
+    out = (g.select("__k", "n",
+                    F.explode(F.array(*per_lag)).alias("__l"))
+           .select(F.col("__k").alias(key_col), "n",
+                   F.col("__l.lag").alias("lag"),
+                   F.col("__l.acf_num").alias("acf_num"),
+                   F.col("__l.acf_den").alias("acf_den"))
+           .filter(F.col("lag") < F.col("n")))
+    return out.withColumn(
+        "acf",
+        F.when(F.col("acf_den") > 0,
+               F.col("acf_num").cast("double")
+               / F.col("acf_den").cast("double")))

@@ -6873,6 +6873,69 @@ def q205(spark, sf_dir):
         "token", "a", "b", "c", "d", "chi2")
 
 
+@q("q206_acf_by_user", """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events),
+l AS (
+  SELECT user_id, x,
+    lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2,
+    lead(x, 3) OVER w AS x3
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS s,
+    CAST(SUM(x * x) AS BIGINT) AS s2,
+    CAST(COALESCE(SUM(x * x1), 0) AS BIGINT) AS p1,
+    CAST(COALESCE(SUM(CASE WHEN x1 IS NOT NULL THEN x END), 0) AS BIGINT)
+      AS sa1,
+    CAST(COALESCE(SUM(x1), 0) AS BIGINT) AS sb1,
+    CAST(COALESCE(SUM(x * x2), 0) AS BIGINT) AS p2,
+    CAST(COALESCE(SUM(CASE WHEN x2 IS NOT NULL THEN x END), 0) AS BIGINT)
+      AS sa2,
+    CAST(COALESCE(SUM(x2), 0) AS BIGINT) AS sb2,
+    CAST(COALESCE(SUM(x * x3), 0) AS BIGINT) AS p3,
+    CAST(COALESCE(SUM(CASE WHEN x3 IS NOT NULL THEN x END), 0) AS BIGINT)
+      AS sa3,
+    CAST(COALESCE(SUM(x3), 0) AS BIGINT) AS sb3
+  FROM l GROUP BY user_id),
+e AS (
+  SELECT user_id, n, CAST(1 AS BIGINT) AS lag,
+    n*n*p1 - n*s*(sa1+sb1) + (n-1)*s*s AS acf_num,
+    n*(n*s2 - s*s) AS acf_den FROM g
+  UNION ALL
+  SELECT user_id, n, 2, n*n*p2 - n*s*(sa2+sb2) + (n-2)*s*s,
+    n*(n*s2 - s*s) FROM g
+  UNION ALL
+  SELECT user_id, n, 3, n*n*p3 - n*s*(sa3+sb3) + (n-3)*s*s,
+    n*(n*s2 - s*s) FROM g)
+SELECT user_id, n, lag, acf_num, acf_den,
+  CASE WHEN acf_den > 0
+       THEN CAST(acf_num AS DOUBLE) / CAST(acf_den AS DOUBLE) END AS acf
+FROM e WHERE lag < n
+""")
+def q206(spark, sf_dir):
+    """Per-user sample autocorrelation of the event value series at
+    lags 1-3 (periodicity/burstiness probe): values go exact-cents
+    first, every lag's products and boundary sums are int64 sufficient
+    statistics from ONE ordered window pass, and the mean terms clear
+    by multiplying the biased estimator through by n² — integer
+    numerator/denominator, one final IEEE division, order-independent
+    by construction; constant series NULL on the zero denominator,
+    lags >= series length are not emitted."""
+    from ultraviolet_spark.operators.stats import acf_by_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"))
+    return acf_by_key(ev, key_col="user_id", order_col="ts",
+                      value_col="x", tiebreak_col="event_id",
+                      max_lag=3).select(
+        "user_id", "n", "lag", "acf_num", "acf_den", "acf")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
