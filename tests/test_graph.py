@@ -146,3 +146,18 @@ def test_hits_partitioning_invariance(spark):
     e7 = spark.createDataFrame(edges, "src long, dst long").repartition(7)
     assert (sorted(map(tuple, hits(e1).collect()))
             == sorted(map(tuple, hits(e7).collect())))
+
+
+def test_textrank_hub_beats_leaf(spark, sf_dir):
+    """q207 semantics: a token co-occurring with DIVERSE neighbors must
+    outrank one that only repeats next to a single partner."""
+    from ultraviolet_spark.queries import REGISTRY
+
+    fn = REGISTRY["q207_textrank_keywords"].fn
+    top = fn(spark, sf_dir).collect()
+    assert len(top) == 20
+    ranks = [r["rank_micro"] for r in top]
+    assert ranks == sorted(ranks, reverse=True)
+    # determinism: same input, same result
+    again = fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in again]

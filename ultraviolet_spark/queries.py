@@ -6936,6 +6936,57 @@ def q206(spark, sf_dir):
         "user_id", "n", "lag", "acf_num", "acf_den", "acf")
 
 
+@q("q207_textrank_keywords", """
+WITH d AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS l FROM documents),
+ix AS (SELECT l, unnest(range(1, len(l))) AS i FROM d WHERE len(l) >= 2),
+p0 AS (SELECT l[i] AS a, l[i+1] AS b FROM ix
+       WHERE l[i] <> '' AND l[i+1] <> ''),
+e AS (SELECT DISTINCT a, b
+      FROM (SELECT a, b FROM p0 UNION ALL SELECT b, a FROM p0)),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+od AS (SELECT a, COUNT(*) AS d FROM e GROUP BY a),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+c1 AS (SELECT e.b AS node, SUM((r0.r * 85) // (100 * od.d)) AS c
+       FROM e JOIN r0 ON r0.node = e.a JOIN od ON od.a = e.a
+       GROUP BY e.b),
+r1 AS (SELECT n.node, CAST(150000 + COALESCE(c1.c, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+c2 AS (SELECT e.b AS node, SUM((r1.r * 85) // (100 * od.d)) AS c
+       FROM e JOIN r1 ON r1.node = e.a JOIN od ON od.a = e.a
+       GROUP BY e.b),
+r2 AS (SELECT n.node, CAST(150000 + COALESCE(c2.c, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c2 ON c2.node = n.node)
+SELECT node AS token, r AS rank_micro FROM r2
+ORDER BY rank_micro DESC, token ASC LIMIT 20
+""")
+def q207(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): the word
+    co-occurrence graph (adjacent-token pairs, symmetrized, distinct)
+    ranked by the SAME exact-integer PageRank the domain graph uses —
+    graph centrality beats raw frequency because a token earns rank
+    from DIVERSE neighbors, not repetition; bit-identical to the
+    oracle's unrolled 2-iteration SQL regardless of partitioning, and
+    the top-20 set is deterministic even at boundary ties (token-asc
+    tiebreak among the degree-1 tail)."""
+    from ultraviolet_spark.operators.graph import pagerank
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = (_t(spark, sf_dir, "documents").select(toks.alias("l"))
+            .filter(F.size("l") >= 2))
+    pairs = base.select(F.explode(F.expr(
+        "transform(sequence(0, size(l)-2),"
+        " i -> struct(l[i] AS a, l[i+1] AS b))")).alias("p"))
+    e = (pairs.select("p.a", "p.b")
+         .filter((F.col("a") != "") & (F.col("b") != "")))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    ranks = pagerank(edges, iters=2, src="a", dst="b")
+    return (ranks.select(F.col("node").alias("token"), "rank_micro")
+            .orderBy(F.col("rank_micro").desc(), F.col("token").asc())
+            .limit(20))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
