@@ -524,3 +524,50 @@ def test_universe_sample_join_consistency(spark):
     ks = {r["k"] for r in universe_sample(a, 0.3, key_col="k", salt="x")
           .select("k").collect()}
     assert ks != ka
+
+
+def test_largest_remainder_split_exact_quotas(spark):
+    from ultraviolet_spark.operators.corpus import largest_remainder_split
+
+    # strata of awkward sizes: 7, 10, 1, 3 — hash splits can't hit
+    # these quotas; largest-remainder must, exactly
+    rows = ([(i, "a") for i in range(7)] + [(100 + i, "b") for i in range(10)]
+            + [(200, "c")] + [(300 + i, "d") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = largest_remainder_split(
+        df, {"train": 800_000, "val": 100_000, "test": 100_000},
+        by="source", id_col="doc_id")
+    got = out.groupBy("source", "split").count().collect()
+    sizes = {(r["source"], r["split"]): r["count"] for r in got}
+
+    # n=7: floors 5/0/0, leftover 2 -> largest remainders .6/.7/.7;
+    # val and test tie at 700000, but 2 extras cover both anyway
+    assert sizes[("a", "train")] == 5
+    assert sizes[("a", "val")] == 1 and sizes[("a", "test")] == 1
+    # n=10: exact 8/1/1, no remainder games
+    assert sizes[("b", "train")] == 8
+    assert sizes[("b", "val")] == 1 and sizes[("b", "test")] == 1
+    # n=1: all floors 0, single leftover goes to the largest
+    # remainder = train (800000)
+    assert sizes[("c", "train")] == 1
+    assert ("c", "val") not in sizes and ("c", "test") not in sizes
+    # n=3: floors 2/0/0, leftover 1 -> remainders 400000/300000/300000,
+    # train wins
+    assert sizes[("d", "train")] == 3
+    # every row assigned exactly once
+    assert out.count() == len(rows)
+    assert out.select("doc_id").distinct().count() == len(rows)
+
+
+def test_largest_remainder_split_validation(spark):
+    import pytest
+
+    from ultraviolet_spark.operators.corpus import largest_remainder_split
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="1_000_000"):
+        largest_remainder_split(df, {"train": 900_000, "val": 200_000},
+                                by="source", id_col="doc_id")
+    with pytest.raises(ValueError, match="two splits"):
+        largest_remainder_split(df, {"train": 1_000_000},
+                                by="source", id_col="doc_id")

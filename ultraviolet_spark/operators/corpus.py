@@ -913,3 +913,75 @@ def domain_boilerplate_strip(docs: DataFrame, *,
     return out.select(F.col("__id").alias(id_col),
                       F.col("__dom").alias(domain_col),
                       "n_lines", "n_kept", "text_clean")
+
+
+def largest_remainder_split(df: DataFrame, weights_micro: dict[str, int], *,
+                            by: str, id_col: str,
+                            salt: str = "") -> DataFrame:
+    """EXACT proportional train/val/test assignment per stratum via the
+    largest-remainder (Hare-quota) method — the allocation used when
+    "10% validation" must mean exactly ⌈·⌉-or-⌊·⌋ of every stratum, not
+    the ±√n wobble a hash-bucket split gives (at a 100-doc stratum a
+    hash split misses the 10-doc target by 3+ docs routinely; reviewers
+    of eval sets notice).
+
+    ``weights_micro`` maps split name → integer micro-weight; values
+    must sum to exactly 1_000_000 (weights as floats would re-introduce
+    the rounding this operator exists to eliminate).  Per stratum each
+    split gets ⌊n·w⌋ rows and the leftover r = n − Σ⌊n·w⌋ rows go to
+    the r splits with the largest remainders (tie → caller's dict
+    order, so 'train' wins ties if listed first).  Rows map to splits
+    in deterministic md5(id‖salt) order, so the assignment is a pure
+    function of (data, weights, salt): stable across engines, runs and
+    cluster sizes.
+
+    Scale: one count per stratum (partial-agg shuffle), the allocation
+    table is strata×splits rows and broadcasts; rows take one
+    stratum-partitioned rank window and join the tiny boundary table
+    broadcast — no global sort, no collect.
+    """
+    names = list(weights_micro)
+    if sum(weights_micro.values()) != 1_000_000:
+        raise ValueError("weights_micro must sum to exactly 1_000_000, "
+                         f"got {sum(weights_micro.values())}")
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(by).agg(F.count("*").cast("long").alias("__n"))
+    wlits = F.array(*[
+        F.struct(F.lit(n).alias("__s"),
+                 F.lit(w).cast("long").alias("__w"),
+                 F.lit(i).cast("long").alias("__o"))
+        for i, (n, w) in enumerate(weights_micro.items())])
+    alloc = (counts.select(by, "__n", F.explode(wlits).alias("t"))
+             .select(by, "__n", "t.__s", "t.__w", "t.__o")
+             .withColumn("__fc", F.expr("(__n * __w) DIV 1000000"))
+             .withColumn("__rem", (F.col("__n") * F.col("__w")) % 1_000_000))
+    ws = Window.partitionBy(by)
+    wrk = Window.partitionBy(by).orderBy(
+        F.col("__rem").desc(), F.col("__o").asc())
+    alloc = (alloc
+             .withColumn("__left", F.col("__n") - F.sum("__fc").over(ws))
+             .withColumn("__rk", F.row_number().over(wrk))
+             .withColumn("__target",
+                         F.col("__fc")
+                         + F.when(F.col("__rk") <= F.col("__left"), 1)
+                            .otherwise(0)))
+    wcum = (Window.partitionBy(by).orderBy("__o")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bounds = (alloc
+              .withColumn("__hi", F.sum("__target").over(wcum))
+              .withColumn("__lo", F.col("__hi") - F.col("__target"))
+              .select(F.col(by).alias("__b"), "__s", "__lo", "__hi"))
+    wrow = Window.partitionBy(by).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        F.col(id_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(wrow))
+    out = (ranked.join(F.broadcast(bounds),
+                       (ranked[by] == F.col("__b"))
+                       & (F.col("__rn") > F.col("__lo"))
+                       & (F.col("__rn") <= F.col("__hi")))
+           .withColumnRenamed("__s", "split")
+           .drop("__b", "__lo", "__hi", "__rn"))
+    return out

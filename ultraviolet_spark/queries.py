@@ -6987,6 +6987,55 @@ def q207(spark, sf_dir):
             .limit(20))
 
 
+@q("q208_exact_proportional_split", """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+  GROUP BY source),
+w AS (SELECT * FROM (VALUES ('train', 800000, 0), ('val', 100000, 1),
+  ('test', 100000, 2)) AS t(name, w, ord)),
+a AS (
+  SELECT source, n, name, w, ord,
+         (n * w) // 1000000 AS fc, (n * w) % 1000000 AS rem
+  FROM c, w),
+a2 AS (
+  SELECT *, n - SUM(fc) OVER (PARTITION BY source) AS leftover,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY rem DESC, ord ASC) AS rk
+  FROM a),
+t AS (
+  SELECT source, name, ord,
+         fc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS target
+  FROM a2),
+b AS (
+  SELECT source, name,
+    SUM(target) OVER (PARTITION BY source ORDER BY ord) AS hi,
+    SUM(target) OVER (PARTITION BY source ORDER BY ord) - target AS lo
+  FROM t),
+r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                doc_id ASC) AS rn
+  FROM documents)
+SELECT r.doc_id, r.source, b.name AS split
+FROM r JOIN b ON b.source = r.source AND r.rn > b.lo AND r.rn <= b.hi
+""")
+def q208(spark, sf_dir):
+    """Exact 80/10/10 train/val/test assignment per source stratum via
+    largest-remainder allocation: every stratum's split sizes hit the
+    Hare quota exactly (floor + remainder-ranked extras, ties to the
+    first-listed split) instead of the ±sqrt(n) wobble of hash-bucket
+    splits, and rows map to splits in deterministic md5 order — the
+    full per-document assignment is the compared result, not just the
+    counts."""
+    from ultraviolet_spark.operators.corpus import largest_remainder_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return largest_remainder_split(
+        d, {"train": 800_000, "val": 100_000, "test": 100_000},
+        by="source", id_col="doc_id").select("doc_id", "source", "split")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
