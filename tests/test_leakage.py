@@ -110,3 +110,25 @@ def test_recrawl_estimates_closed_form(spark):
         "url string, warc_ts timestamp, text string")
     rate = recrawl_estimates(allc).first()["change_rate"]
     assert rate == round(-math.log(1 - 2 / 3) / 60, 9)
+
+
+def test_temporal_leakage_audit_catches_forward_peek(spark):
+    from datetime import datetime
+
+    from ultraviolet_spark.operators.asof import temporal_leakage_audit
+
+    t = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, t.replace(hour=11)),   # past feature: clean
+        (2, t, t),                    # equal: point-in-time includes now
+        (3, t, t.replace(hour=13)),   # 1h future peek
+        (4, t, t.replace(hour=12, minute=0, second=1)),  # 1s peek
+        (5, t, None),                 # unjoined: not a violation
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, fts timestamp")
+    [r] = temporal_leakage_audit(df, ts_col="ts", feature_ts_col="fts",
+                                 label="x").collect()
+    assert r["method"] == "x"
+    assert r["n_rows"] == 5 and r["n_joined"] == 4
+    assert r["n_violations"] == 2
+    assert r["max_lead_us"] == 3_600_000_000  # the 1h peek, in micros

@@ -197,3 +197,36 @@ def find_hot_keys(df: DataFrame, by: str, *, min_rows: int = 1_000_000,
         .orderBy(F.col("__n").desc()).limit(top).collect()
     )
     return [r[by] for r in rows]
+
+
+def temporal_leakage_audit(df: DataFrame, *, ts_col: str,
+                           feature_ts_col: str, label: str) -> DataFrame:
+    """One-row audit proving (or refuting) zero temporal leakage of a
+    feature join: a feature row whose source timestamp is STRICTLY
+    after the entity's event time leaked the future into the feature
+    vector (north-rule invariant).  Equality is allowed — point-in-time
+    includes the present instant.
+
+    Returns ``(method, n_rows, n_joined, n_violations, max_lead_us)``:
+    violation count plus the worst future-peek in microseconds (NULL
+    when clean).  Run it against every as-of/backfill output in CI —
+    a forward-direction join, a missing watermark, or an off-by-one in
+    a window frame all surface here as n_violations > 0 with the exact
+    magnitude, not as silently optimistic eval metrics months later.
+
+    Scale: a single partial aggregation — no shuffle beyond the 1-row
+    reduce, safe to run on the full 10^12-row feature table.
+    """
+    viol = F.col(feature_ts_col) > F.col(ts_col)
+    # unix_micros rejects TIMESTAMP_NTZ; the session timezone is pinned
+    # UTC (session.py), so the NTZ→TZ cast is value-preserving and the
+    # DIFFERENCE is timezone-free regardless.
+    lead_us = (F.unix_micros(F.col(feature_ts_col).cast("timestamp"))
+               - F.unix_micros(F.col(ts_col).cast("timestamp")))
+    return df.agg(
+        F.lit(label).alias("method"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(feature_ts_col).cast("long").alias("n_joined"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("long")
+         .alias("n_violations"),
+        F.max(F.when(viol, lead_us)).cast("long").alias("max_lead_us"))

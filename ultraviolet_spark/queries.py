@@ -7036,6 +7036,65 @@ def q208(spark, sf_dir):
         by="source", id_col="doc_id").select("doc_id", "source", "split")
 
 
+@q("q209_temporal_leakage_audit", """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+back AS (
+  SELECT c.ts, p.pts
+  FROM clicks c ASOF LEFT JOIN purch p
+    ON c.user_id = p.user_id AND c.ts >= p.pts),
+fwd AS (
+  SELECT c.ts,
+    (SELECT min(p.pts) FROM purch p
+      WHERE p.user_id = c.user_id AND p.pts >= c.ts) AS pts
+  FROM clicks c),
+audit AS (
+  SELECT 'asof_backward' AS method,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(pts) AS BIGINT) AS n_joined,
+    CAST(COALESCE(SUM(CASE WHEN pts > ts THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS n_violations,
+    CAST(MAX(CASE WHEN pts > ts THEN epoch_us(pts) - epoch_us(ts) END)
+      AS BIGINT) AS max_lead_us
+  FROM back
+  UNION ALL
+  SELECT 'asof_forward', CAST(count(*) AS BIGINT), CAST(count(pts) AS BIGINT),
+    CAST(COALESCE(SUM(CASE WHEN pts > ts THEN 1 ELSE 0 END), 0) AS BIGINT),
+    CAST(MAX(CASE WHEN pts > ts THEN epoch_us(pts) - epoch_us(ts) END)
+      AS BIGINT)
+  FROM fwd)
+SELECT method, n_rows, n_joined, n_violations, max_lead_us FROM audit
+""")
+def q209(spark, sf_dir):
+    """Temporal-leakage audit of the as-of join (the north-rule
+    zero-leakage invariant made checkable): the backward point-in-time
+    join must audit to exactly zero violations, while the
+    deliberately-leaky forward join of the SAME pair of streams must
+    surface every future peek with its exact microsecond magnitude —
+    both counts verified against an independent SQL replay, so the
+    audit itself is proven, not just the join."""
+    from ultraviolet_spark.operators.asof import (asof_join,
+                                                  temporal_leakage_audit)
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("pts"))
+    back = asof_join(clicks, purch, on="ts", by="user_id",
+                     value_cols=["pts"], direction="backward")
+    fwd = asof_join(clicks, purch, on="ts", by="user_id",
+                    value_cols=["pts"], direction="forward")
+    a = temporal_leakage_audit(back, ts_col="ts", feature_ts_col="pts",
+                               label="asof_backward")
+    b = temporal_leakage_audit(fwd, ts_col="ts", feature_ts_col="pts",
+                               label="asof_forward")
+    return a.unionAll(b).select(
+        "method", "n_rows", "n_joined", "n_violations", "max_lead_us")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
