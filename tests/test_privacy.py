@@ -39,3 +39,35 @@ def test_k_anonymity_summary(spark):
     # rows at risk: 3 + 5 + 1 = 9 of 15
     assert r.n_rows_at_risk == 9
     assert abs(r.frac_rows_at_risk - 9 / 15) < 1e-15
+
+
+def test_pseudonymize_joinable_keyed_null_safe(spark):
+    import hashlib
+
+    from ultraviolet_spark.operators.privacy import pseudonymize
+
+    df = spark.createDataFrame([(7, "a"), (7, "b"), (None, "c")],
+                               "uid long, x string")
+    out = pseudonymize(df, ["uid"], secret="k1")
+    rows = {r["x"]: r["uid_pseu"] for r in out.collect()}
+    assert "uid" not in out.columns  # original dropped
+    expect = hashlib.sha256(b"k17").hexdigest()
+    assert rows["a"] == expect == rows["b"]  # joinable: same id, same pseu
+    assert rows["c"] is None                 # NULL never becomes a join key
+    # different secret unlinks
+    out2 = {r["x"]: r["uid_pseu"]
+            for r in pseudonymize(df, ["uid"], secret="k2").collect()}
+    assert out2["a"] != rows["a"]
+
+
+def test_apply_tombstones_anti_join(spark):
+    from ultraviolet_spark.operators.privacy import apply_tombstones
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "uid long")
+    ts = spark.createDataFrame([(2,), (2,), (9,)], "uid long")
+    got = sorted(r["uid"] for r in
+                 apply_tombstones(df, ts, key="uid").collect())
+    assert got == [1, 3]
+    plan = apply_tombstones(df, ts, key="uid") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Anti" in plan

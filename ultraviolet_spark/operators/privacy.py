@@ -64,3 +64,47 @@ def k_anonymity_summary(df: DataFrame, *, quasi_cols: Sequence[str],
         (F.sum(F.when(risk, F.col("class_size")).otherwise(0))
          .cast("double") / F.sum("class_size").cast("double"))
         .alias("frac_rows_at_risk"))
+
+
+def pseudonymize(df: DataFrame, cols: Sequence[str], *,
+                 secret: str, suffix: str = "_pseu") -> DataFrame:
+    """Keyed pseudonymization: each listed column gains a
+    ``<col>_pseu`` companion holding SHA-256(secret ‖ value) and the
+    original is DROPPED — the release-side replacement for direct
+    identifiers that must stay JOINABLE (same value ⇒ same pseudonym,
+    cross-table and cross-run under the same secret) but not
+    reversible without the key.
+
+    Plain unsalted hashing is NOT anonymization for low-entropy
+    identifiers (emails and phone numbers enumerate in hours); the
+    secret turns the rainbow-table attack into a keyed-guess attack.
+    Rotating the secret unlinks every released pseudonym at once —
+    re-release, don't re-map.  NULLs stay NULL (a hashed NULL would
+    fabricate a spurious join key shared by every missing value).
+
+    Pure Catalyst (concat + sha2) — scan-stage, shuffle-free, no
+    Python.
+    """
+    out = df
+    for c in cols:
+        v = F.col(c).cast("string")
+        out = out.withColumn(
+            c + suffix,
+            F.when(v.isNotNull(), F.sha2(F.concat(F.lit(secret), v), 256)))
+        out = out.drop(c)
+    return out
+
+
+def apply_tombstones(df: DataFrame, tombstones: DataFrame, *,
+                     key: str, tombstone_key: str | None = None) -> DataFrame:
+    """Deletion-request propagation (the right-to-be-forgotten join):
+    drop every row whose ``key`` appears in the tombstone table.
+    LEFT ANTI join — Spark broadcasts the tombstone side when small
+    (the usual case: deletion requests ≪ corpus) so the corpus never
+    shuffles; at extreme tombstone volumes the same anti-join plans as
+    a shuffled hash join with no code change.  Anti-join (not a
+    filter against a collected set) keeps the tombstone list out of
+    the driver and the plan resumable."""
+    tk = tombstone_key or key
+    ts = tombstones.select(F.col(tk).alias("__tomb")).distinct()
+    return df.join(ts, df[key] == F.col("__tomb"), "left_anti")

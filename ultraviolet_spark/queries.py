@@ -7095,6 +7095,41 @@ def q209(spark, sf_dir):
         "method", "n_rows", "n_joined", "n_violations", "max_lead_us")
 
 
+@q("q210_pseudonymize_tombstones", """
+WITH keep AS (
+  SELECT event_type,
+         sha256('s3cr3t' || CAST(user_id AS VARCHAR)) AS user_id_pseu
+  FROM events WHERE user_id % 13 <> 0)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id_pseu) AS BIGINT) AS n_users,
+  min(user_id_pseu) AS min_pseu
+FROM keep GROUP BY event_type
+""")
+def q210(spark, sf_dir):
+    """Release-pipeline privacy pass: deletion requests (every 13th
+    user) propagate through a broadcast anti-join BEFORE keyed
+    pseudonymization replaces user_id with SHA-256(secret ‖ id) —
+    order matters, tombstoning after pseudonymization would need the
+    secret at deletion time; pseudonyms stay joinable (same id ⇒ same
+    hex) but unlinkable without the key, and the per-type rollup
+    (count, distinct pseudonyms, min pseudonym) pins the exact hash
+    bytes against DuckDB's independent sha256."""
+    from ultraviolet_spark.operators.privacy import (apply_tombstones,
+                                                     pseudonymize)
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    tombs = (ev.select("user_id").distinct()
+             .filter(F.col("user_id") % 13 == 0))
+    kept = apply_tombstones(ev, tombs, key="user_id")
+    pseu = pseudonymize(kept, ["user_id"], secret="s3cr3t")
+    return (pseu.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.countDistinct("user_id_pseu").cast("long")
+                  .alias("n_users"),
+                 F.min("user_id_pseu").alias("min_pseu")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
