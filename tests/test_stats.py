@@ -171,3 +171,25 @@ def test_acf_matches_numpy_definition(spark):
     assert (3, 1) in got and (3, 2) not in got and (3, 3) not in got
     # biased estimator: 1 cross pair over 2 squared deviations = -0.5
     assert got[(3, 1)]["acf"] == -0.5
+
+
+def test_ols_trend_matches_numpy(spark):
+    import numpy as np
+
+    from ultraviolet_spark.operators.stats import ols_trend_by_key
+
+    xs = [10000, 10001, 10002, 10003, 10004, 10007]
+    ys = [5, 7, 6, 9, 11, 14]
+    rows = [("a", x, y) for x, y in zip(xs, ys)]
+    rows += [("one_pt", 3, 8)]          # single point: NULL slope
+    rows += [("const_y", 1, 4), ("const_y", 2, 4)]  # r2 is 0/0: NULL
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    got = {r["k"]: r for r in
+           ols_trend_by_key(df, key_col="k", x_col="x", y_col="y").collect()}
+
+    slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    assert abs(got["a"]["slope"] - slope) < 1e-9
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got["a"]["r2"] - r * r) < 1e-9
+    assert got["one_pt"]["slope"] is None and got["one_pt"]["r2"] is None
+    assert got["const_y"]["slope"] == 0.0 and got["const_y"]["r2"] is None

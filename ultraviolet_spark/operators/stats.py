@@ -416,3 +416,60 @@ def acf_by_key(df: DataFrame, *, key_col: str, order_col: str,
         F.when(F.col("acf_den") > 0,
                F.col("acf_num").cast("double")
                / F.col("acf_den").cast("double")))
+
+
+def ols_trend_by_key(df: DataFrame, *, key_col: str, x_col: str,
+                     y_col: str) -> DataFrame:
+    """Per-key ordinary-least-squares trend over integer (x, y) pairs —
+    the is-this-domain-growing / is-quality-drifting slope, computed
+    from the five exact int64 sufficient sums (n, Σx, Σy, Σxy, Σx²,
+    plus Σy² for r²):
+
+        slope_num = n·Σxy − Σx·Σy        slope_den = n·Σx² − (Σx)²
+        slope     = slope_num / slope_den     (one IEEE division)
+        r²        = slope_num² / (slope_den · (n·Σy² − (Σy)²))
+
+    Integer all the way to the final divisions ⇒ order- and
+    partitioning-independent, replayable in plain SQL.  x is re-based
+    per key (x − min x) FIRST: with raw epoch-day x ≈ 2·10⁴ the n·Σxy
+    product nears int64 at a few 10⁵ points/key, re-based it is exact
+    to ~10⁹ points/key.  Re-basing shifts the intercept, never the
+    slope or r².  Keys with a single point or constant x (slope_den
+    = 0) and constant y (r² 0/0) yield NULL.
+
+    Scale: the min(x) re-base is a window over the key partition and
+    the sufficient-statistics groupBy hashes on the same key, so both
+    share ONE exchange; everything after is per-key arithmetic on a
+    keys-sized table.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(x_col).cast("long")
+    xb = (x - F.min(x).over(Window.partitionBy(key_col))).alias("__x")
+    y = F.col(y_col).cast("long")
+    base = df.select(F.col(key_col), xb, y.alias("__y"))
+    g = base.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("sx"),
+        F.sum("__y").cast("long").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).alias("slope_num")
+    den = (n * F.col("sxx") - sx * sx).alias("slope_den")
+    dy = n * F.col("syy") - sy * sy
+    out = g.select(key_col, "n", num, den, dy.alias("__dy"))
+    return (out.withColumn(
+        "slope",
+        F.when(F.col("slope_den") > 0,
+               F.col("slope_num").cast("double")
+               / F.col("slope_den").cast("double")))
+        .withColumn(
+        "r2",
+        F.when((F.col("slope_den") > 0) & (F.col("__dy") > 0),
+               (F.col("slope_num").cast("double")
+                * F.col("slope_num").cast("double"))
+               / (F.col("slope_den").cast("double")
+                  * F.col("__dy").cast("double"))))
+        .drop("__dy"))

@@ -7130,6 +7130,59 @@ def q210(spark, sf_dir):
                  F.min("user_id_pseu").alias("min_pseu")))
 
 
+@q("q211_daily_trend_by_type", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+b AS (
+  SELECT event_type, y,
+    CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT)
+      - MIN(CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT))
+          OVER (PARTITION BY event_type) AS x
+  FROM daily),
+g AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM b GROUP BY event_type)
+SELECT event_type, n,
+  n * sxy - sx * sy AS slope_num,
+  n * sxx - sx * sx AS slope_den,
+  CASE WHEN n * sxx - sx * sx > 0
+       THEN CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE))
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+FROM g
+""")
+def q211(spark, sf_dir):
+    """Per-event-type OLS trend of daily event volume (the
+    is-this-stream-growing slope): five exact int64 sufficient sums
+    per key, x re-based to the key's first day so products stay far
+    from int64 limits, slope and r² each one IEEE division of
+    integers — order- and partitioning-independent, degenerate keys
+    (one day, or constant volume for r²) NULL instead of dividing by
+    zero."""
+    from ultraviolet_spark.operators.stats import ols_trend_by_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"))
+    daily = (ev.groupBy("event_type", "d")
+             .agg(F.count("*").cast("long").alias("y"))
+             .withColumn("x", F.datediff(
+                 F.col("d"), F.to_date(F.lit("1970-01-01")))))
+    return ols_trend_by_key(daily, key_col="event_type", x_col="x",
+                            y_col="y").select(
+        "event_type", "n", "slope_num", "slope_den", "slope", "r2")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
