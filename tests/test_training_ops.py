@@ -571,3 +571,61 @@ def test_largest_remainder_split_validation(spark):
     with pytest.raises(ValueError, match="two splits"):
         largest_remainder_split(df, {"train": 1_000_000},
                                 by="source", id_col="doc_id")
+
+
+def test_interleave_strata_round_robin_invariants(spark):
+    from ultraviolet_spark.operators.corpus import interleave_strata
+
+    rows = ([(i, "en") for i in range(6)] + [(100 + i, "de") for i in range(4)]
+            + [(200 + i, "fr") for i in range(2)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_strata(df, strata_col="source", id_col="doc_id")
+    got = sorted((r["mix_pos"], r["source"]) for r in out.collect())
+
+    # positions are unique
+    assert len({p for p, _ in got}) == len(rows)
+    # the first K positions (K=3 strata) cycle all strata once
+    assert [s for _, s in got[:3]] == ["de", "en", "fr"]
+    # a stratum never runs 2+ rows ahead: position p of stratum s is
+    # p = r*K + idx, so per-stratum positions are strictly K apart
+    by_s = {}
+    for p, s in got:
+        by_s.setdefault(s, []).append(p)
+    for s, ps in by_s.items():
+        assert all(b - a == 3 for a, b in zip(ps, ps[1:])), s
+    # depleted strata leave gaps, never reshuffle others: fr occupies
+    # exactly ranks 0,1 of its residue class
+    assert by_s["fr"] == [2, 5]
+
+
+def test_ring_negatives_invariants(spark):
+    from ultraviolet_spark.operators.corpus import ring_negatives
+
+    df = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    out = ring_negatives(df, id_col="doc_id", k=3, n_buckets=4)
+    rows = out.collect()
+    # no self-pairs ever
+    assert all(r["anchor_id"] != r["neg_id"] for r in rows)
+    # per anchor: distinct negatives, neg_rank contiguous from 1
+    per = {}
+    for r in rows:
+        per.setdefault(r["anchor_id"], []).append((r["neg_rank"], r["neg_id"]))
+    for a, ns in per.items():
+        ranks = sorted(k for k, _ in ns)
+        assert ranks == list(range(1, len(ranks) + 1)), a
+        assert len({n for _, n in ns}) == len(ns), a
+    # deterministic: identical on re-run
+    again = ring_negatives(df, id_col="doc_id", k=3, n_buckets=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # re-salting produces a different pairing (new epoch)
+    salted = ring_negatives(df, id_col="doc_id", k=3, n_buckets=4,
+                            salt="e2").collect()
+    assert sorted(map(tuple, salted)) != sorted(map(tuple, rows))
+
+
+def test_ring_negatives_tiny_buckets(spark):
+    from ultraviolet_spark.operators.corpus import ring_negatives
+
+    # single doc: no possible negative, must yield zero pairs (not crash)
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    assert ring_negatives(df, id_col="doc_id", k=3).count() == 0

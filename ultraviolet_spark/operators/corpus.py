@@ -985,3 +985,95 @@ def largest_remainder_split(df: DataFrame, weights_micro: dict[str, int], *,
            .withColumnRenamed("__s", "split")
            .drop("__b", "__lo", "__hi", "__rn"))
     return out
+
+
+def interleave_strata(df: DataFrame, *, strata_col: str,
+                      id_col: str, salt: str = "") -> DataFrame:
+    """Deterministic round-robin mixing position across strata — the
+    training-data ORDER schedule ("interleave languages so no batch is
+    monolingual") as a pure function of the data: within each stratum
+    rows rank by md5(id‖salt), and row r of stratum s gets
+
+        mix_pos = r·K + index(s)        (K = number of strata)
+
+    so consuming the corpus by mix_pos cycles through all K strata
+    every K rows, with no stratum ever more than one row ahead —
+    WITHOUT any global sort: the position is arithmetic on a
+    per-stratum rank plus a K-row broadcast of stratum indexes.  A
+    depleted stratum simply drops out of later cycles (its positions
+    are never filled — gaps, not reshuffling, so adding data to one
+    stratum cannot move any other stratum's rows).
+
+    Scale: one rank window per stratum partition + a tiny dense-index
+    table broadcast back.  Consumers sort/range-partition by mix_pos
+    lazily at read time.
+    """
+    from pyspark.sql import Window
+
+    strata = (df.select(strata_col).distinct()
+              .withColumn("__sidx",
+                          F.row_number().over(
+                              Window.orderBy(F.col(strata_col).asc()))
+                          .cast("long") - 1))
+    k = strata.count()
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        F.col(id_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w).cast("long") - 1)
+    return (ranked.join(F.broadcast(strata), strata_col)
+            .withColumn("mix_pos", F.col("__rn") * k + F.col("__sidx"))
+            .drop("__rn", "__sidx"))
+
+
+def ring_negatives(df: DataFrame, *, id_col: str, k: int = 3,
+                   n_buckets: int = 64, salt: str = "") -> DataFrame:
+    """Deterministic in-batch-style negative sampling for contrastive
+    training: every anchor gets ``k`` negatives chosen by walking the
+    md5-ordered ring of its hash bucket — hash order is unrelated to
+    content, so ring neighbors are as-if-random, yet the pairing is a
+    pure function of (corpus, salt): stable across runs, engines and
+    cluster sizes, so a resumed job rebuilds byte-identical pairs.
+
+    Bucketing bounds the ring: negatives come from the anchor's md5
+    bucket (corpus/n_buckets docs), partner rank = (rank + j) mod m.
+    Steps that would wrap onto the anchor itself (j ≡ 0 mod m, tiny
+    buckets) are dropped rather than emitting a degenerate
+    anchor==negative pair, so anchors in a size-1 bucket yield no
+    pairs and anchors in a size-2 bucket yield at most one distinct
+    partner per step.
+
+    Scale: ranks are per-bucket windows (n_buckets× parallelism), and
+    partners resolve via one equi-join on (bucket, rank) — shuffle
+    keys are 16 bytes, no similarity computation, no broadcast of the
+    corpus.  Re-salting produces a fresh, equally-deterministic pairing
+    per epoch.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+              % n_buckets)
+    w = Window.partitionBy("__b").orderBy(F.col("__h").asc(),
+                                          F.col(id_col).asc())
+    ranked = (df.select(F.col(id_col), h.alias("__h"),
+                        bucket.alias("__b"))
+              .withColumn("__rn", F.row_number().over(w).cast("long") - 1)
+              .withColumn("__m", F.count("*").over(
+                  Window.partitionBy("__b")).cast("long")))
+    steps = F.explode(F.expr(
+        f"sequence(1, least({k}, __m - 1))")).alias("step")
+    anchors = (ranked.filter(F.col("__m") >= 2)
+               .select(id_col, "__b", "__rn", "__m", steps)
+               .withColumn("__prn", (F.col("__rn") + F.col("step"))
+                           % F.col("__m")))
+    partners = ranked.select(F.col("__b").alias("__pb"),
+                             F.col("__rn").alias("__prn2"),
+                             F.col(id_col).alias("neg_id"))
+    return (anchors.join(partners,
+                         (F.col("__b") == F.col("__pb"))
+                         & (F.col("__prn") == F.col("__prn2")))
+            .select(F.col(id_col).alias("anchor_id"),
+                    F.col("step").cast("long").alias("neg_rank"),
+                    "neg_id"))

@@ -7183,6 +7183,71 @@ def q211(spark, sf_dir):
         "event_type", "n", "slope_num", "slope_den", "slope", "r2")
 
 
+@q("q212_interleave_strata", """
+WITH s AS (
+  SELECT source, row_number() OVER (ORDER BY source ASC) - 1 AS sidx
+  FROM (SELECT DISTINCT source FROM documents)),
+k AS (SELECT count(*) AS k FROM s),
+r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ASC) - 1 AS rn
+  FROM documents)
+SELECT r.doc_id, r.source,
+       CAST(r.rn * k.k + s.sidx AS BIGINT) AS mix_pos
+FROM r JOIN s USING (source) CROSS JOIN k
+""")
+def q212(spark, sf_dir):
+    """Deterministic round-robin training-order schedule across source
+    strata: row r of stratum s mixes to position r·K+index(s) — every
+    K consecutive positions cycle all K strata, computed as pure
+    arithmetic on a per-stratum md5 rank plus a K-row broadcast, with
+    NO global sort; the full per-document position (not a summary) is
+    the compared result."""
+    from ultraviolet_spark.operators.corpus import interleave_strata
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return interleave_strata(d, strata_col="source",
+                             id_col="doc_id").select(
+        "doc_id", "source", "mix_pos")
+
+
+@q("q213_ring_negatives", """
+WITH b AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % 64 AS bk
+  FROM documents),
+r AS (
+  SELECT doc_id, bk, h,
+    row_number() OVER (PARTITION BY bk ORDER BY h ASC, doc_id ASC) - 1
+      AS rn,
+    count(*) OVER (PARTITION BY bk) AS m
+  FROM b),
+a AS (
+  SELECT doc_id, bk, rn, m,
+         unnest(range(1, least(3, m - 1) + 1)) AS step
+  FROM r WHERE m >= 2)
+SELECT a.doc_id AS anchor_id, CAST(a.step AS BIGINT) AS neg_rank,
+       p.doc_id AS neg_id
+FROM a JOIN r p ON p.bk = a.bk AND p.rn = (a.rn + a.step) % a.m
+""")
+def q213(spark, sf_dir):
+    """Deterministic contrastive negative sampling by walking the
+    md5-ordered ring of each anchor's hash bucket: hash order is
+    unrelated to content so ring neighbors are as-if-random, yet the
+    full anchor→negative pairing is a pure function of the corpus —
+    byte-identical on resume, re-saltable per epoch; steps that would
+    wrap onto the anchor are suppressed (no degenerate self-pairs),
+    and partners resolve via one (bucket, rank) equi-join with
+    16-byte shuffle keys and zero similarity computation."""
+    from ultraviolet_spark.operators.corpus import ring_negatives
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return ring_negatives(d, id_col="doc_id", k=3, n_buckets=64).select(
+        "anchor_id", "neg_rank", "neg_id")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
