@@ -193,3 +193,83 @@ def test_ols_trend_matches_numpy(spark):
     assert abs(got["a"]["r2"] - r * r) < 1e-9
     assert got["one_pt"]["slope"] is None and got["one_pt"]["r2"] is None
     assert got["const_y"]["slope"] == 0.0 and got["const_y"]["r2"] is None
+
+
+def test_regularity_scheduler_flags_human_does_not(spark):
+    from ultraviolet_spark.operators.stats import inter_event_regularity
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # bot: a perfect 60 s ticker — CV² = 0
+    rows += [("bot", t0 + timedelta(seconds=60 * i), i) for i in range(10)]
+    # human: bursty gaps spanning two orders of magnitude
+    gaps = [1, 2, 300, 5, 900, 1, 1200, 3, 400]
+    acc = 0
+    rows.append(("human", t0, 0))
+    for i, gp in enumerate(gaps):
+        acc += gp
+        rows.append(("human", t0 + timedelta(seconds=acc), i + 1))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long")
+    got = {r["user_id"]: r.asDict() for r in inter_event_regularity(
+        df, key_col="user_id", ts_col="ts", tiebreak_col="event_id").collect()}
+    assert got["bot"]["is_regular"] is True
+    assert got["bot"]["cv2_num"] == 0 and got["bot"]["cv2"] == 0.0
+    assert got["human"]["is_regular"] is False
+    assert got["human"]["cv2"] > 0.1
+    # exact sufficient stats for the bot: 9 gaps of 60 s
+    assert (got["bot"]["n_gaps"], got["bot"]["gap_sum_s"],
+            got["bot"]["gap_sq_sum_s"]) == (9, 540, 9 * 3600)
+
+
+def test_regularity_sparse_and_degenerate_never_flag(spark):
+    from ultraviolet_spark.operators.stats import inter_event_regularity
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # sparse: 4 gaps of a perfect ticker — below min_gaps=5
+    rows += [("sparse", t0 + timedelta(seconds=10 * i), i) for i in range(5)]
+    # degenerate: 6 events all at the same instant — gap_sum 0
+    rows += [("instant", t0, i) for i in range(6)]
+    # single event: no gaps at all — key must not appear
+    rows.append(("lone", t0, 0))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long")
+    got = {r["user_id"]: r.asDict() for r in inter_event_regularity(
+        df, key_col="user_id", ts_col="ts", tiebreak_col="event_id").collect()}
+    assert set(got) == {"sparse", "instant"}
+    assert got["sparse"]["is_regular"] is False      # perfect but sparse
+    assert got["sparse"]["cv2"] == 0.0
+    assert got["instant"]["is_regular"] is False     # Σg = 0 guard
+    assert got["instant"]["cv2"] is None
+
+
+def test_regularity_boundary_is_integer_exact(spark):
+    from ultraviolet_spark.operators.stats import inter_event_regularity
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+
+    def series(uid, gaps):
+        acc, out = 0, [(uid, t0, 0)]
+        for i, gp in enumerate(gaps):
+            acc += gp
+            out.append((uid, t0 + timedelta(seconds=acc), i + 1))
+        return out
+
+    # exactly AT the boundary: cv2_num*10 == cv2_den must NOT flag
+    # gaps (7,13)*3 chosen so n·Σg² − (Σg)² relates visibly; instead
+    # construct: gaps of (3,3,3,3,3,4): n=6 Σg=19 Σg²=61
+    # num = 6*61 - 361 = 5; den = 361; 5*10=50 < 361 → flags.
+    # push to a tie: threshold_tenths param with num*10 == den*t.
+    rows = series("edge", [3, 3, 3, 3, 3, 4])
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long")
+    r = inter_event_regularity(df, key_col="user_id", ts_col="ts",
+                               tiebreak_col="event_id").first()
+    assert (r["n_gaps"], r["gap_sum_s"], r["gap_sq_sum_s"]) == (6, 19, 61)
+    assert r["cv2_num"] == 6 * 61 - 19 * 19 and r["cv2_den"] == 361
+    assert r["is_regular"] is True                   # 50 < 361
+    # strict-<: with a zero threshold num*10 < 0 is impossible, so even
+    # a perfectly regular series must not flag — the comparison is
+    # integer cross-multiplication, no float rounding at the boundary
+    r2 = inter_event_regularity(
+        df, key_col="user_id", ts_col="ts", tiebreak_col="event_id",
+        cv2_threshold_tenths=0).first()
+    assert r2["is_regular"] is False

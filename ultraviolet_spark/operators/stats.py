@@ -473,3 +473,52 @@ def ols_trend_by_key(df: DataFrame, *, key_col: str, x_col: str,
                / (F.col("slope_den").cast("double")
                   * F.col("__dy").cast("double"))))
         .drop("__dy"))
+
+
+def inter_event_regularity(events: DataFrame, *, key_col: str,
+                           ts_col: str, tiebreak_col: str,
+                           min_gaps: int = 5,
+                           cv2_threshold_tenths: int = 1) -> DataFrame:
+    """Bot-likeness via inter-event timing regularity: humans burst,
+    schedulers tick.  Per key, the coefficient of variation of the
+    inter-event gaps CV² = (n·Σg² − (Σg)²)/(Σg)² is computed entirely
+    from int64 sufficient statistics (gaps in whole seconds, exact
+    epoch arithmetic), and the ``is_regular`` boundary is the integer
+    cross-multiplication ``cv2_num·10 < cv2_den·threshold_tenths`` —
+    no float ever decides classification.  Sparse keys (< ``min_gaps``
+    gaps) and zero-span histories (all events at one instant, Σg = 0)
+    never flag: a degenerate clock is not evidence of a scheduler.
+
+    ``tiebreak_col`` is REQUIRED: without a total order, equal
+    timestamps make the gap sequence partitioning-dependent.
+
+    Scale: one window pass and the groupBy share a single key
+    exchange; output is one row per key.  Gaps in seconds keep
+    n·Σg² inside int64 for ~10⁶ events/key over a decade.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    sec = F.expr(
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 1000000")
+    o = events.select(key_col, ts_col, tiebreak_col, sec.alias("__s"))
+    o = o.withColumn("__prev", F.lag("__s").over(w))
+    g = (o.filter(F.col("__prev").isNotNull())
+         .select(key_col, (F.col("__s") - F.col("__prev")).alias("__g")))
+    a = g.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("__g").cast("long").alias("gap_sum_s"),
+        F.sum(F.col("__g") * F.col("__g")).cast("long")
+         .alias("gap_sq_sum_s"))
+    num = (F.col("n_gaps") * F.col("gap_sq_sum_s")
+           - F.col("gap_sum_s") * F.col("gap_sum_s"))
+    den = F.col("gap_sum_s") * F.col("gap_sum_s")
+    return a.select(
+        key_col, "n_gaps", "gap_sum_s", "gap_sq_sum_s",
+        num.alias("cv2_num"), den.alias("cv2_den"),
+        F.when(F.col("gap_sum_s") > 0,
+               num.cast("double") / den.cast("double")).alias("cv2"),
+        ((F.col("n_gaps") >= F.lit(min_gaps)) & (F.col("gap_sum_s") > 0)
+         & (num * 10 < den * F.lit(cv2_threshold_tenths)))
+        .alias("is_regular"))

@@ -7248,6 +7248,116 @@ def q213(spark, sf_dir):
         "anchor_id", "neg_rank", "neg_id")
 
 
+@q("q214_bot_regularity", """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+    lag(epoch_us(ts) // 1000000) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+  FROM events),
+g AS (
+  SELECT user_id, s - prev_s AS gap FROM o WHERE prev_s IS NOT NULL),
+a AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n_gaps,
+    CAST(SUM(gap) AS BIGINT) AS gap_sum_s,
+    CAST(SUM(gap * gap) AS BIGINT) AS gap_sq_sum_s
+  FROM g GROUP BY user_id)
+SELECT user_id, n_gaps, gap_sum_s, gap_sq_sum_s,
+  n_gaps * gap_sq_sum_s - gap_sum_s * gap_sum_s AS cv2_num,
+  gap_sum_s * gap_sum_s AS cv2_den,
+  CASE WHEN gap_sum_s > 0
+       THEN CAST(n_gaps * gap_sq_sum_s - gap_sum_s * gap_sum_s AS DOUBLE)
+            / CAST(gap_sum_s * gap_sum_s AS DOUBLE) END AS cv2,
+  (n_gaps >= 5 AND gap_sum_s > 0
+   AND (n_gaps * gap_sq_sum_s - gap_sum_s * gap_sum_s) * 10
+       < gap_sum_s * gap_sum_s) AS is_regular
+FROM a
+""")
+def q214(spark, sf_dir):
+    """Bot-likeness via inter-event timing regularity: humans burst,
+    schedulers tick — a user whose gap coefficient-of-variation is
+    tiny is a machine.  CV² = (n·Σg² − (Σg)²)/(Σg)² stays entirely in
+    int64 (gaps in whole seconds, exact epoch arithmetic), and the
+    flag boundary is the integer cross-multiplication cv²·10 < 1 —
+    no float ever decides classification; sparse users (<5 gaps) and
+    zero-length histories never flag."""
+    from ultraviolet_spark.operators.stats import inter_event_regularity
+    return inter_event_regularity(
+        _t(spark, sf_dir, "events"), key_col="user_id", ts_col="ts",
+        tiebreak_col="event_id")
+
+
+@q("q215_corpus_datasheet", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents),
+tk AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+dup AS (
+  SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY md5(text))
+SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'chars_total', CAST(SUM(n_chars) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'max_doc_chars', CAST(MAX(n_chars) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'empty_docs',
+  CAST(COALESCE(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END), 0)
+    AS BIGINT) FROM documents
+UNION ALL
+SELECT 'tokens_total', CAST(count(*) AS BIGINT) FROM tk
+UNION ALL
+SELECT 'vocab_size', CAST(count(DISTINCT t) AS BIGINT) FROM tk
+UNION ALL
+SELECT 'dup_docs',
+  CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) FROM dup
+UNION ALL
+SELECT 'dup_classes',
+  CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN 1 END), 0) AS BIGINT) FROM dup
+""")
+def q215(spark, sf_dir):
+    """Corpus datasheet — the one-page release document (Gebru et al.
+    2021 'Datasheets for Datasets') as a tall exact-integer metric
+    table: sizes, vocabulary, emptiness and exact-duplicate mass, each
+    independently recomputed by the oracle; every metric is an int64
+    so the sheet can never drift between engines."""
+    d = _t(spark, sf_dir, "documents")
+    tk = (d.select(F.explode(F.split(F.lower(F.trim("text")),
+                                     r"\s+")).alias("t"))
+          .filter(F.col("t") != ""))
+    dup = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("c"))
+
+    def one(name, df_agg):
+        return df_agg.select(F.lit(name).alias("metric"),
+                             F.col("v").cast("long").alias("value"))
+
+    parts = [
+        one("n_docs", d.agg(F.count("*").alias("v"))),
+        one("n_sources", d.agg(F.countDistinct("source").alias("v"))),
+        one("n_langs", d.agg(F.countDistinct("lang").alias("v"))),
+        one("chars_total", d.agg(F.sum("n_chars").alias("v"))),
+        one("max_doc_chars", d.agg(F.max("n_chars").alias("v"))),
+        one("empty_docs", d.agg(F.coalesce(
+            F.sum(F.when(F.trim("text") == "", 1).otherwise(0)),
+            F.lit(0)).alias("v"))),
+        one("tokens_total", tk.agg(F.count("*").alias("v"))),
+        one("vocab_size", tk.agg(F.countDistinct("t").alias("v"))),
+        one("dup_docs", dup.agg(F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, F.col("c"))),
+            F.lit(0)).alias("v"))),
+        one("dup_classes", dup.agg(F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, 1)), F.lit(0)).alias("v"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
