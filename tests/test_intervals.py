@@ -81,3 +81,67 @@ def test_overlap_join_plan_is_equi_join(spark):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_union_hand_case(spark):
+    from ultraviolet_spark.operators.intervals import interval_union
+    rows = [
+        # key 0: [0,100] + [50,200] overlap; [200,300] touches → one span
+        (0, 0, 100), (0, 50, 200), (0, 200, 300),
+        # key 0: swallowed interval extends nothing but counts
+        (0, 250, 260),
+        # key 0: gap then a lone interval
+        (0, 1000, 1100),
+        # key 1: zero-length interval is a valid point span
+        (1, 5, 5),
+        # key 1: malformed (end < start) must vanish, not clamp
+        (1, 50, 40),
+    ]
+    df = spark.createDataFrame(
+        [(k, T0 + dt.timedelta(seconds=a), T0 + dt.timedelta(seconds=b))
+         for k, a, b in rows], "k long, s timestamp, e timestamp")
+    got = sorted(
+        ((r["k"], (r["span_start"] - T0).total_seconds(),
+          (r["span_end"] - T0).total_seconds(), r["n_merged"],
+          r["span_us"]) for r in interval_union(
+              df, key_cols=["k"], start_col="s", end_col="e").collect()))
+    assert got == [
+        (0, 0.0, 300.0, 4, 300_000_000),
+        (0, 1000.0, 1100.0, 1, 100_000_000),
+        (1, 5.0, 5.0, 1, 0),
+    ]
+
+
+def test_interval_union_brute_force_and_plan(spark):
+    from ultraviolet_spark.operators.intervals import interval_union
+    rng = random.Random(7)
+    rows = [(rng.randrange(3), rng.randrange(0, 500),
+             rng.randrange(0, 120)) for _ in range(200)]
+    df = spark.createDataFrame(
+        [(k, T0 + dt.timedelta(seconds=s), T0 + dt.timedelta(seconds=s + d))
+         for k, s, d in rows], "k long, s timestamp, e timestamp")
+    out = interval_union(df, key_cols=["k"], start_col="s", end_col="e")
+
+    # python reference: sort and sweep per key
+    expect = []
+    for k in {r[0] for r in rows}:
+        ivs = sorted((s, s + d) for kk, s, d in rows if kk == k)
+        cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                expect.append((k, float(cur_s), float(cur_e), n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e, n = max(cur_e, e), n + 1
+        expect.append((k, float(cur_s), float(cur_e), n))
+    got = sorted((r["k"], (r["span_start"] - T0).total_seconds(),
+                  (r["span_end"] - T0).total_seconds(), r["n_merged"])
+                 for r in out.collect())
+    assert got == sorted(expect)
+
+    # one exchange total: both windows + the span groupBy share the key
+    # (executedPlan.toString() appends the AQE "Initial Plan" — count
+    # only the final-plan section or the one exchange doubles)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final

@@ -77,3 +77,58 @@ def overlap_join(left: DataFrame, right: DataFrame, *,
     return (out.withColumn("overlap_start", ov_start)
                .withColumn("overlap_end", ov_end)
                .withColumn("overlap_secs", secs.cast("long")))
+
+
+def interval_union(df: DataFrame, *, key_cols: Sequence[str],
+                   start_col: str = "start",
+                   end_col: str = "end") -> DataFrame:
+    """Merge overlapping/touching closed intervals per key into
+    disjoint coverage spans — the gaps-and-islands reduction of a
+    visit log / crawl-window table (complement of :func:`overlap_join`
+    which PAIRS intervals; this one UNIONS them).
+
+    Per key, intervals sorted by (start, end) open a new span exactly
+    when ``start > running_max(end)`` over all earlier intervals —
+    touching closed intervals ([1,3],[3,5]) merge, and an interval
+    swallowed by a longer predecessor ([1,10],[2,3]) extends nothing
+    but still counts in ``n_merged``.  Output one row per span:
+    ``span_start``, ``span_end``, ``n_merged``, ``span_us`` (exact
+    integer-microsecond length — no double arithmetic anywhere).
+
+    Ties need no tiebreak column: two intervals with equal starts
+    always land in the same span (the running max is ≥ their shared
+    start), so span boundaries — and therefore min/max/count per span
+    — are identical under any tie order.
+
+    Malformed intervals (end < start, NULL bounds) are filtered, not
+    merged: a negative-length visit is sensor garbage, and silently
+    clamping it would fabricate coverage.
+
+    Scale: ONE exchange on ``key_cols`` shared by both window passes
+    (running max + island cumsum, same partitioning/ordering) and the
+    span groupBy; no self-join, no explode.  Row count only shrinks.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    base = (df.filter(F.col(start_col).isNotNull()
+                      & F.col(end_col).isNotNull())
+            .select(*keys, s_us.alias("__s"), e_us.alias("__e"))
+            .filter(F.col("__e") >= F.col("__s")))
+    w = Window.partitionBy(*keys).orderBy("__s", "__e")
+    pm = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "__new", F.when(pm.isNull() | (F.col("__s") > pm), 1).otherwise(0))
+    isl = flagged.withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (isl.groupBy(*keys, "__island")
+            .agg(F.min("__s").alias("__ss"), F.max("__e").alias("__se"),
+                 F.count("*").cast("long").alias("n_merged"))
+            .select(*keys,
+                    F.timestamp_micros(F.col("__ss")).alias("span_start"),
+                    F.timestamp_micros(F.col("__se")).alias("span_end"),
+                    "n_merged",
+                    (F.col("__se") - F.col("__ss")).alias("span_us")))

@@ -7358,6 +7358,49 @@ def q215(spark, sf_dir):
     return out
 
 
+@q("q216_interval_union_coverage", """
+WITH iv AS (
+  SELECT user_id, ts AS s,
+         ts + to_minutes(CAST(1 + event_id % 90 AS BIGINT)) AS e
+  FROM events),
+o AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pm
+  FROM iv),
+fl AS (
+  SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nf
+  FROM o),
+isl AS (
+  SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS island
+  FROM fl)
+SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_merged,
+       CAST(epoch_us(MAX(e)) - epoch_us(MIN(s)) AS BIGINT) AS span_us
+FROM isl GROUP BY user_id, island
+""")
+def q216(spark, sf_dir):
+    """Per-user visit coverage: overlapping/touching visit intervals
+    (each event opens a 1–90 minute window) merged into disjoint spans
+    via gaps-and-islands — the UNION complement of q191's interval
+    overlap JOIN.  Span lengths are exact integer microseconds; the
+    oracle replays the same running-max island construction in DuckDB.
+    One user_id exchange shared by both window passes and the span
+    groupBy; no self-join, no explode."""
+    from ultraviolet_spark.operators.intervals import interval_union
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id", F.col("ts").alias("s"),
+        F.expr("timestampadd(MINUTE, CAST(1 + event_id % 90 AS INT), ts)")
+         .alias("e"))
+    return interval_union(iv, key_cols=["user_id"],
+                          start_col="s", end_col="e")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
