@@ -42,6 +42,7 @@ CROSS_OK = {
     "q179_benford_audit",  # 1-row broadcast total-count frame
     "q195_calibration_report",  # 1-row broadcast brier/ece totals frame
     "q205_chi2_feature_selection",  # 1-row broadcast (N, n_pos) totals frame
+    "q217_bottomk_vocab_jaccard",  # G² group-PAIR frame (metadata-sized)
 }
 
 

@@ -254,3 +254,48 @@ def test_bloom_semi_join_probe_side_has_no_pre_join_exchange(spark):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     # the k probe word-joins must all be broadcast joins
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_bottomk_jaccard_exact_when_union_fits(spark):
+    from ultraviolet_spark.operators.sketches import bottomk_jaccard_pairs
+    # |A ∪ B| = 30 ≤ k → the estimate IS the exact Jaccard
+    rows = ([("a", f"x{i}") for i in range(20)]
+            + [("b", f"x{i}") for i in range(10, 30)])
+    df = spark.createDataFrame(rows, "g string, t string")
+    r = bottomk_jaccard_pairs(df, group_col="g", item_col="t",
+                              k=64).first()
+    assert (r["g1"], r["g2"]) == ("a", "b")
+    assert r["n_bottom"] == 30 and r["n_both"] == 10
+    assert r["jaccard_est"] == 10 / 30
+
+
+def test_bottomk_jaccard_estimates_within_sketch_error(spark):
+    from ultraviolet_spark.operators.sketches import bottomk_jaccard_pairs
+    # true J = 1000 / 3000 = 1/3; k=256 → σ ≈ √(J(1−J)/k) ≈ 0.029;
+    # deterministic hashes mean this asserts the estimator's math, not
+    # luck — the value is reproducible bit-for-bit every run
+    rows = ([("a", f"s{i}") for i in range(1000)]      # shared
+            + [("b", f"s{i}") for i in range(1000)]
+            + [("a", f"a{i}") for i in range(1000)]
+            + [("b", f"b{i}") for i in range(1000)])
+    df = spark.createDataFrame(rows, "g string, t string")
+    r = bottomk_jaccard_pairs(df, group_col="g", item_col="t",
+                              k=256).first()
+    assert r["n_bottom"] == 256
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.09      # 3σ
+    # duplicates in the input must not change the SET sketch
+    df2 = df.union(df)
+    r2 = bottomk_jaccard_pairs(df2, group_col="g", item_col="t",
+                               k=256).first()
+    assert r2["jaccard_est"] == r["jaccard_est"]
+
+
+def test_bottomk_jaccard_all_pairs_emitted(spark):
+    from ultraviolet_spark.operators.sketches import bottomk_jaccard_pairs
+    rows = [(g, f"{g}{i}") for g in "abc" for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, t string")
+    got = {(r["g1"], r["g2"]): r["jaccard_est"]
+           for r in bottomk_jaccard_pairs(
+               df, group_col="g", item_col="t", k=8).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(v == 0.0 for v in got.values())       # disjoint sets

@@ -324,3 +324,78 @@ def bloom_semi_join(big: DataFrame, small: DataFrame, *, big_col: str,
             if small_col != big_col else small.select(big_col).distinct(),
             big_col, "left_semi")
     return pruned.join(small, big[big_col] == small[small_col], how)
+
+
+def bottomk_signatures(df: DataFrame, *, group_col: str, item_col: str,
+                       k: int = 64) -> DataFrame:
+    """Per-group bottom-k set signature: the k lexicographically
+    smallest md5 hex digests of the group's DISTINCT items.  md5 hex
+    order is engine-portable (plain string comparison, no numeric
+    conversion) and content-blind, so the signature is a uniform
+    random k-sample of the set that is still a pure function of the
+    data — same sketch on every run, engine and cluster size.
+
+    Scale: the only full-data pass is the (group, h) distinct — one
+    map-side-combined exchange; the rank window runs on the already
+    tiny distinct frame.  Output ≤ k rows per group.
+    """
+    from pyspark.sql import Window
+
+    tk = (df.select(F.col(group_col).alias("g"),
+                    F.md5(F.col(item_col).cast("string")).alias("h"))
+          .filter(F.col("h").isNotNull())
+          .distinct())
+    w = Window.partitionBy("g").orderBy("h")
+    return (tk.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .select(F.col("g").alias(group_col), "h"))
+
+
+def bottomk_jaccard_pairs(df: DataFrame, *, group_col: str,
+                          item_col: str, k: int = 64) -> DataFrame:
+    """Estimated Jaccard similarity between every pair of groups' item
+    SETS from bottom-k signatures (Cohen & Kaplan bottom-k sketches) —
+    per-GROUP set similarity, complementing per-document MinHash.
+
+    Estimator: take the k smallest hashes of sig(A) ∪ sig(B) and count
+    how many lie in both sets; Ĵ = n_both / n_bottom.  Two exactness
+    facts make signatures sufficient (no second look at the data):
+    bottom-k(sig(A) ∪ sig(B)) = bottom-k(A ∪ B) because sig(A) holds
+    A's k smallest; and for h ∈ bottom-k(A ∪ B) with h ∈ A, fewer than
+    k elements of A∪B — hence of A — precede h, so h ∈ sig(A):
+    membership flags computed from signatures alone are exact.  When
+    |A ∪ B| ≤ k the estimate IS the exact Jaccard (n_bottom = |A∪B|).
+    The estimate is deterministic — a pure function of the data — so
+    it is exactly reproducible cross-engine, while its ACCURACY is the
+    usual sketch guarantee (std err ≈ √(J(1−J)/k)).
+
+    Scale: one full-data distinct (the signature pass); everything
+    after runs on G·k signature rows — the G² pair frame is metadata-
+    sized (pairs of GROUPS, not rows) and broadcast.
+    """
+    sig = bottomk_signatures(df, group_col=group_col,
+                             item_col=item_col, k=k)
+    from pyspark.sql import Window
+
+    gs = sig.select(F.col(group_col).alias("g")).distinct()
+    pairs = (gs.select(F.col("g").alias("g1"))
+             .join(F.broadcast(gs.select(F.col("g").alias("g2"))),
+                   F.col("g1") < F.col("g2")))
+    lab = sig.select(F.col(group_col).alias("__g"), "h")
+    u = (pairs.join(F.broadcast(lab),
+                    (F.col("__g") == F.col("g1"))
+                    | (F.col("__g") == F.col("g2")))
+         .groupBy("g1", "g2", "h")
+         .agg(F.max(F.when(F.col("__g") == F.col("g1"), 1)
+                    .otherwise(0)).alias("__h1"),
+              F.max(F.when(F.col("__g") == F.col("g2"), 1)
+                    .otherwise(0)).alias("__h2")))
+    w = Window.partitionBy("g1", "g2").orderBy("h")
+    rk = u.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k)
+    return (rk.groupBy("g1", "g2")
+            .agg(F.count("*").cast("long").alias("n_bottom"),
+                 F.sum(F.col("__h1") * F.col("__h2")).cast("long")
+                  .alias("n_both"))
+            .withColumn("jaccard_est",
+                        F.col("n_both").cast("double")
+                        / F.col("n_bottom").cast("double")))

@@ -7401,6 +7401,52 @@ def q216(spark, sf_dir):
                           start_col="s", end_col="e")
 
 
+@q("q217_bottomk_vocab_jaccard", """
+WITH tk AS (
+  SELECT DISTINCT g, md5(t) AS h FROM (
+    SELECT lang AS g,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM documents) WHERE t <> ''),
+sig AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+    FROM tk)
+  WHERE r <= 64),
+gs AS (SELECT DISTINCT g FROM sig),
+pr AS (SELECT a.g AS g1, b.g AS g2 FROM gs a JOIN gs b ON a.g < b.g),
+u AS (
+  SELECT p.g1, p.g2, s.h,
+         MAX(CASE WHEN s.g = p.g1 THEN 1 ELSE 0 END) AS h1,
+         MAX(CASE WHEN s.g = p.g2 THEN 1 ELSE 0 END) AS h2
+  FROM pr p JOIN sig s ON s.g = p.g1 OR s.g = p.g2
+  GROUP BY p.g1, p.g2, s.h),
+rk AS (SELECT *, row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS r
+       FROM u)
+SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS n_bottom,
+       CAST(SUM(h1 * h2) AS BIGINT) AS n_both,
+       CAST(SUM(h1 * h2) AS DOUBLE) / COUNT(*) AS jaccard_est
+FROM rk WHERE r <= 64 GROUP BY g1, g2
+""")
+def q217(spark, sf_dir):
+    """Pairwise language-vocabulary similarity from bottom-k set
+    sketches (Cohen–Kaplan): per-GROUP set Jaccard, complementing the
+    per-document MinHash path — the sketch is the k lexicographically
+    smallest md5 digests of each language's distinct token set, so the
+    estimate is a pure function of the corpus (byte-identical across
+    engines, runs and cluster sizes) and the oracle replays the exact
+    estimator.  One full-data pass (the distinct); the G² pair frame
+    is metadata-sized."""
+    from ultraviolet_spark.operators.sketches import bottomk_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select(F.col("lang"),
+                    F.explode(F.split(F.lower(F.trim("text")),
+                                      r"\s+")).alias("t"))
+           .filter(F.col("t") != ""))
+    return bottomk_jaccard_pairs(tok, group_col="lang", item_col="t",
+                                 k=64)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
