@@ -329,3 +329,43 @@ def test_discover_tracking_params_boundary(spark):
     df = spark.createDataFrame(rows, "url string")
     r, = discover_tracking_params(df, ndv_frac=0.8).collect()
     assert (r.occurrences, r.value_ndv) == (5, 4) and r.flagged
+
+
+def test_url_templates_normalization_rules(spark):
+    from ultraviolet_spark.operators.urls import url_templates
+    urls = [
+        # hex rule fires BEFORE digits: 8+ hex chars → {h}, not {n}{…}
+        "https://a.com/s/deadbeef01/x",
+        "https://a.com/s/cafebabe99/x",
+        # pure 8+-digit run is consumed by the hex rule too (documented)
+        "https://a.com/id/12345678",
+        # short digit runs → {n}
+        "https://a.com/p/42", "https://a.com/p/7",
+        # query string collapses to a bare '?'
+        "https://a.com/list?page=3&sid=abc",
+        "https://a.com/list?page=9",
+        # no volatile tokens: template == url
+        "https://a.com/about",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["template"]: (r["n_urls"], r["n_distinct"], r["example"])
+           for r in url_templates(df, trap_ndv=2).collect()}
+    assert got["https://a.com/s/{h}/x"] == (
+        2, 2, "https://a.com/s/cafebabe99/x")
+    assert got["https://a.com/id/{h}"] == (1, 1, "https://a.com/id/12345678")
+    assert got["https://a.com/p/{n}"] == (2, 2, "https://a.com/p/42")
+    assert got["https://a.com/list?"][0] == 2
+    assert got["https://a.com/about"] == (1, 1, "https://a.com/about")
+
+
+def test_url_templates_trap_flag_boundary(spark):
+    from ultraviolet_spark.operators.urls import url_templates
+    rows = ([(f"https://t.com/cal/{i}",) for i in range(100)]     # at ndv
+            + [(f"https://t.com/p/{i % 3}",) for i in range(100)])  # bounded
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["template"]: r for r in url_templates(
+        df, trap_ndv=100).collect()}
+    assert got["https://t.com/cal/{n}"]["is_trap"] is True   # ndv == 100
+    assert got["https://t.com/cal/{n}"]["n_distinct"] == 100
+    assert got["https://t.com/p/{n}"]["is_trap"] is False    # ndv == 3
+    assert got["https://t.com/p/{n}"]["n_urls"] == 100

@@ -484,3 +484,41 @@ def discover_tracking_params(df: DataFrame, *, url_col: str = "url",
                 >= F.lit(frac_micro) * F.col("occurrences"))
                & (F.col("n_domains") >= min_domains))
     return agg.withColumn("flagged", flagged)
+
+
+def url_templates(df: DataFrame, *, url_col: str = "url",
+                  trap_ndv: int = 100) -> DataFrame:
+    """URL template mining: collapse volatile tokens in each URL's
+    path so structurally identical pages share one key, then flag the
+    crawler-trap shape — one template fanning out into unboundedly
+    many distinct URLs (calendar pages, session ids in the path,
+    infinite facet combinations).  A frontier that budgets per
+    TEMPLATE instead of per URL stops a trap at ``trap_ndv`` fetches
+    where a per-URL budget would crawl it forever.
+
+    Normalization (order matters — hex first, or an 8+-digit run is
+    consumed as ``{n}`` before the hex rule sees it):
+    long hex runs (≥8 of ``[0-9a-f]``) → ``{h}``, digit runs → ``{n}``,
+    the query string → a bare ``?`` marker (param VALUES are volatile
+    by construction; q199's tracking-param discovery handles them).
+    Both rewrite rules live in the Java∩RE2 regex subset and use
+    global replacement (Spark replaces all matches natively; an
+    oracle must pass the 'g' flag).
+
+    Output per template: ``n_urls`` (occurrences), ``n_distinct``
+    (distinct full URLs — the trap signal), ``example`` (lexicographic
+    min URL, deterministic), ``is_trap``.
+
+    Scale: pure scan-stage Catalyst rewrites + one template-key
+    exchange with map-side partial aggregation; no UDF, no join.
+    """
+    u = F.col(url_col)
+    t = F.regexp_replace(u, r"\?.*$", "?")
+    t = F.regexp_replace(t, r"[0-9a-f]{8,}", "{h}")
+    t = F.regexp_replace(t, r"[0-9]+", "{n}")
+    return (df.select(t.alias("template"), u.alias("__u"))
+            .groupBy("template")
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.countDistinct("__u").cast("long").alias("n_distinct"),
+                 F.min("__u").alias("example"))
+            .withColumn("is_trap", F.col("n_distinct") >= F.lit(trap_ndv)))

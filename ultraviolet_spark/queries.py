@@ -7447,6 +7447,58 @@ def q217(spark, sf_dir):
                                  k=64)
 
 
+@q("q218_url_templates_traps", """
+WITH u AS (
+  SELECT o_orderkey AS k,
+    CASE o_orderkey % 4
+      WHEN 0 THEN 'https://ex.com/cal/' || CAST(2000 + o_orderkey % 50 AS VARCHAR)
+                  || '/' || CAST(1 + o_orderkey % 12 AS VARCHAR)
+      WHEN 1 THEN 'https://ex.com/s/' || md5(CAST(o_orderkey AS VARCHAR)) || '/home'
+      WHEN 2 THEN 'https://ex.com/p/' || CAST(o_orderkey % 20 AS VARCHAR)
+      ELSE 'https://ex.com/list?page=' || CAST(o_orderkey % 5000 AS VARCHAR)
+    END AS url,
+    CASE o_orderkey % 4
+      WHEN 0 THEN 'https://ex.com/cal/{n}/{n}'
+      WHEN 1 THEN 'https://ex.com/s/{h}/home'
+      WHEN 2 THEN 'https://ex.com/p/{n}'
+      ELSE 'https://ex.com/list?'
+    END AS template
+  FROM orders)
+SELECT template, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct,
+       MIN(url) AS example,
+       count(DISTINCT url) >= 100 AS is_trap
+FROM u GROUP BY template
+""")
+def q218(spark, sf_dir):
+    """Crawler-trap detection via URL template mining: volatile path
+    tokens collapse (hex runs → {h} BEFORE digit runs → {n}, query
+    string → a bare '?') so a calendar/session-id/facet explosion
+    shows up as ONE template with unbounded distinct URLs, while a
+    bounded catalog (20 product pages) stays under the trap threshold.
+    The oracle constructs every template analytically from the
+    synthesis arithmetic and never runs a regex — the Spark side's
+    regexp_replace chain must land the exact same strings."""
+    from ultraviolet_spark.operators.urls import url_templates
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = (F.when(k % 4 == 0,
+                  F.concat(F.lit("https://ex.com/cal/"),
+                           (F.lit(2000) + k % 50).cast("string"),
+                           F.lit("/"), (F.lit(1) + k % 12).cast("string")))
+           .when(k % 4 == 1,
+                 F.concat(F.lit("https://ex.com/s/"),
+                          F.md5(k.cast("string")), F.lit("/home")))
+           .when(k % 4 == 2,
+                 F.concat(F.lit("https://ex.com/p/"),
+                          (k % 20).cast("string")))
+           .otherwise(
+               F.concat(F.lit("https://ex.com/list?page="),
+                        (k % 5000).cast("string"))))
+    return url_templates(o.select(url.alias("url")), trap_ndv=100)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
