@@ -341,3 +341,49 @@ def test_domain_boilerplate_strip_hand_case(spark):
     assert got[7] == (4, 2, "keep\nkeep")
     assert got[8] == (2, 1, "other")
     assert len(got) == 9
+
+
+def test_length_bucketed_batches_invariants(spark):
+    from ultraviolet_spark.operators.corpus import length_bucketed_batches
+    rows = [(i, (i * 37) % 1000) for i in range(200)]
+    rows += [(900, None), (901, -5)]          # filtered, never padded
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = length_bucketed_batches(df, batch_size=8, bucket_width=100)
+    got = out.collect()
+    # every doc accounted for exactly once
+    assert sum(r["n_seqs"] for r in got) == 200
+    for r in got:
+        # bucket bound: max-min pad gap < bucket_width per sequence
+        assert r["max_len"] - r["min_len"] < 100
+        assert 0 < r["n_seqs"] <= 8
+        assert r["is_full"] == (r["n_seqs"] == 8)
+        # exact ledger
+        assert r["padding"] == r["n_seqs"] * r["max_len"] - r["tokens_real"]
+        assert r["padding"] >= 0
+    # at most one runt batch per bucket (the tail)
+    from collections import Counter
+    runts = Counter(r["bucket"] for r in got if not r["is_full"])
+    assert all(v == 1 for v in runts.values())
+
+
+def test_length_bucketed_batches_deterministic_and_isolated(spark):
+    from ultraviolet_spark.operators.corpus import length_bucketed_batches
+    rows = [(i, (i * 53) % 500) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a = sorted(map(tuple, length_bucketed_batches(
+        df, batch_size=4, bucket_width=50).collect()))
+    b = sorted(map(tuple, length_bucketed_batches(
+        df.repartition(7), batch_size=4, bucket_width=50).collect()))
+    assert a == b                             # partitioning-independent
+    # adding docs to ONE bucket must not move any other bucket's batches
+    extra = spark.createDataFrame([(1000 + i, 10) for i in range(8)],
+                                  "doc_id long, n_chars long")
+    c = length_bucketed_batches(df.union(extra), batch_size=4,
+                                bucket_width=50).collect()
+    before = {(r["bucket"], r["batch_idx"]): (r["n_seqs"], r["tokens_real"])
+              for r in length_bucketed_batches(
+                  df, batch_size=4, bucket_width=50).collect()
+              if r["bucket"] != 0}
+    after = {(r["bucket"], r["batch_idx"]): (r["n_seqs"], r["tokens_real"])
+             for r in c if r["bucket"] != 0}
+    assert before == after

@@ -1077,3 +1077,52 @@ def ring_negatives(df: DataFrame, *, id_col: str, k: int = 3,
             .select(F.col(id_col).alias("anchor_id"),
                     F.col("step").cast("long").alias("neg_rank"),
                     "neg_id"))
+
+
+def length_bucketed_batches(docs: DataFrame, *, id_col: str = "doc_id",
+                            len_col: str = "n_chars",
+                            batch_size: int = 16,
+                            bucket_width: int = 256) -> DataFrame:
+    """Length-bucketed training-batch assembly with EXACT padding-waste
+    accounting: sequences padded to their batch max burn compute on
+    pad tokens, and batching similar lengths together is the standard
+    fix — but a global sort by length is both a scale killer and
+    nondeterministic under ties.  Instead each doc lands in a fixed-
+    width length bucket (``len DIV bucket_width``), docs within a
+    bucket take their deterministic md5 rank, and ``batch_idx =
+    rank DIV batch_size`` — batch membership is a pure function of
+    data + parameters (same batches on every run, engine and cluster
+    size; adding a doc to one bucket cannot reshuffle any other
+    bucket's batches).
+
+    Output one row per batch: ``n_seqs``, ``max_len``, ``min_len``,
+    ``tokens_real`` (Σ len), ``padding`` (n·max − Σ len, exact int64),
+    ``is_full`` (runt tail batches flagged, not silently mixed in).
+    Within a batch the worst pad is < ``bucket_width`` per sequence by
+    construction — the bound the caller tunes against batch count.
+
+    Scale: one exchange on the bucket key shared by the rank window
+    and the batch groupBy; no global sort, no join.  NULL/negative
+    lengths are filtered (a doc with no length cannot be padded).
+    """
+    from pyspark.sql import Window
+
+    ln = F.col(len_col).cast("long")
+    base = (docs.select(F.col(id_col).alias("__id"), ln.alias("__len"))
+            .filter(ln.isNotNull() & (ln >= 0))
+            .withColumn("__bucket", F.expr(
+                f"__len DIV {int(bucket_width)}")))
+    w = Window.partitionBy("__bucket").orderBy(
+        F.md5(F.col("__id").cast("string")), F.col("__id"))
+    ranked = base.withColumn("__rm1", F.row_number().over(w) - 1) \
+        .withColumn("__batch", F.expr(f"__rm1 DIV {int(batch_size)}"))
+    return (ranked.groupBy(F.col("__bucket").alias("bucket"),
+                           F.col("__batch").alias("batch_idx"))
+            .agg(F.count("*").cast("long").alias("n_seqs"),
+                 F.max("__len").alias("max_len"),
+                 F.min("__len").alias("min_len"),
+                 F.sum("__len").alias("tokens_real"))
+            .withColumn("padding",
+                        F.col("n_seqs") * F.col("max_len")
+                        - F.col("tokens_real"))
+            .withColumn("is_full", F.col("n_seqs") == F.lit(batch_size)))

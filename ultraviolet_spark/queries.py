@@ -7499,6 +7499,39 @@ def q218(spark, sf_dir):
     return url_templates(o.select(url.alias("url")), trap_ndv=100)
 
 
+@q("q219_length_bucketed_batches", """
+WITH b AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+         CAST(n_chars AS BIGINT) // 256 AS bucket
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+r AS (
+  SELECT *, (row_number() OVER (
+      PARTITION BY bucket
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 16
+    AS batch_idx
+  FROM b)
+SELECT bucket, batch_idx, CAST(count(*) AS BIGINT) AS n_seqs,
+       MAX(len) AS max_len, MIN(len) AS min_len,
+       CAST(SUM(len) AS BIGINT) AS tokens_real,
+       CAST(count(*) * MAX(len) - SUM(len) AS BIGINT) AS padding,
+       count(*) = 16 AS is_full
+FROM r GROUP BY bucket, batch_idx
+""")
+def q219(spark, sf_dir):
+    """Length-bucketed training-batch assembly with exact padding
+    accounting: docs batch with similar-length peers (pad waste
+    < bucket_width per sequence by construction) WITHOUT a global
+    length sort — bucket = len DIV 256, md5 rank within bucket,
+    batch = rank DIV 16, so batch membership is a pure function of
+    data + parameters and every count in the padding ledger is int64.
+    The oracle replays the identical rank arithmetic in DuckDB."""
+    from ultraviolet_spark.operators.corpus import length_bucketed_batches
+
+    return length_bucketed_batches(
+        _t(spark, sf_dir, "documents"), id_col="doc_id",
+        len_col="n_chars", batch_size=16, bucket_width=256)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
