@@ -230,3 +230,36 @@ def test_date_partitioned_pruning_and_dynamic_overwrite(spark, tmp_path):
     assert after.filter(F.col("crawl_date") != "2024-01-02").count() == 20
     assert spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static") == "static"
+
+
+def test_compaction_plan_bins_and_passthrough(spark):
+    from ultraviolet_spark.plans.layout import compaction_plan
+    rows = [
+        # partition A: five 300-byte smalls → bins of ~3 at target 1000
+        *[("A", f"f{i}", 300) for i in range(5)],
+        # partition A: one big file passes through
+        ("A", "g0", 5000),
+        # partition B: single small file → 1-file bin, NOT actionable
+        ("B", "f0", 10),
+        # a file that CROSSES the boundary stays in the bin it started in
+        ("C", "a", 900), ("C", "b", 900), ("C", "c", 900),
+    ]
+    df = spark.createDataFrame(rows,
+                               "part string, file_path string, size_bytes long")
+    got = {(r["part"], r["group_id"]): r for r in compaction_plan(
+        df, partition_cols=["part"], target_bytes=1000).collect()}
+    # A smalls: cum_before 0,300,600,900,1200 → bins 0,0,0,0,1
+    a0, a1 = got[("A", 0)], got[("A", 1)]
+    assert (a0["n_files"], a0["bytes_total"], a0["needs_compaction"]) == \
+        (4, 1200, True)
+    assert (a1["n_files"], a1["needs_compaction"]) == (1, False)
+    big = got[("A", -1)]
+    assert big["passthrough"] is True and big["bytes_total"] == 5000
+    assert big["needs_compaction"] is False
+    assert got[("B", 0)]["needs_compaction"] is False
+    # C: cum_before 0,900,1800 → bins 0,0,1 — 'b' crosses but stays in 0
+    assert got[("C", 0)]["n_files"] == 2 and got[("C", 0)]["bytes_total"] == 1800
+    assert got[("C", 1)]["n_files"] == 1
+    # conservation: every byte planned exactly once
+    assert sum(r["bytes_total"] for r in got.values()) == \
+        sum(r[2] for r in rows)

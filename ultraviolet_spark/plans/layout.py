@@ -168,3 +168,62 @@ def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
     (assert via ``PartitionFilters`` in the formatted plan —
     tests/test_layout.py)."""
     return spark.read.parquet(path)
+
+
+def compaction_plan(files: DataFrame, *, partition_cols: list[str],
+                    path_col: str = "file_path",
+                    size_col: str = "size_bytes",
+                    target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Small-file compaction planner over file METADATA (the lineage /
+    listing table, not the data): within each partition, files already
+    ≥ ``target_bytes`` pass through untouched (rewriting a full-size
+    file is pure write amplification), and the small-file tail is
+    grouped into compaction bins by prefix-sum arithmetic — bin =
+    cum_bytes_before DIV target — over the deterministic path order.
+    Each bin's total lands in [target, 2·target) except the final
+    runt, because the file that crosses the boundary stays in the bin
+    it started in; a bin is only actionable when it holds ≥ 2 files.
+
+    This is the metadata-only half of OPTIMIZE/rewrite_data_files:
+    the planner is one window over the listing (thousands of rows per
+    partition, never data-scale), so it runs on the driver-side table
+    in milliseconds and the expensive rewrite executes only the
+    ``needs_compaction`` groups.
+
+    Output: one row per (partition, group) with ``n_files``,
+    ``bytes_total``, ``bytes_min/max``, ``needs_compaction`` and
+    ``passthrough`` (true for kept-as-is large files, one group each,
+    group id −1−rank to keep them disjoint from bin ids).
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in partition_cols]
+    sz = F.col(size_col).cast("long")
+    small = files.filter(sz < target_bytes)
+    big = files.filter(sz >= target_bytes)
+
+    w = Window.partitionBy(*keys).orderBy(path_col)
+    cum_before = F.coalesce(
+        F.sum(sz).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    binned = (small.withColumn("__cb", cum_before)
+              .withColumn("__grp", F.expr(f"__cb DIV {int(target_bytes)}")))
+    plan_small = (binned.groupBy(*partition_cols, "__grp")
+                  .agg(F.count("*").cast("long").alias("n_files"),
+                       F.sum(sz).alias("bytes_total"),
+                       F.min(sz).alias("bytes_min"),
+                       F.max(sz).alias("bytes_max"))
+                  .withColumn("needs_compaction", F.col("n_files") >= 2)
+                  .withColumn("passthrough", F.lit(False)))
+    wb = Window.partitionBy(*keys).orderBy(path_col)
+    plan_big = (big.withColumn("__grp",
+                               -F.row_number().over(wb).cast("long"))
+                .groupBy(*partition_cols, "__grp")
+                .agg(F.count("*").cast("long").alias("n_files"),
+                     F.sum(sz).alias("bytes_total"),
+                     F.min(sz).alias("bytes_min"),
+                     F.max(sz).alias("bytes_max"))
+                .withColumn("needs_compaction", F.lit(False))
+                .withColumn("passthrough", F.lit(True)))
+    return (plan_small.unionByName(plan_big)
+            .withColumnRenamed("__grp", "group_id"))

@@ -7532,6 +7532,56 @@ def q219(spark, sf_dir):
         len_col="n_chars", batch_size=16, bucket_width=256)
 
 
+@q("q220_compaction_plan", """
+WITH f AS (
+  SELECT o_orderpriority AS part,
+         'f' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS file_path,
+         CAST((o_orderkey * 7919) % 1500000 AS BIGINT) AS sz
+  FROM orders),
+small AS (
+  SELECT part, file_path, sz,
+         COALESCE(SUM(sz) OVER (PARTITION BY part ORDER BY file_path
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // 1000000 AS group_id
+  FROM f WHERE sz < 1000000),
+big AS (
+  SELECT part, file_path, sz,
+         -row_number() OVER (PARTITION BY part ORDER BY file_path)
+           AS group_id
+  FROM f WHERE sz >= 1000000)
+SELECT part, CAST(group_id AS BIGINT) AS group_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(SUM(sz) AS BIGINT) AS bytes_total,
+       MIN(sz) AS bytes_min, MAX(sz) AS bytes_max,
+       count(*) >= 2 AS needs_compaction, FALSE AS passthrough
+FROM small GROUP BY part, group_id
+UNION ALL
+SELECT part, CAST(group_id AS BIGINT), CAST(1 AS BIGINT),
+       sz, sz, sz, FALSE, TRUE
+FROM big
+""")
+def q220(spark, sf_dir):
+    """Small-file compaction planning over a synthesized file listing
+    (the metadata-only half of OPTIMIZE / rewrite_data_files): files
+    already at target size pass through untouched, the small tail bins
+    by prefix-sum DIV target over deterministic path order — every bin
+    lands in [target, 2·target) except the runt — and only ≥2-file
+    bins are actionable.  The oracle replays the identical window
+    arithmetic; the planner itself is one window over the listing,
+    never over data."""
+    from ultraviolet_spark.plans.layout import compaction_plan
+
+    o = _t(spark, sf_dir, "orders")
+    files = o.select(
+        F.col("o_orderpriority").alias("part"),
+        F.concat(F.lit("f"), F.lpad(F.col("o_orderkey").cast("string"),
+                                    10, "0")).alias("file_path"),
+        ((F.col("o_orderkey") * 7919) % 1500000).cast("long")
+        .alias("size_bytes"))
+    return compaction_plan(files, partition_cols=["part"],
+                           target_bytes=1_000_000)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
