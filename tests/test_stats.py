@@ -273,3 +273,43 @@ def test_regularity_boundary_is_integer_exact(spark):
         df, key_col="user_id", ts_col="ts", tiebreak_col="event_id",
         cv2_threshold_tenths=0).first()
     assert r2["is_regular"] is False
+
+
+def test_jsd_identical_and_disjoint_distributions(spark):
+    from ultraviolet_spark.operators.stats import jsd_drift_pairs, _LN2
+    rows = ([("a", t) for t in "xxyyz"] + [("b", t) for t in "xxyyz"]
+            + [("a", "w"), ("b", "w")]       # keep vocab identical
+            + [("c", t) for t in "ppqqr"])   # disjoint from a and b
+    df = spark.createDataFrame(rows, "g string, t string")
+    got = {(r["g1"], r["g2"]): r for r in jsd_drift_pairs(
+        df, group_col="g", item_col="t").collect()}
+    ab = got[("a", "b")]
+    assert ab["jsd"] == 0.0                  # identical distributions
+    assert ab["n_shared"] == 4 and ab["a_shared"] == 6
+    # zero shared vocab → pair absent by contract (JSD would be ln 2)
+    assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_jsd_matches_scipy_definition(spark):
+    import math
+    from collections import Counter
+    from ultraviolet_spark.operators.stats import jsd_drift_pairs
+    ta = "the cat sat on the mat the cat".split()
+    tb = "the dog sat on a log the dog dog".split()
+    df = spark.createDataFrame(
+        [("a", t) for t in ta] + [("b", t) for t in tb], "g string, t string")
+    r = jsd_drift_pairs(df, group_col="g", item_col="t").first()
+    pa, pb = Counter(ta), Counter(tb)
+    na, nb = len(ta), len(tb)
+    vocab = set(pa) | set(pb)
+    jsd = 0.0
+    for t in vocab:
+        p, q = pa[t] / na, pb[t] / nb
+        m = (p + q) / 2
+        if p:
+            jsd += 0.5 * p * math.log(p / m)
+        if q:
+            jsd += 0.5 * q * math.log(q / m)
+    # micro-nat rounding bounds the error by 0.5e-6 per shared term
+    assert abs(r["jsd"] - jsd) < 1e-6 * r["n_shared"]
+    assert 0.0 <= r["jsd"] <= 0.6931471805599453

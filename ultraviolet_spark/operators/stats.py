@@ -522,3 +522,71 @@ def inter_event_regularity(events: DataFrame, *, key_col: str,
         ((F.col("n_gaps") >= F.lit(min_gaps)) & (F.col("gap_sum_s") > 0)
          & (num * 10 < den * F.lit(cv2_threshold_tenths)))
         .alias("is_regular"))
+
+
+#: ln(2) as the correctly-rounded IEEE double, hardcoded in BOTH engines
+#: (computing ln(2.0) at runtime could differ in the last ULP between
+#: the JVM's Math.log and DuckDB's libm).
+_LN2 = 0.6931471805599453
+
+
+def jsd_drift_pairs(df: DataFrame, *, group_col: str,
+                    item_col: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between each group's unigram
+    item distribution — the corpus-drift monitor (0 = identical
+    vocabulary usage, ln 2 = disjoint).
+
+    The non-shared mass needs no outer join: for a token only in P,
+    its KL term is p·ln 2, so the one-sided tails contribute
+    ln 2·(1 − P_shared) and ln 2·(1 − Q_shared), both derived from
+    EXACT int64 shared-count sums.  Only shared tokens meet through
+    one token equi-join, and each shared term p·ln(2p/(p+q)) +
+    q·ln(2q/(p+q)) — ≥ 0 by the log-sum inequality — is rounded to
+    integer MICRO-nats before summing, so the cross-token sum is an
+    int64 and therefore order- and partitioning-independent; ln's
+    last-ULP difference between JVM and libm (~1e-16) cannot move a
+    term across a 0.5e-6 rounding boundary except on astronomically
+    exact ties.  The final ``jsd`` is one fixed IEEE expression over
+    those integers (ln 2 as a hardcoded correctly-rounded literal).
+
+    Pairs with ZERO shared vocabulary are absent from the output
+    (their JSD is exactly ln 2); emitting them would need a G² outer
+    pair frame for no information.
+
+    Scale: one (group, item) count exchange, a broadcast of per-group
+    totals, one item equi-join; never a cartesian.
+    """
+    cnt = (df.select(F.col(group_col).alias("g"),
+                     F.col(item_col).alias("t"))
+           .filter(F.col("t").isNotNull())
+           .groupBy("g", "t").agg(F.count("*").cast("long").alias("c")))
+    tot = cnt.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    ct = cnt.join(F.broadcast(tot), "g")
+    a = ct.select(F.col("g").alias("g1"), F.col("t"),
+                  F.col("c").alias("ca"), F.col("n").alias("na"))
+    b = ct.select(F.col("g").alias("g2"), F.col("t"),
+                  F.col("c").alias("cb"), F.col("n").alias("nb"))
+    j = a.join(b, ["t"]).filter(F.col("g1") < F.col("g2"))
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    term = (p * F.log(F.lit(2.0) * p / (p + q))
+            + q * F.log(F.lit(2.0) * q / (p + q)))
+    micro = F.round(term * F.lit(1e6), 0).cast("long")
+    agg = (j.select("g1", "g2", "ca", "cb", "na", "nb",
+                    micro.alias("__m"))
+           .groupBy("g1", "g2")
+           .agg(F.count("*").cast("long").alias("n_shared"),
+                F.sum("ca").cast("long").alias("a_shared"),
+                F.sum("cb").cast("long").alias("b_shared"),
+                F.max("na").alias("__na"), F.max("nb").alias("__nb"),
+                F.sum("__m").cast("long").alias("jsd_micro_shared")))
+    jsd = (F.lit(0.5)
+           * (F.col("jsd_micro_shared").cast("double") / F.lit(1e6)
+              + F.lit(_LN2)
+              * (F.lit(1.0) - F.col("a_shared").cast("double")
+                 / F.col("__na").cast("double"))
+              + F.lit(_LN2)
+              * (F.lit(1.0) - F.col("b_shared").cast("double")
+                 / F.col("__nb").cast("double"))))
+    return agg.select("g1", "g2", "n_shared", "a_shared", "b_shared",
+                      "jsd_micro_shared", jsd.alias("jsd"))

@@ -7582,6 +7582,61 @@ def q220(spark, sf_dir):
                            target_bytes=1_000_000)
 
 
+@q("q221_jsd_vocab_drift", """
+WITH tok AS (
+  SELECT g, t FROM (
+    SELECT lang AS g,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM documents) WHERE t <> ''),
+cnt AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY g, t),
+tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY g),
+ct AS (SELECT cnt.g, t, c, n FROM cnt JOIN tot ON cnt.g = tot.g),
+j AS (
+  SELECT a.g AS g1, b.g AS g2, a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb,
+         CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS p,
+         CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS q
+  FROM ct a JOIN ct b ON a.t = b.t AND a.g < b.g),
+m AS (
+  SELECT g1, g2, ca, cb, na, nb,
+         CAST(round((p * ln(2.0 * p / (p + q))
+                     + q * ln(2.0 * q / (p + q))) * 1000000.0)
+              AS BIGINT) AS micro
+  FROM j),
+agg AS (
+  SELECT g1, g2, CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(SUM(ca) AS BIGINT) AS a_shared,
+         CAST(SUM(cb) AS BIGINT) AS b_shared,
+         MAX(na) AS na, MAX(nb) AS nb,
+         CAST(SUM(micro) AS BIGINT) AS jsd_micro_shared
+  FROM m GROUP BY g1, g2)
+SELECT g1, g2, n_shared, a_shared, b_shared, jsd_micro_shared,
+       0.5 * (CAST(jsd_micro_shared AS DOUBLE) / 1000000.0
+              + 0.6931471805599453
+                * (1.0 - CAST(a_shared AS DOUBLE) / CAST(na AS DOUBLE))
+              + 0.6931471805599453
+                * (1.0 - CAST(b_shared AS DOUBLE) / CAST(nb AS DOUBLE)))
+         AS jsd
+FROM agg
+""")
+def q221(spark, sf_dir):
+    """Pairwise Jensen–Shannon vocabulary drift between languages:
+    shared-token KL terms rounded to integer micro-nats before the
+    sum (order/partitioning-independent; JVM-vs-libm ln ULPs cannot
+    cross a 0.5e-6 boundary except on astronomically exact ties), the
+    one-sided vocabulary tails contributed analytically as
+    ln2·(1 − shared_mass) from exact int64 sums — no outer join —
+    and ln 2 hardcoded as the correctly-rounded double literal in
+    both engines."""
+    from ultraviolet_spark.operators.stats import jsd_drift_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select(F.col("lang"),
+                    F.explode(F.split(F.lower(F.trim("text")),
+                                      r"\s+")).alias("t"))
+           .filter(F.col("t") != ""))
+    return jsd_drift_pairs(tok, group_col="lang", item_col="t")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
