@@ -165,3 +165,62 @@ def test_ndcg_all_zero_gain_is_null_and_k_guard(spark):
     with pytest.raises(ValueError, match="discount table"):
         ndcg_at_k(df, query_col="q", score_col="score", gain_col="gain",
                   id_col="id", k=11)
+
+
+def _rbo_reference(ranks, k=10, p=0.9):
+    # truncated RBO normalized so identical prefixes score 1:
+    # Σ_d w_d·(overlap_d/d) / Σ_d w_d, with the same nano-rounded
+    # integer weights the operator uses
+    w = [round(1e9 * (1 - p) * p ** (d - 1)) for d in range(1, k + 1)]
+    num = 0
+    for d in range(1, k + 1):
+        ov = sum(1 for ra, rb in ranks if max(ra, rb) <= d)
+        num += w[d - 1] * (2520 // d) * ov
+    return num / (2520 * sum(w))
+
+
+def test_rbo_identical_and_reversed(spark):
+    from ultraviolet_spark.operators.evalmetrics import rbo_at_k
+    ident = [("q1", i, i, i) for i in range(1, 11)]
+    rev = [("q2", i, i, 11 - i) for i in range(1, 11)]
+    df = spark.createDataFrame(ident + rev,
+                               "q string, item long, ra long, rb long")
+    got = {r["query"]: r for r in rbo_at_k(
+        df, query_col="q", item_col="item", rank_a_col="ra",
+        rank_b_col="rb").collect()}
+    assert got["q1"]["rbo"] == 1.0           # identical prefixes: exact 1
+    assert got["q1"]["n_both_topk"] == 10
+    ref = _rbo_reference([(i, 11 - i) for i in range(1, 11)])
+    assert got["q2"]["rbo"] == ref           # same integer arithmetic
+    # reversal scores LOW (≈0.25) despite full overlap at depth 10 —
+    # top-weighting is the whole point: the heads disagree maximally
+    assert 0.0 < got["q2"]["rbo"] < 0.5
+
+
+def test_rbo_partial_overlap_and_absent_queries(spark):
+    from ultraviolet_spark.operators.evalmetrics import rbo_at_k
+    rows = [
+        # q1: item ranked 1 in A, 3 in B; another in A-top only (rb=15)
+        ("q1", 1, 1, 3), ("q1", 2, 2, 15), ("q1", 3, 12, 1),
+        # q2: zero items inside both top-10 → query absent by contract
+        ("q2", 1, 1, 11), ("q2", 2, 11, 1),
+        # NULL ranks never contribute
+        ("q1", 4, None, 2),
+    ]
+    df = spark.createDataFrame(rows, "q string, item long, ra long, rb long")
+    got = {r["query"]: r for r in rbo_at_k(
+        df, query_col="q", item_col="item", rank_a_col="ra",
+        rank_b_col="rb").collect()}
+    assert set(got) == {"q1"}
+    assert got["q1"]["n_both_topk"] == 1
+    assert got["q1"]["rbo"] == _rbo_reference([(1, 3)])
+
+
+def test_rbo_rejects_untabled_parameters(spark):
+    import pytest as _pytest
+    from ultraviolet_spark.operators.evalmetrics import rbo_at_k
+    df = spark.createDataFrame([("q", 1, 1, 1)],
+                               "q string, item long, ra long, rb long")
+    with _pytest.raises(NotImplementedError):
+        rbo_at_k(df, query_col="q", item_col="item", rank_a_col="ra",
+                 rank_b_col="rb", k=5)

@@ -196,3 +196,57 @@ def ndcg_at_k(df: DataFrame, *, query_col: str, score_col: str,
         F.when(F.col("idcg_micro") > 0,
                F.col("dcg_micro").cast("double")
                / F.col("idcg_micro").cast("double")))
+
+
+def rbo_at_k(df: DataFrame, *, query_col: str, item_col: str,
+             rank_a_col: str, rank_b_col: str, k: int = 10,
+             p: float = 0.9) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two rankings
+    of the same candidate pool, truncated at depth ``k`` and
+    normalized so identical prefixes score exactly 1.0 — the ranking-
+    drift monitor that, unlike Kendall's tau, weights the TOP of the
+    list (persistence ``p``: each deeper rank matters p× less).
+
+    Exact-integer reformulation (no float sum, no pow() in either
+    engine): RBO@k = Σ_d w_d·(|A_d ∩ B_d|/d) with w_d = (1−p)p^(d−1).
+    An item at ranks (ra, rb) is inside both depth-d prefixes for
+    every d ≥ max(ra, rb), so its total contribution is
+    Σ_{d≥m} w_d/d with m = max(ra, rb) — a k-entry TAIL TABLE.
+    Scaling w_d to nano units and multiplying by lcm(1..k) makes
+    every w_d/d an exact int64, so the per-query sum is pure integer
+    addition (order/partitioning-independent) and the final score is
+    ONE IEEE division by the precomputed normalizer 2520·Σw_d.
+
+    Input: one row per (query, item) with the item's 1-based rank
+    under ranking A and under ranking B (NULL/0 rank = not ranked).
+    Items outside both top-k contribute nothing and are filtered
+    before any shuffle.
+
+    Scale: scan-stage filter to ≤ k rows per query per side, one
+    query-key exchange for the sum.
+    """
+    if (k, p) != (10, 0.9):
+        raise NotImplementedError(
+            "integer tail table precomputed for k=10, p=0.9 only — "
+            "extend _RBO_WTAIL for other parameters")
+    # WTAIL[m-1] = Σ_{d=m..10} round(1e9·(1−p)p^(d−1)) · (2520 // d)
+    wtail = [593249326578, 341249326578, 227849326578, 159809326578,
+             113882326578, 80814886578, 56014306578, 36882430578,
+             21816078228, 9762996348]
+    denom = 1641330331200.0  # 2520 · Σ w_d  (identical prefixes → 1.0)
+
+    ra, rb = F.col(rank_a_col).cast("long"), F.col(rank_b_col).cast("long")
+    m = F.greatest(ra, rb)
+    both = (df.filter(ra.isNotNull() & rb.isNotNull()
+                      & (ra >= 1) & (rb >= 1)
+                      & (ra <= k) & (rb <= k))
+            .select(F.col(query_col).alias("query"), m.alias("__m")))
+    tbl = F.array(*[F.lit(v) for v in wtail])
+    contrib = both.select("query",
+                          F.element_at(tbl, F.col("__m").cast("int"))
+                          .alias("__c"))
+    return (contrib.groupBy("query")
+            .agg(F.count("*").cast("long").alias("n_both_topk"),
+                 F.sum("__c").cast("long").alias("rbo_num"))
+            .withColumn("rbo", F.col("rbo_num").cast("double")
+                        / F.lit(denom)))

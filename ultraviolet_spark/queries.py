@@ -7637,6 +7637,63 @@ def q221(spark, sf_dir):
     return jsd_drift_pairs(tok, group_col="lang", item_col="t")
 
 
+@q("q222_rbo_ranking_drift", """
+WITH agg AS (
+  SELECT o_orderpriority AS pri, o_custkey % 40 AS cand,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY pri, cand),
+rk AS (
+  SELECT pri, cand,
+         row_number() OVER (PARTITION BY pri
+                            ORDER BY cents DESC, cand) AS ra,
+         row_number() OVER (PARTITION BY pri
+                            ORDER BY n DESC, cand) AS rb
+  FROM agg),
+wt AS (
+  SELECT * FROM (VALUES
+    (1, 593249326578), (2, 341249326578), (3, 227849326578),
+    (4, 159809326578), (5, 113882326578), (6, 80814886578),
+    (7, 56014306578), (8, 36882430578), (9, 21816078228),
+    (10, 9762996348)) AS t(m, w))
+SELECT pri AS query, CAST(count(*) AS BIGINT) AS n_both_topk,
+       CAST(SUM(w) AS BIGINT) AS rbo_num,
+       CAST(SUM(w) AS DOUBLE) / 1641330331200.0 AS rbo
+FROM rk JOIN wt ON wt.m = greatest(ra, rb)
+WHERE ra <= 10 AND rb <= 10
+GROUP BY pri
+""")
+def q222(spark, sf_dir):
+    """Ranking-drift monitor via rank-biased overlap: the same
+    candidate pool ranked by revenue vs by order count, compared with
+    top-weighted RBO@10 — per-item contributions come from a
+    precomputed integer tail table (w_d/d made exact by nano-scaling
+    and the lcm 2520), the per-query sum is pure int64 addition, and
+    the score is one IEEE division by the normalizer that maps
+    identical prefixes to exactly 1.0.  Revenue keys are exact cents
+    (floor(x·100+0.5)) so neither ranking can tie-flip between
+    engines."""
+    from pyspark.sql import Window
+    from ultraviolet_spark.operators.evalmetrics import rbo_at_k
+
+    o = _t(spark, sf_dir, "orders")
+    agg = (o.groupBy(F.col("o_orderpriority").alias("pri"),
+                     (F.col("o_custkey") % 40).alias("cand"))
+           .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                      .cast("long")).cast("long").alias("cents"),
+                F.count("*").cast("long").alias("n")))
+    wa = Window.partitionBy("pri").orderBy(F.col("cents").desc(),
+                                           F.col("cand").asc())
+    wb = Window.partitionBy("pri").orderBy(F.col("n").desc(),
+                                           F.col("cand").asc())
+    rk = agg.select("pri", "cand",
+                    F.row_number().over(wa).alias("ra"),
+                    F.row_number().over(wb).alias("rb"))
+    return rbo_at_k(rk, query_col="pri", item_col="cand",
+                    rank_a_col="ra", rank_b_col="rb")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
