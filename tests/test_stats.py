@@ -313,3 +313,37 @@ def test_jsd_matches_scipy_definition(spark):
     # micro-nat rounding bounds the error by 0.5e-6 per shared term
     assert abs(r["jsd"] - jsd) < 1e-6 * r["n_shared"]
     assert 0.0 <= r["jsd"] <= 0.6931471805599453
+
+
+def test_json_schema_profile_types_and_dominance(spark):
+    from ultraviolet_spark.operators.stats import json_schema_profile
+    docs = [
+        '{"a": 1, "s": "hi", "f": 2.5, "b": true, "z": null}',
+        '{"a": 2, "s": "yo", "arr": [1,2], "obj": {"x": 1}}',
+        '{"a": "three"}',               # type conflict on a
+        'not json at all',              # malformed: contributes nothing
+        '{"neg": -7, "negf": -0.25}',   # signed numerics
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    got = {r["key"]: r.asDict() for r in json_schema_profile(
+        df, json_col="doc").collect()}
+    a = got["a"]
+    assert (a["n_present"], a["n_int"], a["n_string"]) == (3, 2, 1)
+    assert a["dominant_type"] == "int"
+    assert got["s"]["dominant_type"] == "string"
+    assert got["f"]["n_double"] == 1 and got["negf"]["n_double"] == 1
+    assert got["neg"]["n_int"] == 1
+    assert got["b"]["n_bool"] == 1
+    assert got["z"]["n_null"] == 1 and got["z"]["dominant_type"] == "null"
+    assert got["arr"]["n_array"] == 1
+    assert got["obj"]["n_object"] == 1
+    assert "not" not in got             # malformed rows vanish silently
+
+
+def test_json_schema_profile_tiebreak_is_priority_order(spark):
+    from ultraviolet_spark.operators.stats import json_schema_profile
+    # one int + one string occurrence: tie → priority picks 'int'
+    df = spark.createDataFrame(
+        [('{"k": 5}',), ('{"k": "five"}',)], "doc string")
+    r = json_schema_profile(df, json_col="doc").first()
+    assert r["dominant_type"] == "int"

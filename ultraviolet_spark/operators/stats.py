@@ -590,3 +590,50 @@ def jsd_drift_pairs(df: DataFrame, *, group_col: str,
                  / F.col("__nb").cast("double"))))
     return agg.select("g1", "g2", "n_shared", "a_shared", "b_shared",
                       "jsd_micro_shared", jsd.alias("jsd"))
+
+
+def json_schema_profile(df: DataFrame, *, json_col: str) -> DataFrame:
+    """Schema profile of a free-form JSON column (the ingestion audit
+    for a JSONL feed): per top-level key, presence count and a type
+    histogram (int / double / bool / string / array / object / null),
+    plus the dominant type under a FIXED priority tiebreak — so two
+    runs, engines or cluster sizes always name the same winner.
+
+    Values are observed through ``from_json(map<string,string>)``
+    string coercion: numbers/bools keep their JSON text, nested
+    arrays/objects keep their serialized form, JSON nulls surface as
+    SQL NULL.  One documented blind spot: a quoted numeric string
+    (``"7"``) coerces to the same text as the number ``7`` and is
+    classified int — string-coerced profiling trades that corner for
+    never needing per-row schema inference.  Rows whose document
+    fails to parse are simply absent (no keys to profile); count them
+    upstream if malformed-rate matters.
+
+    Scale: scan-stage parse + explode, one key exchange with map-side
+    partial aggregation; no UDF, no join, output is vocabulary-of-
+    keys-sized.
+    """
+    kv = (df.select(F.explode(F.from_json(F.col(json_col),
+                                          "map<string,string>"))
+                    .alias("key", "v")))
+    cls = (F.when(F.col("v").isNull(), "null")
+           .when(F.col("v").rlike(r"^-?[0-9]+$"), "int")
+           .when(F.col("v").rlike(r"^-?[0-9]+\.[0-9]+$"), "double")
+           .when(F.col("v").isin("true", "false"), "bool")
+           .when(F.col("v").startswith("["), "array")
+           .when(F.col("v").startswith("{"), "object")
+           .otherwise("string"))
+    counted = (kv.select("key", cls.alias("__c"))
+               .groupBy("key")
+               .agg(F.count("*").cast("long").alias("n_present"),
+                    *[F.sum(F.when(F.col("__c") == t, 1).otherwise(0))
+                      .cast("long").alias(f"n_{t}")
+                      for t in ["int", "double", "bool", "string",
+                                "array", "object", "null"]]))
+    mx = F.greatest(*[F.col(f"n_{t}") for t in
+                      ["int", "double", "bool", "string",
+                       "array", "object", "null"]])
+    dom = F.when(F.col("n_int") == mx, "int")
+    for t in ["double", "bool", "string", "array", "object", "null"]:
+        dom = dom.when(F.col(f"n_{t}") == mx, t)
+    return counted.withColumn("dominant_type", dom)

@@ -7694,6 +7694,71 @@ def q222(spark, sf_dir):
                     rank_a_col="ra", rank_b_col="rb")
 
 
+@q("q223_json_schema_profile", """
+WITH c AS (
+  SELECT CAST(COUNT(*) FILTER (o_orderkey % 4 = 0) AS BIGINT) AS c0,
+         CAST(COUNT(*) FILTER (o_orderkey % 4 = 1) AS BIGINT) AS c1,
+         CAST(COUNT(*) FILTER (o_orderkey % 4 = 2) AS BIGINT) AS c2,
+         CAST(COUNT(*) FILTER (o_orderkey % 4 = 3) AS BIGINT) AS c3
+  FROM orders),
+p AS (
+  SELECT 'a' AS key, c0 + c1 + c3 AS n_present, c0 AS n_int,
+         c1 AS n_double, CAST(0 AS BIGINT) AS n_bool, c3 AS n_string,
+         CAST(0 AS BIGINT) AS n_array, CAST(0 AS BIGINT) AS n_object,
+         CAST(0 AS BIGINT) AS n_null
+  FROM c
+  UNION ALL
+  SELECT 'b', c0 + c2, 0, 0, 0, c0, 0, 0, c2 FROM c
+  UNION ALL
+  SELECT 'c', c1, 0, 0, c1, 0, 0, 0, 0 FROM c
+  UNION ALL
+  SELECT 'd', c2, 0, 0, 0, 0, c2, 0, 0 FROM c)
+SELECT key, n_present, n_int, n_double, n_bool, n_string, n_array,
+       n_object, n_null,
+       CASE
+         WHEN n_int = greatest(n_int, n_double, n_bool, n_string,
+                               n_array, n_object, n_null) THEN 'int'
+         WHEN n_double = greatest(n_int, n_double, n_bool, n_string,
+                                  n_array, n_object, n_null) THEN 'double'
+         WHEN n_bool = greatest(n_int, n_double, n_bool, n_string,
+                                n_array, n_object, n_null) THEN 'bool'
+         WHEN n_string = greatest(n_int, n_double, n_bool, n_string,
+                                  n_array, n_object, n_null) THEN 'string'
+         WHEN n_array = greatest(n_int, n_double, n_bool, n_string,
+                                 n_array, n_object, n_null) THEN 'array'
+         WHEN n_object = greatest(n_int, n_double, n_bool, n_string,
+                                  n_array, n_object, n_null) THEN 'object'
+         ELSE 'null'
+       END AS dominant_type
+FROM p
+""")
+def q223(spark, sf_dir):
+    """JSONL-feed schema audit: per top-level key, presence + type
+    histogram + dominant type under a fixed priority tiebreak.  The
+    Spark side actually PARSES synthesized mixed-type JSON documents
+    (int/double/string conflict on key 'a', string-vs-null on 'b',
+    bool and array keys) through map<string,string> coercion; the
+    oracle never touches JSON — it derives every count analytically
+    from the synthesis arithmetic, so a parsing or classification bug
+    cannot hide."""
+    from ultraviolet_spark.operators.stats import json_schema_profile
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    j = (F.when(k % 4 == 0,
+                F.concat(F.lit('{"a": '), (k % 100).cast("string"),
+                         F.lit(', "b": "s'), (k % 7).cast("string"),
+                         F.lit('"}')))
+         .when(k % 4 == 1,
+               F.concat(F.lit('{"a": '), (k % 100).cast("string"),
+                        F.lit('.5, "c": true}')))
+         .when(k % 4 == 2, F.lit('{"b": null, "d": [1,2]}'))
+         .otherwise(
+             F.concat(F.lit('{"a": "x'), (k % 3).cast("string"),
+                      F.lit('"}'))))
+    return json_schema_profile(o.select(j.alias("doc")), json_col="doc")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
