@@ -118,3 +118,37 @@ def test_session_path_ngrams_hand_case(spark):
     got = {r.path: r.n_occurrences
            for r in session_path_ngrams(ev, n=3, top_k=10).collect()}
     assert got == {"view>click>purchase": 2, "click>purchase>error": 1}
+
+
+def test_transition_matrix_hand_case(spark):
+    import datetime as dt
+    from ultraviolet_spark.operators.funnel import transition_matrix
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: a→b→a ; user 2: a→b — counts: a→b:2, b→a:1
+    rows = [(1, t0, 0, "a"), (1, t0, 1, "b"),
+            (1, t0.replace(hour=1), 2, "a"),
+            (2, t0, 3, "a"), (2, t0, 4, "b"),
+            (3, t0, 5, "c")]                 # lone event: no transition
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {(r["from_state"], r["to_state"]): r for r in
+           transition_matrix(df).collect()}
+    # full 3×3 matrix including never-seen 'c' rows
+    assert len(got) == 9
+    ab, ba = got[("a", "b")], got[("b", "a")]
+    assert (ab["n"], ab["p_num"], ab["p_den"]) == (2, 3, 5)  # row a: 2+3
+    assert ab["p"] == 3 / 5
+    # row b has ONE outgoing transition (each user's last event is
+    # terminal): p_den = 1 + 3, p = (1+1)/4
+    assert (ba["n"], ba["p_den"], ba["p"]) == (1, 4, 0.5)
+    # unseen transition gets Laplace mass, never zero
+    cc = got[("c", "c")]
+    assert cc["n"] == 0 and cc["p"] == 1 / 3
+    # rows are proper distributions: Σp == 1 exactly per from-state
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for (f, _t), r in got.items():
+        sums[f] += r["p_num"] / r["p_den"]
+    assert all(abs(v - 1.0) < 1e-12 for v in sums.values())
+    # equal-timestamp tie broken by event_id: (2,t0,a)→(2,t0,b) counted
+    assert got[("a", "b")]["n"] == 2

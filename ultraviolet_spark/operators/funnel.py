@@ -150,3 +150,50 @@ def session_path_ngrams(df: DataFrame, *, n: int = 3, top_k: int = 20,
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), F.asc("path"))
             .limit(top_k))
+
+
+def transition_matrix(df: DataFrame, *, key_col: str = "user_id",
+                      order_col: str = "ts",
+                      tiebreak_col: str = "event_id",
+                      state_col: str = "event_type",
+                      alpha: int = 1) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences, Laplace-smoothed — the "what do users do next" model
+    and, fed back, an anomaly score for improbable paths.
+
+    Emits the FULL S×S matrix (that is the point of smoothing: unseen
+    transitions get mass α, not absence), with exact integer
+    sufficient statistics: ``p_num = n + α``, ``p_den = row_n + α·S``
+    and ``p = p_num / p_den`` as the single IEEE division — α is an
+    integer count ("virtual observations"), never a float at the
+    boundary.  ``tiebreak_col`` is REQUIRED: equal timestamps would
+    otherwise make the observed transition multiset partitioning-
+    dependent.
+
+    Scale: the data-scale pass is ONE key exchange for the lead()
+    window; the (from,to) count groupBy and the S×S completion run on
+    state-vocabulary-sized frames (the S² cross join is metadata,
+    like the group-pair frames elsewhere).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(tiebreak_col).asc())
+    tr = (df.select(F.col(state_col).alias("from_state"),
+                    F.lead(state_col).over(w).alias("to_state"))
+          .filter(F.col("to_state").isNotNull()))
+    counts = tr.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("long").alias("n"))
+    states = df.select(F.col(state_col).alias("s")).distinct()
+    full = (states.select(F.col("s").alias("from_state"))
+            .join(F.broadcast(states.select(F.col("s").alias("to_state"))),
+                  F.lit(True))
+            .join(counts, ["from_state", "to_state"], "left")
+            .fillna(0, subset=["n"]))
+    wf = Window.partitionBy("from_state")
+    row_n = F.sum("n").over(wf)
+    s_count = F.count("*").over(wf)  # == S on the completed matrix
+    out = full.select(
+        "from_state", "to_state", "n",
+        (F.col("n") + F.lit(int(alpha))).alias("p_num"),
+        (row_n + F.lit(int(alpha)) * s_count).cast("long").alias("p_den"))
+    return out.withColumn(
+        "p", F.col("p_num").cast("double") / F.col("p_den").cast("double"))

@@ -7759,6 +7759,43 @@ def q223(spark, sf_dir):
     return json_schema_profile(o.select(j.alias("doc")), json_col="doc")
 
 
+@q("q224_transition_matrix", """
+WITH o AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_state
+  FROM events),
+cnt AS (
+  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+  FROM o WHERE to_state IS NOT NULL GROUP BY from_state, to_state),
+st AS (SELECT DISTINCT event_type AS s FROM events),
+fm AS (
+  SELECT a.s AS from_state, b.s AS to_state, COALESCE(cnt.n, 0) AS n
+  FROM st a CROSS JOIN st b
+  LEFT JOIN cnt ON cnt.from_state = a.s AND cnt.to_state = b.s)
+SELECT from_state, to_state, n,
+       n + 1 AS p_num,
+       CAST(SUM(n) OVER (PARTITION BY from_state)
+            + COUNT(*) OVER (PARTITION BY from_state) AS BIGINT)
+         AS p_den,
+       CAST(n + 1 AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY from_state)
+                + COUNT(*) OVER (PARTITION BY from_state) AS DOUBLE)
+         AS p
+FROM fm
+""")
+def q224(spark, sf_dir):
+    """First-order Markov transitions between event types with
+    add-one smoothing: the full S×S matrix (unseen transitions carry
+    mass — that is what smoothing is for), probabilities as one IEEE
+    division over exact integer sufficient statistics, the event
+    order pinned by (ts, event_id) so the observed transition
+    multiset is partitioning-independent."""
+    from ultraviolet_spark.operators.funnel import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
