@@ -43,6 +43,7 @@ CROSS_OK = {
     "q195_calibration_report",  # 1-row broadcast brier/ece totals frame
     "q205_chi2_feature_selection",  # 1-row broadcast (N, n_pos) totals frame
     "q217_bottomk_vocab_jaccard",  # G² group-PAIR frame (metadata-sized)
+    "q224_transition_matrix",  # S×S state-vocab completion (metadata-sized)
 }
 
 
