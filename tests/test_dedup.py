@@ -404,3 +404,36 @@ def test_containment_catches_quotation_jaccard_misses(spark):
     # directed: the quote is contained in the article, not vice versa
     assert got == {(1, 2): 1.0}
     assert not ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+
+
+def test_ngram_jaccard_against_matches_brute_force(spark):
+    from itertools import product
+    from ultraviolet_spark.operators.dedup import ngram_jaccard_pairs_against
+
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    new_rows = [(1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different content here nothing shared"),
+                (3, "short")]                       # <3 tokens: no shingles
+    ref_rows = [(10, "the quick brown fox jumps over the lazy cat"),
+                (11, "the quick brown fox jumps over the lazy dog"),
+                (12, "unrelated reference text about other things entirely")]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    got = {(r["new_id"], r["ref_id"]): r["jaccard"]
+           for r in ngram_jaccard_pairs_against(
+               new, ref, n=3, threshold=0.3).collect()}
+    expect = {}
+    for (ni, nt), (ri, rt) in product(new_rows, ref_rows):
+        a, b = sh(nt), sh(rt)
+        if not a or not b:
+            continue
+        j = len(a & b) / len(a | b)
+        if j >= 0.3:
+            expect[(ni, ri)] = round(j, 6)
+    assert got == expect
+    assert (1, 11) in got and got[(1, 11)] == 1.0   # exact dup across
+    assert (1, 10) in got                           # near dup across
+    assert all(k[0] != 2 for k in got)              # disjoint text: absent

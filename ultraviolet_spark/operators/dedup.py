@@ -102,6 +102,39 @@ def ngram_jaccard_pairs(df: DataFrame, *, n: int = 3, threshold: float = 0.5,
     )
 
 
+def ngram_jaccard_pairs_against(new: DataFrame, ref: DataFrame, *,
+                                n: int = 3, threshold: float = 0.5,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """EXACT cross-corpus n-gram Jaccard pairs ``(new_id, ref_id,
+    jaccard ≥ threshold)`` — the small-scale exact twin of
+    :func:`minhash_lsh_pairs_against` (incremental-release dedup: a
+    new crawl shard screened against the already-released corpus).
+
+    Pairs meet only through SHARED shingles (inverted-index equi-join,
+    never new×ref), which is exact for every pair with J > 0; the id
+    spaces stay distinct and no ordering filter applies — the same
+    new doc may match many reference docs and each match is a reason
+    to drop it.  Use the LSH variant at scale; this one is the oracle
+    that pins its semantics.
+    """
+    sh_n = (shingles(new, n=n, text_col=text_col, id_col=id_col)
+            .select(F.col(id_col).alias("new_id"), "shingle"))
+    sh_r = (shingles(ref, n=n, text_col=text_col, id_col=id_col)
+            .select(F.col(id_col).alias("ref_id"), "shingle"))
+    sz_n = sh_n.groupBy("new_id").agg(F.count("*").alias("n_a"))
+    sz_r = sh_r.groupBy("ref_id").agg(F.count("*").alias("n_b"))
+    common = (sh_n.join(sh_r, on="shingle")
+              .groupBy("new_id", "ref_id")
+              .agg(F.count("*").alias("n_common")))
+    return (common.join(sz_n, "new_id").join(sz_r, "ref_id")
+            .withColumn("jaccard", F.col("n_common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "ref_id",
+                    F.round("jaccard", 6).alias("jaccard")))
+
+
 def _rare_first_sets(df: DataFrame, *, n: int, threshold: float,
                      text_col: str, id_col: str) -> DataFrame:
     """Per doc: distinct shingles sorted rarest-first under the global

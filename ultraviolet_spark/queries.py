@@ -7796,6 +7796,61 @@ def q224(spark, sf_dir):
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+@q("q225_near_dup_against_corpus", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+sh0 AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM toks WHERE len(w) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM sh0),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+com AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS ref_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2)
+SELECT new_id, ref_id,
+  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+    AS jaccard
+FROM com
+JOIN sz sa ON sa.doc_id = new_id
+JOIN sz sb ON sb.doc_id = ref_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+""")
+def q225(spark, sf_dir):
+    """Incremental-release dedup, exact path: a synthetic 'new crawl
+    shard' (doc_id % 5 = 0) screened against the already-released
+    rest of the corpus by exact n-gram Jaccard — pairs meet only
+    through shared shingles (inverted index), never new×ref, and the
+    same new doc may match many reference docs (each match is a
+    reason to drop it).  This is the exact twin pinning q226's LSH
+    scale path, the same q35↔q50 pattern."""
+    from ultraviolet_spark.operators.dedup import ngram_jaccard_pairs_against
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_against(
+        d.filter(F.col("doc_id") % 5 == 0),
+        d.filter(F.col("doc_id") % 5 != 0), n=3, threshold=0.5)
+
+
+@q("q226_near_dup_against_lsh", None)  # probabilistic recall → rows-only
+def q226(spark, sf_dir):
+    """Scale path of q225: MinHash + banded LSH of the new shard
+    against the released corpus (shared permutations so band hashes
+    collide across frames), exact-verify on candidates only; at
+    10^12 reference docs the banded reference index is what persists
+    between increments."""
+    from ultraviolet_spark.operators.dedup import minhash_lsh_pairs_against
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_against(
+        d.filter(F.col("doc_id") % 5 == 0),
+        d.filter(F.col("doc_id") % 5 != 0),
+        n=3, num_perm=128, bands=32, threshold=0.5)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
