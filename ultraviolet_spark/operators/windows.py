@@ -271,3 +271,61 @@ def ewma_by_key(df: DataFrame, *, value_col: str, order_cols: list[str],
         F.element_at(vals, 1),
         lambda acc, v: ((acc + v) / 2.0).cast("long"))
     return grouped.select(by, "n", fold.alias(out))
+
+
+def best_span(df: DataFrame, *, key_col: str, pos_col: str,
+              score_col: str) -> DataFrame:
+    """Maximum-sum contiguous span of scored units per key — Kadane's
+    algorithm re-expressed as two window passes, for "keep the best
+    region" content extraction (score lines +content/−boilerplate and
+    the winning span is the article body; also the classic burst
+    detector over +1/−1 event scores).
+
+    Math: with prefix sums ``cum_t``, the best span ending at t is
+    ``cum_t − min(cum_u : u < t, including the empty prefix 0)``.
+    The argmin rides along by taking the window MIN of the struct
+    ``(cum, rn)`` — lexicographic struct ordering gives the smallest
+    prefix sum with ties to the EARLIEST u (longest span), and the
+    empty prefix participates as ``(0, 0)``.  The per-key winner is
+    the struct MAX of ``(span, −rn, …)`` — largest sum, ties to the
+    earliest end.  All sums are exact int64; the tie policy is total,
+    so the result is a pure function of the data.
+
+    Output: ``(key, n_units, best_sum, start_idx, end_idx, len)`` with
+    1-based indexes in the key's ``pos_col`` order; keys whose every
+    span is ≤ 0 emit NULL span fields (keep nothing) rather than a
+    degenerate empty span.  ``pos_col`` must be unique per key.
+
+    Scale: ONE key exchange shared by both window passes and the
+    final groupBy; no join, no explode.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(pos_col).asc())
+    base = df.select(key_col, pos_col,
+                     F.col(score_col).cast("long").alias("__sc"))
+    base = base.withColumn("__rn", F.row_number().over(w))
+    base = base.withColumn(
+        "__cum", F.sum("__sc").over(w.rowsBetween(Window.unboundedPreceding,
+                                                  0)))
+    pm0 = F.min(F.struct(F.col("__cum").alias("c"),
+                         F.col("__rn").alias("r"))).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    zero = F.struct(F.lit(0).cast("long").alias("c"),
+                    F.lit(0).alias("r"))
+    base = base.withColumn(
+        "__pm", F.when(pm0.isNull() | (zero <= pm0), zero).otherwise(pm0))
+    span = F.col("__cum") - F.col("__pm").getField("c")
+    cand = F.struct(span.alias("s"), (-F.col("__rn")).alias("nr"),
+                    (F.col("__pm").getField("r") + 1).alias("st"))
+    agg = (base.groupBy(key_col)
+           .agg(F.count("*").cast("long").alias("n_units"),
+                F.max(cand.alias("__w")).alias("__w")))
+    s = F.col("__w").getField("s")
+    st = F.col("__w").getField("st").cast("long")
+    en = (-F.col("__w").getField("nr")).cast("long")
+    pos = s > 0
+    return agg.select(
+        key_col, "n_units",
+        F.when(pos, s).alias("best_sum"),
+        F.when(pos, st).alias("start_idx"),
+        F.when(pos, en).alias("end_idx"),
+        F.when(pos, en - st + 1).alias("len"))

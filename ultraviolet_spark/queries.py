@@ -7851,6 +7851,70 @@ def q226(spark, sf_dir):
         n=3, num_perm=128, bands=32, threshold=0.5)
 
 
+@q("q227_best_span_extraction", """
+WITH u AS (
+  SELECT l_orderkey AS k,
+         (CAST(l_linenumber AS BIGINT) * 10000000000000
+            + CAST(l_partkey AS BIGINT) * 1000000
+            + CAST(l_suppkey AS BIGINT)) AS pos,
+         CASE WHEN l_partkey % 3 = 0 THEN -2 ELSE 1 END AS sc
+  FROM lineitem),
+b AS (
+  SELECT k, pos, sc,
+         row_number() OVER w AS rn,
+         CAST(SUM(sc) OVER (PARTITION BY k ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM u WINDOW w AS (PARTITION BY k ORDER BY pos)),
+p AS (
+  SELECT *,
+         min({'c': cum, 'r': rn}) OVER (PARTITION BY k ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm0
+  FROM b),
+e AS (
+  SELECT k, rn, cum,
+         CASE WHEN pm0 IS NULL
+                OR {'c': CAST(0 AS BIGINT), 'r': CAST(0 AS BIGINT)} <= pm0
+              THEN {'c': CAST(0 AS BIGINT), 'r': CAST(0 AS BIGINT)}
+              ELSE pm0 END AS pm
+  FROM p),
+a AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_units,
+         max({'s': cum - pm.c, 'nr': -rn, 'st': pm.r + 1}) AS w
+  FROM e GROUP BY k)
+SELECT k, n_units,
+       CASE WHEN w.s > 0 THEN CAST(w.s AS BIGINT) END AS best_sum,
+       CASE WHEN w.s > 0 THEN CAST(w.st AS BIGINT) END AS start_idx,
+       CASE WHEN w.s > 0 THEN CAST(-w.nr AS BIGINT) END AS end_idx,
+       CASE WHEN w.s > 0 THEN CAST(-w.nr - w.st + 1 AS BIGINT) END AS len
+FROM a
+""")
+def q227(spark, sf_dir):
+    """Best contiguous span per document — Kadane's maximum-sum
+    subarray as two struct-window passes (keep-the-best-region
+    content extraction): lineitems score +1 content / −2 boilerplate
+    by part arithmetic, the winning span maximizes the exact int64
+    sum with total tie rules (earliest end, then longest span via
+    earliest prefix argmin), and all-negative documents keep NOTHING
+    (NULL span) instead of a degenerate empty span.  Both engines run
+    the identical lexicographic struct min/max.  ``pos`` is built
+    from (linenumber, partkey, suppkey) because this synthetic
+    lineitem does NOT keep l_linenumber unique per order (11,785
+    duplicate pairs at sf0.01) — a non-unique ordering key would make
+    row_number, and therefore the reported span indexes,
+    partitioning-dependent."""
+    from ultraviolet_spark.operators.windows import best_span
+
+    li = _t(spark, sf_dir, "lineitem")
+    units = li.select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_linenumber").cast("long") * F.lit(10000000000000).cast("long")
+         + F.col("l_partkey").cast("long") * 1000000
+         + F.col("l_suppkey").cast("long")).alias("pos"),
+        F.when(F.col("l_partkey") % 3 == 0, -2).otherwise(1).alias("sc"))
+    return best_span(units, key_col="k", pos_col="pos", score_col="sc")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
