@@ -175,3 +175,58 @@ def resample_grid(df: DataFrame, *, by: str = "user_id",
          - F.unix_micros(F.col("__obs_ts").cast("timestamp")))
         .cast("long").alias("gap_us"))  # NTZ→TS is identity under the
         # session's pinned UTC (session.py), so the epoch diff is exact
+
+
+def merge_upsert(base: DataFrame, changes: DataFrame, *,
+                 key: str = "doc_id",
+                 ts_col: str = "ts", seq_col: str = "seq",
+                 op_col: str = "op",
+                 payload: tuple[str, ...] = ("text",)) -> DataFrame:
+    """Lakehouse MERGE: apply one CDC batch of I/U/D changes to a base
+    snapshot, last-writer-wins — the nightly "apply today's recrawl
+    deltas to the pages table" primitive that Delta/Iceberg call
+    ``MERGE INTO``, expressed engine-neutrally.
+
+    Semantics: per key, changes are totally ordered by
+    ``(ts_col, seq_col)`` (``seq_col`` MUST be unique per key at equal
+    timestamps — commit sequence number; the order is then total, so
+    the result is partitioning-independent).  The LAST change wins:
+    final op I or U → the key exists with that change's payload
+    (upsert — I vs U differ only in the audit column), final op D →
+    the key is absent from the result, even if it re-appeared earlier
+    in the same batch.  A D followed by a later U resurrects the key.
+    Base rows with no change pass through untouched.
+
+    Returns base's schema (``key`` + ``payload``) plus ``action`` ∈
+    {'kept', 'upserted'} — deleted keys simply don't appear.
+
+    Scale: ONE partial-aggregated max(struct) shuffle collapses the
+    change batch to a single row per key (map-side combine makes the
+    shuffle ∝ distinct changed keys, not change rows), then ONE
+    full-outer join against base on ``key`` — the same
+    single-exchange-per-side shape as :func:`snapshot_diff`, and zero
+    exchanges for the base side over a ``write_bucketed(key)`` layout.
+    The change batch is typically ≪ base (a day's recrawl vs the
+    corpus), so AQE will broadcast the collapsed side when it fits.
+    """
+    last = (changes.groupBy(key)
+            .agg(F.max(F.struct(
+                F.col(ts_col).alias("__ts"),
+                F.col(seq_col).alias("__seq"),
+                F.col(op_col).alias("__op"),
+                *[F.col(c).alias(c) for c in payload])).alias("__w")))
+    last = last.select(
+        F.col(key),
+        F.col("__w.__op").alias("__op"),
+        *[F.col(f"__w.{c}").alias(f"__c_{c}") for c in payload])
+    b = base.select(
+        F.col(key), *[F.col(c).alias(f"__b_{c}") for c in payload])
+    j = b.join(last, on=key, how="full_outer")
+    merged = j.filter(F.col("__op").isNull() | (F.col("__op") != F.lit("D")))
+    take_change = F.col("__op").isNotNull()
+    return merged.select(
+        F.col(key),
+        *[F.when(take_change, F.col(f"__c_{c}"))
+          .otherwise(F.col(f"__b_{c}")).alias(c) for c in payload],
+        F.when(take_change, F.lit("upserted"))
+        .otherwise(F.lit("kept")).alias("action"))

@@ -7915,9 +7915,68 @@ def q227(spark, sf_dir):
     return best_span(units, key_col="k", pos_col="pos", score_col="sc")
 
 
+@q("q228_merge_upsert_cdc", """
+WITH d AS (SELECT doc_id, text FROM documents),
+base AS (SELECT doc_id, text FROM d WHERE doc_id % 7 <> 6),
+ch AS (
+  SELECT doc_id, 1 AS ts, 1 AS seq, 'I' AS op, text || ' ins' AS text
+  FROM d WHERE doc_id % 7 = 6
+  UNION ALL
+  SELECT doc_id, 2, 1, 'U', text || ' v2' FROM d WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 3, 1, 'D', NULL FROM d WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 3, 2, 'U', text || ' back' FROM d WHERE doc_id % 10 = 5),
+last AS (
+  SELECT doc_id, op, text FROM (
+    SELECT doc_id, op, text,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY ts DESC, seq DESC) AS rn
+    FROM ch) WHERE rn = 1)
+SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+       CASE WHEN l.op IS NOT NULL THEN l.text ELSE b.text END AS text,
+       CASE WHEN l.op IS NOT NULL THEN 'upserted' ELSE 'kept' END AS action
+FROM base b FULL JOIN last l ON b.doc_id = l.doc_id
+WHERE l.op IS NULL OR l.op <> 'D'
+""")
+def q228(spark, sf_dir):
+    """Lakehouse MERGE (CDC apply, last-writer-wins): one change batch
+    holding inserts (doc_id%7=6, keys absent from base), updates
+    (%3=0), deletes (%5=0) and a same-timestamp resurrecting update
+    (%10=5 at ts=3 seq=2, beating its own delete at ts=3 seq=1 on the
+    commit-sequence tiebreak) is folded to one winner per key by a
+    lexicographic max(struct(ts,seq,…)) and full-outer-merged into the
+    base snapshot.  Keys hit by overlapping rules exercise the whole
+    precedence lattice (%15=0 → U then D → gone; %10=5 → D then U →
+    back).  The oracle replays the same total order with a DESC
+    row_number — a different mechanism (window vs struct max), same
+    contract."""
+    from ultraviolet_spark.operators.history import merge_upsert
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(d % 7 != 6)
+
+    def ch(pred, ts, seq, op, text_col):
+        return docs.filter(pred).select(
+            "doc_id", F.lit(ts).alias("ts"), F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"), text_col.alias("text"))
+
+    changes = (
+        ch(d % 7 == 6, 1, 1, "I", F.concat("text", F.lit(" ins")))
+        .unionByName(ch(d % 3 == 0, 2, 1, "U",
+                        F.concat("text", F.lit(" v2"))))
+        .unionByName(ch(d % 5 == 0, 3, 1, "D",
+                        F.lit(None).cast("string")))
+        .unionByName(ch(d % 10 == 5, 3, 2, "U",
+                        F.concat("text", F.lit(" back")))))
+    return merge_upsert(base, changes, key="doc_id", ts_col="ts",
+                        seq_col="seq", op_col="op", payload=("text",))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 132 queries, 122 of them with exact DuckDB
+# [0:50]).  The registry holds 227 queries, 217 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.
