@@ -7974,6 +7974,76 @@ def q228(spark, sf_dir):
                         seq_col="seq", op_col="op", payload=("text",))
 
 
+@q("q229_variant_json", """
+WITH j AS (
+  SELECT doc_id,
+         '{"id": ' || doc_id || ', "meta": {"lang": "' || lang ||
+         '", "score": ' || (doc_id % 7) || '}, "tags": ["a", "t' ||
+         (doc_id % 3) || '"], "flag": ' ||
+         CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+         CASE WHEN doc_id % 4 = 0 THEN ', "opt": null' ELSE '' END ||
+         '}' AS js
+  FROM documents)
+SELECT doc_id,
+       CAST(json_extract(js, '$.id') AS BIGINT) AS id_v,
+       json_extract_string(js, '$.meta.lang') AS lang_v,
+       CAST(json_extract(js, '$.meta.score') AS BIGINT) * 2 AS score2x,
+       json_extract_string(js, '$.tags[1]') AS tag1,
+       CAST(CAST(json_extract(js, '$.flag') AS BOOLEAN) AS BIGINT) AS flag_i,
+       CAST(COALESCE(json_type(js, '$.opt') = 'NULL', FALSE) AS BIGINT)
+         AS opt_isnull,
+       CAST(json_extract(js, '$.nope') AS BIGINT) AS missing_v
+FROM j
+""")
+def q229(spark, sf_dir):
+    """Semi-structured VARIANT ingestion (Spark 4 ``parse_json`` /
+    ``variant_get``): JSON documents land as the open VARIANT type —
+    the lakehouse answer to schema-on-read — and are extracted through
+    typed paths without ever declaring a struct schema.  Exercises
+    nested-object paths (``$.meta.lang``), array indexing
+    (``$.tags[1]``), typed casts at extraction (bigint/string/boolean),
+    the JSON-null vs key-missing distinction (``is_variant_null`` over
+    ``try_variant_get`` — JSON ``null`` is a present null VALUE, a
+    missing key is SQL NULL), and out-of-schema access returning NULL
+    (``try_variant_get('$.nope')``).  The JSON text itself is
+    synthesized identically on both engines from documents columns so
+    the oracle (DuckDB ``json_extract`` family) replays extraction, not
+    synthesis.  VARIANT stays entirely JVM-side (no UDF): parse and
+    every path-get are Catalyst expressions, and at scale the binary
+    variant encoding is columnar-shredded in parquet rather than
+    re-parsed per query.  Booleans cross the compare as BIGINT (the
+    gate's value-hash is dtype-sensitive and the engines' bool dtypes
+    differ); the missing-key probe COALESCEs to FALSE in the oracle
+    because DuckDB's json_type yields NULL (not false) on absent
+    paths."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = F.col("doc_id")
+    json_str = F.concat(
+        F.lit('{"id": '), d.cast("string"),
+        F.lit(', "meta": {"lang": "'), F.col("lang"),
+        F.lit('", "score": '), (d % 7).cast("string"),
+        F.lit('}, "tags": ["a", "t'), (d % 3).cast("string"),
+        F.lit('"], "flag": '),
+        F.when(d % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.when(d % 4 == 0, F.lit(', "opt": null')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return (docs.select("doc_id", F.parse_json(json_str).alias("v"))
+            .select(
+                "doc_id",
+                F.variant_get("v", "$.id", "bigint").alias("id_v"),
+                F.variant_get("v", "$.meta.lang", "string").alias("lang_v"),
+                (F.variant_get("v", "$.meta.score", "bigint") * 2)
+                .alias("score2x"),
+                F.variant_get("v", "$.tags[1]", "string").alias("tag1"),
+                F.variant_get("v", "$.flag", "boolean").cast("bigint")
+                .alias("flag_i"),
+                F.expr("is_variant_null(try_variant_get(v, '$.opt'))")
+                .cast("bigint").alias("opt_isnull"),
+                F.try_variant_get("v", "$.nope", "bigint")
+                .alias("missing_v")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 228 queries, 218 of them with exact DuckDB
