@@ -8044,6 +8044,54 @@ def q229(spark, sf_dir):
                 .alias("missing_v")))
 
 
+@q("q230_tfrecord_roundtrip", """
+SELECT doc_id, text, lang,
+       CAST((doc_id % 16) / 4.0 AS REAL) AS weight,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE 'n' || (doc_id % 5) END AS opt_note,
+       (doc_id % 7) + (doc_id % 11) + (doc_id % 13) AS tok_sum,
+       (doc_id % 7) || ',' || (doc_id % 11) || ',' || (doc_id % 13)
+         AS tok_csv
+FROM documents
+""")
+def q230(spark, sf_dir):
+    """TFRecord / ``tf.train.Example`` sink+source conformance: the
+    training-data interchange edge.  Documents plus a float32 weight
+    (exactly representable values — the proto's float_list is 4-byte,
+    and the writer REFUSES DoubleType rather than narrow silently), a
+    nullable string (NULL → absent-feature → NULL, distinct from ""),
+    and an array<long> token list are serialized to sharded TFRecord
+    files (md5-sharded, one file per task, masked-crc32c framing,
+    map entries in sorted-key order for byte determinism), re-read via
+    a binaryFile scan with BOTH CRCs of every record verified, then
+    flattened (sum + csv of the token list) for the dtype-strict
+    compare.  The oracle recomputes expected rows from parquet and
+    never sees the TFRecord bytes — a value-hash match proves the
+    serialize→frame→parse→decode pipeline lossless.  From-scratch wire
+    formats (public spec); no tensorflow/protobuf/crc32c deps."""
+    import tempfile
+
+    from ultraviolet_spark.sources.tfrecord import tfrecord_roundtrip
+
+    d = F.col("doc_id")
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang",
+        ((d % 16) / 4.0).cast("float").alias("weight"),
+        F.when(d % 5 != 0,
+               F.concat(F.lit("n"), (d % 5).cast("string")))
+        .alias("opt_note"),
+        F.array((d % 7), (d % 11), (d % 13)).alias("tok_ids"))
+    back = tfrecord_roundtrip(
+        src, tempfile.mkdtemp(prefix="uv_q230_"), key_col="doc_id")
+    return back.select(
+        "doc_id", "text", "lang", "weight", "opt_note",
+        F.aggregate("tok_ids", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("tok_sum"),
+        F.concat_ws(",", F.transform("tok_ids",
+                                     lambda x: x.cast("string")))
+        .alias("tok_csv"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 228 queries, 218 of them with exact DuckDB
