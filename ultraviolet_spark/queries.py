@@ -8092,9 +8092,73 @@ def q230(spark, sf_dir):
         .alias("tok_csv"))
 
 
+@q("q231_warc_connector_pushdown", """
+SELECT 'b' || (doc_id % 7) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes_total,
+       MIN(TIMESTAMP '2026-01-01' + to_seconds(doc_id)) AS first_crawl,
+       MAX(TIMESTAMP '2026-01-01' + to_seconds(doc_id)) AS last_crawl
+FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+""")
+def q231(spark, sf_dir):
+    """WARC through the registered Spark 4 Python DataSource connector
+    (``uvwarc``, sources/warc_ds.py) with REAL filter pushdown: docs
+    serialize to 6 member-per-record .warc.gz shards carrying 200 and
+    404 responses plus metadata sidecar records, the scan pushes
+    ``rec_type = 'response' AND http_status = 200`` into the source
+    (Spark 4.1 ``pushFilters``; the 404/metadata payloads are dropped
+    BEFORE crossing the Arrow boundary), records stream member-at-a-
+    time in bounded chunks — never the binaryFile whole-file-cell
+    shape that hits the 2 GiB Arrow wall on real ~1 GB crawl shards.
+    The oracle recomputes the rollup analytically from documents
+    (never sees a WARC byte), so gzip member streaming, header
+    extraction, HTTP-status peeling, the pushed predicates AND the
+    connector's Arrow batch schema are all on the hook."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from ultraviolet_spark.sources.warc import build_warc
+    from ultraviolet_spark.sources.warc_ds import read_warc_ds
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .orderBy("doc_id").toPandas())
+    base = datetime(2026, 1, 1)
+    d = tempfile.mkdtemp(prefix="uv_q231_")
+    shards: list[list[dict]] = [[] for _ in range(6)]
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        did = int(did)
+        shards[did % 6].append({
+            "url": f"https://b{did % 7}.example.org/p/{did}",
+            "ts": base + timedelta(seconds=did),
+            "payload": text.encode("utf-8"),
+            "status": 200 if did % 3 else 404})
+        if did % 10 == 0:
+            shards[did % 6].append({
+                "url": f"https://b{did % 7}.example.org/p/{did}",
+                "ts": base + timedelta(seconds=did),
+                "payload": b'{"fetch":"meta"}', "rec_type": "metadata",
+                "mime": "application/json"})
+    for i, recs in enumerate(shards):
+        with open(f"{d}/part{i}.warc.gz", "wb") as f:
+            f.write(build_warc(recs))
+    pages = (read_warc_ds(spark, d)
+             .filter((F.col("rec_type") == "response")
+                     & (F.col("http_status") == 200)))
+    return (pages
+            .select(F.regexp_extract("url", r"^https://(b\d+)\.", 1)
+                    .alias("bucket"),
+                    "html", "warc_ts")
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum(F.octet_length("html")).cast("long")
+                  .alias("bytes_total"),
+                 F.min("warc_ts").alias("first_crawl"),
+                 F.max("warc_ts").alias("last_crawl")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 228 queries, 218 of them with exact DuckDB
+# [0:50]).  The registry holds 231 queries, 220 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.

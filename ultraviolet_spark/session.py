@@ -24,6 +24,9 @@ ENGINE_CONFS = {
     # Don't let tiny local parquet files produce one giant partition.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.session.timeZone": "UTC",
+    # Python DataSource connectors (sources/warc_ds.py): let predicates
+    # reach pushFilters().  Planning-only; no effect on any other path.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -169,6 +169,14 @@ def parse_warc(data: bytes) -> pd.DataFrame:
             records.extend(_split_records(m))
         elif m[:5] == b"WARC/":
             records.append(m)
+    return records_to_frame(records)
+
+
+def records_to_frame(records: list[bytes]) -> pd.DataFrame:
+    """Vectorized field extraction over a batch of raw WARC records
+    (each one full record incl. headers) — the shared core of
+    :func:`parse_warc` and the streaming ``uvwarc`` DataSource, which
+    arrives at record granularity without ever holding a whole file."""
     cols = ["url", "warc_ts", "rec_type", "http_status", "content_type",
             "html"]
     if not records:
