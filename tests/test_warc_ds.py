@@ -170,3 +170,98 @@ def test_option_and_path_errors(tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         WarcReader({"path": str(empty)}).partitions()
+
+
+# ---------------------------------------------------------------- streaming
+
+def _run_available_now(df, out, ckpt):
+    q = (df.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_backfill_then_tail_exactly_once(spark, tmp_path):
+    """Existing files land in the first run; files added afterwards —
+    named above the high-water mark — land exactly once on a restart
+    from the same checkpoint (parquet sink: the memory sink can't
+    recover a checkpoint)."""
+    from ultraviolet_spark.sources.warc_ds import read_warc_stream
+
+    d = tmp_path / "tail"
+    d.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for s in range(2):
+        (d / f"crawl-{s:04d}.warc.gz").write_bytes(
+            build_warc(_mixed_records(s, n=20, step=2)))
+
+    _run_available_now(read_warc_stream(spark, str(d)), out, ckpt)
+    first = spark.read.parquet(out).count()
+    assert first == len(_rows(read_warc_ds(spark, str(d))))
+
+    for s in (2, 3):
+        (d / f"crawl-{s:04d}.warc.gz").write_bytes(
+            build_warc(_mixed_records(s % 2, n=8, step=2)))
+    _run_available_now(read_warc_stream(spark, str(d)), out, ckpt)
+    # same checkpoint + sink: every record exactly once, incl. the new
+    # files; re-running with nothing new adds nothing
+    total = len(_rows(read_warc_ds(spark, str(d))))
+    assert spark.read.parquet(out).count() == total > first
+    _run_available_now(read_warc_stream(spark, str(d)), out, ckpt)
+    assert spark.read.parquet(out).count() == total
+
+
+def test_stream_offsets_unit(tmp_path):
+    from ultraviolet_spark.sources.warc_ds import WarcStreamReader
+
+    d = tmp_path / "s"
+    d.mkdir()
+    r = WarcStreamReader({"path": str(d)})
+    assert r.latestOffset() == {"last": "", "n_seen": 0}
+    for s in range(3):
+        (d / f"crawl-{s:04d}.warc.gz").write_bytes(
+            build_warc(_mixed_records(0, n=4, step=2)))
+    end = r.latestOffset()
+    assert end == {"last": "crawl-0002.warc.gz", "n_seen": 3}
+    parts = r.partitions({"last": "", "n_seen": 0}, end)
+    assert [p.path.rsplit("/", 1)[1] for p in parts] == [
+        "crawl-0000.warc.gz", "crawl-0001.warc.gz", "crawl-0002.warc.gz"]
+    mid = {"last": "crawl-0000.warc.gz", "n_seen": 1}
+    parts = r.partitions(mid, end)
+    assert [p.path.rsplit("/", 1)[1] for p in parts] == [
+        "crawl-0001.warc.gz", "crawl-0002.warc.gz"]
+    # record content of one streamed partition == batch reader output
+    # (_mixed_records(0, n=4, step=2): responses at i=0,2 + the i=0
+    # metadata sidecar = 3 records)
+    batches = list(r.read(parts[0]))
+    assert sum(b.num_rows for b in batches) == 3
+
+
+def test_stream_detects_non_monotone_and_deletion(tmp_path):
+    from ultraviolet_spark.sources.warc_ds import WarcStreamReader
+
+    d = tmp_path / "s2"
+    d.mkdir()
+    (d / "crawl-0005.warc.gz").write_bytes(
+        build_warc(_mixed_records(0, n=4, step=2)))
+    r = WarcStreamReader({"path": str(d)})
+    end = r.latestOffset()
+    start = {"last": "crawl-0005.warc.gz", "n_seen": 1}
+    # a shard arrives named BELOW the consumed high-water mark
+    (d / "crawl-0001.warc.gz").write_bytes(
+        build_warc(_mixed_records(1, n=4, step=2)))
+    with pytest.raises(ValueError, match="monotone|deleted"):
+        r.partitions(start, r.latestOffset())
+    # ... and a consumed file vanishing is equally loud
+    (d / "crawl-0001.warc.gz").unlink()
+    (d / "crawl-0005.warc.gz").unlink()
+    with pytest.raises(ValueError, match="monotone|deleted"):
+        r.partitions(start, end)
+
+
+def test_stream_requires_directory(tmp_path):
+    from ultraviolet_spark.sources.warc_ds import WarcStreamReader
+
+    with pytest.raises(ValueError, match="directory"):
+        WarcStreamReader({"path": str(tmp_path / "nope.warc.gz")})

@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -200,29 +201,116 @@ class WarcReader(DataSourceReader):
 
     # -- execution (executor side) ----------------------------------
     def read(self, partition: WarcPartition):
-        import pyarrow as pa
+        yield from _file_batches(partition.path, self._chunk,
+                                 self._accepted)
 
-        schema = pa.schema([
-            ("warc_file", pa.string()),
-            ("url", pa.string()),
-            ("warc_ts", pa.timestamp("us")),
-            ("rec_type", pa.string()),
-            ("http_status", pa.int32()),
-            ("content_type", pa.string()),
-            ("html", pa.binary()),
-        ])
-        for records in _iter_record_chunks(partition.path, self._chunk):
-            pdf = records_to_frame(records)
-            for flt in self._accepted:
-                pdf = pdf[_filter_mask(pdf, flt)]
-                if not len(pdf):
-                    break
+
+def _file_batches(path: str, chunk: int, filters: list[Filter]):
+    """One WARC file → Arrow RecordBatches (shared by the batch and
+    stream readers; runs executor-side)."""
+    import pyarrow as pa
+
+    schema = pa.schema([
+        ("warc_file", pa.string()),
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("rec_type", pa.string()),
+        ("http_status", pa.int32()),
+        ("content_type", pa.string()),
+        ("html", pa.binary()),
+    ])
+    for records in _iter_record_chunks(path, chunk):
+        pdf = records_to_frame(records)
+        for flt in filters:
+            pdf = pdf[_filter_mask(pdf, flt)]
             if not len(pdf):
-                continue
-            pdf = pdf.reset_index(drop=True)
-            pdf.insert(0, "warc_file", partition.path)
-            yield pa.RecordBatch.from_pandas(
-                pdf, schema=schema, preserve_index=False)
+                break
+        if not len(pdf):
+            continue
+        pdf = pdf.reset_index(drop=True)
+        pdf.insert(0, "warc_file", path)
+        yield pa.RecordBatch.from_pandas(
+            pdf, schema=schema, preserve_index=False)
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Tail a crawl directory as a Structured Streaming source.
+
+    **Offset model** — crawl shards are named monotonically (Common
+    Crawl embeds segment timestamp + sequence in every filename, and
+    any sane crawler writes ``tmp`` then renames), so an offset is just
+    ``{"last": <basename>, "n_seen": N}``: the lexicographically
+    largest filename consumed plus how many files that covers.  A
+    micro-batch is the files with ``start.last < name <= end.last`` in
+    sorted order, one :class:`WarcPartition` (= one executor task)
+    each.  This keeps the checkpointed offset O(1) — Spark's own
+    FileStreamSource instead checkpoints an ever-growing seen-file log,
+    which at 10^5-file crawls is exactly the state you don't want.
+
+    The contract is CHECKED, not assumed: at every ``partitions()``
+    call the current listing must still contain exactly ``n_seen``
+    files at or below ``start.last`` — a file that arrives named below
+    the high-water mark (out-of-order naming) or a consumed file that
+    vanished (retention deleted data the checkpoint hasn't passed)
+    raises immediately rather than silently skipping records.
+
+    Exactly-once: ``partitions(start, end)`` is a pure function of the
+    immutable directory listing between two offsets, so replaying a
+    micro-batch after a crash plans the identical file set; records
+    within a file are deterministic by construction.  No pushdown in
+    the streaming API — filter in the query (Spark evaluates it
+    post-scan; payload volume per micro-batch is one file set, not a
+    backlog).
+    """
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("uvwarc stream: .load(path) is required")
+        if not os.path.isdir(path):
+            raise ValueError(
+                "uvwarc stream: path must be a directory to tail, got "
+                f"{path!r}")
+        self._path = path
+        self._chunk = int(options.get("chunk_bytes", _DEFAULT_CHUNK))
+        if self._chunk <= 0:
+            raise ValueError("uvwarc: chunk_bytes must be positive")
+
+    def _listing(self) -> list[str]:
+        return sorted(
+            p for p in glob.glob(os.path.join(self._path, "*.warc*"))
+            if os.path.isfile(p))
+
+    def initialOffset(self) -> dict:
+        # backfill-then-tail: existing files belong to the first batch
+        return {"last": "", "n_seen": 0}
+
+    def latestOffset(self) -> dict:
+        files = self._listing()
+        if not files:
+            return {"last": "", "n_seen": 0}
+        return {"last": os.path.basename(files[-1]),
+                "n_seen": len(files)}
+
+    def partitions(self, start: dict, end: dict):
+        names = [(os.path.basename(p), p) for p in self._listing()]
+        below = [n for n, _ in names if n <= start["last"]]
+        if len(below) != start["n_seen"]:
+            raise ValueError(
+                "uvwarc stream: directory listing no longer matches the "
+                f"checkpointed offset {start!r}: {len(below)} files at or "
+                f"below the high-water mark (expected {start['n_seen']}). "
+                "Either a file arrived named below the mark (crawl shard "
+                "names must be monotone) or a consumed file was deleted "
+                "before the checkpoint passed it.")
+        return [WarcPartition(p) for n, p in names
+                if start["last"] < n <= end["last"]]
+
+    def read(self, partition: WarcPartition):
+        yield from _file_batches(partition.path, self._chunk, [])
+
+    def commit(self, end: dict) -> None:
+        pass                        # nothing to clean up; files immutable
 
 
 class WarcDataSource(DataSource):
@@ -238,6 +326,9 @@ class WarcDataSource(DataSource):
     def reader(self, schema) -> WarcReader:
         return WarcReader(self.options)
 
+    def streamReader(self, schema) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
+
 
 def read_warc_ds(spark: SparkSession, path: str, *,
                  chunk_bytes: int = _DEFAULT_CHUNK) -> DataFrame:
@@ -252,4 +343,15 @@ def read_warc_ds(spark: SparkSession, path: str, *,
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(WarcDataSource)
     return (spark.read.format("uvwarc")
+            .option("chunk_bytes", str(chunk_bytes)).load(path))
+
+
+def read_warc_stream(spark: SparkSession, path: str, *,
+                     chunk_bytes: int = _DEFAULT_CHUNK) -> DataFrame:
+    """Register (idempotent) + tail ``path`` as a streaming source —
+    see :class:`WarcStreamReader` for the offset/monotone-name
+    contract.  Compose with the engine's watermark/session/stateful
+    streaming operators downstream."""
+    spark.dataSource.register(WarcDataSource)
+    return (spark.readStream.format("uvwarc")
             .option("chunk_bytes", str(chunk_bytes)).load(path))
