@@ -8156,9 +8156,59 @@ def q231(spark, sf_dir):
                  F.max("warc_ts").alias("last_crawl")))
 
 
+@q("q232_zonemap_skipping_scan", """
+SELECT l_returnflag,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_total,
+  CAST(MIN(l_partkey) AS BIGINT) AS pk_min,
+  CAST(MAX(l_suppkey) AS BIGINT) AS sk_max
+FROM lineitem
+WHERE l_partkey BETWEEN 20 AND 400 AND l_suppkey BETWEEN 2 AND 40
+GROUP BY l_returnflag
+""")
+def q232(spark, sf_dir):
+    """Zone-map data skipping over a Z-ordered layout (plans/skipping
+    .py + plans/layout.py): lineitem is materialized Z-ordered on
+    (l_partkey, l_suppkey) — one ingest-time range shuffle on the
+    Morton key — then a 2-D box predicate is answered through
+    ``skipping_scan``: per-file min/max harvested from the parquet
+    FOOTERS (distributed, O(KB)/file — the planner-side index that at
+    10^6-file scale skips whole TASKS, where Spark's own pushdown only
+    skips row groups after a task opened the footer), files whose
+    stats prove no match are never read, and the residual predicate is
+    re-applied so pruning is an optimization, never a correctness
+    dependency.  The DuckDB oracle answers the same box + rollup on
+    the ORIGINAL parquet — if pruning dropped one matching file (or
+    kept a wrong one past the residual filter) the hashes diverge."""
+    import tempfile
+
+    from ultraviolet_spark.plans.layout import write_zordered
+    from ultraviolet_spark.plans.skipping import skipping_scan
+
+    d = tempfile.mkdtemp(prefix="uv_q232_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_returnflag",
+        "l_quantity", "l_extendedprice")
+    # bits=15 covers sf≤0.1 key ranges exactly; larger keys would wrap,
+    # which degrades locality only — the residual filter keeps results
+    # exact at any SF.
+    write_zordered(li, d, cols=["l_partkey", "l_suppkey"], bits=15,
+                   num_files=16)
+    pruned = skipping_scan(spark, d, [
+        ("l_partkey", "between", (20, 400)),
+        ("l_suppkey", "between", (2, 40))])
+    return pruned.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_total"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("price_total"),
+        F.min("l_partkey").cast("long").alias("pk_min"),
+        F.max("l_suppkey").cast("long").alias("sk_max"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 231 queries, 220 of them with exact DuckDB
+# [0:50]).  The registry holds 232 queries, 221 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.
