@@ -142,6 +142,39 @@ def test_empty_survivor_set_short_circuits(spark, zordered):
         "LocalRelation" in plan
 
 
+def test_update_zonemap_equals_fresh_harvest(spark, tmp_path):
+    from ultraviolet_spark.plans.skipping import update_zonemap
+
+    p = tmp_path / "live"
+    p.mkdir()
+
+    def shard(name, vals):
+        pq.write_table(pa.table({"a": pa.array(vals, pa.int64())}),
+                       p / name)
+
+    shard("s0.parquet", [1, 2, 3])
+    shard("s1.parquet", [10, 20])
+    base = harvest_zonemap(spark, str(p), cols=["a"]).toPandas()
+    base_df = spark.createDataFrame(base)
+
+    # Append two shards, retire one (retention) — the incremental
+    # update must equal a from-scratch harvest of the new listing.
+    shard("s2.parquet", [100, None])
+    shard("s3.parquet", [7])
+    (p / "s1.parquet").unlink()
+    upd = _sorted_pdf(update_zonemap(spark, str(p), base_df))
+    fresh = _sorted_pdf(harvest_zonemap(spark, str(p), cols=["a"]))
+    pd.testing.assert_frame_equal(upd, fresh)
+    # ...and only the DELTA was re-read: base rows pass through, so the
+    # surviving s0 row is byte-identical to the original harvest.
+    assert set(upd["file"].str.rsplit("/", n=1).str[-1]) == {
+        "s0.parquet", "s2.parquet", "s3.parquet"}
+    # no-op delta returns the map unchanged
+    noop = _sorted_pdf(update_zonemap(
+        spark, str(p), spark.createDataFrame(upd)))
+    pd.testing.assert_frame_equal(noop, upd)
+
+
 def test_no_predicates_returns_all_files(spark, zordered):
     zm = harvest_zonemap(spark, zordered, cols=["a"])
     survivors, total = prune_files(zm, [])

@@ -150,14 +150,8 @@ def _harvest_one(path: str, want: list[str] | None) -> Iterator[tuple]:
         yield tuple(row)
 
 
-def harvest_zonemap(spark: SparkSession, path: str,
-                    cols: list[str] | None = None) -> DataFrame:
-    """Distributed footer harvest → tall zone-map DataFrame (one row
-    per file × column).  One executor task reads a batch of footers;
-    at 10^6 files this is a listing-sized job, not a data-scale one."""
-    files = _list_parquet_files(path)
-    if not files:
-        raise ValueError(f"no parquet data files under {path!r}")
+def _harvest_df(spark: SparkSession, files: list[str],
+                cols: list[str] | None) -> DataFrame:
     fdf = spark.createDataFrame([(f,) for f in files], "file string")
     # ~256 footers per task: small enough to parallelize a big listing,
     # large enough that task overhead doesn't dominate footer reads.
@@ -170,6 +164,52 @@ def harvest_zonemap(spark: SparkSession, path: str,
                 yield pd.DataFrame(rows, columns=[f.name for f in _ZM_SCHEMA])
 
     return fdf.repartition(n_tasks).mapInPandas(gen, schema=_ZM_SCHEMA)
+
+
+def harvest_zonemap(spark: SparkSession, path: str,
+                    cols: list[str] | None = None) -> DataFrame:
+    """Distributed footer harvest → tall zone-map DataFrame (one row
+    per file × column).  One executor task reads a batch of footers;
+    at 10^6 files this is a listing-sized job, not a data-scale one."""
+    files = _list_parquet_files(path)
+    if not files:
+        raise ValueError(f"no parquet data files under {path!r}")
+    return _harvest_df(spark, files, cols)
+
+
+def update_zonemap(spark: SparkSession, path: str,
+                   zonemap: DataFrame,
+                   cols: list[str] | None = None) -> DataFrame:
+    """Incremental maintenance for a live (append-mostly) table: footers
+    are read ONLY for files not yet in the map, rows for deleted files
+    drop out, surviving rows pass through untouched — maintenance cost
+    is proportional to the DELTA, not the table, which is the whole
+    point at a crawl table growing by 10^3 shards/day on a 10^6-file
+    base.  Parquet data files are immutable by convention (compaction
+    writes NEW names); an in-place rewrite under the same name is
+    invisible to this listing-keyed delta, as it is to every
+    manifest-based table format.
+    """
+    listing = set(_list_parquet_files(path))
+    known_rows = zonemap.select("file", "column").collect()
+    known = {r["file"] for r in known_rows}
+    if cols is None:
+        cols = sorted({r["column"] for r in known_rows}) or None
+    fresh = sorted(listing - known)
+    removed = known - listing
+    if not removed:
+        kept = zonemap
+    elif len(removed) <= 4096:
+        kept = zonemap.where(~F.col("file").isin(*removed))
+    else:
+        # Bulk retention sweep: an IN-list of 10^5 literals would bloat
+        # the plan — anti-join against the removed set instead.
+        rm = spark.createDataFrame([(f,) for f in sorted(removed)],
+                                   "file string")
+        kept = zonemap.join(rm, "file", "left_anti")
+    if not fresh:
+        return kept
+    return kept.unionByName(_harvest_df(spark, fresh, cols))
 
 
 def _can_match(op: str, v) -> F.Column:
