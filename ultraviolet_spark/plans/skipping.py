@@ -116,7 +116,12 @@ def _harvest_one(path: str, want: list[str] | None) -> Iterator[tuple]:
             if n == 0:
                 continue
             st = col.statistics
-            rg_nulls = st.null_count if st is not None else None
+            # null_count is only meaningful when the writer set it —
+            # pyarrow's property is undefined otherwise (has_null_count
+            # gates it), and a fabricated 0 would wrongly disqualify
+            # the all-null prune below.
+            rg_nulls = (st.null_count
+                        if st is not None and st.has_null_count else None)
             if st is not None and st.has_min_max:
                 mins.append(st.min)
                 maxs.append(st.max)
