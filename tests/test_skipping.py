@@ -175,6 +175,47 @@ def test_update_zonemap_equals_fresh_harvest(spark, tmp_path):
     pd.testing.assert_frame_equal(noop, upd)
 
 
+def test_persisted_zonemap_roundtrip_and_hidden_dir(spark, tmp_path):
+    from ultraviolet_spark.plans.skipping import (
+        load_zonemap, refresh_zonemap)
+
+    p = tmp_path / "tbl"
+    p.mkdir()
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}),
+                   p / "s0.parquet")
+    assert load_zonemap(spark, str(p)) is None
+    refresh_zonemap(spark, str(p), cols=["a"])   # harvests + persists
+    # The persisted `_zonemap/` must NOT be listed as table data.
+    zm2 = harvest_zonemap(spark, str(p), cols=["a"])
+    assert {r["file"].rsplit("/", 1)[-1] for r in zm2.collect()} == {
+        "s0.parquet"}
+    loaded = load_zonemap(spark, str(p))
+    pd.testing.assert_frame_equal(_sorted_pdf(loaded), _sorted_pdf(zm2))
+
+
+def test_stale_map_never_drops_unseen_files(spark, tmp_path):
+    from ultraviolet_spark.plans.skipping import refresh_zonemap
+
+    p = tmp_path / "tbl"
+    p.mkdir()
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}),
+                   p / "s0.parquet")
+    zm = refresh_zonemap(spark, str(p), cols=["a"])
+    # New shard lands AFTER the map was built; its rows match the
+    # predicate.  A stale map may not hide them.
+    pq.write_table(pa.table({"a": pa.array([1000, 2000], pa.int64())}),
+                   p / "s1.parquet")
+    got = skipping_scan(spark, str(p), [("a", "ge", 500)], zonemap=zm)
+    assert sorted(r["a"] for r in got.collect()) == [1000, 2000]
+    # After refresh, pruning works on the new file too (and still
+    # returns identical rows).
+    zm2 = refresh_zonemap(spark, str(p), cols=["a"])
+    survivors, total = prune_files(zm2, [("a", "ge", 500)])
+    assert total == 2 and len(survivors) == 1
+    got2 = skipping_scan(spark, str(p), [("a", "ge", 500)], zonemap=zm2)
+    assert sorted(r["a"] for r in got2.collect()) == [1000, 2000]
+
+
 def test_no_predicates_returns_all_files(spark, zordered):
     zm = harvest_zonemap(spark, zordered, cols=["a"])
     survivors, total = prune_files(zm, [])

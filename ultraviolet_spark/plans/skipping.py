@@ -71,7 +71,11 @@ def _list_parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
     out = []
-    for root, _dirs, names in os.walk(path):
+    for root, dirs, names in os.walk(path):
+        # Spark/Hadoop convention: _ and . prefixed entries are metadata,
+        # not data — prune the DIRS in place so a persisted `_zonemap/`
+        # (or `_delta_log/`, `_SUCCESS`, ...) never masquerades as data.
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for n in names:
             if n.endswith(".parquet") and not n.startswith(("_", ".")):
                 out.append(os.path.join(root, n))
@@ -217,6 +221,48 @@ def update_zonemap(spark: SparkSession, path: str,
     return kept.unionByName(_harvest_df(spark, fresh, cols))
 
 
+def save_zonemap(zonemap: DataFrame, path: str) -> None:
+    """Persist the map UNDER the table at ``{path}/_zonemap`` — the
+    underscore prefix keeps it invisible to Spark's data listing (and
+    to :func:`_list_parquet_files`), exactly how manifest-style
+    metadata lives next to a table.  The map is metadata-scale, so one
+    output file keeps later loads a single-task read.
+
+    Do NOT pass a DataFrame that lazily READS ``{path}/_zonemap``
+    (e.g. a ``load_zonemap`` result): ``mode("overwrite")`` deletes
+    the input's own files before the plan runs.  ``refresh_zonemap``
+    materializes through the driver for exactly this reason."""
+    zonemap.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_zonemap"))
+
+
+def load_zonemap(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a persisted map, or ``None`` if the table has none yet."""
+    zp = os.path.join(path, "_zonemap")
+    if not os.path.isdir(zp):
+        return None
+    return spark.read.schema(_ZM_SCHEMA).parquet(zp)
+
+
+def refresh_zonemap(spark: SparkSession, path: str,
+                    cols: list[str] | None = None) -> DataFrame:
+    """Load-or-harvest, apply the incremental delta, persist, return.
+    Not concurrent-writer-safe: at real table-format scale this update
+    rides the manifest commit; here the overwrite is the single-writer
+    maintenance job a crawl pipeline runs after each ingest batch."""
+    prior = load_zonemap(spark, path)
+    if prior is None:
+        zm = harvest_zonemap(spark, path, cols)
+    else:
+        # Materialize before the overwrite: the updated plan READS the
+        # old `_zonemap` files that mode("overwrite") deletes first.
+        zm = update_zonemap(spark, path, prior, cols)
+    pdf = zm.toPandas()
+    out = spark.createDataFrame(pdf, schema=_ZM_SCHEMA)
+    save_zonemap(out, path)
+    return load_zonemap(spark, path)
+
+
 def _can_match(op: str, v) -> F.Column:
     """Per-zonemap-row boolean: could ANY row of this file match
     ``col <op> v``, judging only by this row's typed min/max?  NULL
@@ -298,6 +344,15 @@ def skipping_scan(spark: SparkSession, path: str, preds: list[tuple], *,
     zm = zonemap if zonemap is not None else harvest_zonemap(
         spark, path, cols=sorted({c for c, _, _ in preds}))
     survivors, _total = prune_files(zm, preds)
+    if zonemap is not None:
+        # A caller-supplied (possibly persisted, possibly STALE) map
+        # only prunes files it has stats for: anything in the live
+        # listing the map has never seen MUST be scanned — otherwise a
+        # lagging maintenance job would silently drop fresh data, the
+        # one failure mode a skipping index is never allowed to have.
+        mapped = {r["file"] for r in zm.select("file").distinct().collect()}
+        unseen = [f for f in _list_parquet_files(path) if f not in mapped]
+        survivors = sorted(set(survivors) | set(unseen))
     if not survivors:
         # Catalyst folds filter(false) to an empty relation — the full
         # listing is consulted for schema only, no data task runs.
