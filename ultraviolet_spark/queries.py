@@ -8206,9 +8206,61 @@ def q232(spark, sf_dir):
         F.max("l_suppkey").cast("long").alias("sk_max"))
 
 
+@q("q233_warc_sink_roundtrip", """
+SELECT 'b' || CAST(doc_id % 7 AS VARCHAR) AS bucket,
+  COUNT(*) AS n_pages,
+  CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes_total,
+  make_timestamp((1767225600 + MIN(doc_id)) * 1000000) AS first_crawl,
+  make_timestamp((1767225600 + MAX(doc_id)) * 1000000) AS last_crawl
+FROM documents
+GROUP BY doc_id % 7
+""")
+def q233(spark, sf_dir):
+    """The uvwarc WRITE path (``df.write.format("uvwarc")`` — Spark 4
+    Python DataSourceArrowWriter, sources/warc_ds.py): documents
+    synthesize to pages entirely in Catalyst (no driver loop), export
+    through the registered sink — md5-sharded, in-shard sorted, gzip
+    member per record, two-phase tmp→rename commit — and the rollup is
+    computed from the READ-BACK of those shards through the connector.
+    The DuckDB oracle recomputes everything analytically from
+    documents and never sees a WARC byte, so the sink's record
+    serialization, the commit protocol, the reader's member splitting
+    AND the html byte-identity (bytes_total over re-encoded text) are
+    all on the hook end-to-end."""
+    import tempfile
+
+    from ultraviolet_spark.sources.warc_ds import (
+        read_warc_ds, write_warc_ds)
+
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://b"), F.col("doc_id") % 7,
+                 F.lit(".example.org/p/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id"))
+         .alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.when(F.col("doc_id") % 3 == 0, 404).otherwise(200)
+         .cast("int").alias("http_status"))
+    d = tempfile.mkdtemp(prefix="uv_q233_")
+    write_warc_ds(pages, d, num_shards=6)
+    back = read_warc_ds(spark, d)
+    return (back.select(
+                F.regexp_extract("url", r"^https://(b\d+)\.", 1)
+                 .alias("bucket"),
+                "http_status", "html", "warc_ts")
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum((F.col("http_status") == 200).cast("long"))
+                  .alias("n_ok"),
+                 F.sum(F.octet_length("html")).cast("long")
+                  .alias("bytes_total"),
+                 F.min("warc_ts").alias("first_crawl"),
+                 F.max("warc_ts").alias("last_crawl")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
-# [0:50]).  The registry holds 232 queries, 221 of them with exact DuckDB
+# [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
 # value-hash oracles — so without an explicit order, oracle-backed
 # queries (incl. salted-as-of q61, checkpoint q62, streaming-dedup q63,
 # UTF-16/32 conformance q55) would be invisible to the hard gate.

@@ -55,8 +55,10 @@ from dataclasses import dataclass
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -64,13 +66,19 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     StringStartsWith,
+    WriterCommitMessage,
 )
+
+from datetime import timezone as _tz
 
 from ultraviolet_spark.sources.warc import (
     WARC_SCHEMA,
     _split_records,
+    build_record,
     records_to_frame,
 )
+
+_UTC = _tz.utc
 
 _GZ_MAGIC = b"\x1f\x8b"
 _DEFAULT_CHUNK = 64 << 20          # decompressed bytes per Arrow batch
@@ -313,6 +321,135 @@ class WarcStreamReader(DataSourceStreamReader):
         pass                        # nothing to clean up; files immutable
 
 
+# ---------------------------------------------------------------- writer
+
+# The sink accepts exactly this surface: 3 required columns (what a
+# WARC record IS) + 3 optional header scalars.  Anything else is
+# REFUSED at planning — a sink that silently drops columns corrupts a
+# re-shard/export pipeline invisibly.
+_SINK_REQUIRED = (("url", "string"), ("warc_ts", "timestamp"),
+                  ("html", "binary"))
+_SINK_OPTIONAL = {"http_status": ("int", "bigint"),
+                  "rec_type": ("string",),
+                  "content_type": ("string",)}
+
+
+@dataclass(frozen=True)
+class WarcCommitMessage(WriterCommitMessage):
+    tmp: str          # "" when the task saw zero rows (no file made)
+    final: str
+    n_records: int
+
+
+class WarcWriter(DataSourceArrowWriter):
+    """``df.write.format("uvwarc")`` — one ``part-{pid:05d}.warc.gz``
+    per non-empty task, gzip member per record (the Common Crawl
+    convention the reader splits on), serialized by the SAME
+    :func:`warc.build_record` the test-shard builder uses so writer
+    output is byte-interchangeable with it.
+
+    Commit protocol (the classic two-phase file commit): tasks write
+    ``_tmp-{pid}-{attempt}`` names — underscore-hidden from any data
+    listing — and the driver's ``commit`` renames winners into place
+    only after EVERY task succeeded, so a failed/straggler attempt
+    never leaves a half-written part visible; ``abort`` removes the
+    temps.  In ``overwrite`` mode stale parts from a previous write are
+    removed in ``commit`` AFTER all tasks succeeded (a failed overwrite
+    leaves the old data intact, unlike delete-first).  Requires
+    writer-visible shared storage for the rename, like every
+    rename-committed file sink.
+
+    Bytes are deterministic per (row multiset, partitioning): zlib's
+    gzip wrapper stamps mtime=0 and record ids are content-derived.
+    Use :func:`write_warc_ds` to pin the partitioning too.
+    """
+
+    def __init__(self, options, schema, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("uvwarc sink requires a save path")
+        names = {f.name: f.dataType.simpleString() for f in schema.fields}
+        for col, want in _SINK_REQUIRED:
+            if names.pop(col, None) != want:
+                raise ValueError(
+                    f"uvwarc sink requires column {col!r} of type {want} "
+                    f"(schema has {dict(names)!r})")
+        for col, typ in list(names.items()):
+            if typ not in _SINK_OPTIONAL.get(col, ()):
+                raise ValueError(
+                    f"uvwarc sink: unsupported column {col!r} ({typ}); "
+                    f"allowed optionals: {sorted(_SINK_OPTIONAL)}")
+        self._overwrite = overwrite
+
+    def write(self, batches) -> WarcCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid, att = ctx.partitionId(), ctx.taskAttemptId()
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f"_tmp-{pid:05d}-{att}.warc.gz")
+        final = os.path.join(self._path, f"part-{pid:05d}.warc.gz")
+        n = 0
+        with open(tmp, "wb") as f:
+            for batch in batches:
+                cols = {name: batch.column(i).to_pylist()
+                        for i, name in enumerate(batch.schema.names)}
+                rows = len(batch)
+                stats = cols.get("http_status", [None] * rows)
+                rtypes = cols.get("rec_type", [None] * rows)
+                mimes = cols.get("content_type", [None] * rows)
+                for u, ts, h, st, rt, mi in zip(
+                        cols["url"], cols["warc_ts"], cols["html"],
+                        stats, rtypes, mimes):
+                    if u is None or ts is None or h is None:
+                        raise ValueError(
+                            "uvwarc sink: url/warc_ts/html must be "
+                            "non-NULL (a WARC record cannot represent "
+                            "their absence; filter upstream)")
+                    if ts.tzinfo is not None:
+                        # build_record formats naive-UTC; Arrow hands the
+                        # session-UTC timestamp tz-aware.
+                        ts = ts.astimezone(_UTC).replace(tzinfo=None)
+                    raw = build_record(
+                        u, ts, bytes(h),
+                        rec_type=rt or "response",
+                        status=200 if st is None else int(st),
+                        mime=mi or "text/html")
+                    co = zlib.compressobj(6, zlib.DEFLATED,
+                                          16 + zlib.MAX_WBITS)
+                    f.write(co.compress(raw) + co.flush())
+                    n += 1
+        if n == 0:
+            os.remove(tmp)       # an empty .warc.gz is not a valid shard
+            return WarcCommitMessage(tmp="", final=final, n_records=0)
+        return WarcCommitMessage(tmp=tmp, final=final, n_records=n)
+
+    def commit(self, messages) -> None:
+        msgs = [m for m in messages if m is not None and m.tmp]
+        finals = {m.final for m in msgs}
+        existing = {os.path.join(self._path, n)
+                    for n in os.listdir(self._path)
+                    if n.startswith("part-") and n.endswith(".warc.gz")} \
+            if os.path.isdir(self._path) else set()
+        clash = finals & existing
+        if clash and not self._overwrite:
+            for m in msgs:
+                os.remove(m.tmp)
+            raise FileExistsError(
+                f"uvwarc sink: {len(clash)} part file(s) already exist "
+                f"(e.g. {sorted(clash)[0]}); use mode('overwrite')")
+        for m in msgs:
+            os.replace(m.tmp, m.final)
+        if self._overwrite:
+            for stale in sorted(existing - finals):
+                os.remove(stale)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
 class WarcDataSource(DataSource):
     """``spark.read.format("uvwarc")`` — streaming WARC scan."""
 
@@ -329,6 +466,9 @@ class WarcDataSource(DataSource):
     def streamReader(self, schema) -> WarcStreamReader:
         return WarcStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> WarcWriter:
+        return WarcWriter(self.options, schema, overwrite)
+
 
 def read_warc_ds(spark: SparkSession, path: str, *,
                  chunk_bytes: int = _DEFAULT_CHUNK) -> DataFrame:
@@ -344,6 +484,29 @@ def read_warc_ds(spark: SparkSession, path: str, *,
     spark.dataSource.register(WarcDataSource)
     return (spark.read.format("uvwarc")
             .option("chunk_bytes", str(chunk_bytes)).load(path))
+
+
+def write_warc_ds(df: DataFrame, path: str, *, num_shards: int = 8,
+                  mode: str = "overwrite") -> None:
+    """Deterministic WARC export through the registered sink: rows
+    md5-shard on url (hash partitioning — stable across runs, cluster
+    sizes and upstream partitioning) and sort within each shard on
+    every sink column, so each ``part-*.warc.gz``'s BYTES are a pure
+    function of (rows, num_shards) — the same shard-reproducibility
+    contract as the TFRecord sink (sources/tfrecord.py).  ``num_shards``
+    caps the file count: Spark re-hashes the shard key onto tasks, so
+    hash-colliding buckets share one (still deterministic, still
+    sorted) file and empty tasks write nothing.  WARC-Date is
+    second-resolution per WARC/1.0: sub-second timestamp precision
+    does not survive a roundtrip (refused nowhere — crawl timestamps
+    are whole seconds by convention)."""
+    df.sparkSession.dataSource.register(WarcDataSource)
+    order = [c for c in ("url", "warc_ts", "rec_type", "http_status",
+                         "content_type", "html") if c in df.columns]
+    shard = F.crc32(F.md5(F.col("url")).cast("binary")) % num_shards
+    (df.repartition(num_shards, shard)
+       .sortWithinPartitions(*order)
+       .write.format("uvwarc").mode(mode).save(path))
 
 
 def read_warc_stream(spark: SparkSession, path: str, *,
