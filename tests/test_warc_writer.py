@@ -104,6 +104,63 @@ def test_missing_required_column_refused(spark, tmp_path):
         write_warc_ds(df, str(tmp_path / "w"))
 
 
+def _warc_src(tmp_path, n_files=2, per=30):
+    from ultraviolet_spark.sources.warc import build_warc
+
+    src = tmp_path / "src"
+    src.mkdir(exist_ok=True)
+    for s in range(n_files):
+        recs = [{"url": f"https://x.org/{s}/{i}",
+                 "ts": datetime(2026, 3, 1, s, i % 60),
+                 "payload": f"<p>{s}-{i}</p>".encode()}
+                for i in range(per)]
+        (src / f"crawl-2026030{s}-000.warc.gz").write_bytes(
+            build_warc(recs))
+    return str(src)
+
+
+def test_stream_sink_roundtrip_and_batch_monotone_names(spark, tmp_path):
+    from ultraviolet_spark.sources.warc_ds import read_warc_stream
+
+    src = _warc_src(tmp_path)
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    stream = read_warc_stream(spark, src).select(
+        "url", "warc_ts", "html", "http_status")
+    q = (stream.writeStream.format("uvwarc").option("path", out)
+         .option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    parts = _parts(out)
+    assert parts and not glob.glob(os.path.join(out, "_tmp*"))
+    # part-{batchId:08d}-{pid:05d}: monotone names — the output dir
+    # itself satisfies the stream READER's contract (tail own exports).
+    names = [os.path.basename(p) for p in parts]
+    assert all(n.split("-")[1].isdigit() for n in names)
+    assert names == sorted(names)
+    back = read_warc_ds(spark, out)
+    got = sorted((r["url"], bytes(r["html"])) for r in back.collect())
+    want = sorted((r["url"], bytes(r["html"]))
+                  for r in read_warc_ds(spark, src).collect())
+    assert got == want
+    # A second availableNow run with NEW input appends a later batch
+    # without touching batch-0 bytes.
+    before = {p: open(p, "rb").read() for p in parts}
+    from ultraviolet_spark.sources.warc import build_warc
+    (tmp_path / "src" / "crawl-20260309-000.warc.gz").write_bytes(
+        build_warc([{"url": "https://x.org/new/1",
+                     "ts": datetime(2026, 3, 9),
+                     "payload": b"<p>new</p>"}]))
+    q2 = (read_warc_stream(spark, src)
+          .select("url", "warc_ts", "html", "http_status")
+          .writeStream.format("uvwarc").option("path", out)
+          .option("checkpointLocation", cp)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert read_warc_ds(spark, out).count() == 61
+    for p, b in before.items():
+        assert open(p, "rb").read() == b, "replay touched an old batch"
+
+
 def test_writer_bytes_interchangeable_with_build_warc(spark, tmp_path):
     d = str(tmp_path / "w")
     rows = sorted(_rows(40))     # writer sorts shard on the same order

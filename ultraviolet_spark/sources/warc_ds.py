@@ -60,6 +60,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -341,6 +342,48 @@ class WarcCommitMessage(WriterCommitMessage):
     n_records: int
 
 
+def _write_member_file(batches, tmp: str, final: str) -> WarcCommitMessage:
+    """Executor-side serialization shared by the batch and streaming
+    sinks: Arrow batches → one .warc.gz at ``tmp`` (gzip member per
+    record via :func:`warc.build_record` — byte-interchangeable with
+    the test-shard builder), removed again if the task saw zero rows
+    (an empty .warc.gz is not a valid shard)."""
+    n = 0
+    with open(tmp, "wb") as f:
+        for batch in batches:
+            cols = {name: batch.column(i).to_pylist()
+                    for i, name in enumerate(batch.schema.names)}
+            rows = len(batch)
+            stats = cols.get("http_status", [None] * rows)
+            rtypes = cols.get("rec_type", [None] * rows)
+            mimes = cols.get("content_type", [None] * rows)
+            for u, ts, h, st, rt, mi in zip(
+                    cols["url"], cols["warc_ts"], cols["html"],
+                    stats, rtypes, mimes):
+                if u is None or ts is None or h is None:
+                    raise ValueError(
+                        "uvwarc sink: url/warc_ts/html must be "
+                        "non-NULL (a WARC record cannot represent "
+                        "their absence; filter upstream)")
+                if ts.tzinfo is not None:
+                    # build_record formats naive-UTC; Arrow hands the
+                    # session-UTC timestamp tz-aware.
+                    ts = ts.astimezone(_UTC).replace(tzinfo=None)
+                raw = build_record(
+                    u, ts, bytes(h),
+                    rec_type=rt or "response",
+                    status=200 if st is None else int(st),
+                    mime=mi or "text/html")
+                co = zlib.compressobj(6, zlib.DEFLATED,
+                                      16 + zlib.MAX_WBITS)
+                f.write(co.compress(raw) + co.flush())
+                n += 1
+    if n == 0:
+        os.remove(tmp)
+        return WarcCommitMessage(tmp="", final=final, n_records=0)
+    return WarcCommitMessage(tmp=tmp, final=final, n_records=n)
+
+
 class WarcWriter(DataSourceArrowWriter):
     """``df.write.format("uvwarc")`` — one ``part-{pid:05d}.warc.gz``
     per non-empty task, gzip member per record (the Common Crawl
@@ -389,40 +432,7 @@ class WarcWriter(DataSourceArrowWriter):
         os.makedirs(self._path, exist_ok=True)
         tmp = os.path.join(self._path, f"_tmp-{pid:05d}-{att}.warc.gz")
         final = os.path.join(self._path, f"part-{pid:05d}.warc.gz")
-        n = 0
-        with open(tmp, "wb") as f:
-            for batch in batches:
-                cols = {name: batch.column(i).to_pylist()
-                        for i, name in enumerate(batch.schema.names)}
-                rows = len(batch)
-                stats = cols.get("http_status", [None] * rows)
-                rtypes = cols.get("rec_type", [None] * rows)
-                mimes = cols.get("content_type", [None] * rows)
-                for u, ts, h, st, rt, mi in zip(
-                        cols["url"], cols["warc_ts"], cols["html"],
-                        stats, rtypes, mimes):
-                    if u is None or ts is None or h is None:
-                        raise ValueError(
-                            "uvwarc sink: url/warc_ts/html must be "
-                            "non-NULL (a WARC record cannot represent "
-                            "their absence; filter upstream)")
-                    if ts.tzinfo is not None:
-                        # build_record formats naive-UTC; Arrow hands the
-                        # session-UTC timestamp tz-aware.
-                        ts = ts.astimezone(_UTC).replace(tzinfo=None)
-                    raw = build_record(
-                        u, ts, bytes(h),
-                        rec_type=rt or "response",
-                        status=200 if st is None else int(st),
-                        mime=mi or "text/html")
-                    co = zlib.compressobj(6, zlib.DEFLATED,
-                                          16 + zlib.MAX_WBITS)
-                    f.write(co.compress(raw) + co.flush())
-                    n += 1
-        if n == 0:
-            os.remove(tmp)       # an empty .warc.gz is not a valid shard
-            return WarcCommitMessage(tmp="", final=final, n_records=0)
-        return WarcCommitMessage(tmp=tmp, final=final, n_records=n)
+        return _write_member_file(batches, tmp, final)
 
     def commit(self, messages) -> None:
         msgs = [m for m in messages if m is not None and m.tmp]
@@ -450,6 +460,60 @@ class WarcWriter(DataSourceArrowWriter):
                 os.remove(m.tmp)
 
 
+class WarcStreamWriter(WarcWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("uvwarc")`` — the streaming quadrant of
+    the sink, completing batch-read / stream-read / batch-write /
+    stream-write on one registered connector.
+
+    File names are ``part-{batchId:08d}-{pid:05d}.warc.gz``: monotone
+    in batch id, so the OUTPUT directory itself satisfies the
+    monotone-name contract of :class:`WarcStreamReader` — a crawl
+    pipeline can tail its own exports.  Exactly-once composition: the
+    stream reader replans a replayed micro-batch as the identical file
+    set, the serialization is deterministic (content-derived record
+    ids, mtime-0 gzip), and a replayed batch's ``commit`` re-renames
+    over the same final names — idempotent by byte equality, the same
+    sink-side contract the TFRecord/stream-reader docs state.
+
+    Inherits the batch writer's schema policing and two-phase
+    tmp→rename commit; ``commit(messages, batchId)`` additionally
+    drops any stale parts OF THAT BATCH ID left by a replay that
+    planned fewer tasks."""
+
+    def write(self, batches) -> WarcCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        bid = ctx.getLocalProperty("streaming.sql.batchId")
+        if bid is None:
+            raise RuntimeError(
+                "uvwarc stream sink: streaming.sql.batchId job property "
+                "missing — not running inside a micro-batch?")
+        pid, att = ctx.partitionId(), int(ctx.taskAttemptId())
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(
+            self._path, f"_tmp-b{int(bid):08d}-{pid:05d}-{att}.warc.gz")
+        final = os.path.join(
+            self._path, f"part-{int(bid):08d}-{pid:05d}.warc.gz")
+        return _write_member_file(batches, tmp, final)
+
+    def commit(self, messages, batchId: int) -> None:
+        msgs = [m for m in messages if m is not None and m.tmp]
+        finals = {m.final for m in msgs}
+        for m in msgs:
+            os.replace(m.tmp, m.final)
+        if os.path.isdir(self._path):
+            prefix = f"part-{int(batchId):08d}-"
+            for name in os.listdir(self._path):
+                p = os.path.join(self._path, name)
+                if (name.startswith(prefix) and name.endswith(".warc.gz")
+                        and p not in finals):
+                    os.remove(p)   # replay planned fewer tasks
+
+    def abort(self, messages, batchId: int) -> None:
+        super().abort(messages)
+
+
 class WarcDataSource(DataSource):
     """``spark.read.format("uvwarc")`` — streaming WARC scan."""
 
@@ -468,6 +532,9 @@ class WarcDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> WarcWriter:
         return WarcWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "WarcStreamWriter":
+        return WarcStreamWriter(self.options, schema, overwrite)
 
 
 def read_warc_ds(spark: SparkSession, path: str, *,
