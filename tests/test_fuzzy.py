@@ -84,3 +84,25 @@ def test_lang_segments_partial_last_chunk(spark):
     rows = sorted((r["seg_start"], r["seg_end"], r["lang"], r["n_chunks"])
                   for r in lang_segments(df, chunk_tokens=10).collect())
     assert rows == [(0, 1, "en", 2)]
+
+
+def test_entity_resolve_hand_case(spark):
+    """Three dirty surface forms of one entity (typo chain a-b, b-c —
+    transitivity required), one distinct singleton that must NOT merge,
+    and one distance-1 pair whose JW falls BELOW the threshold (first
+    char deleted kills the prefix boost) so blocking alone must not
+    decide matches."""
+    from ultraviolet_spark.operators.fuzzy import entity_resolve, \
+        _jaro_winkler_py
+
+    recs = ["acme-corporation", "acme-corporatio",   # deletion typo
+            "acme-corporatton",                      # substitution of the 2nd
+            "zebra-industries",                      # singleton
+            "qxv", "xv"]                             # lev 1 but low JW
+    assert _jaro_winkler_py("qxv", "xv") < 0.9
+    assert _jaro_winkler_py("acme-corporation", "acme-corporatio") >= 0.9
+    df = spark.createDataFrame([(r,) for r in recs], "name string")
+    out = {r["cluster_id"]: (r["n_members"], r["members"])
+           for r in entity_resolve(df, col="name", threshold=0.9).collect()}
+    assert out == {"acme-corporatio": (
+        3, "acme-corporatio|acme-corporation|acme-corporatton")}

@@ -44,6 +44,8 @@ CROSS_OK = {
     "q205_chi2_feature_selection",  # 1-row broadcast (N, n_pos) totals frame
     "q217_bottomk_vocab_jaccard",  # G² group-PAIR frame (metadata-sized)
     "q224_transition_matrix",  # S×S state-vocab completion (metadata-sized)
+    "q234_entity_resolution",  # bounded-vocab name synthesis (blocking
+                               # itself is the FastSS equi-join, no cross)
 }
 
 

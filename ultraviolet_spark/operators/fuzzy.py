@@ -71,6 +71,43 @@ def deletion_neighborhood_pairs(df: DataFrame, *, col: str,
             .withColumn("dist", dist.cast("int")))
 
 
+def entity_resolve(records: DataFrame, *, col: str,
+                   threshold: float = 0.9,
+                   max_dist: int = 1) -> DataFrame:
+    """End-to-end record linkage over dirty string records — the full
+    Fellegi–Sunter-style pipeline composed from exact, scale-safe parts:
+
+        FastSS deletion-neighborhood BLOCKING (exact lev ≤ d candidate
+        recall, no cartesian)
+        → Jaro–Winkler SCORING (Arrow-batched, candidates only)
+        → ``jw ≥ threshold`` MATCH edges
+        → distributed transitive closure (min-label propagation +
+          pointer jumping, no driver-side graph)
+        → one canonical keeper per entity (minimum string).
+
+    Returns ``(cluster_id, n_members, members)`` for every multi-record
+    entity: ``cluster_id`` is the canonical (minimum) surface form,
+    ``members`` the '|'-joined sorted member list (deterministic under
+    any partitioning).  Singleton records never match anything and are
+    by definition already resolved, so only clusters of ≥ 2 appear.
+
+    Scale: blocking is linear in records × neighborhood size with one
+    variant-key hash join; scoring touches candidates only; the closure
+    shuffles (node, label) pairs.  Nothing is quadratic in the corpus.
+    """
+    from ultraviolet_spark.operators.dedup import connected_components
+
+    cand = deletion_neighborhood_pairs(records, col=col, max_dist=max_dist)
+    scored = jaro_winkler_pairs(cand, col_a=f"{col}_a", col_b=f"{col}_b")
+    edges = scored.filter(F.col("jw") >= threshold)
+    cc = connected_components(edges, f"{col}_a", f"{col}_b")
+    return (cc.groupBy(F.col("component").alias("cluster_id"))
+            .agg(F.count("*").alias("n_members"),
+                 F.array_join(F.array_sort(F.collect_list("node")), "|")
+                 .alias("members"))
+            .filter(F.col("n_members") >= 2))
+
+
 def _jaro_winkler_py(a: str, b: str) -> float:
     """Reference Jaro–Winkler (standard definition: match window
     max(|a|,|b|)//2 − 1, FLOORED half-transpositions, prefix boost up

@@ -8258,6 +8258,64 @@ def q233(spark, sf_dir):
                  F.max("warc_ts").alias("last_crawl")))
 
 
+@q("q234_entity_resolution", """
+WITH RECURSIVE v AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+vw AS (SELECT w FROM v WHERE length(w) >= 3),
+nm AS (SELECT a.w || '-' || b.w AS name FROM vw a JOIN vw b ON a.w < b.w),
+var AS (SELECT substr(name, 1, 3) || substr(name, 5) AS name FROM nm),
+rec AS (SELECT DISTINCT name
+        FROM (SELECT name FROM nm UNION ALL SELECT name FROM var)),
+pairs AS (
+  SELECT a.name AS na, b.name AS nb
+  FROM rec a JOIN rec b ON a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 1
+    AND round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9),
+edges AS (SELECT na AS u, nb AS v FROM pairs
+          UNION SELECT nb, na FROM pairs),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+SELECT component AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       string_agg(node, '|' ORDER BY node) AS members
+FROM comp GROUP BY component
+HAVING COUNT(*) >= 2
+""")
+def q234(spark, sf_dir):
+    """End-to-end entity resolution / record linkage: dirty records are
+    synthesized deterministically (vocabulary word-pair names + a
+    4th-char-deleted typo variant of each), then resolved by the full
+    composed pipeline — FastSS deletion-neighborhood blocking (exact
+    lev ≤ 1 candidates, no cartesian), Arrow-batched Jaro–Winkler
+    scoring on candidates only, jw ≥ 0.9 match edges, distributed
+    transitive closure, canonical keeper per entity.  The oracle
+    replays every stage independently: DuckDB's C++ levenshtein +
+    jaro_winkler_similarity over brute-force all-pairs and a recursive
+    CTE for the closure — a different blocking mechanism (exhaustive)
+    with the same exact contract, so one wrong candidate, score,
+    threshold verdict or closure step diverges the hash."""
+    from ultraviolet_spark.operators.fuzzy import entity_resolve
+
+    d = _t(spark, sf_dir, "documents")
+    words = (d.filter(F.length(F.trim("text")) > 0)
+             .select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                       r"\s+")).alias("w"))
+             .filter(F.length("w") >= 3).distinct())
+    a = words.select(F.col("w").alias("w1"))
+    b = words.select(F.col("w").alias("w2"))
+    names = (a.join(b, F.col("w1") < F.col("w2"))
+             .select(F.concat_ws("-", "w1", "w2").alias("name")))
+    variants = names.select(
+        F.concat(F.substring("name", 1, 3),
+                 F.expr("substring(name, 5)")).alias("name"))
+    records = names.union(variants).distinct()
+    return entity_resolve(records, col="name", threshold=0.9, max_dist=1)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
