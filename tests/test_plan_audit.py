@@ -46,6 +46,7 @@ CROSS_OK = {
     "q224_transition_matrix",  # S×S state-vocab completion (metadata-sized)
     "q234_entity_resolution",  # bounded-vocab name synthesis (blocking
                                # itself is the FastSS equi-join, no cross)
+    "q235_kneser_ney_ce",  # 1-row broadcast (N1+(··), V) totals frames
 }
 
 

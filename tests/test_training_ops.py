@@ -629,3 +629,105 @@ def test_ring_negatives_tiny_buckets(spark):
     # single doc: no possible negative, must yield zero pairs (not crash)
     df = spark.createDataFrame([(1,)], "doc_id long")
     assert ring_negatives(df, id_col="doc_id", k=3).count() == 0
+
+
+def test_kn_cross_entropy_vs_python(spark):
+    """Full Python reference of interpolated KN (D=0.75) incl. the
+    micro-nat snapping — exact equality with the Spark result."""
+    import math
+    from collections import Counter, defaultdict
+
+    from ultraviolet_spark.operators.textstats import kn_cross_entropy
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "zebra quark flux zebra quark"),
+        (4, "single"),
+        (5, ""),
+    ]
+    got = {r["doc_id"]: r for r in
+           kn_cross_entropy(_docs(spark, rows)).collect()}
+
+    c12, vocab = Counter(), set()
+    for _, text in rows:
+        w = text.lower().split()
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    nbb, V = len(c12), len(vocab)
+
+    def p_kn(a, b):
+        pc = (n1b[b] + 1) / (nbb + V + 1)
+        if c1[a] == 0:
+            return pc
+        return (max(4 * c12[(a, b)] - 3, 0) / (4 * c1[a])
+                + (3 * n1f[a]) / (4 * c1[a]) * pc)
+
+    for doc_id, text in rows:
+        w = text.lower().split()
+        bgs = list(zip(w, w[1:]))
+        if not bgs:
+            assert (got[doc_id]["n_bigrams"],
+                    got[doc_id]["kn_cross_entropy"]) == (0, 0.0)
+            continue
+        s = sum(round(math.log(p_kn(*bg)) * 1e6) for bg in bgs)
+        want = round(-s / (len(bgs) * 1e6), 6)
+        assert got[doc_id]["n_bigrams"] == len(bgs)
+        assert abs(got[doc_id]["kn_cross_entropy"] - want) < 1e-9, doc_id
+
+
+def test_kn_unseen_history_and_oov(spark):
+    """Separate clean model: an unseen HISTORY backs off to the
+    continuation distribution; fully-OOV bigrams hit the +1/(V+1)
+    floor — fluent in-model text must score lower, and every
+    probability must stay in (0, 1] (finite cross-entropy)."""
+    from ultraviolet_spark.operators.textstats import kn_cross_entropy
+
+    model = _docs(spark, [(i, "the quick brown fox jumps over the lazy dog")
+                          for i in range(5)])
+    score_me = _docs(spark, [
+        (1, "the quick brown fox"),
+        (2, "xylo phone warble quux gnast"),   # OOV histories + words
+        (3, "fox the quick"),                  # seen words, unseen bigrams
+    ])
+    got = {r["doc_id"]: r["kn_cross_entropy"] for r in
+           kn_cross_entropy(score_me, model_docs=model).collect()}
+    assert got[1] < got[3] < got[2]
+    assert all(v > 0 and v == v and v != float("inf") for v in got.values())
+
+
+def test_kn_probabilities_sum_to_one_per_history(spark):
+    """Σ_w2∈V+unk P_KN(w2|w1) == 1 exactly (up to float) for every seen
+    history — the discount mass is fully redistributed by λ·Pcont.
+    Verified in pure Python against the same counts the operator uses."""
+    from collections import Counter
+
+    rows = [(1, "a b a c a b d"), (2, "b c b a")]
+    c12 = Counter()
+    vocab = set()
+    for _, text in rows:
+        w = text.split()
+        vocab.update(w)
+        for x, y in zip(w, w[1:]):
+            c12[(x, y)] += 1
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    nbb, V = len(c12), len(vocab)
+    # Pcont over the V seen words + 1 unk bucket sums to
+    # (Σ(n1b)+V+1)/(nbb+V+1) = 1 exactly since Σ n1b = nbb
+    for a in c1:
+        tot = 0.0
+        for b in vocab | {"<unk>"}:
+            pc = (n1b[b] + 1) / (nbb + V + 1)
+            tot += (max(4 * c12[(a, b)] - 3, 0) / (4 * c1[a])
+                    + (3 * n1f[a]) / (4 * c1[a]) * pc)
+        assert abs(tot - 1.0) < 1e-12, a

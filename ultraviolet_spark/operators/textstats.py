@@ -376,6 +376,102 @@ def lm_cross_entropy(df: DataFrame, *, model_docs: DataFrame | None = None,
                      .alias("cross_entropy")))
 
 
+def kn_cross_entropy(df: DataFrame, *, model_docs: DataFrame | None = None,
+                     discount_num: int = 3, discount_den: int = 4,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Interpolated Kneser–Ney bigram cross-entropy per document — the
+    smoothing family the REAL CCNet filter uses (KenLM is modified KN;
+    Kneser & Ney 1995, Chen & Goodman 1998), complementing
+    :func:`lm_cross_entropy`'s add-k baseline:
+
+        P(w2|w1) = max(c(w1 w2) − D, 0) / c(w1·)
+                   + D·N1+(w1·)/c(w1·) · Pcont(w2)
+        Pcont(w2) = (N1+(·w2) + 1) / (N1+(··) + V + 1)
+
+    with D = ``discount_num/discount_den`` (default 0.75, the classic
+    absolute discount), N1+(w1·) the distinct continuations of w1,
+    N1+(·w2) the distinct histories of w2 (the "how many contexts has
+    this word completed" continuation count that makes KN beat add-k on
+    burst words), and N1+(··) the distinct-bigram total.  Pcont carries
+    a +1/(V+1) floor so scoring text with OOV words stays total; an
+    unseen HISTORY w1 backs off to Pcont entirely.
+
+    Exactness contract (cross-engine): D enters as integers, so every
+    ratio is one exactly-rounded IEEE division of exact int64 operands
+    — (dd·c12 − dn)/(dd·c1) etc. — composed in a FIXED operation order
+    mirrored literally by the oracle SQL; each ln is snapped to integer
+    micro-nats before summing (the q86/PSI/JSD grid argument: last-ULP
+    libm-vs-JVM differences cannot move a transcendental across a
+    0.5e-6 boundary except on astronomically exact ties).
+
+    Returns ``(id, n_bigrams, kn_cross_entropy)``; docs with < 2 tokens
+    score 0.  Scale shape identical to lm_cross_entropy: scan-stage
+    bigram fan-out, map-side-combined model counts (shuffle ∝ distinct
+    bigrams), bigram-keyed scoring joins, 1-row broadcast totals.
+    """
+    model_docs = df if model_docs is None else model_docs
+    dn, dd = int(discount_num), int(discount_den)
+    if not 0 < dn < dd:
+        raise ValueError("discount must satisfy 0 < D < 1")
+
+    def bigrams(frame, with_id):
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        t = (frame.filter(F.length(F.trim(F.col(text_col))) > 0)
+             .select(*([F.col(id_col)] if with_id else []),
+                     toks.alias("__w"))
+             .filter(F.size("__w") >= 2))
+        ex = F.explode(F.expr(
+            "transform(sequence(1, size(__w) - 1),"
+            " i -> struct(element_at(__w, i) AS w1,"
+            "             element_at(__w, i + 1) AS w2))")).alias("__bg")
+        cols = ([F.col(id_col)] if with_id else []) + [ex]
+        return t.select(*cols).select(
+            *([id_col] if with_id else []),
+            F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+    mb = bigrams(model_docs, with_id=False)
+    c12 = mb.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("__c12"))
+    hist = c12.groupBy("w1").agg(
+        F.sum("__c12").cast("long").alias("__c1"),
+        F.count("*").cast("long").alias("__n1f"))
+    cont = c12.groupBy("w2").agg(F.count("*").cast("long").alias("__n1b"))
+    tot = c12.agg(F.count("*").cast("long").alias("__nbb"))
+    vocab = (model_docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+             .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                       r"\s+")).alias("__u"))
+             .agg(F.countDistinct("__u").cast("long").alias("__v")))
+
+    db = bigrams(df, with_id=True)
+    scored = (db.join(c12, on=["w1", "w2"], how="left")
+              .join(hist, on="w1", how="left")
+              .join(cont, on="w2", how="left")
+              .crossJoin(F.broadcast(tot))
+              .crossJoin(F.broadcast(vocab)))
+    # operation order is LITERALLY mirrored by the oracle SQL — change
+    # one side and the 6th decimal diverges on some doc
+    pc = ((F.coalesce("__n1b", F.lit(0)) + F.lit(1)).cast("double")
+          / (F.col("__nbb") + F.col("__v") + F.lit(1)).cast("double"))
+    c1d = (F.col("__c1") * dd).cast("double")
+    p_seen = (
+        F.greatest(F.coalesce("__c12", F.lit(0)) * dd - F.lit(dn),
+                   F.lit(0)).cast("double") / c1d
+        + (F.col("__n1f") * dn).cast("double") / c1d * pc)
+    p = F.when(F.col("__c1").isNull(), pc).otherwise(p_seen)
+    lp_u = F.round(F.log(p) * 1e6).cast("long")
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_bigrams"),
+                    F.round(-F.sum(lp_u) / (F.count("*") * F.lit(1e6)), 6)
+                     .alias("kn_cross_entropy")))
+    ids = df.select(id_col)
+    return (ids.join(per_doc, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce("n_bigrams", F.lit(0).cast("long"))
+                     .alias("n_bigrams"),
+                    F.coalesce("kn_cross_entropy", F.lit(0.0))
+                     .alias("kn_cross_entropy")))
+
+
 _SENT_ABBREV = ("mr", "mrs", "ms", "dr", "prof", "st", "vs", "etc",
                 "jr", "sr", "approx", "dept", "fig")
 _SENT_SENTINEL = "\uE000"   # private-use: protects abbreviation dots

@@ -8316,6 +8316,50 @@ def q234(spark, sf_dir):
     return entity_resolve(records, col="name", threshold=0.9, max_dist=1)
 
 
+@q("q235_kneser_ney_ce", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM t WHERE len(w) >= 2)),
+m12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+h AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM m12 GROUP BY w1),
+ct AS (SELECT w2, COUNT(*) AS n1b FROM m12 GROUP BY w2),
+tt AS (SELECT COUNT(*) AS nbb FROM m12),
+v AS (SELECT COUNT(DISTINCT u) AS vsz
+      FROM (SELECT unnest(w) AS u FROM t)),
+s AS (
+  SELECT doc_id,
+    CAST(round(ln(
+      CAST(GREATEST(4 * c12 - 3, 0) AS DOUBLE) / CAST(4 * c1 AS DOUBLE)
+      + (CAST(3 * n1f AS DOUBLE) / CAST(4 * c1 AS DOUBLE))
+        * (CAST(n1b + 1 AS DOUBLE) / CAST(nbb + vsz + 1 AS DOUBLE))
+    ) * 1e6) AS BIGINT) AS lp_u
+  FROM bg JOIN m12 USING (w1, w2) JOIN h USING (w1) JOIN ct USING (w2),
+       tt, v),
+a AS (SELECT doc_id, COUNT(*) AS nb,
+             round(-SUM(lp_u) / (COUNT(*) * 1e6), 6) AS ce
+      FROM s GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(ce, 0.0) AS kn_cross_entropy
+FROM documents d LEFT JOIN a USING (doc_id)
+""")
+def q235(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram cross-entropy per document — the
+    smoothing family the real CCNet/KenLM perplexity filter uses,
+    complementing q86's add-k baseline: absolute discount D=3/4 kept as
+    integers so every probability is a fixed composition of
+    exactly-rounded IEEE divisions over exact int64 counts, continuation
+    probability from distinct-HISTORY counts (the KN insight), +1/(V+1)
+    OOV floor, per-bigram ln snapped to integer micro-nats before the
+    order-independent sum.  The oracle replays the identical fixed IEEE
+    sequence; self-scoring here, so every history is seen (the unseen-
+    history backoff branch is covered by the separate-model pytest)."""
+    return X.kn_cross_entropy(_t(spark, sf_dir, "documents"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
