@@ -222,3 +222,65 @@ def test_streaming_asof_enrich_matches_batch_asof(spark, sf_dir, tmp_path):
     # non-vacuous: some spines have a prior click, some don't
     assert any(g[2] is None for g in got)
     assert any(g[2] is not None for g in got)
+
+
+def _two_file_stream(spark, df, ts_col, mid, tmp_path, name):
+    """Write df as two time-split parquet files (early half, then late
+    half, mtime-ordered) and open them as a maxFilesPerTrigger=1 file
+    stream — two genuine micro-batches in event-time order."""
+    import os
+    import shutil
+
+    srcdir = tmp_path / f"in_{name}"
+    srcdir.mkdir()
+    for i, cond in enumerate((F.col(ts_col) <= F.lit(mid),
+                              F.col(ts_col) > F.lit(mid))):
+        half = tmp_path / f"__{name}_{i}"
+        df.filter(cond).coalesce(1).write.parquet(str(half))
+        part = next(p for p in half.iterdir()
+                    if p.name.startswith("part-"))
+        dst = srcdir / f"b{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    return (spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet").load(str(srcdir)))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Native two-STREAM interval join (watermarks on both sides +
+    range predicate => bounded state) across two event-time-ordered
+    micro-batches ≡ the same condition executed in batch mode —
+    including matches whose click arrived a micro-batch EARLIER than
+    the purchase (state must cross the batch boundary)."""
+    from ultraviolet_spark.streaming.joins import stream_interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # watermarks require TIMESTAMP (LTZ); events.ts is NTZ — cast once
+    # (session tz is UTC, so the instant mapping is deterministic)
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("ts").cast("timestamp").alias("ts")))
+    click = (ev.filter(F.col("event_type") == "click")
+             .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                     "value"))
+    mid_expr = F.expr("percentile_approx(ts, 0.5)")
+    mid = purch.unionByName(click.drop("value")).agg(
+        mid_expr.alias("m")).head()["m"]
+
+    ls = _two_file_stream(spark, purch, "ts", mid, tmp_path, "ssj_l")
+    rs = _two_file_stream(spark, click, "ts", mid, tmp_path, "ssj_r")
+    out = stream_interval_join(ls, rs, by="user_id", lookback="48 hours",
+                               watermark="1 hour")
+    _run_to_memory(out, "uv_ssj", tmp_path)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT user_id, ts, r_ts, r_value FROM uv_ssj").collect()))
+
+    want = sorted(map(tuple, stream_interval_join(
+        purch, click, by="user_id", lookback="48 hours",
+        watermark="1 hour")
+        .select("user_id", "ts", "r_ts", "r_value").collect()))
+    assert got == want
+    assert len(got) > 0
+    # non-vacuous boundary crossing: at least one match pairs a click
+    # from the early half with a purchase from the late half
+    assert any(r_ts <= mid < ts for _, ts, r_ts, _ in got)
