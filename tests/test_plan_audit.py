@@ -44,10 +44,16 @@ CROSS_OK = {
     "q205_chi2_feature_selection",  # 1-row broadcast (N, n_pos) totals frame
     "q217_bottomk_vocab_jaccard",  # G² group-PAIR frame (metadata-sized)
     "q224_transition_matrix",  # S×S state-vocab completion (metadata-sized)
-    "q234_entity_resolution",  # bounded-vocab name synthesis (blocking
-                               # itself is the FastSS equi-join, no cross)
     "q235_kneser_ney_ce",  # 1-row broadcast (N1+(··), V) totals frames
 }
+
+# q234_entity_resolution is NOT listed even though its name synthesis
+# contains a bounded-vocab cross join (w1 < w2 word pairing): the
+# transitive-closure stage inside entity_resolve localCheckpoints, which
+# truncates lineage — the FINAL plan the audit sees contains no join
+# nodes at all, so the whitelist entry registered as stale.  The
+# synthesis cross is still bounded (test-vocabulary pairing, not data),
+# and the blocking itself is the FastSS equi-join.
 
 
 @pytest.fixture(scope="module")
