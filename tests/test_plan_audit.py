@@ -45,6 +45,7 @@ CROSS_OK = {
     "q217_bottomk_vocab_jaccard",  # G² group-PAIR frame (metadata-sized)
     "q224_transition_matrix",  # S×S state-vocab completion (metadata-sized)
     "q235_kneser_ney_ce",  # 1-row broadcast (N1+(··), V) totals frames
+    "q236_bitmap_index",  # top-6 token PAIR frame (15 rows, metadata-sized)
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -160,3 +160,126 @@ def rrf_fuse(rankings, *, id_col: str = "doc_id",
     out = out.orderBy(F.desc("rrf_nano"),
                       *[F.asc(c) for c in grouped])
     return out.limit(top_k) if top_k else out
+
+
+# ---------------------------------------------------------------------------
+# Chunked-bitmap postings (roaring-lite boolean retrieval)
+# ---------------------------------------------------------------------------
+#
+# A posting list stored as rows is the right SHUFFLE shape (see module
+# docstring) but the wrong RETRIEVAL shape: boolean queries (w1 AND w2,
+# w1 AND NOT w2) over row-postings are doc-id equi-joins whose width is
+# the posting-list length — for stop words that is the corpus.  The
+# classic answer (Lucene/roaring, public) is a chunked bitmap: docs are
+# split into fixed-width chunks and each (token, chunk) row carries one
+# integer whose bits mark member docs.  Boolean ops become a chunk
+# equi-join (≤ ceil(n_docs/width) rows per token, 63× denser than doc
+# rows for dense terms) plus bitwise AND/OR/ANDNOT + bit_count — the
+# doc ids themselves never cross the wire for a COUNT query.
+#
+# Width is 63, not 64: bit 63 is the sign bit, and the two engines the
+# correctness gate compares (Spark, DuckDB) disagree on signed shifts —
+# DuckDB raises on 1::BIGINT << 63 where Spark wraps silently.  Keeping
+# the top bit always-zero makes every bitmap word a non-negative int64
+# with identical semantics in both engines (and in parquet/Arrow).
+
+
+def bitmap_postings(pairs: DataFrame, *, id_col: str = "doc_id",
+                    token_col: str = "token",
+                    width: int = 63) -> DataFrame:
+    """``(token, chunk, bits)`` chunked-bitmap postings from distinct
+    ``(token, id)`` rows.  ``chunk = id div width``; bit ``id mod
+    width`` of ``bits`` is set iff the doc contains the token.
+
+    Scale notes (100 TB): the only shuffle is a partial-aggregated
+    ``bit_or`` on (token, chunk) — map-side combine collapses each
+    partition's contribution to one word per (token, chunk) before the
+    exchange, so wire bytes ∝ distinct (token, chunk), bounded by
+    vocabulary × ceil(n_docs/width) and in practice by the token's
+    document frequency / width.  Requires ``id >= 0`` (enforced: a
+    negative id would flip the sign bit or shift out of range on one
+    engine but not the other).
+    """
+    if not 1 <= width <= 63:
+        raise ValueError(f"width must be in [1, 63], got {width}")
+    # NO .distinct() pre-pass: bit_or is idempotent, so duplicate
+    # (token, id) rows OR the same bit — the whole build is ONE
+    # map-side-combined shuffle instead of distinct's exchange + the
+    # aggregation's
+    dedup = pairs.select(
+        F.col(token_col).alias("token"),
+        F.col(id_col).cast("long").alias("__id"))
+    # the id-sign assertion is folded INTO the bit expression (a separate
+    # guard column would be pruned by Catalyst and never evaluate)
+    # SQL-form shift: the Python F.shiftleft only takes a literal int
+    # for numBits, and the bit position is per-row
+    bit = F.when(
+        F.assert_true(F.col("__id") >= 0,
+                      F.lit("bitmap_postings: negative doc id")).isNull(),
+        F.expr(f"shiftleft(cast(1 as bigint), "
+               f"cast(__id % {int(width)} as int))"))
+    return (dedup
+            .select("token",
+                    # integer div, not floor(double/): a double quotient
+                    # is inexact past 2^53 and ids are full-range int64
+                    F.expr(f"__id div {int(width)}").alias("chunk"),
+                    bit.alias("__bit"))
+            .groupBy("token", "chunk")
+            .agg(F.bit_or("__bit").alias("bits")))
+
+
+def bitmap_docs(bm: DataFrame, *, width: int = 63) -> DataFrame:
+    """Inverse of :func:`bitmap_postings`: expand ``(token, chunk,
+    bits)`` back to ``(token, doc_id)`` rows — the retrieval step that
+    materializes ids AFTER boolean filtering collapsed the candidate
+    set.  Pure Catalyst (sequence → filter on the mask → explode)."""
+    return (bm.select("token", "chunk", "bits",
+                      F.explode(F.sequence(F.lit(0), F.lit(width - 1)))
+                       .alias("__b"))
+              .filter(F.expr("(shiftright(bits, __b) & 1) = 1"))
+              .select("token",
+                      (F.col("chunk") * width + F.col("__b"))
+                       .cast("long").alias("doc_id")))
+
+
+def bitmap_bool_counts(bm: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Boolean-retrieval cardinalities for token pairs, computed
+    entirely on bitmap words: for each ``(w1, w2)`` row of ``pairs``
+    returns document frequencies ``df1``/``df2``, ``n_both`` (AND),
+    ``n_w1_not_w2`` (ANDNOT), ``n_either`` (OR) and the Jaccard
+    overlap — without ever materializing a doc id.
+
+    Chunks where only one side has a row matter: AND of a missing word
+    is 0, OR/ANDNOT of a missing word is the present word — handled by
+    a full-outer chunk join with COALESCE(bits, 0), so sparse/disjoint
+    chunk sets are exact, not just aligned ones.
+
+    Scale notes: ``pairs`` is the query set (tiny — broadcast); each
+    retrieval touches only the two tokens' chunk rows (semi-join
+    pushes the token filter into the postings scan).  jaccard is one
+    double division of two exact int64s — bit-identical cross-engine.
+    """
+    b1 = bm.select(F.col("token").alias("w1"), "chunk",
+                   F.col("bits").alias("bits1"))
+    b2 = bm.select(F.col("token").alias("w2"), "chunk",
+                   F.col("bits").alias("bits2"))
+    j1 = pairs.join(b1, "w1")                      # (w1, w2, chunk, bits1)
+    j2 = pairs.join(b2, "w2")
+    merged = (j1.join(j2, ["w1", "w2", "chunk"], "full_outer")
+              .select("w1", "w2", "chunk",
+                      F.coalesce("bits1", F.lit(0)).alias("a"),
+                      F.coalesce("bits2", F.lit(0)).alias("b")))
+    agg = (merged.groupBy("w1", "w2")
+           .agg(F.sum(F.bit_count("a")).cast("long").alias("df1"),
+                F.sum(F.bit_count("b")).cast("long").alias("df2"),
+                F.sum(F.bit_count(F.col("a").bitwiseAND(F.col("b"))))
+                 .cast("long").alias("n_both"),
+                F.sum(F.bit_count(F.col("a")
+                                   .bitwiseAND(F.bitwise_not(F.col("b")))))
+                 .cast("long").alias("n_w1_not_w2"),
+                F.sum(F.bit_count(F.col("a").bitwiseOR(F.col("b"))))
+                 .cast("long").alias("n_either")))
+    return agg.withColumn(
+        "jaccard",
+        F.round(F.col("n_both").cast("double")
+                / F.col("n_either").cast("double"), 6))

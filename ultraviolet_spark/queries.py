@@ -8360,6 +8360,66 @@ def q235(spark, sf_dir):
     return X.kn_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+@q("q236_bitmap_index", """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0),
+td AS (SELECT DISTINCT token, doc_id FROM t),
+top6 AS (SELECT token, COUNT(*) AS df FROM td GROUP BY token
+         ORDER BY df DESC, token ASC LIMIT 6),
+pr AS (SELECT a.token AS w1, a.df AS df1, b.token AS w2, b.df AS df2
+       FROM top6 a JOIN top6 b ON a.token < b.token),
+bo AS (SELECT pr.w1, pr.w2, COUNT(*) AS n_both
+       FROM pr
+       JOIN td x ON x.token = pr.w1
+       JOIN td y ON y.token = pr.w2 AND y.doc_id = x.doc_id
+       GROUP BY pr.w1, pr.w2)
+SELECT w1, w2,
+       CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+       CAST(COALESCE(n_both, 0) AS BIGINT) AS n_both,
+       CAST(df1 - COALESCE(n_both, 0) AS BIGINT) AS n_w1_not_w2,
+       CAST(df1 + df2 - COALESCE(n_both, 0) AS BIGINT) AS n_either,
+       round(CAST(COALESCE(n_both, 0) AS DOUBLE)
+             / CAST(df1 + df2 - COALESCE(n_both, 0) AS DOUBLE), 6) AS jaccard
+FROM pr LEFT JOIN bo USING (w1, w2)
+""")
+def q236(spark, sf_dir):
+    """Chunked-bitmap boolean retrieval (roaring-lite): postings for the
+    top-6 document-frequency tokens are built as 63-bit words — ONE
+    map-side-combined bit_or shuffle on (token, chunk), bit 63 never
+    set so Spark and DuckDB int64 semantics agree — and every pairwise
+    AND / ANDNOT / OR cardinality plus Jaccard is computed from
+    bit_count over a chunk equi-join, no doc id ever materialized.
+    The oracle is a DIFFERENT mechanism end-to-end: exact DISTINCT
+    (token, doc) set joins with inclusion-exclusion for OR/ANDNOT —
+    one wrong bit in any word, a missed sparse chunk on either side of
+    the full-outer merge, or a sign-bit overflow diverges the hash."""
+    from ultraviolet_spark.operators.index import (
+        bitmap_bool_counts, bitmap_postings)
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0)
+    td = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+         .alias("token"))
+    top6 = (td.groupBy("token")
+            .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("token")).limit(6))
+    a = top6.select(F.col("token").alias("w1"), F.col("df").alias("df1"))
+    b = top6.select(F.col("token").alias("w2"), F.col("df").alias("df2"))
+    pairs = a.join(b, F.col("w1") < F.col("w2"))   # 15-row metadata frame
+    bm = bitmap_postings(
+        td.join(F.broadcast(top6.select("token")), "token", "semi"),
+        id_col="doc_id")
+    counts = bitmap_bool_counts(bm, pairs.select("w1", "w2"))
+    # df1/df2 arrive twice — from the pair frame (exact distinct counts)
+    # and from the bitmap bit_count sums; returning the BITMAP ones keeps
+    # the whole row on the bitmap hook, the oracle recomputes exactly
+    return counts.select("w1", "w2", "df1", "df2", "n_both",
+                         "n_w1_not_w2", "n_either", "jaccard")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
