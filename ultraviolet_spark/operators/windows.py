@@ -329,3 +329,90 @@ def best_span(df: DataFrame, *, key_col: str, pos_col: str,
         F.when(pos, st).alias("start_idx"),
         F.when(pos, en).alias("end_idx"),
         F.when(pos, en - st + 1).alias("len"))
+
+
+def cusum_stats(df: DataFrame, *, by: str, order: str, value_col: str,
+                warmup: int = 3, allowance: int = 0, threshold: int = 0,
+                scale: int = 100,
+                tiebreak: str | None = None) -> DataFrame:
+    """Two-sided CUSUM changepoint detection per key (Page 1954) —
+    sequential drift monitoring over a crawl/metric series: has this
+    entity's signal shifted up or down versus its own early baseline,
+    and when did the evidence first cross the decision threshold?
+
+    The CUSUM recursion ``S_t = max(0, S_{t-1} + a_t)`` looks
+    imperative but has the exact closed form ``S_t = P_t - min(P_0..
+    P_t)`` over prefix sums ``P`` (with the empty prefix ``P_0 = 0``
+    participating in the min) — the same prefix-extremum identity as
+    Kadane/best_span — so the whole detector is two window passes, no
+    UDF, no recursion.
+
+    Exact-integer arithmetic end-to-end: values enter as
+    ``round(value·scale)`` int64 units; the baseline is the SUM of the
+    first ``warmup`` observations (never divided — deviations are
+    tested as ``warmup·x_t - base_sum`` in warmup-scaled units, so no
+    mean is ever materialized as a float).  ``allowance`` (CUSUM's k,
+    per-observation slack) and ``threshold`` (decision limit h) are in
+    the same ``scale`` units and get warmup-scaled internally.
+    Detection starts at observation ``warmup + 1``; the baseline rows
+    themselves are never tested (and a key with ≤ warmup observations
+    reports zero alarms) — the baseline uses only PAST rows of each
+    tested row, so the detector is temporally leakage-free by
+    construction.
+
+    Returns one row per key: ``n_obs``, ``max_cusum_up`` /
+    ``max_cusum_down`` (peak evidence, warmup·scale units),
+    ``n_alarms_up`` / ``n_alarms_down`` (observations with S above h),
+    and ``first_alarm_ts`` (earliest crossing in either direction,
+    NULL when none).
+
+    Scale notes (100 TB): ONE hash exchange on ``by`` shared by both
+    window passes and the final groupBy (same-key ordering); per-row
+    state in the windows is O(1) (running sum / running min), the
+    output is one row per key.  Skewed keys: a single entity's history
+    must fit one task — cap lookback upstream if an adversarial key
+    has millions of crawls (same playbook as sessionize/as-of)."""
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    inner_order = [F.col("__ts").asc()] + (
+        [F.col("__tb").asc()] if tiebreak else [])
+    wcum = (Window.partitionBy("__k").orderBy(*inner_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = (df.select(F.col(by).alias("__k"), F.col(order).alias("__ts"),
+                   *( [F.col(tiebreak).alias("__tb")] if tiebreak else []),
+                   x.alias("__x"))
+           .withColumn("__rn", F.row_number().over(
+               Window.partitionBy("__k").orderBy(*inner_order))))
+    # baseline: sum of the first `warmup` observations (unbounded window
+    # over a masked column — for every TESTED row (rn > warmup) these are
+    # strictly past rows, so no leakage)
+    wk = Window.partitionBy("__k")
+    d = d.withColumn("__base",
+                     F.sum(F.when(F.col("__rn") <= warmup, F.col("__x"))
+                            .otherwise(F.lit(0))).over(wk))
+    # per-observation deviations in warmup-scaled integer units;
+    # 0 during warmup so prefix sums pass through
+    tested = F.col("__rn") > warmup
+    a_up = F.when(tested,
+                  warmup * F.col("__x") - F.col("__base")
+                  - F.lit(warmup * allowance)).otherwise(F.lit(0))
+    a_dn = F.when(tested,
+                  F.col("__base") - warmup * F.col("__x")
+                  - F.lit(warmup * allowance)).otherwise(F.lit(0))
+    d = (d.withColumn("__pu", F.sum(a_up).over(wcum))
+          .withColumn("__pd", F.sum(a_dn).over(wcum)))
+    # S_t = P_t - min(P_0..P_t); least(run_min, 0) injects P_0 = 0
+    s_up = F.col("__pu") - F.least(F.min("__pu").over(wcum), F.lit(0))
+    s_dn = F.col("__pd") - F.least(F.min("__pd").over(wcum), F.lit(0))
+    h = F.lit(warmup * threshold)
+    d = (d.withColumn("__su", F.when(tested, s_up).otherwise(F.lit(0)))
+          .withColumn("__sd", F.when(tested, s_dn).otherwise(F.lit(0))))
+    return (d.groupBy(F.col("__k").alias(by))
+            .agg(F.count("*").cast("long").alias("n_obs"),
+                 F.max("__su").cast("long").alias("max_cusum_up"),
+                 F.max("__sd").cast("long").alias("max_cusum_down"),
+                 F.sum((F.col("__su") > h).cast("long")).cast("long")
+                  .alias("n_alarms_up"),
+                 F.sum((F.col("__sd") > h).cast("long")).cast("long")
+                  .alias("n_alarms_down"),
+                 F.min(F.when((F.col("__su") > h) | (F.col("__sd") > h),
+                              F.col("__ts"))).alias("first_alarm_ts")))

@@ -8420,6 +8420,65 @@ def q236(spark, sf_dir):
                          "n_w1_not_w2", "n_either", "jaccard")
 
 
+@q("q237_cusum_changepoints", """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+b AS (
+  SELECT *, SUM(CASE WHEN rn <= 3 THEN x ELSE 0 END)
+              OVER (PARTITION BY user_id) AS base
+  FROM e),
+p AS (
+  SELECT *,
+    SUM(CASE WHEN rn > 3 THEN 3 * x - base - 3 * 100 ELSE 0 END)
+      OVER w AS pu,
+    SUM(CASE WHEN rn > 3 THEN base - 3 * x - 3 * 100 ELSE 0 END)
+      OVER w AS pd
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT *,
+    CASE WHEN rn > 3 THEN pu - LEAST(MIN(pu) OVER w, 0) ELSE 0 END AS su,
+    CASE WHEN rn > 3 THEN pd - LEAST(MIN(pd) OVER w, 0) ELSE 0 END AS sd
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(MAX(su) AS BIGINT) AS max_cusum_up,
+       CAST(MAX(sd) AS BIGINT) AS max_cusum_down,
+       CAST(SUM(CASE WHEN su > 3 * 2000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms_up,
+       CAST(SUM(CASE WHEN sd > 3 * 2000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms_down,
+       MIN(CASE WHEN su > 3 * 2000 OR sd > 3 * 2000 THEN ts END)
+         AS first_alarm_ts
+FROM s GROUP BY user_id
+""")
+def q237(spark, sf_dir):
+    """Two-sided CUSUM changepoint detection per user over the event
+    value series (Page 1954): the imperative recursion S_t = max(0,
+    S_{t-1} + a_t) computed as its exact closed form P_t - min(P_0..
+    P_t) over prefix sums — two window passes sharing one key
+    exchange, everything in exact integer cents (baseline = SUM of the
+    first 3 observations, deviations tested warmup-scaled so no float
+    mean ever exists).  allowance 1.00, decision threshold 20.00.  The
+    oracle replays the identical integer window algebra in DuckDB —
+    one wrong prefix min, a leaked baseline row, or an off-by-one at
+    the warmup boundary diverges max/alarm counts and the first-alarm
+    timestamp."""
+    from ultraviolet_spark.operators.windows import cusum_stats
+
+    return cusum_stats(_t(spark, sf_dir, "events"),
+                       by="user_id", order="ts", value_col="value",
+                       warmup=3, allowance=100, threshold=2000,
+                       scale=100, tiebreak="event_id")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
