@@ -227,3 +227,97 @@ def compaction_plan(files: DataFrame, *, partition_cols: list[str],
                 .withColumn("passthrough", F.lit(True)))
     return (plan_small.unionByName(plan_big)
             .withColumnRenamed("__grp", "group_id"))
+
+
+def with_hilbert_key(df: DataFrame, x_col: str, y_col: str, *,
+                     bits: int = 8, out: str = "hkey") -> DataFrame:
+    """Hilbert-curve key for 2-D layout clustering — the strictly
+    better-locality alternative to :func:`zorder_key`: CONSECUTIVE
+    Hilbert indices are always grid neighbors (|Δx|+|Δy| = 1), so a
+    range of keys maps to one compact blob instead of Morton's Z-shaped
+    jumps, which tightens per-file min/max bounds for 2-D box
+    predicates (the zone-map/skipping payoff).
+
+    Classic per-level rotate/flip state machine (public — Hamilton
+    2006 / the well-known xy2d recipe): for s = 2^(bits-1)..1 take one
+    bit from each coordinate, accumulate s²·((3·rx) XOR ry), then
+    rotate the frame (flip with n-1-coordinate so values stay in
+    [0, n); already-consumed high bits are flipped too but never read
+    again).  Each level is materialized as its own small projection —
+    the per-level expressions reference the previous level's COLUMNS
+    several times, and Spark's CollapseProject keeps non-cheap
+    multiply-referenced aliases un-inlined, so the plan stays linear
+    in ``bits`` instead of 3^bits (the winnowing lesson).
+
+    Inputs must be non-negative; values ≥ 2^bits wrap (same contract
+    as zorder_key — callers bucket first).  ``bits ≤ 10`` keeps the
+    unrolled ORACLE replay of the same algebra tractable in any
+    engine; 2^10 × 2^10 cells is far beyond file-level clustering
+    needs.  Pure integer Catalyst arithmetic, bit-identical
+    cross-engine; NO shuffle — this is a scan-stage expression chain,
+    the layout shuffle happens in the writer that sorts by the key.
+    """
+    if not 1 <= bits <= 10:
+        raise ValueError(f"bits must be in [1, 10], got {bits}")
+    n = 1 << bits
+    mask = n - 1
+    d = (df.withColumn("__hx",
+                       F.col(x_col).cast("long").bitwiseAND(F.lit(mask)))
+           .withColumn("__hy",
+                       F.col(y_col).cast("long").bitwiseAND(F.lit(mask)))
+           .withColumn("__hd", F.lit(0).cast("long")))
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        rx = F.shiftright(F.col("__hx"), b).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("__hy"), b).bitwiseAND(F.lit(1))
+        flip = (ry == 0) & (rx == 1)
+        swap = ry == 0
+        nd = (F.col("__hd")
+              + F.lit(s * s) * (rx * 3).bitwiseXOR(ry))
+        fx = F.when(flip, F.lit(mask) - F.col("__hx")).otherwise(
+            F.col("__hx"))
+        fy = F.when(flip, F.lit(mask) - F.col("__hy")).otherwise(
+            F.col("__hy"))
+        nx = F.when(swap, fy).otherwise(F.col("__hx"))
+        ny = F.when(swap, fx).otherwise(F.col("__hy"))
+        d = (d.withColumn("__hd2", nd)
+              .withColumn("__hx2", nx).withColumn("__hy2", ny)
+              .drop("__hd", "__hx", "__hy")
+              .withColumnRenamed("__hd2", "__hd")
+              .withColumnRenamed("__hx2", "__hx")
+              .withColumnRenamed("__hy2", "__hy"))
+    return (d.withColumnRenamed("__hd", out)
+             .drop("__hx", "__hy"))
+
+
+def hilbert_oracle_sql(x_expr: str, y_expr: str, *, bits: int = 8,
+                       source: str) -> str:
+    """Generate the DuckDB replay of :func:`with_hilbert_key` — the
+    identical per-level integer algebra as an unrolled CTE chain with
+    UNIQUE per-level column names (a reused alias inside one SELECT is
+    ambiguous between the base column and the lateral alias), so a
+    correctness gate can diff the Spark expression chain against an
+    independent engine's evaluation of the same public recipe.
+    Returns a query whose final column ``hkey`` is the Hilbert index;
+    callers wrap it as a CTE/subquery."""
+    n = 1 << bits
+    mask = n - 1
+    parts = [
+        f"SELECT *, CAST(({x_expr}) AS BIGINT) & {mask} AS hx{bits}, "
+        f"CAST(({y_expr}) AS BIGINT) & {mask} AS hy{bits}, "
+        f"CAST(0 AS BIGINT) AS hd{bits} FROM {source}"]
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        p = b + 1
+        parts.append(
+            f"SELECT * EXCLUDE (hx{p}, hy{p}, hd{p}), "
+            f"CASE WHEN ((hy{p} >> {b}) & 1) = 0 THEN "
+            f"CASE WHEN ((hx{p} >> {b}) & 1) = 1 THEN {mask} - hy{p} "
+            f"ELSE hy{p} END ELSE hx{p} END AS hx{b}, "
+            f"CASE WHEN ((hy{p} >> {b}) & 1) = 0 THEN "
+            f"CASE WHEN ((hx{p} >> {b}) & 1) = 1 THEN {mask} - hx{p} "
+            f"ELSE hx{p} END ELSE hy{p} END AS hy{b}, "
+            f"hd{p} + {s * s} * xor(((hx{p} >> {b}) & 1) * 3, "
+            f"(hy{p} >> {b}) & 1) AS hd{b} FROM ({parts.pop()})")
+    return (f"SELECT * EXCLUDE (hx0, hy0, hd0), hd0 AS hkey "
+            f"FROM ({parts.pop()})")

@@ -8479,6 +8479,49 @@ def q237(spark, sf_dir):
                        scale=100, tiebreak="event_id")
 
 
+def _hilbert_q238_sql() -> str:
+    from ultraviolet_spark.plans.layout import hilbert_oracle_sql
+    inner = hilbert_oracle_sql("l_partkey % 256", "l_suppkey % 256",
+                               bits=8, source="lineitem")
+    return f"""
+SELECT (l_partkey % 256) // 16 AS xb, (l_suppkey % 256) // 16 AS yb,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(hkey) AS BIGINT) AS hkey_sum,
+       CAST(MIN(hkey) AS BIGINT) AS hkey_min,
+       CAST(MAX(hkey) AS BIGINT) AS hkey_max
+FROM ({inner})
+GROUP BY 1, 2
+"""
+
+
+@q("q238_hilbert_layout", _hilbert_q238_sql())
+def q238(spark, sf_dir):
+    """Hilbert-curve layout key over a 256×256 grid of (partkey,
+    suppkey) — the better-locality alternative to q142's Z-order:
+    consecutive Hilbert indices are ALWAYS grid neighbors, so a key
+    range maps to one compact blob and per-file min/max bounds stay
+    tight for 2-D box predicates.  The key is a pure scan-stage
+    integer expression chain (per-level rotate/flip state machine,
+    each level its own projection so the plan is linear in bits, not
+    3^bits); the 16×16-block rollup puts EVERY row's key on the hook
+    via sum/min/max.  The DuckDB oracle replays the identical algebra
+    as an unrolled CTE chain generated by the same module — one wrong
+    rotation, flip, or xor at any of the 8 levels diverges the sums."""
+    from ultraviolet_spark.plans.layout import with_hilbert_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_suppkey") % 256).alias("y"))
+    keyed = with_hilbert_key(li, "x", "y", bits=8)
+    return (keyed.groupBy(
+                F.expr("x div 16").alias("xb"),
+                F.expr("y div 16").alias("yb"))
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum("hkey").cast("long").alias("hkey_sum"),
+                 F.min("hkey").cast("long").alias("hkey_min"),
+                 F.max("hkey").cast("long").alias("hkey_max")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
