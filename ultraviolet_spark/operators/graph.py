@@ -235,3 +235,104 @@ def triangle_counts(edges: DataFrame, *, src: str = "src",
             .select("node",
                     F.coalesce("n_triangles", F.lit(0)).cast("long")
                     .alias("n_triangles")))
+
+
+def k_core(edges: DataFrame, *, k: int, rounds: int | None = None,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    standard distributed recipe — Quick et al. 2012 use the same
+    synchronous peel in Pregel form): repeatedly drop nodes with
+    degree < k until the surviving subgraph has minimum degree ≥ k.
+    The k-core is the classic "dense, well-linked hub" signal over a
+    domain link graph — spam farms and boilerplate rings concentrate
+    in high cores, isolated tails peel away.
+
+    Input edges are DIRECTED rows; they are symmetrized and self-loops
+    dropped, so degree means undirected distinct-neighbor count.
+
+    ``rounds=None`` peels to the true fixpoint (a driver loop with one
+    bounded ``count()`` per round — the peel depth of real graphs is
+    small, and each round's survivor set only shrinks).
+    ``rounds=R`` runs exactly R synchronous peel rounds with NO driver
+    round-trip — the deterministic form an unrolled SQL oracle can
+    replay; it equals the fixpoint whenever R ≥ peel depth (pinned by
+    tests that run both modes).
+
+    Returns ``(node, deg)`` — survivors with their degree INSIDE the
+    core subgraph.
+
+    Scale notes (100 TB): each round is two semi-joins of the edge set
+    against the shrinking survivor frame (AQE broadcasts it once it is
+    small — which is immediately, for real k) plus one map-side-
+    combined degree count; lineage is truncated per round with
+    localCheckpoint in fixpoint mode so the plan does not grow with
+    peel depth.  No driver-side graph ever exists."""
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v")))
+    und = und.union(und.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))).distinct()
+    alive = und.select("u").distinct().withColumnRenamed("u", "node")
+
+    def _deg(a):
+        return (und
+                .join(a.withColumnRenamed("node", "u"), "u", "semi")
+                .join(a.withColumnRenamed("node", "v"), "v", "semi")
+                .groupBy("u").agg(F.count("*").cast("long").alias("deg")))
+
+    if rounds is not None:
+        for _ in range(rounds):
+            # lazy localCheckpoint: truncates the logical plan (each
+            # round nests 2 joins + an agg over the previous round —
+            # un-truncated, optimization cost doubles per round) while
+            # deferring materialization to the final action, so fixed
+            # mode still has zero driver round-trips
+            alive = (_deg(alive).filter(F.col("deg") >= k)
+                     .select(F.col("u").alias("node"))
+                     .localCheckpoint(eager=False))
+    else:
+        n = alive.count()
+        while True:
+            alive = (_deg(alive).filter(F.col("deg") >= k)
+                     .select(F.col("u").alias("node"))
+                     .localCheckpoint(eager=True))
+            m = alive.count()
+            if m == n:
+                break
+            n = m
+    return (_deg(alive)
+            .select(F.col("u").alias("node"), "deg")
+            .join(alive, "node", "semi"))
+
+
+def k_core_oracle_sql(edges_sql: str, *, k: int, rounds: int) -> str:
+    """Unrolled-SQL replay of :func:`k_core` with ``rounds`` fixed
+    peel rounds — the same symmetrize → degree → filter algebra as
+    chained CTEs, so a correctness gate can diff the Spark peel
+    against an independent engine.  ``edges_sql`` must yield directed
+    (src, dst) rows."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and und/a_i are referenced 2-3 times per round — left
+    # inline, the expansion is 3^rounds parquet scans (observed as
+    # "Too many open files" at rounds=10)
+    parts = [
+        f"raw AS MATERIALIZED ({edges_sql})",
+        "und AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM raw WHERE src <> dst "
+        "UNION SELECT dst, src FROM raw WHERE src <> dst))",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)"]
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT e.u, COUNT(*) AS deg "
+            f"FROM und e JOIN {prev} x ON e.u = x.node "
+            f"JOIN {prev} y ON e.v = y.node GROUP BY e.u)")
+        parts.append(
+            f"a{i} AS MATERIALIZED "
+            f"(SELECT u AS node FROM d{i} WHERE deg >= {k})")
+        prev = f"a{i}"
+    return ("WITH " + ",\n".join(parts) +
+            f",\ndf AS (SELECT e.u, COUNT(*) AS deg FROM und e "
+            f"JOIN {prev} x ON e.u = x.node "
+            f"JOIN {prev} y ON e.v = y.node GROUP BY e.u)\n"
+            f"SELECT u AS node, CAST(deg AS BIGINT) AS deg FROM df "
+            f"WHERE u IN (SELECT node FROM {prev})")

@@ -8522,6 +8522,41 @@ def q238(spark, sf_dir):
                  F.max("hkey").cast("long").alias("hkey_max")))
 
 
+def _kcore_q239_sql() -> str:
+    from ultraviolet_spark.operators.graph import k_core_oracle_sql
+    edges = ("SELECT doc_id % 101 AS src, "
+             "(doc_id * doc_id + 1) % 101 AS dst FROM documents "
+             "UNION SELECT doc_id % 101, "
+             "(doc_id * doc_id * 3 + 2) % 101 FROM documents")
+    return k_core_oracle_sql(edges, k=3, rounds=10)
+
+
+@q("q239_k_core_domains", _kcore_q239_sql())
+def q239(spark, sf_dir):
+    """3-core of a deterministic 101-node domain link graph (Seidman
+    peeling — the dense-hub / link-ring signal over a crawl's domain
+    graph): 10 synchronous peel rounds, each two semi-joins of the
+    shrinking survivor set plus one map-side-combined degree count —
+    enough rounds to reach the true fixpoint at every tested SF (the
+    sf0.01 cascade is 9 rounds deep: node removals keep dropping
+    neighbors below k for 9 generations).  Quadratic-residue dst
+    mixing gives the degree spread that makes peeling cascade.  The
+    oracle replays the identical 10-round peel as unrolled CTEs — one
+    premature or missed removal in ANY round propagates through every
+    later round and diverges survivors and final degrees."""
+    from ultraviolet_spark.operators.graph import k_core
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * F.col("doc_id") + 1) % 101)
+                  .alias("dst"))
+         .union(d.select(
+             (F.col("doc_id") % 101).alias("src"),
+             ((F.col("doc_id") * F.col("doc_id") * 3 + 2) % 101)
+             .alias("dst"))))
+    return k_core(e, k=3, rounds=10)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
