@@ -8557,6 +8557,54 @@ def q239(spark, sf_dir):
     return k_core(e, k=3, rounds=10)
 
 
+@q("q240_arrow_ipc_roundtrip", """
+SELECT doc_id % 4 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM((doc_id % 97) / 4.0) AS weight_sum,
+       CAST(SUM(doc_id % 3 + 1) AS BIGINT) AS token_total,
+       CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_notes,
+       make_timestamp((1767225600 + MIN(doc_id)) * 1000000) AS first_ts,
+       make_timestamp((1767225600 + MAX(doc_id)) * 1000000) AS last_ts
+FROM documents GROUP BY doc_id % 4
+""")
+def q240(spark, sf_dir):
+    """Arrow IPC (Feather v2) sink + source roundtrip: documents gain a
+    float weight, a variable-length token array, a nullable note and a
+    timestamp — every type family the connector polices — get written
+    as md5-sharded, in-shard-sorted ``.arrow`` files through an
+    EXPLICIT Arrow schema (never pandas inference: int64-with-NULL
+    arrives as float64 in pandas and inference would silently write
+    doubles), and the rollup is computed from the READ-BACK through the
+    schema-verified scan.  The DuckDB oracle recomputes everything
+    analytically from the parquet documents and never sees an IPC
+    byte, so serialization, NULL fidelity, array round-tripping and
+    timestamp precision are all on the hook.  Weights are quarters
+    (exact binary fractions) so the double SUM is order-independent."""
+    import tempfile
+
+    from ultraviolet_spark.sources.arrowipc import arrow_ipc_roundtrip
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 97) / 4.0).alias("weight"),
+        F.sequence(F.lit(1), F.col("doc_id") % 3 + 1).alias("tokens"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+         .otherwise(F.col("lang")).alias("note"),
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id"))
+         .alias("ts"))
+    path = tempfile.mkdtemp(prefix="uv_q240_")
+    back = arrow_ipc_roundtrip(d, path, key_col="doc_id", n_shards=5)
+    return (back.groupBy((F.col("doc_id") % 4).alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum("weight").alias("weight_sum"),
+                 F.sum(F.size("tokens")).cast("long").alias("token_total"),
+                 F.sum(F.col("note").isNull().cast("long")).cast("long")
+                  .alias("n_null_notes"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
