@@ -8605,6 +8605,60 @@ def q240(spark, sf_dir):
                  F.max("ts").alias("last_ts")))
 
 
+_Q241_LEXICON = [
+    ("generalizations", "gener"), ("oscillators", "oscil"),
+    ("agreed", "agre"), ("relational", "relat"),
+    ("electrical", "electr"), ("running", "run"), ("flies", "fli"),
+    ("happiness", "happi"), ("national", "nation"),
+    ("computers", "comput"), ("caresses", "caress"), ("ponies", "poni"),
+    ("motoring", "motor"), ("controlled", "control"), ("hopping", "hop"),
+    ("sized", "size"), ("conditional", "condit"),
+    ("feudalism", "feudal"), ("adoption", "adopt"), ("goodness", "good"),
+]
+
+
+def _q241_sql() -> str:
+    vals = ", ".join(f"({i}, '{w}', '{s}')"
+                     for i, (w, s) in enumerate(_Q241_LEXICON))
+    return f"""
+WITH lex(idx, word, stem) AS (VALUES {vals}),
+d AS (SELECT doc_id, doc_id % 20 AS idx FROM documents)
+SELECT l.stem,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT l.word) AS BIGINT) AS n_surface_forms,
+       CAST(MIN(d.doc_id) AS BIGINT) AS first_doc
+FROM d JOIN lex l ON l.idx = d.idx
+GROUP BY l.stem
+"""
+
+
+@q("q241_porter_stems", _q241_sql())
+def q241(spark, sf_dir):
+    """Porter stemming over a document-weighted 20-word lexicon whose
+    stems are hand-derivable from the published 1980 rule tables (the
+    same per-step examples tests pin individually; e.g. relational →
+    step2 relate → step5a relat).  The engine runs the REAL pipeline —
+    distinct-vocabulary Arrow UDF + broadcast join back (the 100 TB
+    shape: 10^12 tokens cost |vocabulary| stem calls) — while the
+    oracle knows only the literal expected stems, so any rule firing
+    wrongly on any word changes its stem group and diverges counts.
+    Surface-form counting proves the stem actually CONFLATES (running/
+    runs-style merges would collapse here if the lexicon had them)."""
+    from ultraviolet_spark.operators.stem import stem_tokens
+
+    words = F.array(*[F.lit(w) for w, _ in _Q241_LEXICON])
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(words, (F.col("doc_id") % 20 + 1).cast("int"))
+         .alias("token"))
+    stemmed = stem_tokens(d, col="token")
+    return (stemmed.groupBy("stem")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.count_distinct("token").cast("long")
+                  .alias("n_surface_forms"),
+                 F.min("doc_id").cast("long").alias("first_doc")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
