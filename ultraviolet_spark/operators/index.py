@@ -283,3 +283,62 @@ def bitmap_bool_counts(bm: DataFrame, pairs: DataFrame) -> DataFrame:
         "jaccard",
         F.round(F.col("n_both").cast("double")
                 / F.col("n_either").cast("double"), 6))
+
+
+def dictionary_hits(docs: DataFrame, phrases, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Multi-token PHRASE DICTIONARY matching (the RefinedWeb/C4-style
+    bad-phrase filter, generalized to any fixed phrase list): every
+    occurrence of every dictionary phrase in every document, as
+    ``(doc_id, phrase, start)`` rows (0-based token position).
+
+    One join handles ALL phrase lengths at once: the dictionary
+    explodes to (phrase, offset, token) rows; a doc token at position
+    p matching a phrase token at offset o is evidence for an
+    occurrence starting at p−o; grouping by (doc, phrase, start) and
+    requiring count(*) == phrase_length means every offset matched —
+    i.e. a full occurrence.  Counts include OVERLAPPING occurrences
+    ("a a" occurs twice in "a a a"), which substring replace()-style
+    counting misses; the oracle uses the space-doubling substring
+    trick and therefore only serves phrases that cannot self-overlap
+    (first token ≠ later tokens) — the operator itself is exact for
+    any phrase.
+
+    Tokenization: whitespace split of lower(trim(text)) — the corpus
+    convention shared with textstats/index/BM25.
+
+    Scale notes (100 TB): the dictionary frame is broadcast (a real
+    blocklist is thousands of rows); the token scan is scan-stage; the
+    join keeps only tokens that appear SOMEWHERE in the dictionary —
+    for a blocklist that is a tiny fraction of the corpus — and the
+    candidate groupBy shuffles only those survivors keyed by
+    (doc, phrase, start).  No cartesian, no per-row Python."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    if not isinstance(phrases, DataFrame):
+        phrases = spark.createDataFrame(
+            [(p,) for p in phrases], "phrase string")
+    dic = (phrases
+           .select("phrase",
+                   F.posexplode(F.split(F.lower(F.trim("phrase")),
+                                        r"\s+"))
+                    .alias("offset", "ptok"))
+           .withColumn("plen", F.count("*").over(
+               Window.partitionBy("phrase"))))
+    toks = (docs
+            .filter(F.length(F.trim(text_col)) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(F.split(F.lower(F.trim(F.col(text_col))),
+                                         r"\s+"))
+                     .alias("pos", "token")))
+    cand = (toks.join(F.broadcast(dic), toks["token"] == dic["ptok"])
+            .select("doc_id", "phrase", "plen",
+                    (F.col("pos") - F.col("offset")).alias("start")))
+    return (cand.filter(F.col("start") >= 0)
+            .groupBy("doc_id", "phrase", "start")
+            .agg(F.count("*").alias("__n"),
+                 F.max("plen").alias("__plen"))
+            .filter(F.col("__n") == F.col("__plen"))
+            .select("doc_id", "phrase", F.col("start").cast("long")
+                    .alias("start")))

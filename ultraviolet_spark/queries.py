@@ -8659,6 +8659,72 @@ def q241(spark, sf_dir):
                  F.min("doc_id").cast("long").alias("first_doc")))
 
 
+@q("q242_dictionary_phrases", """
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS lt
+  FROM documents WHERE length(trim(text)) > 0),
+tok AS (SELECT doc_id, string_split_regex(lt, '\\s+') AS w FROM t),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM tok WHERE len(w) >= 2)),
+top3 AS (
+  SELECT w1 || ' ' || w2 AS phrase, COUNT(*) AS c
+  FROM bg WHERE w1 <> w2 GROUP BY 1
+  ORDER BY c DESC, phrase ASC LIMIT 3),
+norm AS (
+  SELECT doc_id,
+         ' ' || replace(regexp_replace(lt, '\\s+', ' ', 'g'),
+                        ' ', '  ') || ' ' AS s2
+  FROM t),
+cnt AS (
+  SELECT p.phrase, n.doc_id,
+         (length(n.s2)
+          - length(replace(n.s2,
+                           ' ' || replace(p.phrase, ' ', '  ') || ' ',
+                           '')))
+         // length(' ' || replace(p.phrase, ' ', '  ') || ' ') AS c
+  FROM top3 p, norm n)
+SELECT phrase,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS n_hits
+FROM cnt GROUP BY phrase
+""")
+def q242(spark, sf_dir):
+    """Phrase-dictionary matching (the bad-phrase blocklist filter):
+    the top-3 adjacent bigrams (w1 ≠ w2, count-then-phrase tie-break)
+    become the dictionary, and every occurrence is found by the
+    offset-aligned positional join — one join serves every phrase
+    length, counts include overlaps, candidates are only tokens that
+    appear in the (broadcast) dictionary.  The oracle finds the same
+    occurrences by a DIFFERENT mechanism entirely: space-doubled
+    substring counting over the normalized text (doubling makes
+    adjacent occurrences stop sharing boundary spaces, so the
+    non-overlapping replace() count is exact for the non-self-
+    overlapping phrases w1 ≠ w2 guarantees).  A positional off-by-one,
+    a missed adjacent occurrence, or a tokenization drift diverges
+    n_hits."""
+    from ultraviolet_spark.operators.index import dictionary_hits
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.filter(F.length(F.trim("text")) > 0)
+            .select("doc_id",
+                    F.posexplode(F.split(F.lower(F.trim(F.col("text"))),
+                                         r"\s+")).alias("pos", "w")))
+    nxt = toks.select("doc_id", (F.col("pos") - 1).alias("pos"),
+                      F.col("w").alias("w2"))
+    bg = (toks.join(nxt, ["doc_id", "pos"])
+          .filter(F.col("w") != F.col("w2"))
+          .select(F.concat_ws(" ", "w", "w2").alias("phrase")))
+    top3 = (bg.groupBy("phrase").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("phrase")).limit(3)
+            .select("phrase"))
+    hits = dictionary_hits(d, top3)
+    return (hits.groupBy("phrase")
+            .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"),
+                 F.count("*").cast("long").alias("n_hits")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
