@@ -284,3 +284,40 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     # non-vacuous boundary crossing: at least one match pairs a click
     # from the early half with a purchase from the late half
     assert any(r_ts <= mid < ts for _, ts, r_ts, _ in got)
+
+
+def test_streaming_cusum_matches_batch(spark, pages_path, tmp_path):
+    """Streaming CUSUM ≡ batch closed form: text-length drift per url,
+    stream split time-wise into two micro-batches so the warmup
+    baseline and the running S state must both cross the batch
+    boundary intact."""
+    from ultraviolet_spark.operators.windows import cusum_stats
+    from ultraviolet_spark.streaming.stateful import streaming_cusum
+
+    pages = spark.read.parquet(pages_path)
+    feats = pages.select("url", "warc_ts",
+                         F.length("text").cast("double").alias("v"))
+    kw = dict(warmup=3, allowance=0, threshold=100, scale=1)
+
+    stream = _two_batch_stream(spark, feats, tmp_path, "cusum")
+    out = streaming_cusum(stream, by="url", ts_col="warc_ts",
+                          value_col="v", **kw)
+    _run_to_memory(out, "uv_cusum", tmp_path)
+    got = spark.sql("""
+        SELECT key AS url, MAX(obs_no) AS n_obs,
+               MAX(cusum_up) AS max_cusum_up,
+               MAX(cusum_down) AS max_cusum_down,
+               SUM(CASE WHEN alarm_up THEN 1 ELSE 0 END) AS n_alarms_up,
+               SUM(CASE WHEN alarm_down THEN 1 ELSE 0 END)
+                 AS n_alarms_down,
+               MIN(CASE WHEN alarm_up OR alarm_down THEN ts END)
+                 AS first_alarm_ts
+        FROM uv_cusum GROUP BY key""")
+    want = cusum_stats(feats, by="url", order="warc_ts",
+                       value_col="v", **kw)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    # non-vacuous: drift fires somewhere, stays quiet somewhere
+    alarms = [r for r in g if r[4] or r[5]]
+    assert alarms and len(alarms) < len(g)

@@ -268,3 +268,87 @@ def tag_spine_and_features(spine: DataFrame, features: DataFrame, *,
                         F.col(val_col).cast("double").alias("value"),
                         F.lit(1).alias("is_feature"))
     return s.unionByName(f)
+
+
+CUSUM_STATE_SCHEMA = T.StructType([
+    T.StructField("n_obs", T.LongType()),
+    T.StructField("base", T.LongType()),
+    T.StructField("su", T.LongType()),
+    T.StructField("sd", T.LongType()),
+])
+
+CUSUM_OUT_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("cusum_up", T.LongType()),
+    T.StructField("cusum_down", T.LongType()),
+    T.StructField("alarm_up", T.BooleanType()),
+    T.StructField("alarm_down", T.BooleanType()),
+    T.StructField("obs_no", T.LongType()),
+])
+
+
+def streaming_cusum(stream: DataFrame, *, by: str, ts_col: str,
+                    value_col: str, warmup: int = 3, allowance: int = 0,
+                    threshold: int = 0, scale: int = 100,
+                    watermark: str = "1 day") -> DataFrame:
+    """Streaming two-sided CUSUM drift detection — the stateful twin of
+    ``operators.windows.cusum_stats``: the same exact-integer recursion
+    ``S ← max(0, S + a)`` folded ACROSS micro-batch boundaries with
+    per-key state of just four int64s (obs count, warmup baseline sum,
+    S⁺, S⁻).  Emits one row per observation with the running evidence
+    and alarm flags, so a monitor can react mid-stream instead of
+    waiting for a batch job.
+
+    Equality with the batch closed form (prefix sum minus running min)
+    on identical input is pinned in tests — including state crossing a
+    micro-batch boundary mid-warmup.  Rows inside a micro-batch are
+    event-time sorted before folding (one group may arrive as several
+    Arrow chunks in shuffle order — the streaming_ffill lesson);
+    cross-batch order is the feed's responsibility, as for every
+    stateful operator here.
+
+    Scale: state is O(1) per live key (four longs — no history), keyed
+    state-store sharding, watermark bounds live keys."""
+    h = warmup * threshold
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        (n_obs, base, su, sd) = (state.get if state.exists
+                                 else (0, 0, 0, 0))
+        pdf = pd.concat(list(pdfs)).sort_values(ts_col, kind="mergesort")
+        out = {c: [] for c in ("ts", "x", "cusum_up", "cusum_down",
+                               "alarm_up", "alarm_down", "obs_no")}
+        for ts, v in zip(pdf[ts_col], pdf[value_col]):
+            # HALF_UP like Spark's F.round (numpy rounds half-even)
+            a = abs(float(v)) * scale
+            x = int(a + 0.5) if float(v) >= 0 else -int(a + 0.5)
+            n_obs += 1
+            if n_obs <= warmup:
+                base += x
+            else:
+                su = max(0, su + (warmup * x - base
+                                  - warmup * allowance))
+                sd = max(0, sd + (base - warmup * x
+                                  - warmup * allowance))
+            out["ts"].append(ts)
+            out["x"].append(x)
+            out["cusum_up"].append(su if n_obs > warmup else 0)
+            out["cusum_down"].append(sd if n_obs > warmup else 0)
+            out["alarm_up"].append(n_obs > warmup and su > h)
+            out["alarm_down"].append(n_obs > warmup and sd > h)
+            out["obs_no"].append(n_obs)
+        out["key"] = list(pdf[by].astype(str))
+        yield pd.DataFrame(out)[[f.name for f in CUSUM_OUT_SCHEMA]]
+        state.update((n_obs, base, su, sd))
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(by)
+            .applyInPandasWithState(
+                update,
+                outputStructType=CUSUM_OUT_SCHEMA,
+                stateStructType=CUSUM_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="NoTimeout"))
