@@ -87,3 +87,73 @@ def suggest_salt(df: DataFrame, key: str, *,
                         F.ceil(F.col("cnt") / F.lit(target_per_key))
                         .cast("int"))
             .filter(F.col("n_salts") > 1))
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str, *,
+                salts: DataFrame | None = None,
+                factor: int | None = None,
+                how: str = "inner",
+                salt_by: str | None = None) -> DataFrame:
+    """General skew-safe equi-join: semantics-identical to
+    ``left.join(right, on, how)`` but hot keys' rows are spread over
+    per-key salt slices so no single task owns a whole hot key — the
+    generic companion to the as-of join's salting (``operators.asof``).
+
+    Two ways to specify salting:
+    * ``salts`` — the ``(key, n_salts)`` frame :func:`suggest_salt`
+      produces (per-key factors; keys absent from it get factor 1).
+      This is the production path: factors sized from measured counts.
+    * ``factor`` — one uniform factor for every key (simple, but
+      multiplies the whole right side).
+
+    Mechanics: the BIG (left) side scatters each row into slice
+    ``xxhash64(salt_by or all columns) mod n_salts`` — deterministic,
+    so re-runs place rows identically; the SMALL (right) side
+    replicates each row into every slice of its key.  The join key
+    becomes (key, slice), restoring correctness while the shuffle
+    spreads a hot key over n_salts reducers.
+
+    ``how`` is restricted to inner/left/left_semi/left_anti: a right or
+    full join would emit the REPLICATED unmatched right rows once per
+    slice (n_salts phantom rows per real row).  Right-side replication
+    cost is Σ n_salts over hot keys — that is why per-key factors beat
+    a uniform one at scale.
+
+    Zero-skew caveat: for already-uniform keys this adds one explode
+    and a wider key for no benefit — measure with
+    :func:`skew_report` first; factors of 1 make it a plain join.
+    """
+    if (salts is None) == (factor is None):
+        raise ValueError("specify exactly one of salts / factor")
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, "
+            f"got {how!r} — right/full would duplicate replicated "
+            f"unmatched right rows")
+    if factor is not None and factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    if salts is not None:
+        s = F.broadcast(salts.select(F.col(on).alias("__sk"),
+                                     F.col("n_salts").alias("__nf")))
+        lf = (left.join(s, left[on] == F.col("__sk"), "left")
+              .withColumn("__nf", F.coalesce("__nf", F.lit(1)))
+              .drop("__sk"))
+        rf = (right.join(s, right[on] == F.col("__sk"), "left")
+              .withColumn("__nf", F.coalesce("__nf", F.lit(1)))
+              .drop("__sk"))
+    else:
+        lf = left.withColumn("__nf", F.lit(factor))
+        rf = right.withColumn("__nf", F.lit(factor))
+
+    hsrc = ([F.col(salt_by)] if salt_by
+            else [F.col(c) for c in left.columns])
+    lf = (lf.withColumn("__uv_salt",
+                        F.pmod(F.xxhash64(*hsrc), F.col("__nf"))
+                        .cast("int"))
+          .drop("__nf"))
+    rf = (rf.withColumn("__uv_salt",
+                        F.explode(F.sequence(
+                            F.lit(0), F.col("__nf") - 1).cast("array<int>")))
+          .drop("__nf"))
+    return lf.join(rf, [on, "__uv_salt"], how).drop("__uv_salt")

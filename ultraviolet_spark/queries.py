@@ -8725,6 +8725,45 @@ def q242(spark, sf_dir):
                  F.count("*").cast("long").alias("n_hits")))
 
 
+@q("q243_salted_skew_join", """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id % 20 END AS k,
+         value
+  FROM events),
+dim AS (SELECT n_nationkey % 20 AS k, MIN(n_name) AS label
+        FROM nation GROUP BY 1)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+FROM ev JOIN dim USING (k)
+GROUP BY label
+""")
+def q243(spark, sf_dir):
+    """General salted equi-join under engineered 70%-on-one-key skew:
+    events collapse ~70% of rows onto key 0, factors come from the
+    measured counts (suggest_salt), the hot key's rows scatter across
+    per-key slices while the small dim side replicates into every
+    slice — and the RESULT is provably identical to a plain join,
+    which is exactly what the oracle runs (DuckDB knows nothing about
+    salting).  A lost slice, a phantom replicated row, or a hash that
+    routes rows to a slice the dim side did not cover diverges counts
+    and the decimal-exact value total."""
+    from ultraviolet_spark.operators.skew import salted_join, suggest_salt
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+         .otherwise(F.col("user_id") % 20).alias("k"),
+        "value")
+    dim = (_t(spark, sf_dir, "nation")
+           .groupBy((F.col("n_nationkey") % 20).alias("k"))
+           .agg(F.min("n_name").alias("label")))
+    salts = suggest_salt(ev, "k", target_per_key=500)
+    joined = salted_join(ev, dim, "k", salts=salts)
+    return (joined.groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum(_dec("value")).cast("double").alias("value_total")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
