@@ -197,3 +197,86 @@ def split_http_response(df: DataFrame, *, payload_col: str = "payload",
     if keep_headers:
         out = out.withColumn("headers", headers)
     return out
+
+
+def cache_decision(df: DataFrame, *, cc_col: str = "cache_control",
+                   age_col: str = "age_s", date_col: str = "date",
+                   expires_col: str = "expires",
+                   lm_col: str = "last_modified",
+                   etag_col: str = "etag",
+                   now_col: str = "now") -> DataFrame:
+    """RFC 9111 cache freshness + revalidation decision per response —
+    the recrawl-scheduler input a polite crawler derives from stored
+    headers: how long was this page declared fresh, is it still fresh
+    at ``now``, and if not, can we revalidate conditionally instead of
+    refetching the body?
+
+    Freshness-lifetime precedence (RFC 9111 §4.2.1, shared cache):
+    ``s-maxage`` > ``max-age`` > ``Expires − Date`` > the §4.2.2
+    heuristic (10 % of ``Date − Last-Modified``) > 0.  ``no-store``
+    short-circuits everything (the response may not be cached at all);
+    ``no-cache`` caches but always revalidates.  Current age is the
+    simplified ``Age + (now − Date)`` (the transit-delay correction
+    terms need per-hop request times a stored crawl does not have —
+    documented simplification).
+
+    Adds ``lifetime_s`` (NULL for no-store), ``cur_age_s``,
+    ``freshness_source`` ('no-store' | 's-maxage' | 'max-age' |
+    'expires' | 'heuristic' | 'none'), and ``decision``:
+    'no-store' | 'fresh' | 'revalidate' (stale or no-cache, with an
+    ETag/Last-Modified validator to send) | 'refetch' (stale, no
+    validator — full body transfer).
+
+    All directive parsing is Catalyst regexp over the Cache-Control
+    string; all arithmetic is integer seconds/µs (a double multiply
+    would differ cross-engine in the last ulp).  Directive tokens
+    match case-insensitively on word boundaries, so ``max-age=60``
+    inside ``s-maxage=60`` cannot false-match (the hyphen is a
+    boundary — matched explicitly instead)."""
+    cc = F.coalesce(F.col(cc_col), F.lit(""))
+    no_store = cc.rlike(r"(?i)(^|[,\s])no-store($|[,\s])")
+    no_cache = cc.rlike(r"(?i)(^|[,\s])no-cache($|[,\s=])")
+    # (^|[,\s]) guards: plain \b would let "s-maxage=9" match max-age
+    smax = F.regexp_extract(cc, r"(?i)(^|[,\s])s-maxage=\"?(\d+)", 2)
+    mage = F.regexp_extract(cc, r"(?i)(^|[,\s])max-age=\"?(\d+)", 2)
+    exp_life = F.expr(
+        f"(unix_micros({expires_col}) - unix_micros({date_col})) "
+        f"div 1000000")
+    heur = F.expr(
+        f"case when unix_micros({date_col}) >= unix_micros({lm_col}) "
+        f"then (unix_micros({date_col}) - unix_micros({lm_col})) "
+        f"* 10 div 100000000 else null end")
+    lifetime = (F.when(no_store, F.lit(None).cast("long"))
+                .when(smax != "", smax.cast("long"))
+                .when(mage != "", mage.cast("long"))
+                .when(F.col(expires_col).isNotNull()
+                      & F.col(date_col).isNotNull(),
+                      F.greatest(exp_life, F.lit(0)).cast("long"))
+                .when(F.col(date_col).isNotNull()
+                      & F.col(lm_col).isNotNull() & heur.isNotNull(),
+                      heur.cast("long"))
+                .otherwise(F.lit(0)))
+    source = (F.when(no_store, "no-store")
+              .when(smax != "", "s-maxage")
+              .when(mage != "", "max-age")
+              .when(F.col(expires_col).isNotNull()
+                    & F.col(date_col).isNotNull(), "expires")
+              .when(F.col(date_col).isNotNull()
+                    & F.col(lm_col).isNotNull() & heur.isNotNull(),
+                    "heuristic")
+              .otherwise("none"))
+    cur_age = (F.coalesce(F.col(age_col).cast("long"), F.lit(0))
+               + F.coalesce(F.expr(
+                   f"(unix_micros({now_col}) - unix_micros({date_col})) "
+                   f"div 1000000"), F.lit(0)))
+    has_validator = (F.col(etag_col).isNotNull()
+                     | F.col(lm_col).isNotNull())
+    decision = (F.when(no_store, "no-store")
+                .when(no_cache, "revalidate")
+                .when(cur_age < lifetime, "fresh")
+                .when(has_validator, "revalidate")
+                .otherwise("refetch"))
+    return (df.withColumn("lifetime_s", lifetime)
+              .withColumn("cur_age_s", cur_age.cast("long"))
+              .withColumn("freshness_source", source)
+              .withColumn("decision", decision))

@@ -8764,6 +8764,90 @@ def q243(spark, sf_dir):
                  F.sum(_dec("value")).cast("double").alias("value_total")))
 
 
+@q("q244_cache_decisions", """
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS m,
+         doc_id % 30 + doc_id % 1200 AS cur_age,
+         CASE WHEN doc_id % 2 = 0 THEN TRUE ELSE FALSE END AS has_etag
+  FROM documents),
+x AS (
+  SELECT doc_id, m, cur_age,
+    CASE WHEN m = 0 THEN NULL
+         WHEN m = 1 THEN doc_id % 900
+         WHEN m = 2 THEN doc_id % 500
+         WHEN m = 3 THEN 300
+         WHEN m = 4 THEN 600
+         WHEN m = 5 THEN (doc_id % 5000 + 1) // 10
+         ELSE 0 END AS lifetime_s,
+    CASE WHEN m = 0 THEN 'no-store'
+         WHEN m = 1 THEN 'max-age'
+         WHEN m = 2 THEN 's-maxage'
+         WHEN m = 3 THEN 'max-age'
+         WHEN m = 4 THEN 'expires'
+         WHEN m = 5 THEN 'heuristic'
+         ELSE 'none' END AS freshness_source,
+    (has_etag OR m IN (3, 5)) AS validator
+  FROM d)
+SELECT doc_id,
+       CAST(lifetime_s AS BIGINT) AS lifetime_s,
+       CAST(cur_age AS BIGINT) AS cur_age_s,
+       freshness_source,
+       CASE WHEN m = 0 THEN 'no-store'
+            WHEN m = 3 THEN 'revalidate'
+            WHEN cur_age < lifetime_s THEN 'fresh'
+            WHEN validator THEN 'revalidate'
+            ELSE 'refetch' END AS decision
+FROM x
+""")
+def q244(spark, sf_dir):
+    """RFC 9111 cache freshness + revalidation decisions over
+    synthesized header families covering the whole precedence lattice:
+    no-store short-circuit, s-maxage beating a co-present max-age,
+    no-cache forcing revalidation despite a fresh max-age, Expires−Date
+    fallback, the 10% Last-Modified heuristic, and the bare-response
+    lifetime-0 default; validators (ETag / Last-Modified) decide
+    revalidate-vs-refetch for stale rows.  The engine PARSES real
+    Cache-Control strings (word-boundary-guarded regex so s-maxage=N
+    can never false-match max-age) and real timestamps; the oracle
+    computes every expected value from doc_id arithmetic alone and
+    never sees a header string — a parsing slip on any family, a
+    precedence inversion, or an off-by-one in the integer age math
+    diverges the per-row decisions."""
+    from ultraviolet_spark.operators.http import cache_decision
+
+    base = 1767225600
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 7
+    date = F.timestamp_seconds(F.lit(base) + F.col("doc_id"))
+    resp = d.select(
+        "doc_id",
+        (F.when(m == 0, F.lit("no-store, private"))
+          .when(m == 1, F.concat(F.lit("public, max-age="),
+                                 F.col("doc_id") % 900))
+          .when(m == 2, F.concat(F.lit("s-maxage="), F.col("doc_id") % 500,
+                                 F.lit(", max-age=60")))
+          .when(m == 3, F.lit("no-cache, max-age=300"))
+          .when(m == 4, F.lit(None).cast("string"))
+          .when(m == 5, F.lit("public"))
+          .otherwise(F.lit(""))).alias("cache_control"),
+        (F.col("doc_id") % 30).cast("long").alias("age_s"),
+        date.alias("date"),
+        F.when(m == 4, F.timestamp_seconds(
+            F.lit(base) + F.col("doc_id") + 600))
+         .alias("expires"),
+        F.when(m.isin(3, 5), F.timestamp_seconds(
+            F.lit(base) + F.col("doc_id")
+            - (F.col("doc_id") % 5000 + 1))).alias("last_modified"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('"e'), F.col("doc_id"), F.lit('"')))
+         .alias("etag"),
+        F.timestamp_seconds(F.lit(base) + F.col("doc_id")
+                            + F.col("doc_id") % 1200).alias("now"))
+    out = cache_decision(resp)
+    return out.select("doc_id", "lifetime_s", "cur_age_s",
+                      "freshness_source", "decision")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
