@@ -50,3 +50,32 @@ def html_tables(df: DataFrame, *, html_col: str = "html",
                      "__r", F.lit(_CELL), F.lit(1))).alias("col_idx", "__c"))
     return c.select("doc_id", "table_idx", "row_idx", "col_idx",
                     _decode_cell(F.col("__c")).alias("cell"))
+
+
+def extract_jsonld(pages: DataFrame, *, html_col: str = "html",
+                   id_col: str = "url") -> DataFrame:
+    """Extract schema.org JSON-LD blocks (``<script
+    type="application/ld+json">``) from raw HTML — the structured-
+    metadata layer (Product/Article/Organization cards) that search
+    and KG pipelines mine from a crawl.
+
+    Returns one row per block: ``(id, block_no, ld)`` where ``ld`` is
+    the open VARIANT parse of the block (``try_parse_json`` — a junk
+    block yields a NULL variant row rather than killing the page; the
+    caller can count them).  Typed fields come off via
+    ``try_variant_get`` paths, so no struct schema is ever declared —
+    schema.org vocabularies are open-ended by design.
+
+    Pure Catalyst end-to-end: regexp_extract_all over the HTML (the
+    script-tag match is case-insensitive, dot-matches-newline, and
+    tolerates extra attributes on the tag), posexplode, try_parse_json.
+    Scale: scan-stage only — no shuffle, no UDF; VARIANT shreds
+    columnar in parquet when persisted."""
+    pat = (r'(?is)<script[^>]*type\s*=\s*["\x27]application/ld\+json'
+           r'["\x27][^>]*>(.*?)</script>')
+    blocks = F.regexp_extract_all(F.col(html_col), F.lit(pat), 1)
+    return (pages
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(blocks).alias("block_no", "__raw"))
+            .select("id", F.col("block_no").cast("int").alias("block_no"),
+                    F.expr("try_parse_json(__raw)").alias("ld")))

@@ -8848,6 +8848,85 @@ def q244(spark, sf_dir):
                       "freshness_source", "decision")
 
 
+@q("q245_jsonld_extract", """
+WITH d AS (SELECT doc_id FROM documents),
+rows_ AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 3 THEN NULL
+              WHEN doc_id % 4 = 2 THEN 'Article'
+              ELSE 'Product' END AS t,
+         CASE WHEN doc_id % 4 = 3 THEN NULL
+              ELSE doc_id % 997 END AS price,
+         1 + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS n_blocks
+  FROM d)
+SELECT COALESCE(t, 'JUNK') AS type,
+       CAST(SUM(n_blocks - CASE WHEN t = 'Product'
+                                 AND n_blocks = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_primary,
+       CAST(SUM(CASE WHEN t = 'Product' AND n_blocks = 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_secondary,
+       CAST(SUM(CASE WHEN t IS NOT NULL THEN price * n_blocks
+                     ELSE 0 END) AS BIGINT) AS price_total
+FROM rows_ GROUP BY 1
+""")
+def q245(spark, sf_dir):
+    """schema.org JSON-LD extraction from raw HTML: pages synthesize
+    four families — a Product card, a page with TWO ld+json blocks
+    (both must be found), an Article with a sprawling multi-line block
+    and attribute noise on the script tag, and a JUNK block (truncated
+    JSON) that must surface as a NULL variant, never kill the page or
+    disappear.  The engine regex-extracts every block case-
+    insensitively across newlines, parses to VARIANT with
+    try_parse_json, and pulls @type / price via typed try_variant_get
+    paths; the oracle computes the expected type histogram and
+    price totals from doc_id arithmetic and never sees HTML.  A regex
+    that misses the second block, chokes on the attribute noise, or a
+    parse that drops junk rows diverges the counts."""
+    from ultraviolet_spark.operators.htmltables import extract_jsonld
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    m = did % 4
+    price = (did % 997).cast("string")
+    prod = F.concat(
+        F.lit('<script type="application/ld+json">{"@type": "Product", '
+              '"price": '), price, F.lit('}</script>'))
+    two = F.concat(
+        prod,
+        F.lit('<p>between</p><SCRIPT TYPE="application/ld+json">'
+              '{"@type": "Product", "price": '), price,
+        F.lit(', "secondary": true}</SCRIPT>'))
+    art = F.concat(
+        F.lit('<script async type = "application/ld+json" '
+              'data-x="1">\n  {"@type": "Article",\n   "price": '),
+        price, F.lit('\n  }\n</script>'))
+    junk = F.lit('<script type="application/ld+json">{"@type": '
+                 '"Broken", </script>')
+    pages = d.select(
+        F.concat(F.lit("https://x.org/"), did).alias("url"),
+        F.concat(
+            F.lit("<html><head>"),
+            F.when(m == 0, prod).when(m == 1, two)
+             .when(m == 2, art).otherwise(junk),
+            F.lit("</head><body>hi</body></html>")).alias("html"))
+    blocks = extract_jsonld(pages)
+    typed = blocks.select(
+        "id", "block_no",
+        F.expr("cast(try_variant_get(ld, '$[\"@type\"]') as string)")
+         .alias("t"),
+        F.expr("cast(try_variant_get(ld, '$.price') as bigint)")
+         .alias("price"),
+        F.expr("cast(try_variant_get(ld, '$.secondary') as boolean)")
+         .alias("secondary"))
+    return (typed.groupBy(F.coalesce("t", F.lit("JUNK")).alias("type"))
+            .agg(F.sum((~F.coalesce("secondary", F.lit(False)))
+                       .cast("long")).cast("long").alias("n_primary"),
+                 F.sum(F.coalesce("secondary", F.lit(False))
+                       .cast("long")).cast("long").alias("n_secondary"),
+                 F.sum(F.coalesce("price", F.lit(0))).cast("long")
+                  .alias("price_total")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
