@@ -103,3 +103,32 @@ def test_locality_beats_zorder_on_nonaligned_split(spark):
            g.withColumn("zkey", zorder_key(["x", "y"], bits=order))
             .collect()]
     assert file_areas(hil) < file_areas(zor)
+
+
+def test_hilbert_layout_prunes_both_dims(spark, tmp_path):
+    # end-to-end with the zone-map machinery: a Hilbert-ordered table's
+    # per-file stats must prune a 2-D box on BOTH dimensions, and the
+    # pruned scan must return exactly the full scan's rows
+    import pandas as pd
+
+    from ultraviolet_spark.plans.layout import write_hilbert_ordered
+    from ultraviolet_spark.plans.skipping import (
+        harvest_zonemap, prune_files, skipping_scan)
+
+    n = 64
+    df = _grid(spark, 6)            # 64×64 full grid
+    p = str(tmp_path / "hil")
+    write_hilbert_ordered(df, p, x_col="x", y_col="y", bits=6,
+                          num_files=16)
+    zm = harvest_zonemap(spark, p, cols=["x", "y"])
+    box = [("x", "between", (0, 7)), ("y", "between", (0, 7))]
+    survivors, total = prune_files(zm, box)
+    assert total == 16
+    assert len(survivors) < total          # pruning bites
+    got = skipping_scan(spark, p, box, zonemap=zm)
+    rows = sorted((r.x, r.y) for r in got.collect())
+    assert rows == [(x, y) for x in range(8) for y in range(8)]
+    # each dim alone prunes too (the z-order/hilbert selling point)
+    for dim in ("x", "y"):
+        s, t = prune_files(zm, [(dim, "between", (0, 3))])
+        assert len(s) < t, dim

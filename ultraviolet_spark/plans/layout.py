@@ -321,3 +321,20 @@ def hilbert_oracle_sql(x_expr: str, y_expr: str, *, bits: int = 8,
             f"(hy{p} >> {b}) & 1) AS hd{b} FROM ({parts.pop()})")
     return (f"SELECT * EXCLUDE (hx0, hy0, hd0), hd0 AS hkey "
             f"FROM ({parts.pop()})")
+
+
+def write_hilbert_ordered(df: DataFrame, path: str, *, x_col: str,
+                          y_col: str, bits: int = 8, num_files: int = 8,
+                          hcol: str = "uv_hkey") -> None:
+    """Materialize a Hilbert-ordered parquet layout (the 2-D sibling of
+    :func:`write_zordered` with strictly better locality — see
+    :func:`with_hilbert_key`): compute the key, range-partition on it
+    (non-overlapping key ranges per file) and sort within files.  Each
+    file's rows then cover one contiguous curve segment, and a curve
+    segment is a COMPACT blob in (x, y) — so per-file min/max stats
+    (the zone-map/skipping granule) are tight on BOTH dimensions at
+    once.  One ingest-time shuffle, same cost as Z-ordering."""
+    keyed = with_hilbert_key(df, x_col, y_col, bits=bits, out=hcol)
+    (keyed.repartitionByRange(num_files, hcol)
+          .sortWithinPartitions(hcol)
+          .write.mode("overwrite").parquet(path))
