@@ -336,3 +336,79 @@ def k_core_oracle_sql(edges_sql: str, *, k: int, rounds: int) -> str:
             f"JOIN {prev} y ON e.v = y.node GROUP BY e.u)\n"
             f"SELECT u AS node, CAST(deg AS BIGINT) AS deg FROM df "
             f"WHERE u IN (SELECT node FROM {prev})")
+
+
+def label_propagation(edges: DataFrame, *, rounds: int,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made DETERMINISTIC: each round every node adopts the
+    label most frequent among its neighbors, ties broken by smallest
+    label (the published algorithm breaks ties randomly — useless for
+    a verifiable pipeline); labels start as node ids.  Communities in
+    a domain link graph are the link-ring / mutual-promotion clusters
+    k-core density alone cannot separate.
+
+    Runs exactly ``rounds`` synchronous rounds (synchronous LPA can
+    oscillate on bipartite-ish structures, so a fixpoint loop is not
+    guaranteed to terminate — fixed rounds is the honest contract; the
+    classic mitigation, asynchronous updates, sacrifices determinism).
+
+    Returns ``(node, label)``.
+
+    Scale notes: per round one edge×labels equi-join (labels co-keyed
+    with edge dst) + one map-side-combined (node, label) count + one
+    argmax window per node; lineage truncated per round with lazy
+    localCheckpoint (the k_core lesson: un-truncated, optimization
+    cost doubles per round).  Isolated nodes keep their own label via
+    the left join."""
+    from pyspark.sql import Window
+
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v")))
+    und = und.union(und.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))).distinct()
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        counts = (und.join(labels.withColumnRenamed("node", "v"), "v")
+                  .groupBy("u", "label").agg(F.count("*").alias("c")))
+        winners = (counts.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1)
+                   .select(F.col("u").alias("node"),
+                           F.col("label").alias("__new")))
+        labels = (labels.join(winners, "node", "left")
+                  .select("node", F.coalesce("__new", "label")
+                          .alias("label"))
+                  .localCheckpoint(eager=False))
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, *, rounds: int) -> str:
+    """Unrolled-SQL replay of :func:`label_propagation`: identical
+    symmetrize → neighbor-label count → (count desc, label asc) argmax
+    rounds as MATERIALIZED CTEs (the k_core_oracle_sql lesson: DuckDB
+    inlines plain CTEs per reference)."""
+    parts = [
+        f"raw AS MATERIALIZED ({edges_sql})",
+        "und AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM raw WHERE src <> dst "
+        "UNION SELECT dst, src FROM raw WHERE src <> dst))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)",
+        "lab0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"]
+    prev = "lab0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.u, l.label, COUNT(*) AS c "
+            f"FROM und e JOIN {prev} l ON l.node = e.v GROUP BY 1, 2)")
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT u AS node, label FROM "
+            f"(SELECT u, label, row_number() OVER (PARTITION BY u "
+            f"ORDER BY c DESC, label ASC) AS rn FROM c{i}) WHERE rn = 1)")
+        parts.append(
+            f"lab{i} AS MATERIALIZED (SELECT p.node, "
+            f"COALESCE(w.label, p.label) AS label FROM {prev} p "
+            f"LEFT JOIN w{i} w ON w.node = p.node)")
+        prev = f"lab{i}"
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT node, label FROM {prev}")

@@ -8927,6 +8927,53 @@ def q245(spark, sf_dir):
                   .alias("price_total")))
 
 
+def _lpa_q246_sql() -> str:
+    from ultraviolet_spark.operators.graph import (
+        label_propagation_oracle_sql)
+    edges = (
+        "SELECT doc_id % 100 AS src, "
+        "(doc_id % 100 // 10) * 10 + (doc_id * 7 + 3) % 10 AS dst "
+        "FROM documents "
+        "UNION SELECT doc_id % 100, (doc_id * 11 + 5) % 100 "
+        "FROM documents WHERE doc_id % 13 = 0")
+    inner = label_propagation_oracle_sql(edges, rounds=5)
+    return (f"WITH lpa AS ({inner}) "
+            f"SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members, "
+            f"CAST(MIN(node) AS BIGINT) AS min_node, "
+            f"CAST(SUM(node) AS BIGINT) AS node_sum "
+            f"FROM lpa GROUP BY label")
+
+
+@q("q246_label_propagation", _lpa_q246_sql())
+def q246(spark, sf_dir):
+    """Deterministic synchronous label propagation over a 100-node
+    graph with engineered community structure (dense within-block-of-10
+    edges + sparse cross-block bridges on every 13th doc): 5 rounds of
+    majority-vote label adoption with (count desc, label asc)
+    tie-breaks — the published algorithm's random tie-break replaced
+    by a total order so the result is a pure function of the graph.
+    The community rollup (size, min node, node-id sum) puts every
+    node's final label on the hook; the oracle replays the identical
+    rounds as unrolled MATERIALIZED CTEs — one wrong majority or
+    tie-break in ANY round cascades through label adoption and
+    diverges membership sums."""
+    from ultraviolet_spark.operators.graph import label_propagation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    blk = F.expr("(doc_id % 100) div 10")
+    e = (d.select((did % 100).alias("src"),
+                  (blk * 10 + (did * 7 + 3) % 10).alias("dst"))
+         .union(d.filter(did % 13 == 0)
+                .select((did % 100).alias("src"),
+                        ((did * 11 + 5) % 100).alias("dst"))))
+    lpa = label_propagation(e, rounds=5)
+    return (lpa.groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.min("node").cast("long").alias("min_node"),
+                 F.sum("node").cast("long").alias("node_sum")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
