@@ -8974,6 +8974,67 @@ def q246(spark, sf_dir):
                  F.sum("node").cast("long").alias("node_sum")))
 
 
+@q("q247_feed_parse", """
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS dialect,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(COUNT(DISTINCT doc_id % 20) AS BIGINT) AS n_hosts,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       make_timestamp((1767225600 + MIN(doc_id)) * 1000000)
+         AS first_pub,
+       make_timestamp((1767225600 + MAX(doc_id)) * 1000000)
+         AS last_pub
+FROM documents
+GROUP BY 1
+""")
+def q247(spark, sf_dir):
+    """RSS 2.0 / Atom 1.0 feed parsing (the crawl-seed channel that
+    surfaces new urls before sitemaps regenerate): even docs become
+    RSS items (RFC 822 pubDate, day-of-week token present and — per
+    the HTTP-date lesson — ignored rather than verified), odd docs
+    become Atom entries (link as the href ATTRIBUTE, the classic Atom
+    trap; ISO 8601 published).  Both dialects are parsed by native
+    from_xml into one unified shape; the rollup recovers doc ids from
+    the parsed entry urls and publish timestamps, so link extraction,
+    date parsing and dialect detection are all on the hook.  The
+    oracle computes everything from doc_id arithmetic and never sees
+    an XML byte."""
+    from ultraviolet_spark.sources.feeds import parse_feed
+
+    base = 1767225600
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ts = F.timestamp_seconds(F.lit(base) + did)
+    url = F.concat(F.lit("https://h"), did % 20,
+                   F.lit(".example.org/post/"), did)
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+              "<title>f</title><item><title>T"), did,
+        F.lit("</title><link>"), url, F.lit("</link><pubDate>"),
+        F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss 'GMT'"),
+        F.lit("</pubDate><guid>g"), did,
+        F.lit("</guid></item></channel></rss>"))
+    atom = F.concat(
+        F.lit('<?xml version="1.0"?>'
+              '<feed xmlns="http://www.w3.org/2005/Atom">'
+              "<title>f</title><entry><title>T"), did,
+        F.lit('</title><link href="'), url,
+        F.lit('"/><published>'),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("</published><id>i"), did,
+        F.lit("</id></entry></feed>"))
+    feeds = d.select(
+        F.concat(F.lit("h"), did % 20).alias("host"),
+        F.when(did % 2 == 0, rss).otherwise(atom).alias("feed_xml"))
+    parsed = parse_feed(feeds)
+    return (parsed.groupBy("dialect")
+            .agg(F.count("*").cast("long").alias("n_entries"),
+                 F.count_distinct("host").cast("long").alias("n_hosts"),
+                 F.sum(F.regexp_extract("entry_url", r"(\d+)$", 1)
+                        .cast("long")).cast("long").alias("id_sum"),
+                 F.min("published").alias("first_pub"),
+                 F.max("published").alias("last_pub")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
