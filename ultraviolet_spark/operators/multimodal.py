@@ -539,6 +539,8 @@ def sniff_kind(data: bytes) -> str:
         return "png"
     if len(data) >= 6 and data[:4] == b"GIF8" and data[4:6] in (b"7a", b"9a"):
         return "gif"
+    if len(data) >= 4 and data[:4] == b"qoif":
+        return "qoi"
     if len(data) >= len(_MAGIC) and data[: len(_MAGIC)] == _MAGIC:
         return "uvmedia"
     return "unknown"
@@ -583,9 +585,10 @@ def decode_features(df: DataFrame, *, id_col: str = "media_id",
                        "n_samples": None, "mean_b": None, "mean_g": None,
                        "mean_r": None, "duration_s": None, "rms": None}
                 try:
-                    if kind in ("bmp", "png", "gif"):
+                    if kind in ("bmp", "png", "gif", "qoi"):
                         img = {"bmp": decode_bmp, "png": decode_png,
-                               "gif": decode_gif}[kind](b)
+                               "gif": decode_gif,
+                               "qoi": decode_qoi}[kind](b)
                         px = img["pixels"].astype(np.float64)
                         m = px.mean(axis=(0, 1))
                         # BMP stores BGR, PNG/GIF store RGB; gray(+alpha)
@@ -1216,3 +1219,165 @@ def resize_images(df: DataFrame, *, out_w: int, out_h: int,
 
     return (df.select(F.col(id_col).alias("media_id"), blob_col)
             .mapInPandas(gen, schema))
+
+
+# ---------------------------------------------------------------------------
+# QOI (Quite OK Image, qoiformat.org — public one-page spec)
+# ---------------------------------------------------------------------------
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(px: tuple) -> int:
+    r, g, b, a = px
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def make_qoi(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array as QOI: greedy RUN → INDEX →
+    DIFF → LUMA → RGB(A) per the spec's reference encoder, so output
+    bytes match any conforming implementation given the same greedy
+    order.  Per-pixel Python — same regime as the GIF LZW coder
+    (thumbnail-scale payloads inside a mapInPandas row loop)."""
+    px = np.asarray(pixels)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("make_qoi wants (h, w, 3|4) uint8")
+    h, w, ch = px.shape
+    import struct
+
+    out = bytearray(_QOI_MAGIC)
+    out += struct.pack(">IIBB", w, h, ch, 0)
+    flat = px.reshape(-1, ch)
+    if ch == 3:
+        flat = np.concatenate(
+            [flat, np.full((flat.shape[0], 1), 255, np.uint8)], axis=1)
+    prev = (0, 0, 0, 255)
+    index = [(0, 0, 0, 0)] * 64
+    run = 0
+    for row in flat:
+        cur = (int(row[0]), int(row[1]), int(row[2]), int(row[3]))
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hsh = _qoi_hash(cur)
+        if index[hsh] == cur:
+            out.append(hsh)
+        else:
+            index[hsh] = cur
+            r, g, b, a = cur
+            pr, pg, pb, pa = prev
+            if a == pa:
+                dr = (r - pr + 128) % 256 - 128
+                dg = (g - pg + 128) % 256 - 128
+                db = (b - pb + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4)
+                               | ((dg + 2) << 2) | (db + 2))
+                elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                      and -8 <= db - dg <= 7):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+            else:
+                out += bytes((0xFF, r, g, b, a))
+        prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi(data: bytes) -> dict:
+    """Decode QOI → ``{width, height, channels, pixels}`` (pixels
+    (h, w, channels) uint8; alpha kept only for channels=4 headers).
+    Truncated streams, bad magic, or a pixel count mismatch raise
+    ValueError (poison blobs surface as kind='unknown' upstream)."""
+    import struct
+
+    if len(data) < 14 or data[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI stream")
+    w, h, ch, _cs = struct.unpack(">IIBB", data[4:14])
+    if ch not in (3, 4) or w == 0 or h == 0:
+        raise ValueError("bad QOI header")
+    n = w * h
+    out = np.empty((n, 4), np.uint8)
+    prev = (0, 0, 0, 255)
+    index = [(0, 0, 0, 0)] * 64
+    i, pos = 14, 0
+    end = len(data) - 8
+    while pos < n:
+        if i >= end:
+            raise ValueError("truncated QOI stream")
+        b0 = data[i]
+        i += 1
+        if b0 == 0xFE:
+            r, g, bb = data[i], data[i + 1], data[i + 2]
+            i += 3
+            cur = (r, g, bb, prev[3])
+        elif b0 == 0xFF:
+            cur = tuple(data[i:i + 4])
+            i += 4
+        elif b0 >> 6 == 0:                      # INDEX
+            cur = index[b0 & 0x3F]
+        elif b0 >> 6 == 1:                      # DIFF
+            dr, dg, db = ((b0 >> 4) & 3) - 2, ((b0 >> 2) & 3) - 2, \
+                (b0 & 3) - 2
+            cur = ((prev[0] + dr) % 256, (prev[1] + dg) % 256,
+                   (prev[2] + db) % 256, prev[3])
+        elif b0 >> 6 == 2:                      # LUMA
+            dg = (b0 & 0x3F) - 32
+            b1 = data[i]
+            i += 1
+            dr = dg + ((b1 >> 4) & 0x0F) - 8
+            db = dg + (b1 & 0x0F) - 8
+            cur = ((prev[0] + dr) % 256, (prev[1] + dg) % 256,
+                   (prev[2] + db) % 256, prev[3])
+        else:                                   # RUN
+            run = (b0 & 0x3F) + 1
+            if pos + run > n:
+                raise ValueError("QOI run overflows pixel count")
+            out[pos:pos + run] = prev
+            pos += run
+            continue
+        out[pos] = cur
+        pos += 1
+        index[_qoi_hash(cur)] = cur
+        prev = cur
+    if data[end:] != _QOI_END:
+        raise ValueError("missing QOI end marker")
+    px = out.reshape(h, w, 4)
+    return {"width": int(w), "height": int(h), "channels": int(ch),
+            "pixels": px if ch == 4 else px[:, :, :3]}
+
+
+def synthesize_qoi(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic tiny RGB QOI per row: pixel (x, y) of image i is
+    ((i + 11x + 3y) % 256, (2i + 5x + 7y) % 256, (7i + x + 9y) % 256)
+    — the same analytic formula as synthesize_png, so the oracle can
+    recompute the expected means without touching a codec."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 3 + i % 5, 2 + i % 4
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                px = np.stack([(i + 11 * xs + 3 * ys) % 256,
+                               (2 * i + 5 * xs + 7 * ys) % 256,
+                               (7 * i + xs + 9 * ys) % 256],
+                              axis=2).astype(np.uint8)
+                ids.append(i)
+                blobs.append(make_qoi(px))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="media_id long, blob binary")
