@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # first id assigned to a merged token: above any codepoint
@@ -145,3 +146,64 @@ def bpe_apply(df: DataFrame, merges: list[tuple[int, int]], *,
             yield out
 
     return df.select(id_col, text_col).mapInPandas(gen, BPE_SCHEMA)
+
+
+def wordpiece_segment(word: str, vocab: set, *,
+                      unk: str = "[UNK]",
+                      max_input_chars: int = 100) -> list:
+    """Greedy longest-match-first WordPiece segmentation (Wu et al.
+    2016 / the BERT tokenizer's inference side): repeatedly take the
+    LONGEST vocab entry matching at the cursor (continuation pieces
+    carry the ``##`` prefix); if no piece matches at any cursor the
+    WHOLE word collapses to ``unk`` (the published all-or-nothing
+    rule, not a partial emit), as does any word longer than
+    ``max_input_chars`` (BERT's 100-char guard against degenerate
+    inputs)."""
+    if len(word) > max_input_chars:
+        return [unk]
+    pieces = []
+    start = 0
+    n = len(word)
+    while start < n:
+        end = n
+        cur = None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = "##" + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [unk]
+        pieces.append(cur)
+        start = end
+    return pieces
+
+
+def wordpiece_tokens(tokens: DataFrame, vocab: list, *,
+                     col: str = "token", out: str = "pieces",
+                     unk: str = "[UNK]",
+                     max_input_chars: int = 100) -> DataFrame:
+    """Add the WordPiece segmentation of ``col`` as an array column by
+    the vocabulary route (the stemmer's 100 TB shape): segment DISTINCT
+    words only — Heaps' law bounds the vocabulary, so 10^12 tokens
+    cost |vocabulary| segmentations under one Arrow-batched UDF plus a
+    broadcast join back.  ``vocab`` is the subword inventory (a real
+    BERT vocab is ~30k entries — a closure-shipped frozenset)."""
+    import pandas as pd
+
+    vset = frozenset(vocab)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _seg(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: None if w is None else
+                     wordpiece_segment(w, vset, unk=unk,
+                                       max_input_chars=max_input_chars))
+
+    words = tokens.select(F.col(col).alias("__w")).distinct()
+    segged = words.withColumn(out, _seg(F.col("__w")))
+    return (tokens.join(F.broadcast(segged),
+                        tokens[col] == segged["__w"], "left")
+            .drop("__w"))

@@ -9075,6 +9075,68 @@ def q248(spark, sf_dir):
                     "mean_r", "mean_g", "mean_b"))
 
 
+_Q249_VOCAB = ["un", "##aff", "##able", "##ed", "##ing", "hug", "##g",
+               "##s", "play", "##ful", "##ly", "walk", "run", "##n"]
+_Q249_LEX = [
+    ("unaffable", "un|##aff|##able"),
+    ("hugging", "hug|##g|##ing"),
+    ("huggs", "hug|##g|##s"),
+    ("playfully", "play|##ful|##ly"),
+    ("walked", "walk|##ed"),
+    ("running", "run|##n|##ing"),
+    ("xyz", "[UNK]"),
+    ("walkzzz", "[UNK]"),
+    ("play", "play"),
+    ("hugs", "hug|##s"),
+]
+
+
+def _q249_sql() -> str:
+    vals = ", ".join(f"({i}, '{w}', '{p}')"
+                     for i, (w, p) in enumerate(_Q249_LEX))
+    return f"""
+WITH lex(idx, word, pieces) AS (VALUES {vals}),
+d AS (SELECT doc_id, doc_id % 10 AS idx FROM documents)
+SELECT l.word, l.pieces,
+       CAST(length(l.pieces)
+            - length(replace(l.pieces, '|', '')) + 1 AS BIGINT)
+         AS n_pieces,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(MIN(d.doc_id) AS BIGINT) AS first_doc
+FROM d JOIN lex l ON l.idx = d.idx
+GROUP BY l.word, l.pieces
+"""
+
+
+@q("q249_wordpiece_tokens", _q249_sql())
+def q249(spark, sf_dir):
+    """WordPiece subword segmentation (the BERT tokenizer's greedy
+    longest-match-first inference side) over a document-weighted
+    lexicon whose segmentations are hand-derivable: continuation
+    pieces carry ##, an unmatched cursor collapses the WHOLE word to
+    [UNK] (the published all-or-nothing rule — walkzzz is [UNK], not
+    walk + junk).  The engine runs the real vocabulary-route pipeline
+    — distinct words through an Arrow UDF, broadcast join back — and
+    the oracle knows only the literal expected piece strings, so a
+    greedy tie broken short, a missing ## prefix, or a partial-emit
+    bug re-segments a word and diverges the rows."""
+    from ultraviolet_spark.operators.tokenize import wordpiece_tokens
+
+    words = F.array(*[F.lit(w) for w, _ in _Q249_LEX])
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(words, (F.col("doc_id") % 10 + 1).cast("int"))
+         .alias("token"))
+    segged = wordpiece_tokens(d, _Q249_VOCAB)
+    return (segged
+            .select("doc_id", "token",
+                    F.array_join("pieces", "|").alias("pieces"),
+                    F.size("pieces").cast("long").alias("n_pieces"))
+            .groupBy(F.col("token").alias("word"), "pieces", "n_pieces")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.min("doc_id").cast("long").alias("first_doc")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
