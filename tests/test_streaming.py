@@ -321,3 +321,30 @@ def test_streaming_cusum_matches_batch(spark, pages_path, tmp_path):
     # non-vacuous: drift fires somewhere, stays quiet somewhere
     alarms = [r for r in g if r[4] or r[5]]
     assert alarms and len(alarms) < len(g)
+
+
+def test_streaming_rate_limit_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming rate limiter ≡ batch max-plus closed form: per-user
+    event stream split into two micro-batches; the next-free state
+    must cross the boundary so batch-2 requests queue behind batch-1's
+    last serve."""
+    from ultraviolet_spark.operators.windows import rate_limit_schedule
+    from ultraviolet_spark.streaming.stateful import streaming_rate_limit
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "ts").dropDuplicates(["user_id", "ts"]))
+    stream = _two_batch_stream(spark, ev, tmp_path, "rl", ts_col="ts")
+    out = streaming_rate_limit(stream, by="user_id", ready_col="ts",
+                               delay_s=120)
+    _run_to_memory(out, "uv_rl", tmp_path)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT key, ready_ts, sched_ts, wait_us FROM uv_rl").collect()))
+    want_df = rate_limit_schedule(ev, by="user_id", ready_col="ts",
+                                  delay_s=120)
+    want = sorted(map(tuple, want_df.select(
+        F.col("user_id").cast("string"), F.col("ts"),
+        "sched_ts", "sched_wait_us").collect()))
+    assert got == want
+    # non-vacuous: some requests queued, some did not
+    waits = [g[3] for g in got]
+    assert any(w > 0 for w in waits) and any(w == 0 for w in waits)

@@ -416,3 +416,43 @@ def cusum_stats(df: DataFrame, *, by: str, order: str, value_col: str,
                   .alias("n_alarms_down"),
                  F.min(F.when((F.col("__su") > h) | (F.col("__sd") > h),
                               F.col("__ts"))).alias("first_alarm_ts")))
+
+
+def rate_limit_schedule(df: DataFrame, *, by: str, ready_col: str,
+                        delay_s: int, tiebreak: str | None = None,
+                        out_prefix: str = "sched") -> DataFrame:
+    """Clock-based per-key rate limiting (the politeness scheduler in
+    EVENT time, complementing the offset-based
+    ``frontier.politeness_schedule``): request i of a key may start at
+    ``sched_i = max(ready_i, sched_{i-1} + delay)`` — serve as soon as
+    ready, but never within ``delay`` of the previous serve.
+
+    The recursion has an exact max-plus closed form: ``sched_i =
+    i·delay + max_{j≤i}(ready_j − j·delay)`` — a prefix MAX over a
+    shifted column, the mirror image of CUSUM's prefix-min identity —
+    so the whole scheduler is one row_number plus one running-max
+    window, exact integer microseconds, no UDF, no recursion.
+
+    Adds ``{p}_ts`` (the scheduled serve time) and ``{p}_wait_us``
+    (how long the request queued behind the rate limit).
+
+    Scale: ONE hash exchange on ``by`` shared by both windows; per-row
+    window state is O(1).  The streaming twin
+    (``streaming.stateful.streaming_rate_limit``) folds the same
+    recursion across micro-batches with one int64 of state per key."""
+    from pyspark.sql import Window
+
+    order = [F.col(ready_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(by).orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d_us = int(delay_s) * 1_000_000
+    rn = F.row_number().over(w).cast("long")
+    # cast: parquet timestamps may be NTZ; session tz is pinned UTC
+    base = F.unix_micros(F.col(ready_col).cast("timestamp"))
+    adj = base - rn * F.lit(d_us)
+    sched_us = F.max(adj).over(wcum) + rn * F.lit(d_us)
+    return (df
+            .withColumn(f"{out_prefix}_ts", F.timestamp_micros(sched_us))
+            .withColumn(f"{out_prefix}_wait_us",
+                        (sched_us - base).cast("long")))

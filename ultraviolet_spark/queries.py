@@ -9137,6 +9137,51 @@ def q249(spark, sf_dir):
                  F.min("doc_id").cast("long").alias("first_doc")))
 
 
+@q("q250_rate_limit_schedule", """
+WITH e AS (
+  SELECT user_id, ts, epoch_us(ts) AS b,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+s AS (
+  SELECT user_id, b,
+         MAX(b - rn * 120000000) OVER
+           (PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + rn * 120000000 AS su
+  FROM e)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_reqs,
+       make_timestamp(MAX(su)) AS last_sched,
+       CAST(SUM(su - b) AS BIGINT) AS total_wait_us,
+       CAST(MAX(su - b) AS BIGINT) AS max_wait_us
+FROM s GROUP BY user_id
+""")
+def q250(spark, sf_dir):
+    """Clock-based per-key rate limiting (politeness in EVENT time):
+    request i serves at max(ready_i, sched_{i-1} + 120 s) — the
+    recursion computed by its exact max-plus closed form sched_i =
+    i·d + max_{j≤i}(ready_j − j·d), one row_number plus one running-
+    max window sharing a single key exchange, exact integer µs.  The
+    oracle replays the identical window algebra in DuckDB; the
+    streaming twin (streaming_rate_limit, one int64 of state per key)
+    is pinned ≡ this batch form across micro-batch boundaries in
+    tests.  A wrong prefix max, an off-by-one in the row index, or
+    float time arithmetic diverges total/max waits."""
+    from ultraviolet_spark.operators.windows import rate_limit_schedule
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = rate_limit_schedule(ev, by="user_id", ready_col="ts",
+                              delay_s=120, tiebreak="event_id")
+    return (out.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_reqs"),
+                 F.max("sched_ts").alias("last_sched"),
+                 F.sum("sched_wait_us").cast("long")
+                  .alias("total_wait_us"),
+                 F.max("sched_wait_us").cast("long")
+                  .alias("max_wait_us")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB

@@ -352,3 +352,60 @@ def streaming_cusum(stream: DataFrame, *, by: str, ts_col: str,
                 stateStructType=CUSUM_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf="NoTimeout"))
+
+
+RATE_STATE_SCHEMA = T.StructType([
+    T.StructField("next_free_us", T.LongType()),
+])
+
+RATE_OUT_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("ready_ts", T.TimestampType()),
+    T.StructField("sched_ts", T.TimestampType()),
+    T.StructField("wait_us", T.LongType()),
+])
+
+
+def streaming_rate_limit(stream: DataFrame, *, by: str, ready_col: str,
+                         delay_s: int,
+                         watermark: str = "1 day") -> DataFrame:
+    """Streaming per-key rate limiter — the stateful twin of
+    ``operators.windows.rate_limit_schedule``: folds ``sched =
+    max(ready, next_free); next_free = sched + delay`` across
+    micro-batch boundaries with ONE int64 of state per key (the next
+    admissible serve time).  Rows inside a micro-batch are event-time
+    sorted before folding (the Arrow-chunk lesson); cross-batch order
+    is the feed's responsibility."""
+    d_us = int(delay_s) * 1_000_000
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        (next_free,) = state.get if state.exists else (None,)
+        pdf = pd.concat(list(pdfs)).sort_values(ready_col,
+                                                kind="mergesort")
+        scheds, waits = [], []
+        for ts in pdf[ready_col]:
+            ready_us = int(pd.Timestamp(ts).value // 1000)
+            sched = (ready_us if next_free is None
+                     else max(ready_us, next_free))
+            next_free = sched + d_us
+            scheds.append(pd.Timestamp(sched * 1000))
+            waits.append(sched - ready_us)
+        yield pd.DataFrame({
+            "key": pdf[by].astype(str),
+            "ready_ts": pdf[ready_col],
+            "sched_ts": scheds,
+            "wait_us": waits,
+        })
+        state.update((next_free,))
+
+    stream = stream.withColumn(ready_col,
+                               F.col(ready_col).cast("timestamp"))
+    return (stream.withWatermark(ready_col, watermark)
+            .groupBy(by)
+            .applyInPandasWithState(
+                update,
+                outputStructType=RATE_OUT_SCHEMA,
+                stateStructType=RATE_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="NoTimeout"))
