@@ -861,3 +861,87 @@ def lang_segments(df: DataFrame, *, chunk_tokens: int = 10,
                  F.max("chunk_idx").alias("seg_end"),
                  F.count("*").cast("long").alias("n_chunks"))
             .select("doc_id", "lang", "seg_start", "seg_end", "n_chunks"))
+
+
+def heaps_fit(docs: DataFrame, *, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Heaps'-law fit V(n) ≈ K·n^β of vocabulary growth — the
+    capacity-planning number for every vocabulary-route operator
+    (stemmer, WordPiece, postings dictionary): how fast does the
+    distinct-token count grow as the corpus grows?
+
+    Growth points are computed WITHOUT per-prefix rescans: a token's
+    first document is min(doc_id) over its occurrences, so the
+    cumulative vocabulary after doc d is the running sum of new-token
+    counts — one groupBy(token) for first-docs, one groupBy(doc) for
+    per-doc token/new-token counts, two cumulative windows over the
+    doc order.  β comes from log-log OLS over the (n_d, v_d) points
+    with the corpus convention for cross-engine exactness: each ln is
+    snapped to integer micro-nats BEFORE summing (q86's argument —
+    order-independent integer sums of per-point exactly-rounded IEEE
+    values), and β is ONE double division of two exact int64s at the
+    end.  Returns one row: n_points, the exact integer sufficient
+    statistics (sum_x/sum_y/sum_xx/sum_xy in µ-nats), and beta.
+
+    Scale: shuffles are (token) and (doc) partial-agg keys; the window
+    runs over the per-DOC frame (one row per document, not per token).
+    """
+    from pyspark.sql import Window
+
+    toks = (docs.filter(F.length(F.trim(text_col)) > 0)
+            .select(F.col(id_col).alias("d"),
+                    F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                      r"\s+")).alias("token")))
+    per_tok = toks.groupBy("token").agg(
+        F.min("d").alias("first_d"), F.count("*").alias("cf"))
+    new_per_doc = per_tok.groupBy(F.col("first_d").alias("d")).agg(
+        F.count("*").alias("new_toks"))
+    cnt_per_doc = toks.groupBy("d").agg(F.count("*").alias("n_toks"))
+    per_doc = (cnt_per_doc.join(new_per_doc, "d", "left")
+               .withColumn("new_toks",
+                           F.coalesce("new_toks", F.lit(0))))
+    # cumulative (n_d, v_d) WITHOUT a global single-partition window:
+    # the two-phase distributed prefix sum (pack_sequences pattern) —
+    # contiguous doc-id range buckets (order-preserving), cumsum within
+    # each, tiny exclusive cumsum of bucket totals broadcast back.  The
+    # oracle replays the SAME integers with a plain window — equal by
+    # construction, different mechanism.
+    mx = per_doc.agg(F.max("d").alias("__mx"))
+    span = F.expr("__mx div 64") + 1
+    pd2 = (per_doc.crossJoin(F.broadcast(mx))
+           .withColumn("__b", F.expr("d div (__mx div 64 + 1)")
+                       .cast("int")))
+    w_in = (Window.partitionBy("__b").orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pd2 = (pd2.withColumn("__n_in", F.sum("n_toks").over(w_in))
+           .withColumn("__v_in", F.sum("new_toks").over(w_in)))
+    btot = pd2.groupBy("__b").agg(F.sum("n_toks").alias("__bn"),
+                                  F.sum("new_toks").alias("__bv"))
+    w_b = (Window.orderBy("__b")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff = btot.select(
+        "__b",
+        F.coalesce(F.sum("__bn").over(w_b), F.lit(0)).alias("__on"),
+        F.coalesce(F.sum("__bv").over(w_b), F.lit(0)).alias("__ov"))
+    pts = (pd2.join(F.broadcast(boff), "__b")
+           .withColumn("n", F.col("__on") + F.col("__n_in"))
+           .withColumn("v", F.col("__ov") + F.col("__v_in")))
+    x = F.round(F.log(F.col("n").cast("double")) * 1e6).cast("long")
+    y = F.round(F.log(F.col("v").cast("double")) * 1e6).cast("long")
+    pts = pts.select(x.alias("x"), y.alias("y"))
+    agg = pts.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"))
+    # the OLS numerator/denominator cross n_points with the µ-nat sums
+    # — past int64 (observed overflow at 500 docs) — so they go through
+    # DECIMAL(38,0) (DuckDB: HUGEINT) before ONE double division
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    beta = F.round(
+        (d38("n_points") * d38("sum_xy")
+         - d38("sum_x") * d38("sum_y")).cast("double")
+        / (d38("n_points") * d38("sum_xx")
+           - d38("sum_x") * d38("sum_x")).cast("double"), 6)
+    return agg.withColumn("beta", beta)

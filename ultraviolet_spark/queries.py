@@ -9182,6 +9182,56 @@ def q250(spark, sf_dir):
                   .alias("max_wait_us")))
 
 
+@q("q251_heaps_law_fit", """
+WITH t AS (
+  SELECT doc_id AS d,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0),
+ft AS (SELECT token, MIN(d) AS first_d FROM t GROUP BY token),
+npd AS (SELECT first_d AS d, COUNT(*) AS new_toks FROM ft GROUP BY 1),
+cpd AS (SELECT d, COUNT(*) AS n_toks FROM t GROUP BY d),
+pd_ AS (SELECT cpd.d, cpd.n_toks, COALESCE(npd.new_toks, 0) AS new_toks
+        FROM cpd LEFT JOIN npd ON npd.d = cpd.d),
+pts AS (
+  SELECT CAST(round(ln(CAST(SUM(n_toks) OVER w AS DOUBLE)) * 1e6)
+              AS BIGINT) AS x,
+         CAST(round(ln(CAST(SUM(new_toks) OVER w AS DOUBLE)) * 1e6)
+              AS BIGINT) AS y
+  FROM pd_
+  WINDOW w AS (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(x) AS BIGINT) AS sum_x,
+         CAST(SUM(y) AS BIGINT) AS sum_y,
+         CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+         CAST(SUM(x * y) AS BIGINT) AS sum_xy
+  FROM pts)
+SELECT n_points, sum_x, sum_y, sum_xx, sum_xy,
+       round(CAST(CAST(n_points AS HUGEINT) * sum_xy
+                  - CAST(sum_x AS HUGEINT) * sum_y AS DOUBLE)
+             / CAST(CAST(n_points AS HUGEINT) * sum_xx
+                    - CAST(sum_x AS HUGEINT) * sum_x AS DOUBLE), 6)
+         AS beta
+FROM s
+""")
+def q251(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit V(n) ≈ K·n^β — the capacity-
+    planning number behind every vocabulary-route operator (stemmer,
+    WordPiece, postings dictionary).  The engine computes the
+    cumulative (tokens, vocabulary) growth points with the DISTRIBUTED
+    two-phase prefix sum (contiguous doc-range buckets, in-bucket
+    cumsum, broadcast bucket offsets — no global single-partition
+    window), while the oracle uses a plain global window: the integer
+    points are equal by construction, so the mechanisms cross-check
+    each other.  β comes from log-log OLS with each ln snapped to
+    integer micro-nats before order-independent summing; the exact
+    int64 sufficient statistics ship in the output next to β."""
+    from ultraviolet_spark.operators.textstats import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
