@@ -9232,6 +9232,65 @@ def q251(spark, sf_dir):
     return heaps_fit(_t(spark, sf_dir, "documents"))
 
 
+@q("q252_target_encoding", """
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS um,
+         CAST(round(value * 1e6) AS BIGINT) AS t
+  FROM events),
+enc AS (
+  SELECT event_id, event_type, t,
+         COUNT(t) OVER wcat AS n_past_cat,
+         COALESCE(SUM(t) OVER wcat, 0) AS s_cat,
+         COUNT(t) OVER wall AS n_past_all,
+         COALESCE(SUM(t) OVER wall, 0) AS s_all,
+         COUNT(t) OVER wcat_all AS cat_n,
+         SUM(t) OVER wcat_all AS cat_sum
+  FROM e
+  WINDOW wcat AS (PARTITION BY event_type ORDER BY um
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wall AS (ORDER BY um
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wcat_all AS (PARTITION BY event_type))
+SELECT event_id, event_type, n_past_cat, n_past_all,
+       CASE WHEN n_past_all > 0 THEN
+         round((CAST(s_cat AS DOUBLE)
+                + 20.0 * (CAST(s_all AS DOUBLE)
+                          / CAST(n_past_all AS DOUBLE)))
+               / (CAST(n_past_cat AS DOUBLE) + 20.0) / 1e6, 6)
+       END AS enc_pit,
+       CASE WHEN cat_n > 1 THEN
+         round(CAST(cat_sum - t AS DOUBLE)
+               / CAST(cat_n - 1 AS DOUBLE) / 1e6, 6)
+       END AS enc_loo,
+       cat_n - 1 AS n_other
+FROM enc
+""")
+def q252(spark, sf_dir):
+    """Leakage-safe categorical target encoding over the event stream —
+    the labels-side twin of the flagship's zero-leakage feature rule.
+    ``enc_pit`` is the point-in-time smoothed estimator (same-category
+    mean over rows at STRICTLY earlier event time via RANGE windows on
+    integer microseconds — tiebreak-free, and same-timestamp rows
+    never see each other's labels — Bayesian-smoothed toward the
+    strictly-earlier GLOBAL mean with pseudo-count 20, so the prior
+    itself is leakage-free); ``enc_loo`` is the batch leave-one-out
+    companion.  The engine computes the global expanding prior with
+    the two-phase time-bucketed prefix sum (no data-sized
+    single-partition window); the oracle replays it with a plain
+    global range window — equal integers by construction, different
+    mechanism."""
+    from ultraviolet_spark.operators.targetenc import (
+        loo_target_encode, pit_target_encode)
+
+    ev = _t(spark, sf_dir, "events")
+    out = pit_target_encode(ev, cat_col="event_type", ts_col="ts",
+                            target_col="value", prior_weight=20)
+    out = loo_target_encode(out, cat_col="event_type",
+                            target_col="value")
+    return out.select("event_id", "event_type", "n_past_cat",
+                      "n_past_all", "enc_pit", "enc_loo", "n_other")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
