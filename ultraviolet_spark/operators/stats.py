@@ -637,3 +637,81 @@ def json_schema_profile(df: DataFrame, *, json_col: str) -> DataFrame:
     for t in ["double", "bool", "string", "array", "object", "null"]:
         dom = dom.when(F.col(f"n_{t}") == mx, t)
     return counted.withColumn("dominant_type", dom)
+
+
+def ks_mw_tests(df: DataFrame, *, value_col: str, group_col: str,
+                group_a, group_b, n_buckets: int = 64) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov and Mann–Whitney statistics
+    between the ``group_a`` and ``group_b`` strata of ``value_col`` —
+    the distribution-shift monitors that complement PSI (binned) and
+    JSD (vocabulary): KS is binning-free and catches location/shape
+    drift anywhere in the CDF; the Mann–Whitney U is the exact
+    rank-sum whose normalization U/(n_a·n_b) is the AUC / common-
+    language effect size ("probability a random A value exceeds a
+    random B value").
+
+    Both statistics are EXACT integers until one final division:
+
+    * ``ks_num  = max over observed v of |cumA(v)·n_b − cumB(v)·n_a|``
+      (the sup of |F_A−F_B| is attained at an observed point, so the
+      max over the merged support is the true supremum);
+      ``ks_stat = ks_num / (n_a·n_b)``.
+    * ``u2_a = Σ_v cA(v)·(2·cumB_less(v) + cB(v))`` — twice U_A with
+      the standard half-credit for ties, kept doubled so it stays an
+      integer; ``auc_a = u2_a / (2·n_a·n_b)``.
+
+    Values are snapped once to integer micro-units; counts per distinct
+    value come from ONE map-side-combined groupBy; the prefix sums over
+    the distinct-value frame run through the two-phase value-range
+    bucketed cumsum (in-bucket window + exclusive broadcast bucket
+    offsets), so no data-sized single-partition window exists even when
+    the value column is near-unique.  n_a·n_b at 10^6×10^6 overflows
+    nothing (≤ 10^12 « 2^63); the u2 sum is bounded by 2·n_a·n_b.
+    """
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+    per_v = base.groupBy(v.alias("v")).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long")
+        .alias("ca"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long")
+        .alias("cb"))
+
+    bounds = per_v.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"),
+                       F.sum("ca").alias("__na"), F.sum("cb").alias("__nb"))
+    pv = (per_v.crossJoin(F.broadcast(bounds))
+          .withColumn("__b", F.expr(
+              f"(v - __lo) div ((__hi - __lo) div {int(n_buckets)} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pv = (pv.withColumn("__a_in", F.sum("ca").over(w_in))
+          .withColumn("__b_in", F.sum("cb").over(w_in)))
+    btot = pv.groupBy("__b").agg(F.sum("ca").alias("__ba"),
+                                 F.sum("cb").alias("__bb"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b",
+        F.coalesce(F.sum("__ba").over(w_b), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__bb").over(w_b), F.lit(0)).alias("__ob"))
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("cum_a", F.col("__oa") + F.col("__a_in"))
+          .withColumn("cum_b", F.col("__ob") + F.col("__b_in")))
+
+    out = pv.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.max(F.abs(F.col("cum_a") * F.col("__nb")
+                    - F.col("cum_b") * F.col("__na"))).alias("ks_num"),
+        F.sum(F.col("ca") * (2 * (F.col("cum_b") - F.col("cb"))
+                             + F.col("cb"))).alias("u2_a"))
+    return out.select(
+        "n_a", "n_b", "ks_num",
+        F.round(F.col("ks_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"), 6)
+        .alias("ks_stat"),
+        "u2_a",
+        F.round(F.col("u2_a").cast("double")
+                / (2 * F.col("n_a") * F.col("n_b")).cast("double"), 6)
+        .alias("auc_a"))

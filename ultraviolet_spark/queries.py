@@ -9291,6 +9291,51 @@ def q252(spark, sf_dir):
                       "n_past_all", "enc_pit", "enc_loo", "n_other")
 
 
+@q("q253_ks_mannwhitney_drift", """
+WITH base AS (
+  SELECT CAST(round(value * 1e6) AS BIGINT) AS v, event_type AS g
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+pv AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM base GROUP BY v),
+c AS (
+  SELECT v, ca, cb,
+         CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+  FROM pv
+  WINDOW w AS (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b FROM pv)
+SELECT t.n_a, t.n_b,
+       MAX(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS ks_num,
+       round(CAST(MAX(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS DOUBLE)
+             / CAST(t.n_a * t.n_b AS DOUBLE), 6) AS ks_stat,
+       CAST(SUM(c.ca * (2 * (c.cum_b - c.cb) + c.cb)) AS BIGINT) AS u2_a,
+       round(CAST(SUM(c.ca * (2 * (c.cum_b - c.cb) + c.cb)) AS DOUBLE)
+             / CAST(2 * t.n_a * t.n_b AS DOUBLE), 6) AS auc_a
+FROM c, t GROUP BY t.n_a, t.n_b
+""")
+def q253(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov + Mann–Whitney drift tests
+    between click-values and purchase-values — binning-free CDF drift
+    (KS) and the exact rank-sum effect size (U/(n·m) = AUC), both as
+    exact integers (ks_num, doubled-U) until one final division.  The
+    engine's prefix sums over the distinct-value frame run through the
+    two-phase value-range bucketed cumsum; the oracle replays them
+    with a plain global window — equal integers, different mechanism."""
+    from ultraviolet_spark.operators.stats import ks_mw_tests
+
+    return ks_mw_tests(_t(spark, sf_dir, "events"),
+                       value_col="value", group_col="event_type",
+                       group_a="click", group_b="purchase")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
