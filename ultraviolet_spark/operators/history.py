@@ -230,3 +230,100 @@ def merge_upsert(base: DataFrame, changes: DataFrame, *,
           .otherwise(F.col(f"__b_{c}")).alias(c) for c in payload],
         F.when(take_change, F.lit("upserted"))
         .otherwise(F.lit("kept")).alias("action"))
+
+
+# --------------------------------------------------------------------------
+# Merkle-style release digests: compare two corpus releases at metadata
+# cost, then drill row-level ONLY into the buckets that differ.
+
+def _row_h48(cols) -> F.Column:
+    """48-bit content hash of a row: conv of the first 12 md5 hex chars
+    over a canonical '\\x1f'-joined rendering (NULL → '\\x00' sentinel,
+    so NULL never collides with empty string and concat_ws can't
+    silently skip it).  48 bits keeps the value positive in both
+    engines' signed arithmetic."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+             for c in cols]
+    canon = F.concat_ws("\x1f", *parts)
+    return (F.conv(F.substring(F.md5(canon.cast("binary")), 1, 12), 16, 10)
+            .cast("long"))
+
+
+def release_digest(df: DataFrame, *, key_col: str,
+                   cols: list[str] | None = None) -> DataFrame:
+    """Per-bucket Merkle digest of a release: 256 rows of
+    ``(bucket, n_rows, xor48, sum48)``.
+
+    Buckets come from md5(key) — KEY-based, not content-based, so an
+    edited document perturbs exactly its own bucket instead of
+    "moving" between two.  Each bucket digests its rows order-
+    independently three ways: count, XOR-fold of the 48-bit content
+    hashes, and their sum mod 2^48 (the sum crosses int64 at ~2^15
+    rows/bucket, so it accumulates in DECIMAL(38,0) first).  XOR alone
+    is blind to any row duplicated an even number of times; count+sum
+    repair exactly that class — a release differing in any one row
+    changes at least one of the three with probability 1−2^-48.
+
+    At 10^12 rows this is one scan + one 256-group partial agg; two
+    releases compare as 256-row frames, and ``digest_drill`` touches
+    row-level data only inside differing buckets — the log-time
+    release-audit shape, vs ``snapshot_diff``'s full-corpus join.
+    """
+    cols = list(df.columns) if cols is None else list(cols)
+    from ultraviolet_spark.operators.corpus import md5_bucket256
+    b = md5_bucket256(F.col(key_col))
+    h = _row_h48(cols)
+    return (df.select(b.cast("int").alias("bucket"), h.alias("h48"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_rows"),
+                 F.expr("bit_xor(h48)").alias("xor48"),
+                 (F.sum(F.col("h48").cast("decimal(38,0)"))
+                  % F.lit(2 ** 48)).cast("long").alias("sum48")))
+
+
+def digest_diff(da: DataFrame, db: DataFrame) -> DataFrame:
+    """Buckets whose digests differ between two releases (full outer on
+    bucket; a bucket present on one side only differs by definition).
+    256-row frames — driver-negligible whatever the corpus size."""
+    a = da.select("bucket", F.col("n_rows").alias("n_a"),
+                  F.col("xor48").alias("x_a"), F.col("sum48").alias("s_a"))
+    b = db.select("bucket", F.col("n_rows").alias("n_b"),
+                  F.col("xor48").alias("x_b"), F.col("sum48").alias("s_b"))
+    j = a.join(b, "bucket", "full_outer")
+    diff = (j.filter(
+        F.col("n_a").isNull() | F.col("n_b").isNull()
+        | (F.col("n_a") != F.col("n_b"))
+        | (F.col("x_a") != F.col("x_b"))
+        | (F.col("s_a") != F.col("s_b"))))
+    return diff.select("bucket", "n_a", "n_b")
+
+
+def digest_drill(a: DataFrame, b: DataFrame, buckets: DataFrame, *,
+                 key_col: str, cols: list[str] | None = None) -> DataFrame:
+    """Row-level diff restricted to candidate buckets: returns one row
+    per affected key with status added / removed / changed.  Each side
+    is pre-filtered by a broadcast semi-join on the (≤256-row) bucket
+    list, so the full-outer key join only ever shuffles the slice of
+    the corpus living in differing buckets."""
+    cols = ([c for c in a.columns] if cols is None else list(cols))
+    from ultraviolet_spark.operators.corpus import md5_bucket256
+    bk = F.broadcast(buckets.select("bucket"))
+
+    def side(df, tag):
+        return (df.withColumn("bucket",
+                              md5_bucket256(F.col(key_col)).cast("int"))
+                .join(bk, "bucket", "left_semi")
+                .select("bucket", F.col(key_col).alias("key"),
+                        _row_h48(cols).alias(f"h_{tag}")))
+
+    j = side(a, "a").withColumnRenamed("bucket", "bucket_a").join(
+        side(b, "b").withColumnRenamed("bucket", "bucket_b"),
+        "key", "full_outer")
+    status = (F.when(F.col("h_b").isNull(), "removed")
+              .when(F.col("h_a").isNull(), "added")
+              .when(F.col("h_a") != F.col("h_b"), "changed"))
+    return (j.withColumn("status", status)
+            .filter(F.col("status").isNotNull())
+            .select(F.col("key").alias(key_col),
+                    F.coalesce("bucket_a", "bucket_b").alias("bucket"),
+                    "status"))

@@ -9336,6 +9336,84 @@ def q253(spark, sf_dir):
                        group_a="click", group_b="purchase")
 
 
+@q("q254_release_digest_drill", """
+WITH a AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 7 THEN text || ' EDITED' ELSE text END AS text,
+         lang, source,
+         CASE WHEN doc_id = 7 THEN n_chars + 7 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id <> 13
+  UNION ALL
+  SELECT (SELECT MAX(doc_id) + 1 FROM documents),
+         'brand new document', 'en', 'synthetic', 18),
+ha AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+           AS bucket,
+         CAST(CAST(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang
+           || chr(31) || source || chr(31) || CAST(n_chars AS VARCHAR)
+         ), 1, 12)) AS UBIGINT) AS BIGINT) AS h
+  FROM a),
+hb AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+           AS bucket,
+         CAST(CAST(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang
+           || chr(31) || source || chr(31) || CAST(n_chars AS VARCHAR)
+         ), 1, 12)) AS UBIGINT) AS BIGINT) AS h
+  FROM b)
+SELECT COALESCE(ha.doc_id, hb.doc_id) AS doc_id,
+       COALESCE(ha.bucket, hb.bucket) AS bucket,
+       CASE WHEN hb.doc_id IS NULL THEN 'removed'
+            WHEN ha.doc_id IS NULL THEN 'added'
+            WHEN ha.h <> hb.h THEN 'changed' END AS status
+FROM ha FULL JOIN hb ON ha.doc_id = hb.doc_id
+WHERE (hb.doc_id IS NULL OR ha.doc_id IS NULL OR ha.h <> hb.h)
+""")
+def q254(spark, sf_dir):
+    """Merkle-style release audit end-to-end: release B edits doc 7,
+    deletes doc 13 and appends one new document; the engine digests
+    BOTH releases into 256-row (bucket, count, xor48, sum48 mod 2^48)
+    frames keyed on md5(doc_id), diffs the digests at metadata cost,
+    and drills row-level ONLY into the differing buckets.  The oracle
+    never sees a digest — it computes the affected-doc statuses from a
+    direct full join over all rows — so a hash match proves the Merkle
+    mechanism missed nothing and drilled to exactly the true
+    added/removed/changed set."""
+    from ultraviolet_spark.operators.history import (
+        digest_diff, digest_drill, release_digest)
+
+    docs = _t(spark, sf_dir, "documents")
+    newrow = docs.agg(F.max("doc_id").alias("m")).select(
+        (F.col("m") + 1).alias("doc_id"),
+        F.lit("brand new document").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.lit(18).cast("long").alias("n_chars"))
+    is7 = F.col("doc_id") == 7
+    rel_b = (docs.filter(F.col("doc_id") != 13)
+             .withColumn("text",
+                         F.when(is7, F.concat(F.col("text"),
+                                              F.lit(" EDITED")))
+                         .otherwise(F.col("text")))
+             .withColumn("n_chars",
+                         F.when(is7, F.col("n_chars") + 7)
+                         .otherwise(F.col("n_chars")))
+             .unionByName(newrow))
+    cand = digest_diff(release_digest(docs, key_col="doc_id"),
+                       release_digest(rel_b, key_col="doc_id"))
+    return digest_drill(docs, rel_b, cand, key_col="doc_id")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
