@@ -1126,3 +1126,55 @@ def length_bucketed_batches(docs: DataFrame, *, id_col: str = "doc_id",
                         F.col("n_seqs") * F.col("max_len")
                         - F.col("tokens_real"))
             .withColumn("is_full", F.col("n_seqs") == F.lit(batch_size)))
+
+
+def purged_kfold(df: DataFrame, *, ts_col: str, n_folds: int = 5,
+                 horizon_us: int = 0, embargo_us: int = 0) -> DataFrame:
+    """Purged k-fold CV assignment with embargo over event time — the
+    leakage-safe cross-validation split for temporally-labelled data
+    (de Prado's purged k-fold): a training sample whose LABEL window
+    ``[ts, ts + horizon)`` pokes into the test range would leak test
+    information into training, so it is PURGED; samples immediately
+    after the test range are EMBARGOED (serial correlation lets a
+    model trained on them back out test-period information).
+
+    Folds are equal-width integer-microsecond time slices of
+    ``[min_ts, max_ts]`` (k ranges from one broadcast bounds agg —
+    never a row-rank quantile, which would cost a global sort).  For
+    fold i with test range [s, e):
+
+    * ``test``    : s ≤ ts < e
+    * ``purged``  : ts < s  and  ts + horizon > s
+    * ``embargo`` : e ≤ ts < e + embargo
+    * ``train``   : everything else (both sides — k-fold, not
+      walk-forward; set horizon/embargo to cover your label span)
+
+    Returns one row per (input row × fold) with ``fold`` and ``role``
+    — the k× blowup is the price of materializing every fold at once;
+    per-fold pipelines filter one fold and stay scan-stage (the role
+    predicate is pure Catalyst arithmetic over the broadcast fold
+    spec; no shuffle until the caller aggregates).
+    """
+    um = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = df.withColumn("__um", um)
+    bounds = d.agg(F.min("__um").alias("__lo"), F.max("__um").alias("__hi"))
+    folds = (bounds
+             .select(F.explode(F.sequence(
+                 F.lit(0), F.lit(int(n_folds) - 1))).alias("fold"),
+                 "__lo", "__hi")
+             .withColumn("__span",
+                         F.expr(f"(__hi - __lo) div {int(n_folds)} + 1"))
+             .select("fold",
+                     (F.col("__lo") + F.col("fold") * F.col("__span"))
+                     .alias("__s"),
+                     (F.col("__lo") + (F.col("fold") + 1) * F.col("__span"))
+                     .alias("__e")))
+    j = d.crossJoin(F.broadcast(folds))
+    in_test = (F.col("__um") >= F.col("__s")) & (F.col("__um") < F.col("__e"))
+    purged = ((F.col("__um") < F.col("__s"))
+              & (F.col("__um") + F.lit(int(horizon_us)) > F.col("__s")))
+    embargoed = ((F.col("__um") >= F.col("__e"))
+                 & (F.col("__um") < F.col("__e") + F.lit(int(embargo_us))))
+    role = (F.when(in_test, "test").when(purged, "purged")
+            .when(embargoed, "embargo").otherwise("train"))
+    return j.withColumn("role", role).drop("__s", "__e", "__um")

@@ -9414,6 +9414,44 @@ def q254(spark, sf_dir):
     return digest_drill(docs, rel_b, cand, key_col="doc_id")
 
 
+@q("q255_purged_kfold_cv", """
+WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+           FROM events),
+f AS (SELECT CAST(t.i AS INTEGER) AS fold,
+             lo + t.i * ((hi - lo) // 5 + 1) AS s,
+             lo + (t.i + 1) * ((hi - lo) // 5 + 1) AS e
+      FROM range(5) t(i), b),
+r AS (SELECT f.fold,
+             CASE WHEN ev.um >= f.s AND ev.um < f.e THEN 'test'
+                  WHEN ev.um < f.s AND ev.um + 3600000000 > f.s
+                    THEN 'purged'
+                  WHEN ev.um >= f.e AND ev.um < f.e + 1800000000
+                    THEN 'embargo'
+                  ELSE 'train' END AS role,
+             ev.event_id
+      FROM (SELECT epoch_us(ts) AS um, event_id FROM events) ev, f)
+SELECT fold, role, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM r GROUP BY fold, role
+""")
+def q255(spark, sf_dir):
+    """Purged k-fold CV with embargo over the event stream (5 folds,
+    1 h label horizon, 30 min embargo) — the leakage-safe
+    cross-validation split: training samples whose label window pokes
+    into a fold's test range are purged, samples in the 30 min after
+    it embargoed.  Output is the per-(fold, role) census with an
+    id-sum witness, so one misassigned row anywhere in the k×
+    expansion diverges the hash."""
+    from ultraviolet_spark.operators.corpus import purged_kfold
+
+    out = purged_kfold(_t(spark, sf_dir, "events"), ts_col="ts",
+                       n_folds=5, horizon_us=3_600_000_000,
+                       embargo_us=1_800_000_000)
+    return (out.groupBy("fold", "role")
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").alias("sum_ids")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
