@@ -149,3 +149,85 @@ def rendezvous_assign(df: DataFrame, *, n_workers: int,
     return df.withColumn(
         out, (F.array_position(scores, F.array_max(scores)) - 1)
         .cast("int"))
+
+
+def waterfill_budget(demands: DataFrame, *, budget, host_col: str = "host",
+                     demand_col: str = "demand",
+                     n_buckets: int = 64) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a global crawl budget
+    across hosts — the fairness-complete companion to ``crawl_budget``
+    (which caps each domain independently and can strand budget).
+
+    Exact integer semantics: with demands sorted ascending by
+    (demand, host) and prefix sums S_r, the cost of satisfying ranks
+    ≤ r fully and everyone else at level d_r is C_r = S_r + d_r·(n−r),
+    nondecreasing in r; let r* = max{r : C_r ≤ B}.  Ranks ≤ r* get
+    their full demand; the m = n − r* uncapped hosts get the water
+    level θ = (B − S_r*) div m, and the remainder (B − S_r*) mod m is
+    distributed as +1 to the m lowest-ranked uncapped hosts — a
+    deterministic tiebreak, and safe because every uncapped demand
+    exceeds θ by construction.  Σ alloc = min(B, Σ demand) exactly; no
+    page of budget is stranded while any host still wants pages.
+
+    ``budget`` is an int, or a SQL expression string evaluated over
+    the bounds row (columns ``__n`` host count and ``__td`` total
+    demand — e.g. ``"__td div 3"``) so a demand-relative budget never
+    round-trips through the driver.
+
+    Scale: one (demand-range bucket) exchange for the two-phase
+    rank/prefix (no global single-partition sort), one tiny
+    unpartitioned window over ≤ n_buckets+1 bucket totals, scalars
+    broadcast back.  The demand frame is hosts-sized, not pages-sized.
+    """
+    from pyspark.sql import Window
+
+    d = demands.select(F.col(host_col).alias("host"),
+                       F.col(demand_col).cast("long").alias("dem"))
+    bounds = d.agg(F.min("dem").alias("__lo"), F.max("dem").alias("__hi"),
+                   F.count("*").alias("__n"), F.sum("dem").alias("__td"))
+    bexpr = (F.lit(int(budget)).cast("long") if isinstance(budget, int)
+             else F.expr(budget).cast("long"))
+    bounds = bounds.withColumn("__budget", bexpr)
+    pv = (d.crossJoin(F.broadcast(bounds))
+          .withColumn("__b", F.expr(
+              f"(dem - __lo) div ((__hi - __lo) div {int(n_buckets)} + 1)")))
+    o_in = Window.partitionBy("__b").orderBy("dem", "host")
+    w_in = o_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pv = (pv.withColumn("__rn_in", F.row_number().over(o_in))
+          .withColumn("__s_in", F.sum("dem").over(w_in)))
+    btot = pv.groupBy("__b").agg(F.count("*").alias("__bc"),
+                                 F.sum("dem").alias("__bs"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b",
+        F.coalesce(F.sum("__bc").over(w_b), F.lit(0)).alias("__oc"),
+        F.coalesce(F.sum("__bs").over(w_b), F.lit(0)).alias("__os"))
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("rk", F.col("__oc") + F.col("__rn_in"))
+          .withColumn("s", F.col("__os") + F.col("__s_in"))
+          .withColumn("__c", F.col("s")
+                      + F.col("dem") * (F.col("__n") - F.col("rk"))))
+    feas = F.col("__c") <= F.col("__budget")
+    # C_r and S_r are both nondecreasing in r, so max-over-feasible
+    # picks both scalars at the same rank r*
+    sc = pv.agg(
+        F.coalesce(F.max(F.when(feas, F.col("rk"))), F.lit(0).cast("long"))
+        .alias("__rstar"),
+        F.coalesce(F.max(F.when(feas, F.col("s"))), F.lit(0).cast("long"))
+        .alias("__sstar"))
+    out = (pv.crossJoin(F.broadcast(sc))
+           .withColumn("__m", F.col("__n") - F.col("__rstar"))
+           .withColumn("__theta",
+                       F.when(F.col("__m") > 0,
+                              F.expr("(__budget - __sstar) div __m"))
+                       .otherwise(F.lit(0).cast("long")))
+           .withColumn("__rem",
+                       F.when(F.col("__m") > 0,
+                              F.expr("(__budget - __sstar) % __m"))
+                       .otherwise(F.lit(0).cast("long"))))
+    alloc = (F.when(F.col("rk") <= F.col("__rstar"), F.col("dem"))
+             .when(F.col("rk") - F.col("__rstar") <= F.col("__rem"),
+                   F.col("__theta") + 1)
+             .otherwise(F.col("__theta")))
+    return (out.withColumn("alloc", alloc)
+            .select("host", F.col("dem").alias("demand"), "alloc"))

@@ -9452,6 +9452,55 @@ def q255(spark, sf_dir):
                  F.sum("event_id").alias("sum_ids")))
 
 
+@q("q256_waterfill_fair_budget", """
+WITH d AS (SELECT CAST(user_id AS VARCHAR) AS host,
+                  CAST(COUNT(*) AS BIGINT) AS dem
+           FROM events GROUP BY user_id),
+tot AS (SELECT CAST(SUM(dem) AS BIGINT) AS td,
+               CAST(COUNT(*) AS BIGINT) AS n FROM d),
+bb AS (SELECT td // 3 AS b, n FROM tot),
+r AS (SELECT host, dem,
+             CAST(ROW_NUMBER() OVER (ORDER BY dem, host) AS BIGINT) AS rk,
+             CAST(SUM(dem) OVER (ORDER BY dem, host
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s
+      FROM d),
+sc AS (SELECT COALESCE(MAX(CASE WHEN s + dem * (bb.n - rk) <= bb.b
+                                THEN rk END), 0) AS rstar,
+              COALESCE(MAX(CASE WHEN s + dem * (bb.n - rk) <= bb.b
+                                THEN s END), 0) AS sstar
+       FROM r, bb),
+lvl AS (SELECT rstar, sstar,
+               CASE WHEN bb.n - rstar > 0
+                    THEN (bb.b - sstar) // (bb.n - rstar)
+                    ELSE 0 END AS theta,
+               CASE WHEN bb.n - rstar > 0
+                    THEN (bb.b - sstar) % (bb.n - rstar)
+                    ELSE 0 END AS rem
+        FROM sc, bb)
+SELECT r.host, r.dem AS demand,
+       CAST(CASE WHEN r.rk <= lvl.rstar THEN r.dem
+                 WHEN r.rk - lvl.rstar <= lvl.rem THEN lvl.theta + 1
+                 ELSE lvl.theta END AS BIGINT) AS alloc
+FROM r, lvl
+""")
+def q256(spark, sf_dir):
+    """Max-min fair (water-filling) allocation of a global crawl
+    budget (one third of total demand) across per-user demand counts:
+    small hosts get their full demand, big hosts are levelled at the
+    exact integer water level θ with the mod-remainder distributed
+    deterministically — no stranded budget while anyone still wants
+    pages.  The engine finds θ via bucketed two-phase rank/prefix
+    sums; the oracle replays the identical integer algebra with plain
+    global windows."""
+    from ultraviolet_spark.operators.frontier import waterfill_budget
+
+    dem = (_t(spark, sf_dir, "events")
+           .groupBy(F.col("user_id").cast("string").alias("host"))
+           .agg(F.count("*").alias("demand")))
+    return waterfill_budget(dem, budget="__td div 3")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
