@@ -250,3 +250,73 @@ def rbo_at_k(df: DataFrame, *, query_col: str, item_col: str,
                  F.sum("__c").cast("long").alias("rbo_num"))
             .withColumn("rbo", F.col("rbo_num").cast("double")
                         / F.lit(denom)))
+
+
+def split_conformal(df: DataFrame, *, value_col: str, id_col: str,
+                    a_num: int = 1, a_den: int = 10,
+                    n_buckets: int = 64) -> DataFrame:
+    """Split-conformal calibration with exact finite-sample rank
+    arithmetic — the distribution-free prediction-interval machinery:
+    hash-split the rows into a calibration half and a test half
+    (md5-deterministic, the ``hash_split`` discipline — never RNG), take
+    q̂ as the ⌈(n+1)(1−α)⌉-th smallest calibration score, and report
+    empirical coverage P(test score ≤ q̂), which is guaranteed ≥ 1−α in
+    expectation by exchangeability.
+
+    α stays a RATIONAL a_num/a_den so the rank is exact:
+    k = ⌈(n+1)·(a_den−a_num)/a_den⌉ computed as one integer
+    ceiling-division — never a float ``ceil`` that can land one rank
+    off when (n+1)(1−α) is a near-integer.  If k > n (tiny calibration
+    sets / extreme α) the conformal bound is vacuous: q̂ is NULL and
+    coverage 1 by definition — reported as such, not silently clamped.
+
+    The k-th order statistic never global-sorts: per-distinct-value
+    counts (one map-side-combined groupBy), value-range bucketed
+    cumulative counts (two-phase prefix), then min value whose
+    cumulative count reaches k.  Scores snap once to micro-units.
+    """
+    from ultraviolet_spark.operators.corpus import md5_bucket256
+
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    side = F.when(md5_bucket256(F.col(id_col)) < 128, "cal") \
+        .otherwise("test")
+    base = (df.filter(v.isNotNull())
+            .select(v.alias("v"), side.alias("side")))
+
+    cal = base.filter(F.col("side") == "cal")
+    per_v = cal.groupBy("v").agg(F.count("*").alias("c"))
+    bounds = per_v.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"),
+                       F.sum("c").alias("__n"))
+    k_expr = F.expr(f"(( __n + 1) * {int(a_den) - int(a_num)} "
+                    f"+ {int(a_den)} - 1) div {int(a_den)}")
+    bounds = bounds.withColumn("__k", k_expr)
+    pv = (per_v.crossJoin(F.broadcast(bounds))
+          .withColumn("__b", F.expr(
+              f"(v - __lo) div ((__hi - __lo) div {int(n_buckets)} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pv = pv.withColumn("__c_in", F.sum("c").over(w_in))
+    btot = pv.groupBy("__b").agg(F.sum("c").alias("__bc"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b", F.coalesce(F.sum("__bc").over(w_b), F.lit(0)).alias("__oc"))
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("cum", F.col("__oc") + F.col("__c_in")))
+    # q̂ = min v with cum ≥ k; NULL when k > n (vacuous bound)
+    sc = (pv.agg(
+        F.max("__n").alias("n_cal"), F.max("__k").alias("k"),
+        F.min(F.when(F.col("cum") >= F.col("__k"), F.col("v")))
+        .alias("qhat_micro")))
+
+    test = base.filter(F.col("side") == "test")
+    out = (test.crossJoin(F.broadcast(sc))
+           .agg(F.max("n_cal").alias("n_cal"), F.max("k").alias("k"),
+                F.max("qhat_micro").alias("qhat_micro"),
+                F.count("*").alias("n_test"),
+                F.sum(F.when(F.col("qhat_micro").isNull()
+                             | (F.col("v") <= F.col("qhat_micro")), 1)
+                      .otherwise(0)).cast("long").alias("n_covered")))
+    return out.withColumn(
+        "coverage",
+        F.round(F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double"), 6))

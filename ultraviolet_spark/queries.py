@@ -9501,6 +9501,56 @@ def q256(spark, sf_dir):
     return waterfill_budget(dem, budget="__td div 3")
 
 
+@q("q257_split_conformal", """
+WITH base AS (
+  SELECT CAST(round(value * 1e6) AS BIGINT) AS v,
+         CASE WHEN (strpos('0123456789abcdef',
+                    substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1)
+                   * 16
+                 + (strpos('0123456789abcdef',
+                    substring(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1)
+                   < 128
+              THEN 'cal' ELSE 'test' END AS side
+  FROM events WHERE value IS NOT NULL),
+cv AS (
+  SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+  FROM (SELECT v, COUNT(*) AS cnt FROM base WHERE side = 'cal'
+        GROUP BY v)),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+              ((CAST(COUNT(*) AS BIGINT) + 1) * 9 + 9) // 10 AS k
+       FROM base WHERE side = 'cal'),
+q AS (SELECT kk.n_cal, kk.k,
+             MIN(CASE WHEN cv.cum >= kk.k THEN cv.v END) AS qhat_micro
+      FROM cv, kk GROUP BY kk.n_cal, kk.k)
+SELECT q.n_cal, q.k, q.qhat_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN q.qhat_micro IS NULL OR t.v <= q.qhat_micro
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       round(CAST(SUM(CASE WHEN q.qhat_micro IS NULL
+                           OR t.v <= q.qhat_micro
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM base t, q
+WHERE t.side = 'test'
+GROUP BY q.n_cal, q.k, q.qhat_micro
+""")
+def q257(spark, sf_dir):
+    """Split-conformal calibration at α = 1/10 over event values:
+    md5-deterministic cal/test halves, q̂ = the ⌈(n+1)·9/10⌉-th
+    smallest calibration score found by bucketed cumulative counts
+    (never a global sort), and empirical test coverage — the
+    distribution-free ≥ 90 % guarantee made checkable.  The rank k is
+    one integer ceiling-division of exact int64s; the oracle replays
+    it with a plain global cumulative window."""
+    from ultraviolet_spark.operators.evalmetrics import split_conformal
+
+    return split_conformal(_t(spark, sf_dir, "events"),
+                           value_col="value", id_col="event_id",
+                           a_num=1, a_den=10)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
