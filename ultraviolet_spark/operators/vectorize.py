@@ -134,3 +134,56 @@ def hashed_vector(df: DataFrame, *, dim: int = 2 ** 18, n: int = 1,
                 F.sort_array(F.collect_list(
                     F.struct("feature_idx", "signed_tf"))))
                 .alias("features")))
+
+
+def quantile_normalize(df: DataFrame, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       n_buckets: int = 64) -> DataFrame:
+    """Quantile normalization across embedding dimensions — force every
+    dimension to share ONE reference distribution (the per-rank mean),
+    the classic fix for dimensions with wildly different scales before
+    cosine/L2 retrieval or per-dim quantization.
+
+    Semantics (deterministic row_number variant): within each
+    dimension, values rank by (value, id) — the id tiebreak replaces
+    the textbook tie-averaging with a reproducible total order — and
+    the normalized value at rank r is the mean over dimensions of each
+    dimension's r-th smallest value, emitted as one fixed-order double
+    division of exact int64s (micro-snapped values; the per-rank sum
+    over d dimensions of ±~10^6 micro-values stays far inside int64).
+
+    Scale shape: a naive ``Window.partitionBy(dim)`` rank puts an
+    ENTIRE dimension's 10^9+ values in one task.  Instead the rank is
+    two-phase within each dimension: in-(dim, value-bucket) row_number
+    (the exchange key is (dim, bucket) — parallelism d × n_buckets),
+    plus an exclusive per-dim prefix over the d·n_buckets-row bucket
+    counts, broadcast back.  No data-sized single-partition — or even
+    single-dimension — window exists.  Returns (id, dim, rk, norm).
+    """
+    from pyspark.sql import Window
+
+    e = df.select(F.col(id_col).alias("id"),
+                  F.posexplode(vec_col).alias("dim", "v0"))
+    e = e.withColumn(
+        "v", F.round(F.col("v0").cast("double") * 1e6).cast("long"))
+    bounds = e.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+    e = (e.crossJoin(F.broadcast(bounds))
+         .withColumn("__b", F.expr(
+             f"(v - __lo) div ((__hi - __lo) div {int(n_buckets)} + 1)")))
+    o_in = Window.partitionBy("dim", "__b").orderBy("v", "id")
+    e = e.withColumn("__rn_in", F.row_number().over(o_in).cast("long"))
+    btot = e.groupBy("dim", "__b").agg(F.count("*").alias("__bc"))
+    w_b = (Window.partitionBy("dim").orderBy("__b")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff = btot.select(
+        "dim", "__b",
+        F.coalesce(F.sum("__bc").over(w_b), F.lit(0)).alias("__oc"))
+    e = (e.join(F.broadcast(boff), ["dim", "__b"])
+         .withColumn("rk", F.col("__oc") + F.col("__rn_in")))
+    ref = e.groupBy("rk").agg(F.sum("v").alias("__sum_v"),
+                              F.count("*").alias("__n_dims"))
+    out = (e.join(ref, "rk")
+           .withColumn("norm", F.round(
+               F.col("__sum_v").cast("double")
+               / F.col("__n_dims").cast("double") / F.lit(1e6), 6)))
+    return out.select(F.col("id").alias(id_col), "dim", "rk", "norm")

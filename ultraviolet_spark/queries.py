@@ -9551,6 +9551,40 @@ def q257(spark, sf_dir):
                            a_num=1, a_den=10)
 
 
+@q("q258_quantile_normalize", """
+WITH ex AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+           AS v
+  FROM embeddings),
+r AS (SELECT vec_id, dim, v,
+             CAST(ROW_NUMBER() OVER (PARTITION BY dim
+                                     ORDER BY v, vec_id) AS BIGINT) AS rk
+      FROM ex),
+ref AS (SELECT rk, CAST(SUM(v) AS BIGINT) AS sum_v,
+               CAST(COUNT(*) AS BIGINT) AS n_dims
+        FROM r GROUP BY rk)
+SELECT r.vec_id, r.dim, r.rk,
+       round(CAST(ref.sum_v AS DOUBLE) / CAST(ref.n_dims AS DOUBLE)
+             / 1e6, 6) AS norm
+FROM r JOIN ref USING (rk)
+""")
+def q258(spark, sf_dir):
+    """Quantile normalization of the embedding matrix: every dimension
+    is forced onto one shared reference distribution (the per-rank
+    cross-dimension mean) — the scale fix applied before cosine/L2
+    retrieval or per-dim quantization.  Ranks use the deterministic
+    (value, id) total order; the engine's per-dim rank is two-phase
+    ((dim, value-bucket) row_numbers + broadcast per-dim bucket
+    offsets, so no dimension ever lands in a single task), while the
+    oracle ranks with a plain PARTITION BY dim window — equal integers
+    by construction."""
+    from ultraviolet_spark.operators.vectorize import quantile_normalize
+
+    return quantile_normalize(_t(spark, sf_dir, "embeddings"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
