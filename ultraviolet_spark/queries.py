@@ -9585,6 +9585,49 @@ def q258(spark, sf_dir):
     return quantile_normalize(_t(spark, sf_dir, "embeddings"))
 
 
+@q("q259_woe_information_value", """
+WITH per AS (
+  SELECT source AS cat,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos_c,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+           AS neg_c
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(pos_c) AS BIGINT) AS pt,
+               CAST(SUM(neg_c) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS k FROM per),
+w AS (
+  SELECT cat, pos_c, neg_c,
+         CAST(round((ln(CAST(2 * pos_c + 1 AS DOUBLE))
+                     - ln(CAST(2 * pt + k AS DOUBLE))
+                     - ln(CAST(2 * neg_c + 1 AS DOUBLE))
+                     + ln(CAST(2 * nt + k AS DOUBLE))) * 1e6)
+              AS BIGINT) AS woe_micro,
+         pt, nt, k
+  FROM per, tot)
+SELECT cat, pos_c, neg_c, woe_micro,
+       CAST(round((CAST(2 * pos_c + 1 AS DOUBLE)
+                   / CAST(2 * pt + k AS DOUBLE)
+                   - CAST(2 * neg_c + 1 AS DOUBLE)
+                     / CAST(2 * nt + k AS DOUBLE))
+                  * (CAST(woe_micro AS DOUBLE) / 1e6) * 1e6)
+            AS BIGINT) AS iv_contrib_micro
+FROM w
+""")
+def q259(spark, sf_dir):
+    """Weight of evidence + information value of the document source
+    predicting English-ness: per-source log-odds with half-count
+    smoothing held exact by integer doubling, snapped once to
+    micro-nats in a fixed operand order, and the IV contribution
+    snapped per category BEFORE any sum so total IV is an
+    order-independent integer.  Complements chi² feature selection
+    with the monotone-model view."""
+    from ultraviolet_spark.operators.stats import woe_iv
+
+    return woe_iv(_t(spark, sf_dir, "documents"),
+                  cat_col="source", label_expr="lang = 'en'")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
