@@ -348,3 +348,36 @@ def test_streaming_rate_limit_matches_batch(spark, sf_dir, tmp_path):
     # non-vacuous: some requests queued, some did not
     waits = [g[3] for g in got]
     assert any(w > 0 for w in waits) and any(w == 0 for w in waits)
+
+
+def test_streaming_target_encode_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming per-category expanding label stats ≡ the batch range
+    window, as plain integer equality, across a genuine micro-batch
+    boundary (batch-2 rows must read batch-1 state) and with the
+    strict-time rule (same-ts rows blind to each other)."""
+    from pyspark.sql import Window
+    from ultraviolet_spark.streaming.stateful import streaming_target_encode
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "event_type", "ts", "value"))
+    stream = _two_batch_stream(spark, ev, tmp_path, "te", ts_col="ts")
+    out = streaming_target_encode(stream, cat_col="event_type",
+                                  ts_col="ts", target_col="value",
+                                  id_col="event_id")
+    _run_to_memory(out, "uv_te", tmp_path)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT event_id, n_past_cat, s_past_micro FROM uv_te")
+        .collect()))
+
+    t = F.round(F.col("value").cast("double") * 1e6).cast("long")
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(Window.unboundedPreceding, -1))
+    want = sorted(map(tuple, ev
+                      .withColumn("n", F.count(t).over(w))
+                      .withColumn("s", F.coalesce(F.sum(t).over(w),
+                                                  F.lit(0)))
+                      .select("event_id", "n", "s").collect()))
+    assert got == want
+    # non-vacuous: state crossed the boundary (late rows carry history)
+    assert any(n > 0 for _e, n, _s in got)

@@ -409,3 +409,79 @@ def streaming_rate_limit(stream: DataFrame, *, by: str, ready_col: str,
                 stateStructType=RATE_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf="NoTimeout"))
+
+
+TE_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("s_micro", T.LongType()),
+])
+TE_OUT_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("n_past_cat", T.LongType()),
+    T.StructField("s_past_micro", T.LongType()),
+])
+
+
+def streaming_target_encode(stream: DataFrame, *, cat_col: str,
+                            ts_col: str, target_col: str,
+                            id_col: str,
+                            watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of ``operators.targetenc.pit_target_encode``'s
+    per-category estimator: each row is emitted with the count and
+    micro-unit sum of same-category targets at STRICTLY earlier event
+    time, folded across micro-batch boundaries with TWO int64s of
+    state per category.
+
+    Exactness contract: the output is the INTEGER sufficient pair
+    (n_past_cat, s_past_micro) — no division, no rounding — so
+    streaming ≡ batch is plain integer equality.  Strict-time
+    semantics inside a batch: rows sharing a timestamp all read the
+    state as of before that instant, THEN the whole tie group folds in
+    (concurrent labels are not yet observable — the same rule the
+    batch range window encodes).  NULL targets contribute nothing to
+    state but still receive their encoding row.
+
+    The GLOBAL expanding prior of the batch operator is deliberately
+    absent: it is a total order across every category — a single
+    serialization point no parallel streaming shard can own — so the
+    streaming estimator is the category-only one; smooth downstream
+    against a constant or a checkpointed batch prior.
+    """
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(pdfs)).sort_values(ts_col, kind="mergesort")
+        ns, ss = [], []
+        cur_ts = None
+        pend_n = pend_s = 0
+        for ts, v in zip(pdf[ts_col], pdf[target_col]):
+            if cur_ts is not None and ts != cur_ts:
+                n, s = n + pend_n, s + pend_s
+                pend_n = pend_s = 0
+            cur_ts = ts
+            ns.append(n)
+            ss.append(s)
+            if not pd.isna(v):
+                pend_n += 1
+                pend_s += int(round(float(v) * 1e6))
+        n, s = n + pend_n, s + pend_s
+        yield pd.DataFrame({
+            "key": str(key[0]),
+            "event_id": pdf[id_col].astype("int64"),
+            "ts": pdf[ts_col],
+            "n_past_cat": pd.Series(ns, dtype="int64").values,
+            "s_past_micro": pd.Series(ss, dtype="int64").values,
+        })
+        state.update((int(n), int(s)))
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(cat_col)
+            .applyInPandasWithState(
+                update,
+                outputStructType=TE_OUT_SCHEMA,
+                stateStructType=TE_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="NoTimeout"))
