@@ -945,3 +945,57 @@ def heaps_fit(docs: DataFrame, *, id_col: str = "doc_id",
         / (d38("n_points") * d38("sum_xx")
            - d38("sum_x") * d38("sum_x")).cast("double"), 6)
     return agg.withColumn("beta", beta)
+
+
+def lexical_diversity(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Corpus-level lexical-diversity / vocabulary-coverage report from
+    exact integer sufficient statistics — the capacity numbers that
+    tell a pipeline how much vocabulary it has NOT yet seen:
+
+    * ``n_tokens`` N, ``n_types`` V, ``v1``/``v2`` hapax and dis
+      legomena counts (types occurring exactly once / twice);
+    * ``p0_unseen`` = V₁/N — Good–Turing's estimate of the probability
+      mass of unseen types (the leave-one-out identity: singletons
+      stand proxy for the not-yet-observed);
+    * ``chao1`` = V + V₁·(V₁−1)/(2·(V₂+1)) — the bias-corrected Chao1
+      lower bound on true vocabulary size (finite even when V₂ = 0);
+    * ``simpson_micro`` = 10⁶·Σf(f−1)/(N(N−1)) — repeat-draw
+      collision probability (Simpson's λ), exact integers until one
+      division;
+    * ``yule_k_micro`` = 10⁴·10⁶·(Σf² − N)/N² — Yule's
+      characteristic K, the classic repeat-rate constant.
+
+    Everything reduces to the counts-of-counts frame: one (token)
+    partial-agg exchange for frequencies, one (frequency) partial agg
+    for N_r — both map-side combined; Σf² for 10^12 tokens needs more
+    than int64 (f ≤ N ~ 2^40 → f² ~ 2^80), so the moment sums
+    accumulate in DECIMAL(38,0) and the divisions happen as fixed-
+    order doubles at the very end.
+    """
+    toks = (docs.filter(F.length(F.trim(text_col)) > 0)
+            .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                      r"\s+")).alias("token")))
+    freq = toks.groupBy("token").agg(F.count("*").alias("f"))
+    d38 = F.col("f").cast("decimal(38,0)")
+    agg = freq.agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long")
+        .alias("v1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).cast("long")
+        .alias("v2"),
+        F.sum(d38 * (d38 - 1)).cast("decimal(38,0)").alias("__sff1"),
+        F.sum(d38 * d38).cast("decimal(38,0)").alias("__sff"))
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        "n_tokens", "n_types", "v1", "v2",
+        F.round(F.col("v1").cast("double") / n, 6).alias("p0_unseen"),
+        F.round(F.col("n_types").cast("double")
+                + F.col("v1").cast("double")
+                * (F.col("v1") - 1).cast("double")
+                / (2.0 * (F.col("v2") + 1).cast("double")), 6)
+        .alias("chao1"),
+        F.round(F.col("__sff1").cast("double")
+                / (n * (n - 1.0)) * 1e6, 6).alias("simpson_micro"),
+        F.round((F.col("__sff").cast("double") - n)
+                / (n * n) * 1e10, 6).alias("yule_k_micro"))

@@ -9628,6 +9628,48 @@ def q259(spark, sf_dir):
                   cat_col="source", label_expr="lang = 'en'")
 
 
+@q("q260_lexical_diversity", """
+WITH t AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0),
+freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM t
+         GROUP BY token),
+agg AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         SUM(CAST(f AS HUGEINT) * (CAST(f AS HUGEINT) - 1)) AS sff1,
+         SUM(CAST(f AS HUGEINT) * CAST(f AS HUGEINT)) AS sff
+  FROM freq)
+SELECT n_tokens, n_types, v1, v2,
+       round(CAST(v1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS p0_unseen,
+       round(CAST(n_types AS DOUBLE)
+             + CAST(v1 AS DOUBLE) * CAST(v1 - 1 AS DOUBLE)
+               / (2.0 * CAST(v2 + 1 AS DOUBLE)), 6) AS chao1,
+       round(CAST(sff1 AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE)
+                * (CAST(n_tokens AS DOUBLE) - 1.0)) * 1e6, 6)
+         AS simpson_micro,
+       round((CAST(sff AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+             * 1e10, 6) AS yule_k_micro
+FROM agg
+""")
+def q260(spark, sf_dir):
+    """Lexical-diversity / vocabulary-coverage report over the corpus:
+    hapax/dis-legomena counts, Good–Turing unseen mass V₁/N, the
+    bias-corrected Chao1 richness lower bound, Simpson's collision
+    probability and Yule's K — all from the counts-of-counts frame
+    (two map-side-combined exchanges), moment sums in DECIMAL(38,0)
+    because Σf² crosses int64 at web scale, divisions as fixed-order
+    doubles at the very end."""
+    from ultraviolet_spark.operators.textstats import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
