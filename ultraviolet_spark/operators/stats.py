@@ -763,3 +763,77 @@ def woe_iv(df: DataFrame, *, cat_col: str, label_expr: str) -> DataFrame:
     return (j.withColumn("iv_contrib_micro", contrib)
             .select("cat", "pos_c", "neg_c", "woe_micro",
                     "iv_contrib_micro"))
+
+
+# Poisson(1) inverse-CDF thresholds scaled to 48-bit integers:
+# T[k] = floor(P(X ≤ k) · 2^48).  A 48-bit md5 uniform u maps to the
+# weight w = #{k : u ≥ T[k]} ∈ 0..9; the truncation at 9 drops
+# P(X > 8) ≈ 1.1e-6 of the distribution — irrelevant to CI coverage
+# and the price of a bounded, engine-portable integer comparison chain.
+_POIS1_T48 = [103548857136060, 207097714272121, 258872142840152,
+              276130285696162, 280444821410164, 281307728552965,
+              281451546410098, 281472091818260, 281474659994280]
+
+
+def poisson_bootstrap_ci(df: DataFrame, *, value_col: str, id_col: str,
+                         n_reps: int = 40, salt: str = "") -> DataFrame:
+    """Bootstrap confidence interval for the mean via the POISSON
+    bootstrap — the resampling scheme that actually distributes: the
+    classical bootstrap draws n rows WITH replacement per replicate
+    (a global operation no shard can do alone), while Poisson(1)
+    per-(row, replicate) weights approximate it exactly in the n→∞
+    limit and need only a row-local deterministic draw.
+
+    Determinism discipline: the weight for (row, replicate b) derives
+    from the 48-bit integer u = md5(id ‖ ':' ‖ b ‖ salt) compared
+    against the hardcoded Poisson(1) inverse-CDF thresholds — never
+    RNG, never partition-dependent, identical in Spark and DuckDB.
+    Replicate means are one fixed-order double division of exact
+    integer pairs (Σw·x_micro, Σw) — the weighted sums accumulate in
+    DECIMAL(38,0) since Σw·x_micro crosses int64 at ~10^11 rows.  The
+    95 % CI is the exact (⌊.025B⌋+1)-th / (⌈.975B⌉)-th order
+    statistics of the B means with (mean, b) tie-break.
+
+    Scale: the row×B expansion is the inherent bootstrap cost (B=40
+    ⇒ 40× one scan, all map-side until the B-group agg); the order
+    statistics run on a B-row frame.
+    """
+    from pyspark.sql import Window
+
+    B = int(n_reps)
+    x = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(x.isNotNull())
+            .select(F.col(id_col).cast("string").alias("id"),
+                    x.alias("x")))
+    est = base.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("x").cast("decimal(38,0)")).cast("double")
+                / F.count("*").cast("double") / F.lit(1e6), 6)
+        .alias("mean_est"))
+
+    e = base.withColumn("b", F.explode(F.sequence(F.lit(0),
+                                                  F.lit(B - 1))))
+    u = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("id"), F.col("b").cast("string"), F.lit(salt))
+        .cast("binary")), 1, 12), 16, 10).cast("long")
+    w = sum((u >= F.lit(t)).cast("int") for t in _POIS1_T48).cast("long")
+    per = (e.withColumn("w", w)
+           .groupBy("b")
+           .agg(F.sum(F.col("w").cast("decimal(38,0)")
+                      * F.col("x").cast("decimal(38,0)")).alias("__swx"),
+                F.sum("w").cast("long").alias("__sw")))
+    per = per.withColumn(
+        "mean_b",
+        F.round(F.col("__swx").cast("double")
+                / F.col("__sw").cast("double") / F.lit(1e6), 6))
+    rk = F.row_number().over(Window.orderBy("mean_b", "b"))
+    k_lo = (B * 25) // 1000 + 1                    # 1-based rank
+    k_hi = (B * 975 + 999) // 1000
+    ci = (per.withColumn("__rk", rk)
+          .agg(F.max(F.when(F.col("__rk") == k_lo, F.col("mean_b")))
+               .alias("ci_lo"),
+               F.max(F.when(F.col("__rk") == k_hi, F.col("mean_b")))
+               .alias("ci_hi"),
+               F.count("*").cast("long").alias("b_reps")))
+    return est.crossJoin(F.broadcast(ci)).select(
+        "n", "mean_est", "b_reps", "ci_lo", "ci_hi")

@@ -9670,6 +9670,49 @@ def q260(spark, sf_dir):
     return lexical_diversity(_t(spark, sf_dir, "documents"))
 
 
+@q("q261_poisson_bootstrap_ci", """
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         CAST(round(value * 1e6) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+est AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS mean_est
+        FROM base),
+e AS (SELECT id, x, CAST(t.i AS BIGINT) AS b FROM base, range(40) t(i)),
+ww AS (SELECT b, x,
+         CAST(CAST(('0x' || substr(md5(id || ':' || CAST(b AS VARCHAR)
+                                   || ':'), 1, 12)) AS UBIGINT)
+              AS BIGINT) AS u
+       FROM e),
+per AS (SELECT b,
+          SUM(CAST(((CASE WHEN u >= 103548857136060 THEN 1 ELSE 0 END) + (CASE WHEN u >= 207097714272121 THEN 1 ELSE 0 END) + (CASE WHEN u >= 258872142840152 THEN 1 ELSE 0 END) + (CASE WHEN u >= 276130285696162 THEN 1 ELSE 0 END) + (CASE WHEN u >= 280444821410164 THEN 1 ELSE 0 END) + (CASE WHEN u >= 281307728552965 THEN 1 ELSE 0 END) + (CASE WHEN u >= 281451546410098 THEN 1 ELSE 0 END) + (CASE WHEN u >= 281472091818260 THEN 1 ELSE 0 END) + (CASE WHEN u >= 281474659994280 THEN 1 ELSE 0 END)) AS HUGEINT) * x) AS swx,
+          CAST(SUM(((CASE WHEN u >= 103548857136060 THEN 1 ELSE 0 END) + (CASE WHEN u >= 207097714272121 THEN 1 ELSE 0 END) + (CASE WHEN u >= 258872142840152 THEN 1 ELSE 0 END) + (CASE WHEN u >= 276130285696162 THEN 1 ELSE 0 END) + (CASE WHEN u >= 280444821410164 THEN 1 ELSE 0 END) + (CASE WHEN u >= 281307728552965 THEN 1 ELSE 0 END) + (CASE WHEN u >= 281451546410098 THEN 1 ELSE 0 END) + (CASE WHEN u >= 281472091818260 THEN 1 ELSE 0 END) + (CASE WHEN u >= 281474659994280 THEN 1 ELSE 0 END))) AS BIGINT) AS sw
+        FROM ww GROUP BY b),
+m AS (SELECT b, round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) / 1e6, 6)
+               AS mean_b FROM per),
+r AS (SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk FROM m),
+ci AS (SELECT MAX(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+              MAX(CASE WHEN rk = 39 THEN mean_b END) AS ci_hi,
+              CAST(COUNT(*) AS BIGINT) AS b_reps FROM r)
+SELECT est.n, est.mean_est, ci.b_reps, ci.ci_lo, ci.ci_hi FROM est, ci
+""")
+def q261(spark, sf_dir):
+    """95 % Poisson-bootstrap CI for the mean event value: B = 40
+    replicates whose per-(row, replicate) Poisson(1) weights derive
+    from md5 48-bit uniforms against hardcoded inverse-CDF integer
+    thresholds — the resampling scheme that distributes (classical
+    with-replacement draws are a global operation; Poisson weights
+    are row-local), fully deterministic and engine-portable.  CI ends
+    are exact order statistics of the B replicate means; the oracle
+    replays every threshold comparison."""
+    from ultraviolet_spark.operators.stats import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(_t(spark, sf_dir, "events"),
+                                value_col="value", id_col="event_id",
+                                n_reps=40)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
