@@ -837,3 +837,48 @@ def poisson_bootstrap_ci(df: DataFrame, *, value_col: str, id_col: str,
                F.count("*").cast("long").alias("b_reps")))
     return est.crossJoin(F.broadcast(ci)).select(
         "n", "mean_est", "b_reps", "ci_lo", "ci_hi")
+
+
+def mutual_information(df: DataFrame, *, col_a: str,
+                       col_b: str) -> DataFrame:
+    """Mutual information I(A;B) between two categorical columns, plus
+    the per-cell decomposition — the dependence measure that completes
+    chi² (deviation from independence) and WOE/IV (binary-label
+    log-odds) with the information-theoretic view, valid for ANY pair
+    of categorical columns.
+
+    I(A;B) = Σ_{a,b} (n_ab/N)·ln(N·n_ab / (n_a·n_b)).  Exactness: each
+    cell's pointwise term ln(N·n_ab) − ln(n_a·n_b) evaluates in fixed
+    operand order and snaps to integer micro-nats; the cell
+    contribution (pmi_micro weighted by the exact rational n_ab/N)
+    snaps to integer micro-nats-per-draw BEFORE summing, so the total
+    is an order-independent integer sum — the q86/q259 discipline.
+    Zero cells contribute exactly zero by the x·ln x → 0 convention
+    (absent rows, absent terms).
+
+    Scale: one (a, b) partial-agg exchange for cells; marginals are
+    two more partial aggs joined back broadcast-style (cell-frame
+    sized, not data-sized).  N·n_ab and n_a·n_b stay inside int64 up
+    to ~10^9 rows; both products route through DECIMAL(38,0) for the
+    10^12 case.
+    """
+    cells = df.groupBy(F.col(col_a).alias("a"),
+                       F.col(col_b).alias("b")).agg(
+        F.count("*").alias("n_ab"))
+    ma = cells.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = cells.agg(F.sum("n_ab").alias("__n"))
+    j = (cells.join(ma, "a").join(mb, "b")
+         .crossJoin(F.broadcast(tot)))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    pmi_micro = F.round(
+        (F.log((d38("__n") * d38("n_ab")).cast("double"))
+         - F.log((d38("n_a") * d38("n_b")).cast("double"))) * 1e6
+    ).cast("long")
+    j = j.withColumn("pmi_micro", pmi_micro)
+    contrib = F.round(
+        F.col("n_ab").cast("double") / F.col("__n").cast("double")
+        * F.col("pmi_micro").cast("double")).cast("long")
+    return (j.withColumn("mi_contrib_micro", contrib)
+            .select("a", "b", "n_ab", "n_a", "n_b", "pmi_micro",
+                    "mi_contrib_micro"))

@@ -9713,6 +9713,41 @@ def q261(spark, sf_dir):
                                 n_reps=40)
 
 
+@q("q262_mutual_information", """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM documents GROUP BY lang, source),
+ma AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY a),
+mb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cells),
+w AS (
+  SELECT cells.a, cells.b, cells.n_ab, ma.n_a, mb.n_b,
+         CAST(round((ln(CAST(CAST(tot.n AS HUGEINT)
+                             * cells.n_ab AS DOUBLE))
+                     - ln(CAST(CAST(ma.n_a AS HUGEINT)
+                               * mb.n_b AS DOUBLE))) * 1e6)
+              AS BIGINT) AS pmi_micro,
+         tot.n
+  FROM cells JOIN ma USING (a) JOIN mb USING (b), tot)
+SELECT a, b, n_ab, n_a, n_b, pmi_micro,
+       CAST(round(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE)
+                  * CAST(pmi_micro AS DOUBLE)) AS BIGINT)
+         AS mi_contrib_micro
+FROM w
+""")
+def q262(spark, sf_dir):
+    """Mutual information between document language and source with
+    the per-cell PMI decomposition: each pointwise term snaps to
+    integer micro-nats in a fixed operand order, each cell's weighted
+    contribution snaps BEFORE summation, so total MI is an
+    order-independent integer sum.  Completes the dependence family
+    (chi², WOE/IV) with the information-theoretic view."""
+    from ultraviolet_spark.operators.stats import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"),
+                              col_a="lang", col_b="source")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
