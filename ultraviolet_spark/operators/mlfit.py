@@ -1,0 +1,125 @@
+"""In-engine model fitting: logistic regression by IRLS, exactly
+reproducible across engines and cluster sizes.
+
+Distributed GLM training is normally "approximately deterministic at
+best" — float reduction order varies with partitioning, so two runs of
+the same job give betas differing in the last ulps, and a DuckDB replay
+matches nothing.  This operator makes the whole fit a pure function of
+the data by the registry's exactness discipline:
+
+* every per-row contribution to the weighted normal equations
+  (w·xa·xb and w·z·xa) is snapped to an integer micro-unit BEFORE
+  aggregation, so each iteration's sufficient statistics are
+  order-independent int64 sums — partitioning cannot move them;
+* the 3×3 weighted-least-squares solve is Cramer's rule evaluated in
+  a FIXED operand order over doubles of those exact integers (the
+  determinant polynomials reach ~10^49 at corpus scale, past
+  DECIMAL(38); int64→double conversion is the same nearest-even in
+  every engine, and identical operand trees give identical doubles);
+* iterations are UNROLLED (fixed count, default 2 from β = 0) — the
+  honest contract for a fixpoint-free exact replay, mirroring k-core's
+  fixed-rounds mode; β snaps to micro-units between iterations.
+
+Scale: each iteration is ONE map-side-combined pass producing a 9-sum
+single row (no shuffle beyond the final partial-agg tree); β rides a
+broadcast one-row frame back.  10^12 rows × 2 iterations = 2 scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["logreg_irls"]
+
+
+def _snap(col) -> F.Column:
+    return F.round(col * 1e6).cast("long")
+
+
+def logreg_irls(df: DataFrame, *, x1_col, x2_col, label_expr: str,
+                iters: int = 2) -> DataFrame:
+    """Fit P(y=1) = σ(β₀ + β₁x₁ + β₂x₂) with ``iters`` unrolled IRLS
+    steps from β = 0.  ``x1_col``/``x2_col`` are Column expressions
+    (snapped to micro-units on ingestion); ``label_expr`` a SQL
+    boolean.  Returns one row: n, beta0_micro, beta1_micro,
+    beta2_micro (and the final iteration's determinant for a
+    singularity witness — det 0 means collinear features, betas NULL).
+    """
+    y = F.when(F.expr(label_expr), 1.0).otherwise(0.0)
+    x1 = _snap(F.col(x1_col).cast("double") if isinstance(x1_col, str)
+               else x1_col.cast("double"))
+    x2 = _snap(F.col(x2_col).cast("double") if isinstance(x2_col, str)
+               else x2_col.cast("double"))
+    base = (df.filter(x1.isNotNull() & x2.isNotNull())
+            .select(y.alias("y"),
+                    (x1.cast("double") / F.lit(1e6)).alias("x1"),
+                    (x2.cast("double") / F.lit(1e6)).alias("x2")))
+
+    beta = None  # one-row frame (b0m, b1m, b2m) or None for β = 0
+
+    for _ in range(int(iters)):
+        if beta is None:
+            it = base.withColumn("eta", F.lit(0.0))
+        else:
+            it = base.crossJoin(F.broadcast(beta)).withColumn(
+                "eta",
+                (F.col("b0m").cast("double")
+                 + F.col("b1m").cast("double") * F.col("x1")
+                 + F.col("b2m").cast("double") * F.col("x2"))
+                / F.lit(1e6))
+        it = (it
+              .withColumn("mu", F.lit(1.0)
+                          / (F.lit(1.0) + F.exp(-F.col("eta"))))
+              .withColumn("w", F.col("mu") * (F.lit(1.0) - F.col("mu")))
+              .withColumn("z", F.col("eta")
+                          + (F.col("y") - F.col("mu")) / F.col("w")))
+        w, x1c, x2c, z = (F.col("w"), F.col("x1"), F.col("x2"),
+                          F.col("z"))
+        sums = it.agg(
+            F.count("*").alias("n"),
+            F.sum(_snap(w)).alias("s11"),
+            F.sum(_snap(w * x1c)).alias("s12"),
+            F.sum(_snap(w * x2c)).alias("s13"),
+            F.sum(_snap(w * x1c * x1c)).alias("s22"),
+            F.sum(_snap(w * x1c * x2c)).alias("s23"),
+            F.sum(_snap(w * x2c * x2c)).alias("s33"),
+            F.sum(_snap(w * z)).alias("t1"),
+            F.sum(_snap(w * z * x1c)).alias("t2"),
+            F.sum(_snap(w * z * x2c)).alias("t3"))
+        d = {c: F.col(c).cast("double")
+             for c in ("s11", "s12", "s13", "s22", "s23", "s33",
+                       "t1", "t2", "t3")}
+        m11 = d["s22"] * d["s33"] - d["s23"] * d["s23"]
+        m12 = d["s12"] * d["s33"] - d["s23"] * d["s13"]
+        m13 = d["s12"] * d["s23"] - d["s22"] * d["s13"]
+        det = d["s11"] * m11 - d["s12"] * m12 + d["s13"] * m13
+        det0 = (d["t1"] * m11
+                - d["s12"] * (d["t2"] * d["s33"] - d["s23"] * d["t3"])
+                + d["s13"] * (d["t2"] * d["s23"] - d["s22"] * d["t3"]))
+        det1 = (d["s11"] * (d["t2"] * d["s33"] - d["s23"] * d["t3"])
+                - d["t1"] * m12
+                + d["s13"] * (d["s12"] * d["t3"] - d["t2"] * d["s13"]))
+        det2 = (d["s11"] * (d["s22"] * d["t3"] - d["t2"] * d["s23"])
+                - d["s12"] * (d["s12"] * d["t3"] - d["t2"] * d["s13"])
+                + d["t1"] * m13)
+        nz = det != F.lit(0.0)
+        beta = sums.select(
+            F.col("n"),
+            F.when(nz, F.round(det0 / det * 1e6).cast("long"))
+            .alias("b0m"),
+            F.when(nz, F.round(det1 / det * 1e6).cast("long"))
+            .alias("b1m"),
+            F.when(nz, F.round(det2 / det * 1e6).cast("long"))
+            .alias("b2m"),
+            det.alias("det"))
+        # a singular system poisons the next iteration's eta to NULL;
+        # callers read det == 0.0 as the collinearity witness
+        beta = beta.select("n", "b0m", "b1m", "b2m", "det")
+
+    return beta.select(
+        "n",
+        F.col("b0m").alias("beta0_micro"),
+        F.col("b1m").alias("beta1_micro"),
+        F.col("b2m").alias("beta2_micro"),
+        F.round(F.col("det"), 2).alias("det_rounded"))

@@ -9748,6 +9748,153 @@ def q262(spark, sf_dir):
                               col_a="lang", col_b="source")
 
 
+@q("q263_logreg_irls", """
+WITH base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+         CAST(CAST(round(value * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS x1,
+         CAST(CAST(round(CAST(EXTRACT(hour FROM ts) AS DOUBLE) * 1e6)
+              AS BIGINT) AS DOUBLE) / 1e6 AS x2
+  FROM events WHERE value IS NOT NULL),
+nb0 AS (SELECT CAST(0 AS BIGINT) AS b0m, CAST(0 AS BIGINT) AS b1m,
+               CAST(0 AS BIGINT) AS b2m),
+it1 AS (
+  SELECT base.*, (CAST(nb0.b0m AS DOUBLE)
+                  + CAST(nb0.b1m AS DOUBLE) * x1
+                  + CAST(nb0.b2m AS DOUBLE) * x2) / 1e6 AS eta
+  FROM base, nb0),
+row1 AS (
+  SELECT y, x1, x2, eta,
+         1.0 / (1.0 + exp(-eta)) AS mu,
+         (1.0 / (1.0 + exp(-eta)))
+           * (1.0 - (1.0 / (1.0 + exp(-eta)))) AS w,
+         eta + (y - (1.0 / (1.0 + exp(-eta))))
+               / ((1.0 / (1.0 + exp(-eta)))
+                  * (1.0 - (1.0 / (1.0 + exp(-eta))))) AS z
+  FROM it1),
+sum1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT) AS s11,
+         CAST(SUM(CAST(round(w*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s12,
+         CAST(SUM(CAST(round(w*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s13,
+         CAST(SUM(CAST(round(w*x1*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s22,
+         CAST(SUM(CAST(round(w*x1*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s23,
+         CAST(SUM(CAST(round(w*x2*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s33,
+         CAST(SUM(CAST(round(w*z * 1e6) AS BIGINT)) AS BIGINT) AS t1,
+         CAST(SUM(CAST(round(w*z*x1 * 1e6) AS BIGINT)) AS BIGINT) AS t2,
+         CAST(SUM(CAST(round(w*z*x2 * 1e6) AS BIGINT)) AS BIGINT) AS t3
+  FROM row1),
+dd1 AS (
+  SELECT n,
+         CAST(s11 AS DOUBLE) AS ds11, CAST(s12 AS DOUBLE) AS ds12,
+         CAST(s13 AS DOUBLE) AS ds13, CAST(s22 AS DOUBLE) AS ds22,
+         CAST(s23 AS DOUBLE) AS ds23, CAST(s33 AS DOUBLE) AS ds33,
+         CAST(t1 AS DOUBLE) AS dt1, CAST(t2 AS DOUBLE) AS dt2,
+         CAST(t3 AS DOUBLE) AS dt3
+  FROM sum1),
+mm1 AS (
+  SELECT *, ds22 * ds33 - ds23 * ds23 AS m11,
+            ds12 * ds33 - ds23 * ds13 AS m12,
+            ds12 * ds23 - ds22 * ds13 AS m13
+  FROM dd1),
+dt1 AS (
+  SELECT *,
+    ds11 * m11 - ds12 * m12 + ds13 * m13 AS det,
+    dt1 * m11 - ds12 * (dt2 * ds33 - ds23 * dt3)
+      + ds13 * (dt2 * ds23 - ds22 * dt3) AS det0,
+    ds11 * (dt2 * ds33 - ds23 * dt3) - dt1 * m12
+      + ds13 * (ds12 * dt3 - dt2 * ds13) AS det1,
+    ds11 * (ds22 * dt3 - dt2 * ds23) - ds12 * (ds12 * dt3 - dt2 * ds13)
+      + dt1 * m13 AS det2
+  FROM mm1),
+nb1 AS (
+  SELECT n,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det0 / det * 1e6) AS BIGINT) END AS b0m,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det1 / det * 1e6) AS BIGINT) END AS b1m,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det2 / det * 1e6) AS BIGINT) END AS b2m,
+    det
+  FROM dt1),
+it2 AS (
+  SELECT base.*, (CAST(nb1.b0m AS DOUBLE)
+                  + CAST(nb1.b1m AS DOUBLE) * x1
+                  + CAST(nb1.b2m AS DOUBLE) * x2) / 1e6 AS eta
+  FROM base, nb1),
+row2 AS (
+  SELECT y, x1, x2, eta,
+         1.0 / (1.0 + exp(-eta)) AS mu,
+         (1.0 / (1.0 + exp(-eta)))
+           * (1.0 - (1.0 / (1.0 + exp(-eta)))) AS w,
+         eta + (y - (1.0 / (1.0 + exp(-eta))))
+               / ((1.0 / (1.0 + exp(-eta)))
+                  * (1.0 - (1.0 / (1.0 + exp(-eta))))) AS z
+  FROM it2),
+sum2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT) AS s11,
+         CAST(SUM(CAST(round(w*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s12,
+         CAST(SUM(CAST(round(w*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s13,
+         CAST(SUM(CAST(round(w*x1*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s22,
+         CAST(SUM(CAST(round(w*x1*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s23,
+         CAST(SUM(CAST(round(w*x2*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s33,
+         CAST(SUM(CAST(round(w*z * 1e6) AS BIGINT)) AS BIGINT) AS t1,
+         CAST(SUM(CAST(round(w*z*x1 * 1e6) AS BIGINT)) AS BIGINT) AS t2,
+         CAST(SUM(CAST(round(w*z*x2 * 1e6) AS BIGINT)) AS BIGINT) AS t3
+  FROM row2),
+dd2 AS (
+  SELECT n,
+         CAST(s11 AS DOUBLE) AS ds11, CAST(s12 AS DOUBLE) AS ds12,
+         CAST(s13 AS DOUBLE) AS ds13, CAST(s22 AS DOUBLE) AS ds22,
+         CAST(s23 AS DOUBLE) AS ds23, CAST(s33 AS DOUBLE) AS ds33,
+         CAST(t1 AS DOUBLE) AS dt1, CAST(t2 AS DOUBLE) AS dt2,
+         CAST(t3 AS DOUBLE) AS dt3
+  FROM sum2),
+mm2 AS (
+  SELECT *, ds22 * ds33 - ds23 * ds23 AS m11,
+            ds12 * ds33 - ds23 * ds13 AS m12,
+            ds12 * ds23 - ds22 * ds13 AS m13
+  FROM dd2),
+dt2 AS (
+  SELECT *,
+    ds11 * m11 - ds12 * m12 + ds13 * m13 AS det,
+    dt1 * m11 - ds12 * (dt2 * ds33 - ds23 * dt3)
+      + ds13 * (dt2 * ds23 - ds22 * dt3) AS det0,
+    ds11 * (dt2 * ds33 - ds23 * dt3) - dt1 * m12
+      + ds13 * (ds12 * dt3 - dt2 * ds13) AS det1,
+    ds11 * (ds22 * dt3 - dt2 * ds23) - ds12 * (ds12 * dt3 - dt2 * ds13)
+      + dt1 * m13 AS det2
+  FROM mm2),
+nb2 AS (
+  SELECT n,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det0 / det * 1e6) AS BIGINT) END AS b0m,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det1 / det * 1e6) AS BIGINT) END AS b1m,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det2 / det * 1e6) AS BIGINT) END AS b2m,
+    det
+  FROM dt2)
+SELECT n, b0m AS beta0_micro, b1m AS beta1_micro, b2m AS beta2_micro,
+       round(det, 2) AS det_rounded
+FROM nb2
+""")
+def q263(spark, sf_dir):
+    """In-engine logistic regression: P(purchase) ~ sigma(b0 + b1*value
+    + b2*hour), two unrolled IRLS steps from beta = 0, every per-row
+    normal-equation contribution snapped to integer micro-units BEFORE
+    aggregation (partitioning-independent sums) and the 3x3 solve by
+    Cramer's rule in a fixed operand order — a distributed GLM fit
+    that is a pure function of the data, bit-equal to the DuckDB
+    replay of both iterations."""
+    from ultraviolet_spark.operators.mlfit import logreg_irls
+
+    ev = _t(spark, sf_dir, "events")
+    return logreg_irls(ev, x1_col="value",
+                       x2_col=F.hour(F.col("ts").cast("timestamp")),
+                       label_expr="event_type = 'purchase'", iters=2)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 233 queries, 222 of them with exact DuckDB
