@@ -9895,6 +9895,55 @@ def q263(spark, sf_dir):
                        label_expr="event_type = 'purchase'", iters=2)
 
 
+@q("q264_isotonic_calibration", """
+WITH base AS (
+  SELECT CAST(round(value * 1e6) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL),
+bb AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM base),
+binned AS (
+  SELECT (s - lo) // ((hi - lo) // 64 + 1) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM base, bb GROUP BY 1),
+pre AS (
+  SELECT bin, n, pos,
+         CAST(SUM(n) OVER w AS BIGINT) AS cn,
+         CAST(SUM(pos) OVER w AS BIGINT) AS cp
+  FROM binned
+  WINDOW w AS (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tri AS (
+  SELECT m.bin, m.n, m.pos, l.bin AS j,
+         CAST(round(CAST(h.cp - (l.cp - l.pos) AS DOUBLE)
+                    / CAST(h.cn - (l.cn - l.n) AS DOUBLE) * 1e6)
+              AS BIGINT) AS am
+  FROM pre m
+  JOIN pre l ON l.bin <= m.bin
+  JOIN pre h ON h.bin >= m.bin),
+mn AS (SELECT bin, n, pos, j, MIN(am) AS m FROM tri
+       GROUP BY bin, n, pos, j)
+SELECT bin, n, pos,
+       CAST(round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6)
+            AS BIGINT) AS raw_micro,
+       CAST(MAX(m) AS BIGINT) AS fit_micro
+FROM mn GROUP BY bin, n, pos
+""")
+def q264(spark, sf_dir):
+    """Isotonic calibration of event value against purchase-ness over
+    64 score bins, computed by the exact minimax identity fit_i =
+    max_{j≤i} min_{k≥i} avg(y[j..k]) (≡ PAV) with every interval
+    average µ-snapped BEFORE the lattice min/max so both engines
+    compare integers; one data-sized pass, then bins³ tiny-frame
+    algebra.  fit_micro is non-decreasing by construction."""
+    from ultraviolet_spark.operators.evalmetrics import (
+        isotonic_calibration)
+
+    return isotonic_calibration(_t(spark, sf_dir, "events"),
+                                score_col="value",
+                                label_expr="event_type = 'purchase'",
+                                n_bins=64)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 263 queries, 252 of them with exact DuckDB
