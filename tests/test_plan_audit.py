@@ -46,6 +46,23 @@ CROSS_OK = {
     "q224_transition_matrix",  # S×S state-vocab completion (metadata-sized)
     "q235_kneser_ney_ce",  # 1-row broadcast (N1+(··), V) totals frames
     "q236_bitmap_index",  # top-6 token PAIR frame (15 rows, metadata-sized)
+    # the two-phase-prefix family: every member cross-joins ONE-ROW
+    # broadcast bounds/totals/scalars frames (min/max for bucketing,
+    # Σ/count totals, fitted β) — the scale-safe alternative to
+    # collect()ing scalars to the driver:
+    "q251_heaps_law_fit",        # 1-row max-doc-id bounds frame
+    "q252_target_encoding",      # 1-row time-bounds frame
+    "q253_ks_mannwhitney_drift",  # 1-row value-bounds + (n_a, n_b) frame
+    "q255_purged_kfold_cv",      # k-row broadcast fold-spec frame
+    "q256_waterfill_fair_budget",  # 1-row bounds + 1-row (r*, S*) frames
+    "q257_split_conformal",      # 1-row (n, k) + 1-row q̂ frames
+    "q258_quantile_normalize",   # 1-row value-bounds frame
+    "q259_woe_information_value",  # 1-row (pos, neg, K) totals frame
+    "q261_poisson_bootstrap_ci",  # 1-row estimate × 1-row CI frames
+    "q262_mutual_information",   # 1-row corpus-total frame
+    "q263_logreg_irls",          # 1-row β frame per unrolled iteration
+    "q264_isotonic_calibration",  # 1-row score-bounds frame
+    "q265_kaplan_meier",         # 1-row (lo, hi, N) bounds frame
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

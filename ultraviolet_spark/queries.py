@@ -9944,6 +9944,66 @@ def q264(spark, sf_dir):
                                 n_bins=64)
 
 
+@q("q265_kaplan_meier", """
+WITH sp AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS pts,
+         MAX(epoch_us(ts)) AS tl
+  FROM events GROUP BY user_id),
+obs AS (SELECT COALESCE(pts, tl) - t0 AS t, (pts IS NOT NULL) AS e
+        FROM sp),
+per_t AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM obs GROUP BY t),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nn FROM per_t),
+r AS (SELECT t, d,
+             nn - CAST(COALESCE(SUM(n_obs) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM per_t, tot),
+dth AS (SELECT t, n_risk, d,
+               CASE WHEN n_risk > d THEN
+                 CAST(round((ln(CAST(n_risk - d AS DOUBLE))
+                             - ln(CAST(n_risk AS DOUBLE))) * 1e6)
+                      AS BIGINT) END AS step
+        FROM r WHERE d > 0),
+cum AS (SELECT t, n_risk, d,
+               CAST(COALESCE(SUM(step) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0) AS BIGINT) AS lnsum
+        FROM dth)
+SELECT t, n_risk, d,
+       CASE WHEN n_risk <> d THEN lnsum END AS ln_surv_micro,
+       CASE WHEN n_risk = d THEN 0.0
+            ELSE round(exp(CAST(lnsum AS DOUBLE) / 1e6), 6)
+       END AS surv
+FROM cum
+""")
+def q265(spark, sf_dir):
+    """Kaplan–Meier survival of time-to-first-purchase per user, with
+    users who never purchase right-censored at their last observed
+    event — the survivorship-bias-free duration statistic.  Per-step
+    log factors ln(n−d)−ln(n) snap to µ-nats over exact int64 risk
+    counts; the running product is an integer prefix sum over death
+    times via the bucketed two-phase cumsum; an exhausted risk set
+    reports NULL/0.0, never a silent -inf."""
+    from ultraviolet_spark.operators.survival import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    sp = ev.groupBy("user_id").agg(
+        F.min(um).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", um))
+        .alias("pts"),
+        F.max(um).alias("tl"))
+    obs = sp.select(
+        (F.coalesce("pts", "tl") - F.col("t0")).alias("dur"),
+        F.col("pts").isNotNull().alias("died"))
+    return kaplan_meier(obs, duration_col="dur", event_col="died")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 263 queries, 252 of them with exact DuckDB
