@@ -10004,6 +10004,50 @@ def q265(spark, sf_dir):
     return kaplan_meier(obs, duration_col="dur", event_col="died")
 
 
+@q("q266_wasserstein_drift", """
+WITH base AS (
+  SELECT CAST(round(value * 1e6) AS BIGINT) AS v, event_type AS g
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+pv AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM base GROUP BY v),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+c AS (
+  SELECT v,
+         CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+         LEAD(v) OVER (ORDER BY v) AS next_v
+  FROM pv
+  WINDOW w AS (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT t.na AS n_a, t.nb AS n_b,
+       round(CAST(SUM(CAST(abs(c.cum_a * t.nb - c.cum_b * t.na)
+                           AS HUGEINT)
+                      * COALESCE(c.next_v - c.v, 0)) AS DOUBLE)
+             / CAST(t.na * t.nb AS DOUBLE) / 1e6, 6) AS w1
+FROM c, t GROUP BY t.na, t.nb
+""")
+def q266(spark, sf_dir):
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between click
+    and purchase value distributions — the integral drift metric next
+    to KS's sup: W₁·n_a·n_b = Σ|cumA·n_b − cumB·n_a|·Δv over the
+    merged support, all integers accumulated in DECIMAL(38,0)/HUGEINT,
+    one fixed-order division at the end.  The engine's prefix and
+    next-value gaps cross bucket boundaries via the tiny per-bucket
+    frames; the oracle replays with plain global windows."""
+    from ultraviolet_spark.operators.stats import w1_distance
+
+    return w1_distance(_t(spark, sf_dir, "events"),
+                       value_col="value", group_col="event_type",
+                       group_a="click", group_b="purchase")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 263 queries, 252 of them with exact DuckDB
