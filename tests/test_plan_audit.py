@@ -63,6 +63,8 @@ CROSS_OK = {
     "q263_logreg_irls",          # 1-row β frame per unrolled iteration
     "q264_isotonic_calibration",  # 1-row score-bounds frame
     "q265_kaplan_meier",         # 1-row (lo, hi, N) bounds frame
+    "q266_wasserstein_drift",    # 1-row value-bounds + totals frame
+    "q267_logrank_ab_test",      # 1-row (lo, hi, N_A, N_B) bounds frame
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -10048,6 +10048,85 @@ def q266(spark, sf_dir):
                        group_a="click", group_b="purchase")
 
 
+@q("q267_logrank_ab_test", """
+WITH sp AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS pts,
+         MAX(epoch_us(ts)) AS tl
+  FROM events GROUP BY user_id),
+obs AS (SELECT COALESCE(pts, tl) - t0 AS t, (pts IS NOT NULL) AS e,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga
+        FROM sp),
+per_t AS (
+  SELECT t,
+         CAST(SUM(ga) AS BIGINT) AS o_a,
+         CAST(SUM(1 - ga) AS BIGINT) AS o_b,
+         CAST(SUM(CASE WHEN e AND ga = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_a,
+         CAST(SUM(CASE WHEN e AND ga = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_b
+  FROM obs GROUP BY t),
+tot AS (SELECT CAST(SUM(o_a) AS BIGINT) AS na,
+               CAST(SUM(o_b) AS BIGINT) AS nb FROM per_t),
+r AS (
+  SELECT t, d_a, d_b,
+         na - CAST(COALESCE(SUM(o_a) OVER wx, 0) AS BIGINT) AS n_a,
+         nb - CAST(COALESCE(SUM(o_b) OVER wx, 0) AS BIGINT) AS n_b
+  FROM per_t, tot
+  WINDOW wx AS (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+death AS (SELECT *, d_a + d_b AS dd, n_a + n_b AS nn FROM r
+          WHERE d_a + d_b > 0),
+terms AS (
+  SELECT d_a, d_b,
+         CASE WHEN nn > 1 THEN
+           CAST(round(CAST(d_a * nn - dd * n_a AS DOUBLE)
+                      / CAST(nn AS DOUBLE) * 1e6) AS BIGINT)
+         ELSE 0 END AS um,
+         CASE WHEN nn > 1 THEN
+           CAST(round(CAST(CAST(dd AS HUGEINT) * n_a * n_b * (nn - dd)
+                           AS DOUBLE)
+                      / CAST(CAST(nn AS HUGEINT) * nn * (nn - 1)
+                             AS DOUBLE) * 1e6) AS BIGINT)
+         ELSE 0 END AS vm
+  FROM death)
+SELECT tot.na AS n_obs_a, tot.nb AS n_obs_b,
+       CAST(SUM(d_a) AS BIGINT) AS deaths_a,
+       CAST(SUM(d_b) AS BIGINT) AS deaths_b,
+       CAST(SUM(um) AS BIGINT) AS u_micro,
+       CAST(SUM(vm) AS BIGINT) AS v_micro,
+       round((CAST(SUM(um) AS DOUBLE) / 1e6)
+             * (CAST(SUM(um) AS DOUBLE) / 1e6)
+             / (CAST(SUM(vm) AS DOUBLE) / 1e6), 6) AS chi2
+FROM terms, tot GROUP BY tot.na, tot.nb
+""")
+def q267(spark, sf_dir):
+    """Two-sample log-rank test on time-to-first-purchase between the
+    even-user and odd-user cohorts (never-purchasers right-censored at
+    their last event): per-death-time observed−expected increments and
+    hypergeometric variances as exact integer numerators snapped to
+    micro-units, summed order-independently; n=1 risk sets contribute
+    exactly zero instead of dividing by n−1=0.  The censoring-correct
+    A/B duration test."""
+    from ultraviolet_spark.operators.survival import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    sp = ev.groupBy("user_id").agg(
+        F.min(um).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", um))
+        .alias("pts"),
+        F.max(um).alias("tl"))
+    obs = sp.select(
+        (F.coalesce("pts", "tl") - F.col("t0")).alias("dur"),
+        F.col("pts").isNotNull().alias("died"),
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        .alias("cohort"))
+    return logrank_test(obs, duration_col="dur", event_col="died",
+                        group_col="cohort", group_a="A", group_b="B")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 263 queries, 252 of them with exact DuckDB
