@@ -65,6 +65,7 @@ CROSS_OK = {
     "q265_kaplan_meier",         # 1-row (lo, hi, N) bounds frame
     "q266_wasserstein_drift",    # 1-row value-bounds + totals frame
     "q267_logrank_ab_test",      # 1-row (lo, hi, N_A, N_B) bounds frame
+    "q268_cuped_adjustment",     # 1-row time-bounds + pooled-moments frames
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -958,3 +958,60 @@ def w1_distance(df: DataFrame, *, value_col: str, group_col: str,
         F.round(F.col("__num").cast("double")
                 / (F.col("n_a") * F.col("n_b")).cast("double")
                 / F.lit(1e6), 6).alias("w1"))
+
+
+def cuped_adjust(users: DataFrame, *, x_col: str, y_col: str,
+                 variant_col: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data)
+    adjustment — the experimentation-platform standard for variance
+    reduction: regress the experiment metric y on the pre-period
+    covariate x POOLED across variants (θ = Cov(x,y)/Var(x)) and
+    report each variant's adjusted mean  ȳ_v − θ·(x̄_v − x̄) .  The
+    adjustment removes the x-explained variance (factor 1−ρ²) without
+    biasing the treatment contrast, because θ is shared.
+
+    Input is one row per unit (user) with micro-integer x and y.
+    Exactness: the five pooled moments (n, Σx, Σy, Σx², Σxy) are exact
+    integer sums accumulated in DECIMAL(38,0) (Σxy crosses int64 at
+    ~10^7 users with ~10^6-micro metrics); θ, ρ² and every mean are
+    fixed-order double expressions over those integers.  One (variant)
+    partial agg + one pooled agg broadcast back; output is
+    variant-count-sized.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    base = users.select(F.col(variant_col).alias("variant"),
+                        x.alias("x"), y.alias("y"))
+    pooled = base.agg(
+        F.count("*").alias("__n"),
+        F.sum(d38(F.col("x"))).alias("__sx"),
+        F.sum(d38(F.col("y"))).alias("__sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("__sxx"),
+        F.sum(d38(F.col("x")) * d38(F.col("y"))).alias("__sxy"),
+        F.sum(d38(F.col("y")) * d38(F.col("y"))).alias("__syy"))
+    per_v = base.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum(d38(F.col("x"))).alias("__svx"),
+        F.sum(d38(F.col("y"))).alias("__svy"))
+    j = per_v.crossJoin(F.broadcast(pooled))
+    dn = F.col("__n").cast("double")
+    dsx, dsy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    dsxx = F.col("__sxx").cast("double")
+    dsxy = F.col("__sxy").cast("double")
+    dsyy = F.col("__syy").cast("double")
+    cov_n = dn * dsxy - dsx * dsy
+    var_n = dn * dsxx - dsx * dsx
+    vary_n = dn * dsyy - dsy * dsy
+    theta = cov_n / var_n
+    rho2 = cov_n * cov_n / (var_n * vary_n)
+    mean_y_v = F.col("__svy").cast("double") / F.col("n").cast("double")
+    mean_x_v = F.col("__svx").cast("double") / F.col("n").cast("double")
+    mean_x = dsx / dn
+    adj = mean_y_v - theta * (mean_x_v - mean_x)
+    return j.select(
+        "variant", "n",
+        F.round(mean_y_v / F.lit(1e6), 6).alias("mean_y"),
+        F.round(adj / F.lit(1e6), 6).alias("mean_y_cuped"),
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("rho2"))

@@ -10127,6 +10127,84 @@ def q267(spark, sf_dir):
                         group_col="cohort", group_a="A", group_b="B")
 
 
+@q("q268_cuped_adjustment", """
+WITH bb AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+            FROM events),
+u AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < (lo + hi) // 2
+                    THEN CAST(round(value * 1e6) AS BIGINT) END), 0)
+              AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >= (lo + hi) // 2
+                    THEN CAST(round(value * 1e6) AS BIGINT) END), 0)
+              AS BIGINT) AS y
+  FROM events, bb GROUP BY user_id, lo, hi),
+pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM u),
+pv AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(CAST(x AS HUGEINT)) AS svx,
+              SUM(CAST(y AS HUGEINT)) AS svy
+       FROM u GROUP BY variant)
+SELECT pv.variant, pv.n,
+       round(CAST(pv.svy AS DOUBLE) / CAST(pv.n AS DOUBLE) / 1e6, 6)
+         AS mean_y,
+       round((CAST(pv.svy AS DOUBLE) / CAST(pv.n AS DOUBLE)
+              - ((CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+                  - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+                 / (CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                    - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE)))
+                * (CAST(pv.svx AS DOUBLE) / CAST(pv.n AS DOUBLE)
+                   - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))
+             / 1e6, 6) AS mean_y_cuped,
+       round((CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+              - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+             / (CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE)), 6)
+         AS theta,
+       round((CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+              - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+             * (CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+                - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+             / ((CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                 - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE))
+                * (CAST(p.n AS DOUBLE) * CAST(p.syy AS DOUBLE)
+                   - CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE))), 6)
+         AS rho2
+FROM pv, pooled p
+""")
+def q268(spark, sf_dir):
+    """CUPED variance reduction on an even/odd-user experiment: each
+    user's pre-period value sum (first half of the time range) is the
+    covariate, the post-period sum the metric; θ = Cov(x,y)/Var(x)
+    pooled across variants from exact DECIMAL(38,0) integer moments,
+    adjusted means ȳ_v − θ(x̄_v − x̄) as fixed-order doubles.  The
+    unbiasedness and 1−ρ² variance-reduction properties are pinned in
+    tests; here the oracle replays the identical moment algebra."""
+    from ultraviolet_spark.operators.stats import cuped_adjust
+
+    ev = _t(spark, sf_dir, "events")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    bb = ev.agg(F.min(um).alias("lo"), F.max(um).alias("hi"))
+    t = F.round(F.col("value").cast("double") * 1e6).cast("long")
+    cut = F.expr("(lo + hi) div 2")
+    u = (ev.crossJoin(F.broadcast(bb))
+         .groupBy("user_id")
+         .agg(F.coalesce(F.sum(F.when(um < cut, t)), F.lit(0))
+              .alias("x"),
+              F.coalesce(F.sum(F.when(um >= cut, t)), F.lit(0))
+              .alias("y"))
+         .withColumn("variant",
+                     F.when(F.col("user_id") % 2 == 0, "A")
+                     .otherwise("B")))
+    return cuped_adjust(u, x_col="x", y_col="y", variant_col="variant")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 263 queries, 252 of them with exact DuckDB
