@@ -1015,3 +1015,80 @@ def cuped_adjust(users: DataFrame, *, x_col: str, y_col: str,
         F.round(adj / F.lit(1e6), 6).alias("mean_y_cuped"),
         F.round(theta, 6).alias("theta"),
         F.round(rho2, 6).alias("rho2"))
+
+
+def sprt_decision(df: DataFrame, *, ts_col: str, id_col: str,
+                  success_expr: str, group_col: str,
+                  lr1_micro: int, lr0_micro: int,
+                  upper_micro: int, lower_micro: int,
+                  n_buckets: int = 64) -> DataFrame:
+    """Wald's sequential probability ratio test per group — the
+    early-stopping machinery for streaming experiments: after each
+    Bernoulli observation the log-likelihood ratio moves by one of TWO
+    constants (``lr1_micro`` on success, ``lr0_micro`` on failure,
+    both precomputed µ-nat integers, e.g. ln(p₁/p₀) for a p₀ vs p₁
+    conversion test), and the test stops the first time the running
+    sum crosses ``upper_micro`` (accept H₁) or ``lower_micro``
+    (accept H₀).
+
+    The whole trajectory is INTEGER: increments, cumulative sums and
+    boundaries, so the crossing index is exact — no float-accumulation
+    drift can move a decision by one observation.  Observation order
+    is (ts, id); same-timestamp ties resolve by id as the arrival
+    proxy (documented, deterministic).  Per-group cumulative sums and
+    ranks run through the (group, time-bucket) two-phase prefix; the
+    crossing scan is one aggregation over the trajectory (min index
+    where cum ≥ U / ≤ L), never a driver-side loop.
+
+    Output per group: n, successes, final_llr_micro, cross_idx (1-based
+    observation number of the FIRST boundary hit, NULL if none),
+    decision ('accept_h1' / 'accept_h0' / 'continue').
+    """
+    from pyspark.sql import Window
+
+    um = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    inc = F.when(F.expr(success_expr), F.lit(int(lr1_micro))) \
+        .otherwise(F.lit(int(lr0_micro))).cast("long")
+    d = df.select(F.col(group_col).alias("grp"), um.alias("t"),
+                  F.col(id_col).alias("i"), inc.alias("inc"),
+                  F.when(F.expr(success_expr), 1).otherwise(0)
+                  .alias("succ"))
+    bounds = d.groupBy("grp").agg(F.min("t").alias("__lo"),
+                                  F.max("t").alias("__hi"))
+    d = (d.join(F.broadcast(bounds), "grp")
+         .withColumn("__b", F.expr(
+             f"(t - __lo) div ((__hi - __lo) div {int(n_buckets)} + 1)")))
+    o_in = Window.partitionBy("grp", "__b").orderBy("t", "i")
+    w_in = o_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (d.withColumn("__rn_in", F.row_number().over(o_in).cast("long"))
+         .withColumn("__s_in", F.sum("inc").over(w_in)))
+    btot = d.groupBy("grp", "__b").agg(F.count("*").alias("__bc"),
+                                       F.sum("inc").alias("__bs"))
+    w_b = (Window.partitionBy("grp").orderBy("__b")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff = btot.select(
+        "grp", "__b",
+        F.coalesce(F.sum("__bc").over(w_b), F.lit(0)).alias("__oc"),
+        F.coalesce(F.sum("__bs").over(w_b), F.lit(0)).alias("__os"))
+    d = (d.join(F.broadcast(boff), ["grp", "__b"])
+         .withColumn("idx", F.col("__oc") + F.col("__rn_in"))
+         .withColumn("cum", F.col("__os") + F.col("__s_in")))
+    U, L = F.lit(int(upper_micro)), F.lit(int(lower_micro))
+    agg = d.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("succ").cast("long").alias("successes"),
+        F.sum("inc").cast("long").alias("final_llr_micro"),
+        F.min(F.when(F.col("cum") >= U, F.col("idx"))).alias("__up"),
+        F.min(F.when(F.col("cum") <= L, F.col("idx"))).alias("__dn"))
+    # least() ignores NULLs in both engines: NULL only when neither
+    # boundary was ever hit
+    cross = F.least(F.col("__up"), F.col("__dn"))
+    decision = (F.when(F.col("__up").isNotNull()
+                       & (F.col("__dn").isNull()
+                          | (F.col("__up") <= F.col("__dn"))),
+                       "accept_h1")
+                .when(F.col("__dn").isNotNull(), "accept_h0")
+                .otherwise("continue"))
+    return agg.select("grp", "n", "successes", "final_llr_micro",
+                      cross.alias("cross_idx"),
+                      decision.alias("decision"))

@@ -10205,6 +10205,57 @@ def q268(spark, sf_dir):
     return cuped_adjust(u, x_col="x", y_col="y", variant_col="variant")
 
 
+@q("q269_sprt_early_stopping", """
+WITH d AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+         epoch_us(ts) AS t, event_id AS i,
+         CASE WHEN event_type = 'purchase' THEN 223144
+              ELSE -64539 END AS inc,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+  FROM events),
+c AS (
+  SELECT grp, succ, inc,
+         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY t, i)
+              AS BIGINT) AS idx,
+         CAST(SUM(inc) OVER (PARTITION BY grp ORDER BY t, i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM d),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(succ) AS BIGINT) AS successes,
+         CAST(SUM(inc) AS BIGINT) AS final_llr_micro,
+         MIN(CASE WHEN cum >= 2944439 THEN idx END) AS up_i,
+         MIN(CASE WHEN cum <= -2944439 THEN idx END) AS dn_i
+  FROM c GROUP BY grp)
+SELECT grp, n, successes, final_llr_micro,
+       LEAST(up_i, dn_i) AS cross_idx,
+       CASE WHEN up_i IS NOT NULL
+                 AND (dn_i IS NULL OR up_i <= dn_i) THEN 'accept_h1'
+            WHEN dn_i IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM agg
+""")
+def q269(spark, sf_dir):
+    """Wald SPRT early stopping per cohort: is the purchase rate p1 =
+    0.25 rather than p0 = 0.20?  Every observation moves the LLR by
+    one of two precomputed µ-nat integer constants (ln(p1/p0) =
+    +223144, ln(.75/.8) = −64539), boundaries ±ln 19 (α = β = 0.05);
+    the whole trajectory is integer so the first-crossing observation
+    index is exact.  The engine's per-cohort cumulative trajectory
+    runs the (group, time-bucket) two-phase prefix; the oracle replays
+    with plain partitioned windows."""
+    from ultraviolet_spark.operators.stats import sprt_decision
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B"))
+    return sprt_decision(ev, ts_col="ts", id_col="event_id",
+                         success_expr="event_type = 'purchase'",
+                         group_col="cohort",
+                         lr1_micro=223144, lr0_micro=-64539,
+                         upper_micro=2944439, lower_micro=-2944439)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 268 queries, 257 of them with exact DuckDB
