@@ -381,3 +381,39 @@ def test_streaming_target_encode_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     # non-vacuous: state crossed the boundary (late rows carry history)
     assert any(n > 0 for _e, n, _s in got)
+
+
+def test_streaming_sprt_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming SPRT ≡ batch sprt_decision on the final state, as
+    exact integer equality, with the crossing found in EITHER
+    micro-batch surviving the boundary."""
+    from ultraviolet_spark.operators.stats import sprt_decision
+    from ultraviolet_spark.streaming.stateful import streaming_sprt
+
+    LR1, LR0, U, L = 223144, -64539, 2944439, -2944439
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("cohort",
+                      F.when(F.col("user_id") % 2 == 0, "A")
+                      .otherwise("B"))
+          .withColumn("succ", (F.col("event_type") == "purchase")
+                      .cast("boolean"))
+          .select("cohort", "ts", "event_id", "succ"))
+    stream = _two_batch_stream(spark, ev, tmp_path, "sprt", ts_col="ts")
+    out = streaming_sprt(stream, ts_col="ts", id_col="event_id",
+                         success_col="succ", group_col="cohort",
+                         lr1_micro=LR1, lr0_micro=LR0,
+                         upper_micro=U, lower_micro=L)
+    _run_to_memory(out, "uv_sprt", tmp_path)
+    # the LAST emitted row per group is the final state
+    got = {r["grp"]: (r["n"], r["final_llr_micro"], r["cross_idx"],
+                      r["decision"])
+           for r in spark.sql(
+               "SELECT * FROM uv_sprt ORDER BY n").collect()}
+
+    want_df = sprt_decision(
+        ev.withColumnRenamed("succ", "y"), ts_col="ts",
+        id_col="event_id", success_expr="y", group_col="cohort",
+        lr1_micro=LR1, lr0_micro=LR0, upper_micro=U, lower_micro=L)
+    want = {r["grp"]: (r["n"], r["final_llr_micro"], r["cross_idx"],
+                       r["decision"]) for r in want_df.collect()}
+    assert got == want

@@ -485,3 +485,83 @@ def streaming_target_encode(stream: DataFrame, *, cat_col: str,
                 stateStructType=TE_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf="NoTimeout"))
+
+
+SPRT_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("cum", T.LongType()),
+    T.StructField("up_i", T.LongType()),
+    T.StructField("dn_i", T.LongType()),
+])
+SPRT_OUT_SCHEMA = T.StructType([
+    T.StructField("grp", T.StringType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("successes_batch", T.LongType()),
+    T.StructField("final_llr_micro", T.LongType()),
+    T.StructField("cross_idx", T.LongType()),
+    T.StructField("decision", T.StringType()),
+])
+
+
+def streaming_sprt(stream: DataFrame, *, ts_col: str, id_col: str,
+                   success_col: str, group_col: str,
+                   lr1_micro: int, lr0_micro: int,
+                   upper_micro: int, lower_micro: int,
+                   watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of ``operators.stats.sprt_decision`` — the form
+    sequential testing exists for: the experiment stops MID-STREAM the
+    moment a boundary is crossed, instead of discovering it in a
+    nightly batch.  Four int64s of state per group (observations seen,
+    cumulative µ-nat LLR, first up-/down-crossing indices); each
+    micro-batch emits one summary row per group with the decision so
+    far.  The trajectory is pure integer arithmetic (numpy cumsum over
+    the event-time-sorted batch), so streaming ≡ batch is exact
+    integer equality on (n, cum, cross_idx, decision).
+    """
+    import numpy as np
+
+    U, L = int(upper_micro), int(lower_micro)
+    lr1, lr0 = int(lr1_micro), int(lr0_micro)
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        n, cum, up_i, dn_i = (state.get if state.exists
+                              else (0, 0, None, None))
+        pdf = (pd.concat(list(pdfs))
+               .sort_values([ts_col, id_col], kind="mergesort"))
+        y = pdf[success_col].to_numpy(dtype=bool)
+        inc = np.where(y, np.int64(lr1), np.int64(lr0))
+        traj = cum + np.cumsum(inc)
+        idx = n + np.arange(1, len(inc) + 1, dtype=np.int64)
+        if up_i is None:
+            hits = idx[traj >= U]
+            up_i = int(hits[0]) if len(hits) else None
+        if dn_i is None:
+            hits = idx[traj <= L]
+            dn_i = int(hits[0]) if len(hits) else None
+        n = int(idx[-1]) if len(idx) else n
+        cum = int(traj[-1]) if len(traj) else cum
+        if up_i is not None and (dn_i is None or up_i <= dn_i):
+            cross, dec = up_i, "accept_h1"
+        elif dn_i is not None:
+            cross, dec = dn_i, "accept_h0"
+        else:
+            cross, dec = None, "continue"
+        yield pd.DataFrame({
+            "grp": [str(key[0])], "n": [n],
+            "successes_batch": [int(y.sum())],
+            "final_llr_micro": [cum],
+            "cross_idx": pd.array([cross], dtype="Int64"),
+            "decision": [dec],
+        })
+        state.update((n, cum, up_i, dn_i))
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(group_col)
+            .applyInPandasWithState(
+                update,
+                outputStructType=SPRT_OUT_SCHEMA,
+                stateStructType=SPRT_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="NoTimeout"))
