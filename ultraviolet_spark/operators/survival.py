@@ -176,3 +176,93 @@ def logrank_test(obs: DataFrame, *, duration_col: str, event_col: str,
         * (F.col("u_micro").cast("double") / F.lit(1e6))
         / (F.col("v_micro").cast("double") / F.lit(1e6)), 6)
     return agg.withColumn("chi2", chi2)
+
+
+def cox_score_step(obs: DataFrame, *, duration_col: str, event_col: str,
+                   x_col: str, n_buckets: int = 64) -> DataFrame:
+    """Cox proportional-hazards score test + one Newton step from
+    β = 0, for a CONTINUOUS covariate — the survival regression that
+    log-rank (two groups) cannot do: does higher x mean earlier
+    events, correctly under right-censoring?
+
+    At β = 0 the partial-likelihood score and information reduce to
+    risk-set moments (Breslow handling of tied deaths): at each death
+    time with d deaths whose covariates sum to ``sxd``, and risk-set
+    suffix sums S0 = Σ1, S1 = Σx, S2 = Σx² over everyone still at
+    risk,
+
+        U += sxd − d·S1/S0
+        I += d·(S2·S0 − S1²)/S0²
+
+    Both increments are rationals with EXACT integer numerators
+    (covariates enter as integers; products route through
+    DECIMAL(38,0)); each snaps to micro-units per death time, the test
+    sums integers, and β̂₁ = U/I, score χ² = U²/I are fixed-order
+    double expressions.  Suffix sums are total − exclusive prefix via
+    the bucketed two-phase cumsum.  Risk sets of one (S0 = 1) make I's
+    increment exactly 0 (S2·S0 = S1²) — no special case needed, which
+    the hand test pins.
+    """
+    from pyspark.sql import Window
+
+    d = obs.select(F.col(duration_col).cast("long").alias("t"),
+                   F.col(event_col).cast("boolean").alias("e"),
+                   F.col(x_col).cast("long").alias("x"))
+    per_t = d.groupBy("t").agg(
+        F.count("*").alias("o"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.when(F.col("e"), 1).otherwise(0)).cast("long")
+        .alias("dd"),
+        F.coalesce(F.sum(F.when(F.col("e"), F.col("x"))), F.lit(0))
+        .alias("sxd"))
+    bounds = per_t.agg(
+        F.min("t").alias("__lo"), F.max("t").alias("__hi"),
+        F.sum("o").alias("__n"), F.sum("sx").alias("__sx"),
+        F.sum("sxx").alias("__sxx"))
+    pv = (per_t.crossJoin(F.broadcast(bounds))
+          .withColumn("__b", F.expr(
+              f"(t - __lo) div ((__hi - __lo) div {int(n_buckets)} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    for c in ("o", "sx", "sxx"):
+        pv = pv.withColumn(f"__{c}_in",
+                           F.coalesce(F.sum(c).over(w_in), F.lit(0)))
+    btot = pv.groupBy("__b").agg(F.sum("o").alias("__bo"),
+                                 F.sum("sx").alias("__bsx"),
+                                 F.sum("sxx").alias("__bsxx"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b",
+        F.coalesce(F.sum("__bo").over(w_b), F.lit(0)).alias("__oo"),
+        F.coalesce(F.sum("__bsx").over(w_b), F.lit(0)).alias("__osx"),
+        F.coalesce(F.sum("__bsxx").over(w_b), F.lit(0)).alias("__osxx"))
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("s0", F.col("__n")
+                      - (F.col("__oo") + F.col("__o_in")))
+          .withColumn("s1", F.col("__sx")
+                      - (F.col("__osx") + F.col("__sx_in")))
+          .withColumn("s2", F.col("__sxx")
+                      - (F.col("__osxx") + F.col("__sxx_in"))))
+    deaths = pv.filter(F.col("dd") > 0)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    u_micro = F.round(
+        (d38("sxd") * d38("s0") - d38("dd") * d38("s1")).cast("double")
+        / F.col("s0").cast("double") * 1e6).cast("long")
+    i_micro = F.round(
+        (d38("dd") * (d38("s2") * d38("s0") - d38("s1") * d38("s1")))
+        .cast("double")
+        / (d38("s0") * d38("s0")).cast("double") * 1e6).cast("long")
+    agg = deaths.agg(
+        F.sum("dd").alias("n_deaths"),
+        F.sum(u_micro).cast("long").alias("u_micro"),
+        F.sum(i_micro).cast("long").alias("i_micro"))
+    du = F.col("u_micro").cast("double") / F.lit(1e6)
+    di = F.col("i_micro").cast("double") / F.lit(1e6)
+    # zero information (degenerate: every death faces a singleton risk
+    # set) has no defensible slope — NULL, never a 0/0 ANSI error
+    has_info = F.col("i_micro") != 0
+    return agg.select(
+        "n_deaths", "u_micro", "i_micro",
+        F.when(has_info, F.round(du / di, 6)).alias("beta1"),
+        F.when(has_info, F.round(du * du / di, 6)).alias("score_chi2"))

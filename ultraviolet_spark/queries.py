@@ -10256,6 +10256,82 @@ def q269(spark, sf_dir):
                          upper_micro=2944439, lower_micro=-2944439)
 
 
+@q("q270_cox_score_step", """
+WITH sp AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS pts,
+         MAX(epoch_us(ts)) AS tl,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id),
+obs AS (SELECT COALESCE(pts, tl) - t0 AS t, (pts IS NOT NULL) AS e, x
+        FROM sp),
+per_t AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS o,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+         CAST(COALESCE(SUM(CASE WHEN e THEN x END), 0) AS BIGINT) AS sxd
+  FROM obs GROUP BY t),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(SUM(sx) AS BIGINT) AS tsx,
+               CAST(SUM(sxx) AS BIGINT) AS tsxx FROM per_t),
+r AS (
+  SELECT t, dd, sxd,
+         n - CAST(COALESCE(SUM(o) OVER wx, 0) AS BIGINT) AS s0,
+         tsx - CAST(COALESCE(SUM(sx) OVER wx, 0) AS BIGINT) AS s1,
+         tsxx - CAST(COALESCE(SUM(sxx) OVER wx, 0) AS BIGINT) AS s2
+  FROM per_t, tot
+  WINDOW wx AS (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+terms AS (
+  SELECT dd,
+         CAST(round(CAST(CAST(sxd AS HUGEINT) * s0
+                         - CAST(dd AS HUGEINT) * s1 AS DOUBLE)
+                    / CAST(s0 AS DOUBLE) * 1e6) AS BIGINT) AS um,
+         CAST(round(CAST(CAST(dd AS HUGEINT)
+                         * (CAST(s2 AS HUGEINT) * s0
+                            - CAST(s1 AS HUGEINT) * s1) AS DOUBLE)
+                    / CAST(CAST(s0 AS HUGEINT) * s0 AS DOUBLE) * 1e6)
+              AS BIGINT) AS im
+  FROM r WHERE dd > 0)
+SELECT CAST(SUM(dd) AS BIGINT) AS n_deaths,
+       CAST(SUM(um) AS BIGINT) AS u_micro,
+       CAST(SUM(im) AS BIGINT) AS i_micro,
+       CASE WHEN CAST(SUM(im) AS BIGINT) <> 0 THEN
+         round((CAST(SUM(um) AS DOUBLE) / 1e6)
+               / (CAST(SUM(im) AS DOUBLE) / 1e6), 6) END AS beta1,
+       CASE WHEN CAST(SUM(im) AS BIGINT) <> 0 THEN
+         round((CAST(SUM(um) AS DOUBLE) / 1e6)
+               * (CAST(SUM(um) AS DOUBLE) / 1e6)
+               / (CAST(SUM(im) AS DOUBLE) / 1e6), 6) END AS score_chi2
+FROM terms
+""")
+def q270(spark, sf_dir):
+    """Cox proportional-hazards score test + one Newton step at β=0:
+    does per-user activity (total event count, a CONTINUOUS covariate)
+    predict earlier first purchase under right-censoring?  Breslow
+    ties; risk-set suffix moments S0/S1/S2 from exclusive prefixes;
+    per-death-time score and information increments as exact integer
+    numerators µ-snapped before order-independent summation; β̂ = U/I
+    and score χ² = U²/I as fixed-order doubles."""
+    from ultraviolet_spark.operators.survival import cox_score_step
+
+    ev = _t(spark, sf_dir, "events")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    sp = ev.groupBy("user_id").agg(
+        F.min(um).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", um))
+        .alias("pts"),
+        F.max(um).alias("tl"),
+        F.count("*").alias("x"))
+    obs = sp.select(
+        (F.coalesce("pts", "tl") - F.col("t0")).alias("dur"),
+        F.col("pts").isNotNull().alias("died"), "x")
+    return cox_score_step(obs, duration_col="dur", event_col="died",
+                          x_col="x")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 268 queries, 257 of them with exact DuckDB
