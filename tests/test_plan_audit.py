@@ -67,6 +67,7 @@ CROSS_OK = {
     "q267_logrank_ab_test",      # 1-row (lo, hi, N_A, N_B) bounds frame
     "q268_cuped_adjustment",     # 1-row time-bounds + pooled-moments frames
     "q270_cox_score_step",       # 1-row (lo, hi, N, Σx, Σx²) bounds frame
+    "q271_competing_risks_cif",  # 1-row (lo, hi, N) bounds frame
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

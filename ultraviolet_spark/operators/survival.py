@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kaplan_meier", "logrank_test"]
+__all__ = ["kaplan_meier", "logrank_test", "cox_score_step",
+           "competing_risks"]
 
 
 def kaplan_meier(obs: DataFrame, *, duration_col: str, event_col: str,
@@ -266,3 +267,92 @@ def cox_score_step(obs: DataFrame, *, duration_col: str, event_col: str,
         "n_deaths", "u_micro", "i_micro",
         F.when(has_info, F.round(du / di, 6)).alias("beta1"),
         F.when(has_info, F.round(du * du / di, 6)).alias("score_chi2"))
+
+
+def competing_risks(obs: DataFrame, *, duration_col: str,
+                    cause_col: str, n_buckets: int = 64) -> DataFrame:
+    """Cumulative incidence functions under competing risks (the
+    two-cause Aalen–Johansen estimator): when a unit can exit by
+    EITHER of two events (converted vs churned; purchased vs errored),
+    1 − KM of a single cause overstates its incidence because the
+    competitor removes units first — the CIF fixes this:
+
+        CIF_k(t) = Σ_{tᵢ ≤ t}  S(tᵢ⁻) · d_k(tᵢ) / n(tᵢ)
+
+    with S(t⁻) the ALL-cause Kaplan–Meier just before tᵢ.
+    ``cause_col``: 0 = censored, 1 / 2 = the competing causes.
+
+    Exactness: the all-cause KM runs as the usual µ-nat integer prefix
+    (EXCLUSIVE here — S at tᵢ⁻ sums strictly-earlier steps); each CIF
+    increment exp(lnS⁻)·d_k/n evaluates in fixed operand order and
+    snaps to micro-units; the running CIFs are integer prefix sums.
+    By construction CIF₁ + CIF₂ + S = 1 up to snap error — pinned in
+    tests.  All prefixes ride the bucketed two-phase cumsum.
+    """
+    from pyspark.sql import Window
+
+    d = obs.select(F.col(duration_col).cast("long").alias("t"),
+                   F.col(cause_col).cast("int").alias("c"))
+    per_t = d.groupBy("t").agg(
+        F.count("*").alias("o"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+        .alias("d2"))
+    per_t = per_t.withColumn("dd", F.col("d1") + F.col("d2"))
+    bounds = per_t.agg(F.min("t").alias("__lo"), F.max("t").alias("__hi"),
+                       F.sum("o").alias("__n"))
+    pv = (per_t.crossJoin(F.broadcast(bounds))
+          .withColumn("__b", F.expr(
+              f"(t - __lo) div ((__hi - __lo) div {int(n_buckets)} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    pv = pv.withColumn("__o_in",
+                       F.coalesce(F.sum("o").over(w_in), F.lit(0)))
+    btot = pv.groupBy("__b").agg(F.sum("o").alias("__bo"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b", F.coalesce(F.sum("__bo").over(w_b), F.lit(0)).alias("__oo"))
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("n_risk",
+                      F.col("__n") - (F.col("__oo") + F.col("__o_in"))))
+
+    deaths = pv.filter(F.col("dd") > 0)
+    step = F.when(
+        F.col("n_risk") > F.col("dd"),
+        F.round((F.log((F.col("n_risk") - F.col("dd")).cast("double"))
+                 - F.log(F.col("n_risk").cast("double"))) * 1e6)
+        .cast("long")).otherwise(F.lit(None).cast("long"))
+    deaths = deaths.withColumn("__step", step)
+    # EXCLUSIVE ln-prefix: S(t⁻) uses strictly earlier steps
+    w_din_ex = (Window.partitionBy("__b").orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    deaths = deaths.withColumn(
+        "__s_in", F.coalesce(F.sum("__step").over(w_din_ex), F.lit(0)))
+    dtot = deaths.groupBy("__b").agg(F.sum("__step").alias("__bs"))
+    doff = dtot.select(
+        "__b", F.coalesce(F.sum("__bs").over(w_b), F.lit(0)).alias("__os"))
+    deaths = (deaths.join(F.broadcast(doff), "__b")
+              .withColumn("__ln_before", F.col("__os") + F.col("__s_in")))
+    surv_before = F.exp(F.col("__ln_before").cast("double") / F.lit(1e6))
+    for k in ("1", "2"):
+        inc = F.round(surv_before * F.col(f"d{k}").cast("double")
+                      / F.col("n_risk").cast("double") * 1e6).cast("long")
+        deaths = deaths.withColumn(f"__inc{k}", inc)
+    # running CIFs: inclusive integer prefixes of the increments
+    w_din = (Window.partitionBy("__b").orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for k in ("1", "2"):
+        deaths = deaths.withColumn(
+            f"__c{k}_in", F.sum(f"__inc{k}").over(w_din))
+    ctot = deaths.groupBy("__b").agg(F.sum("__inc1").alias("__bc1"),
+                                     F.sum("__inc2").alias("__bc2"))
+    coff = ctot.select(
+        "__b",
+        F.coalesce(F.sum("__bc1").over(w_b), F.lit(0)).alias("__oc1"),
+        F.coalesce(F.sum("__bc2").over(w_b), F.lit(0)).alias("__oc2"))
+    deaths = deaths.join(F.broadcast(coff), "__b")
+    return deaths.select(
+        "t", "n_risk", "d1", "d2",
+        (F.col("__oc1") + F.col("__c1_in")).alias("cif1_micro"),
+        (F.col("__oc2") + F.col("__c2_in")).alias("cif2_micro"))

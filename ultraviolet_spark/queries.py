@@ -10332,6 +10332,95 @@ def q270(spark, sf_dir):
                           x_col="x")
 
 
+@q("q271_competing_risks_cif", """
+WITH sp AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS pts,
+         MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+           AS ets,
+         MAX(epoch_us(ts)) AS tl
+  FROM events GROUP BY user_id),
+obs AS (
+  SELECT CASE WHEN pts IS NOT NULL AND (ets IS NULL OR pts <= ets)
+                THEN pts - t0
+              WHEN ets IS NOT NULL THEN ets - t0
+              ELSE tl - t0 END AS t,
+         CASE WHEN pts IS NOT NULL AND (ets IS NULL OR pts <= ets)
+                THEN 1
+              WHEN ets IS NOT NULL THEN 2 ELSE 0 END AS c
+  FROM sp),
+per_t AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS o,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+  FROM obs GROUP BY t),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM per_t),
+r AS (
+  SELECT t, d1, d2, d1 + d2 AS dd,
+         n - CAST(COALESCE(SUM(o) OVER wx, 0) AS BIGINT) AS n_risk
+  FROM per_t, tot
+  WINDOW wx AS (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+dth AS (
+  SELECT t, n_risk, d1, d2, dd,
+         CASE WHEN n_risk > dd THEN
+           CAST(round((ln(CAST(n_risk - dd AS DOUBLE))
+                       - ln(CAST(n_risk AS DOUBLE))) * 1e6) AS BIGINT)
+         END AS step
+  FROM r WHERE dd > 0),
+lnb AS (
+  SELECT t, n_risk, d1, d2,
+         CAST(COALESCE(SUM(step) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS ln_before
+  FROM dth),
+inc AS (
+  SELECT t, n_risk, d1, d2,
+         CAST(round(exp(CAST(ln_before AS DOUBLE) / 1e6)
+                    * CAST(d1 AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                    * 1e6) AS BIGINT) AS i1,
+         CAST(round(exp(CAST(ln_before AS DOUBLE) / 1e6)
+                    * CAST(d2 AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                    * 1e6) AS BIGINT) AS i2
+  FROM lnb)
+SELECT t, n_risk, d1, d2,
+       CAST(SUM(i1) OVER w AS BIGINT) AS cif1_micro,
+       CAST(SUM(i2) OVER w AS BIGINT) AS cif2_micro
+FROM inc
+WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+""")
+def q271(spark, sf_dir):
+    """Competing-risks cumulative incidence (two-cause Aalen–Johansen)
+    per user: the FIRST of purchase-vs-error decides the exit cause,
+    never-exiters are censored at their last event — 1 − single-cause
+    KM would overstate each incidence because the competitor removes
+    users first.  All-cause KM runs as the EXCLUSIVE µ-nat integer
+    prefix (S at t⁻), CIF increments S(t⁻)·d_k/n snap to micro-units
+    in fixed operand order, running CIFs are integer prefix sums; the
+    oracle replays everything through plain global windows."""
+    from ultraviolet_spark.operators.survival import competing_risks
+
+    ev = _t(spark, sf_dir, "events")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    sp = ev.groupBy("user_id").agg(
+        F.min(um).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", um))
+        .alias("pts"),
+        F.min(F.when(F.col("event_type") == "error", um)).alias("ets"),
+        F.max(um).alias("tl"))
+    p_first = (F.col("pts").isNotNull()
+               & (F.col("ets").isNull() | (F.col("pts") <= F.col("ets"))))
+    obs = sp.select(
+        (F.when(p_first, F.col("pts"))
+         .when(F.col("ets").isNotNull(), F.col("ets"))
+         .otherwise(F.col("tl")) - F.col("t0")).alias("dur"),
+        F.when(p_first, 1)
+        .when(F.col("ets").isNotNull(), 2).otherwise(0).alias("cause"))
+    return competing_risks(obs, duration_col="dur", cause_col="cause")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 270 queries, 259 of them with exact DuckDB
