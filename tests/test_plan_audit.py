@@ -68,6 +68,7 @@ CROSS_OK = {
     "q268_cuped_adjustment",     # 1-row time-bounds + pooled-moments frames
     "q270_cox_score_step",       # 1-row (lo, hi, N, Σx, Σx²) bounds frame
     "q271_competing_risks_cif",  # 1-row (lo, hi, N) bounds frame
+    "q272_rmst",                 # 1-row bounds + head/area scalar frames
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["kaplan_meier", "logrank_test", "cox_score_step",
-           "competing_risks"]
+           "competing_risks", "rmst"]
 
 
 def kaplan_meier(obs: DataFrame, *, duration_col: str, event_col: str,
@@ -356,3 +356,102 @@ def competing_risks(obs: DataFrame, *, duration_col: str,
         "t", "n_risk", "d1", "d2",
         (F.col("__oc1") + F.col("__c1_in")).alias("cif1_micro"),
         (F.col("__oc2") + F.col("__c2_in")).alias("cif2_micro"))
+
+
+def rmst(obs: DataFrame, *, duration_col: str, event_col: str,
+         tau: int, n_buckets: int = 64) -> DataFrame:
+    """Restricted mean survival time — the area under the KM curve up
+    to horizon τ: the modern effect size for duration metrics (median
+    survival is undefined when the curve never reaches 0.5; RMST is
+    always defined, in the metric's own time units: "expected time
+    alive within the first τ").
+
+    RMST(τ) = Σ over KM steps of S(tᵢ) · (min(tᵢ₊₁, τ) − tᵢ), plus
+    the initial segment min(t₁, τ) at S = 1.  Exactness: S comes from
+    the µ-nat integer ln-prefix (q265's machinery), interval lengths
+    are exact integer µs clamped at τ, each term
+    round(exp(lnᵢ/10⁶)·Δᵢ) snaps to an integer µs contribution before
+    the order-independent sum.  Next-step gaps cross bucket boundaries
+    via the per-bucket-min broadcast frame (the W₁ trick); the last
+    death's open interval extends to τ.
+
+    Returns one row: (tau_us, n, n_deaths, rmst_us, rmst_share) where
+    rmst_share = rmst/τ ∈ (0, 1].
+    """
+    from pyspark.sql import Window
+
+    d = obs.select(F.col(duration_col).cast("long").alias("t"),
+                   F.col(event_col).cast("boolean").alias("e"))
+    per_t = d.groupBy("t").agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.when(F.col("e"), 1).otherwise(0)).cast("long")
+        .alias("dd"))
+    bounds = per_t.agg(F.min("t").alias("__lo"), F.max("t").alias("__hi"),
+                       F.sum("n_obs").alias("__n"),
+                       F.sum("dd").alias("__nd"))
+    pv = (per_t.crossJoin(F.broadcast(bounds))
+          .withColumn("__b", F.expr(
+              f"(t - __lo) div ((__hi - __lo) div {int(n_buckets)} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    pv = pv.withColumn("__o_in",
+                       F.coalesce(F.sum("n_obs").over(w_in), F.lit(0)))
+    btot = pv.groupBy("__b").agg(F.sum("n_obs").alias("__bo"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b", F.coalesce(F.sum("__bo").over(w_b), F.lit(0)).alias("__oo"))
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("n_risk",
+                      F.col("__n") - (F.col("__oo") + F.col("__o_in"))))
+
+    deaths = pv.filter(F.col("dd") > 0)
+    step = F.when(
+        F.col("n_risk") > F.col("dd"),
+        F.round((F.log((F.col("n_risk") - F.col("dd")).cast("double"))
+                 - F.log(F.col("n_risk").cast("double"))) * 1e6)
+        .cast("long")).otherwise(F.lit(None).cast("long"))
+    deaths = deaths.withColumn("__step", step)
+    # inclusive ln prefix (S AT tᵢ governs the interval AFTER tᵢ).
+    # An exhausted step (n_risk == dd, the only possible LAST death
+    # time — nobody remains afterwards) means S = 0 on its interval;
+    # its NULL step is skipped by sum() and its survival overridden.
+    w_din = (Window.partitionBy("__b").orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    deaths = deaths.withColumn(
+        "__s_in", F.coalesce(F.sum("__step").over(w_din), F.lit(0)))
+    dtot = deaths.groupBy("__b").agg(F.sum("__step").alias("__bs"))
+    doff = dtot.select(
+        "__b", F.coalesce(F.sum("__bs").over(w_b), F.lit(0)).alias("__os"))
+    deaths = (deaths.join(F.broadcast(doff), "__b")
+              .withColumn("__lnsum", F.col("__os") + F.col("__s_in")))
+    # next death time (bucket-crossing lead, W₁ trick)
+    deaths = deaths.withColumn(
+        "__nx_in", F.lead("t").over(Window.partitionBy("__b")
+                                    .orderBy("t")))
+    dmins = deaths.groupBy("__b").agg(F.min("t").alias("__dmin"))
+    dnext = dmins.select(
+        "__b", F.lead("__dmin").over(Window.orderBy("__b")).alias("__nxb"))
+    deaths = (deaths.join(F.broadcast(dnext), "__b")
+              .withColumn("next_t", F.coalesce("__nx_in", "__nxb")))
+
+    tau_l = F.lit(int(tau)).cast("long")
+    seg_end = F.least(F.coalesce("next_t", tau_l), tau_l)
+    dlen = F.greatest(seg_end - F.col("t"), F.lit(0).cast("long"))
+    surv_here = F.when(F.col("n_risk") == F.col("dd"), F.lit(0.0)) \
+        .otherwise(F.exp(F.col("__lnsum").cast("double") / F.lit(1e6)))
+    term = F.round(surv_here * dlen.cast("double")).cast("long")
+    first_t = deaths.agg(F.min("t").alias("__t1"))
+    agg = deaths.agg(F.sum(term).alias("__area_after"))
+    out = (bounds.crossJoin(F.broadcast(first_t))
+           .crossJoin(F.broadcast(agg))
+           .withColumn("__head", F.least(F.coalesce(F.col("__t1"),
+                                                    tau_l), tau_l))
+           .withColumn("rmst_us",
+                       F.col("__head")
+                       + F.coalesce("__area_after", F.lit(0))))
+    return out.select(
+        tau_l.alias("tau_us"),
+        F.col("__n").alias("n"), F.col("__nd").alias("n_deaths"),
+        "rmst_us",
+        F.round(F.col("rmst_us").cast("double")
+                / tau_l.cast("double"), 6).alias("rmst_share"))

@@ -10421,6 +10421,77 @@ def q271(spark, sf_dir):
     return competing_risks(obs, duration_col="dur", cause_col="cause")
 
 
+@q("q272_rmst", """
+WITH sp AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS pts,
+         MAX(epoch_us(ts)) AS tl
+  FROM events GROUP BY user_id),
+obs AS (SELECT COALESCE(pts, tl) - t0 AS t, (pts IS NOT NULL) AS e
+        FROM sp),
+per_t AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dd
+          FROM obs GROUP BY t),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+               CAST(SUM(dd) AS BIGINT) AS nd FROM per_t),
+r AS (SELECT t, dd,
+             n - CAST(COALESCE(SUM(n_obs) OVER wx, 0) AS BIGINT)
+               AS n_risk
+      FROM per_t, tot
+      WINDOW wx AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+dth AS (SELECT t, dd, n_risk,
+               CASE WHEN n_risk > dd THEN
+                 CAST(round((ln(CAST(n_risk - dd AS DOUBLE))
+                             - ln(CAST(n_risk AS DOUBLE))) * 1e6)
+                      AS BIGINT) END AS step
+        FROM r WHERE dd > 0),
+c AS (SELECT t, dd, n_risk,
+             CAST(COALESCE(SUM(step) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  0) AS BIGINT) AS lnsum,
+             LEAD(t) OVER (ORDER BY t) AS next_t
+      FROM dth),
+terms AS (
+  SELECT CASE WHEN n_risk = dd THEN CAST(0 AS BIGINT)
+         ELSE CAST(round(exp(CAST(lnsum AS DOUBLE) / 1e6)
+              * CAST(GREATEST(LEAST(COALESCE(next_t, 604800000000),
+                                    604800000000) - t, 0) AS DOUBLE))
+              AS BIGINT) END AS term
+  FROM c),
+hd AS (SELECT LEAST(COALESCE(MIN(t), 604800000000), 604800000000) AS h FROM dth),
+ar AS (SELECT CAST(COALESCE(SUM(term), 0) AS BIGINT) AS a FROM terms)
+SELECT CAST(604800000000 AS BIGINT) AS tau_us, tot.n, tot.nd AS n_deaths,
+       CAST(hd.h + ar.a AS BIGINT) AS rmst_us,
+       round(CAST(hd.h + ar.a AS DOUBLE)
+             / CAST(604800000000 AS DOUBLE), 6) AS rmst_share
+FROM tot, hd, ar
+""")
+def q272(spark, sf_dir):
+    """Restricted mean survival time at a 7-day horizon for
+    time-to-first-purchase: the area under the KM curve up to tau —
+    always defined (median survival is not, when the curve never
+    reaches 0.5), in the metric's own time units.  S comes from the
+    µ-nat integer ln-prefix, interval lengths are exact integer µs
+    clamped at tau with the W1 bucket-crossing lead, every term snaps
+    to integer µs before the order-independent sum."""
+    from ultraviolet_spark.operators.survival import rmst
+
+    ev = _t(spark, sf_dir, "events")
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    sp = ev.groupBy("user_id").agg(
+        F.min(um).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", um))
+        .alias("pts"),
+        F.max(um).alias("tl"))
+    obs = sp.select(
+        (F.coalesce("pts", "tl") - F.col("t0")).alias("dur"),
+        F.col("pts").isNotNull().alias("died"))
+    return rmst(obs, duration_col="dur", event_col="died", tau=604800000000)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 271 queries, 260 of them with exact DuckDB
