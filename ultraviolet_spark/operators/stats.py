@@ -1092,3 +1092,57 @@ def sprt_decision(df: DataFrame, *, ts_col: str, id_col: str,
     return agg.select("grp", "n", "successes", "final_llr_micro",
                       cross.alias("cross_idx"),
                       decision.alias("decision"))
+
+
+def mantel_haenszel(df: DataFrame, *, stratum_col: str, group_expr: str,
+                    outcome_expr: str) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata — the
+    Simpson's-paradox defense: a naive pooled 2×2 table can show an
+    effect REVERSED from every stratum's own effect when group sizes
+    correlate with stratum base rates; MH pools the per-stratum odds
+    ratios with their efficient weights instead:
+
+        OR_MH = Σ_s (a_s·d_s / n_s)  /  Σ_s (b_s·c_s / n_s)
+
+    (a = exposed-positive, b = exposed-negative, c = unexposed-
+    positive, d = unexposed-negative).  Each stratum term has an exact
+    integer numerator (a·d or b·c, DECIMAL(38,0) at corpus scale) over
+    the stratum total; terms snap to micro-units per stratum, the two
+    pools are order-independent integer sums, and OR_MH is one
+    fixed-order division.  Also emits the naive pooled OR from the
+    collapsed table so the paradox is visible in the output.
+
+    One (stratum) partial-agg exchange; strata-count-sized thereafter.
+    """
+    g = F.expr(group_expr)
+    y = F.expr(outcome_expr)
+    cells = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(F.when(g & y, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(g & ~y, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~g & y, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~g & ~y, 1).otherwise(0)).cast("long").alias("d"))
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    num_t = F.round((d38("a") * d38("d")).cast("double")
+                    / n.cast("double") * 1e6).cast("long")
+    den_t = F.round((d38("b") * d38("c")).cast("double")
+                    / n.cast("double") * 1e6).cast("long")
+    agg = cells.agg(
+        F.count("*").alias("n_strata"),
+        F.sum("a").alias("pooled_a"), F.sum("b").alias("pooled_b"),
+        F.sum("c").alias("pooled_c"), F.sum("d").alias("pooled_d"),
+        F.sum(num_t).cast("long").alias("mh_num_micro"),
+        F.sum(den_t).cast("long").alias("mh_den_micro"))
+    or_mh = F.when(
+        F.col("mh_den_micro") > 0,
+        F.round(F.col("mh_num_micro").cast("double")
+                / F.col("mh_den_micro").cast("double"), 6))
+    naive = F.when(
+        (F.col("pooled_b") > 0) & (F.col("pooled_c") > 0),
+        F.round((F.col("pooled_a").cast("decimal(38,0)")
+                 * F.col("pooled_d").cast("decimal(38,0)")).cast("double")
+                / (F.col("pooled_b").cast("decimal(38,0)")
+                   * F.col("pooled_c").cast("decimal(38,0)"))
+                .cast("double"), 6))
+    return agg.select("n_strata", "mh_num_micro", "mh_den_micro",
+                      or_mh.alias("or_mh"), naive.alias("or_naive"))

@@ -10492,6 +10492,66 @@ def q272(spark, sf_dir):
     return rmst(obs, duration_col="dur", event_col="died", tau=604800000000)
 
 
+@q("q273_mantel_haenszel", """
+WITH cells AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) // 6 AS stratum,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                       AND event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN user_id % 2 <> 0
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN user_id % 2 <> 0
+                       AND event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM events GROUP BY 1),
+terms AS (
+  SELECT a, b, c, d,
+         CAST(round(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                    / CAST(a + b + c + d AS DOUBLE) * 1e6)
+              AS BIGINT) AS nt,
+         CAST(round(CAST(CAST(b AS HUGEINT) * c AS DOUBLE)
+                    / CAST(a + b + c + d AS DOUBLE) * 1e6)
+              AS BIGINT) AS dt
+  FROM cells),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(a) AS BIGINT) AS pa, CAST(SUM(b) AS BIGINT) AS pb,
+         CAST(SUM(c) AS BIGINT) AS pc, CAST(SUM(d) AS BIGINT) AS pd,
+         CAST(SUM(nt) AS BIGINT) AS mh_num_micro,
+         CAST(SUM(dt) AS BIGINT) AS mh_den_micro
+  FROM terms)
+SELECT n_strata, mh_num_micro, mh_den_micro,
+       CASE WHEN mh_den_micro > 0 THEN
+         round(CAST(mh_num_micro AS DOUBLE)
+               / CAST(mh_den_micro AS DOUBLE), 6) END AS or_mh,
+       CASE WHEN pb > 0 AND pc > 0 THEN
+         round(CAST(CAST(pa AS HUGEINT) * pd AS DOUBLE)
+               / CAST(CAST(pb AS HUGEINT) * pc AS DOUBLE), 6)
+       END AS or_naive
+FROM agg
+""")
+def q273(spark, sf_dir):
+    """Mantel–Haenszel pooled odds ratio of purchase-ness for the
+    even-user cohort, stratified by 6-hour time-of-day blocks — the
+    Simpson's-paradox-proof pooled effect: per-stratum a·d/n and
+    b·c/n terms with exact integer numerators snap to micro-units
+    before order-independent summation, OR_MH is one division, and the
+    naive collapsed-table OR ships alongside so confounding is visible
+    in the output."""
+    from ultraviolet_spark.operators.stats import mantel_haenszel
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "stratum",
+        (F.hour(F.col("ts").cast("timestamp")) / 6).cast("int"))
+    return mantel_haenszel(ev, stratum_col="stratum",
+                           group_expr="user_id % 2 = 0",
+                           outcome_expr="event_type = 'purchase'")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 272 queries, 261 of them with exact DuckDB
