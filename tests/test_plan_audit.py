@@ -69,6 +69,7 @@ CROSS_OK = {
     "q270_cox_score_step",       # 1-row (lo, hi, N, Σx, Σx²) bounds frame
     "q271_competing_risks_cif",  # 1-row (lo, hi, N) bounds frame
     "q272_rmst",                 # 1-row bounds + head/area scalar frames
+    "q274_empirical_bayes_rates",  # 1-row fitted (α, β) prior frame
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -1146,3 +1146,70 @@ def mantel_haenszel(df: DataFrame, *, stratum_col: str, group_expr: str,
                 .cast("double"), 6))
     return agg.select("n_strata", "mh_num_micro", "mh_den_micro",
                       or_mh.alias("or_mh"), naive.alias("or_naive"))
+
+
+def eb_beta_binomial(df: DataFrame, *, key_col: str, trials_col: str,
+                     successes_col: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-key rates — the
+    standard fix for ranking keys by a ratio when trial counts vary by
+    orders of magnitude (a 1/1 host must not outrank a 980/1000 host):
+    fit a Beta(α, β) prior to the observed per-key proportions by
+    method of moments, then report each key's posterior mean
+    ``(x + α)/(n + α + β)`` — small-n keys shrink hard toward the
+    prior, large-n keys barely move.
+
+    MoM: with μ, v the mean and population variance of the per-key
+    proportions, ``common = μ(1−μ)/v − 1``, α = μ·common,
+    β = (1−μ)·common.  Exactness: each proportion snaps once to a
+    micro-integer; μ and v come from exact int64 sums of p_micro and
+    its square (Σp² crosses int64 at ~10^7 keys, DECIMAL(38,0)); all
+    remaining arithmetic is fixed-order doubles.  Degenerate priors
+    (v = 0 — all rates identical — or common ≤ 0, over-dispersed
+    beyond what a beta can express) report NULL α/β and pass raw rates
+    through unshrunk, loudly rather than silently clamping.
+
+    One (key) pass for proportions, one broadcast one-row prior frame
+    joined back — output is key-count-sized.
+    """
+    base = df.select(F.col(key_col).alias("key"),
+                     F.col(trials_col).cast("long").alias("n"),
+                     F.col(successes_col).cast("long").alias("x"))
+    p_micro = F.round(F.col("x").cast("double")
+                      / F.col("n").cast("double") * 1e6).cast("long")
+    base = base.filter(F.col("n") > 0).withColumn("p_micro", p_micro)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    prior = base.agg(
+        F.count("*").alias("__k"),
+        F.sum("p_micro").alias("__sp"),
+        F.sum(d38("p_micro") * d38("p_micro")).alias("__spp"))
+    dk = F.col("__k").cast("double")
+    mu = F.col("__sp").cast("double") / dk / F.lit(1e6)
+    # population variance of proportions, in rate² units
+    v = (F.col("__spp").cast("double") / dk
+         - (F.col("__sp").cast("double") / dk)
+         * (F.col("__sp").cast("double") / dk)) / F.lit(1e12)
+    common = mu * (F.lit(1.0) - mu) / v - F.lit(1.0)
+    prior = (prior.withColumn("__mu", mu)
+             .withColumn("__v", v)
+             .withColumn("__common",
+                         F.when(v > 0, common)))
+    ok = F.col("__common") > 0
+    prior = (prior
+             .withColumn("alpha", F.when(ok, F.col("__mu")
+                                         * F.col("__common")))
+             .withColumn("beta", F.when(ok, (F.lit(1.0) - F.col("__mu"))
+                                        * F.col("__common"))))
+    j = base.crossJoin(F.broadcast(
+        prior.select("alpha", "beta")))
+    raw = F.round(F.col("x").cast("double")
+                  / F.col("n").cast("double"), 6)
+    shrunk = F.when(
+        F.col("alpha").isNotNull(),
+        F.round((F.col("x").cast("double") + F.col("alpha"))
+                / (F.col("n").cast("double") + F.col("alpha")
+                   + F.col("beta")), 6)).otherwise(raw)
+    return j.select(
+        "key", "n", "x", raw.alias("rate_raw"),
+        shrunk.alias("rate_eb"),
+        F.round(F.col("alpha"), 6).alias("alpha"),
+        F.round(F.col("beta"), 6).alias("beta"))

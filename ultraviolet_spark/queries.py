@@ -10552,6 +10552,64 @@ def q273(spark, sf_dir):
                            outcome_expr="event_type = 'purchase'")
 
 
+@q("q274_empirical_bayes_rates", """
+WITH per AS (
+  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY user_id),
+base AS (
+  SELECT key, n, x,
+         CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1e6)
+              AS BIGINT) AS p_micro
+  FROM per WHERE n > 0),
+pr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(p_micro) AS BIGINT) AS sp,
+         SUM(CAST(p_micro AS HUGEINT) * p_micro) AS spp
+  FROM base),
+ab AS (
+  SELECT CASE WHEN v > 0 AND mu * (1.0 - mu) / v - 1.0 > 0
+              THEN mu * (mu * (1.0 - mu) / v - 1.0) END AS alpha,
+         CASE WHEN v > 0 AND mu * (1.0 - mu) / v - 1.0 > 0
+              THEN (1.0 - mu) * (mu * (1.0 - mu) / v - 1.0)
+         END AS beta
+  FROM (SELECT CAST(sp AS DOUBLE) / CAST(k AS DOUBLE) / 1e6 AS mu,
+               (CAST(spp AS DOUBLE) / CAST(k AS DOUBLE)
+                - (CAST(sp AS DOUBLE) / CAST(k AS DOUBLE))
+                  * (CAST(sp AS DOUBLE) / CAST(k AS DOUBLE))) / 1e12
+                 AS v
+        FROM pr))
+SELECT base.key, base.n, base.x,
+       round(CAST(base.x AS DOUBLE) / CAST(base.n AS DOUBLE), 6)
+         AS rate_raw,
+       CASE WHEN ab.alpha IS NOT NULL THEN
+         round((CAST(base.x AS DOUBLE) + ab.alpha)
+               / (CAST(base.n AS DOUBLE) + ab.alpha + ab.beta), 6)
+       ELSE round(CAST(base.x AS DOUBLE) / CAST(base.n AS DOUBLE), 6)
+       END AS rate_eb,
+       round(ab.alpha, 6) AS alpha, round(ab.beta, 6) AS beta
+FROM base, ab
+""")
+def q274(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates: Beta(α, β) prior fitted by method of moments to the
+    micro-snapped per-user proportions (exact integer moment sums),
+    posterior mean (x+α)/(n+α+β) per user — small-n users shrink hard
+    toward the prior, large-n users barely move; degenerate priors
+    pass raw rates through with NULL α/β rather than silently
+    clamping."""
+    from ultraviolet_spark.operators.stats import eb_beta_binomial
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy(F.col("user_id").alias("u"))
+           .agg(F.count("*").alias("n_ev"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).cast("long").alias("n_buy")))
+    return eb_beta_binomial(per, key_col="u", trials_col="n_ev",
+                            successes_col="n_buy")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 272 queries, 261 of them with exact DuckDB
