@@ -70,6 +70,7 @@ CROSS_OK = {
     "q271_competing_risks_cif",  # 1-row (lo, hi, N) bounds frame
     "q272_rmst",                 # 1-row bounds + head/area scalar frames
     "q274_empirical_bayes_rates",  # 1-row fitted (α, β) prior frame
+    "q275_ratio_metric_se",      # 1-row totals frame × 64-bucket frame
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

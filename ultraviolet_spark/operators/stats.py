@@ -1213,3 +1213,82 @@ def eb_beta_binomial(df: DataFrame, *, key_col: str, trials_col: str,
         shrunk.alias("rate_eb"),
         F.round(F.col("alpha"), 6).alias("alpha"),
         F.round(F.col("beta"), 6).alias("beta"))
+
+
+def ratio_jackknife(df: DataFrame, *, num_col: str, den_col: str,
+                    id_col: str, n_buckets: int = 64) -> DataFrame:
+    """Standard error of a RATIO metric (CTR, revenue-per-session,
+    tokens-per-doc) by the delete-one-bucket jackknife — the
+    experimentation-platform workhorse for metrics that are ratios of
+    sums, whose naive per-row variance is simply wrong (numerator and
+    denominator covary).
+
+    Units hash-bucket deterministically (md5, the hash_split
+    discipline) into B buckets; with T_n/T_d the total sums and
+    b_n/b_d each bucket's sums, the leave-one-out ratios
+    r_(i) = (T_n − b_ni)/(T_d − b_di) give
+
+        SE² = (B−1)/B · Σ_i (r_(i) − r̄_(·))²
+
+    Everything up to the leave-one-out ratios is exact integer
+    arithmetic (micro-snapped values, one (bucket) partial-agg pass);
+    each r_(i) snaps to a micro-integer so the variance sum is over
+    exact integers, with fixed-order double algebra only at the end.
+    The delta-method SE from pooled moments ships alongside as the
+    closed-form cross-check — the two agree asymptotically and BOTH
+    are emitted so divergence (heavy bucket skew) is visible.
+
+    Output one row: (n, ratio, se_jack, se_delta, b_buckets).
+    """
+    from ultraviolet_spark.operators.corpus import md5_bucket256
+
+    num = F.round(F.col(num_col).cast("double") * 1e6).cast("long")
+    den = F.round(F.col(den_col).cast("double") * 1e6).cast("long")
+    b = (md5_bucket256(F.col(id_col)) % F.lit(int(n_buckets))).cast("int")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    per_b = (df.select(b.alias("b"), num.alias("u"), den.alias("v"))
+             .groupBy("b")
+             .agg(F.count("*").alias("c"),
+                  F.sum("u").alias("bu"), F.sum("v").alias("bv"),
+                  F.sum(d38("u") * d38("u")).alias("buu"),
+                  F.sum(d38("v") * d38("v")).alias("bvv"),
+                  F.sum(d38("u") * d38("v")).alias("buv")))
+    tot = per_b.agg(
+        F.sum("c").alias("__n"), F.count("*").alias("__bk"),
+        F.sum("bu").alias("__tu"), F.sum("bv").alias("__tv"),
+        F.sum("buu").cast("decimal(38,0)").alias("__suu"),
+        F.sum("bvv").cast("decimal(38,0)").alias("__svv"),
+        F.sum("buv").cast("decimal(38,0)").alias("__suv"))
+    j = per_b.crossJoin(F.broadcast(tot))
+    r_loo = F.round(
+        (F.col("__tu") - F.col("bu")).cast("double")
+        / (F.col("__tv") - F.col("bv")).cast("double") * 1e6).cast("long")
+    j = j.withColumn("r_loo", r_loo)
+    agg = j.agg(
+        F.max("__n").alias("n"), F.max("__bk").alias("b_buckets"),
+        F.max("__tu").alias("__tu"), F.max("__tv").alias("__tv"),
+        F.max("__suu").alias("__suu"), F.max("__svv").alias("__svv"),
+        F.max("__suv").alias("__suv"),
+        F.sum("r_loo").alias("__sr"),
+        F.sum(d38("r_loo") * d38("r_loo")).alias("__srr"))
+    bk = F.col("b_buckets").cast("double")
+    rbar = F.col("__sr").cast("double") / bk
+    var_j = (F.lit(1.0) - F.lit(1.0) / bk) \
+        * (F.col("__srr").cast("double") / bk - rbar * rbar) * bk \
+        / F.lit(1e12)
+    ratio = F.col("__tu").cast("double") / F.col("__tv").cast("double")
+    # delta method: Var(U/V) ≈ (1/V²)(S_uu − 2r·S_uv + r²·S_vv) with
+    # the S's the centered second moments of per-row (u, v)
+    n_d = F.col("n").cast("double")
+    mu_u = F.col("__tu").cast("double") / n_d
+    mu_v = F.col("__tv").cast("double") / n_d
+    s_uu = F.col("__suu").cast("double") / n_d - mu_u * mu_u
+    s_vv = F.col("__svv").cast("double") / n_d - mu_v * mu_v
+    s_uv = F.col("__suv").cast("double") / n_d - mu_u * mu_v
+    var_d = (s_uu - F.lit(2.0) * ratio * s_uv
+             + ratio * ratio * s_vv) / (mu_v * mu_v) / n_d
+    return agg.select(
+        "n", "b_buckets",
+        F.round(ratio, 6).alias("ratio"),
+        F.round(F.sqrt(var_j), 6).alias("se_jack"),
+        F.round(F.sqrt(var_d), 6).alias("se_delta"))

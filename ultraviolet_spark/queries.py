@@ -10610,6 +10610,94 @@ def q274(spark, sf_dir):
                             successes_col="n_buy")
 
 
+@q("q275_ratio_metric_se", """
+WITH per AS (
+  SELECT user_id,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN value END), 0) AS nv,
+         CAST(COUNT(*) AS BIGINT) AS dv
+  FROM events GROUP BY user_id),
+base AS (
+  SELECT (((strpos('0123456789abcdef',
+            substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+              substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1))
+          % 64) AS b,
+         CAST(round(nv * 1e6) AS BIGINT) AS u,
+         CAST(round(CAST(dv AS DOUBLE) * 1e6) AS BIGINT) AS v
+  FROM per),
+per_b AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(u) AS BIGINT) AS bu, CAST(SUM(v) AS BIGINT) AS bv,
+         SUM(CAST(u AS HUGEINT) * u) AS buu,
+         SUM(CAST(v AS HUGEINT) * v) AS bvv,
+         SUM(CAST(u AS HUGEINT) * v) AS buv
+  FROM base GROUP BY b),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS bk,
+         CAST(SUM(bu) AS BIGINT) AS tu, CAST(SUM(bv) AS BIGINT) AS tv,
+         SUM(buu) AS suu, SUM(bvv) AS svv, SUM(buv) AS suv
+  FROM per_b),
+loo AS (
+  SELECT CAST(round(CAST(tot.tu - per_b.bu AS DOUBLE)
+                    / CAST(tot.tv - per_b.bv AS DOUBLE) * 1e6)
+              AS BIGINT) AS r_loo
+  FROM per_b, tot),
+jk AS (
+  SELECT CAST(SUM(r_loo) AS BIGINT) AS sr,
+         SUM(CAST(r_loo AS HUGEINT) * r_loo) AS srr
+  FROM loo)
+SELECT tot.n, tot.bk AS b_buckets,
+       round(CAST(tot.tu AS DOUBLE) / CAST(tot.tv AS DOUBLE), 6)
+         AS ratio,
+       round(sqrt((1.0 - 1.0 / CAST(tot.bk AS DOUBLE))
+                  * (CAST(jk.srr AS DOUBLE) / CAST(tot.bk AS DOUBLE)
+                     - (CAST(jk.sr AS DOUBLE) / CAST(tot.bk AS DOUBLE))
+                       * (CAST(jk.sr AS DOUBLE)
+                          / CAST(tot.bk AS DOUBLE)))
+                  * CAST(tot.bk AS DOUBLE) / 1e12), 6) AS se_jack,
+       round(sqrt(((CAST(tot.suu AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                    - (CAST(tot.tu AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                      * (CAST(tot.tu AS DOUBLE)
+                         / CAST(tot.n AS DOUBLE)))
+                   - 2.0 * (CAST(tot.tu AS DOUBLE)
+                            / CAST(tot.tv AS DOUBLE))
+                     * (CAST(tot.suv AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                        - (CAST(tot.tu AS DOUBLE)
+                           / CAST(tot.n AS DOUBLE))
+                          * (CAST(tot.tv AS DOUBLE)
+                             / CAST(tot.n AS DOUBLE)))
+                   + (CAST(tot.tu AS DOUBLE) / CAST(tot.tv AS DOUBLE))
+                     * (CAST(tot.tu AS DOUBLE) / CAST(tot.tv AS DOUBLE))
+                     * (CAST(tot.svv AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                        - (CAST(tot.tv AS DOUBLE)
+                           / CAST(tot.n AS DOUBLE))
+                          * (CAST(tot.tv AS DOUBLE)
+                             / CAST(tot.n AS DOUBLE))))
+                  / ((CAST(tot.tv AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                     * (CAST(tot.tv AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+                  / CAST(tot.n AS DOUBLE)), 6) AS se_delta
+FROM tot, jk
+""")
+def q275(spark, sf_dir):
+    """Standard error of revenue-per-event (a RATIO of sums whose
+    numerator and denominator covary — naive per-row variance is
+    wrong) by the delete-one-bucket jackknife over 64 md5 user
+    buckets, with the closed-form delta-method SE alongside as the
+    cross-check; leave-one-out ratios µ-snapped so the variance sum is
+    over exact integers."""
+    from ultraviolet_spark.operators.stats import ratio_jackknife
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.coalesce(
+               F.sum(F.when(F.col("event_type") == "purchase",
+                            F.col("value"))), F.lit(0.0)).alias("rev"),
+               F.count("*").alias("n_ev")))
+    return ratio_jackknife(per, num_col="rev", den_col="n_ev",
+                           id_col="user_id", n_buckets=64)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 274 queries, 263 of them with exact DuckDB
