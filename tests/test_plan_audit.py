@@ -71,6 +71,7 @@ CROSS_OK = {
     "q272_rmst",                 # 1-row bounds + head/area scalar frames
     "q274_empirical_bayes_rates",  # 1-row fitted (α, β) prior frame
     "q275_ratio_metric_se",      # 1-row totals frame × 64-bucket frame
+    "q276_bh_fdr",               # 1-row m-total × 1-row crossing-k frames
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

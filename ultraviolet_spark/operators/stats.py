@@ -1292,3 +1292,93 @@ def ratio_jackknife(df: DataFrame, *, num_col: str, den_col: str,
         F.round(ratio, 6).alias("ratio"),
         F.round(F.sqrt(var_j), 6).alias("se_jack"),
         F.round(F.sqrt(var_d), 6).alias("se_delta"))
+
+
+def bh_fdr(df: DataFrame, *, p_col: str, id_col: str,
+           alpha_num: int = 1, alpha_den: int = 20,
+           n_buckets: int = 64) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a battery of m hypothesis
+    tests — the multiple-comparisons discipline every per-key test
+    operator here (chi², log-rank, KS, SPRT batteries) needs before
+    anyone acts on "significant" keys: testing 10^6 hosts at α = .05
+    manufactures ~50 000 false discoveries; BH caps the expected
+    FALSE-DISCOVERY FRACTION at α instead of the per-test error.
+
+    Exactness discipline: p-values snap once to integer micro-units;
+    the rank i is a unique total order by (p_micro, id); the step-up
+    hit test p_(i) ≤ i·α/m clears denominators to the all-integer
+    comparison  p_micro·m·α_den ≤ i·α_num·10⁶  (products through
+    DECIMAL(38,0) — p_micro·m crosses int64 at m ≈ 10^13 tests), so
+    the crossing index k = max{i : hit} is EXACT — no float staircase
+    can move a rejection boundary by one test.  Rejection is rank ≤ k
+    (the step-up property: ranks below k are rejected even where their
+    own inequality fails).  BH q-values q_(i) = min_{j≥i} m·p_(j)/j
+    ship alongside, each m·p/j snapped to a micro-integer BEFORE the
+    suffix-min so the running min is over exact integers.
+
+    Scale: the global rank and the suffix min both run the two-phase
+    bucket machinery over the KNOWN domain [0, 10⁶] (no bounds pass):
+    in-bucket windows at n_buckets-way parallelism plus two broadcast
+    n_buckets-row offset/suffix frames — no single-partition window
+    anywhere.  One (bucket) exchange total; the m / k frames are
+    one-row broadcasts.
+
+    Rows with NULL p or p outside [0, 1] are not tests and are
+    excluded from the battery (m counts only valid rows).
+
+    Output per test: (test_id, p, rank, m, rejected, q_value).
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    a_num, a_den = int(alpha_num), int(alpha_den)
+    step = 1_000_000 // B + 1
+    p_micro = F.round(F.col(p_col).cast("double") * 1e6).cast("long")
+    base = (df.select(F.col(id_col).cast("string").alias("test_id"),
+                      p_micro.alias("__p"))
+            .filter(F.col("__p").isNotNull()
+                    & (F.col("__p") >= 0) & (F.col("__p") <= 1_000_000))
+            .withColumn("__b", (F.col("__p") / F.lit(step))
+                        .cast("long").cast("int")))
+    w_in = Window.partitionBy("__b").orderBy("__p", "test_id")
+    r = base.withColumn("__i_in", F.row_number().over(w_in))
+    bc = base.groupBy("__b").agg(F.count("*").alias("__c"))
+    w_off = (Window.orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    boff = bc.select(
+        "__b",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"))
+    tot = bc.agg(F.sum("__c").cast("long").alias("__m"))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    r = (r.join(F.broadcast(boff), "__b")
+         .crossJoin(F.broadcast(tot))
+         .withColumn("i", (F.col("__off") + F.col("__i_in")).cast("long")))
+    hit = (d38(F.col("__p")) * d38(F.col("__m")) * F.lit(a_den)
+           <= d38(F.col("i")) * F.lit(a_num) * F.lit(1_000_000))
+    # q_raw = m·p/i in micro units, snapped per element (the suffix
+    # min then runs over exact integers — order-independent)
+    q_raw = F.round(F.col("__m").cast("double")
+                    * F.col("__p").cast("double")
+                    / F.col("i").cast("double")).cast("long")
+    r = (r.withColumn("__hit", hit).withColumn("__q_raw", q_raw))
+    kf = r.agg(F.max(F.when(F.col("__hit"), F.col("i"))).alias("__k"))
+    w_sfx = (Window.partitionBy("__b").orderBy("__p", "test_id")
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    r = r.withColumn("__q_in", F.min("__q_raw").over(w_sfx))
+    bmin = r.groupBy("__b").agg(F.min("__q_raw").alias("__bm"))
+    w_bs = Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
+    bsfx = bmin.select("__b", F.min("__bm").over(w_bs).alias("__bs"))
+    r = (r.join(F.broadcast(bsfx), "__b")
+         .crossJoin(F.broadcast(kf)))
+    q_micro = F.least(F.col("__q_in"),
+                      F.coalesce(F.col("__bs"), F.lit(1_000_000)),
+                      F.lit(1_000_000))
+    return r.select(
+        "test_id",
+        F.round(F.col("__p").cast("double") / F.lit(1e6), 6).alias("p"),
+        F.col("i").alias("rank"),
+        F.col("__m").alias("m"),
+        (F.col("__k").isNotNull()
+         & (F.col("i") <= F.coalesce(F.col("__k"), F.lit(-1))))
+        .alias("rejected"),
+        F.round(q_micro.cast("double") / F.lit(1e6), 6).alias("q_value"))

@@ -10698,6 +10698,81 @@ def q275(spark, sf_dir):
                            id_col="user_id", n_buckets=64)
 
 
+@q("q276_bh_fdr", """
+WITH users AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid
+               FROM events),
+batt AS (
+  SELECT uid AS test_id,
+         CASE WHEN (((strpos('0123456789abcdef',
+                      substring(md5(uid || 'sig'), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                      substring(md5(uid || 'sig'), 2, 1)) - 1)) < 26)
+              THEN (CAST(CAST(('0x' || substr(md5(uid || ':' || 'p'),
+                                              1, 12)) AS UBIGINT)
+                    AS BIGINT) // 281474977) // 1000
+              ELSE CAST(CAST(('0x' || substr(md5(uid || ':' || 'p'),
+                                             1, 12)) AS UBIGINT)
+                   AS BIGINT) // 281474977
+         END AS p_micro
+  FROM users),
+ranked AS (
+  SELECT test_id, p_micro,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_micro, test_id) AS BIGINT)
+           AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM batt),
+h AS (
+  SELECT *,
+         (CAST(p_micro AS HUGEINT) * m * 20
+          <= CAST(i AS HUGEINT) * 1 * 1000000) AS hit,
+         CAST(round(CAST(m AS DOUBLE) * CAST(p_micro AS DOUBLE)
+                    / CAST(i AS DOUBLE)) AS BIGINT) AS q_raw
+  FROM ranked),
+k AS (SELECT MAX(CASE WHEN hit THEN i END) AS k FROM h),
+sfx AS (
+  SELECT test_id, p_micro, i, m, q_raw,
+         MIN(q_raw) OVER (ORDER BY i DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS q_sfx
+  FROM h)
+SELECT sfx.test_id, round(CAST(sfx.p_micro AS DOUBLE) / 1e6, 6) AS p,
+       sfx.i AS rnk, sfx.m,
+       (k.k IS NOT NULL AND sfx.i <= COALESCE(k.k, -1)) AS rejected,
+       round(CAST(LEAST(sfx.q_sfx, 1000000) AS DOUBLE) / 1e6, 6)
+         AS q_value
+FROM sfx, k
+""")
+def q276(spark, sf_dir):
+    """Benjamini–Hochberg FDR control over a per-user test battery:
+    null p-values are md5 48-bit uniforms (under H0, p IS uniform —
+    the deterministic simulated null), a planted ~10 % signal block
+    (md5 'sig' bucket < 26) has its p divided by 1000; BH's all-integer
+    step-up rule rejects the planted block while capping the expected
+    false-discovery fraction at α = 1/20.  Exact q-values alongside;
+    the oracle replays every integer through plain global windows
+    (cross-checking the two-phase bucketed rank/suffix machinery)."""
+    from ultraviolet_spark.operators.corpus import md5_bucket256
+    from ultraviolet_spark.operators.stats import bh_fdr
+
+    users = (_t(spark, sf_dir, "events")
+             .select(F.col("user_id").cast("string").alias("uid"))
+             .distinct())
+    u48 = F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.col("uid"), F.lit("p")).cast("binary")),
+        1, 12), 16, 10).cast("long")
+    sig = md5_bucket256(F.col("uid"), "sig") < 26
+    batt = (users.withColumn("__u48", u48)
+            .withColumn("__pm0", F.expr("__u48 div 281474977"))
+            .withColumn("__pm", F.when(sig, F.expr("__pm0 div 1000"))
+                        .otherwise(F.col("__pm0")))
+            .select("uid",
+                    (F.col("__pm").cast("double") / F.lit(1e6))
+                    .alias("p")))
+    out = bh_fdr(batt, p_col="p", id_col="uid",
+                 alpha_num=1, alpha_den=20)
+    return out.withColumnRenamed("rank", "rnk")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
