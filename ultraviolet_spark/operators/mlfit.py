@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_irls"]
+__all__ = ["logreg_irls", "kmeans_fixed"]
 
 
 def _snap(col) -> F.Column:
@@ -123,3 +123,114 @@ def logreg_irls(df: DataFrame, *, x1_col, x2_col, label_expr: str,
         F.col("b1m").alias("beta1_micro"),
         F.col("b2m").alias("beta2_micro"),
         F.round(F.col("det"), 2).alias("det_rounded"))
+
+
+def kmeans_fixed(df: DataFrame, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 4,
+                 rounds: int = 2) -> DataFrame:
+    """Distributed Lloyd's k-means, exactly reproducible across engines
+    and cluster sizes — the missing sibling of ``ivf_train_centroids``
+    (which trains on a bounded 2048-row SAMPLE, FAISS-style): here the
+    centroid updates see EVERY row, fully distributed, and the whole
+    fit is a pure function of the data.
+
+    Exactness discipline (mirrors ``logreg_irls``):
+
+    * coordinates snap once to integer micro-units; every point-to-
+      centroid distance is an exact integer Σ(x−c)² accumulated in
+      DECIMAL(38,0) (Σ over 10³ dims of (2·10⁸µ)² diffs crosses int64);
+    * seeding is the k rows with the smallest (md5(id), id) — a
+      deterministic TakeOrdered, never RNG or partition order;
+    * assignment is argmin by the exact pair (distance, cid) — no
+      float can tie-break differently on another engine;
+    * centroid updates re-snap: c_dim = round(Σx / n) as one fixed-
+      order double division of exact integers; a cluster that loses
+      all members KEEPS its previous centroid (pinned) rather than
+      degenerating;
+    * iterations are UNROLLED (fixed ``rounds``, default 2) — the
+      fixed-rounds honesty contract shared with k-core and IRLS, so a
+      DuckDB oracle can replay every integer move-for-move.
+
+    Scale shape: assignment is SCAN-STAGE — centroids ride a broadcast
+    one-row array-of-structs frame and the k·d argmin arithmetic runs
+    inside ``F.aggregate`` (no row×k expansion, no shuffle); each
+    update is one (cid, dim) partial-agg exchange whose reduced size is
+    k·d cells regardless of corpus size.  10^12 rows × 2 rounds =
+    3 scans (2 updates + final assignment).  Centroid lineage is
+    lazily localCheckpoint-truncated per round (the k-core lesson:
+    nested per-round plans otherwise double and Catalyst planning
+    explodes long before execution does).
+
+    Rows with NULL or empty vectors are not observations and are
+    excluded.  Output per row: (id_col, cluster, dist2) with dist2 the
+    squared L2 distance to the winning centroid in original units².
+    """
+    from pyspark.sql import Window
+
+    dec = lambda c: c.cast("decimal(38,0)")
+    xm = F.transform(F.col(vec_col),
+                     lambda v: F.round(v.cast("double") * 1e6)
+                     .cast("long"))
+    base = (df.filter(F.col(vec_col).isNotNull()
+                      & (F.size(F.col(vec_col)) > 0))
+            .select(F.col(id_col).alias("id"), xm.alias("__xm")))
+
+    seed_h = F.md5(F.col("id").cast("string").cast("binary"))
+    seeds = (base.select("id", "__xm", seed_h.alias("__h"))
+             .orderBy("__h", "id").limit(int(k)))
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("__h", "id")) - 1)
+        .cast("int").alias("cid"),
+        F.col("__xm").alias("__c"))
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        one = cents_df.groupBy().agg(
+            F.sort_array(F.collect_list(F.struct("cid", "__c")))
+            .alias("__cents"))
+
+        def d_of(carr):
+            return F.aggregate(
+                F.zip_with(F.col("__xm"), carr, lambda a, b: a - b),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda s, v: s + dec(v) * dec(v))
+
+        zero = F.struct(F.lit(-1).cast("int").alias("cid"),
+                        F.lit(None).cast("decimal(38,0)").alias("d"))
+
+        def merge(acc, c):
+            d = d_of(c["__c"])
+            better = (acc["cid"] == F.lit(-1)) | (d < acc["d"])
+            return (F.when(better, F.struct(c["cid"].alias("cid"),
+                                            d.alias("d")))
+                    .otherwise(acc))
+
+        best = F.aggregate(F.col("__cents"), zero, merge)
+        return (base.crossJoin(F.broadcast(one))
+                .select("id", "__xm", best["cid"].alias("cluster"),
+                        best["d"].alias("__d")))
+
+    for _ in range(int(rounds)):
+        assigned = assign(cents)
+        upd = (assigned.select(F.col("cluster").alias("cid"),
+                               F.posexplode("__xm").alias("dim", "v"))
+               .groupBy("cid", "dim")
+               .agg(F.round(F.sum(dec(F.col("v"))).cast("double")
+                            / F.count("*").cast("double"))
+                    .cast("long").alias("__vn")))
+        prev_tall = cents.select(
+            "cid", F.posexplode("__c").alias("dim", "__vp"))
+        merged = (prev_tall.join(upd, ["cid", "dim"], "left")
+                  .select("cid", "dim",
+                          F.coalesce("__vn", "__vp").alias("v")))
+        cents = (merged.groupBy("cid")
+                 .agg(F.transform(
+                     F.sort_array(F.collect_list(F.struct("dim", "v"))),
+                     lambda s: s["v"]).alias("__c"))
+                 .localCheckpoint(eager=False))
+
+    final = assign(cents)
+    return final.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.round(F.col("__d").cast("double") / F.lit(1e12), 6)
+        .alias("dist2"))
