@@ -999,3 +999,57 @@ def lexical_diversity(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
                 / (n * (n - 1.0)) * 1e6, 6).alias("simpson_micro"),
         F.round((F.col("__sff").cast("double") - n)
                 / (n * n) * 1e10, 6).alias("yule_k_micro"))
+
+
+def textrank_keywords(docs: DataFrame, *, text_col: str = "text",
+                      window: int = 2, iters: int = 3,
+                      damping_pct: int = 85) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph — two tokens are linked when they
+    co-occur within ``window`` positions, and a token's importance is
+    its stationary weight under the random surfer, the classic
+    unsupervised keyword extractor (frequency alone over-ranks
+    boilerplate words that co-occur with nothing new; TextRank rewards
+    tokens that connect many DISTINCT contexts).
+
+    Graph construction is SCAN-STAGE: for each offset δ < window the
+    (token, token+δ) pairs come from ``zip_with`` over two slices of
+    the token array — no self-join, no positional explode; the only
+    shuffles are the pair ``distinct()`` and the joins inside the
+    exact-integer ``pagerank`` power iteration (micro-unit ranks,
+    floor division — bit-identical across engines and partitionings,
+    reused verbatim from the link-graph operator).  The co-occurrence
+    graph is undirected: each distinct pair contributes both
+    directions; self-pairs (a word adjacent to itself) are dropped.
+
+    Output: (token, rank_micro) for every token in the corpus
+    vocabulary — top-k / thresholding is the caller's one extra line.
+    """
+    from ultraviolet_spark.operators.graph import pagerank
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (docs.filter(F.col(text_col).isNotNull()
+                        & (F.trim(F.col(text_col)) != ""))
+            .select(toks.alias("__w")))
+    parts = []
+    for d in range(1, int(window)):
+        n = F.size("__w") - F.lit(d)
+        zipped = F.when(
+            n > 0,
+            F.zip_with(F.slice("__w", 1, n),
+                       F.slice("__w", F.lit(d + 1), n),
+                       lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+                       )).otherwise(F.array())
+        parts.append(base.select(F.explode(zipped).alias("p"))
+                     .select(F.col("p.a").alias("x"),
+                             F.col("p.b").alias("y")))
+    pairs = parts[0]
+    for extra in parts[1:]:
+        pairs = pairs.union(extra)
+    pairs = pairs.filter(F.col("x") != F.col("y"))
+    edges = (pairs.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+             .union(pairs.select(F.col("y").alias("src"),
+                                 F.col("x").alias("dst")))
+             .distinct())
+    pr = pagerank(edges, iters=int(iters), damping_pct=int(damping_pct))
+    return pr.select(F.col("node").alias("token"), "rank_micro")

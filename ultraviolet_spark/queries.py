@@ -10773,6 +10773,119 @@ def q276(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk")
 
 
+@q("q277_kmeans_fixed", """
+WITH xm AS (
+  SELECT vec_id AS id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+           AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+sd AS (
+  SELECT id,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)
+              - 1 AS INTEGER) AS cid
+  FROM (SELECT DISTINCT id FROM xm)
+  QUALIFY cid < 4),
+c0 AS (SELECT sd.cid, xm.dim, xm.v FROM sd JOIN xm USING (id)),
+a1 AS (
+  SELECT x.id, c.cid,
+         SUM(CAST(x.v - c.v AS HUGEINT) * (x.v - c.v)) AS d
+  FROM xm x JOIN c0 c USING (dim) GROUP BY x.id, c.cid),
+s1 AS (SELECT id, cid FROM a1
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d, cid) = 1),
+u1 AS (
+  SELECT s1.cid, x.dim,
+         CAST(round(CAST(SUM(CAST(x.v AS HUGEINT)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS v
+  FROM s1 JOIN xm x USING (id) GROUP BY s1.cid, x.dim),
+c1 AS (SELECT c0.cid, c0.dim, COALESCE(u1.v, c0.v) AS v
+       FROM c0 LEFT JOIN u1 USING (cid, dim)),
+a2 AS (
+  SELECT x.id, c.cid,
+         SUM(CAST(x.v - c.v AS HUGEINT) * (x.v - c.v)) AS d
+  FROM xm x JOIN c1 c USING (dim) GROUP BY x.id, c.cid),
+s2 AS (SELECT id, cid FROM a2
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d, cid) = 1),
+u2 AS (
+  SELECT s2.cid, x.dim,
+         CAST(round(CAST(SUM(CAST(x.v AS HUGEINT)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS v
+  FROM s2 JOIN xm x USING (id) GROUP BY s2.cid, x.dim),
+c2 AS (SELECT c1.cid, c1.dim, COALESCE(u2.v, c1.v) AS v
+       FROM c1 LEFT JOIN u2 USING (cid, dim)),
+af AS (
+  SELECT x.id, c.cid,
+         SUM(CAST(x.v - c.v AS HUGEINT) * (x.v - c.v)) AS d
+  FROM xm x JOIN c2 c USING (dim) GROUP BY x.id, c.cid),
+sf AS (SELECT id, cid, d FROM af
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d, cid) = 1)
+SELECT id AS vec_id, cid AS cluster,
+       round(CAST(d AS DOUBLE) / 1e12, 6) AS dist2
+FROM sf
+""")
+def q277(spark, sf_dir):
+    """Distributed Lloyd's k-means (k = 4, 2 unrolled rounds) over the
+    full embeddings table — every centroid update sees EVERY row
+    (unlike the FAISS-style sampled IVF train): md5-deterministic
+    seeds, exact-integer distances in DECIMAL(38,0), argmin by the
+    exact (distance, cid) pair, means re-snapped to micro-units per
+    round; the oracle replays both rounds move-for-move as unrolled
+    CTEs (exact per-row cluster + distance parity)."""
+    from ultraviolet_spark.operators.mlfit import kmeans_fixed
+
+    return kmeans_fixed(_t(spark, sf_dir, "embeddings"),
+                        id_col="vec_id", vec_col="embedding",
+                        k=4, rounds=2)
+
+
+@q("q278_textrank_keywords", """
+WITH pos AS (
+  SELECT doc_id AS did,
+         CAST(generate_subscripts(w, 1) AS INTEGER) AS p, unnest(w) AS t
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')),
+pr0 AS (
+  SELECT a.t AS x, b.t AS y
+  FROM pos a JOIN pos b ON a.did = b.did AND b.p = a.p + 1
+  WHERE a.t <> b.t),
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT x AS src, y AS dst FROM pr0
+        UNION ALL SELECT y, x FROM pr0)),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+c1 AS (SELECT e.dst AS node, SUM((r0.r * 85) // (100 * od.d)) AS c
+       FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node, CAST(150000 + COALESCE(c1.c, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+c2 AS (SELECT e.dst AS node, SUM((r1.r * 85) // (100 * od.d)) AS c
+       FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node, CAST(150000 + COALESCE(c2.c, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c2 ON c2.node = n.node)
+SELECT node AS token, r AS rank_micro FROM r2
+""")
+def q278(spark, sf_dir):
+    """TextRank keyword scores over the documents corpus: PageRank
+    (2 unrolled exact-integer iterations) on the adjacent-token
+    co-occurrence graph — the unsupervised keyword extractor that
+    rewards tokens connecting many DISTINCT contexts rather than
+    merely frequent ones.  The engine builds pairs scan-stage
+    (zip_with over two array slices, no positional self-join); the
+    oracle rebuilds the same graph BY a positional self-join — two
+    mechanisms, equal integers."""
+    from ultraviolet_spark.operators.textstats import textrank_keywords
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"),
+                             text_col="text", window=2, iters=2)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
