@@ -73,6 +73,7 @@ CROSS_OK = {
     "q275_ratio_metric_se",      # 1-row totals frame × 64-bucket frame
     "q276_bh_fdr",               # 1-row m-total × 1-row crossing-k frames
     "q277_kmeans_fixed",         # 1-row broadcast centroid-array frame
+    "q279_shapley_attribution",  # 2^K subset-lattice frames (metadata-sized)
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -197,3 +197,119 @@ def transition_matrix(df: DataFrame, *, key_col: str = "user_id",
         (row_n + F.lit(int(alpha)) * s_count).cast("long").alias("p_den"))
     return out.withColumn(
         "p", F.col("p_num").cast("double") / F.col("p_den").cast("double"))
+
+
+def shapley_attribution(df: DataFrame, *, user_col: str = "user_id",
+                        channel_col: str = "channel",
+                        converted_col: str = "converted",
+                        max_channels: int = 12) -> DataFrame:
+    """Exact Shapley-value channel attribution (Shapley 1953; Zhao et
+    al. 2018 for the marketing form) — the credit split that last-touch
+    / first-touch heuristics get wrong: each channel's credit is its
+    AVERAGE MARGINAL CONTRIBUTION over every coalition of the other
+    channels, the unique allocation satisfying efficiency, symmetry
+    and the dummy axiom.
+
+    Characteristic function: v(S) = (conversions from users whose
+    touched-channel set ⊆ S) / N — "the share of conversions
+    explainable by S alone".  Then
+
+        φ_c · K! · N  =  Σ_{S ⊆ C∖{c}} |S|!·(K−1−|S|)!
+                         · (conv(S∪{c}) − conv(S))
+
+    where conv(S) counts converters with mask ⊆ S — ALL INTEGERS
+    (weights are factorial products, conv are counts; the weighted sum
+    runs in DECIMAL(38,0) since w·Δ·2^K crosses int64 past ~10^10
+    users), with ONE fixed-order double division at the end.  No
+    simulation, no sampled permutations: with K ≤ max_channels the
+    2^K subset lattice is enumerated exactly.
+
+    Scale shape: data-sized work is ONE groupBy(user) pass (channel
+    bitmask via bit_or(1<<idx) + conversion flag) and one
+    groupBy(mask) count — everything after runs on ≤ 2^K-row frames
+    (the subset-containment zeta transform is a 2^K × 2^K tiny theta
+    join; channel×subset pairs are K·2^(K−1) rows).  The channel
+    vocabulary, K, and the subset lattice are all derived IN-PLAN
+    (broadcast one-row K frame + exploded sequence) — no driver
+    collect.  K > max_channels fails loudly at the sequence explode
+    (2^K blow-up is the honest cost of exact Shapley; use sampled
+    permutations beyond ~12 channels).
+
+    Rows with NULL channel contribute no mask bit but keep the user
+    in N.  Output: (channel, phi_share, n_users, n_channels) where
+    phi_share sums to (conv(full) − conv(∅))/N across channels.
+    """
+    from math import factorial
+
+    fact_arr = F.array(*[F.lit(factorial(i))
+                         for i in range(int(max_channels) + 1)])
+
+    # channel vocabulary with deterministic indices (tiny frame)
+    chans = (df.filter(F.col(channel_col).isNotNull())
+             .select(F.col(channel_col).cast("string").alias("channel"))
+             .distinct())
+    chans = chans.select(
+        "channel",
+        (F.row_number().over(Window.orderBy("channel")) - 1)
+        .cast("int").alias("idx"))
+
+    # one data pass: per-user mask + conversion
+    users = (df.select(F.col(user_col).alias("u"),
+                       F.col(channel_col).cast("string").alias("channel"),
+                       F.col(converted_col).cast("boolean").alias("cv"))
+             .join(F.broadcast(chans), "channel", "left")
+             .groupBy("u")
+             .agg(F.coalesce(
+                      F.expr("bit_or(CASE WHEN idx IS NULL THEN 0 "
+                             "ELSE CAST(1 AS BIGINT) << idx END)"),
+                      F.lit(0)).alias("mask"),
+                  F.max(F.coalesce(F.col("cv"), F.lit(False)))
+                  .alias("cv")))
+    by_mask = (users.groupBy("mask")
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.col("cv").cast("long")).alias("conv")))
+
+    kf = chans.agg(F.count("*").cast("int").alias("__k"))
+    tot = users.agg(F.count("*").cast("long").alias("__n"))
+
+    # subset lattice 0..2^K−1, in-plan
+    subsets = (kf.select(F.explode(F.sequence(
+        F.lit(0).cast("long"),
+        F.expr("(CAST(1 AS BIGINT) << __k) - 1")))
+        .alias("s"), "__k"))
+    # zeta transform: conv(S) = Σ_{mask ⊆ S} conv[mask]  (2^K × masks
+    # tiny theta join; masks frame is ≤ 2^K rows after the groupBy)
+    zeta = (subsets.join(by_mask,
+                         F.expr("(mask & s) = mask"), "left")
+            .groupBy("s", "__k")
+            .agg(F.coalesce(F.sum("conv"), F.lit(0)).alias("conv_s")))
+
+    # (channel, subset-of-others) pairs with factorial weights
+    pairs = (chans.crossJoin(zeta)
+             .filter(F.expr("((s >> idx) & 1) = 0")))
+    w = (F.element_at(fact_arr, F.bit_count(F.col("s")) + 1)
+         * F.element_at(fact_arr,
+                        F.col("__k") - 1 - F.bit_count(F.col("s")) + 1))
+    with_s = pairs.select(
+        "channel", "idx", "__k",
+        F.col("s").alias("s0"),
+        F.expr("s | (CAST(1 AS BIGINT) << idx)").alias("s1"),
+        w.cast("decimal(38,0)").alias("w"))
+    z1 = zeta.select(F.col("s").alias("s1"),
+                     F.col("conv_s").alias("conv_s1"))
+    z0 = zeta.select(F.col("s").alias("s0"),
+                     F.col("conv_s").alias("conv_s0"))
+    raw = (with_s.join(F.broadcast(z1), "s1").join(F.broadcast(z0), "s0")
+           .groupBy("channel", "__k")
+           .agg(F.sum(F.col("w")
+                      * (F.col("conv_s1") - F.col("conv_s0"))
+                      .cast("decimal(38,0)")).alias("__raw")))
+    out = raw.crossJoin(F.broadcast(tot))
+    kfact = F.element_at(fact_arr, F.col("__k") + 1)
+    return out.select(
+        "channel",
+        F.round(F.col("__raw").cast("double")
+                / kfact.cast("double") / F.col("__n").cast("double"), 6)
+        .alias("phi_share"),
+        F.col("__n").alias("n_users"),
+        F.col("__k").cast("int").alias("n_channels"))

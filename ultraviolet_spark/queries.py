@@ -10886,6 +10886,86 @@ def q278(spark, sf_dir):
                              text_col="text", window=2, iters=2)
 
 
+@q("q279_shapley_attribution", """
+WITH conv AS (
+  SELECT user_id AS u,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+           AS cv
+  FROM events GROUP BY user_id),
+chi AS (
+  SELECT channel,
+         CAST(ROW_NUMBER() OVER (ORDER BY channel) - 1 AS INTEGER)
+           AS idx
+  FROM (SELECT DISTINCT event_type AS channel FROM events
+        WHERE event_type <> 'purchase' AND event_id % 3 = 0)),
+um AS (
+  SELECT conv.u, COALESCE(m.mask, 0) AS mask, conv.cv
+  FROM conv LEFT JOIN (
+    SELECT e.user_id AS u,
+           bit_or(CAST(1 AS BIGINT) << chi.idx) AS mask
+    FROM events e JOIN chi ON chi.channel = e.event_type
+    WHERE e.event_type <> 'purchase' AND e.event_id % 3 = 0
+    GROUP BY e.user_id) m USING (u)),
+bym AS (SELECT mask,
+               CAST(SUM(CASE WHEN cv THEN 1 ELSE 0 END) AS BIGINT)
+                 AS conv
+        FROM um GROUP BY mask),
+kk AS (SELECT CAST(COUNT(*) AS INTEGER) AS k FROM chi),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM um),
+ss AS (SELECT CAST(t.i AS BIGINT) AS s
+       FROM range(4096) t(i), kk
+       WHERE t.i < (CAST(1 AS BIGINT) << kk.k)),
+zeta AS (SELECT ss.s, COALESCE(SUM(bym.conv), 0) AS conv_s
+         FROM ss LEFT JOIN bym ON (bym.mask & ss.s) = bym.mask
+         GROUP BY ss.s),
+pr AS (
+  SELECT chi.channel, zeta.s AS s0,
+         (zeta.s | (CAST(1 AS BIGINT) << chi.idx)) AS s1,
+         ([1,1,2,6,24,120,720,5040,40320,362880,3628800,39916800,
+           479001600][bit_count(zeta.s) + 1]
+          * [1,1,2,6,24,120,720,5040,40320,362880,3628800,39916800,
+             479001600][kk.k - 1 - bit_count(zeta.s) + 1]) AS w
+  FROM chi, zeta, kk
+  WHERE ((zeta.s >> chi.idx) & 1) = 0),
+raw AS (
+  SELECT pr.channel,
+         SUM(CAST(pr.w AS HUGEINT) * (z1.conv_s - z0.conv_s)) AS raw
+  FROM pr JOIN zeta z1 ON z1.s = pr.s1 JOIN zeta z0 ON z0.s = pr.s0
+  GROUP BY pr.channel)
+SELECT raw.channel,
+       round(CAST(raw.raw AS DOUBLE)
+             / CAST([1,1,2,6,24,120,720,5040,40320,362880,3628800,
+                     39916800,479001600][kk.k + 1] AS DOUBLE)
+             / CAST(nn.n AS DOUBLE), 6) AS phi_share,
+       nn.n AS n_users, kk.k AS n_channels
+FROM raw, kk, nn
+""")
+def q279(spark, sf_dir):
+    """Exact Shapley-value channel attribution over the events log:
+    channels are the non-purchase event types a user touched (event
+    stream deterministically thinned to event_id % 3 = 0 so user
+    channel-sets genuinely vary), conversion is any purchase; each
+    channel's credit is its average marginal contribution over every
+    coalition of the other channels — all-integer factorial-weighted
+    sums over the exactly-enumerated 2^K subset lattice, one double
+    division at the end.  The oracle replays the full lattice."""
+    from ultraviolet_spark.operators.funnel import shapley_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.max(F.col("event_type") == "purchase").alias("cv"))
+    touch = (ev.filter((F.col("event_type") != "purchase")
+                       & (F.col("event_id") % 3 == 0))
+             .select(F.col("user_id").alias("u"),
+                     F.col("event_type").alias("channel")))
+    allu = conv.select("u", F.lit(None).cast("string").alias("channel"),
+                       "cv")
+    df = (touch.join(conv, "u").select("u", "channel", "cv")
+          .union(allu))
+    return shapley_attribution(df, user_col="u", channel_col="channel",
+                               converted_col="cv")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
