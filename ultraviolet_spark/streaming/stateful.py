@@ -565,3 +565,96 @@ def streaming_sprt(stream: DataFrame, *, ts_col: str, id_col: str,
                 stateStructType=SPRT_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf="NoTimeout"))
+
+
+MG_STATE_SCHEMA = T.StructType([
+    T.StructField("toks", T.ArrayType(T.StringType())),
+    T.StructField("cnts", T.ArrayType(T.LongType())),
+    T.StructField("n", T.LongType()),
+])
+MG_OUT_SCHEMA = T.StructType([
+    T.StructField("shard", T.IntegerType()),
+    T.StructField("token", T.StringType()),
+    T.StructField("residual", T.LongType()),
+    T.StructField("n_shard", T.LongType()),
+])
+
+
+def streaming_heavy_hitters(stream: DataFrame, *, token_col: str,
+                            ts_col: str, capacity: int = 100,
+                            n_shards: int = 8,
+                            watermark: str = "1 day") -> DataFrame:
+    """Streaming Misra–Gries heavy hitters — the stateful twin of
+    ``operators.sketches.heavy_hitter_tokens``: a capacity-bounded
+    summary per shard that, at any point in the stream, contains every
+    token whose true shard count exceeds n_shard/(capacity+1), with
+    each surviving residual under-counting its true count by at most
+    n_shard/(capacity+1) (the classic MG guarantee; state is
+    ``capacity`` (token, residual) pairs + one total — BOUNDED
+    regardless of vocabulary growth, which is the entire point: exact
+    per-token streaming counts would grow state with the vocabulary).
+
+    Tokens hash-route to ``n_shards`` deterministic md5 shards (the
+    ``md5_bucket256`` discipline — never partition-dependent), so a
+    token's entire substream folds through one summary and the
+    guarantee holds per shard; union the per-shard survivors for the
+    global candidate set (mergeable-summaries, Agarwal et al. 2012).
+
+    Determinism contract: each micro-batch folds as one MULTISET into
+    the summary (count, add, evict by the (capacity+1)-th largest),
+    so the post-batch state is a pure function of (prior state, batch
+    multiset) — replayable by a sequential reference with the same
+    batch boundaries, which is exactly what the pytest pins.  Unlike
+    the SPRT/target-encode twins the summary is NOT invariant to
+    where the batch boundary falls (MG folds are not associative on
+    residuals — only the guarantee survives merging); both facts are
+    pinned in tests.
+
+    Emits, per micro-batch per shard, the full surviving summary
+    (shard, token, residual, n_shard); the latest rows per shard are
+    the current candidates.
+    """
+    cap = int(capacity)
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        from ultraviolet_spark.operators.sketches import _mg_merge
+
+        if state.exists:
+            toks, cnts, n = state.get
+            summary = Counter(dict(zip(toks, cnts)))
+        else:
+            summary, n = Counter(), 0
+        batch: Counter = Counter()
+        for pdf in pdfs:
+            batch.update(pdf[token_col].dropna())
+        n += sum(batch.values())
+        summary = _mg_merge(summary, batch, cap)
+        items = sorted(summary.items())
+        yield pd.DataFrame({
+            "shard": pd.Series([int(key[0])] * len(items), dtype="int32"),
+            "token": pd.Series([t for t, _ in items], dtype=object),
+            "residual": pd.Series([int(c) for _, c in items],
+                                  dtype="int64"),
+            "n_shard": pd.Series([int(n)] * len(items), dtype="int64"),
+        })
+        state.update(([t for t, _ in items],
+                      [int(c) for _, c in items], int(n)))
+
+    from ultraviolet_spark.operators.corpus import md5_bucket256
+
+    stream = (stream
+              .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+              .withColumn("__shard",
+                          (md5_bucket256(F.col(token_col))
+                           % F.lit(int(n_shards))).cast("int")))
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy("__shard")
+            .applyInPandasWithState(
+                update,
+                outputStructType=MG_OUT_SCHEMA,
+                stateStructType=MG_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="NoTimeout"))
