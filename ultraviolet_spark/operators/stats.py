@@ -1382,3 +1382,78 @@ def bh_fdr(df: DataFrame, *, p_col: str, id_col: str,
          & (F.col("i") <= F.coalesce(F.col("__k"), F.lit(-1))))
         .alias("rejected"),
         F.round(q_micro.cast("double") / F.lit(1e6), 6).alias("q_value"))
+
+
+def change_point(df: DataFrame, *, key_col: str, order_col: str,
+                 value_col: str, tiebreak_col: str) -> DataFrame:
+    """Single mean-shift change-point per key by exact maximum split
+    gain — the RETROSPECTIVE complement of the sequential CUSUM
+    detector (`windows.cusum_stats` asks "has the level shifted so
+    far?"; this asks "WHERE did it shift?"): over the ordered series
+    v₁..vₙ, the best split τ maximizes the between-segment sum of
+    squares
+
+        G(τ) = (Sτ·n − τ·Sₙ)² / (n·τ·(n−τ))
+
+    (Sτ the prefix sum) — the maximum-likelihood single change-point
+    for a mean shift under constant variance, equivalent to maximizing
+    |mean_L − mean_R| weighted by balance.
+
+    Exactness: values snap once to micro-units, so the discriminant
+    D = Sτ·n − τ·Sₙ is an EXACT integer (DECIMAL(38,0) — D crosses
+    int64 at n·v̄ ≈ 10^13 µ); D² would cross DECIMAL(38) too, so the
+    gain is evaluated as fixed-operand-order doubles of exact integers
+    (D_d·D_d / n_d / τ_d / (n−τ)_d) and ROUNDED to an integer-valued
+    double before the argmax — identical in every engine, with ties
+    broken by smallest τ.  Means of both segments ship alongside as
+    fixed-order double divisions.
+
+    Scale: one (key) exchange for the prefix-sum window — the same
+    honest per-key-window cost as ``acf_by_key``/``ols_trend_by_key``
+    (keys with 10^9-point histories need the value-bucket two-phase
+    split first).  Keys with n = 1 have no admissible split and are
+    absent from the output (documented, pinned).
+
+    Output: (key, n, tau, split_at, gain, mean_l, mean_r) — tau the
+    1-based size of the left segment, split_at the order value of its
+    last element.
+    """
+    from pyspark.sql import Window
+
+    d38 = lambda c: c.cast("decimal(38,0)")
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(v.isNotNull())
+            .select(F.col(key_col).alias("key"),
+                    F.col(order_col).alias("o"),
+                    F.col(tiebreak_col).alias("tb"), v.alias("v")))
+    w = Window.partitionBy("key").orderBy("o", "tb")
+    wk = Window.partitionBy("key")
+    r = base.select(
+        "key", "o",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s"),
+        F.sum("v").over(wk).alias("sn"),
+        F.count("*").over(wk).cast("long").alias("n"))
+    r = r.filter(F.col("i") < F.col("n"))
+    dd = (d38(F.col("s")) * d38(F.col("n"))
+          - d38(F.col("i")) * d38(F.col("sn"))).cast("double")
+    g = F.round(dd * dd / F.col("n").cast("double")
+                / F.col("i").cast("double")
+                / (F.col("n") - F.col("i")).cast("double"))
+    r = r.withColumn("g", g)
+    pick = F.row_number().over(
+        Window.partitionBy("key").orderBy(F.col("g").desc(),
+                                          F.col("i").asc()))
+    r = r.withColumn("__pk", pick).filter(F.col("__pk") == 1)
+    return r.select(
+        F.col("key").alias(key_col),
+        "n",
+        F.col("i").alias("tau"),
+        F.col("o").alias("split_at"),
+        F.col("g").alias("gain"),
+        F.round(F.col("s").cast("double") / F.col("i").cast("double")
+                / F.lit(1e6), 6).alias("mean_l"),
+        F.round((F.col("sn") - F.col("s")).cast("double")
+                / (F.col("n") - F.col("i")).cast("double")
+                / F.lit(1e6), 6).alias("mean_r"))

@@ -10966,6 +10966,58 @@ def q279(spark, sf_dir):
                                converted_col="cv")
 
 
+@q("q280_change_point", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+r AS (
+  SELECT event_type, h,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+              AS BIGINT) AS i,
+         CAST(SUM(c * 1000000) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s,
+         CAST(SUM(c * 1000000) OVER (PARTITION BY event_type)
+              AS BIGINT) AS sn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hourly),
+gg AS (
+  SELECT event_type, h, i, s, sn, n,
+         round(CAST(CAST(s AS HUGEINT) * n - CAST(i AS HUGEINT) * sn
+                    AS DOUBLE)
+               * CAST(CAST(s AS HUGEINT) * n - CAST(i AS HUGEINT) * sn
+                      AS DOUBLE)
+               / CAST(n AS DOUBLE) / CAST(i AS DOUBLE)
+               / CAST(n - i AS DOUBLE)) AS g
+  FROM r WHERE i < n),
+pk AS (
+  SELECT * FROM gg
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY g DESC, i ASC) = 1)
+SELECT event_type, n, i AS tau, h AS split_at, g AS gain,
+       round(CAST(s AS DOUBLE) / CAST(i AS DOUBLE) / 1e6, 6) AS mean_l,
+       round(CAST(sn - s AS DOUBLE) / CAST(n - i AS DOUBLE) / 1e6, 6)
+         AS mean_r
+FROM pk
+""")
+def q280(spark, sf_dir):
+    """Retrospective single mean-shift change-point per event type
+    over its hourly event-count series: the split τ maximizing the
+    exact between-segment sum of squares (Sτ·n − τ·Sₙ)²/(n·τ·(n−τ)) —
+    integer discriminant in DECIMAL(38,0), gain as fixed-operand-order
+    doubles rounded before the argmax, ties to smallest τ; the oracle
+    replays identical integers through plain partitioned windows."""
+    from ultraviolet_spark.operators.stats import change_point
+
+    hourly = (_t(spark, sf_dir, "events")
+              .groupBy("event_type",
+                       F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.count("*").cast("double").alias("c")))
+    return change_point(hourly, key_col="event_type", order_col="h",
+                        value_col="c", tiebreak_col="h")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
