@@ -74,6 +74,7 @@ CROSS_OK = {
     "q276_bh_fdr",               # 1-row m-total × 1-row crossing-k frames
     "q277_kmeans_fixed",         # 1-row broadcast centroid-array frame
     "q279_shapley_attribution",  # 2^K subset-lattice frames (metadata-sized)
+    "q281_t_closeness",          # class × sensitive-vocab completion
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -108,3 +108,70 @@ def apply_tombstones(df: DataFrame, tombstones: DataFrame, *,
     tk = tombstone_key or key
     ts = tombstones.select(F.col(tk).alias("__tomb")).distinct()
     return df.join(ts, df[key] == F.col("__tomb"), "left_anti")
+
+
+def t_closeness(df: DataFrame, *, quasi_cols: Sequence[str],
+                sensitive_col: str,
+                t_max_micro: int = 200_000) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007, public) —
+    the attack surface l-diversity misses: a class can hold l distinct
+    sensitive values yet still disclose, when its DISTRIBUTION over
+    them is far from the corpus's (the skewness attack: 49 % cancer in
+    a class vs 1 % globally is a disclosure even at l = 2).  Per
+    equivalence class, the total-variation distance between the
+    class's sensitive-value distribution and the global one:
+
+        tvd(c) = ½ Σ_s |n_cs/n_c − N_s/N|
+               = Σ_s |n_cs·N − N_s·n_c|  /  (2·n_c·N)
+
+    The numerator is an EXACT integer summed per class (products in
+    DECIMAL(38,0) — n_cs·N crosses int64 at ~10^10 rows), absolute
+    gaps are per-s exact so the cross-s sum is order-independent, and
+    tvd is one fixed-operand-order double division, rounded to 1e-6.
+
+    NULL sensitive values form their own category (NULL is
+    disclosure-relevant, the same stance as ``k_anonymity``'s NULL
+    quasi classes — note ``countDistinct`` there SKIPS NULLs, so the
+    two operators deliberately differ on that point).
+
+    Scale: one (quasi, s) cell exchange (map-side combined), then the
+    class × sensitive-vocabulary completion — bounded by design, like
+    the quasi key space: the caller generalizes both sides BEFORE
+    auditing.  Absent cells enter the sum via the completion (a class
+    missing a globally-common value is itself distance).
+
+    Output per class: (quasi…, class_size, tvd, at_risk_t) with
+    ``at_risk_t`` = tvd > t_max_micro/1e6.
+    """
+    qc = list(quasi_cols)
+    d38 = lambda c: c.cast("decimal(38,0)")
+    cells = (df.groupBy(*qc, F.col(sensitive_col).alias("__s"))
+             .agg(F.count("*").cast("long").alias("__n_cs")))
+    cls = (cells.groupBy(*qc)
+           .agg(F.sum("__n_cs").cast("long").alias("__n_c")))
+    voc = (cells.groupBy("__s")
+           .agg(F.sum("__n_cs").cast("long").alias("__n_s")))
+    tot = cells.agg(F.sum("__n_cs").cast("long").alias("__N"))
+    comp = (cls.crossJoin(F.broadcast(voc))
+            .crossJoin(F.broadcast(tot)))
+    cells2 = cells.select(*qc, "__s", "__n_cs")
+    cond = [comp[c].eqNullSafe(cells2[c]) for c in qc]
+    cond.append(comp["__s"].eqNullSafe(cells2["__s"]))
+    joined = (comp.join(cells2, on=cond, how="left")
+              .select(*[comp[c] for c in qc], comp["__s"],
+                      "__n_c", "__n_s", "__N",
+                      F.coalesce(F.col("__n_cs"), F.lit(0))
+                      .alias("__n_cs")))
+    per = (joined.groupBy(*qc)
+           .agg(F.max("__n_c").alias("class_size"),
+                F.max("__N").alias("__N"),
+                F.sum(F.abs(d38(F.col("__n_cs")) * d38(F.col("__N"))
+                            - d38(F.col("__n_s"))
+                            * d38(F.col("__n_c")))).alias("__num")))
+    tvd = F.round(F.col("__num").cast("double") / F.lit(2.0)
+                  / F.col("class_size").cast("double")
+                  / F.col("__N").cast("double"), 6)
+    return per.select(
+        *qc, F.col("class_size").cast("long").alias("class_size"),
+        tvd.alias("tvd"),
+        (tvd > F.lit(int(t_max_micro)) / F.lit(1e6)).alias("at_risk_t"))

@@ -11018,6 +11018,60 @@ def q280(spark, sf_dir):
                         value_col="c", tiebreak_col="h")
 
 
+@q("q281_t_closeness", """
+WITH base AS (
+  SELECT user_id % 50 AS age_bucket, event_type,
+         json_extract_string(props, '$.k') AS sens
+  FROM events),
+cells AS (
+  SELECT age_bucket, event_type, sens, CAST(COUNT(*) AS BIGINT) AS n_cs
+  FROM base GROUP BY age_bucket, event_type, sens),
+cls AS (SELECT age_bucket, event_type, CAST(SUM(n_cs) AS BIGINT) AS n_c
+        FROM cells GROUP BY age_bucket, event_type),
+voc AS (SELECT sens, CAST(SUM(n_cs) AS BIGINT) AS n_s
+        FROM cells GROUP BY sens),
+tot AS (SELECT CAST(SUM(n_cs) AS BIGINT) AS n FROM cells),
+comp AS (
+  SELECT c.age_bucket, c.event_type, c.n_c, v.sens, v.n_s, tot.n,
+         COALESCE(ce.n_cs, 0) AS n_cs
+  FROM cls c CROSS JOIN voc v CROSS JOIN tot
+  LEFT JOIN cells ce
+    ON ce.age_bucket = c.age_bucket AND ce.event_type = c.event_type
+       AND ce.sens IS NOT DISTINCT FROM v.sens),
+per AS (
+  SELECT age_bucket, event_type,
+         MAX(n_c) AS class_size, MAX(n) AS n,
+         SUM(abs(CAST(n_cs AS HUGEINT) * n
+                 - CAST(n_s AS HUGEINT) * n_c)) AS num
+  FROM comp GROUP BY age_bucket, event_type)
+SELECT age_bucket, event_type,
+       CAST(class_size AS BIGINT) AS class_size,
+       round(CAST(num AS DOUBLE) / 2.0
+             / CAST(class_size AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS tvd,
+       round(CAST(num AS DOUBLE) / 2.0
+             / CAST(class_size AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         > 0.2 AS at_risk_t
+FROM per
+""")
+def q281(spark, sf_dir):
+    """t-closeness audit under the same quasi-identifier pair as the
+    q200 k-anonymity audit — the skew attack l-diversity misses: per
+    class, the total-variation distance between its sensitive-value
+    (JSON props key) distribution and the corpus's, with exact
+    integer numerators Σ|n_cs·N − N_s·n_c| in DECIMAL(38,0) and one
+    fixed-order double division; classes missing a globally-common
+    value accrue distance via the vocabulary completion."""
+    from ultraviolet_spark.operators.privacy import t_closeness
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("age_bucket"),
+        "event_type",
+        F.get_json_object("props", "$.k").alias("sens"))
+    return t_closeness(ev, quasi_cols=["age_bucket", "event_type"],
+                       sensitive_col="sens", t_max_micro=200_000)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
