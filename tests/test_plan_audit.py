@@ -75,6 +75,7 @@ CROSS_OK = {
     "q277_kmeans_fixed",         # 1-row broadcast centroid-array frame
     "q279_shapley_attribution",  # 2^K subset-lattice frames (metadata-sized)
     "q281_t_closeness",          # class × sensitive-vocab completion
+    "q282_expectation_suite",    # 1-row violations × 1-row n frames
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis
