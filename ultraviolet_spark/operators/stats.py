@@ -1457,3 +1457,68 @@ def change_point(df: DataFrame, *, key_col: str, order_col: str,
         F.round((F.col("sn") - F.col("s")).cast("double")
                 / (F.col("n") - F.col("i")).cast("double")
                 / F.lit(1e6), 6).alias("mean_r"))
+
+
+def seasonal_anomalies(df: DataFrame, *, key_col: str, ts_col: str,
+                       value_col: str, period: str = "hour_of_day",
+                       k: float = 3.0) -> DataFrame:
+    """Seasonal-profile decomposition + robust anomaly flags — the
+    fix for the failure mode where a plain threshold alarms every
+    night and misses a daytime incident: per key, the value decomposes
+    into the seasonal PROFILE (the mean at this position of the cycle
+    — hour-of-day or day-of-week) plus a residual, and a row is
+    anomalous when its |residual| exceeds k × the key's MAD of
+    residuals.  BOTH the profile and the threshold are robust: the
+    profile is the per-(key, position) MEDIAN, not the mean — a mean
+    profile is contaminated by exactly the spikes it should expose
+    (observed in this operator's own test: one daytime spike dragged
+    the hour's mean 80 % off and flagged every normal row at that
+    hour), and the MAD threshold is likewise immune to the outliers
+    a variance threshold would absorb.
+
+    Exactness: values snap once to micro-units; each (key, position)
+    profile is the exact interpolated median of v_µ re-snapped to an
+    integer (``F.percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit,
+    the q79 lesson) — so residuals are EXACT integers; the per-key
+    MAD is the exact interpolated median of |residual_µ|, rounded to
+    6 places on both sides so the flag can never flip on a last-ULP
+    interpolation difference.
+
+    Scale: one (key, pos) exchange for profiles (≤ 24·keys / 7·keys
+    reduced rows), one (key) exchange for the MAD (exact percentile
+    needs a key's residuals on one reducer — fine to ~10^7 rows/key,
+    same documented envelope as ``mad_outliers``), profile/MAD frames
+    join back keyed (no broadcast assumption — profiles are
+    keys×cycle-sized, not metadata-sized).
+
+    Output per input row: (key, ts, pos, value, profile, resid,
+    is_anomaly).
+    """
+    pos = {"hour_of_day": F.hour(F.col(ts_col)),
+           "day_of_week": F.dayofweek(F.col(ts_col))}[period]
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(v.isNotNull())
+            .select(F.col(key_col).alias("key"),
+                    F.col(ts_col).alias("ts"),
+                    pos.cast("int").alias("pos"), v.alias("vm")))
+    prof = (base.groupBy("key", "pos")
+            .agg(F.round(F.percentile(F.col("vm").cast("double"),
+                                      F.lit(0.5)))
+                 .cast("long").alias("pm")))
+    j = (base.join(prof, ["key", "pos"])
+         .withColumn("rm", F.col("vm") - F.col("pm")))
+    mad = (j.groupBy("key")
+           .agg(F.round(F.percentile(
+               F.abs(F.col("rm")).cast("double"), F.lit(0.5)), 6)
+               .alias("madm")))
+    out = j.join(mad, "key")
+    return out.select(
+        F.col("key").alias(key_col), "ts", "pos",
+        F.round(F.col("vm").cast("double") / F.lit(1e6), 6)
+        .alias("value"),
+        F.round(F.col("pm").cast("double") / F.lit(1e6), 6)
+        .alias("profile"),
+        F.round(F.col("rm").cast("double") / F.lit(1e6), 6)
+        .alias("resid"),
+        (F.abs(F.col("rm")).cast("double")
+         > F.lit(float(k)) * F.col("madm")).alias("is_anomaly"))

@@ -11072,6 +11072,133 @@ def q281(spark, sf_dir):
                        sensitive_col="sens", t_max_micro=200_000)
 
 
+@q("q282_expectation_suite", """
+SELECT 'not_null(o_custkey)' AS rule,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS violations,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) <= 0
+         AS passed
+FROM orders
+UNION ALL
+SELECT 'range(o_totalprice,0,None)',
+       CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                      AND o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                THEN 1 ELSE 0 END) <= 0
+FROM orders
+UNION ALL
+SELECT 'in_set(o_orderstatus)',
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('F', 'O')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       SUM(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('F', 'O')
+           THEN 1 ELSE 0 END) <= 0
+FROM orders
+UNION ALL
+SELECT 'regex(o_orderpriority)',
+       CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                      AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       SUM(CASE WHEN o_orderpriority IS NOT NULL
+                 AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+           THEN 1 ELSE 0 END) <= 0
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(SUM(c) - COUNT(*) AS BIGINT),
+       CAST(SUM(c) AS BIGINT),
+       (SUM(c) - COUNT(*)) <= 0
+FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders
+      GROUP BY o_orderkey)
+UNION ALL
+SELECT 'subset_of(o_custkey->c_custkey)',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_custkey IS NOT NULL) AS BIGINT),
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM customer c
+           WHERE c.c_custkey = o.o_custkey)) <= 0
+""")
+def q282(spark, sf_dir):
+    """Declarative data-quality expectation suite over the orders
+    table (the Deequ / Great-Expectations shape): four row-local rules
+    folded into ONE shared aggregation pass, a uniqueness rule (one
+    groupBy exchange), and a referential-integrity rule (broadcast
+    anti-join against customer) — exact violation counts, one report
+    row per rule; the in_set rule deliberately omits status 'P' so the
+    report demonstrably catches real violations rather than
+    vacuously passing."""
+    from ultraviolet_spark.operators.expectations import (
+        validate_expectations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return validate_expectations(orders, [
+        {"rule": "not_null", "col": "o_custkey"},
+        {"rule": "range", "col": "o_totalprice", "min": 0},
+        {"rule": "in_set", "col": "o_orderstatus",
+         "values": ["F", "O"]},
+        {"rule": "regex", "col": "o_orderpriority",
+         "pattern": "^[1-5]-"},
+        {"rule": "unique", "cols": ["o_orderkey"]},
+        {"rule": "subset_of", "col": "o_custkey",
+         "ref_df": customer, "ref_col": "c_custkey"},
+    ])
+
+
+@q("q283_seasonal_anomalies", """
+WITH base AS (
+  SELECT event_type AS key, ts,
+         CAST(hour(ts) AS INTEGER) AS pos,
+         CAST(round(value * 1e6) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL),
+prof AS (
+  SELECT key, pos,
+         CAST(round(quantile_cont(CAST(vm AS DOUBLE), 0.5))
+              AS BIGINT) AS pm
+  FROM base GROUP BY key, pos),
+j AS (
+  SELECT b.key, b.ts, b.pos, b.vm, p.pm, b.vm - p.pm AS rm
+  FROM base b JOIN prof p ON p.key = b.key AND p.pos = b.pos),
+mad AS (
+  SELECT key, round(quantile_cont(CAST(abs(rm) AS DOUBLE), 0.5), 6)
+           AS madm
+  FROM j GROUP BY key)
+SELECT j.key AS event_type, j.ts, j.pos,
+       round(CAST(j.vm AS DOUBLE) / 1e6, 6) AS value,
+       round(CAST(j.pm AS DOUBLE) / 1e6, 6) AS profile,
+       round(CAST(j.rm AS DOUBLE) / 1e6, 6) AS resid,
+       CAST(abs(j.rm) AS DOUBLE) > 3.0 * mad.madm AS is_anomaly
+FROM j JOIN mad ON mad.key = j.key
+""")
+def q283(spark, sf_dir):
+    """Hour-of-day seasonal decomposition of event values per event
+    type with doubly-robust anomaly flags: per (type, hour) MEDIAN
+    profiles re-snapped to micro-integers so residuals are exact (a
+    mean profile is contaminated by exactly the spikes it should
+    expose), per-key MAD as the exact interpolated median of
+    |residual| (rounded both sides so the flag never flips on a
+    last-ULP difference) — the monitor that doesn't alarm every night
+    and doesn't let daytime incidents hide inside a global
+    threshold."""
+    from ultraviolet_spark.operators.stats import seasonal_anomalies
+
+    return seasonal_anomalies(_t(spark, sf_dir, "events"),
+                              key_col="event_type", ts_col="ts",
+                              value_col="value",
+                              period="hour_of_day", k=3.0)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
