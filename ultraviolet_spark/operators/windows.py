@@ -456,3 +456,57 @@ def rate_limit_schedule(df: DataFrame, *, by: str, ready_col: str,
             .withColumn(f"{out_prefix}_ts", F.timestamp_micros(sched_us))
             .withColumn(f"{out_prefix}_wait_us",
                         (sched_us - base).cast("long")))
+
+
+def holt_forecast_by_key(df: DataFrame, *, value_col: str,
+                         order_cols: list[str], by: str,
+                         horizon: int = 3,
+                         micro: int = 1_000_000) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend,
+    α = β = 1/2) as an exact integer TWO-scalar fold — ``ewma_by_key``
+    tracks a level but cannot see a ramp (its forecast of a steadily
+    growing series lags forever); Holt carries the trend:
+
+        l₁ = v₁·micro, b₁ = 0
+        l_t = (l_{t−1} + b_{t−1} + v_t·micro) div 2
+        b_t = (b_{t−1} + (l_t − l_{t−1})) div 2
+        forecast(h) = l_n + h·b_n
+
+    Same exactness contract as the EWMA: an integer trunc-div
+    recurrence over an explicitly ordered list is bit-identical in
+    every engine (DuckDB mirrors the [level, trend] pair fold with
+    ``list_reduce`` over ``[m, 0]`` pairs; both engines trunc-divide
+    toward zero — verified −3//2 = −1 in DuckDB, matching Spark's
+    double-div-cast), where float Holt differs in the last ULP per
+    step and compounds.
+
+    Scale: one partial-aggregated shuffle on ``by``; per-key history
+    in the collect_list with the same ~40-step decay-horizon cap
+    advice as ``ewma_by_key``.  ``order_cols`` must be per-key unique.
+
+    Output: (by, n, level_micro, trend_micro, fc_micro) with
+    ``fc_micro = level + horizon·trend``.
+    """
+    m = F.floor(F.col(value_col).cast("double") * micro).cast("long")
+    lst = F.sort_array(F.collect_list(F.struct(
+        *[F.col(c) for c in order_cols], m.alias("__m"))))
+    grouped = df.groupBy(by).agg(F.count("*").cast("long").alias("n"),
+                                 lst.alias("__l"))
+    pairs = F.transform(F.col("__l"),
+                        lambda s: F.array(s["__m"],
+                                          F.lit(0).cast("long")))
+
+    def step(acc, v):
+        l_new = ((acc[0] + acc[1] + v[0]) / F.lit(2.0)).cast("long")
+        b_new = ((acc[1] + (l_new - acc[0])) / F.lit(2.0)).cast("long")
+        return F.array(l_new, b_new)
+
+    fold = F.aggregate(
+        F.slice(pairs, 2, F.greatest(F.size(pairs) - 1, F.lit(0))),
+        F.element_at(pairs, 1), step)
+    h = int(horizon)
+    return grouped.select(
+        by, "n",
+        fold[0].alias("level_micro"),
+        fold[1].alias("trend_micro"),
+        (fold[0] + F.lit(h) * fold[1]).alias("fc_micro"))

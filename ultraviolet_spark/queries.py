@@ -11199,6 +11199,42 @@ def q283(spark, sf_dir):
                               period="hour_of_day", k=3.0)
 
 
+@q("q284_holt_forecast", """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS m
+  FROM events WHERE event_type = 'purchase'),
+l AS (
+  SELECT user_id, COUNT(*) AS n,
+         list([m, CAST(0 AS BIGINT)] ORDER BY ts, event_id) AS ms
+  FROM p GROUP BY user_id),
+f AS (
+  SELECT user_id, n,
+         list_reduce(ms, (a, v) ->
+           [(a[1] + a[2] + v[1]) // 2,
+            (a[2] + ((a[1] + a[2] + v[1]) // 2 - a[1])) // 2]) AS lb
+  FROM l)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(lb[1] AS BIGINT) AS level_micro,
+       CAST(lb[2] AS BIGINT) AS trend_micro,
+       CAST(lb[1] + 3 * lb[2] AS BIGINT) AS fc_micro
+FROM f
+""")
+def q284(spark, sf_dir):
+    """Per-user Holt double-exponential smoothing of purchase values
+    (level + trend, α = β = 1/2, integer trunc-div recurrence over the
+    explicitly ordered history) — the EWMA that can see a ramp; the
+    oracle folds the identical [level, trend] pairs with list_reduce,
+    bit-exact where float Holt compounds ULP drift per step."""
+    from ultraviolet_spark.operators.windows import holt_forecast_by_key
+
+    p = (_t(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "purchase"))
+    return holt_forecast_by_key(p, value_col="value",
+                                order_cols=["ts", "event_id"],
+                                by="user_id", horizon=3)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
