@@ -76,6 +76,7 @@ CROSS_OK = {
     "q279_shapley_attribution",  # 2^K subset-lattice frames (metadata-sized)
     "q281_t_closeness",          # class × sensitive-vocab completion
     "q282_expectation_suite",    # 1-row violations × 1-row n frames
+    "q285_ipw_ate",              # 1-row β frames (IRLS) + 1-row β apply
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_irls", "kmeans_fixed"]
+__all__ = ["logreg_irls", "kmeans_fixed", "ipw_ate"]
 
 
 def _snap(col) -> F.Column:
@@ -234,3 +234,108 @@ def kmeans_fixed(df: DataFrame, *, id_col: str = "vec_id",
         "cluster",
         F.round(F.col("__d").cast("double") / F.lit(1e12), 6)
         .alias("dist2"))
+
+
+def ipw_ate(df: DataFrame, *, treat_expr: str, outcome_col: str,
+            x1_col, x2_col, iters: int = 2,
+            trim_micro: int = 1000) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect — the
+    observational-causal estimator completing the wing next to
+    Mantel–Haenszel (stratified 2×2) and CUPED (randomized variance
+    reduction): when treatment is NOT randomized, the naive
+    difference-in-means mixes the effect with selection (users who
+    sign up were already more active); weighting each unit by
+    1/P(treatment observed | x) re-balances the two arms on the
+    measured covariates.
+
+    The propensity model is the engine's own exact-replay IRLS
+    logistic regression (``logreg_irls``, 2 unrolled iterations from
+    β = 0) — so the ENTIRE estimator, model included, is a pure
+    function of the data: e(x) = σ(β·x) snaps to a micro-integer
+    clamped to [trim, 1e6−trim] (overlap trimming, the standard
+    guard against exploding weights — ε = trim/1e6, default 0.001),
+    per-unit weighted terms w = round(1e12/e_µ) and
+    wy = round(y_µ·1e6/e_µ) snap BEFORE aggregation (order-independent
+    DECIMAL(38,0) sums), and three estimators come out of the same
+    integer sufficient statistics with fixed-order final divisions:
+
+    * ``ate_naive`` — difference in raw means (the confounded number,
+      shipped so the adjustment is visible);
+    * ``ate_ipw`` — Horvitz–Thompson (Σ_t wy − Σ_c wy)/(N·1e6);
+    * ``ate_hajek`` — self-normalized Σwy/Σw per arm (the stabilized
+      estimator that tolerates propensity miscalibration).
+
+    A singular propensity fit (det = 0, collinear covariates)
+    propagates NULL estimates loudly rather than silently falling
+    back to naive.  Exactness envelope: y_µ·1e6 must stay within
+    2^53 (|y| ≤ ~9·10³ in original units) — use counts or means, not
+    corpus-scale sums, as the outcome.
+
+    Scale: one unit-level pass per IRLS iteration (inherited), one
+    final weighted pass; betas ride one broadcast row.  Output is one
+    row: (n, n_treated, beta0_micro, beta1_micro, beta2_micro,
+    ate_naive, ate_ipw, ate_hajek).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")
+    t = F.when(F.expr(treat_expr), 1).otherwise(0)
+    x1 = _snap(F.col(x1_col).cast("double") if isinstance(x1_col, str)
+               else x1_col.cast("double"))
+    x2 = _snap(F.col(x2_col).cast("double") if isinstance(x2_col, str)
+               else x2_col.cast("double"))
+    y_mu = F.round(F.col(outcome_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(x1.isNotNull() & x2.isNotNull()
+                      & y_mu.isNotNull())
+            .select(t.alias("t"),
+                    (x1.cast("double") / F.lit(1e6)).alias("x1"),
+                    (x2.cast("double") / F.lit(1e6)).alias("x2"),
+                    y_mu.alias("ym")))
+
+    beta = logreg_irls(df, x1_col=x1_col, x2_col=x2_col,
+                       label_expr=treat_expr, iters=iters)
+    j = base.crossJoin(F.broadcast(
+        beta.select(F.col("beta0_micro").alias("b0m"),
+                    F.col("beta1_micro").alias("b1m"),
+                    F.col("beta2_micro").alias("b2m"))))
+    eta = (F.col("b0m").cast("double")
+           + F.col("b1m").cast("double") * F.col("x1")
+           + F.col("b2m").cast("double") * F.col("x2")) / F.lit(1e6)
+    tm = int(trim_micro)
+    # guard the clamp behind a NULL check: Spark's greatest/least SKIP
+    # nulls, so a singular fit (eta NULL) would silently clamp to the
+    # trim floor instead of propagating NULL loudly
+    e_mu = F.when(eta.isNotNull(), F.greatest(F.lit(tm), F.least(
+        F.lit(1_000_000 - tm),
+        F.round(F.lit(1e6) / (F.lit(1.0) + F.exp(-eta))).cast("long"))))
+    den = F.when(F.col("t") == 1, e_mu).otherwise(F.lit(1_000_000) - e_mu)
+    w_mu = F.round(F.lit(1e12) / den.cast("double")).cast("long")
+    wy_mu = F.round(F.col("ym").cast("double") * F.lit(1e6)
+                    / den.cast("double")).cast("long")
+    j = j.select("t", "ym", w_mu.alias("wm"), wy_mu.alias("wym"),
+                 "b0m", "b1m", "b2m")
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("n_treated"),
+        F.max("b0m").alias("beta0_micro"),
+        F.max("b1m").alias("beta1_micro"),
+        F.max("b2m").alias("beta2_micro"),
+        F.sum(F.when(F.col("t") == 1, d38(F.col("ym")))).alias("__yt"),
+        F.sum(F.when(F.col("t") == 0, d38(F.col("ym")))).alias("__yc"),
+        F.sum(F.when(F.col("t") == 1, d38(F.col("wym")))).alias("__wyt"),
+        F.sum(F.when(F.col("t") == 0, d38(F.col("wym")))).alias("__wyc"),
+        F.sum(F.when(F.col("t") == 1, d38(F.col("wm")))).alias("__wt"),
+        F.sum(F.when(F.col("t") == 0, d38(F.col("wm")))).alias("__wc"))
+    n_d = F.col("n").cast("double")
+    nt_d = F.col("n_treated").cast("double")
+    nc_d = (F.col("n") - F.col("n_treated")).cast("double")
+    naive = (F.col("__yt").cast("double") / nt_d
+             - F.col("__yc").cast("double") / nc_d) / F.lit(1e6)
+    ipw = (F.col("__wyt").cast("double")
+           - F.col("__wyc").cast("double")) / n_d / F.lit(1e6)
+    hajek = (F.col("__wyt").cast("double") / F.col("__wt").cast("double")
+             - F.col("__wyc").cast("double")
+             / F.col("__wc").cast("double"))
+    return agg.select(
+        "n", "n_treated", "beta0_micro", "beta1_micro", "beta2_micro",
+        F.round(naive, 6).alias("ate_naive"),
+        F.round(ipw, 6).alias("ate_ipw"),
+        F.round(hajek, 6).alias("ate_hajek"))

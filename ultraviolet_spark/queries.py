@@ -11235,6 +11235,207 @@ def q284(spark, sf_dir):
                                 by="user_id", horizon=3)
 
 
+@q("q285_ipw_ate", """
+WITH per AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1
+           AS tr,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS yv,
+         CAST(COUNT(*) AS DOUBLE) AS x1r,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS x2r
+  FROM events GROUP BY user_id),
+base AS (
+  SELECT CASE WHEN tr THEN 1.0 ELSE 0.0 END AS y,
+         CAST(CAST(round(x1r * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS x1,
+         CAST(CAST(round(x2r * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS x2,
+         CASE WHEN tr THEN 1 ELSE 0 END AS t,
+         CAST(round(yv * 1e6) AS BIGINT) AS ym
+  FROM per),
+nb0 AS (SELECT CAST(0 AS BIGINT) AS b0m, CAST(0 AS BIGINT) AS b1m,
+               CAST(0 AS BIGINT) AS b2m),
+it1 AS (
+  SELECT base.*, (CAST(nb0.b0m AS DOUBLE)
+                  + CAST(nb0.b1m AS DOUBLE) * x1
+                  + CAST(nb0.b2m AS DOUBLE) * x2) / 1e6 AS eta
+  FROM base, nb0),
+row1 AS (
+  SELECT y, x1, x2, eta,
+         1.0 / (1.0 + exp(-eta)) AS mu,
+         (1.0 / (1.0 + exp(-eta)))
+           * (1.0 - (1.0 / (1.0 + exp(-eta)))) AS w,
+         eta + (y - (1.0 / (1.0 + exp(-eta))))
+               / ((1.0 / (1.0 + exp(-eta)))
+                  * (1.0 - (1.0 / (1.0 + exp(-eta))))) AS z
+  FROM it1),
+sum1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT) AS s11,
+         CAST(SUM(CAST(round(w*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s12,
+         CAST(SUM(CAST(round(w*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s13,
+         CAST(SUM(CAST(round(w*x1*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s22,
+         CAST(SUM(CAST(round(w*x1*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s23,
+         CAST(SUM(CAST(round(w*x2*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s33,
+         CAST(SUM(CAST(round(w*z * 1e6) AS BIGINT)) AS BIGINT) AS t1,
+         CAST(SUM(CAST(round(w*z*x1 * 1e6) AS BIGINT)) AS BIGINT) AS t2,
+         CAST(SUM(CAST(round(w*z*x2 * 1e6) AS BIGINT)) AS BIGINT) AS t3
+  FROM row1),
+dd1 AS (
+  SELECT n,
+         CAST(s11 AS DOUBLE) AS ds11, CAST(s12 AS DOUBLE) AS ds12,
+         CAST(s13 AS DOUBLE) AS ds13, CAST(s22 AS DOUBLE) AS ds22,
+         CAST(s23 AS DOUBLE) AS ds23, CAST(s33 AS DOUBLE) AS ds33,
+         CAST(t1 AS DOUBLE) AS dt1, CAST(t2 AS DOUBLE) AS dt2,
+         CAST(t3 AS DOUBLE) AS dt3
+  FROM sum1),
+mm1 AS (
+  SELECT *, ds22 * ds33 - ds23 * ds23 AS m11,
+            ds12 * ds33 - ds23 * ds13 AS m12,
+            ds12 * ds23 - ds22 * ds13 AS m13
+  FROM dd1),
+dx1 AS (
+  SELECT *,
+    ds11 * m11 - ds12 * m12 + ds13 * m13 AS det,
+    dt1 * m11 - ds12 * (dt2 * ds33 - ds23 * dt3)
+      + ds13 * (dt2 * ds23 - ds22 * dt3) AS det0,
+    ds11 * (dt2 * ds33 - ds23 * dt3) - dt1 * m12
+      + ds13 * (ds12 * dt3 - dt2 * ds13) AS det1,
+    ds11 * (ds22 * dt3 - dt2 * ds23) - ds12 * (ds12 * dt3 - dt2 * ds13)
+      + dt1 * m13 AS det2
+  FROM mm1),
+nb1 AS (
+  SELECT n,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det0 / det * 1e6) AS BIGINT) END AS b0m,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det1 / det * 1e6) AS BIGINT) END AS b1m,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det2 / det * 1e6) AS BIGINT) END AS b2m,
+    det
+  FROM dx1),
+it2 AS (
+  SELECT base.*, (CAST(nb1.b0m AS DOUBLE)
+                  + CAST(nb1.b1m AS DOUBLE) * x1
+                  + CAST(nb1.b2m AS DOUBLE) * x2) / 1e6 AS eta
+  FROM base, nb1),
+row2 AS (
+  SELECT y, x1, x2, eta,
+         1.0 / (1.0 + exp(-eta)) AS mu,
+         (1.0 / (1.0 + exp(-eta)))
+           * (1.0 - (1.0 / (1.0 + exp(-eta)))) AS w,
+         eta + (y - (1.0 / (1.0 + exp(-eta))))
+               / ((1.0 / (1.0 + exp(-eta)))
+                  * (1.0 - (1.0 / (1.0 + exp(-eta))))) AS z
+  FROM it2),
+sum2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT) AS s11,
+         CAST(SUM(CAST(round(w*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s12,
+         CAST(SUM(CAST(round(w*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s13,
+         CAST(SUM(CAST(round(w*x1*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s22,
+         CAST(SUM(CAST(round(w*x1*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s23,
+         CAST(SUM(CAST(round(w*x2*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s33,
+         CAST(SUM(CAST(round(w*z * 1e6) AS BIGINT)) AS BIGINT) AS t1,
+         CAST(SUM(CAST(round(w*z*x1 * 1e6) AS BIGINT)) AS BIGINT) AS t2,
+         CAST(SUM(CAST(round(w*z*x2 * 1e6) AS BIGINT)) AS BIGINT) AS t3
+  FROM row2),
+dd2 AS (
+  SELECT n,
+         CAST(s11 AS DOUBLE) AS ds11, CAST(s12 AS DOUBLE) AS ds12,
+         CAST(s13 AS DOUBLE) AS ds13, CAST(s22 AS DOUBLE) AS ds22,
+         CAST(s23 AS DOUBLE) AS ds23, CAST(s33 AS DOUBLE) AS ds33,
+         CAST(t1 AS DOUBLE) AS dt1, CAST(t2 AS DOUBLE) AS dt2,
+         CAST(t3 AS DOUBLE) AS dt3
+  FROM sum2),
+mm2 AS (
+  SELECT *, ds22 * ds33 - ds23 * ds23 AS m11,
+            ds12 * ds33 - ds23 * ds13 AS m12,
+            ds12 * ds23 - ds22 * ds13 AS m13
+  FROM dd2),
+dx2 AS (
+  SELECT *,
+    ds11 * m11 - ds12 * m12 + ds13 * m13 AS det,
+    dt1 * m11 - ds12 * (dt2 * ds33 - ds23 * dt3)
+      + ds13 * (dt2 * ds23 - ds22 * dt3) AS det0,
+    ds11 * (dt2 * ds33 - ds23 * dt3) - dt1 * m12
+      + ds13 * (ds12 * dt3 - dt2 * ds13) AS det1,
+    ds11 * (ds22 * dt3 - dt2 * ds23) - ds12 * (ds12 * dt3 - dt2 * ds13)
+      + dt1 * m13 AS det2
+  FROM mm2),
+nb2 AS (
+  SELECT n,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det0 / det * 1e6) AS BIGINT) END AS b0m,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det1 / det * 1e6) AS BIGINT) END AS b1m,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det2 / det * 1e6) AS BIGINT) END AS b2m,
+    det
+  FROM dx2),
+wrow AS (
+  SELECT base.t, base.ym, nb2.b0m, nb2.b1m, nb2.b2m,
+         (CAST(nb2.b0m AS DOUBLE) + CAST(nb2.b1m AS DOUBLE) * base.x1
+          + CAST(nb2.b2m AS DOUBLE) * base.x2) / 1e6 AS eta
+  FROM base, nb2),
+wden AS (
+  SELECT t, ym, b0m, b1m, b2m,
+         CASE WHEN t = 1 THEN emu ELSE 1000000 - emu END AS den
+  FROM (SELECT *, CASE WHEN eta IS NULL THEN NULL ELSE
+          GREATEST(1000, LEAST(999000,
+            CAST(round(1e6 / (1.0 + exp(-eta))) AS BIGINT))) END AS emu
+        FROM wrow)),
+ws AS (
+  SELECT t, ym, b0m, b1m, b2m,
+         CAST(round(1e12 / CAST(den AS DOUBLE)) AS BIGINT) AS wm,
+         CAST(round(CAST(ym AS DOUBLE) * 1e6 / CAST(den AS DOUBLE))
+              AS BIGINT) AS wym
+  FROM wden),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS n_treated,
+         MAX(b0m) AS beta0_micro, MAX(b1m) AS beta1_micro,
+         MAX(b2m) AS beta2_micro,
+         SUM(CASE WHEN t = 1 THEN CAST(ym AS HUGEINT) END) AS yt,
+         SUM(CASE WHEN t = 0 THEN CAST(ym AS HUGEINT) END) AS yc,
+         SUM(CASE WHEN t = 1 THEN CAST(wym AS HUGEINT) END) AS wyt,
+         SUM(CASE WHEN t = 0 THEN CAST(wym AS HUGEINT) END) AS wyc,
+         SUM(CASE WHEN t = 1 THEN CAST(wm AS HUGEINT) END) AS wt,
+         SUM(CASE WHEN t = 0 THEN CAST(wm AS HUGEINT) END) AS wc
+  FROM ws)
+SELECT n, n_treated, beta0_micro, beta1_micro, beta2_micro,
+  round((CAST(yt AS DOUBLE) / CAST(n_treated AS DOUBLE)
+         - CAST(yc AS DOUBLE) / CAST(n - n_treated AS DOUBLE))
+        / 1e6, 6) AS ate_naive,
+  round((CAST(wyt AS DOUBLE) - CAST(wyc AS DOUBLE))
+        / CAST(n AS DOUBLE) / 1e6, 6) AS ate_ipw,
+  round(CAST(wyt AS DOUBLE) / CAST(wt AS DOUBLE)
+        - CAST(wyc AS DOUBLE) / CAST(wc AS DOUBLE), 6) AS ate_hajek
+FROM agg
+""")
+def q285(spark, sf_dir):
+    """Inverse-propensity-weighted ATE of signing up on purchase
+    count, per user, with activity covariates (event count, click
+    count): the propensity model is the engine's own exact-replay
+    2-iteration IRLS fit, e(x) snaps to a trimmed micro-integer,
+    per-unit weighted terms snap before aggregation — naive,
+    Horvitz–Thompson and Hájek estimators from one integer
+    sufficient-statistics row, the oracle replaying the entire
+    pipeline (both IRLS iterations + weighting) move-for-move."""
+    from ultraviolet_spark.operators.mlfit import ipw_ate
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.max(F.col("event_type") == "signup").alias("tr"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).cast("double").alias("y"),
+                F.count("*").cast("double").alias("x1"),
+                F.sum(F.when(F.col("event_type") == "click", 1)
+                      .otherwise(0)).cast("double").alias("x2")))
+    return ipw_ate(per, treat_expr="tr", outcome_col="y",
+                   x1_col="x1", x2_col="x2", iters=2)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
