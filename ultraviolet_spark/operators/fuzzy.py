@@ -171,3 +171,112 @@ def jaro_winkler_pairs(df: DataFrame, *, col_a: str,
                            "return": pd.Series}
     jw = pandas_udf(_fn, "double")
     return df.withColumn("jw", F.round(jw(F.col(col_a), F.col(col_b)), 6))
+
+
+def fs_field_weights(records: DataFrame, pairs: DataFrame, *,
+                     fields: list[str],
+                     anchor_col: str = "is_anchor") -> DataFrame:
+    """Fellegi–Sunter (1969, public) probabilistic record-linkage
+    field weights — the scoring theory behind ``entity_resolve``'s
+    threshold: for each comparison field, the agreement weight
+    ln(m/u) and disagreement weight ln((1−m)/(1−u)), where m is the
+    agreement probability among MATCHES and u among NON-matches.  A
+    field that agrees by chance half the time (u large) earns little
+    credit for agreeing; a high-cardinality field that almost never
+    agrees by accident earns a lot.
+
+    Estimation without labels, exactly:
+
+    * u_f — the chance-agreement probability of two random records —
+      comes EXACTLY from the field's value histogram:
+      (Σ_v c_v² − n)/(n² − n), integers in DECIMAL(38,0) (n² crosses
+      int64 at n ≈ 3·10⁹); NULL is a value (null-safe agreement ⟺
+      histogram counts NULLs), matching the scorer's ``<=>``;
+    * m_f comes from the ANCHOR pairs (pairs the caller trusts as
+      matches — a shared strong key, a verified subset): the standard
+      label-free alternative to EM, and the anchor rule is explicit
+      instead of hidden inside an E-step;
+    * both ratios are Laplace-held-exact by integer doubling
+      (p = (2a+1)/(2n+2), the woe_iv discipline) so no ln(0) exists
+      even for all-distinct fields or empty anchor sets, and each
+      weight is ln(a)−ln(b)−ln(c)+ln(d) in FIXED operand order
+      snapped once to integer micro-nats.
+
+    One pass over records for ALL field histograms (fields explode
+    through a map, one (field, value) exchange); one pass over anchor
+    pairs.  Output per field: (field, m, u, w_agree_micro,
+    w_disagree_micro).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")
+    tall = records.select(F.explode(F.create_map(
+        *[x for f in fields
+          for x in (F.lit(f), F.col(f).cast("string"))]))
+        .alias("field", "v"))
+    hist = (tall.groupBy("field", "v")
+            .agg(F.count("*").cast("long").alias("c")))
+    u = (hist.groupBy("field")
+         .agg((F.sum(d38(F.col("c")) * d38(F.col("c")))
+               - F.sum("c")).alias("__ag"),
+              F.sum("c").cast("long").alias("__n")))
+    u = u.select(
+        "field",
+        (F.lit(2) * F.col("__ag") + F.lit(1)).alias("u_num"),
+        (F.lit(2) * (d38(F.col("__n")) * d38(F.col("__n"))
+                     - F.col("__n")) + F.lit(2)).alias("u_den"))
+    anch = pairs.filter(F.col(anchor_col))
+    m_aggs = [F.sum(F.col(f"{f}_a").eqNullSafe(F.col(f"{f}_b"))
+                    .cast("long")).alias(f"__a_{f}")
+              for f in fields]
+    m_one = anch.agg(F.count("*").cast("long").alias("__na"), *m_aggs)
+    m_tall = m_one.select(
+        "__na", F.explode(F.create_map(
+            *[x for f in fields
+              for x in (F.lit(f), F.col(f"__a_{f}"))]))
+        .alias("field", "__agree"))
+    m = m_tall.select(
+        "field",
+        (F.lit(2) * F.col("__agree") + F.lit(1)).cast("long")
+        .alias("m_num"),
+        (F.lit(2) * F.col("__na") + F.lit(2)).cast("long")
+        .alias("m_den"))
+    w = m.join(u, "field")
+    ln = lambda c: F.log(c.cast("double"))
+    w_a = F.round((ln(F.col("m_num")) - ln(F.col("m_den"))
+                   - ln(F.col("u_num")) + ln(F.col("u_den")))
+                  * F.lit(1e6)).cast("long")
+    w_d = F.round((ln(F.col("m_den") - F.col("m_num"))
+                   - ln(F.col("m_den"))
+                   - ln(F.col("u_den") - F.col("u_num"))
+                   + ln(F.col("u_den"))) * F.lit(1e6)).cast("long")
+    return w.select(
+        "field",
+        F.round(F.col("m_num").cast("double")
+                / F.col("m_den").cast("double"), 6).alias("m"),
+        F.round(F.col("u_num").cast("double")
+                / F.col("u_den").cast("double"), 9).alias("u"),
+        w_a.alias("w_agree_micro"), w_d.alias("w_disagree_micro"))
+
+
+def fs_score_pairs(pairs: DataFrame, weights: DataFrame, *,
+                   fields: list[str]) -> DataFrame:
+    """Score candidate pairs with Fellegi–Sunter field weights: each
+    field contributes its agreement or disagreement micro-nat weight
+    (null-safe agreement, matching the u estimation), the pair score
+    is the exact integer sum — pairs above/below thresholds go to
+    link / non-link, the band between to clerical review (the
+    caller's two thresholds).  Weights ride one broadcast map row;
+    scoring is scan-stage over the pairs frame.
+    """
+    wmap = weights.groupBy().agg(F.map_from_arrays(
+        F.collect_list("field"),
+        F.collect_list(F.struct("w_agree_micro", "w_disagree_micro")))
+        .alias("__w"))
+    j = pairs.crossJoin(F.broadcast(wmap))
+    score = None
+    for f in fields:
+        agree = F.col(f"{f}_a").eqNullSafe(F.col(f"{f}_b"))
+        term = F.when(agree, F.col("__w")[f]["w_agree_micro"]) \
+            .otherwise(F.col("__w")[f]["w_disagree_micro"])
+        score = term if score is None else score + term
+    return (j.withColumn("score_micro", score.cast("long"))
+            .drop("__w"))

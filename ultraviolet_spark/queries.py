@@ -11436,6 +11436,101 @@ def q285(spark, sf_dir):
                    x1_col="x1", x2_col="x2", iters=2)
 
 
+@q("q286_fellegi_sunter", """
+WITH rec AS (
+  SELECT c_custkey, c_mktsegment AS seg,
+         CAST(c_nationkey AS VARCHAR) AS nat,
+         CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal
+  FROM customer),
+pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         a.seg AS seg_a, b.seg AS seg_b,
+         a.nat AS nat_a, b.nat AS nat_b,
+         a.bal AS bal_a, b.bal AS bal_b,
+         a.c_custkey % 7 = 0 AS is_anchor
+  FROM rec a JOIN rec b ON a.c_custkey + 1 = b.c_custkey),
+hist AS (
+  SELECT field, v, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT 'seg' AS field, seg AS v FROM rec
+    UNION ALL SELECT 'nat', nat FROM rec
+    UNION ALL SELECT 'bal', bal FROM rec) t
+  GROUP BY field, v),
+u AS (
+  SELECT field,
+         2 * (SUM(CAST(c AS HUGEINT) * c) - SUM(c)) + 1 AS u_num,
+         2 * (CAST(SUM(c) AS HUGEINT) * SUM(c) - SUM(c)) + 2 AS u_den
+  FROM hist GROUP BY field),
+m1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN seg_a IS NOT DISTINCT FROM seg_b
+                  THEN 1 ELSE 0 END) AS BIGINT) AS ag_seg,
+         CAST(SUM(CASE WHEN nat_a IS NOT DISTINCT FROM nat_b
+                  THEN 1 ELSE 0 END) AS BIGINT) AS ag_nat,
+         CAST(SUM(CASE WHEN bal_a IS NOT DISTINCT FROM bal_b
+                  THEN 1 ELSE 0 END) AS BIGINT) AS ag_bal
+  FROM pairs WHERE is_anchor),
+m AS (
+  SELECT 'seg' AS field, 2 * ag_seg + 1 AS m_num, 2 * na + 2 AS m_den
+  FROM m1
+  UNION ALL SELECT 'nat', 2 * ag_nat + 1, 2 * na + 2 FROM m1
+  UNION ALL SELECT 'bal', 2 * ag_bal + 1, 2 * na + 2 FROM m1),
+w AS (
+  SELECT m.field,
+    CAST(round((ln(CAST(m_num AS DOUBLE)) - ln(CAST(m_den AS DOUBLE))
+                - ln(CAST(u_num AS DOUBLE))
+                + ln(CAST(u_den AS DOUBLE))) * 1e6) AS BIGINT) AS wa,
+    CAST(round((ln(CAST(m_den - m_num AS DOUBLE))
+                - ln(CAST(m_den AS DOUBLE))
+                - ln(CAST(u_den - u_num AS DOUBLE))
+                + ln(CAST(u_den AS DOUBLE))) * 1e6) AS BIGINT) AS wd
+  FROM m JOIN u USING (field))
+SELECT p.id_a, p.id_b, p.is_anchor,
+  CAST((CASE WHEN seg_a IS NOT DISTINCT FROM seg_b
+        THEN ws.wa ELSE ws.wd END)
+     + (CASE WHEN nat_a IS NOT DISTINCT FROM nat_b
+        THEN wn.wa ELSE wn.wd END)
+     + (CASE WHEN bal_a IS NOT DISTINCT FROM bal_b
+        THEN wb.wa ELSE wb.wd END) AS BIGINT) AS score_micro
+FROM pairs p,
+     (SELECT wa, wd FROM w WHERE field = 'seg') ws,
+     (SELECT wa, wd FROM w WHERE field = 'nat') wn,
+     (SELECT wa, wd FROM w WHERE field = 'bal') wb
+""")
+def q286(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record-linkage scoring over
+    consecutive-custkey candidate pairs: u (chance agreement) EXACTLY
+    from each field's value histogram, m from an explicit anchor-pair
+    rule (custkey % 7 — the label-free alternative to EM with the
+    assumption visible), both Laplace-held-exact by integer doubling,
+    weights as fixed-order ln differences snapped to micro-nats, pair
+    scores as exact integer sums; the oracle replays every histogram
+    and weight."""
+    from ultraviolet_spark.operators.fuzzy import (fs_field_weights,
+                                                   fs_score_pairs)
+
+    rec = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("string").alias("nat"),
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos")
+        .alias("bal"))
+    a, b = rec.alias("a"), rec.alias("b")
+    pairs = (a.join(b, F.col("a.c_custkey") + 1 == F.col("b.c_custkey"))
+             .select(F.col("a.c_custkey").alias("id_a"),
+                     F.col("b.c_custkey").alias("id_b"),
+                     F.col("a.seg").alias("seg_a"),
+                     F.col("b.seg").alias("seg_b"),
+                     F.col("a.nat").alias("nat_a"),
+                     F.col("b.nat").alias("nat_b"),
+                     F.col("a.bal").alias("bal_a"),
+                     F.col("b.bal").alias("bal_b"),
+                     (F.col("a.c_custkey") % 7 == 0).alias("is_anchor")))
+    flds = ["seg", "nat", "bal"]
+    w = fs_field_weights(rec.select("seg", "nat", "bal"), pairs,
+                         fields=flds)
+    scored = fs_score_pairs(pairs, w, fields=flds)
+    return scored.select("id_a", "id_b", "is_anchor", "score_micro")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
