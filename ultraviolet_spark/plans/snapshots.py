@@ -65,10 +65,21 @@ class Snapshot:
 
 
 class ParquetSnapshotFormat:
-    """Parquet + JSON snapshot log with Iceberg-like resume semantics."""
+    """Columnar data + JSON snapshot log with Iceberg-like resume
+    semantics.  ``data_format`` selects the columnar file format for
+    the data files — ``parquet`` (default) or ``orc`` (both ship with
+    Spark, both expose the ``_metadata.file_path`` hidden column the
+    per-file lineage relies on, and both carry footer statistics for
+    scan pruning); the snapshot/lineage bookkeeping is format-
+    independent, so checkpoint/resume semantics are identical."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, data_format: str = "parquet"):
+        if data_format not in ("parquet", "orc"):
+            raise ValueError(
+                f"unsupported data_format: {data_format!r} "
+                "(parquet or orc)")
         self.root = root
+        self.data_format = data_format
 
     # -- paths ----------------------------------------------------------
     def _tdir(self, table: str) -> str:
@@ -119,7 +130,7 @@ class ParquetSnapshotFormat:
                 raise ValueError("'rows' is reserved (always observed)")
             aggs.append(col.alias(mname))
         df = df.observe(obs, *aggs)
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").format(self.data_format).save(path)
         got = obs.get
         n_rows = int(got["rows"])
         observed = {k: (None if got[k] is None else float(got[k]))
@@ -130,10 +141,11 @@ class ParquetSnapshotFormat:
         spark = df.sparkSession
         files = {
             os.path.join(path, f): os.path.getsize(os.path.join(path, f))
-            for f in os.listdir(path) if f.endswith(".parquet")
+            for f in os.listdir(path)
+            if f.endswith(f".{self.data_format}")
         }
         lineage = (
-            spark.read.parquet(path)
+            spark.read.format(self.data_format).load(path)
             .groupBy(F.col("_metadata.file_path").alias("file_path"))
             .agg(F.count(F.lit(1)).alias("rows"))
             .withColumn("stage", F.lit(stage))
@@ -163,7 +175,7 @@ class ParquetSnapshotFormat:
             raise FileNotFoundError(f"no snapshots for table {table}")
         snap = snaps[-1] if snapshot_id is None else next(
             s for s in snaps if s.snapshot_id == snapshot_id)
-        return spark.read.parquet(snap.path)
+        return spark.read.format(self.data_format).load(snap.path)
 
     def lineage(self, spark: SparkSession, table: str,
                 snapshot_id: int | None = None) -> DataFrame:
@@ -229,7 +241,8 @@ class ParquetSnapshotFormat:
         if not snaps:
             raise FileNotFoundError(f"no snapshots for table {table}")
         latest = snaps[-1]
-        df = spark.read.parquet(latest.path).repartition(target_files)
+        df = (spark.read.format(self.data_format).load(latest.path)
+              .repartition(target_files))
         return self.write(
             df, table,
             stage=stage or f"compact_v{latest.snapshot_id}",

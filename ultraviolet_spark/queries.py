@@ -11531,6 +11531,36 @@ def q286(spark, sf_dir):
     return scored.select("id_a", "id_b", "is_anchor", "score_micro")
 
 
+@q("q287_orc_snapshot_roundtrip", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro
+FROM events
+GROUP BY event_type
+""")
+def q287(spark, sf_dir):
+    """ORC source/sink through the snapshot store: events written as
+    an ORC snapshot (same JSON snapshot log, lineage and resume
+    semantics as the parquet path — ``data_format='orc'``), read back
+    through the ORC scan and aggregated; the oracle aggregates the
+    original parquet directly, so ORC write+read byte-fidelity for
+    longs/doubles/strings/timestamps is what's on the hook."""
+    import tempfile
+
+    from ultraviolet_spark.plans.snapshots import ParquetSnapshotFormat
+
+    ev = _t(spark, sf_dir, "events")
+    store = ParquetSnapshotFormat(tempfile.mkdtemp(prefix="uv_q287_"),
+                                  data_format="orc")
+    store.write(ev, "events_orc", stage="q287", inputs_fp="q287")
+    back = store.read(spark, "events_orc")
+    return (back.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.round(F.col("value") * 1e6).cast("long"))
+                 .cast("long").alias("sum_value_micro")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
