@@ -78,6 +78,7 @@ CROSS_OK = {
     "q282_expectation_suite",    # 1-row violations × 1-row n frames
     "q285_ipw_ate",              # 1-row β frames (IRLS) + 1-row β apply
     "q286_fellegi_sunter",       # 1-row broadcast field-weights map
+    "q288_aipw_ate",             # 1-row β (IRLS) + 1-row OLS frames
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

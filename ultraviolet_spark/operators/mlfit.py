@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_irls", "kmeans_fixed", "ipw_ate"]
+__all__ = ["logreg_irls", "kmeans_fixed", "ipw_ate", "aipw_ate"]
 
 
 def _snap(col) -> F.Column:
@@ -339,3 +339,145 @@ def ipw_ate(df: DataFrame, *, treat_expr: str, outcome_col: str,
         F.round(naive, 6).alias("ate_naive"),
         F.round(ipw, 6).alias("ate_ipw"),
         F.round(hajek, 6).alias("ate_hajek"))
+
+
+def aipw_ate(df: DataFrame, *, treat_expr: str, outcome_col: str,
+             x1_col, x2_col, iters: int = 2,
+             trim_micro: int = 1000) -> DataFrame:
+    """Augmented IPW (doubly-robust) average treatment effect — the
+    estimator that stays consistent if EITHER the propensity model OR
+    the outcome model is right (Robins, Rotnitzky & Zhao 1994,
+    public), completing the causal wing above ``ipw_ate``:
+
+        ATE = (1/n) Σ [ m̂₁(x) − m̂₀(x)
+                        + t·(y − m̂₁(x))/ê(x)
+                        − (1−t)·(y − m̂₀(x))/(1−ê(x)) ]
+
+    ê from the engine's exact-replay IRLS logistic fit (trimmed
+    micro-integer, the ``ipw_ate`` discipline); m̂₀/m̂₁ from one exact
+    per-arm OLS pass — the same snapped-sufficient-statistics / fixed-
+    operand-order Cramer solve as the IRLS inner step, with unit
+    weights (16 conditional sums, ONE scan for both arms).  Every
+    per-row term (the model-difference m̂₁−m̂₀ and both weighted
+    corrections) snaps to a micro-integer BEFORE the order-independent
+    DECIMAL(38,0) sum; one fixed-order division ends it.  Any singular
+    fit (propensity or either arm's OLS) propagates NULL loudly.
+
+    Scale: 2 IRLS scans + 1 OLS scan + 1 scoring scan; all model
+    coefficients ride broadcast one-row frames.  Output one row:
+    (n, n_treated, ate_aipw, b1_out_treated_micro,
+    b1_out_control_micro).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")
+    t = F.when(F.expr(treat_expr), 1).otherwise(0)
+    x1 = _snap(F.col(x1_col).cast("double") if isinstance(x1_col, str)
+               else x1_col.cast("double"))
+    x2 = _snap(F.col(x2_col).cast("double") if isinstance(x2_col, str)
+               else x2_col.cast("double"))
+    y_mu = F.round(F.col(outcome_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(x1.isNotNull() & x2.isNotNull()
+                      & y_mu.isNotNull())
+            .select(t.alias("t"),
+                    (x1.cast("double") / F.lit(1e6)).alias("x1"),
+                    (x2.cast("double") / F.lit(1e6)).alias("x2"),
+                    y_mu.alias("ym")))
+    yd = F.col("ym").cast("double") / F.lit(1e6)
+
+    # one scan: per-arm OLS sufficient statistics, µ-snapped per row
+    def arm_sums(arm: int):
+        c = F.col("t") == arm
+        sfx = f"_{arm}"
+        one = F.lit(1.0)
+        return [
+            F.sum(F.when(c, _snap(one))).alias(f"s11{sfx}"),
+            F.sum(F.when(c, _snap(F.col("x1")))).alias(f"s12{sfx}"),
+            F.sum(F.when(c, _snap(F.col("x2")))).alias(f"s13{sfx}"),
+            F.sum(F.when(c, _snap(F.col("x1") * F.col("x1"))))
+            .alias(f"s22{sfx}"),
+            F.sum(F.when(c, _snap(F.col("x1") * F.col("x2"))))
+            .alias(f"s23{sfx}"),
+            F.sum(F.when(c, _snap(F.col("x2") * F.col("x2"))))
+            .alias(f"s33{sfx}"),
+            F.sum(F.when(c, _snap(yd))).alias(f"t1{sfx}"),
+            F.sum(F.when(c, _snap(yd * F.col("x1")))).alias(f"t2{sfx}"),
+            F.sum(F.when(c, _snap(yd * F.col("x2")))).alias(f"t3{sfx}"),
+        ]
+
+    sums = base.agg(*(arm_sums(0) + arm_sums(1)))
+
+    def cramer(sfx: str):
+        d = {c: F.col(f"{c}{sfx}").cast("double")
+             for c in ("s11", "s12", "s13", "s22", "s23", "s33",
+                       "t1", "t2", "t3")}
+        m11 = d["s22"] * d["s33"] - d["s23"] * d["s23"]
+        m12 = d["s12"] * d["s33"] - d["s23"] * d["s13"]
+        m13 = d["s12"] * d["s23"] - d["s22"] * d["s13"]
+        det = d["s11"] * m11 - d["s12"] * m12 + d["s13"] * m13
+        det0 = (d["t1"] * m11
+                - d["s12"] * (d["t2"] * d["s33"] - d["s23"] * d["t3"])
+                + d["s13"] * (d["t2"] * d["s23"] - d["s22"] * d["t3"]))
+        det1 = (d["s11"] * (d["t2"] * d["s33"] - d["s23"] * d["t3"])
+                - d["t1"] * m12
+                + d["s13"] * (d["s12"] * d["t3"] - d["t2"] * d["s13"]))
+        det2 = (d["s11"] * (d["s22"] * d["t3"] - d["t2"] * d["s23"])
+                - d["s12"] * (d["s12"] * d["t3"] - d["t2"] * d["s13"])
+                + d["t1"] * m13)
+        nz = det != F.lit(0.0)
+        return [F.when(nz, F.round(det0 / det * 1e6).cast("long"))
+                .alias(f"ob0{sfx}"),
+                F.when(nz, F.round(det1 / det * 1e6).cast("long"))
+                .alias(f"ob1{sfx}"),
+                F.when(nz, F.round(det2 / det * 1e6).cast("long"))
+                .alias(f"ob2{sfx}")]
+
+    ols = sums.select(*(cramer("_0") + cramer("_1")))
+
+    beta_e = logreg_irls(df, x1_col=x1_col, x2_col=x2_col,
+                         label_expr=treat_expr, iters=iters)
+    j = (base.crossJoin(F.broadcast(
+            beta_e.select(F.col("beta0_micro").alias("b0m"),
+                          F.col("beta1_micro").alias("b1m"),
+                          F.col("beta2_micro").alias("b2m"))))
+         .crossJoin(F.broadcast(ols)))
+    eta = (F.col("b0m").cast("double")
+           + F.col("b1m").cast("double") * F.col("x1")
+           + F.col("b2m").cast("double") * F.col("x2")) / F.lit(1e6)
+    tm = int(trim_micro)
+    e_mu = F.when(eta.isNotNull(), F.greatest(F.lit(tm), F.least(
+        F.lit(1_000_000 - tm),
+        F.round(F.lit(1e6) / (F.lit(1.0) + F.exp(-eta))).cast("long"))))
+
+    def mhat(sfx: str):
+        return (F.col(f"ob0{sfx}").cast("double")
+                + F.col(f"ob1{sfx}").cast("double") * F.col("x1")
+                + F.col(f"ob2{sfx}").cast("double") * F.col("x2")) \
+            / F.lit(1e6)
+
+    mu0, mu1 = mhat("_0"), mhat("_1")
+    dm = F.round((mu1 - mu0) * F.lit(1e6)).cast("long")
+    corr1 = F.when(F.col("t") == 1,
+                   F.round((yd - mu1) * F.lit(1e12)
+                           / e_mu.cast("double")).cast("long")) \
+        .otherwise(F.lit(0))
+    corr0 = F.when(F.col("t") == 0,
+                   F.round((yd - mu0) * F.lit(1e12)
+                           / (F.lit(1_000_000) - e_mu).cast("double"))
+                   .cast("long")).otherwise(F.lit(0))
+    j = j.select("t", dm.alias("dm"), corr1.alias("c1"),
+                 corr0.alias("c0"),
+                 F.col("ob1_1").alias("__ow1"),
+                 F.col("ob1_0").alias("__ow0"))
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("n_treated"),
+        F.max("__ow1").alias("b1_out_treated_micro"),
+        F.max("__ow0").alias("b1_out_control_micro"),
+        F.sum(d38(F.col("dm"))).alias("__sdm"),
+        F.sum(d38(F.col("c1"))).alias("__sc1"),
+        F.sum(d38(F.col("c0"))).alias("__sc0"))
+    ate = (F.col("__sdm").cast("double") + F.col("__sc1").cast("double")
+           - F.col("__sc0").cast("double")) \
+        / F.col("n").cast("double") / F.lit(1e6)
+    return agg.select("n", "n_treated",
+                      F.round(ate, 6).alias("ate_aipw"),
+                      "b1_out_treated_micro", "b1_out_control_micro")

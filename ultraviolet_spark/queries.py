@@ -11235,7 +11235,11 @@ def q284(spark, sf_dir):
                                 by="user_id", horizon=3)
 
 
-@q("q285_ipw_ate", """
+# Shared oracle prefix for the causal estimators (q285 IPW, q288 AIPW):
+# user-level base frame + the full 2-iteration IRLS propensity replay
+# ending at nb2 (the final betas).  Kept as ONE constant so the two
+# oracles cannot drift apart.
+_CAUSAL_IRLS_SQL = """
 WITH per AS (
   SELECT user_id,
          MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1
@@ -11372,7 +11376,10 @@ nb2 AS (
     CASE WHEN det <> 0.0
          THEN CAST(round(det2 / det * 1e6) AS BIGINT) END AS b2m,
     det
-  FROM dx2),
+  FROM dx2)"""
+
+
+@q("q285_ipw_ate", _CAUSAL_IRLS_SQL + """,
 wrow AS (
   SELECT base.t, base.ym, nb2.b0m, nb2.b1m, nb2.b2m,
          (CAST(nb2.b0m AS DOUBLE) + CAST(nb2.b1m AS DOUBLE) * base.x1
@@ -11559,6 +11566,158 @@ def q287(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n"),
                  F.sum(F.round(F.col("value") * 1e6).cast("long"))
                  .cast("long").alias("sum_value_micro")))
+
+
+@q("q288_aipw_ate", _CAUSAL_IRLS_SQL + """,
+ols AS (
+  SELECT
+    CAST(SUM(CASE WHEN t = 0 THEN 1000000 END) AS BIGINT) AS s11_0,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(round(x1 * 1e6) AS BIGINT) END)
+         AS BIGINT) AS s12_0,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(round(x2 * 1e6) AS BIGINT) END)
+         AS BIGINT) AS s13_0,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(round(x1*x1 * 1e6) AS BIGINT)
+         END) AS BIGINT) AS s22_0,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(round(x1*x2 * 1e6) AS BIGINT)
+         END) AS BIGINT) AS s23_0,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(round(x2*x2 * 1e6) AS BIGINT)
+         END) AS BIGINT) AS s33_0,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(round(CAST(ym AS DOUBLE) / 1e6
+         * 1e6) AS BIGINT) END) AS BIGINT) AS t1_0,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(round(CAST(ym AS DOUBLE) / 1e6
+         * x1 * 1e6) AS BIGINT) END) AS BIGINT) AS t2_0,
+    CAST(SUM(CASE WHEN t = 0 THEN CAST(round(CAST(ym AS DOUBLE) / 1e6
+         * x2 * 1e6) AS BIGINT) END) AS BIGINT) AS t3_0,
+    CAST(SUM(CASE WHEN t = 1 THEN 1000000 END) AS BIGINT) AS s11_1,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(round(x1 * 1e6) AS BIGINT) END)
+         AS BIGINT) AS s12_1,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(round(x2 * 1e6) AS BIGINT) END)
+         AS BIGINT) AS s13_1,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(round(x1*x1 * 1e6) AS BIGINT)
+         END) AS BIGINT) AS s22_1,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(round(x1*x2 * 1e6) AS BIGINT)
+         END) AS BIGINT) AS s23_1,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(round(x2*x2 * 1e6) AS BIGINT)
+         END) AS BIGINT) AS s33_1,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(round(CAST(ym AS DOUBLE) / 1e6
+         * 1e6) AS BIGINT) END) AS BIGINT) AS t1_1,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(round(CAST(ym AS DOUBLE) / 1e6
+         * x1 * 1e6) AS BIGINT) END) AS BIGINT) AS t2_1,
+    CAST(SUM(CASE WHEN t = 1 THEN CAST(round(CAST(ym AS DOUBLE) / 1e6
+         * x2 * 1e6) AS BIGINT) END) AS BIGINT) AS t3_1
+  FROM base),
+oc0 AS (
+  SELECT
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det0 / det * 1e6) AS BIGINT) END AS ob0_0,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det1 / det * 1e6) AS BIGINT) END AS ob1_0,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det2 / det * 1e6) AS BIGINT) END AS ob2_0
+  FROM (
+    SELECT ds11 * m11 - ds12 * m12 + ds13 * m13 AS det,
+      dt1 * m11 - ds12 * (dt2 * ds33 - ds23 * dt3)
+        + ds13 * (dt2 * ds23 - ds22 * dt3) AS det0,
+      ds11 * (dt2 * ds33 - ds23 * dt3) - dt1 * m12
+        + ds13 * (ds12 * dt3 - dt2 * ds13) AS det1,
+      ds11 * (ds22 * dt3 - dt2 * ds23)
+        - ds12 * (ds12 * dt3 - dt2 * ds13) + dt1 * m13 AS det2
+    FROM (
+      SELECT *, ds22 * ds33 - ds23 * ds23 AS m11,
+             ds12 * ds33 - ds23 * ds13 AS m12,
+             ds12 * ds23 - ds22 * ds13 AS m13
+      FROM (SELECT CAST(s11_0 AS DOUBLE) AS ds11,
+                   CAST(s12_0 AS DOUBLE) AS ds12,
+                   CAST(s13_0 AS DOUBLE) AS ds13,
+                   CAST(s22_0 AS DOUBLE) AS ds22,
+                   CAST(s23_0 AS DOUBLE) AS ds23,
+                   CAST(s33_0 AS DOUBLE) AS ds33,
+                   CAST(t1_0 AS DOUBLE) AS dt1,
+                   CAST(t2_0 AS DOUBLE) AS dt2,
+                   CAST(t3_0 AS DOUBLE) AS dt3 FROM ols)))),
+oc1 AS (
+  SELECT
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det0 / det * 1e6) AS BIGINT) END AS ob0_1,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det1 / det * 1e6) AS BIGINT) END AS ob1_1,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det2 / det * 1e6) AS BIGINT) END AS ob2_1
+  FROM (
+    SELECT ds11 * m11 - ds12 * m12 + ds13 * m13 AS det,
+      dt1 * m11 - ds12 * (dt2 * ds33 - ds23 * dt3)
+        + ds13 * (dt2 * ds23 - ds22 * dt3) AS det0,
+      ds11 * (dt2 * ds33 - ds23 * dt3) - dt1 * m12
+        + ds13 * (ds12 * dt3 - dt2 * ds13) AS det1,
+      ds11 * (ds22 * dt3 - dt2 * ds23)
+        - ds12 * (ds12 * dt3 - dt2 * ds13) + dt1 * m13 AS det2
+    FROM (
+      SELECT *, ds22 * ds33 - ds23 * ds23 AS m11,
+             ds12 * ds33 - ds23 * ds13 AS m12,
+             ds12 * ds23 - ds22 * ds13 AS m13
+      FROM (SELECT CAST(s11_1 AS DOUBLE) AS ds11,
+                   CAST(s12_1 AS DOUBLE) AS ds12,
+                   CAST(s13_1 AS DOUBLE) AS ds13,
+                   CAST(s22_1 AS DOUBLE) AS ds22,
+                   CAST(s23_1 AS DOUBLE) AS ds23,
+                   CAST(s33_1 AS DOUBLE) AS ds33,
+                   CAST(t1_1 AS DOUBLE) AS dt1,
+                   CAST(t2_1 AS DOUBLE) AS dt2,
+                   CAST(t3_1 AS DOUBLE) AS dt3 FROM ols)))),
+sc AS (
+  SELECT b.t, b.ym, oc1.ob1_1, oc0.ob1_0,
+    (CAST(nb2.b0m AS DOUBLE) + CAST(nb2.b1m AS DOUBLE) * b.x1
+     + CAST(nb2.b2m AS DOUBLE) * b.x2) / 1e6 AS eta,
+    (CAST(oc0.ob0_0 AS DOUBLE) + CAST(oc0.ob1_0 AS DOUBLE) * b.x1
+     + CAST(oc0.ob2_0 AS DOUBLE) * b.x2) / 1e6 AS mu0,
+    (CAST(oc1.ob0_1 AS DOUBLE) + CAST(oc1.ob1_1 AS DOUBLE) * b.x1
+     + CAST(oc1.ob2_1 AS DOUBLE) * b.x2) / 1e6 AS mu1
+  FROM base b, nb2, oc0, oc1),
+terms AS (
+  SELECT t, ob1_1, ob1_0,
+    CAST(round((mu1 - mu0) * 1e6) AS BIGINT) AS dm,
+    CASE WHEN t = 1 THEN
+      CAST(round((CAST(ym AS DOUBLE) / 1e6 - mu1) * 1e12
+                 / CAST(emu AS DOUBLE)) AS BIGINT) ELSE 0 END AS c1,
+    CASE WHEN t = 0 THEN
+      CAST(round((CAST(ym AS DOUBLE) / 1e6 - mu0) * 1e12
+                 / CAST(1000000 - emu AS DOUBLE)) AS BIGINT)
+    ELSE 0 END AS c0
+  FROM (SELECT *, CASE WHEN eta IS NULL THEN NULL ELSE
+          GREATEST(1000, LEAST(999000,
+            CAST(round(1e6 / (1.0 + exp(-eta))) AS BIGINT))) END AS emu
+        FROM sc))
+SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT)
+         AS n_treated,
+  round((CAST(SUM(CAST(dm AS HUGEINT)) AS DOUBLE)
+         + CAST(SUM(CAST(c1 AS HUGEINT)) AS DOUBLE)
+         - CAST(SUM(CAST(c0 AS HUGEINT)) AS DOUBLE))
+        / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS ate_aipw,
+  MAX(ob1_1) AS b1_out_treated_micro,
+  MAX(ob1_0) AS b1_out_control_micro
+FROM terms
+""")
+def q288(spark, sf_dir):
+    """Augmented IPW (doubly-robust) ATE of signing up on purchase
+    count — consistent if EITHER the propensity model OR the per-arm
+    outcome OLS is right: same IRLS propensities as q285, per-arm
+    outcome models from one exact snapped-sufficient-statistics OLS
+    pass, every per-row term (model difference + both weighted
+    corrections) snapped before the order-independent sum; the oracle
+    replays the whole thing — IRLS, both Cramer solves, trimming,
+    weighting — move-for-move."""
+    from ultraviolet_spark.operators.mlfit import aipw_ate
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.max(F.col("event_type") == "signup").alias("tr"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).cast("double").alias("y"),
+                F.count("*").cast("double").alias("x1"),
+                F.sum(F.when(F.col("event_type") == "click", 1)
+                      .otherwise(0)).cast("double").alias("x2")))
+    return aipw_ate(per, treat_expr="tr", outcome_col="y",
+                    x1_col="x1", x2_col="x2", iters=2)
 
 
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
