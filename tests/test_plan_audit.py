@@ -79,6 +79,8 @@ CROSS_OK = {
     "q285_ipw_ate",              # 1-row β frames (IRLS) + 1-row β apply
     "q286_fellegi_sunter",       # 1-row broadcast field-weights map
     "q288_aipw_ate",             # 1-row β (IRLS) + 1-row OLS frames
+    "q289_quantile_bin",         # 1-row bounds + totals frames
+    "q290_trimmed_stats",        # 1-row bounds + (n, k_lo, k_hi) frames
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

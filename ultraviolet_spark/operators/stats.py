@@ -1522,3 +1522,149 @@ def seasonal_anomalies(df: DataFrame, *, key_col: str, ts_col: str,
         .alias("resid"),
         (F.abs(F.col("rm")).cast("double")
          > F.lit(float(k)) * F.col("madm")).alias("is_anomaly"))
+
+
+def quantile_bin(df: DataFrame, *, value_col: str, id_col: str,
+                 n_bins: int = 10, n_buckets: int = 64) -> DataFrame:
+    """Equal-frequency (quantile) discretization — the binning step
+    before WOE/IV scoring, chi² selection or monotone calibration
+    turns a continuous feature into a categorical one: row rank r
+    (1-based, (value, id) total order) maps to
+
+        bin = ((r − 1) · n_bins) div n        ∈ [0, n_bins−1]
+
+    so bins differ in size by at most 1 and the mapping is EXACT
+    integer arithmetic — no float quantile boundary can put a row in
+    different bins on different engines.  Ties at a bin edge split by
+    the id tiebreak (deterministic; a dense-rank variant that keeps
+    equal values together would make bin SIZES value-dependent —
+    documented trade, this is the equal-frequency contract).
+
+    The global rank runs the two-phase value-range bucket machinery
+    (one data pass for bounds on a broadcast one-row frame, in-bucket
+    row_numbers at n_buckets-way parallelism, broadcast bucket-offset
+    frame) — no single-partition window.  NULL values are not binned
+    and are absent from the output.
+
+    Output per row: (id_col, value, rank, bin).
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(v.isNotNull())
+            .select(F.col(id_col).alias("id"), v.alias("vm")))
+    bounds = base.agg(F.min("vm").alias("__lo"), F.max("vm").alias("__hi"))
+    b = (base.crossJoin(F.broadcast(bounds))
+         .withColumn("__b", F.expr(
+             f"(vm - __lo) div ((__hi - __lo) div {B} + 1)")
+             .cast("int")))
+    w_in = Window.partitionBy("__b").orderBy("vm", "id")
+    r = b.withColumn("__i_in", F.row_number().over(w_in))
+    bc = b.groupBy("__b").agg(F.count("*").alias("__c"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding,
+                                              -1)
+    boff = bc.select(
+        "__b", F.coalesce(F.sum("__c").over(w_off), F.lit(0))
+        .alias("__off"))
+    tot = bc.agg(F.sum("__c").cast("long").alias("__n"))
+    r = (r.join(F.broadcast(boff), "__b")
+         .crossJoin(F.broadcast(tot))
+         .withColumn("rank",
+                     (F.col("__off") + F.col("__i_in")).cast("long")))
+    nb = int(n_bins)
+    return r.select(
+        F.col("id").alias(id_col),
+        F.round(F.col("vm").cast("double") / F.lit(1e6), 6)
+        .alias("value"),
+        "rank",
+        F.expr(f"((rank - 1) * {nb}) div __n").cast("int").alias("bin"))
+
+
+def trimmed_stats(df: DataFrame, *, value_col: str, id_col: str,
+                  trim_num: int = 5, trim_den: int = 100,
+                  n_buckets: int = 64) -> DataFrame:
+    """Trimmed and winsorized means — the robust-location pair between
+    the mean (efficient, outlier-fragile) and the median (robust,
+    throws away most of the data): drop (trimmed) or clamp
+    (winsorized) the lowest and highest ⌊n·p⌋ ranks, p the RATIONAL
+    trim_num/trim_den so the cut ranks
+
+        k_lo = (n·p_num) div p_den + 1,   k_hi = n − (n·p_num) div p_den
+
+    are one integer division each — never a float ⌈⌉ that moves a cut
+    by one row on a near-integer (the split_conformal lesson).  Sums
+    of the kept ranks are exact integer prefix algebra over micro-
+    snapped values (DECIMAL(38,0)); the winsorized mean adds the
+    boundary values v(k_lo)/v(k_hi) weighted by the clamped counts —
+    all integers, three fixed-order divisions at the end.
+
+    Over-trimming (k_lo > k_hi, p ≥ 1/2 on a tiny n) reports NULL
+    means loudly rather than a silent empty average.
+
+    Ranks run the two-phase value-range bucket machinery (no single-
+    partition window); the k/boundary frames are one-row broadcasts.
+
+    Output one row: (n, k_lo, k_hi, mean_raw, mean_trimmed,
+    mean_winsor).
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    pn, pd_ = int(trim_num), int(trim_den)
+    d38 = lambda c: c.cast("decimal(38,0)")
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(v.isNotNull())
+            .select(F.col(id_col).alias("id"), v.alias("vm")))
+    bounds = base.agg(F.min("vm").alias("__lo"),
+                      F.max("vm").alias("__hi"))
+    b = (base.crossJoin(F.broadcast(bounds))
+         .withColumn("__b", F.expr(
+             f"(vm - __lo) div ((__hi - __lo) div {B} + 1)")
+             .cast("int")))
+    w_in = Window.partitionBy("__b").orderBy("vm", "id")
+    r = b.withColumn("__i_in", F.row_number().over(w_in))
+    bc = b.groupBy("__b").agg(F.count("*").alias("__c"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding,
+                                              -1)
+    boff = bc.select(
+        "__b", F.coalesce(F.sum("__c").over(w_off), F.lit(0))
+        .alias("__off"))
+    ks = bc.agg(F.sum("__c").cast("long").alias("__n")).select(
+        "__n",
+        (F.expr(f"(__n * {pn}) div {pd_}") + 1).cast("long")
+        .alias("__klo"),
+        (F.col("__n") - F.expr(f"(__n * {pn}) div {pd_}")).cast("long")
+        .alias("__khi"))
+    r = (r.join(F.broadcast(boff), "__b")
+         .crossJoin(F.broadcast(ks))
+         .withColumn("__r", (F.col("__off") + F.col("__i_in"))
+                     .cast("long")))
+    agg = r.agg(
+        F.max("__n").alias("n"),
+        F.max("__klo").alias("k_lo"), F.max("__khi").alias("k_hi"),
+        F.sum(d38(F.col("vm"))).alias("__s_all"),
+        F.sum(F.when((F.col("__r") >= F.col("__klo"))
+                     & (F.col("__r") <= F.col("__khi")),
+                     d38(F.col("vm")))).alias("__s_tr"),
+        F.max(F.when(F.col("__r") == F.col("__klo"), F.col("vm")))
+        .alias("__v_lo"),
+        F.max(F.when(F.col("__r") == F.col("__khi"), F.col("vm")))
+        .alias("__v_hi"))
+    n_d = F.col("n").cast("double")
+    kept = (F.col("k_hi") - F.col("k_lo") + 1).cast("double")
+    ok = F.col("k_lo") <= F.col("k_hi")
+    mean_raw = F.round(F.col("__s_all").cast("double") / n_d
+                       / F.lit(1e6), 6)
+    mean_tr = F.when(ok, F.round(
+        F.col("__s_tr").cast("double") / kept / F.lit(1e6), 6))
+    wins_sum = (F.col("__s_tr")
+                + d38(F.col("k_lo") - 1) * d38(F.col("__v_lo"))
+                + d38(F.col("n") - F.col("k_hi"))
+                * d38(F.col("__v_hi")))
+    mean_wi = F.when(ok, F.round(
+        wins_sum.cast("double") / n_d / F.lit(1e6), 6))
+    return agg.select("n", "k_lo", "k_hi",
+                      mean_raw.alias("mean_raw"),
+                      mean_tr.alias("mean_trimmed"),
+                      mean_wi.alias("mean_winsor"))

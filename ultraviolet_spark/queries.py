@@ -11720,6 +11720,81 @@ def q288(spark, sf_dir):
                     x1_col="x1", x2_col="x2", iters=2)
 
 
+@q("q289_quantile_bin", """
+WITH base AS (
+  SELECT event_id AS id,
+         CAST(round(value * 1e6) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT id, vm,
+         CAST(ROW_NUMBER() OVER (ORDER BY vm, id) AS BIGINT) AS rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM base)
+SELECT id AS event_id,
+       round(CAST(vm AS DOUBLE) / 1e6, 6) AS value,
+       rank,
+       CAST(((rank - 1) * 10) // n AS INTEGER) AS bin
+FROM r
+""")
+def q289(spark, sf_dir):
+    """Equal-frequency quantile discretization of event values into
+    10 bins: bin = ((rank−1)·10) div n over the (value, id) total
+    order — exact integer arithmetic, no float quantile boundary; the
+    engine ranks via the two-phase value-range bucket machinery, the
+    oracle via one plain global window — two mechanisms, equal
+    integers."""
+    from ultraviolet_spark.operators.stats import quantile_bin
+
+    return quantile_bin(_t(spark, sf_dir, "events"),
+                        value_col="value", id_col="event_id",
+                        n_bins=10)
+
+
+@q("q290_trimmed_stats", """
+WITH base AS (
+  SELECT event_id AS id, CAST(round(value * 1e6) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT vm,
+         CAST(ROW_NUMBER() OVER (ORDER BY vm, id) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM base),
+k AS (SELECT n, (n * 5) // 100 + 1 AS klo, n - (n * 5) // 100 AS khi
+      FROM (SELECT MAX(n) AS n FROM r)),
+agg AS (
+  SELECT MAX(k.n) AS n, MAX(k.klo) AS k_lo, MAX(k.khi) AS k_hi,
+         SUM(CAST(r.vm AS HUGEINT)) AS s_all,
+         SUM(CASE WHEN r.rk >= k.klo AND r.rk <= k.khi
+                  THEN CAST(r.vm AS HUGEINT) END) AS s_tr,
+         MAX(CASE WHEN r.rk = k.klo THEN r.vm END) AS v_lo,
+         MAX(CASE WHEN r.rk = k.khi THEN r.vm END) AS v_hi
+  FROM r, k)
+SELECT n, k_lo, k_hi,
+  round(CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+    AS mean_raw,
+  CASE WHEN k_lo <= k_hi THEN
+    round(CAST(s_tr AS DOUBLE) / CAST(k_hi - k_lo + 1 AS DOUBLE)
+          / 1e6, 6) END AS mean_trimmed,
+  CASE WHEN k_lo <= k_hi THEN
+    round(CAST(s_tr + CAST(k_lo - 1 AS HUGEINT) * v_lo
+               + CAST(n - k_hi AS HUGEINT) * v_hi AS DOUBLE)
+          / CAST(n AS DOUBLE) / 1e6, 6) END AS mean_winsor
+FROM agg
+""")
+def q290(spark, sf_dir):
+    """5 %-trimmed and winsorized means of event values: rational cut
+    ranks by integer division (never a float ceil), kept-rank sums as
+    exact integer prefix algebra, boundary values clamped in for the
+    winsorized variant — the robust-location pair between the fragile
+    mean and the data-discarding median; oracle replays the identical
+    integers through one plain global window."""
+    from ultraviolet_spark.operators.stats import trimmed_stats
+
+    return trimmed_stats(_t(spark, sf_dir, "events"),
+                         value_col="value", id_col="event_id",
+                         trim_num=5, trim_den=100)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
