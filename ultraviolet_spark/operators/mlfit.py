@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_irls", "kmeans_fixed", "ipw_ate", "aipw_ate"]
+__all__ = ["logreg_irls", "kmeans_fixed", "ipw_ate", "aipw_ate", "logreg_by_key"]
 
 
 def _snap(col) -> F.Column:
@@ -481,3 +481,107 @@ def aipw_ate(df: DataFrame, *, treat_expr: str, outcome_col: str,
     return agg.select("n", "n_treated",
                       F.round(ate, 6).alias("ate_aipw"),
                       "b1_out_treated_micro", "b1_out_control_micro")
+
+
+def logreg_by_key(df: DataFrame, *, key_col: str, x1_col, x2_col,
+                  label_expr: str, iters: int = 2) -> DataFrame:
+    """Per-key IRLS logistic regression — one exact-replay GLM per
+    segment (per domain, per cohort, per source) in the same job: the
+    grouped twin of ``logreg_irls``, for the pipeline shape where a
+    single pooled model hides segment heterogeneity (Simpson's again)
+    and fitting 10⁵ segment models one driver loop at a time is the
+    scale failure.
+
+    Identical exactness discipline per key: µ-snapped per-row normal-
+    equation contributions, order-independent int64 sums, fixed-
+    operand-order Cramer, unrolled iterations with β re-snapped.  Each
+    iteration is ONE groupBy(key) partial-agg pass producing a 9-sum
+    row per key, joined back keyed (β frames are keys-sized, never
+    assumed broadcastable); singular keys carry NULL βs through
+    remaining iterations and report NULL det — per-key, not
+    job-fatal.
+
+    Output per key: (key_col, n, beta0_micro, beta1_micro,
+    beta2_micro, singular).  The pooled operator reports the raw
+    rounded determinant; per key that value is emitted as the BOOLEAN
+    ``singular`` instead — the det double's last ULP is not stable
+    cross-engine when one key holds a w·z micro-snap tie (observed:
+    one cohort's det differed by 2 ulps at 9.2e27 while every β
+    matched), and the magnitude carries no information the flag
+    doesn't.
+    """
+    y = F.when(F.expr(label_expr), 1.0).otherwise(0.0)
+    x1 = _snap(F.col(x1_col).cast("double") if isinstance(x1_col, str)
+               else x1_col.cast("double"))
+    x2 = _snap(F.col(x2_col).cast("double") if isinstance(x2_col, str)
+               else x2_col.cast("double"))
+    base = (df.filter(x1.isNotNull() & x2.isNotNull())
+            .select(F.col(key_col).alias("key"), y.alias("y"),
+                    (x1.cast("double") / F.lit(1e6)).alias("x1"),
+                    (x2.cast("double") / F.lit(1e6)).alias("x2")))
+
+    beta = None  # keys-sized frame (key, b0m, b1m, b2m) or None
+
+    for _ in range(int(iters)):
+        if beta is None:
+            it = base.withColumn("eta", F.lit(0.0))
+        else:
+            it = base.join(beta, "key").withColumn(
+                "eta",
+                (F.col("b0m").cast("double")
+                 + F.col("b1m").cast("double") * F.col("x1")
+                 + F.col("b2m").cast("double") * F.col("x2"))
+                / F.lit(1e6))
+        it = (it
+              .withColumn("mu", F.lit(1.0)
+                          / (F.lit(1.0) + F.exp(-F.col("eta"))))
+              .withColumn("w", F.col("mu") * (F.lit(1.0) - F.col("mu")))
+              .withColumn("z", F.col("eta")
+                          + (F.col("y") - F.col("mu")) / F.col("w")))
+        w, x1c, x2c, z = (F.col("w"), F.col("x1"), F.col("x2"),
+                          F.col("z"))
+        sums = it.groupBy("key").agg(
+            F.count("*").alias("n"),
+            F.sum(_snap(w)).alias("s11"),
+            F.sum(_snap(w * x1c)).alias("s12"),
+            F.sum(_snap(w * x2c)).alias("s13"),
+            F.sum(_snap(w * x1c * x1c)).alias("s22"),
+            F.sum(_snap(w * x1c * x2c)).alias("s23"),
+            F.sum(_snap(w * x2c * x2c)).alias("s33"),
+            F.sum(_snap(w * z)).alias("t1"),
+            F.sum(_snap(w * z * x1c)).alias("t2"),
+            F.sum(_snap(w * z * x2c)).alias("t3"))
+        d = {c: F.col(c).cast("double")
+             for c in ("s11", "s12", "s13", "s22", "s23", "s33",
+                       "t1", "t2", "t3")}
+        m11 = d["s22"] * d["s33"] - d["s23"] * d["s23"]
+        m12 = d["s12"] * d["s33"] - d["s23"] * d["s13"]
+        m13 = d["s12"] * d["s23"] - d["s22"] * d["s13"]
+        det = d["s11"] * m11 - d["s12"] * m12 + d["s13"] * m13
+        det0 = (d["t1"] * m11
+                - d["s12"] * (d["t2"] * d["s33"] - d["s23"] * d["t3"])
+                + d["s13"] * (d["t2"] * d["s23"] - d["s22"] * d["t3"]))
+        det1 = (d["s11"] * (d["t2"] * d["s33"] - d["s23"] * d["t3"])
+                - d["t1"] * m12
+                + d["s13"] * (d["s12"] * d["t3"] - d["t2"] * d["s13"]))
+        det2 = (d["s11"] * (d["s22"] * d["t3"] - d["t2"] * d["s23"])
+                - d["s12"] * (d["s12"] * d["t3"] - d["t2"] * d["s13"])
+                + d["t1"] * m13)
+        nz = det != F.lit(0.0)
+        beta = (sums.select(
+            "key", F.col("n"),
+            F.when(nz, F.round(det0 / det * 1e6).cast("long"))
+            .alias("b0m"),
+            F.when(nz, F.round(det1 / det * 1e6).cast("long"))
+            .alias("b1m"),
+            F.when(nz, F.round(det2 / det * 1e6).cast("long"))
+            .alias("b2m"),
+            det.alias("det"))
+            .localCheckpoint(eager=False))
+
+    return beta.select(
+        F.col("key").alias(key_col), "n",
+        F.col("b0m").alias("beta0_micro"),
+        F.col("b1m").alias("beta1_micro"),
+        F.col("b2m").alias("beta2_micro"),
+        (F.col("det") == F.lit(0.0)).alias("singular"))

@@ -11795,6 +11795,138 @@ def q290(spark, sf_dir):
                          trim_num=5, trim_den=100)
 
 
+@q("q291_logreg_by_key", """
+WITH base AS (
+  SELECT user_id % 4 AS key,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+         CAST(CAST(round(value * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS x1,
+         CAST(CAST(round(CAST(EXTRACT(hour FROM ts) AS DOUBLE) * 1e6)
+              AS BIGINT) AS DOUBLE) / 1e6 AS x2
+  FROM events WHERE value IS NOT NULL),
+row1 AS (
+  SELECT key, y, x1, x2, 0.0 AS eta,
+         1.0 / (1.0 + exp(-0.0)) AS mu,
+         (1.0 / (1.0 + exp(-0.0)))
+           * (1.0 - (1.0 / (1.0 + exp(-0.0)))) AS w,
+         0.0 + (y - (1.0 / (1.0 + exp(-0.0))))
+               / ((1.0 / (1.0 + exp(-0.0)))
+                  * (1.0 - (1.0 / (1.0 + exp(-0.0))))) AS z
+  FROM base),
+sum1 AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT) AS s11,
+         CAST(SUM(CAST(round(w*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s12,
+         CAST(SUM(CAST(round(w*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s13,
+         CAST(SUM(CAST(round(w*x1*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s22,
+         CAST(SUM(CAST(round(w*x1*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s23,
+         CAST(SUM(CAST(round(w*x2*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s33,
+         CAST(SUM(CAST(round(w*z * 1e6) AS BIGINT)) AS BIGINT) AS t1,
+         CAST(SUM(CAST(round(w*z*x1 * 1e6) AS BIGINT)) AS BIGINT) AS t2,
+         CAST(SUM(CAST(round(w*z*x2 * 1e6) AS BIGINT)) AS BIGINT) AS t3
+  FROM row1 GROUP BY key),
+nb1 AS (
+  SELECT key, n,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det0 / det * 1e6) AS BIGINT) END AS b0m,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det1 / det * 1e6) AS BIGINT) END AS b1m,
+    CASE WHEN det <> 0.0
+         THEN CAST(round(det2 / det * 1e6) AS BIGINT) END AS b2m
+  FROM (
+    SELECT key, n,
+      ds11 * m11 - ds12 * m12 + ds13 * m13 AS det,
+      dt1 * m11 - ds12 * (dt2 * ds33 - ds23 * dt3)
+        + ds13 * (dt2 * ds23 - ds22 * dt3) AS det0,
+      ds11 * (dt2 * ds33 - ds23 * dt3) - dt1 * m12
+        + ds13 * (ds12 * dt3 - dt2 * ds13) AS det1,
+      ds11 * (ds22 * dt3 - dt2 * ds23)
+        - ds12 * (ds12 * dt3 - dt2 * ds13) + dt1 * m13 AS det2
+    FROM (
+      SELECT key, n, ds11, ds12, ds13, ds22, ds23, ds33,
+             dt1, dt2, dt3,
+             ds22 * ds33 - ds23 * ds23 AS m11,
+             ds12 * ds33 - ds23 * ds13 AS m12,
+             ds12 * ds23 - ds22 * ds13 AS m13
+      FROM (SELECT key, n,
+              CAST(s11 AS DOUBLE) AS ds11, CAST(s12 AS DOUBLE) AS ds12,
+              CAST(s13 AS DOUBLE) AS ds13, CAST(s22 AS DOUBLE) AS ds22,
+              CAST(s23 AS DOUBLE) AS ds23, CAST(s33 AS DOUBLE) AS ds33,
+              CAST(t1 AS DOUBLE) AS dt1, CAST(t2 AS DOUBLE) AS dt2,
+              CAST(t3 AS DOUBLE) AS dt3
+            FROM sum1)))),
+row2 AS (
+  SELECT b.key, b.y, b.x1, b.x2,
+         (CAST(nb1.b0m AS DOUBLE) + CAST(nb1.b1m AS DOUBLE) * b.x1
+          + CAST(nb1.b2m AS DOUBLE) * b.x2) / 1e6 AS eta
+  FROM base b JOIN nb1 ON nb1.key = b.key),
+row2m AS (
+  SELECT key, y, x1, x2, eta,
+         1.0 / (1.0 + exp(-eta)) AS mu,
+         (1.0 / (1.0 + exp(-eta)))
+           * (1.0 - (1.0 / (1.0 + exp(-eta)))) AS w,
+         eta + (y - (1.0 / (1.0 + exp(-eta))))
+               / ((1.0 / (1.0 + exp(-eta)))
+                  * (1.0 - (1.0 / (1.0 + exp(-eta))))) AS z
+  FROM row2),
+sum2 AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT) AS s11,
+         CAST(SUM(CAST(round(w*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s12,
+         CAST(SUM(CAST(round(w*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s13,
+         CAST(SUM(CAST(round(w*x1*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s22,
+         CAST(SUM(CAST(round(w*x1*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s23,
+         CAST(SUM(CAST(round(w*x2*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s33,
+         CAST(SUM(CAST(round(w*z * 1e6) AS BIGINT)) AS BIGINT) AS t1,
+         CAST(SUM(CAST(round(w*z*x1 * 1e6) AS BIGINT)) AS BIGINT) AS t2,
+         CAST(SUM(CAST(round(w*z*x2 * 1e6) AS BIGINT)) AS BIGINT) AS t3
+  FROM row2m GROUP BY key)
+SELECT key, n,
+  CASE WHEN det <> 0.0
+       THEN CAST(round(det0 / det * 1e6) AS BIGINT) END AS beta0_micro,
+  CASE WHEN det <> 0.0
+       THEN CAST(round(det1 / det * 1e6) AS BIGINT) END AS beta1_micro,
+  CASE WHEN det <> 0.0
+       THEN CAST(round(det2 / det * 1e6) AS BIGINT) END AS beta2_micro,
+  det = 0.0 AS singular
+FROM (
+  SELECT key, n,
+    ds11 * m11 - ds12 * m12 + ds13 * m13 AS det,
+    dt1 * m11 - ds12 * (dt2 * ds33 - ds23 * dt3)
+      + ds13 * (dt2 * ds23 - ds22 * dt3) AS det0,
+    ds11 * (dt2 * ds33 - ds23 * dt3) - dt1 * m12
+      + ds13 * (ds12 * dt3 - dt2 * ds13) AS det1,
+    ds11 * (ds22 * dt3 - dt2 * ds23)
+      - ds12 * (ds12 * dt3 - dt2 * ds13) + dt1 * m13 AS det2
+  FROM (
+    SELECT key, n, ds11, ds12, ds13, ds22, ds23, ds33,
+           dt1, dt2, dt3,
+           ds22 * ds33 - ds23 * ds23 AS m11,
+           ds12 * ds33 - ds23 * ds13 AS m12,
+           ds12 * ds23 - ds22 * ds13 AS m13
+    FROM (SELECT key, n,
+            CAST(s11 AS DOUBLE) AS ds11, CAST(s12 AS DOUBLE) AS ds12,
+            CAST(s13 AS DOUBLE) AS ds13, CAST(s22 AS DOUBLE) AS ds22,
+            CAST(s23 AS DOUBLE) AS ds23, CAST(s33 AS DOUBLE) AS ds33,
+            CAST(t1 AS DOUBLE) AS dt1, CAST(t2 AS DOUBLE) AS dt2,
+            CAST(t3 AS DOUBLE) AS dt3
+          FROM sum2)))
+""")
+def q291(spark, sf_dir):
+    """Per-cohort logistic regression (user_id % 4 segments):
+    P(purchase) ~ σ(β₀ + β₁·value + β₂·hour) fitted independently per
+    segment in ONE job — two unrolled IRLS iterations per key, the
+    same snapped-sufficient-statistics / fixed-operand-order Cramer
+    discipline as the pooled q263 fit, β frames joined back keyed;
+    the oracle replays both grouped iterations."""
+    from ultraviolet_spark.operators.mlfit import logreg_by_key
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("key", F.col("user_id") % 4))
+    return logreg_by_key(ev, key_col="key", x1_col="value",
+                         x2_col=F.hour(F.col("ts").cast("timestamp")),
+                         label_expr="event_type = 'purchase'", iters=2)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
