@@ -81,6 +81,7 @@ CROSS_OK = {
     "q288_aipw_ate",             # 1-row β (IRLS) + 1-row OLS frames
     "q289_quantile_bin",         # 1-row bounds + totals frames
     "q290_trimmed_stats",        # 1-row bounds + (n, k_lo, k_hi) frames
+    "q292_psm_att",              # 1-row β frame + 1-row totals × match
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -585,3 +585,117 @@ def logreg_by_key(df: DataFrame, *, key_col: str, x1_col, x2_col,
         F.col("b1m").alias("beta1_micro"),
         F.col("b2m").alias("beta2_micro"),
         (F.col("det") == F.lit(0.0)).alias("singular"))
+
+
+def psm_att(df: DataFrame, *, id_col: str, treat_expr: str,
+            outcome_col: str, x1_col, x2_col, iters: int = 2,
+            trim_micro: int = 1000, n_buckets: int = 64) -> DataFrame:
+    """Propensity-score matching ATT — the third leg of the
+    observational-causal wing (weighting: ``ipw_ate``/``aipw_ate``;
+    stratification: ``mantel_haenszel``; matching: this): each TREATED
+    unit is matched to its nearest CONTROL on the propensity axis
+    (1-NN with replacement), and the average treatment effect on the
+    treated is the mean matched outcome difference.
+
+    Nearest-on-a-sorted-axis needs no pair join: with propensities as
+    trimmed micro-integers (the ``ipw_ate`` IRLS + clamp discipline)
+    and a (e_µ, id) total order, a treated unit's candidates are
+    exactly its closest control AT-OR-BEFORE and its closest control
+    STRICTLY-AFTER — two ignore-nulls window passes; the nearer by
+    |Δe_µ| wins, ties to the preceding control (all integer
+    comparisons).  Per-match outcome differences are exact integers
+    summed in DECIMAL(38,0); one fixed-order division ends it.
+
+    The global order runs the two-phase machinery over the KNOWN
+    trimmed domain [trim, 1e6−trim] (no bounds pass): in-bucket
+    ignore-nulls last/first windows at n_buckets-way parallelism plus
+    two broadcast n_buckets-row boundary frames (each bucket's last /
+    first control) — no single-partition window.
+
+    Treated units with no control on either side are unmatched and
+    excluded (reported via n_matched).  A singular propensity fit
+    propagates NULL loudly.
+
+    Output one row: (n, n_treated, n_matched, att).
+    """
+    from pyspark.sql import Window
+
+    d38 = lambda c: c.cast("decimal(38,0)")
+    B = int(n_buckets)
+    t = F.when(F.expr(treat_expr), 1).otherwise(0)
+    x1 = _snap(F.col(x1_col).cast("double") if isinstance(x1_col, str)
+               else x1_col.cast("double"))
+    x2 = _snap(F.col(x2_col).cast("double") if isinstance(x2_col, str)
+               else x2_col.cast("double"))
+    y_mu = F.round(F.col(outcome_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(x1.isNotNull() & x2.isNotNull()
+                      & y_mu.isNotNull())
+            .select(F.col(id_col).cast("string").alias("id"),
+                    t.alias("t"),
+                    (x1.cast("double") / F.lit(1e6)).alias("x1"),
+                    (x2.cast("double") / F.lit(1e6)).alias("x2"),
+                    y_mu.alias("ym")))
+    beta = logreg_irls(df, x1_col=x1_col, x2_col=x2_col,
+                       label_expr=treat_expr, iters=iters)
+    j = base.crossJoin(F.broadcast(
+        beta.select(F.col("beta0_micro").alias("b0m"),
+                    F.col("beta1_micro").alias("b1m"),
+                    F.col("beta2_micro").alias("b2m"))))
+    eta = (F.col("b0m").cast("double")
+           + F.col("b1m").cast("double") * F.col("x1")
+           + F.col("b2m").cast("double") * F.col("x2")) / F.lit(1e6)
+    tm = int(trim_micro)
+    e_mu = F.when(eta.isNotNull(), F.greatest(F.lit(tm), F.least(
+        F.lit(1_000_000 - tm),
+        F.round(F.lit(1e6) / (F.lit(1.0) + F.exp(-eta))).cast("long"))))
+    step = 1_000_000 // B + 1
+    r = (j.select("id", "t", "ym", e_mu.alias("e"))
+         .withColumn("__b", (F.col("e") / F.lit(step))
+                     .cast("long").cast("int")))
+    ce = F.when(F.col("t") == 0, F.col("e"))
+    cy = F.when(F.col("t") == 0, F.col("ym"))
+    w_prev = (Window.partitionBy("__b").orderBy("e", "id")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy("__b").orderBy("e", "id")
+              .rowsBetween(1, Window.unboundedFollowing))
+    r = (r.withColumn("__pe", F.last(ce, ignorenulls=True).over(w_prev))
+         .withColumn("__py", F.last(cy, ignorenulls=True).over(w_prev))
+         .withColumn("__ne", F.first(ce, ignorenulls=True).over(w_next))
+         .withColumn("__ny", F.first(cy, ignorenulls=True)
+                     .over(w_next)))
+    # bucket boundary frames: each bucket's last / first control
+    bnd = r.groupBy("__b").agg(
+        F.max(F.when(F.col("t") == 0,
+                     F.struct("e", "id", "ym"))).alias("__last_c"),
+        F.min(F.when(F.col("t") == 0,
+                     F.struct("e", "id", "ym"))).alias("__first_c"))
+    w_bp = (Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    w_bn = Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
+    boff = bnd.select(
+        "__b",
+        F.last("__last_c", ignorenulls=True).over(w_bp).alias("__bp"),
+        F.first("__first_c", ignorenulls=True).over(w_bn).alias("__bn"))
+    r = r.join(F.broadcast(boff), "__b")
+    pe = F.coalesce(F.col("__pe"), F.col("__bp.e"))
+    py = F.coalesce(F.col("__py"), F.col("__bp.ym"))
+    ne = F.coalesce(F.col("__ne"), F.col("__bn.e"))
+    ny = F.coalesce(F.col("__ny"), F.col("__bn.ym"))
+    use_prev = pe.isNotNull() & (ne.isNull()
+                                 | ((F.col("e") - pe)
+                                    <= (ne - F.col("e"))))
+    my = F.when(use_prev, py).otherwise(ny)
+    tr = r.filter(F.col("t") == 1).select(
+        "ym", my.alias("my"))
+    tot = r.agg(F.count("*").cast("long").alias("n"),
+                F.sum("t").cast("long").alias("n_treated"))
+    agg = tr.agg(
+        F.sum(F.when(F.col("my").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("my").isNotNull(),
+                     d38(F.col("ym") - F.col("my")))).alias("__sd"))
+    out = tot.crossJoin(F.broadcast(agg))
+    att = (F.col("__sd").cast("double")
+           / F.col("n_matched").cast("double") / F.lit(1e6))
+    return out.select("n", "n_treated", "n_matched",
+                      F.round(att, 6).alias("att"))

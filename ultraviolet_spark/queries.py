@@ -11251,7 +11251,8 @@ WITH per AS (
               AS DOUBLE) AS x2r
   FROM events GROUP BY user_id),
 base AS (
-  SELECT CASE WHEN tr THEN 1.0 ELSE 0.0 END AS y,
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         CASE WHEN tr THEN 1.0 ELSE 0.0 END AS y,
          CAST(CAST(round(x1r * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS x1,
          CAST(CAST(round(x2r * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS x2,
          CASE WHEN tr THEN 1 ELSE 0 END AS t,
@@ -11925,6 +11926,72 @@ def q291(spark, sf_dir):
     return logreg_by_key(ev, key_col="key", x1_col="value",
                          x2_col=F.hour(F.col("ts").cast("timestamp")),
                          label_expr="event_type = 'purchase'", iters=2)
+
+
+@q("q292_psm_att", _CAUSAL_IRLS_SQL + """,
+pr AS (
+  SELECT b.id, b.t, b.ym,
+    (CAST(nb2.b0m AS DOUBLE) + CAST(nb2.b1m AS DOUBLE) * b.x1
+     + CAST(nb2.b2m AS DOUBLE) * b.x2) / 1e6 AS eta
+  FROM base b, nb2),
+ee AS (
+  SELECT id, t, ym,
+    CASE WHEN eta IS NULL THEN NULL ELSE GREATEST(1000, LEAST(999000,
+      CAST(round(1e6 / (1.0 + exp(-eta))) AS BIGINT))) END AS e
+  FROM pr),
+wnd AS (
+  SELECT t, ym, e,
+    last_value(CASE WHEN t = 0 THEN e END IGNORE NULLS) OVER
+      (ORDER BY e, id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pe,
+    last_value(CASE WHEN t = 0 THEN ym END IGNORE NULLS) OVER
+      (ORDER BY e, id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS py,
+    first_value(CASE WHEN t = 0 THEN e END IGNORE NULLS) OVER
+      (ORDER BY e, id
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ne,
+    first_value(CASE WHEN t = 0 THEN ym END IGNORE NULLS) OVER
+      (ORDER BY e, id
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ny
+  FROM ee),
+m AS (
+  SELECT t, ym,
+    CASE WHEN pe IS NOT NULL AND (ne IS NULL OR (e - pe) <= (ne - e))
+         THEN py ELSE ny END AS my
+  FROM wnd),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(t) AS BIGINT) AS n_treated FROM m),
+ag AS (SELECT
+         CAST(SUM(CASE WHEN my IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_matched,
+         SUM(CASE WHEN my IS NOT NULL
+             THEN CAST(ym - my AS HUGEINT) END) AS sd
+       FROM m WHERE t = 1)
+SELECT tt.n, tt.n_treated, ag.n_matched,
+       round(CAST(ag.sd AS DOUBLE) / CAST(ag.n_matched AS DOUBLE)
+             / 1e6, 6) AS att
+FROM tt, ag
+""")
+def q292(spark, sf_dir):
+    """Propensity-score-matching ATT of signing up on purchase count
+    — the matching leg of the causal wing (weighting: q285/q288;
+    stratification: q273): each treated user matched to its nearest
+    control on the trimmed micro-integer propensity axis via two
+    ignore-nulls window passes (no pair join), ties to the preceding
+    control, matched differences exact integers; same IRLS propensity
+    replay shared with q285/q288."""
+    from ultraviolet_spark.operators.mlfit import psm_att
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.max(F.col("event_type") == "signup").alias("tr"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).cast("double").alias("y"),
+                F.count("*").cast("double").alias("x1"),
+                F.sum(F.when(F.col("event_type") == "click", 1)
+                      .otherwise(0)).cast("double").alias("x2")))
+    return psm_att(per, id_col="user_id", treat_expr="tr",
+                   outcome_col="y", x1_col="x1", x2_col="x2", iters=2)
 
 
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
