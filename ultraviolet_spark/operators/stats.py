@@ -1668,3 +1668,61 @@ def trimmed_stats(df: DataFrame, *, value_col: str, id_col: str,
                       mean_raw.alias("mean_raw"),
                       mean_tr.alias("mean_trimmed"),
                       mean_wi.alias("mean_winsor"))
+
+
+def rake_weights(cells: DataFrame, row_targets: DataFrame,
+                 col_targets: DataFrame, *, a_col: str = "a",
+                 b_col: str = "b", n_col: str = "n",
+                 target_col: str = "t", rounds: int = 2) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming & Stephan
+    1940, public) — the survey-reweighting standard: scale the cell
+    weights of an (A × B) contingency table so its marginals match
+    given row and column targets, alternating row and column
+    proportional adjustments.  The pipeline use is drift correction /
+    post-stratification: reweight a new batch's joint distribution to
+    a reference period's marginals before comparing metrics.
+
+    Exactness contract: weights live as micro-integers (w₀ = n·10⁶);
+    each half-step rescales every cell by target/current-marginal as
+    ONE fixed-operand-order double expression
+    ``round(w · (T·10⁶) / S)`` and re-snaps, so marginal sums are
+    exact integer sums between steps and the whole trajectory replays
+    in any engine.  Iterations are UNROLLED (fixed ``rounds``, each =
+    one row step + one column step) — the fixed-rounds honesty
+    contract; IPF converges geometrically, 2–3 rounds is standard.
+    Zero cells stay zero (structural zeros are preserved — the IPF
+    property); a zero CURRENT marginal with a nonzero target cannot
+    be satisfied and leaves that row's cells at zero rather than
+    dividing by zero (NULL-safe guard, pinned).
+
+    Scale: the cell table is vocabulary² (metadata-sized by the
+    caller's bucketing, like the k-anonymity quasi space) — every
+    join here is on frames of that size; the data-sized work is
+    whatever produced ``cells``.
+
+    Output: (a, b, n, w_micro) — achieved marginals are one groupBy
+    away.
+    """
+    w = (cells.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"),
+                      F.col(n_col).cast("long").alias("n"))
+         .withColumn("w", (F.col("n") * F.lit(1_000_000)).cast("long")))
+    rt = row_targets.select(F.col(a_col).alias("a"),
+                            F.col(target_col).cast("long").alias("ta"))
+    ct = col_targets.select(F.col(b_col).alias("b"),
+                            F.col(target_col).cast("long").alias("tb"))
+
+    def half_step(w_df, key, tgt, tname):
+        s = w_df.groupBy(key).agg(F.sum("w").cast("long").alias("__s"))
+        j = (w_df.join(s, key).join(tgt, key))
+        new_w = F.when(
+            F.col("__s") > 0,
+            F.round(F.col("w").cast("double")
+                    * (F.col(tname).cast("double") * F.lit(1e6))
+                    / F.col("__s").cast("double")).cast("long")) \
+            .otherwise(F.col("w"))
+        return j.select("a", "b", "n", new_w.alias("w"))
+
+    for _ in range(int(rounds)):
+        w = half_step(w, "a", rt, "ta")
+        w = half_step(w, "b", ct, "tb")
+    return w.select("a", "b", "n", F.col("w").alias("w_micro"))

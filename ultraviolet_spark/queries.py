@@ -11994,6 +11994,85 @@ def q292(spark, sf_dir):
                    outcome_col="y", x1_col="x1", x2_col="x2", iters=2)
 
 
+@q("q293_rake_weights", """
+WITH bb AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+            FROM events),
+base AS (
+  SELECT event_type AS a,
+         CAST(EXTRACT(hour FROM ts) AS INTEGER) // 6 AS b,
+         epoch_us(ts) AS us
+  FROM events),
+cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base, bb WHERE us >= (lo + hi) // 2 GROUP BY a, b),
+rt AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ta
+       FROM base, bb WHERE us < (lo + hi) // 2 GROUP BY a),
+ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tb
+       FROM base, bb WHERE us < (lo + hi) // 2 GROUP BY b),
+w0 AS (SELECT a, b, n, CAST(n * 1000000 AS BIGINT) AS w FROM cells),
+s1 AS (SELECT a, CAST(SUM(w) AS BIGINT) AS s FROM w0 GROUP BY a),
+w1 AS (SELECT w0.a, w0.b, w0.n,
+         CASE WHEN s1.s > 0 THEN
+           CAST(round(CAST(w0.w AS DOUBLE)
+                      * (CAST(rt.ta AS DOUBLE) * 1e6)
+                      / CAST(s1.s AS DOUBLE)) AS BIGINT)
+         ELSE w0.w END AS w
+       FROM w0 JOIN s1 USING (a) JOIN rt USING (a)),
+s2 AS (SELECT b, CAST(SUM(w) AS BIGINT) AS s FROM w1 GROUP BY b),
+w2 AS (SELECT w1.a, w1.b, w1.n,
+         CASE WHEN s2.s > 0 THEN
+           CAST(round(CAST(w1.w AS DOUBLE)
+                      * (CAST(ct.tb AS DOUBLE) * 1e6)
+                      / CAST(s2.s AS DOUBLE)) AS BIGINT)
+         ELSE w1.w END AS w
+       FROM w1 JOIN s2 USING (b) JOIN ct USING (b)),
+s3 AS (SELECT a, CAST(SUM(w) AS BIGINT) AS s FROM w2 GROUP BY a),
+w3 AS (SELECT w2.a, w2.b, w2.n,
+         CASE WHEN s3.s > 0 THEN
+           CAST(round(CAST(w2.w AS DOUBLE)
+                      * (CAST(rt.ta AS DOUBLE) * 1e6)
+                      / CAST(s3.s AS DOUBLE)) AS BIGINT)
+         ELSE w2.w END AS w
+       FROM w2 JOIN s3 USING (a) JOIN rt USING (a)),
+s4 AS (SELECT b, CAST(SUM(w) AS BIGINT) AS s FROM w3 GROUP BY b),
+w4 AS (SELECT w3.a, w3.b, w3.n,
+         CASE WHEN s4.s > 0 THEN
+           CAST(round(CAST(w3.w AS DOUBLE)
+                      * (CAST(ct.tb AS DOUBLE) * 1e6)
+                      / CAST(s4.s AS DOUBLE)) AS BIGINT)
+         ELSE w3.w END AS w
+       FROM w3 JOIN s4 USING (b) JOIN ct USING (b))
+SELECT a, b, n, w AS w_micro FROM w4
+""")
+def q293(spark, sf_dir):
+    """Raking / iterative proportional fitting: the SECOND half of
+    the event stream's (event_type × 6-hour-bucket) joint counts
+    reweighted so both marginals match the FIRST half's — the drift-
+    correction / post-stratification move before comparing metrics
+    across periods; 2 unrolled rounds of alternating proportional
+    half-steps, weights as micro-integers re-snapped per half-step,
+    the oracle replaying all four half-steps; the period split is the
+    in-plan epoch-µs midpoint (q268's pattern)."""
+    from ultraviolet_spark.operators.stats import rake_weights
+
+    ev = _t(spark, sf_dir, "events")
+    # unix_micros rejects TIMESTAMP_NTZ; cast through the UTC-pinned
+    # session timezone where the difference is timezone-free (q209)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select(F.col("event_type").alias("a"),
+                     F.expr("CAST(hour(ts) AS INT) div 6").alias("b"),
+                     us.alias("us"))
+    bb = base.agg(F.min("us").alias("__lo"), F.max("us").alias("__hi"))
+    base = (base.crossJoin(F.broadcast(bb))
+            .withColumn("__mid", F.expr("(__lo + __hi) div 2")))
+    cells = (base.filter(F.col("us") >= F.col("__mid"))
+             .groupBy("a", "b").agg(F.count("*").alias("n")))
+    rt = (base.filter(F.col("us") < F.col("__mid"))
+          .groupBy("a").agg(F.count("*").alias("t")))
+    ct = (base.filter(F.col("us") < F.col("__mid"))
+          .groupBy("b").agg(F.count("*").alias("t")))
+    return rake_weights(cells, rt, ct, rounds=2)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
