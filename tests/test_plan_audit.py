@@ -83,6 +83,7 @@ CROSS_OK = {
     "q290_trimmed_stats",        # 1-row bounds + (n, k_lo, k_hi) frames
     "q292_psm_att",              # 1-row β frame + 1-row totals × match
     "q293_rake_weights",         # 1-row epoch-µs midpoint bounds frame
+    "q294_gini_concentration",   # 1-row bounds + totals frames
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -12073,6 +12073,53 @@ def q293(spark, sf_dir):
     return rake_weights(cells, rt, ct, rounds=2)
 
 
+@q("q294_gini_concentration", """
+WITH per AS (
+  SELECT user_id AS id,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events GROUP BY user_id),
+base AS (
+  SELECT id, CAST(round(v * 1e6) AS BIGINT) AS vm FROM per),
+r AS (
+  SELECT vm,
+         CAST(ROW_NUMBER() OVER (ORDER BY vm, id) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM base),
+agg AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CASE WHEN vm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS neg,
+         SUM(CAST(vm AS HUGEINT)) AS s,
+         SUM(CAST(rk AS HUGEINT) * vm) AS rs,
+         SUM(CASE WHEN rk > n - n // 10
+             THEN CAST(vm AS HUGEINT) END) AS top
+  FROM r)
+SELECT n,
+  round(CAST(s AS DOUBLE) / 1e6, 6) AS total,
+  CASE WHEN neg = 0 THEN
+    round(2.0 * CAST(rs AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+          - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+  END AS gini,
+  CASE WHEN neg = 0 THEN
+    round(CAST(top AS DOUBLE) / CAST(s AS DOUBLE), 6)
+  END AS top10_share
+FROM agg
+""")
+def q294(spark, sf_dir):
+    """Gini coefficient + top-decile share of per-user event-count
+    concentration: G = 2Σr·x_(r)/(n·Σx) − (n+1)/n over the ascending
+    (value, id) order — exact integer sufficient statistics in
+    DECIMAL(38,0), two-phase rank machinery, negative values rejected
+    loudly; the Lorenz summary a crawl-budget allocator acts on."""
+    from ultraviolet_spark.operators.stats import gini_concentration
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy(F.col("user_id").alias("uid"))
+           .agg(F.count("*").cast("double").alias("v")))
+    return gini_concentration(per, value_col="v", id_col="uid")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
