@@ -84,6 +84,7 @@ CROSS_OK = {
     "q292_psm_att",              # 1-row β frame + 1-row totals × match
     "q293_rake_weights",         # 1-row epoch-µs midpoint bounds frame
     "q294_gini_concentration",   # 1-row bounds + totals frames
+    "q295_bradley_terry",        # 1-row Σθ / k frames per MM round
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -12120,6 +12120,115 @@ def q294(spark, sf_dir):
     return gini_concentration(per, value_col="v", id_col="uid")
 
 
+@q("q295_bradley_terry", """
+WITH cnt AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+             FROM events GROUP BY user_id, event_type),
+pw AS (
+  SELECT CASE WHEN x.c > y.c THEN x.event_type
+         ELSE y.event_type END AS wi,
+         CASE WHEN x.c > y.c THEN y.event_type
+         ELSE x.event_type END AS lo
+  FROM cnt x JOIN cnt y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  WHERE x.c <> y.c),
+und AS (SELECT LEAST(wi, lo) AS i, GREATEST(wi, lo) AS j,
+               CAST(COUNT(*) AS BIGINT) AS nij
+        FROM pw GROUP BY LEAST(wi, lo), GREATEST(wi, lo)),
+wins AS (SELECT wi AS item, CAST(COUNT(*) AS BIGINT) AS w
+         FROM pw GROUP BY wi),
+items AS (SELECT i AS item FROM und UNION SELECT j FROM und),
+base AS (SELECT items.item, COALESCE(wins.w, 0) AS wins
+         FROM items LEFT JOIN wins USING (item)),
+comp AS (SELECT item, CAST(SUM(nij) AS BIGINT) AS comparisons FROM
+          (SELECT i AS item, nij FROM und
+           UNION ALL SELECT j, nij FROM und) u GROUP BY item),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM items),
+t0 AS (SELECT item, CAST(1000000 AS BIGINT) AS th FROM items),
+tr1 AS (SELECT und.i, und.j,
+          CAST(round(CAST(und.nij AS DOUBLE) * 1e12
+                     / CAST(ti.th + tj.th AS DOUBLE)) AS BIGINT) AS t
+        FROM und JOIN t0 ti ON ti.item = und.i
+                 JOIN t0 tj ON tj.item = und.j),
+d1 AS (SELECT item, SUM(CAST(t AS HUGEINT)) AS d FROM
+        (SELECT i AS item, t FROM tr1
+         UNION ALL SELECT j, t FROM tr1) u GROUP BY item),
+r1 AS (SELECT base.item,
+         CAST(round(CAST(base.wins AS DOUBLE) * 1e12
+                    / CAST(d1.d AS DOUBLE)) AS BIGINT) AS raw
+       FROM base JOIN d1 USING (item)),
+s1 AS (SELECT SUM(CAST(raw AS HUGEINT)) AS s FROM r1),
+t1 AS (SELECT r1.item,
+         CAST(round(CAST(r1.raw AS DOUBLE)
+                    * (CAST(kk.k AS DOUBLE) * 1e6)
+                    / CAST(s1.s AS DOUBLE)) AS BIGINT) AS th
+       FROM r1, s1, kk),
+tr2 AS (SELECT und.i, und.j,
+          CAST(round(CAST(und.nij AS DOUBLE) * 1e12
+                     / CAST(ti.th + tj.th AS DOUBLE)) AS BIGINT) AS t
+        FROM und JOIN t1 ti ON ti.item = und.i
+                 JOIN t1 tj ON tj.item = und.j),
+d2 AS (SELECT item, SUM(CAST(t AS HUGEINT)) AS d FROM
+        (SELECT i AS item, t FROM tr2
+         UNION ALL SELECT j, t FROM tr2) u GROUP BY item),
+r2 AS (SELECT base.item,
+         CAST(round(CAST(base.wins AS DOUBLE) * 1e12
+                    / CAST(d2.d AS DOUBLE)) AS BIGINT) AS raw
+       FROM base JOIN d2 USING (item)),
+s2 AS (SELECT SUM(CAST(raw AS HUGEINT)) AS s FROM r2),
+t2 AS (SELECT r2.item,
+         CAST(round(CAST(r2.raw AS DOUBLE)
+                    * (CAST(kk.k AS DOUBLE) * 1e6)
+                    / CAST(s2.s AS DOUBLE)) AS BIGINT) AS th
+       FROM r2, s2, kk),
+tr3 AS (SELECT und.i, und.j,
+          CAST(round(CAST(und.nij AS DOUBLE) * 1e12
+                     / CAST(ti.th + tj.th AS DOUBLE)) AS BIGINT) AS t
+        FROM und JOIN t2 ti ON ti.item = und.i
+                 JOIN t2 tj ON tj.item = und.j),
+d3 AS (SELECT item, SUM(CAST(t AS HUGEINT)) AS d FROM
+        (SELECT i AS item, t FROM tr3
+         UNION ALL SELECT j, t FROM tr3) u GROUP BY item),
+r3 AS (SELECT base.item,
+         CAST(round(CAST(base.wins AS DOUBLE) * 1e12
+                    / CAST(d3.d AS DOUBLE)) AS BIGINT) AS raw
+       FROM base JOIN d3 USING (item)),
+s3 AS (SELECT SUM(CAST(raw AS HUGEINT)) AS s FROM r3),
+t3 AS (SELECT r3.item,
+         CAST(round(CAST(r3.raw AS DOUBLE)
+                    * (CAST(kk.k AS DOUBLE) * 1e6)
+                    / CAST(s3.s AS DOUBLE)) AS BIGINT) AS th
+       FROM r3, s3, kk)
+SELECT base.item, base.wins, comp.comparisons, t3.th AS theta_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY t3.th DESC, base.item)
+            AS INTEGER) AS rank
+FROM base JOIN comp USING (item) JOIN t3 USING (item)
+""")
+def q295(spark, sf_dir):
+    """Bradley–Terry strengths over event types from per-user
+    pairwise preferences (for each user and type pair, the type with
+    more events wins; ties are not comparisons) — the reward-model /
+    rater-preference fit: 3 unrolled MM rounds with micro-integer
+    strengths, per-pair terms round(n·10¹²/(θᵢ+θⱼ)) exact, Σθ
+    renormalized to k·10⁶ each round; the oracle replays all three
+    rounds."""
+    from ultraviolet_spark.operators.ranking import bradley_terry
+
+    cnt = (_t(spark, sf_dir, "events")
+           .groupBy("user_id", "event_type")
+           .agg(F.count("*").alias("c")))
+    x, y = cnt.alias("x"), cnt.alias("y")
+    pr = (x.join(y, (F.col("x.user_id") == F.col("y.user_id"))
+                 & (F.col("x.event_type") < F.col("y.event_type")))
+          .filter(F.col("x.c") != F.col("y.c"))
+          .select(F.when(F.col("x.c") > F.col("y.c"),
+                         F.col("x.event_type"))
+                  .otherwise(F.col("y.event_type")).alias("winner"),
+                  F.when(F.col("x.c") > F.col("y.c"),
+                         F.col("y.event_type"))
+                  .otherwise(F.col("x.event_type")).alias("loser")))
+    return bradley_terry(pr, rounds=3)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
