@@ -84,7 +84,10 @@ CROSS_OK = {
     "q292_psm_att",              # 1-row β frame + 1-row totals × match
     "q293_rake_weights",         # 1-row epoch-µs midpoint bounds frame
     "q294_gini_concentration",   # 1-row bounds + totals frames
-    "q295_bradley_terry",        # 1-row Σθ / k frames per MM round
+    # q295_bradley_terry is NOT listed: its Σθ/k broadcast crosses sit
+    # behind the per-round localCheckpoint, so the audited final plan
+    # carries no cross-join nodes (the q234 lineage-truncation case)
+    "q296_spearman_rho",         # two 1-row value-bounds frames
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

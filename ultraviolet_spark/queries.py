@@ -12229,6 +12229,69 @@ def q295(spark, sf_dir):
     return bradley_terry(pr, rounds=3)
 
 
+@q("q296_spearman_rho", """
+WITH per AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS xv,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS yv
+  FROM events GROUP BY user_id),
+base AS (
+  SELECT CAST(round(xv * 1e6) AS BIGINT) AS xm,
+         CAST(round(yv * 1e6) AS BIGINT) AS ym
+  FROM per),
+dx AS (SELECT xm, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY xm),
+rx AS (SELECT xm,
+         CAST(2 * COALESCE(SUM(c) OVER (ORDER BY xm
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS ax
+       FROM dx),
+dy AS (SELECT ym, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY ym),
+ry AS (SELECT ym,
+         CAST(2 * COALESCE(SUM(c) OVER (ORDER BY ym
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS ay
+       FROM dy),
+j AS (SELECT rx.ax, ry.ay
+      FROM base JOIN rx USING (xm) JOIN ry USING (ym)),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ax AS HUGEINT)) AS sa, SUM(CAST(ay AS HUGEINT)) AS sb,
+         SUM(CAST(ax AS HUGEINT) * ax) AS saa,
+         SUM(CAST(ay AS HUGEINT) * ay) AS sbb,
+         SUM(CAST(ax AS HUGEINT) * ay) AS sab
+  FROM j)
+SELECT n,
+  CASE WHEN CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0 THEN
+    round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+           - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+  END AS rho
+FROM agg
+""")
+def q296(spark, sf_dir):
+    """Spearman rank correlation between per-user activity and
+    purchase counts: textbook average ranks for ties kept integral as
+    doubled ranks 2C + c + 1 (C from an exclusive prefix over the
+    distinct-value frame via the two-phase machinery), Pearson on the
+    doubled ranks from exact DECIMAL(38,0) moments (affine-invariant,
+    same ρ); constant variables report NULL, never 0/0."""
+    from ultraviolet_spark.operators.stats import spearman_rho
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.count("*").cast("double").alias("x"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).cast("double").alias("y")))
+    return spearman_rho(per, x_col="x", y_col="y")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
