@@ -88,6 +88,7 @@ CROSS_OK = {
     # behind the per-round localCheckpoint, so the audited final plan
     # carries no cross-join nodes (the q234 lineage-truncation case)
     "q296_spearman_rho",         # two 1-row value-bounds frames
+    "q297_rfm_segments",         # 1-row corpus-max-ts + bin bounds frames
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

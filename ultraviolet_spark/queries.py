@@ -12292,6 +12292,73 @@ def q296(spark, sf_dir):
     return spearman_rho(per, x_col="x", y_col="y")
 
 
+@q("q297_rfm_segments", """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS hi FROM events),
+per AS (
+  SELECT user_id AS uid,
+         CAST((mx.hi - MAX(epoch_us(ts))) // 86400000000 AS DOUBLE)
+           AS rv,
+         CAST(COUNT(*) AS DOUBLE) AS fv,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            THEN value END), 0) AS DOUBLE) AS mv
+  FROM events, mx GROUP BY user_id, mx.hi),
+rr AS (SELECT uid, CAST(((ROW_NUMBER() OVER (
+           ORDER BY CAST(round(rv * 1e6) AS BIGINT), uid) - 1) * 5)
+           // COUNT(*) OVER () AS INTEGER) AS rbin FROM per),
+ff AS (SELECT uid, CAST(((ROW_NUMBER() OVER (
+           ORDER BY CAST(round(fv * 1e6) AS BIGINT), uid) - 1) * 5)
+           // COUNT(*) OVER () AS INTEGER) AS fbin FROM per),
+mm AS (SELECT uid, CAST(((ROW_NUMBER() OVER (
+           ORDER BY CAST(round(mv * 1e6) AS BIGINT), uid) - 1) * 5)
+           // COUNT(*) OVER () AS INTEGER) AS mbin FROM per)
+SELECT per.uid AS user_id,
+       CAST(5 - rr.rbin AS INTEGER) AS r_score,
+       CAST(ff.fbin + 1 AS INTEGER) AS f_score,
+       CAST(mm.mbin + 1 AS INTEGER) AS m_score,
+       CAST((5 - rr.rbin) * 100 + (ff.fbin + 1) * 10 + mm.mbin + 1
+            AS INTEGER) AS rfm
+FROM per JOIN rr USING (uid) JOIN ff USING (uid) JOIN mm USING (uid)
+""")
+def q297(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quintile scores, the marketing-analytics standard) COMPOSED from
+    three quantile_bin passes over per-user aggregates: days-since-
+    last-event (5 = most recent), event count and purchase value
+    (5 = highest), segment code 100·R + 10·F + M — every score an
+    exact integer rank bin, the recency clock anchored to the in-plan
+    corpus max timestamp."""
+    from ultraviolet_spark.operators.stats import quantile_bin
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = ev.agg(F.max(us).alias("__hi"))
+    per = (ev.crossJoin(F.broadcast(mx))
+           .groupBy(F.col("user_id").alias("uid"))
+           .agg(F.expr("CAST((max(__hi) - max(unix_micros("
+                       "CAST(ts AS timestamp)))) div 86400000000 "
+                       "AS DOUBLE)").alias("rv"),
+                F.count("*").cast("double").alias("fv"),
+                F.coalesce(F.sum(F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value"))), F.lit(0)).cast("double")
+                .alias("mv")))
+    r = (quantile_bin(per, value_col="rv", id_col="uid", n_bins=5)
+         .select(F.col("uid"), F.col("bin").alias("rbin")))
+    f_ = (quantile_bin(per, value_col="fv", id_col="uid", n_bins=5)
+          .select(F.col("uid"), F.col("bin").alias("fbin")))
+    m = (quantile_bin(per, value_col="mv", id_col="uid", n_bins=5)
+         .select(F.col("uid"), F.col("bin").alias("mbin")))
+    return (per.join(r, "uid").join(f_, "uid").join(m, "uid")
+            .select(F.col("uid").alias("user_id"),
+                    (F.lit(5) - F.col("rbin")).cast("int")
+                    .alias("r_score"),
+                    (F.col("fbin") + 1).cast("int").alias("f_score"),
+                    (F.col("mbin") + 1).cast("int").alias("m_score"),
+                    ((F.lit(5) - F.col("rbin")) * 100
+                     + (F.col("fbin") + 1) * 10 + F.col("mbin") + 1)
+                    .cast("int").alias("rfm")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
