@@ -89,6 +89,7 @@ CROSS_OK = {
     # carries no cross-join nodes (the q234 lineage-truncation case)
     "q296_spearman_rho",         # two 1-row value-bounds frames
     "q297_rfm_segments",         # 1-row corpus-max-ts + bin bounds frames
+    "q298_poisson_regression",   # 1-row β frame per unrolled iteration
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

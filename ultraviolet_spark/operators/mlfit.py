@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_irls", "kmeans_fixed", "ipw_ate", "aipw_ate", "logreg_by_key"]
+__all__ = ["logreg_irls", "kmeans_fixed", "ipw_ate", "aipw_ate", "logreg_by_key", "poisreg_irls"]
 
 
 def _snap(col) -> F.Column:
@@ -699,3 +699,100 @@ def psm_att(df: DataFrame, *, id_col: str, treat_expr: str,
            / F.col("n_matched").cast("double") / F.lit(1e6))
     return out.select("n", "n_treated", "n_matched",
                       F.round(att, 6).alias("att"))
+
+
+def poisreg_irls(df: DataFrame, *, x1_col, x2_col, count_expr: str,
+                 iters: int = 2) -> DataFrame:
+    """Poisson regression by IRLS — the COUNT-outcome GLM completing
+    the family next to the logistic (binary) fit: purchases per user,
+    errors per host, links per page are counts, and modeling them
+    with OLS ignores the variance-mean coupling while logistic can't
+    see magnitude.  log-link: E[y] = exp(β₀ + β₁x₁ + β₂x₂).
+
+    Same exact-replay discipline as ``logreg_irls`` with the Poisson
+    working quantities (µ = exp(η), w = µ, z = η + (y−µ)/µ, from
+    β = 0 where µ = 1): per-row contributions µ-snapped BEFORE the
+    order-independent sums, fixed-operand-order Cramer, unrolled
+    iterations, singular systems report det 0 with NULL βs.  One
+    map-side-combined scan per iteration.
+
+    ``count_expr`` is a SQL expression yielding the non-negative
+    count.  Output one row: (n, beta0_micro, beta1_micro,
+    beta2_micro, singular) — like ``logreg_by_key``, the det
+    magnitude is emitted as a BOOLEAN: the Poisson working weights
+    (exp(η)) produce per-row snap ties whose det double differs in
+    the last ulps cross-engine while every β matches (observed at
+    1.18e41), and the magnitude carries nothing the flag doesn't.
+    """
+    y = F.expr(count_expr).cast("double")
+    x1 = _snap(F.col(x1_col).cast("double") if isinstance(x1_col, str)
+               else x1_col.cast("double"))
+    x2 = _snap(F.col(x2_col).cast("double") if isinstance(x2_col, str)
+               else x2_col.cast("double"))
+    base = (df.filter(x1.isNotNull() & x2.isNotNull() & y.isNotNull())
+            .select(y.alias("y"),
+                    (x1.cast("double") / F.lit(1e6)).alias("x1"),
+                    (x2.cast("double") / F.lit(1e6)).alias("x2")))
+
+    beta = None
+
+    for _ in range(int(iters)):
+        if beta is None:
+            it = base.withColumn("eta", F.lit(0.0))
+        else:
+            it = base.crossJoin(F.broadcast(beta)).withColumn(
+                "eta",
+                (F.col("b0m").cast("double")
+                 + F.col("b1m").cast("double") * F.col("x1")
+                 + F.col("b2m").cast("double") * F.col("x2"))
+                / F.lit(1e6))
+        it = (it.withColumn("mu", F.exp(F.col("eta")))
+              .withColumn("w", F.col("mu"))
+              .withColumn("z", F.col("eta")
+                          + (F.col("y") - F.col("mu")) / F.col("mu")))
+        w, x1c, x2c, z = (F.col("w"), F.col("x1"), F.col("x2"),
+                          F.col("z"))
+        sums = it.agg(
+            F.count("*").alias("n"),
+            F.sum(_snap(w)).alias("s11"),
+            F.sum(_snap(w * x1c)).alias("s12"),
+            F.sum(_snap(w * x2c)).alias("s13"),
+            F.sum(_snap(w * x1c * x1c)).alias("s22"),
+            F.sum(_snap(w * x1c * x2c)).alias("s23"),
+            F.sum(_snap(w * x2c * x2c)).alias("s33"),
+            F.sum(_snap(w * z)).alias("t1"),
+            F.sum(_snap(w * z * x1c)).alias("t2"),
+            F.sum(_snap(w * z * x2c)).alias("t3"))
+        d = {c: F.col(c).cast("double")
+             for c in ("s11", "s12", "s13", "s22", "s23", "s33",
+                       "t1", "t2", "t3")}
+        m11 = d["s22"] * d["s33"] - d["s23"] * d["s23"]
+        m12 = d["s12"] * d["s33"] - d["s23"] * d["s13"]
+        m13 = d["s12"] * d["s23"] - d["s22"] * d["s13"]
+        det = d["s11"] * m11 - d["s12"] * m12 + d["s13"] * m13
+        det0 = (d["t1"] * m11
+                - d["s12"] * (d["t2"] * d["s33"] - d["s23"] * d["t3"])
+                + d["s13"] * (d["t2"] * d["s23"] - d["s22"] * d["t3"]))
+        det1 = (d["s11"] * (d["t2"] * d["s33"] - d["s23"] * d["t3"])
+                - d["t1"] * m12
+                + d["s13"] * (d["s12"] * d["t3"] - d["t2"] * d["s13"]))
+        det2 = (d["s11"] * (d["s22"] * d["t3"] - d["t2"] * d["s23"])
+                - d["s12"] * (d["s12"] * d["t3"] - d["t2"] * d["s13"])
+                + d["t1"] * m13)
+        nz = det != F.lit(0.0)
+        beta = sums.select(
+            F.col("n"),
+            F.when(nz, F.round(det0 / det * 1e6).cast("long"))
+            .alias("b0m"),
+            F.when(nz, F.round(det1 / det * 1e6).cast("long"))
+            .alias("b1m"),
+            F.when(nz, F.round(det2 / det * 1e6).cast("long"))
+            .alias("b2m"),
+            det.alias("det"))
+
+    return beta.select(
+        "n",
+        F.col("b0m").alias("beta0_micro"),
+        F.col("b1m").alias("beta1_micro"),
+        F.col("b2m").alias("beta2_micro"),
+        (F.col("det") == F.lit(0.0)).alias("singular"))

@@ -12359,6 +12359,136 @@ def q297(spark, sf_dir):
                     .cast("int").alias("rfm")))
 
 
+@q("q298_poisson_regression", """
+WITH per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS yv,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS x1r,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS x2r
+  FROM events GROUP BY user_id),
+base AS (
+  SELECT yv AS y,
+         CAST(CAST(round(x1r * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS x1,
+         CAST(CAST(round(x2r * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS x2
+  FROM per),
+row1 AS (
+  SELECT y, x1, x2, 0.0 AS eta, exp(0.0) AS mu, exp(0.0) AS w,
+         0.0 + (y - exp(0.0)) / exp(0.0) AS z
+  FROM base),
+sum1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT) AS s11,
+         CAST(SUM(CAST(round(w*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s12,
+         CAST(SUM(CAST(round(w*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s13,
+         CAST(SUM(CAST(round(w*x1*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s22,
+         CAST(SUM(CAST(round(w*x1*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s23,
+         CAST(SUM(CAST(round(w*x2*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s33,
+         CAST(SUM(CAST(round(w*z * 1e6) AS BIGINT)) AS BIGINT) AS t1,
+         CAST(SUM(CAST(round(w*z*x1 * 1e6) AS BIGINT)) AS BIGINT) AS t2,
+         CAST(SUM(CAST(round(w*z*x2 * 1e6) AS BIGINT)) AS BIGINT) AS t3
+  FROM row1),
+dd1 AS (
+  SELECT n, CAST(s11 AS DOUBLE) AS ds11, CAST(s12 AS DOUBLE) AS ds12,
+         CAST(s13 AS DOUBLE) AS ds13, CAST(s22 AS DOUBLE) AS ds22,
+         CAST(s23 AS DOUBLE) AS ds23, CAST(s33 AS DOUBLE) AS ds33,
+         CAST(t1 AS DOUBLE) AS dt1, CAST(t2 AS DOUBLE) AS dt2,
+         CAST(t3 AS DOUBLE) AS dt3
+  FROM sum1),
+mm1 AS (SELECT *, ds22*ds33 - ds23*ds23 AS m11,
+               ds12*ds33 - ds23*ds13 AS m12,
+               ds12*ds23 - ds22*ds13 AS m13 FROM dd1),
+dx1 AS (SELECT *,
+          ds11*m11 - ds12*m12 + ds13*m13 AS det,
+          dt1*m11 - ds12*(dt2*ds33 - ds23*dt3)
+            + ds13*(dt2*ds23 - ds22*dt3) AS det0,
+          ds11*(dt2*ds33 - ds23*dt3) - dt1*m12
+            + ds13*(ds12*dt3 - dt2*ds13) AS det1,
+          ds11*(ds22*dt3 - dt2*ds23) - ds12*(ds12*dt3 - dt2*ds13)
+            + dt1*m13 AS det2
+        FROM mm1),
+nb1 AS (SELECT n,
+          CASE WHEN det <> 0.0
+               THEN CAST(round(det0/det*1e6) AS BIGINT) END AS b0m,
+          CASE WHEN det <> 0.0
+               THEN CAST(round(det1/det*1e6) AS BIGINT) END AS b1m,
+          CASE WHEN det <> 0.0
+               THEN CAST(round(det2/det*1e6) AS BIGINT) END AS b2m,
+          det
+        FROM dx1),
+row2 AS (
+  SELECT base.y, base.x1, base.x2,
+         (CAST(nb1.b0m AS DOUBLE) + CAST(nb1.b1m AS DOUBLE)*base.x1
+          + CAST(nb1.b2m AS DOUBLE)*base.x2) / 1e6 AS eta
+  FROM base, nb1),
+row2m AS (
+  SELECT y, x1, x2, eta, exp(eta) AS mu, exp(eta) AS w,
+         eta + (y - exp(eta)) / exp(eta) AS z
+  FROM row2),
+sum2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT) AS s11,
+         CAST(SUM(CAST(round(w*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s12,
+         CAST(SUM(CAST(round(w*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s13,
+         CAST(SUM(CAST(round(w*x1*x1 * 1e6) AS BIGINT)) AS BIGINT) AS s22,
+         CAST(SUM(CAST(round(w*x1*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s23,
+         CAST(SUM(CAST(round(w*x2*x2 * 1e6) AS BIGINT)) AS BIGINT) AS s33,
+         CAST(SUM(CAST(round(w*z * 1e6) AS BIGINT)) AS BIGINT) AS t1,
+         CAST(SUM(CAST(round(w*z*x1 * 1e6) AS BIGINT)) AS BIGINT) AS t2,
+         CAST(SUM(CAST(round(w*z*x2 * 1e6) AS BIGINT)) AS BIGINT) AS t3
+  FROM row2m),
+dd2 AS (
+  SELECT n, CAST(s11 AS DOUBLE) AS ds11, CAST(s12 AS DOUBLE) AS ds12,
+         CAST(s13 AS DOUBLE) AS ds13, CAST(s22 AS DOUBLE) AS ds22,
+         CAST(s23 AS DOUBLE) AS ds23, CAST(s33 AS DOUBLE) AS ds33,
+         CAST(t1 AS DOUBLE) AS dt1, CAST(t2 AS DOUBLE) AS dt2,
+         CAST(t3 AS DOUBLE) AS dt3
+  FROM sum2),
+mm2 AS (SELECT *, ds22*ds33 - ds23*ds23 AS m11,
+               ds12*ds33 - ds23*ds13 AS m12,
+               ds12*ds23 - ds22*ds13 AS m13 FROM dd2),
+dx2 AS (SELECT *,
+          ds11*m11 - ds12*m12 + ds13*m13 AS det,
+          dt1*m11 - ds12*(dt2*ds33 - ds23*dt3)
+            + ds13*(dt2*ds23 - ds22*dt3) AS det0,
+          ds11*(dt2*ds33 - ds23*dt3) - dt1*m12
+            + ds13*(ds12*dt3 - dt2*ds13) AS det1,
+          ds11*(ds22*dt3 - dt2*ds23) - ds12*(ds12*dt3 - dt2*ds13)
+            + dt1*m13 AS det2
+        FROM mm2)
+SELECT n,
+  CASE WHEN det <> 0.0
+       THEN CAST(round(det0/det*1e6) AS BIGINT) END AS beta0_micro,
+  CASE WHEN det <> 0.0
+       THEN CAST(round(det1/det*1e6) AS BIGINT) END AS beta1_micro,
+  CASE WHEN det <> 0.0
+       THEN CAST(round(det2/det*1e6) AS BIGINT) END AS beta2_micro,
+  det = 0.0 AS singular
+FROM dx2
+""")
+def q298(spark, sf_dir):
+    """Poisson regression (count-outcome GLM, log link) of per-user
+    purchase counts on click and view counts: the family-completing
+    fit next to the logistic — OLS ignores the variance-mean coupling
+    of counts, logistic can't see magnitude; two unrolled IRLS steps
+    with the Poisson working response (µ = exp η, w = µ), the same
+    snapped-sufficient-statistics exact replay."""
+    from ultraviolet_spark.operators.mlfit import poisreg_irls
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).cast("double").alias("y"),
+                F.sum(F.when(F.col("event_type") == "click", 1)
+                      .otherwise(0)).cast("double").alias("x1"),
+                F.sum(F.when(F.col("event_type") == "view", 1)
+                      .otherwise(0)).cast("double").alias("x2")))
+    return poisreg_irls(per, x1_col="x1", x2_col="x2",
+                        count_expr="y", iters=2)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
