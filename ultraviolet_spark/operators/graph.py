@@ -412,3 +412,87 @@ def label_propagation_oracle_sql(edges_sql: str, *, rounds: int) -> str:
         prev = f"lab{i}"
     return ("WITH " + ",\n".join(parts) +
             f"\nSELECT node, label FROM {prev}")
+
+
+def connected_components(edges: DataFrame, *, rounds: int,
+                         src: str = "src", dst: str = "dst") -> DataFrame:
+    """Connected components by synchronous min-label propagation WITH
+    per-round pointer doubling — the missing fundamental next to
+    PageRank/k-core/LPA: every node's label converges to the smallest
+    node id in its component, so components get canonical, comparable
+    names with no randomness anywhere.
+
+    Plain min-propagation needs diameter rounds (a 10^4-hop crawl
+    chain would need 10^4 shuffles); each round here takes the min
+    over neighbor labels AND THEN jumps to the label's own current
+    label (label(label(n)) ≤ label(n) since labels are node ids and
+    only decrease — the Hash-to-Min / pointer-doubling idea), so
+    reach doubles per round and 2^rounds ≥ diameter suffices.  Fixed
+    ``rounds`` is the honest replayable contract (same as
+    label_propagation); un-converged labels are still deterministic
+    and the oracle replays the identical schedule.
+
+    Returns ``(node, comp)``; isolated nodes (no surviving edge after
+    self-loop removal) are not graph members, same convention as the
+    other graph operators.
+
+    Scale notes: per round one edge×labels equi-join + one map-side-
+    combined min agg + one labels-by-label jump join — all keyed
+    shuffles, no window, no collect; lineage truncated per round with
+    lazy localCheckpoint (the k_core lesson).  Labels are 8-byte ids;
+    the jump join's build side is the labels frame itself, so every
+    round is linear in |E| + |V|.
+    """
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v")))
+    und = und.union(und.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))).distinct()
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        nm = (und.join(labels.select(F.col("node").alias("v"),
+                                     F.col("label").alias("__nl")), "v")
+              .groupBy("u").agg(F.min("__nl").alias("__nm")))
+        cand = (labels.join(nm.withColumnRenamed("u", "node"),
+                            "node", "left")
+                .select("node",
+                        F.least(F.col("label"),
+                                F.coalesce(F.col("__nm"),
+                                           F.col("label"))).alias("__c")))
+        labels = (cand.join(labels.select(F.col("node").alias("__c2"),
+                                          F.col("label").alias("__cl")),
+                            cand["__c"] == F.col("__c2"))
+                  .select("node", F.least(F.col("__c"), F.col("__cl"))
+                          .alias("label"))
+                  .localCheckpoint(eager=False))
+    return labels.select("node", F.col("label").alias("comp"))
+
+
+def connected_components_oracle_sql(edges_sql: str, *, rounds: int) -> str:
+    """Unrolled-SQL replay of :func:`connected_components`: identical
+    symmetrize → neighbor-min → pointer-jump rounds as MATERIALIZED
+    CTEs (DuckDB inlines plain CTEs per reference — the
+    k_core_oracle_sql lesson)."""
+    parts = [
+        f"raw AS MATERIALIZED ({edges_sql})",
+        "und AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM raw WHERE src <> dst "
+        "UNION SELECT dst, src FROM raw WHERE src <> dst))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)",
+        "lab0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"]
+    prev = "lab0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"nm{i} AS MATERIALIZED (SELECT e.u, MIN(l.label) AS nm "
+            f"FROM und e JOIN {prev} l ON l.node = e.v GROUP BY e.u)")
+        parts.append(
+            f"cd{i} AS MATERIALIZED (SELECT p.node, "
+            f"LEAST(p.label, COALESCE(m.nm, p.label)) AS c "
+            f"FROM {prev} p LEFT JOIN nm{i} m ON m.u = p.node)")
+        parts.append(
+            f"lab{i} AS MATERIALIZED (SELECT c.node, "
+            f"LEAST(c.c, l.label) AS label "
+            f"FROM cd{i} c JOIN {prev} l ON l.node = c.c)")
+        prev = f"lab{i}"
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT node, label AS comp FROM {prev}")

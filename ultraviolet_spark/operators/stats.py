@@ -1868,3 +1868,82 @@ def spearman_rho(df: DataFrame, *, x_col: str, y_col: str,
     rho = F.when((va > 0) & (vb > 0),
                  F.round(num / F.sqrt(va * vb), 6))
     return agg.select("n", rho.alias("rho"))
+
+
+def welch_ttest(df: DataFrame, *, value_col: str, group_col: str,
+                group_a, group_b) -> DataFrame:
+    """Welch's two-sample t-test + Cohen's d — the plain
+    difference-in-means inference missing between the rank tests
+    (Mann-Whitney) and the adjusted estimators (CUPED): Student's
+    pooled t assumes EQUAL variances and its size is wrong when the
+    bigger group has the smaller variance, Welch's statistic
+    t = (x̄_a − x̄_b)/√(s²_a/n_a + s²_b/n_b) with the
+    Welch-Satterthwaite effective degrees of freedom
+    ν = (s²_a/n_a + s²_b/n_b)² / ((s²_a/n_a)²/(n_a−1)
+        + (s²_b/n_b)²/(n_b−1)) stays calibrated.  Cohen's d uses the
+    POOLED standard deviation (the effect-size convention), reported
+    alongside so a significant t on a huge n can't masquerade as a
+    large effect.
+
+    Exactness: values micro-snapped to int64; per-group sufficient
+    statistics (n, Σx, Σx²) are exact integer sums in DECIMAL(38,0)
+    (Σx² ≈ n·10¹⁸ for 10⁶-micro values crosses int64 immediately)
+    accumulated by ONE conditional aggregation pass — no join, no
+    shuffle beyond the single partial agg; every derived quantity is
+    a fixed-order double expression over those integers, so both
+    engines execute identical IEEE operations.  Guards: a group with
+    n < 2 or a zero standard error reports NULL t/df (never ±inf or
+    0/0); zero pooled variance reports NULL d.
+
+    Output one row: (n_a, n_b, mean_a, mean_b, t, df, cohen_d),
+    means in original units, all rounded to 6.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")
+    m = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(m.isNotNull() & g.isin([group_a, group_b]))
+            .select((g == F.lit(group_a)).alias("__ia"), m.alias("__m")))
+    one_if = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    agg = base.agg(
+        one_if(F.col("__ia")).alias("na"),
+        one_if(~F.col("__ia")).alias("nb"),
+        F.sum(F.when(F.col("__ia"), d38(F.col("__m")))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("__sa"),
+        F.sum(F.when(~F.col("__ia"), d38(F.col("__m")))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("__sb"),
+        F.sum(F.when(F.col("__ia"), d38(F.col("__m")) * d38(F.col("__m")))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("__saa"),
+        F.sum(F.when(~F.col("__ia"), d38(F.col("__m")) * d38(F.col("__m")))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("__sbb"))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    saa = F.col("__saa").cast("double")
+    sbb = F.col("__sbb").cast("double")
+    # ANSI sessions raise on /0 even under an F.when guard (both
+    # branches evaluate), so every denominator that CAN be zero
+    # (empty/singleton group, zero SE) is nulled first — NULL then
+    # propagates into the same NULL the guards would have produced.
+    nz = lambda den: F.when(den != 0, den)
+    mean_a, mean_b = sa / nz(na), sb / nz(nb)
+    # (n−1)·s² · n  =  n·Σx² − (Σx)²  — exact in decimal, one double cast
+    va_num = na * saa - sa * sa          # = n_a² · (n_a−1)/n_a · s²_a
+    vb_num = nb * sbb - sb * sb
+    s2a = va_num / nz(na * (na - F.lit(1.0)))
+    s2b = vb_num / nz(nb * (nb - F.lit(1.0)))
+    se2 = s2a / nz(na) + s2b / nz(nb)
+    ok = (F.col("na") >= 2) & (F.col("nb") >= 2) & (se2 > 0)
+    t = F.when(ok, F.round((mean_a - mean_b) / nz(F.sqrt(se2)), 6))
+    dfw = F.when(ok, F.round(
+        se2 * se2 / nz((s2a / nz(na)) * (s2a / nz(na)) / nz(na - F.lit(1.0))
+                       + (s2b / nz(nb)) * (s2b / nz(nb))
+                       / nz(nb - F.lit(1.0))), 6))
+    pooled = ((na - F.lit(1.0)) * s2a + (nb - F.lit(1.0)) * s2b) \
+        / nz(na + nb - F.lit(2.0))
+    okd = (F.col("na") + F.col("nb") >= 3) & (F.col("na") >= 2) \
+        & (F.col("nb") >= 2) & (pooled > 0)
+    d = F.when(okd, F.round((mean_a - mean_b) / nz(F.sqrt(pooled)), 6))
+    return agg.select(
+        "na", "nb",
+        F.round(mean_a / F.lit(1e6), 6).alias("mean_a"),
+        F.round(mean_b / F.lit(1e6), 6).alias("mean_b"),
+        t.alias("t"), dfw.alias("df"), d.alias("cohen_d"))

@@ -12489,6 +12489,110 @@ def q298(spark, sf_dir):
                         count_expr="y", iters=2)
 
 
+@q("q299_welch_ttest", """
+WITH base AS (
+  SELECT (user_id % 2 = 0) AS ia,
+         CAST(round(value * 1e6) AS BIGINT) AS m
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         SUM(CASE WHEN ia THEN CAST(m AS HUGEINT) ELSE 0 END) AS sa,
+         SUM(CASE WHEN ia THEN 0 ELSE CAST(m AS HUGEINT) END) AS sb,
+         SUM(CASE WHEN ia THEN CAST(m AS HUGEINT) * m ELSE 0 END) AS saa,
+         SUM(CASE WHEN ia THEN 0 ELSE CAST(m AS HUGEINT) * m END) AS sbb
+  FROM base),
+dx AS (
+  SELECT na, nb,
+         CAST(na AS DOUBLE) AS dna, CAST(nb AS DOUBLE) AS dnb,
+         CAST(sa AS DOUBLE) AS dsa, CAST(sb AS DOUBLE) AS dsb,
+         CAST(saa AS DOUBLE) AS dsaa, CAST(sbb AS DOUBLE) AS dsbb
+  FROM agg),
+dx2 AS (
+  SELECT na, nb, dna, dnb,
+         dsa / NULLIF(dna, 0) AS mean_a, dsb / NULLIF(dnb, 0) AS mean_b,
+         (dna * dsaa - dsa * dsa)
+           / NULLIF(dna * (dna - 1.0), 0) AS s2a,
+         (dnb * dsbb - dsb * dsb)
+           / NULLIF(dnb * (dnb - 1.0), 0) AS s2b
+  FROM dx),
+dx3 AS (
+  SELECT na, nb, dna, dnb, mean_a, mean_b, s2a, s2b,
+         s2a / NULLIF(dna, 0) + s2b / NULLIF(dnb, 0) AS se2
+  FROM dx2)
+SELECT na, nb,
+  round(mean_a / 1e6, 6) AS mean_a,
+  round(mean_b / 1e6, 6) AS mean_b,
+  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+    round((mean_a - mean_b) / NULLIF(sqrt(se2), 0), 6) END AS t,
+  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+    round(se2 * se2
+          / NULLIF((s2a / NULLIF(dna, 0)) * (s2a / NULLIF(dna, 0))
+                     / NULLIF(dna - 1.0, 0)
+                   + (s2b / NULLIF(dnb, 0)) * (s2b / NULLIF(dnb, 0))
+                     / NULLIF(dnb - 1.0, 0), 0), 6)
+  END AS df,
+  CASE WHEN na + nb >= 3 AND na >= 2 AND nb >= 2
+        AND ((dna - 1.0) * s2a + (dnb - 1.0) * s2b)
+            / NULLIF(dna + dnb - 2.0, 0) > 0 THEN
+    round((mean_a - mean_b)
+          / NULLIF(sqrt(((dna - 1.0) * s2a + (dnb - 1.0) * s2b)
+                        / NULLIF(dna + dnb - 2.0, 0)), 0), 6)
+  END AS cohen_d
+FROM dx3
+""")
+def q299(spark, sf_dir):
+    """Welch's two-sample t-test + Cohen's d on purchase values, even
+    vs odd user cohorts: the plain difference-in-means inference the
+    battery lacked between Mann-Whitney's ranks and CUPED's adjusted
+    means — unequal variances handled by the Welch-Satterthwaite df,
+    effect size reported so a significant t on huge n can't pose as a
+    large effect; exact DECIMAL(38,0) sufficient statistics, one
+    conditional-aggregation pass, fixed-order double algebra."""
+    from ultraviolet_spark.operators.stats import welch_ttest
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase")
+          .withColumn("cohort",
+                      F.when(F.col("user_id") % 2 == 0, "even")
+                      .otherwise("odd")))
+    return welch_ttest(ev, value_col="value", group_col="cohort",
+                       group_a="even", group_b="odd")
+
+
+def _q300_sql() -> str:
+    from ultraviolet_spark.operators.graph import (
+        connected_components_oracle_sql,
+    )
+    return connected_components_oracle_sql(
+        "SELECT DISTINCT doc_id % 360 AS src, "
+        "(doc_id % 360 + 6) % 360 AS dst FROM documents "
+        "UNION "
+        "SELECT doc_id % 360, (doc_id % 360 + 90) % 360 FROM documents",
+        rounds=6)
+
+
+@q("q300_connected_components", _q300_sql())
+def q300(spark, sf_dir):
+    """Connected components over a deterministic circulant link graph
+    (360 domain nodes, steps 6 and 90 → six residue-class components):
+    min-label propagation with per-round pointer doubling, so the
+    six-cycle structure resolves in 6 rounds where plain propagation
+    would need the ~30-hop diameter; labels are canonical component
+    minima, bit-identical to the oracle's unrolled replay."""
+    from ultraviolet_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 360).alias("r"))
+    e = (d.select(F.col("r").alias("src"),
+                  ((F.col("r") + 6) % 360).alias("dst"))
+         .union(d.select(F.col("r").alias("src"),
+                         ((F.col("r") + 90) % 360).alias("dst")))
+         .distinct())
+    return connected_components(e, rounds=6)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
