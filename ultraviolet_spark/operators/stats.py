@@ -1947,3 +1947,69 @@ def welch_ttest(df: DataFrame, *, value_col: str, group_col: str,
         F.round(mean_a / F.lit(1e6), 6).alias("mean_a"),
         F.round(mean_b / F.lit(1e6), 6).alias("mean_b"),
         t.alias("t"), dfw.alias("df"), d.alias("cohen_d"))
+
+
+def anova_oneway(df: DataFrame, *, value_col: str,
+                 group_col: str) -> DataFrame:
+    """One-way ANOVA F-test + η² across k groups — the k-sample
+    extension Welch's two-sample t can't cover: does the group factor
+    explain any of the value variance at all, and how much (η² =
+    SSB/SST, the effect size a bare F on huge n can't convey).
+
+    Exactness discipline: values micro-snapped to int64; per-group
+    sufficient statistics (n_g, ΣX, ΣX²) are exact DECIMAL(38,0) sums
+    from ONE groupBy pass.  The between-groups terms S_g²/n_g are
+    per-group fixed-order doubles snapped to MICRO-UNIT² integers
+    (≈10¹⁴ ≪ 2⁵³, exactly representable) BEFORE the cross-group sum,
+    so the total is an order-independent exact integer — the same
+    snap-before-sum rule as Mantel-Haenszel/log-rank; ΣX² goes
+    through the identical snap so SSW = SS − ΣA_g is exact integer
+    arithmetic.  F and η² are fixed-order doubles over those
+    integers.  Guards: k < 2, n ≤ k or zero within-variance report
+    NULL F (never ±inf/0-div); η² is NULL when SST = 0.
+
+    Output one row: (k, n, ss_between, ss_within, f, eta2) with the
+    sums of squares in original units², all rounded to 6.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")
+    nz = lambda den: F.when(den != 0, den)
+    m = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(m.isNotNull() & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("__g"), m.alias("__m")))
+    per = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(d38(F.col("__m"))).alias("__s"),
+        F.sum(d38(F.col("__m")) * d38(F.col("__m"))).alias("__ss"))
+    # per-group between term: round(S_g²/n_g / 1e12 · 1e6)  (µ-unit²)
+    a_g = F.round(F.col("__s").cast("double")
+                  * F.col("__s").cast("double")
+                  / F.col("__n").cast("double") / F.lit(1e12)
+                  * F.lit(1e6)).cast("long")
+    ss_g = F.round(F.col("__ss").cast("double") / F.lit(1e12)
+                   * F.lit(1e6)).cast("long")
+    agg = per.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("__n").alias("n"),
+        F.sum(d38(F.col("__s"))).alias("__stot"),
+        F.sum(d38(a_g)).alias("__sa"),
+        F.sum(d38(ss_g)).alias("__sss"))
+    # grand term from the exact total sum, same snap
+    a_tot = F.round(F.col("__stot").cast("double")
+                    * F.col("__stot").cast("double")
+                    / F.col("n").cast("double") / F.lit(1e12)
+                    * F.lit(1e6)).cast("long")
+    ssb = F.col("__sa").cast("double") - a_tot.cast("double")
+    ssw = F.col("__sss").cast("double") - F.col("__sa").cast("double")
+    sst = F.col("__sss").cast("double") - a_tot.cast("double")
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    fstat = F.when((F.col("k") >= 2) & (F.col("n") > F.col("k"))
+                   & (ssw > 0),
+                   F.round((ssb / (kd - F.lit(1.0)))
+                           / nz(ssw / (nd - kd)), 6))
+    eta2 = F.when(sst > 0, F.round(ssb / nz(sst), 6))
+    return agg.select(
+        "k", "n",
+        F.round(ssb / F.lit(1e6), 6).alias("ss_between"),
+        F.round(ssw / F.lit(1e6), 6).alias("ss_within"),
+        fstat.alias("f"), eta2.alias("eta2"))

@@ -12593,6 +12593,63 @@ def q300(spark, sf_dir):
     return connected_components(e, rounds=6)
 
 
+@q("q301_anova_event_values", """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS m
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+per AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(m AS HUGEINT)) AS s,
+         SUM(CAST(m AS HUGEINT) * m) AS ss
+  FROM base GROUP BY g),
+snapped AS (
+  SELECT n, s,
+         CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE) / 1e12 * 1e6) AS BIGINT) AS ag,
+         CAST(round(CAST(ss AS DOUBLE) / 1e12 * 1e6) AS BIGINT) AS ssg
+  FROM per),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n,
+         SUM(CAST(s AS HUGEINT)) AS stot,
+         SUM(CAST(ag AS HUGEINT)) AS sa,
+         SUM(CAST(ssg AS HUGEINT)) AS sss
+  FROM snapped),
+dx AS (
+  SELECT k, n,
+         CAST(sa AS DOUBLE)
+           - CAST(CAST(round(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                             / CAST(n AS DOUBLE) / 1e12 * 1e6)
+                       AS BIGINT) AS DOUBLE) AS ssb,
+         CAST(sss AS DOUBLE) - CAST(sa AS DOUBLE) AS ssw,
+         CAST(sss AS DOUBLE)
+           - CAST(CAST(round(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                             / CAST(n AS DOUBLE) / 1e12 * 1e6)
+                       AS BIGINT) AS DOUBLE) AS sst
+  FROM agg)
+SELECT k, n,
+  round(ssb / 1e6, 6) AS ss_between,
+  round(ssw / 1e6, 6) AS ss_within,
+  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+    round((ssb / (CAST(k AS DOUBLE) - 1.0))
+          / NULLIF(ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 0), 6)
+  END AS f,
+  CASE WHEN sst > 0 THEN round(ssb / NULLIF(sst, 0), 6) END AS eta2
+FROM dx
+""")
+def q301(spark, sf_dir):
+    """One-way ANOVA of event values across the event-type factor:
+    the k-sample extension of q299's Welch t — does event type explain
+    any value variance (F) and how much (η²); per-group between terms
+    snapped to µ-unit² integers BEFORE the cross-group sum (the
+    Mantel-Haenszel snap-before-sum rule) so the totals are
+    order-independent exact integers."""
+    from ultraviolet_spark.operators.stats import anova_oneway
+
+    return anova_oneway(_t(spark, sf_dir, "events"),
+                        value_col="value", group_col="event_type")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
