@@ -496,3 +496,63 @@ def connected_components_oracle_sql(edges_sql: str, *, rounds: int) -> str:
         prev = f"lab{i}"
     return ("WITH " + ",\n".join(parts) +
             f"\nSELECT node, label AS comp FROM {prev}")
+
+
+def link_prediction(edges: DataFrame, *, src: str = "src",
+                    dst: str = "dst",
+                    max_degree: int | None = None) -> DataFrame:
+    """Common-neighbors + Adamic-Adar link prediction over an
+    undirected graph — the which-edge-is-missing complement of the
+    structural operators (PageRank ranks nodes, components name them;
+    this scores node PAIRS): for every pair (u, v) reachable through
+    at least one shared neighbor z, cn = |N(u) ∩ N(v)| and
+    AA = Σ_z 1/ln(deg z), which discounts promiscuous hubs — a shared
+    neighbor of degree 2 is strong evidence, a shared hub of degree
+    10⁶ is none (Adamic & Adar 2003).
+
+    Exactness: each wedge contributes the µ-nat integer
+    round(10⁶/ln(deg z)) — snapped per neighbor BEFORE the per-pair
+    sum, so aa_micro is an order-independent exact integer (the
+    snap-before-sum rule); deg z ≥ 2 for any wedge (z touches both u
+    and v), so ln is never 0.  ``is_edge`` marks pairs already
+    connected (scored anyway: re-ranking known edges is the
+    confidence view; filter it for pure prediction).
+
+    Scale notes: wedge count is Σ_z deg(z)² — the hub quadratic every
+    wedge enumeration has; ``max_degree`` excludes super-hub centers
+    (standard practice: a 10⁶-degree hub contributes ~0 AA weight per
+    pair but 10¹² wedges).  One keyed self-join on the center + one
+    map-side-combined (u,v) agg; degree frame joined keyed, no
+    collect, no window.
+
+    Returns ``(u, v, cn, aa_micro, is_edge)`` with u < v.
+    """
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v")))
+    und = und.union(und.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))).distinct()
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("__d"))
+    half = (und.select(F.col("u").alias("__z"), F.col("v").alias("__a"))
+            .join(deg.select(F.col("u").alias("__z"), "__d"), "__z"))
+    if max_degree is not None:
+        half = half.filter(F.col("__d") <= int(max_degree))
+    # a degree-1 center cannot form a wedge — drop it BEFORE the µ-nat
+    # weight so ln(1) = 0 never reaches the division (ANSI raises even
+    # on rows a later join would discard)
+    half = (half.filter(F.col("__d") >= 2)
+            .withColumn(
+                "__w",
+                F.round(F.lit(1e6) / F.log(F.col("__d").cast("double")))
+                .cast("long")))
+    left = half.select("__z", F.col("__a").alias("u"), "__w")
+    right = half.select("__z", F.col("__a").alias("v"))
+    scores = (left.join(right, "__z")
+              .filter(F.col("u") < F.col("v"))
+              .groupBy("u", "v")
+              .agg(F.count("*").cast("long").alias("cn"),
+                   F.sum("__w").alias("aa_micro")))
+    return (scores.join(und.withColumn("__e", F.lit(True)),
+                        ["u", "v"], "left")
+            .select("u", "v", "cn", "aa_micro",
+                    F.coalesce(F.col("__e"), F.lit(False))
+                    .alias("is_edge")))

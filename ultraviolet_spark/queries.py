@@ -12650,6 +12650,49 @@ def q301(spark, sf_dir):
                         value_col="value", group_col="event_type")
 
 
+@q("q302_link_prediction", """
+WITH raw AS (
+  SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+  FROM documents
+  UNION
+  SELECT doc_id % 101, (doc_id * 13 + 5) % 101 FROM documents),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+    UNION SELECT dst, src FROM raw WHERE src <> dst)),
+deg AS (SELECT u AS z, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+half AS (
+  SELECT und.u AS z, und.v AS a,
+         CAST(round(1e6 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT) AS w
+  FROM und JOIN deg ON deg.z = und.u WHERE deg.d >= 2),
+scores AS (
+  SELECT l.a AS u, r.a AS v,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(l.w) AS BIGINT) AS aa_micro
+  FROM half l JOIN half r ON l.z = r.z AND l.a < r.a
+  GROUP BY l.a, r.a)
+SELECT s.u, s.v, s.cn, s.aa_micro,
+       (e.u IS NOT NULL) AS is_edge
+FROM scores s LEFT JOIN und e ON e.u = s.u AND e.v = s.v
+""")
+def q302(spark, sf_dir):
+    """Adamic-Adar + common-neighbors link prediction over the q96
+    domain link graph: per-wedge µ-nat weights round(10⁶/ln(deg z))
+    snapped per shared neighbor BEFORE the per-pair sum (hub
+    discounting with an order-independent exact integer total);
+    existing edges flagged, not hidden — re-ranking known links is
+    the confidence view."""
+    from ultraviolet_spark.operators.graph import link_prediction
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+         .union(d.select((F.col("doc_id") % 101).alias("src"),
+                         ((F.col("doc_id") * 13 + 5) % 101).alias("dst")))
+         .distinct())
+    return link_prediction(e)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
