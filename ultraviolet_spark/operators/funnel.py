@@ -313,3 +313,76 @@ def shapley_attribution(df: DataFrame, *, user_col: str = "user_id",
         .alias("phi_share"),
         F.col("__n").alias("n_users"),
         F.col("__k").cast("int").alias("n_channels"))
+
+
+def association_rules(df: DataFrame, *, basket_col: str, item_col: str,
+                      min_item_count: int = 1,
+                      min_pair_count: int = 1) -> DataFrame:
+    """Market-basket association rules A→B over (basket, item) events
+    — support, confidence and lift from exact counts: which behaviors
+    co-occur in the same basket (user/session) beyond what their
+    individual frequencies explain.  Lift > 1 is genuine association;
+    confidence alone inflates rules whose consequent is merely common
+    (pinned in tests).
+
+    The apriori property does the pruning: an infrequent ITEM cannot
+    be in a frequent PAIR, so items below ``min_item_count`` are
+    dropped BEFORE the pair join (the classic candidate-generation
+    cut that keeps the per-basket quadratic bounded); pairs below
+    ``min_pair_count`` are dropped after.  Both directions of every
+    surviving pair are emitted (confidence is asymmetric; support and
+    lift are shared).
+
+    Exactness: all counts are exact integers from distinct-then-count
+    aggregations; support/confidence/lift are ONE fixed-order double
+    expression each over those integers, µ-snapped to *_micro columns
+    (round(x·10⁶) as BIGINT) so the driver hash compares integers.
+    The basket total N rides in-plan as a broadcast 1-row frame — no
+    driver collect.
+
+    Scale notes: one distinct over (basket, item) (map-side
+    combined), one keyed self-join on basket for pairs (quadratic
+    only in per-basket ITEM counts, already apriori-pruned), one pair
+    agg; item-count frames are vocabulary-sized broadcast joins.
+
+    Returns ``(ante, cons, n_pair, n_ante, n_cons, support_micro,
+    confidence_micro, lift_micro)``.
+    """
+    bi = (df.select(F.col(basket_col).alias("__b"),
+                    F.col(item_col).alias("__i"))
+          .filter(F.col("__i").isNotNull())
+          .distinct())
+    n_total = bi.agg(F.countDistinct("__b").cast("long").alias("__N"))
+    items = (bi.groupBy("__i").agg(F.count("*").cast("long").alias("__ni"))
+             .filter(F.col("__ni") >= int(min_item_count)))
+    kept = bi.join(F.broadcast(items.select("__i")), "__i")
+    pairs = (kept.select("__b", F.col("__i").alias("__a"))
+             .join(kept.select("__b", F.col("__i").alias("__c")), "__b")
+             .filter(F.col("__a") < F.col("__c"))
+             .groupBy("__a", "__c")
+             .agg(F.count("*").cast("long").alias("n_pair"))
+             .filter(F.col("n_pair") >= int(min_pair_count)))
+    directed = pairs.select(F.col("__a").alias("ante"),
+                            F.col("__c").alias("cons"), "n_pair") \
+        .union(pairs.select(F.col("__c").alias("ante"),
+                            F.col("__a").alias("cons"), "n_pair"))
+    j = (directed
+         .join(F.broadcast(items.select(F.col("__i").alias("ante"),
+                                        F.col("__ni").alias("n_ante"))),
+               "ante")
+         .join(F.broadcast(items.select(F.col("__i").alias("cons"),
+                                        F.col("__ni").alias("n_cons"))),
+               "cons")
+         .crossJoin(F.broadcast(n_total)))
+    dN = F.col("__N").cast("double")
+    dp = F.col("n_pair").cast("double")
+    da = F.col("n_ante").cast("double")
+    dc = F.col("n_cons").cast("double")
+    return j.select(
+        "ante", "cons", "n_pair", "n_ante", "n_cons",
+        F.round(dp * F.lit(1e6) / dN).cast("long")
+        .alias("support_micro"),
+        F.round(dp * F.lit(1e6) / da).cast("long")
+        .alias("confidence_micro"),
+        F.round(dN * dp / (da * dc) * F.lit(1e6)).cast("long")
+        .alias("lift_micro"))

@@ -12693,6 +12693,47 @@ def q302(spark, sf_dir):
     return link_prediction(e)
 
 
+@q("q303_association_rules", """
+WITH bi AS (
+  SELECT DISTINCT user_id AS b, event_type AS i
+  FROM events WHERE event_type IS NOT NULL),
+nt AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS N FROM bi),
+items AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM bi GROUP BY i),
+pairs AS (
+  SELECT l.i AS a, r.i AS c, CAST(COUNT(*) AS BIGINT) AS np
+  FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+  GROUP BY l.i, r.i),
+dirs AS (
+  SELECT a AS ante, c AS cons, np FROM pairs
+  UNION ALL
+  SELECT c AS ante, a AS cons, np FROM pairs)
+SELECT ante, cons, np AS n_pair, ia.ni AS n_ante, ic.ni AS n_cons,
+  CAST(round(CAST(np AS DOUBLE) * 1e6 / CAST(N AS DOUBLE)) AS BIGINT)
+    AS support_micro,
+  CAST(round(CAST(np AS DOUBLE) * 1e6 / CAST(ia.ni AS DOUBLE)) AS BIGINT)
+    AS confidence_micro,
+  CAST(round(CAST(N AS DOUBLE) * CAST(np AS DOUBLE)
+             / (CAST(ia.ni AS DOUBLE) * CAST(ic.ni AS DOUBLE)) * 1e6)
+       AS BIGINT) AS lift_micro
+FROM dirs
+JOIN items ia ON ia.i = dirs.ante
+JOIN items ic ON ic.i = dirs.cons
+CROSS JOIN nt
+""")
+def q303(spark, sf_dir):
+    """Association rules between event types co-occurring in the same
+    user's history: exact basket/item/pair counts, support/confidence/
+    lift as single fixed-order double expressions µ-snapped to
+    integers; apriori pruning before the pair join, both rule
+    directions emitted (confidence is asymmetric), basket total N
+    rides in-plan as a broadcast 1-row frame."""
+    from ultraviolet_spark.operators.funnel import association_rules
+
+    return association_rules(_t(spark, sf_dir, "events"),
+                             basket_col="user_id",
+                             item_col="event_type")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
