@@ -510,3 +510,80 @@ def holt_forecast_by_key(df: DataFrame, *, value_col: str,
         fold[0].alias("level_micro"),
         fold[1].alias("trend_micro"),
         (fold[0] + F.lit(h) * fold[1]).alias("fc_micro"))
+
+
+def holt_winters_by_key(df: DataFrame, *, value_col: str,
+                        order_cols: list[str], by: str,
+                        season_len: int, horizon: int = 1,
+                        micro: int = 1_000_000) -> DataFrame:
+    """Per-key Holt-Winters ADDITIVE triple-exponential smoothing
+    (level + trend + season, α = β = γ = 1/2) as an exact integer
+    fold over a (m+2)-long state vector — the forecaster for series
+    where Holt's trend is systematically wrong once a day/week cycle
+    dominates: on a pure 24-hour sawtooth Holt forecasts the MEAN
+    ramp while HW replays the cycle (pinned in tests).
+
+        init (classic, one full season):
+          l = (Σ first m values·micro) div m,  b = 0,
+          s_i = v_i·micro − l                       (i = 1..m)
+        step (oldest seasonal s⁻ consumed per observation):
+          l_t = (l + b + (v_t·micro − s⁻)) div 2
+          b_t = (b + (l_t − l)) div 2
+          s_t = ((v_t·micro − l_t) + s⁻) div 2      (appended)
+        forecast(h) = l_n + h·b_n + s_{n+h−m}
+
+    Same exactness contract as ``holt_forecast_by_key``: an integer
+    trunc-div recurrence over an explicitly ordered list is
+    bit-identical in every engine.  DuckDB 1.0's ``list_reduce`` has
+    no seed argument, so the oracle prepends the init state as the
+    FIRST element of the reduced list and pads every value element to
+    state width (the lambda reads v[1]); Spark uses ``F.aggregate``
+    with the explicit seed — identical trajectories.
+
+    Keys with n < ``season_len`` report NULL level/trend/season/
+    forecast (no full season to initialize from — a shorter init
+    would be a silently different model).
+
+    Scale: one partial-aggregated shuffle on ``by``; per-key history
+    in a collect_list, same decay-horizon advice as the EWMA/Holt
+    folds; the state is m+2 longs per key, O(1) per observation.
+
+    Output: (by, n, level_micro, trend_micro, season_micro,
+    fc_micro) where season_micro is the seasonal term the forecast
+    uses (s_{n+h−m}).
+    """
+    m_len = int(season_len)
+    h = int(horizon)
+    mcol = F.floor(F.col(value_col).cast("double") * micro).cast("long")
+    lst = F.sort_array(F.collect_list(F.struct(
+        *[F.col(c) for c in order_cols], mcol.alias("__m"))))
+    grouped = df.groupBy(by).agg(F.count("*").cast("long").alias("n"),
+                                 lst.alias("__l"))
+    vals = F.transform(F.col("__l"), lambda s: s["__m"])
+    head = F.slice(vals, 1, m_len)
+    sum_head = F.aggregate(head, F.lit(0).cast("long"),
+                           lambda a, v: a + v)
+    l0 = (sum_head / F.lit(float(m_len))).cast("long")
+    seas0 = F.transform(head, lambda v: v - l0)
+    state0 = F.concat(F.array(l0, F.lit(0).cast("long")), seas0)
+    rest = F.slice(vals, m_len + 1,
+                   F.greatest(F.size(vals) - m_len, F.lit(0)))
+
+    def step(acc, v):
+        l_new = ((acc[0] + acc[1] + (v - acc[2]))
+                 / F.lit(2.0)).cast("long")
+        b_new = ((acc[1] + (l_new - acc[0])) / F.lit(2.0)).cast("long")
+        s_new = (((v - l_new) + acc[2]) / F.lit(2.0)).cast("long")
+        return F.concat(F.array(l_new, b_new),
+                        F.slice(acc, 4, m_len - 1), F.array(s_new))
+
+    fold = F.aggregate(rest, state0, step)
+    si = 2 + ((h - 1) % m_len)          # 0-based seasonal index
+    ok = F.col("n") >= m_len
+    return grouped.select(
+        by, "n",
+        F.when(ok, fold[0]).alias("level_micro"),
+        F.when(ok, fold[1]).alias("trend_micro"),
+        F.when(ok, fold[si]).alias("season_micro"),
+        F.when(ok, fold[0] + F.lit(h) * fold[1] + fold[si])
+        .alias("fc_micro"))

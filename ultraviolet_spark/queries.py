@@ -12734,6 +12734,73 @@ def q303(spark, sf_dir):
                              item_col="event_type")
 
 
+def _q304_sql(m: int = 24, h: int = 3) -> str:
+    """Unrolled DuckDB replay of holt_winters_by_key (season m,
+    horizon h): DuckDB 1.0's list_reduce has no seed argument, so the
+    init state rides as the FIRST element of the reduced list and
+    every value element is padded to state width (the lambda reads
+    v[1]) — identical trajectory to Spark's seeded F.aggregate."""
+    zeros = ", ".join(["CAST(0 AS BIGINT)"] * (m + 1))
+    ln = "(a[1]+a[2]+(v[1]-a[3]))//2"
+    lam = (f"list_concat(list_concat([{ln}, (a[2]+({ln} - a[1]))//2], "
+           f"a[4:{m + 2}]), [((v[1]-{ln})+a[3])//2])")
+    si = 3 + ((h - 1) % m)
+    return f"""
+WITH hr AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS hh,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+l AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         list(c * 1000000 ORDER BY hh) AS ms
+  FROM hr GROUP BY k),
+s0 AS (
+  SELECT k, n, ms,
+         CAST(list_sum(ms[1:{m}]) // {m} AS BIGINT) AS l0
+  FROM l),
+st AS (
+  SELECT k, n, ms,
+         list_concat([l0, CAST(0 AS BIGINT)],
+                     list_transform(ms[1:{m}], v -> v - l0)) AS state0
+  FROM s0),
+seq AS (
+  SELECT k, n,
+         list_concat([state0],
+                     list_transform(ms[{m + 1}:],
+                                    v -> list_concat([v], [{zeros}])))
+           AS lst
+  FROM st),
+f AS (SELECT k, n, list_reduce(lst, (a, v) -> {lam}) AS s FROM seq)
+SELECT k AS event_type, n,
+  CASE WHEN n >= {m} THEN CAST(s[1] AS BIGINT) END AS level_micro,
+  CASE WHEN n >= {m} THEN CAST(s[2] AS BIGINT) END AS trend_micro,
+  CASE WHEN n >= {m} THEN CAST(s[{si}] AS BIGINT) END AS season_micro,
+  CASE WHEN n >= {m} THEN
+    CAST(s[1] + {h} * s[2] + s[{si}] AS BIGINT) END AS fc_micro
+FROM f
+"""
+
+
+@q("q304_holt_winters_hourly", _q304_sql())
+def q304(spark, sf_dir):
+    """Holt-Winters additive seasonal forecast of per-type hourly
+    event counts (season 24, horizon 3): the forecaster for series
+    where Holt's trend is systematically wrong once the daily cycle
+    dominates — level/trend/season integer trunc-div fold over the
+    explicitly ordered hourly history, classic one-full-season init,
+    bit-identical to the oracle's seed-as-first-element list_reduce
+    replay."""
+    from ultraviolet_spark.operators.windows import holt_winters_by_key
+
+    hr = (_t(spark, sf_dir, "events")
+          .groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("hh"))
+          .agg(F.count("*").cast("double").alias("c")))
+    return holt_winters_by_key(hr, value_col="c", order_cols=["hh"],
+                               by="event_type", season_len=24,
+                               horizon=3)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
