@@ -90,6 +90,8 @@ CROSS_OK = {
     "q296_spearman_rho",         # two 1-row value-bounds frames
     "q297_rfm_segments",         # 1-row corpus-max-ts + bin bounds frames
     "q298_poisson_regression",   # 1-row β frame per unrolled iteration
+    "q303_association_rules",    # 1-row basket-total-N frame
+    "q305_average_precision",    # 1-row score-bounds frame
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

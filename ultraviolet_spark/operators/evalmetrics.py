@@ -385,3 +385,122 @@ def isotonic_calibration(df: DataFrame, *, score_col: str,
                   / F.col("n").cast("double") * 1e6).cast("long")
     return (fit.withColumn("raw_micro", raw)
             .select("bin", "n", "pos", "raw_micro", "fit_micro"))
+
+
+def average_precision(df: DataFrame, *, score_col: str, label_col: str,
+                      id_col: str, n_buckets: int = 64) -> DataFrame:
+    """Average precision (the step-function PR-AUC) of an integer
+    score against a 0/1 label — the ranking metric that, unlike
+    ROC-AUC, collapses under class imbalance exactly when it should:
+    10 false positives above the last true hit barely move AUC on a
+    10⁶-negative corpus but halve the precision terms AP is made of.
+
+        AP = (1/n_pos) · Σ_{ranks k with a positive}  P@k
+
+    over the TOTAL order (score desc, id asc) — the explicit unique
+    tie-break the house ordering rule requires (permutation-averaged
+    tie handling would make the metric a float expectation; this is
+    the deterministic contract, documented).
+
+    Exactness: the global rank and the running positive count both
+    run the two-phase value-range bucket machinery (in-bucket
+    row_number / cumulative sum + broadcast per-bucket offsets — no
+    data-sized single-partition window); each positive's P@k =
+    round(cum_pos·10⁶ / k) is snapped to a µ-integer BEFORE the
+    cross-positive sum, so the total is an order-independent exact
+    integer and AP is one final double division.  n_pos = 0 reports
+    NULL, never 0/0.
+
+    Output one row: (n, n_pos, ap).
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    sm = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    base = (df.filter(sm.isNotNull() & y.isNotNull())
+            .select(F.col(id_col).alias("id"), (-sm).alias("k"),
+                    y.alias("y")))
+    bounds = base.agg(F.min("k").alias("__lo"), F.max("k").alias("__hi"))
+    b = (base.crossJoin(F.broadcast(bounds))
+         .withColumn("__b", F.expr(
+             f"(k - __lo) div ((__hi - __lo) div {B} + 1)")
+             .cast("int")))
+    w_in = Window.partitionBy("__b").orderBy("k", "id")
+    wf = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = (b.withColumn("__rn", F.row_number().over(w_in))
+         .withColumn("__cp", F.sum("y").over(wf)))
+    bc = b.groupBy("__b").agg(F.count("*").alias("__c"),
+                              F.sum("y").alias("__p"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding,
+                                              -1)
+    boff = bc.select(
+        "__b",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__noff"),
+        F.coalesce(F.sum("__p").over(w_off), F.lit(0)).alias("__poff"))
+    r = (r.join(F.broadcast(boff), "__b")
+         .withColumn("__rk", (F.col("__noff") + F.col("__rn"))
+                     .cast("long"))
+         .withColumn("__cpos", (F.col("__poff") + F.col("__cp"))
+                     .cast("long")))
+    term = F.round(F.col("__cpos").cast("double") * F.lit(1e6)
+                   / F.col("__rk").cast("double")).cast("long")
+    agg = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("y") == 1, term).otherwise(F.lit(0)))
+        .cast("decimal(38,0)").alias("__s"))
+    ap = F.when(F.col("n_pos") > 0,
+                F.round(F.col("__s").cast("double")
+                        / F.col("n_pos").cast("double") / F.lit(1e6), 6))
+    return agg.select("n", "n_pos", ap.alias("ap"))
+
+
+def confusion_report(df: DataFrame, *, pred_col: str,
+                     label_col: str) -> DataFrame:
+    """Binary-classification confusion matrix + the derived metrics
+    in one conditional-aggregation pass: accuracy, precision, recall,
+    F1 and Matthews correlation — MCC reported alongside because on
+    a 99 %-negative corpus accuracy 0.99 and F1 of the all-negative
+    classifier are vacuous while MCC is exactly 0 (pinned).
+
+    tp/fp/fn/tn are exact int64 counts; every metric is a fixed-order
+    double expression over them with each nullable denominator nulled
+    first (empty classes report NULL, never ±inf/0-div).  MCC's
+    four-factor denominator √((tp+fp)(tp+fn)(tn+fp)(tn+fn)) is
+    computed in DECIMAL(38,0) then one double sqrt — n⁴ crosses
+    int64 at n ≈ 2¹⁶ rows.
+
+    Output one row: (tp, fp, fn, tn, accuracy, precision_, recall,
+    f1, mcc) — precision_ spelled with the underscore because plain
+    ``precision`` is a reserved word in several engines.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")
+    nz = lambda den: F.when(den != 0, den)
+    p = F.col(pred_col).cast("boolean")
+    l = F.col(label_col).cast("boolean")
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    agg = (df.filter(p.isNotNull() & l.isNotNull())
+           .select(p.alias("__p"), l.alias("__l"))
+           .agg(cnt(F.col("__p") & F.col("__l")).alias("tp"),
+                cnt(F.col("__p") & ~F.col("__l")).alias("fp"),
+                cnt(~F.col("__p") & F.col("__l")).alias("fn"),
+                cnt(~F.col("__p") & ~F.col("__l")).alias("tn")))
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    acc = F.round((tp + tn) / nz(tp + fp + fn + tn), 6)
+    prec = F.round(tp / nz(tp + fp), 6)
+    rec = F.round(tp / nz(tp + fn), 6)
+    f1 = F.round(F.lit(2.0) * tp / nz(F.lit(2.0) * tp + fp + fn), 6)
+    mcc_num = (d38(F.col("tp")) * d38(F.col("tn"))
+               - d38(F.col("fp")) * d38(F.col("fn"))).cast("double")
+    mcc_den = F.sqrt(((d38(F.col("tp")) + d38(F.col("fp")))
+                      * (d38(F.col("tp")) + d38(F.col("fn")))
+                      * (d38(F.col("tn")) + d38(F.col("fp")))
+                      * (d38(F.col("tn")) + d38(F.col("fn"))))
+                     .cast("double"))
+    mcc = F.round(mcc_num / nz(mcc_den), 6)
+    return agg.select("tp", "fp", "fn", "tn",
+                      acc.alias("accuracy"), prec.alias("precision_"),
+                      rec.alias("recall"), f1.alias("f1"),
+                      mcc.alias("mcc"))

@@ -12801,6 +12801,109 @@ def q304(spark, sf_dir):
                                horizon=3)
 
 
+@q("q305_average_precision", """
+WITH s AS (
+  SELECT vec_id AS id,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS sc,
+         CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+  FROM embeddings),
+r AS (
+  SELECT y,
+         row_number() OVER (ORDER BY sc DESC, id) AS rk,
+         SUM(y) OVER (ORDER BY sc DESC, id
+                      ROWS UNBOUNDED PRECEDING) AS cp
+  FROM s),
+t AS (
+  SELECT y,
+         CAST(round(CAST(cp AS DOUBLE) * 1e6 / CAST(rk AS DOUBLE))
+              AS BIGINT) AS term
+  FROM r),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(CASE WHEN y = 1 THEN CAST(term AS HUGEINT) ELSE 0 END) AS s
+  FROM t)
+SELECT n, n_pos,
+  CASE WHEN n_pos > 0 THEN
+    round(CAST(s AS DOUBLE) / CAST(n_pos AS DOUBLE) / 1e6, 6)
+  END AS ap
+FROM a
+""")
+def q305(spark, sf_dir):
+    """Average precision (step-function PR-AUC) of the quantized
+    first embedding component against label==1 — q177's AUC twin for
+    the imbalance-sensitive view: P@k per positive snapped to a
+    µ-integer BEFORE the cross-positive sum (order-independent exact
+    total); global rank + running positive count via the two-phase
+    bucket machinery, tie-break by vec_id."""
+    from ultraviolet_spark.operators.evalmetrics import average_precision
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.floor(F.col("embedding").getItem(0).cast("double") * 1000000
+                + F.lit(0.5)).cast("long").alias("score"),
+        (F.col("label") == 1).cast("int").alias("is_pos"))
+    return average_precision(e, score_col="score", label_col="is_pos",
+                             id_col="vec_id")
+
+
+@q("q306_confusion_report", """
+WITH per AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+           AS p,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+           AS l
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN p AND l THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN p AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN NOT p AND l THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN NOT p AND NOT l THEN 1 ELSE 0 END) AS BIGINT)
+      AS tn
+  FROM per)
+SELECT tp, fp, fn, tn,
+  round((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+        / NULLIF(CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                 + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE), 0), 6)
+    AS accuracy,
+  round(CAST(tp AS DOUBLE)
+        / NULLIF(CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE), 0), 6)
+    AS precision_,
+  round(CAST(tp AS DOUBLE)
+        / NULLIF(CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE), 0), 6)
+    AS recall,
+  round(2.0 * CAST(tp AS DOUBLE)
+        / NULLIF(2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                 + CAST(fn AS DOUBLE), 0), 6) AS f1,
+  round(CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+             AS DOUBLE)
+        / NULLIF(sqrt(CAST((CAST(tp AS HUGEINT) + fp)
+                           * (CAST(tp AS HUGEINT) + fn)
+                           * (CAST(tn AS HUGEINT) + fp)
+                           * (CAST(tn AS HUGEINT) + fn) AS DOUBLE)),
+                 0), 6) AS mcc
+FROM agg
+""")
+def q306(spark, sf_dir):
+    """Confusion matrix + accuracy/precision/recall/F1/MCC for the
+    'clickers become purchasers' rule-classifier per user: exact
+    int64 counts from one conditional-aggregation pass, every metric
+    a fixed-order double with nulled denominators, MCC's four-factor
+    product in DECIMAL(38,0) before the one double sqrt."""
+    from ultraviolet_spark.operators.evalmetrics import confusion_report
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg((F.max(F.when(F.col("event_type") == "click", 1)
+                       .otherwise(0)) == 1).alias("p"),
+                (F.max(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)) == 1).alias("l")))
+    return confusion_report(per, pred_col="p", label_col="l")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
