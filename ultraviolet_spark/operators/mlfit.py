@@ -796,3 +796,107 @@ def poisreg_irls(df: DataFrame, *, x1_col, x2_col, count_expr: str,
         F.col("b1m").alias("beta1_micro"),
         F.col("b2m").alias("beta2_micro"),
         (F.col("det") == F.lit(0.0)).alias("singular"))
+
+
+def naive_bayes_classify(docs: DataFrame, *, id_col: str,
+                         label_col: str, text_col: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND scored in-engine — the
+    counts-based text classifier every corpus-curation pipeline
+    reaches for before anything gradient-shaped (fastText-style
+    quality/topic gates): P(c|d) ∝ P(c)·Π P(t|c)^count, with Laplace
+    smoothing over the corpus vocabulary.
+
+    Exactness: token counts, class totals N_c and vocabulary size V
+    are exact integers; every log goes through the µ-nat snap —
+    w_tc = round(10⁶·(ln(n_tc+1) − ln(N_c+V))), prior_c =
+    round(10⁶·(ln(n_c) − ln(N))) — so a document's class score
+    prior_c + Σ_t cnt_t·w_tc is exact INTEGER arithmetic
+    (order-independent; no float log-sum drift can flip an argmax).
+    The unseen-pair completion never materializes vocab×classes per
+    doc: tokens absent from class c share one per-class default
+    w0_c = −round(10⁶·ln(N_c+V)), so
+
+        score(d,c) = prior_c + T_d·w0_c + Σ_{observed (t,c)}
+                     cnt_t·(w_tc − w0_c)
+
+    with T_d the doc's in-vocabulary token count — ONE token-keyed
+    join against the observed (token, class) delta frame plus a
+    class-frame broadcast.  Tokens outside the training vocabulary
+    are dropped (the standard multinomial-NB convention).  Prediction
+    is argmax with ties to the SMALLEST class label (deterministic).
+
+    Lowercased whitespace tokens (the corpus-wide convention); empty
+    documents score prior-only and predict the majority class.
+
+    Scale: model is vocab×classes-bounded (broadcast); scoring is one
+    token-keyed shuffle + one (doc, class) partial agg + one
+    class-count-sized argmax window per doc.
+
+    Output: (id, label, pred, score_micro).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.col(label_col).alias("label"),
+                       toks.alias("__t"))
+    train = base.filter(F.col("label").isNotNull())
+    # observed (class, token) counts, class totals, vocabulary
+    ct = (train.select("label", F.explode("__t").alias("tok"))
+          .groupBy("label", "tok")
+          .agg(F.count("*").cast("long").alias("__ntc")))
+    totals = ct.groupBy("label").agg(F.sum("__ntc").alias("__Nc"))
+    vocab = ct.select("tok").distinct()
+    v_n = vocab.agg(F.count("*").cast("long").alias("__V"))
+    n_docs = train.agg(F.count("*").cast("long").alias("__N"))
+    classes = (train.groupBy("label")
+               .agg(F.count("*").cast("long").alias("__cdocs"))
+               .join(totals, "label")
+               .crossJoin(F.broadcast(v_n))
+               .crossJoin(F.broadcast(n_docs)))
+    w0 = (-F.round(F.lit(1e6) * F.log(
+        (F.col("__Nc") + F.col("__V")).cast("double")))).cast("long")
+    prior = F.round(F.lit(1e6) * (
+        F.log(F.col("__cdocs").cast("double"))
+        - F.log(F.col("__N").cast("double")))).cast("long")
+    cls = classes.select("label", w0.alias("__w0"),
+                         prior.alias("__prior"))
+    wtc = F.round(F.lit(1e6) * (
+        F.log((F.col("__ntc") + 1).cast("double"))
+        - F.log((F.col("__Nc") + F.col("__V")).cast("double"))
+    )).cast("long")
+    # snap w_tc BEFORE joining the class frame — cls shares the
+    # totals lineage, and resolving __Nc after that self-join is
+    # ambiguous
+    mdl0 = (ct.join(totals, "label")
+            .crossJoin(F.broadcast(v_n))
+            .select("label", "tok", wtc.alias("__wtc")))
+    model = (mdl0.join(F.broadcast(cls.select("label", "__w0")), "label")
+             .select(F.col("label").alias("__c"), "tok",
+                     (F.col("__wtc") - F.col("__w0")).alias("__delta")))
+    # per-doc token counts, restricted to the training vocabulary
+    dt = (base.select("id", F.explode("__t").alias("tok"))
+          .join(vocab, "tok")
+          .groupBy("id", "tok")
+          .agg(F.count("*").cast("long").alias("__cnt")))
+    td = dt.groupBy("id").agg(F.sum("__cnt").cast("long").alias("__Td"))
+    obs = (dt.join(model, "tok")
+           .groupBy("id", "__c")
+           .agg(F.sum(F.col("__cnt") * F.col("__delta")).cast("long")
+                .alias("__obs")))
+    scored = (base.select("id", "label")
+              .join(td, "id", "left")
+              .crossJoin(F.broadcast(cls.withColumnRenamed("label",
+                                                           "__c")))
+              .join(obs, ["id", "__c"], "left")
+              .withColumn(
+                  "__score",
+                  F.col("__prior")
+                  + F.coalesce(F.col("__Td"), F.lit(0)) * F.col("__w0")
+                  + F.coalesce(F.col("__obs"), F.lit(0))))
+    w = Window.partitionBy("id").orderBy(F.desc("__score"), F.asc("__c"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "label", F.col("__c").alias("pred"),
+                    F.col("__score").alias("score_micro")))

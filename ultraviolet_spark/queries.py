@@ -12904,6 +12904,77 @@ def q306(spark, sf_dir):
     return confusion_report(per, pred_col="p", label_col="l")
 
 
+@q("q307_naive_bayes_lang", """
+WITH base AS (
+  SELECT doc_id AS id, lang AS label,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT id, label, unnest(toks) AS tok FROM base),
+ct AS (
+  SELECT label, tok, CAST(COUNT(*) AS BIGINT) AS ntc
+  FROM tok WHERE label IS NOT NULL GROUP BY label, tok),
+tot AS (SELECT label, CAST(SUM(ntc) AS BIGINT) AS nc_toks
+        FROM ct GROUP BY label),
+voc AS (SELECT DISTINCT tok FROM ct),
+vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS V FROM voc),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS N
+       FROM base WHERE label IS NOT NULL),
+cn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nc
+       FROM base WHERE label IS NOT NULL GROUP BY label),
+cls AS (
+  SELECT cn.label,
+         CAST(-round(1e6 * ln(CAST(tot.nc_toks + vn.V AS DOUBLE)))
+              AS BIGINT) AS w0,
+         CAST(round(1e6 * (ln(CAST(cn.nc AS DOUBLE))
+                           - ln(CAST(nd.N AS DOUBLE)))) AS BIGINT)
+           AS prior
+  FROM cn JOIN tot ON tot.label = cn.label CROSS JOIN vn CROSS JOIN nd),
+model AS (
+  SELECT ct.label AS c, ct.tok,
+         CAST(round(1e6 * (ln(CAST(ct.ntc + 1 AS DOUBLE))
+                           - ln(CAST(tot.nc_toks + vn.V AS DOUBLE))))
+              AS BIGINT) - cls.w0 AS delta
+  FROM ct JOIN tot ON tot.label = ct.label CROSS JOIN vn
+  JOIN cls ON cls.label = ct.label),
+dt AS (
+  SELECT s.id, s.tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT id, unnest(toks) AS tok FROM base) s
+  JOIN voc USING (tok) GROUP BY s.id, s.tok),
+td AS (SELECT id, CAST(SUM(cnt) AS BIGINT) AS Td FROM dt GROUP BY id),
+obs AS (
+  SELECT dt.id, m.c, CAST(SUM(dt.cnt * m.delta) AS BIGINT) AS o
+  FROM dt JOIN model m ON m.tok = dt.tok GROUP BY dt.id, m.c),
+sc AS (
+  SELECT b.id, b.label, cls.label AS c,
+         cls.prior + COALESCE(td.Td, 0) * cls.w0 + COALESCE(obs.o, 0)
+           AS score
+  FROM (SELECT id, label FROM base) b
+  LEFT JOIN td ON td.id = b.id
+  CROSS JOIN cls
+  LEFT JOIN obs ON obs.id = b.id AND obs.c = cls.label)
+SELECT id, label, c AS pred, CAST(score AS BIGINT) AS score_micro
+FROM (SELECT *, row_number() OVER (PARTITION BY id
+                                   ORDER BY score DESC, c ASC) AS rn
+      FROM sc)
+WHERE rn = 1
+""")
+def q307(spark, sf_dir):
+    """Multinomial Naive Bayes trained and scored in-engine on the
+    documents table (label = lang): Laplace-smoothed µ-nat weights
+    snapped per (class, token) so every document score is exact
+    integer arithmetic — no float log-sum drift can flip an argmax;
+    the unseen-pair completion rides a per-class default weight
+    (score = prior + T_d·w0 + Σ observed deltas), never a
+    vocab×classes per-doc frame."""
+    from ultraviolet_spark.operators.mlfit import naive_bayes_classify
+
+    return naive_bayes_classify(_t(spark, sf_dir, "documents"),
+                                id_col="doc_id", label_col="lang",
+                                text_col="text")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
