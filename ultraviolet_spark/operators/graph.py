@@ -556,3 +556,92 @@ def link_prediction(edges: DataFrame, *, src: str = "src",
             .select("u", "v", "cn", "aa_micro",
                     F.coalesce(F.col("__e"), F.lit(False))
                     .alias("is_edge")))
+
+
+def harmonic_centrality(edges: DataFrame, *, radius: int,
+                        src: str = "src", dst: str = "dst") -> DataFrame:
+    """Bounded-radius harmonic centrality — the distance view the
+    degree/PageRank/component operators don't give: H_R(u) =
+    Σ_{v: 0<dist(u,v)≤R} 1/dist(u,v), the centrality that handles
+    disconnected graphs where closeness centrality breaks (unreachable
+    nodes contribute 0, not ∞).
+
+    Exact multi-source BFS by unrolled rounds: frontier_d holds the
+    pairs at EXACTLY distance d (next frontier = neighbors of the
+    current one, anti-joined against everything already reached);
+    each distance class contributes the µ-integer round(10⁶/d) per
+    reached node, so h_micro = Σ_d n_d·round(10⁶/d) is exact integer
+    arithmetic — order-independent, engine-exact.
+
+    Scale notes: the state is the reached-pair set — O(Σ_u |N_R(u)|),
+    the standard ball-growth cost of any exact distance sweep; keep
+    ``radius`` small (2–4, the local-centrality regime) on dense
+    graphs.  Per round one keyed join + one distinct + one anti-join,
+    lineage truncated with lazy localCheckpoint.
+
+    Returns ``(node, n_reached, h_micro)``.
+    """
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v")))
+    und = und.union(und.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))).distinct()
+    frontier = und                      # pairs at distance exactly 1
+    reached = und                       # all pairs with dist ≤ current
+    per_d = [frontier.groupBy("u").agg(
+        F.count("*").cast("long").alias("__n"))
+        .withColumn("__w", F.lit(round(1e6 / 1)).cast("long"))]
+    for d in range(2, int(radius) + 1):
+        nxt = (frontier.join(und.select(F.col("u").alias("v"),
+                                        F.col("v").alias("w")), "v")
+               .select("u", F.col("w").alias("v"))
+               .filter(F.col("u") != F.col("v"))
+               .distinct()
+               .join(reached, ["u", "v"], "left_anti")
+               .localCheckpoint(eager=False))
+        reached = reached.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+        per_d.append(frontier.groupBy("u").agg(
+            F.count("*").cast("long").alias("__n"))
+            .withColumn("__w", F.lit(round(1e6 / d)).cast("long")))
+    from functools import reduce
+    stacked = reduce(lambda a, b: a.union(b), per_d)
+    return (stacked.groupBy(F.col("u").alias("node"))
+            .agg(F.sum("__n").cast("long").alias("n_reached"),
+                 F.sum(F.col("__n") * F.col("__w")).cast("long")
+                 .alias("h_micro")))
+
+
+def harmonic_centrality_oracle_sql(edges_sql: str, *,
+                                   radius: int) -> str:
+    """Unrolled-SQL replay of :func:`harmonic_centrality`: identical
+    symmetrize → per-distance frontier (anti-join against reached) →
+    weighted count rounds as MATERIALIZED CTEs."""
+    parts = [
+        f"raw AS MATERIALIZED ({edges_sql})",
+        "und AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM raw WHERE src <> dst "
+        "UNION SELECT dst, src FROM raw WHERE src <> dst))",
+        "f1 AS MATERIALIZED (SELECT u, v FROM und)",
+        "r1 AS MATERIALIZED (SELECT u, v FROM und)"]
+    counts = [f"SELECT u, CAST(COUNT(*) AS BIGINT) AS n, "
+              f"CAST({round(1e6 / 1)} AS BIGINT) AS w FROM f1 GROUP BY u"]
+    prev_f, prev_r = "f1", "r1"
+    for d in range(2, int(radius) + 1):
+        parts.append(
+            f"f{d} AS MATERIALIZED (SELECT DISTINCT f.u, e.v "
+            f"FROM {prev_f} f JOIN und e ON e.u = f.v "
+            f"WHERE f.u <> e.v AND NOT EXISTS "
+            f"(SELECT 1 FROM {prev_r} r WHERE r.u = f.u AND r.v = e.v))")
+        parts.append(
+            f"r{d} AS MATERIALIZED (SELECT u, v FROM {prev_r} "
+            f"UNION ALL SELECT u, v FROM f{d})")
+        counts.append(
+            f"SELECT u, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST({round(1e6 / d)} AS BIGINT) AS w "
+            f"FROM f{d} GROUP BY u")
+        prev_f, prev_r = f"f{d}", f"r{d}"
+    stacked = " UNION ALL ".join(counts)
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT u AS node, CAST(SUM(n) AS BIGINT) AS n_reached, "
+            f"CAST(SUM(n * w) AS BIGINT) AS h_micro "
+            f"FROM ({stacked}) GROUP BY u")

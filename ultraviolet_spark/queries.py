@@ -12975,6 +12975,36 @@ def q307(spark, sf_dir):
                                 text_col="text")
 
 
+def _q308_sql() -> str:
+    from ultraviolet_spark.operators.graph import (
+        harmonic_centrality_oracle_sql,
+    )
+    return harmonic_centrality_oracle_sql(
+        "SELECT DISTINCT doc_id % 101 AS src, "
+        "(doc_id * 7 + 3) % 101 AS dst FROM documents "
+        "UNION "
+        "SELECT doc_id % 101, (doc_id * 13 + 5) % 101 FROM documents",
+        radius=3)
+
+
+@q("q308_harmonic_centrality", _q308_sql())
+def q308(spark, sf_dir):
+    """Radius-3 harmonic centrality over the q96 domain graph: exact
+    multi-source BFS by unrolled per-distance frontiers (anti-joined
+    against everything reached), each distance class contributing the
+    µ-integer round(10⁶/d) per reached node — the distance centrality
+    that stays finite on disconnected graphs where closeness breaks."""
+    from ultraviolet_spark.operators.graph import harmonic_centrality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+         .union(d.select((F.col("doc_id") % 101).alias("src"),
+                         ((F.col("doc_id") * 13 + 5) % 101).alias("dst")))
+         .distinct())
+    return harmonic_centrality(e, radius=3)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
