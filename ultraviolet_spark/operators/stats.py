@@ -2013,3 +2013,67 @@ def anova_oneway(df: DataFrame, *, value_col: str,
         F.round(ssb / F.lit(1e6), 6).alias("ss_between"),
         F.round(ssw / F.lit(1e6), 6).alias("ss_within"),
         fstat.alias("f"), eta2.alias("eta2"))
+
+
+def theil_sen_by_key(df: DataFrame, *, x_col: str, y_col: str,
+                     by: str) -> DataFrame:
+    """Per-key Theil–Sen robust slope — the trend estimator
+    ``ols_trend_by_key`` isn't: the median of all pairwise slopes has
+    a 29.3 % breakdown point, so a burst of outlier observations that
+    drags the OLS line (pinned in tests) leaves the Theil–Sen slope
+    on the inlier trend.
+
+    Exactness: x and y micro-snap to int64; each pair (i, j) with
+    x_i < x_j contributes slope_micro = round((y_j−y_i)·10⁶ /
+    (x_j−x_i)) — a fixed-order double over exact integers, snapped
+    per pair; the per-key MEDIAN of those integers is exact order
+    statistics (even count → truncating mean of the two middles,
+    documented), and slope ties need no tie-break because the k-th
+    VALUE is order-invariant under ties.  Same-x pairs are excluded
+    (the textbook convention — their slope is undefined).
+
+    Scale notes: pairs come from one keyed self-join — O(n²) per key
+    BY DESIGN (that is the estimator); bound per-key n upstream
+    (recent-window cap) exactly as for the fold operators.  One
+    shuffle for the self-join, one key-sized median window.
+
+    Output per key: (by, n, n_pairs, slope_micro); keys with no
+    valid pair (n < 2 or all x equal) report NULL slope.
+    """
+    from pyspark.sql import Window
+
+    xm = F.round(F.col(x_col).cast("double") * 1e6).cast("long")
+    ym = F.round(F.col(y_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(xm.isNotNull() & ym.isNotNull())
+            .select(F.col(by).alias("__k"), xm.alias("__x"),
+                    ym.alias("__y")))
+    n_per = base.groupBy("__k").agg(F.count("*").cast("long").alias("n"))
+    l = base.select("__k", F.col("__x").alias("__xa"),
+                    F.col("__y").alias("__ya"))
+    r = base.select("__k", F.col("__x").alias("__xb"),
+                    F.col("__y").alias("__yb"))
+    pairs = (l.join(r, "__k")
+             .filter(F.col("__xa") < F.col("__xb"))
+             .select("__k", F.round(
+                 (F.col("__yb") - F.col("__ya")).cast("double")
+                 * F.lit(1e6)
+                 / (F.col("__xb") - F.col("__xa")).cast("double"))
+                 .cast("long").alias("__s")))
+    w = Window.partitionBy("__k").orderBy("__s")
+    ranked = (pairs.withColumn("__rn", F.row_number().over(w))
+              .withColumn("__np", F.count("*").over(
+                  Window.partitionBy("__k"))))
+    k1 = F.expr("(__np + 1) div 2")
+    k2 = F.expr("(__np + 2) div 2")
+    med = (ranked.filter((F.col("__rn") == k1) | (F.col("__rn") == k2))
+           .groupBy("__k")
+           .agg(F.max("__np").cast("long").alias("n_pairs"),
+                # one middle selected twice when np is odd → sum/cnt
+                # still lands on it; even np averages the two middles
+                (F.sum("__s") / F.count("*")).cast("long")
+                .alias("slope_micro")))
+    return (n_per.join(med, "__k", "left")
+            .select(F.col("__k").alias(by), "n",
+                    F.coalesce("n_pairs", F.lit(0).cast("long"))
+                    .alias("n_pairs"),
+                    F.col("slope_micro")))

@@ -13005,6 +13005,52 @@ def q308(spark, sf_dir):
     return harmonic_centrality(e, radius=3)
 
 
+@q("q309_theil_sen_trend", """
+WITH base AS (
+  SELECT user_id AS k,
+         CAST(round(epoch_us(ts) / 3.6e9 * 1e6) AS BIGINT) AS x,
+         CAST(round(value * 1e6) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+np AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY k),
+pairs AS (
+  SELECT l.k,
+         CAST(round(CAST(r.y - l.y AS DOUBLE) * 1e6
+                    / CAST(r.x - l.x AS DOUBLE)) AS BIGINT) AS s
+  FROM base l JOIN base r ON l.k = r.k AND l.x < r.x),
+ranked AS (
+  SELECT k, s, row_number() OVER (PARTITION BY k ORDER BY s) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS cnt
+  FROM pairs),
+med AS (
+  SELECT k, CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+         -- // (trunc toward zero, verified -3//2 = -1) mirrors
+         -- Spark's double-div-then-cast; CAST(DOUBLE AS BIGINT)
+         -- would ROUND in DuckDB and land one off at negative .5
+         CAST(SUM(s) // COUNT(*) AS BIGINT) AS slope_micro
+  FROM ranked
+  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+  GROUP BY k)
+SELECT np.k AS user_id, np.n,
+       COALESCE(med.n_pairs, 0) AS n_pairs, med.slope_micro
+FROM np LEFT JOIN med ON med.k = np.k
+""")
+def q309(spark, sf_dir):
+    """Per-user Theil–Sen robust purchase-value trend (µ-value per
+    hour): the median of pairwise slopes with its 29.3 % breakdown
+    point — a wild outlier purchase that drags OLS leaves the
+    Theil–Sen slope on the inlier trend; per-pair snapped slopes,
+    exact order-statistic median, same-x pairs excluded."""
+    from ultraviolet_spark.operators.stats import theil_sen_by_key
+
+    p = (_t(spark, sf_dir, "events")
+         .filter((F.col("event_type") == "purchase")
+                 & F.col("value").isNotNull())
+         .select("user_id",
+                 (F.unix_micros(F.col("ts").cast("timestamp"))
+                  / F.lit(3.6e9)).alias("xh"), "value"))
+    return theil_sen_by_key(p, x_col="xh", y_col="value", by="user_id")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
