@@ -62,24 +62,60 @@ class Snapshot:
     # extra df.observe aggregates captured in-flight during the write
     # (same single pass as the row count) — {metric_name: float}
     observed: dict | None = None
+    # StructType JSON for text data formats (csv/json carry no schema
+    # of their own; parquet/orc leave this None)
+    schema_json: str | None = None
 
 
 class ParquetSnapshotFormat:
     """Columnar data + JSON snapshot log with Iceberg-like resume
-    semantics.  ``data_format`` selects the columnar file format for
-    the data files — ``parquet`` (default) or ``orc`` (both ship with
-    Spark, both expose the ``_metadata.file_path`` hidden column the
-    per-file lineage relies on, and both carry footer statistics for
-    scan pruning); the snapshot/lineage bookkeeping is format-
-    independent, so checkpoint/resume semantics are identical."""
+    semantics.  ``data_format`` selects the file format for
+    the data files — columnar ``parquet`` (default) / ``orc`` (both
+    ship with Spark, expose the ``_metadata.file_path`` hidden column
+    the per-file lineage relies on, and carry footer statistics for
+    scan pruning), or the text interchange formats ``csv`` / ``json``
+    (schema stored in the snapshot log and applied on every read,
+    microsecond timestamp format and a NULL sentinel pinned —
+    without them CSV reads "" as NULL and both formats truncate
+    timestamps to milliseconds).  The snapshot/lineage bookkeeping is
+    format-independent, so checkpoint/resume semantics are
+    identical."""
+
+    #: text formats carry no schema/type information of their own —
+    #: the writer stores ``df.schema.json()`` in the snapshot log and
+    #: every reader applies it, plus pinned options for microsecond
+    #: timestamps and a NULL sentinel (CSV's empty-string/NULL
+    #: ambiguity).  CSV rejects nested types (Spark raises natively).
+    TEXT_FORMATS = ("csv", "json")
+    #: microsecond-precision timestamp round-trip for text formats
+    #: (the built-in default stops at milliseconds)
+    TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
     def __init__(self, root: str, data_format: str = "parquet"):
-        if data_format not in ("parquet", "orc"):
+        if data_format not in ("parquet", "orc", "csv", "json"):
             raise ValueError(
                 f"unsupported data_format: {data_format!r} "
-                "(parquet or orc)")
+                "(parquet, orc, csv or json)")
         self.root = root
         self.data_format = data_format
+
+    # -- format-aware IO helpers ---------------------------------------
+    def _text_options(self, rw):
+        rw = (rw.option("timestampNTZFormat", self.TS_FMT)
+              .option("timestampFormat", self.TS_FMT))
+        if self.data_format == "csv":
+            rw = rw.option("header", "true").option("nullValue", "\\N")
+        return rw
+
+    def _load(self, spark: SparkSession, path: str,
+              schema_json: str | None) -> DataFrame:
+        r = spark.read.format(self.data_format)
+        if self.data_format in self.TEXT_FORMATS:
+            r = self._text_options(r)
+            if schema_json:
+                from pyspark.sql.types import StructType
+                r = r.schema(StructType.fromJson(json.loads(schema_json)))
+        return r.load(path)
 
     # -- paths ----------------------------------------------------------
     def _tdir(self, table: str) -> str:
@@ -130,7 +166,12 @@ class ParquetSnapshotFormat:
                 raise ValueError("'rows' is reserved (always observed)")
             aggs.append(col.alias(mname))
         df = df.observe(obs, *aggs)
-        df.write.mode("overwrite").format(self.data_format).save(path)
+        schema_json = (df.schema.json()
+                       if self.data_format in self.TEXT_FORMATS else None)
+        w = df.write.mode("overwrite").format(self.data_format)
+        if self.data_format in self.TEXT_FORMATS:
+            w = self._text_options(w)
+        w.save(path)
         got = obs.get
         n_rows = int(got["rows"])
         observed = {k: (None if got[k] is None else float(got[k]))
@@ -145,7 +186,7 @@ class ParquetSnapshotFormat:
             if f.endswith(f".{self.data_format}")
         }
         lineage = (
-            spark.read.format(self.data_format).load(path)
+            self._load(spark, path, schema_json)
             .groupBy(F.col("_metadata.file_path").alias("file_path"))
             .agg(F.count(F.lit(1)).alias("rows"))
             .withColumn("stage", F.lit(stage))
@@ -160,6 +201,7 @@ class ParquetSnapshotFormat:
             snapshot_id=sid, table=table, stage=stage, inputs_fp=inputs_fp,
             n_rows=n_rows, n_files=len(files), bytes=sum(files.values()),
             created_utc=t0, path=path, observed=observed or None,
+            schema_json=schema_json,
         )
         os.makedirs(self._snapdir(table), exist_ok=True)
         tmp = os.path.join(self._snapdir(table), f"{sid:06d}.json.tmp")
@@ -175,7 +217,7 @@ class ParquetSnapshotFormat:
             raise FileNotFoundError(f"no snapshots for table {table}")
         snap = snaps[-1] if snapshot_id is None else next(
             s for s in snaps if s.snapshot_id == snapshot_id)
-        return spark.read.format(self.data_format).load(snap.path)
+        return self._load(spark, snap.path, snap.schema_json)
 
     def lineage(self, spark: SparkSession, table: str,
                 snapshot_id: int | None = None) -> DataFrame:
@@ -196,7 +238,8 @@ class ParquetSnapshotFormat:
         warehouse: (table, snapshot_id, stage, inputs_fp, n_rows,
         n_files, bytes, created_utc) — the per-run roll-up the snapshot
         log already records, surfaced as a DataFrame."""
-        rows = [{k: v for k, v in s.__dict__.items() if k != "observed"}
+        rows = [{k: v for k, v in s.__dict__.items()
+                 if k not in ("observed", "schema_json")}
                 for t in self.tables() for s in self.snapshots(t)]
         schema = ("snapshot_id long, table string, stage string, "
                   "inputs_fp string, n_rows long, n_files long, "
@@ -241,7 +284,7 @@ class ParquetSnapshotFormat:
         if not snaps:
             raise FileNotFoundError(f"no snapshots for table {table}")
         latest = snaps[-1]
-        df = (spark.read.format(self.data_format).load(latest.path)
+        df = (self._load(spark, latest.path, latest.schema_json)
               .repartition(target_files))
         return self.write(
             df, table,

@@ -13051,6 +13051,71 @@ def q309(spark, sf_dir):
     return theil_sen_by_key(p, x_col="xh", y_col="value", by="user_id")
 
 
+@q("q310_csv_snapshot_roundtrip", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro,
+       CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us
+FROM events
+GROUP BY event_type
+""")
+def q310(spark, sf_dir):
+    """CSV source/sink through the snapshot store (same snapshot log /
+    lineage / resume as parquet, ``data_format='csv'``): schema stored
+    in the snapshot log and applied on read, microsecond timestamp
+    format and NULL sentinel pinned; the oracle aggregates the
+    original parquet, so CSV write+read fidelity for
+    longs/doubles/strings/timestamps — including the µs-sum — is
+    what's on the hook."""
+    import tempfile
+
+    from ultraviolet_spark.plans.snapshots import ParquetSnapshotFormat
+
+    ev = _t(spark, sf_dir, "events")
+    store = ParquetSnapshotFormat(tempfile.mkdtemp(prefix="uv_q310_"),
+                                  data_format="csv")
+    store.write(ev, "events_csv", stage="q310", inputs_fp="q310")
+    back = store.read(spark, "events_csv")
+    return (back.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.round(F.col("value") * 1e6).cast("long"))
+                 .cast("long").alias("sum_value_micro"),
+                 F.sum(F.unix_micros(F.col("ts").cast("timestamp")))
+                 .cast("long").alias("sum_ts_us")))
+
+
+@q("q311_json_snapshot_roundtrip", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro,
+       CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us
+FROM events
+GROUP BY event_type
+""")
+def q311(spark, sf_dir):
+    """JSON-lines source/sink through the snapshot store
+    (``data_format='json'``): same stored-schema read, µs timestamp
+    format; unlike CSV, JSON keeps NULL vs empty string distinct
+    (pinned in tests); oracle aggregates the original parquet."""
+    import tempfile
+
+    from ultraviolet_spark.plans.snapshots import ParquetSnapshotFormat
+
+    ev = _t(spark, sf_dir, "events")
+    store = ParquetSnapshotFormat(tempfile.mkdtemp(prefix="uv_q311_"),
+                                  data_format="json")
+    store.write(ev, "events_json", stage="q311", inputs_fp="q311")
+    back = store.read(spark, "events_json")
+    return (back.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.round(F.col("value") * 1e6).cast("long"))
+                 .cast("long").alias("sum_value_micro"),
+                 F.sum(F.unix_micros(F.col("ts").cast("timestamp")))
+                 .cast("long").alias("sum_ts_us")))
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
