@@ -587,3 +587,108 @@ def holt_winters_by_key(df: DataFrame, *, value_col: str,
         F.when(ok, fold[si]).alias("season_micro"),
         F.when(ok, fold[0] + F.lit(h) * fold[1] + fold[si])
         .alias("fc_micro"))
+
+
+def kleinberg_bursts(df: DataFrame, *, ts_col: str, by: str,
+                     s_mult: int = 2,
+                     gamma_micro: int = 1_000_000) -> DataFrame:
+    """Kleinberg's two-state burst detector (Kleinberg 2002) per key,
+    as an exact integer Viterbi fold WITH in-plan backtracking — the
+    interval answer the threshold detectors here can't give: CUSUM
+    says "the rate shifted somewhere", seasonal_anomalies flags single
+    points; this labels every inter-event gap as base or burst by the
+    globally optimal two-state path, so a run of slightly-short gaps
+    is one burst rather than zero anomalies.
+
+    Model: exponential gap emissions at base rate α₀ = 1/ḡ and burst
+    rate α₁ = s·α₀; entering a burst costs γ·ln(n+1), leaving is
+    free.  Everything is µ-nat snapped per observation BEFORE the
+    fold — emission costs e_j(g) = round(10⁶·(α_j·g − ln α_j)), the
+    entry cost likewise — so the whole Viterbi trajectory (costs,
+    argmin decisions, the backtracked path) is exact integer
+    arithmetic, bit-identical in every engine; cost ties prefer the
+    BASE state (and staying in burst over re-entering), pinned.
+
+    Two folds per key, both over in-plan arrays: the forward pass
+    carries [c₀, c₁, decisions...] (decisions packed 2 bits/step),
+    the backward pass walks the reversed decisions from the cheaper
+    final state.  DuckDB replays both with the seed-as-first-element
+    list_reduce trick.  Keys with < 2 events emit nothing (no gap to
+    label); an all-equal-timestamp key gets ḡ clamped to 1 µs rather
+    than a 0-division.
+
+    Scale: one partial-aggregated shuffle on ``by``; per-key history
+    rides a collect_list (same bounded-history advice as the other
+    fold operators); the explode returns one row per gap.
+
+    Output: (by, pos, gap_us, burst) — pos is the 1-based gap index
+    (gap t spans events t..t+1), burst ∈ {0, 1}.
+    """
+    INF = 1 << 60
+    s = int(s_mult)
+    g_dbl = float(gamma_micro) / 1e6
+    tsm = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lst = F.sort_array(F.collect_list(tsm))
+    grouped = df.groupBy(by).agg(lst.alias("__ts"))
+    n_ts = F.size(F.col("__ts"))
+    gaps = F.zip_with(
+        F.slice(F.col("__ts"), 2, F.greatest(n_ts - 1, F.lit(0))),
+        F.slice(F.col("__ts"), 1, F.greatest(n_ts - 1, F.lit(0))),
+        lambda a, b: a - b)
+    g = grouped.filter(n_ts >= 2).select(by, gaps.alias("__g"))
+    n_g = F.size(F.col("__g"))
+    mean = F.greatest(F.expr("aggregate(__g, 0L, (a, v) -> a + v) div "
+                             "size(__g)"), F.lit(1).cast("long"))
+    g = g.select(by, "__g", mean.alias("__m"), n_g.alias("__n"))
+    md = F.col("__m").cast("double")
+    pairs = F.transform(
+        F.col("__g"),
+        lambda gp: F.array(
+            F.round(F.lit(1e6) * (gp.cast("double") / md + F.log(md)))
+            .cast("long"),
+            F.round(F.lit(1e6) * (F.lit(float(s)) * gp.cast("double")
+                                  / md + F.log(md)
+                                  - F.log(F.lit(float(s)))))
+            .cast("long")))
+    enter_cost = F.round(
+        F.lit(1e6 * g_dbl)
+        * F.log((F.col("__n") + 1).cast("double"))).cast("long")
+    g = g.select(by, "__g", "__n", pairs.alias("__e"),
+                 enter_cost.alias("__T"))
+
+    def step(acc, v):
+        c0, c1 = acc[0], acc[1]
+        enter = c0 + F.col("__T")
+        c0n = v[0] + F.least(c0, c1)
+        c1n = v[1] + F.least(c1, enter)
+        d0 = F.when(c0 <= c1, F.lit(0)).otherwise(F.lit(1)).cast("long")
+        d1 = F.when(c1 <= enter, F.lit(1)).otherwise(F.lit(0)) \
+            .cast("long")
+        return F.concat(
+            F.array(c0n, c1n),
+            F.slice(acc, 3, F.greatest(F.size(acc) - 2, F.lit(0))),
+            F.array(d0 + F.lit(2) * d1))
+
+    seed = F.array(F.lit(0).cast("long"), F.lit(INF).cast("long"))
+    fwd = F.aggregate(F.col("__e"), seed, step)
+    g = g.select(by, "__g", "__n", fwd.alias("__f"))
+    jstar = F.when(F.col("__f")[1] < F.col("__f")[0],
+                   F.lit(1)).otherwise(F.lit(0)).cast("long")
+    # decisions d_1..d_n sit at positions 3..n+2; backtrack consumes
+    # d_n..d_2 (d_1's predecessor is the forced base-state seed)
+    decs_rev = F.reverse(F.slice(
+        F.col("__f"), 4, F.greatest(F.col("__n") - 1, F.lit(0))))
+    back = F.aggregate(
+        decs_rev, F.array(jstar),
+        lambda acc, d: F.concat(acc, F.array(
+            F.when(F.element_at(acc, -1) == 0, d % 2)
+            .otherwise(F.floor(d / 2).cast("long") % 2).cast("long"))))
+    states = F.reverse(back)
+    zipped = F.zip_with(F.col("__g"), states,
+                        lambda gp, st: F.struct(gp.alias("g"),
+                                                st.alias("s")))
+    ex = g.select(by, zipped.alias("__z")).select(by, F.posexplode("__z"))
+    return ex.select(
+        by, (F.col("pos") + 1).cast("long").alias("pos"),
+        F.col("col").getField("g").alias("gap_us"),
+        F.col("col").getField("s").cast("int").alias("burst"))

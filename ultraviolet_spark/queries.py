@@ -13116,6 +13116,63 @@ def q311(spark, sf_dir):
                  .cast("long").alias("sum_ts_us")))
 
 
+@q("q312_kleinberg_bursts", """
+WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS t FROM events),
+l AS (SELECT k, list(t ORDER BY t) AS ts
+      FROM ev GROUP BY k HAVING COUNT(*) >= 2),
+gp AS (SELECT k, list_transform(ts[2:], (x, i) -> x - ts[i]) AS g
+       FROM l),
+mm AS (SELECT k, g, len(g) AS n,
+              greatest(list_sum(g) // len(g), 1) AS m FROM gp),
+em AS (SELECT k, g, n,
+  CAST(round(1e6 * 1.0 * ln(CAST(n + 1 AS DOUBLE))) AS BIGINT) AS T,
+  list_transform(g, x ->
+    [CAST(round(1e6 * (CAST(x AS DOUBLE) / CAST(m AS DOUBLE)
+                       + ln(CAST(m AS DOUBLE)))) AS BIGINT),
+     CAST(round(1e6 * (2.0 * CAST(x AS DOUBLE) / CAST(m AS DOUBLE)
+                       + ln(CAST(m AS DOUBLE)) - ln(2.0)))
+          AS BIGINT)]) AS e
+  FROM mm),
+fw AS (SELECT k, g, n, T,
+  list_reduce(
+    list_concat([[CAST(0 AS BIGINT),
+                  CAST(1152921504606846976 AS BIGINT)]], e),
+    (a, v) -> list_concat(list_concat(
+      [v[1] + least(a[1], a[2]),
+       v[2] + least(a[2], a[1] + T)],
+      a[3:len(a)]),
+      [CASE WHEN a[1] <= a[2] THEN CAST(0 AS BIGINT) ELSE 1 END
+       + 2 * CASE WHEN a[2] <= a[1] + T THEN 1 ELSE 0 END])) AS f
+  FROM em),
+bk AS (SELECT k, g, n,
+  list_reverse(list_reduce(
+    list_concat([[CASE WHEN f[2] < f[1] THEN CAST(1 AS BIGINT)
+                  ELSE 0 END]],
+                list_transform(list_reverse(f[4:n+2]), d -> [d])),
+    (a, v) -> list_append(a,
+      CASE WHEN a[-1] = 0 THEN v[1] % 2 ELSE (v[1] // 2) % 2 END)))
+    AS s
+  FROM fw)
+SELECT k AS user_id, CAST(u.i AS BIGINT) AS pos,
+       CAST(g[u.i] AS BIGINT) AS gap_us,
+       CAST(s[u.i] AS INT) AS burst
+FROM bk, unnest(generate_series(1, CAST(n AS INT))) AS u(i)
+""")
+def q312(spark, sf_dir):
+    """Kleinberg two-state burst detection over each user's event
+    stream: exponential gap emissions at base vs 2× rate, γ·ln(n+1)
+    burst-entry cost, the globally optimal state path by an exact
+    integer Viterbi fold with in-plan backtracking — every cost
+    µ-snapped before the fold so the trajectory (costs, argmin
+    decisions, the backtracked path) replays bit-identically; the
+    oracle runs both folds with the seed-as-first-element list_reduce
+    trick."""
+    from ultraviolet_spark.operators.windows import kleinberg_bursts
+
+    return kleinberg_bursts(_t(spark, sf_dir, "events"),
+                            ts_col="ts", by="user_id")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
