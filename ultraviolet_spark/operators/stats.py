@@ -2077,3 +2077,103 @@ def theil_sen_by_key(df: DataFrame, *, x_col: str, y_col: str,
                     F.coalesce("n_pairs", F.lit(0).cast("long"))
                     .alias("n_pairs"),
                     F.col("slope_micro")))
+
+
+def ccf_by_key(df: DataFrame, *, key_col: str, order_col: str,
+               x_col: str, y_col: str, tiebreak_col: str,
+               max_lag: int = 3) -> DataFrame:
+    """Sample cross-correlation r_xy(l), l = −max_lag..max_lag, per
+    key over two integer series aligned on the same order grid — the
+    LEAD-LAG probe ``acf_by_key`` can't be: does x move BEFORE y
+    (marketing spend before purchases, crawl activity before index
+    updates)?  A positive peak at l > 0 means x at time t correlates
+    with y at time t+l, i.e. x leads.
+
+    Same exactness contract as the ACF: with full-series sums
+    S_x, S_y, S_xx, S_yy and per-lag pair sums P_l = Σ a·b,
+    Σa, Σb over the m = n−|l| aligned pairs,
+
+        num(l)  = n²·P_l − n·S_x·Σb − n·S_y·Σa + m·S_x·S_y
+        r(l)    = num(l) / (n·√((n·S_xx−S_x²)·(n·S_yy−S_y²)))
+
+    — integer numerator (exact, partitioning-independent), one final
+    double expression.  Positive lags pair (x_t, y_{t+l}); negative
+    lags pair (x_{t+|l|}, y_t).  Constant series → NULL r.  Values
+    must already be exact integers (same upstream-scaling rule and
+    int64 range note as the ACF); ``tiebreak_col`` is required for a
+    deterministic order.
+
+    Scale: ONE key-partitioned sort-window exchange computes every
+    lag (the leads share the frame); the groupBy reuses the same
+    partitioning.
+
+    Output per (key, lag): (key_col, n, lag, ccf_num, den_x, den_y,
+    r); lags with no pairs (|l| ≥ n) are not emitted.
+    """
+    from pyspark.sql import Window
+
+    L = int(max_lag)
+    if L < 1:
+        raise ValueError("max_lag must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(tiebreak_col).asc())
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    cols = [F.col(key_col).alias("__k"), x.alias("__x"), y.alias("__y")]
+    for lag in range(1, L + 1):
+        cols.append(F.lead(y, lag).over(w).alias(f"__yl{lag}"))
+        cols.append(F.lead(x, lag).over(w).alias(f"__xl{lag}"))
+    base = df.select(*cols)
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum("__x").cast("long").alias("sx"),
+            F.sum("__y").cast("long").alias("sy"),
+            F.sum(F.col("__x") * F.col("__x")).cast("long").alias("sxx"),
+            F.sum(F.col("__y") * F.col("__y")).cast("long").alias("syy"),
+            F.sum(F.col("__x") * F.col("__y")).cast("long")
+            .alias("sxy0")]
+    for lag in range(1, L + 1):
+        yl, xl = F.col(f"__yl{lag}"), F.col(f"__xl{lag}")
+        aggs += [
+            F.sum(F.col("__x") * yl).cast("long").alias(f"pp{lag}"),
+            F.sum(F.when(yl.isNotNull(), F.col("__x")))
+            .cast("long").alias(f"pa{lag}"),
+            F.sum(yl).cast("long").alias(f"pb{lag}"),
+            F.sum(F.col("__y") * xl).cast("long").alias(f"np{lag}"),
+            F.sum(xl).cast("long").alias(f"na{lag}"),
+            F.sum(F.when(xl.isNotNull(), F.col("__y")))
+            .cast("long").alias(f"nb{lag}")]
+    g = base.groupBy("__k").agg(*aggs)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    denx = n * F.col("sxx") - sx * sx
+    deny = n * F.col("syy") - sy * sy
+    per_lag = []
+    for lag in range(-L, L + 1):
+        if lag > 0:
+            p = F.coalesce(F.col(f"pp{lag}"), F.lit(0))
+            a = F.coalesce(F.col(f"pa{lag}"), F.lit(0))
+            b = F.coalesce(F.col(f"pb{lag}"), F.lit(0))
+        elif lag < 0:
+            p = F.coalesce(F.col(f"np{-lag}"), F.lit(0))
+            a = F.coalesce(F.col(f"na{-lag}"), F.lit(0))
+            b = F.coalesce(F.col(f"nb{-lag}"), F.lit(0))
+        else:                       # lag 0 = plain Pearson pairing
+            p, a, b = F.col("sxy0"), sx, sy
+        m = n - F.lit(abs(lag))
+        num = n * n * p - n * sx * b - n * sy * a + m * sx * sy
+        per_lag.append(F.struct(
+            F.lit(lag).cast("long").alias("lag"),
+            num.cast("long").alias("ccf_num")))
+    out = (g.select("__k", "n", denx.cast("long").alias("den_x"),
+                    deny.cast("long").alias("den_y"),
+                    F.explode(F.array(*per_lag)).alias("__l"))
+           .filter(F.abs(F.col("__l.lag")) < F.col("n")))
+    r = F.when(
+        (F.col("den_x") > 0) & (F.col("den_y") > 0),
+        F.round(F.col("__l.ccf_num").cast("double")
+                / (F.col("n").cast("double")
+                   * F.sqrt(F.col("den_x").cast("double")
+                            * F.col("den_y").cast("double"))), 6))
+    return out.select(F.col("__k").alias(key_col), "n",
+                      F.col("__l.lag").alias("lag"),
+                      F.col("__l.ccf_num").alias("ccf_num"),
+                      "den_x", "den_y", r.alias("r"))

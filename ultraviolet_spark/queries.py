@@ -13173,6 +13173,90 @@ def q312(spark, sf_dir):
                             ts_col="ts", by="user_id")
 
 
+def _q313_sql(L: int = 3) -> str:
+    """Unrolled DuckDB replay of ccf_by_key over the global hourly
+    clicks-vs-purchases series: every lag's exact integer numerator
+    as one UNION ALL branch."""
+    leads = []
+    for lag in range(1, L + 1):
+        leads.append(f"lead(x, {lag}) OVER w AS xl{lag}")
+        leads.append(f"lead(y, {lag}) OVER w AS yl{lag}")
+    aggs = []
+    for lag in range(1, L + 1):
+        aggs += [
+            f"CAST(SUM(x * yl{lag}) AS BIGINT) AS pp{lag}",
+            f"CAST(SUM(CASE WHEN yl{lag} IS NOT NULL THEN x END) "
+            f"AS BIGINT) AS pa{lag}",
+            f"CAST(SUM(yl{lag}) AS BIGINT) AS pb{lag}",
+            f"CAST(SUM(y * xl{lag}) AS BIGINT) AS np{lag}",
+            f"CAST(SUM(xl{lag}) AS BIGINT) AS na{lag}",
+            f"CAST(SUM(CASE WHEN xl{lag} IS NOT NULL THEN y END) "
+            f"AS BIGINT) AS nb{lag}"]
+    branches = []
+    for lag in range(-L, L + 1):
+        if lag > 0:
+            p, a, b = (f"COALESCE(pp{lag}, 0)", f"COALESCE(pa{lag}, 0)",
+                       f"COALESCE(pb{lag}, 0)")
+        elif lag < 0:
+            p, a, b = (f"COALESCE(np{-lag}, 0)",
+                       f"COALESCE(na{-lag}, 0)",
+                       f"COALESCE(nb{-lag}, 0)")
+        else:
+            p, a, b = "sxy0", "sx", "sy"
+        branches.append(
+            f"SELECT n, CAST({lag} AS BIGINT) AS lag, "
+            f"CAST(n*n*{p} - n*sx*{b} - n*sy*{a} "
+            f"+ (n - {abs(lag)})*sx*sy AS BIGINT) AS ccf_num, "
+            f"den_x, den_y FROM g")
+    return f"""
+WITH hr AS (
+  SELECT date_trunc('hour', ts) AS hh,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY date_trunc('hour', ts)),
+b AS (SELECT x, y, {', '.join(leads)}
+      FROM hr WINDOW w AS (ORDER BY hh)),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+          AS den_x,
+        CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT)
+          AS den_y,
+        CAST(SUM(x * y) AS BIGINT) AS sxy0,
+        {', '.join(aggs)}
+      FROM b)
+SELECT 'all' AS k, n, lag, ccf_num, den_x, den_y,
+  CASE WHEN den_x > 0 AND den_y > 0 THEN
+    round(CAST(ccf_num AS DOUBLE)
+          / (CAST(n AS DOUBLE)
+             * sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))), 6)
+  END AS r
+FROM ({' UNION ALL '.join(branches)})
+WHERE abs(lag) < n
+"""
+
+
+@q("q313_ccf_clicks_purchases", _q313_sql())
+def q313(spark, sf_dir):
+    """Lead-lag cross-correlation between the global hourly click and
+    purchase series (lags −3..+3): do clicks move BEFORE purchases?
+    Exact integer numerators per lag from one window pass (the ACF
+    machinery extended to two series), one final double expression."""
+    from ultraviolet_spark.operators.stats import ccf_by_key
+
+    hr = (_t(spark, sf_dir, "events")
+          .groupBy(F.date_trunc("hour", F.col("ts")).alias("hh"))
+          .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                     .otherwise(0)).cast("long").alias("x"),
+               F.sum(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).cast("long").alias("y"))
+          .withColumn("k", F.lit("all")))
+    return ccf_by_key(hr, key_col="k", order_col="hh", x_col="x",
+                      y_col="y", tiebreak_col="hh", max_lag=3)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
