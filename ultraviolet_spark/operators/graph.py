@@ -645,3 +645,66 @@ def harmonic_centrality_oracle_sql(edges_sql: str, *,
             f"\nSELECT u AS node, CAST(SUM(n) AS BIGINT) AS n_reached, "
             f"CAST(SUM(n * w) AS BIGINT) AS h_micro "
             f"FROM ({stacked}) GROUP BY u")
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame, *,
+                          iters: int = 3, damping_pct: int = 85,
+                          scale: int = 1_000_000, src: str = "src",
+                          dst: str = "dst",
+                          seed_col: str = "node") -> DataFrame:
+    """Personalized PageRank — :func:`pagerank`'s teleport mass goes
+    to EVERY node; here it returns to a seed set, so the ranking
+    answers "important RELATIVE TO these pages" (topic-focused crawl
+    frontiers, related-page discovery from a trusted whitelist)
+    instead of global importance.  Nodes unreachable from the seeds
+    score exactly 0 (pinned) — the property global PageRank cannot
+    have.
+
+        r⁰(v)   = scale · [v ∈ S]
+        rᵏ⁺¹(v) = [v ∈ S]·base + Σ_{u→v} (rᵏ(u)·d) // (100·outdeg u)
+
+    with ``base = ((100−d)·scale·|S|) // (100·|S|)`` …simplified to
+    the same integer base as the global operator, paid only at seed
+    nodes.  Same exact integer micro-unit arithmetic, floor division,
+    per-iteration localCheckpoint; dangling mass dropped (the
+    pagerank convention).
+
+    ``seeds`` is a one-column DataFrame (``seed_col``) — broadcast
+    into the rank frame, never collected.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct() \
+        .withColumn("__is_seed", F.lit(True))
+    nodes = (nodes.join(F.broadcast(sd), "node", "left")
+             .select("node", F.coalesce("__is_seed", F.lit(False))
+                     .alias("__s"))
+             .localCheckpoint(eager=False))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=False)
+    base = (100 - damping_pct) * scale // 100
+
+    ranks = nodes.select(
+        "node", "__s",
+        F.when(F.col("__s"), F.lit(scale)).otherwise(F.lit(0))
+        .cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            e_deg.join(ranks.select("node", "rank"),
+                       e_deg["src"] == F.col("node"))
+            .select(F.col("dst").alias("node"),
+                    F.expr(f"(rank * {damping_pct}) div (100 * outdeg)")
+                    .alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("c")))
+        ranks = (nodes.join(contribs, "node", "left")
+                 .select("node", "__s",
+                         (F.when(F.col("__s"), F.lit(base))
+                          .otherwise(F.lit(0))
+                          + F.coalesce(F.col("c"), F.lit(0)))
+                         .cast("long").alias("rank"))
+                 .localCheckpoint(eager=False))
+    return ranks.select("node", F.col("rank").alias("rank_micro"))

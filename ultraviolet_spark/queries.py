@@ -13257,6 +13257,61 @@ def q313(spark, sf_dir):
                       y_col="y", tiebreak_col="hh", max_lag=3)
 
 
+@q("q314_personalized_pagerank", """
+WITH e AS (
+  SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+  FROM documents
+  UNION
+  SELECT doc_id % 101, (doc_id * 13 + 5) % 101 FROM documents),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+sd AS (SELECT CAST(t.range AS BIGINT) AS node FROM range(10) t),
+nn AS (SELECT n.node, (s.node IS NOT NULL) AS iss
+       FROM nodes n LEFT JOIN sd s ON s.node = n.node),
+od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, iss,
+         CAST(CASE WHEN iss THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       FROM nn),
+c1 AS (SELECT e.dst AS node, SUM((r0.r * 85) // (100 * od.d)) AS c
+       FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node, n.iss,
+         CAST(CASE WHEN n.iss THEN 150000 ELSE 0 END
+              + COALESCE(c1.c, 0) AS BIGINT) AS r
+       FROM nn n LEFT JOIN c1 ON c1.node = n.node),
+c2 AS (SELECT e.dst AS node, SUM((r1.r * 85) // (100 * od.d)) AS c
+       FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node, n.iss,
+         CAST(CASE WHEN n.iss THEN 150000 ELSE 0 END
+              + COALESCE(c2.c, 0) AS BIGINT) AS r
+       FROM nn n LEFT JOIN c2 ON c2.node = n.node),
+c3 AS (SELECT e.dst AS node, SUM((r2.r * 85) // (100 * od.d)) AS c
+       FROM e JOIN r2 ON r2.node = e.src JOIN od ON od.src = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT n.node, n.iss,
+         CAST(CASE WHEN n.iss THEN 150000 ELSE 0 END
+              + COALESCE(c3.c, 0) AS BIGINT) AS r
+       FROM nn n LEFT JOIN c3 ON c3.node = n.node)
+SELECT node, r AS rank_micro FROM r3
+""")
+def q314(spark, sf_dir):
+    """Personalized PageRank over the q96 domain graph with seeds
+    {0..9}: teleport mass returns to the seed set instead of every
+    node, so ranks answer 'important relative to these domains' and
+    unreachable nodes score exactly 0; same exact integer micro-unit
+    power iteration, bit-identical to the oracle's unrolled replay."""
+    from ultraviolet_spark.operators.graph import personalized_pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+         .union(d.select((F.col("doc_id") % 101).alias("src"),
+                         ((F.col("doc_id") * 13 + 5) % 101).alias("dst")))
+         .distinct())
+    seeds = spark.range(10).select(F.col("id").alias("node"))
+    return personalized_pagerank(e, seeds, iters=3)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
