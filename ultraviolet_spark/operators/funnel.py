@@ -386,3 +386,52 @@ def association_rules(df: DataFrame, *, basket_col: str, item_col: str,
         .alias("confidence_micro"),
         F.round(dN * dp / (da * dc) * F.lit(1e6)).cast("long")
         .alias("lift_micro"))
+
+
+def item_cosine(df: DataFrame, *, basket_col: str, item_col: str,
+                min_item_count: int = 1,
+                min_pair_count: int = 1) -> DataFrame:
+    """Item-item cosine similarity over the binary basket-item matrix
+    — the collaborative-filtering companion to
+    :func:`association_rules`: cos(a,b) = n_ab / √(n_a·n_b), the
+    symmetric association score item-to-item recommenders rank by
+    ('users who touched a also touched b'), where lift measures
+    direction-free dependence and confidence is asymmetric.
+
+    Same exact-count machinery as the rules: distinct (basket, item),
+    apriori item pruning BEFORE the pair self-join, exact integer
+    n_a/n_b/n_ab, and ONE fixed-order double per pair µ-snapped to
+    ``cosine_micro`` — the denominator √(n_a·n_b) computed in
+    DECIMAL(38,0) before the one double sqrt (n² crosses int64 at
+    ~3·10⁹ baskets).  Each unordered pair is emitted once (a < b).
+
+    Output: (item_a, item_b, n_a, n_b, n_pair, cosine_micro).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")
+    bi = (df.select(F.col(basket_col).alias("__b"),
+                    F.col(item_col).alias("__i"))
+          .filter(F.col("__i").isNotNull())
+          .distinct())
+    items = (bi.groupBy("__i").agg(F.count("*").cast("long").alias("__ni"))
+             .filter(F.col("__ni") >= int(min_item_count)))
+    kept = bi.join(F.broadcast(items.select("__i")), "__i")
+    pairs = (kept.select("__b", F.col("__i").alias("item_a"))
+             .join(kept.select("__b", F.col("__i").alias("item_b")),
+                   "__b")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count("*").cast("long").alias("n_pair"))
+             .filter(F.col("n_pair") >= int(min_pair_count)))
+    j = (pairs
+         .join(F.broadcast(items.select(F.col("__i").alias("item_a"),
+                                        F.col("__ni").alias("n_a"))),
+               "item_a")
+         .join(F.broadcast(items.select(F.col("__i").alias("item_b"),
+                                        F.col("__ni").alias("n_b"))),
+               "item_b"))
+    cos = F.round(
+        F.col("n_pair").cast("double") * F.lit(1e6)
+        / F.sqrt((d38(F.col("n_a")) * d38(F.col("n_b")))
+                 .cast("double"))).cast("long")
+    return j.select("item_a", "item_b", "n_a", "n_b", "n_pair",
+                    cos.alias("cosine_micro"))

@@ -13312,6 +13312,36 @@ def q314(spark, sf_dir):
     return personalized_pagerank(e, seeds, iters=3)
 
 
+@q("q315_item_cosine", """
+WITH bi AS (
+  SELECT DISTINCT user_id AS b, event_type AS i
+  FROM events WHERE event_type IS NOT NULL),
+items AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM bi GROUP BY i),
+pairs AS (
+  SELECT l.i AS item_a, r.i AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+  GROUP BY l.i, r.i)
+SELECT item_a, item_b, ia.ni AS n_a, ib.ni AS n_b, n_pair,
+  CAST(round(CAST(n_pair AS DOUBLE) * 1e6
+             / sqrt(CAST(CAST(ia.ni AS HUGEINT) * ib.ni AS DOUBLE)))
+       AS BIGINT) AS cosine_micro
+FROM pairs
+JOIN items ia ON ia.i = pairs.item_a
+JOIN items ib ON ib.i = pairs.item_b
+""")
+def q315(spark, sf_dir):
+    """Item-item cosine similarity between event types over the
+    binary user×type matrix — the symmetric collaborative-filtering
+    score next to q303's directional rules; exact integer counts,
+    one µ-snapped fixed-order double per pair with the √(n_a·n_b)
+    product in DECIMAL(38,0) before the sqrt."""
+    from ultraviolet_spark.operators.funnel import item_cosine
+
+    return item_cosine(_t(spark, sf_dir, "events"),
+                       basket_col="user_id", item_col="event_type")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
