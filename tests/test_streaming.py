@@ -417,3 +417,69 @@ def test_streaming_sprt_matches_batch(spark, sf_dir, tmp_path):
     want = {r["grp"]: (r["n"], r["final_llr_micro"], r["cross_idx"],
                        r["decision"]) for r in want_df.collect()}
     assert got == want
+
+
+def test_streaming_holt_winters_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming HW ≡ batch holt_winters_by_key on the final state, as
+    exact integer equality — including keys whose INIT season is split
+    across the micro-batch boundary."""
+    from ultraviolet_spark.operators.windows import holt_winters_by_key
+    from ultraviolet_spark.streaming.stateful import (
+        streaming_holt_winters,
+    )
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("hh"))
+          .agg(F.count("*").cast("double").alias("c")))
+    stream = _two_batch_stream(spark, ev, tmp_path, "hw", ts_col="hh")
+    out = streaming_holt_winters(stream, by="event_type", ts_col="hh",
+                                 value_col="c", season_len=24,
+                                 horizon=3)
+    _run_to_memory(out, "uv_hw", tmp_path)
+    # last emitted row per key = final state
+    got = {r["key"]: (r["n"], r["level_micro"], r["trend_micro"],
+                      r["season_micro"], r["fc_micro"])
+           for r in spark.sql(
+               "SELECT * FROM uv_hw ORDER BY n").collect()}
+
+    want = {r["event_type"]: (r["n"], r["level_micro"],
+                              r["trend_micro"], r["season_micro"],
+                              r["fc_micro"])
+            for r in holt_winters_by_key(
+                ev, value_col="c", order_cols=["hh"], by="event_type",
+                season_len=24, horizon=3).collect()}
+    assert got == want
+
+
+def test_streaming_holt_winters_init_split_across_batches(
+        spark, tmp_path):
+    """The init season itself crosses the micro-batch boundary: 3 of 4
+    init points arrive in batch one, the rest later — the frozen
+    buffer must survive in state and produce the identical model."""
+    import datetime as dt
+
+    from ultraviolet_spark.operators.windows import holt_winters_by_key
+    from ultraviolet_spark.streaming.stateful import (
+        streaming_holt_winters,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [5.0, 9.0, 7.0, 11.0, 6.0, 10.0, 8.0, 12.0, 7.0, 11.0]
+    rows = [("k1", base + dt.timedelta(hours=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, hh timestamp_ntz, c double")
+    stream = _two_batch_stream(spark, df, tmp_path, "hw2", ts_col="hh")
+    out = streaming_holt_winters(stream, by="g", ts_col="hh",
+                                 value_col="c", season_len=8, horizon=2)
+    _run_to_memory(out, "uv_hw2", tmp_path)
+    rows_out = spark.sql("SELECT * FROM uv_hw2 ORDER BY n").collect()
+    # first batch ends mid-init (n < 4) → NULL model fields emitted
+    assert rows_out[0]["n"] < 8 and rows_out[0]["level_micro"] is None
+    got = rows_out[-1]
+    want = holt_winters_by_key(df, value_col="c", order_cols=["hh"],
+                               by="g", season_len=8, horizon=2).head()
+    assert (got["n"], got["level_micro"], got["trend_micro"],
+            got["season_micro"], got["fc_micro"]) == \
+        (want["n"], want["level_micro"], want["trend_micro"],
+         want["season_micro"], want["fc_micro"])

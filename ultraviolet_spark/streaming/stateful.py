@@ -658,3 +658,97 @@ def streaming_heavy_hitters(stream: DataFrame, *, token_col: str,
                 stateStructType=MG_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf="NoTimeout"))
+
+
+HW_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("buf", T.ArrayType(T.LongType())),
+    T.StructField("level", T.LongType()),
+    T.StructField("trend", T.LongType()),
+    T.StructField("seas", T.ArrayType(T.LongType())),
+])
+
+HW_OUT_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("level_micro", T.LongType()),
+    T.StructField("trend_micro", T.LongType()),
+    T.StructField("season_micro", T.LongType()),
+    T.StructField("fc_micro", T.LongType()),
+])
+
+
+def streaming_holt_winters(stream: DataFrame, *, by: str, ts_col: str,
+                           value_col: str, season_len: int,
+                           horizon: int = 1,
+                           watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of ``operators.windows.holt_winters_by_key`` —
+    the seasonal forecast updated per micro-batch instead of
+    recomputed per nightly job.  State per key: the observation
+    count, the first-season init buffer (filled then frozen), and the
+    (level, trend, seasonal-ring) integers; every arithmetic step is
+    the IDENTICAL trunc-div integer recurrence as the batch fold, so
+    streaming ≡ batch is exact integer equality on the final
+    (level, trend, season, forecast) — including the classic init
+    crossing a micro-batch boundary mid-season (pinned in tests).
+
+    One summary row per key per micro-batch; keys still inside their
+    init season emit NULL model fields (same contract as the batch
+    operator's n < m rule).  Rows inside a micro-batch are event-time
+    sorted before folding (the streaming_ffill lesson); cross-batch
+    order is the feed's responsibility.
+
+    Scale: state is m+4 longs per live key; keyed state-store
+    sharding; watermark bounds live keys.
+    """
+    import math
+
+    m = int(season_len)
+    h = int(horizon)
+
+    def t2(x: int) -> int:
+        return abs(x) // 2 * (1 if x >= 0 else -1)
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, buf, level, trend, seas = state.get
+            buf, seas = list(buf), list(seas)
+        else:
+            n, buf, level, trend, seas = 0, [], 0, 0, []
+        pdf = pd.concat(list(pdfs)).sort_values(ts_col, kind="mergesort")
+        for v in pdf[value_col]:
+            x = math.floor(float(v) * 1e6)
+            n += 1
+            if n <= m:
+                buf.append(x)
+                if n == m:
+                    level = int(float(sum(buf)) / m)  # trunc, as batch
+                    trend = 0
+                    seas = [b - level for b in buf]
+            else:
+                s_old = seas.pop(0)
+                l_new = t2(level + trend + (x - s_old))
+                b_new = t2(trend + (l_new - level))
+                s_new = t2((x - l_new) + s_old)
+                level, trend = l_new, b_new
+                seas.append(s_new)
+        if n >= m:
+            si = (h - 1) % m
+            season = seas[si]
+            row = [str(key[0]), n, level, trend, season,
+                   level + h * trend + season]
+        else:
+            row = [str(key[0]), n, None, None, None, None]
+        yield pd.DataFrame([row], columns=[f.name for f in HW_OUT_SCHEMA])
+        state.update((n, buf, level, trend, seas))
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(by)
+            .applyInPandasWithState(
+                update,
+                outputStructType=HW_OUT_SCHEMA,
+                stateStructType=HW_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="NoTimeout"))
