@@ -2177,3 +2177,96 @@ def ccf_by_key(df: DataFrame, *, key_col: str, order_col: str,
                       F.col("__l.lag").alias("lag"),
                       F.col("__l.ccf_num").alias("ccf_num"),
                       "den_x", "den_y", r.alias("r"))
+
+
+def randomization_test(df: DataFrame, *, id_col: str, group_col: str,
+                       group_a, value_col: str,
+                       n_reps: int = 30, salt: str = "") -> DataFrame:
+    """Deterministic randomization test for a difference in means —
+    the distribution-free significance check next to Welch's t (which
+    assumes approximate normality of the mean) and Mann-Whitney
+    (which tests ranks, not the mean): reassign every unit to a
+    pseudo-group by an md5 coin with P(A) = n_a/n, recompute the mean
+    difference per replicate, and count replicates at least as
+    extreme as the observed difference,
+
+        p = (1 + #{|Δ_b| ≥ |Δ_obs|}) / (B + 1)
+
+    (the add-one estimator that can never report p = 0).  This is the
+    Bernoulli-randomization variant of the permutation test (group
+    sizes vary binomially around n_a rather than being fixed —
+    documented; exact fixed-size permutation does not distribute).
+
+    Determinism discipline (the poisson_bootstrap machinery): the
+    coin is u = md5(id ‖ ':' ‖ b ‖ ':' ‖ salt) as a 48-bit integer
+    compared against threshold ⌊2⁴⁸·n_a/n⌋ computed in DECIMAL(38,0)
+    (2⁴⁸·n_a crosses int64 at n_a ≈ 3·10⁴ — observed); per-replicate
+    means come from exact integer conditional sums; |Δ| is µ-snapped
+    BEFORE the ≥ comparison so the count is an exact integer in both
+    engines.  Output one row: (n, n_a, n_b, b_reps, diff_micro,
+    p_num, p_den, p).
+
+    Scale: one totals agg broadcast in-plan, one explode×B pass with
+    a (b)-keyed partial agg, one B-row reduction — no collect.
+    """
+    B = int(n_reps)
+    x = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(x.isNotNull() & g.isNotNull())
+            .select(F.col(id_col).cast("string").alias("id"),
+                    (g == F.lit(group_a)).alias("ia"), x.alias("x")))
+    tot = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("ia"), F.col("x").cast("decimal(38,0)"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("sa"),
+        F.sum(F.when(~F.col("ia"), F.col("x").cast("decimal(38,0)"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("sb"))
+    tot = tot.select(
+        "n", "n_a", (F.col("n") - F.col("n_a")).alias("n_b"),
+        # floor division, NOT a decimal cast (which rounds HALF_UP):
+        # thr = (2^48 * n_a) div n in DECIMAL(38,0)
+        F.expr("CAST((CAST(281474976710656 AS DECIMAL(38,0)) "
+               "* CAST(n_a AS DECIMAL(38,0))) div n AS BIGINT)")
+        .alias("thr"),
+        F.round(F.abs(
+            F.col("sa").cast("double")
+            / F.when(F.col("n_a") != 0, F.col("n_a").cast("double"))
+            - F.col("sb").cast("double")
+            / F.when(F.col("n") != F.col("n_a"),
+                     (F.col("n") - F.col("n_a")).cast("double"))))
+        .cast("long").alias("diff_micro"))
+    e = (base.crossJoin(F.broadcast(tot))
+         .withColumn("b", F.explode(F.sequence(F.lit(0),
+                                               F.lit(B - 1)))))
+    u = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("id"), F.col("b").cast("string"), F.lit(salt))
+        .cast("binary")), 1, 12), 16, 10).cast("long")
+    e = e.withColumn("pa", u < F.col("thr"))
+    per = e.groupBy("b").agg(
+        F.max("diff_micro").alias("diff_micro"),
+        F.sum(F.when(F.col("pa"), 1).otherwise(0)).cast("long")
+        .alias("ra"),
+        F.count("*").cast("long").alias("rn"),
+        F.sum(F.when(F.col("pa"), F.col("x").cast("decimal(38,0)"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("psa"),
+        F.sum(F.when(~F.col("pa"), F.col("x").cast("decimal(38,0)"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("psb"))
+    nz = lambda den: F.when(den != 0, den)
+    d_b = F.round(F.abs(
+        F.col("psa").cast("double") / nz(F.col("ra").cast("double"))
+        - F.col("psb").cast("double")
+        / nz((F.col("rn") - F.col("ra")).cast("double")))).cast("long")
+    hits = per.agg(
+        F.sum(F.when(d_b >= F.col("diff_micro"), 1).otherwise(0))
+        .cast("long").alias("__h"))
+    out = (tot.crossJoin(F.broadcast(hits)))
+    ok = F.col("diff_micro").isNotNull()
+    return out.select(
+        "n", "n_a", "n_b", F.lit(B).cast("long").alias("b_reps"),
+        "diff_micro",
+        F.when(ok, F.col("__h") + 1).cast("long").alias("p_num"),
+        F.lit(B + 1).cast("long").alias("p_den"),
+        F.when(ok, F.round((F.col("__h") + 1).cast("double")
+                           / F.lit(float(B + 1)), 6)).alias("p"))

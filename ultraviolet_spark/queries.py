@@ -13342,6 +13342,73 @@ def q315(spark, sf_dir):
                        basket_col="user_id", item_col="event_type")
 
 
+@q("q316_randomization_test", """
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         (user_id % 2 = 0) AS ia,
+         CAST(round(value * 1e6) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         SUM(CASE WHEN ia THEN CAST(x AS HUGEINT) ELSE 0 END) AS sa,
+         SUM(CASE WHEN ia THEN 0 ELSE CAST(x AS HUGEINT) END) AS sb
+  FROM base),
+t2 AS (
+  SELECT n, n_a, n - n_a AS n_b,
+         CAST((CAST(281474976710656 AS HUGEINT) * n_a) // n AS BIGINT)
+           AS thr,
+         CAST(round(abs(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                        - CAST(sb AS DOUBLE)
+                          / CAST(n - n_a AS DOUBLE))) AS BIGINT)
+           AS diff_micro
+  FROM tot),
+e AS (SELECT id, x, CAST(t.i AS BIGINT) AS b
+      FROM base, range(30) t(i)),
+w AS (SELECT b, x,
+        CAST(CAST(('0x' || substr(md5(id || ':' || CAST(b AS VARCHAR)
+                                  || ':'), 1, 12)) AS UBIGINT)
+             AS BIGINT) < (SELECT thr FROM t2) AS pa
+      FROM e),
+per AS (SELECT b,
+          CAST(SUM(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT) AS ra,
+          CAST(COUNT(*) AS BIGINT) AS rn,
+          SUM(CASE WHEN pa THEN CAST(x AS HUGEINT) ELSE 0 END) AS psa,
+          SUM(CASE WHEN pa THEN 0 ELSE CAST(x AS HUGEINT) END) AS psb
+        FROM w GROUP BY b),
+hits AS (
+  SELECT CAST(SUM(CASE WHEN
+           CAST(round(abs(CAST(psa AS DOUBLE)
+                          / NULLIF(CAST(ra AS DOUBLE), 0)
+                          - CAST(psb AS DOUBLE)
+                          / NULLIF(CAST(rn - ra AS DOUBLE), 0)))
+                AS BIGINT) >= (SELECT diff_micro FROM t2)
+           THEN 1 ELSE 0 END) AS BIGINT) AS h
+  FROM per)
+SELECT n, n_a, n_b, CAST(30 AS BIGINT) AS b_reps, diff_micro,
+       CAST(h + 1 AS BIGINT) AS p_num, CAST(31 AS BIGINT) AS p_den,
+       round(CAST(h + 1 AS DOUBLE) / 31.0, 6) AS p
+FROM t2, hits
+""")
+def q316(spark, sf_dir):
+    """Deterministic randomization test for the even-vs-odd cohort
+    purchase-value difference (q299's Welch t, distribution-free):
+    md5-coin pseudo-group reassignment at P(A) = n_a/n with the
+    threshold ⌊2⁴⁸·n_a/n⌋ in DECIMAL(38,0), per-replicate mean
+    differences µ-snapped BEFORE the ≥ comparison, add-one p-value —
+    every one of the 30 replicates replayed exactly."""
+    from ultraviolet_spark.operators.stats import randomization_test
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase")
+          .withColumn("cohort",
+                      F.when(F.col("user_id") % 2 == 0, "even")
+                      .otherwise("odd")))
+    return randomization_test(ev, id_col="event_id",
+                              group_col="cohort", group_a="even",
+                              value_col="value", n_reps=30)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
