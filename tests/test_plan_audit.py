@@ -92,6 +92,8 @@ CROSS_OK = {
     "q298_poisson_regression",   # 1-row β frame per unrolled iteration
     "q303_association_rules",    # 1-row basket-total-N frame
     "q305_average_precision",    # 1-row score-bounds frame
+    "q307_naive_bayes_lang",     # 1-row V/N totals frames (NB model)
+    "q316_randomization_test",   # 1-row totals × 1-row hit-count frames
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis
