@@ -2270,3 +2270,61 @@ def randomization_test(df: DataFrame, *, id_col: str, group_col: str,
         F.lit(B + 1).cast("long").alias("p_den"),
         F.when(ok, F.round((F.col("__h") + 1).cast("double")
                            / F.lit(float(B + 1)), 6)).alias("p"))
+
+
+def brown_forsythe(df: DataFrame, *, value_col: str, group_col: str,
+                   n_buckets: int = 64) -> DataFrame:
+    """Brown–Forsythe test for equal variances (Levene's test with
+    MEDIAN centers — robust where Levene's mean centers inherit the
+    outliers they're supposed to detect): one-way ANOVA on the
+    absolute deviations z = |x − median_g|.  This is the precondition
+    gate for pooled-variance procedures: a significant F here says
+    use Welch, not Student.
+
+    Exact composition: per-group medians come from the two-phase
+    (group, value-range-bucket) rank machinery — in-bucket
+    row_numbers + per-group broadcast bucket offsets, no
+    data-sized single-group window — and are kept integral as the
+    DOUBLED median m2 = x_(k1) + x_(k2) (the two middle micro values;
+    equal when n is odd), so the deviation 2·|x·10⁶| − … lives in
+    exact DOUBLED-micro integers: z_i = |2·x_i·10⁶ − m2|.  The
+    F statistic then reuses :func:`anova_oneway`'s snapped machinery
+    verbatim on z/2 in original units.
+
+    Output one row, anova_oneway's schema: (k, n, ss_between,
+    ss_within, f, eta2) over the deviations.
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(v.isNotNull() & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("__g"), v.alias("__vm")))
+    bounds = base.groupBy("__g").agg(F.min("__vm").alias("__lo"),
+                                     F.max("__vm").alias("__hi"),
+                                     F.count("*").alias("__n"))
+    b = (base.join(F.broadcast(bounds), "__g")
+         .withColumn("__b", F.expr(
+             f"(__vm - __lo) div ((__hi - __lo) div {B} + 1)")
+             .cast("int")))
+    w_in = Window.partitionBy("__g", "__b").orderBy("__vm")
+    r = b.withColumn("__i_in", F.row_number().over(w_in))
+    bc = b.groupBy("__g", "__b").agg(F.count("*").alias("__c"))
+    w_off = (Window.partitionBy("__g").orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    boff = bc.select("__g", "__b", F.coalesce(
+        F.sum("__c").over(w_off), F.lit(0)).alias("__off"))
+    r = (r.join(F.broadcast(boff), ["__g", "__b"])
+         .withColumn("__rk", F.col("__off") + F.col("__i_in")))
+    k1 = F.expr("(__n + 1) div 2")
+    k2 = F.expr("(__n + 2) div 2")
+    med2 = (r.filter((F.col("__rk") == k1) | (F.col("__rk") == k2))
+            .groupBy("__g")
+            .agg((F.sum("__vm")
+                  * F.when(F.count("*") == 1, 2).otherwise(1))
+                 .cast("long").alias("__m2")))
+    z = (base.join(F.broadcast(med2), "__g")
+         .select("__g",
+                 (F.abs(F.lit(2) * F.col("__vm") - F.col("__m2"))
+                  .cast("double") / F.lit(2e6)).alias("__z")))
+    return anova_oneway(z, value_col="__z", group_col="__g")

@@ -13409,6 +13409,78 @@ def q316(spark, sf_dir):
                               value_col="value", n_reps=30)
 
 
+@q("q317_brown_forsythe", """
+WITH vb AS (
+  SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (
+  SELECT g, vm,
+         row_number() OVER (PARTITION BY g ORDER BY vm) AS rk,
+         COUNT(*) OVER (PARTITION BY g) AS gn
+  FROM vb),
+med AS (
+  SELECT g, CAST(SUM(vm) * (CASE WHEN COUNT(*) = 1 THEN 2 ELSE 1 END)
+                AS BIGINT) AS m2
+  FROM r WHERE rk = (gn + 1) // 2 OR rk = (gn + 2) // 2
+  GROUP BY g),
+base AS (
+  SELECT vb.g,
+         CAST(round(CAST(abs(2 * vm - m2) AS DOUBLE) / 2e6 * 1e6)
+              AS BIGINT) AS m
+  FROM vb JOIN med ON med.g = vb.g),
+per AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(m AS HUGEINT)) AS s,
+         SUM(CAST(m AS HUGEINT) * m) AS ss
+  FROM base GROUP BY g),
+snapped AS (
+  SELECT n, s,
+         CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE) / 1e12 * 1e6) AS BIGINT) AS ag,
+         CAST(round(CAST(ss AS DOUBLE) / 1e12 * 1e6) AS BIGINT) AS ssg
+  FROM per),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n,
+         SUM(CAST(s AS HUGEINT)) AS stot,
+         SUM(CAST(ag AS HUGEINT)) AS sa,
+         SUM(CAST(ssg AS HUGEINT)) AS sss
+  FROM snapped),
+dx AS (
+  SELECT k, n,
+         CAST(sa AS DOUBLE)
+           - CAST(CAST(round(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                             / CAST(n AS DOUBLE) / 1e12 * 1e6)
+                       AS BIGINT) AS DOUBLE) AS ssb,
+         CAST(sss AS DOUBLE) - CAST(sa AS DOUBLE) AS ssw,
+         CAST(sss AS DOUBLE)
+           - CAST(CAST(round(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                             / CAST(n AS DOUBLE) / 1e12 * 1e6)
+                       AS BIGINT) AS DOUBLE) AS sst
+  FROM agg)
+SELECT k, n,
+  round(ssb / 1e6, 6) AS ss_between,
+  round(ssw / 1e6, 6) AS ss_within,
+  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+    round((ssb / (CAST(k AS DOUBLE) - 1.0))
+          / NULLIF(ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 0), 6)
+  END AS f,
+  CASE WHEN sst > 0 THEN round(ssb / NULLIF(sst, 0), 6) END AS eta2
+FROM dx
+""")
+def q317(spark, sf_dir):
+    """Brown–Forsythe equal-variance test across event types (Levene
+    with median centers — the precondition gate for pooled-variance
+    procedures; significant F ⇒ use Welch): per-group medians kept
+    integral as DOUBLED medians via the two-phase (group, bucket)
+    rank machinery, one-way ANOVA on |x − median_g| through q301's
+    snapped pipeline."""
+    from ultraviolet_spark.operators.stats import brown_forsythe
+
+    return brown_forsythe(_t(spark, sf_dir, "events"),
+                          value_col="value", group_col="event_type")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
