@@ -2328,3 +2328,73 @@ def brown_forsythe(df: DataFrame, *, value_col: str, group_col: str,
                  (F.abs(F.lit(2) * F.col("__vm") - F.col("__m2"))
                   .cast("double") / F.lit(2e6)).alias("__z")))
     return anova_oneway(z, value_col="__z", group_col="__g")
+
+
+def mcnemar_test(df: DataFrame, *, a_col: str, b_col: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes — the PAIRED design
+    chi²/confusion can't handle: two raters/classifiers/conditions on
+    the SAME units, where only the discordant pairs carry information
+    (a unit both flag or both miss says nothing about which is
+    better).  b = #(A=1, B=0), c = #(A=0, B=1);
+
+        χ²_cc = (|b − c| − 1)² / (b + c)
+
+    (the continuity-corrected statistic, df = 1).  Exact int64
+    counts from one conditional-aggregation pass; the statistic is
+    one fixed-order double; b + c = 0 (no discordant pairs) reports
+    NULL, never 0/0.  The concordant counts ride along so the
+    discordant fraction is visible.
+
+    Output one row: (n, n_both, n_neither, b, c, chi2_cc) —
+    n_both/n_neither prefixed because ``both`` is a reserved word in
+    several engines.
+    """
+    nz = lambda den: F.when(den != 0, den)
+    a = F.col(a_col).cast("boolean")
+    bb = F.col(b_col).cast("boolean")
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    agg = (df.filter(a.isNotNull() & bb.isNotNull())
+           .select(a.alias("__a"), bb.alias("__b"))
+           .agg(F.count("*").cast("long").alias("n"),
+                cnt(F.col("__a") & F.col("__b")).alias("n_both"),
+                cnt(~F.col("__a") & ~F.col("__b")).alias("n_neither"),
+                cnt(F.col("__a") & ~F.col("__b")).alias("b"),
+                cnt(~F.col("__a") & F.col("__b")).alias("c")))
+    bd, cd = F.col("b").cast("double"), F.col("c").cast("double")
+    num = (F.abs(bd - cd) - F.lit(1.0))
+    chi2 = F.when(F.col("b") + F.col("c") > 0,
+                  F.round(num * num / nz(bd + cd), 6))
+    return agg.select("n", "n_both", "n_neither", "b", "c",
+                      chi2.alias("chi2_cc"))
+
+
+def sign_test(df: DataFrame, *, x_col: str, y_col: str) -> DataFrame:
+    """Paired sign test — the assumption-free paired comparison:
+    count units where y > x vs y < x (micro-snapped, so 'tie' is a
+    deterministic integer equality, not a float ==); under H₀ the
+    signs are a fair coin over the non-tied pairs.  Reports the
+    continuity-corrected normal z = (|pos − neg| − 1)/√(pos + neg)
+    (the standard large-sample form); ties are EXCLUDED from the
+    test and reported (the textbook convention — modeling ties is a
+    different test).
+
+    Exact int64 counts, one pass, one fixed-order double; no
+    non-tied pairs → NULL z.
+
+    Output one row: (n, n_pos, n_neg, n_tie, z).
+    """
+    nz = lambda den: F.when(den != 0, den)
+    xm = F.round(F.col(x_col).cast("double") * 1e6).cast("long")
+    ym = F.round(F.col(y_col).cast("double") * 1e6).cast("long")
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    agg = (df.filter(xm.isNotNull() & ym.isNotNull())
+           .select(xm.alias("__x"), ym.alias("__y"))
+           .agg(F.count("*").cast("long").alias("n"),
+                cnt(F.col("__y") > F.col("__x")).alias("n_pos"),
+                cnt(F.col("__y") < F.col("__x")).alias("n_neg"),
+                cnt(F.col("__y") == F.col("__x")).alias("n_tie")))
+    p, q_ = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    z = F.when(F.col("n_pos") + F.col("n_neg") > 0,
+               F.round((F.abs(p - q_) - F.lit(1.0))
+                       / nz(F.sqrt(p + q_)), 6))
+    return agg.select("n", "n_pos", "n_neg", "n_tie", z.alias("z"))

@@ -13481,6 +13481,101 @@ def q317(spark, sf_dir):
                           value_col="value", group_col="event_type")
 
 
+@q("q318_mcnemar_click_vs_view", """
+WITH per AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+           AS a,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1
+           AS b
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_both,
+    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_neither,
+    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM per)
+SELECT n, n_both, n_neither, b, c,
+  CASE WHEN b + c > 0 THEN
+    round((abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+          * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+          / NULLIF(CAST(b AS DOUBLE) + CAST(c AS DOUBLE), 0), 6)
+  END AS chi2_cc
+FROM agg
+""")
+def q318(spark, sf_dir):
+    """McNemar's paired test: does the 'user ever clicks' indicator
+    differ from 'user ever views' in marginal rate, judged ONLY on
+    the discordant users (both-or-neither users carry no
+    information); continuity-corrected χ², exact int64 counts."""
+    from ultraviolet_spark.operators.stats import mcnemar_test
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg((F.max(F.when(F.col("event_type") == "click", 1)
+                       .otherwise(0)) == 1).alias("a"),
+                (F.max(F.when(F.col("event_type") == "view", 1)
+                       .otherwise(0)) == 1).alias("b")))
+    return mcnemar_test(per, a_col="a", b_col="b")
+
+
+@q("q319_sign_test_halves", """
+WITH mid AS (
+  SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS BIGINT)
+    AS m
+  FROM events),
+per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN epoch_us(ts) < mid.m THEN 1 ELSE 0 END)
+              AS DOUBLE) AS x,
+         CAST(SUM(CASE WHEN epoch_us(ts) >= mid.m THEN 1 ELSE 0 END)
+              AS DOUBLE) AS y
+  FROM events, mid GROUP BY user_id, mid.m),
+base AS (
+  SELECT CAST(round(x * 1e6) AS BIGINT) AS xm,
+         CAST(round(y * 1e6) AS BIGINT) AS ym
+  FROM per),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN ym > xm THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(SUM(CASE WHEN ym < xm THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+    CAST(SUM(CASE WHEN ym = xm THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+  FROM base)
+SELECT n, n_pos, n_neg, n_tie,
+  CASE WHEN n_pos + n_neg > 0 THEN
+    round((abs(CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE)) - 1.0)
+          / NULLIF(sqrt(CAST(n_pos AS DOUBLE)
+                        + CAST(n_neg AS DOUBLE)), 0), 6)
+  END AS z
+FROM agg
+""")
+def q319(spark, sf_dir):
+    """Paired sign test of per-user activity, first half vs second
+    half of the corpus epoch (in-plan µs midpoint, no driver
+    collect): assumption-free paired comparison — signs are a fair
+    coin under H₀, ties excluded and reported, continuity-corrected
+    z."""
+    from ultraviolet_spark.operators.stats import sign_test
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(((F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+                   + F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+                  / F.lit(2)).cast("long").alias("m"))
+    per = (ev.crossJoin(F.broadcast(mid))
+           .groupBy("user_id")
+           .agg(F.sum(F.when(
+               F.unix_micros(F.col("ts").cast("timestamp"))
+               < F.col("m"), 1).otherwise(0)).cast("double").alias("x"),
+               F.sum(F.when(
+                   F.unix_micros(F.col("ts").cast("timestamp"))
+                   >= F.col("m"), 1).otherwise(0)).cast("double")
+               .alias("y")))
+    return sign_test(per, x_col="x", y_col="y")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
