@@ -900,3 +900,77 @@ def naive_bayes_classify(docs: DataFrame, *, id_col: str,
             .filter(F.col("__rn") == 1)
             .select("id", "label", F.col("__c").alias("pred"),
                     F.col("__score").alias("score_micro")))
+
+
+def rocchio_classify(df: DataFrame, *, id_col: str, vec_col: str,
+                     label_col: str) -> DataFrame:
+    """Rocchio nearest-centroid classifier over embedding vectors —
+    the geometric sibling of :func:`naive_bayes_classify` (counts)
+    and the supervised sibling of :func:`kmeans_fixed` (whose
+    assignment machinery this reuses verbatim): train = one per-label
+    mean pass, score = exact-integer argmin distance to the k label
+    centroids.
+
+    Exactness (the kmeans_fixed discipline): coordinates snap once to
+    integer micro-units; centroids re-snap per dimension
+    (round(Σx/n), one fixed-order double division of exact integers);
+    every point-to-centroid distance is an exact Σ(x−c)² in
+    DECIMAL(38,0); the argmin scans the broadcast sorted centroid
+    array with strict `<`, so ties go to the SMALLEST label —
+    deterministic in every engine.  Unlabeled rows (NULL label) are
+    scored but not trained on — the transductive split.
+
+    Scale: training is one (label, dim) partial-agg exchange of k·d
+    cells; scoring is SCAN-STAGE (centroids ride one broadcast row,
+    the k·d argmin runs inside F.aggregate — no row×k expansion).
+
+    Output per row: (id_col, label, pred, dist2) — dist2 in original
+    units² to the winning centroid.
+    """
+    from pyspark.sql import Window
+
+    dec = lambda c: c.cast("decimal(38,0)")
+    xm = F.transform(F.col(vec_col),
+                     lambda v: F.round(v.cast("double") * 1e6)
+                     .cast("long"))
+    base = (df.filter(F.col(vec_col).isNotNull()
+                      & (F.size(F.col(vec_col)) > 0))
+            .select(F.col(id_col).alias("id"),
+                    F.col(label_col).alias("label"), xm.alias("__xm")))
+    cent_tall = (base.filter(F.col("label").isNotNull())
+                 .select(F.col("label").alias("cid"),
+                         F.posexplode("__xm").alias("dim", "v"))
+                 .groupBy("cid", "dim")
+                 .agg(F.round(F.sum(dec(F.col("v"))).cast("double")
+                              / F.count("*").cast("double"))
+                      .cast("long").alias("c")))
+    cents = (cent_tall.groupBy("cid")
+             .agg(F.transform(
+                 F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                 lambda s: s["c"]).alias("__c")))
+    one = cents.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("cid", "__c")))
+        .alias("__cents"))
+
+    def d_of(carr):
+        return F.aggregate(
+            F.zip_with(F.col("__xm"), carr, lambda a, b: a - b),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda s, v: s + dec(v) * dec(v))
+
+    zero = F.struct(F.lit(None).cast("int").alias("cid"),
+                    F.lit(None).cast("decimal(38,0)").alias("d"))
+
+    def merge(acc, c):
+        d = d_of(c["__c"])
+        better = acc["cid"].isNull() | (d < acc["d"])
+        return (F.when(better, F.struct(c["cid"].cast("int")
+                                        .alias("cid"), d.alias("d")))
+                .otherwise(acc))
+
+    best = F.aggregate(F.col("__cents"), zero, merge)
+    return (base.crossJoin(F.broadcast(one))
+            .select(F.col("id").alias(id_col), "label",
+                    best["cid"].alias("pred"),
+                    F.round(best["d"].cast("double") / F.lit(1e12), 6)
+                    .alias("dist2")))

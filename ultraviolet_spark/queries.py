@@ -13576,6 +13576,49 @@ def q319(spark, sf_dir):
     return sign_test(per, x_col="x", y_col="y")
 
 
+@q("q320_rocchio_classify", """
+WITH base AS (
+  SELECT vec_id AS id, label,
+         list_transform(embedding,
+                        v -> CAST(round(CAST(v AS DOUBLE) * 1e6)
+                                  AS BIGINT)) AS xm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+tall AS (
+  SELECT id, label, CAST(u.i AS INT) AS dim, xm[u.i] AS v
+  FROM base, unnest(generate_series(1, len(xm))) u(i)),
+cent AS (
+  SELECT label AS cid, dim,
+         CAST(round(CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+  FROM tall WHERE label IS NOT NULL GROUP BY label, dim),
+dist AS (
+  SELECT t.id, c.cid,
+         SUM(CAST(t.v - c.c AS HUGEINT) * (t.v - c.c)) AS d
+  FROM tall t JOIN cent c ON c.dim = t.dim
+  GROUP BY t.id, c.cid),
+best AS (
+  SELECT id, cid, d,
+         row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+  FROM dist)
+SELECT b.id AS vec_id, b.label, CAST(best.cid AS INT) AS pred,
+       round(CAST(best.d AS DOUBLE) / 1e12, 6) AS dist2
+FROM base b JOIN best ON best.id = b.id AND best.rn = 1
+""")
+def q320(spark, sf_dir):
+    """Rocchio nearest-centroid classification of the embeddings
+    table by its own labels (the geometric sibling of q307's NB, on
+    q277's exact-distance machinery): per-label snapped-mean
+    centroids, exact DECIMAL(38,0) squared distances, argmin ties to
+    the smallest label — per-row parity with the oracle's
+    row×label×dim replay."""
+    from ultraviolet_spark.operators.mlfit import rocchio_classify
+
+    return rocchio_classify(_t(spark, sf_dir, "embeddings"),
+                            id_col="vec_id", vec_col="embedding",
+                            label_col="label")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
