@@ -2398,3 +2398,52 @@ def sign_test(df: DataFrame, *, x_col: str, y_col: str) -> DataFrame:
                F.round((F.abs(p - q_) - F.lit(1.0))
                        / nz(F.sqrt(p + q_)), 6))
     return agg.select("n", "n_pos", "n_neg", "n_tie", z.alias("z"))
+
+
+def hellinger_drift(ref: DataFrame, cur: DataFrame, *, value_col: str,
+                    bins: int = 10) -> DataFrame:
+    """Hellinger / Bhattacharyya drift per reference-quantile bin —
+    the BOUNDED companion to :func:`psi_drift`: PSI is unbounded (a
+    bin going empty explodes the term even with smoothing), while the
+    Bhattacharyya coefficient BC = Σ√(p·q) lives in [0, 1] and the
+    Hellinger distance √(1−BC) is a proper metric in [0, 1], so
+    thresholds transfer between features of different scales.
+
+    Identical machinery to the PSI: bins are the reference's exact
+    interpolated quantiles (boundaries rounded to 6, the q168
+    policy), counts +1-smoothed, and the per-bin term √(p·q) rounds
+    to 12 places (sqrt is transcendental-adjacent — last-ULP engine
+    differences absorbed the same way as PSI's ln).  No cross-row
+    float sum: callers sum the bc_terms client-side (BC ≤ 1 by
+    Cauchy-Schwarz) and take √(1−BC) for the headline Hellinger.
+
+    Returns one row per bin: (bin_idx, ref_n, cur_n, bc_term).
+    """
+    fracs = [i / bins for i in range(1, bins)]
+    b = ref.agg(F.transform(
+        F.percentile(F.col(value_col).cast("double"),
+                     F.array(*[F.lit(f) for f in fracs])),
+        lambda x: F.round(x, 6)).alias("__b"))
+
+    def binned(df: DataFrame) -> DataFrame:
+        x = F.col(value_col).cast("double")
+        idx = F.aggregate(
+            F.col("__b"), F.lit(1),
+            lambda acc, bd: acc + (x > bd).cast("int"))
+        return (df.crossJoin(F.broadcast(b))
+                .select(idx.alias("bin_idx"))
+                .groupBy("bin_idx").agg(F.count("*").alias("n")))
+
+    r = binned(ref).withColumnRenamed("n", "ref_n")
+    c = binned(cur).withColumnRenamed("n", "cur_n")
+    tot = (r.agg(F.sum("ref_n").alias("rt"))
+           .crossJoin(c.agg(F.sum("cur_n").alias("ct"))))
+    j = (r.join(c, "bin_idx", "left")
+         .withColumn("cur_n", F.coalesce("cur_n", F.lit(0)))
+         .crossJoin(F.broadcast(tot)))
+    p = (F.col("ref_n") + 1).cast("double") / (F.col("rt") + bins)
+    qq = (F.col("cur_n") + 1).cast("double") / (F.col("ct") + bins)
+    return j.select(
+        "bin_idx", F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        F.round(F.sqrt(p * qq), 12).alias("bc_term"))

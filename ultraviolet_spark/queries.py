@@ -13619,6 +13619,48 @@ def q320(spark, sf_dir):
                             label_col="label")
 
 
+@q("q321_hellinger_drift", """
+WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+cur AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+bd AS (SELECT list_transform(
+         quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+         x -> round(x, 6)) AS b
+       FROM ref),
+rb AS (SELECT 1 + CAST(list_sum(list_transform(
+         bd.b, t -> CASE WHEN ref.value > t THEN 1 ELSE 0 END)) AS INT)
+         AS bin_idx
+       FROM ref, bd),
+cb AS (SELECT 1 + CAST(list_sum(list_transform(
+         bd.b, t -> CASE WHEN cur.value > t THEN 1 ELSE 0 END)) AS INT)
+         AS bin_idx
+       FROM cur, bd),
+r AS (SELECT bin_idx, COUNT(*) AS ref_n FROM rb GROUP BY bin_idx),
+c AS (SELECT bin_idx, COUNT(*) AS cur_n FROM cb GROUP BY bin_idx),
+t AS (SELECT (SELECT SUM(ref_n) FROM r) AS rt,
+             (SELECT SUM(cur_n) FROM c) AS ct)
+SELECT r.bin_idx, CAST(r.ref_n AS BIGINT) AS ref_n,
+       CAST(COALESCE(c.cur_n, 0) AS BIGINT) AS cur_n,
+       round(sqrt((CAST(r.ref_n + 1 AS DOUBLE) / (t.rt + 10))
+                  * (CAST(COALESCE(c.cur_n, 0) + 1 AS DOUBLE)
+                     / (t.ct + 10))), 12) AS bc_term
+FROM r LEFT JOIN c USING (bin_idx), t
+""")
+def q321(spark, sf_dir):
+    """Hellinger/Bhattacharyya drift between the event-log halves —
+    the BOUNDED companion to q175's PSI (BC ∈ [0,1] by
+    Cauchy–Schwarz, Hellinger √(1−BC) a proper metric, so thresholds
+    transfer across features of different scales); identical
+    reference-decile binning and smoothing, per-bin √(p·q) rounded
+    to 12."""
+    from ultraviolet_spark.operators.stats import hellinger_drift
+
+    e = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp_ntz")
+    return hellinger_drift(e.filter(F.col("ts") < split),
+                           e.filter(F.col("ts") >= split),
+                           value_col="value", bins=10)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
