@@ -2447,3 +2447,110 @@ def hellinger_drift(ref: DataFrame, cur: DataFrame, *, value_col: str,
         "bin_idx", F.col("ref_n").cast("long").alias("ref_n"),
         F.col("cur_n").cast("long").alias("cur_n"),
         F.round(F.sqrt(p * qq), 12).alias("bc_term"))
+
+
+def cochrans_q(df: DataFrame, *, cols: list[str]) -> DataFrame:
+    """Cochran's Q — the k-condition extension of :func:`mcnemar_test`
+    (k = 2 reduces to McNemar without continuity correction, pinned):
+    do k binary raters/classifiers/conditions applied to the SAME
+    units have equal marginal rates?
+
+        Q = k(k−1)·Σ_j(C_j − T/k)² / (k·T − Σ_i R_i²)
+
+    with R_i the unit's row sum, C_j the condition totals, T = ΣR_i.
+    All sufficient statistics (T, ΣR², every C_j) are exact int64
+    sums from ONE conditional-aggregation pass; Q is one fixed-order
+    double expression — the numerator k·Σ(k·C_j − T)² over
+    denominator k·(k·T − ΣR²) keeps even the centered squares in
+    exact integers (k·C_j − T is integral, no mean subtraction in
+    floats).  Units where all conditions agree contribute R(k−R) = 0
+    to the denominator — the McNemar only-discordance-informs rule,
+    generalized.  Zero denominator (every unit unanimous) → NULL.
+
+    Output one row: (n, k, q, plus c_1..c_k condition totals as an
+    array column ``c_totals``).
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("need at least 2 condition columns")
+    nz = lambda den: F.when(den != 0, den)
+    bs = [F.col(c).cast("boolean").cast("int") for c in cols]
+    row_sum = sum(bs[1:], bs[0])
+    base = df.select(*[b.alias(f"__c{i}") for i, b in enumerate(bs)],
+                     row_sum.alias("__r"))
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum("__r").cast("long").alias("__T"),
+            F.sum(F.col("__r") * F.col("__r")).cast("long")
+            .alias("__R2")]
+    aggs += [F.sum(f"__c{i}").cast("long").alias(f"__C{i}")
+             for i in range(k)]
+    agg = base.agg(*aggs)
+    # numerator: (k-1) * Σ_j (k·C_j − T)²   (exact integers squared)
+    num_terms = None
+    for i in range(k):
+        t = (F.lit(k) * F.col(f"__C{i}") - F.col("__T"))
+        sq = t.cast("decimal(38,0)") * t.cast("decimal(38,0)")
+        num_terms = sq if num_terms is None else num_terms + sq
+    num = F.lit(k - 1).cast("decimal(38,0)") * num_terms
+    den = (F.lit(k).cast("decimal(38,0)")
+           * (F.lit(k) * F.col("__T").cast("decimal(38,0)")
+              - F.col("__R2").cast("decimal(38,0)")))
+    q_stat = F.round(num.cast("double") / nz(den.cast("double")), 6)
+    return agg.select(
+        "n", F.lit(k).cast("int").alias("k"),
+        F.array(*[F.col(f"__C{i}").alias(f"c{i}")
+                  for i in range(k)]).alias("c_totals"),
+        q_stat.alias("q"))
+
+
+def cronbach_alpha(df: DataFrame, *, cols: list[str]) -> DataFrame:
+    """Cronbach's α — internal-consistency reliability of a k-item
+    scale (do the k per-unit measurements move together enough to be
+    averaged into one score?):
+
+        α = k/(k−1) · (1 − Σ_j var_j / var_total)
+
+    with var_j the per-item variance and var_total the variance of
+    the per-unit sum.  α near 1: items are interchangeable signals;
+    near 0 (or negative): averaging them is noise laundering.
+
+    Exactness: items micro-snap to int64; every variance comes from
+    exact DECIMAL(38,0) moments of the items and of the row sum
+    (n·Σx² − (Σx)², the usual identity) accumulated in ONE pass; the
+    per-item variance terms are integers, so Σvar_j·n² is an exact
+    decimal sum (order-independent), and α is one fixed-order double
+    ratio.  Zero total variance → NULL.
+
+    Output one row: (n, k, alpha).
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("need at least 2 item columns")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    nz = lambda den: F.when(den != 0, den)
+    ms = [F.round(F.col(c).cast("double") * 1e6).cast("long")
+          for c in cols]
+    tot = sum(ms[1:], ms[0])
+    sel = [m.alias(f"__x{i}") for i, m in enumerate(ms)]
+    base = df.select(*sel, tot.alias("__t"))
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum(d38(F.col("__t"))).alias("__st"),
+            F.sum(d38(F.col("__t")) * d38(F.col("__t"))).alias("__stt")]
+    for i in range(k):
+        aggs += [F.sum(d38(F.col(f"__x{i}"))).alias(f"__s{i}"),
+                 F.sum(d38(F.col(f"__x{i}")) * d38(F.col(f"__x{i}")))
+                 .alias(f"__ss{i}")]
+    agg = base.agg(*aggs)
+    n = F.col("n").cast("decimal(38,0)")
+    item_var = None
+    for i in range(k):
+        v = n * F.col(f"__ss{i}") - F.col(f"__s{i}") * F.col(f"__s{i}")
+        item_var = v if item_var is None else item_var + v
+    tot_var = n * F.col("__stt") - F.col("__st") * F.col("__st")
+    alpha = F.when(
+        tot_var.cast("double") > 0,
+        F.round(F.lit(float(k) / (k - 1))
+                * (F.lit(1.0) - item_var.cast("double")
+                   / nz(tot_var.cast("double"))), 6))
+    return agg.select("n", F.lit(k).cast("int").alias("k"),
+                      alpha.alias("alpha"))

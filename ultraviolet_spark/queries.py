@@ -13661,6 +13661,101 @@ def q321(spark, sf_dir):
                            value_col="value", bins=10)
 
 
+@q("q322_cochrans_q", """
+WITH per AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(c0 + c1 + c2) AS BIGINT) AS T,
+    CAST(SUM((c0 + c1 + c2) * (c0 + c1 + c2)) AS BIGINT) AS R2,
+    CAST(SUM(c0) AS BIGINT) AS C0,
+    CAST(SUM(c1) AS BIGINT) AS C1,
+    CAST(SUM(c2) AS BIGINT) AS C2
+  FROM per)
+SELECT n, CAST(3 AS INT) AS k,
+  round(CAST(2 * (CAST(3 * C0 - T AS HUGEINT) * (3 * C0 - T)
+                  + CAST(3 * C1 - T AS HUGEINT) * (3 * C1 - T)
+                  + CAST(3 * C2 - T AS HUGEINT) * (3 * C2 - T))
+             AS DOUBLE)
+        / NULLIF(CAST(3 * (3 * CAST(T AS HUGEINT) - R2) AS DOUBLE), 0),
+        6) AS q
+FROM agg
+""")
+def q322(spark, sf_dir):
+    """Cochran's Q across the three per-user ever-did indicators
+    (click / view / purchase): the k-condition extension of q318's
+    McNemar — equal marginal rates across k paired binaries, with
+    the centered squares kept in exact integers (k·C_j − T) and
+    unanimous units contributing zero, the only-discordance-informs
+    rule generalized."""
+    from ultraviolet_spark.operators.stats import cochrans_q
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(*[(F.max(F.when(F.col("event_type") == t, 1)
+                         .otherwise(0)) == 1).alias(a)
+                  for t, a in [("click", "a"), ("view", "b"),
+                               ("purchase", "c")]]))
+    return cochrans_q(per, cols=["a", "b", "c"]).select("n", "k", "q")
+
+
+@q("q323_cronbach_alpha", """
+WITH per AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS x0,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS x1,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS x2
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT CAST(round(x0 * 1e6) AS BIGINT) AS m0,
+         CAST(round(x1 * 1e6) AS BIGINT) AS m1,
+         CAST(round(x2 * 1e6) AS BIGINT) AS m2
+  FROM per),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(m0 + m1 + m2 AS HUGEINT)) AS st,
+    SUM(CAST(m0 + m1 + m2 AS HUGEINT) * (m0 + m1 + m2)) AS stt,
+    SUM(CAST(m0 AS HUGEINT)) AS s0,
+    SUM(CAST(m0 AS HUGEINT) * m0) AS ss0,
+    SUM(CAST(m1 AS HUGEINT)) AS s1,
+    SUM(CAST(m1 AS HUGEINT) * m1) AS ss1,
+    SUM(CAST(m2 AS HUGEINT)) AS s2,
+    SUM(CAST(m2 AS HUGEINT) * m2) AS ss2
+  FROM m)
+SELECT n, CAST(3 AS INT) AS k,
+  CASE WHEN CAST(n * stt - st * st AS DOUBLE) > 0 THEN
+    round(1.5 * (1.0
+                 - CAST((n * ss0 - s0 * s0) + (n * ss1 - s1 * s1)
+                        + (n * ss2 - s2 * s2) AS DOUBLE)
+                   / NULLIF(CAST(n * stt - st * st AS DOUBLE), 0)), 6)
+  END AS alpha
+FROM agg
+""")
+def q323(spark, sf_dir):
+    """Cronbach's α over the three per-user activity counts (click /
+    view / purchase as a 3-item 'engagement scale'): do the items
+    move together enough to average into one score?  Exact
+    DECIMAL(38,0) moments of the items and the row sum in one pass,
+    per-item variance terms exact integers summed order-
+    independently, one fixed-order double ratio."""
+    from ultraviolet_spark.operators.stats import cronbach_alpha
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(*[F.sum(F.when(F.col("event_type") == t, 1)
+                        .otherwise(0)).cast("double").alias(a)
+                  for t, a in [("click", "x0"), ("view", "x1"),
+                               ("purchase", "x2")]]))
+    return cronbach_alpha(per, cols=["x0", "x1", "x2"])
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
