@@ -2554,3 +2554,68 @@ def cronbach_alpha(df: DataFrame, *, cols: list[str]) -> DataFrame:
                    / nz(tot_var.cast("double"))), 6))
     return agg.select("n", F.lit(k).cast("int").alias("k"),
                       alpha.alias("alpha"))
+
+
+def friedman_test(df: DataFrame, *, cols: list[str]) -> DataFrame:
+    """Friedman test + Kendall's W — the k-treatment repeated-measures
+    companion to the k-sample ANOVA: each unit (block) ranks the k
+    treatments WITHIN itself, so unit-level offsets (heavy users
+    inflate every count) cancel by construction where raw-value ANOVA
+    sees only the offsets.  Kendall's W = χ²/(n(k−1)) rides along as
+    the [0, 1] effect size (1 = every unit agrees on the ordering).
+
+    Exactness: within-block average ranks for ties are kept integral
+    as DOUBLED ranks a = 2C + t + 1 (C strictly-below count, t tie
+    count incl. self — the spearman_rho identity), computed in-plan
+    from k² pairwise comparisons per row (k is small; no window, no
+    shuffle beyond one global agg).  With doubled ranks the
+    tie-corrected statistic is PURE INTEGER arithmetic:
+
+        χ² = (k−1)·Σ_j (R2_j − n(k+1))²  /  (Σ a² − n·k(k+1)²)
+
+    (R2_j the doubled rank totals; the 4s cancel), one double
+    division at the end.  Every block fully tied → zero denominator
+    → NULL (no information about ordering).
+
+    Output one row: (n, k, chi2, w).
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("need at least 2 treatment columns")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    nz = lambda den: F.when(den != 0, den)
+    ms = [F.round(F.col(c).cast("double") * 1e6).cast("long")
+          for c in cols]
+    ranks = []
+    for j in range(k):
+        below = None
+        tied = None
+        for l in range(k):
+            b = F.when(ms[l] < ms[j], 1).otherwise(0)
+            t = F.when(ms[l] == ms[j], 1).otherwise(0)
+            below = b if below is None else below + b
+            tied = t if tied is None else tied + t
+        ranks.append((F.lit(2) * below + tied + F.lit(1)).cast("long"))
+    base = df.select(*[r.alias(f"__a{j}") for j, r in enumerate(ranks)])
+    aggs = [F.count("*").cast("long").alias("n")]
+    sq_sum = None
+    for j in range(k):
+        aggs.append(F.sum(d38(F.col(f"__a{j}"))).alias(f"__R{j}"))
+        s = F.sum(d38(F.col(f"__a{j}")) * d38(F.col(f"__a{j}")))
+        sq_sum = s if sq_sum is None else sq_sum + s
+    aggs.append(sq_sum.alias("__A2"))
+    agg = base.agg(*aggs)
+    n = F.col("n").cast("decimal(38,0)")
+    num = None
+    for j in range(k):
+        d = F.col(f"__R{j}") - n * F.lit(k + 1)
+        num = d * d if num is None else num + d * d
+    num = F.lit(k - 1).cast("decimal(38,0)") * num
+    den = F.col("__A2") - n * F.lit(k * (k + 1) * (k + 1))
+    chi2 = F.round(num.cast("double") / nz(den.cast("double")), 6)
+    w = F.round(num.cast("double")
+                / nz(den.cast("double"))
+                / nz(F.col("n").cast("double") * F.lit(float(k - 1))),
+                6)
+    return agg.select("n", F.lit(k).cast("int").alias("k"),
+                      chi2.alias("chi2"), w.alias("w"))

@@ -13756,6 +13756,77 @@ def q323(spark, sf_dir):
     return cronbach_alpha(per, cols=["x0", "x1", "x2"])
 
 
+def _q324_sql() -> str:
+    """Friedman/W oracle: per-user doubled within-block ranks of the
+    three activity counts from the 9 pairwise comparisons, then the
+    all-integer tie-corrected statistic."""
+    items = ["m0", "m1", "m2"]
+    rank_exprs = []
+    for j, mj in enumerate(items):
+        below = " + ".join(
+            f"(CASE WHEN {ml} < {mj} THEN 1 ELSE 0 END)"
+            for ml in items)
+        tied = " + ".join(
+            f"(CASE WHEN {ml} = {mj} THEN 1 ELSE 0 END)"
+            for ml in items)
+        rank_exprs.append(
+            f"CAST(2 * ({below}) + ({tied}) + 1 AS BIGINT) AS a{j}")
+    k = 3
+    num = " + ".join(
+        f"(CAST(R{j} AS HUGEINT) - CAST(n AS HUGEINT) * {k + 1})"
+        f" * (CAST(R{j} AS HUGEINT) - CAST(n AS HUGEINT) * {k + 1})"
+        for j in range(k))
+    return f"""
+WITH per AS (
+  SELECT user_id,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS m0,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS m1,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS m2
+  FROM events GROUP BY user_id),
+rk AS (SELECT {', '.join(rank_exprs)} FROM per),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(a0 AS HUGEINT)) AS R0,
+    SUM(CAST(a1 AS HUGEINT)) AS R1,
+    SUM(CAST(a2 AS HUGEINT)) AS R2,
+    SUM(CAST(a0 AS HUGEINT) * a0 + CAST(a1 AS HUGEINT) * a1
+        + CAST(a2 AS HUGEINT) * a2) AS A2
+  FROM rk)
+SELECT n, CAST({k} AS INT) AS k,
+  round(CAST({k - 1} * ({num}) AS DOUBLE)
+        / NULLIF(CAST(A2 - CAST(n AS HUGEINT)
+                      * {k * (k + 1) * (k + 1)} AS DOUBLE), 0), 6)
+    AS chi2,
+  round(CAST({k - 1} * ({num}) AS DOUBLE)
+        / NULLIF(CAST(A2 - CAST(n AS HUGEINT)
+                      * {k * (k + 1) * (k + 1)} AS DOUBLE), 0)
+        / NULLIF(CAST(n AS DOUBLE) * {float(k - 1)}, 0), 6) AS w
+FROM agg
+"""
+
+
+@q("q324_friedman_activity", _q324_sql())
+def q324(spark, sf_dir):
+    """Friedman test + Kendall's W over each user's within-block
+    ranking of (click, view, purchase) counts: unit-level activity
+    offsets cancel by construction where raw-value ANOVA sees only
+    the offsets; doubled ranks 2C+t+1 from the 9 in-plan pairwise
+    comparisons, tie-corrected statistic in pure integer arithmetic,
+    one double division."""
+    from ultraviolet_spark.operators.stats import friedman_test
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(*[F.sum(F.when(F.col("event_type") == t, 1)
+                        .otherwise(0)).cast("double").alias(a)
+                  for t, a in [("click", "x0"), ("view", "x1"),
+                               ("purchase", "x2")]]))
+    return friedman_test(per, cols=["x0", "x1", "x2"])
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
