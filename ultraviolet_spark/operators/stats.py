@@ -2619,3 +2619,62 @@ def friedman_test(df: DataFrame, *, cols: list[str]) -> DataFrame:
                 6)
     return agg.select("n", F.lit(k).cast("int").alias("k"),
                       chi2.alias("chi2"), w.alias("w"))
+
+
+def runs_test(df: DataFrame, *, by: str, order_col: str,
+              tiebreak_col: str, flag_expr: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per key — the randomness check for a
+    binary SEQUENCE the marginal tests can't see: n₁ successes among
+    n trials say nothing about whether they arrived scattered or in
+    one clump; the number of runs R (maximal same-value stretches)
+    does.  Too few runs = clustering/serial correlation, too many =
+    alternation.
+
+        E[R] = 1 + 2n₁n₀/n,   Var[R] = 2n₁n₀(2n₁n₀−n)/(n²(n−1))
+        z = (R − E)/√Var
+
+    Exactness: R, n₁, n₀ are exact int64 (R = 1 + Σ[x_t ≠ x_{t−1}]
+    from one lag over the (order, tiebreak) total order — the
+    explicit unique tie-break the ordering rule requires); the
+    moments are fixed-order doubles over those integers with 2n₁n₀
+    formed in DECIMAL(38,0) first (it crosses int64 at n ≈ 4·10⁹).
+    A one-sided sequence (n₁ = 0 or n₀ = 0) has Var = 0 → NULL z.
+
+    Scale: one key-partitioned sort-window exchange + one reusing
+    groupBy — the acf_by_key shape.
+
+    Output per key: (by, n, n1, n0, runs, z).
+    """
+    from pyspark.sql import Window
+
+    nz = lambda den: F.when(den != 0, den)
+    d38 = lambda c: c.cast("decimal(38,0)")
+    w = Window.partitionBy(by).orderBy(F.col(order_col).asc(),
+                                       F.col(tiebreak_col).asc())
+    x = F.expr(flag_expr).cast("int")
+    base = df.select(F.col(by).alias("__k"), x.alias("__x"),
+                     F.col(order_col).alias("__o"),
+                     F.col(tiebreak_col).alias("__t"))
+    w2 = Window.partitionBy("__k").orderBy(F.col("__o").asc(),
+                                           F.col("__t").asc())
+    stepped = base.withColumn(
+        "__new", F.when(F.lag("__x").over(w2).isNull()
+                        | (F.lag("__x").over(w2) != F.col("__x")),
+                        1).otherwise(0))
+    g = stepped.groupBy("__k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("n1"),
+        F.sum("__new").cast("long").alias("runs"))
+    g = g.withColumn("n0", (F.col("n") - F.col("n1")).cast("long"))
+    n = F.col("n").cast("double")
+    two_p = (F.lit(2).cast("decimal(38,0)") * d38(F.col("n1"))
+             * d38(F.col("n0"))).cast("double")
+    e_r = F.lit(1.0) + two_p / nz(n)
+    var = (two_p * (two_p - n)
+           / nz(n * n * (n - F.lit(1.0))))
+    z = F.when((F.col("n1") > 0) & (F.col("n0") > 0)
+               & (F.col("n") >= 2) & (var > 0),
+               F.round((F.col("runs").cast("double") - e_r)
+                       / nz(F.sqrt(var)), 6))
+    return g.select(F.col("__k").alias(by), "n", "n1", "n0", "runs",
+                    z.alias("z"))

@@ -13827,6 +13827,54 @@ def q324(spark, sf_dir):
     return friedman_test(per, cols=["x0", "x1", "x2"])
 
 
+@q("q325_runs_test", """
+WITH base AS (
+  SELECT user_id AS k, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events),
+st AS (
+  SELECT k, x,
+         CASE WHEN lag(x) OVER (PARTITION BY k ORDER BY ts, event_id)
+                IS DISTINCT FROM x THEN 1 ELSE 0 END AS nw
+  FROM base),
+g AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS n1,
+         CAST(SUM(nw) AS BIGINT) AS runs
+  FROM st GROUP BY k),
+g2 AS (SELECT k, n, n1, CAST(n - n1 AS BIGINT) AS n0, runs FROM g)
+SELECT k AS user_id, n, n1, n0, runs,
+  CASE WHEN n1 > 0 AND n0 > 0 AND n >= 2
+        AND CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE)
+            * (CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE)
+               - CAST(n AS DOUBLE))
+            / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * (CAST(n AS DOUBLE) - 1.0), 0) > 0 THEN
+    round((CAST(runs AS DOUBLE)
+           - (1.0 + CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE)
+                    / NULLIF(CAST(n AS DOUBLE), 0)))
+          / NULLIF(sqrt(CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE)
+                        * (CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE)
+                           - CAST(n AS DOUBLE))
+                        / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0), 0)), 0),
+          6)
+  END AS z
+FROM g2
+""")
+def q325(spark, sf_dir):
+    """Wald–Wolfowitz runs test on each user's purchase/non-purchase
+    event sequence (ordered by ts, event_id): do purchases cluster in
+    time or alternate randomly — the sequence property the marginal
+    purchase rate can't see; exact integer run counts from one lag
+    pass, 2n₁n₀ in DECIMAL(38,0), fixed-order z."""
+    from ultraviolet_spark.operators.stats import runs_test
+
+    return runs_test(_t(spark, sf_dir, "events"), by="user_id",
+                     order_col="ts", tiebreak_col="event_id",
+                     flag_expr="event_type = 'purchase'")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
