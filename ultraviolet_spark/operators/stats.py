@@ -2678,3 +2678,78 @@ def runs_test(df: DataFrame, *, by: str, order_col: str,
                        / nz(F.sqrt(var)), 6))
     return g.select(F.col("__k").alias(by), "n", "n1", "n0", "runs",
                     z.alias("z"))
+
+
+def durbin_watson_by_key(df: DataFrame, *, by: str, x_col: str,
+                         y_col: str, order_col: str,
+                         tiebreak_col: str) -> DataFrame:
+    """Durbin–Watson serial-correlation statistic of per-key OLS
+    residuals — the diagnostic that says whether
+    ``ols_trend_by_key``'s line is the whole story: DW ≈ 2 means the
+    residuals are serially uncorrelated; DW → 0 means positive
+    autocorrelation (the trend line is systematically over/under for
+    stretches — a missing regime or seasonality); DW → 4 means
+    alternation.
+
+        DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t²
+
+    Exactness: the OLS fit comes from exact DECIMAL(38,0) sums
+    (micro-snapped x, y; slope and intercept as fixed-order doubles
+    of those integers — identical cross-engine); each residual is
+    then µ-SNAPPED to an integer, so both DW sums are exact integer
+    arithmetic over the (order, tiebreak) total order and the
+    statistic is one double division.  Constant-x keys (no slope) and
+    zero-residual keys (perfect fit) report NULL.
+
+    Scale: one keyed agg for the fit, one broadcast-joined residual
+    pass with a key-partitioned lag window (the acf shape), one final
+    keyed agg.
+
+    Output per key: (by, n, slope_micro, dw).
+    """
+    from pyspark.sql import Window
+
+    d38 = lambda c: c.cast("decimal(38,0)")
+    nz = lambda den: F.when(den != 0, den)
+    xm = F.round(F.col(x_col).cast("double") * 1e6).cast("long")
+    ym = F.round(F.col(y_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(xm.isNotNull() & ym.isNotNull())
+            .select(F.col(by).alias("__k"), xm.alias("__x"),
+                    ym.alias("__y"), F.col(order_col).alias("__o"),
+                    F.col(tiebreak_col).alias("__t")))
+    fit = base.groupBy("__k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d38(F.col("__x"))).alias("__sx"),
+        F.sum(d38(F.col("__y"))).alias("__sy"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__x"))).alias("__sxx"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__y"))).alias("__sxy"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    den_b = nd * F.col("__sxx").cast("double") - sx * sx
+    b = (nd * F.col("__sxy").cast("double") - sx * sy) / nz(den_b)
+    a = (sy - b * sx) / nz(nd)
+    fit = fit.select("__k", "n", b.alias("__b"), a.alias("__a"),
+                     F.round(b * F.lit(1e6)).cast("long")
+                     .alias("slope_micro"))
+    res = (base.join(fit, "__k")
+           .withColumn("__e", F.round(
+               F.col("__y").cast("double")
+               - (F.col("__a") + F.col("__b")
+                  * F.col("__x").cast("double"))).cast("long")))
+    w = Window.partitionBy("__k").orderBy(F.col("__o").asc(),
+                                          F.col("__t").asc())
+    res = res.withColumn("__ep", F.lag("__e").over(w))
+    g = res.groupBy("__k").agg(
+        F.max("n").alias("n"), F.max("slope_micro").alias("slope_micro"),
+        F.sum(d38(F.col("__e")) * d38(F.col("__e"))).alias("__see"),
+        F.sum(F.when(F.col("__ep").isNotNull(),
+                     d38(F.col("__e") - F.col("__ep"))
+                     * d38(F.col("__e") - F.col("__ep")))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .alias("__sdd"))
+    dw = F.when((F.col("__see").cast("double") > 0)
+                & F.col("slope_micro").isNotNull(),
+                F.round(F.col("__sdd").cast("double")
+                        / nz(F.col("__see").cast("double")), 6))
+    return g.select(F.col("__k").alias(by), "n", "slope_micro",
+                    dw.alias("dw"))

@@ -13875,6 +13875,76 @@ def q325(spark, sf_dir):
                      flag_expr="event_type = 'purchase'")
 
 
+@q("q326_durbin_watson", """
+WITH base AS (
+  SELECT user_id AS k,
+         CAST(round(epoch_us(ts) / 3.6e9 * 1e6) AS BIGINT) AS x,
+         CAST(round(value * 1e6) AS BIGINT) AS y,
+         ts, event_id
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+fit AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM base GROUP BY k),
+ab AS (
+  SELECT k, n,
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS b,
+    sx, sy
+  FROM fit),
+ab2 AS (
+  SELECT k, n, b,
+         (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+           / NULLIF(CAST(n AS DOUBLE), 0) AS a,
+         CAST(round(b * 1e6) AS BIGINT) AS slope_micro
+  FROM ab),
+res AS (
+  SELECT base.k, ab2.n, ab2.slope_micro,
+         CAST(round(CAST(y AS DOUBLE)
+                    - (ab2.a + ab2.b * CAST(x AS DOUBLE))) AS BIGINT)
+           AS e,
+         ts, event_id
+  FROM base JOIN ab2 ON ab2.k = base.k),
+lagd AS (
+  SELECT k, n, slope_micro, e,
+         lag(e) OVER (PARTITION BY k ORDER BY ts, event_id) AS ep
+  FROM res),
+g AS (
+  SELECT k, MAX(n) AS n, MAX(slope_micro) AS slope_micro,
+         SUM(CAST(e AS HUGEINT) * e) AS see,
+         SUM(CASE WHEN ep IS NOT NULL
+             THEN CAST(e - ep AS HUGEINT) * (e - ep) ELSE 0 END)
+           AS sdd
+  FROM lagd GROUP BY k)
+SELECT k AS user_id, CAST(n AS BIGINT) AS n, slope_micro,
+  CASE WHEN CAST(see AS DOUBLE) > 0 AND slope_micro IS NOT NULL THEN
+    round(CAST(sdd AS DOUBLE) / NULLIF(CAST(see AS DOUBLE), 0), 6)
+  END AS dw
+FROM g
+""")
+def q326(spark, sf_dir):
+    """Durbin–Watson statistic of each user's purchase-value OLS
+    residuals (q309's trend frame): DW ≈ 2 = trend is the whole
+    story, → 0 = stretches of systematic over/under (missing
+    regime), → 4 = alternation; exact-sum OLS, residuals µ-snapped
+    so both DW sums are exact integers, one double division."""
+    from ultraviolet_spark.operators.stats import durbin_watson_by_key
+
+    p = (_t(spark, sf_dir, "events")
+         .filter((F.col("event_type") == "purchase")
+                 & F.col("value").isNotNull())
+         .select("user_id", "ts", "event_id",
+                 (F.unix_micros(F.col("ts").cast("timestamp"))
+                  / F.lit(3.6e9)).alias("xh"), "value"))
+    return durbin_watson_by_key(p, by="user_id", x_col="xh",
+                                y_col="value", order_col="ts",
+                                tiebreak_col="event_id")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
