@@ -280,3 +280,73 @@ def fs_score_pairs(pairs: DataFrame, weights: DataFrame, *,
         score = term if score is None else score + term
     return (j.withColumn("score_micro", score.cast("long"))
             .drop("__w"))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, *, id_col: str,
+                              sort_expr: str, window: int = 3,
+                              n_buckets: int = 64) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    classic O(n·w) candidate generator between exact blocking (misses
+    near-misses that hash apart) and all-pairs (quadratic): sort all
+    records by a fuzzy key (e.g. a name prefix, a normalized URL),
+    then pair every record with its ``window`` successors in the sort
+    order.  Two records whose keys are CLOSE end up adjacent even
+    when no exact blocking key agrees.
+
+    Exactness: the global rank over (sort key, id) runs the two-phase
+    value-range bucket machinery over the md5-integerized key prefix
+    (in-bucket row_numbers + broadcast offsets — no single-partition
+    window, same as quantile_bin); pairs come from ONE
+    explode(1..w) + equi-join on rank+offset — a keyed join, never a
+    range join or cartesian.  Output is deterministic: the (key, id)
+    total order is unique.
+
+    Scale: n·w candidate pairs by construction; the sort key should
+    be designed so true matches land within w (multi-pass with
+    rotated keys is the standard recipe — call this operator once
+    per key).
+
+    Returns ``(id_a, id_b, rank_a, rank_b)`` with rank_a < rank_b ≤
+    rank_a + window.
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    w_ = int(window)
+    key = F.expr(sort_expr).cast("string")
+    # integerize the leading 12 hex of md5 ONLY for bucketing — the
+    # ORDER uses the real key (bucket boundaries need not respect
+    # order, offsets are computed per bucket of the key range instead)
+    base = (df.select(F.col(id_col).alias("id"), key.alias("__s"))
+            .filter(F.col("__s").isNotNull()))
+    # two-phase rank over the (key, id) order: bucket by the key's
+    # first two characters — a MONOTONE function of the sort order
+    # (md5 buckets would scatter it), so in-bucket (key, id)
+    # row_numbers + bucket offsets reproduce the global total order;
+    # ASCII-safe sort keys documented (codepoint vs UTF-8-byte order
+    # diverges for multibyte keys)
+    pref = (F.coalesce(F.ascii(F.substring(F.col("__s"), 1, 1)),
+                       F.lit(0)) * 256
+            + F.coalesce(F.ascii(F.substring(F.col("__s"), 2, 1)),
+                         F.lit(0))).cast("int")
+    b = base.withColumn("__b", (pref % F.lit(65536)).cast("int"))
+    w_in = Window.partitionBy("__b").orderBy("__s", "id")
+    r = b.withColumn("__i", F.row_number().over(w_in))
+    bc = b.groupBy("__b").agg(F.count("*").alias("__c"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding,
+                                              -1)
+    boff = bc.select("__b", F.coalesce(
+        F.sum("__c").over(w_off), F.lit(0)).alias("__off"))
+    ranked = (r.join(F.broadcast(boff), "__b")
+              .select("id", "__s",
+                      (F.col("__off") + F.col("__i")).cast("long")
+                      .alias("__rk")))
+    left = ranked.withColumn(
+        "__o", F.explode(F.sequence(F.lit(1), F.lit(w_))))
+    left = left.select(F.col("id").alias("id_a"),
+                       F.col("__rk").alias("rank_a"),
+                       (F.col("__rk") + F.col("__o")).alias("__rk2"))
+    right = ranked.select(F.col("id").alias("id_b"),
+                          F.col("__rk").alias("rank_b"))
+    return (left.join(right, left["__rk2"] == right["rank_b"])
+            .select("id_a", "id_b", "rank_a", "rank_b"))

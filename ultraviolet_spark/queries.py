@@ -13945,6 +13945,40 @@ def q326(spark, sf_dir):
                                 tiebreak_col="event_id")
 
 
+@q("q327_sorted_neighborhood", """
+WITH base AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, 24) AS s
+  FROM documents WHERE text IS NOT NULL),
+ranked AS (
+  SELECT id, row_number() OVER (ORDER BY s, id) AS rk FROM base),
+l AS (SELECT id AS id_a, rk AS rank_a, rk + t.o AS rk2
+      FROM ranked, (SELECT * FROM (VALUES (1), (2)) v(o)) t)
+SELECT l.id_a, r.id AS id_b, CAST(l.rank_a AS BIGINT) AS rank_a,
+       CAST(r.rk AS BIGINT) AS rank_b
+FROM l JOIN ranked r ON r.rk = l.rk2
+""")
+def q327(spark, sf_dir):
+    """Sorted-neighborhood blocking over the documents table (fuzzy
+    key = first 24 alphanumeric chars of the lowercased text, window
+    2): the classic O(n·w) ER candidate generator between exact
+    blocking and all-pairs — near-miss keys land adjacent in the
+    sort; two-phase monotone-prefix-bucket rank (no single-partition
+    window), pairs from one explode+equi-join, never a range join."""
+    from ultraviolet_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    return sorted_neighborhood_pairs(
+        d, id_col="doc_id",
+        sort_expr=("substring(regexp_replace(lower(text), "
+                   "'[^a-z0-9]', ''), 1, 24)"),
+        window=2)
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
