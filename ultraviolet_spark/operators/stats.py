@@ -2753,3 +2753,42 @@ def durbin_watson_by_key(df: DataFrame, *, by: str, x_col: str,
                         / nz(F.col("__see").cast("double")), 6))
     return g.select(F.col("__k").alias(by), "n", "slope_micro",
                     dw.alias("dw"))
+
+
+def wilson_intervals(df: DataFrame, *, by: str, success_expr: str,
+                     z: float = 1.96) -> DataFrame:
+    """Per-key Wilson score confidence interval for a proportion —
+    the interval the textbook Wald ±z√(p̂(1−p̂)/n) isn't: Wald
+    collapses to width 0 at p̂ ∈ {0, 1} (claiming certainty from
+    3 observations, pinned) and escapes [0, 1]; Wilson stays inside
+    and stays honest at the boundaries.
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    Exactness: exact int64 (n, s) per key from one conditional agg;
+    every derived quantity is a fixed-order double over those
+    integers with the z literal shared verbatim by both engines;
+    bounds rounded to 6.  n = 0 keys don't exist by construction
+    (groupBy emits only observed keys).
+
+    Output per key: (by, n, successes, p_hat, wilson_lo, wilson_hi).
+    """
+    zz = float(z)
+    g = (df.groupBy(by)
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(F.when(F.expr(success_expr), 1).otherwise(0))
+              .cast("long").alias("successes")))
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2 = F.lit(zz * zz)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (F.lit(zz)
+            * F.sqrt(p * (F.lit(1.0) - p) / n
+                     + z2 / (F.lit(4.0) * n * n))) / denom
+    return g.select(
+        by, "n", "successes",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"))

@@ -13979,6 +13979,55 @@ def q327(spark, sf_dir):
         window=2)
 
 
+@q("q328_wilson_intervals", """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value IS NOT NULL AND value > 50
+                  THEN 1 ELSE 0 END) AS BIGINT) AS successes
+  FROM events GROUP BY event_type)
+SELECT event_type, n, successes,
+  round(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+  round((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+         + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+        - (1.96 * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(successes AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + (1.96 * 1.96)
+                         / (4.0 * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE))))
+          / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6)
+    AS wilson_lo,
+  round((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+         + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+        + (1.96 * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(successes AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + (1.96 * 1.96)
+                         / (4.0 * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE))))
+          / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6)
+    AS wilson_hi
+FROM g
+""")
+def q328(spark, sf_dir):
+    """Wilson score intervals for the per-event-type share of
+    high-value (> 50) events: the proportion interval that stays
+    inside [0,1] and stays honest at the boundaries where the Wald
+    interval collapses to zero width; exact per-type counts, every
+    derived quantity a fixed-order double with the z=1.96 literal
+    shared verbatim."""
+    from ultraviolet_spark.operators.stats import wilson_intervals
+
+    return wilson_intervals(
+        _t(spark, sf_dir, "events"), by="event_type",
+        success_expr="value IS NOT NULL AND value > 50")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
