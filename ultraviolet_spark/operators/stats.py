@@ -2792,3 +2792,101 @@ def wilson_intervals(df: DataFrame, *, by: str, success_expr: str,
         F.round(p, 6).alias("p_hat"),
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"))
+
+
+def binary_segmentation(df: DataFrame, *, key_col: str, order_col: str,
+                        value_col: str, tiebreak_col: str) -> DataFrame:
+    """Depth-2 binary segmentation — the MULTIPLE-change-point
+    extension of :func:`change_point` (which finds exactly one): find
+    the best mean-shift split τ₁, then recurse ONCE into each side,
+    giving up to three change points / four segments.  A two-step
+    staircase fools the single detector into a compromise split;
+    binary segmentation recovers both steps (pinned).
+
+    Exactness discipline inherited verbatim: micro-snapped values,
+    per-split discriminant D = S_rel·m − i_rel·Z_seg as an exact
+    DECIMAL(38,0) integer (segment-relative prefix sums are
+    differences of exact prefixes), gain evaluated as fixed-order
+    doubles of exact integers ROUNDED to an integer-valued double
+    before each argmax, ties to smallest τ — both rounds replay
+    engine-exact.  Sub-segments shorter than 2 have no admissible
+    split and report NULL (never a degenerate τ).
+
+    Scale: the SAME one-(key)-exchange prefix window as change_point,
+    reused for both rounds (round 2 is a broadcast-joined filter over
+    the identical ranked frame — no second sort); two key-sized
+    argmax windows.
+
+    Output per key: (key, n, tau1, gain1, tau_l, gain_l, tau_r,
+    gain_r) — all τ as 1-based absolute left-segment sizes.
+    """
+    from pyspark.sql import Window
+
+    d38 = lambda c: c.cast("decimal(38,0)")
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(v.isNotNull())
+            .select(F.col(key_col).alias("key"),
+                    F.col(order_col).alias("o"),
+                    F.col(tiebreak_col).alias("tb"), v.alias("v")))
+    w = Window.partitionBy("key").orderBy("o", "tb")
+    wk = Window.partitionBy("key")
+    r = base.select(
+        "key",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s"),
+        F.sum("v").over(wk).alias("sn"),
+        F.count("*").over(wk).cast("long").alias("n"))
+    r = r.localCheckpoint(eager=False)      # reused by both rounds
+    c1 = r.filter(F.col("i") < F.col("n"))
+    dd = (d38(F.col("s")) * d38(F.col("n"))
+          - d38(F.col("i")) * d38(F.col("sn"))).cast("double")
+    g1 = F.round(dd * dd / F.col("n").cast("double")
+                 / F.col("i").cast("double")
+                 / (F.col("n") - F.col("i")).cast("double"))
+    c1 = c1.withColumn("g", g1)
+    pick1 = F.row_number().over(
+        Window.partitionBy("key").orderBy(F.col("g").desc(),
+                                          F.col("i").asc()))
+    w1 = (c1.withColumn("__p", pick1).filter(F.col("__p") == 1)
+          .select("key", F.col("i").alias("tau1"),
+                  F.col("g").alias("gain1"), F.col("s").alias("s1")))
+    j = r.join(w1, "key")        # keyed join: w1 is per-key-sized
+    seg = F.when(F.col("i") <= F.col("tau1"), 0).otherwise(1)
+    i_rel = F.when(seg == 0, F.col("i")) \
+        .otherwise(F.col("i") - F.col("tau1"))
+    m = F.when(seg == 0, F.col("tau1")) \
+        .otherwise(F.col("n") - F.col("tau1"))
+    z_seg = F.when(seg == 0, F.col("s1")) \
+        .otherwise(F.col("sn") - F.col("s1"))
+    p_rel = F.when(seg == 0, F.col("s")) \
+        .otherwise(F.col("s") - F.col("s1"))
+    j = (j.select("key", "tau1", "gain1", "n",
+                  seg.alias("seg"), i_rel.alias("ir"),
+                  m.alias("m"), z_seg.alias("z"), p_rel.alias("p"))
+         .filter(F.col("ir") < F.col("m")))
+    d2 = (d38(F.col("p")) * d38(F.col("m"))
+          - d38(F.col("ir")) * d38(F.col("z"))).cast("double")
+    g2 = F.round(d2 * d2 / F.col("m").cast("double")
+                 / F.col("ir").cast("double")
+                 / (F.col("m") - F.col("ir")).cast("double"))
+    j = j.withColumn("g2", g2)
+    pick2 = F.row_number().over(
+        Window.partitionBy("key", "seg").orderBy(F.col("g2").desc(),
+                                                 F.col("ir").asc()))
+    w2 = (j.withColumn("__p", pick2).filter(F.col("__p") == 1)
+          .groupBy("key")
+          .agg(F.max(F.when(F.col("seg") == 0, F.col("ir")))
+               .alias("tau_l"),
+               F.max(F.when(F.col("seg") == 0, F.col("g2")))
+               .alias("gain_l"),
+               F.max(F.when(F.col("seg") == 1,
+                            F.col("ir") + F.col("tau1")))
+               .alias("tau_r"),
+               F.max(F.when(F.col("seg") == 1, F.col("g2")))
+               .alias("gain_r")))
+    out = (w1.join(w2, "key", "left")
+           .join(r.select("key", "n").distinct(), "key"))
+    return out.select(
+        F.col("key").alias(key_col), "n", "tau1", "gain1",
+        "tau_l", "gain_l", "tau_r", "gain_r")

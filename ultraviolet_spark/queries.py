@@ -14028,6 +14028,80 @@ def q328(spark, sf_dir):
         success_expr="value IS NOT NULL AND value > 50")
 
 
+@q("q329_binary_segmentation", """
+WITH hr AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS o,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+b AS (SELECT k, c * 1000000 AS v, o FROM hr),
+r AS (
+  SELECT k,
+         CAST(row_number() OVER w AS BIGINT) AS i,
+         SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS s,
+         SUM(v) OVER (PARTITION BY k) AS sn,
+         CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n
+  FROM b WINDOW w AS (PARTITION BY k ORDER BY o)),
+c1 AS (
+  SELECT k, i, s, sn, n,
+    round(CAST(s * n - i * sn AS DOUBLE)
+          * CAST(s * n - i * sn AS DOUBLE)
+          / CAST(n AS DOUBLE) / CAST(i AS DOUBLE)
+          / CAST(n - i AS DOUBLE)) AS g
+  FROM r WHERE i < n),
+w1 AS (
+  SELECT k, i AS tau1, g AS gain1, s AS s1, n
+  FROM (SELECT *, row_number() OVER (PARTITION BY k
+                                     ORDER BY g DESC, i ASC) AS p
+        FROM c1)
+  WHERE p = 1),
+j AS (
+  SELECT r.k, w1.tau1,
+    CASE WHEN r.i <= w1.tau1 THEN 0 ELSE 1 END AS seg,
+    CASE WHEN r.i <= w1.tau1 THEN r.i ELSE r.i - w1.tau1 END AS ir,
+    CASE WHEN r.i <= w1.tau1 THEN w1.tau1 ELSE r.n - w1.tau1 END AS m,
+    CASE WHEN r.i <= w1.tau1 THEN w1.s1 ELSE r.sn - w1.s1 END AS z,
+    CASE WHEN r.i <= w1.tau1 THEN r.s ELSE r.s - w1.s1 END AS p
+  FROM r JOIN w1 ON w1.k = r.k),
+c2 AS (
+  SELECT k, tau1, seg, ir,
+    round(CAST(p * m - ir * z AS DOUBLE)
+          * CAST(p * m - ir * z AS DOUBLE)
+          / CAST(m AS DOUBLE) / CAST(ir AS DOUBLE)
+          / CAST(m - ir AS DOUBLE)) AS g2
+  FROM j WHERE ir < m),
+w2 AS (
+  SELECT k,
+    CAST(MAX(CASE WHEN seg = 0 THEN ir END) AS BIGINT) AS tau_l,
+    MAX(CASE WHEN seg = 0 THEN g2 END) AS gain_l,
+    CAST(MAX(CASE WHEN seg = 1 THEN ir + tau1 END) AS BIGINT)
+      AS tau_r,
+    MAX(CASE WHEN seg = 1 THEN g2 END) AS gain_r
+  FROM (SELECT *, row_number() OVER (PARTITION BY k, seg
+                                     ORDER BY g2 DESC, ir ASC) AS p2
+        FROM c2)
+  WHERE p2 = 1 GROUP BY k)
+SELECT w1.k AS event_type, w1.n, w1.tau1, w1.gain1,
+       w2.tau_l, w2.gain_l, w2.tau_r, w2.gain_r
+FROM w1 LEFT JOIN w2 ON w2.k = w1.k
+""")
+def q329(spark, sf_dir):
+    """Depth-2 binary segmentation of per-type hourly event counts
+    (up to 3 change points): the multiple-change-point extension of
+    q280's single detector — both rounds share one prefix-sum pass,
+    every discriminant an exact DECIMAL(38,0) integer, gains rounded
+    before each argmax, ties to smallest τ; sub-segments shorter
+    than 2 report NULL."""
+    from ultraviolet_spark.operators.stats import binary_segmentation
+
+    hr = (_t(spark, sf_dir, "events")
+          .groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("hh"))
+          .agg(F.count("*").cast("double").alias("c")))
+    return binary_segmentation(hr, key_col="event_type",
+                               order_col="hh", value_col="c",
+                               tiebreak_col="hh")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
