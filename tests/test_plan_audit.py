@@ -94,6 +94,9 @@ CROSS_OK = {
     "q305_average_precision",    # 1-row score-bounds frame
     "q307_naive_bayes_lang",     # 1-row V/N totals frames (NB model)
     "q316_randomization_test",   # 1-row totals × 1-row hit-count frames
+    "q319_sign_test_halves",     # 1-row epoch-µs midpoint frame
+    "q320_rocchio_classify",     # 1-row broadcast centroid-array frame
+    "q321_hellinger_drift",      # 1-row boundary + totals frames (PSI shape)
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis
