@@ -2890,3 +2890,71 @@ def binary_segmentation(df: DataFrame, *, key_col: str, order_col: str,
     return out.select(
         F.col("key").alias(key_col), "n", "tau1", "gain1",
         "tau_l", "gain_l", "tau_r", "gain_r")
+
+
+def mann_kendall_by_key(df: DataFrame, *, by: str, ts_col: str,
+                        value_col: str,
+                        tiebreak_col: str) -> DataFrame:
+    """Per-key Mann–Kendall trend test — the HYPOTHESIS-TEST
+    companion of :func:`theil_sen_by_key` (which estimates the
+    slope): S = Σ_{i<j} sgn(v_j − v_i) over the time order asks "is
+    there ANY monotone trend?", distribution-free and ties-aware.
+
+        Var[S] = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18
+        z = (S ∓ 1)/√Var     (continuity-corrected; z = 0 at S = 0)
+
+    Exactness: S is an exact int64 count over the keyed pair
+    self-join (O(n²) per key BY DESIGN — the same bounded-history
+    contract as Theil–Sen, and the two share one pair pass when
+    composed); the tie term sums exact integers per distinct value
+    group; Var's single /18 and the z are fixed-order doubles.
+    Pair order is (ts, tiebreak) — the explicit unique tie-break;
+    SAME-time pairs are excluded (their order is undefined).
+    All-tied keys (Var = 0) report NULL z.
+
+    Output per key: (by, n, s, var18 — 18·Var as the exact integer —
+    and z).
+    """
+    from pyspark.sql import Window
+
+    nz = lambda den: F.when(den != 0, den)
+    vm = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(vm.isNotNull())
+            .select(F.col(by).alias("__k"), F.col(ts_col).alias("__t"),
+                    F.col(tiebreak_col).alias("__tb"), vm.alias("__v")))
+    n_per = base.groupBy("__k").agg(F.count("*").cast("long").alias("n"))
+    l = base.select("__k", F.col("__t").alias("__ta"),
+                    F.col("__tb").alias("__tba"),
+                    F.col("__v").alias("__va"))
+    r = base.select("__k", F.col("__t").alias("__tb2"),
+                    F.col("__tb").alias("__tbb"),
+                    F.col("__v").alias("__vb"))
+    pairs = (l.join(r, "__k")
+             .filter((F.col("__ta") < F.col("__tb2"))
+                     | ((F.col("__ta") == F.col("__tb2"))
+                        & (F.col("__tba") < F.col("__tbb")))))
+    s_agg = pairs.groupBy("__k").agg(
+        F.sum(F.signum((F.col("__vb") - F.col("__va")).cast("double"))
+              .cast("long")).cast("long").alias("s"))
+    ties = (base.groupBy("__k", "__v")
+            .agg(F.count("*").cast("long").alias("__t"))
+            .groupBy("__k")
+            .agg(F.sum(F.col("__t") * (F.col("__t") - 1)
+                       * (2 * F.col("__t") + 5)).cast("long")
+                 .alias("__tt")))
+    g = (n_per.join(s_agg, "__k", "left")
+         .join(ties, "__k")
+         .withColumn("s", F.coalesce("s", F.lit(0).cast("long"))))
+    nn = F.col("n")
+    var18 = (nn * (nn - 1) * (2 * nn + 5) - F.col("__tt")).cast("long")
+    var_d = var18.cast("double") / F.lit(18.0)
+    z = F.when(var18 > 0, F.round(
+        F.when(F.col("s") > 0,
+               (F.col("s").cast("double") - F.lit(1.0))
+               / nz(F.sqrt(var_d)))
+        .when(F.col("s") < 0,
+              (F.col("s").cast("double") + F.lit(1.0))
+              / nz(F.sqrt(var_d)))
+        .otherwise(F.lit(0.0)), 6))
+    return g.select(F.col("__k").alias(by), "n", "s",
+                    var18.alias("var18"), z.alias("z"))

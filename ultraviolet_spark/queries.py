@@ -14102,6 +14102,56 @@ def q329(spark, sf_dir):
                                tiebreak_col="hh")
 
 
+@q("q330_mann_kendall", """
+WITH base AS (
+  SELECT user_id AS k, ts, event_id,
+         CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+np AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY k),
+pairs AS (
+  SELECT l.k,
+         CASE WHEN r.v > l.v THEN 1 WHEN r.v < l.v THEN -1 ELSE 0 END
+           AS sg
+  FROM base l JOIN base r
+    ON l.k = r.k AND (l.ts < r.ts
+                      OR (l.ts = r.ts AND l.event_id < r.event_id))),
+sa AS (SELECT k, CAST(SUM(sg) AS BIGINT) AS s FROM pairs GROUP BY k),
+ties AS (
+  SELECT k, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+  FROM (SELECT k, v, CAST(COUNT(*) AS BIGINT) AS t
+        FROM base GROUP BY k, v)
+  GROUP BY k),
+g AS (
+  SELECT np.k, np.n, COALESCE(sa.s, 0) AS s,
+         CAST(np.n * (np.n - 1) * (2 * np.n + 5) - ties.tt AS BIGINT)
+           AS var18
+  FROM np LEFT JOIN sa ON sa.k = np.k JOIN ties ON ties.k = np.k)
+SELECT k AS user_id, n, CAST(s AS BIGINT) AS s, var18,
+  CASE WHEN var18 > 0 THEN
+    round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                    / NULLIF(sqrt(CAST(var18 AS DOUBLE) / 18.0), 0)
+               WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                    / NULLIF(sqrt(CAST(var18 AS DOUBLE) / 18.0), 0)
+               ELSE 0.0 END, 6)
+  END AS z
+FROM g
+""")
+def q330(spark, sf_dir):
+    """Per-user Mann–Kendall trend test on purchase values over time:
+    the hypothesis-test companion of q309's Theil–Sen slope — is
+    there ANY monotone trend, distribution-free with exact
+    tie-corrected variance (18·Var kept as an exact integer),
+    continuity-corrected z, same-time pairs excluded."""
+    from ultraviolet_spark.operators.stats import mann_kendall_by_key
+
+    p = (_t(spark, sf_dir, "events")
+         .filter((F.col("event_type") == "purchase")
+                 & F.col("value").isNotNull()))
+    return mann_kendall_by_key(p, by="user_id", ts_col="ts",
+                               value_col="value",
+                               tiebreak_col="event_id")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
