@@ -2958,3 +2958,64 @@ def mann_kendall_by_key(df: DataFrame, *, by: str, ts_col: str,
         .otherwise(F.lit(0.0)), 6))
     return g.select(F.col("__k").alias(by), "n", "s",
                     var18.alias("var18"), z.alias("z"))
+
+
+def bowker_test(df: DataFrame, *, a_col: str, b_col: str) -> DataFrame:
+    """Bowker's test of symmetry — :func:`mcnemar_test` generalized
+    to k×k PAIRED categories (k = 2 reduces exactly to uncorrected
+    McNemar, pinned): with paired categorical observations (first vs
+    last event type per user, rater A vs rater B label), is the
+    transition table symmetric, i.e. is every i→j flow matched by
+    j→i?
+
+        B = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji)
+
+    (df = k(k−1)/2 cells with n_ij + n_ji > 0).  Exactness: the full
+    contingency table is one exact-count groupBy; each unordered
+    pair's term has an EXACT INTEGER numerator (n_ij − n_ji)², is a
+    fixed-order double, and is µ-snapped BEFORE the cross-pair sum
+    (the Mantel–Haenszel rule), so the statistic total is an
+    order-independent integer divided once at the end.  Diagonal
+    cells never contribute (i→i says nothing about asymmetry).  Zero
+    informative pairs → NULL.
+
+    Output one row: (n, k, n_pairs_used, b_micro, b) — b_micro the
+    exact snapped integer total, b = b_micro/10⁶ for reading.
+    """
+    nz = lambda den: F.when(den != 0, den)
+    cells = (df.filter(F.col(a_col).isNotNull()
+                       & F.col(b_col).isNotNull())
+             .groupBy(F.col(a_col).alias("__a"),
+                      F.col(b_col).alias("__b"))
+             .agg(F.count("*").cast("long").alias("__n")))
+    up = cells.filter(F.col("__a") < F.col("__b")).select(
+        F.col("__a").alias("__i"), F.col("__b").alias("__j"),
+        F.col("__n").alias("__nij"))
+    dn = cells.filter(F.col("__a") > F.col("__b")).select(
+        F.col("__b").alias("__i"), F.col("__a").alias("__j"),
+        F.col("__n").alias("__nji"))
+    pairs = (up.join(dn, ["__i", "__j"], "full")
+             .select("__i", "__j",
+                     F.coalesce("__nij", F.lit(0)).alias("__nij"),
+                     F.coalesce("__nji", F.lit(0)).alias("__nji")))
+    d = (F.col("__nij") - F.col("__nji")).cast("double")
+    tot = (F.col("__nij") + F.col("__nji")).cast("double")
+    term = F.round(d * d / nz(tot) * F.lit(1e6)).cast("long")
+    k_n = (cells.select(F.col("__a").alias("c"))
+           .union(cells.select(F.col("__b").alias("c")))
+           .distinct().agg(F.count("*").cast("int").alias("k")))
+    n_tot = cells.agg(F.sum("__n").cast("long").alias("n"))
+    agg = pairs.agg(
+        F.coalesce(F.sum(F.when(F.col("__nij") + F.col("__nji") > 0, 1)
+                         .otherwise(0)), F.lit(0)).cast("long")
+        .alias("n_pairs_used"),
+        F.coalesce(F.sum(F.coalesce(term, F.lit(0))), F.lit(0))
+        .cast("long").alias("b_micro"))
+    out = (n_tot.crossJoin(F.broadcast(k_n))
+           .crossJoin(F.broadcast(agg)))
+    return out.select(
+        "n", "k", "n_pairs_used",
+        F.col("b_micro"),
+        F.when(F.col("n_pairs_used") > 0,
+               F.round(F.col("b_micro").cast("double") / F.lit(1e6), 6))
+        .alias("b"))

@@ -14152,6 +14152,61 @@ def q330(spark, sf_dir):
                                tiebreak_col="event_id")
 
 
+@q("q331_bowker_symmetry", """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rb
+  FROM events),
+fl AS (
+  SELECT user_id,
+         MAX(CASE WHEN ra = 1 THEN event_type END) AS a,
+         MAX(CASE WHEN rb = 1 THEN event_type END) AS b
+  FROM o GROUP BY user_id),
+cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM fl WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b),
+up AS (SELECT a AS i, b AS j, c AS nij FROM cells WHERE a < b),
+dn AS (SELECT b AS i, a AS j, c AS nji FROM cells WHERE a > b),
+pairs AS (
+  SELECT COALESCE(up.i, dn.i) AS i, COALESCE(up.j, dn.j) AS j,
+         COALESCE(nij, 0) AS nij, COALESCE(nji, 0) AS nji
+  FROM up FULL JOIN dn ON dn.i = up.i AND dn.j = up.j),
+kk AS (SELECT CAST(COUNT(*) AS INT) AS k FROM
+        (SELECT a AS c FROM cells UNION SELECT b FROM cells)),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+agg AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN nij + nji > 0 THEN 1 ELSE 0
+                            END), 0) AS BIGINT) AS n_pairs_used,
+         CAST(COALESCE(SUM(COALESCE(
+           CAST(round(CAST(nij - nji AS DOUBLE)
+                      * CAST(nij - nji AS DOUBLE)
+                      / NULLIF(CAST(nij + nji AS DOUBLE), 0) * 1e6)
+                AS BIGINT), 0)), 0) AS BIGINT) AS b_micro
+  FROM pairs)
+SELECT n, k, n_pairs_used, b_micro,
+  CASE WHEN n_pairs_used > 0 THEN
+    round(CAST(b_micro AS DOUBLE) / 1e6, 6) END AS b
+FROM nt, kk, agg
+""")
+def q331(spark, sf_dir):
+    """Bowker's symmetry test on the (first event type → last event
+    type) transition table per user: is every i→j start/end flow
+    matched by j→i — McNemar generalized to k×k paired categories;
+    exact integer numerators per unordered pair µ-snapped BEFORE the
+    cross-pair sum, diagonals never contribute."""
+    from ultraviolet_spark.operators.stats import bowker_test
+
+    w_first = F.struct(F.col("ts"), F.col("event_id"))
+    fl = (_t(spark, sf_dir, "events")
+          .groupBy("user_id")
+          .agg(F.min_by("event_type", w_first).alias("a"),
+               F.max_by("event_type", w_first).alias("b")))
+    return bowker_test(fl, a_col="a", b_col="b")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 275 queries, 264 of them with exact DuckDB
