@@ -13056,7 +13056,8 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
          AS sum_value_micro,
-       CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us
+       CAST(SUM(epoch_us(ts) % 86400000000) AS BIGINT)
+         AS sum_tod_us
 FROM events
 GROUP BY event_type
 """)
@@ -13081,8 +13082,12 @@ def q310(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n"),
                  F.sum(F.round(F.col("value") * 1e6).cast("long"))
                  .cast("long").alias("sum_value_micro"),
-                 F.sum(F.unix_micros(F.col("ts").cast("timestamp")))
-                 .cast("long").alias("sum_ts_us")))
+                 # µs-of-day: Σ full epoch_us overflows int64 at
+                 # ~12k rows/group (found at sf0.1) while the mod
+                 # still pins microsecond round-trip fidelity
+                 F.sum(F.unix_micros(F.col("ts").cast("timestamp"))
+                       % F.lit(86400000000))
+                 .cast("long").alias("sum_tod_us")))
 
 
 @q("q311_json_snapshot_roundtrip", """
@@ -13090,7 +13095,8 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
          AS sum_value_micro,
-       CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us
+       CAST(SUM(epoch_us(ts) % 86400000000) AS BIGINT)
+         AS sum_tod_us
 FROM events
 GROUP BY event_type
 """)
@@ -13112,8 +13118,12 @@ def q311(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n"),
                  F.sum(F.round(F.col("value") * 1e6).cast("long"))
                  .cast("long").alias("sum_value_micro"),
-                 F.sum(F.unix_micros(F.col("ts").cast("timestamp")))
-                 .cast("long").alias("sum_ts_us")))
+                 # µs-of-day: Σ full epoch_us overflows int64 at
+                 # ~12k rows/group (found at sf0.1) while the mod
+                 # still pins microsecond round-trip fidelity
+                 F.sum(F.unix_micros(F.col("ts").cast("timestamp"))
+                       % F.lit(86400000000))
+                 .cast("long").alias("sum_tod_us")))
 
 
 @q("q312_kleinberg_bursts", """
