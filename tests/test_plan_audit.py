@@ -97,6 +97,7 @@ CROSS_OK = {
     "q319_sign_test_halves",     # 1-row epoch-µs midpoint frame
     "q320_rocchio_classify",     # 1-row broadcast centroid-array frame
     "q321_hellinger_drift",      # 1-row boundary + totals frames (PSI shape)
+    "q331_bowker_symmetry",      # 1-row n × k × statistic frames
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis
