@@ -3019,3 +3019,69 @@ def bowker_test(df: DataFrame, *, a_col: str, b_col: str) -> DataFrame:
         F.when(F.col("n_pairs_used") > 0,
                F.round(F.col("b_micro").cast("double") / F.lit(1e6), 6))
         .alias("b"))
+
+
+def partial_correlation(df: DataFrame, *, x_col: str, y_col: str,
+                        z_col: str) -> DataFrame:
+    """First-order partial correlation r_xy·z — the
+    confounder-adjusted correlation next to the causal wing: how much
+    of the x–y association survives once the common driver z is
+    partialled out?
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))
+
+    Pinned: when y and x are driven ONLY by z, the raw r_xy is
+    large while r_xy·z collapses toward 0; and r_xy·z = 0 exactly
+    recovers the regression-residual correlation.
+
+    Exactness: all three variables micro-snap; the nine sufficient
+    statistics (three sums, three sums of squares, three cross
+    products) are exact DECIMAL(38,0) sums from ONE pass; each
+    pairwise r is the usual fixed-order double of exact integers, and
+    the partial formula is fixed-order on top.  Any degenerate leg
+    (zero variance, |r| = 1 denominators) reports NULL, never
+    0/0 or ±inf.
+
+    Output one row: (n, r_xy, r_xz, r_yz, r_xy_z).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")
+    nz = lambda den: F.when(den != 0, den)
+    cols = {}
+    for nm, c in (("x", x_col), ("y", y_col), ("z", z_col)):
+        cols[nm] = F.round(F.col(c).cast("double") * 1e6).cast("long")
+    base = (df.filter(cols["x"].isNotNull() & cols["y"].isNotNull()
+                      & cols["z"].isNotNull())
+            .select(cols["x"].alias("__x"), cols["y"].alias("__y"),
+                    cols["z"].alias("__z")))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        *[F.sum(d38(F.col(f"__{a}"))).alias(f"s{a}")
+          for a in "xyz"],
+        *[F.sum(d38(F.col(f"__{a}")) * d38(F.col(f"__{b}")))
+          .alias(f"s{a}{b}")
+          for a, b in ("xx", "yy", "zz", "xy", "xz", "yz")])
+    n = F.col("n").cast("double")
+
+    def r_of(a, b):
+        num = (n * F.col(f"s{a}{b}").cast("double")
+               - F.col(f"s{a}").cast("double")
+               * F.col(f"s{b}").cast("double"))
+        va = (n * F.col(f"s{a}{a}").cast("double")
+              - F.col(f"s{a}").cast("double")
+              * F.col(f"s{a}").cast("double"))
+        vb = (n * F.col(f"s{b}{b}").cast("double")
+              - F.col(f"s{b}").cast("double")
+              * F.col(f"s{b}").cast("double"))
+        return F.when((va > 0) & (vb > 0),
+                      num / nz(F.sqrt(va * vb)))
+
+    rxy, rxz, ryz = r_of("x", "y"), r_of("x", "z"), r_of("y", "z")
+    den = F.sqrt((F.lit(1.0) - rxz * rxz)
+                 * (F.lit(1.0) - ryz * ryz))
+    part = (rxy - rxz * ryz) / nz(den)
+    return agg.select(
+        "n",
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(part, 6).alias("r_xy_z"))

@@ -14217,6 +14217,93 @@ def q331(spark, sf_dir):
     return bowker_test(fl, a_col="a", b_col="b")
 
 
+@q("q332_partial_correlation", """
+WITH per AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS x,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS y,
+    CAST(COUNT(*) AS DOUBLE) AS z
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT CAST(round(x * 1e6) AS BIGINT) AS mx,
+         CAST(round(y * 1e6) AS BIGINT) AS my,
+         CAST(round(z * 1e6) AS BIGINT) AS mz
+  FROM per),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(mx AS HUGEINT)) AS sx, SUM(CAST(my AS HUGEINT)) AS sy,
+    SUM(CAST(mz AS HUGEINT)) AS sz,
+    SUM(CAST(mx AS HUGEINT) * mx) AS sxx,
+    SUM(CAST(my AS HUGEINT) * my) AS syy,
+    SUM(CAST(mz AS HUGEINT) * mz) AS szz,
+    SUM(CAST(mx AS HUGEINT) * my) AS sxy,
+    SUM(CAST(mx AS HUGEINT) * mz) AS sxz,
+    SUM(CAST(my AS HUGEINT) * mz) AS syz
+  FROM m),
+rr AS (
+  SELECT n,
+    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0)
+    END AS rxy,
+    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+              - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) > 0 THEN
+      (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+      / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 0)
+    END AS rxz,
+    CASE WHEN CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+              - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) > 0 THEN
+      (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+       - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+      / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 0)
+    END AS ryz
+  FROM agg)
+SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+       round(ryz, 6) AS r_yz,
+       round((rxy - rxz * ryz)
+             / NULLIF(sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 0),
+             6) AS r_xy_z
+FROM rr
+""")
+def q332(spark, sf_dir):
+    """Partial correlation of per-user click vs purchase counts
+    controlling for total activity: how much of the click–purchase
+    association survives once the common driver (overall activity)
+    is partialled out — nine exact DECIMAL(38,0) sufficient
+    statistics in one pass, every pairwise r and the partial formula
+    fixed-order doubles, degenerate legs NULL."""
+    from ultraviolet_spark.operators.stats import partial_correlation
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                      .otherwise(0)).cast("double").alias("x"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).cast("double").alias("y"),
+                F.count("*").cast("double").alias("z")))
+    return partial_correlation(per, x_col="x", y_col="y", z_col="z")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 331 queries, 320 of them with exact DuckDB
