@@ -3085,3 +3085,57 @@ def partial_correlation(df: DataFrame, *, x_col: str, y_col: str,
         F.round(rxz, 6).alias("r_xz"),
         F.round(ryz, 6).alias("r_yz"),
         F.round(part, 6).alias("r_xy_z"))
+
+
+def cramers_v(df: DataFrame, *, a_col: str, b_col: str) -> DataFrame:
+    """Cramér's V — the [0, 1] effect size for a categorical pair,
+    completing the association set next to χ² (unbounded, n-inflated)
+    and mutual information (nat-scaled): V = √(χ²/(n·min(r−1, c−1)))
+    is comparable ACROSS tables of different size and shape.
+
+    Exactness: contingency cells are exact counts; χ² runs over the
+    COMPLETE r×c grid (absent cells contribute r_i·c_j/n — dropping
+    them understates the statistic; the t_closeness completion
+    lesson) via the row-marginal × column-marginal frame (vocab²-
+    sized) left-joined with the observed cells.  Each cell term has
+    the exact DECIMAL(38,0) integer numerator (n·n_ij − r_i·c_j)²,
+    becomes one fixed-order double, and is µ-snapped BEFORE the
+    cross-cell sum (the Mantel–Haenszel rule) — chi2_micro is an
+    order-independent exact integer.  Degenerate tables
+    (min(r, c) < 2) report NULL V.
+
+    Output one row: (n, r, c, chi2, v).
+    """
+    nz = lambda den: F.when(den != 0, den)
+    d38 = lambda c: c.cast("decimal(38,0)")
+    base = (df.filter(F.col(a_col).isNotNull()
+                      & F.col(b_col).isNotNull())
+            .select(F.col(a_col).alias("__a"),
+                    F.col(b_col).alias("__b")))
+    cells = base.groupBy("__a", "__b").agg(
+        F.count("*").cast("long").alias("__nij"))
+    rows = cells.groupBy("__a").agg(F.sum("__nij").cast("long")
+                                    .alias("__ri"))
+    colsm = cells.groupBy("__b").agg(F.sum("__nij").cast("long")
+                                     .alias("__cj"))
+    tot = cells.agg(F.sum("__nij").cast("long").alias("__n"))
+    grid = (rows.crossJoin(colsm)
+            .join(cells, ["__a", "__b"], "left")
+            .withColumn("__nij", F.coalesce("__nij", F.lit(0)))
+            .crossJoin(F.broadcast(tot)))
+    num = (d38(F.col("__n")) * d38(F.col("__nij"))
+           - d38(F.col("__ri")) * d38(F.col("__cj"))).cast("double")
+    den = (d38(F.col("__n")) * d38(F.col("__ri"))
+           * d38(F.col("__cj"))).cast("double")
+    term = F.round(num * num / nz(den) * F.lit(1e6)).cast("long")
+    agg = grid.agg(
+        F.max("__n").alias("n"),
+        F.countDistinct("__a").cast("int").alias("r"),
+        F.countDistinct("__b").cast("int").alias("c"),
+        F.sum(term).cast("long").alias("__chi2m"))
+    chi2 = F.round(F.col("__chi2m").cast("double") / F.lit(1e6), 6)
+    mind = F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+    v = F.when(mind > 0, F.round(F.sqrt(
+        F.col("__chi2m").cast("double") / F.lit(1e6)
+        / nz(F.col("n").cast("double") * mind)), 6))
+    return agg.select("n", "r", "c", chi2.alias("chi2"), v.alias("v"))

@@ -14304,6 +14304,58 @@ def q332(spark, sf_dir):
     return partial_correlation(per, x_col="x", y_col="y", z_col="z")
 
 
+@q("q333_cramers_v", """
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL),
+cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij
+          FROM base GROUP BY a, b),
+rws AS (SELECT a, CAST(SUM(nij) AS BIGINT) AS ri FROM cells GROUP BY a),
+cls AS (SELECT b, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT rws.a, cls.b, rws.ri, cls.cj,
+         COALESCE(cells.nij, 0) AS nij, tot.n
+  FROM rws CROSS JOIN cls
+  LEFT JOIN cells ON cells.a = rws.a AND cells.b = cls.b
+  CROSS JOIN tot),
+terms AS (
+  SELECT n,
+    CAST(round(CAST(CAST(n AS HUGEINT) * nij
+                    - CAST(ri AS HUGEINT) * cj AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * nij
+                      - CAST(ri AS HUGEINT) * cj AS DOUBLE)
+               / NULLIF(CAST(CAST(n AS HUGEINT) * ri * cj AS DOUBLE),
+                        0) * 1e6) AS BIGINT) AS t,
+    a, b
+  FROM grid),
+agg AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(DISTINCT a) AS INT) AS r,
+         CAST(COUNT(DISTINCT b) AS INT) AS c,
+         CAST(SUM(t) AS BIGINT) AS chi2m
+  FROM terms)
+SELECT CAST(n AS BIGINT) AS n, r, c,
+  round(CAST(chi2m AS DOUBLE) / 1e6, 6) AS chi2,
+  CASE WHEN least(r - 1, c - 1) > 0 THEN
+    round(sqrt(CAST(chi2m AS DOUBLE) / 1e6
+               / NULLIF(CAST(n AS DOUBLE)
+                        * CAST(least(r - 1, c - 1) AS DOUBLE), 0)), 6)
+  END AS v
+FROM agg
+""")
+def q333(spark, sf_dir):
+    """Cramér's V for the lang×source association over documents —
+    the [0,1] effect size next to q262's mutual information on the
+    same pair: COMPLETE r×c grid (absent cells contribute r_i·c_j/n;
+    dropping them understates χ²), exact integer cell numerators
+    µ-snapped before the cross-cell sum."""
+    from ultraviolet_spark.operators.stats import cramers_v
+
+    return cramers_v(_t(spark, sf_dir, "documents"),
+                     a_col="lang", b_col="source")
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 entries of
 # queries() (verified round 2: CORRECTNESS_r02.json keys == registry order
 # [0:50]).  The registry holds 331 queries, 320 of them with exact DuckDB
