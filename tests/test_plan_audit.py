@@ -98,6 +98,7 @@ CROSS_OK = {
     "q320_rocchio_classify",     # 1-row broadcast centroid-array frame
     "q321_hellinger_drift",      # 1-row boundary + totals frames (PSI shape)
     "q331_bowker_symmetry",      # 1-row n × k × statistic frames
+    "q333_cramers_v",            # vocab×vocab marginal completion + 1-row n
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis
