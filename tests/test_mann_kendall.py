@@ -73,3 +73,30 @@ def test_tie_correction_and_constant_null(spark):
                               ts_col="t", value_col="v",
                               tiebreak_col="t").head()
     assert got["z"] is None and got["s"] == 0
+
+
+def test_duplicate_timestamps_counted_under_tiebreak(spark):
+    """ADVICE r3: same-timestamp pairs ARE counted, ordered by the
+    unique tiebreak — pin the documented (ts, tiebreak) total-order
+    convention with duplicated timestamps."""
+    # ts has duplicates; tb is the unique finer clock
+    rows = [("a", 0, 0, 1.0), ("a", 0, 1, 3.0),   # same ts, tb-ordered
+            ("a", 1, 2, 2.0), ("a", 1, 3, 5.0),   # same ts again
+            ("a", 2, 4, 4.0)]
+    df = spark.createDataFrame(
+        rows, "k string, t long, tb long, v double")
+    got = mann_kendall_by_key(df, by="k", ts_col="t", value_col="v",
+                              tiebreak_col="tb").head()
+    # sequential reference over the (t, tb) total order
+    vs = [v for (_, _, _, v) in sorted(rows, key=lambda r: (r[1], r[2]))]
+    s, var18, z = _ref(vs)
+    assert (got["s"], got["var18"], got["z"]) == (s, var18, z)
+    # and the same-time pairs really contribute: dropping them would
+    # give a different S (pairs (1,3) and (2,5) both ascend)
+    ms = [round(v * 1e6) for v in vs]
+    order = sorted(range(5), key=lambda i: (rows[i][1], rows[i][2]))
+    s_drop = sum(
+        (1 if ms[j] > ms[i] else -1 if ms[j] < ms[i] else 0)
+        for i in range(5) for j in range(i + 1, 5)
+        if rows[order[i]][1] != rows[order[j]][1])
+    assert s != s_drop

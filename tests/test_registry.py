@@ -43,6 +43,45 @@ def test_registry_complete_and_demotions_consistent():
     assert set(Q.oracle_sql()) <= set(names)
 
 
+# Every query name that appeared in any CORRECTNESS_r01-r03.json — the
+# set the hard gate had already exercised before the round-4 rotation.
+_GATED_R01_R03 = {
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09",
+    "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
+    "q19", "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27",
+    "q28", "q29", "q30", "q31", "q32", "q33", "q34", "q35", "q36",
+    "q37", "q38", "q39", "q40", "q41", "q42", "q43", "q44", "q45",
+    "q46", "q47", "q48", "q49", "q51", "q53", "q55", "q56", "q57",
+    "q58", "q59", "q60", "q61", "q62", "q63",
+}
+
+_ANCHORS = {
+    "q51_flagship_vs_golden", "q15_asof_click_purchase",
+    "q61_asof_salted_hot_keys", "q40_utf8_conformance",
+    "q42_extract_conformance", "q43_classify_hist",
+    "q55_utf16_32_conformance", "q19_exact_dup_classes",
+    "q62_checkpoint_metrics", "q63_streaming_dedup",
+}
+
+
+def test_round4_rotation_contract():
+    """VERDICT r3 #1: the round-4 gate window keeps the 10 named anchors
+    and fills the other 40 slots with exact-oracle queries absent from
+    every prior CORRECTNESS file."""
+    from ultraviolet_spark import queries as Q
+
+    front = list(Q.queries())[:DRIVER_CAP]
+    assert front == [n for n in Q._FRONT_50 if n in Q.REGISTRY]
+    assert len(front) == DRIVER_CAP
+    assert _ANCHORS <= set(front)
+    fresh = [n for n in front
+             if n.split("_")[0] not in _GATED_R01_R03]
+    assert len(fresh) >= 40, (
+        f"only {len(fresh)} never-gated queries in the window: {fresh}")
+    oracles = Q.oracle_sql()
+    assert all(n in oracles for n in front)
+
+
 def test_oracle_count_covers_cap():
     """If the registry ever shrinks below 50 oracle-backed queries the
     gate silently weakens — fail loudly instead."""

@@ -73,6 +73,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if pat == ":gate":
+        # exactly the driver-visible window (first 50 registry entries)
+        qs = {n: qs[n] for n in list(qs)[:50]}
+        pat = ""
     if pat and not any(pat in name for name in qs):
         # a typo'd / non-matching pattern must FAIL, not print
         # "0 failures" after silently running nothing (this bit us:

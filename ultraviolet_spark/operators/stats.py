@@ -2227,8 +2227,12 @@ def randomization_test(df: DataFrame, *, id_col: str, group_col: str,
         "n", "n_a", (F.col("n") - F.col("n_a")).alias("n_b"),
         # floor division, NOT a decimal cast (which rounds HALF_UP):
         # thr = (2^48 * n_a) div n in DECIMAL(38,0)
+        # NULLIF-guard the divisor: with an empty (fully filtered)
+        # input n = 0 and ANSI sessions would raise instead of
+        # returning the NULL-field row (ADVICE r3)
         F.expr("CAST((CAST(281474976710656 AS DECIMAL(38,0)) "
-               "* CAST(n_a AS DECIMAL(38,0))) div n AS BIGINT)")
+               "* CAST(n_a AS DECIMAL(38,0))) div NULLIF(n, 0) "
+               "AS BIGINT)")
         .alias("thr"),
         F.round(F.abs(
             F.col("sa").cast("double")
@@ -2908,9 +2912,15 @@ def mann_kendall_by_key(df: DataFrame, *, by: str, ts_col: str,
     contract as Theil–Sen, and the two share one pair pass when
     composed); the tie term sums exact integers per distinct value
     group; Var's single /18 and the z are fixed-order doubles.
-    Pair order is (ts, tiebreak) — the explicit unique tie-break;
-    SAME-time pairs are excluded (their order is undefined).
-    All-tied keys (Var = 0) report NULL z.
+    Time-order convention: pairs are ordered by the TOTAL order
+    (ts, tiebreak) — tiebreak_col must be a unique finer clock
+    (e.g. an increasing event id), so SAME-timestamp pairs ARE
+    counted, ordered by the tiebreak.  This differs from the
+    textbook convention of dropping same-time pairs (which would
+    also require the time-ties variance correction u_p term); with
+    a tiebreak that reflects true arrival order the two agree, and
+    S is deterministic either way.  All-tied keys (Var = 0) report
+    NULL z.
 
     Output per key: (by, n, s, var18 — 18·Var as the exact integer —
     and z).
