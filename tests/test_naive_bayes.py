@@ -106,3 +106,23 @@ def test_empty_doc_predicts_majority_prior(spark):
                text_col="text").collect()}
     # 'en' has 4 of 8 training docs → largest prior
     assert got[100] == "en"
+
+
+def test_tokenless_class_scored_prior_only(spark):
+    """ADVICE r3: a training class whose documents are all empty has
+    no (class, token) rows but must still enter the model with
+    __Nc = 0 and compete prior-only — not be silently dropped."""
+    rows = [(1, "a", "x x x"), (2, "a", "x y"),
+            (3, "b", ""), (4, "b", ""), (5, "b", ""),
+            (6, None, "")]  # empty unlabeled doc: prior-only argmax
+    df = spark.createDataFrame(rows, "id long, label string, text string")
+    got = {r["id"]: r for r in naive_bayes_classify(
+        df, id_col="id", text_col="text",
+        label_col="label").collect()}
+    # class 'b' exists in the scored class set (it wins some row)
+    preds = {r["pred"] for r in got.values()}
+    assert "b" in preds
+    # empty doc scores prior-only: P(b) = 3/5 > P(a) = 2/5 → 'b'
+    assert got[6]["pred"] == "b"
+    # docs with only class-a vocabulary still go to 'a'
+    assert got[1]["pred"] == "a"

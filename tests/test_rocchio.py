@@ -82,3 +82,28 @@ def test_equidistant_tie_smallest_label(spark):
                                      vec_col="embedding",
                                      label_col="label").collect()}
     assert got[3] == 0
+
+
+def test_string_labels_native_type(spark):
+    """ADVICE r3: non-integer class labels must survive — pred keeps
+    the label's native type instead of a hard int cast that NULLed
+    string labels."""
+    rows = [(1, "cat", [0.0, 0.0]), (2, "cat", [0.2, 0.0]),
+            (3, "dog", [10.0, 10.0]), (4, "dog", [9.8, 10.0]),
+            (5, None, [0.1, 0.1]), (6, None, [9.9, 9.9])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+    got = {r["vec_id"]: r for r in rocchio_classify(
+        df, id_col="vec_id", vec_col="embedding",
+        label_col="label").collect()}
+    assert got[5]["pred"] == "cat" and got[6]["pred"] == "dog"
+    assert all(got[i]["pred"] is not None for i in got)
+    # tie-break still "smallest label" lexicographically: a point
+    # equidistant from both centroids goes to 'cat' < 'dog'
+    mid_rows = rows + [(7, None, [5.0, 5.0])]
+    df2 = spark.createDataFrame(
+        mid_rows, "vec_id long, label string, embedding array<float>")
+    got2 = {r["vec_id"]: r for r in rocchio_classify(
+        df2, id_col="vec_id", vec_col="embedding",
+        label_col="label").collect()}
+    assert got2[7]["pred"] == "cat"

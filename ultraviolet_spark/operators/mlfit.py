@@ -850,9 +850,15 @@ def naive_bayes_classify(docs: DataFrame, *, id_col: str,
     vocab = ct.select("tok").distinct()
     v_n = vocab.agg(F.count("*").cast("long").alias("__V"))
     n_docs = train.agg(F.count("*").cast("long").alias("__N"))
+    # LEFT-join totals: a training class whose documents are all
+    # empty has no (class, token) rows, but must still be scored
+    # prior-only (__Nc = 0 → w0 = -log V), not silently dropped from
+    # the model (ADVICE r3)
     classes = (train.groupBy("label")
                .agg(F.count("*").cast("long").alias("__cdocs"))
-               .join(totals, "label")
+               .join(totals, "label", "left")
+               .withColumn("__Nc", F.coalesce(
+                   F.col("__Nc"), F.lit(0).cast("long")))
                .crossJoin(F.broadcast(v_n))
                .crossJoin(F.broadcast(n_docs)))
     w0 = (-F.round(F.lit(1e6) * F.log(
@@ -958,14 +964,18 @@ def rocchio_classify(df: DataFrame, *, id_col: str, vec_col: str,
             F.lit(0).cast("decimal(38,0)"),
             lambda s, v: s + dec(v) * dec(v))
 
-    zero = F.struct(F.lit(None).cast("int").alias("cid"),
+    # keep cid in the label's NATIVE type (string class labels were
+    # silently NULLed by a hard int cast — ADVICE r3); the fold's
+    # zero element needs a typed NULL, taken from the input schema
+    label_dt = df.schema[label_col].dataType
+    zero = F.struct(F.lit(None).cast(label_dt).alias("cid"),
                     F.lit(None).cast("decimal(38,0)").alias("d"))
 
     def merge(acc, c):
         d = d_of(c["__c"])
         better = acc["cid"].isNull() | (d < acc["d"])
-        return (F.when(better, F.struct(c["cid"].cast("int")
-                                        .alias("cid"), d.alias("d")))
+        return (F.when(better, F.struct(c["cid"].alias("cid"),
+                                        d.alias("d")))
                 .otherwise(acc))
 
     best = F.aggregate(F.col("__cents"), zero, merge)

@@ -12925,12 +12925,14 @@ cn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nc
        FROM base WHERE label IS NOT NULL GROUP BY label),
 cls AS (
   SELECT cn.label,
-         CAST(-round(1e6 * ln(CAST(tot.nc_toks + vn.V AS DOUBLE)))
+         CAST(-round(1e6 * ln(CAST(COALESCE(tot.nc_toks, 0) + vn.V
+                                   AS DOUBLE)))
               AS BIGINT) AS w0,
          CAST(round(1e6 * (ln(CAST(cn.nc AS DOUBLE))
                            - ln(CAST(nd.N AS DOUBLE)))) AS BIGINT)
            AS prior
-  FROM cn JOIN tot ON tot.label = cn.label CROSS JOIN vn CROSS JOIN nd),
+  FROM cn LEFT JOIN tot ON tot.label = cn.label
+  CROSS JOIN vn CROSS JOIN nd),
 model AS (
   SELECT ct.label AS c, ct.tok,
          CAST(round(1e6 * (ln(CAST(ct.ntc + 1 AS DOUBLE))
