@@ -33,6 +33,7 @@ CROSS_OK = {
     "q86_lm_cross_entropy",  # 1-row broadcast vocab-size frame
     "q90_heavy_hitter_tokens",  # 1-row broadcast total-count frame
     "q93_pmi_pairs",  # 1-row broadcast corpus-size frame
+    "q102_skew_report",  # 1-row broadcast (nk, n_rows, max) totals frame
     "q145_crawl_budget",  # 1-row broadcast Σweights frame (Hamilton N)
     "q152_stupid_backoff_lm",  # 1-row broadcast unigram-total N frame
     "q169_target_encode_loo",  # 1-row broadcast global-prior frame
@@ -163,3 +164,178 @@ def test_filters_push_to_scan(plans):
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
     assert any("IsNotNull" in ln or "GreaterThan" in ln or "LessThan" in ln
                for ln in pushed), pushed
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide bounded-window audit (VERDICT r3, next-round #2)
+# ---------------------------------------------------------------------------
+#
+# A Window node with no partition spec moves its whole input to ONE
+# partition.  The two-phase prefix machinery uses exactly one such
+# window per pass — over the bounded bucket-offset frame — and that
+# invariant was previously enforced only by per-operator tests.  This
+# sweep locks it registry-wide: every partitionless Window in every
+# plan must sit over a provably bounded frame, witnessed by the nearest
+# descendant aggregate's grouping keys (bucket/bin/replicate constants)
+# or by an explicit per-query whitelist entry with a justification.
+
+import re as _re
+
+_TREE_RE = _re.compile(
+    r"^(?P<prefix>[ :+\-*]*)(?P<name>[A-Za-z][A-Za-z0-9 .$_]*?)"
+    r" \((?P<id>\d+)\)\s*$")
+_DETAIL_RE = _re.compile(r"^\((?P<id>\d+)\) (?P<name>.+?)(?: \[codegen.*)?$")
+
+
+def _split_top_brackets(s):
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i + 1])
+    return groups
+
+
+def _parse_plan(plan):
+    lines = plan.splitlines()
+    blocks, cur = [], []
+    details, did, dbuf = {}, None, []
+    for ln in lines:
+        m = _TREE_RE.match(ln)
+        if m and not ln.startswith("("):
+            cur.append((len(m.group("prefix")), int(m.group("id")),
+                        m.group("name").strip().lstrip("* ").strip()))
+            continue
+        dm = _DETAIL_RE.match(ln)
+        if dm:
+            if did is not None:
+                details.setdefault(did, "\n".join(dbuf))
+            did, dbuf = int(dm.group("id")), [ln]
+            if cur:
+                blocks.append(cur)
+                cur = []
+            continue
+        if did is not None:
+            dbuf.append(ln)
+        if ln.startswith("Subquery") and cur:
+            blocks.append(cur)
+            cur = []
+    if cur:
+        blocks.append(cur)
+    if did is not None:
+        details.setdefault(did, "\n".join(dbuf))
+    return blocks, details
+
+
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def _partitionless_windows(plan):
+    """Yield (agg_keys frozenset | None, subtree-names) per
+    partitionless Window node in the plan."""
+    blocks, details = _parse_plan(plan)
+    for block in blocks:
+        for i, (depth, nid, name) in enumerate(block):
+            if name != "Window":
+                continue
+            det = details.get(nid, "")
+            argln = next((l for l in det.splitlines()
+                          if l.startswith("Arguments:")), "")
+            groups = _split_top_brackets(argln)
+            # 3 groups = [exprs],[partition],[order]; 2 groups with a
+            # bare-column second group = partitioned, unordered.  Only
+            # an ordered spec (ASC/DESC) or a single group means the
+            # window truly has no partitioning.
+            if len(groups) == 3:
+                continue
+            if len(groups) == 2 and not _re.search(r"ASC|DESC",
+                                                   groups[1]):
+                continue
+            sub = []
+            for d2, id2, n2 in block[i + 1:]:
+                if d2 <= depth:
+                    break
+                sub.append((id2, n2))
+            agg = next(((id2, n2) for id2, n2 in sub
+                        if n2 in _AGG_NODES), None)
+            if agg:
+                adet = details.get(agg[0], "")
+                keyln = next((l for l in adet.splitlines()
+                              if l.startswith("Keys")), "")
+                keys = frozenset(
+                    k.strip().split(" AS ")[-1]
+                    for k in _re.sub(r"#\d+L?", "", keyln)
+                    .partition(": [")[2].rstrip("]").split(",")
+                    if k.strip())
+                yield keys, [n for _, n in sub]
+            else:
+                yield None, [n for _, n in sub]
+
+
+# Grouping-key names that witness a CONSTANT-bounded frame: __b/b are
+# the two-phase bucket / bootstrap-replicate columns (<= n_buckets /
+# n_reps rows by construction), bin the calibration bins.
+_BOUNDED_KEY_NAMES = {"__b", "b", "bin"}
+
+# Queries with a partitionless window over a frame bounded by something
+# other than a constant-bucket aggregate; the value is the exact
+# witness the audit must observe (frozenset of agg key names, or None
+# for no-aggregate-below).  Every entry must stay observed or the test
+# flags it stale.
+_PARTITIONLESS_OK = {
+    # distinct-count-value frame: <= sqrt(2 n_rows) rows (pigeonhole),
+    # see skew_report's docstring
+    "q102_skew_report": frozenset({"cnt"}),
+    # per-source frames: source vocabulary is corpus-metadata-bounded
+    "q145_crawl_budget": frozenset({"source"}),
+    "q212_interleave_strata": frozenset({"source"}),
+    # event_type vocabulary (a handful of types)
+    "q18_event_type_share": frozenset({"event_type"}),
+    # post-agg vocabulary regime, documented in zipf_fit: the global
+    # rank runs on the distinct-token table (same regime as top-k)
+    "q166_zipf_fit": frozenset({"__t"}),
+    # distinct micro-score domain: scores are integers in [0, 1e6]
+    "q177_roc_auc": frozenset({"score"}),
+    # rrf_fuse with by=None: documented single-query corpus-ranking
+    # mode (global rank over the candidate lists); pass `by` for
+    # per-query batches
+    "q201_rrf_fusion": None,
+    # channel vocabulary (attribution model frame)
+    "q279_shapley_attribution": frozenset({"channel"}),
+    # item vocabulary (Bradley-Terry strength table = the model)
+    "q295_bradley_terry": frozenset({"item"}),
+    # global hourly grid keyed by a literal: calendar-bounded
+    "q313_ccf_clicks_purchases": frozenset({"_groupingexpression"}),
+}
+
+
+def test_partitionless_windows_are_bounded(plans):
+    bad, seen_ok = [], set()
+    for name, plan in plans.items():
+        allowed = _PARTITIONLESS_OK.get(name, "unset")
+        for keys, subtree in _partitionless_windows(plan):
+            if keys is not None and (
+                    not keys or keys <= _BOUNDED_KEY_NAMES):
+                continue  # constant-bucket / global-scalar frame
+            if allowed != "unset" and keys == allowed:
+                seen_ok.add(name)
+                continue
+            bad.append((name, sorted(keys) if keys else subtree))
+    assert not bad, (
+        "partitionless Window over a frame not witnessed as bounded "
+        f"(add a justified _PARTITIONLESS_OK entry if it IS): {bad}")
+
+
+def test_partitionless_whitelist_not_stale(plans):
+    stale = []
+    for name, allowed in _PARTITIONLESS_OK.items():
+        found = list(_partitionless_windows(plans[name]))
+        if not any((keys == allowed) for keys, _ in found):
+            stale.append(name)
+    assert not stale, (
+        f"stale _PARTITIONLESS_OK entries (shrink the list): {stale}")

@@ -46,31 +46,63 @@ def skew_report(df: DataFrame, key: str) -> DataFrame:
     n_keys, n_rows, max_cnt, max_share, mean_cnt, p50/p90/p99_cnt
     (discrete), imbalance (max/mean — the straggler multiplier a
     perfectly hash-partitioned shuffle would see), and gini.
+
+    Scale shape (round-4 rewrite): the old version ranked the per-key
+    counts frame with a GLOBAL window — |keys|-sized, i.e. 10^9-10^12
+    rows in one partition at web scale, exactly the straggler this
+    operator exists to diagnose.  Every output is rank-TIEBREAK-
+    INVARIANT (equal counts occupy a contiguous rank run, and both
+    the percentile pick and Σ rn·cnt depend only on the run), so the
+    whole report collapses onto the DISTINCT-COUNT-VALUE frame: a run
+    of m keys sharing count c after r0 smaller keys contributes
+    c·(m·r0 + m(m+1)/2) to the Gini rank sum (DECIMAL(38,0) — the
+    rank sum crosses int64 at ~10^10 rows) and holds percentile
+    position p iff r0 < ⌈p·nk⌉ ≤ r0+m.  The only window left orders
+    the distinct-count frame, bounded by √(2·n_rows) rows by the
+    pigeonhole argument (1+2+…+k ≤ n), and totals ride a 1-row
+    broadcast frame.
     """
     counts = key_counts(df, key)
-    w = Window.orderBy(F.col("cnt"), F.col(key).cast("string"))
-    ranked = counts.select(
-        F.col("cnt"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("nk"))
-    pos = lambda p: F.ceil(F.lit(p) * F.col("nk"))  # noqa: E731
-    return ranked.agg(
-        F.max("nk").cast("long").alias("n_keys"),
-        F.sum("cnt").cast("long").alias("n_rows"),
-        F.max("cnt").cast("long").alias("max_cnt"),
-        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("max_share"),
-        F.round(F.sum("cnt") / F.max("nk"), 6).alias("mean_cnt"),
-        F.max(F.when(F.col("rn") == pos(0.5), F.col("cnt")))
-         .cast("long").alias("p50_cnt"),
-        F.max(F.when(F.col("rn") == pos(0.9), F.col("cnt")))
-         .cast("long").alias("p90_cnt"),
-        F.max(F.when(F.col("rn") == pos(0.99), F.col("cnt")))
-         .cast("long").alias("p99_cnt"),
-        F.round(F.max("cnt") * F.max("nk") / F.sum("cnt"), 6)
+    runs = (counts.groupBy("cnt")
+            .agg(F.count("*").cast("long").alias("__m")))
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    runs = runs.withColumn("__r0",
+                           F.coalesce(F.sum("__m").over(w), F.lit(0)))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = runs.agg(
+        F.sum("__m").cast("long").alias("__nk"),
+        F.sum(F.col("cnt") * F.col("__m")).cast("long").alias("__nr"),
+        F.max("cnt").cast("long").alias("__mx"))
+    j = runs.crossJoin(F.broadcast(tot))
+    pos = lambda p: F.ceil(F.lit(p) * F.col("__nk"))  # noqa: E731
+    pick = lambda p: F.max(  # noqa: E731
+        F.when((F.col("__r0") < pos(p))
+               & (pos(p) <= F.col("__r0") + F.col("__m")),
+               F.col("cnt"))).cast("long")
+    rnsum = F.sum(dec(F.col("cnt"))
+                  * (dec(F.col("__m")) * dec(F.col("__r0"))
+                     + dec(F.expr("__m * (__m + 1) div 2"))))
+    agg = j.agg(
+        F.max("__nk").alias("nk"), F.max("__nr").alias("nr"),
+        F.max("__mx").alias("mx"),
+        pick(0.5).alias("p50"), pick(0.9).alias("p90"),
+        pick(0.99).alias("p99"), rnsum.alias("s"))
+    return agg.select(
+        F.col("nk").alias("n_keys"),
+        F.col("nr").alias("n_rows"),
+        F.col("mx").alias("max_cnt"),
+        F.round(F.col("mx") / F.col("nr"), 6).alias("max_share"),
+        F.round(F.col("nr") / F.col("nk"), 6).alias("mean_cnt"),
+        F.col("p50").alias("p50_cnt"),
+        F.col("p90").alias("p90_cnt"),
+        F.col("p99").alias("p99_cnt"),
+        F.round(F.col("mx") * F.col("nk") / F.col("nr"), 6)
          .alias("imbalance"),
-        F.round((2 * F.sum(F.col("rn") * F.col("cnt"))
-                 - (F.max("nk") + 1) * F.sum("cnt"))
-                / (F.max("nk") * F.sum("cnt")), 6).alias("gini"))
+        F.round((F.lit(2).cast("decimal(38,0)") * F.col("s")
+                 - dec(F.col("nk") + 1) * dec(F.col("nr")))
+                .cast("double")
+                / (dec(F.col("nk")) * dec(F.col("nr"))).cast("double"),
+                6).alias("gini"))
 
 
 def suggest_salt(df: DataFrame, key: str, *,
