@@ -367,3 +367,39 @@ def test_sparse_cosine_python_reference(spark):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-12
+
+
+def test_semdedup_exact_trainer_single_cluster_equals_exact(emb):
+    """The round-4 exact trainer (kmeans_fixed) keeps the
+    n_centroids=1 ≡ exact-all-pairs property that pins the sampled
+    trainer: one centroid means every pair is compared."""
+    from ultraviolet_spark.operators.dedup import connected_components
+    from ultraviolet_spark.operators.similarity import (
+        cosine_dup_pairs,
+        semdedup,
+    )
+
+    tau = 0.4
+    got = semdedup(emb, threshold=tau, n_centroids=1,
+                   trainer="exact").toPandas()
+    pairs = cosine_dup_pairs(emb, threshold=tau)
+    cc = {r["node"]: r["component"]
+          for r in connected_components(pairs).collect()}
+    assert (got["list_id"] == 0).all()
+    want_comp = got["vec_id"].map(lambda i: cc.get(i, i))
+    assert (got["component"] == want_comp).all()
+    assert (got["keep"] == (got["component"] == got["vec_id"])).all()
+    assert (~got["keep"]).sum() > 0
+
+
+def test_ivf_exact_full_probe_equals_brute_force(emb):
+    """ivf_ann_topk_exact with nprobe == n_centroids scans every list,
+    so it must reproduce the exact cosine top-k bit-for-bit."""
+    from ultraviolet_spark.operators import similarity as S
+
+    q = emb.orderBy("vec_id").select("embedding").head()[0]
+    exact = S.cosine_topk(emb, list(q), k=10).toPandas()
+    got = S.ivf_ann_topk_exact(emb, list(q), k=10, n_centroids=4,
+                               nprobe=4, rounds=2).toPandas()
+    assert list(got["vec_id"]) == list(exact["vec_id"])
+    assert list(got["cos_sim"]) == list(exact["cos_sim"])

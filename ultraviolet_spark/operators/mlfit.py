@@ -165,15 +165,69 @@ def kmeans_fixed(df: DataFrame, *, id_col: str = "vec_id",
     excluded.  Output per row: (id_col, cluster, dist2) with dist2 the
     squared L2 distance to the winning centroid in original units².
     """
-    from pyspark.sql import Window
+    cents = kmeans_fixed_centroids(df, id_col=id_col, vec_col=vec_col,
+                                   k=k, rounds=rounds)
+    final = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
+    return final.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.round(F.col("__d").cast("double") / F.lit(1e12), 6)
+        .alias("dist2"))
 
-    dec = lambda c: c.cast("decimal(38,0)")
+
+def _kmeans_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     xm = F.transform(F.col(vec_col),
                      lambda v: F.round(v.cast("double") * 1e6)
                      .cast("long"))
-    base = (df.filter(F.col(vec_col).isNotNull()
+    return (df.filter(F.col(vec_col).isNotNull()
                       & (F.size(F.col(vec_col)) > 0))
             .select(F.col(id_col).alias("id"), xm.alias("__xm")))
+
+
+def _kmeans_assign_base(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, __xm, cluster, __d): exact-integer argmin over the
+    broadcast sorted centroid array — kmeans_fixed's scan-stage
+    assignment, shared with the exact IVF / SemDeDup paths."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    one = cents.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("cid", "__c")))
+        .alias("__cents"))
+
+    def d_of(carr):
+        return F.aggregate(
+            F.zip_with(F.col("__xm"), carr, lambda a, b: a - b),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda s, v: s + dec(v) * dec(v))
+
+    zero = F.struct(F.lit(-1).cast("int").alias("cid"),
+                    F.lit(None).cast("decimal(38,0)").alias("d"))
+
+    def merge(acc, c):
+        d = d_of(c["__c"])
+        better = (acc["cid"] == F.lit(-1)) | (d < acc["d"])
+        return (F.when(better, F.struct(c["cid"].alias("cid"),
+                                        d.alias("d")))
+                .otherwise(acc))
+
+    best = F.aggregate(F.col("__cents"), zero, merge)
+    return (base.crossJoin(F.broadcast(one))
+            .select("id", "__xm", best["cid"].alias("cluster"),
+                    best["d"].alias("__d")))
+
+
+def kmeans_fixed_centroids(df: DataFrame, *, id_col: str = "vec_id",
+                           vec_col: str = "embedding", k: int = 4,
+                           rounds: int = 2) -> DataFrame:
+    """The centroid half of :func:`kmeans_fixed`, exposed so the exact
+    IVF / SemDeDup paths can train on the SAME fully-deterministic,
+    oracle-replayable machinery: returns ``(cid int, __c array<long>)``
+    micro-unit centroids after ``rounds`` unrolled Lloyd updates (md5
+    seeding, exact-integer argmin, re-snapped means, empty clusters
+    keep their previous centroid — see kmeans_fixed's docstring)."""
+    from pyspark.sql import Window
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = _kmeans_base(df, id_col, vec_col)
 
     seed_h = F.md5(F.col("id").cast("string").cast("binary"))
     seeds = (base.select("id", "__xm", seed_h.alias("__h"))
@@ -183,34 +237,8 @@ def kmeans_fixed(df: DataFrame, *, id_col: str = "vec_id",
         .cast("int").alias("cid"),
         F.col("__xm").alias("__c"))
 
-    def assign(cents_df: DataFrame) -> DataFrame:
-        one = cents_df.groupBy().agg(
-            F.sort_array(F.collect_list(F.struct("cid", "__c")))
-            .alias("__cents"))
-
-        def d_of(carr):
-            return F.aggregate(
-                F.zip_with(F.col("__xm"), carr, lambda a, b: a - b),
-                F.lit(0).cast("decimal(38,0)"),
-                lambda s, v: s + dec(v) * dec(v))
-
-        zero = F.struct(F.lit(-1).cast("int").alias("cid"),
-                        F.lit(None).cast("decimal(38,0)").alias("d"))
-
-        def merge(acc, c):
-            d = d_of(c["__c"])
-            better = (acc["cid"] == F.lit(-1)) | (d < acc["d"])
-            return (F.when(better, F.struct(c["cid"].alias("cid"),
-                                            d.alias("d")))
-                    .otherwise(acc))
-
-        best = F.aggregate(F.col("__cents"), zero, merge)
-        return (base.crossJoin(F.broadcast(one))
-                .select("id", "__xm", best["cid"].alias("cluster"),
-                        best["d"].alias("__d")))
-
     for _ in range(int(rounds)):
-        assigned = assign(cents)
+        assigned = _kmeans_assign_base(base, cents)
         upd = (assigned.select(F.col("cluster").alias("cid"),
                                F.posexplode("__xm").alias("dim", "v"))
                .groupBy("cid", "dim")
@@ -227,13 +255,15 @@ def kmeans_fixed(df: DataFrame, *, id_col: str = "vec_id",
                      F.sort_array(F.collect_list(F.struct("dim", "v"))),
                      lambda s: s["v"]).alias("__c"))
                  .localCheckpoint(eager=False))
+    return cents
 
-    final = assign(cents)
-    return final.select(
-        F.col("id").alias(id_col),
-        "cluster",
-        F.round(F.col("__d").cast("double") / F.lit(1e12), 6)
-        .alias("dist2"))
+
+def kmeans_assign(df: DataFrame, cents: DataFrame, *,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Assign every row of ``df`` to its exact-nearest centroid from
+    :func:`kmeans_fixed_centroids`: (id, __xm, cluster, __d)."""
+    return _kmeans_assign_base(_kmeans_base(df, id_col, vec_col), cents)
 
 
 def ipw_ate(df: DataFrame, *, treat_expr: str, outcome_col: str,

@@ -253,6 +253,61 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
                        exclude_id=exclude_id)
 
 
+def ivf_ann_topk_exact(df: DataFrame, query_vec: list[float], *,
+                       k: int = 10, n_centroids: int = 16,
+                       nprobe: int = 4, rounds: int = 2,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       exclude_id: int | None = None) -> DataFrame:
+    """IVF ANN top-k on the EXACT-REPLAY trainer: same probe-and-rerank
+    shape as :func:`ivf_ann_topk`, but the coarse quantizer is
+    ``kmeans_fixed_centroids`` (md5 seeding, exact integer distances,
+    unrolled rounds) instead of the numpy-sampled FAISS-style train —
+    so the entire pipeline, training included, is a pure function of
+    the data that a SQL oracle can replay move-for-move (the q277
+    discipline; promotes the IVF path from rows-only to exact).
+
+    Probe selection runs IN-PLAN: the query vector snaps to micro
+    units with decimal HALF_UP (emulating F.round on the identical
+    double — the cross-engine round contract), exact DECIMAL(38,0)
+    distances to the k centroids, top-``nprobe`` by (distance, cid).
+    Candidates are the members of the probed lists (broadcast
+    semi-join); rerank is the exact cosine top-k.
+
+    Scale: identical to ivf_ann_topk's serving shape — centroids and
+    the nprobe-row probe frame ride broadcasts, candidates scan
+    ~nprobe/n_centroids of the corpus, rerank is scan + TakeOrdered.
+    Training costs 2·rounds+1 full scans (vs the bounded sample), the
+    documented price of exactness; amortize across queries by reusing
+    the centroid frame.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ultraviolet_spark.operators.mlfit import (kmeans_assign,
+                                                   kmeans_fixed_centroids)
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cents = kmeans_fixed_centroids(df, id_col=id_col, vec_col=vec_col,
+                                   k=n_centroids, rounds=rounds)
+    qm = [int(Decimal(repr(float(x) * 1e6))
+              .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+          for x in query_vec]
+    qarr = F.array(*[F.lit(v).cast("long") for v in qm])
+    dq = F.aggregate(
+        F.zip_with(F.col("__c"), qarr, lambda a, b: a - b),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda s, v: s + dec(v) * dec(v))
+    probe = (cents.select("cid", dq.alias("__dq"))
+             .orderBy("__dq", "cid").limit(int(nprobe))
+             .select(F.col("cid").alias("cluster")))
+    assign = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
+    cand = (assign.join(F.broadcast(probe), "cluster")
+            .select(F.col("id").alias(id_col)))
+    hits = df.join(cand, on=id_col, how="left_semi")
+    return cosine_topk(hits, query_vec, k=k, id_col=id_col,
+                       vec_col=vec_col, exclude_id=exclude_id)
+
+
 # ---------------------------------------------------------------------------
 # embedding storage ops: normalize + symmetric int8 quantization
 # ---------------------------------------------------------------------------
@@ -291,7 +346,8 @@ def quantize_embeddings(df: DataFrame, *, id_col: str = "vec_id",
 def semdedup(df: DataFrame, *, threshold: float = 0.95,
              n_centroids: int = 16, iters: int = 8, sample: int = 2048,
              seed: int = 11, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             trainer: str = "sample") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic deduplication of
     an embedding corpus — k-means cluster the embeddings, then mark
     ε-similar pairs WITHIN each cluster only and keep one document per
@@ -313,13 +369,32 @@ def semdedup(df: DataFrame, *, threshold: float = 0.95,
     size n_centroids to keep clusters ~10^4-10^5 rows (the paper uses
     50k clusters for LAION) so per-cluster pairwise stays tractable;
     the component pass runs on the (far smaller) pair graph.
+
+    ``trainer="sample"`` (default) clusters with the FAISS-style
+    numpy-sampled ivf_train_centroids — the cheap serving path.
+    ``trainer="exact"`` clusters with ``kmeans_fixed_centroids``
+    (md5-seeded, exact-integer, unrolled rounds — the q277
+    discipline), making the WHOLE dedup a pure function of the data
+    that a SQL oracle replays move-for-move; training then costs
+    2·rounds+1 full scans instead of one bounded sample.
     """
     from ultraviolet_spark.operators.dedup import connected_components
 
-    cents = ivf_train_centroids(df, n_centroids=n_centroids, iters=iters,
-                                sample=sample, seed=seed,
-                                id_col=id_col, vec_col=vec_col)
-    assign = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
+    if trainer == "exact":
+        from ultraviolet_spark.operators.mlfit import (
+            kmeans_assign, kmeans_fixed_centroids)
+        cents_df = kmeans_fixed_centroids(
+            df, id_col=id_col, vec_col=vec_col, k=n_centroids, rounds=2)
+        assign = (kmeans_assign(df, cents_df, id_col=id_col,
+                                vec_col=vec_col)
+                  .select(F.col("id").alias(id_col),
+                          F.col("cluster").alias("list_id")))
+    else:
+        cents = ivf_train_centroids(df, n_centroids=n_centroids,
+                                    iters=iters, sample=sample,
+                                    seed=seed, id_col=id_col,
+                                    vec_col=vec_col)
+        assign = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
     withc = df.select(F.col(id_col), F.col(vec_col)).join(assign, on=id_col)
     a = withc.select("list_id", F.col(id_col).alias("id_a"),
                      F.col(vec_col).alias("__va"))

@@ -1504,18 +1504,95 @@ def q63(spark, sf_dir):
         FROM {name}""")
 
 
-@q("q52_ivf_ann_top10", None)  # probe subset → rows-only (recall in pytest)
+def _kmeans_replay_ctes(k: int) -> str:
+    """q277's unrolled 2-round kmeans_fixed oracle CTEs with a
+    parameterized centroid count — shared by the exact IVF (q52) and
+    exact SemDeDup (q85) oracles.  Ends with ``sf(id, cid, d)``, the
+    final exact-integer assignment."""
+    return f"""xm AS (
+  SELECT vec_id AS id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+           AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+sd AS (
+  SELECT id,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)
+              - 1 AS INTEGER) AS cid
+  FROM (SELECT DISTINCT id FROM xm)
+  QUALIFY cid < {int(k)}),
+c0 AS (SELECT sd.cid, xm.dim, xm.v FROM sd JOIN xm USING (id)),
+a1 AS (
+  SELECT x.id, c.cid,
+         SUM(CAST(x.v - c.v AS HUGEINT) * (x.v - c.v)) AS d
+  FROM xm x JOIN c0 c USING (dim) GROUP BY x.id, c.cid),
+s1 AS (SELECT id, cid FROM a1
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d, cid) = 1),
+u1 AS (
+  SELECT s1.cid, x.dim,
+         CAST(round(CAST(SUM(CAST(x.v AS HUGEINT)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS v
+  FROM s1 JOIN xm x USING (id) GROUP BY s1.cid, x.dim),
+c1 AS (SELECT c0.cid, c0.dim, COALESCE(u1.v, c0.v) AS v
+       FROM c0 LEFT JOIN u1 USING (cid, dim)),
+a2 AS (
+  SELECT x.id, c.cid,
+         SUM(CAST(x.v - c.v AS HUGEINT) * (x.v - c.v)) AS d
+  FROM xm x JOIN c1 c USING (dim) GROUP BY x.id, c.cid),
+s2 AS (SELECT id, cid FROM a2
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d, cid) = 1),
+u2 AS (
+  SELECT s2.cid, x.dim,
+         CAST(round(CAST(SUM(CAST(x.v AS HUGEINT)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS v
+  FROM s2 JOIN xm x USING (id) GROUP BY s2.cid, x.dim),
+c2 AS (SELECT c1.cid, c1.dim, COALESCE(u2.v, c1.v) AS v
+       FROM c1 LEFT JOIN u2 USING (cid, dim)),
+af AS (
+  SELECT x.id, c.cid,
+         SUM(CAST(x.v - c.v AS HUGEINT) * (x.v - c.v)) AS d
+  FROM xm x JOIN c2 c USING (dim) GROUP BY x.id, c.cid),
+sf AS (SELECT id, cid, d FROM af
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d, cid) = 1)"""
+
+
+@q("q52_ivf_ann_top10", f"""
+WITH {_kmeans_replay_ctes(16)},
+qv AS (SELECT dim, v FROM xm
+       WHERE id = (SELECT min(vec_id) FROM embeddings)),
+dq AS (SELECT c.cid, SUM(CAST(c.v - q.v AS HUGEINT) * (c.v - q.v)) AS d
+       FROM c2 c JOIN qv q USING (dim) GROUP BY c.cid),
+probe AS (SELECT cid FROM dq
+          QUALIFY ROW_NUMBER() OVER (ORDER BY d, cid) <= 6),
+cand AS (SELECT id FROM sf WHERE cid IN (SELECT cid FROM probe))
+SELECT e.vec_id, round({_COS}, 6) AS cos_sim
+FROM embeddings e JOIN cand ON cand.id = e.vec_id,
+     (SELECT embedding FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) q
+ORDER BY round({_COS}, 6) DESC, e.vec_id LIMIT 10
+""")
 def q52(spark, sf_dir):
     """IVF coarse-quantizer ANN (the brief's 'IVF or LSH-bucketed
-    variant'): deterministic sample-trained centroids, distributed
-    assignment, probe-and-rerank.  q27 is the exact brute-force
-    baseline on the same query vector."""
-    from ultraviolet_spark.operators.similarity import ivf_ann_topk
+    variant') — PROMOTED to an exact oracle in round 4 (VERDICT r3
+    #3): the coarse quantizer is now the exact-replay kmeans_fixed
+    trainer (md5 seeding, exact integer distances, 2 unrolled
+    rounds), probe selection is in-plan exact DECIMAL(38,0) distance
+    to the snapped query, and the oracle replays training, probing
+    and the cosine rerank move-for-move.  q27 is the brute-force
+    baseline on the same query vector; the sampled FAISS-style path
+    (ivf_ann_topk) stays the cheap serving twin, recall-tested in
+    pytest."""
+    from ultraviolet_spark.operators.similarity import ivf_ann_topk_exact
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.orderBy("vec_id").select("embedding").head()[0]
-    return ivf_ann_topk(e, [float(x) for x in qvec], k=10,
-                        n_centroids=16, nprobe=6, exclude_id=None)
+    return ivf_ann_topk_exact(e, [float(x) for x in qvec], k=10,
+                              n_centroids=16, nprobe=6, rounds=2,
+                              exclude_id=None)
 
 
 # ---------------------------------------------------------------------------
@@ -2231,17 +2308,42 @@ def q84(spark, sf_dir):
     return remove_dup_substrings(_t(spark, sf_dir, "documents"), k=8)
 
 
-@q("q85_semdedup", None)  # k-means clusters → rows-only (exact twin: q35/q64)
+@q("q85_semdedup", f"""
+WITH RECURSIVE {_kmeans_replay_ctes(8)},
+pr AS (
+  SELECT sa.id AS id_a, sb.id AS id_b
+  FROM sf sa JOIN sf sb ON sa.cid = sb.cid AND sa.id < sb.id
+  JOIN embeddings a ON a.vec_id = sa.id
+  JOIN embeddings b ON b.vec_id = sb.id
+  WHERE round({_COS_AB}, 6) >= 0.4),
+edges AS (SELECT id_a AS u, id_b AS v FROM pr
+          UNION SELECT id_b, id_a FROM pr),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+SELECT s.id AS vec_id, s.cid AS list_id,
+       COALESCE(comp.component, s.id) AS component,
+       COALESCE(comp.component, s.id) = s.id AS keep
+FROM sf s LEFT JOIN comp ON comp.node = s.id
+""")
 def q85(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup via k-means
-    clustering + within-cluster cosine components.  Rows-only by
-    design (k-means centroids aren't SQL-expressible); its semantics
-    are pinned by pytest: with n_centroids=1 it must equal the exact
-    all-pairs path (q35's pairs → q64's transitive closure)."""
+    clustering + within-cluster cosine components — PROMOTED to an
+    exact oracle in round 4 (VERDICT r3 #3) by training with the
+    exact-replay kmeans_fixed machinery (trainer='exact': md5
+    seeding, exact integer distances, 2 unrolled rounds) instead of
+    the numpy-sampled IVF train; the oracle replays clustering,
+    within-cluster µ-rounded cosine pairs and the recursive closure
+    move-for-move.  τ=0.4 targets this synthetic corpus's top tail
+    (the q35 note); the n_centroids=1 ≡ exact-all-pairs property
+    stays pytest-pinned for both trainers."""
     from ultraviolet_spark.operators.similarity import semdedup
 
     return (semdedup(_t(spark, sf_dir, "embeddings"),
-                     threshold=0.92, n_centroids=8)
+                     threshold=0.4, n_centroids=8, trainer="exact")
             .orderBy("vec_id"))
 
 
