@@ -2617,26 +2617,26 @@ def q95(spark, sf_dir):
     analytically from documents and never sees a WARC byte — so url
     parsing, gzip member splitting, HTTP head peeling, WARC-Date
     parsing and payload byte-identity (octet_length of the utf-8 text)
-    are all on the hook."""
+    are all on the hook.  Round 4 (VERDICT r3 #7): the fixture shards
+    are no longer built through a driver-side toPandas loop — pages
+    synthesize entirely in Catalyst (q233's shape) and ship through
+    the distributed uvwarc sink, whose records are byte-
+    interchangeable with the old build_warc shards; read-back stays
+    on the plain binaryFile→mapInPandas source under test."""
     import tempfile
-    from datetime import datetime, timedelta
 
     from ultraviolet_spark.operators.urls import host, registrable_domain
-    from ultraviolet_spark.sources.warc import build_warc, read_warc
+    from ultraviolet_spark.sources.warc import read_warc
+    from ultraviolet_spark.sources.warc_ds import write_warc_ds
 
-    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
-            .orderBy("doc_id").toPandas())
-    base = datetime(2026, 1, 1)
+    pages_in = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://WWW.Site"), F.col("doc_id") % 17,
+                 F.lit(".co.uk/p/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id"))
+         .alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"))
     d = tempfile.mkdtemp(prefix="uv_q95_")
-    shards: list[list[dict]] = [[] for _ in range(4)]
-    for did, text in zip(docs["doc_id"], docs["text"]):
-        shards[int(did) % 4].append({
-            "url": f"https://WWW.Site{int(did) % 17}.co.uk/p/{int(did)}",
-            "ts": base + timedelta(seconds=int(did)),
-            "payload": text.encode("utf-8")})
-    for i, recs in enumerate(shards):
-        with open(f"{d}/part{i}.warc.gz", "wb") as f:
-            f.write(build_warc(recs))
+    write_warc_ds(pages_in, d, num_shards=4)
     pages = read_warc(spark, d)
     return (pages
             .select(registrable_domain(host(F.col("url"))).alias("domain"),
@@ -8215,34 +8215,34 @@ def q231(spark, sf_dir):
     The oracle recomputes the rollup analytically from documents
     (never sees a WARC byte), so gzip member streaming, header
     extraction, HTTP-status peeling, the pushed predicates AND the
-    connector's Arrow batch schema are all on the hook."""
+    connector's Arrow batch schema are all on the hook.  Round 4
+    (VERDICT r3 #7): fixture synthesis moved off the driver — the
+    response rows and metadata sidecars build in Catalyst and ship
+    through the distributed uvwarc sink (byte-interchangeable with
+    the old build_warc shards)."""
     import tempfile
-    from datetime import datetime, timedelta
 
-    from ultraviolet_spark.sources.warc import build_warc
-    from ultraviolet_spark.sources.warc_ds import read_warc_ds
+    from ultraviolet_spark.sources.warc_ds import (read_warc_ds,
+                                                   write_warc_ds)
 
-    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
-            .orderBy("doc_id").toPandas())
-    base = datetime(2026, 1, 1)
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://b"), F.col("doc_id") % 7,
+                   F.lit(".example.org/p/"), F.col("doc_id")).alias("url")
+    ts = F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id")) \
+          .alias("warc_ts")
+    resp = docs.select(
+        url, ts, F.lit("response").alias("rec_type"),
+        F.when(F.col("doc_id") % 3 == 0, 404).otherwise(200)
+         .cast("int").alias("http_status"),
+        F.lit("text/html").alias("content_type"),
+        F.encode("text", "UTF-8").alias("html"))
+    meta = docs.filter(F.col("doc_id") % 10 == 0).select(
+        url, ts, F.lit("metadata").alias("rec_type"),
+        F.lit(None).cast("int").alias("http_status"),
+        F.lit("application/json").alias("content_type"),
+        F.lit(b'{"fetch":"meta"}').alias("html"))
     d = tempfile.mkdtemp(prefix="uv_q231_")
-    shards: list[list[dict]] = [[] for _ in range(6)]
-    for did, text in zip(docs["doc_id"], docs["text"]):
-        did = int(did)
-        shards[did % 6].append({
-            "url": f"https://b{did % 7}.example.org/p/{did}",
-            "ts": base + timedelta(seconds=did),
-            "payload": text.encode("utf-8"),
-            "status": 200 if did % 3 else 404})
-        if did % 10 == 0:
-            shards[did % 6].append({
-                "url": f"https://b{did % 7}.example.org/p/{did}",
-                "ts": base + timedelta(seconds=did),
-                "payload": b'{"fetch":"meta"}', "rec_type": "metadata",
-                "mime": "application/json"})
-    for i, recs in enumerate(shards):
-        with open(f"{d}/part{i}.warc.gz", "wb") as f:
-            f.write(build_warc(recs))
+    write_warc_ds(resp.unionByName(meta), d, num_shards=6)
     pages = (read_warc_ds(spark, d)
              .filter((F.col("rec_type") == "response")
                      & (F.col("http_status") == 200)))
