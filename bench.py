@@ -3,8 +3,14 @@ pipeline plus representative operator queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line:
 
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...}
+  {"metric": ..., "value": median_total_sec, "unit": "sec",
+   "band": {min, max}, "passes": [...], "best_total": ...,
+   "queries": {name: best_sec, ...}, "sf": ..., "pages_per_sec": ...}
+
+The suite runs UV_BENCH_PASSES (default 3) INTERLEAVED full passes;
+"value" is the median pass total (robust to this host's ±50%
+minute-scale swings), "queries" are per-line minima across passes
+(comparable with the r1-r3 best-of tables).
 
 Every query is fully materialized through the `noop` sink (no IO cost,
 no column-pruning shortcuts).  The flagship reads a pages table
@@ -114,65 +120,57 @@ def main() -> None:
     _materialize(flagship_enriched(
         spark.read.parquet(pages_10kb).sample(0.25, seed=1)))
 
-    # Best-of-N per line: the driver box is shared, and round-1's run
-    # recorded a near-uniform ~2.5× slowdown from host contention
-    # (VERDICT r1).  Taking the min of N attempts keeps the signal.
-    best_of = max(1, int(os.environ.get("UV_BENCH_BEST_OF", "2")))
+    # INTERLEAVED passes (round 4, VERDICT r3 #5 — the scaling-bench
+    # methodology applied to the headline): this host swings ±50% on
+    # MINUTE timescales (same commit, back-to-back full runs measured
+    # 14.9 vs 22.2 s), so consecutive best-of-N per line conflates a
+    # slow line with a slow minute.  Instead the WHOLE suite runs
+    # UV_BENCH_PASSES times; a contention burst hits one pass, not one
+    # line.  Headline value = MEDIAN of pass totals (robust), with the
+    # [min, max] band reported; per-line numbers stay the min across
+    # passes (comparable with the r1-r3 best-of tables).
+    import statistics
 
-    def timed(build, attempts: int | None = None) -> float:
-        times: list[float] = []
+    passes = max(2, int(os.environ.get("UV_BENCH_PASSES", "3")))
+    lines: list[tuple[str, object]] = [
+        ("flagship_pit_features",
+         lambda: build_flagship_from_table(spark, pages_600b)),
+        ("flagship_10kb_pages",
+         lambda: build_flagship_from_table(spark, pages_10kb)),
+    ] + [(name, (lambda name=name: Q.REGISTRY[name].fn(spark, sf_dir)))
+         for name in headline]
 
-        def one() -> None:
+    per: dict[str, list[float]] = {name: [] for name, _ in lines}
+    pass_totals: list[float] = []
+    for _ in range(passes):
+        tot = 0.0
+        for name, build in lines:
             t0 = time.perf_counter()
             _materialize(build())
-            times.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
             spark.catalog.clearCache()
+            per[name].append(dt)
+            tot += dt
+        pass_totals.append(round(tot, 3))
 
-        for _ in range(attempts or best_of):
-            one()
-        # Adaptive tail (bounded): this host swings ±50% on MINUTE
-        # timescales (same commit, back-to-back full runs measured 14.9
-        # vs 22.2 s).  If the last attempt was still the fastest (cold
-        # window receding) or the spread shows a contention burst hit an
-        # attempt, take up to 2 more — but stop as soon as an extra
-        # attempt stops improving on the best.
-        extra = 0
-        while extra < 2 and (
-                (len(times) > 1 and times[-1] <= min(times[:-1]))
-                or max(times) > 1.5 * min(times)):
-            prior_best = min(times)
-            one()
-            extra += 1
-            if times[-1] > prior_best * 1.05:
-                break
-        return round(min(times), 3)
-
-    timings: dict[str, float] = {}
-    # flagship lines get one extra attempt: they are the headline metric
-    # and their first post-warmup run still trails the steady state
-    timings["flagship_pit_features"] = t_flagship = timed(
-        lambda: build_flagship_from_table(spark, pages_600b),
-        attempts=best_of + 1)
-
-    # same pipeline at web-realistic ~10 KB pages (1/8 the page count)
-    timings["flagship_10kb_pages"] = timed(
-        lambda: build_flagship_from_table(spark, pages_10kb),
-        attempts=best_of + 1)
-
-    for name in headline:
-        timings[name] = timed(
-            lambda name=name: Q.REGISTRY[name].fn(spark, sf_dir))
-
-    total = round(sum(timings.values()), 3)
+    timings = {name: round(min(ts), 3) for name, ts in per.items()}
+    t_flagship = timings["flagship_pit_features"]
+    t_flag_med = round(statistics.median(per["flagship_pit_features"]), 3)
+    value = round(statistics.median(pass_totals), 3)
     out = {
         "metric": "headline_total_sec (flagship transcode+extract+window+asof "
-                  f"over {n_pages} pages + operator suite)",
-        "value": total,
+                  f"over {n_pages} pages + operator suite; median of "
+                  f"{passes} interleaved passes)",
+        "value": value,
         "unit": "sec",
+        "band": {"min": min(pass_totals), "max": max(pass_totals)},
+        "passes": pass_totals,
+        "best_total": round(sum(timings.values()), 3),
         "queries": timings,
         "sf": sf,
         "pages": n_pages,
-        "pages_per_sec": round(n_pages / t_flagship, 1),
+        "pages_per_sec": round(n_pages / t_flag_med, 1),
+        "pages_per_sec_best": round(n_pages / t_flagship, 1),
         "cores": cores,
     }
     # attach the latest N→4N scaling-efficiency measurement (north_rule
