@@ -74,6 +74,10 @@ CROSS_OK = {
     "q275_ratio_metric_se",      # 1-row totals frame × 64-bucket frame
     "q276_bh_fdr",               # 1-row m-total × 1-row crossing-k frames
     "q277_kmeans_fixed",         # 1-row broadcast centroid-array frame
+    "q52_ivf_ann_top10",         # 1-row centroid-array + nprobe-row
+                                 # probe frames (exact IVF, round 4)
+    "q85_semdedup",              # 1-row centroid-array frames per
+                                 # round (exact SemDeDup trainer)
     "q279_shapley_attribution",  # 2^K subset-lattice frames (metadata-sized)
     "q281_t_closeness",          # class × sensitive-vocab completion
     "q282_expectation_suite",    # 1-row violations × 1-row n frames

@@ -1,0 +1,760 @@
+"""Registry chunk: drift, reliability, trend tests (q321-q333).
+
+Split from the monolithic queries.py in round 4 (VERDICT r3 #4).
+Registration order is preserved by the import sequence in
+queries/__init__.py; the shared decorator/registry live in _shared.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ultraviolet_spark.operators import dedup as D  # noqa: F401
+from ultraviolet_spark.operators import similarity as S  # noqa: F401
+from ultraviolet_spark.operators import textstats as X  # noqa: F401
+from ultraviolet_spark.operators.asof import asof_join  # noqa: F401
+from ultraviolet_spark.operators.windows import (  # noqa: F401
+    dedup_latest,
+    sessionize,
+    with_ffill,
+    with_lags,
+    with_leads,
+)
+
+from ultraviolet_spark.queries._shared import (  # noqa: F401
+    REGISTRY,
+    QuerySpec,
+    _dec,
+    _t,
+    q,
+)
+
+@q("q321_hellinger_drift", """
+WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+cur AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+bd AS (SELECT list_transform(
+         quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+         x -> round(x, 6)) AS b
+       FROM ref),
+rb AS (SELECT 1 + CAST(list_sum(list_transform(
+         bd.b, t -> CASE WHEN ref.value > t THEN 1 ELSE 0 END)) AS INT)
+         AS bin_idx
+       FROM ref, bd),
+cb AS (SELECT 1 + CAST(list_sum(list_transform(
+         bd.b, t -> CASE WHEN cur.value > t THEN 1 ELSE 0 END)) AS INT)
+         AS bin_idx
+       FROM cur, bd),
+r AS (SELECT bin_idx, COUNT(*) AS ref_n FROM rb GROUP BY bin_idx),
+c AS (SELECT bin_idx, COUNT(*) AS cur_n FROM cb GROUP BY bin_idx),
+t AS (SELECT (SELECT SUM(ref_n) FROM r) AS rt,
+             (SELECT SUM(cur_n) FROM c) AS ct)
+SELECT r.bin_idx, CAST(r.ref_n AS BIGINT) AS ref_n,
+       CAST(COALESCE(c.cur_n, 0) AS BIGINT) AS cur_n,
+       round(sqrt((CAST(r.ref_n + 1 AS DOUBLE) / (t.rt + 10))
+                  * (CAST(COALESCE(c.cur_n, 0) + 1 AS DOUBLE)
+                     / (t.ct + 10))), 12) AS bc_term
+FROM r LEFT JOIN c USING (bin_idx), t
+""")
+def q321(spark, sf_dir):
+    """Hellinger/Bhattacharyya drift between the event-log halves —
+    the BOUNDED companion to q175's PSI (BC ∈ [0,1] by
+    Cauchy–Schwarz, Hellinger √(1−BC) a proper metric, so thresholds
+    transfer across features of different scales); identical
+    reference-decile binning and smoothing, per-bin √(p·q) rounded
+    to 12."""
+    from ultraviolet_spark.operators.stats import hellinger_drift
+
+    e = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp_ntz")
+    return hellinger_drift(e.filter(F.col("ts") < split),
+                           e.filter(F.col("ts") >= split),
+                           value_col="value", bins=10)
+
+
+@q("q322_cochrans_q", """
+WITH per AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(c0 + c1 + c2) AS BIGINT) AS T,
+    CAST(SUM((c0 + c1 + c2) * (c0 + c1 + c2)) AS BIGINT) AS R2,
+    CAST(SUM(c0) AS BIGINT) AS C0,
+    CAST(SUM(c1) AS BIGINT) AS C1,
+    CAST(SUM(c2) AS BIGINT) AS C2
+  FROM per)
+SELECT n, CAST(3 AS INT) AS k,
+  round(CAST(2 * (CAST(3 * C0 - T AS HUGEINT) * (3 * C0 - T)
+                  + CAST(3 * C1 - T AS HUGEINT) * (3 * C1 - T)
+                  + CAST(3 * C2 - T AS HUGEINT) * (3 * C2 - T))
+             AS DOUBLE)
+        / NULLIF(CAST(3 * (3 * CAST(T AS HUGEINT) - R2) AS DOUBLE), 0),
+        6) AS q
+FROM agg
+""")
+def q322(spark, sf_dir):
+    """Cochran's Q across the three per-user ever-did indicators
+    (click / view / purchase): the k-condition extension of q318's
+    McNemar — equal marginal rates across k paired binaries, with
+    the centered squares kept in exact integers (k·C_j − T) and
+    unanimous units contributing zero, the only-discordance-informs
+    rule generalized."""
+    from ultraviolet_spark.operators.stats import cochrans_q
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(*[(F.max(F.when(F.col("event_type") == t, 1)
+                         .otherwise(0)) == 1).alias(a)
+                  for t, a in [("click", "a"), ("view", "b"),
+                               ("purchase", "c")]]))
+    return cochrans_q(per, cols=["a", "b", "c"]).select("n", "k", "q")
+
+
+@q("q323_cronbach_alpha", """
+WITH per AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS x0,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS x1,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS x2
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT CAST(round(x0 * 1e6) AS BIGINT) AS m0,
+         CAST(round(x1 * 1e6) AS BIGINT) AS m1,
+         CAST(round(x2 * 1e6) AS BIGINT) AS m2
+  FROM per),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(m0 + m1 + m2 AS HUGEINT)) AS st,
+    SUM(CAST(m0 + m1 + m2 AS HUGEINT) * (m0 + m1 + m2)) AS stt,
+    SUM(CAST(m0 AS HUGEINT)) AS s0,
+    SUM(CAST(m0 AS HUGEINT) * m0) AS ss0,
+    SUM(CAST(m1 AS HUGEINT)) AS s1,
+    SUM(CAST(m1 AS HUGEINT) * m1) AS ss1,
+    SUM(CAST(m2 AS HUGEINT)) AS s2,
+    SUM(CAST(m2 AS HUGEINT) * m2) AS ss2
+  FROM m)
+SELECT n, CAST(3 AS INT) AS k,
+  CASE WHEN CAST(n * stt - st * st AS DOUBLE) > 0 THEN
+    round(1.5 * (1.0
+                 - CAST((n * ss0 - s0 * s0) + (n * ss1 - s1 * s1)
+                        + (n * ss2 - s2 * s2) AS DOUBLE)
+                   / NULLIF(CAST(n * stt - st * st AS DOUBLE), 0)), 6)
+  END AS alpha
+FROM agg
+""")
+def q323(spark, sf_dir):
+    """Cronbach's α over the three per-user activity counts (click /
+    view / purchase as a 3-item 'engagement scale'): do the items
+    move together enough to average into one score?  Exact
+    DECIMAL(38,0) moments of the items and the row sum in one pass,
+    per-item variance terms exact integers summed order-
+    independently, one fixed-order double ratio."""
+    from ultraviolet_spark.operators.stats import cronbach_alpha
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(*[F.sum(F.when(F.col("event_type") == t, 1)
+                        .otherwise(0)).cast("double").alias(a)
+                  for t, a in [("click", "x0"), ("view", "x1"),
+                               ("purchase", "x2")]]))
+    return cronbach_alpha(per, cols=["x0", "x1", "x2"])
+
+
+def _q324_sql() -> str:
+    """Friedman/W oracle: per-user doubled within-block ranks of the
+    three activity counts from the 9 pairwise comparisons, then the
+    all-integer tie-corrected statistic."""
+    items = ["m0", "m1", "m2"]
+    rank_exprs = []
+    for j, mj in enumerate(items):
+        below = " + ".join(
+            f"(CASE WHEN {ml} < {mj} THEN 1 ELSE 0 END)"
+            for ml in items)
+        tied = " + ".join(
+            f"(CASE WHEN {ml} = {mj} THEN 1 ELSE 0 END)"
+            for ml in items)
+        rank_exprs.append(
+            f"CAST(2 * ({below}) + ({tied}) + 1 AS BIGINT) AS a{j}")
+    k = 3
+    num = " + ".join(
+        f"(CAST(R{j} AS HUGEINT) - CAST(n AS HUGEINT) * {k + 1})"
+        f" * (CAST(R{j} AS HUGEINT) - CAST(n AS HUGEINT) * {k + 1})"
+        for j in range(k))
+    return f"""
+WITH per AS (
+  SELECT user_id,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS m0,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS m1,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS m2
+  FROM events GROUP BY user_id),
+rk AS (SELECT {', '.join(rank_exprs)} FROM per),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(a0 AS HUGEINT)) AS R0,
+    SUM(CAST(a1 AS HUGEINT)) AS R1,
+    SUM(CAST(a2 AS HUGEINT)) AS R2,
+    SUM(CAST(a0 AS HUGEINT) * a0 + CAST(a1 AS HUGEINT) * a1
+        + CAST(a2 AS HUGEINT) * a2) AS A2
+  FROM rk)
+SELECT n, CAST({k} AS INT) AS k,
+  round(CAST({k - 1} * ({num}) AS DOUBLE)
+        / NULLIF(CAST(A2 - CAST(n AS HUGEINT)
+                      * {k * (k + 1) * (k + 1)} AS DOUBLE), 0), 6)
+    AS chi2,
+  round(CAST({k - 1} * ({num}) AS DOUBLE)
+        / NULLIF(CAST(A2 - CAST(n AS HUGEINT)
+                      * {k * (k + 1) * (k + 1)} AS DOUBLE), 0)
+        / NULLIF(CAST(n AS DOUBLE) * {float(k - 1)}, 0), 6) AS w
+FROM agg
+"""
+
+
+@q("q324_friedman_activity", _q324_sql())
+def q324(spark, sf_dir):
+    """Friedman test + Kendall's W over each user's within-block
+    ranking of (click, view, purchase) counts: unit-level activity
+    offsets cancel by construction where raw-value ANOVA sees only
+    the offsets; doubled ranks 2C+t+1 from the 9 in-plan pairwise
+    comparisons, tie-corrected statistic in pure integer arithmetic,
+    one double division."""
+    from ultraviolet_spark.operators.stats import friedman_test
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(*[F.sum(F.when(F.col("event_type") == t, 1)
+                        .otherwise(0)).cast("double").alias(a)
+                  for t, a in [("click", "x0"), ("view", "x1"),
+                               ("purchase", "x2")]]))
+    return friedman_test(per, cols=["x0", "x1", "x2"])
+
+
+@q("q325_runs_test", """
+WITH base AS (
+  SELECT user_id AS k, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events),
+st AS (
+  SELECT k, x,
+         CASE WHEN lag(x) OVER (PARTITION BY k ORDER BY ts, event_id)
+                IS DISTINCT FROM x THEN 1 ELSE 0 END AS nw
+  FROM base),
+g AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS n1,
+         CAST(SUM(nw) AS BIGINT) AS runs
+  FROM st GROUP BY k),
+g2 AS (SELECT k, n, n1, CAST(n - n1 AS BIGINT) AS n0, runs FROM g)
+SELECT k AS user_id, n, n1, n0, runs,
+  CASE WHEN n1 > 0 AND n0 > 0 AND n >= 2
+        AND CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE)
+            * (CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE)
+               - CAST(n AS DOUBLE))
+            / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * (CAST(n AS DOUBLE) - 1.0), 0) > 0 THEN
+    round((CAST(runs AS DOUBLE)
+           - (1.0 + CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE)
+                    / NULLIF(CAST(n AS DOUBLE), 0)))
+          / NULLIF(sqrt(CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE)
+                        * (CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE)
+                           - CAST(n AS DOUBLE))
+                        / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0), 0)), 0),
+          6)
+  END AS z
+FROM g2
+""")
+def q325(spark, sf_dir):
+    """Wald–Wolfowitz runs test on each user's purchase/non-purchase
+    event sequence (ordered by ts, event_id): do purchases cluster in
+    time or alternate randomly — the sequence property the marginal
+    purchase rate can't see; exact integer run counts from one lag
+    pass, 2n₁n₀ in DECIMAL(38,0), fixed-order z."""
+    from ultraviolet_spark.operators.stats import runs_test
+
+    return runs_test(_t(spark, sf_dir, "events"), by="user_id",
+                     order_col="ts", tiebreak_col="event_id",
+                     flag_expr="event_type = 'purchase'")
+
+
+@q("q326_durbin_watson", """
+WITH base AS (
+  SELECT user_id AS k,
+         CAST(round(epoch_us(ts) / 3.6e9 * 1e6) AS BIGINT) AS x,
+         CAST(round(value * 1e6) AS BIGINT) AS y,
+         ts, event_id
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+fit AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM base GROUP BY k),
+ab AS (
+  SELECT k, n,
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS b,
+    sx, sy
+  FROM fit),
+ab2 AS (
+  SELECT k, n, b,
+         (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+           / NULLIF(CAST(n AS DOUBLE), 0) AS a,
+         CAST(round(b * 1e6) AS BIGINT) AS slope_micro
+  FROM ab),
+res AS (
+  SELECT base.k, ab2.n, ab2.slope_micro,
+         CAST(round(CAST(y AS DOUBLE)
+                    - (ab2.a + ab2.b * CAST(x AS DOUBLE))) AS BIGINT)
+           AS e,
+         ts, event_id
+  FROM base JOIN ab2 ON ab2.k = base.k),
+lagd AS (
+  SELECT k, n, slope_micro, e,
+         lag(e) OVER (PARTITION BY k ORDER BY ts, event_id) AS ep
+  FROM res),
+g AS (
+  SELECT k, MAX(n) AS n, MAX(slope_micro) AS slope_micro,
+         SUM(CAST(e AS HUGEINT) * e) AS see,
+         SUM(CASE WHEN ep IS NOT NULL
+             THEN CAST(e - ep AS HUGEINT) * (e - ep) ELSE 0 END)
+           AS sdd
+  FROM lagd GROUP BY k)
+SELECT k AS user_id, CAST(n AS BIGINT) AS n, slope_micro,
+  CASE WHEN CAST(see AS DOUBLE) > 0 AND slope_micro IS NOT NULL THEN
+    round(CAST(sdd AS DOUBLE) / NULLIF(CAST(see AS DOUBLE), 0), 6)
+  END AS dw
+FROM g
+""")
+def q326(spark, sf_dir):
+    """Durbin–Watson statistic of each user's purchase-value OLS
+    residuals (q309's trend frame): DW ≈ 2 = trend is the whole
+    story, → 0 = stretches of systematic over/under (missing
+    regime), → 4 = alternation; exact-sum OLS, residuals µ-snapped
+    so both DW sums are exact integers, one double division."""
+    from ultraviolet_spark.operators.stats import durbin_watson_by_key
+
+    p = (_t(spark, sf_dir, "events")
+         .filter((F.col("event_type") == "purchase")
+                 & F.col("value").isNotNull())
+         .select("user_id", "ts", "event_id",
+                 (F.unix_micros(F.col("ts").cast("timestamp"))
+                  / F.lit(3.6e9)).alias("xh"), "value"))
+    return durbin_watson_by_key(p, by="user_id", x_col="xh",
+                                y_col="value", order_col="ts",
+                                tiebreak_col="event_id")
+
+
+@q("q327_sorted_neighborhood", """
+WITH base AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, 24) AS s
+  FROM documents WHERE text IS NOT NULL),
+ranked AS (
+  SELECT id, row_number() OVER (ORDER BY s, id) AS rk FROM base),
+l AS (SELECT id AS id_a, rk AS rank_a, rk + t.o AS rk2
+      FROM ranked, (SELECT * FROM (VALUES (1), (2)) v(o)) t)
+SELECT l.id_a, r.id AS id_b, CAST(l.rank_a AS BIGINT) AS rank_a,
+       CAST(r.rk AS BIGINT) AS rank_b
+FROM l JOIN ranked r ON r.rk = l.rk2
+""")
+def q327(spark, sf_dir):
+    """Sorted-neighborhood blocking over the documents table (fuzzy
+    key = first 24 alphanumeric chars of the lowercased text, window
+    2): the classic O(n·w) ER candidate generator between exact
+    blocking and all-pairs — near-miss keys land adjacent in the
+    sort; two-phase monotone-prefix-bucket rank (no single-partition
+    window), pairs from one explode+equi-join, never a range join."""
+    from ultraviolet_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    return sorted_neighborhood_pairs(
+        d, id_col="doc_id",
+        sort_expr=("substring(regexp_replace(lower(text), "
+                   "'[^a-z0-9]', ''), 1, 24)"),
+        window=2)
+
+
+@q("q328_wilson_intervals", """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value IS NOT NULL AND value > 50
+                  THEN 1 ELSE 0 END) AS BIGINT) AS successes
+  FROM events GROUP BY event_type)
+SELECT event_type, n, successes,
+  round(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+  round((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+         + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+        - (1.96 * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(successes AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + (1.96 * 1.96)
+                         / (4.0 * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE))))
+          / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6)
+    AS wilson_lo,
+  round((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+         + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+        + (1.96 * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(successes AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + (1.96 * 1.96)
+                         / (4.0 * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE))))
+          / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6)
+    AS wilson_hi
+FROM g
+""")
+def q328(spark, sf_dir):
+    """Wilson score intervals for the per-event-type share of
+    high-value (> 50) events: the proportion interval that stays
+    inside [0,1] and stays honest at the boundaries where the Wald
+    interval collapses to zero width; exact per-type counts, every
+    derived quantity a fixed-order double with the z=1.96 literal
+    shared verbatim."""
+    from ultraviolet_spark.operators.stats import wilson_intervals
+
+    return wilson_intervals(
+        _t(spark, sf_dir, "events"), by="event_type",
+        success_expr="value IS NOT NULL AND value > 50")
+
+
+@q("q329_binary_segmentation", """
+WITH hr AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS o,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+b AS (SELECT k, c * 1000000 AS v, o FROM hr),
+r AS (
+  SELECT k,
+         CAST(row_number() OVER w AS BIGINT) AS i,
+         SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS s,
+         SUM(v) OVER (PARTITION BY k) AS sn,
+         CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n
+  FROM b WINDOW w AS (PARTITION BY k ORDER BY o)),
+c1 AS (
+  SELECT k, i, s, sn, n,
+    round(CAST(s * n - i * sn AS DOUBLE)
+          * CAST(s * n - i * sn AS DOUBLE)
+          / CAST(n AS DOUBLE) / CAST(i AS DOUBLE)
+          / CAST(n - i AS DOUBLE)) AS g
+  FROM r WHERE i < n),
+w1 AS (
+  SELECT k, i AS tau1, g AS gain1, s AS s1, n
+  FROM (SELECT *, row_number() OVER (PARTITION BY k
+                                     ORDER BY g DESC, i ASC) AS p
+        FROM c1)
+  WHERE p = 1),
+j AS (
+  SELECT r.k, w1.tau1,
+    CASE WHEN r.i <= w1.tau1 THEN 0 ELSE 1 END AS seg,
+    CASE WHEN r.i <= w1.tau1 THEN r.i ELSE r.i - w1.tau1 END AS ir,
+    CASE WHEN r.i <= w1.tau1 THEN w1.tau1 ELSE r.n - w1.tau1 END AS m,
+    CASE WHEN r.i <= w1.tau1 THEN w1.s1 ELSE r.sn - w1.s1 END AS z,
+    CASE WHEN r.i <= w1.tau1 THEN r.s ELSE r.s - w1.s1 END AS p
+  FROM r JOIN w1 ON w1.k = r.k),
+c2 AS (
+  SELECT k, tau1, seg, ir,
+    round(CAST(p * m - ir * z AS DOUBLE)
+          * CAST(p * m - ir * z AS DOUBLE)
+          / CAST(m AS DOUBLE) / CAST(ir AS DOUBLE)
+          / CAST(m - ir AS DOUBLE)) AS g2
+  FROM j WHERE ir < m),
+w2 AS (
+  SELECT k,
+    CAST(MAX(CASE WHEN seg = 0 THEN ir END) AS BIGINT) AS tau_l,
+    MAX(CASE WHEN seg = 0 THEN g2 END) AS gain_l,
+    CAST(MAX(CASE WHEN seg = 1 THEN ir + tau1 END) AS BIGINT)
+      AS tau_r,
+    MAX(CASE WHEN seg = 1 THEN g2 END) AS gain_r
+  FROM (SELECT *, row_number() OVER (PARTITION BY k, seg
+                                     ORDER BY g2 DESC, ir ASC) AS p2
+        FROM c2)
+  WHERE p2 = 1 GROUP BY k)
+SELECT w1.k AS event_type, w1.n, w1.tau1, w1.gain1,
+       w2.tau_l, w2.gain_l, w2.tau_r, w2.gain_r
+FROM w1 LEFT JOIN w2 ON w2.k = w1.k
+""")
+def q329(spark, sf_dir):
+    """Depth-2 binary segmentation of per-type hourly event counts
+    (up to 3 change points): the multiple-change-point extension of
+    q280's single detector — both rounds share one prefix-sum pass,
+    every discriminant an exact DECIMAL(38,0) integer, gains rounded
+    before each argmax, ties to smallest τ; sub-segments shorter
+    than 2 report NULL."""
+    from ultraviolet_spark.operators.stats import binary_segmentation
+
+    hr = (_t(spark, sf_dir, "events")
+          .groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("hh"))
+          .agg(F.count("*").cast("double").alias("c")))
+    return binary_segmentation(hr, key_col="event_type",
+                               order_col="hh", value_col="c",
+                               tiebreak_col="hh")
+
+
+@q("q330_mann_kendall", """
+WITH base AS (
+  SELECT user_id AS k, ts, event_id,
+         CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+np AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY k),
+pairs AS (
+  SELECT l.k,
+         CASE WHEN r.v > l.v THEN 1 WHEN r.v < l.v THEN -1 ELSE 0 END
+           AS sg
+  FROM base l JOIN base r
+    ON l.k = r.k AND (l.ts < r.ts
+                      OR (l.ts = r.ts AND l.event_id < r.event_id))),
+sa AS (SELECT k, CAST(SUM(sg) AS BIGINT) AS s FROM pairs GROUP BY k),
+ties AS (
+  SELECT k, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+  FROM (SELECT k, v, CAST(COUNT(*) AS BIGINT) AS t
+        FROM base GROUP BY k, v)
+  GROUP BY k),
+g AS (
+  SELECT np.k, np.n, COALESCE(sa.s, 0) AS s,
+         CAST(np.n * (np.n - 1) * (2 * np.n + 5) - ties.tt AS BIGINT)
+           AS var18
+  FROM np LEFT JOIN sa ON sa.k = np.k JOIN ties ON ties.k = np.k)
+SELECT k AS user_id, n, CAST(s AS BIGINT) AS s, var18,
+  CASE WHEN var18 > 0 THEN
+    round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                    / NULLIF(sqrt(CAST(var18 AS DOUBLE) / 18.0), 0)
+               WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                    / NULLIF(sqrt(CAST(var18 AS DOUBLE) / 18.0), 0)
+               ELSE 0.0 END, 6)
+  END AS z
+FROM g
+""")
+def q330(spark, sf_dir):
+    """Per-user Mann–Kendall trend test on purchase values over time:
+    the hypothesis-test companion of q309's Theil–Sen slope — is
+    there ANY monotone trend, distribution-free with exact
+    tie-corrected variance (18·Var kept as an exact integer),
+    continuity-corrected z; same-timestamp pairs are ordered by the
+    unique event_id tiebreak (total order (ts, event_id)), so S is
+    deterministic — see mann_kendall_by_key's docstring for how this
+    relates to the textbook drop-same-time convention."""
+    from ultraviolet_spark.operators.stats import mann_kendall_by_key
+
+    p = (_t(spark, sf_dir, "events")
+         .filter((F.col("event_type") == "purchase")
+                 & F.col("value").isNotNull()))
+    return mann_kendall_by_key(p, by="user_id", ts_col="ts",
+                               value_col="value",
+                               tiebreak_col="event_id")
+
+
+@q("q331_bowker_symmetry", """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rb
+  FROM events),
+fl AS (
+  SELECT user_id,
+         MAX(CASE WHEN ra = 1 THEN event_type END) AS a,
+         MAX(CASE WHEN rb = 1 THEN event_type END) AS b
+  FROM o GROUP BY user_id),
+cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM fl WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b),
+up AS (SELECT a AS i, b AS j, c AS nij FROM cells WHERE a < b),
+dn AS (SELECT b AS i, a AS j, c AS nji FROM cells WHERE a > b),
+pairs AS (
+  SELECT COALESCE(up.i, dn.i) AS i, COALESCE(up.j, dn.j) AS j,
+         COALESCE(nij, 0) AS nij, COALESCE(nji, 0) AS nji
+  FROM up FULL JOIN dn ON dn.i = up.i AND dn.j = up.j),
+kk AS (SELECT CAST(COUNT(*) AS INT) AS k FROM
+        (SELECT a AS c FROM cells UNION SELECT b FROM cells)),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+agg AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN nij + nji > 0 THEN 1 ELSE 0
+                            END), 0) AS BIGINT) AS n_pairs_used,
+         CAST(COALESCE(SUM(COALESCE(
+           CAST(round(CAST(nij - nji AS DOUBLE)
+                      * CAST(nij - nji AS DOUBLE)
+                      / NULLIF(CAST(nij + nji AS DOUBLE), 0) * 1e6)
+                AS BIGINT), 0)), 0) AS BIGINT) AS b_micro
+  FROM pairs)
+SELECT n, k, n_pairs_used, b_micro,
+  CASE WHEN n_pairs_used > 0 THEN
+    round(CAST(b_micro AS DOUBLE) / 1e6, 6) END AS b
+FROM nt, kk, agg
+""")
+def q331(spark, sf_dir):
+    """Bowker's symmetry test on the (first event type → last event
+    type) transition table per user: is every i→j start/end flow
+    matched by j→i — McNemar generalized to k×k paired categories;
+    exact integer numerators per unordered pair µ-snapped BEFORE the
+    cross-pair sum, diagonals never contribute."""
+    from ultraviolet_spark.operators.stats import bowker_test
+
+    w_first = F.struct(F.col("ts"), F.col("event_id"))
+    fl = (_t(spark, sf_dir, "events")
+          .groupBy("user_id")
+          .agg(F.min_by("event_type", w_first).alias("a"),
+               F.max_by("event_type", w_first).alias("b")))
+    return bowker_test(fl, a_col="a", b_col="b")
+
+
+@q("q332_partial_correlation", """
+WITH per AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS x,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS y,
+    CAST(COUNT(*) AS DOUBLE) AS z
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT CAST(round(x * 1e6) AS BIGINT) AS mx,
+         CAST(round(y * 1e6) AS BIGINT) AS my,
+         CAST(round(z * 1e6) AS BIGINT) AS mz
+  FROM per),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(mx AS HUGEINT)) AS sx, SUM(CAST(my AS HUGEINT)) AS sy,
+    SUM(CAST(mz AS HUGEINT)) AS sz,
+    SUM(CAST(mx AS HUGEINT) * mx) AS sxx,
+    SUM(CAST(my AS HUGEINT) * my) AS syy,
+    SUM(CAST(mz AS HUGEINT) * mz) AS szz,
+    SUM(CAST(mx AS HUGEINT) * my) AS sxy,
+    SUM(CAST(mx AS HUGEINT) * mz) AS sxz,
+    SUM(CAST(my AS HUGEINT) * mz) AS syz
+  FROM m),
+rr AS (
+  SELECT n,
+    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0)
+    END AS rxy,
+    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+              - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) > 0 THEN
+      (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+      / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 0)
+    END AS rxz,
+    CASE WHEN CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+              - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) > 0 THEN
+      (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+       - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+      / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 0)
+    END AS ryz
+  FROM agg)
+SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+       round(ryz, 6) AS r_yz,
+       round((rxy - rxz * ryz)
+             / NULLIF(sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 0),
+             6) AS r_xy_z
+FROM rr
+""")
+def q332(spark, sf_dir):
+    """Partial correlation of per-user click vs purchase counts
+    controlling for total activity: how much of the click–purchase
+    association survives once the common driver (overall activity)
+    is partialled out — nine exact DECIMAL(38,0) sufficient
+    statistics in one pass, every pairwise r and the partial formula
+    fixed-order doubles, degenerate legs NULL."""
+    from ultraviolet_spark.operators.stats import partial_correlation
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                      .otherwise(0)).cast("double").alias("x"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).cast("double").alias("y"),
+                F.count("*").cast("double").alias("z")))
+    return partial_correlation(per, x_col="x", y_col="y", z_col="z")
+
+
+@q("q333_cramers_v", """
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL),
+cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij
+          FROM base GROUP BY a, b),
+rws AS (SELECT a, CAST(SUM(nij) AS BIGINT) AS ri FROM cells GROUP BY a),
+cls AS (SELECT b, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT rws.a, cls.b, rws.ri, cls.cj,
+         COALESCE(cells.nij, 0) AS nij, tot.n
+  FROM rws CROSS JOIN cls
+  LEFT JOIN cells ON cells.a = rws.a AND cells.b = cls.b
+  CROSS JOIN tot),
+terms AS (
+  SELECT n,
+    CAST(round(CAST(CAST(n AS HUGEINT) * nij
+                    - CAST(ri AS HUGEINT) * cj AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * nij
+                      - CAST(ri AS HUGEINT) * cj AS DOUBLE)
+               / NULLIF(CAST(CAST(n AS HUGEINT) * ri * cj AS DOUBLE),
+                        0) * 1e6) AS BIGINT) AS t,
+    a, b
+  FROM grid),
+agg AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(DISTINCT a) AS INT) AS r,
+         CAST(COUNT(DISTINCT b) AS INT) AS c,
+         CAST(SUM(t) AS BIGINT) AS chi2m
+  FROM terms)
+SELECT CAST(n AS BIGINT) AS n, r, c,
+  round(CAST(chi2m AS DOUBLE) / 1e6, 6) AS chi2,
+  CASE WHEN least(r - 1, c - 1) > 0 THEN
+    round(sqrt(CAST(chi2m AS DOUBLE) / 1e6
+               / NULLIF(CAST(n AS DOUBLE)
+                        * CAST(least(r - 1, c - 1) AS DOUBLE), 0)), 6)
+  END AS v
+FROM agg
+""")
+def q333(spark, sf_dir):
+    """Cramér's V for the lang×source association over documents —
+    the [0,1] effect size next to q262's mutual information on the
+    same pair: COMPLETE r×c grid (absent cells contribute r_i·c_j/n;
+    dropping them understates χ²), exact integer cell numerators
+    µ-snapped before the cross-cell sum."""
+    from ultraviolet_spark.operators.stats import cramers_v
+
+    return cramers_v(_t(spark, sf_dir, "documents"),
+                     a_col="lang", b_col="source")
