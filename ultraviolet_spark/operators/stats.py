@@ -3149,3 +3149,145 @@ def cramers_v(df: DataFrame, *, a_col: str, b_col: str) -> DataFrame:
         F.col("__chi2m").cast("double") / F.lit(1e6)
         / nz(F.col("n").cast("double") * mind)), 6))
     return agg.select("n", "r", "c", chi2.alias("chi2"), v.alias("v"))
+
+
+def kendall_tau_by_key(df: DataFrame, *, by: str, x_col: str,
+                       y_col: str, tiebreak_col: str) -> DataFrame:
+    """Per-key Kendall τ-b between two value columns — the RANK
+    correlation completing the association wing next to Spearman's ρ
+    (q296: rank-linear, moment-based) and Mann–Kendall (q330: x =
+    time): τ counts CONCORDANT vs discordant pairs, so it reads as a
+    probability difference ("how much more often do x and y move the
+    same way?") and is robust to any monotone re-scaling of either
+    column.
+
+        S  = Σ_{i<j} sgn(x_j−x_i)·sgn(y_j−y_i)      (= C − D)
+        τ_b = S / √((n0−n1)(n0−n2)),   n0 = n(n−1)/2,
+        n1 = Σ_x t(t−1)/2,  n2 = Σ_y u(u−1)/2       (tie corrections)
+
+    Exactness (the mann_kendall pair discipline): values µ-snap to
+    int64 once; S is an exact int64 over the keyed pair self-join
+    (O(n²) per key BY DESIGN — the bounded-history contract shared
+    with Theil–Sen/MK; pairs are i<j under the unique ``tiebreak_col``
+    so every unordered pair counts exactly once and the join needs no
+    time column); tie terms are exact integer sums per distinct value
+    group; (n0−n1)(n0−n2) is formed in DECIMAL(38,0) (n0 crosses
+    int64·int64 territory at n ≈ 2·10⁵ per key) and τ_b is one
+    fixed-order double expression.  Keys where either margin is fully
+    tied (zero denominator) report NULL τ_b.
+
+    Output per key: (by, n, s, n0, n1, n2, tau_b).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    xm = F.round(F.col(x_col).cast("double") * 1e6).cast("long")
+    ym = F.round(F.col(y_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(xm.isNotNull() & ym.isNotNull())
+            .select(F.col(by).alias("__k"),
+                    F.col(tiebreak_col).alias("__tb"),
+                    xm.alias("__x"), ym.alias("__y")))
+    l = base.select("__k", F.col("__tb").alias("__ta"),
+                    F.col("__x").alias("__xa"),
+                    F.col("__y").alias("__ya"))
+    r = base.select("__k", F.col("__tb").alias("__tb2"),
+                    F.col("__x").alias("__xb"),
+                    F.col("__y").alias("__yb"))
+    pairs = l.join(r, "__k").filter(F.col("__ta") < F.col("__tb2"))
+    s_agg = pairs.groupBy("__k").agg(
+        F.sum((F.signum((F.col("__xb") - F.col("__xa")).cast("double"))
+               * F.signum((F.col("__yb") - F.col("__ya"))
+                          .cast("double"))).cast("long"))
+        .cast("long").alias("s"))
+    n_per = base.groupBy("__k").agg(F.count("*").cast("long").alias("n"))
+    # t(t-1) is always even — integer `div 2` keeps the tie counts
+    # exact past 2^53 (a double /2 would round there)
+    tx = (base.groupBy("__k", "__x")
+          .agg(F.count("*").cast("long").alias("__t"))
+          .groupBy("__k")
+          .agg(F.expr("CAST(sum(__t * (__t - 1)) div 2 AS BIGINT)")
+               .alias("n1")))
+    ty = (base.groupBy("__k", "__y")
+          .agg(F.count("*").cast("long").alias("__t"))
+          .groupBy("__k")
+          .agg(F.expr("CAST(sum(__t * (__t - 1)) div 2 AS BIGINT)")
+               .alias("n2")))
+    g = (n_per.join(s_agg, "__k", "left").join(tx, "__k").join(ty, "__k")
+         .withColumn("s", F.coalesce("s", F.lit(0).cast("long")))
+         .withColumn("n0", F.expr("CAST(n * (n - 1) div 2 AS BIGINT)")))
+    den2 = (d38(F.col("n0") - F.col("n1"))
+            * d38(F.col("n0") - F.col("n2")))
+    tau = F.when(den2 > 0, F.round(
+        F.col("s").cast("double") / nz(F.sqrt(den2.cast("double"))), 6))
+    return g.select(F.col("__k").alias(by), "n", "s", "n0", "n1", "n2",
+                    tau.alias("tau_b"))
+
+
+def cohens_d(df: DataFrame, *, value_col: str, group_col: str,
+             group_a, group_b) -> DataFrame:
+    """Cohen's d and Hedges' g between two strata of ``value_col`` —
+    the standardized EFFECT SIZE the A/B wing reports next to Welch's
+    t (q299, "is it real?") and the randomization test (q316): how
+    many pooled standard deviations apart are the means?  Hedges' g
+    applies the small-sample bias correction J = 1 − 3/(4·df − 1),
+    df = n_a+n_b−2 (Hedges 1981).
+
+    Exactness: all five sufficient statistics (n, Σx, Σx² per group)
+    come from ONE pass with µ-snapped int64 values and DECIMAL(38,0)
+    sums (Σx² of 10⁶-µ values crosses int64 at ~10⁴ rows); means,
+    the pooled variance
+
+        s_p² = [(n_a·ΣA² − ΣA²/n_a …)]  — algebra kept in the exact
+        corrected-sum form (n·Σx² − (Σx)²)/(n·(n−1)) per group, each
+        a fixed-order double of exact integers
+
+    and d = (m_a − m_b)/s_p are fixed-order double expressions both
+    engines evaluate identically.  Degenerate inputs (a group with
+    n < 2, zero pooled variance) report NULL d/g loudly.  One
+    filter + one 2-group agg; no shuffle beyond the partial-agg
+    reduce.  Output one row: (n_a, n_b, mean_a, mean_b, sp, d, g).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .select((g == F.lit(group_a)).alias("ia"), v.alias("x")))
+    agg = base.agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("ia"), d38(F.col("x")))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("sa"),
+        F.sum(F.when(~F.col("ia"), d38(F.col("x")))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("sb"),
+        F.sum(F.when(F.col("ia"), d38(F.col("x")) * d38(F.col("x")))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("qa"),
+        F.sum(F.when(~F.col("ia"), d38(F.col("x")) * d38(F.col("x")))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("qb"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    # corrected sums of squares per group, exact in DECIMAL then one
+    # double conversion each
+    ssa = (d38(na) * F.col("qa") - F.col("sa") * F.col("sa"))
+    ssb = (d38(nb) * F.col("qb") - F.col("sb") * F.col("sb"))
+    var_a = ssa.cast("double") / nz((na * (na - 1)).cast("double"))
+    var_b = ssb.cast("double") / nz((nb * (nb - 1)).cast("double"))
+    sp2 = ((na - 1).cast("double") * var_a
+           + (nb - 1).cast("double") * var_b) \
+        / nz((na + nb - 2).cast("double"))
+    sp = F.sqrt(sp2)
+    mean_a = F.col("sa").cast("double") / nz(na.cast("double")) / 1e6
+    mean_b = F.col("sb").cast("double") / nz(nb.cast("double")) / 1e6
+    ok = (na >= 2) & (nb >= 2) & (sp2 > 0)
+    d = F.when(ok, (F.col("sa").cast("double") / nz(na.cast("double"))
+                    - F.col("sb").cast("double") / nz(nb.cast("double")))
+               / nz(sp))
+    j = F.lit(1.0) - F.lit(3.0) / nz((4 * (na + nb - 2) - 1)
+                                     .cast("double"))
+    return agg.select(
+        "n_a", "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(sp / F.lit(1e6), 6).alias("sp"),
+        F.round(d, 6).alias("d"),
+        F.round(d * j, 6).alias("g"))

@@ -758,3 +758,117 @@ def q333(spark, sf_dir):
 
     return cramers_v(_t(spark, sf_dir, "documents"),
                      a_col="lang", b_col="source")
+
+
+@q("q334_kendall_tau_daily", """
+WITH per AS (
+  SELECT user_id AS k, date_trunc('day', ts) AS d,
+         CAST(1000000 * SUM(CASE WHEN event_type = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(1000000 * SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+np AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM per GROUP BY k),
+pairs AS (
+  SELECT a.k,
+         CAST((CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END)
+              * (CASE WHEN b.y > a.y THEN 1
+                      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+           AS sg
+  FROM per a JOIN per b ON a.k = b.k AND a.d < b.d),
+sa AS (SELECT k, CAST(SUM(sg) AS BIGINT) AS s FROM pairs GROUP BY k),
+tx AS (SELECT k, CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS n1
+       FROM (SELECT k, x, CAST(COUNT(*) AS BIGINT) AS t
+             FROM per GROUP BY k, x) GROUP BY k),
+ty AS (SELECT k, CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS n2
+       FROM (SELECT k, y, CAST(COUNT(*) AS BIGINT) AS t
+             FROM per GROUP BY k, y) GROUP BY k),
+g AS (SELECT np.k, np.n, COALESCE(sa.s, 0) AS s,
+             CAST(np.n * (np.n - 1) // 2 AS BIGINT) AS n0,
+             tx.n1, ty.n2
+      FROM np LEFT JOIN sa ON sa.k = np.k
+      JOIN tx ON tx.k = np.k JOIN ty ON ty.k = np.k)
+SELECT k AS user_id, n, s, n0, n1, n2,
+  CASE WHEN CAST(n0 - n1 AS HUGEINT) * (n0 - n2) > 0 THEN
+    round(CAST(s AS DOUBLE)
+          / NULLIF(sqrt(CAST(CAST(n0 - n1 AS HUGEINT) * (n0 - n2)
+                             AS DOUBLE)), 0), 6)
+  END AS tau_b
+FROM g
+""")
+def q334(spark, sf_dir):
+    """Per-user Kendall τ-b between daily click and purchase counts —
+    the concordant/discordant rank correlation next to q296's
+    Spearman ρ (corpus-level, moment-based) and q332's partial
+    correlation: do a user's clicky days tend to be their purchasey
+    days, robust to any monotone re-scaling?  Exact int64 S over the
+    keyed day-pair frame, integer tie corrections, DECIMAL(38,0)
+    denominator product, one fixed-order double τ."""
+    from ultraviolet_spark.operators.stats import kendall_tau_by_key
+
+    e = _t(spark, sf_dir, "events")
+    per = (e.groupBy(F.col("user_id"),
+                     F.date_trunc("day", F.col("ts")).alias("d"))
+           .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                      .otherwise(0)).cast("long").alias("x"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).cast("long").alias("y")))
+    return kendall_tau_by_key(per, by="user_id", x_col="x", y_col="y",
+                              tiebreak_col="d")
+
+
+@q("q335_cohens_d_click_purchase", """
+WITH base AS (
+  SELECT (event_type = 'click') AS ia,
+         CAST(round(value * 1e6) AS BIGINT) AS x
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN ia THEN CAST(x AS HUGEINT) ELSE 0 END) AS s_a,
+         SUM(CASE WHEN ia THEN 0 ELSE CAST(x AS HUGEINT) END) AS s_b,
+         SUM(CASE WHEN ia THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qa,
+         SUM(CASE WHEN ia THEN 0 ELSE CAST(x AS HUGEINT) * x END) AS qb
+  FROM base),
+d AS (
+  SELECT n_a, n_b,
+    CAST(s_a AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0) AS ma,
+    CAST(s_b AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0) AS mb,
+    CAST(n_a * qa - s_a * s_a AS DOUBLE)
+      / NULLIF(CAST(n_a * (n_a - 1) AS DOUBLE), 0) AS va,
+    CAST(n_b * qb - s_b * s_b AS DOUBLE)
+      / NULLIF(CAST(n_b * (n_b - 1) AS DOUBLE), 0) AS vb
+  FROM agg),
+e AS (
+  SELECT *,
+    sqrt((CAST(n_a - 1 AS DOUBLE) * va + CAST(n_b - 1 AS DOUBLE) * vb)
+         / NULLIF(CAST(n_a + n_b - 2 AS DOUBLE), 0)) AS sp,
+    (CAST(n_a - 1 AS DOUBLE) * va + CAST(n_b - 1 AS DOUBLE) * vb)
+      / NULLIF(CAST(n_a + n_b - 2 AS DOUBLE), 0) AS sp2
+  FROM d)
+SELECT n_a, n_b,
+  round(ma / 1e6, 6) AS mean_a,
+  round(mb / 1e6, 6) AS mean_b,
+  round(sp / 1e6, 6) AS sp,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND sp2 > 0 THEN
+    round((ma - mb) / NULLIF(sp, 0), 6) END AS d,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND sp2 > 0 THEN
+    round((ma - mb) / NULLIF(sp, 0)
+          * (1.0 - 3.0 / NULLIF(CAST(4 * (n_a + n_b - 2) - 1
+                                      AS DOUBLE), 0)), 6) END AS g
+FROM e
+""")
+def q335(spark, sf_dir):
+    """Cohen's d + Hedges' g between click and purchase values — the
+    standardized effect size next to q299's Welch t (significance)
+    and q316's randomization p: HOW BIG is the difference, in pooled
+    standard deviations, with the small-sample bias correction?  One
+    pass of exact DECIMAL(38,0) sufficient statistics, fixed-order
+    double algebra replayed verbatim by the oracle."""
+    from ultraviolet_spark.operators.stats import cohens_d
+
+    return cohens_d(_t(spark, sf_dir, "events"), value_col="value",
+                    group_col="event_type", group_a="click",
+                    group_b="purchase")
