@@ -104,6 +104,8 @@ CROSS_OK = {
     "q321_hellinger_drift",      # 1-row boundary + totals frames (PSI shape)
     "q331_bowker_symmetry",      # 1-row n × k × statistic frames
     "q333_cramers_v",            # vocab×vocab marginal completion + 1-row n
+    "q336_kruskal_wallis",       # 1-row bounds/N totals frames (two-phase
+                                 # rank machinery, round 4)
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -3291,3 +3291,92 @@ def cohens_d(df: DataFrame, *, value_col: str, group_col: str,
         F.round(sp / F.lit(1e6), 6).alias("sp"),
         F.round(d, 6).alias("d"),
         F.round(d * j, 6).alias("g"))
+
+
+def kruskal_wallis(df: DataFrame, *, value_col: str, group_col: str,
+                   n_buckets: int = 64) -> DataFrame:
+    """Kruskal–Wallis H — the k-group generalization of the
+    Mann–Whitney rank test (q253) and the rank-robust sibling of
+    one-way ANOVA (q301): do the k strata of ``value_col`` share a
+    location, judged on midranks so no normality or equal-variance
+    assumption enters?  Uses the rank-ANOVA identity, which folds the
+    tie correction in automatically:
+
+        H = (N−1) · Σ_g (R_g − n_g·r̄)²/n_g  /  Σ_i (r_i − r̄)²
+
+    with r_i midranks and r̄ = (N+1)/2.
+
+    Exactness: values µ-snap once; counts per (group, value) come
+    from one map-side-combined groupBy; run offsets over the
+    distinct-value frame use the two-phase value-range bucketed
+    cumsum (the ks_mw_tests machinery — no data-sized
+    single-partition window even for near-unique values).  DOUBLED
+    midranks mr2 = 2·r0 + m + 1 are exact integers, so the per-group
+    doubled rank sums R2_g and the total sum of squares
+    Σ_v m_v·(mr2_v − (N+1))² are exact DECIMAL(38,0) (the doubling
+    cancels in the ratio).  Per-group between terms
+    (R2_g − n_g(N+1))²/n_g take ONE double division each and are
+    summed by an ORDERED left-fold over the sorted group array (k is
+    group-vocabulary-bounded), so the cross-group double sum is
+    fixed-order in both engines; H is one final expression.  k < 2
+    or all-tied values (zero total SS) → NULL H.
+
+    Output one row: (k, n, h).
+    """
+    from pyspark.sql import Window
+
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    B = int(n_buckets)
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(v.isNotNull() & g.isNotNull())
+            .select(g.alias("__g"), v.alias("__v")))
+    cg = base.groupBy("__g", "__v").agg(
+        F.count("*").cast("long").alias("__c"))
+    per_v = cg.groupBy("__v").agg(F.sum("__c").cast("long").alias("__m"))
+    bounds = per_v.agg(F.min("__v").alias("__lo"),
+                       F.max("__v").alias("__hi"),
+                       F.sum("__m").cast("long").alias("__n"))
+    pv = (per_v.crossJoin(F.broadcast(bounds))
+          .withColumn("__b", F.expr(
+              f"(__v - __lo) div ((__hi - __lo) div {B} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    pv = pv.withColumn("__m_in",
+                       F.coalesce(F.sum("__m").over(w_in), F.lit(0)))
+    btot = pv.groupBy("__b").agg(F.sum("__m").alias("__bm"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b", F.coalesce(F.sum("__bm").over(w_b), F.lit(0)).alias("__om"))
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("__r0", F.col("__om") + F.col("__m_in"))
+          .withColumn("__mr2", 2 * F.col("__r0") + F.col("__m") + 1))
+    # total sum of squares over doubled midranks (exact DECIMAL)
+    dev = F.col("__mr2") - (F.col("__n") + 1)
+    tot = pv.agg(
+        F.max("__n").alias("n"),
+        F.sum(d38(F.col("__m")) * d38(dev) * d38(dev)).alias("__ss2"))
+    # per-group doubled rank sums off the (group, value) frame
+    rg = (cg.join(F.broadcast(pv.select("__v", "__mr2", "__n")), "__v")
+          .groupBy("__g")
+          .agg(F.sum(d38(F.col("__c")) * d38(F.col("__mr2")))
+               .alias("__r2"),
+               F.sum("__c").cast("long").alias("__ng"),
+               F.max("__n").alias("__nn")))
+    u = (F.col("__r2") - d38(F.col("__ng")) * d38(F.col("__nn") + 1))
+    t_g = ((u * u).cast("double")
+           / nz(F.col("__ng").cast("double")))
+    folded = rg.groupBy().agg(
+        F.count("*").cast("int").alias("k"),
+        F.aggregate(
+            F.sort_array(F.collect_list(
+                F.struct(F.col("__g").cast("string").alias("g"),
+                         t_g.alias("t")))),
+            F.lit(0.0), lambda a, s: a + s["t"]).alias("__sb"))
+    out = folded.crossJoin(F.broadcast(tot))
+    h = F.when(
+        (F.col("k") >= 2) & (F.col("__ss2").cast("double") > 0),
+        F.round((F.col("n") - 1).cast("double") * F.col("__sb")
+                / nz(F.col("__ss2").cast("double")), 6))
+    return out.select("k", "n", h.alias("h"))

@@ -872,3 +872,54 @@ def q335(spark, sf_dir):
     return cohens_d(_t(spark, sf_dir, "events"), value_col="value",
                     group_col="event_type", group_a="click",
                     group_b="purchase")
+
+
+@q("q336_kruskal_wallis", """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+cg AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+       FROM base GROUP BY g, v),
+pv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS m FROM cg GROUP BY v),
+tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM pv),
+r AS (SELECT v, m,
+        COALESCE(CAST(SUM(m) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS r0
+      FROM pv),
+mr AS (SELECT v, m, 2 * r0 + m + 1 AS mr2 FROM r),
+ss AS (SELECT SUM(CAST(m AS HUGEINT) * (mr2 - (n + 1))
+                 * (mr2 - (n + 1))) AS ss2
+       FROM mr, tot),
+rg AS (SELECT cg.g, SUM(CAST(cg.c AS HUGEINT) * mr.mr2) AS r2,
+              CAST(SUM(cg.c) AS BIGINT) AS ng
+       FROM cg JOIN mr ON mr.v = cg.v GROUP BY cg.g),
+tg AS (SELECT g,
+         CAST((r2 - CAST(ng AS HUGEINT) * (n + 1))
+              * (r2 - CAST(ng AS HUGEINT) * (n + 1)) AS DOUBLE)
+           / NULLIF(CAST(ng AS DOUBLE), 0) AS t
+       FROM rg, tot),
+fold AS (SELECT CAST(COUNT(*) AS INTEGER) AS k,
+                list_reduce(list_prepend(0.0, list(t ORDER BY g)),
+                            (a, b) -> a + b) AS sb
+         FROM tg)
+SELECT k, n,
+  CASE WHEN k >= 2 AND CAST(ss2 AS DOUBLE) > 0 THEN
+    round(CAST(n - 1 AS DOUBLE) * sb
+          / NULLIF(CAST(ss2 AS DOUBLE), 0), 6)
+  END AS h
+FROM fold, tot, ss
+""")
+def q336(spark, sf_dir):
+    """Kruskal–Wallis H across event-type value distributions — the
+    rank-robust sibling of q301's ANOVA (no normality / equal-variance
+    assumptions) and the k-group generalization of q253's
+    Mann–Whitney: doubled midranks from the two-phase bucketed rank
+    machinery keep every sufficient statistic an exact integer; the
+    only doubles are one division per group (summed by an ordered
+    fold) and the final ratio, replayed verbatim by the oracle's
+    global-window + list_reduce mirror."""
+    from ultraviolet_spark.operators.stats import kruskal_wallis
+
+    return kruskal_wallis(_t(spark, sf_dir, "events"),
+                          value_col="value", group_col="event_type")
