@@ -1,0 +1,64 @@
+"""Ljung-Box portmanteau test (operators/stats.ljung_box_by_key)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ultraviolet_spark.operators.stats import ljung_box_by_key
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _mk(spark, series):
+    rows = [(k, i, i, int(v)) for k, vs in series.items()
+            for i, v in enumerate(vs)]
+    return spark.createDataFrame(
+        rows, "k string, t long, tb long, x long")
+
+
+def _ref(vs, L=3):
+    n = len(vs)
+    if n <= L:
+        return None
+    mean = sum(vs) / n
+    den = sum((v - mean) ** 2 for v in vs)
+    if den == 0:
+        return None
+    q = 0.0
+    for lag in range(1, L + 1):
+        rho = sum((vs[t] - mean) * (vs[t + lag] - mean)
+                  for t in range(n - lag)) / den
+        q += rho * rho / (n - lag)
+    return n * (n + 2) * q
+
+
+def test_matches_sequential_reference(spark):
+    vs = [(i * 13) % 7 + (i % 3) * 5 for i in range(40)]
+    got = ljung_box_by_key(_mk(spark, {"a": vs}), key_col="k",
+                           order_col="t", value_col="x",
+                           tiebreak_col="tb").head()
+    assert got["q_lb"] == pytest.approx(_ref(vs), rel=1e-6)
+
+
+def test_white_vs_periodic(spark):
+    import random
+
+    rng = random.Random(7)
+    white = [rng.randrange(1000) for _ in range(120)]
+    periodic = [100 if i % 2 else 0 for i in range(120)]
+    got = {r["k"]: r["q_lb"] for r in ljung_box_by_key(
+        _mk(spark, {"w": white, "p": periodic}), key_col="k",
+        order_col="t", value_col="x", tiebreak_col="tb").collect()}
+    # an alternating series is maximally lag-correlated; white noise
+    # stays near the chi2(3) scale
+    assert got["p"] > 100
+    assert got["w"] < 30
+
+
+def test_degenerate_nulls(spark):
+    got = {r["k"]: r["q_lb"] for r in ljung_box_by_key(
+        _mk(spark, {"const": [5] * 10, "short": [1, 2, 3]}),
+        key_col="k", order_col="t", value_col="x",
+        tiebreak_col="tb").collect()}
+    assert got["const"] is None   # zero variance
+    assert got["short"] is None   # n <= max_lag

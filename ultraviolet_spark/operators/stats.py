@@ -3380,3 +3380,73 @@ def kruskal_wallis(df: DataFrame, *, value_col: str, group_col: str,
         F.round((F.col("n") - 1).cast("double") * F.col("__sb")
                 / nz(F.col("__ss2").cast("double")), 6))
     return out.select("k", "n", h.alias("h"))
+
+
+def ljung_box_by_key(df: DataFrame, *, key_col: str, order_col: str,
+                     value_col: str, tiebreak_col: str,
+                     max_lag: int = 3) -> DataFrame:
+    """Ljung–Box portmanteau test per key — the ONE-NUMBER summary of
+    :func:`acf_by_key`'s lag profile (and the formal companion of
+    q326's Durbin–Watson, which only sees lag 1):
+
+        Q = n(n+2) · Σ_{l=1..L} ρ_l² / (n−l)
+
+    large Q ⇒ the series is serially correlated SOMEWHERE in the
+    first L lags — the standard residual-whiteness gate before
+    trusting an i.i.d.-assuming estimator on per-entity series.
+
+    Exactness: ρ_l = num_l/den from the ACF's exact integer
+    machinery; Q is assembled as n(n+2)·(Σ_l num_l²/(n−l))/den² with
+    num² and den² in DECIMAL(38,0) (num crosses 2^53 squared far
+    below real scales) and the lag sum written as the LITERAL
+    left-associated expression t_1 + … + t_L — L is a compile-time
+    constant, so both engines evaluate the identical fixed-order
+    double chain.  Constant series (den ≤ 0) and series with
+    n ≤ max_lag report NULL Q.  Same single key-partitioned window
+    exchange + same-partitioning groupBy as the ACF.
+
+    Output per key: (key_col, n, q_lb).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    L = int(max_lag)
+    if L < 1:
+        raise ValueError("max_lag must be >= 1")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(tiebreak_col).asc())
+    x = F.col(value_col).cast("long")
+    cols = [F.col(key_col).alias("__k"), x.alias("__x")]
+    for lag in range(1, L + 1):
+        cols.append(F.lead(x, lag).over(w).alias(f"__x{lag}"))
+    base = df.select(*cols)
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum("__x").cast("long").alias("s"),
+            F.sum(F.col("__x") * F.col("__x")).cast("long").alias("s2")]
+    for lag in range(1, L + 1):
+        xl = F.col(f"__x{lag}")
+        aggs += [
+            F.sum(F.col("__x") * xl).cast("long").alias(f"p{lag}"),
+            F.sum(F.when(xl.isNotNull(), F.col("__x")))
+             .cast("long").alias(f"sa{lag}"),
+            F.sum(xl).cast("long").alias(f"sb{lag}")]
+    g = base.groupBy("__k").agg(*aggs)
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    den = n * (n * s2 - s * s)
+    terms = []
+    for lag in range(1, L + 1):
+        p = F.coalesce(F.col(f"p{lag}"), F.lit(0))
+        sa = F.coalesce(F.col(f"sa{lag}"), F.lit(0))
+        sb = F.coalesce(F.col(f"sb{lag}"), F.lit(0))
+        num = n * n * p - n * s * (sa + sb) + (n - lag) * s * s
+        terms.append((d38(num) * d38(num)).cast("double")
+                     / nz((n - lag).cast("double")))
+    sumt = reduce(lambda a, b: a + b, terms)
+    den2 = (d38(den) * d38(den)).cast("double")
+    q_lb = F.when((n > L) & (den > 0), F.round(
+        (n * (n + 2)).cast("double") * sumt / nz(den2), 6))
+    return g.select(F.col("__k").alias(key_col), "n",
+                    q_lb.alias("q_lb"))

@@ -923,3 +923,67 @@ def q336(spark, sf_dir):
 
     return kruskal_wallis(_t(spark, sf_dir, "events"),
                           value_col="value", group_col="event_type")
+
+
+@q("q337_ljung_box", """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events),
+l AS (
+  SELECT user_id, x,
+    lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2,
+    lead(x, 3) OVER w AS x3
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS s,
+    CAST(SUM(x * x) AS BIGINT) AS s2,
+    CAST(COALESCE(SUM(x * x1), 0) AS BIGINT) AS p1,
+    CAST(COALESCE(SUM(CASE WHEN x1 IS NOT NULL THEN x END), 0)
+         AS BIGINT) AS sa1,
+    CAST(COALESCE(SUM(x1), 0) AS BIGINT) AS sb1,
+    CAST(COALESCE(SUM(x * x2), 0) AS BIGINT) AS p2,
+    CAST(COALESCE(SUM(CASE WHEN x2 IS NOT NULL THEN x END), 0)
+         AS BIGINT) AS sa2,
+    CAST(COALESCE(SUM(x2), 0) AS BIGINT) AS sb2,
+    CAST(COALESCE(SUM(x * x3), 0) AS BIGINT) AS p3,
+    CAST(COALESCE(SUM(CASE WHEN x3 IS NOT NULL THEN x END), 0)
+         AS BIGINT) AS sa3,
+    CAST(COALESCE(SUM(x3), 0) AS BIGINT) AS sb3
+  FROM l GROUP BY user_id),
+e AS (
+  SELECT user_id, n,
+    n*(n*s2 - s*s) AS den,
+    CAST(n*n*p1 - n*s*(sa1+sb1) + (n-1)*s*s AS HUGEINT) AS m1,
+    CAST(n*n*p2 - n*s*(sa2+sb2) + (n-2)*s*s AS HUGEINT) AS m2,
+    CAST(n*n*p3 - n*s*(sa3+sb3) + (n-3)*s*s AS HUGEINT) AS m3
+  FROM g)
+SELECT user_id, n,
+  CASE WHEN n > 3 AND den > 0 THEN
+    round(CAST(n * (n + 2) AS DOUBLE)
+          * (CAST(m1 * m1 AS DOUBLE)
+               / NULLIF(CAST(n - 1 AS DOUBLE), 0)
+             + CAST(m2 * m2 AS DOUBLE)
+               / NULLIF(CAST(n - 2 AS DOUBLE), 0)
+             + CAST(m3 * m3 AS DOUBLE)
+               / NULLIF(CAST(n - 3 AS DOUBLE), 0))
+          / NULLIF(CAST(CAST(den AS HUGEINT) * den AS DOUBLE), 0), 6)
+  END AS q_lb
+FROM e
+""")
+def q337(spark, sf_dir):
+    """Per-user Ljung–Box Q over cent-valued event series (lags 1-3)
+    — the one-number serial-correlation gate summarizing q206's ACF
+    profile and formalizing what q326's Durbin–Watson sees only at
+    lag 1: exact integer ACF numerators squared in DECIMAL(38,0), the
+    lag sum as the literal fixed-order chain t1+t2+t3, one final
+    ratio."""
+    from ultraviolet_spark.operators.stats import ljung_box_by_key
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    e = _t(spark, sf_dir, "events").withColumn("x", cents)
+    return ljung_box_by_key(e, key_col="user_id", order_col="ts",
+                            value_col="x", tiebreak_col="event_id",
+                            max_lag=3)
