@@ -79,3 +79,46 @@ def extract_jsonld(pages: DataFrame, *, html_col: str = "html",
                     F.posexplode(blocks).alias("block_no", "__raw"))
             .select("id", F.col("block_no").cast("int").alias("block_no"),
                     F.expr("try_parse_json(__raw)").alias("ld")))
+
+
+def meta_tags(pages: DataFrame, *, html_col: str = "html",
+              id_col: str = "url") -> DataFrame:
+    """Extract ``<meta property=…|name=… content=…>`` pairs from raw
+    HTML — the social/SEO metadata layer (Open Graph ``og:*`` cards,
+    ``twitter:*`` cards, ``description``/``robots`` directives) that
+    link-preview and snippet pipelines mine from a crawl, completing
+    the structured-metadata family next to :func:`extract_jsonld`
+    (schema.org) and :func:`html_tables`.
+
+    Returns one row per meta tag carrying BOTH a key and a content
+    attribute: ``(id, tag_no, kind, key, content)`` — ``kind`` is
+    ``'property'`` (OG convention) or ``'name'`` (classic), both
+    lowercased; ``tag_no`` is 0-based in document order over ALL meta
+    tags (so the caller can see which of two ``og:image`` tags came
+    first — repeated keys are the OG array convention and every
+    occurrence is kept); ``content`` is entity-decoded with the same
+    sequential decoder as table cells.  Attribute ORDER inside the tag
+    is free (``content`` before ``property`` is common in the wild),
+    quotes may be single or double, and self-closing ``/>`` is
+    tolerated.  Tags without both attributes (``charset=``,
+    ``http-equiv=``) yield NULL key/content and are filtered — charset
+    sniffing is :mod:`operators.charset`'s job.
+
+    Pure Catalyst: one ``regexp_extract_all`` over the page for whole
+    tags, ``posexplode``, two per-tag ``regexp_extract``s.  Scale:
+    scan-stage only — no shuffle, no UDF.
+    """
+    tags = F.regexp_extract_all(
+        F.col(html_col).cast("string"),
+        F.lit(r"(?is)<meta\s[^>]*>"), F.lit(0))
+    kv = r'(?is)\b(property|name)\s*=\s*["\x27]([^"\x27]*)["\x27]'
+    cv = r'(?is)\bcontent\s*=\s*["\x27]([^"\x27]*)["\x27]'
+    e = (pages.select(F.col(id_col).alias("id"),
+                      F.posexplode(tags).alias("tag_no", "__t"))
+         .select("id", F.col("tag_no").cast("int").alias("tag_no"),
+                 F.lower(F.regexp_extract("__t", kv, 1)).alias("kind"),
+                 F.lower(F.regexp_extract("__t", kv, 2)).alias("key"),
+                 F.regexp_extract("__t", cv, 1).alias("__c")))
+    return (e.filter((F.col("key") != "") & (F.col("__c") != ""))
+            .select("id", "tag_no", "kind", "key",
+                    _decode_cell(F.col("__c")).alias("content")))

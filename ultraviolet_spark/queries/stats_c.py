@@ -987,3 +987,81 @@ def q337(spark, sf_dir):
     return ljung_box_by_key(e, key_col="user_id", order_col="ts",
                             value_col="x", tiebreak_col="event_id",
                             max_lag=3)
+
+
+@q("q338_meta_tags_extract", """
+WITH d AS (SELECT doc_id AS i FROM documents),
+rows_ AS (
+  SELECT 'property' AS kind, 'og:title' AS meta_key,
+         'Doc & Page ' || i AS content, 1 AS tag_no, i FROM d
+  UNION ALL
+  SELECT 'property', 'og:image', 'img' || i || '-a.jpg', 2, i
+  FROM d WHERE i % 2 = 0
+  UNION ALL
+  SELECT 'property', 'og:image', 'img' || i || '-b.jpg', 3, i
+  FROM d WHERE i % 2 = 0
+  UNION ALL
+  SELECT 'name', 'twitter:card', 'summary',
+         2 + CASE WHEN i % 2 = 0 THEN 2 ELSE 0 END, i
+  FROM d WHERE i % 3 = 0
+  UNION ALL
+  SELECT 'name', 'description', 'd' || (i % 7),
+         2 + CASE WHEN i % 2 = 0 THEN 2 ELSE 0 END
+           + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN i % 4 = 1 THEN 1 ELSE 0 END, i
+  FROM d WHERE i % 5 = 0)
+SELECT kind, meta_key,
+       CAST(COUNT(*) AS BIGINT) AS n_tags,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_pages,
+       CAST(SUM(strlen(content)) AS BIGINT) AS bytes_total,
+       MAX(content) AS max_content,
+       CAST(MIN(tag_no) AS INTEGER) AS first_slot
+FROM rows_ GROUP BY 1, 2
+""")
+def q338(spark, sf_dir):
+    """Open Graph / twitter-card / SEO meta-tag extraction from raw
+    HTML (operators/htmltables.meta_tags): pages synthesize the wild
+    variants in Catalyst — a leading charset meta (no key: dropped
+    but still occupying tag slot 0), an entity-escaped og:title on
+    every page, TWO og:image tags on even pages (the OG array
+    convention; the second has content BEFORE property), a
+    single-quoted attribute-order-free twitter:card, an http-equiv
+    meta (dropped, slot counted), and a description.  The oracle
+    recomputes the per-(kind, key) rollup analytically — tag counts,
+    page counts, decoded byte totals, lexicographic max content and
+    the FIRST document-order slot per key are all on the hook."""
+    from ultraviolet_spark.operators.htmltables import meta_tags
+
+    i = F.col("doc_id")
+    blank = F.lit("")
+    html = F.concat(
+        F.lit('<head><meta charset="utf-8">'
+              '<meta property="og:title" content="Doc &amp; Page '),
+        i, F.lit('"/>'),
+        F.when(i % 2 == 0, F.concat(
+            F.lit('<meta property="og:image" content="img'), i,
+            F.lit('-a.jpg">'
+                  '<meta content="img'), i,
+            F.lit('-b.jpg" property="og:image">'))).otherwise(blank),
+        F.when(i % 3 == 0,
+               F.lit("<meta content='summary' name='twitter:card'>"))
+         .otherwise(blank),
+        F.when(i % 4 == 1,
+               F.lit('<meta http-equiv="refresh" content="30">'))
+         .otherwise(blank),
+        F.when(i % 5 == 0, F.concat(
+            F.lit('<meta name="description" content="d'), i % 7,
+            F.lit('">'))).otherwise(blank),
+        F.lit("</head>"))
+    pages = (_t(spark, sf_dir, "documents")
+             .select(F.concat(F.lit("https://m.example/p/"), i)
+                     .alias("url"), html.alias("html")))
+    mt = meta_tags(pages)
+    return (mt.groupBy(F.col("kind"),
+                       F.col("key").alias("meta_key"))
+            .agg(F.count("*").cast("long").alias("n_tags"),
+                 F.countDistinct("id").cast("long").alias("n_pages"),
+                 F.sum(F.octet_length("content")).cast("long")
+                  .alias("bytes_total"),
+                 F.max("content").alias("max_content"),
+                 F.min("tag_no").cast("int").alias("first_slot")))
