@@ -3450,3 +3450,78 @@ def ljung_box_by_key(df: DataFrame, *, key_col: str, order_col: str,
         (n * (n + 2)).cast("double") * sumt / nz(den2), 6))
     return g.select(F.col("__k").alias(key_col), "n",
                     q_lb.alias("q_lb"))
+
+
+def siegel_slope_by_key(df: DataFrame, *, x_col: str, y_col: str,
+                        by: str, tiebreak_col: str) -> DataFrame:
+    """Per-key Siegel repeated-medians slope — the 50 %-breakdown
+    robust trend estimator one rung above Theil–Sen (29.3 %): for
+    each anchor point i take the MEDIAN of its pairwise slopes to
+    every other point, then the median of those per-point medians.
+    Where a coordinated outlier burst larger than ~30 % of the window
+    drags even Theil–Sen, repeated medians still sits on the inlier
+    trend (pinned in tests against exactly that contrast).
+
+    Exactness (the Theil–Sen discipline extended one level): x, y
+    µ-snap to int64; each pair's slope_micro snaps per pair as one
+    fixed-order double of exact integers; the INNER median per anchor
+    and the OUTER median per key are both exact order statistics
+    (even counts take the truncating mean of the two middles —
+    mirrored with `//` in the oracle).  Same-x pairs are excluded
+    (undefined slope); an anchor whose every partner shares its x
+    contributes no inner median; ``tiebreak_col`` must identify rows
+    uniquely per key (it anchors the inner grouping, not an order).
+
+    Scale: one keyed self-join (O(n²) per key BY DESIGN — the
+    bounded-history contract), inner medians on (key, anchor)-
+    partitioned windows (n−1 rows each), outer median on the key-
+    sized inner-median frame.  Output per key:
+    (by, n, n_anchors, slope_micro).
+    """
+    from pyspark.sql import Window
+
+    xm = F.round(F.col(x_col).cast("double") * 1e6).cast("long")
+    ym = F.round(F.col(y_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(xm.isNotNull() & ym.isNotNull())
+            .select(F.col(by).alias("__k"),
+                    F.col(tiebreak_col).alias("__tb"),
+                    xm.alias("__x"), ym.alias("__y")))
+    n_per = base.groupBy("__k").agg(F.count("*").cast("long").alias("n"))
+    l = base.select("__k", F.col("__tb").alias("__ta"),
+                    F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
+    r = base.select("__k", F.col("__tb").alias("__tbx"),
+                    F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
+    pairs = (l.join(r, "__k")
+             .filter((F.col("__ta") != F.col("__tbx"))
+                     & (F.col("__xa") != F.col("__xb")))
+             .select("__k", "__ta", F.round(
+                 (F.col("__yb") - F.col("__ya")).cast("double")
+                 * F.lit(1e6)
+                 / (F.col("__xb") - F.col("__xa")).cast("double"))
+                 .cast("long").alias("__s")))
+    w_in = Window.partitionBy("__k", "__ta").orderBy("__s")
+    rk = (pairs.withColumn("__rn", F.row_number().over(w_in))
+          .withColumn("__np", F.count("*").over(
+              Window.partitionBy("__k", "__ta"))))
+    k1 = F.expr("(__np + 1) div 2")
+    k2 = F.expr("(__np + 2) div 2")
+    inner = (rk.filter((F.col("__rn") == k1) | (F.col("__rn") == k2))
+             .groupBy("__k", "__ta")
+             .agg((F.sum("__s") / F.count("*")).cast("long")
+                  .alias("__m")))
+    w_out = Window.partitionBy("__k").orderBy("__m", "__ta")
+    ro = (inner.withColumn("__rn", F.row_number().over(w_out))
+          .withColumn("__na", F.count("*").over(
+              Window.partitionBy("__k"))))
+    k1o = F.expr("(__na + 1) div 2")
+    k2o = F.expr("(__na + 2) div 2")
+    outer = (ro.filter((F.col("__rn") == k1o) | (F.col("__rn") == k2o))
+             .groupBy("__k")
+             .agg(F.max("__na").cast("long").alias("n_anchors"),
+                  (F.sum("__m") / F.count("*")).cast("long")
+                  .alias("slope_micro")))
+    return (n_per.join(outer, "__k", "left")
+            .select(F.col("__k").alias(by), "n",
+                    F.coalesce("n_anchors", F.lit(0).cast("long"))
+                    .alias("n_anchors"),
+                    F.col("slope_micro")))

@@ -1065,3 +1065,57 @@ def q338(spark, sf_dir):
                   .alias("bytes_total"),
                  F.max("content").alias("max_content"),
                  F.min("tag_no").cast("int").alias("first_slot")))
+
+
+@q("q339_siegel_slope", """
+WITH base AS (
+  SELECT user_id AS k, event_id AS tb,
+         CAST(round(epoch_us(ts) / 3.6e9 * 1e6) AS BIGINT) AS x,
+         CAST(round(value * 1e6) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+np AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY k),
+pairs AS (
+  SELECT l.k, l.tb AS ta,
+         CAST(round(CAST(r.y - l.y AS DOUBLE) * 1e6
+                    / CAST(r.x - l.x AS DOUBLE)) AS BIGINT) AS s
+  FROM base l JOIN base r
+    ON l.k = r.k AND l.tb <> r.tb AND l.x <> r.x),
+rin AS (
+  SELECT k, ta, s,
+         row_number() OVER (PARTITION BY k, ta ORDER BY s) AS rn,
+         COUNT(*) OVER (PARTITION BY k, ta) AS cnt
+  FROM pairs),
+inner_ AS (
+  SELECT k, ta, CAST(SUM(s) // COUNT(*) AS BIGINT) AS m
+  FROM rin WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+  GROUP BY k, ta),
+rout AS (
+  SELECT k, ta, m,
+         row_number() OVER (PARTITION BY k ORDER BY m, ta) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS cnt
+  FROM inner_),
+outer_ AS (
+  SELECT k, CAST(MAX(cnt) AS BIGINT) AS n_anchors,
+         CAST(SUM(m) // COUNT(*) AS BIGINT) AS slope_micro
+  FROM rout WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+  GROUP BY k)
+SELECT np.k AS user_id, np.n,
+       COALESCE(outer_.n_anchors, 0) AS n_anchors, outer_.slope_micro
+FROM np LEFT JOIN outer_ ON outer_.k = np.k
+""")
+def q339(spark, sf_dir):
+    """Per-user Siegel repeated-medians purchase-value trend (µ-value
+    per hour) — the 50%-breakdown rung above q309's Theil–Sen on the
+    IDENTICAL frame: median over anchors of the median pairwise slope
+    per anchor, per-pair snapped slopes, both medians exact
+    truncating order statistics replayed with // in the oracle."""
+    from ultraviolet_spark.operators.stats import siegel_slope_by_key
+
+    p = (_t(spark, sf_dir, "events")
+         .filter((F.col("event_type") == "purchase")
+                 & F.col("value").isNotNull())
+         .select("user_id", "event_id",
+                 (F.unix_micros(F.col("ts").cast("timestamp"))
+                  / F.lit(3.6e9)).alias("xh"), "value"))
+    return siegel_slope_by_key(p, x_col="xh", y_col="value",
+                               by="user_id", tiebreak_col="event_id")
