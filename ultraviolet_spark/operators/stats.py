@@ -3525,3 +3525,123 @@ def siegel_slope_by_key(df: DataFrame, *, x_col: str, y_col: str,
                     F.coalesce("n_anchors", F.lit(0).cast("long"))
                     .alias("n_anchors"),
                     F.col("slope_micro")))
+
+
+def jonckheere_terpstra(df: DataFrame, *, value_col: str,
+                        group_col: str, order: list,
+                        n_buckets: int = 64) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative across k
+    groups — the trend-aware sibling of :func:`kruskal_wallis` (which
+    only asks "different somewhere"): with a caller-specified group
+    order g₁ < … < g_k (dose levels, cohort ages, funnel stages), JT
+    sums the Mann–Whitney U of every ordered pair,
+
+        JT = Σ_{g<h} U_{gh},   U counted with half-credit ties,
+
+    so a monotone location trend pushes JT far above its null mean
+    E = Σ_{g<h} n_g·n_h / 2.  z uses the full TIE-CORRECTED variance
+    (Hollander & Wolfe):
+
+        Var = [N(N−1)(2N+5) − Σ_g …(n) − Σ_v …(t)]/72
+            + Σn(n−1)(n−2)·Σt(t−1)(t−2) / (36·N(N−1)(N−2))
+            + Σn(n−1)·Σt(t−1) / (8·N(N−1))
+
+    Exactness: values µ-snap; per-value per-group counts pivot to k
+    literal columns (k = len(order), compile-time); per-group
+    cumulative-below counts run through the SHARED two-phase
+    value-bucket machinery (one in-bucket window computes all k
+    columns; the bucket-offset frame is k·B-bounded); the DOUBLED
+    statistic JT2 = Σ_v Σ_{g<h} (2·c_h·cum<_g + c_h·c_g) and E2 stay
+    exact DECIMAL(38,0), as do every tie/group polynomial sum; the
+    three variance terms are assembled in one fixed-order double
+    expression.  Rows whose group is not in ``order`` are excluded.
+    Var ≤ 0 (all values tied) → NULL z.
+
+    Output one row: (n, k, jt2, e2, z).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    labels = list(order)
+    k = len(labels)
+    if k < 2:
+        raise ValueError("order needs >= 2 groups")
+    B = int(n_buckets)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(v.isNotNull() & g.isin(labels))
+            .select(g.alias("__g"), v.alias("__v")))
+    cs = [F.sum(F.when(F.col("__g") == F.lit(lab), 1).otherwise(0))
+          .cast("long").alias(f"c{i}") for i, lab in enumerate(labels)]
+    per_v = base.groupBy("__v").agg(*cs)
+    m = reduce(lambda a, b: a + b,
+               [F.col(f"c{i}") for i in range(k)])
+    per_v = per_v.withColumn("__m", m.cast("long"))
+    bounds = per_v.agg(F.min("__v").alias("__lo"),
+                       F.max("__v").alias("__hi"))
+    pv = (per_v.crossJoin(F.broadcast(bounds))
+          .withColumn("__b", F.expr(
+              f"(__v - __lo) div ((__hi - __lo) div {B} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    for i in range(k):
+        pv = pv.withColumn(f"in{i}", F.coalesce(
+            F.sum(f"c{i}").over(w_in), F.lit(0)))
+    btot = pv.groupBy("__b").agg(
+        *[F.sum(f"c{i}").alias(f"bt{i}") for i in range(k)])
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select("__b", *[
+        F.coalesce(F.sum(f"bt{i}").over(w_b), F.lit(0)).alias(f"o{i}")
+        for i in range(k)])
+    pv = pv.join(F.broadcast(boff), "__b")
+    for i in range(k):
+        pv = pv.withColumn(f"cum{i}", F.col(f"o{i}") + F.col(f"in{i}"))
+    # doubled JT contribution at each value
+    jt_terms = []
+    for gi in range(k):
+        for hi in range(gi + 1, k):
+            jt_terms.append(
+                d38(F.col(f"c{hi}"))
+                * (2 * d38(F.col(f"cum{gi}")) + d38(F.col(f"c{gi}"))))
+    jt_v = reduce(lambda a, b: a + b, jt_terms)
+    mm = F.col("__m").cast("long")
+    agg = pv.agg(
+        F.sum(jt_v).alias("__jt2"),
+        *[F.sum(f"c{i}").cast("long").alias(f"n{i}") for i in range(k)],
+        F.sum(d38(mm) * d38(mm - 1) * d38(2 * mm + 5)).alias("__t1"),
+        F.sum(d38(mm) * d38(mm - 1) * d38(mm - 2)).alias("__t2"),
+        F.sum(d38(mm) * d38(mm - 1)).alias("__t3"))
+    n_tot = reduce(lambda a, b: a + b,
+                   [F.col(f"n{i}") for i in range(k)])
+    e2 = reduce(lambda a, b: a + b,
+                [d38(F.col(f"n{gi}")) * d38(F.col(f"n{hi}"))
+                 for gi in range(k) for hi in range(gi + 1, k)])
+    g1 = reduce(lambda a, b: a + b,
+                [d38(F.col(f"n{i}")) * d38(F.col(f"n{i}") - 1)
+                 * d38(2 * F.col(f"n{i}") + 5) for i in range(k)])
+    g2 = reduce(lambda a, b: a + b,
+                [d38(F.col(f"n{i}")) * d38(F.col(f"n{i}") - 1)
+                 * d38(F.col(f"n{i}") - 2) for i in range(k)])
+    g3 = reduce(lambda a, b: a + b,
+                [d38(F.col(f"n{i}")) * d38(F.col(f"n{i}") - 1)
+                 for i in range(k)])
+    out = agg.withColumn("n", n_tot.cast("long"))
+    N = F.col("n")
+    var = (
+        (d38(N) * d38(N - 1) * d38(2 * N + 5) - g1 - F.col("__t1"))
+        .cast("double") / F.lit(72.0)
+        + (g2 * F.col("__t2")).cast("double")
+        / nz((d38(N) * d38(N - 1) * d38(N - 2)).cast("double")
+             * F.lit(36.0))
+        + (g3 * F.col("__t3")).cast("double")
+        / nz((d38(N) * d38(N - 1)).cast("double") * F.lit(8.0)))
+    z = F.when(var > 0, F.round(
+        (F.col("__jt2") - e2).cast("double") / F.lit(2.0)
+        / nz(F.sqrt(var)), 6))
+    return out.select(
+        "n", F.lit(k).cast("int").alias("k"),
+        F.col("__jt2").cast("decimal(38,0)").cast("long").alias("jt2"),
+        e2.cast("long").alias("e2"), z.alias("z"))

@@ -1119,3 +1119,79 @@ def q339(spark, sf_dir):
                   / F.lit(3.6e9)).alias("xh"), "value"))
     return siegel_slope_by_key(p, x_col="xh", y_col="value",
                                by="user_id", tiebreak_col="event_id")
+
+
+@q("q340_jonckheere_trend", """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+    AND event_type IN ('click', 'view', 'purchase')),
+pv AS (
+  SELECT v,
+    CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+    CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS c2
+  FROM base GROUP BY v),
+cum AS (
+  SELECT v, c0, c1, c2, c0 + c1 + c2 AS m,
+    COALESCE(SUM(c0) OVER w, 0) AS u0,
+    COALESCE(SUM(c1) OVER w, 0) AS u1,
+    COALESCE(SUM(c2) OVER w, 0) AS u2
+  FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)),
+agg AS (
+  SELECT
+    SUM(CAST(c1 AS HUGEINT) * (2 * CAST(u0 AS HUGEINT) + c0)
+        + CAST(c2 AS HUGEINT) * (2 * CAST(u0 AS HUGEINT) + c0)
+        + CAST(c2 AS HUGEINT) * (2 * CAST(u1 AS HUGEINT) + c1)) AS jt2,
+    CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1x,
+    CAST(SUM(c2) AS BIGINT) AS n2x,
+    SUM(CAST(m AS HUGEINT) * (m - 1) * (2 * m + 5)) AS t1,
+    SUM(CAST(m AS HUGEINT) * (m - 1) * (m - 2)) AS t2,
+    SUM(CAST(m AS HUGEINT) * (m - 1)) AS t3
+  FROM cum),
+fin AS (
+  SELECT *, n0 + n1x + n2x AS n,
+    CAST(n0 AS HUGEINT) * n1x + CAST(n0 AS HUGEINT) * n2x
+      + CAST(n1x AS HUGEINT) * n2x AS e2,
+    CAST(n0 AS HUGEINT) * (n0-1) * (2*n0+5)
+      + CAST(n1x AS HUGEINT) * (n1x-1) * (2*n1x+5)
+      + CAST(n2x AS HUGEINT) * (n2x-1) * (2*n2x+5) AS gg1,
+    CAST(n0 AS HUGEINT) * (n0-1) * (n0-2)
+      + CAST(n1x AS HUGEINT) * (n1x-1) * (n1x-2)
+      + CAST(n2x AS HUGEINT) * (n2x-1) * (n2x-2) AS gg2,
+    CAST(n0 AS HUGEINT) * (n0-1) + CAST(n1x AS HUGEINT) * (n1x-1)
+      + CAST(n2x AS HUGEINT) * (n2x-1) AS gg3
+  FROM agg),
+vr AS (
+  SELECT *,
+    CAST(CAST(n AS HUGEINT) * (n-1) * (2*n+5) - gg1 - t1 AS DOUBLE)
+      / 72.0
+    + CAST(gg2 * t2 AS DOUBLE)
+      / NULLIF(CAST(CAST(n AS HUGEINT) * (n-1) * (n-2) AS DOUBLE)
+               * 36.0, 0)
+    + CAST(gg3 * t3 AS DOUBLE)
+      / NULLIF(CAST(CAST(n AS HUGEINT) * (n-1) AS DOUBLE) * 8.0, 0)
+      AS var
+  FROM fin)
+SELECT CAST(n AS BIGINT) AS n, CAST(3 AS INTEGER) AS k,
+  CAST(jt2 AS BIGINT) AS jt2, CAST(e2 AS BIGINT) AS e2,
+  CASE WHEN var > 0 THEN
+    round(CAST(jt2 - e2 AS DOUBLE) / 2.0 / NULLIF(sqrt(var), 0), 6)
+  END AS z
+FROM vr
+""")
+def q340(spark, sf_dir):
+    """Jonckheere–Terpstra ordered-alternative trend across event
+    values under the funnel order click < view < purchase — the
+    trend-aware companion of q336's Kruskal–Wallis: doubled JT and
+    its null mean exact in DECIMAL(38,0) off the shared two-phase
+    per-group cumulative machinery, full Hollander–Wolfe
+    tie-corrected variance from exact integer polynomial sums, one
+    fixed-order z."""
+    from ultraviolet_spark.operators.stats import jonckheere_terpstra
+
+    return jonckheere_terpstra(
+        _t(spark, sf_dir, "events"), value_col="value",
+        group_col="event_type", order=["click", "view", "purchase"])
