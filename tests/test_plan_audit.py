@@ -106,6 +106,8 @@ CROSS_OK = {
     "q333_cramers_v",            # vocab×vocab marginal completion + 1-row n
     "q336_kruskal_wallis",       # 1-row bounds/N totals frames (two-phase
                                  # rank machinery, round 4)
+    "q340_jonckheere_trend",     # 1-row value-bounds frame (shared
+                                 # two-phase machinery, round 4)
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis
