@@ -108,6 +108,8 @@ CROSS_OK = {
                                  # rank machinery, round 4)
     "q340_jonckheere_trend",     # 1-row value-bounds frame (shared
                                  # two-phase machinery, round 4)
+    "q341_ansari_bradley",       # 1-row bounds/N totals frame (shared
+                                 # two-phase machinery, round 4)
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

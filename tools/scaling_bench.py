@@ -71,6 +71,16 @@ def run_at(cores: int, replicate: int, sf_dir: str, runs: int,
                 raise
             print(f"# leg local[{cores}] wedged after {leg_timeout}s — "
                   "retrying once", file=sys.stderr)
+        except subprocess.CalledProcessError as exc:
+            # transient leg crashes reproduce cleanly solo (r3 + r4
+            # observations) — surface the child's stderr for the
+            # record and retry once before giving up
+            print(f"# leg local[{cores}] exited {exc.returncode} "
+                  f"(attempt {attempt}); child stderr tail:\n"
+                  + "\n".join((exc.stderr or "").splitlines()[-15:]),
+                  file=sys.stderr)
+            if attempt == 2:
+                raise
 
 
 def main() -> None:

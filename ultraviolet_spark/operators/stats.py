@@ -3645,3 +3645,93 @@ def jonckheere_terpstra(df: DataFrame, *, value_col: str,
         "n", F.lit(k).cast("int").alias("k"),
         F.col("__jt2").cast("decimal(38,0)").cast("long").alias("jt2"),
         e2.cast("long").alias("e2"), z.alias("z"))
+
+
+def ansari_bradley(df: DataFrame, *, value_col: str, group_col: str,
+                   group_a, group_b, n_buckets: int = 64) -> DataFrame:
+    """Ansari–Bradley two-sample SCALE test — the rank-based
+    dispersion check next to :func:`brown_forsythe` (which compares
+    |x − median| magnitudes): rank all N pooled values, score each
+    observation a_i = min(r_i, N+1−r_i) (small at both extremes,
+    large in the middle), and sum group A's scores.  If A is more
+    spread out than B its mass sits in the tails, its scores run
+    small, and the statistic drops below its null mean — no moment
+    assumptions, center differences cancel by symmetry of the score
+    (classic caveat: medians should be comparable; pinned in tests).
+
+    z uses the exact permutation moments of a linear rank statistic
+    (tie-safe by construction):
+
+        E[A] = n_a·S₁/N,  Var[A] = n_a·n_b·(N·S₂ − S₁²)/(N²(N−1))
+
+    with S₁ = Σ_j a_j, S₂ = Σ_j a_j².  Exactness: DOUBLED midranks
+    mr2 = 2·r0+m+1 off the shared two-phase value-bucket machinery
+    give DOUBLED scores a2 = min(mr2, 2(N+1)−mr2) — exact integers
+    even at tied midpoints; A2, S1, S2 stay exact DECIMAL(38,0), the
+    z numerator is the exact integer N·A2 − n_a·S1, and
+
+        z = (N·A2 − n_a·S1) / √(n_a·n_b·(N·S₂' − S₁'²)/(N−1))
+
+    (primes = doubled-score sums; the doubling and the N-scaling
+    cancel between numerator and the √) — one division inside the
+    √ and one final divide, both fixed-order.  Zero score variance
+    (N < 3 or all values equal) → NULL z.
+
+    Output one row: (n_a, n_b, a2, z) — a2 the doubled AB statistic.
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(v.isNotNull() & g.isin([group_a, group_b]))
+            .select((g == F.lit(group_a)).alias("ia"), v.alias("__v")))
+    per_v = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long")
+        .alias("ca"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("long")
+        .alias("cb"))
+    bounds = per_v.agg(F.min("__v").alias("__lo"),
+                       F.max("__v").alias("__hi"),
+                       F.sum(F.col("ca") + F.col("cb")).cast("long")
+                       .alias("__n"))
+    pv = (per_v.crossJoin(F.broadcast(bounds))
+          .withColumn("__m", (F.col("ca") + F.col("cb")).cast("long"))
+          .withColumn("__b", F.expr(
+              f"(__v - __lo) div ((__hi - __lo) div {B} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    pv = pv.withColumn("__m_in",
+                       F.coalesce(F.sum("__m").over(w_in), F.lit(0)))
+    btot = pv.groupBy("__b").agg(F.sum("__m").alias("__bm"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b", F.coalesce(F.sum("__bm").over(w_b), F.lit(0)).alias("__om"))
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("__mr2",
+                      2 * (F.col("__om") + F.col("__m_in"))
+                      + F.col("__m") + 1)
+          .withColumn("__a2", F.least(
+              F.col("__mr2"), 2 * (F.col("__n") + 1) - F.col("__mr2"))))
+    agg = pv.agg(
+        F.max("__n").alias("n"),
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(d38(F.col("ca")) * d38(F.col("__a2"))).alias("__A2"),
+        F.sum(d38(F.col("__m")) * d38(F.col("__a2"))).alias("__s1"),
+        F.sum(d38(F.col("__m")) * d38(F.col("__a2"))
+              * d38(F.col("__a2"))).alias("__s2"))
+    N = F.col("n")
+    num = d38(N) * F.col("__A2") - d38(F.col("n_a")) * F.col("__s1")
+    var_in = (d38(F.col("n_a")) * d38(F.col("n_b"))
+              * (d38(N) * F.col("__s2") - F.col("__s1") * F.col("__s1")))
+    z = F.when(var_in > 0, F.round(
+        num.cast("double")
+        / nz(F.sqrt(var_in.cast("double")
+                    / nz((N - 1).cast("double")))), 6))
+    return agg.select(
+        "n_a", "n_b",
+        F.col("__A2").cast("long").alias("a2"),
+        z.alias("z"))

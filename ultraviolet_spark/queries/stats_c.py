@@ -1195,3 +1195,57 @@ def q340(spark, sf_dir):
     return jonckheere_terpstra(
         _t(spark, sf_dir, "events"), value_col="value",
         group_col="event_type", order=["click", "view", "purchase"])
+
+
+@q("q341_ansari_bradley", """
+WITH base AS (
+  SELECT (event_type = 'click') AS ia,
+         CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+pv AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM base GROUP BY v),
+tot AS (SELECT CAST(SUM(ca + cb) AS BIGINT) AS n FROM pv),
+r AS (SELECT v, ca, cb, ca + cb AS m,
+        COALESCE(CAST(SUM(ca + cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS r0
+      FROM pv),
+sc AS (SELECT ca, cb, m,
+         LEAST(2 * r0 + m + 1, 2 * (n + 1) - (2 * r0 + m + 1)) AS a2
+       FROM r, tot),
+agg AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b,
+         SUM(CAST(ca AS HUGEINT) * a2) AS A2,
+         SUM(CAST(m AS HUGEINT) * a2) AS s1,
+         SUM(CAST(m AS HUGEINT) * a2 * a2) AS s2
+  FROM sc)
+SELECT n_a, n_b, CAST(A2 AS BIGINT) AS a2,
+  CASE WHEN CAST(n_a AS HUGEINT) * n_b
+            * (CAST(n AS HUGEINT) * s2 - s1 * s1) > 0 THEN
+    round(CAST(CAST(n AS HUGEINT) * A2
+               - CAST(n_a AS HUGEINT) * s1 AS DOUBLE)
+          / NULLIF(sqrt(CAST(CAST(n_a AS HUGEINT) * n_b
+                             * (CAST(n AS HUGEINT) * s2 - s1 * s1)
+                             AS DOUBLE)
+                        / NULLIF(CAST(n - 1 AS DOUBLE), 0)), 0), 6)
+  END AS z
+FROM agg, tot
+""")
+def q341(spark, sf_dir):
+    """Ansari–Bradley rank scale test between click and purchase
+    values — the dispersion question q317's Brown–Forsythe asks with
+    |x−median| magnitudes, answered instead with symmetric rank
+    scores min(r, N+1−r): doubled midrank scores off the shared
+    two-phase machinery stay exact integers, the z numerator
+    N·A2 − n_a·S1 is an exact integer, and the permutation-moment
+    variance is one fixed-order double expression."""
+    from ultraviolet_spark.operators.stats import ansari_bradley
+
+    return ansari_bradley(_t(spark, sf_dir, "events"),
+                          value_col="value", group_col="event_type",
+                          group_a="click", group_b="purchase")
