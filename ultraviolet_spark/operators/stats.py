@@ -3735,3 +3735,79 @@ def ansari_bradley(df: DataFrame, *, value_col: str, group_col: str,
         "n_a", "n_b",
         F.col("__A2").cast("long").alias("a2"),
         z.alias("z"))
+
+
+def cvm_two_sample(df: DataFrame, *, value_col: str, group_col: str,
+                   group_a, group_b, n_buckets: int = 64) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic — the INTEGRAL companion
+    of the KS sup (q253): KS sees only the single worst CDF gap, CvM
+    accumulates the squared gap over the whole support, so spread-out
+    moderate drift that never produces one big gap still registers.
+
+        T = n_a·n_b/N² · Σ_{i=1..N} (F_a(x_i) − F_b(x_i))²
+
+    (sum over ALL pooled observations, duplicates counted with their
+    multiplicity — the standard definition).
+
+    Exactness: on the shared distinct-value two-phase frame the gap
+    at v is the exact integer D(v) = cumA(v)·n_b − cumB(v)·n_a
+    (the q253 ks_num integrand), so
+
+        T = Σ_v m_v·D(v)²  /  (n_a·n_b·N²)
+
+    with the numerator an exact DECIMAL(38,0) sum (D ≤ n_a·n_b ~
+    10¹² squares past int64 immediately) and ONE final double
+    division.  Empty groups → NULL t.  Output one row:
+    (n_a, n_b, t_num, t) — t_num is the exactly-computed integer
+    numerator REPORTED as a double (it crosses int64 around sf0.1;
+    both engines round the same exact integer to the same double).
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(v.isNotNull() & g.isin([group_a, group_b]))
+            .select((g == F.lit(group_a)).alias("ia"), v.alias("__v")))
+    per_v = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long")
+        .alias("ca"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("long")
+        .alias("cb"))
+    bounds = per_v.agg(F.min("__v").alias("__lo"),
+                       F.max("__v").alias("__hi"),
+                       F.sum("ca").cast("long").alias("__na"),
+                       F.sum("cb").cast("long").alias("__nb"))
+    pv = (per_v.crossJoin(F.broadcast(bounds))
+          .withColumn("__b", F.expr(
+              f"(__v - __lo) div ((__hi - __lo) div {B} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pv = (pv.withColumn("__a_in", F.sum("ca").over(w_in))
+          .withColumn("__b_in", F.sum("cb").over(w_in)))
+    btot = pv.groupBy("__b").agg(F.sum("ca").alias("__ba"),
+                                 F.sum("cb").alias("__bb"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b",
+        F.coalesce(F.sum("__ba").over(w_b), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__bb").over(w_b), F.lit(0)).alias("__ob"))
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("__d",
+                      (F.col("__oa") + F.col("__a_in")) * F.col("__nb")
+                      - (F.col("__ob") + F.col("__b_in")) * F.col("__na"))
+          .withColumn("__m", (F.col("ca") + F.col("cb")).cast("long")))
+    agg = pv.agg(
+        F.max("__na").alias("n_a"), F.max("__nb").alias("n_b"),
+        F.sum(d38(F.col("__m")) * d38(F.col("__d")) * d38(F.col("__d")))
+        .alias("__tnum"))
+    N = F.col("n_a") + F.col("n_b")
+    t = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(
+        F.col("__tnum").cast("double")
+        / nz((d38(F.col("n_a")) * d38(F.col("n_b")) * d38(N) * d38(N))
+             .cast("double")), 6))
+    return agg.select("n_a", "n_b",
+                      F.col("__tnum").cast("double").alias("t_num"),
+                      t.alias("t"))

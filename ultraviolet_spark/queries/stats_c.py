@@ -1249,3 +1249,51 @@ def q341(spark, sf_dir):
     return ansari_bradley(_t(spark, sf_dir, "events"),
                           value_col="value", group_col="event_type",
                           group_a="click", group_b="purchase")
+
+
+@q("q342_cvm_two_sample", """
+WITH base AS (
+  SELECT (event_type = 'click') AS ia,
+         CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+pv AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM base GROUP BY v),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+c AS (
+  SELECT v, ca, cb, ca + cb AS m,
+         CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+  FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)),
+agg AS (
+  SELECT SUM(CAST(m AS HUGEINT)
+             * (CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)
+             * (CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na))
+           AS tnum
+  FROM c, tot)
+SELECT na AS n_a, nb AS n_b,
+  CAST(tnum AS DOUBLE) AS t_num,
+  CASE WHEN na > 0 AND nb > 0 THEN
+    round(CAST(tnum AS DOUBLE)
+          / NULLIF(CAST(CAST(na AS HUGEINT) * nb * (na + nb)
+                        * (na + nb) AS DOUBLE), 0), 6)
+  END AS t
+FROM agg, tot
+""")
+def q342(spark, sf_dir):
+    """Two-sample Cramér–von Mises drift between click and purchase
+    values — the INTEGRAL companion of q253's KS sup: the squared CDF
+    gap accumulated over the whole support catches spread-out
+    moderate drift that never produces one big gap.  Exact integer
+    gap integrand m·(cumA·n_b − cumB·n_a)² summed in DECIMAL(38,0)
+    off the shared two-phase machinery, one final division."""
+    from ultraviolet_spark.operators.stats import cvm_two_sample
+
+    return cvm_two_sample(_t(spark, sf_dir, "events"),
+                          value_col="value", group_col="event_type",
+                          group_a="click", group_b="purchase")
