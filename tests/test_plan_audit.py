@@ -112,6 +112,8 @@ CROSS_OK = {
                                  # two-phase machinery, round 4)
     "q342_cvm_two_sample",       # 1-row bounds/(n_a,n_b) totals frame
                                  # (shared two-phase machinery, round 4)
+    "q343_lepage_location_scale",  # 1-row bounds/totals frame (shared
+                                   # two-phase machinery, round 4)
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -3811,3 +3811,105 @@ def cvm_two_sample(df: DataFrame, *, value_col: str, group_col: str,
     return agg.select("n_a", "n_b",
                       F.col("__tnum").cast("double").alias("t_num"),
                       t.alias("t"))
+
+
+def lepage_test(df: DataFrame, *, value_col: str, group_col: str,
+                group_a, group_b, n_buckets: int = 64) -> DataFrame:
+    """Lepage two-sample LOCATION+SCALE test — the omnibus that
+    catches what either marginal test alone misses: L = z_W² + z_AB²
+    (Wilcoxon/Mann–Whitney rank-sum z for location + Ansari–Bradley z
+    for scale; the two are asymptotically independent, so L is χ²(2)
+    under the null).  A distribution can drift by shifting, by
+    widening, or both — q253 only scores the shift direction as AUC,
+    q341 only the spread; Lepage fires on either (pinned on both
+    marginals).
+
+    One shared distinct-value two-phase pass computes BOTH statistics
+    exactly: per-group exclusive prefixes give the doubled MW
+    U2 = Σ_v c_a·(2·cum<_b + c_b) and the doubled AB scores
+    a2 = min(mr2, 2(N+1)−mr2); z_W uses the tie-corrected variance
+
+        Var[U] = n_a·n_b·(N³−N − Σ(t³−t)) / (12·N(N−1))
+
+    (exact DECIMAL numerator, one division inside the √) and z_AB
+    the linear-rank permutation moments (q341).  Either variance ≤ 0
+    → NULL l (the marginals may still be reported).  Output one row:
+    (n_a, n_b, z_w, z_ab, l).
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(v.isNotNull() & g.isin([group_a, group_b]))
+            .select((g == F.lit(group_a)).alias("ia"), v.alias("__v")))
+    per_v = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long")
+        .alias("ca"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("long")
+        .alias("cb"))
+    bounds = per_v.agg(F.min("__v").alias("__lo"),
+                       F.max("__v").alias("__hi"),
+                       F.sum("ca").cast("long").alias("__na"),
+                       F.sum("cb").cast("long").alias("__nb"))
+    pv = (per_v.crossJoin(F.broadcast(bounds))
+          .withColumn("__m", (F.col("ca") + F.col("cb")).cast("long"))
+          .withColumn("__b", F.expr(
+              f"(__v - __lo) div ((__hi - __lo) div {B} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    pv = (pv.withColumn("__a_in",
+                        F.coalesce(F.sum("ca").over(w_in), F.lit(0)))
+          .withColumn("__b_in",
+                      F.coalesce(F.sum("cb").over(w_in), F.lit(0))))
+    btot = pv.groupBy("__b").agg(F.sum("ca").alias("__ba"),
+                                 F.sum("cb").alias("__bb"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b",
+        F.coalesce(F.sum("__ba").over(w_b), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__bb").over(w_b), F.lit(0)).alias("__ob"))
+    N_col = F.col("__na") + F.col("__nb")
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("__clta", F.col("__oa") + F.col("__a_in"))
+          .withColumn("__cltb", F.col("__ob") + F.col("__b_in"))
+          .withColumn("__mr2",
+                      2 * (F.col("__clta") + F.col("__cltb"))
+                      + F.col("__m") + 1)
+          .withColumn("__a2", F.least(
+              F.col("__mr2"), 2 * (N_col + 1) - F.col("__mr2"))))
+    agg = pv.agg(
+        F.max("__na").alias("n_a"), F.max("__nb").alias("n_b"),
+        F.sum(d38(F.col("ca"))
+              * (2 * d38(F.col("__cltb")) + d38(F.col("cb"))))
+        .alias("__u2"),
+        F.sum(d38(F.col("ca")) * d38(F.col("__a2"))).alias("__ab2"),
+        F.sum(d38(F.col("__m")) * d38(F.col("__a2"))).alias("__s1"),
+        F.sum(d38(F.col("__m")) * d38(F.col("__a2"))
+              * d38(F.col("__a2"))).alias("__s2"),
+        F.sum(d38(F.col("__m")) * d38(F.col("__m")) * d38(F.col("__m"))
+              - d38(F.col("__m"))).alias("__tt"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    N = na + nb
+    # Wilcoxon/MW z: doubled U, tie-corrected variance
+    var_u_num = (d38(na) * d38(nb)
+                 * (d38(N) * d38(N) * d38(N) - d38(N) - F.col("__tt")))
+    z_w = F.when(var_u_num > 0, F.round(
+        (F.col("__u2") - d38(na) * d38(nb)).cast("double")
+        / F.lit(2.0)
+        / nz(F.sqrt(var_u_num.cast("double")
+                    / nz((12 * N * (N - 1)).cast("double")))), 6))
+    # Ansari-Bradley z (q341 machinery)
+    ab_num = d38(N) * F.col("__ab2") - d38(na) * F.col("__s1")
+    ab_var = (d38(na) * d38(nb)
+              * (d38(N) * F.col("__s2") - F.col("__s1") * F.col("__s1")))
+    z_ab = F.when(ab_var > 0, F.round(
+        ab_num.cast("double")
+        / nz(F.sqrt(ab_var.cast("double")
+                    / nz((N - 1).cast("double")))), 6))
+    l = F.when((var_u_num > 0) & (ab_var > 0),
+               F.round(z_w * z_w + z_ab * z_ab, 6))
+    return agg.select("n_a", "n_b", z_w.alias("z_w"),
+                      z_ab.alias("z_ab"), l.alias("l"))

@@ -1297,3 +1297,77 @@ def q342(spark, sf_dir):
     return cvm_two_sample(_t(spark, sf_dir, "events"),
                           value_col="value", group_col="event_type",
                           group_a="click", group_b="purchase")
+
+
+@q("q343_lepage_location_scale", """
+WITH base AS (
+  SELECT (event_type = 'click') AS ia,
+         CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+pv AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM base GROUP BY v),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+c AS (
+  SELECT v, ca, cb, ca + cb AS m,
+         COALESCE(CAST(SUM(ca) OVER w AS BIGINT), 0) AS clta,
+         COALESCE(CAST(SUM(cb) OVER w AS BIGINT), 0) AS cltb
+  FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)),
+sc AS (
+  SELECT ca, cb, m, cltb,
+         LEAST(2 * (clta + cltb) + m + 1,
+               2 * (na + nb + 1) - (2 * (clta + cltb) + m + 1)) AS a2
+  FROM c, tot),
+agg AS (
+  SELECT SUM(CAST(ca AS HUGEINT) * (2 * CAST(cltb AS HUGEINT) + cb))
+           AS u2,
+         SUM(CAST(ca AS HUGEINT) * a2) AS ab2,
+         SUM(CAST(m AS HUGEINT) * a2) AS s1,
+         SUM(CAST(m AS HUGEINT) * a2 * a2) AS s2,
+         SUM(CAST(m AS HUGEINT) * m * m - m) AS tt
+  FROM sc),
+fin AS (SELECT na, nb, na + nb AS N, u2, ab2, s1, s2, tt
+        FROM agg, tot),
+zz AS (
+  SELECT na, nb,
+    CASE WHEN CAST(na AS HUGEINT) * nb
+              * (CAST(N AS HUGEINT) * N * N - N - tt) > 0 THEN
+      round(CAST(u2 - CAST(na AS HUGEINT) * nb AS DOUBLE) / 2.0
+            / NULLIF(sqrt(CAST(CAST(na AS HUGEINT) * nb
+                               * (CAST(N AS HUGEINT) * N * N - N - tt)
+                               AS DOUBLE)
+                          / NULLIF(CAST(12 * N * (N - 1) AS DOUBLE),
+                                   0)), 0), 6)
+    END AS z_w,
+    CASE WHEN CAST(na AS HUGEINT) * nb
+              * (CAST(N AS HUGEINT) * s2 - s1 * s1) > 0 THEN
+      round(CAST(CAST(N AS HUGEINT) * ab2
+                 - CAST(na AS HUGEINT) * s1 AS DOUBLE)
+            / NULLIF(sqrt(CAST(CAST(na AS HUGEINT) * nb
+                               * (CAST(N AS HUGEINT) * s2 - s1 * s1)
+                               AS DOUBLE)
+                          / NULLIF(CAST(N - 1 AS DOUBLE), 0)), 0), 6)
+    END AS z_ab
+  FROM fin)
+SELECT na AS n_a, nb AS n_b, z_w, z_ab,
+  CASE WHEN z_w IS NOT NULL AND z_ab IS NOT NULL THEN
+    round(z_w * z_w + z_ab * z_ab, 6) END AS l
+FROM zz
+""")
+def q343(spark, sf_dir):
+    """Lepage omnibus location+scale drift between click and purchase
+    values — z_W² + z_AB² (χ²(2) under the null): one shared
+    two-phase pass yields both the tie-corrected Wilcoxon z and
+    q341's Ansari–Bradley z from exact integer sufficient statistics;
+    fires on a shift OR a spread change where each marginal test
+    alone goes blind on the other."""
+    from ultraviolet_spark.operators.stats import lepage_test
+
+    return lepage_test(_t(spark, sf_dir, "events"),
+                       value_col="value", group_col="event_type",
+                       group_a="click", group_b="purchase")
