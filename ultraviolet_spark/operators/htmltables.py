@@ -122,3 +122,61 @@ def meta_tags(pages: DataFrame, *, html_col: str = "html",
     return (e.filter((F.col("key") != "") & (F.col("__c") != ""))
             .select("id", "tag_no", "kind", "key",
                     _decode_cell(F.col("__c")).alias("content")))
+
+
+_VOID_TAGS = ("area br col embed hr img input link meta param source "
+              "track wbr").split()
+
+
+def dom_depth_profile(pages: DataFrame, *, html_col: str = "html",
+                      id_col: str = "url") -> DataFrame:
+    """Per-page DOM nesting-depth profile from raw HTML — the
+    STRUCTURE quality signal next to the text-side gates (Gopher /
+    C4 / boilerplate): machine-generated chrome nests deep and
+    uniformly, hand-written content shallowly; a page whose tags
+    never re-balance is broken markup worth flagging before
+    extraction trusts it.
+
+    Tag walk, no parser: every ``<tag``/``</tag`` token classifies as
+    +1 (opening), −1 (closing) or 0 (void elements — br/img/meta/…
+    per the HTML5 void list — and explicitly self-closed ``…/>``
+    tags, which never nest); depth is the running sum in document
+    order and the profile is
+
+        (id, n_tags, max_depth, end_balance)
+
+    — ``end_balance`` ≠ 0 flags unbalanced markup (closing below
+    zero clamps nothing; the signed walk is reported as-is so a
+    stray ``</div>`` shows up as a NEGATIVE dip, pinned).  Pages
+    with no tags report (0, 0, 0).
+
+    Scale: one regexp_extract_all + posexplode (rows ≈ tag count),
+    one (page)-partitioned ordered window for the running sum, one
+    per-page agg that reuses the same partitioning.  Pure Catalyst.
+    """
+    tag_pat = r"(?s)<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*?(/?)>"
+    whole = F.regexp_extract_all(F.col(html_col).cast("string"),
+                                 F.lit(r"(?s)<[^>]*>"), F.lit(0))
+    e = (pages.select(F.col(id_col).alias("id"),
+                      F.posexplode_outer(whole).alias("pos", "__t")))
+    closing = F.regexp_extract("__t", tag_pat, 1) == "/"
+    name = F.lower(F.regexp_extract("__t", tag_pat, 2))
+    selfclosed = F.regexp_extract("__t", tag_pat, 3) == "/"
+    delta = (F.when(F.col("__t").isNull(), F.lit(0))  # tagless page
+             .when(name == "", F.lit(0))           # comments/doctype
+             .when(closing, F.lit(-1))
+             .when(selfclosed | name.isin(list(_VOID_TAGS)), F.lit(0))
+             .otherwise(F.lit(1)))
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = (e.withColumn("__d", delta)
+         .withColumn("__depth", F.sum("__d").over(w)))
+    return (d.groupBy("id")
+            .agg(F.sum(F.when(F.col("__t").isNotNull(), 1)
+                       .otherwise(0)).cast("long").alias("n_tags"),
+                 F.coalesce(F.max("__depth"), F.lit(0)).cast("long")
+                 .alias("max_depth"),
+                 F.coalesce(F.sum("__d"), F.lit(0)).cast("long")
+                 .alias("end_balance")))

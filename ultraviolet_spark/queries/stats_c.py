@@ -1371,3 +1371,44 @@ def q343(spark, sf_dir):
     return lepage_test(_t(spark, sf_dir, "events"),
                        value_col="value", group_col="event_type",
                        group_a="click", group_b="purchase")
+
+
+@q("q344_dom_depth_profile", """
+WITH d AS (SELECT doc_id AS i, doc_id % 5 AS k FROM documents)
+SELECT 'https://s.example/p/' || i AS id,
+       CAST(2 + k + 1 + k
+            + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END
+            + 2 AS BIGINT) AS n_tags,
+       CAST(2 + k AS BIGINT) AS max_depth,
+       CAST(CASE WHEN i % 7 = 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS end_balance
+FROM d
+""")
+def q344(spark, sf_dir):
+    """DOM nesting-depth profile over synthesized pages: k = doc_id%5
+    nested divs inside html>body (max depth 2+k), a void <br>, a
+    self-closed <img> on even ids (both depth-neutral), and a STRAY
+    </div> on every 7th page that drives end_balance to −1 — the
+    broken-markup flag.  The oracle recomputes every page's
+    (n_tags, max_depth, end_balance) analytically from the
+    construction, so the tag classifier (closing vs void vs
+    self-closed), the running-sum walk and the per-page rollup are
+    all on the hook."""
+    from ultraviolet_spark.operators.htmltables import dom_depth_profile
+
+    i = F.col("doc_id")
+    k = (i % 5).cast("int")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.repeat(F.lit('<div class="x">'), k),
+        F.lit("text<br>"),
+        F.repeat(F.lit("</div>"), k),
+        F.when(i % 2 == 0, F.lit('<img src="i.png"/>'))
+         .otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("</div>")).otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    pages = (_t(spark, sf_dir, "documents")
+             .select(F.concat(F.lit("https://s.example/p/"), i)
+                     .alias("url"), html.alias("html")))
+    return dom_depth_profile(pages)
