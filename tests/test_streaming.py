@@ -483,3 +483,28 @@ def test_streaming_holt_winters_init_split_across_batches(
             got["season_micro"], got["fc_micro"]) == \
         (want["n"], want["level_micro"], want["trend_micro"],
          want["season_micro"], want["fc_micro"])
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming EWMA ≡ batch ewma_by_key on the final per-key value,
+    exact integer equality with state crossing the two-micro-batch
+    boundary."""
+    from ultraviolet_spark.operators.windows import ewma_by_key
+    from ultraviolet_spark.streaming.stateful import streaming_ewma
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("event_type") == "purchase")
+          .select("user_id", "ts", "event_id", "value"))
+    stream = _two_batch_stream(spark, ev, tmp_path, "ewma", ts_col="ts")
+    out = streaming_ewma(stream, by="user_id", ts_col="ts",
+                         value_col="value", tiebreak_col="event_id")
+    _run_to_memory(out, "uv_ewma", tmp_path)
+    got = {r["key"]: (r["n"], r["ewma_micro"])
+           for r in spark.sql(
+               "SELECT * FROM uv_ewma ORDER BY n").collect()}
+
+    want = {str(r["user_id"]): (r["n"], r["ewma_micro"])
+            for r in ewma_by_key(ev, value_col="value",
+                                 order_cols=["ts", "event_id"],
+                                 by="user_id").collect()}
+    assert got == want

@@ -752,3 +752,64 @@ def streaming_holt_winters(stream: DataFrame, *, by: str, ts_col: str,
                 stateStructType=HW_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf="NoTimeout"))
+
+
+EWMA_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("e", T.LongType()),
+])
+
+EWMA_OUT_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("ewma_micro", T.LongType()),
+])
+
+
+def streaming_ewma(stream: DataFrame, *, by: str, ts_col: str,
+                   value_col: str, tiebreak_col: str,
+                   micro: int = 1_000_000,
+                   watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of ``operators.windows.ewma_by_key`` — the
+    decayed-engagement feature updated per micro-batch with TWO
+    int64s of state per key (obs count + current EWMA) instead of a
+    per-key history collect.  Every step is the IDENTICAL trunc-div
+    recurrence as the batch fold (``e ← trunc((e + v·micro)/2)``, the
+    division done in double exactly as Spark's cast — int() truncates
+    toward zero the same way), so streaming ≡ batch is exact integer
+    equality on the final value, including state crossing micro-batch
+    boundaries (pinned in tests).
+
+    One summary row per key per micro-batch: (key, n, ewma_micro).
+    Rows inside a micro-batch are (event-time, tiebreak) sorted
+    before folding (the streaming_ffill lesson); cross-batch order is
+    the feed's responsibility.  Scale: O(1) state per live key, keyed
+    state-store sharding, watermark bounds live keys.
+    """
+    import math
+
+    mic = int(micro)
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        (n, e) = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(pdfs)).sort_values(
+            [ts_col, tiebreak_col], kind="mergesort")
+        for v in pdf[value_col]:
+            m = math.floor(float(v) * mic)
+            n += 1
+            e = m if n == 1 else int((e + m) / 2.0)
+        yield pd.DataFrame(
+            [[str(key[0]), n, e]],
+            columns=[f.name for f in EWMA_OUT_SCHEMA])
+        state.update((n, e))
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(by)
+            .applyInPandasWithState(
+                update,
+                outputStructType=EWMA_OUT_SCHEMA,
+                stateStructType=EWMA_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="NoTimeout"))
