@@ -114,6 +114,9 @@ CROSS_OK = {
                                  # (shared two-phase machinery, round 4)
     "q343_lepage_location_scale",  # 1-row bounds/totals frame (shared
                                    # two-phase machinery, round 4)
+    "q345_gamma_somers",         # ordinal-grid cell-PAIR frame
+                                 # (metadata-sized, caller-binned) +
+                                 # 1-row n frame (round 4)
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

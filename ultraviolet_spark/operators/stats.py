@@ -3913,3 +3913,71 @@ def lepage_test(df: DataFrame, *, value_col: str, group_col: str,
                F.round(z_w * z_w + z_ab * z_ab, 6))
     return agg.select("n_a", "n_b", z_w.alias("z_w"),
                       z_ab.alias("z_ab"), l.alias("l"))
+
+
+def gamma_somers_d(df: DataFrame, *, x_col: str, y_col: str) -> DataFrame:
+    """Goodman–Kruskal γ and Somers' D for a pair of ORDINAL columns
+    — the ordered-categorical association pair next to Cramér's V
+    (q333, nominal) and Kendall's τ-b (q334, fully continuous): γ
+    ignores ties entirely ((C−D)/(C+D)), Somers' D_yx penalizes ties
+    on the DEPENDENT y ((C−D)/(C+D+T_y)) — the asymmetric "does x
+    predict y's order" version.
+
+    Contract: ``x_col``/``y_col`` are already small ordinals (bins,
+    deciles, capped counts — the caller bins, as for the ACF's
+    integer contract), so the contingency GRID is metadata-sized and
+    the cell-pair frame (grid × grid, the only quadratic object) is
+    bounded by (#cells)² — never by the data.  Concordant /
+    discordant / tie pair counts come off the cell-pair join as exact
+    integer products in DECIMAL(38,0) (n_a·n_b crosses int64 at
+    ~3·10⁹ rows per cell); each observation pair is counted exactly
+    once via the a.x < b.x (strict) direction plus the same-x tie
+    row.  Output one row: (n, c, d, t_x, t_y, gamma, somers_d_yx)
+    with c/d/t the PAIR counts; C+D = 0 → NULL gamma/D.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    cells = (df.filter(x.isNotNull() & y.isNotNull())
+             .groupBy(x.alias("__x"), y.alias("__y"))
+             .agg(F.count("*").cast("long").alias("__n")))
+    a = cells.select(F.col("__x").alias("xa"), F.col("__y").alias("ya"),
+                     F.col("__n").alias("na"))
+    b = cells.select(F.col("__x").alias("xb"), F.col("__y").alias("yb"),
+                     F.col("__n").alias("nb"))
+    pairs = a.crossJoin(b)
+    prod = d38(F.col("na")) * d38(F.col("nb"))
+    conc = F.when((F.col("xa") < F.col("xb"))
+                  & (F.col("ya") < F.col("yb")), prod)
+    disc = F.when((F.col("xa") < F.col("xb"))
+                  & (F.col("ya") > F.col("yb")), prod)
+    tx = F.when((F.col("xa") == F.col("xb"))
+                & (F.col("ya") < F.col("yb")), prod)
+    ty = F.when((F.col("ya") == F.col("yb"))
+                & (F.col("xa") < F.col("xb")), prod)
+    tot = cells.agg(F.sum("__n").cast("long").alias("n"))
+    agg = pairs.agg(
+        F.coalesce(F.sum(conc), F.lit(0).cast("decimal(38,0)"))
+        .alias("__c"),
+        F.coalesce(F.sum(disc), F.lit(0).cast("decimal(38,0)"))
+        .alias("__d"),
+        F.coalesce(F.sum(tx), F.lit(0).cast("decimal(38,0)"))
+        .alias("__tx"),
+        F.coalesce(F.sum(ty), F.lit(0).cast("decimal(38,0)"))
+        .alias("__ty"))
+    out = agg.crossJoin(F.broadcast(tot))
+    cd = F.col("__c") + F.col("__d")
+    gamma = F.when(cd > 0, F.round(
+        (F.col("__c") - F.col("__d")).cast("double")
+        / nz(cd.cast("double")), 6))
+    somers = F.when((cd + F.col("__ty")) > 0, F.round(
+        (F.col("__c") - F.col("__d")).cast("double")
+        / nz((cd + F.col("__ty")).cast("double")), 6))
+    return out.select(
+        "n",
+        F.col("__c").cast("long").alias("c"),
+        F.col("__d").cast("long").alias("d"),
+        F.col("__tx").cast("long").alias("t_x"),
+        F.col("__ty").cast("long").alias("t_y"),
+        gamma.alias("gamma"), somers.alias("somers_d_yx"))

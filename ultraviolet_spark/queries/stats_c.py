@@ -1412,3 +1412,58 @@ def q344(spark, sf_dir):
              .select(F.concat(F.lit("https://s.example/p/"), i)
                      .alias("url"), html.alias("html")))
     return dom_depth_profile(pages)
+
+
+@q("q345_gamma_somers", """
+WITH per AS (
+  SELECT user_id,
+         LEAST(SUM(CASE WHEN event_type = 'click'
+                        THEN 1 ELSE 0 END), 10) AS x,
+         LEAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END), 10) AS y
+  FROM events GROUP BY user_id),
+cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+          FROM per GROUP BY x, y),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+p AS (SELECT a.x AS xa, a.y AS ya, a.n AS na,
+             b.x AS xb, b.y AS yb, b.n AS nb
+      FROM cells a, cells b),
+agg AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN xa < xb AND ya < yb
+                      THEN CAST(na AS HUGEINT) * nb END), 0) AS c,
+    COALESCE(SUM(CASE WHEN xa < xb AND ya > yb
+                      THEN CAST(na AS HUGEINT) * nb END), 0) AS d,
+    COALESCE(SUM(CASE WHEN xa = xb AND ya < yb
+                      THEN CAST(na AS HUGEINT) * nb END), 0) AS t_x,
+    COALESCE(SUM(CASE WHEN ya = yb AND xa < xb
+                      THEN CAST(na AS HUGEINT) * nb END), 0) AS t_y
+  FROM p)
+SELECT nn AS n, CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+  CAST(t_x AS BIGINT) AS t_x, CAST(t_y AS BIGINT) AS t_y,
+  CASE WHEN c + d > 0 THEN
+    round(CAST(c - d AS DOUBLE) / NULLIF(CAST(c + d AS DOUBLE), 0), 6)
+  END AS gamma,
+  CASE WHEN c + d + t_y > 0 THEN
+    round(CAST(c - d AS DOUBLE)
+          / NULLIF(CAST(c + d + t_y AS DOUBLE), 0), 6)
+  END AS somers_d_yx
+FROM agg, tot
+""")
+def q345(spark, sf_dir):
+    """Goodman–Kruskal γ and Somers' D between per-user capped click
+    and purchase counts (ordinals 0..10) — the ordered-categorical
+    association pair next to q333's nominal Cramér's V and q334's
+    continuous τ-b: exact concordant/discordant/tie pair counts off
+    the metadata-sized cell-pair grid in DECIMAL(38,0), two final
+    divisions."""
+    from ultraviolet_spark.operators.stats import gamma_somers_d
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.least(F.sum(F.when(F.col("event_type") == "click", 1)
+                              .otherwise(0)), F.lit(10)).alias("x"),
+                F.least(F.sum(F.when(F.col("event_type") == "purchase",
+                                     1).otherwise(0)),
+                        F.lit(10)).alias("y")))
+    return gamma_somers_d(per, x_col="x", y_col="y")
