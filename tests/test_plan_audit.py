@@ -117,6 +117,8 @@ CROSS_OK = {
     "q345_gamma_somers",         # ordinal-grid cell-PAIR frame
                                  # (metadata-sized, caller-binned) +
                                  # 1-row n frame (round 4)
+    "q346_brier_decomposition",  # 1-row N/P/Qt/BrierNum totals frame
+                                 # over the <=bins frame (round 4)
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -504,3 +504,103 @@ def confusion_report(df: DataFrame, *, pred_col: str,
                       acc.alias("accuracy"), prec.alias("precision_"),
                       rec.alias("recall"), f1.alias("f1"),
                       mcc.alias("mcc"))
+
+
+def brier_decomposition(df: DataFrame, *, p_micro_col: str,
+                        label_col: str, bins: int = 10) -> DataFrame:
+    """Murphy decomposition of the Brier score over fixed-width
+    forecast bins — WHY is the classifier's Brier what it is:
+    reliability (calibration gap — smaller is better), resolution
+    (how far bin outcomes move from base rate — larger is better),
+    uncertainty (the irreducible ō(1−ō)), plus the two
+    generalized terms for CONTINUOUS forecasts (Stephenson et al.):
+    within-bin variance and within-bin covariance, which make the
+    identity EXACT rather than bin-approximate:
+
+        BS = REL − RES + UNC + WBV − 2·WBC     (pinned in tests)
+
+    Exactness: per-bin sufficient statistics are exact integers /
+    DECIMAL(38,0) — n_k, positives P_k, Σp (S_k), Σp² (Q_k), and
+    Σp over positives (SP1_k) — and every per-bin term takes exactly
+    ONE double division by n_k:
+
+        rel_k = (S_k − 10⁶P_k)²/n_k
+        res_k = (P_k·N − P·n_k)²/n_k
+        wbv_k = S_k²/n_k      wbc_k = (SP1_k·n_k − S_k·P_k)/n_k
+
+    summed by an ORDERED fold over the sorted bin array (≤ ``bins``
+    entries — the KW/Lepage discipline, mirrored with list_reduce),
+    then assembled with the global N/P/Qtot/BrierNum scalars in fixed
+    order.  Empty input → NULL fields.  One partial-agg shuffle on
+    ≤ bins keys; totals ride the same ≤bins frame.
+
+    Output one row: (n, brier, rel, res, unc, wbv, wbc) in
+    probability² units rounded to 6.
+    """
+    width = 1_000_000 // bins
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    p = F.col(p_micro_col).cast("long")
+    y = F.col(label_col).cast("long")
+    binned = df.select(
+        F.least(F.floor(p / F.lit(width)), F.lit(bins - 1))
+        .cast("long").alias("bin"),
+        p.alias("__p"), y.alias("__y"),
+        ((p - 1_000_000 * y) * (p - 1_000_000 * y)).alias("__sq"))
+    per = (binned.groupBy("bin")
+           .agg(F.count("*").cast("long").alias("n_k"),
+                F.sum("__y").cast("long").alias("p_k"),
+                F.sum("__p").cast("long").alias("s_k"),
+                F.sum(d38(F.col("__p")) * d38(F.col("__p")))
+                .alias("q_k"),
+                F.sum(F.when(F.col("__y") == 1, F.col("__p"))
+                      .otherwise(0)).cast("long").alias("sp1_k"),
+                F.sum(d38(F.col("__sq"))).alias("bn_k")))
+    tot = per.agg(F.sum("n_k").cast("long").alias("N"),
+                  F.sum("p_k").cast("long").alias("P"),
+                  F.sum("q_k").alias("Qt"),
+                  F.sum("bn_k").alias("BN"))
+    j = per.crossJoin(F.broadcast(tot))
+    nk = F.col("n_k").cast("double")
+    rel_t = ((d38(F.col("s_k")) - d38(1_000_000 * F.col("p_k")))
+             * (d38(F.col("s_k")) - d38(1_000_000 * F.col("p_k")))
+             ).cast("double") / nz(nk)
+    res_t = ((d38(F.col("p_k")) * d38(F.col("N"))
+              - d38(F.col("P")) * d38(F.col("n_k")))
+             * (d38(F.col("p_k")) * d38(F.col("N"))
+                - d38(F.col("P")) * d38(F.col("n_k")))
+             ).cast("double") / nz(nk)
+    wbv_t = (d38(F.col("s_k")) * d38(F.col("s_k"))).cast("double") \
+        / nz(nk)
+    wbc_t = (d38(F.col("sp1_k")) * d38(F.col("n_k"))
+             - d38(F.col("s_k")) * d38(F.col("p_k"))).cast("double") \
+        / nz(nk)
+
+    def fold(col):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("bin").alias("b"),
+                                                 col.alias("t")))),
+            F.lit(0.0), lambda a, s: a + s["t"])
+
+    agg = j.groupBy().agg(
+        F.max("N").alias("n"), F.max("P").alias("pp"),
+        F.max("Qt").alias("qt"), F.max("BN").alias("bn"),
+        fold(rel_t).alias("__rel"), fold(res_t).alias("__res"),
+        fold(wbv_t).alias("__wbv"), fold(wbc_t).alias("__wbc"))
+    Nd = F.col("n").cast("double")
+    brier = F.col("bn").cast("double") / nz(Nd) / F.lit(1e12)
+    rel = F.col("__rel") / nz(Nd) / F.lit(1e12)
+    res = (F.lit(1e12) * F.col("__res")
+           / nz(Nd * Nd * Nd) / F.lit(1e12))
+    unc = (F.lit(1e12) * F.col("pp").cast("double")
+           * (Nd - F.col("pp").cast("double"))
+           / nz(Nd * Nd) / F.lit(1e12))
+    wbv = ((F.col("qt").cast("double") - F.col("__wbv"))
+           / nz(Nd) / F.lit(1e12))
+    wbc = (F.lit(1e6) * F.col("__wbc") / nz(Nd) / F.lit(1e12))
+    ok = F.col("n") > 0
+    r6 = lambda c: F.when(ok, F.round(c, 6))  # noqa: E731
+    return agg.select(
+        "n", r6(brier).alias("brier"), r6(rel).alias("rel"),
+        r6(res).alias("res"), r6(unc).alias("unc"),
+        r6(wbv).alias("wbv"), r6(wbc).alias("wbc"))

@@ -1467,3 +1467,89 @@ def q345(spark, sf_dir):
                                      1).otherwise(0)),
                         F.lit(10)).alias("y")))
     return gamma_somers_d(per, x_col="x", y_col="y")
+
+
+@q("q346_brier_decomposition", """
+WITH s AS (
+  SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           % 1000000 AS p,
+         CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 7, 6))::BIGINT
+                 % 1000000)
+              < (200000 + (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                             % 1000000) * 6 // 10) AS BIGINT) AS y
+  FROM documents),
+b AS (
+  SELECT least(p // 100000, 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_k,
+         CAST(SUM(y) AS BIGINT) AS p_k,
+         CAST(SUM(p) AS BIGINT) AS s_k,
+         SUM(CAST(p AS HUGEINT) * p) AS q_k,
+         CAST(SUM(CASE WHEN y = 1 THEN p ELSE 0 END) AS BIGINT) AS sp1_k,
+         SUM(CAST(p - 1000000 * y AS HUGEINT) * (p - 1000000 * y)) AS bn_k
+  FROM s GROUP BY 1),
+t AS (SELECT CAST(SUM(n_k) AS BIGINT) AS N,
+             CAST(SUM(p_k) AS BIGINT) AS P,
+             SUM(q_k) AS qt, SUM(bn_k) AS bn FROM b),
+tk AS (
+  SELECT bin,
+    CAST((CAST(s_k AS HUGEINT) - 1000000 * p_k)
+         * (CAST(s_k AS HUGEINT) - 1000000 * p_k) AS DOUBLE)
+      / NULLIF(CAST(n_k AS DOUBLE), 0) AS rel_t,
+    CAST((CAST(p_k AS HUGEINT) * N - CAST(P AS HUGEINT) * n_k)
+         * (CAST(p_k AS HUGEINT) * N - CAST(P AS HUGEINT) * n_k)
+         AS DOUBLE)
+      / NULLIF(CAST(n_k AS DOUBLE), 0) AS res_t,
+    CAST(CAST(s_k AS HUGEINT) * s_k AS DOUBLE)
+      / NULLIF(CAST(n_k AS DOUBLE), 0) AS wbv_t,
+    CAST(CAST(sp1_k AS HUGEINT) * n_k
+         - CAST(s_k AS HUGEINT) * p_k AS DOUBLE)
+      / NULLIF(CAST(n_k AS DOUBLE), 0) AS wbc_t
+  FROM b, t),
+f AS (
+  SELECT
+    list_reduce(list_prepend(0.0, list(rel_t ORDER BY bin)),
+                (a, x) -> a + x) AS frel,
+    list_reduce(list_prepend(0.0, list(res_t ORDER BY bin)),
+                (a, x) -> a + x) AS fres,
+    list_reduce(list_prepend(0.0, list(wbv_t ORDER BY bin)),
+                (a, x) -> a + x) AS fwbv,
+    list_reduce(list_prepend(0.0, list(wbc_t ORDER BY bin)),
+                (a, x) -> a + x) AS fwbc
+  FROM tk)
+SELECT N AS n,
+  round(CAST(bn AS DOUBLE) / NULLIF(CAST(N AS DOUBLE), 0) / 1e12, 6)
+    AS brier,
+  round(frel / NULLIF(CAST(N AS DOUBLE), 0) / 1e12, 6) AS rel,
+  round(1e12 * fres
+        / NULLIF(CAST(N AS DOUBLE) * CAST(N AS DOUBLE)
+                 * CAST(N AS DOUBLE), 0) / 1e12, 6) AS res,
+  round(1e12 * CAST(P AS DOUBLE)
+        * (CAST(N AS DOUBLE) - CAST(P AS DOUBLE))
+        / NULLIF(CAST(N AS DOUBLE) * CAST(N AS DOUBLE), 0) / 1e12, 6)
+    AS unc,
+  round((CAST(qt AS DOUBLE) - fwbv)
+        / NULLIF(CAST(N AS DOUBLE), 0) / 1e12, 6) AS wbv,
+  round(1e6 * fwbc / NULLIF(CAST(N AS DOUBLE), 0) / 1e12, 6) AS wbc
+FROM f, t
+""")
+def q346(spark, sf_dir):
+    """Murphy decomposition of the Brier score over q195's
+    md5-synthesized (probability, label) pairs — WHY is the Brier
+    what it is: reliability − resolution + uncertainty plus the two
+    continuous-forecast terms (within-bin variance / covariance) that
+    make BS = REL − RES + UNC + WBV − 2·WBC an exact identity
+    (pinned in pytest); per-bin exact integer statistics, one double
+    division per bin, ordered folds, fixed-order assembly."""
+    from ultraviolet_spark.operators.evalmetrics import (
+        brier_decomposition)
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    p = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 1_000_000
+    y2 = F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 1_000_000
+    base = d.select(
+        p.alias("p_micro"),
+        (y2 < (F.lit(200_000) + (p * 6 - (p * 6) % 10) / 10))
+        .cast("long").alias("label"))
+    return brier_decomposition(base, p_micro_col="p_micro",
+                               label_col="label", bins=10)
