@@ -1553,3 +1553,99 @@ def q346(spark, sf_dir):
         .cast("long").alias("label"))
     return brier_decomposition(base, p_micro_col="p_micro",
                                label_col="label", bins=10)
+
+
+_Q96_EDGES_CTE = """e0 AS (
+  SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+  FROM documents
+  UNION
+  SELECT doc_id % 101, (doc_id * 13 + 5) % 101 FROM documents),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node)"""
+
+
+@q("q347_clustering_coefficient", f"""
+WITH {_Q96_EDGES_CTE},
+j AS (SELECT a, b, da.d AS da, db.d AS db
+      FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+ori AS (
+  SELECT CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS v,
+         CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END
+           AS dv
+  FROM j),
+wg AS (
+  SELECT e1.u, e1.v, e2.v AS vw FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+  WHERE (e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v)),
+tri AS (SELECT wg.u, wg.v, wg.vw FROM wg
+        JOIN ori c ON c.u = wg.v AND c.v = wg.vw),
+pn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+    UNION ALL SELECT vw FROM tri)
+  GROUP BY node)
+SELECT deg.node, deg.d,
+       CAST(COALESCE(pn.n, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2 THEN
+         round(CAST(2 * COALESCE(pn.n, 0) AS DOUBLE)
+               / NULLIF(CAST(deg.d * (deg.d - 1) AS DOUBLE), 0), 6)
+       END AS c
+FROM deg LEFT JOIN pn ON pn.node = deg.node
+""")
+def q347(spark, sf_dir):
+    """Per-node local clustering coefficient over the q96/q172 domain
+    graph: c = 2T/(d(d−1)) normalizes exact triangle counts by the
+    possible closures — the community-density signal a raw triangle
+    count can't give (a hub with many triangles can still be locally
+    sparse); degree-1 nodes NULL."""
+    from ultraviolet_spark.operators.graph import clustering_coefficient
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+         .union(d.select((F.col("doc_id") % 101).alias("src"),
+                         ((F.col("doc_id") * 13 + 5) % 101).alias("dst")))
+         .distinct())
+    return clustering_coefficient(e)
+
+
+@q("q348_degree_assortativity", f"""
+WITH {_Q96_EDGES_CTE},
+dup AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+j AS (SELECT da.d AS du, db.d AS dv
+      FROM dup JOIN deg da ON da.node = dup.a
+      JOIN deg db ON db.node = dup.b),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS M,
+         SUM(CAST(du AS HUGEINT)) AS sx,
+         SUM(CAST(du AS HUGEINT) * du) AS sxx,
+         SUM(CAST(du AS HUGEINT) * dv) AS sxy
+  FROM j)
+SELECT CAST(M // 2 AS BIGINT) AS m_und,
+  CASE WHEN CAST(M AS HUGEINT) * sxx - sx * sx <> 0 THEN
+    round(CAST(CAST(M AS HUGEINT) * sxy - sx * sx AS DOUBLE)
+          / NULLIF(CAST(CAST(M AS HUGEINT) * sxx - sx * sx AS DOUBLE),
+                   0), 6)
+  END AS r
+FROM agg
+""")
+def q348(spark, sf_dir):
+    """Newman degree assortativity of the q96 domain graph — ONE
+    number for 'do hubs link to hubs?': Pearson correlation of
+    endpoint degrees over the directed doubling of the undirected
+    edge list, exact DECIMAL(38,0) sums, one double division;
+    web-style graphs run negative (hubs link leaves)."""
+    from ultraviolet_spark.operators.graph import degree_assortativity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+         .union(d.select((F.col("doc_id") % 101).alias("src"),
+                         ((F.col("doc_id") * 13 + 5) % 101).alias("dst")))
+         .distinct())
+    return degree_assortativity(e)
