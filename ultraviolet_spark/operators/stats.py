@@ -3981,3 +3981,54 @@ def gamma_somers_d(df: DataFrame, *, x_col: str, y_col: str) -> DataFrame:
         F.col("__tx").cast("long").alias("t_x"),
         F.col("__ty").cast("long").alias("t_y"),
         gamma.alias("gamma"), somers.alias("somers_d_yx"))
+
+
+def cochran_armitage(df: DataFrame, *, group_col: str, label_expr: str,
+                     order: list) -> DataFrame:
+    """Cochran–Armitage trend test — the BINARY-outcome sibling of
+    :func:`jonckheere_terpstra` (which needs a continuous y): does a
+    proportion rise monotonically across k ORDERED groups (conversion
+    by funnel stage, defect rate by dose)?  With integer scores
+    t_i = 0..k−1 on the caller-declared order and per-group (n_i,
+    positives r_i):
+
+        Z² = N·(N·Σt·r − R·Σt·n)²
+             / (R·(N−R)·(N·Σt²·n − (Σt·n)²))
+
+    — every factor an exact integer, so Z² is ONE double division of
+    DECIMAL(38,0) products and z carries the sign of the trend
+    numerator.  Degenerate inputs (all-positive/all-negative R, zero
+    score variance) report NULL loudly.  Rows whose group is not in
+    ``order`` are excluded.
+
+    Scale: one k-row groupBy; the k-row frame folds to one row — no
+    window, no join.  Output: (n, k, r_pos, z).
+    """
+    labels = list(order)
+    k = len(labels)
+    if k < 2:
+        raise ValueError("order needs >= 2 groups")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    score = F.create_map(*[x for i, lab in enumerate(labels)
+                           for x in (F.lit(lab), F.lit(i))])
+    y = F.when(F.expr(label_expr), 1).otherwise(0)
+    base = (df.filter(F.col(group_col).isin(labels))
+            .select(score[F.col(group_col)].cast("long").alias("__t"),
+                    y.alias("__y")))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("r_pos"),
+        F.sum(F.col("__t") * F.col("__y")).cast("long").alias("__tr"),
+        F.sum("__t").cast("long").alias("__tn"),
+        F.sum(F.col("__t") * F.col("__t")).cast("long").alias("__t2n"))
+    N, R = F.col("n"), F.col("r_pos")
+    num = d38(N) * d38(F.col("__tr")) - d38(R) * d38(F.col("__tn"))
+    var = (d38(R) * d38(N - R)
+           * (d38(N) * d38(F.col("__t2n"))
+              - d38(F.col("__tn")) * d38(F.col("__tn"))))
+    z = F.when(var > 0, F.round(
+        F.sqrt(d38(N).cast("double")) * num.cast("double")
+        / nz(F.sqrt(var.cast("double"))), 6))
+    return agg.select("n", F.lit(k).cast("int").alias("k"), "r_pos",
+                      z.alias("z"))

@@ -1649,3 +1649,46 @@ def q348(spark, sf_dir):
                          ((F.col("doc_id") * 13 + 5) % 101).alias("dst")))
          .distinct())
     return degree_assortativity(e)
+
+
+@q("q349_cochran_armitage", """
+WITH base AS (
+  SELECT CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+         ELSE 2 END AS t,
+         CASE WHEN value IS NOT NULL AND value > 50 THEN 1 ELSE 0 END
+           AS y
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS r_pos,
+         CAST(SUM(t * y) AS BIGINT) AS tr,
+         CAST(SUM(t) AS BIGINT) AS tn,
+         CAST(SUM(t * t) AS BIGINT) AS t2n
+  FROM base)
+SELECT n, CAST(3 AS INTEGER) AS k, r_pos,
+  CASE WHEN CAST(r_pos AS HUGEINT) * (n - r_pos)
+            * (CAST(n AS HUGEINT) * t2n
+               - CAST(tn AS HUGEINT) * tn) > 0 THEN
+    round(sqrt(CAST(n AS DOUBLE))
+          * CAST(CAST(n AS HUGEINT) * tr
+                 - CAST(r_pos AS HUGEINT) * tn AS DOUBLE)
+          / NULLIF(sqrt(CAST(CAST(r_pos AS HUGEINT) * (n - r_pos)
+                             * (CAST(n AS HUGEINT) * t2n
+                                - CAST(tn AS HUGEINT) * tn)
+                             AS DOUBLE)), 0), 6)
+  END AS z
+FROM agg
+""")
+def q349(spark, sf_dir):
+    """Cochran–Armitage trend in the high-value rate (value > 50)
+    across the funnel order click < view < purchase — the
+    binary-outcome sibling of q340's Jonckheere (which needs a
+    continuous y): integer scores on the declared order, every factor
+    of Z an exact integer, one double division carrying the trend
+    sign."""
+    from ultraviolet_spark.operators.stats import cochran_armitage
+
+    return cochran_armitage(
+        _t(spark, sf_dir, "events"), group_col="event_type",
+        label_expr="value IS NOT NULL AND value > 50",
+        order=["click", "view", "purchase"])
