@@ -119,6 +119,8 @@ CROSS_OK = {
                                  # 1-row n frame (round 4)
     "q346_brier_decomposition",  # 1-row N/P/Qt/BrierNum totals frame
                                  # over the <=bins frame (round 4)
+    "q350_ks_uniformity_time_of_day",  # 1-row bounds/n frame (shared
+                                       # two-phase machinery, round 4)
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -4032,3 +4032,67 @@ def cochran_armitage(df: DataFrame, *, group_col: str, label_expr: str,
         / nz(F.sqrt(var.cast("double"))), 6))
     return agg.select("n", F.lit(k).cast("int").alias("k"), "r_pos",
                       z.alias("z"))
+
+
+def ks_uniform_test(df: DataFrame, *, value_col: str, lo: int, hi: int,
+                    n_buckets: int = 64) -> DataFrame:
+    """One-sample Kolmogorov–Smirnov statistic against the UNIFORM
+    reference on [lo, hi) — the goodness-of-fit wing the two-sample
+    drift battery (q253/q342) doesn't cover: is load spread evenly
+    across the day, are hash buckets unbiased, did a scheduler
+    introduce time-of-day clumping?
+
+        D = sup_x |F_n(x) − (x−lo)/(hi−lo)|
+
+    attained either just AFTER a jump (F_n above the line) or just
+    BEFORE one (line above F_n), so with per-distinct-value counts m
+    and inclusive cumulative c the exact integer sup numerator is
+
+        D_num = max_v max( c·W − n·(v−lo),  n·(v−lo) − (c−m)·W )
+
+    with W = hi−lo; D = D_num/(n·W) in ONE final division (DECIMAL
+    products — n·W crosses int64 at ~10⁸ rows over a µs-day).
+    ``value_col`` must already be integral in [lo, hi) (the ACF
+    integer contract — seconds-of-day, bucket ids); out-of-domain
+    rows raise the sup honestly rather than being clipped.  Empty
+    input → NULL.  Cumulatives run the shared two-phase value-bucket
+    machinery.  Output one row: (n, d_num, d).
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    W = int(hi) - int(lo)
+    if W <= 0:
+        raise ValueError("hi must exceed lo")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    v = F.col(value_col).cast("long")
+    base = df.filter(v.isNotNull()).select(v.alias("__v"))
+    per_v = base.groupBy("__v").agg(F.count("*").cast("long").alias("__m"))
+    bounds = per_v.agg(F.min("__v").alias("__blo"),
+                       F.max("__v").alias("__bhi"),
+                       F.sum("__m").cast("long").alias("__n"))
+    pv = (per_v.crossJoin(F.broadcast(bounds))
+          .withColumn("__b", F.expr(
+              f"(__v - __blo) div ((__bhi - __blo) div {B} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pv = pv.withColumn("__c_in", F.sum("__m").over(w_in))
+    btot = pv.groupBy("__b").agg(F.sum("__m").alias("__bm"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b", F.coalesce(F.sum("__bm").over(w_b), F.lit(0)).alias("__o"))
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("__c", F.col("__o") + F.col("__c_in")))
+    up = (d38(F.col("__c")) * F.lit(W)
+          - d38(F.col("__n")) * d38(F.col("__v") - F.lit(int(lo))))
+    dn = (d38(F.col("__n")) * d38(F.col("__v") - F.lit(int(lo)))
+          - d38(F.col("__c") - F.col("__m")) * F.lit(W))
+    agg = pv.agg(F.max("__n").alias("n"),
+                 F.max(F.greatest(up, dn)).alias("__dnum"))
+    d = F.when(F.col("n") > 0, F.round(
+        F.col("__dnum").cast("double")
+        / nz((d38(F.col("n")) * F.lit(W)).cast("double")), 6))
+    return agg.select(
+        "n", F.col("__dnum").cast("double").alias("d_num"),
+        d.alias("d"))

@@ -1692,3 +1692,40 @@ def q349(spark, sf_dir):
         _t(spark, sf_dir, "events"), group_col="event_type",
         label_expr="value IS NOT NULL AND value > 50",
         order=["click", "view", "purchase"])
+
+
+@q("q350_ks_uniformity_time_of_day", """
+WITH base AS (
+  SELECT CAST(epoch_us(ts) % 86400000000 // 1000000 AS BIGINT) AS v
+  FROM events),
+pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS m FROM base GROUP BY v),
+tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM pv),
+c AS (SELECT v, m,
+        CAST(SUM(m) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cum
+      FROM pv),
+d AS (
+  SELECT GREATEST(
+           MAX(CAST(cum AS HUGEINT) * 86400 - CAST(n AS HUGEINT) * v),
+           MAX(CAST(n AS HUGEINT) * v
+               - CAST(cum - m AS HUGEINT) * 86400)) AS dnum
+  FROM c, tot GROUP BY n)
+SELECT n, CAST(dnum AS DOUBLE) AS d_num,
+  CASE WHEN n > 0 THEN
+    round(CAST(dnum AS DOUBLE)
+          / NULLIF(CAST(CAST(n AS HUGEINT) * 86400 AS DOUBLE), 0), 6)
+  END AS d
+FROM d, tot
+""")
+def q350(spark, sf_dir):
+    """One-sample KS uniformity of event SECOND-OF-DAY against the
+    flat 0..86400 reference — the time-of-day clumping detector the
+    two-sample drift battery can't express (no second sample needed):
+    exact integer sup numerator max(c·W − n·v, n·v − (c−m)·W) off the
+    shared two-phase cumulative machinery, one final division."""
+    from ultraviolet_spark.operators.stats import ks_uniform_test
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) % 86_400_000_000
+         / F.lit(1_000_000)).cast("long").alias("sod"))
+    return ks_uniform_test(e, value_col="sod", lo=0, hi=86_400)
