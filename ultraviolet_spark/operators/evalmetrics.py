@@ -604,3 +604,60 @@ def brier_decomposition(df: DataFrame, *, p_micro_col: str,
         "n", r6(brier).alias("brier"), r6(rel).alias("rel"),
         r6(res).alias("res"), r6(unc).alias("unc"),
         r6(wbv).alias("wbv"), r6(wbc).alias("wbc"))
+
+
+def hosmer_lemeshow(df: DataFrame, *, p_micro_col: str,
+                    label_col: str, bins: int = 10) -> DataFrame:
+    """Hosmer–Lemeshow calibration χ² over fixed-width forecast bins
+    — the TEST companion of the reliability diagram (q195) and the
+    Brier decomposition (q346): per bin, observed positives O_k
+    against expected E_k = Σp, normalized by the binomial variance,
+
+        HL = Σ_k (O_k − E_k)² / (E_k·(1 − p̄_k))
+           = Σ_k n_k·(10⁶·O_k − S_k)² / (S_k·(10⁶·n_k − S_k))
+
+    — the second form is all exact integers (micro units cancel), so
+    each bin's term takes ONE double division and the cross-bin sum
+    is an ordered fold (the q346 discipline).  Degenerate bins
+    (S_k = 0 or S_k = 10⁶·n_k — all-certain forecasts, zero binomial
+    variance) are EXCLUDED and counted in ``n_degenerate`` rather
+    than dividing by zero or silently clamping; df = usable bins − 2
+    by the classic convention.  Output one row:
+    (n, n_bins_used, n_degenerate, hl).
+    """
+    width = 1_000_000 // bins
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    p = F.col(p_micro_col).cast("long")
+    y = F.col(label_col).cast("long")
+    binned = df.select(
+        F.least(F.floor(p / F.lit(width)), F.lit(bins - 1))
+        .cast("long").alias("bin"),
+        p.alias("__p"), y.alias("__y"))
+    per = (binned.groupBy("bin")
+           .agg(F.count("*").cast("long").alias("n_k"),
+                F.sum("__y").cast("long").alias("o_k"),
+                F.sum("__p").cast("long").alias("s_k")))
+    usable = ((F.col("s_k") > 0)
+              & (F.col("s_k") < 1_000_000 * F.col("n_k")))
+    num = (d38(1_000_000 * F.col("o_k")) - d38(F.col("s_k")))
+    term = F.when(usable,
+                  (d38(F.col("n_k")) * num * num).cast("double")
+                  / nz((d38(F.col("s_k"))
+                        * (d38(1_000_000 * F.col("n_k"))
+                           - d38(F.col("s_k")))).cast("double")))
+    agg = per.groupBy().agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum(F.when(usable, 1).otherwise(0)).cast("int")
+        .alias("n_bins_used"),
+        F.sum(F.when(usable, 0).otherwise(1)).cast("int")
+        .alias("n_degenerate"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("bin").alias("b"),
+                F.coalesce(term, F.lit(0.0)).alias("t")))),
+            F.lit(0.0), lambda a, s: a + s["t"]).alias("__hl"))
+    return agg.select(
+        "n", "n_bins_used", "n_degenerate",
+        F.when(F.col("n_bins_used") > 0,
+               F.round(F.col("__hl"), 6)).alias("hl"))

@@ -1729,3 +1729,62 @@ def q350(spark, sf_dir):
         (F.unix_micros(F.col("ts").cast("timestamp")) % 86_400_000_000
          / F.lit(1_000_000)).cast("long").alias("sod"))
     return ks_uniform_test(e, value_col="sod", lo=0, hi=86_400)
+
+
+@q("q351_hosmer_lemeshow", """
+WITH s AS (
+  SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           % 1000000 AS p,
+         CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 7, 6))::BIGINT
+                 % 1000000)
+              < (200000 + (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                             % 1000000) * 6 // 10) AS BIGINT) AS y
+  FROM documents),
+b AS (
+  SELECT least(p // 100000, 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_k,
+         CAST(SUM(y) AS BIGINT) AS o_k,
+         CAST(SUM(p) AS BIGINT) AS s_k
+  FROM s GROUP BY 1),
+tk AS (
+  SELECT bin, n_k,
+    (s_k > 0 AND s_k < 1000000 * n_k) AS usable,
+    CASE WHEN s_k > 0 AND s_k < 1000000 * n_k THEN
+      CAST(CAST(n_k AS HUGEINT)
+           * (1000000 * CAST(o_k AS HUGEINT) - s_k)
+           * (1000000 * CAST(o_k AS HUGEINT) - s_k) AS DOUBLE)
+      / NULLIF(CAST(CAST(s_k AS HUGEINT)
+                    * (1000000 * CAST(n_k AS HUGEINT) - s_k)
+                    AS DOUBLE), 0)
+    ELSE 0.0 END AS t
+  FROM b)
+SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN usable THEN 1 ELSE 0 END) AS INTEGER)
+    AS n_bins_used,
+  CAST(SUM(CASE WHEN usable THEN 0 ELSE 1 END) AS INTEGER)
+    AS n_degenerate,
+  CASE WHEN SUM(CASE WHEN usable THEN 1 ELSE 0 END) > 0 THEN
+    round(list_reduce(list_prepend(0.0, list(t ORDER BY bin)),
+                      (a, x) -> a + x), 6)
+  END AS hl
+FROM tk
+""")
+def q351(spark, sf_dir):
+    """Hosmer–Lemeshow calibration χ² over q195's md5-synthesized
+    (probability, label) pairs — the calibration TEST next to the
+    diagram (q195) and the decomposition (q346): the micro units
+    cancel into the all-integer form n·(10⁶O−S)²/(S·(10⁶n−S)), one
+    double division per bin, ordered fold; all-certain bins excluded
+    and counted rather than clamped."""
+    from ultraviolet_spark.operators.evalmetrics import hosmer_lemeshow
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    p = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 1_000_000
+    y2 = F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 1_000_000
+    base = d.select(
+        p.alias("p_micro"),
+        (y2 < (F.lit(200_000) + (p * 6 - (p * 6) % 10) / 10))
+        .cast("long").alias("label"))
+    return hosmer_lemeshow(base, p_micro_col="p_micro",
+                           label_col="label", bins=10)
