@@ -661,3 +661,48 @@ def hosmer_lemeshow(df: DataFrame, *, p_micro_col: str,
         "n", "n_bins_used", "n_degenerate",
         F.when(F.col("n_bins_used") > 0,
                F.round(F.col("__hl"), 6)).alias("hl"))
+
+
+def mean_reciprocal_rank(df: DataFrame, *, query_col: str,
+                         score_col: str, label_col: str,
+                         id_col: str) -> DataFrame:
+    """Mean reciprocal rank — the first-hit metric completing the
+    ranking-eval wing next to nDCG (graded position discount) and AP
+    (all-hits precision): how high does the FIRST relevant result
+    sit, per query, under the total order (score desc, id asc) (the
+    house explicit-tie-break rule)?
+
+    Exactness: each query's reciprocal rank snaps to the µ-integer
+    round(10⁶/r) BEFORE the cross-query sum (order-independent exact
+    total — the AP discipline); queries with no relevant result
+    contribute 0 (the standard convention, reported separately in
+    ``n_with_hit``); MRR is one final double division.  Per-query
+    ranks ride a (query)-partitioned window — candidate lists are
+    upstream-bounded per the nDCG contract.
+
+    Output one row: (n_queries, n_with_hit, rr_sum_micro, mrr).
+    """
+    from pyspark.sql import Window
+
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    w = (Window.partitionBy(query_col)
+         .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+    ranked = df.select(F.col(query_col).alias("__q"),
+                       F.col(label_col).cast("long").alias("__y"),
+                       F.row_number().over(w).alias("__r"))
+    per_q = (ranked.groupBy("__q")
+             .agg(F.min(F.when(F.col("__y") == 1, F.col("__r")))
+                  .alias("__fr")))
+    rr = F.when(F.col("__fr").isNotNull(),
+                F.round(F.lit(1e6) / F.col("__fr").cast("double"))
+                .cast("long")).otherwise(F.lit(0).cast("long"))
+    agg = per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("__fr").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_with_hit"),
+        F.sum(rr).cast("long").alias("rr_sum_micro"))
+    return agg.select(
+        "n_queries", "n_with_hit", "rr_sum_micro",
+        F.round(F.col("rr_sum_micro").cast("double")
+                / nz(F.col("n_queries").cast("double")) / F.lit(1e6),
+                6).alias("mrr"))

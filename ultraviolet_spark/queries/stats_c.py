@@ -1788,3 +1788,46 @@ def q351(spark, sf_dir):
         .cast("long").alias("label"))
     return hosmer_lemeshow(base, p_micro_col="p_micro",
                            label_col="label", bins=10)
+
+
+@q("q352_mean_reciprocal_rank", """
+WITH r AS (
+  SELECT user_id AS q,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events WHERE value IS NOT NULL),
+pq AS (
+  SELECT q, MIN(CASE WHEN y = 1 THEN rnk END) AS fr
+  FROM r GROUP BY q),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_with_hit,
+         CAST(SUM(CASE WHEN fr IS NOT NULL
+                       THEN CAST(round(1e6 / CAST(fr AS DOUBLE))
+                                 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rr_sum_micro
+  FROM pq)
+SELECT n_queries, n_with_hit, rr_sum_micro,
+  round(CAST(rr_sum_micro AS DOUBLE)
+        / NULLIF(CAST(n_queries AS DOUBLE), 0) / 1e6, 6) AS mrr
+FROM agg
+""")
+def q352(spark, sf_dir):
+    """Mean reciprocal rank of the first purchase under each user's
+    value-desc event ranking — the first-hit metric next to q204's
+    nDCG and q305's AP: per-query reciprocal ranks µ-snapped before
+    the cross-query sum (order-independent exact total), no-hit
+    queries contribute 0 and are counted, one final division."""
+    from ultraviolet_spark.operators.evalmetrics import (
+        mean_reciprocal_rank)
+
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("user_id", "event_id", "value",
+                 (F.col("event_type") == "purchase").cast("long")
+                 .alias("rel")))
+    return mean_reciprocal_rank(e, query_col="user_id",
+                                score_col="value", label_col="rel",
+                                id_col="event_id")
