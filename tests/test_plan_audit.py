@@ -121,6 +121,8 @@ CROSS_OK = {
                                  # over the <=bins frame (round 4)
     "q350_ks_uniformity_time_of_day",  # 1-row bounds/n frame (shared
                                        # two-phase machinery, round 4)
+    "q353_selection_gains",      # 1-row totals frame over the <=bins
+                                 # band grid (round 4)
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis
@@ -332,6 +334,9 @@ _PARTITIONLESS_OK = {
     "q295_bradley_terry": frozenset({"item"}),
     # global hourly grid keyed by a literal: calendar-bounded
     "q313_ccf_clicks_purchases": frozenset({"_groupingexpression"}),
+    # <=bins fixed-width score-band grid (the band floor expression):
+    # cumulative-from-top runs on a 10-row frame
+    "q353_selection_gains": frozenset({"_groupingexpression"}),
 }
 
 

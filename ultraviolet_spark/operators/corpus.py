@@ -1178,3 +1178,66 @@ def purged_kfold(df: DataFrame, *, ts_col: str, n_folds: int = 5,
     role = (F.when(in_test, "test").when(purged, "purged")
             .when(embargoed, "embargo").otherwise("train"))
     return j.withColumn("role", role).drop("__s", "__e", "__um")
+
+
+def selection_gains(df: DataFrame, *, score_micro_col: str,
+                    weight_col: str, bins: int = 10) -> DataFrame:
+    """Selection-gains profile for score-based corpus filtering — the
+    audit behind every "keep the top X% by quality" decision (DSIR /
+    classifier-score selection): bin documents by fixed-width score
+    band, then report, cumulatively FROM THE TOP band down, how many
+    documents and how much weight (tokens, bytes) each successive
+    band admits.  The curve answers "what does tightening the
+    threshold cost in data volume?" before anyone commits a corpus
+    cut.
+
+    Bands are fixed-width over the micro-score domain [0, 1e6)
+    (value bands, not population quantiles — ties inside a band never
+    need splitting, so every number is an exact integer; q195's
+    binning convention).  Per band: n_docs, weight, and the
+    top-down cumulative n/weight with their fractions as single
+    divisions.  Empty bands are completed with zero rows so the
+    curve always has ``bins`` points (the t_closeness completion
+    rule).  One partial-agg shuffle on ≤bins keys; the cumulative
+    runs on the ≤bins frame.
+
+    Output per band (desc): (band, lo_micro, n_docs, weight,
+    cum_docs, cum_weight, frac_docs, frac_weight).
+    """
+    from pyspark.sql import Window
+
+    B = int(bins)
+    width = 1_000_000 // B
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    s = F.col(score_micro_col).cast("long")
+    w = F.col(weight_col).cast("long")
+    per = (df.filter(s.isNotNull() & w.isNotNull())
+           .groupBy(F.least(F.floor(s / F.lit(width)), F.lit(B - 1))
+                    .cast("long").alias("band"))
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum(d38(w)).alias("__w")))
+    grid = (df.sparkSession.range(B).select(F.col("id").alias("band"))
+            .join(per, "band", "left")
+            .withColumn("n_docs", F.coalesce("n_docs",
+                                             F.lit(0).cast("long")))
+            .withColumn("__w", F.coalesce(
+                "__w", F.lit(0).cast("decimal(38,0)"))))
+    wt = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    g = (grid.withColumn("cum_docs", F.sum("n_docs").over(wt)
+                         .cast("long"))
+         .withColumn("__cw", F.sum("__w").over(wt)))
+    tot = g.agg(F.max("cum_docs").alias("__tn"),
+                F.max("__cw").alias("__tw"))
+    out = g.crossJoin(F.broadcast(tot))
+    return out.select(
+        "band", (F.col("band") * width).cast("long").alias("lo_micro"),
+        "n_docs", F.col("__w").cast("double").alias("weight"),
+        "cum_docs", F.col("__cw").cast("double").alias("cum_weight"),
+        F.round(F.col("cum_docs").cast("double")
+                / nz(F.col("__tn").cast("double")), 6)
+        .alias("frac_docs"),
+        F.round(F.col("__cw").cast("double")
+                / nz(F.col("__tw").cast("double")), 6)
+        .alias("frac_weight")).orderBy(F.col("band").desc())

@@ -1831,3 +1831,58 @@ def q352(spark, sf_dir):
     return mean_reciprocal_rank(e, query_col="user_id",
                                 score_col="value", label_col="rel",
                                 id_col="event_id")
+
+
+@q("q353_selection_gains", """
+WITH s AS (
+  SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           % 1000000 AS score,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+              AS BIGINT) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+per AS (
+  SELECT least(score // 100000, 9) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(w AS HUGEINT)) AS wsum
+  FROM s GROUP BY 1),
+grid AS (
+  SELECT t.band, COALESCE(per.n_docs, 0) AS n_docs,
+         COALESCE(per.wsum, 0) AS wsum
+  FROM (SELECT unnest(generate_series(0, 9)) AS band) t
+  LEFT JOIN per ON per.band = t.band),
+c AS (
+  SELECT band, n_docs, wsum,
+    CAST(SUM(n_docs) OVER wd AS BIGINT) AS cum_docs,
+    SUM(wsum) OVER wd AS cw
+  FROM grid WINDOW wd AS (ORDER BY band DESC ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW)),
+t AS (SELECT MAX(cum_docs) AS tn, MAX(cw) AS tw FROM c)
+SELECT band, CAST(band * 100000 AS BIGINT) AS lo_micro,
+  n_docs, CAST(wsum AS DOUBLE) AS weight,
+  cum_docs, CAST(cw AS DOUBLE) AS cum_weight,
+  round(CAST(cum_docs AS DOUBLE) / NULLIF(CAST(tn AS DOUBLE), 0), 6)
+    AS frac_docs,
+  round(CAST(cw AS DOUBLE) / NULLIF(CAST(tw AS DOUBLE), 0), 6)
+    AS frac_weight
+FROM c, t
+""")
+def q353(spark, sf_dir):
+    """Selection-gains curve for quality-score corpus filtering: docs
+    band by an md5-derived micro quality score, weight = whitespace
+    token count, and the profile reports cumulatively FROM THE TOP
+    band what each threshold admits — the audit behind every 'keep
+    the top X%' cut.  Fixed-width value bands (ties never split),
+    empty bands completed, exact integer cumulatives off the ≤bins
+    frame."""
+    from ultraviolet_spark.operators.corpus import selection_gains
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.length(F.trim(F.col("text"))) > 0))
+    h = F.md5(F.col("doc_id").cast("string"))
+    score = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 1_000_000
+    toks = F.size(F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "")).cast("long")
+    base = d.select(score.alias("score_micro"), toks.alias("w"))
+    return selection_gains(base, score_micro_col="score_micro",
+                           weight_col="w", bins=10)
