@@ -123,6 +123,8 @@ CROSS_OK = {
                                        # two-phase machinery, round 4)
     "q353_selection_gains",      # 1-row totals frame over the <=bins
                                  # band grid (round 4)
+    "q354_weighted_kappa",       # completed k_a x k_b marginal grid
+                                 # (tier-vocab-sized) + 1-row n frame
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -706,3 +706,57 @@ def mean_reciprocal_rank(df: DataFrame, *, query_col: str,
         F.round(F.col("rr_sum_micro").cast("double")
                 / nz(F.col("n_queries").cast("double")) / F.lit(1e6),
                 6).alias("mrr"))
+
+
+def weighted_kappa(df: DataFrame, *, a_col: str, b_col: str,
+                   weight: str = "quadratic") -> DataFrame:
+    """Cohen's weighted κ for ORDINAL paired labels — the
+    chance-corrected agreement q176's unweighted κ can't grade: when
+    categories are ordered (star ratings, quality tiers), disagreeing
+    by one step should cost less than disagreeing by four, and
+    quadratic weights w_ij = (i−j)² make κ_w the ICC-equivalent
+    standard.
+
+        κ_w = 1 − Σ w_ij·n_ij / Σ w_ij·e_ij,   e_ij = r_i·c_j / N
+
+    Exactness: observed disagreement Σw·n is an exact integer off the
+    contingency cells; the expected side clears its /N by computing
+    N·Σw·n against Σw·r_i·c_j — BOTH sides exact DECIMAL(38,0), so
+    κ_w = 1 − (N·Σw·n)/(Σw·r·c) is ONE division.  The marginal grid
+    is COMPLETED (absent cells still contribute expected
+    disagreement — the Cramér's V completion rule; dropping them
+    inflates κ).  Labels must be integral ordinals (caller maps).
+    Zero expected disagreement (a single category) → NULL.
+    ``weight='linear'`` uses |i−j|.
+
+    Output one row: (n, k_a, k_b, kappa_w).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    base = (df.filter(a.isNotNull() & b.isNotNull())
+            .select(a.alias("__a"), b.alias("__b")))
+    cells = base.groupBy("__a", "__b").agg(
+        F.count("*").cast("long").alias("__n"))
+    rows = cells.groupBy("__a").agg(F.sum("__n").cast("long")
+                                    .alias("__ri"))
+    colsm = cells.groupBy("__b").agg(F.sum("__n").cast("long")
+                                     .alias("__cj"))
+    tot = cells.agg(F.sum("__n").cast("long").alias("n"),
+                    F.countDistinct("__a").cast("int").alias("k_a"),
+                    F.countDistinct("__b").cast("int").alias("k_b"))
+    diff = F.col("__a") - F.col("__b")
+    w = (diff * diff) if weight == "quadratic" else F.abs(diff)
+    grid = (rows.crossJoin(colsm)
+            .join(cells, ["__a", "__b"], "left")
+            .withColumn("__n", F.coalesce("__n", F.lit(0).cast("long"))))
+    agg = grid.agg(
+        F.sum(d38(w) * d38(F.col("__n"))).alias("__wo"),
+        F.sum(d38(w) * d38(F.col("__ri")) * d38(F.col("__cj")))
+        .alias("__we"))
+    out = agg.crossJoin(F.broadcast(tot))
+    kw = F.when(F.col("__we") > 0, F.round(
+        F.lit(1.0) - (d38(F.col("n")) * F.col("__wo")).cast("double")
+        / nz(F.col("__we").cast("double")), 6))
+    return out.select("n", "k_a", "k_b", kw.alias("kappa_w"))

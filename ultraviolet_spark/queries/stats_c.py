@@ -1886,3 +1886,53 @@ def q353(spark, sf_dir):
     base = d.select(score.alias("score_micro"), toks.alias("w"))
     return selection_gains(base, score_micro_col="score_micro",
                            weight_col="w", bins=10)
+
+
+@q("q354_weighted_kappa", """
+WITH per AS (
+  SELECT user_id,
+         LEAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+               4) AS a,
+         LEAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+               4) AS b
+  FROM events GROUP BY user_id),
+cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+          FROM per GROUP BY a, b),
+r AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ri FROM cells GROUP BY a),
+c AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cj FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(DISTINCT a) AS INTEGER) AS k_a,
+               CAST(COUNT(DISTINCT b) AS INTEGER) AS k_b
+        FROM cells),
+grid AS (
+  SELECT r.a, c.b, r.ri, c.cj, COALESCE(cells.n, 0) AS n
+  FROM r CROSS JOIN c
+  LEFT JOIN cells ON cells.a = r.a AND cells.b = c.b),
+agg AS (
+  SELECT SUM(CAST((a - b) * (a - b) AS HUGEINT) * n) AS wo,
+         SUM(CAST((a - b) * (a - b) AS HUGEINT) * ri * cj) AS we
+  FROM grid)
+SELECT nn AS n, k_a, k_b,
+  CASE WHEN we > 0 THEN
+    round(1.0 - CAST(CAST(nn AS HUGEINT) * wo AS DOUBLE)
+          / NULLIF(CAST(we AS DOUBLE), 0), 6)
+  END AS kappa_w
+FROM agg, tot
+""")
+def q354(spark, sf_dir):
+    """Quadratic-weighted Cohen's κ between per-user capped click and
+    view tiers (ordinals 0..4) — the ordinal agreement grade q176's
+    unweighted κ can't give (one-step disagreements cost 1, four-step
+    cost 16): both sides of κ_w exact DECIMAL(38,0) over the
+    COMPLETED marginal grid (absent cells still owe expected
+    disagreement), one division."""
+    from ultraviolet_spark.operators.evalmetrics import weighted_kappa
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.least(F.sum(F.when(F.col("event_type") == "click", 1)
+                              .otherwise(0)), F.lit(4)).alias("a"),
+                F.least(F.sum(F.when(F.col("event_type") == "view", 1)
+                              .otherwise(0)), F.lit(4)).alias("b")))
+    return weighted_kappa(per, a_col="a", b_col="b",
+                          weight="quadratic")
