@@ -1053,3 +1053,54 @@ def textrank_keywords(docs: DataFrame, *, text_col: str = "text",
              .distinct())
     pr = pagerank(edges, iters=int(iters), damping_pct=int(damping_pct))
     return pr.select(F.col("node").alias("token"), "rank_micro")
+
+
+def vocab_richness(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Vocabulary richness / unseen-mass estimators — the "how much
+    vocabulary have we NOT crawled yet" companions of Heaps' law
+    (q251 fits growth observed so far; these estimate the asymptote
+    and the probability mass of unseen types from the frequency-of-
+    frequencies tail):
+
+    * Chao1 richness:  V̂ = V + f₁²/(2·f₂)  (f₁ singletons, f₂
+      doubletons — the classic abundance-based lower bound; f₂ = 0
+      falls back to the bias-corrected f₁(f₁−1)/2 form, documented);
+    * Good–Turing unseen mass:  P₀ = f₁/N — the probability the NEXT
+      token is a new type, the number smoothing methods (Kneser–Ney,
+      q235) are built around.
+
+    Exactness: V, N, f₁, f₂ are exact integer counts off two
+    map-side-combined aggs (token counts → frequency-of-frequency
+    counts); both estimates are single fixed-order double divisions.
+    Empty corpus → NULL estimates.  Scale: one token shuffle + one
+    ≤N-distinct-count-frame agg (the skew_report pigeonhole: the
+    frequency-of-frequencies frame is ≤ √(2N) rows).
+
+    Output one row: (v_obs, n_tokens, f1, f2, chao1, gt_p0).
+    """
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    freq = (docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.explode(toks).alias("__t"))
+            .groupBy("__t").agg(F.count("*").cast("long").alias("__f")))
+    agg = freq.agg(
+        F.count("*").cast("long").alias("v_obs"),
+        F.sum("__f").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0)).cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("__f") == 2, 1).otherwise(0)).cast("long")
+        .alias("f2"))
+    f1d = F.col("f1").cast("double")
+    chao = F.when(
+        F.col("f2") > 0,
+        F.col("v_obs").cast("double")
+        + f1d * f1d / nz(2 * F.col("f2").cast("double"))) \
+        .otherwise(F.col("v_obs").cast("double")
+                   + f1d * (f1d - 1) / F.lit(2.0))
+    gt = F.when(F.col("n_tokens") > 0,
+                F.round(f1d / nz(F.col("n_tokens").cast("double")), 6))
+    return agg.select(
+        "v_obs", "n_tokens", "f1", "f2",
+        F.when(F.col("v_obs") > 0, F.round(chao, 6)).alias("chao1"),
+        gt.alias("gt_p0"))

@@ -1936,3 +1936,41 @@ def q354(spark, sf_dir):
                               .otherwise(0)), F.lit(4)).alias("b")))
     return weighted_kappa(per, a_col="a", b_col="b",
                           weight="quadratic")
+
+
+@q("q355_vocab_richness", """
+WITH t AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0),
+freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+         FROM t WHERE tok <> '' GROUP BY tok),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_obs,
+         CAST(SUM(f) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freq)
+SELECT v_obs, n_tokens, f1, f2,
+  CASE WHEN v_obs > 0 THEN
+    round(CASE WHEN f2 > 0 THEN
+            CAST(v_obs AS DOUBLE)
+            + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+              / NULLIF(2 * CAST(f2 AS DOUBLE), 0)
+          ELSE CAST(v_obs AS DOUBLE)
+            + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1) / 2.0
+          END, 6)
+  END AS chao1,
+  CASE WHEN n_tokens > 0 THEN
+    round(CAST(f1 AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0), 6)
+  END AS gt_p0
+FROM agg
+""")
+def q355(spark, sf_dir):
+    """Chao1 vocabulary-richness lower bound + Good–Turing unseen
+    mass over the documents corpus — the asymptote estimates next to
+    q251's Heaps growth fit: exact integer (V, N, f1, f2) off the
+    frequency-of-frequencies tail, two fixed-order divisions; f2=0
+    falls back to the bias-corrected Chao1 form."""
+    from ultraviolet_spark.operators.textstats import vocab_richness
+
+    return vocab_richness(_t(spark, sf_dir, "documents"))
