@@ -1241,3 +1241,40 @@ def selection_gains(df: DataFrame, *, score_micro_col: str,
         F.round(F.col("__cw").cast("double")
                 / nz(F.col("__tw").cast("double")), 6)
         .alias("frac_weight")).orderBy(F.col("band").desc())
+
+
+def simpson_diversity(df: DataFrame, *, key_col: str) -> DataFrame:
+    """Unbiased Simpson concentration / diversity over a categorical
+    key — "the probability two random documents share a ``key``"
+    (domain, source, language), the concentration number next to the
+    Gini (q294, rank-weighted) and entropy (share-weighted) views:
+
+        D = Σ_c n_c(n_c−1) / (N(N−1))        (unbiased, exact)
+        inverse Simpson = 1/D  ("effective number of categories")
+
+    Exactness: numerator and denominator are exact integers (the
+    n_c(n_c−1) products in DECIMAL(38,0) — a 10¹⁰-doc category
+    squares past int64), D is ONE division and the inverse one more;
+    N < 2 or a single all-N category (D = 1) keep both well-defined,
+    D = 0 (all singletons) → NULL inverse.  One key agg + one
+    category-frame reduction, no window/join.
+
+    Output one row: (n, k, d, inv_simpson).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    per = (df.filter(F.col(key_col).isNotNull())
+           .groupBy(F.col(key_col).alias("__k"))
+           .agg(F.count("*").cast("long").alias("__n")))
+    agg = per.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(d38(F.col("__n")) * d38(F.col("__n") - 1)).alias("__num"))
+    N = F.col("n")
+    d = F.when(N >= 2, F.round(
+        F.col("__num").cast("double")
+        / nz((d38(N) * d38(N - 1)).cast("double")), 6))
+    inv = F.when((N >= 2) & (F.col("__num") > 0), F.round(
+        (d38(N) * d38(N - 1)).cast("double")
+        / nz(F.col("__num").cast("double")), 6))
+    return agg.select("n", "k", d.alias("d"), inv.alias("inv_simpson"))

@@ -1974,3 +1974,32 @@ def q355(spark, sf_dir):
     from ultraviolet_spark.operators.textstats import vocab_richness
 
     return vocab_richness(_t(spark, sf_dir, "documents"))
+
+
+@q("q356_simpson_diversity", """
+WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+             FROM documents WHERE source IS NOT NULL GROUP BY source),
+agg AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(CAST(n AS HUGEINT) * (n - 1)) AS num
+        FROM per)
+SELECT nn AS n, k,
+  CASE WHEN nn >= 2 THEN
+    round(CAST(num AS DOUBLE)
+          / NULLIF(CAST(CAST(nn AS HUGEINT) * (nn - 1) AS DOUBLE), 0),
+          6) END AS d,
+  CASE WHEN nn >= 2 AND num > 0 THEN
+    round(CAST(CAST(nn AS HUGEINT) * (nn - 1) AS DOUBLE)
+          / NULLIF(CAST(num AS DOUBLE), 0), 6) END AS inv_simpson
+FROM agg
+""")
+def q356(spark, sf_dir):
+    """Unbiased Simpson concentration of documents across sources —
+    the probability two random documents share a source, with the
+    inverse ('effective number of sources') next to q294's Gini and
+    the entropy views: exact integer n_c(n_c−1) products in
+    DECIMAL(38,0), two single divisions."""
+    from ultraviolet_spark.operators.corpus import simpson_diversity
+
+    return simpson_diversity(_t(spark, sf_dir, "documents"),
+                             key_col="source")
