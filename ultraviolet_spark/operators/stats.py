@@ -4096,3 +4096,46 @@ def ks_uniform_test(df: DataFrame, *, value_col: str, lo: int, hi: int,
     return agg.select(
         "n", F.col("__dnum").cast("double").alias("d_num"),
         d.alias("d"))
+
+
+def dispersion_index_by_key(df: DataFrame, *, by: str, ts_col: str,
+                            bucket_secs: int = 3600) -> DataFrame:
+    """Per-key index of dispersion (Fano factor) of event counts over
+    fixed time buckets — the burstiness ONE-liner for crawl/traffic
+    scheduling: a Poisson arrival stream scores ≈ 1, machine-regular
+    traffic < 1, bursty humans and incident spikes ≫ 1 (both
+    contrasts pinned; q214's bot-regularity features are the
+    per-gap view, this is the per-rate view).
+
+        D = Var[c] / E[c]  over the key's FULL bucket span —
+        empty buckets count as zeros (the completion rule; dropping
+        them silently deflates the variance), via span arithmetic
+        instead of a grid join:
+
+        D = (H·Σc² − N²) / (H·N),   H = span buckets, N = Σc
+
+    — the population-variance/mean ratio collapses to ONE division
+    of exact integers (Σc² in DECIMAL(38,0)).  Keys with one bucket
+    (H = 1) or no events report NULL.  One (key, bucket) agg + one
+    key agg; no window, no grid explode.
+
+    Output per key: (by, n_events, n_buckets, d).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    b = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(int(bucket_secs) * 1_000_000)).cast("long")
+    per = (df.filter(F.col(ts_col).isNotNull())
+           .groupBy(F.col(by).alias("__k"), b.alias("__b"))
+           .agg(F.count("*").cast("long").alias("__c")))
+    g = per.groupBy("__k").agg(
+        F.sum("__c").cast("long").alias("n_events"),
+        (F.max("__b") - F.min("__b") + 1).cast("long")
+        .alias("n_buckets"),
+        F.sum(d38(F.col("__c")) * d38(F.col("__c"))).alias("__c2"))
+    H, N = F.col("n_buckets"), F.col("n_events")
+    d = F.when((H >= 2) & (N > 0), F.round(
+        (d38(H) * F.col("__c2") - d38(N) * d38(N)).cast("double")
+        / nz((d38(H) * d38(N)).cast("double")), 6))
+    return g.select(F.col("__k").alias(by), "n_events", "n_buckets",
+                    d.alias("d"))

@@ -2003,3 +2003,37 @@ def q356(spark, sf_dir):
 
     return simpson_diversity(_t(spark, sf_dir, "documents"),
                              key_col="source")
+
+
+@q("q357_dispersion_index", """
+WITH per AS (
+  SELECT user_id AS k,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+g AS (
+  SELECT k, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(MAX(b) - MIN(b) + 1 AS BIGINT) AS n_buckets,
+         SUM(CAST(c AS HUGEINT) * c) AS c2
+  FROM per GROUP BY k)
+SELECT k AS user_id, n_events, n_buckets,
+  CASE WHEN n_buckets >= 2 AND n_events > 0 THEN
+    round(CAST(CAST(n_buckets AS HUGEINT) * c2
+               - CAST(n_events AS HUGEINT) * n_events AS DOUBLE)
+          / NULLIF(CAST(CAST(n_buckets AS HUGEINT) * n_events
+                        AS DOUBLE), 0), 6)
+  END AS d
+FROM g
+""")
+def q357(spark, sf_dir):
+    """Per-user hourly Fano factor (index of dispersion) — the
+    burstiness one-liner for traffic/crawl scheduling next to q214's
+    per-gap regularity features: empty hours inside the user's span
+    count as zeros via span arithmetic (no grid join), the whole
+    variance/mean ratio collapsing to ONE division of exact integers
+    (H·Σc² − N²)/(H·N)."""
+    from ultraviolet_spark.operators.stats import dispersion_index_by_key
+
+    return dispersion_index_by_key(_t(spark, sf_dir, "events"),
+                                   by="user_id", ts_col="ts",
+                                   bucket_secs=3600)
