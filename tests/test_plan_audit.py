@@ -125,6 +125,8 @@ CROSS_OK = {
                                  # band grid (round 4)
     "q354_weighted_kappa",       # completed k_a x k_b marginal grid
                                  # (tier-vocab-sized) + 1-row n frame
+    "q358_krippendorff_alpha",   # 1-row pair frame x 1-row pooled
+                                 # (k, sum m^2) frame
 }
 
 # q234_entity_resolution is NOT listed even though its name synthesis

@@ -760,3 +760,47 @@ def weighted_kappa(df: DataFrame, *, a_col: str, b_col: str,
         F.lit(1.0) - (d38(F.col("n")) * F.col("__wo")).cast("double")
         / nz(F.col("__we").cast("double")), 6))
     return out.select("n", "k_a", "k_b", kw.alias("kappa_w"))
+
+
+def krippendorff_alpha_nominal(df: DataFrame, *, a_col: str,
+                               b_col: str) -> DataFrame:
+    """Krippendorff's α for NOMINAL paired labels — the agreement
+    coefficient that, unlike Cohen's κ (q176, per-rater marginals)
+    and the weighted κ (q354, ordinal), treats both raters as
+    exchangeable draws from one pool (the coincidence-matrix view)
+    and carries the small-sample (2n−1) correction:
+
+        α = 1 − (2n−1)·2·d / ((2n)² − Σ_c m_c²)
+
+    with d the disagreeing-pair count and m_c the POOLED label
+    counts — the 2-rater complete-data reduction of the general
+    coincidence formula, every term an exact integer (Σm² in
+    DECIMAL(38,0)); α is ONE division.  A single pooled category
+    (zero expected disagreement) → NULL.  One pair agg + one pooled-
+    count agg; no window, no grid.
+
+    Output one row: (n, k, n_disagree, alpha).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    base = (df.filter(F.col(a_col).isNotNull()
+                      & F.col(b_col).isNotNull())
+            .select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b")))
+    pair = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") != F.col("__b"), 1).otherwise(0))
+        .cast("long").alias("n_disagree"))
+    pooled = (base.select(F.col("__a").alias("__c"))
+              .unionAll(base.select(F.col("__b").alias("__c")))
+              .groupBy("__c").agg(F.count("*").cast("long").alias("__m")))
+    pagg = pooled.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(d38(F.col("__m")) * d38(F.col("__m"))).alias("__m2"))
+    out = pair.crossJoin(F.broadcast(pagg))
+    n2 = 2 * F.col("n")
+    den = d38(n2) * d38(n2) - F.col("__m2")
+    alpha = F.when(den > 0, F.round(
+        F.lit(1.0)
+        - (d38(n2 - 1) * d38(2 * F.col("n_disagree"))).cast("double")
+        / nz(den.cast("double")), 6))
+    return out.select("n", "k", "n_disagree", alpha.alias("alpha"))

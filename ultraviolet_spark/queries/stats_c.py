@@ -2037,3 +2037,53 @@ def q357(spark, sf_dir):
     return dispersion_index_by_key(_t(spark, sf_dir, "events"),
                                    by="user_id", ts_col="ts",
                                    bucket_secs=3600)
+
+
+@q("q358_krippendorff_alpha", """
+WITH per AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) >= 3 THEN 'hi'
+              WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) >= 1 THEN 'mid' ELSE 'lo' END AS a,
+         CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END) >= 3 THEN 'hi'
+              WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END) >= 1 THEN 'mid' ELSE 'lo' END AS b
+  FROM events GROUP BY user_id),
+pair AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_disagree
+  FROM per),
+pooled AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM (
+    SELECT a AS c FROM per UNION ALL SELECT b FROM per) GROUP BY c),
+pagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                SUM(CAST(m AS HUGEINT) * m) AS m2 FROM pooled)
+SELECT n, k, n_disagree,
+  CASE WHEN CAST(2 * n AS HUGEINT) * (2 * n) - m2 > 0 THEN
+    round(1.0 - CAST(CAST(2 * n - 1 AS HUGEINT)
+                     * (2 * n_disagree) AS DOUBLE)
+          / NULLIF(CAST(CAST(2 * n AS HUGEINT) * (2 * n) - m2
+                        AS DOUBLE), 0), 6)
+  END AS alpha
+FROM pair, pagg
+""")
+def q358(spark, sf_dir):
+    """Krippendorff's α (nominal) between per-user click and view
+    engagement tiers — the exchangeable-rater agreement next to
+    Cohen's κ (per-rater marginals) and weighted κ (ordinal): the
+    2-rater complete-data coincidence reduction
+    1 − (2n−1)·2d/((2n)² − Σm²), every term exact, one division."""
+    from ultraviolet_spark.operators.evalmetrics import (
+        krippendorff_alpha_nominal)
+
+    clicks = F.sum(F.when(F.col("event_type") == "click", 1)
+                   .otherwise(0))
+    views = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+    tier = lambda c: (F.when(c >= 3, "hi").when(c >= 1, "mid")  # noqa: E731
+                      .otherwise("lo"))
+    per = (_t(spark, sf_dir, "events").groupBy("user_id")
+           .agg(tier(clicks).alias("a"), tier(views).alias("b")))
+    return krippendorff_alpha_nominal(per, a_col="a", b_col="b")
