@@ -4139,3 +4139,45 @@ def dispersion_index_by_key(df: DataFrame, *, by: str, ts_col: str,
         / nz((d38(H) * d38(N)).cast("double")), 6))
     return g.select(F.col("__k").alias(by), "n_events", "n_buckets",
                     d.alias("d"))
+
+
+def odds_ratio_2x2(df: DataFrame, *, expr_a: str,
+                   expr_b: str) -> DataFrame:
+    """2×2 odds ratio with the Haldane–Anscombe ½ correction — the
+    EFFECT-SIZE report for the binary-association wing (q205's χ²
+    and q318's McNemar say "associated?"; this says "how strongly",
+    on the multiplicative scale A/B dashboards quote):
+
+        OR = (a+½)(d+½) / ((b+½)(c+½)),
+        SE[ln OR] = √(1/(a+½) + 1/(b+½) + 1/(c+½) + 1/(d+½)),
+        95% CI = exp(ln OR ∓ 1.959964·SE)
+
+    over the exact integer cell counts (a = both true, b = A only,
+    c = B only, d = neither).  The ½ correction keeps empty cells
+    finite (the WOE/q259 half-count discipline) and is applied to
+    EVERY cell unconditionally so the estimate is continuous in the
+    data; all derived numbers are fixed-order doubles of exact
+    integers with the z literal shared cross-engine (the q328
+    Wilson rule).  One pass, one row, no join.
+
+    Output: (a, b, c, d, odds_ratio, log_or, se, ci_lo, ci_hi).
+    """
+    ea, eb = F.expr(expr_a), F.expr(expr_b)
+    agg = df.agg(
+        F.sum(F.when(ea & eb, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(ea & ~eb, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~ea & eb, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~ea & ~eb, 1).otherwise(0)).cast("long")
+        .alias("d"))
+    h = lambda col: F.col(col).cast("double") + F.lit(0.5)  # noqa: E731
+    orr = h("a") * h("d") / (h("b") * h("c"))
+    log_or = F.log(orr)
+    se = F.sqrt(1 / h("a") + 1 / h("b") + 1 / h("c") + 1 / h("d"))
+    z = F.lit(1.959964)
+    return agg.select(
+        "a", "b", "c", "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(log_or, 6).alias("log_or"),
+        F.round(se, 6).alias("se"),
+        F.round(F.exp(log_or - z * se), 6).alias("ci_lo"),
+        F.round(F.exp(log_or + z * se), 6).alias("ci_hi"))

@@ -2087,3 +2087,55 @@ def q358(spark, sf_dir):
     per = (_t(spark, sf_dir, "events").groupBy("user_id")
            .agg(tier(clicks).alias("a"), tier(views).alias("b")))
     return krippendorff_alpha_nominal(per, a_col="a", b_col="b")
+
+
+@q("q359_odds_ratio", """
+WITH per AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+           AS ea,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+           AS eb
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN ea AND eb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN ea AND NOT eb THEN 1 ELSE 0 END) AS BIGINT)
+      AS b,
+    CAST(SUM(CASE WHEN NOT ea AND eb THEN 1 ELSE 0 END) AS BIGINT)
+      AS c,
+    CAST(SUM(CASE WHEN NOT ea AND NOT eb THEN 1 ELSE 0 END) AS BIGINT)
+      AS d
+  FROM per),
+e AS (
+  SELECT a, b, c, d,
+    (CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)
+      / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)) AS orr,
+    sqrt(1 / (CAST(a AS DOUBLE) + 0.5) + 1 / (CAST(b AS DOUBLE) + 0.5)
+         + 1 / (CAST(c AS DOUBLE) + 0.5)
+         + 1 / (CAST(d AS DOUBLE) + 0.5)) AS se
+  FROM agg)
+SELECT a, b, c, d,
+  round(orr, 6) AS odds_ratio,
+  round(ln(orr), 6) AS log_or,
+  round(se, 6) AS se,
+  round(exp(ln(orr) - 1.959964 * se), 6) AS ci_lo,
+  round(exp(ln(orr) + 1.959964 * se), 6) AS ci_hi
+FROM e
+""")
+def q359(spark, sf_dir):
+    """Haldane-corrected odds ratio between ever-clicking and
+    ever-purchasing per user — the multiplicative effect size next to
+    q318's McNemar and q205's χ² ('how strongly', not just
+    'associated?'): exact integer 2×2 cells, ½-corrected every cell
+    unconditionally, fixed-order doubles with the 1.959964 z literal
+    shared verbatim (the q328 Wilson rule)."""
+    from ultraviolet_spark.operators.stats import odds_ratio_2x2
+
+    clicks = F.sum(F.when(F.col("event_type") == "click", 1)
+                   .otherwise(0))
+    purch = F.sum(F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0))
+    per = (_t(spark, sf_dir, "events").groupBy("user_id")
+           .agg((clicks > 0).alias("ea"), (purch > 0).alias("eb")))
+    return odds_ratio_2x2(per, expr_a="ea", expr_b="eb")
