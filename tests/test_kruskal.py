@@ -79,3 +79,24 @@ def test_rank_invariance_and_degenerate_null(spark):
     got = kruskal_wallis(_mk(spark, {"a": [2.0] * 4, "b": [2.0] * 5}),
                          value_col="v", group_col="grp").head()
     assert got["h"] is None
+
+
+def test_no_data_sized_broadcast_on_value_join(spark):
+    """ADVICE r4: the per-group midrank join used to broadcast the full
+    distinct-value frame — for a near-unique continuous value column
+    that frame is ~N rows, i.e. a driver-side collect of the data.
+    Pin the plan: the only remaining broadcast exchanges are the
+    bounded metadata frames (1-row bounds, B-row bucket offsets, 1-row
+    totals), never the __v-keyed midrank side."""
+    rows = [("g%d" % (i % 3), float(i) + 0.001 * i) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    plan = kruskal_wallis(
+        df, value_col="v", group_col="grp")._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    # the midrank join must shuffle on __v (SortMergeJoin /
+    # ShuffledHashJoin), never build a broadcast HashedRelation keyed
+    # on __v — broadcasts keyed on __b (B-row bucket offsets) and the
+    # 1-row bounds/totals crosses remain fine
+    assert not re.search(r"BroadcastHashJoin \[__v#", plan), plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[__v#", plan), plan

@@ -43,6 +43,26 @@ def test_repeated_keys_kept_in_order(spark):
     assert [r["tag_no"] for r in got] == [0, 1]
 
 
+def test_data_star_attributes_are_not_keys(spark):
+    """ADVICE r4: a bare \\b boundary matched the 'name' inside
+    data-name= (word boundary after '-'), emitting a spurious
+    (kind='name', key=...) row for tags like
+    <meta data-name="x" content="y">.  Pin: data-name / data-property /
+    data-content never bind; a REAL key alongside them still does."""
+    html = (
+        '<meta data-name="x" content="y">'            # no real key → drop
+        '<meta data-property="p" content="q">'        # no real key → drop
+        '<meta name="author" data-content="z" content="me">'
+        '<meta data-name="decoy" property="og:type" content="article">')
+    got = (meta_tags(_pages(spark, [("u", html)]))
+           .orderBy("tag_no").collect())
+    assert [(r["tag_no"], r["kind"], r["key"], r["content"])
+            for r in got] == [
+        (2, "name", "author", "me"),
+        (3, "property", "og:type", "article"),
+    ]
+
+
 def test_no_metas_no_rows(spark):
     got = meta_tags(_pages(spark, [
         ("u", "<p>meta nothing here content=\"x\"</p>")])).collect()

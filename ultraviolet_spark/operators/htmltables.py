@@ -111,8 +111,13 @@ def meta_tags(pages: DataFrame, *, html_col: str = "html",
     tags = F.regexp_extract_all(
         F.col(html_col).cast("string"),
         F.lit(r"(?is)<meta\s[^>]*>"), F.lit(0))
-    kv = r'(?is)\b(property|name)\s*=\s*["\x27]([^"\x27]*)["\x27]'
-    cv = r'(?is)\bcontent\s*=\s*["\x27]([^"\x27]*)["\x27]'
+    # the key attribute must START after whitespace or a quote — a bare
+    # \b boundary also matches after '-', so <meta data-name="x"
+    # content="y"> would emit a spurious (kind='name', key='x') pair;
+    # lookbehind keeps the group indices unchanged (Java regex, and the
+    # q338 oracle synthesizes rows analytically so no RE2 mirror needed)
+    kv = r'(?is)(?<=[\s"\x27])(property|name)\s*=\s*["\x27]([^"\x27]*)["\x27]'
+    cv = r'(?is)(?<=[\s"\x27])content\s*=\s*["\x27]([^"\x27]*)["\x27]'
     e = (pages.select(F.col(id_col).alias("id"),
                       F.posexplode(tags).alias("tag_no", "__t"))
          .select("id", F.col("tag_no").cast("int").alias("tag_no"),

@@ -3358,7 +3358,14 @@ def kruskal_wallis(df: DataFrame, *, value_col: str, group_col: str,
         F.max("__n").alias("n"),
         F.sum(d38(F.col("__m")) * d38(dev) * d38(dev)).alias("__ss2"))
     # per-group doubled rank sums off the (group, value) frame
-    rg = (cg.join(F.broadcast(pv.select("__v", "__mr2", "__n")), "__v")
+    # NO broadcast hint here: pv is the DISTINCT-VALUE frame, which for
+    # a near-unique continuous value column is ~N rows — broadcasting it
+    # would force a driver-side collect (the data-sized single point the
+    # docstring forbids).  Both sides are keyed on __v, so a plain
+    # shuffle hash/sort-merge join co-locates them; siblings
+    # (jonckheere, ansari_bradley, lepage, cvm) only ever broadcast the
+    # 1-row bounds / B-row bucket-offset frames.
+    rg = (cg.join(pv.select("__v", "__mr2", "__n"), "__v")
           .groupBy("__g")
           .agg(F.sum(d38(F.col("__c")) * d38(F.col("__mr2")))
                .alias("__r2"),
@@ -3434,18 +3441,24 @@ def ljung_box_by_key(df: DataFrame, *, key_col: str, order_col: str,
              .cast("long").alias(f"sa{lag}"),
             F.sum(xl).cast("long").alias(f"sb{lag}")]
     g = base.groupBy("__k").agg(*aggs)
-    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    # num/den are assembled ENTIRELY in DECIMAL(38,0): the n*n*p term
+    # alone crosses int64 at roughly 1-2k cent-scale events per key,
+    # and non-ANSI Spark would wrap silently where DuckDB raises —
+    # d38 operands keep both engines exact to 38 digits (the oracle
+    # mirrors with HUGEINT inside its e CTE).
+    nL, sL, s2L = F.col("n"), F.col("s"), F.col("s2")
+    n, s, s2 = d38(nL), d38(sL), d38(s2L)
     den = n * (n * s2 - s * s)
     terms = []
     for lag in range(1, L + 1):
-        p = F.coalesce(F.col(f"p{lag}"), F.lit(0))
-        sa = F.coalesce(F.col(f"sa{lag}"), F.lit(0))
-        sb = F.coalesce(F.col(f"sb{lag}"), F.lit(0))
-        num = n * n * p - n * s * (sa + sb) + (n - lag) * s * s
-        terms.append((d38(num) * d38(num)).cast("double")
-                     / nz((n - lag).cast("double")))
+        p = d38(F.coalesce(F.col(f"p{lag}"), F.lit(0)))
+        sa = d38(F.coalesce(F.col(f"sa{lag}"), F.lit(0)))
+        sb = d38(F.coalesce(F.col(f"sb{lag}"), F.lit(0)))
+        num = n * n * p - n * s * (sa + sb) + d38(nL - lag) * s * s
+        terms.append((num * num).cast("double")
+                     / nz((nL - lag).cast("double")))
     sumt = reduce(lambda a, b: a + b, terms)
-    den2 = (d38(den) * d38(den)).cast("double")
+    den2 = (den * den).cast("double")
     q_lb = F.when((n > L) & (den > 0), F.round(
         (n * (n + 2)).cast("double") * sumt / nz(den2), 6))
     return g.select(F.col("__k").alias(key_col), "n",
@@ -3505,9 +3518,14 @@ def siegel_slope_by_key(df: DataFrame, *, x_col: str, y_col: str,
               Window.partitionBy("__k", "__ta"))))
     k1 = F.expr("(__np + 1) div 2")
     k2 = F.expr("(__np + 2) div 2")
+    # even-count median = truncating INTEGER mean of the two middles
+    # (`div`, trunc-toward-zero) — double division + cast-to-long gives
+    # the same value in range but ROUNDS before truncating once
+    # |sum| > 2^53 (~9e15 micro-slope, reachable with micro-hour x
+    # gaps), while the q339 oracle's HUGEINT `//` stays exact
     inner = (rk.filter((F.col("__rn") == k1) | (F.col("__rn") == k2))
              .groupBy("__k", "__ta")
-             .agg((F.sum("__s") / F.count("*")).cast("long")
+             .agg(F.expr("sum(__s) div count(*)").cast("long")
                   .alias("__m")))
     w_out = Window.partitionBy("__k").orderBy("__m", "__ta")
     ro = (inner.withColumn("__rn", F.row_number().over(w_out))
@@ -3518,7 +3536,7 @@ def siegel_slope_by_key(df: DataFrame, *, x_col: str, y_col: str,
     outer = (ro.filter((F.col("__rn") == k1o) | (F.col("__rn") == k2o))
              .groupBy("__k")
              .agg(F.max("__na").cast("long").alias("n_anchors"),
-                  (F.sum("__m") / F.count("*")).cast("long")
+                  F.expr("sum(__m) div count(*)").cast("long")
                   .alias("slope_micro")))
     return (n_per.join(outer, "__k", "left")
             .select(F.col("__k").alias(by), "n",

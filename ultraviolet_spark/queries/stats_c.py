@@ -954,11 +954,19 @@ g AS (
     CAST(COALESCE(SUM(x3), 0) AS BIGINT) AS sb3
   FROM l GROUP BY user_id),
 e AS (
+  -- HUGEINT from the FIRST operand of every product: the n*n*p terms
+  -- cross int64 at ~1-2k cent-scale events per key, and BIGINT
+  -- arithmetic here would RAISE in DuckDB exactly where Spark's
+  -- DECIMAL(38,0) stays exact (operators/stats.py ljung_box_by_key).
   SELECT user_id, n,
-    n*(n*s2 - s*s) AS den,
-    CAST(n*n*p1 - n*s*(sa1+sb1) + (n-1)*s*s AS HUGEINT) AS m1,
-    CAST(n*n*p2 - n*s*(sa2+sb2) + (n-2)*s*s AS HUGEINT) AS m2,
-    CAST(n*n*p3 - n*s*(sa3+sb3) + (n-3)*s*s AS HUGEINT) AS m3
+    CAST(n AS HUGEINT)*(CAST(n AS HUGEINT)*s2
+                        - CAST(s AS HUGEINT)*s) AS den,
+    CAST(n AS HUGEINT)*n*p1 - CAST(n AS HUGEINT)*s*(sa1+sb1)
+      + CAST(n-1 AS HUGEINT)*s*s AS m1,
+    CAST(n AS HUGEINT)*n*p2 - CAST(n AS HUGEINT)*s*(sa2+sb2)
+      + CAST(n-2 AS HUGEINT)*s*s AS m2,
+    CAST(n AS HUGEINT)*n*p3 - CAST(n AS HUGEINT)*s*(sa3+sb3)
+      + CAST(n-3 AS HUGEINT)*s*s AS m3
   FROM g)
 SELECT user_id, n,
   CASE WHEN n > 3 AND den > 0 THEN
