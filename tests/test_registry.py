@@ -82,6 +82,38 @@ def test_round4_rotation_contract():
     assert all(n in oracles for n in front)
 
 
+# Query-number prefixes that appeared in ANY CORRECTNESS_r01-r04.json —
+# the cumulative driver-gate exposure before the round-5 rotation
+# (r01-r03 set above, plus the 40 rotated in for round 4).
+_GATED_R04_ONLY = {
+    "q64", "q68", "q69", "q71", "q73", "q83", "q84", "q86", "q91",
+    "q92", "q96", "q97", "q98", "q99", "q100", "q106", "q110", "q113",
+    "q124", "q136", "q142", "q144", "q164", "q165", "q175", "q198",
+    "q230", "q231", "q232", "q233", "q238", "q240", "q248", "q249",
+    "q253", "q265", "q266", "q276", "q277", "q300",
+}
+_GATED_R01_R04 = _GATED_R01_R03 | _GATED_R04_ONLY
+
+
+def test_round5_rotation_contract():
+    """VERDICT r4 #1: the round-5 gate window keeps the 10 named anchors
+    and fills the other 40 slots with exact-oracle queries absent from
+    every CORRECTNESS_r01-r04 file — cumulative exposure keeps
+    growing (100 distinct through r4, 140 after r5)."""
+    from ultraviolet_spark import queries as Q
+
+    front = list(Q.queries())[:DRIVER_CAP]
+    assert front == [n for n in Q._FRONT_50 if n in Q.REGISTRY]
+    assert len(front) == DRIVER_CAP
+    assert _ANCHORS <= set(front)
+    fresh = [n for n in front
+             if n.split("_")[0] not in _GATED_R01_R04]
+    assert len(fresh) >= 40, (
+        f"only {len(fresh)} never-gated queries in the window: {fresh}")
+    oracles = Q.oracle_sql()
+    assert all(n in oracles for n in front)
+
+
 def test_oracle_count_covers_cap():
     """If the registry ever shrinks below 50 oracle-backed queries the
     gate silently weakens — fail loudly instead."""

@@ -46,56 +46,54 @@ _FRONT_50 = [
     "q19_exact_dup_classes",
     "q62_checkpoint_metrics",
     "q63_streaming_dedup",
-    # -- sources round-trips (never gated) --
-    "q164_csv_roundtrip",
-    "q165_jsonl_roundtrip",
-    "q230_tfrecord_roundtrip",
-    "q231_warc_connector_pushdown",
-    "q233_warc_sink_roundtrip",
-    "q240_arrow_ipc_roundtrip",
-    # -- dedup at scale (never gated) --
-    "q64_dup_clusters",
-    "q83_substring_dup_stats",
-    "q84_remove_dup_substrings",
-    "q91_jaccard_prefix_pairs",
-    "q92_exact_dup_against",
-    "q99_containment_pairs",
-    # -- layout / skipping (never gated) --
-    "q142_zorder_key",
-    "q232_zonemap_skipping_scan",
-    "q238_hilbert_layout",
-    # -- stats drift / test battery (never gated) --
-    "q175_psi_drift",
-    "q253_ks_mannwhitney_drift",
-    "q266_wasserstein_drift",
-    "q276_bh_fdr",
-    # -- corpus / quality gates (never gated) --
-    "q68_dsir_importance",
-    "q69_decontaminate",
-    "q71_line_dedup",
-    "q73_pack_sequences",
-    "q86_lm_cross_entropy",
-    "q106_c4_line_clean",
-    "q124_justext_boilerplate",
-    # -- tokenize / text (never gated) --
-    "q98_bpe_tokenize",
-    "q100_nfc_normalize",
-    "q110_split_sentences",
-    "q249_wordpiece_tokens",
-    # -- multimodal codecs (never gated) --
-    "q97_png_codec_roundtrip",
-    "q136_image_dhash",
-    "q248_qoi_codec_roundtrip",
-    # -- graph (never gated) --
-    "q96_pagerank_domains",
-    "q300_connected_components",
-    # -- similarity / embeddings (never gated) --
-    "q198_sparse_cosine_pairs",
-    "q277_kmeans_fixed",
-    # -- streaming twin + survival + SCD2 (never gated) --
-    "q144_streaming_asof_enrich",
-    "q265_kaplan_meier",
-    "q113_scd2_pit_lookup",
+    # ---- round-5 rotation: 40 exact-oracle queries NEVER gated in
+    # r01-r04 (VERDICT r4 #1), drawn from the wings whose failure
+    # would be costliest and which are least driver-exposed ----
+    # -- q299+ stats / assoc / trend battery (never gated) --
+    "q299_welch_ttest",
+    "q301_anova_event_values",
+    "q309_theil_sen_trend",
+    "q316_randomization_test",
+    "q317_brown_forsythe",
+    "q326_durbin_watson",
+    "q329_binary_segmentation",
+    "q330_mann_kendall",
+    "q333_cramers_v",
+    "q336_kruskal_wallis",
+    "q337_ljung_box",
+    "q339_siegel_slope",
+    "q340_jonckheere_trend",
+    "q341_ansari_bradley",
+    "q342_cvm_two_sample",
+    "q343_lepage_location_scale",
+    "q345_gamma_somers",
+    "q346_brier_decomposition",
+    "q349_cochran_armitage",
+    "q354_weighted_kappa",
+    "q358_krippendorff_alpha",
+    "q359_odds_ratio",
+    # -- survival (only q265 KM ever gated) --
+    "q267_logrank_ab_test",
+    "q270_cox_score_step",
+    "q271_competing_risks_cif",
+    "q272_rmst",
+    # -- graph (only q96/q300 ever gated) --
+    "q133_hits_hubs_authorities",
+    "q172_triangle_counts",
+    "q180_link_reciprocity",
+    "q239_k_core_domains",
+    "q308_harmonic_centrality",
+    "q314_personalized_pagerank",
+    "q347_clustering_coefficient",
+    "q348_degree_assortativity",
+    # -- streaming twins / sequential monitors (never gated) --
+    "q141_ewma_decayed_value",
+    "q237_cusum_changepoints",
+    "q269_sprt_early_stopping",
+    "q304_holt_winters_hourly",
+    # -- robots / frontier (never gated) --
+    "q107_robots_allowed",
+    "q111_crawl_frontier",
 ]
 
 # Rows-only / redundant entries kept past the cap in rounds 2-3; retained
