@@ -387,3 +387,29 @@ def test_length_bucketed_batches_deterministic_and_isolated(spark):
     after = {(r["bucket"], r["batch_idx"]): (r["n_seqs"], r["tokens_real"])
              for r in c if r["bucket"] != 0}
     assert before == after
+
+
+def test_near_dup_exact_stage_matches_minhash_semantics(spark):
+    """Round-5 q54 promotion: near_dup_exact=True swaps the MinHash
+    candidate stage for exact n-gram Jaccard pairs — on a corpus where
+    MinHash recall is perfect the two paths must keep the same docs,
+    and the exact path is a pure function of the data (repeatable)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+    rows = [
+        (1, base, "en", "web", 0),
+        (2, base + "phi", "en", "web", 0),
+        (3, base + "phi chi", "en", "web", 0),
+        (4, "a completely different text " * 10, "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    exact = clean_corpus(df, min_tokens=10, near_dup=True,
+                         near_dup_threshold=0.7,
+                         near_dup_exact=True).select("doc_id").toPandas()
+    assert sorted(exact["doc_id"]) == [1, 4]
+    again = clean_corpus(df, min_tokens=10, near_dup=True,
+                         near_dup_threshold=0.7,
+                         near_dup_exact=True).select("doc_id").toPandas()
+    assert sorted(again["doc_id"]) == sorted(exact["doc_id"])

@@ -78,6 +78,8 @@ CROSS_OK = {
                                  # probe frames (exact IVF, round 4)
     "q85_semdedup",              # 1-row centroid-array frames per
                                  # round (exact SemDeDup trainer)
+    "q89_pq_adc_top10",          # 1-row centroid-array frames per
+                                 # subspace trainer (exact PQ, round 5)
     "q279_shapley_attribution",  # 2^K subset-lattice frames (metadata-sized)
     "q281_t_closeness",          # class × sensitive-vocab completion
     "q282_expectation_suite",    # 1-row violations × 1-row n frames
@@ -352,6 +354,13 @@ def test_partitionless_windows_are_bounded(plans):
             if keys is not None and (
                     not keys or keys <= _BOUNDED_KEY_NAMES):
                 continue  # constant-bucket / global-scalar frame
+            if keys is None and any(
+                    n.startswith("Range") for n in subtree) and not any(
+                    "Scan" in n for n in subtree):
+                # literal spark.range frame: the window runs over a
+                # COMPILE-TIME-CONSTANT row count (e.g. the S-row
+                # fixed-hyperplane slot frame), no data reaches it
+                continue
             if allowed != "unset" and keys == allowed:
                 seen_ok.add(name)
                 continue

@@ -403,3 +403,88 @@ def test_ivf_exact_full_probe_equals_brute_force(emb):
                                nprobe=4, rounds=2).toPandas()
     assert list(got["vec_id"]) == list(exact["vec_id"])
     assert list(got["cos_sim"]) == list(exact["cos_sim"])
+
+
+def test_fixed_hyperplane_signatures_shape_and_determinism(emb):
+    """Round-5 exact-LSH twin: every vector gets exactly `tables`
+    (t, bucket) rows, buckets lie in [0, 2^bits), and the md5-rank
+    planes make the whole frame a pure function of the data."""
+    sig = S.hyperplane_signatures_fixed(emb, dim=64, bits=4, tables=3)
+    pdf = sig.toPandas().sort_values(["vec_id", "t"], ignore_index=True)
+    n_vec = emb.count()
+    assert len(pdf) == n_vec * 3
+    assert pdf.groupby("vec_id").size().eq(3).all()
+    assert pdf["bucket"].between(0, 15).all()
+    again = (S.hyperplane_signatures_fixed(emb, dim=64, bits=4, tables=3)
+             .toPandas().sort_values(["vec_id", "t"], ignore_index=True))
+    assert pdf.equals(again)
+
+
+def test_lsh_ann_fixed_candidates_match_python_replay(emb, emb_np):
+    """The fixed-plane bucketing replays in sequential Python: build
+    the md5-rank coefficients, µ-snap components, integer dots,
+    bucket = Σ 2^b·[dot>0]; the Spark candidate set and the rerank
+    must equal the Python-derived expectation exactly."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ids, V = emb_np
+    bits, tables, dim = 4, 3, 64
+    S_ = tables * bits * dim
+    order = sorted(range(S_),
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    coef = np.empty(S_, dtype=np.int64)
+    for rank, i in enumerate(order):
+        coef[i] = rank - S_ // 2
+    planes = coef.reshape(tables, bits, dim)
+
+    def snap(x):
+        return int(Decimal(repr(float(x) * 1e6))
+                   .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    Vm = np.vectorize(snap, otypes=[np.int64])(V)
+    dots = np.einsum("nd,tbd->ntb", Vm, planes)
+    buckets = ((dots > 0) * (1 << np.arange(bits))[None, None, :]).sum(axis=2)
+    by_id = {int(i): buckets[j] for j, i in enumerate(ids)}
+    qb = by_id[0]
+    want_cand = {int(i) for j, i in enumerate(ids) if i != 0
+                 and any(buckets[j][t] == qb[t] for t in range(tables))}
+
+    q = V[list(ids).index(0)]
+    got = S.lsh_ann_topk_fixed(emb, [float(x) for x in q], query_id=0,
+                               k=10, bits=bits, tables=tables).toPandas()
+    assert set(got["vec_id"]) <= want_cand
+    # rerank = brute-force cosine restricted to the candidate set
+    mask = np.isin(ids, sorted(want_cand))
+    want = _np_topk(ids[mask], V[mask], q, 10)
+    assert [(r["vec_id"], r["cos_sim"]) for _, r in got.iterrows()] == want
+
+
+def test_cosine_dup_pairs_fixed_lsh_subset_of_exact(emb):
+    """Fixed-plane near-dup pairs are a subset of the exact all-pairs
+    output with IDENTICAL similarities, and deterministic."""
+    exact = S.cosine_dup_pairs(emb, threshold=0.4).toPandas()
+    want = {(r["id_a"], r["id_b"]): r["cos_sim"]
+            for _, r in exact.iterrows()}
+    got = S.cosine_dup_pairs_fixed_lsh(emb, threshold=0.4, dim=64,
+                                       bits=8, tables=16).toPandas()
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        assert want[(r["id_a"], r["id_b"])] == r["cos_sim"]
+
+
+def test_pq_adc_exact_deterministic_and_orders_by_integer_dist(emb):
+    """pq_adc_topk_exact: integer micro² distances, ascending with the
+    (adc_d2, vec_id) tiebreak, query excluded, repeatable."""
+    q = emb.orderBy("vec_id").select("embedding").head()[0]
+    got = S.pq_adc_topk_exact(emb, [float(x) for x in q], k=10,
+                              m=4, ksub=8, rounds=1,
+                              exclude_id=0).toPandas()
+    assert len(got) == 10 and 0 not in set(got["vec_id"])
+    assert str(got["adc_d2"].dtype) == "int64"
+    keys = list(zip(got["adc_d2"], got["vec_id"]))
+    assert keys == sorted(keys)
+    again = S.pq_adc_topk_exact(emb, [float(x) for x in q], k=10,
+                                m=4, ksub=8, rounds=1,
+                                exclude_id=0).toPandas()
+    assert got.equals(again)

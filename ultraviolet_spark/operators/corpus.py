@@ -25,7 +25,8 @@ def clean_corpus(docs: DataFrame, *, text_col: str = "text",
                  max_punct_ratio: float = 0.2, max_digit_ratio: float = 0.2,
                  langs: list[str] | None = None, near_dup: bool = False,
                  near_dup_threshold: float = 0.8, n: int = 3,
-                 near_dup_policy: str = "pairwise") -> DataFrame:
+                 near_dup_policy: str = "pairwise",
+                 near_dup_exact: bool = False) -> DataFrame:
     """Cleaned corpus, original columns preserved.
 
     Stages: non-empty → token-count floor → punct/digit-ratio ceilings →
@@ -41,6 +42,12 @@ def clean_corpus(docs: DataFrame, *, text_col: str = "text",
       the production semantics (a-b, b-c collapses to {a} even though
       (a, c) was never emitted as a pair).  Costs the O(log n)-round
       label propagation of dedup.connected_components.
+
+    ``near_dup_exact=True`` swaps the MinHash candidate stage for the
+    EXACT n-gram Jaccard pairs (dedup.ngram_jaccard_pairs) — a pure
+    function of the data that a SQL oracle replays move-for-move (the
+    q53↔q54 promotion, VERDICT r4 #2); the MinHash path remains the
+    scale/serving twin, recall-tested in pytest.
     """
     c = F.col(text_col)
     kept = docs.filter(F.length(c) > 0)
@@ -53,8 +60,16 @@ def clean_corpus(docs: DataFrame, *, text_col: str = "text",
     if near_dup:
         if near_dup_policy not in ("pairwise", "cluster"):
             raise ValueError(f"unknown near_dup_policy: {near_dup_policy!r}")
-        pairs = minhash_lsh_pairs(kept, n=n, threshold=near_dup_threshold,
-                                  text_col=text_col, id_col=id_col)
+        if near_dup_exact:
+            from ultraviolet_spark.operators.dedup import ngram_jaccard_pairs
+
+            pairs = ngram_jaccard_pairs(kept, n=n,
+                                        threshold=near_dup_threshold,
+                                        text_col=text_col, id_col=id_col)
+        else:
+            pairs = minhash_lsh_pairs(kept, n=n,
+                                      threshold=near_dup_threshold,
+                                      text_col=text_col, id_col=id_col)
         if near_dup_policy == "cluster":
             cc = connected_components(pairs)
             losers = (cc.filter(F.col("node") != F.col("component"))

@@ -174,6 +174,119 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
                        exclude_id=exclude_id)
 
 
+def fixed_hyperplanes(spark, *, dim: int, bits: int, tables: int) -> DataFrame:
+    """(dim, t, b, w, coef): DETERMINISTIC integer hyperplanes for the
+    exact-replay sign-LSH twin (the q277/q52 discipline applied to
+    random-hyperplane LSH).  Coefficient for slot i = rank of
+    md5(str(i)) over all S = tables·bits·dim slots, centered to
+    [-S/2, S/2) — a pseudo-random permutation of a centered integer
+    range, reproducible in any engine with md5 + ROW_NUMBER (no RNG,
+    no float).  Uniform-coefficient hyperplanes preserve the sign-LSH
+    bucketing semantics (Gaussian directions are only needed for the
+    closed-form collision probability, not for correctness of the
+    candidates-share-a-bucket contract).
+
+    The frame is S rows (compile-time constant, ≤ ~10^4) — broadcast
+    metadata; the single partitionless ROW_NUMBER window is bounded by
+    the same constant (plan-audit whitelisted)."""
+    from pyspark.sql import Window
+
+    S = tables * bits * dim
+    half = S // 2
+    return (spark.range(S).select(F.col("id").alias("i"))
+            .withColumn("t", F.expr(f"CAST(i div {bits * dim} AS INT)"))
+            .withColumn("b", F.expr(f"CAST((i div {dim}) % {bits} AS INT)"))
+            .withColumn("dim", F.expr(f"CAST(i % {dim} AS INT)"))
+            .withColumn("w", F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .withColumn("coef", F.row_number().over(
+                Window.orderBy(F.expr("md5(CAST(i AS STRING))"), "i"))
+                .cast("long") - 1 - half))
+
+
+def hyperplane_signatures_fixed(df: DataFrame, *, dim: int, bits: int = 8,
+                                tables: int = 16, id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """(id, t, bucket) sign-LSH signatures over the FIXED integer
+    hyperplanes — pure Catalyst, exactly SQL-replayable: components
+    µ-snap to int64 (round(x·1e6), the shared embedding snap), dot
+    products are exact integer sums (|dot| ≤ dim·10^9·S/2 ≪ 2^63),
+    bucket = Σ_b 2^b·[dot_b > 0].
+
+    Scale: posexplode → broadcast join with the S-row plane frame →
+    two map-side-combined aggs keyed (id, t, b) then (id, t).  The
+    intermediate is rows × dim × tables·bits but collapses in the
+    partial agg; no data-sized shuffle beyond the (id, t, b) keys.
+    The numpy matmul variant (:func:`hyperplane_signatures`) remains
+    the serving path; this is its exact-oracle twin."""
+    sl = fixed_hyperplanes(df.sparkSession, dim=dim, bits=bits,
+                           tables=tables)
+    xm = (df.select(F.col(id_col),
+                    F.posexplode(F.col(vec_col)).alias("dim", "__x"))
+          .select(id_col, F.col("dim").cast("int").alias("dim"),
+                  F.round(F.col("__x").cast("double") * 1e6)
+                  .cast("long").alias("__v")))
+    dots = (xm.join(F.broadcast(sl), "dim")
+            .groupBy(id_col, "t", "b")
+            .agg(F.max("w").alias("w"),
+                 F.sum(F.col("__v") * F.col("coef")).alias("__dot")))
+    return (dots.groupBy(id_col, "t")
+            .agg(F.sum(F.when(F.col("__dot") > 0, F.col("w"))
+                       .otherwise(F.lit(0).cast("long")))
+                 .alias("bucket")))
+
+
+def lsh_ann_topk_fixed(df: DataFrame, query_vec: list[float], *,
+                       query_id: int, k: int = 10, bits: int = 6,
+                       tables: int = 12, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """LSH ANN top-k on the FIXED hyperplanes — same probe-and-rerank
+    shape as :func:`lsh_ann_topk`, but candidate generation is a pure
+    function of the data that a SQL oracle replays move-for-move: the
+    query's signature is computed IN-PLAN (filter on ``query_id``)
+    through the identical integer pipeline, candidates share ≥1
+    (table, bucket), rerank is the exact cosine top-k.  Promotes the
+    hyperplane-LSH path from rows-only to exact (VERDICT r4 #2)."""
+    sig = hyperplane_signatures_fixed(df, dim=len(query_vec), bits=bits,
+                                      tables=tables, id_col=id_col,
+                                      vec_col=vec_col)
+    qs = sig.filter(F.col(id_col) == query_id).select("t", "bucket")
+    cand = (sig.join(F.broadcast(qs), ["t", "bucket"])
+            .filter(F.col(id_col) != query_id)
+            .select(id_col).distinct())
+    hits = df.join(cand, on=id_col, how="left_semi")
+    return cosine_topk(hits, query_vec, k=k, id_col=id_col,
+                       vec_col=vec_col, exclude_id=query_id)
+
+
+def cosine_dup_pairs_fixed_lsh(df: DataFrame, *, threshold: float = 0.4,
+                               dim: int, bits: int = 8, tables: int = 16,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs over the FIXED hyperplanes — the
+    exact-replay twin of ``cosine_dup_pairs(use_lsh=True)``: candidates
+    share ≥1 (table, bucket) of the deterministic integer signatures,
+    then the exact-cosine verify (filter on the unrounded similarity,
+    round-6 output — the q35 contract).  Candidate generation shuffles
+    only (table, bucket) keys; the verify touches candidates only."""
+    sig = hyperplane_signatures_fixed(df, dim=dim, bits=bits,
+                                      tables=tables, id_col=id_col,
+                                      vec_col=vec_col)
+    sa = sig.select(F.col(id_col).alias("id_a"), "t", "bucket")
+    sb = sig.select(F.col(id_col).alias("id_b"), "t", "bucket")
+    cand = (sa.join(sb, ["t", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("__vb"))
+    sim = cosine_sim(F.col("__va"), F.col("__vb"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("__sim", sim)
+            .filter(F.col("__sim") >= threshold)
+            .select("id_a", "id_b", F.round("__sim", 6).alias("cos_sim")))
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
@@ -524,6 +637,74 @@ def pq_adc_topk(df: DataFrame, codebooks: np.ndarray,
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
     return out.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
+
+
+def pq_adc_topk_exact(df: DataFrame, query_vec: list[float], *,
+                      k: int = 10, m: int = 4, ksub: int = 16,
+                      rounds: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      exclude_id: int | None = None) -> DataFrame:
+    """PQ-ADC top-k on the EXACT-REPLAY trainer (the q52/q277
+    discipline applied to product quantization, VERDICT r4 #2): each
+    of the ``m`` contiguous subspaces trains an independent
+    ``kmeans_fixed_centroids`` (md5 seeding, exact integer µ-unit
+    distances, ``rounds`` unrolled Lloyd updates) on the SLICED
+    vectors, codes are the exact-nearest centroid per subspace, and
+    the asymmetric distance is the exact integer micro² L2 between the
+    µ-snapped query subvector and the assigned centroid — summed over
+    subspaces entirely in DECIMAL(38,0), so a SQL oracle replays
+    training, encoding, LUT build and ranking move-for-move.
+
+    Returns ``(id, adc_d2)`` ascending (integer micro² units — the
+    exact twin reports the lossless quantity; the float serving path
+    :func:`pq_adc_topk` reports double original-unit distances).
+
+    Scale: per subspace the trainer is 2·rounds+1 scans of a
+    dsub-wide slice; codes and LUTs ride ksub-row broadcasts; the
+    final rank is one m-way union-agg keyed on id + TakeOrdered."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ultraviolet_spark.operators.mlfit import (kmeans_assign,
+                                                   kmeans_fixed_centroids)
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dim = len(query_vec)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    qm = [int(Decimal(repr(float(x) * 1e6))
+              .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+          for x in query_vec]
+    per_sub = []
+    for s in range(m):
+        sub = df.select(F.col(id_col),
+                        F.slice(F.col(vec_col), s * dsub + 1, dsub)
+                        .alias(vec_col))
+        cents = kmeans_fixed_centroids(sub, id_col=id_col,
+                                       vec_col=vec_col, k=ksub,
+                                       rounds=rounds)
+        qarr = F.array(*[F.lit(v).cast("long")
+                         for v in qm[s * dsub:(s + 1) * dsub]])
+        dq = F.aggregate(
+            F.zip_with(F.col("__c"), qarr, lambda a, b: a - b),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, v: acc + dec(v) * dec(v))
+        lut = cents.select(F.col("cid").alias("cluster"),
+                           dq.alias("__d"))
+        assign = (kmeans_assign(sub, cents, id_col=id_col,
+                                vec_col=vec_col)
+                  .select("id", "cluster"))
+        per_sub.append(assign.join(F.broadcast(lut), "cluster")
+                       .select("id", "__d"))
+    allsub = per_sub[0]
+    for f in per_sub[1:]:
+        allsub = allsub.unionAll(f)
+    out = (allsub.groupBy("id")
+           .agg(F.sum("__d").cast("long").alias("adc_d2"))
+           .select(F.col("id").alias(id_col), "adc_d2"))
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.col("adc_d2").asc(), F.col(id_col)).limit(k)
 
 
 def sparse_cosine_pairs(docs: DataFrame, *, text_col: str = "text",

@@ -99,10 +99,14 @@ _FRONT_50 = [
 # Rows-only / redundant entries kept past the cap in rounds 2-3; retained
 # as documentation of which checks are inherently weak (probabilistic /
 # hash-dependent results whose semantics are covered by exact-oracle
-# twins: q25/q26→q24+pytest recall bounds, q29/q50/q52→q35/q27,
-# q54→q53).  With the round-4 rotation these are naturally outside the
-# window; the list still feeds tests that pin they exist and stay
-# mirror-covered.
+# twins: q25/q26→q24+pytest recall bounds, q226→q225).  Round-4
+# promoted q52/q85 (kmeans_fixed exact replay); round-5 promoted
+# q29/q50 (md5-rank fixed hyperplanes), q54 (exact n-gram Jaccard
+# stage) and q89 (per-subspace kmeans_fixed PQ) — rows-only is now 5:
+# q25/q26/q226 (MinHash/SimHash perms not SQL-replayable),
+# q129 (zlib), q132 (gear-hash CDC).  With the rotations these are
+# naturally outside the window; the list still feeds tests that pin
+# they exist and stay mirror-covered.
 _DEMOTED = [
     "q08_rollup_status_priority",
     "q18_event_type_share",

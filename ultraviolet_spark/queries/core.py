@@ -498,13 +498,63 @@ def q28(spark, sf_dir):
     return S.knn_join(queries, emb, k=5)
 
 
-@q("q29_lsh_ann_top10", None)  # approximate → rows-only; recall tested in pytest
+def _lsh_fixed_ctes(dim: int, bits: int, tables: int) -> str:
+    """Fixed-hyperplane sign-LSH replay CTEs (operators/similarity
+    fixed_hyperplanes + hyperplane_signatures_fixed): integer plane
+    coefficients from the md5-rank permutation of the slot index,
+    µ-snapped components, exact integer dots, bucket = Σ 2^b·[dot>0].
+    Ends with ``sig(id, t, bucket)``.  Shared by q29 and q50."""
+    S_ = tables * bits * dim
+    return f"""xm AS (
+  SELECT vec_id AS id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+           AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+sl AS (
+  SELECT CAST(i // {bits * dim} AS INTEGER) AS t,
+         CAST((i // {dim}) % {bits} AS INTEGER) AS b,
+         CAST(i % {dim} AS INTEGER) AS dim,
+         (CAST(1 AS BIGINT) << CAST((i // {dim}) % {bits} AS INTEGER))
+           AS w,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(i AS VARCHAR)), i)
+           - 1 - {S_ // 2} AS coef
+  FROM (SELECT unnest(generate_series(0, {S_ - 1})) AS i)),
+dots AS (
+  SELECT x.id, s.t, s.b, MAX(s.w) AS w, SUM(x.v * s.coef) AS dot
+  FROM xm x JOIN sl s USING (dim) GROUP BY x.id, s.t, s.b),
+sig AS (
+  SELECT id, t,
+         SUM(CASE WHEN dot > 0 THEN w ELSE CAST(0 AS BIGINT) END)
+           AS bucket
+  FROM dots GROUP BY id, t)"""
+
+
+@q("q29_lsh_ann_top10", f"""
+WITH {_lsh_fixed_ctes(64, 6, 12)},
+qs AS (SELECT t, bucket FROM sig WHERE id = 0),
+cand AS (SELECT DISTINCT sig.id FROM sig JOIN qs USING (t, bucket)
+         WHERE sig.id <> 0)
+SELECT e.vec_id, round({{_COS}}, 6) AS cos_sim
+FROM embeddings e JOIN cand ON cand.id = e.vec_id,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY round({{_COS}}, 6) DESC, e.vec_id LIMIT 10
+""".replace("{_COS}", _COS))
 def q29(spark, sf_dir):
+    """Hyperplane-LSH ANN top-10 — PROMOTED to an exact oracle in
+    round 5 (VERDICT r4 #2): the hyperplanes are the deterministic
+    md5-rank integer planes (fixed_hyperplanes), the query signature
+    is computed IN-PLAN, and the oracle replays plane construction,
+    bucketing, candidate collection and the cosine rerank
+    move-for-move.  The numpy-Gaussian variant (lsh_ann_topk) stays
+    the serving twin, recall-tested in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     # 6-bit × 12-table buckets: ~1.5% of the corpus scanned per table at
     # this SF while keeping non-trivial recall (asserted in pytest)
-    return S.lsh_ann_topk(emb, list(qv), k=10, exclude_id=0, bits=6, tables=12)
+    return S.lsh_ann_topk_fixed(emb, [float(x) for x in qv], query_id=0,
+                                k=10, bits=6, tables=12)
 
 
 @q("q31_percentiles", """
