@@ -61,7 +61,25 @@ def frame_hash(df: pd.DataFrame) -> int:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    pat = sys.argv[2] if len(sys.argv) > 2 else ""
+    rest = sys.argv[2:]
+    sample_n = seed = None
+    exclude_seen = False
+    if rest and rest[0] == "--sample":
+        # rotating-soak mode (VERDICT r4 #7): run a random subset, by
+        # default drawn from the whole oracle-backed registry; with
+        # --exclude-seen, only queries never recorded in any
+        # CORRECTNESS_r*.json AND outside the current driver window —
+        # so repeated sf0.1 soaks rotate big-SF exposure instead of
+        # re-running the same exercised set.  --seed N reproduces a
+        # draw; without it the seed is random and PRINTED.
+        sample_n = int(rest[1])
+        rest = rest[2:]
+        exclude_seen = "--exclude-seen" in rest
+        if "--seed" in rest:
+            seed = int(rest[rest.index("--seed") + 1])
+        pat = ""
+    else:
+        pat = rest[0] if rest else ""
 
     import __spark_entry__ as E
     from ultraviolet_spark.session import get_spark
@@ -77,6 +95,32 @@ def main() -> int:
         # exactly the driver-visible window (first 50 registry entries)
         qs = {n: qs[n] for n in list(qs)[:50]}
         pat = ""
+    if sample_n is not None:
+        import glob
+        import json
+        import os
+        import random
+
+        seen: set = set()
+        if exclude_seen:
+            for p in sorted(glob.glob("CORRECTNESS_r*.json")):
+                d = json.load(open(p))
+                ks = d.get("queries", d)
+                if isinstance(ks, dict):
+                    seen |= set(ks)
+            seen |= set(list(qs)[:50])  # current window will be gated
+        pool = sorted(n for n in qs if n in oracles and n not in seen)
+        if not pool:
+            print("FAIL: --sample pool is empty")
+            return 2
+        if seed is None:
+            seed = int.from_bytes(os.urandom(4), "big")
+        rng = random.Random(seed)
+        pick = sorted(rng.sample(pool, min(sample_n, len(pool))))
+        print(f"--sample {sample_n} (seed {seed}, pool {len(pool)}"
+              f"{', exclude-seen' if exclude_seen else ''}): "
+              + " ".join(pick))
+        qs = {n: qs[n] for n in pick}
     if pat and not any(pat in name for name in qs):
         # a typo'd / non-matching pattern must FAIL, not print
         # "0 failures" after silently running nothing (this bit us:
