@@ -1,0 +1,226 @@
+"""Round-5 association/agreement/trend operators: Mood's median,
+Page's L, Lin's CCC, Theil's U, Goodman-Kruskal lambda, Stuart tau-c."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ultraviolet_spark.operators.stats import (
+    gk_lambda,
+    lins_ccc,
+    mood_median_test,
+    page_trend_test,
+    stuart_tau_c,
+    theil_u,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+# ------------------------------------------------------------- Mood
+
+def _mood_ref(groups):
+    ms = sorted(round(v * 1e6) for vs in groups.values() for v in vs)
+    n = len(ms)
+    m2 = ms[(n + 1) // 2 - 1] + ms[(n + 2) // 2 - 1]
+    A = sum(1 for vs in groups.values() for v in vs
+            if 2 * round(v * 1e6) > m2)
+    chi = 0.0
+    for g in sorted(groups):
+        vs = groups[g]
+        ng = len(vs)
+        a = sum(1 for v in vs if 2 * round(v * 1e6) > m2)
+        chi += (n * a - ng * A) ** 2 / (n * ng * A)
+        chi += ((n * (ng - a) - ng * (n - A)) ** 2
+                / (n * ng * (n - A)))
+    return m2, A, chi
+
+
+def _mk_groups(spark, groups):
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    return spark.createDataFrame(rows, "grp string, v double")
+
+
+def test_mood_matches_reference_and_fires_on_shift(spark):
+    base = [float((i * 7) % 13) + 0.25 * (i % 4) for i in range(40)]
+    sep = {"a": base, "b": [v + 50.0 for v in base]}
+    m2, A, chi = _mood_ref(sep)
+    got = mood_median_test(_mk_groups(spark, sep), value_col="v",
+                           group_col="grp").head()
+    assert (got["median_x2"], got["n_above"]) == (m2, A)
+    assert got["chi2"] == pytest.approx(chi, abs=2e-6)
+    assert got["chi2"] > 30          # fully separated groups fire
+    same = {"a": base, "b": list(base)}
+    got = mood_median_test(_mk_groups(spark, same), value_col="v",
+                           group_col="grp").head()
+    assert got["chi2"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_mood_outlier_invariance_and_degenerate(spark):
+    """The point of the median test: a wild outlier that stays on its
+    side of the pooled median changes NOTHING."""
+    g = {"a": [1.0, 2.0, 3.0, 4.0, 5.0],
+         "b": [6.0, 7.0, 8.0, 9.0, 10.0]}
+    before = mood_median_test(_mk_groups(spark, g), value_col="v",
+                              group_col="grp").head()["chi2"]
+    g2 = {"a": g["a"], "b": g["b"][:-1] + [1e6]}
+    after = mood_median_test(_mk_groups(spark, g2), value_col="v",
+                             group_col="grp").head()["chi2"]
+    assert before == after
+    one = mood_median_test(_mk_groups(spark, {"a": [1.0, 2.0, 3.0]}),
+                           value_col="v", group_col="grp").head()
+    assert one["chi2"] is None       # k < 2
+
+
+# ----------------------------------------------------------- Page L
+
+def _mk_blocks(spark, rows):
+    return spark.createDataFrame(
+        [tuple(float(v) for v in r) for r in rows],
+        "x0 double, x1 double, x2 double")
+
+
+def _page_ref(rows, k=3):
+    l2 = 0
+    n = len(rows)
+    for r in rows:
+        ms = [round(v * 1e6) for v in r]
+        for j in range(k):
+            below = sum(1 for m in ms if m < ms[j])
+            tied = sum(1 for m in ms if m == ms[j])
+            l2 += (j + 1) * (2 * below + tied + 1)
+    num = l2 - n * k * (k + 1) ** 2 // 2
+    sd = math.sqrt(n * (k * k * (k + 1) * (k * k - 1)) / 144.0)
+    return l2, num / (2 * sd)
+
+
+def test_page_matches_reference_and_detects_trend(spark):
+    rows = [(i % 5, (i % 5) + 1 + (i % 3), (i % 5) + 3 + (i % 2))
+            for i in range(30)]
+    l2, z = _page_ref(rows)
+    got = page_trend_test(_mk_blocks(spark, rows),
+                          cols=["x0", "x1", "x2"]).head()
+    assert got["l2"] == l2
+    assert got["z"] == pytest.approx(z, abs=2e-6)
+    assert got["z"] > 4              # monotone trend in every block
+    rev = page_trend_test(_mk_blocks(spark, rows),
+                          cols=["x2", "x1", "x0"]).head()
+    assert rev["z"] == pytest.approx(-got["z"], abs=2e-6)
+
+
+def test_page_vs_friedman_on_scrambled_order(spark):
+    """A consistent but NON-monotone pattern (middle treatment always
+    highest): Friedman fires, Page's z stays small — the ordered
+    alternative is the whole point."""
+    from ultraviolet_spark.operators.stats import friedman_test
+
+    # middle treatment ALWAYS highest; the outer two alternate rank
+    # order between blocks, so Page's position-weighted drift cancels
+    # exactly while Friedman's per-treatment rank totals still diverge
+    rows = [(0.0, 10.0, 0.5) if i % 2 == 0 else (0.5, 10.0, 0.0)
+            for i in range(40)]
+    fr = friedman_test(_mk_blocks(spark, rows),
+                       cols=["x0", "x1", "x2"]).head()
+    pg = page_trend_test(_mk_blocks(spark, rows),
+                         cols=["x0", "x1", "x2"]).head()
+    assert fr["chi2"] > 30
+    assert pg["z"] == 0.0
+
+
+# --------------------------------------------------------- Lin CCC
+
+def test_ccc_identity_scale_shift_and_reference(spark):
+    rows = [(float(i), float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert lins_ccc(df, x_col="x", y_col="y").head()["ccc"] == 1.0
+    # y = 2x: Pearson r = 1, CCC well below (scale shift penalized)
+    rows2 = [(float(i), 2.0 * i) for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "x double, y double")
+    ccc = lins_ccc(df2, x_col="x", y_col="y").head()["ccc"]
+    assert 0 < ccc < 0.9
+    # sequential reference on the same data
+    xs = [round(x * 1e6) for x, _ in rows2]
+    ys = [round(y * 1e6) for _, y in rows2]
+    n = len(xs)
+    num = 2 * (n * sum(x * y for x, y in zip(xs, ys))
+               - sum(xs) * sum(ys))
+    den = (n * sum(x * x for x in xs) - sum(xs) ** 2
+           + n * sum(y * y for y in ys) - sum(ys) ** 2
+           + (sum(xs) - sum(ys)) ** 2)
+    assert ccc == pytest.approx(num / den, abs=2e-6)
+    const = spark.createDataFrame([(1.0, 1.0)] * 5, "x double, y double")
+    assert lins_ccc(const, x_col="x", y_col="y").head()["ccc"] is None
+
+
+# --------------------------------------------------------- Theil U
+
+def test_theil_u_deterministic_and_independent(spark):
+    # B is a FUNCTION of A -> knowing A removes all of B's entropy
+    rows = [(f"a{i % 4}", f"b{(i % 4) * 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = theil_u(df, a_col="a", b_col="b").head()
+    assert got["u_b_given_a"] == pytest.approx(1.0, abs=1e-4)
+    assert got["u_a_given_b"] == pytest.approx(1.0, abs=1e-4)
+    # exact product structure -> U ~ 0 (both directions)
+    rows2 = [(f"a{i % 2}", f"b{j % 3}")
+             for i in range(2) for j in range(3) for _ in range(5)]
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    got2 = theil_u(df2, a_col="a", b_col="b").head()
+    assert abs(got2["u_sym"]) < 1e-4
+    # constant column -> NULL for the U it denominates
+    rows3 = [("a0", f"b{i % 3}") for i in range(9)]
+    df3 = spark.createDataFrame(rows3, "a string, b string")
+    got3 = theil_u(df3, a_col="a", b_col="b").head()
+    assert got3["u_a_given_b"] is None and got3["h_a_micro"] == 0
+
+
+# ---------------------------------------------------------- lambda
+
+def test_gk_lambda_perfect_zero_and_guards(spark):
+    # perfect prediction: every x maps to its own y
+    rows = [(f"x{i % 3}", f"y{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = gk_lambda(df, x_col="x", y_col="y").head()
+    assert got["lambda_y_given_x"] == 1.0
+    assert got["lambda_x_given_y"] == 1.0
+    # real dependence but every conditional mode = marginal mode:
+    # lambda exactly 0 while V/U would be positive (the docstring pin)
+    rows2 = ([("x0", "y0")] * 6 + [("x0", "y1")] * 1
+             + [("x1", "y0")] * 6 + [("x1", "y1")] * 4)
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    got2 = gk_lambda(df2, x_col="x", y_col="y").head()
+    assert got2["lambda_y_given_x"] == 0.0
+    # constant y -> NULL lambda(Y|X)
+    rows3 = [(f"x{i % 3}", "y0") for i in range(9)]
+    df3 = spark.createDataFrame(rows3, "x string, y string")
+    assert gk_lambda(df3, x_col="x", y_col="y") \
+        .head()["lambda_y_given_x"] is None
+
+
+# ----------------------------------------------------------- tau-c
+
+def test_tau_c_rectangular_reaches_one_and_reference(spark):
+    # 2x5 strictly monotone table: tau-c reaches exactly 1.0 where
+    # tau-b structurally cannot
+    rows = [(0, j) for j in range(5) for _ in range(3)] \
+        + [(1, j + 5) for j in range(5) for _ in range(3)]
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in rows], "x long, y long")
+    got = stuart_tau_c(df, x_col="x", y_col="y").head()
+    n, m = got["n"], got["m"]
+    assert m == 2
+    assert got["tau_c"] == pytest.approx(
+        2 * m * (got["c"] - got["d"]) / (n * n * (m - 1)), abs=1e-6)
+    assert got["tau_c"] == 1.0
+    # reversal negates exactly
+    df2 = spark.createDataFrame(
+        [(int(x), int(-y)) for x, y in rows], "x long, y long")
+    assert stuart_tau_c(df2, x_col="x", y_col="y").head()["tau_c"] \
+        == -1.0
+    # 1xc table -> NULL
+    df3 = spark.createDataFrame([(0, j) for j in range(4)],
+                                "x long, y long")
+    assert stuart_tau_c(df3, x_col="x", y_col="y").head()["tau_c"] \
+        is None

@@ -80,6 +80,11 @@ CROSS_OK = {
                                  # round (exact SemDeDup trainer)
     "q89_pq_adc_top10",          # 1-row centroid-array frames per
                                  # subspace trainer (exact PQ, round 5)
+    "q360_mood_median",          # 1-row bounds/median/totals frames
+    "q363_theil_u",              # 1-row corpus-total frame ×3 entropies
+    "q364_gk_lambda",            # four 1-row modal/total frames
+    "q365_stuart_tau_c",         # cell-pair grid (vocab-bounded, the
+                                 # q345 contract) + 1-row dims frame
     "q279_shapley_attribution",  # 2^K subset-lattice frames (metadata-sized)
     "q281_t_closeness",          # class × sensitive-vocab completion
     "q282_expectation_suite",    # 1-row violations × 1-row n frames

@@ -4199,3 +4199,388 @@ def odds_ratio_2x2(df: DataFrame, *, expr_a: str,
         F.round(se, 6).alias("se"),
         F.round(F.exp(log_or - z * se), 6).alias("ci_lo"),
         F.round(F.exp(log_or + z * se), 6).alias("ci_hi"))
+
+
+def mood_median_test(df: DataFrame, *, value_col: str, group_col: str,
+                     n_buckets: int = 64) -> DataFrame:
+    """Mood's median test — the COARSEST k-sample location test, the
+    robustness end of the ladder next to kruskal_wallis (full
+    midranks) and brown_forsythe (spread): every value reduces to one
+    bit, above the POOLED median or not, and the 2×k count table goes
+    through the chi² machinery.  Where even ranks can be dragged by a
+    heavy tail, counts cannot — the test survives anything with a
+    defined median (and correspondingly spends power).
+
+    Exactness: values µ-snap; the pooled DOUBLED median
+    m2 = v_(k1) + v_(k2) (k1 = (N+1) div 2, k2 = (N+2) div 2) comes
+    from the distinct-value frame via the shared two-phase
+    value-bucket cumulative machinery — each order statistic is the
+    unique value with run-offset < k ≤ run-offset + count, so m2 is
+    an exact integer and "above" is the exact integer comparison
+    2v > m2 (never a float midpoint).  Per-group (above, not-above)
+    counts are one groupBy over the (group, value) frame; each chi²
+    cell term is the all-integer form (N·a_g − n_g·A)²/(N·n_g·A)
+    (one double division per cell, DECIMAL(38,0) numerator), summed
+    by the ORDERED left-fold over the sorted group array (the
+    kruskal_wallis discipline, so the cross-group double sum is
+    fixed-order in both engines).  Degenerate splits (every value on
+    one side of the median, k < 2) → NULL chi².
+
+    Output one row: (k, n, median_x2, n_above, chi2).
+    """
+    from pyspark.sql import Window
+
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    B = int(n_buckets)
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(v.isNotNull() & g.isNotNull())
+            .select(g.alias("__g"), v.alias("__v")))
+    cg = base.groupBy("__g", "__v").agg(
+        F.count("*").cast("long").alias("__c"))
+    per_v = cg.groupBy("__v").agg(F.sum("__c").cast("long").alias("__m"))
+    bounds = per_v.agg(F.min("__v").alias("__lo"),
+                       F.max("__v").alias("__hi"),
+                       F.sum("__m").cast("long").alias("__n"))
+    pv = (per_v.crossJoin(F.broadcast(bounds))
+          .withColumn("__b", F.expr(
+              f"(__v - __lo) div ((__hi - __lo) div {B} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    pv = pv.withColumn("__m_in",
+                       F.coalesce(F.sum("__m").over(w_in), F.lit(0)))
+    btot = pv.groupBy("__b").agg(F.sum("__m").alias("__bm"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b", F.coalesce(F.sum("__bm").over(w_b), F.lit(0)).alias("__om"))
+    pv = (pv.join(F.broadcast(boff), "__b")
+          .withColumn("__r0", F.col("__om") + F.col("__m_in")))
+    k1 = F.expr("(__n + 1) div 2")
+    k2 = F.expr("(__n + 2) div 2")
+    v1 = (pv.filter((F.col("__r0") < k1)
+                    & (k1 <= F.col("__r0") + F.col("__m")))
+          .select(F.col("__v").alias("__v1")))
+    v2 = (pv.filter((F.col("__r0") < k2)
+                    & (k2 <= F.col("__r0") + F.col("__m")))
+          .select(F.col("__v").alias("__v2")))
+    med = (v1.crossJoin(F.broadcast(v2))
+           .select((F.col("__v1") + F.col("__v2")).alias("__m2")))
+    per_g = (cg.crossJoin(F.broadcast(med))
+             .groupBy("__g")
+             .agg(F.max("__m2").alias("__m2"),
+                  F.sum(F.when(2 * F.col("__v") > F.col("__m2"),
+                               F.col("__c")).otherwise(F.lit(0)))
+                  .cast("long").alias("__a"),
+                  F.sum("__c").cast("long").alias("__ng")))
+    # totals get DISTINCT names from per_g's columns — Spark column
+    # resolution is CASE-INSENSITIVE, so "__A" vs "__a" would collide
+    tots = per_g.agg(F.sum("__a").cast("long").alias("__atot"),
+                     F.sum("__ng").cast("long").alias("__ntot"),
+                     F.max("__m2").alias("__m2t"))
+    j = per_g.drop("__m2").crossJoin(F.broadcast(tots))
+    na = (F.col("__ntot") * F.col("__a")
+          - F.col("__ng") * F.col("__atot"))
+    nb = (F.col("__ntot") * (F.col("__ng") - F.col("__a"))
+          - F.col("__ng") * (F.col("__ntot") - F.col("__atot")))
+    term = ((d38(na) * d38(na)).cast("double")
+            / nz((d38(F.col("__ntot")) * d38(F.col("__ng"))
+                  * d38(F.col("__atot"))).cast("double"))
+            + (d38(nb) * d38(nb)).cast("double")
+            / nz((d38(F.col("__ntot")) * d38(F.col("__ng"))
+                  * d38(F.col("__ntot") - F.col("__atot")))
+                 .cast("double")))
+    folded = j.groupBy().agg(
+        F.count("*").cast("int").alias("k"),
+        F.max("__ntot").alias("n"),
+        F.max("__m2t").alias("median_x2"),
+        F.max("__atot").alias("n_above"),
+        F.aggregate(
+            F.sort_array(F.collect_list(
+                F.struct(F.col("__g").cast("string").alias("g"),
+                         term.alias("t")))),
+            F.lit(0.0), lambda a, s: a + s["t"]).alias("__chi"))
+    chi2 = F.when((F.col("k") >= 2) & (F.col("n_above") > 0)
+                  & (F.col("n_above") < F.col("n")),
+                  F.round(F.col("__chi"), 6))
+    return folded.select("k", "n", "median_x2", "n_above",
+                         chi2.alias("chi2"))
+
+
+def page_trend_test(df: DataFrame, *, cols: list[str]) -> DataFrame:
+    """Page's L trend test — the ORDERED-alternative companion of
+    :func:`friedman_test`, exactly as jonckheere_terpstra is the
+    ordered companion of kruskal_wallis: with the k repeated-measure
+    columns given in hypothesized INCREASING order, L weights each
+    treatment's rank total by its position, so a monotone trend that
+    Friedman dilutes across k−1 degrees of freedom concentrates into
+    one z.
+
+    Exactness: within-block DOUBLED midranks a_j = 2C + t + 1 from
+    the same k² in-plan pairwise comparisons as Friedman; the doubled
+    statistic L2 = Σ_j (j+1)·R2_j and the centered numerator
+    L2 − n·k(k+1)²/2 are exact DECIMAL(38,0) integers; z is ONE
+    double division by the closed-form null sd.  DOCUMENTED
+    DEVIATION: the null variance n·k²(k+1)(k²−1)/144 is the
+    standard no-tie Page variance — with midrank ties the test is the
+    usual conservative approximation (the oracle replays the same
+    convention, and tie-free blocks are exact).
+
+    Output one row: (n, k, l2, z).
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("need at least 2 ordered treatment columns")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    ms = [F.round(F.col(c).cast("double") * 1e6).cast("long")
+          for c in cols]
+    ranks = []
+    for j in range(k):
+        below = None
+        tied = None
+        for l in range(k):
+            b = F.when(ms[l] < ms[j], 1).otherwise(0)
+            t = F.when(ms[l] == ms[j], 1).otherwise(0)
+            below = b if below is None else below + b
+            tied = t if tied is None else tied + t
+        ranks.append((F.lit(2) * below + tied + F.lit(1)).cast("long"))
+    base = df.select(*[r.alias(f"__a{j}") for j, r in enumerate(ranks)])
+    aggs = [F.count("*").cast("long").alias("n")]
+    for j in range(k):
+        aggs.append(F.sum(d38(F.col(f"__a{j}"))).alias(f"__R{j}"))
+    agg = base.agg(*aggs)
+    l2 = None
+    for j in range(k):
+        t = F.lit(j + 1).cast("decimal(38,0)") * F.col(f"__R{j}")
+        l2 = t if l2 is None else l2 + t
+    n_ = F.col("n").cast("decimal(38,0)")
+    # z = (L − E)/sd with L = L2/2 and E = n·k(k+1)²/4, i.e.
+    # z = (L2 − n·k(k+1)²/2)/(2·sd) — k(k+1)² is always even, so the
+    # centered numerator stays an exact integer
+    num = l2 - n_ * F.lit(k * (k + 1) * (k + 1) // 2)
+    sd = F.sqrt(F.col("n").cast("double")
+                * F.lit(float(k * k * (k + 1) * (k * k - 1)) / 144.0))
+    z = F.when(F.col("n") > 0,
+               F.round(num.cast("double") / nz(F.lit(2.0) * sd), 6))
+    return agg.select("n", F.lit(k).cast("int").alias("k"),
+                      l2.cast("long").alias("l2"), z.alias("z"))
+
+
+def lins_ccc(df: DataFrame, *, x_col: str, y_col: str) -> DataFrame:
+    """Lin's concordance correlation coefficient — AGREEMENT for
+    continuous paired measurements, completing the agreement family
+    (Cohen's κ nominal, weighted κ ordinal, Krippendorff's α
+    exchangeable): Pearson's r asks only "on a line?", CCC asks "on
+    THE 45° line?" — penalizing scale and location shifts that r is
+    blind to:
+
+        ρc = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)
+
+    Exactness: x, y µ-snap to int64; with both sides multiplied by
+    n², every term is an exact DECIMAL(38,0) integer —
+    num = 2(n·Σxy − Σx·Σy),
+    den = (n·Σx² − Σx²) + (n·Σy² − Σy²) + (Σx − Σy)² — one pass of
+    six sufficient statistics, ONE double division.  Zero denominator
+    (both columns constant and equal) → NULL.
+
+    Output one row: (n, ccc).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    x = F.round(F.col(x_col).cast("double") * 1e6).cast("long")
+    y = F.round(F.col(y_col).cast("double") * 1e6).cast("long")
+    base = (df.filter(x.isNotNull() & y.isNotNull())
+            .select(x.alias("__x"), y.alias("__y")))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d38(F.col("__x"))).alias("__sx"),
+        F.sum(d38(F.col("__y"))).alias("__sy"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__x"))).alias("__sxx"),
+        F.sum(d38(F.col("__y")) * d38(F.col("__y"))).alias("__syy"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__y"))).alias("__sxy"))
+    n_ = F.col("n").cast("decimal(38,0)")
+    num = F.lit(2).cast("decimal(38,0)") * (
+        n_ * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+    dx = F.col("__sx") - F.col("__sy")
+    den = (n_ * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+           + n_ * F.col("__syy") - F.col("__sy") * F.col("__sy")
+           + dx * dx)
+    ccc = F.when(den != 0,
+                 F.round(num.cast("double") / nz(den.cast("double")), 6))
+    return agg.select("n", ccc.alias("ccc"))
+
+
+def theil_u(df: DataFrame, *, a_col: str, b_col: str) -> DataFrame:
+    """Theil's uncertainty coefficient U — the NORMALIZED view of
+    q262's mutual information: U(A|B) = I(A;B)/H(A) is the fraction
+    of A's entropy that knowing B removes, in [0, 1] and comparable
+    across tables (what raw nats are not), asymmetric where Cramér's
+    V is not.  Reports U(A|B), U(B|A) and the symmetric
+    2I/(H(A)+H(B)).
+
+    Exactness: the q262/q86 µ-nat discipline applied three times —
+    every cell/marginal pointwise log evaluates in fixed operand
+    order and snaps to integer micro-nats, every weighted
+    contribution snaps BEFORE its sum, so I, H(A), H(B) are
+    order-independent integer µ-nat totals and each U is ONE double
+    division.  Zero entropy (constant column) → NULL for the U's it
+    denominates.
+
+    Scale: the q262 shape — one (a, b) cell exchange + two marginal
+    aggs joined cell-frame-sized; the three totals fold to one row.
+
+    Output one row: (n, mi_micro, h_a_micro, h_b_micro, u_a_given_b,
+    u_b_given_a, u_sym).
+    """
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    cells = df.groupBy(F.col(a_col).alias("a"),
+                       F.col(b_col).alias("b")).agg(
+        F.count("*").cast("long").alias("n_ab"))
+    ma = cells.groupBy("a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("n_ab").cast("long").alias("n_b"))
+    tot = cells.agg(F.sum("n_ab").cast("long").alias("__n"))
+    j = (cells.join(ma, "a").join(mb, "b").crossJoin(F.broadcast(tot)))
+    pmi = F.round(
+        (F.log((d38("__n") * d38("n_ab")).cast("double"))
+         - F.log((d38("n_a") * d38("n_b")).cast("double"))) * 1e6
+    ).cast("long")
+    mi_c = F.round(F.col("n_ab").cast("double")
+                   / F.col("__n").cast("double")
+                   * pmi.cast("double")).cast("long")
+    mi = j.select(mi_c.alias("__c")).agg(
+        F.sum("__c").cast("long").alias("mi_micro"))
+
+    def h_of(marg, cnt):
+        t = marg.crossJoin(F.broadcast(tot))
+        pm = F.round((F.log(F.col("__n").cast("double"))
+                      - F.log(F.col(cnt).cast("double"))) * 1e6
+                     ).cast("long")
+        c = F.round(F.col(cnt).cast("double")
+                    / F.col("__n").cast("double")
+                    * pm.cast("double")).cast("long")
+        return t.select(c.alias("__c")).agg(
+            F.sum("__c").cast("long").alias("h"))
+
+    ha = h_of(ma, "n_a").select(F.col("h").alias("h_a_micro"))
+    hb = h_of(mb, "n_b").select(F.col("h").alias("h_b_micro"))
+    out = (mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+           .crossJoin(F.broadcast(tot)))
+    u_ab = F.round(F.col("mi_micro").cast("double")
+                   / nz(F.col("h_a_micro").cast("double")), 6)
+    u_ba = F.round(F.col("mi_micro").cast("double")
+                   / nz(F.col("h_b_micro").cast("double")), 6)
+    u_s = F.round(2.0 * F.col("mi_micro").cast("double")
+                  / nz((F.col("h_a_micro")
+                        + F.col("h_b_micro")).cast("double")), 6)
+    return out.select(F.col("__n").alias("n"), "mi_micro",
+                      "h_a_micro", "h_b_micro",
+                      u_ab.alias("u_a_given_b"),
+                      u_ba.alias("u_b_given_a"), u_s.alias("u_sym"))
+
+
+def gk_lambda(df: DataFrame, *, x_col: str, y_col: str) -> DataFrame:
+    """Goodman–Kruskal λ — proportional reduction in PREDICTION error
+    for nominal pairs, the modal-guess companion to Cramér's V
+    (deviation-from-independence) and Theil's U (entropy): λ(Y|X) is
+    how much better you guess Y knowing X than guessing Y's mode
+    blind.  Can be exactly 0 under real dependence (when every
+    conditional mode equals the marginal mode) — that contrast with
+    V/U is the point of reporting all three.
+
+    Exactness: pure integer until the final division —
+    λ(Y|X) = (Σ_x max_y n_xy − max_y n_y)/(N − max_y n_y), the
+    symmetric variant pooling both directions.  Constant Y (N equals
+    its modal count) → NULL λ(Y|X); same for X.
+
+    Scale: one (x, y) cell exchange; two per-axis maxes over the cell
+    frame; one-row fold.  Output: (n, lambda_y_given_x,
+    lambda_x_given_y, lambda_sym).
+    """
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    cells = (df.filter(F.col(x_col).isNotNull()
+                       & F.col(y_col).isNotNull())
+             .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+             .agg(F.count("*").cast("long").alias("n_xy")))
+    mx = (cells.groupBy("x").agg(F.max("n_xy").alias("__mx"))
+          .agg(F.sum("__mx").cast("long").alias("__sum_mx")))
+    my = (cells.groupBy("y").agg(F.max("n_xy").alias("__my"))
+          .agg(F.sum("__my").cast("long").alias("__sum_my")))
+    rx = (cells.groupBy("x").agg(F.sum("n_xy").alias("__nx"))
+          .agg(F.max("__nx").cast("long").alias("__mode_x")))
+    ry = (cells.groupBy("y").agg(F.sum("n_xy").alias("__ny"))
+          .agg(F.max("__ny").cast("long").alias("__mode_y")))
+    tot = cells.agg(F.sum("n_xy").cast("long").alias("n"))
+    out = (tot.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
+           .crossJoin(F.broadcast(rx)).crossJoin(F.broadcast(ry)))
+    lyx = F.when(F.col("n") > F.col("__mode_y"), F.round(
+        (F.col("__sum_mx") - F.col("__mode_y")).cast("double")
+        / nz((F.col("n") - F.col("__mode_y")).cast("double")), 6))
+    lxy = F.when(F.col("n") > F.col("__mode_x"), F.round(
+        (F.col("__sum_my") - F.col("__mode_x")).cast("double")
+        / nz((F.col("n") - F.col("__mode_x")).cast("double")), 6))
+    lsym = F.when(
+        2 * F.col("n") > F.col("__mode_x") + F.col("__mode_y"),
+        F.round(
+            (F.col("__sum_mx") + F.col("__sum_my") - F.col("__mode_x")
+             - F.col("__mode_y")).cast("double")
+            / nz((2 * F.col("n") - F.col("__mode_x")
+                  - F.col("__mode_y")).cast("double")), 6))
+    return out.select("n", lyx.alias("lambda_y_given_x"),
+                      lxy.alias("lambda_x_given_y"),
+                      lsym.alias("lambda_sym"))
+
+
+def stuart_tau_c(df: DataFrame, *, x_col: str, y_col: str) -> DataFrame:
+    """Stuart's τ-c — the RECTANGULAR-table completion of the ordinal
+    concordance family (γ q345 ignores ties, Somers' D penalizes one
+    side, τ-b needs a square table to reach ±1): τ-c's m/(m−1)
+    normalization (m = min(r, c)) lets a 2×10 table reach ±1 where
+    τ-b structurally cannot.
+
+        τ_c = 2m·(C − D) / (n²·(m − 1))
+
+    Exactness: C, D are the exact DECIMAL(38,0) pair counts off the
+    same metadata-sized cell-pair grid as gamma_somers_d (the caller
+    bins, the grid is vocabulary-bounded); r, c are exact distinct
+    counts; ONE double division.  m < 2 (a 1×c or r×1 table) → NULL.
+
+    Output one row: (n, m, c, d, tau_c).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    cells = (df.filter(x.isNotNull() & y.isNotNull())
+             .groupBy(x.alias("__x"), y.alias("__y"))
+             .agg(F.count("*").cast("long").alias("__n")))
+    a = cells.select(F.col("__x").alias("xa"), F.col("__y").alias("ya"),
+                     F.col("__n").alias("na"))
+    b = cells.select(F.col("__x").alias("xb"), F.col("__y").alias("yb"),
+                     F.col("__n").alias("nb"))
+    pairs = a.crossJoin(b)
+    prod = d38(F.col("na")) * d38(F.col("nb"))
+    conc = F.when((F.col("xa") < F.col("xb"))
+                  & (F.col("ya") < F.col("yb")), prod)
+    disc = F.when((F.col("xa") < F.col("xb"))
+                  & (F.col("ya") > F.col("yb")), prod)
+    agg = pairs.agg(
+        F.coalesce(F.sum(conc), F.lit(0).cast("decimal(38,0)"))
+        .alias("__c"),
+        F.coalesce(F.sum(disc), F.lit(0).cast("decimal(38,0)"))
+        .alias("__d"))
+    dims = cells.agg(F.sum("__n").cast("long").alias("n"),
+                     F.countDistinct("__x").cast("long").alias("__r"),
+                     F.countDistinct("__y").cast("long").alias("__cc"))
+    out = agg.crossJoin(F.broadcast(dims))
+    m = F.least(F.col("__r"), F.col("__cc"))
+    num = (F.lit(2).cast("decimal(38,0)") * d38(m)
+           * (F.col("__c") - F.col("__d")))
+    den = d38(F.col("n")) * d38(F.col("n")) * d38(m - 1)
+    tau = F.when(m >= 2, F.round(
+        num.cast("double") / nz(den.cast("double")), 6))
+    return out.select("n", m.cast("int").alias("m"),
+                      F.col("__c").cast("long").alias("c"),
+                      F.col("__d").cast("long").alias("d"),
+                      tau.alias("tau_c"))

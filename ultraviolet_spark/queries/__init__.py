@@ -33,6 +33,7 @@ from ultraviolet_spark.queries import analytics  # noqa: E402,F401
 from ultraviolet_spark.queries import stats_a  # noqa: E402,F401
 from ultraviolet_spark.queries import stats_b  # noqa: E402,F401
 from ultraviolet_spark.queries import stats_c  # noqa: E402,F401
+from ultraviolet_spark.queries import stats_d  # noqa: E402,F401
 
 _FRONT_50 = [
     # -- 10 fixed anchors (driver-green r01-r03) --

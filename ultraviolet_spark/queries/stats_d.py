@@ -1,0 +1,340 @@
+"""Registry chunk: round-5 association / agreement / trend additions
+(q360+).
+
+New chunk module opened in round 5 (stats_c approached the 3000-line
+cap).  Registration order is preserved by the import sequence in
+queries/__init__.py; the shared decorator/registry live in _shared.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ultraviolet_spark.queries._shared import (  # noqa: F401
+    REGISTRY,
+    QuerySpec,
+    _dec,
+    _t,
+    q,
+)
+
+
+@q("q360_mood_median", """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+cg AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+       FROM base GROUP BY g, v),
+pv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS m FROM cg GROUP BY v),
+tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM pv),
+r AS (SELECT v, m,
+        COALESCE(CAST(SUM(m) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS r0
+      FROM pv),
+m2t AS (SELECT
+    (SELECT MIN(v) FROM r, tot
+     WHERE r0 < (n + 1) // 2 AND (n + 1) // 2 <= r0 + m)
+  + (SELECT MIN(v) FROM r, tot
+     WHERE r0 < (n + 2) // 2 AND (n + 2) // 2 <= r0 + m) AS m2),
+pg AS (SELECT g,
+         CAST(SUM(CASE WHEN 2 * v > m2 THEN c ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(SUM(c) AS BIGINT) AS ng
+       FROM cg, m2t GROUP BY g),
+tt AS (SELECT CAST(SUM(a) AS BIGINT) AS atot,
+              CAST(SUM(ng) AS BIGINT) AS nn FROM pg),
+tg AS (SELECT g,
+    CAST((CAST(nn AS HUGEINT) * a - CAST(ng AS HUGEINT) * atot)
+         * (CAST(nn AS HUGEINT) * a - CAST(ng AS HUGEINT) * atot)
+         AS DOUBLE)
+      / NULLIF(CAST(CAST(nn AS HUGEINT) * ng * atot AS DOUBLE), 0)
+  + CAST((CAST(nn AS HUGEINT) * (ng - a)
+          - CAST(ng AS HUGEINT) * (nn - atot))
+         * (CAST(nn AS HUGEINT) * (ng - a)
+            - CAST(ng AS HUGEINT) * (nn - atot)) AS DOUBLE)
+      / NULLIF(CAST(CAST(nn AS HUGEINT) * ng * (nn - atot)
+                    AS DOUBLE), 0) AS t
+  FROM pg, tt),
+fold AS (SELECT CAST(COUNT(*) AS INTEGER) AS k,
+                list_reduce(list_prepend(0.0, list(t ORDER BY g)),
+                            (a, b) -> a + b) AS chi
+         FROM tg)
+SELECT k, nn AS n, m2 AS median_x2, atot AS n_above,
+  CASE WHEN k >= 2 AND atot > 0 AND atot < nn THEN round(chi, 6)
+  END AS chi2
+FROM fold, tt, m2t
+""")
+def q360(spark, sf_dir):
+    """Mood's median test across event-type value distributions — the
+    coarsest rung of the k-sample location ladder under q336's
+    Kruskal–Wallis: every value reduces to one above-the-pooled-median
+    bit, so nothing a heavy tail does can move the statistic.  The
+    pooled doubled median comes off the shared two-phase bucketed
+    cumulative machinery as an exact integer; the 2×k chi² is the
+    all-integer (N·a−n·A)²/(N·n·A) per-cell form summed by the
+    ordered group fold."""
+    from ultraviolet_spark.operators.stats import mood_median_test
+
+    return mood_median_test(_t(spark, sf_dir, "events"),
+                            value_col="value", group_col="event_type")
+
+
+def _q361_sql() -> str:
+    """Page's L oracle: q324's doubled within-block ranks weighted by
+    the declared treatment position, no-tie null moments."""
+    items = ["m0", "m1", "m2"]
+    rank_exprs = []
+    for j, mj in enumerate(items):
+        below = " + ".join(
+            f"(CASE WHEN {ml} < {mj} THEN 1 ELSE 0 END)"
+            for ml in items)
+        tied = " + ".join(
+            f"(CASE WHEN {ml} = {mj} THEN 1 ELSE 0 END)"
+            for ml in items)
+        rank_exprs.append(
+            f"CAST(2 * ({below}) + ({tied}) + 1 AS BIGINT) AS a{j}")
+    k = 3
+    var_unit = float(k * k * (k + 1) * (k * k - 1)) / 144.0
+    return f"""
+WITH per AS (
+  SELECT user_id,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS m0,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS m1,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS m2
+  FROM events GROUP BY user_id),
+rk AS (SELECT {', '.join(rank_exprs)} FROM per),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(a0 AS HUGEINT)) AS r0,
+    SUM(CAST(a1 AS HUGEINT)) AS r1,
+    SUM(CAST(a2 AS HUGEINT)) AS r2
+  FROM rk),
+e AS (SELECT n, 1 * r0 + 2 * r1 + 3 * r2 AS l2 FROM agg)
+SELECT n, CAST({k} AS INT) AS k, CAST(l2 AS BIGINT) AS l2,
+  CASE WHEN n > 0 THEN
+    round(CAST(l2 - CAST(n AS HUGEINT) * {k * (k + 1) * (k + 1) // 2}
+               AS DOUBLE)
+          / NULLIF(2.0 * sqrt(CAST(n AS DOUBLE) * {var_unit!r}), 0), 6)
+  END AS z
+FROM e
+"""
+
+
+@q("q361_page_trend", _q361_sql())
+def q361(spark, sf_dir):
+    """Page's L over each user's (click, view, purchase) activity
+    ranks with the declared order click < view < purchase — the
+    ordered-alternative companion of q324's Friedman (as q340's JT is
+    to q336's KW): position-weighted doubled rank totals keep L2 and
+    the centered numerator exact integers; one double division by the
+    closed-form no-tie null sd (the standard Page convention,
+    documented in the operator)."""
+    from ultraviolet_spark.operators.stats import page_trend_test
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(*[F.sum(F.when(F.col("event_type") == t, 1)
+                        .otherwise(0)).cast("double").alias(a)
+                  for t, a in [("click", "x0"), ("view", "x1"),
+                               ("purchase", "x2")]]))
+    return page_trend_test(per, cols=["x0", "x1", "x2"])
+
+
+@q("q362_lins_ccc", """
+WITH per AS (
+  SELECT user_id,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS x,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS y
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+    SUM(CAST(y AS HUGEINT) * y) AS syy,
+    SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM per),
+e AS (SELECT n,
+        2 * (CAST(n AS HUGEINT) * sxy - sx * sy) AS num,
+        (CAST(n AS HUGEINT) * sxx - sx * sx)
+          + (CAST(n AS HUGEINT) * syy - sy * sy)
+          + (sx - sy) * (sx - sy) AS den
+      FROM agg)
+SELECT n,
+  CASE WHEN den <> 0 THEN
+    round(CAST(num AS DOUBLE) / NULLIF(CAST(den AS DOUBLE), 0), 6)
+  END AS ccc
+FROM e
+""")
+def q362(spark, sf_dir):
+    """Lin's concordance correlation between each user's click and
+    view counts — continuous-paired AGREEMENT completing the family
+    (κ nominal q176, weighted κ ordinal q354, Krippendorff α q358):
+    unlike Pearson's r it penalizes scale/location shifts off the 45°
+    line.  Both sides ×n² make every term an exact DECIMAL(38,0)
+    integer; one double division."""
+    from ultraviolet_spark.operators.stats import lins_ccc
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                      .otherwise(0)).cast("double").alias("x"),
+                F.sum(F.when(F.col("event_type") == "view", 1)
+                      .otherwise(0)).cast("double").alias("y")))
+    return lins_ccc(per, x_col="x", y_col="y")
+
+
+@q("q363_theil_u", """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source),
+ma AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY a),
+mb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT CAST(SUM(CAST(round(
+           CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE)
+           * CAST(CAST(round((ln(CAST(CAST(n AS HUGEINT)
+                                     * n_ab AS DOUBLE))
+                              - ln(CAST(CAST(n_a AS HUGEINT)
+                                        * n_b AS DOUBLE))) * 1e6)
+                       AS BIGINT) AS DOUBLE)) AS BIGINT))
+         AS BIGINT) AS mi_micro
+  FROM cells JOIN ma USING (a) JOIN mb USING (b), tot),
+ha AS (
+  SELECT CAST(SUM(CAST(round(
+           CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)
+           * CAST(CAST(round((ln(CAST(n AS DOUBLE))
+                              - ln(CAST(n_a AS DOUBLE))) * 1e6)
+                       AS BIGINT) AS DOUBLE)) AS BIGINT))
+         AS BIGINT) AS h_a_micro
+  FROM ma, tot),
+hb AS (
+  SELECT CAST(SUM(CAST(round(
+           CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)
+           * CAST(CAST(round((ln(CAST(n AS DOUBLE))
+                              - ln(CAST(n_b AS DOUBLE))) * 1e6)
+                       AS BIGINT) AS DOUBLE)) AS BIGINT))
+         AS BIGINT) AS h_b_micro
+  FROM mb, tot)
+SELECT n, mi_micro, h_a_micro, h_b_micro,
+  round(CAST(mi_micro AS DOUBLE)
+        / NULLIF(CAST(h_a_micro AS DOUBLE), 0), 6) AS u_a_given_b,
+  round(CAST(mi_micro AS DOUBLE)
+        / NULLIF(CAST(h_b_micro AS DOUBLE), 0), 6) AS u_b_given_a,
+  round(2.0 * CAST(mi_micro AS DOUBLE)
+        / NULLIF(CAST(h_a_micro + h_b_micro AS DOUBLE), 0), 6) AS u_sym
+FROM mi, ha, hb, tot
+""")
+def q363(spark, sf_dir):
+    """Theil's uncertainty coefficient over document lang×source — the
+    normalized, [0,1], ASYMMETRIC view of q262's mutual information
+    (U(A|B) = I/H(A)), comparable across tables where raw nats and
+    even Cramér's V (symmetric) are not: the µ-nat snap-before-sum
+    discipline applied to I, H(A), H(B), then three single
+    divisions."""
+    from ultraviolet_spark.operators.stats import theil_u
+
+    return theil_u(_t(spark, sf_dir, "documents"),
+                   a_col="lang", b_col="source")
+
+
+@q("q364_gk_lambda", """
+WITH cells AS (
+  SELECT lang AS x, source AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source),
+mx AS (SELECT CAST(SUM(m) AS BIGINT) AS sum_mx
+       FROM (SELECT MAX(n_xy) AS m FROM cells GROUP BY x)),
+my AS (SELECT CAST(SUM(m) AS BIGINT) AS sum_my
+       FROM (SELECT MAX(n_xy) AS m FROM cells GROUP BY y)),
+rx AS (SELECT CAST(MAX(s) AS BIGINT) AS mode_x
+       FROM (SELECT SUM(n_xy) AS s FROM cells GROUP BY x)),
+ry AS (SELECT CAST(MAX(s) AS BIGINT) AS mode_y
+       FROM (SELECT SUM(n_xy) AS s FROM cells GROUP BY y)),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells)
+SELECT n,
+  CASE WHEN n > mode_y THEN
+    round(CAST(sum_mx - mode_y AS DOUBLE)
+          / NULLIF(CAST(n - mode_y AS DOUBLE), 0), 6)
+  END AS lambda_y_given_x,
+  CASE WHEN n > mode_x THEN
+    round(CAST(sum_my - mode_x AS DOUBLE)
+          / NULLIF(CAST(n - mode_x AS DOUBLE), 0), 6)
+  END AS lambda_x_given_y,
+  CASE WHEN 2 * n > mode_x + mode_y THEN
+    round(CAST(sum_mx + sum_my - mode_x - mode_y AS DOUBLE)
+          / NULLIF(CAST(2 * n - mode_x - mode_y AS DOUBLE), 0), 6)
+  END AS lambda_sym
+FROM tot, mx, my, rx, ry
+""")
+def q364(spark, sf_dir):
+    """Goodman–Kruskal λ over document lang×source — the modal-guess
+    ("proportional reduction in error") member of the nominal
+    dependence triple next to q333's Cramér's V and q363's Theil U;
+    reporting all three is the point, since λ can be exactly 0 under
+    real dependence when every conditional mode equals the marginal
+    mode.  Pure integers until three final divisions."""
+    from ultraviolet_spark.operators.stats import gk_lambda
+
+    return gk_lambda(_t(spark, sf_dir, "documents"),
+                     x_col="lang", y_col="source")
+
+
+@q("q365_stuart_tau_c", """
+WITH per AS (
+  SELECT user_id,
+         LEAST(SUM(CASE WHEN event_type = 'click'
+                        THEN 1 ELSE 0 END), 10) AS x,
+         LEAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END), 10) AS y
+  FROM events GROUP BY user_id),
+cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+          FROM per GROUP BY x, y),
+dims AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+                CAST(COUNT(DISTINCT y) AS BIGINT) AS c FROM cells),
+p AS (SELECT a.x AS xa, a.y AS ya, a.n AS na,
+             b.x AS xb, b.y AS yb, b.n AS nb
+      FROM cells a, cells b),
+agg AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN xa < xb AND ya < yb
+                      THEN CAST(na AS HUGEINT) * nb END), 0) AS cc,
+    COALESCE(SUM(CASE WHEN xa < xb AND ya > yb
+                      THEN CAST(na AS HUGEINT) * nb END), 0) AS dd
+  FROM p),
+e AS (SELECT nn, LEAST(r, c) AS m, cc, dd FROM agg, dims)
+SELECT nn AS n, CAST(m AS INT) AS m,
+  CAST(cc AS BIGINT) AS c, CAST(dd AS BIGINT) AS d,
+  CASE WHEN m >= 2 THEN
+    round(CAST(2 * CAST(m AS HUGEINT) * (cc - dd) AS DOUBLE)
+          / NULLIF(CAST(CAST(nn AS HUGEINT) * nn * (m - 1)
+                        AS DOUBLE), 0), 6)
+  END AS tau_c
+FROM e
+""")
+def q365(spark, sf_dir):
+    """Stuart's τ-c between per-user capped click and purchase counts
+    (q345's ordinal pair) — the rectangular-table completion of the
+    concordance family: γ ignores ties, Somers' D penalizes one side,
+    τ-c's min(r,c)/(min(r,c)−1) normalization reaches ±1 on
+    non-square tables where τ-b structurally cannot.  Same
+    metadata-sized cell-pair grid, one double division."""
+    from ultraviolet_spark.operators.stats import stuart_tau_c
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.least(F.sum(F.when(F.col("event_type") == "click", 1)
+                              .otherwise(0)), F.lit(10)).alias("x"),
+                F.least(F.sum(F.when(F.col("event_type") == "purchase",
+                                     1).otherwise(0)),
+                        F.lit(10)).alias("y")))
+    return stuart_tau_c(per, x_col="x", y_col="y")
