@@ -81,6 +81,8 @@ CROSS_OK = {
     "q89_pq_adc_top10",          # 1-row centroid-array frames per
                                  # subspace trainer (exact PQ, round 5)
     "q360_mood_median",          # 1-row bounds/median/totals frames
+    "q366_rich_club",            # |thresholds|-row literal frame ×2
+    "q367_partition_modularity",  # 1-row m frame per community term
     "q363_theil_u",              # 1-row corpus-total frame ×3 entropies
     "q364_gk_lambda",            # four 1-row modal/total frames
     "q365_stuart_tau_c",         # cell-pair grid (vocab-bounded, the

@@ -791,3 +791,120 @@ def degree_assortativity(edges: DataFrame, *, src: str = "src",
         num.cast("double") / nz(den.cast("double")), 6))
     return agg.select(F.expr("CAST(__M div 2 AS BIGINT)").alias("m_und"),
                       r.alias("r"))
+
+
+def rich_club(edges: DataFrame, *, thresholds: list[int],
+              src: str = "src", dst: str = "dst") -> DataFrame:
+    """Rich-club coefficient φ(k) per degree threshold — do the
+    high-degree domains preferentially link to EACH OTHER, on top of
+    what their degrees already force?  The hub-subgraph density view
+    next to :func:`degree_assortativity` (one global correlation) and
+    :func:`k_core` (membership): for each k in the caller's
+    ``thresholds``,
+
+        φ(k) = 2·E_k / (N_k·(N_k − 1))
+
+    with N_k = #nodes of degree > k and E_k = #undirected edges with
+    BOTH endpoints of degree > k.  φ rising with k = an oligarchy of
+    interlinked hubs; flat/falling = hubs are mere broadcasters.
+
+    Exactness: N_k, E_k are exact integer counts per threshold; φ is
+    one double division.  N_k < 2 → NULL φ (no possible edge).
+
+    Scale: one degree agg + two degree lookups on the canonical
+    undirected edge list, then one broadcast cross with the
+    |thresholds|-row literal frame (metadata-sized) and two
+    map-side-combined aggs keyed by k.  Output per threshold:
+    (k, n_k, e_k, phi).
+    """
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    spark = edges.sparkSession
+    ks = sorted(set(int(k) for k in thresholds))
+    tf = spark.createDataFrame([(k,) for k in ks], "k int")
+    und = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    nk = (deg.crossJoin(F.broadcast(tf))
+          .groupBy("k")
+          .agg(F.sum(F.when(F.col("d") > F.col("k"), 1).otherwise(0))
+               .cast("long").alias("n_k")))
+    j = (und.join(deg.select(F.col("node").alias("a"),
+                             F.col("d").alias("da")), "a")
+         .join(deg.select(F.col("node").alias("b"),
+                          F.col("d").alias("db")), "b"))
+    ek = (j.crossJoin(F.broadcast(tf))
+          .groupBy("k")
+          .agg(F.sum(F.when((F.col("da") > F.col("k"))
+                            & (F.col("db") > F.col("k")), 1)
+                     .otherwise(0)).cast("long").alias("e_k")))
+    out = nk.join(ek, "k")
+    phi = F.when(F.col("n_k") >= 2, F.round(
+        (2 * F.col("e_k")).cast("double")
+        / nz((F.col("n_k") * (F.col("n_k") - 1)).cast("double")), 6))
+    return out.select("k", "n_k", "e_k", phi.alias("phi"))
+
+
+def partition_modularity(edges: DataFrame, parts: DataFrame, *,
+                         src: str = "src", dst: str = "dst",
+                         node_col: str = "node",
+                         part_col: str = "community") -> DataFrame:
+    """Newman modularity Q of a GIVEN partition — the quality score
+    every community detector optimizes, exposed directly so any
+    labelling (label_propagation's output, a TLD grouping, a crawl
+    shard map) can be graded on the same scale:
+
+        Q = Σ_c [ e_c/m − (d_c / 2m)² ]
+          = Σ_c (4m·e_c − d_c²)  /  4m²
+
+    (e_c intra-community undirected edges, d_c total degree of c's
+    nodes, m total undirected edges).  The second form is the
+    exactness contract: every per-community numerator is an exact
+    DECIMAL(38,0) integer, their sum is order-independent, and Q is
+    ONE double division — no per-community float folds.  Unassigned
+    nodes form implicit singleton communities (their d_c² still
+    subtracts, the standard convention via a COALESCE to a
+    per-node sentinel).  m = 0 → NULL.
+
+    Scale: one degree agg + two partition lookups on the edge list +
+    one community agg; partition frame joins on node (broadcast when
+    small).  Output one row: (m, n_communities, q_modularity).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    und = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    p = parts.select(F.col(node_col).alias("node"),
+                     F.col(part_col).cast("string").alias("__c"))
+    labelled = (deg.join(p, "node", "left")
+                .withColumn("__c", F.coalesce(
+                    F.col("__c"),
+                    F.concat(F.lit("__singleton_"),
+                             F.col("node").cast("string")))))
+    dc = labelled.groupBy("__c").agg(F.sum("d").cast("long").alias("dc"))
+    ea = (und.join(labelled.select(F.col("node").alias("a"),
+                                   F.col("__c").alias("__ca")), "a")
+          .join(labelled.select(F.col("node").alias("b"),
+                                F.col("__c").alias("__cb")), "b"))
+    ec = (ea.filter(F.col("__ca") == F.col("__cb"))
+          .groupBy(F.col("__ca").alias("__c"))
+          .agg(F.count("*").cast("long").alias("ec")))
+    m = und.agg(F.count("*").cast("long").alias("m"))
+    per_c = (dc.join(ec, "__c", "left")
+             .withColumn("ec", F.coalesce("ec", F.lit(0).cast("long")))
+             .crossJoin(F.broadcast(m)))
+    num_c = (F.lit(4).cast("decimal(38,0)") * d38(F.col("m"))
+             * d38(F.col("ec")) - d38(F.col("dc")) * d38(F.col("dc")))
+    agg = per_c.agg(F.max("m").alias("m"),
+                    F.count("*").cast("long").alias("n_communities"),
+                    F.sum(num_c).alias("__num"))
+    den = F.lit(4).cast("decimal(38,0)") * d38(F.col("m")) * d38(F.col("m"))
+    qm = F.when(F.col("m") > 0, F.round(
+        F.col("__num").cast("double") / nz(den.cast("double")), 6))
+    return agg.select("m", "n_communities", qm.alias("q_modularity"))

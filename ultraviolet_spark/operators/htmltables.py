@@ -185,3 +185,75 @@ def dom_depth_profile(pages: DataFrame, *, html_col: str = "html",
                  .alias("max_depth"),
                  F.coalesce(F.sum("__d"), F.lit(0)).cast("long")
                  .alias("end_balance")))
+
+
+def heading_outline(pages: DataFrame, *, html_col: str = "html",
+                    id_col: str = "url") -> DataFrame:
+    """Per-page heading-outline profile from raw HTML — the document
+    STRUCTURE signal next to :func:`dom_depth_profile` (nesting) and
+    :func:`meta_tags` (metadata): a well-formed article walks h1→h2→h3
+    without skipping levels; machine chrome repeats h4s with no h1;
+    accessibility audits flag level SKIPS (h1 followed by h3) and
+    missing/multiple h1s.
+
+    Returns ``(id, n_headings, n_h1, first_level, max_skip)`` —
+    ``first_level`` the level of the first heading in document order
+    (NULL when none), ``max_skip`` the largest downward level jump
+    between CONSECUTIVE headings (h1→h3 = 2; ≤1 everywhere = clean
+    outline; NULL with < 2 headings).
+
+    Pure Catalyst: one ``regexp_extract_all`` for the level digits,
+    array arithmetic (zip_with of the array against its own tail) for
+    the jumps.  Scan-stage only — no shuffle, no UDF.
+    """
+    lv = F.transform(
+        F.regexp_extract_all(F.col(html_col).cast("string"),
+                             F.lit(r"(?is)<h([1-6])[\s>]"), F.lit(1)),
+        lambda s: s.cast("int"))
+    n = F.size(lv)
+    jumps = F.zip_with(F.slice(lv, 1, F.greatest(n - 1, F.lit(0))),
+                       F.slice(lv, 2, F.greatest(n - 1, F.lit(0))),
+                       lambda a, b: b - a)
+    return pages.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_headings"),
+        F.size(F.filter(lv, lambda x: x == 1)).cast("long")
+        .alias("n_h1"),
+        F.when(n > 0, F.element_at(lv, 1)).cast("int")
+        .alias("first_level"),
+        F.when(n >= 2, F.array_max(jumps)).cast("int")
+        .alias("max_skip"))
+
+
+def img_alt_coverage(pages: DataFrame, *, html_col: str = "html",
+                     id_col: str = "url") -> DataFrame:
+    """Per-page image alt-text coverage from raw HTML — the
+    accessibility/quality gate pipelines use to score pages before
+    trusting their media: ``(id, n_imgs, n_with_alt, coverage)`` with
+    coverage = n_with_alt/n_imgs (NULL when imageless).
+
+    An image counts as alt-covered iff its tag carries a NON-EMPTY
+    ``alt`` attribute whose name starts after whitespace or a quote —
+    the same anchored-attribute rule as :func:`meta_tags` (a bare \\b
+    would false-match ``data-alt=``), quotes single or double.
+    ``alt=""`` (the explicit decorative-image marker) counts as NOT
+    covered here, since the profile asks "does this image carry
+    text", not "is the markup valid".
+
+    Pure Catalyst: one regexp_extract_all for whole ``<img`` tags +
+    one per-tag filter regexp.  Scan-stage only.
+    """
+    tags = F.regexp_extract_all(
+        F.col(html_col).cast("string"),
+        F.lit(r"(?is)<img\s[^>]*>"), F.lit(0))
+    has_alt = (r'(?is)(?<=[\s"\x27])alt\s*=\s*'
+               r'["\x27][^"\x27]+["\x27]')
+    n = F.size(tags)
+    n_alt = F.size(F.filter(tags, lambda t: t.rlike(has_alt)))
+    nz = F.when(n > 0, n.cast("double"))
+    return pages.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_imgs"),
+        n_alt.cast("long").alias("n_with_alt"),
+        F.when(n > 0, F.round(n_alt.cast("double") / nz, 6))
+        .alias("coverage"))

@@ -4584,3 +4584,58 @@ def stuart_tau_c(df: DataFrame, *, x_col: str, y_col: str) -> DataFrame:
                       F.col("__c").cast("long").alias("c"),
                       F.col("__d").cast("long").alias("d"),
                       tau.alias("tau_c"))
+
+
+def turning_points_by_key(df: DataFrame, *, by: str, order_col: str,
+                          value_col: str,
+                          tiebreak_col: str) -> DataFrame:
+    """Turning-points randomness test per key — the SHAPE companion
+    to :func:`runs_test` (which needs a binary flag) and q326's
+    Durbin–Watson (lag-1 linear): an interior observation is a
+    turning point iff it is a STRICT local max or min over the
+    (order, tiebreak) total order; an i.i.d. series turns at 2/3 of
+    its interior points, a slow trend turns almost never, an
+    alternating series at every point — both tails are informative.
+
+        E[T] = 2(n−2)/3,   Var[T] = (16n − 29)/90
+        z = (3T − 2(n−2)) / (3·√Var)
+
+    Exactness: T is an exact integer count from one lag+lead pass
+    (ties with either neighbour are NOT turning points — strict
+    comparisons, the documented convention; the textbook moments
+    assume a tie-free continuous series, so with µ-snapped ties the
+    z is the usual conservative approximation).  The centered
+    numerator 3T − 2(n−2) stays an exact integer; ONE double
+    division.  n < 3 → NULL z.
+
+    Scale: one key-partitioned sort-window exchange + one
+    same-partitioning groupBy — the acf/runs shape.  Output per key:
+    (by, n, turns, z).
+    """
+    from pyspark.sql import Window
+
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    w = Window.partitionBy(by).orderBy(F.col(order_col).asc(),
+                                       F.col(tiebreak_col).asc())
+    v = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    base = df.select(F.col(by).alias("__k"), v.alias("__v"),
+                     F.col(order_col).alias("__o"),
+                     F.col(tiebreak_col).alias("__tb"))
+    w2 = Window.partitionBy("__k").orderBy(F.col("__o").asc(),
+                                           F.col("__tb").asc())
+    lagv = F.lag("__v").over(w2)
+    leadv = F.lead("__v").over(w2)
+    turn = F.when(lagv.isNotNull() & leadv.isNotNull()
+                  & (((F.col("__v") > lagv) & (F.col("__v") > leadv))
+                     | ((F.col("__v") < lagv)
+                        & (F.col("__v") < leadv))), 1).otherwise(0)
+    g = (base.withColumn("__t", turn)
+         .groupBy("__k")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("__t").cast("long").alias("turns")))
+    n = F.col("n")
+    num = (3 * F.col("turns") - 2 * (n - 2)).cast("double")
+    sd = F.sqrt((16 * n - 29).cast("double") / F.lit(90.0))
+    z = F.when((n >= 3) & ((16 * n - 29) > 0),
+               F.round(num / nz(F.lit(3.0) * sd), 6))
+    return g.select(F.col("__k").alias(by), "n", "turns", z.alias("z"))

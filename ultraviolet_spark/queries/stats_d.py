@@ -338,3 +338,208 @@ def q365(spark, sf_dir):
                                      1).otherwise(0)),
                         F.lit(10)).alias("y")))
     return stuart_tau_c(per, x_col="x", y_col="y")
+
+
+from ultraviolet_spark.queries.stats_c import _Q96_EDGES_CTE  # noqa: E402
+
+
+@q("q366_rich_club", f"""
+WITH {_Q96_EDGES_CTE},
+t AS (SELECT unnest([1, 2, 3, 4, 6, 8]) AS k),
+nk AS (SELECT k, CAST(SUM(CASE WHEN d > k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_k
+       FROM deg, t GROUP BY k),
+j AS (SELECT a, b, da.d AS da, db.d AS db
+      FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+ek AS (SELECT k, CAST(SUM(CASE WHEN da > k AND db > k THEN 1 ELSE 0
+                          END) AS BIGINT) AS e_k
+       FROM j, t GROUP BY k)
+SELECT nk.k, n_k, e_k,
+  CASE WHEN n_k >= 2 THEN
+    round(CAST(2 * e_k AS DOUBLE)
+          / NULLIF(CAST(n_k * (n_k - 1) AS DOUBLE), 0), 6)
+  END AS phi
+FROM nk JOIN ek USING (k)
+""")
+def q366(spark, sf_dir):
+    """Rich-club coefficient of the q96 domain graph per degree
+    threshold — do high-degree domains preferentially interlink
+    beyond what their degrees force (the hub-subgraph density view
+    next to q348's one-number assortativity and q239's k-core
+    membership): exact integer N_k/E_k per threshold off one degree
+    agg + the |thresholds|-row literal frame, one division each."""
+    from ultraviolet_spark.operators.graph import rich_club
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+         .unionAll(d.select(
+             (F.col("doc_id") % 101).alias("src"),
+             ((F.col("doc_id") * 13 + 5) % 101).alias("dst")))
+         .distinct())
+    return rich_club(e, thresholds=[1, 2, 3, 4, 6, 8])
+
+
+@q("q367_partition_modularity", f"""
+WITH {_Q96_EDGES_CTE},
+lab AS (SELECT node, d, CAST(node % 7 AS VARCHAR) AS c FROM deg),
+dc AS (SELECT c, CAST(SUM(d) AS BIGINT) AS dcs FROM lab GROUP BY c),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+ec AS (SELECT la.c AS c, CAST(COUNT(*) AS BIGINT) AS ecs
+       FROM und JOIN lab la ON la.node = a JOIN lab lb ON lb.node = b
+       WHERE la.c = lb.c GROUP BY la.c),
+per AS (SELECT dc.c, dc.dcs, COALESCE(ec.ecs, 0) AS ecs
+        FROM dc LEFT JOIN ec USING (c)),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               SUM(4 * CAST(m AS HUGEINT) * ecs
+                   - CAST(dcs AS HUGEINT) * dcs) AS num
+        FROM per, mm)
+SELECT m, n_communities,
+  CASE WHEN m > 0 THEN
+    round(CAST(num AS DOUBLE)
+          / NULLIF(CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE), 0), 6)
+  END AS q_modularity
+FROM agg, mm
+""")
+def q367(spark, sf_dir):
+    """Newman modularity of a GIVEN partition (node % 7 communities)
+    of the q96 domain graph — the score every community detector
+    optimizes, exposed so any labelling (q246's propagation output, a
+    TLD grouping, a shard map) grades on one scale: per-community
+    numerators 4m·e_c − d_c² exact DECIMAL(38,0) integers whose sum
+    is order-independent, ONE final division by 4m²."""
+    from ultraviolet_spark.operators.graph import partition_modularity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (d.select((F.col("doc_id") % 101).alias("src"),
+                  ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+         .unionAll(d.select(
+             (F.col("doc_id") % 101).alias("src"),
+             ((F.col("doc_id") * 13 + 5) % 101).alias("dst")))
+         .distinct())
+    parts = spark.range(101).select(
+        F.col("id").alias("node"),
+        (F.col("id") % 7).cast("string").alias("community"))
+    return partition_modularity(e, parts)
+
+
+@q("q368_turning_points", """
+WITH base AS (
+  SELECT user_id AS k, ts, event_id,
+         CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events),
+st AS (
+  SELECT k, v,
+         lag(v) OVER w AS pv, lead(v) OVER w AS nv
+  FROM base WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+g AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   AND ((v > pv AND v > nv) OR (v < pv AND v < nv))
+             THEN 1 ELSE 0 END) AS BIGINT) AS turns
+  FROM st GROUP BY k)
+SELECT k AS user_id, n, turns,
+  CASE WHEN n >= 3 AND 16 * n - 29 > 0 THEN
+    round(CAST(3 * turns - 2 * (n - 2) AS DOUBLE)
+          / NULLIF(3.0 * sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0), 0),
+          6)
+  END AS z
+FROM g
+""")
+def q368(spark, sf_dir):
+    """Turning-points randomness test per user over event values —
+    the SHAPE companion of q325's runs test (binary flags) and
+    q326's Durbin–Watson (lag-1 linear): i.i.d. series turn at 2/3
+    of interior points, trends turn almost never, alternation at
+    every point.  Exact integer turn counts over the (ts, event_id)
+    total order, exact centered numerator 3T − 2(n−2), one double
+    division by the closed-form sd."""
+    from ultraviolet_spark.operators.stats import turning_points_by_key
+
+    return turning_points_by_key(_t(spark, sf_dir, "events"),
+                                 by="user_id", order_col="ts",
+                                 value_col="value",
+                                 tiebreak_col="event_id")
+
+
+@q("q369_heading_outline", """
+WITH d AS (SELECT doc_id AS i FROM documents)
+SELECT 'https://h.example/p/' || i AS id,
+  CAST(1 + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN i % 2 = 0 THEN 2 ELSE 1 END
+         + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_headings,
+  CAST(1 + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_h1,
+  CAST(CASE WHEN i % 5 = 0 THEN 6 ELSE 1 END AS INTEGER)
+    AS first_level,
+  CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS max_skip
+FROM d
+""")
+def q369(spark, sf_dir):
+    """Heading-outline profile (operators/htmltables.heading_outline)
+    over pages synthesized in Catalyst with a known structure — an
+    optional leading h6, an h1, a clean h2→h3 run on even pages vs an
+    h1→h3 LEVEL SKIP on odd ones, a second h1 on every third page;
+    the oracle recomputes counts, first level and the maximum
+    downward jump analytically per doc_id."""
+    from ultraviolet_spark.operators.htmltables import heading_outline
+
+    i = F.col("doc_id")
+    blank = F.lit("")
+    html = F.concat(
+        F.when(i % 5 == 0, F.lit("<h6 class='x'>p</h6>"))
+         .otherwise(blank),
+        F.lit("<h1>t</h1>"),
+        F.when(i % 2 == 0, F.lit("<h2>a</h2><h3>b</h3>"))
+         .otherwise(F.lit("<h3>c</h3>")),
+        F.when(i % 3 == 0, F.lit("<h1>z</h1>")).otherwise(blank))
+    pages = (_t(spark, sf_dir, "documents")
+             .select(F.concat(F.lit("https://h.example/p/"), i)
+                     .alias("url"), html.alias("html")))
+    return heading_outline(pages)
+
+
+@q("q370_img_alt_coverage", """
+WITH d AS (SELECT doc_id AS i FROM documents),
+e AS (
+  SELECT 'https://a.example/p/' || i AS id,
+    CASE WHEN i % 11 = 0 THEN 0
+         ELSE 1 + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END
+    END AS n_imgs,
+    CASE WHEN i % 11 = 0 THEN 0 ELSE 1 END AS n_with_alt
+  FROM d)
+SELECT id, CAST(n_imgs AS BIGINT) AS n_imgs,
+  CAST(n_with_alt AS BIGINT) AS n_with_alt,
+  CASE WHEN n_imgs > 0 THEN
+    round(CAST(n_with_alt AS DOUBLE) / CAST(n_imgs AS DOUBLE), 6)
+  END AS coverage
+FROM e
+""")
+def q370(spark, sf_dir):
+    """Image alt-text coverage (htmltables.img_alt_coverage) over
+    pages synthesized with the wild variants on the hook: one real
+    alt per page, a bare <img> on even pages, a data-alt DECOY on
+    every third (the q338 anchored-attribute rule — a bare word
+    boundary would count it), an explicit alt="" decorative marker on
+    every fourth (counts as NOT covered), and imageless pages on
+    every eleventh (NULL coverage)."""
+    from ultraviolet_spark.operators.htmltables import img_alt_coverage
+
+    i = F.col("doc_id")
+    blank = F.lit("")
+    html = F.when(i % 11 == 0, F.lit("<p>no images</p>")).otherwise(
+        F.concat(
+            F.lit("<img src='a.jpg' alt='pic "), i, F.lit("'>"),
+            F.when(i % 2 == 0, F.lit('<img src="b.jpg">'))
+             .otherwise(blank),
+            F.when(i % 3 == 0,
+                   F.lit('<img data-alt="x" src="c.jpg">'))
+             .otherwise(blank),
+            F.when(i % 4 == 0, F.lit('<img src="d.jpg" alt="">'))
+             .otherwise(blank)))
+    pages = (_t(spark, sf_dir, "documents")
+             .select(F.concat(F.lit("https://a.example/p/"), i)
+                     .alias("url"), html.alias("html")))
+    return img_alt_coverage(pages)
