@@ -250,3 +250,23 @@ def test_ewma_partitioning_invariant_and_order_driven(spark):
     rc = ewma_by_key(c, value_col="v", order_cols=["seq"],
                      by="user").collect()[0]
     assert rc["ewma_micro"] != ra["ewma_micro"]
+
+
+def test_asof_nearest_tie_prefers_backward_hand_case(spark):
+    """q371 contract: at EQUAL distance the nearest-direction as-of
+    takes the BACKWARD candidate (pandas merge_asof convention,
+    pinned empirically); a tolerance tighter than the tie distance
+    yields no match."""
+    from ultraviolet_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([("u", 1, 10)],
+                              "user_id string, event_id long, ts long")
+    r = spark.createDataFrame([("u", 8, 100.0), ("u", 12, 200.0)],
+                              "user_id string, ts long, v double")
+    got = asof_join(l, r, on="ts", by="user_id", value_cols=["v"],
+                    direction="nearest", num_buckets=2).head()
+    assert got["v"] == 100.0          # tie -> backward
+    tight = asof_join(l, r, on="ts", by="user_id", value_cols=["v"],
+                      direction="nearest", tolerance=1,
+                      num_buckets=2).head()
+    assert tight["v"] is None

@@ -543,3 +543,44 @@ def q370(spark, sf_dir):
              .select(F.concat(F.lit("https://a.example/p/"), i)
                      .alias("url"), html.alias("html")))
     return img_alt_coverage(pages)
+
+
+@q("q371_asof_nearest_tolerance", """
+WITH l AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, MAX(value) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts),
+c AS (SELECT l.user_id, l.event_id,
+             ABS(epoch_us(l.ts) - epoch_us(r.ts)) AS ad,
+             epoch_us(r.ts) AS rts, r.p_value
+      FROM l JOIN r ON r.user_id = l.user_id
+      WHERE ABS(epoch_us(l.ts) - epoch_us(r.ts)) <= 7200000000),
+p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_id
+                                   ORDER BY ad, rts) AS rn
+      FROM c)
+SELECT l.user_id, l.event_id, l.ts, p.p_value
+FROM l LEFT JOIN p ON p.user_id = l.user_id
+                  AND p.event_id = l.event_id AND p.rn = 1
+""")
+def q371(spark, sf_dir):
+    """NEAREST-direction as-of join with a ±2 h tolerance — the third
+    face of THE core operator (backward = q15/q51, forward = q209's
+    leakage probe): every click is enriched with the closest purchase
+    in EITHER direction within tolerance, ties to the BACKWARD
+    candidate (the pandas merge_asof convention, pinned empirically
+    and replayed by the oracle's (|Δ|, right-ts) ordering).  The right
+    side is deduped to one row per (user, ts) first — nearest is
+    ill-defined under duplicate right timestamps (position-dependent
+    in pandas), so the operator contract requires uniqueness."""
+    from ultraviolet_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts")
+    r = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id", "ts")
+         .agg(F.max("value").alias("p_value")))
+    return asof_join(l, r, on="ts", by="user_id",
+                     value_cols=["p_value"], direction="nearest",
+                     tolerance="2 hours")
