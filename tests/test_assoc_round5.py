@@ -224,3 +224,112 @@ def test_tau_c_rectangular_reaches_one_and_reference(spark):
                                 "x long, y long")
     assert stuart_tau_c(df3, x_col="x", y_col="y").head()["tau_c"] \
         is None
+
+
+# ----------------------------------------------- Jarque-Bera (r5 #2)
+
+def test_jarque_bera_gaussianish_vs_skewed(spark):
+    import random
+
+    from ultraviolet_spark.operators.stats import jarque_bera_by_group
+
+    rng = random.Random(11)
+    sym = [sum(rng.random() for _ in range(12)) - 6 for _ in range(800)]
+    skw = [rng.expovariate(1.0) for _ in range(800)]
+    rows = ([("sym", float(v)) for v in sym]
+            + [("skw", float(v)) for v in skw])
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {r["grp"]: r for r in jarque_bera_by_group(
+        df, value_col="v", group_col="grp").collect()}
+    # Irwin-Hall(12) is near-Gaussian: JB stays at the chi2(2) scale
+    assert got["sym"]["jb"] < 12
+    # exponential: skew ~2, excess kurt ~6 -> JB enormous
+    assert got["skw"]["skew"] > 1.2 and got["skw"]["jb"] > 200
+    const = spark.createDataFrame([("c", 2.0)] * 10, "grp string, v double")
+    assert jarque_bera_by_group(const, value_col="v",
+                                group_col="grp").head()["jb"] is None
+
+
+def test_jarque_bera_matches_python_reference(spark):
+    from ultraviolet_spark.operators.stats import jarque_bera_by_group
+
+    vs = [((i * 17) % 29) + 0.25 * (i % 7) for i in range(200)]
+    df = spark.createDataFrame([("a", float(v)) for v in vs],
+                               "grp string, v double")
+    got = jarque_bera_by_group(df, value_col="v",
+                               group_col="grp").head()
+    xs = [round(v * 1e2) for v in vs]
+    n, s1 = len(xs), sum(xs)
+    mu0, r = s1 // n, s1 % n
+    d = [x - mu0 for x in xs]
+    t1, t2 = sum(d), sum(v * v for v in d)
+    t3 = sum(v ** 3 for v in d)
+    t4 = sum(v ** 4 for v in d)
+    nd, dl = float(n), float(r) / float(n)
+    m2 = (t2 - 2.0 * dl * t1 + nd * dl * dl) / nd
+    m3 = (t3 - 3.0 * dl * t2 + 3.0 * dl * dl * t1
+          - nd * dl ** 3) / nd
+    m4 = (t4 - 4.0 * dl * t3 + 6.0 * dl * dl * t2
+          - 4.0 * dl ** 3 * t1 + nd * dl ** 4) / nd
+    g1 = m3 / (m2 * m2 ** 0.5)
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    assert got["skew"] == pytest.approx(g1, abs=2e-6)
+    assert got["kurt_excess"] == pytest.approx(g2, abs=2e-6)
+    assert got["jb"] == pytest.approx(jb, abs=2e-5)
+
+
+# ---------------------------------------------- Welch ANOVA (r5 #2)
+
+def test_welch_anova_fires_on_shift_not_on_spread(spark):
+    from ultraviolet_spark.operators.stats import welch_anova
+
+    base = [float((i * 7) % 13) for i in range(60)]
+    shifted = {"a": base, "b": [v + 30.0 for v in base],
+               "c": [v * 3 for v in base]}   # unequal variances too
+    rows = [(g, v) for g, vs in shifted.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = welch_anova(df, value_col="v", group_col="grp").head()
+    assert got["k"] == 3 and got["f_stat"] > 50
+    assert got["df1"] == 2 and got["df2"] > 10
+    same = [( "a", v) for v in base] + [("b", v) for v in base]
+    got2 = welch_anova(spark.createDataFrame(same, "grp string, v double"),
+                       value_col="v", group_col="grp").head()
+    assert got2["f_stat"] == pytest.approx(0.0, abs=1e-9)
+    # a zero-variance group -> NULL (Welch undefined)
+    degen = same + [("c", 5.0), ("c", 5.0)]
+    got3 = welch_anova(spark.createDataFrame(degen, "grp string, v double"),
+                       value_col="v", group_col="grp").head()
+    assert got3["f_stat"] is None
+
+
+# -------------------------------------------------- BY FDR (r5 #2)
+
+def test_by_more_conservative_than_bh_same_battery(spark):
+    from ultraviolet_spark.operators.stats import bh_fdr
+
+    import hashlib
+
+    def pm(uid):
+        h = int(hashlib.md5(f"{uid}:p".encode()).hexdigest()[:12], 16)
+        p0 = h // 281474977
+        sig = int(hashlib.md5(f"{uid}sig".encode()).hexdigest()[:2],
+                  16) < 26
+        return (p0 // 1000 if sig else p0) / 1e6
+
+    rows = [(f"u{i}", pm(f"u{i}")) for i in range(400)]
+    df = spark.createDataFrame(rows, "uid string, p double")
+    bh = bh_fdr(df, p_col="p", id_col="uid").toPandas()
+    by = bh_fdr(df, p_col="p", id_col="uid",
+                yekutieli=True).toPandas()
+    n_bh = int(bh["rejected"].sum())
+    n_by = int(by["rejected"].sum())
+    assert 0 < n_by <= n_bh          # BY pays the dependence tax
+    # BY rejections are a PREFIX-subset of BH's (same p ordering)
+    rej_bh = set(bh.loc[bh["rejected"], "test_id"])
+    rej_by = set(by.loc[by["rejected"], "test_id"])
+    assert rej_by <= rej_bh
+    # q-values scale by ~c(m) before the cap
+    merged = bh.merge(by, on="test_id", suffixes=("_bh", "_by"))
+    free = merged[merged["q_value_by"] < 0.9]
+    assert (free["q_value_by"] >= free["q_value_bh"]).all()

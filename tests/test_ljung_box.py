@@ -62,7 +62,12 @@ def test_large_cent_values_past_int64(spark):
     pin a 5k-event cent-scale series against the exact big-int
     reference, and prove the fixture bites by showing the wrapped
     int64 build of num disagrees with the exact one."""
-    vs = [((i * 9973) % 10007) + 5000 for i in range(5000)]
+    # ×5 scale pushes the lag-1 numerator itself past 2^63 (2.55e19),
+    # so per-operation int64 wrapping corrupts the FINAL value too —
+    # without that, modular arithmetic round-trips (wrapping
+    # intermediates is exact whenever the result fits, which is why a
+    # smaller fixture cannot demonstrate corruption)
+    vs = [(((i * 9973) % 10007) + 5000) * 5 for i in range(5000)]
     n, L = len(vs), 3
     s = sum(vs)
     s2 = sum(v * v for v in vs)

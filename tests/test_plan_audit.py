@@ -73,6 +73,7 @@ CROSS_OK = {
     "q274_empirical_bayes_rates",  # 1-row fitted (α, β) prior frame
     "q275_ratio_metric_se",      # 1-row totals frame × 64-bucket frame
     "q276_bh_fdr",               # 1-row m-total × 1-row crossing-k frames
+    "q374_by_fdr",               # same + the 1-row harmonic-Cµ frame
     "q277_kmeans_fixed",         # 1-row broadcast centroid-array frame
     "q52_ivf_ann_top10",         # 1-row centroid-array + nprobe-row
                                  # probe frames (exact IVF, round 4)

@@ -1296,7 +1296,7 @@ def ratio_jackknife(df: DataFrame, *, num_col: str, den_col: str,
 
 def bh_fdr(df: DataFrame, *, p_col: str, id_col: str,
            alpha_num: int = 1, alpha_den: int = 20,
-           n_buckets: int = 64) -> DataFrame:
+           n_buckets: int = 64, yekutieli: bool = False) -> DataFrame:
     """Benjamini–Hochberg FDR control over a battery of m hypothesis
     tests — the multiple-comparisons discipline every per-key test
     operator here (chi², log-rank, KS, SPRT batteries) needs before
@@ -1326,6 +1326,17 @@ def bh_fdr(df: DataFrame, *, p_col: str, id_col: str,
     Rows with NULL p or p outside [0, 1] are not tests and are
     excluded from the battery (m counts only valid rows).
 
+    ``yekutieli=True`` applies the Benjamini–Yekutieli correction for
+    ARBITRARY dependence: α is divided by the harmonic number
+    c(m) = Σ_{j≤m} 1/j.  c(m) is data-dependent, so it is computed
+    off the ranked battery itself as the exact integer micro-sum
+    Cµ = Σ_i round(10⁶/i) (each term snapped BEFORE the sum — the
+    µ-nat discipline — making Cµ an order-independent integer both
+    engines agree on bit-for-bit); the step-up comparison gains the
+    factor Cµ on the p side and 10⁶ on the i side, staying
+    all-integer, and q-values gain one (Cµ/10⁶) double factor in the
+    same fixed operand order.
+
     Output per test: (test_id, p, rank, m, rejected, q_value).
     """
     from pyspark.sql import Window
@@ -1353,13 +1364,28 @@ def bh_fdr(df: DataFrame, *, p_col: str, id_col: str,
     r = (r.join(F.broadcast(boff), "__b")
          .crossJoin(F.broadcast(tot))
          .withColumn("i", (F.col("__off") + F.col("__i_in")).cast("long")))
-    hit = (d38(F.col("__p")) * d38(F.col("__m")) * F.lit(a_den)
-           <= d38(F.col("i")) * F.lit(a_num) * F.lit(1_000_000))
-    # q_raw = m·p/i in micro units, snapped per element (the suffix
-    # min then runs over exact integers — order-independent)
-    q_raw = F.round(F.col("__m").cast("double")
-                    * F.col("__p").cast("double")
-                    / F.col("i").cast("double")).cast("long")
+    if yekutieli:
+        cmf = r.agg(F.sum(F.round(F.lit(1e6)
+                                  / F.col("i").cast("double"))
+                          .cast("long")).alias("__cmu"))
+        r = r.crossJoin(F.broadcast(cmf))
+        hit = (d38(F.col("__p")) * d38(F.col("__m")) * F.lit(a_den)
+               * d38(F.col("__cmu"))
+               <= d38(F.col("i")) * F.lit(a_num) * F.lit(1_000_000)
+               * F.lit(1_000_000).cast("decimal(38,0)"))
+        q_raw = F.round(F.col("__m").cast("double")
+                        * F.col("__p").cast("double")
+                        / F.col("i").cast("double")
+                        * (F.col("__cmu").cast("double") / F.lit(1e6))
+                        ).cast("long")
+    else:
+        hit = (d38(F.col("__p")) * d38(F.col("__m")) * F.lit(a_den)
+               <= d38(F.col("i")) * F.lit(a_num) * F.lit(1_000_000))
+        # q_raw = m·p/i in micro units, snapped per element (the suffix
+        # min then runs over exact integers — order-independent)
+        q_raw = F.round(F.col("__m").cast("double")
+                        * F.col("__p").cast("double")
+                        / F.col("i").cast("double")).cast("long")
     r = (r.withColumn("__hit", hit).withColumn("__q_raw", q_raw))
     kf = r.agg(F.max(F.when(F.col("__hit"), F.col("i"))).alias("__k"))
     w_sfx = (Window.partitionBy("__b").orderBy("__p", "test_id")
@@ -3404,7 +3430,9 @@ def ljung_box_by_key(df: DataFrame, *, key_col: str, order_col: str,
 
     Exactness: ρ_l = num_l/den from the ACF's exact integer
     machinery; Q is assembled as n(n+2)·(Σ_l num_l²/(n−l))/den² with
-    num² and den² in DECIMAL(38,0) (num crosses 2^53 squared far
+    num and den EXACT DECIMAL(38,0) integers whose squares collapse
+    to ONE double each (squaring in decimal overflows 38 digits at
+    |num| > 10^19 and raises in both engines; num crosses 2^53 far
     below real scales) and the lag sum written as the LITERAL
     left-associated expression t_1 + … + t_L — L is a compile-time
     constant, so both engines evaluate the identical fixed-order
@@ -3455,10 +3483,16 @@ def ljung_box_by_key(df: DataFrame, *, key_col: str, order_col: str,
         sa = d38(F.coalesce(F.col(f"sa{lag}"), F.lit(0)))
         sb = d38(F.coalesce(F.col(f"sb{lag}"), F.lit(0)))
         num = n * n * p - n * s * (sa + sb) + d38(nL - lag) * s * s
-        terms.append((num * num).cast("double")
-                     / nz((nL - lag).cast("double")))
+        # num is EXACT DECIMAL(38,0); its square would overflow 38
+        # digits at |num| > 10^19 (reached by value-scale ~5e4 cents ×
+        # 5k events) and RAISE in both engines — so the square
+        # collapses to ONE double (the q329 d² discipline): cast the
+        # exact integer once, square in double, identically mirrored
+        numd = num.cast("double")
+        terms.append(numd * numd / nz((nL - lag).cast("double")))
     sumt = reduce(lambda a, b: a + b, terms)
-    den2 = (den * den).cast("double")
+    dend = den.cast("double")
+    den2 = dend * dend
     q_lb = F.when((n > L) & (den > 0), F.round(
         (n * (n + 2)).cast("double") * sumt / nz(den2), 6))
     return g.select(F.col("__k").alias(key_col), "n",
@@ -4639,3 +4673,159 @@ def turning_points_by_key(df: DataFrame, *, by: str, order_col: str,
     z = F.when((n >= 3) & ((16 * n - 29) > 0),
                F.round(num / nz(F.lit(3.0) * sd), 6))
     return g.select(F.col("__k").alias(by), "n", "turns", z.alias("z"))
+
+
+def jarque_bera_by_group(df: DataFrame, *, value_col: str,
+                         group_col: str) -> DataFrame:
+    """Jarque–Bera normality test per group — the distribution-SHAPE
+    gate in front of every moment-based procedure here (Welch/ANOVA,
+    CUPED, the z-scored monitors): JB = n/6·(g1² + g2²/4) blows up
+    when skewness g1 or excess kurtosis g2 leave Gaussian territory.
+
+    Exactness (the two-pass integer-mean design): values snap to
+    CENTS (1e2 — the µ-snap's 4th powers overflow DECIMAL(38,0), cent
+    snap keeps Σd⁴ ≤ n·6·10^18, exact past 10^12 rows per group);
+    pass 1 takes exact (n, S1) per group and the INTEGER mean
+    μ0 = S1 div n; pass 2 computes centered power sums
+    T_k = Σ(x−μ0)^k as exact DECIMAL(38,0) integers (d is
+    spread-sized, not value-sized).  The residual shift
+    δ = (S1 mod n)/n ∈ [0,1) corrects T_k to true central moments via
+    the binomial shift — evaluated as ONE fixed-order double chain
+    per moment over exact integers, so cancellation is O(δ)-tiny and
+    both engines produce bit-identical doubles.  Zero variance or
+    n < 3 → NULL.
+
+    Scale: two map-side-combined group aggs + one broadcast k-row
+    mean frame joined back at scan stage — no window, no data-sized
+    structure.  Output per group: (group, n, skew, kurt_excess, jb).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    x = F.round(F.col(value_col).cast("double") * 1e2).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(x.isNotNull() & g.isNotNull())
+            .select(g.alias("__g"), x.alias("__x")))
+    p1 = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(d38(F.col("__x"))).alias("__s1"))
+    # S1 fits int64 up to ~1.8e14 cent-snapped rows per group (5e4·n),
+    # so the integer mean/remainder run in plain BIGINT arithmetic
+    p1 = p1.select(
+        "__g", "__n",
+        F.expr("CAST(CAST(__s1 AS BIGINT) div __n AS BIGINT)")
+        .alias("__mu0"),
+        F.expr("CAST(CAST(__s1 AS BIGINT) % __n AS BIGINT)")
+        .alias("__r"))
+    d = F.col("__x") - F.col("__mu0")
+    t = (base.join(F.broadcast(p1.select("__g", "__n", "__mu0", "__r")),
+                   "__g")
+         .groupBy("__g")
+         .agg(F.max("__n").alias("n"),
+              F.max("__r").alias("__rr"),
+              F.sum(d38(d)).alias("__t1"),
+              F.sum(d38(d) * d38(d)).alias("__t2"),
+              F.sum(d38(d) * d38(d) * d38(d)).alias("__t3"),
+              F.sum(d38(d) * d38(d) * d38(d) * d38(d)).alias("__t4")))
+    nd = F.col("n").cast("double")
+    dl = F.col("__rr").cast("double") / nd
+    t1, t2 = F.col("__t1").cast("double"), F.col("__t2").cast("double")
+    t3, t4 = F.col("__t3").cast("double"), F.col("__t4").cast("double")
+    m2 = (t2 - 2.0 * dl * t1 + nd * dl * dl) / nd
+    m3 = (t3 - 3.0 * dl * t2 + 3.0 * dl * dl * t1
+          - nd * dl * dl * dl) / nd
+    m4 = (t4 - 4.0 * dl * t3 + 6.0 * dl * dl * t2
+          - 4.0 * dl * dl * dl * t1 + nd * dl * dl * dl * dl) / nd
+    g1 = m3 / nz(m2 * F.sqrt(m2))
+    g2 = m4 / nz(m2 * m2) - 3.0
+    jb = nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    ok = (F.col("n") >= 3) & (m2 > 0)
+    return t.select(
+        F.col("__g").alias(group_col), "n",
+        F.when(ok, F.round(g1, 6)).alias("skew"),
+        F.when(ok, F.round(g2, 6)).alias("kurt_excess"),
+        F.when(ok, F.round(jb, 6)).alias("jb"))
+
+
+def welch_anova(df: DataFrame, *, value_col: str,
+                group_col: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA — the k-group
+    generalization of q299's Welch t-test, completing the location
+    ladder: q301's classical ANOVA assumes equal variances (the very
+    thing q317's Brown–Forsythe tests), Welch's F* weights each group
+    by n_g/s_g² so no pooling ever happens:
+
+        F* = [Σ w_g(x̄_g − x̄_w)² / (k−1)]
+             / [1 + 2(k−2)/(k²−1) · Λ],
+        Λ = Σ (1 − w_g/W)²/(n_g − 1),   df₂ = (k²−1)/(3Λ)
+
+    Exactness: per-group (n, S1, S2) are exact DECIMAL(38,0) off
+    µ-snapped values; mean and variance are one double division each
+    (variance numerator n·S2 − S1² exact); every cross-group sum (W,
+    Σw·x̄, the A and Λ sums) is an ORDERED left-fold over the SAME
+    sorted group array (the kruskal_wallis fold discipline), so both
+    engines walk identical fixed-order double chains.  Any group with
+    n_g < 2 or zero variance → NULL F* (Welch undefined); k < 2 →
+    NULL.
+
+    Scale: one k-row groupBy that folds to one row — no window, no
+    join.  Output one row: (k, n, f_stat, df1, df2).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    x = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(x.isNotNull() & g.isNotNull())
+            .select(g.alias("__g"), x.alias("__x")))
+    per = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum(d38(F.col("__x"))).alias("s1"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__x"))).alias("s2"))
+    arr = per.groupBy().agg(
+        F.count("*").cast("int").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.min("ng").alias("__minn"),
+        F.min((d38(F.col("ng")) * F.col("s2")
+               - F.col("s1") * F.col("s1")).cast("double")).alias("__minv"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("__g").cast("string").alias("g"),
+            F.col("ng").cast("double").alias("nd"),
+            # ANSI evaluates BOTH when-branches: degenerate groups
+            # (ng < 2, zero variance) must NULL the DENOMINATORS so
+            # the folds propagate NULL instead of raising /0
+            F.when(F.col("ng") >= 2,
+                   (F.col("ng") - 1).cast("double")).alias("nd1"),
+            (F.col("s1").cast("double") / F.col("ng").cast("double"))
+            .alias("mean"),
+            ((d38(F.col("ng")) * F.col("s2")
+              - F.col("s1") * F.col("s1")).cast("double")
+             / F.when(F.col("ng") >= 2,
+                      F.col("ng").cast("double")
+                      * (F.col("ng") - 1).cast("double"))).alias("var"))))
+        .alias("__a"))
+    a = F.col("__a")
+    w_of = lambda s: s["nd"] / F.when(s["var"] != 0, s["var"])  # noqa: E731
+    bigw = F.aggregate(a, F.lit(0.0), lambda acc, s: acc + w_of(s))
+    swm = F.aggregate(a, F.lit(0.0),
+                      lambda acc, s: acc + w_of(s) * s["mean"])
+    arr = arr.withColumn("__W", bigw).withColumn("__xw",
+                                                 swm / nz(bigw))
+    xw, W = F.col("__xw"), F.col("__W")
+    asum = F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, s: acc + w_of(s) * (s["mean"] - xw)
+        * (s["mean"] - xw))
+    lam = F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, s: acc + (1.0 - w_of(s) / W)
+        * (1.0 - w_of(s) / W) / s["nd1"])
+    k = F.col("k").cast("double")
+    f_stat = (asum / (k - 1.0)) / nz(
+        1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * lam)
+    df2 = (k * k - 1.0) / nz(3.0 * lam)
+    ok = (F.col("k") >= 2) & (F.col("__minn") >= 2) & (F.col("__minv") > 0)
+    return arr.select(
+        "k", "n",
+        F.when(ok, F.round(f_stat, 6)).alias("f_stat"),
+        F.when(F.col("k") >= 2, (F.col("k") - 1).cast("long"))
+        .alias("df1"),
+        F.when(ok, F.round(df2, 6)).alias("df2"))

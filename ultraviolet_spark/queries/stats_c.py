@@ -971,13 +971,13 @@ e AS (
 SELECT user_id, n,
   CASE WHEN n > 3 AND den > 0 THEN
     round(CAST(n * (n + 2) AS DOUBLE)
-          * (CAST(m1 * m1 AS DOUBLE)
+          * (CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE)
                / NULLIF(CAST(n - 1 AS DOUBLE), 0)
-             + CAST(m2 * m2 AS DOUBLE)
+             + CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)
                / NULLIF(CAST(n - 2 AS DOUBLE), 0)
-             + CAST(m3 * m3 AS DOUBLE)
+             + CAST(m3 AS DOUBLE) * CAST(m3 AS DOUBLE)
                / NULLIF(CAST(n - 3 AS DOUBLE), 0))
-          / NULLIF(CAST(CAST(den AS HUGEINT) * den AS DOUBLE), 0), 6)
+          / NULLIF(CAST(den AS DOUBLE) * CAST(den AS DOUBLE), 0), 6)
   END AS q_lb
 FROM e
 """)

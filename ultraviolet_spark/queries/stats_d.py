@@ -584,3 +584,208 @@ def q371(spark, sf_dir):
     return asof_join(l, r, on="ts", by="user_id",
                      value_cols=["p_value"], direction="nearest",
                      tolerance="2 hours")
+
+
+@q("q372_jarque_bera", """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 1e2) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+p1 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS BIGINT) AS s1
+       FROM base GROUP BY g),
+p2 AS (SELECT g, n, s1 // n AS mu0, s1 % n AS r FROM p1),
+t AS (SELECT b.g, MAX(p2.n) AS n, MAX(p2.r) AS rr,
+        SUM(CAST(b.x - p2.mu0 AS HUGEINT)) AS t1,
+        SUM(CAST(b.x - p2.mu0 AS HUGEINT) * (b.x - p2.mu0)) AS t2,
+        SUM(CAST(b.x - p2.mu0 AS HUGEINT) * (b.x - p2.mu0)
+            * (b.x - p2.mu0)) AS t3,
+        SUM(CAST(b.x - p2.mu0 AS HUGEINT) * (b.x - p2.mu0)
+            * (b.x - p2.mu0) * (b.x - p2.mu0)) AS t4
+      FROM base b JOIN p2 ON p2.g = b.g GROUP BY b.g),
+e AS (SELECT g, n,
+        CAST(n AS DOUBLE) AS nd,
+        CAST(rr AS DOUBLE) / CAST(n AS DOUBLE) AS dl,
+        CAST(t1 AS DOUBLE) AS t1d, CAST(t2 AS DOUBLE) AS t2d,
+        CAST(t3 AS DOUBLE) AS t3d, CAST(t4 AS DOUBLE) AS t4d
+      FROM t),
+mm AS (SELECT g, n, nd,
+        (t2d - 2.0 * dl * t1d + nd * dl * dl) / nd AS m2,
+        (t3d - 3.0 * dl * t2d + 3.0 * dl * dl * t1d
+         - nd * dl * dl * dl) / nd AS m3,
+        (t4d - 4.0 * dl * t3d + 6.0 * dl * dl * t2d
+         - 4.0 * dl * dl * dl * t1d + nd * dl * dl * dl * dl) / nd
+          AS m4
+       FROM e),
+s AS (SELECT g, n, nd, m2,
+        m3 / NULLIF(m2 * sqrt(m2), 0) AS g1,
+        m4 / NULLIF(m2 * m2, 0) - 3.0 AS g2
+      FROM mm)
+SELECT g AS event_type, n,
+  CASE WHEN n >= 3 AND m2 > 0 THEN round(g1, 6) END AS skew,
+  CASE WHEN n >= 3 AND m2 > 0 THEN round(g2, 6) END AS kurt_excess,
+  CASE WHEN n >= 3 AND m2 > 0 THEN
+    round(nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6)
+  END AS jb
+FROM s
+""")
+def q372(spark, sf_dir):
+    """Jarque–Bera normality per event type — the distribution-SHAPE
+    gate in front of every moment-based procedure (q299/q301 assume
+    roughly Gaussian errors; JB says when that's fiction): two-pass
+    integer-mean centering keeps all four centered power sums exact
+    DECIMAL(38,0) integers (cent snap — µ-snap 4th powers overflow),
+    the δ-shift correction and skew/kurtosis run as ONE fixed-order
+    double chain per moment, replayed operand-for-operand by the
+    oracle."""
+    from ultraviolet_spark.operators.stats import jarque_bera_by_group
+
+    return jarque_bera_by_group(_t(spark, sf_dir, "events"),
+                                value_col="value",
+                                group_col="event_type")
+
+
+@q("q373_welch_anova", """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+               SUM(CAST(x AS HUGEINT)) AS s1,
+               SUM(CAST(x AS HUGEINT) * x) AS s2
+        FROM base GROUP BY g),
+lst AS (SELECT CAST(COUNT(*) AS INTEGER) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         MIN(ng) AS minn,
+         MIN(CAST(CAST(ng AS HUGEINT) * s2 - s1 * s1 AS DOUBLE))
+           AS minv,
+         list(struct_pack(
+             nd := CAST(ng AS DOUBLE),
+             mean := CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE),
+             var := CAST(CAST(ng AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                    / (CAST(ng AS DOUBLE) * CAST(ng - 1 AS DOUBLE)))
+           ORDER BY g) AS a
+        FROM per),
+w1 AS (SELECT *,
+        list_reduce(list_prepend(0.0, list_transform(a,
+            s -> s.nd / s.var)), (x, y) -> x + y) AS bw,
+        list_reduce(list_prepend(0.0, list_transform(a,
+            s -> s.nd / s.var * s.mean)), (x, y) -> x + y) AS swm
+       FROM lst),
+w2 AS (SELECT *, swm / NULLIF(bw, 0) AS xw FROM w1),
+w3 AS (SELECT *,
+        list_reduce(list_prepend(0.0, list_transform(a,
+            s -> s.nd / s.var * (s.mean - xw) * (s.mean - xw))),
+            (x, y) -> x + y) AS asum,
+        list_reduce(list_prepend(0.0, list_transform(a,
+            s -> (1.0 - s.nd / s.var / bw)
+                 * (1.0 - s.nd / s.var / bw) / (s.nd - 1.0))),
+            (x, y) -> x + y) AS lam
+       FROM w2),
+f AS (SELECT k, n, minn, minv, lam,
+        (asum / (CAST(k AS DOUBLE) - 1.0))
+          / NULLIF(1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                   / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                   * lam, 0) AS fstat,
+        (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+          / NULLIF(3.0 * lam, 0) AS dd2
+      FROM w3)
+SELECT k, n,
+  CASE WHEN k >= 2 AND minn >= 2 AND minv > 0 THEN round(fstat, 6)
+  END AS f_stat,
+  CASE WHEN k >= 2 THEN CAST(k - 1 AS BIGINT) END AS df1,
+  CASE WHEN k >= 2 AND minn >= 2 AND minv > 0 THEN round(dd2, 6)
+  END AS df2
+FROM f
+""")
+def q373(spark, sf_dir):
+    """Welch's heteroscedastic one-way ANOVA across event-type value
+    distributions — k-group q299, completing the location ladder
+    (q301 classical ANOVA assumes the equal variances q317 tests for;
+    Welch never pools): exact per-group DECIMAL(38,0) (n, S1, S2),
+    every cross-group sum an ordered fold over the sorted group
+    array, replayed by the oracle's list_transform/list_reduce
+    chains."""
+    from ultraviolet_spark.operators.stats import welch_anova
+
+    return welch_anova(_t(spark, sf_dir, "events"),
+                       value_col="value", group_col="event_type")
+
+
+@q("q374_by_fdr", """
+WITH users AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid
+               FROM events),
+batt AS (
+  SELECT uid AS test_id,
+         CASE WHEN (((strpos('0123456789abcdef',
+                      substring(md5(uid || 'sig'), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                      substring(md5(uid || 'sig'), 2, 1)) - 1)) < 26)
+              THEN (CAST(CAST(('0x' || substr(md5(uid || ':' || 'p'),
+                                              1, 12)) AS UBIGINT)
+                    AS BIGINT) // 281474977) // 1000
+              ELSE CAST(CAST(('0x' || substr(md5(uid || ':' || 'p'),
+                                             1, 12)) AS UBIGINT)
+                   AS BIGINT) // 281474977
+         END AS p_micro
+  FROM users),
+ranked AS (
+  SELECT test_id, p_micro,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_micro, test_id) AS BIGINT)
+           AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM batt),
+hs AS (SELECT CAST(SUM(CAST(round(1000000.0 / CAST(i AS DOUBLE))
+                            AS BIGINT)) AS BIGINT) AS cmu
+       FROM ranked),
+h AS (
+  SELECT ranked.*, hs.cmu,
+         (CAST(p_micro AS HUGEINT) * m * 20 * cmu
+          <= CAST(i AS HUGEINT) * 1 * 1000000
+             * CAST(1000000 AS HUGEINT)) AS hit,
+         CAST(round(CAST(m AS DOUBLE) * CAST(p_micro AS DOUBLE)
+                    / CAST(i AS DOUBLE)
+                    * (CAST(cmu AS DOUBLE) / 1000000.0)) AS BIGINT)
+           AS q_raw
+  FROM ranked, hs),
+k AS (SELECT MAX(CASE WHEN hit THEN i END) AS k FROM h),
+sfx AS (
+  SELECT test_id, p_micro, i, m, q_raw,
+         MIN(q_raw) OVER (ORDER BY i DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS q_sfx
+  FROM h)
+SELECT sfx.test_id, round(CAST(sfx.p_micro AS DOUBLE) / 1e6, 6) AS p,
+       sfx.i AS rnk, sfx.m,
+       (k.k IS NOT NULL AND sfx.i <= COALESCE(k.k, -1)) AS rejected,
+       round(CAST(LEAST(sfx.q_sfx, 1000000) AS DOUBLE) / 1e6, 6)
+         AS q_value
+FROM sfx, k
+""")
+def q374(spark, sf_dir):
+    """Benjamini–Yekutieli FDR over q276's identical battery — the
+    ARBITRARY-dependence correction (per-key tests on overlapping
+    windows/shared traffic are NOT independent; BY divides α by the
+    harmonic number c(m), paid as extra conservatism): c(m) is
+    computed off the ranked battery itself as the exact integer
+    micro-sum Σ round(10⁶/i), so the step-up rule stays all-integer;
+    running BH (q276) and BY on the same battery shows exactly which
+    discoveries survive the dependence tax."""
+    from ultraviolet_spark.operators.corpus import md5_bucket256
+    from ultraviolet_spark.operators.stats import bh_fdr
+
+    users = (_t(spark, sf_dir, "events")
+             .select(F.col("user_id").cast("string").alias("uid"))
+             .distinct())
+    u48 = F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.col("uid"), F.lit("p")).cast("binary")),
+        1, 12), 16, 10).cast("long")
+    sig = md5_bucket256(F.col("uid"), "sig") < 26
+    batt = (users.withColumn("__u48", u48)
+            .withColumn("__pm0", F.expr("__u48 div 281474977"))
+            .withColumn("__pm", F.when(sig, F.expr("__pm0 div 1000"))
+                        .otherwise(F.col("__pm0")))
+            .select("uid",
+                    (F.col("__pm").cast("double") / F.lit(1e6))
+                    .alias("p")))
+    out = bh_fdr(batt, p_col="p", id_col="uid",
+                 alpha_num=1, alpha_den=20, yekutieli=True)
+    return out.withColumnRenamed("rank", "rnk")
