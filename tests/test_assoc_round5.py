@@ -333,3 +333,84 @@ def test_by_more_conservative_than_bh_same_battery(spark):
     merged = bh.merge(by, on="test_id", suffixes=("_bh", "_by"))
     free = merged[merged["q_value_by"] < 0.9]
     assert (free["q_value_by"] >= free["q_value_bh"]).all()
+
+
+# ------------------------------------------------ Jain fairness (r5 #3)
+
+def test_jains_fairness_even_vs_monopoly(spark):
+    from ultraviolet_spark.operators.stats import jains_fairness
+
+    even = [(f"g{i % 4}",) for i in range(40)]
+    df = spark.createDataFrame(even, "g string")
+    got = jains_fairness(df, by="g").head()
+    assert (got["n_groups"], got["total"]) == (4, 40)
+    assert got["fairness"] == 1.0
+    mono = [("a",)] * 97 + [("b",), ("c",), ("d",)]
+    got2 = jains_fairness(spark.createDataFrame(mono, "g string"),
+                          by="g").head()
+    # J -> ~(total)^2/(n*sum x^2): heavy monopoly ~ 1/n
+    assert got2["fairness"] < 0.3
+    # exact reference
+    xs = [97, 1, 1, 1]
+    want = sum(xs) ** 2 / (4 * sum(x * x for x in xs))
+    assert got2["fairness"] == pytest.approx(want, abs=1e-6)
+
+
+# ---------------------------------------------- decision stump (r5 #3)
+
+def test_decision_stump_finds_planted_threshold(spark):
+    from ultraviolet_spark.operators.stats import decision_stump
+
+    # label = 1 iff x > 7: the perfect split is at the largest
+    # candidate <= 7 (x <= 7 goes left)
+    rows = [(float(i % 20), 1 if (i % 20) > 7 else 0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    got = decision_stump(df, feature_col="x", label_expr="y").head()
+    assert got["threshold_micro"] == 7_000_000
+    assert got["pos_left"] == 0 and got["n_left"] == 80
+    # perfect split -> gain == parent entropy (micro-nats)
+    import math
+    n, p = 200, 120
+    h = math.log(n) - (p * math.log(p)
+                       + (n - p) * math.log(n - p)) / n
+    assert got["gain_micro"] == round(h * 1e6)
+    # pure labels -> zero gain at the smallest candidate
+    pure = spark.createDataFrame([(float(i), 1) for i in range(10)],
+                                 "x double, y int")
+    g2 = decision_stump(pure, feature_col="x", label_expr="y").head()
+    assert g2["gain_micro"] == 0 and g2["threshold_micro"] == 0
+
+
+# ------------------------------------------------ two-prop z (r5 #3)
+
+def test_two_prop_ztest_direction_clamp_and_reference(spark):
+    import math
+
+    from ultraviolet_spark.operators.stats import two_prop_ztest
+
+    rows = ([("a", 1)] * 60 + [("a", 0)] * 40
+            + [("b", 1)] * 30 + [("b", 0)] * 70)
+    df = spark.createDataFrame(rows, "g string, y int")
+    got = two_prop_ztest(df, group_col="g", group_a="a", group_b="b",
+                         success_expr="y").head()
+    assert (got["n_a"], got["s_a"], got["n_b"], got["s_b"]) \
+        == (100, 60, 100, 30)
+    # sequential reference with the same continuity correction
+    pa, pb, pbar = 0.6, 0.3, 0.45
+    cc = 0.5 * (0.01 + 0.01)
+    want = (abs(pa - pb) - cc) / math.sqrt(
+        pbar * (1 - pbar) * (0.01 + 0.01))
+    assert got["z"] == pytest.approx(want, abs=2e-6)
+    assert got["z"] > 3
+    # swapping arms negates
+    rev = two_prop_ztest(df, group_col="g", group_a="b", group_b="a",
+                         success_expr="y").head()
+    assert rev["z"] == pytest.approx(-got["z"], abs=1e-9)
+    # a difference SMALLER than the correction clamps to exactly 0
+    tiny = ([("a", 1)] + [("a", 0)] * 99
+            + [("b", 1)] + [("b", 0)] * 99)
+    g2 = two_prop_ztest(spark.createDataFrame(tiny, "g string, y int"),
+                        group_col="g", group_a="a", group_b="b",
+                        success_expr="y").head()
+    assert g2["z"] == 0.0

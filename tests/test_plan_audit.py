@@ -82,6 +82,8 @@ CROSS_OK = {
     "q89_pq_adc_top10",          # 1-row centroid-array frames per
                                  # subspace trainer (exact PQ, round 5)
     "q360_mood_median",          # 1-row bounds/median/totals frames
+    "q376_decision_stump",       # 1-row bounds + max-gain frames
+                                 # (two-phase prefix machinery)
     "q366_rich_club",            # |thresholds|-row literal frame ×2
     "q367_partition_modularity",  # 1-row m frame per community term
     "q363_theil_u",              # 1-row corpus-total frame ×3 entropies

@@ -4829,3 +4829,188 @@ def welch_anova(df: DataFrame, *, value_col: str,
         F.when(F.col("k") >= 2, (F.col("k") - 1).cast("long"))
         .alias("df1"),
         F.when(ok, F.round(df2, 6)).alias("df2"))
+
+
+def jains_fairness(df: DataFrame, *, by: str,
+                   weight_col: str | None = None) -> DataFrame:
+    """Jain's fairness index over per-group allocations — the ONE
+    number crawl/compute schedulers quote for "is the budget spread
+    evenly" (1 = perfectly even, 1/n = one group takes everything):
+
+        J = (Σx_g)² / (n·Σx_g²)
+
+    next to q294's Gini (rank-weighted inequality) and q256's
+    water-filling (which ENFORCES fairness; J measures it).
+
+    Exactness: group totals are exact integer counts (or exact sums
+    of an integer weight column); both Σx and Σx² accumulate in
+    DECIMAL(38,0) and J is ONE double division.  n = 0 or all-zero
+    allocations → NULL.
+
+    Scale: one map-side-combined groupBy + a one-row fold.
+    Output one row: (n_groups, total, fairness).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    w = (F.lit(1).cast("long") if weight_col is None
+         else F.col(weight_col).cast("long"))
+    per = (df.filter(F.col(by).isNotNull())
+           .groupBy(F.col(by).alias("__g"))
+           .agg(F.sum(w).cast("long").alias("__x")))
+    agg = per.agg(F.count("*").cast("long").alias("n_groups"),
+                  F.sum(d38(F.col("__x"))).alias("__s"),
+                  F.sum(d38(F.col("__x")) * d38(F.col("__x")))
+                  .alias("__s2"))
+    num = F.col("__s") * F.col("__s")
+    den = d38(F.col("n_groups")) * F.col("__s2")
+    j = F.when((F.col("n_groups") > 0) & (F.col("__s2") > 0), F.round(
+        num.cast("double") / nz(den.cast("double")), 6))
+    return agg.select("n_groups", F.col("__s").cast("long").alias("total"),
+                      j.alias("fairness"))
+
+
+def decision_stump(df: DataFrame, *, feature_col: str, label_expr: str,
+                   n_buckets: int = 64) -> DataFrame:
+    """Train a one-split decision stump by exact information gain —
+    the smallest possible supervised model, and the per-feature
+    screening score gradient-boosting/CART pipelines rank features by
+    (q205's χ² ranks by independence; the stump ranks by achievable
+    split QUALITY and also returns the threshold to use):
+
+        gain(v) = H(S) − (n_L/n)·H(S_L) − (n_R/n)·H(S_R),
+        split: feature ≤ v goes left.
+
+    Exactness: features µ-snap; per-distinct-value (count, positives)
+    pivot through the SHARED two-phase value-bucket prefix machinery
+    (no data-sized window — split candidates for a continuous feature
+    are ~n); each candidate's gain evaluates as one fixed-order
+    double over the exact integer (n_L, p_L, n, p) and snaps to
+    integer µ-nats BEFORE the argmax, so the winner is selected on
+    exact integers with ties to the SMALLEST threshold (two broadcast
+    one-row frames: max gain, then min v at that gain — never a
+    global window).  The rightmost value is excluded (empty right
+    child).  Pure-label inputs (p = 0 or p = n) report gain 0 at the
+    smallest candidate.
+
+    Output one row: (n, n_pos, threshold_micro, gain_micro,
+    n_left, pos_left).
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    x = F.round(F.col(feature_col).cast("double") * 1e6).cast("long")
+    y = F.expr(label_expr).cast("int")
+    base = (df.filter(x.isNotNull() & y.isNotNull())
+            .select(x.alias("__v"), y.alias("__y")))
+    pv = base.groupBy("__v").agg(
+        F.count("*").cast("long").alias("__m"),
+        F.sum("__y").cast("long").alias("__p"))
+    bounds = pv.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"),
+                    F.sum("__m").cast("long").alias("__n"),
+                    F.sum("__p").cast("long").alias("__np"))
+    g = (pv.crossJoin(F.broadcast(bounds))
+         .withColumn("__b", F.expr(
+             f"(__v - __lo) div ((__hi - __lo) div {B} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = (g.withColumn("__cm_in", F.sum("__m").over(w_in))
+         .withColumn("__cp_in", F.sum("__p").over(w_in)))
+    bt = g.groupBy("__b").agg(F.sum("__m").alias("__bm"),
+                              F.sum("__p").alias("__bp"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bt.select(
+        "__b",
+        F.coalesce(F.sum("__bm").over(w_b), F.lit(0)).alias("__om"),
+        F.coalesce(F.sum("__bp").over(w_b), F.lit(0)).alias("__op"))
+    g = (g.join(F.broadcast(boff), "__b")
+         .withColumn("__nl", F.col("__om") + F.col("__cm_in"))
+         .withColumn("__pl", F.col("__op") + F.col("__cp_in"))
+         .filter(F.col("__nl") < F.col("__n")))   # non-empty right child
+
+    def xlnx(c):
+        cd = c.cast("double")
+        return F.when(c > 0, cd * F.log(cd)).otherwise(F.lit(0.0))
+
+    def ent(c, m):
+        # H = ln m − (c·ln c + (m−c)·ln(m−c))/m, fixed operand order
+        md = m.cast("double")
+        return F.log(md) - (xlnx(c) + xlnx(m - c)) / md
+
+    n, p = F.col("__n"), F.col("__np")
+    nl, pl = F.col("__nl"), F.col("__pl")
+    nr, pr = n - nl, p - pl
+    gain = (ent(p, n)
+            - (nl.cast("double") * ent(pl, nl)
+               + nr.cast("double") * ent(pr, nr)) / n.cast("double"))
+    g = g.withColumn("__gain", F.round(gain * 1e6).cast("long"))
+    best = g.agg(F.max("__gain").alias("__gmax"))
+    win = (g.join(F.broadcast(best), g["__gain"] == best["__gmax"])
+           .agg(F.max("__n").alias("n"), F.max("__np").alias("n_pos"),
+                F.min("__v").alias("threshold_micro"),
+                F.max("__gmax").alias("gain_micro")))
+    at = (g.select("__v", "__nl", "__pl")
+          .withColumnRenamed("__v", "__tv"))
+    out = (win.join(F.broadcast(at),
+                    win["threshold_micro"] == at["__tv"])
+           .select("n", "n_pos", "threshold_micro", "gain_micro",
+                   F.col("__nl").alias("n_left"),
+                   F.col("__pl").alias("pos_left")))
+    return out
+
+
+def two_prop_ztest(df: DataFrame, *, group_col: str, group_a, group_b,
+                   success_expr: str,
+                   continuity: bool = True) -> DataFrame:
+    """Two-proportion z-test (pooled, optional Yates continuity
+    correction) — the A/B-basics companion to q328's Wilson intervals
+    (which bound each arm separately; this TESTS the difference) and
+    q318's McNemar (which needs paired units):
+
+        z = sign(p̂_a − p̂_b) ·
+            max(0, |p̂_a − p̂_b| − cc) / √(p̄(1−p̄)(1/n_a + 1/n_b)),
+        cc = (1/n_a + 1/n_b)/2 when ``continuity``.
+
+    Exactness: the four counts are exact int64; the difference
+    numerator clears to the exact integer |s_a·n_b − s_b·n_a| (in
+    DECIMAL(38,0) — it crosses int64 at ~3·10⁹ rows per arm) and
+    every remaining factor is one fixed-order double; the corrected
+    numerator clamps at 0 (a difference smaller than the correction
+    is NO evidence, not reversed evidence).  Degenerate arms (empty,
+    or pooled p ∈ {0, 1}) → NULL z.
+
+    Output one row: (n_a, s_a, n_b, s_b, p_a, p_b, z).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    s = F.expr(success_expr).cast("int")
+    g = F.col(group_col)
+    agg = (df.filter(g.isin([group_a, group_b]) & s.isNotNull())
+           .agg(F.sum(F.when(g == group_a, 1).otherwise(0))
+                .cast("long").alias("n_a"),
+                F.sum(F.when(g == group_a, s).otherwise(0))
+                .cast("long").alias("s_a"),
+                F.sum(F.when(g == group_b, 1).otherwise(0))
+                .cast("long").alias("n_b"),
+                F.sum(F.when(g == group_b, s).otherwise(0))
+                .cast("long").alias("s_b")))
+    na, sa = F.col("n_a"), F.col("s_a")
+    nb, sb = F.col("n_b"), F.col("s_b")
+    nad, nbd = na.cast("double"), nb.cast("double")
+    diff_num = d38(sa) * d38(nb) - d38(sb) * d38(na)   # exact integer
+    absdiff = F.abs(diff_num.cast("double")) / nz(nad * nbd)
+    cc = (F.lit(0.5) * (1.0 / nad + 1.0 / nbd) if continuity
+          else F.lit(0.0))
+    corrected = F.greatest(absdiff - cc, F.lit(0.0))
+    pbar = (sa + sb).cast("double") / nz((na + nb).cast("double"))
+    se = F.sqrt(pbar * (1.0 - pbar) * (1.0 / nad + 1.0 / nbd))
+    sign = F.when(diff_num > 0, F.lit(1.0)) \
+            .when(diff_num < 0, F.lit(-1.0)).otherwise(F.lit(0.0))
+    ok = (na > 0) & (nb > 0) & (sa + sb > 0) & (sa + sb < na + nb)
+    z = F.when(ok, F.round(sign * corrected / nz(se), 6))
+    return agg.select(
+        "n_a", "s_a", "n_b", "s_b",
+        F.when(na > 0, F.round(sa.cast("double") / nz(nad), 6))
+        .alias("p_a"),
+        F.when(nb > 0, F.round(sb.cast("double") / nz(nbd), 6))
+        .alias("p_b"),
+        z.alias("z"))

@@ -789,3 +789,144 @@ def q374(spark, sf_dir):
     out = bh_fdr(batt, p_col="p", id_col="uid",
                  alpha_num=1, alpha_den=20, yekutieli=True)
     return out.withColumnRenamed("rank", "rnk")
+
+
+@q("q375_jains_fairness", """
+WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS x
+             FROM documents WHERE source IS NOT NULL GROUP BY source),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               SUM(CAST(x AS HUGEINT)) AS s,
+               SUM(CAST(x AS HUGEINT) * x) AS s2
+        FROM per)
+SELECT n_groups, CAST(s AS BIGINT) AS total,
+  CASE WHEN n_groups > 0 AND s2 > 0 THEN
+    round(CAST(s * s AS DOUBLE)
+          / NULLIF(CAST(CAST(n_groups AS HUGEINT) * s2 AS DOUBLE), 0),
+          6)
+  END AS fairness
+FROM agg
+""")
+def q375(spark, sf_dir):
+    """Jain's fairness index over per-source document allocation —
+    the scheduler's one-number evenness score next to q294's Gini
+    (inequality) and q256's water-filling (enforcement): exact
+    DECIMAL(38,0) Σx and Σx², one double division."""
+    from ultraviolet_spark.operators.stats import jains_fairness
+
+    return jains_fairness(_t(spark, sf_dir, "documents"), by="source")
+
+
+@q("q376_decision_stump", """
+WITH base AS (
+  SELECT CAST(round(value * 1e6) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL),
+pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS m,
+              CAST(SUM(y) AS BIGINT) AS p
+       FROM base GROUP BY v),
+tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+               CAST(SUM(p) AS BIGINT) AS np FROM pv),
+c AS (SELECT v,
+        CAST(SUM(m) OVER w AS BIGINT) AS nl,
+        CAST(SUM(p) OVER w AS BIGINT) AS pl
+      FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)),
+g AS (SELECT v, nl, pl, n, np FROM c, tot WHERE nl < n),
+e AS (SELECT v, nl, pl, n, np,
+  CAST(round((
+    (ln(CAST(n AS DOUBLE))
+     - ((CASE WHEN np > 0 THEN CAST(np AS DOUBLE)
+              * ln(CAST(np AS DOUBLE)) ELSE 0.0 END)
+        + (CASE WHEN n - np > 0 THEN CAST(n - np AS DOUBLE)
+                * ln(CAST(n - np AS DOUBLE)) ELSE 0.0 END))
+       / CAST(n AS DOUBLE))
+    - (CAST(nl AS DOUBLE)
+       * (ln(CAST(nl AS DOUBLE))
+          - ((CASE WHEN pl > 0 THEN CAST(pl AS DOUBLE)
+                   * ln(CAST(pl AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN nl - pl > 0 THEN CAST(nl - pl AS DOUBLE)
+                     * ln(CAST(nl - pl AS DOUBLE)) ELSE 0.0 END))
+            / CAST(nl AS DOUBLE))
+       + CAST(n - nl AS DOUBLE)
+       * (ln(CAST(n - nl AS DOUBLE))
+          - ((CASE WHEN np - pl > 0 THEN CAST(np - pl AS DOUBLE)
+                   * ln(CAST(np - pl AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN (n - nl) - (np - pl) > 0
+                     THEN CAST((n - nl) - (np - pl) AS DOUBLE)
+                     * ln(CAST((n - nl) - (np - pl) AS DOUBLE))
+                     ELSE 0.0 END))
+            / CAST(n - nl AS DOUBLE)))
+      / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS gain
+  FROM g),
+mx AS (SELECT MAX(gain) AS gmax FROM e),
+win AS (SELECT MIN(v) AS threshold_micro FROM e, mx WHERE gain = gmax)
+SELECT t.n, t.np AS n_pos, w.threshold_micro, mx.gmax AS gain_micro,
+       e.nl AS n_left, e.pl AS pos_left
+FROM e JOIN win w ON e.v = w.threshold_micro, mx, tot t
+""")
+def q376(spark, sf_dir):
+    """One-split decision stump on event value predicting
+    is-purchase — exact information-gain training (the per-feature
+    screening score CART/GBDT pipelines rank by, PLUS the usable
+    threshold; q205's χ² only ranks): split candidates through the
+    shared two-phase prefix machinery, per-candidate gains snapped to
+    integer µ-nats BEFORE the argmax, ties to the smallest threshold
+    via two one-row frames (never a global window)."""
+    from ultraviolet_spark.operators.stats import decision_stump
+
+    return decision_stump(
+        _t(spark, sf_dir, "events"), feature_col="value",
+        label_expr="CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+
+
+@q("q377_two_prop_ztest", """
+WITH agg AS (SELECT
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_a,
+  CAST(SUM(CASE WHEN event_type = 'click' AND value > 100
+           THEN 1 ELSE 0 END) AS BIGINT) AS s_a,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_b,
+  CAST(SUM(CASE WHEN event_type = 'view' AND value > 100
+           THEN 1 ELSE 0 END) AS BIGINT) AS s_b
+  FROM events WHERE event_type IN ('click', 'view')),
+e AS (SELECT *,
+        CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a
+          AS dn,
+        CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+      FROM agg),
+f AS (SELECT *,
+        abs(CAST(dn AS DOUBLE)) / NULLIF(nad * nbd, 0) AS absdiff,
+        0.5 * (1.0 / nad + 1.0 / nbd) AS cc,
+        CAST(s_a + s_b AS DOUBLE)
+          / NULLIF(CAST(n_a + n_b AS DOUBLE), 0) AS pbar
+      FROM e)
+SELECT n_a, s_a, n_b, s_b,
+  CASE WHEN n_a > 0 THEN
+    round(CAST(s_a AS DOUBLE) / NULLIF(nad, 0), 6) END AS p_a,
+  CASE WHEN n_b > 0 THEN
+    round(CAST(s_b AS DOUBLE) / NULLIF(nbd, 0), 6) END AS p_b,
+  CASE WHEN n_a > 0 AND n_b > 0 AND s_a + s_b > 0
+        AND s_a + s_b < n_a + n_b THEN
+    round((CASE WHEN dn > 0 THEN 1.0 WHEN dn < 0 THEN -1.0
+           ELSE 0.0 END)
+          * GREATEST(absdiff - cc, 0.0)
+          / NULLIF(sqrt(pbar * (1.0 - pbar)
+                        * (1.0 / nad + 1.0 / nbd)), 0), 6)
+  END AS z
+FROM f
+""")
+def q377(spark, sf_dir):
+    """Two-proportion z-test (pooled, Yates-corrected) for the
+    high-value rate of clicks vs views — the unpaired A/B basic next
+    to q328's per-arm Wilson intervals and q318's paired McNemar:
+    exact integer counts, the difference numerator cleared to the
+    exact DECIMAL(38,0) integer s_a·n_b − s_b·n_a, the corrected
+    numerator clamped at zero, one fixed-order double chain."""
+    from ultraviolet_spark.operators.stats import two_prop_ztest
+
+    return two_prop_ztest(_t(spark, sf_dir, "events"),
+                          group_col="event_type", group_a="click",
+                          group_b="view",
+                          success_expr="CASE WHEN value > 100 "
+                                       "THEN 1 ELSE 0 END")
