@@ -414,3 +414,30 @@ def test_two_prop_ztest_direction_clamp_and_reference(spark):
                         group_col="g", group_a="a", group_b="b",
                         success_expr="y").head()
     assert g2["z"] == 0.0
+
+
+# ------------------------------------------------ Cliff delta (r5 #3)
+
+def test_cliffs_delta_separation_overlap_and_reference(spark):
+    from ultraviolet_spark.operators.stats import cliffs_delta
+
+    rows = ([("a", float(v)) for v in range(10)]
+            + [("b", float(v) + 100) for v in range(10)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = cliffs_delta(df, value_col="v", group_col="g",
+                       group_a="a", group_b="b").head()
+    assert got["delta"] == -1.0 and got["magnitude"] == "large"
+    same = ([("a", float(v % 5)) for v in range(20)]
+            + [("b", float(v % 5)) for v in range(20)])
+    g2 = cliffs_delta(spark.createDataFrame(same, "g string, v double"),
+                      value_col="v", group_col="g",
+                      group_a="a", group_b="b").head()
+    assert g2["delta"] == 0.0 and g2["magnitude"] == "negligible"
+    # hand reference with ties: a = [1,2,2], b = [2,3]
+    hand = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    g3 = cliffs_delta(spark.createDataFrame(hand, "g string, v double"),
+                      value_col="v", group_col="g",
+                      group_a="a", group_b="b").head()
+    gt = sum(1 for x in [1, 2, 2] for y in [2, 3] if x > y)
+    lt = sum(1 for x in [1, 2, 2] for y in [2, 3] if x < y)
+    assert g3["delta"] == pytest.approx((gt - lt) / 6, abs=1e-6)

@@ -84,6 +84,8 @@ CROSS_OK = {
     "q360_mood_median",          # 1-row bounds/median/totals frames
     "q376_decision_stump",       # 1-row bounds + max-gain frames
                                  # (two-phase prefix machinery)
+    "q378_cliffs_delta",         # 1-row value-bounds frame (the shared
+                                 # ks_mw two-phase machinery)
     "q366_rich_club",            # |thresholds|-row literal frame ×2
     "q367_partition_modularity",  # 1-row m frame per community term
     "q363_theil_u",              # 1-row corpus-total frame ×3 entropies

@@ -5014,3 +5014,41 @@ def two_prop_ztest(df: DataFrame, *, group_col: str, group_a, group_b,
         F.when(nb > 0, F.round(sb.cast("double") / nz(nbd), 6))
         .alias("p_b"),
         z.alias("z"))
+
+
+def cliffs_delta(df: DataFrame, *, value_col: str, group_col: str,
+                 group_a, group_b, n_buckets: int = 64) -> DataFrame:
+    """Cliff's δ ordinal effect size — the MAGNITUDE companion to the
+    Mann–Whitney test (q253 answers "is there a shift?"; δ answers
+    "how big, on a scale that ignores units and outliers"):
+
+        δ = (#(a > b) − #(a < b)) / (n_a·n_b)  =  (U2 − n_a·n_b)/(n_a·n_b)
+
+    with U2 the doubled half-credit-tie rank statistic the shared
+    :func:`ks_mw_tests` machinery already computes exactly — δ is
+    derived from those exact integers with ONE division, plus the
+    conventional magnitude bucket (|δ| < .147 negligible / < .33
+    small / < .474 medium / else large, thresholds applied to the
+    identical unrounded double in both engines).
+
+    Scale: exactly ks_mw_tests' shape (two-phase bucketed cumsum, no
+    data-sized window).  Empty arm → NULL δ.  Output one row:
+    (n_a, n_b, u2_a, delta, magnitude).
+    """
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    base = ks_mw_tests(df, value_col=value_col, group_col=group_col,
+                       group_a=group_a, group_b=group_b,
+                       n_buckets=n_buckets)
+    prod = (F.col("n_a") * F.col("n_b")).cast("double")
+    d = (F.col("u2_a") - F.col("n_a") * F.col("n_b")).cast("double") \
+        / nz(prod)
+    absd = F.abs(d)
+    mag = (F.when(absd < 0.147, F.lit("negligible"))
+           .when(absd < 0.33, F.lit("small"))
+           .when(absd < 0.474, F.lit("medium"))
+           .otherwise(F.lit("large")))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return base.select(
+        "n_a", "n_b", "u2_a",
+        F.when(ok, F.round(d, 6)).alias("delta"),
+        F.when(ok, mag).alias("magnitude"))

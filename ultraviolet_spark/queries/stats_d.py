@@ -930,3 +930,52 @@ def q377(spark, sf_dir):
                           group_b="view",
                           success_expr="CASE WHEN value > 100 "
                                        "THEN 1 ELSE 0 END")
+
+
+@q("q378_cliffs_delta", """
+WITH base AS (
+  SELECT CAST(round(value * 1e6) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS g
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+per AS (SELECT v,
+          CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+            AS ca,
+          CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+            AS cb
+        FROM base GROUP BY v),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb FROM per),
+c AS (SELECT v, ca, cb,
+        CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cumb
+      FROM per),
+u AS (SELECT CAST(SUM(ca * (2 * (cumb - cb) + cb)) AS BIGINT) AS u2
+      FROM c),
+e AS (SELECT na, nb, u2,
+        CAST(u2 - na * nb AS DOUBLE)
+          / NULLIF(CAST(na * nb AS DOUBLE), 0) AS d
+      FROM u, tot)
+SELECT na AS n_a, nb AS n_b, u2 AS u2_a,
+  CASE WHEN na > 0 AND nb > 0 THEN round(d, 6) END AS delta,
+  CASE WHEN na > 0 AND nb > 0 THEN
+    CASE WHEN abs(d) < 0.147 THEN 'negligible'
+         WHEN abs(d) < 0.33 THEN 'small'
+         WHEN abs(d) < 0.474 THEN 'medium'
+         ELSE 'large' END
+  END AS magnitude
+FROM e
+""")
+def q378(spark, sf_dir):
+    """Cliff's δ between click and purchase value distributions — the
+    ordinal effect-size companion of q253's Mann–Whitney (is-there vs
+    how-big, unit-free and outlier-immune): derived with one division
+    from the exact doubled half-credit U the shared two-phase rank
+    machinery computes, plus the conventional magnitude bucket
+    applied to the identical unrounded double in both engines."""
+    from ultraviolet_spark.operators.stats import cliffs_delta
+
+    return cliffs_delta(_t(spark, sf_dir, "events"), value_col="value",
+                        group_col="event_type", group_a="click",
+                        group_b="purchase")
