@@ -13,6 +13,8 @@ from ultraviolet_spark.operators.graph import (
 from ultraviolet_spark.operators.htmltables import (
     heading_outline,
     img_alt_coverage,
+    link_profile,
+    page_weight_profile,
 )
 from ultraviolet_spark.operators.stats import turning_points_by_key
 
@@ -140,3 +142,33 @@ def test_img_alt_coverage_variants(spark):
     assert got["coverage"] == 0.25
     empty = img_alt_coverage(_pages(spark, [("u", "<p>t</p>")])).head()
     assert empty["n_imgs"] == 0 and empty["coverage"] is None
+
+
+def test_link_profile_classification(spark):
+    html = ('<a href="/rel">r</a>'
+            '<a href="https://me.example/abs">same</a>'
+            '<a href="HTTPS://Other.Example/x" rel="nofollow">ext</a>'
+            '<a data-href="https://fake.example" href="#f">frag</a>'
+            '<a href="mailto:x@y.z">mail</a>')
+    got = link_profile(_pages(spark, [
+        ("https://me.example/p/1", html)])).head()
+    # external: only the Other.Example absolute (case-insensitive
+    # scheme+host); mailto/fragment/relative/same-host are internal
+    assert (got["n_links"], got["n_internal"],
+            got["n_external"], got["n_nofollow"]) == (5, 4, 1, 1)
+    none = link_profile(_pages(spark, [
+        ("https://me.example/p/2", "<p>no links</p>")])).head()
+    assert none["n_links"] == 0 and none["n_external"] == 0
+
+
+def test_page_weight_profile_counts(spark):
+    html = ("<script>12345</script>"      # 8+5+9 = 22
+            "<style>abc</style>"          # 7+3+8 = 18
+            "<!--xy-->"                   # 4+2+3 = 9
+            "<p>body</p>")                # 11
+    got = page_weight_profile(_pages(spark, [("u", html)])).head()
+    assert (got["total_chars"], got["script_chars"],
+            got["style_chars"], got["comment_chars"]) == (60, 22, 18, 9)
+    assert got["payload_share"] == pytest.approx(49 / 60, abs=1e-6)
+    empty = page_weight_profile(_pages(spark, [("u", "")])).head()
+    assert empty["payload_share"] is None

@@ -257,3 +257,87 @@ def img_alt_coverage(pages: DataFrame, *, html_col: str = "html",
         n_alt.cast("long").alias("n_with_alt"),
         F.when(n > 0, F.round(n_alt.cast("double") / nz, 6))
         .alias("coverage"))
+
+
+def link_profile(pages: DataFrame, *, html_col: str = "html",
+                 id_col: str = "url") -> DataFrame:
+    """Per-page outlink profile from raw HTML — the link-graph-side
+    quality signal next to :func:`heading_outline` (structure) and
+    :func:`img_alt_coverage` (media): ``(id, n_links, n_internal,
+    n_external, n_nofollow)`` where external = an absolute http(s)
+    href whose host differs from the PAGE's own host (taken from the
+    ``id`` url), internal = everything else (relative paths,
+    same-host absolutes, fragments — the crawl-scope convention), and
+    nofollow counts anchors whose ``rel`` value contains
+    ``nofollow``.
+
+    Attribute names are ANCHORED after whitespace/quote (the q338
+    rule — ``data-href=``/``data-rel=`` decoys never bind); quotes
+    single or double.  Pure Catalyst: one regexp_extract_all for
+    whole ``<a`` tags + per-tag lambda regexes; scan-stage only.
+    """
+    tags = F.regexp_extract_all(
+        F.col(html_col).cast("string"),
+        F.lit(r"(?is)<a\s[^>]*>"), F.lit(0))
+    href_pat = (r'(?is)(?<=[\s"\x27])href\s*=\s*'
+                r'["\x27]([^"\x27]*)["\x27]')
+    nof_pat = (r'(?is)(?<=[\s"\x27])rel\s*=\s*'
+               r'["\x27][^"\x27]*nofollow')
+    page_host = F.lower(F.regexp_extract(
+        F.col(id_col), r"^https?://([^/:]+)", 1))
+    hrefs = F.transform(tags, lambda t: F.regexp_extract(t, href_pat, 1))
+    is_ext = lambda h: (h.rlike("(?i)^https?://")  # noqa: E731
+                        & (F.lower(F.regexp_extract(
+                            h, r"(?i)^https?://([^/:]+)", 1))
+                           != page_host))
+    n = F.size(tags)
+    n_ext = F.size(F.filter(hrefs, is_ext))
+    n_nof = F.size(F.filter(tags, lambda t: t.rlike(nof_pat)))
+    return pages.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_links"),
+        (n - n_ext).cast("long").alias("n_internal"),
+        n_ext.cast("long").alias("n_external"),
+        n_nof.cast("long").alias("n_nofollow"))
+
+
+def page_weight_profile(pages: DataFrame, *, html_col: str = "html",
+                        id_col: str = "url") -> DataFrame:
+    """Per-page payload-weight profile from raw HTML — how much of the
+    page is code/chrome rather than markup+text: byte totals for
+    ``<script>…</script>``, ``<style>…</style>`` and ``<!-- -->``
+    comment blocks, plus their combined share of the page.  The
+    crawl-QA twin of the TEXT-side density gates (C4/Gopher/JusText
+    look at extracted text; this looks at what never becomes text).
+
+    ``(id, total_chars, script_chars, style_chars, comment_chars,
+    payload_share)`` — share = (script+style+comment)/total rounded 6,
+    NULL on empty pages.  Character counts (ASCII pages = bytes);
+    non-greedy DOTALL block matches, unterminated blocks count zero
+    (the regex simply doesn't match — documented).
+
+    Pure Catalyst: three regexp_extract_all + length folds over the
+    match arrays.  Scan-stage only.
+    """
+    h = F.col(html_col).cast("string")
+
+    def blk_chars(pat):
+        return F.aggregate(
+            F.transform(F.regexp_extract_all(h, F.lit(pat), F.lit(0)),
+                        lambda b: F.length(b).cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    script = blk_chars(r"(?is)<script[^>]*>.*?</script>")
+    style = blk_chars(r"(?is)<style[^>]*>.*?</style>")
+    comment = blk_chars(r"(?s)<!--.*?-->")
+    total = F.length(h).cast("long")
+    share = F.when(total > 0, F.round(
+        (script + style + comment).cast("double")
+        / F.when(total != 0, total).cast("double"), 6))
+    return pages.select(
+        F.col(id_col).alias("id"),
+        total.alias("total_chars"),
+        script.alias("script_chars"),
+        style.alias("style_chars"),
+        comment.alias("comment_chars"),
+        share.alias("payload_share"))

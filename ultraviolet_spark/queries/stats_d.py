@@ -979,3 +979,111 @@ def q378(spark, sf_dir):
     return cliffs_delta(_t(spark, sf_dir, "events"), value_col="value",
                         group_col="event_type", group_a="click",
                         group_b="purchase")
+
+
+@q("q379_link_profile", """
+WITH d AS (SELECT doc_id AS i FROM documents),
+e AS (
+  SELECT 'https://h' || (i % 7) || '.example/p/' || i AS id,
+    1 + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END
+      + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+      + CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END
+      + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS n_links,
+    CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+      + CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS n_external,
+    CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS n_nofollow
+  FROM d)
+SELECT id, CAST(n_links AS BIGINT) AS n_links,
+  CAST(n_links - n_external AS BIGINT) AS n_internal,
+  CAST(n_external AS BIGINT) AS n_external,
+  CAST(n_nofollow AS BIGINT) AS n_nofollow
+FROM e
+""")
+def q379(spark, sf_dir):
+    """Outlink profile (htmltables.link_profile) over pages
+    synthesized with the wild variants on the hook: a relative link
+    (internal), a same-host absolute (internal — host compared
+    against the page's OWN url host), an external nofollow, a plain
+    external, and a fragment link carrying a data-href DECOY (the
+    anchored-attribute rule again).  The oracle recomputes the four
+    counts analytically per doc_id."""
+    from ultraviolet_spark.operators.htmltables import link_profile
+
+    i = F.col("doc_id")
+    blank = F.lit("")
+    host = F.concat(F.lit("h"), (i % 7).cast("string"),
+                    F.lit(".example"))
+    html = F.concat(
+        F.lit('<a href="/rel1">a</a>'),
+        F.when(i % 2 == 0, F.concat(
+            F.lit('<a href="https://'), host,
+            F.lit('/abs">b</a>'))).otherwise(blank),
+        F.when(i % 3 == 0,
+               F.lit("<a rel='nofollow' "
+                     "href='https://other.example/c'>c</a>"))
+         .otherwise(blank),
+        F.when(i % 4 == 0,
+               F.lit('<a href="https://ext2.example/d">d</a>'))
+         .otherwise(blank),
+        F.when(i % 5 == 0,
+               F.lit('<a data-href="https://fake.example" '
+                     'href="#frag">e</a>')).otherwise(blank))
+    pages = (_t(spark, sf_dir, "documents")
+             .select(F.concat(F.lit("https://"), host, F.lit("/p/"), i)
+                     .alias("url"), html.alias("html")))
+    return link_profile(pages)
+
+
+@q("q380_page_weight", """
+WITH d AS (SELECT doc_id AS i FROM documents),
+e AS (
+  SELECT 'https://w.example/p/' || i AS id,
+    CAST(17 + (10 + i % 20) AS BIGINT) AS script_chars,
+    CASE WHEN i % 2 = 0 THEN CAST(15 + (5 + i % 10) AS BIGINT)
+         ELSE 0 END AS style_chars,
+    CASE WHEN i % 3 = 0 THEN CAST(7 + (3 + i % 5) AS BIGINT)
+         ELSE 0 END AS comment_chars,
+    CAST(7 + (1 + i % 30) + 8 AS BIGINT) AS body_chars
+  FROM d)
+SELECT id,
+  CAST(script_chars + style_chars + comment_chars + body_chars
+       AS BIGINT) AS total_chars,
+  script_chars, style_chars, comment_chars,
+  round(CAST(script_chars + style_chars + comment_chars AS DOUBLE)
+        / CAST(script_chars + style_chars + comment_chars + body_chars
+               AS DOUBLE), 6) AS payload_share
+FROM e
+""")
+def q380(spark, sf_dir):
+    """Page-weight profile (htmltables.page_weight_profile) over
+    pages synthesized from fixed-arithmetic blocks — a script of
+    known length on every page, a style block on even pages, a
+    comment on every third, plus a body paragraph — so the oracle
+    recomputes every byte count and the payload share analytically
+    per doc_id."""
+    from ultraviolet_spark.operators.htmltables import (
+        page_weight_profile,
+    )
+
+    i = F.col("doc_id")
+    blank = F.lit("")
+    # '<script>' (8) + 'var a;' padding of 10+i%20 a's + '</script>' (9)
+    script = F.concat(F.lit("<script>"),
+                      F.expr("repeat('a', 10 + CAST(doc_id % 20 AS INT))"),
+                      F.lit("</script>"))
+    style = F.when(i % 2 == 0, F.concat(
+        F.lit("<style>"),
+        F.expr("repeat('s', 5 + CAST(doc_id % 10 AS INT))"),
+        F.lit("</style>"))).otherwise(blank)
+    comment = F.when(i % 3 == 0, F.concat(
+        F.lit("<!--"),
+        F.expr("repeat('c', 3 + CAST(doc_id % 5 AS INT))"),
+        F.lit("-->"))).otherwise(blank)
+    body = F.concat(F.lit("<p>body"),
+                    F.expr("repeat('b', 1 + CAST(doc_id % 30 AS INT))"),
+                    F.lit("</p><hr>"))
+    html = F.concat(script, style, comment, body)
+    pages = (_t(spark, sf_dir, "documents")
+             .select(F.concat(F.lit("https://w.example/p/"), i)
+                     .alias("url"), html.alias("html")))
+    return page_weight_profile(pages)
