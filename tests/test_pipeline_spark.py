@@ -270,3 +270,29 @@ def test_asof_nearest_tie_prefers_backward_hand_case(spark):
                       direction="nearest", tolerance=1,
                       num_buckets=2).head()
     assert tight["v"] is None
+
+
+def test_multi_horizon_asof_hand_case(spark):
+    """q381 contract: each horizon fetches the last right row at or
+    before t - delta, independently, leakage-free."""
+    from pyspark.sql import functions as F
+
+    from ultraviolet_spark.operators.asof import multi_horizon_asof
+
+    l = spark.createDataFrame(
+        [("u", 1, "2024-01-02 12:00:00")],
+        "user_id string, event_id long, ts string").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"))
+    rows = [("u", "2024-01-02 11:30:00", 10.0),   # within 1h window? t-1h=11:00 -> 11:30 > 11:00 NO
+            ("u", "2024-01-02 10:00:00", 20.0),   # <= 11:00 -> 1h pick
+            ("u", "2024-01-01 09:00:00", 30.0)]   # <= prev day 12:00 -> 24h pick
+    r = spark.createDataFrame(
+        rows, "user_id string, ts string, pv double").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "pv")
+    got = multi_horizon_asof(
+        l, r, on="ts", by="user_id", value_cols=["pv"],
+        horizons=[("1h", "INTERVAL 1 HOUR"),
+                  ("24h", "INTERVAL 24 HOURS")], num_buckets=2).head()
+    assert got["pv_1h"] == 20.0       # 11:30 leaks past t-1h, excluded
+    assert got["pv_24h"] == 30.0      # only the prior-day row qualifies

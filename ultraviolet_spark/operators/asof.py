@@ -230,3 +230,46 @@ def temporal_leakage_audit(df: DataFrame, *, ts_col: str,
         F.sum(F.when(viol, 1).otherwise(0)).cast("long")
          .alias("n_violations"),
         F.max(F.when(viol, lead_us)).cast("long").alias("max_lead_us"))
+
+
+def multi_horizon_asof(left: DataFrame, right: DataFrame, *,
+                       on: str = "warc_ts", by: str = "url",
+                       value_cols: list[str] | None = None,
+                       horizons: list[tuple[str, str]] = (),
+                       **asof_kwargs) -> DataFrame:
+    """Point-in-time feature vector at MULTIPLE lag horizons — the
+    feature-store staple on top of :func:`asof_join`: for each left
+    row at time t, fetch the last right observation at-or-before
+    t − Δ for every Δ in ``horizons`` (e.g. the 1-hour-ago, 1-day-ago
+    and 7-days-ago states), all with zero temporal leakage by
+    construction.
+
+    ``horizons`` is a list of ``(label, interval_sql)`` pairs, e.g.
+    ``[("1h", "INTERVAL 1 HOUR"), ("24h", "INTERVAL 24 HOURS")]``;
+    each right ``value_col`` lands as ``{col}_{label}``.
+
+    Mechanics: shifting the RIGHT timestamps forward by Δ makes the
+    ordinary backward as-of at t equivalent to "last right row with
+    original ts ≤ t − Δ" — so every horizon is one standard
+    :func:`asof_join` (same cogroup/mergesort machinery, same
+    salting/bucketing options via ``asof_kwargs``), chained left to
+    right.  H horizons = H cogroups; on a ``write_bucketed`` layout
+    each plans exchange-free like the flagship.
+
+    The usual backward-as-of caveat applies doubly here: duplicate
+    right (key, ts) rows resolve by position in pandas — pre-aggregate
+    the right side to one row per (key, ts) for deterministic
+    results (the q371 contract).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, by)]
+    out = left
+    for label, interval in horizons:
+        shifted = right
+        for c in value_cols:
+            shifted = shifted.withColumnRenamed(c, f"{c}_{label}")
+        shifted = shifted.withColumn(on, F.col(on) + F.expr(interval))
+        out = asof_join(out, shifted, on=on, by=by,
+                        value_cols=[f"{c}_{label}" for c in value_cols],
+                        direction="backward", **asof_kwargs)
+    return out

@@ -1087,3 +1087,50 @@ def q380(spark, sf_dir):
              .select(F.concat(F.lit("https://w.example/p/"), i)
                      .alias("url"), html.alias("html")))
     return page_weight_profile(pages)
+
+
+@q("q381_multi_horizon_pit", """
+WITH l AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, MAX(value) AS pv
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts),
+h1 AS (SELECT l.user_id, l.event_id, r.pv,
+         ROW_NUMBER() OVER (PARTITION BY l.user_id, l.event_id
+                            ORDER BY r.ts DESC) AS rn
+       FROM l JOIN r ON r.user_id = l.user_id
+        AND epoch_us(r.ts) <= epoch_us(l.ts) - 3600000000),
+h2 AS (SELECT l.user_id, l.event_id, r.pv,
+         ROW_NUMBER() OVER (PARTITION BY l.user_id, l.event_id
+                            ORDER BY r.ts DESC) AS rn
+       FROM l JOIN r ON r.user_id = l.user_id
+        AND epoch_us(r.ts) <= epoch_us(l.ts) - 86400000000)
+SELECT l.user_id, l.event_id, l.ts,
+       a.pv AS pv_1h, b.pv AS pv_24h
+FROM l
+LEFT JOIN h1 a ON a.user_id = l.user_id
+              AND a.event_id = l.event_id AND a.rn = 1
+LEFT JOIN h2 b ON b.user_id = l.user_id
+              AND b.event_id = l.event_id AND b.rn = 1
+""")
+def q381(spark, sf_dir):
+    """Multi-horizon point-in-time features (asof.multi_horizon_asof):
+    every click enriched with the last purchase value as of one hour
+    ago AND as of one day ago — the feature-store lag-vector staple,
+    leakage-free by construction (each horizon is a backward as-of
+    against forward-shifted right timestamps); the right side is
+    deduped per (user, ts) per the q371 determinism contract.  The
+    oracle replays each horizon with a per-left-row DESC row_number
+    over the ≤ t−Δ candidates."""
+    from ultraviolet_spark.operators.asof import multi_horizon_asof
+
+    ev = _t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts")
+    r = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id", "ts")
+         .agg(F.max("value").alias("pv")))
+    return multi_horizon_asof(
+        l, r, on="ts", by="user_id", value_cols=["pv"],
+        horizons=[("1h", "INTERVAL 1 HOUR"),
+                  ("24h", "INTERVAL 24 HOURS")])
