@@ -441,3 +441,48 @@ def test_cliffs_delta_separation_overlap_and_reference(spark):
     gt = sum(1 for x in [1, 2, 2] for y in [2, 3] if x > y)
     lt = sum(1 for x in [1, 2, 2] for y in [2, 3] if x < y)
     assert g3["delta"] == pytest.approx((gt - lt) / 6, abs=1e-6)
+
+
+# --------------------------------------- Wilcoxon signed rank (r5 #4)
+
+def test_wilcoxon_matches_reference_and_contrasts_sign_test(spark):
+    from ultraviolet_spark.operators.stats import wilcoxon_signed_rank
+
+    # pairs: mostly tiny positive shifts + a few large negative —
+    # the SIGN test sees mostly-positive; Wilcoxon weighs distance
+    rows = ([(10.0 + 0.1 * (i + 1), 10.0) for i in range(12)]
+            + [(10.0, 20.0 + i) for i in range(4)])
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = wilcoxon_signed_rank(df, x_col="x", y_col="y").head()
+    # sequential reference (midranks over |d|, doubled)
+    ds = [round((x - y) * 1e6) for x, y in rows if x != y]
+    av = sorted(abs(d) for d in ds)
+    import bisect
+    w2 = 0
+    for d in ds:
+        if d > 0:
+            lo = bisect.bisect_left(av, abs(d))
+            hi = bisect.bisect_right(av, abs(d))
+            w2 += lo + hi + 1          # 2*midrank = 2*lo + t + 1
+    n = len(ds)
+    from collections import Counter
+    tie = sum(t ** 3 - t for t in Counter(abs(d) for d in ds).values())
+    import math
+    z = (w2 - n * (n + 1) // 2) / math.sqrt(
+        (2 * n * (n + 1) * (2 * n + 1) - tie) / 12.0)
+    assert got["w2_plus"] == w2 and got["n"] == n
+    assert got["z"] == pytest.approx(z, abs=2e-6)
+    # positives outnumber negatives 3:1, so the SIGN view is strongly
+    # positive (z_sign ≈ 1.75 for 12+/4−) — but the negatives are the
+    # four LARGEST moves, so distance-weighting tempers Wilcoxon's z
+    # well below it (the contrast that is the operator's point)
+    import math as _m
+    z_sign = (12 - 4 - 1) / _m.sqrt(16)
+    assert 0 < got["z"] < z_sign / 2
+    # zero differences excluded and counted
+    rows2 = rows + [(5.0, 5.0)] * 3
+    g2 = wilcoxon_signed_rank(
+        spark.createDataFrame(rows2, "x double, y double"),
+        x_col="x", y_col="y").head()
+    assert g2["n_zero"] == 3 and g2["n"] == n
+    assert g2["w2_plus"] == got["w2_plus"]

@@ -5052,3 +5052,83 @@ def cliffs_delta(df: DataFrame, *, value_col: str, group_col: str,
         "n_a", "n_b", "u2_a",
         F.when(ok, F.round(d, 6)).alias("delta"),
         F.when(ok, mag).alias("magnitude"))
+
+
+def wilcoxon_signed_rank(df: DataFrame, *, x_col: str, y_col: str,
+                         n_buckets: int = 64) -> DataFrame:
+    """Wilcoxon signed-rank test for paired samples — the POWERED
+    sibling of q319's sign test (which only looks at direction;
+    Wilcoxon also weighs HOW FAR each pair moved, staying
+    distribution-free) and the paired counterpart of Mann–Whitney:
+
+        W⁺ = Σ ranks of |d_i| over the positive differences,
+        z = (W2 − n(n+1)/2) / √((2n(n+1)(2n+1) − Σ(t³−t)) / 12)
+
+    with W2 = 2W⁺ kept DOUBLED so midrank ties stay integral, and
+    the tie-corrected variance's integer core Σ(t³−t) exact.
+
+    Exactness: differences µ-snap to int64; zero differences are
+    EXCLUDED (the textbook convention) and reported in ``n_zero``;
+    |d| ranks come from the shared two-phase value-bucket cumulative
+    machinery over the distinct-|d| frame (counts + positive counts
+    per value), so W2 = Σ_v pos_v·mr2_v, the null moments and the
+    tie sum are all exact DECIMAL(38,0) integers; z is ONE double
+    division.  n = 0 after zero-exclusion or zero variance → NULL.
+
+    Scale: one (|d|)-grouped agg + the bucketed cumsum — no
+    data-sized window.  Output one row: (n, n_zero, w2_plus, z).
+    """
+    from pyspark.sql import Window
+
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    B = int(n_buckets)
+    x = F.round(F.col(x_col).cast("double") * 1e6).cast("long")
+    y = F.round(F.col(y_col).cast("double") * 1e6).cast("long")
+    d = (x - y)
+    base = (df.filter(x.isNotNull() & y.isNotNull())
+            .select(d.alias("__d")))
+    nz_rows = base.filter(F.col("__d") != 0)
+    zc = base.agg(F.sum(F.when(F.col("__d") == 0, 1).otherwise(0))
+                  .cast("long").alias("n_zero"))
+    pv = (nz_rows
+          .select(F.abs(F.col("__d")).alias("__v"),
+                  F.when(F.col("__d") > 0, 1).otherwise(0).alias("__s"))
+          .groupBy("__v")
+          .agg(F.count("*").cast("long").alias("__m"),
+               F.sum("__s").cast("long").alias("__p")))
+    bounds = pv.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"),
+                    F.sum("__m").cast("long").alias("__n"))
+    g = (pv.crossJoin(F.broadcast(bounds))
+         .withColumn("__b", F.expr(
+             f"(__v - __lo) div ((__hi - __lo) div {B} + 1)")))
+    w_in = (Window.partitionBy("__b").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    g = g.withColumn("__m_in",
+                     F.coalesce(F.sum("__m").over(w_in), F.lit(0)))
+    bt = g.groupBy("__b").agg(F.sum("__m").alias("__bm"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bt.select(
+        "__b", F.coalesce(F.sum("__bm").over(w_b), F.lit(0)).alias("__om"))
+    g = (g.join(F.broadcast(boff), "__b")
+         .withColumn("__r0", F.col("__om") + F.col("__m_in"))
+         .withColumn("__mr2", 2 * F.col("__r0") + F.col("__m") + 1))
+    agg = g.agg(
+        F.max("__n").alias("n"),
+        F.sum(d38(F.col("__p")) * d38(F.col("__mr2"))).alias("__w2"),
+        F.sum(d38(F.col("__m")) * d38(F.col("__m")) * d38(F.col("__m"))
+              - d38(F.col("__m"))).alias("__tie"))
+    out = agg.crossJoin(F.broadcast(zc))
+    n_ = F.col("n").cast("decimal(38,0)")
+    # E2 = n(n+1)/2 is integral; keep it exact via the integer form
+    e2i = F.expr("CAST(n * (n + 1) div 2 AS DECIMAL(38,0))")
+    var12 = (F.lit(2).cast("decimal(38,0)") * n_
+             * (F.col("n") + 1).cast("decimal(38,0)")
+             * (2 * F.col("n") + 1).cast("decimal(38,0)")
+             - F.col("__tie"))
+    z = F.when((F.col("n") > 0) & (var12 > 0), F.round(
+        (F.col("__w2") - e2i).cast("double")
+        / nz(F.sqrt(var12.cast("double") / F.lit(12.0))), 6))
+    return out.select("n", "n_zero",
+                      F.col("__w2").cast("long").alias("w2_plus"),
+                      z.alias("z"))

@@ -1134,3 +1134,56 @@ def q381(spark, sf_dir):
         l, r, on="ts", by="user_id", value_cols=["pv"],
         horizons=[("1h", "INTERVAL 1 HOUR"),
                   ("24h", "INTERVAL 24 HOURS")])
+
+
+@q("q382_wilcoxon_signed_rank", """
+WITH per AS (
+  SELECT user_id,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS x,
+    CAST(round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+               END) AS DOUBLE) * 1e6) AS BIGINT) AS y
+  FROM events GROUP BY user_id),
+dd AS (SELECT x - y AS d FROM per),
+zc AS (SELECT CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero FROM dd),
+pv AS (SELECT abs(d) AS v, CAST(COUNT(*) AS BIGINT) AS m,
+              CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS p
+       FROM dd WHERE d <> 0 GROUP BY abs(d)),
+tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM pv),
+r AS (SELECT v, m, p,
+        COALESCE(CAST(SUM(m) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS r0
+      FROM pv),
+agg AS (SELECT SUM(CAST(p AS HUGEINT) * (2 * r0 + m + 1)) AS w2,
+               SUM(CAST(m AS HUGEINT) * m * m - m) AS tie
+        FROM r)
+SELECT n, n_zero, CAST(w2 AS BIGINT) AS w2_plus,
+  CASE WHEN n > 0
+        AND 2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie > 0
+  THEN
+    round(CAST(w2 - CAST(n AS HUGEINT) * (n + 1) // 2 AS DOUBLE)
+          / NULLIF(sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1)
+                             * (2 * n + 1) - tie AS DOUBLE) / 12.0),
+                   0), 6)
+  END AS z
+FROM agg, tot, zc
+""")
+def q382(spark, sf_dir):
+    """Wilcoxon signed-rank over each user's paired (click, view)
+    activity — the powered sibling of q319's sign test (direction AND
+    distance, distribution-free) and the paired counterpart of
+    q253's Mann–Whitney: zero differences excluded and counted,
+    doubled |d|-midranks off the shared two-phase machinery keep
+    W2⁺, the null mean and the tie-corrected variance core exact
+    DECIMAL(38,0) integers; one double division."""
+    from ultraviolet_spark.operators.stats import wilcoxon_signed_rank
+
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                      .otherwise(0)).cast("double").alias("x"),
+                F.sum(F.when(F.col("event_type") == "view", 1)
+                      .otherwise(0)).cast("double").alias("y")))
+    return wilcoxon_signed_rank(per, x_col="x", y_col="y")
