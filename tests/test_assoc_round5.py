@@ -486,3 +486,63 @@ def test_wilcoxon_matches_reference_and_contrasts_sign_test(spark):
         x_col="x", y_col="y").head()
     assert g2["n_zero"] == 3 and g2["n"] == n
     assert g2["w2_plus"] == got["w2_plus"]
+
+
+# ---------------------------------------------- Cohen's h (r5 #4)
+
+def test_cohens_h_reference_and_base_rate_transfer(spark):
+    import math
+
+    from ultraviolet_spark.operators.stats import cohens_h
+
+    rows = ([("a", 1)] * 60 + [("a", 0)] * 40
+            + [("b", 1)] * 30 + [("b", 0)] * 70)
+    df = spark.createDataFrame(rows, "g string, y int")
+    got = cohens_h(df, group_col="g", group_a="a", group_b="b",
+                   success_expr="y").head()
+    want = 2 * math.asin(math.sqrt(0.6)) - 2 * math.asin(math.sqrt(0.3))
+    assert got["h"] == pytest.approx(want, abs=2e-6)
+    assert got["magnitude"] == "large"
+    # the SAME 2x raw ratio near the boundary scores differently:
+    # 0.02 vs 0.01 is a tiny h — the arcsine base-rate transfer
+    tiny = ([("a", 1)] * 2 + [("a", 0)] * 98
+            + [("b", 1)] * 1 + [("b", 0)] * 99)
+    g2 = cohens_h(spark.createDataFrame(tiny, "g string, y int"),
+                  group_col="g", group_a="a", group_b="b",
+                  success_expr="y").head()
+    assert abs(g2["h"]) < 0.2 and g2["magnitude"] == "small"
+
+
+# ------------------------------------------ correlation ratio (r5 #4)
+
+def test_correlation_ratio_bounds_and_reference(spark):
+    from ultraviolet_spark.operators.stats import correlation_ratio
+
+    # groups fully determine the value -> eta^2 == 1
+    det = [(f"g{i % 3}", float(i % 3) * 10) for i in range(30)]
+    df = spark.createDataFrame(det, "g string, v double")
+    assert correlation_ratio(df, value_col="v",
+                             group_col="g").head()["eta_sq"] == 1.0
+    # identical distributions in every group -> eta^2 == 0
+    same = [(f"g{i % 3}", float(i % 5)) for i in range(30)]
+    g2 = correlation_ratio(spark.createDataFrame(same, "g string, v double"),
+                           value_col="v", group_col="g").head()
+    assert g2["eta_sq"] == pytest.approx(0.0, abs=1e-9)
+    # sequential reference on a mixed case
+    rows = [(f"g{i % 2}", float((i * 7) % 13) + 5.0 * (i % 2))
+            for i in range(40)]
+    g3 = correlation_ratio(spark.createDataFrame(rows, "g string, v double"),
+                           value_col="v", group_col="g").head()
+    import statistics
+    by = {}
+    for g, v in rows:
+        by.setdefault(g, []).append(round(v * 1e6))
+    allv = [v for vs in by.values() for v in vs]
+    ssw = sum(sum((v - statistics.fmean(vs)) ** 2 for v in vs)
+              for vs in by.values())
+    m = statistics.fmean(allv)
+    sst = sum((v - m) ** 2 for v in allv)
+    assert g3["eta_sq"] == pytest.approx(1 - ssw / sst, abs=2e-6)
+    const = spark.createDataFrame([("a", 1.0)] * 5, "g string, v double")
+    assert correlation_ratio(const, value_col="v",
+                             group_col="g").head()["eta_sq"] is None

@@ -5132,3 +5132,102 @@ def wilcoxon_signed_rank(df: DataFrame, *, x_col: str, y_col: str,
     return out.select("n", "n_zero",
                       F.col("__w2").cast("long").alias("w2_plus"),
                       z.alias("z"))
+
+
+def cohens_h(df: DataFrame, *, group_col: str, group_a, group_b,
+             success_expr: str) -> DataFrame:
+    """Cohen's h proportion effect size — the MAGNITUDE companion to
+    :func:`two_prop_ztest` exactly as Cliff's δ is to Mann–Whitney
+    and Cohen's d to Welch's t: the arcsine-stabilized difference
+
+        h = 2·asin(√p̂_a) − 2·asin(√p̂_b)
+
+    whose variance is rate-independent, so the conventional
+    thresholds (|h| < .2 small, < .5 medium, < .8 — else large)
+    transfer across base rates where a raw Δp does not.
+
+    Exactness: the four counts are exact int64; each φ = 2·asin(√p̂)
+    is one fixed-order double chain over them, mirrored
+    operand-for-operand (both engines' asin/sqrt are IEEE doubles);
+    the magnitude bucket applies to the identical unrounded |h|.
+    Empty arm → NULL.  Output one row:
+    (n_a, s_a, n_b, s_b, h, magnitude).
+    """
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    s = F.expr(success_expr).cast("int")
+    g = F.col(group_col)
+    agg = (df.filter(g.isin([group_a, group_b]) & s.isNotNull())
+           .agg(F.sum(F.when(g == group_a, 1).otherwise(0))
+                .cast("long").alias("n_a"),
+                F.sum(F.when(g == group_a, s).otherwise(0))
+                .cast("long").alias("s_a"),
+                F.sum(F.when(g == group_b, 1).otherwise(0))
+                .cast("long").alias("n_b"),
+                F.sum(F.when(g == group_b, s).otherwise(0))
+                .cast("long").alias("s_b")))
+
+    def phi(sc, nc):
+        return 2.0 * F.asin(F.sqrt(
+            sc.cast("double") / nz(nc.cast("double"))))
+
+    h = phi(F.col("s_a"), F.col("n_a")) - phi(F.col("s_b"), F.col("n_b"))
+    mag = (F.when(F.abs(h) < 0.2, F.lit("small"))
+           .when(F.abs(h) < 0.5, F.lit("medium"))
+           .otherwise(F.lit("large")))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select("n_a", "s_a", "n_b", "s_b",
+                      F.when(ok, F.round(h, 6)).alias("h"),
+                      F.when(ok, mag).alias("magnitude"))
+
+
+def correlation_ratio(df: DataFrame, *, value_col: str,
+                      group_col: str) -> DataFrame:
+    """Correlation ratio η² — the fraction of a value's variance a
+    CATEGORICAL factor explains (hour-of-day seasonality strength,
+    per-source level differences): the effect-size view of q301's
+    ANOVA (which tests; η² says HOW MUCH), and the
+    categorical-x-continuous-y member of the dependence family next
+    to Cramér's V (both nominal) and Theil's U (entropies):
+
+        η² = 1 − SS_within / SS_total
+           = 1 − [Σ_g (n_g·S2_g − S1_g²)/n_g] / [(n·S2 − S1²)/n]
+
+    Exactness: values µ-snap; every numerator n_g·S2_g − S1_g² and
+    n·S2 − S1² is an exact DECIMAL(38,0) integer; each per-group term
+    takes ONE double division and the cross-group sum is the ORDERED
+    fold over the sorted group array (vocabulary-bounded — the
+    kruskal/welch discipline); η² is one final ratio.  Zero total
+    variance or k < 1 → NULL.
+
+    Scale: one k-row groupBy folding to one row.  Output one row:
+    (k, n, eta_sq).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    x = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(x.isNotNull() & g.isNotNull())
+            .select(g.alias("__g"), x.alias("__x")))
+    per = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum(d38(F.col("__x"))).alias("s1"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__x"))).alias("s2"))
+    arr = per.groupBy().agg(
+        F.count("*").cast("int").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("s1").alias("__S1"),
+        F.sum("s2").alias("__S2"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("__g").cast("string").alias("g"),
+            ((d38(F.col("ng")) * F.col("s2")
+              - F.col("s1") * F.col("s1")).cast("double")
+             / F.col("ng").cast("double")).alias("w"))))
+        .alias("__a"))
+    ssw = F.aggregate(F.col("__a"), F.lit(0.0),
+                      lambda acc, s: acc + s["w"])
+    n_ = F.col("n").cast("decimal(38,0)")
+    sst = ((n_ * F.col("__S2") - F.col("__S1") * F.col("__S1"))
+           .cast("double") / F.col("n").cast("double"))
+    eta = F.when((F.col("k") >= 1) & (sst > 0),
+                 F.round(1.0 - ssw / nz(sst), 6))
+    return arr.select("k", "n", eta.alias("eta_sq"))

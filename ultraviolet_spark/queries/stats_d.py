@@ -1187,3 +1187,84 @@ def q382(spark, sf_dir):
                 F.sum(F.when(F.col("event_type") == "view", 1)
                       .otherwise(0)).cast("double").alias("y")))
     return wilcoxon_signed_rank(per, x_col="x", y_col="y")
+
+
+@q("q383_cohens_h", """
+WITH agg AS (SELECT
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_a,
+  CAST(SUM(CASE WHEN event_type = 'click' AND value > 100
+           THEN 1 ELSE 0 END) AS BIGINT) AS s_a,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_b,
+  CAST(SUM(CASE WHEN event_type = 'view' AND value > 100
+           THEN 1 ELSE 0 END) AS BIGINT) AS s_b
+  FROM events WHERE event_type IN ('click', 'view')),
+e AS (SELECT *,
+        2.0 * asin(sqrt(CAST(s_a AS DOUBLE)
+                        / NULLIF(CAST(n_a AS DOUBLE), 0)))
+        - 2.0 * asin(sqrt(CAST(s_b AS DOUBLE)
+                          / NULLIF(CAST(n_b AS DOUBLE), 0))) AS h
+      FROM agg)
+SELECT n_a, s_a, n_b, s_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN round(h, 6) END AS h,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    CASE WHEN abs(h) < 0.2 THEN 'small'
+         WHEN abs(h) < 0.5 THEN 'medium'
+         ELSE 'large' END
+  END AS magnitude
+FROM e
+""")
+def q383(spark, sf_dir):
+    """Cohen's h for the high-value rate of clicks vs views — the
+    arcsine-stabilized proportion effect size completing q377's
+    two-proportion z (is-there vs how-big, thresholds that transfer
+    across base rates): one fixed-order double chain over exact
+    counts, magnitude bucket on the identical unrounded |h|."""
+    from ultraviolet_spark.operators.stats import cohens_h
+
+    return cohens_h(_t(spark, sf_dir, "events"),
+                    group_col="event_type", group_a="click",
+                    group_b="view",
+                    success_expr="CASE WHEN value > 100 "
+                                 "THEN 1 ELSE 0 END")
+
+
+@q("q384_correlation_ratio", """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+               SUM(CAST(x AS HUGEINT)) AS s1,
+               SUM(CAST(x AS HUGEINT) * x) AS s2
+        FROM base GROUP BY g),
+lst AS (SELECT CAST(COUNT(*) AS INTEGER) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         SUM(s1) AS gs1, SUM(s2) AS gs2,
+         list(CAST(CAST(ng AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+              / CAST(ng AS DOUBLE) ORDER BY g) AS w
+        FROM per),
+e AS (SELECT k, n,
+        list_reduce(list_prepend(0.0, w), (x, y) -> x + y) AS ssw,
+        CAST(CAST(n AS HUGEINT) * gs2 - gs1 * gs1 AS DOUBLE)
+          / CAST(n AS DOUBLE) AS sst
+      FROM lst)
+SELECT k, n,
+  CASE WHEN k >= 1 AND sst > 0 THEN
+    round(1.0 - ssw / NULLIF(sst, 0), 6)
+  END AS eta_sq
+FROM e
+""")
+def q384(spark, sf_dir):
+    """Correlation ratio η² of event value on event type — HOW MUCH
+    of the value variance the category explains (the effect-size view
+    of q301's ANOVA; the categorical-x-continuous-y member of the
+    dependence family next to Cramér's V and Theil's U): exact
+    DECIMAL(38,0) within/total variance numerators, one double
+    division per group summed by the ordered fold, one final
+    ratio."""
+    from ultraviolet_spark.operators.stats import correlation_ratio
+
+    return correlation_ratio(_t(spark, sf_dir, "events"),
+                             value_col="value",
+                             group_col="event_type")
