@@ -546,3 +546,44 @@ def test_correlation_ratio_bounds_and_reference(spark):
     const = spark.createDataFrame([("a", 1.0)] * 5, "g string, v double")
     assert correlation_ratio(const, value_col="v",
                              group_col="g").head()["eta_sq"] is None
+
+
+# ------------------------------------- periodogram / Rayleigh (r5 #4)
+
+def _mk_ts(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(g, base + dt.timedelta(seconds=s), float(v))
+            for g, s, v in rows]
+    return spark.createDataFrame(
+        data, "g string, ts timestamp_ntz, v double")
+
+
+def test_periodogram_daily_clump_vs_flat(spark):
+    from ultraviolet_spark.operators.stats import periodogram_power
+
+    # 'day': all weight at the same time-of-day across 10 days -> r2 ~ 1
+    day = [("day", 86400 * d + 3600 * 9, 5.0) for d in range(10)]
+    # 'flat': weight spread evenly over 24 hours -> r2 ~ 0
+    flat = [("flat", 3600 * h, 5.0) for h in range(24)]
+    got = {r["g"]: r for r in periodogram_power(
+        _mk_ts(spark, day + flat), ts_col="ts", value_col="v",
+        group_col="g").collect()}
+    assert got["day"]["r2"] > 0.99
+    assert got["flat"]["r2"] < 0.01
+
+
+def test_rayleigh_clumped_vs_uniform(spark):
+    from ultraviolet_spark.operators.stats import rayleigh_test
+
+    # midnight-straddling clump (23:30 and 00:30) — the case a LINEAR
+    # uniformity test splits in half
+    clump = [("c", 86400 * d + (86400 - 1800), 0) for d in range(10)] \
+        + [("c", 86400 * d + 1800, 0) for d in range(10)]
+    unif = [("u", 3600 * h, 0) for h in range(24)]
+    got = {r["g"]: r for r in rayleigh_test(
+        _mk_ts(spark, clump + unif), ts_col="ts",
+        group_col="g").collect()}
+    assert got["c"]["rbar"] > 0.95 and got["c"]["z"] > 15
+    assert got["u"]["rbar"] < 0.01

@@ -5231,3 +5231,103 @@ def correlation_ratio(df: DataFrame, *, value_col: str,
     eta = F.when((F.col("k") >= 1) & (sst > 0),
                  F.round(1.0 - ssw / nz(sst), 6))
     return arr.select("k", "n", eta.alias("eta_sq"))
+
+
+def periodogram_power(df: DataFrame, *, ts_col: str, value_col: str,
+                      group_col: str,
+                      period_seconds: int = 86400) -> DataFrame:
+    """Periodogram power at ONE fixed period per group — the
+    frequency-domain seasonality detector next to q283's STL-style
+    anomalies and q304's Holt–Winters (which FIT seasonality; this
+    asks "is there energy at the daily line at all"):
+
+        P = C² + S²,
+        C = Σ x_i·cos(ω t_i),  S = Σ x_i·sin(ω t_i),  ω = 2π/period
+
+    reported as the normalized  R² = (C² + S²)/(Σ|x|)²  ∈ [0, 1]
+    alongside the raw micro-unit sums.
+
+    Exactness: the µ-nat snap-before-sum discipline applied to
+    trigonometry — each term x_i·cos(ω t_i) evaluates as one
+    fixed-order double over the exact integer (µ-snapped x, epoch-µs
+    t) and snaps to an integer micro-unit BEFORE the sum, so C and S
+    are order-independent integer totals both engines agree on
+    bit-for-bit (a raw double Σ would be partition-order-dependent);
+    the final powers are fixed-order doubles.  Zero total |x| → NULL
+    r2.  Scale: one scan-stage projection + one map-side-combined
+    group agg.  Output per group: (group, n, c_micro, s_micro, r2).
+    """
+    import math
+
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    omega = 2.0 * math.pi / float(period_seconds)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    x = F.round(F.col(value_col).cast("double") * 1e6).cast("long")
+    g = F.col(group_col)
+    tsec = (t_us.cast("double") / F.lit(1e6))
+    xc = F.round(x.cast("double") * F.cos(F.lit(omega) * tsec)) \
+        .cast("long")
+    xs = F.round(x.cast("double") * F.sin(F.lit(omega) * tsec)) \
+        .cast("long")
+    base = (df.filter(x.isNotNull() & g.isNotNull()
+                      & F.col(ts_col).isNotNull())
+            .select(g.alias("__g"), xc.alias("__c"), xs.alias("__s"),
+                    F.abs(x).alias("__ax")))
+    out = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__c").cast("long").alias("c_micro"),
+        F.sum("__s").cast("long").alias("s_micro"),
+        F.sum("__ax").cast("long").alias("__axs"))
+    cd = F.col("c_micro").cast("double")
+    sd = F.col("s_micro").cast("double")
+    ad = F.col("__axs").cast("double")
+    r2 = F.when(F.col("__axs") > 0,
+                F.round((cd * cd + sd * sd) / nz(ad * ad), 6))
+    return out.select(F.col("__g").alias(group_col), "n",
+                      "c_micro", "s_micro", r2.alias("r2"))
+
+
+def rayleigh_test(df: DataFrame, *, ts_col: str, group_col: str,
+                  period_seconds: int = 86400) -> DataFrame:
+    """Rayleigh test of circular uniformity per group — the CIRCULAR
+    companion of q350's one-sample KS (which sees time-of-day as a
+    line; Rayleigh sees it as a clock, so midnight-straddling clumps
+    that KS splits in half are caught whole):
+
+        R̄ = |Σ e^{iθ_j}|/n,   θ = 2π·(t mod period)/period,
+        z = n·R̄²,   and the bias-corrected p-surrogate is left to the
+        caller (z is the reported statistic, large z ⇒ clumped).
+
+    Exactness: the same snap-before-sum trig discipline as
+    :func:`periodogram_power` with unit weights — per-event cos/sin
+    snap to integer micro-units before the order-independent integer
+    sums; R̄ and z are fixed-order doubles.  n = 0 → no row.
+
+    Scale: scan-stage projection + one group agg.  Output per group:
+    (group, n, rbar, z).
+    """
+    import math
+
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    omega = 2.0 * math.pi / float(period_seconds)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tsec = t_us.cast("double") / F.lit(1e6)
+    c = F.round(F.cos(F.lit(omega) * tsec) * 1e6).cast("long")
+    s = F.round(F.sin(F.lit(omega) * tsec) * 1e6).cast("long")
+    g = F.col(group_col)
+    base = (df.filter(g.isNotNull() & F.col(ts_col).isNotNull())
+            .select(g.alias("__g"), c.alias("__c"), s.alias("__s")))
+    out = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__c").cast("long").alias("__cs"),
+        F.sum("__s").cast("long").alias("__ss"))
+    nd = F.col("n").cast("double")
+    cd = F.col("__cs").cast("double") / F.lit(1e6)
+    sd = F.col("__ss").cast("double") / F.lit(1e6)
+    rbar = F.sqrt(cd * cd + sd * sd) / nz(nd)
+    z = nd * (F.sqrt(cd * cd + sd * sd) / nz(nd)) \
+        * (F.sqrt(cd * cd + sd * sd) / nz(nd))
+    return out.select(F.col("__g").alias(group_col), "n",
+                      F.when(F.col("n") > 0, F.round(rbar, 6))
+                      .alias("rbar"),
+                      F.when(F.col("n") > 0, F.round(z, 6)).alias("z"))

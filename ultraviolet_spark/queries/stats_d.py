@@ -1268,3 +1268,85 @@ def q384(spark, sf_dir):
     return correlation_ratio(_t(spark, sf_dir, "events"),
                              value_col="value",
                              group_col="event_type")
+
+
+@q("q385_daily_periodogram", """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(round(value * 1e6) AS BIGINT) AS x,
+         CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS tsec
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL),
+t AS (SELECT g,
+        CAST(round(CAST(x AS DOUBLE) * cos(7.27220521664304e-05 * tsec))
+             AS BIGINT) AS c,
+        CAST(round(CAST(x AS DOUBLE) * sin(7.27220521664304e-05 * tsec))
+             AS BIGINT) AS s,
+        abs(x) AS ax
+      FROM base),
+agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS c_micro,
+               CAST(SUM(s) AS BIGINT) AS s_micro,
+               CAST(SUM(ax) AS BIGINT) AS axs
+        FROM t GROUP BY g)
+SELECT g AS event_type, n, c_micro, s_micro,
+  CASE WHEN axs > 0 THEN
+    round((CAST(c_micro AS DOUBLE) * c_micro
+           + CAST(s_micro AS DOUBLE) * s_micro)
+          / NULLIF(CAST(axs AS DOUBLE) * axs, 0), 6)
+  END AS r2
+FROM agg
+""")
+def q385(spark, sf_dir):
+    """Periodogram power at the daily line per event type
+    (stats.periodogram_power) — the frequency-domain seasonality
+    detector next to q283's anomalies / q304's Holt-Winters / q350's
+    linear time-of-day KS: the snap-before-sum discipline applied to
+    trigonometry makes the weighted cos/sin totals order-independent
+    integers both engines agree on bit-for-bit."""
+    from ultraviolet_spark.operators.stats import periodogram_power
+
+    return periodogram_power(_t(spark, sf_dir, "events"),
+                             ts_col="ts", value_col="value",
+                             group_col="event_type")
+
+
+@q("q386_rayleigh_uniformity", """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(round(cos(7.27220521664304e-05 * (CAST(epoch_us(ts) AS DOUBLE)
+                                     / 1e6)) * 1e6) AS BIGINT) AS c,
+         CAST(round(sin(7.27220521664304e-05 * (CAST(epoch_us(ts) AS DOUBLE)
+                                     / 1e6)) * 1e6) AS BIGINT) AS s
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS cs,
+               CAST(SUM(s) AS BIGINT) AS ss
+        FROM base GROUP BY g),
+e AS (SELECT g, n,
+        CAST(cs AS DOUBLE) / 1e6 AS cd,
+        CAST(ss AS DOUBLE) / 1e6 AS sd
+      FROM agg)
+SELECT g AS event_type, n,
+  CASE WHEN n > 0 THEN
+    round(sqrt(cd * cd + sd * sd)
+          / NULLIF(CAST(n AS DOUBLE), 0), 6) END AS rbar,
+  CASE WHEN n > 0 THEN
+    round(CAST(n AS DOUBLE)
+          * (sqrt(cd * cd + sd * sd)
+             / NULLIF(CAST(n AS DOUBLE), 0))
+          * (sqrt(cd * cd + sd * sd)
+             / NULLIF(CAST(n AS DOUBLE), 0)), 6) END AS z
+FROM e
+""")
+def q386(spark, sf_dir):
+    """Rayleigh circular-uniformity test of event time-of-day per
+    type (stats.rayleigh_test) — the CLOCK view completing q350's
+    LINE view (a midnight-straddling clump that KS splits in half is
+    caught whole): unit-weight snapped cos/sin sums, fixed-order
+    resultant length and z = n·R̄²."""
+    from ultraviolet_spark.operators.stats import rayleigh_test
+
+    return rayleigh_test(_t(spark, sf_dir, "events"), ts_col="ts",
+                         group_col="event_type")
