@@ -587,3 +587,55 @@ def test_rayleigh_clumped_vs_uniform(spark):
         group_col="g").collect()}
     assert got["c"]["rbar"] > 0.95 and got["c"]["z"] > 15
     assert got["u"]["rbar"] < 0.01
+
+
+# ------------------------------------------- G-test / Kupiec (r5 #5)
+
+def test_g_test_equals_2n_mi_and_guards(spark):
+    import math
+
+    from ultraviolet_spark.operators.stats import g_test
+
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 30)
+    df = spark.createDataFrame(rows, "u string, v string")
+    got = g_test(df, a_col="u", b_col="v").head()
+    assert (got["n"], got["r"], got["c"], got["df"]) == (80, 2, 2, 1)
+    # sequential reference with the same snap-before-sum discipline
+    core = 0
+    for o, ra, ca in [(30, 40, 40), (10, 40, 40),
+                      (10, 40, 40), (30, 40, 40)]:
+        pmi = round((math.log(80 * o) - math.log(ra * ca)) * 1e6)
+        core += o * pmi
+    assert got["g_micro"] == 2 * core
+    assert got["g"] == pytest.approx(2 * core / 1e6, abs=1e-6)
+    # exact independence scores ~0; 1xc table NULL
+    ind = [("a", f"v{i % 2}") for i in range(40)]
+    g2 = g_test(spark.createDataFrame(ind, "u string, v string"),
+                a_col="u", b_col="v").head()
+    assert g2["g"] is None
+
+
+def test_kupiec_on_target_vs_breach(spark):
+    import math
+
+    from ultraviolet_spark.operators.stats import kupiec_pof
+
+    # exactly on the promised 5% -> LR == 0
+    on = [(1,)] * 5 + [(0,)] * 95
+    df = spark.createDataFrame(on, "y int")
+    got = kupiec_pof(df, fail_expr="y", p0_num=1, p0_den=20).head()
+    assert got["lr"] == pytest.approx(0.0, abs=1e-9)
+    # 3x the promised rate fires; matches the sequential reference
+    hot = [(1,)] * 15 + [(0,)] * 85
+    g2 = kupiec_pof(spark.createDataFrame(hot, "y int"),
+                    fail_expr="y", p0_num=1, p0_den=20).head()
+    n, x, p0 = 100, 15, 0.05
+    lr = 2 * (x * math.log(x / n) + (n - x) * math.log(1 - x / n)
+              - x * math.log(p0) - (n - x) * math.log(1 - p0))
+    assert g2["lr"] == pytest.approx(lr, abs=2e-6)
+    assert g2["lr"] > 10
+    # zero failures stays finite (x ln x -> 0 convention)
+    none = kupiec_pof(spark.createDataFrame([(0,)] * 50, "y int"),
+                      fail_expr="y", p0_num=1, p0_den=20).head()
+    assert none["x"] == 0 and none["lr"] is not None

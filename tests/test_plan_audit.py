@@ -87,6 +87,7 @@ CROSS_OK = {
     "q378_cliffs_delta",         # 1-row value-bounds frame (the shared
                                  # ks_mw two-phase machinery)
     "q382_wilcoxon_signed_rank",  # 1-row bounds + zero-count frames
+    "q387_g_test",               # 1-row corpus-total frame (q262 shape)
     "q366_rich_club",            # |thresholds|-row literal frame ×2
     "q367_partition_modularity",  # 1-row m frame per community term
     "q363_theil_u",              # 1-row corpus-total frame ×3 entropies

@@ -5331,3 +5331,94 @@ def rayleigh_test(df: DataFrame, *, ts_col: str, group_col: str,
                       F.when(F.col("n") > 0, F.round(rbar, 6))
                       .alias("rbar"),
                       F.when(F.col("n") > 0, F.round(z, 6)).alias("z"))
+
+
+def g_test(df: DataFrame, *, a_col: str, b_col: str) -> DataFrame:
+    """G-test of independence (log-likelihood-ratio χ²) — the TEST
+    view of q262's mutual information (G = 2N·I in nats) with the
+    degrees of freedom Pearson users expect, additive across
+    partitions of the table where Pearson's X² is not:
+
+        G = 2·Σ_cells O·ln(O·N / (r·c)),   df = (r−1)(c−1)
+
+    Exactness: the q262 µ-nat discipline verbatim — each cell's
+    pointwise term ln(N·O) − ln(r·c) snaps to integer micro-nats,
+    each cell's O-weighted contribution snaps BEFORE the sum, so G's
+    µ-nat core is an order-independent integer total; G doubles it
+    once.  Zero cells contribute exactly zero (absent rows, absent
+    terms — the x·ln x → 0 convention).  min(r, c) < 2 → NULL G.
+
+    Scale: the q262 shape — one cell exchange + marginal joins.
+    Output one row: (n, r, c, df, g_micro, g).
+    """
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cells = df.groupBy(F.col(a_col).alias("a"),
+                       F.col(b_col).alias("b")).agg(
+        F.count("*").cast("long").alias("n_ab"))
+    ma = cells.groupBy("a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("n_ab").cast("long").alias("n_b"))
+    tot = cells.agg(F.sum("n_ab").cast("long").alias("__n"),
+                    F.countDistinct("a").cast("long").alias("__r"),
+                    F.countDistinct("b").cast("long").alias("__c"))
+    j = (cells.join(ma, "a").join(mb, "b").crossJoin(F.broadcast(tot)))
+    pmi = F.round(
+        (F.log((d38("__n") * d38("n_ab")).cast("double"))
+         - F.log((d38("n_a") * d38("n_b")).cast("double"))) * 1e6
+    ).cast("long")
+    contrib = (F.col("n_ab") * pmi).cast("long")
+    agg = j.agg(F.max("__n").alias("n"), F.max("__r").alias("r"),
+                F.max("__c").alias("c"),
+                F.sum(contrib).cast("long").alias("__core"))
+    ok = (F.col("r") >= 2) & (F.col("c") >= 2)
+    g = F.when(ok, F.round(
+        2.0 * F.col("__core").cast("double") / F.lit(1e6), 6))
+    return agg.select(
+        "n", "r", "c",
+        F.when(ok, (F.col("r") - 1) * (F.col("c") - 1)).alias("df"),
+        F.when(ok, 2 * F.col("__core")).alias("g_micro"),
+        g.alias("g"))
+
+
+def kupiec_pof(df: DataFrame, *, fail_expr: str,
+               p0_num: int, p0_den: int) -> DataFrame:
+    """Kupiec proportion-of-failures likelihood-ratio test — the
+    MONITORING gate "did the observed alert/violation rate match the
+    promised p₀" (a 5 % VaR model, an SLA error budget, q276's FDR
+    promise), the binomial LR counterpart of q377's two-SAMPLE z:
+
+        LR = 2·[ x·ln(x/n) + (n−x)·ln(1−x/n)
+                 − x·ln(p₀) − (n−x)·ln(1−p₀) ]  ~  χ²(1)
+
+    Exactness: x and n are exact int64; LR is ONE fixed-order double
+    chain over them with the x·ln x → 0 convention at the boundaries
+    (x = 0 or x = n keeps the observed-side terms finite; the
+    p₀-side is always finite for 0 < p₀ < 1); p₀ enters as the exact
+    rational ``p0_num/p0_den`` so both engines form the identical
+    double.  n = 0 → NULL.
+
+    Output one row: (n, x, rate, p0, lr).
+    """
+    nz = lambda den: F.when(den != 0, den)  # noqa: E731
+    if not (0 < p0_num < p0_den):
+        raise ValueError("need 0 < p0_num/p0_den < 1")
+    f = F.expr(fail_expr).cast("int")
+    agg = (df.filter(f.isNotNull())
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum(f).cast("long").alias("x")))
+    nd = F.col("n").cast("double")
+    xd = F.col("x").cast("double")
+    p0 = F.lit(float(p0_num)) / F.lit(float(p0_den))
+
+    def xlnr(c, r):
+        # c·ln(r) with the c = 0 → 0 convention (r may be 0 there)
+        return F.when(c > 0, c.cast("double") * F.log(r)) \
+                .otherwise(F.lit(0.0))
+
+    obs = (xlnr(F.col("x"), xd / nz(nd))
+           + xlnr(F.col("n") - F.col("x"), (nd - xd) / nz(nd)))
+    null = (xd * F.log(p0) + (nd - xd) * F.log(1.0 - p0))
+    lr = F.when(F.col("n") > 0, F.round(2.0 * (obs - null), 6))
+    return agg.select(
+        "n", "x",
+        F.when(F.col("n") > 0, F.round(xd / nz(nd), 6)).alias("rate"),
+        F.round(p0, 6).alias("p0"), lr.alias("lr"))

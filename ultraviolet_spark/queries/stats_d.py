@@ -1350,3 +1350,79 @@ def q386(spark, sf_dir):
 
     return rayleigh_test(_t(spark, sf_dir, "events"), ts_col="ts",
                          group_col="event_type")
+
+
+@q("q387_g_test", """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM documents GROUP BY lang, source),
+ma AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY a),
+mb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS c FROM cells),
+w AS (
+  SELECT n_ab,
+         CAST(round((ln(CAST(CAST(n AS HUGEINT) * n_ab AS DOUBLE))
+                     - ln(CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS pmi
+  FROM cells JOIN ma USING (a) JOIN mb USING (b), tot),
+agg AS (SELECT CAST(SUM(n_ab * pmi) AS BIGINT) AS core FROM w)
+SELECT n, r, c,
+  CASE WHEN r >= 2 AND c >= 2 THEN (r - 1) * (c - 1) END AS df,
+  CASE WHEN r >= 2 AND c >= 2 THEN 2 * core END AS g_micro,
+  CASE WHEN r >= 2 AND c >= 2 THEN
+    round(2.0 * CAST(core AS DOUBLE) / 1e6, 6) END AS g
+FROM agg, tot
+""")
+def q387(spark, sf_dir):
+    """G-test of independence over document lang×source — the TEST
+    view (G = 2N·I, χ²-distributed with (r−1)(c−1) df) completing the
+    nominal dependence family: q262's raw-nat decomposition, q333's
+    Cramér's V effect size, q363's normalized U, q364's modal λ, and
+    now the significance statistic — the µ-nat snap-before-sum core
+    doubled once."""
+    from ultraviolet_spark.operators.stats import g_test
+
+    return g_test(_t(spark, sf_dir, "documents"),
+                  a_col="lang", b_col="source")
+
+
+@q("q388_kupiec_pof", """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT)
+           AS x
+  FROM events),
+e AS (SELECT n, x,
+        CAST(x AS DOUBLE) AS xd, CAST(n AS DOUBLE) AS nd,
+        CAST(1.0 AS DOUBLE) / CAST(20.0 AS DOUBLE) AS p0
+      FROM agg),
+f AS (SELECT *,
+        (CASE WHEN x > 0 THEN xd * ln(xd / NULLIF(nd, 0))
+              ELSE 0.0 END)
+        + (CASE WHEN n - x > 0
+                THEN CAST(n - x AS DOUBLE)
+                     * ln((nd - xd) / NULLIF(nd, 0))
+                ELSE 0.0 END) AS obs,
+        xd * ln(p0) + (nd - xd) * ln(1.0 - p0) AS nul
+      FROM e)
+SELECT n, x,
+  CASE WHEN n > 0 THEN round(xd / NULLIF(nd, 0), 6) END AS rate,
+  round(p0, 6) AS p0,
+  CASE WHEN n > 0 THEN round(2.0 * (obs - nul), 6) END AS lr
+FROM f
+""")
+def q388(spark, sf_dir):
+    """Kupiec proportion-of-failures LR — "did the observed violation
+    rate match the promised p₀ = 1/20" over the value > 400 event
+    tail, the monitoring gate every alert-budget/VaR/SLA promise
+    needs (the binomial LR counterpart of q377's two-sample z): one
+    fixed-order double chain over exact counts with the x·ln x → 0
+    boundary convention."""
+    from ultraviolet_spark.operators.stats import kupiec_pof
+
+    return kupiec_pof(_t(spark, sf_dir, "events"),
+                      fail_expr="CASE WHEN value > 400 THEN 1 ELSE 0 "
+                                "END",
+                      p0_num=1, p0_den=20)
